@@ -1,0 +1,38 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One engine query: a Spark DataFrame program plus (when SQL-expressible)
+  * an equivalent ANSI-SQL oracle the driver runs in DuckDB over the same
+  * parquet tables. Names and column aliases must agree between the two —
+  * the harness sorts columns by name and hash-compares values.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None,
+)
+
+object Registry {
+  /** All query groups, in SURVEY.md §2 order. */
+  def all: Seq[Q] =
+    RelationalQueries.defs ++
+      DedupeQueries.defs ++
+      GraphQueries.defs ++
+      TextQueries.defs ++
+      SimilarityQueries.defs ++
+      ListGenQueries.defs ++
+      StatsQueries.defs ++
+      InteractiveQueries.defs ++
+      MultimodalQueries.defs
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Reads one driver test table (TESTDATA.md layout). */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}
