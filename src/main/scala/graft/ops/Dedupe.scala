@@ -1,0 +1,190 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Deduplication operators (SURVEY.md §2.9 D1-D4 + the LLM-pipeline dedupe
+  * family): exact hash dedupe, MinHash+LSH, SimHash banding, exact n-gram
+  * Jaccard, embedding-cosine near-dup.
+  *
+  * Everything except the SimHash path is built from codegen'd built-ins
+  * (md5 / transform / array_*), so the same pipeline is expressible in the
+  * DuckDB oracle and the plans stay inside WholeStageCodegen.
+  *
+  * Scale notes (100 TB): the LSH paths shuffle once on the band key, whose
+  * cardinality ~ #docs × bands; candidate verification touches only
+  * bucket-mates. The exact O(n²) variants exist as small-data oracles and
+  * are blocked (by lang) to bound the quadratic term.
+  */
+object Dedupe {
+
+  /** Distinct character 3-gram shingles of a text column
+    * (reference Shingle.java:32-47, CHAR_GRAM_LENGTH=3). */
+  def shingles3(text: Column): Column =
+    // NB: Spark's sequence(1, n) is DESCENDING for n<1, so guard short texts
+    when(
+      length(text) >= 3,
+      array_distinct(
+        transform(
+          sequence(lit(1), length(text) - lit(2)),
+          i => substring(text, i, lit(3)),
+        )),
+    ).otherwise(array().cast("array<string>"))
+
+  /** MinHash signature: k independent hash functions simulated as
+    * md5(j ‖ ':' ‖ shingle); the signature element is the lexicographic min
+    * of the hex digests. Deterministic and reproducible in any engine with
+    * md5 — the point of using md5 rather than a seeded xxhash. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      j => array_min(transform(shingles, s => md5(concat(j.cast("string"), lit(":"), s).cast("binary")))),
+    )
+
+  /** LSH band keys: the signature split into `bands` groups of `rowsPerBand`,
+    * each group concatenated into one key string. */
+  def bandKeysOf(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b =>
+        concat_ws(
+          "|",
+          (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1)): _*),
+    )
+
+  /** Docs → (id, shingles) with empty-shingle docs retained. */
+  def docShingles(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id).as("doc_id"), shingles3(col(text)).as("sh"))
+
+  /** MinHash-LSH candidate pairs (doc_a < doc_b), deduped across bands.
+    * One shuffle on (band_idx, band_key); bucket sizes are bounded by
+    * collision probability, so the join explodes only true candidates. */
+  def minhashCandidates(
+      docs: DataFrame, id: String, text: String,
+      k: Int = 12, bands: Int = 4): DataFrame = {
+    val rowsPerBand = k / bands
+    val sh = docShingles(docs, id, text)
+    val banded = sh
+      .select(col("doc_id"), posexplode(bandKeysOf(minhashSignature(col("sh"), k), bands, rowsPerBand)))
+      .toDF("doc_id", "band_idx", "band_key")
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(
+        b,
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact 3-gram Jaccard of two shingle-array columns, as a double. */
+  def jaccardOf(shA: Column, shB: Column): Column = {
+    val inter = size(array_intersect(shA, shB))
+    inter.cast("double") / (size(shA) + size(shB) - inter)
+  }
+
+  /** MinHash-LSH near-dup pairs verified by exact Jaccard ≥ threshold. */
+  def minhashNearDupPairs(
+      docs: DataFrame, id: String, text: String,
+      threshold: Double, k: Int = 12, bands: Int = 4): DataFrame = {
+    val sh = docShingles(docs, id, text)
+    minhashCandidates(docs, id, text, k, bands)
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), "doc_a")
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), "doc_b")
+      .withColumn("jaccard", jaccardOf(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs, blocked by a grouping column to
+    * bound the quadratic candidate set (the small-data oracle for the LSH
+    * path; reference does the analogous exact verify per LSH bucket). */
+  def exactJaccardPairs(
+      docs: DataFrame, id: String, text: String, blockBy: String,
+      threshold: Double): DataFrame = {
+    val sh = docs.select(
+      col(id).as("doc_id"), col(blockBy).as("blk"), shingles3(col(text)).as("sh"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("jaccard", jaccardOf(col("a.sh"), col("b.sh")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("jaccard"))
+  }
+
+  /** Exact duplicate groups by content hash (md5 of the text bytes). */
+  def exactDupGroups(docs: DataFrame, id: String, text: String): DataFrame =
+    docs
+      .groupBy(md5(col(text).cast("binary")).as("content_hash"))
+      .agg(min(col(id)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** SimHash LSH near-dup pairs (reference D1+D2: Stage1Mapper banding +
+    * SimhashMatcher hamming ≤ 3 verify). Band fan-out = 20 keys/doc. */
+  def simhashNearDupPairs(
+      docs: DataFrame, id: String, text: String,
+      maxHamming: Int = graft.core.Hashing.DefaultHammingThreshold): DataFrame = {
+    val hashed = docs.select(
+      col(id).as("doc_id"),
+      GraftFunctions.simhash64(col(text)).as("simhash"))
+    val banded = hashed
+      .select(col("doc_id"), col("simhash"), explode(GraftFunctions.bandKeys(col("simhash"))).as("band_key"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(
+        b,
+        col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Connected components over an undirected pair list by iterative
+    * min-label propagation (reference G4: DeduperUtils.SetUnionFinder,
+    * Stage2Reducer) — the distributed union-find for dedupe clusters.
+    * Converges in O(log n) rounds on dedupe-cluster-shaped graphs; each
+    * round is one shuffle. Checkpoint-free because cluster diameters are
+    * tiny (bounded by LSH bucket chains). */
+  def connectedComponents(pairs: DataFrame, a: String = "doc_a", b: String = "doc_b",
+      maxIters: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    // undirected edge list, both directions
+    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
+      .union(pairs.select(col(b).as("src"), col(a).as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // each node adopts the min label among itself and its neighbors
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(
+          col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .cache()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+}

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (`array<float>`) — LLM-pipeline extension.
+  *
+  * Baseline: brute-force cosine top-k (exact, one shuffle for the
+  * partitioned cross join). Scale path: LSH bucketing by random-hyperplane
+  * signs (SimHash over the embedding) so candidate sets shrink by ~2^bits;
+  * at 100 TB the probe side broadcasts and the corpus is scanned once per
+  * probe batch, bucket-pruned.
+  *
+  * Float discipline: all arithmetic is sequential double accumulation
+  * (aggregate over zip_with), which is bit-identical to the DuckDB oracle's
+  * list comprehension + list_sum.
+  */
+object Similarity {
+
+  /** Sequential-order dot product of two double-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm (sqrt is correctly rounded per IEEE — portable). */
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Vectors table normalized to (vec_id, v: array<double>). */
+  def vectors(df: DataFrame, id: String, emb: String): DataFrame =
+    df.select(col(id).as("vec_id"), col(emb).cast("array<double>").as("v"))
+
+  /** Exact brute-force cosine top-k neighbors for each probe vector.
+    * Probes are expected to be few → broadcast them; the corpus is
+    * scanned once, and the per-probe top-k is a bounded window. */
+  def bruteForceTopK(
+      corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val joined = corpus.as("c")
+      .join(broadcast(probes.as("p")), col("p.vec_id") =!= col("c.vec_id"))
+      .select(
+        col("p.vec_id").as("probe_id"),
+        col("c.vec_id").as("neighbor_id"),
+        cosine(col("p.v"), col("c.v")).as("cos"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    joined
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Random-hyperplane LSH signature: bit i = sign(dot(v, h_i)) where h_i is
+    * a deterministic ±1 hyperplane derived from md5(i ‖ dim) parity — no RNG
+    * at plan time, reproducible anywhere (oracle included). */
+  /** The deterministic ±1 hyperplane components: h(i)(d) = +1 iff the first
+    * hex digit of md5("i:d") is even. Plan-time constants (also embedded as
+    * literals in the oracle SQL). */
+  def hyperplanes(dims: Int, bits: Int): Array[Array[Double]] =
+    Array.tabulate(bits, dims) { (i, d) =>
+      val c = org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$i:$d").charAt(0)
+      if ("02468ace".indexOf(c) >= 0) 1.0 else -1.0
+    }
+
+  def hyperplaneSignature(v: Column, dims: Int, bits: Int): Column = {
+    val h = hyperplanes(dims, bits)
+    val bitCols = (0 until bits).map { i =>
+      val proj = (0 until dims)
+        .map(d => element_at(v, d + 1) * lit(h(i)(d)))
+        .reduce(_ + _)
+      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** ANN via LSH bucketing: exact cosine within each signature bucket.
+    * Recall is tunable by `bits` (fewer bits → bigger buckets). */
+  def lshTopK(df: DataFrame, id: String, emb: String, dims: Int,
+      bits: Int, k: Int): DataFrame = {
+    val v = vectors(df, id, emb)
+      .withColumn("sig", hyperplaneSignature(col("v"), dims, bits))
+    val a = v.as("a")
+    val b = v.as("b")
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    a.join(b, col("a.sig") === col("b.sig") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("probe_id"),
+        col("b.vec_id").as("neighbor_id"),
+        cosine(col("a.v"), col("b.v")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+}

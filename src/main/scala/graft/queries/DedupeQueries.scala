@@ -1,5 +1,166 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedupe
+
+/** Dedupe query surface over the `documents` table (SURVEY.md §2.9 +
+  * LLM-pipeline dedupe). The md5-based MinHash pipeline is intentionally
+  * engine-portable, so the DuckDB oracle runs the SAME algorithm — candidate
+  * generation included — and must agree exactly, not just on verified pairs.
+  */
 object DedupeQueries {
-  def defs: Seq[Q] = Seq()
+
+  /** Shared oracle fragment: doc_id → distinct 3-gram shingle list. */
+  private val ShinglesCte =
+    """sh AS (
+      |  SELECT doc_id,
+      |         list_distinct([substr(text, i, 3) for i in range(1, length(text)-1)]) AS sh
+      |  FROM documents
+      |)""".stripMargin
+
+  def defs: Seq[Q] = Seq(
+    // D-exact: content-hash dedupe groups.
+    Q(
+      "d1_exact_dedup",
+      (s, dir) =>
+        Dedupe.exactDupGroups(Registry.table(s, dir, "documents"), "doc_id", "text")
+          .orderBy("content_hash"),
+      Some("""
+        SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY md5(text) ORDER BY content_hash
+      """.trim),
+    ),
+
+    // D-minhash: MinHash(k=12, 4 bands × 3 rows) LSH candidates verified by
+    // exact Jaccard ≥ 0.8. Oracle replicates the full LSH pipeline.
+    Q(
+      "d2_minhash_lsh",
+      (s, dir) =>
+        Dedupe.minhashNearDupPairs(
+            Registry.table(s, dir, "documents"), "doc_id", "text",
+            threshold = 0.8, k = 12, bands = 4)
+          .orderBy("doc_a", "doc_b"),
+      Some(s"""
+        WITH $ShinglesCte,
+        sig AS (
+          SELECT doc_id,
+                 [list_min([md5(j::VARCHAR || ':' || s) for s in sh]) for j in range(0, 12)] AS sig,
+                 sh
+          FROM sh
+        ),
+        banded AS (
+          SELECT doc_id, b AS band_idx,
+                 sig[3*b+1] || '|' || sig[3*b+2] || '|' || sig[3*b+3] AS band_key
+          FROM sig, (SELECT unnest(range(0, 4)) AS b)
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               len(list_intersect(x.sh, y.sh))::DOUBLE
+                 / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+        FROM cand JOIN sh x ON cand.doc_a = x.doc_id
+                  JOIN sh y ON cand.doc_b = y.doc_id
+        WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
+                 / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.8
+        ORDER BY doc_a, doc_b
+      """.trim),
+    ),
+
+    // D-exact-jaccard: the exact O(n²) near-dup oracle, blocked by lang.
+    Q(
+      "d3_ngram_jaccard",
+      (s, dir) =>
+        Dedupe.exactJaccardPairs(
+            Registry.table(s, dir, "documents"), "doc_id", "text", "lang",
+            threshold = 0.8)
+          .orderBy("doc_a", "doc_b"),
+      Some(s"""
+        WITH shl AS (
+          SELECT doc_id, lang,
+                 list_distinct([substr(text, i, 3) for i in range(1, length(text)-1)]) AS sh
+          FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        FROM shl a JOIN shl b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+        ORDER BY doc_a, doc_b
+      """.trim),
+    ),
+
+    // D1+D2 reference pipeline: SimHash 6-chunk banding (20 keys/doc),
+    // hamming ≤ 3 verify. Not SQL-expressible (custom hash) → rows-only
+    // driver check; exact-equivalence vs brute force is covered in
+    // DedupeSpec at sf0.001.
+    Q(
+      "d4_simhash_lsh",
+      (s, dir) =>
+        Dedupe.simhashNearDupPairs(
+            Registry.table(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_a", "doc_b"),
+      None,
+    ),
+
+    // D3/G4: dedupe clusters = connected components over verified near-dup
+    // pairs. Oracle: the same pairs (from the deterministic md5-minhash
+    // pipeline) clustered via recursive CTE min-label propagation.
+    Q(
+      "d5_dedupe_clusters",
+      (s, dir) => {
+        val pairs = Dedupe.minhashNearDupPairs(
+          Registry.table(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.8, k = 12, bands = 4)
+        Dedupe.connectedComponents(pairs)
+          .select(col("id").as("doc_id"), col("cluster_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE $ShinglesCte,
+        sig AS (
+          SELECT doc_id,
+                 [list_min([md5(j::VARCHAR || ':' || s) for s in sh]) for j in range(0, 12)] AS sig,
+                 sh
+          FROM sh
+        ),
+        banded AS (
+          SELECT doc_id, b AS band_idx,
+                 sig[3*b+1] || '|' || sig[3*b+2] || '|' || sig[3*b+3] AS band_key
+          FROM sig, (SELECT unnest(range(0, 4)) AS b)
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+        ),
+        pairs AS (
+          SELECT doc_a, doc_b
+          FROM cand JOIN sh x ON cand.doc_a = x.doc_id
+                    JOIN sh y ON cand.doc_b = y.doc_id
+          WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
+                  / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.8
+        ),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        walk(id, label) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, w.label
+          FROM edges e JOIN walk w ON e.dst = w.id
+          WHERE w.label < e.src
+        )
+        SELECT id AS doc_id, MIN(label) AS cluster_id
+        FROM walk GROUP BY id ORDER BY doc_id
+      """.trim),
+    ),
+  )
 }

@@ -1,5 +1,105 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/** Similarity-search query surface over `embeddings` (vec_id,
+  * embedding: array<float>, label) — LLM-pipeline extension. Exact oracles:
+  * all float arithmetic is sequential double accumulation in both engines.
+  */
 object SimilarityQueries {
-  def defs: Seq[Q] = Seq()
+
+  private val Dims = 64
+  private val LshBits = 8
+  private val TopK = 5
+  private val ProbeMax = 10 // probe set = vec_id < 10
+
+  /** DuckDB fragment: cosine between a.v and b.v (sequential double sums). */
+  private def cosSql(a: String, b: String): String = {
+    def dotS(x: String, y: String) =
+      s"list_sum([$x.v[i] * $y.v[i] for i in range(1, ${Dims + 1})])"
+    s"${dotS(a, b)} / (sqrt(${dotS(a, a)}) * sqrt(${dotS(b, b)}))"
+  }
+
+  /** DuckDB fragment: the hyperplane LSH signature of alias x.v, using the
+    * same plan-time sign constants as the Spark plan. */
+  private def sigSql(): String = {
+    val h = Similarity.hyperplanes(Dims, LshBits)
+    (0 until LshBits).map { i =>
+      val lits = h(i).map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"(CASE WHEN list_sum([v[i] * ($lits)[i] for i in range(1, ${Dims + 1})]) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
+  def defs: Seq[Q] = Seq(
+    // exact brute-force cosine top-k for a probe set (the ANN ground truth)
+    Q(
+      "ss1_cosine_topk",
+      (s, dir) => {
+        val vecs = Similarity.vectors(Registry.table(s, dir, "embeddings"), "vec_id", "embedding")
+        Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") < ProbeMax), TopK)
+          .orderBy("probe_id", "rank")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cand AS (
+          SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                 ${cosSql("p", "c")} AS cos
+          FROM e p JOIN e c ON c.vec_id != p.vec_id
+          WHERE p.vec_id < $ProbeMax
+        )
+        SELECT probe_id, neighbor_id, cos, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
+          FROM cand)
+        WHERE rank <= $TopK
+        ORDER BY probe_id, rank
+      """.trim),
+    ),
+    // ANN: random-hyperplane LSH buckets, exact cosine within bucket
+    Q(
+      "ss2_lsh_ann",
+      (s, dir) =>
+        Similarity.lshTopK(Registry.table(s, dir, "embeddings"),
+            "vec_id", "embedding", Dims, LshBits, TopK)
+          .orderBy("probe_id", "rank"),
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        sig AS (SELECT vec_id, v, ${sigSql()} AS sig FROM e),
+        cand AS (
+          SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+                 ${cosSql("a", "b")} AS cos
+          FROM sig a JOIN sig b ON a.sig = b.sig AND b.vec_id != a.vec_id
+        )
+        SELECT probe_id, neighbor_id, cos, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
+          FROM cand)
+        WHERE rank <= $TopK
+        ORDER BY probe_id, rank
+      """.trim),
+    ),
+    // embedding near-dup pairs above a cosine threshold
+    Q(
+      "ss3_embedding_neardup",
+      (s, dir) => {
+        val vecs = Similarity.vectors(Registry.table(s, dir, "embeddings"), "vec_id", "embedding")
+        val a = vecs.as("a")
+        val b = vecs.as("b")
+        a.join(b, col("a.vec_id") < col("b.vec_id"))
+          .select(
+            col("a.vec_id").as("vec_a"),
+            col("b.vec_id").as("vec_b"),
+            Similarity.cosine(col("a.v"), col("b.v")).as("cos"))
+          .filter(col("cos") >= 0.45)
+          .orderBy("vec_a", "vec_b")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosSql("a", "b")} AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE ${cosSql("a", "b")} >= 0.45
+        ORDER BY vec_a, vec_b
+      """.trim),
+    ),
+  )
 }

@@ -1,5 +1,123 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextAnalysis
+
+/** Text-analysis query surface over `documents` (LLM-pipeline extension):
+  * language ID, quality scoring, token stats, document fingerprints.
+  * All oracle-matched — see TextAnalysis for the portability rules.
+  */
 object TextQueries {
-  def defs: Seq[Q] = Seq()
+
+  /** Oracle fragment: normalized whitespace tokens. */
+  private val Toks =
+    raw"string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')"
+
+  private def cntSql(w: String) =
+    s"len(list_filter($Toks, t -> t = '$w'))"
+
+  def defs: Seq[Q] = Seq(
+    Q(
+      "t1_langid",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val (scores, pred) = TextAnalysis.langId(col("text"))
+        docs.select(
+          Seq(col("doc_id")) ++
+            scores.map { case (l, c) => c.cast("long").as(s"score_$l") } :+
+            pred.as("pred_lang"): _*)
+          .orderBy("doc_id")
+      }, {
+        val scoreExprs = TextAnalysis.LangMarkers.map { case (lang, words) =>
+          words.map(cntSql).mkString(" + ") + s" AS score_$lang"
+        }
+        val langs = TextAnalysis.LangMarkers.map(_._1)
+        val best = s"GREATEST(${langs.map("score_" + _).mkString(", ")})"
+        val caseArms = langs
+          .map(l => s"WHEN score_$l = $best AND score_$l > 0 THEN '$l'")
+          .mkString(" ")
+        Some(s"""
+          SELECT doc_id, ${langs.map("score_" + _).mkString(", ")},
+                 CASE $caseArms ELSE 'und' END AS pred_lang
+          FROM (SELECT doc_id, ${scoreExprs.mkString(", ")} FROM documents)
+          ORDER BY doc_id
+        """.trim)
+      },
+    ),
+    Q(
+      "t2_quality",
+      (s, dir) =>
+        TextAnalysis.qualityFeatures(Registry.table(s, dir, "documents"), "text")
+          .select("doc_id", "n_tokens", "n_types", "len_chars",
+            "mean_token_len", "type_token_ratio", "quality_score")
+          .orderBy("doc_id"),
+      Some(s"""
+        SELECT doc_id, n_tokens, n_types, len_chars,
+               (len_chars - (n_tokens - 1))::DOUBLE / n_tokens AS mean_token_len,
+               n_types::DOUBLE / n_tokens AS type_token_ratio,
+               LEAST(n_tokens::DOUBLE / 64.0, 1.0) * 0.5
+                 + LEAST((n_types::DOUBLE / n_tokens) * 2.0, 1.0) * 0.5 AS quality_score
+        FROM (
+          SELECT doc_id,
+                 len($Toks)::BIGINT AS n_tokens,
+                 len(list_distinct($Toks))::BIGINT AS n_types,
+                 length(text)::BIGINT AS len_chars
+          FROM documents)
+        ORDER BY doc_id
+      """.trim),
+    ),
+    // corpus-level token stats per source — groupBy rollup of text features
+    Q(
+      "t3_token_stats",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        docs
+          .select(
+            col("source"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+            size(array_distinct(TextAnalysis.tokens(col("text")))).cast("long").as("n_types"))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            min(col("n_tokens")).as("min_tokens"),
+            max(col("n_tokens")).as("max_tokens"),
+            sum(col("n_types")).as("total_types"))
+          .withColumn(
+            "avg_tokens", col("total_tokens").cast("double") / col("n_docs"))
+          .orderBy("source")
+      },
+      Some(s"""
+        SELECT source, COUNT(*) AS n_docs,
+               SUM(n_tokens)::BIGINT AS total_tokens,
+               MIN(n_tokens) AS min_tokens,
+               MAX(n_tokens) AS max_tokens,
+               SUM(n_types)::BIGINT AS total_types,
+               SUM(n_tokens)::DOUBLE / COUNT(*) AS avg_tokens
+        FROM (
+          SELECT source,
+                 len($Toks)::BIGINT AS n_tokens,
+                 len(list_distinct($Toks))::BIGINT AS n_types
+          FROM documents)
+        GROUP BY source ORDER BY source
+      """.trim),
+    ),
+    // winnowing-style fingerprint (k smallest shingle digests hashed together)
+    Q(
+      "t4_fingerprint",
+      (s, dir) =>
+        Registry.table(s, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.docFingerprint(col("text")).as("fingerprint"))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               md5(array_to_string(
+                 list_sort([md5(s) for s in
+                   list_distinct([substr(text, i, 3) for i in range(1, length(text)-1)])])[1:4],
+                 '')) AS fingerprint
+        FROM documents ORDER BY doc_id
+      """.trim),
+    ),
+  )
 }
