@@ -33,15 +33,29 @@ object Dedupe {
         )),
     ).otherwise(array().cast("array<string>"))
 
-  /** MinHash signature: k independent hash functions simulated as
-    * md5(j ‖ ':' ‖ shingle); the signature element is the lexicographic min
-    * of the hex digests. Deterministic and reproducible in any engine with
-    * md5 — the point of using md5 rather than a seeded xxhash. */
-  def minhashSignature(shingles: Column, k: Int): Column =
+  /** Per-shingle 64-hex-char digest: md5('0:'‖s) ‖ md5('1:'‖s). Each shingle
+    * is hashed exactly TWICE (not k times); the k minhash functions are
+    * derived as disjoint 5-hex-char windows of this digest. Deterministic
+    * and reproducible in any engine with md5. */
+  def shingleDigests(shingles: Column): Column =
+    transform(
+      shingles,
+      s =>
+        concat(
+          md5(concat(lit("0:"), s).cast("binary")),
+          md5(concat(lit("1:"), s).cast("binary"))))
+
+  /** MinHash signature over precomputed shingle digests: element j is the
+    * lexicographic min over shingles of digest[5j+1 .. 5j+5] (disjoint
+    * windows, so the k hash functions are independent). Requires k ≤ 12
+    * (12 windows × 5 hex chars = 60 ≤ 64 available). */
+  def minhashSignature(digests: Column, k: Int): Column = {
+    require(k <= 12, s"k=$k > 12 exceeds the 64-hex-char digest budget")
     transform(
       sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(shingles, s => md5(concat(j.cast("string"), lit(":"), s).cast("binary")))),
+      j => array_min(transform(digests, d => d.substr(j * lit(5) + lit(1), lit(5)))),
     )
+  }
 
   /** LSH band keys: the signature split into `bands` groups of `rowsPerBand`,
     * each group concatenated into one key string. */
@@ -60,14 +74,19 @@ object Dedupe {
 
   /** MinHash-LSH candidate pairs (doc_a < doc_b), deduped across bands.
     * One shuffle on (band_idx, band_key); bucket sizes are bounded by
-    * collision probability, so the join explodes only true candidates. */
+    * collision probability, so the join explodes only true candidates.
+    * Each shingle is hashed twice total (shingleDigests), not once per
+    * hash function — at 100 TB the hashing cost dominates, not the join. */
   def minhashCandidates(
       docs: DataFrame, id: String, text: String,
       k: Int = 12, bands: Int = 4): DataFrame = {
     val rowsPerBand = k / bands
     val sh = docShingles(docs, id, text)
     val banded = sh
-      .select(col("doc_id"), posexplode(bandKeysOf(minhashSignature(col("sh"), k), bands, rowsPerBand)))
+      // separate projection so the digest array materializes once per row
+      // (non-cheap + referenced k times → CollapseProject keeps the boundary)
+      .select(col("doc_id"), shingleDigests(col("sh")).as("dg"))
+      .select(col("doc_id"), posexplode(bandKeysOf(minhashSignature(col("dg"), k), bands, rowsPerBand)))
       .toDF("doc_id", "band_idx", "band_key")
     val a = banded.as("a")
     val b = banded.as("b")
@@ -99,9 +118,10 @@ object Dedupe {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** Exact n-gram Jaccard near-dup pairs, blocked by a grouping column to
-    * bound the quadratic candidate set (the small-data oracle for the LSH
-    * path; reference does the analogous exact verify per LSH bucket). */
+  /** Exact n-gram Jaccard near-dup pairs, blocked by a grouping column.
+    * TESTS-ONLY ground truth: the block join is quadratic within blocks, so
+    * this must never appear in a production plan — the scale path is
+    * [[minhashNearDupPairs]]; DedupeSpec proves their equality at sf0.001. */
   def exactJaccardPairs(
       docs: DataFrame, id: String, text: String, blockBy: String,
       threshold: Double): DataFrame = {
@@ -152,15 +172,22 @@ object Dedupe {
     * tiny (bounded by LSH bucket chains). */
   def connectedComponents(pairs: DataFrame, a: String = "doc_a", b: String = "doc_b",
       maxIters: Int = 20): DataFrame = {
-    val spark = pairs.sparkSession
     // undirected edge list, both directions
     val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
       .union(pairs.select(col(b).as("src"), col(a).as("dst")))
       .distinct()
-      .cache()
+      .localCheckpoint(true) // materialize once; iterations re-read, not re-derive
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    // labels are monotonically non-increasing, so sum(label) strictly
+    // decreases iff any label changed — convergence detection rides on the
+    // same single-row action that materializes the iteration, with no extra
+    // change-detection join.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -174,17 +201,13 @@ object Dedupe {
         .select(
           col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .cache()
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label"))
-        .limit(1).count()
-      labels.unpersist()
+        .localCheckpoint(true) // truncate lineage every round
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       iter += 1
     }
-    edges.unpersist()
     labels.withColumnRenamed("label", "cluster_id")
   }
 }

@@ -62,15 +62,54 @@ object Similarity {
       if ("02468ace".indexOf(c) >= 0) 1.0 else -1.0
     }
 
-  def hyperplaneSignature(v: Column, dims: Int, bits: Int): Column = {
-    val h = hyperplanes(dims, bits)
+  def hyperplaneSignature(v: Column, dims: Int, bits: Int): Column =
+    hyperplaneSignature(v, dims, bits, bitOffset = 0)
+
+  /** Signature bits [bitOffset, bitOffset+bits) of the global hyperplane
+    * family. The hyperplane matrix rides along as ONE array literal
+    * (typedlit), not bits×dims expression nodes — keeps task binaries small
+    * and the projection inside codegen. Projection is a sequential left
+    * fold (zip_with + aggregate), bit-matching the oracle's list_sum. */
+  def hyperplaneSignature(v: Column, dims: Int, bits: Int, bitOffset: Int): Column = {
+    val h = hyperplanes(dims, bits + bitOffset).map(_.toSeq).toSeq
+    val hLit = typedlit(h)
     val bitCols = (0 until bits).map { i =>
-      val proj = (0 until dims)
-        .map(d => element_at(v, d + 1) * lit(h(i)(d)))
-        .reduce(_ + _)
+      val proj = aggregate(
+        zip_with(v, element_at(hLit, bitOffset + i + 1), (x, y) => x * y),
+        lit(0.0),
+        (acc, x) => acc + x)
       when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)
+  }
+
+  /** Near-duplicate pairs above a cosine threshold via banded hyperplane
+    * LSH: `bands` independent signatures of `bitsPerBand` bits each; any
+    * shared band makes a candidate pair, verified by exact cosine. Scales
+    * as one shuffle per band key instead of the O(n²) cross join; recall
+    * is 1-(1-s^b)^bands per the standard LSH curve. */
+  def lshNearDupPairs(
+      df: DataFrame, id: String, emb: String, dims: Int,
+      bands: Int, bitsPerBand: Int, threshold: Double): DataFrame = {
+    val v = vectors(df, id, emb)
+    val sigs = (0 until bands).map(b =>
+      hyperplaneSignature(col("v"), dims, bitsPerBand, bitOffset = b * bitsPerBand))
+    val banded = v
+      .select(col("vec_id"), col("v"), posexplode(array(sigs: _*)))
+      .toDF("vec_id", "v", "band_idx", "sig")
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .dropDuplicates("vec_a", "vec_b")
+    cand
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
   }
 
   /** ANN via LSH bucketing: exact cosine within each signature bucket.

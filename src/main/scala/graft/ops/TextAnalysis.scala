@@ -16,9 +16,14 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     split(regexp_replace(trim(text), "\\s+", " "), " ")
 
-  /** Exact count of a token w in the text. */
+  /** Exact count of token w in a pre-tokenized array column. */
+  def tokenCountIn(toks: Column, w: String): Column =
+    size(filter(toks, t => t === lit(w)))
+
+  /** Exact count of a token w in the text. Prefer [[tokenCountIn]] over a
+    * shared tokens column when counting many words — this re-tokenizes. */
   def tokenCount(text: Column, w: String): Column =
-    size(filter(tokens(text), t => t === lit(w)))
+    tokenCountIn(tokens(text), w)
 
   /** Per-language marker tokens for the n-gram/stopword language heuristic.
     * (The reference has no langid — this is the LLM-pipeline extension;
@@ -31,10 +36,12 @@ object TextAnalysis {
     "zh" -> Seq("的", "是", "了", "在", "我"),
   )
 
-  /** Language scores + argmax prediction (ties broken by marker order). */
-  def langId(text: Column): (Seq[(String, Column)], Column) = {
+  /** Language scores + argmax prediction (ties broken by marker order),
+    * over a PRE-TOKENIZED array column — the tokenizer runs once per row,
+    * not once per marker word. */
+  def langIdFromTokens(toks: Column): (Seq[(String, Column)], Column) = {
     val scores = LangMarkers.map { case (lang, words) =>
-      lang -> words.map(w => tokenCount(text, w)).reduce(_ + _)
+      lang -> words.map(w => tokenCountIn(toks, w)).reduce(_ + _)
     }
     val best = scores.tail.foldLeft(greatest(scores.head._2, scores.head._2)) {
       case (acc, (_, s)) => greatest(acc, s)
@@ -44,6 +51,11 @@ object TextAnalysis {
     }
     (scores, pred)
   }
+
+  /** Language scores over raw text (re-tokenizes per marker — prefer
+    * materializing [[tokens]] into a column and [[langIdFromTokens]]). */
+  def langId(text: Column): (Seq[(String, Column)], Column) =
+    langIdFromTokens(tokens(text))
 
   /** Quality features + a deterministic [0,1] score: length in range,
     * mean token length sane, low repetition (type/token ratio). */

@@ -8,6 +8,11 @@ import graft.ops.Dedupe
   * LLM-pipeline dedupe). The md5-based MinHash pipeline is intentionally
   * engine-portable, so the DuckDB oracle runs the SAME algorithm — candidate
   * generation included — and must agree exactly, not just on verified pairs.
+  *
+  * Hashing discipline: every shingle is md5'd exactly twice
+  * (Dedupe.shingleDigests); the k minhash functions are disjoint
+  * 5-hex-char windows of that 64-char digest. This keeps the hash cost
+  * 2×|shingles| per doc regardless of k — at 100 TB the hashing dominates.
   */
 object DedupeQueries {
 
@@ -18,6 +23,40 @@ object DedupeQueries {
       |         list_distinct([substr(text, i, 3) for i in range(1, length(text)-1)]) AS sh
       |  FROM documents
       |)""".stripMargin
+
+  /** Oracle fragments replicating the Spark MinHash pipeline: two md5s per
+    * shingle, k minhash values as disjoint 5-hex-char windows, `bands`
+    * band keys of k/bands window-mins joined with '|'. Emits CTEs
+    * sig(doc_id, sig, sh) and banded(doc_id, band_idx, band_key). */
+  private def minhashCtes(k: Int, bands: Int): String = {
+    val rows = k / bands
+    val keyExpr = (0 until rows).map(r => s"sig[$rows*b+${r + 1}]").mkString(" || '|' || ")
+    s"""$ShinglesCte,
+       |dg AS (
+       |  SELECT doc_id, [md5('0:' || s) || md5('1:' || s) for s in sh] AS dg, sh
+       |  FROM sh
+       |),
+       |sig AS (
+       |  SELECT doc_id,
+       |         [list_min([substr(d, 5*j+1, 5) for d in dg]) for j in range(0, $k)] AS sig,
+       |         sh
+       |  FROM dg
+       |),
+       |banded AS (
+       |  SELECT doc_id, b AS band_idx, $keyExpr AS band_key
+       |  FROM sig, (SELECT unnest(range(0, $bands)) AS b)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id
+       |)""".stripMargin
+  }
+
+  private val JaccardSql =
+    """len(list_intersect(x.sh, y.sh))::DOUBLE
+      |                 / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))""".stripMargin
 
   def defs: Seq[Q] = Seq(
     // D-exact: content-hash dedupe groups.
@@ -42,55 +81,33 @@ object DedupeQueries {
             threshold = 0.8, k = 12, bands = 4)
           .orderBy("doc_a", "doc_b"),
       Some(s"""
-        WITH $ShinglesCte,
-        sig AS (
-          SELECT doc_id,
-                 [list_min([md5(j::VARCHAR || ':' || s) for s in sh]) for j in range(0, 12)] AS sig,
-                 sh
-          FROM sh
-        ),
-        banded AS (
-          SELECT doc_id, b AS band_idx,
-                 sig[3*b+1] || '|' || sig[3*b+2] || '|' || sig[3*b+3] AS band_key
-          FROM sig, (SELECT unnest(range(0, 4)) AS b)
-        ),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM banded a JOIN banded b
-            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-           AND a.doc_id < b.doc_id
-        )
-        SELECT doc_a, doc_b,
-               len(list_intersect(x.sh, y.sh))::DOUBLE
-                 / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+        WITH ${minhashCtes(k = 12, bands = 4)}
+        SELECT doc_a, doc_b, $JaccardSql AS jaccard
         FROM cand JOIN sh x ON cand.doc_a = x.doc_id
                   JOIN sh y ON cand.doc_b = y.doc_id
-        WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
-                 / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.8
+        WHERE $JaccardSql >= 0.8
         ORDER BY doc_a, doc_b
       """.trim),
     ),
 
-    // D-exact-jaccard: the exact O(n²) near-dup oracle, blocked by lang.
+    // D-exact-jaccard verified through a HIGH-RECALL LSH blocking (6 bands
+    // × 2 rows — the 2-row bands fire at much lower similarity than d2's
+    // 3-row bands). Scale shape: one shuffle on the band key; no O(n²)
+    // block join. The truly exhaustive variant lives in tests only
+    // (DedupeSpec proves LSH-vs-brute-force equality at sf0.001).
     Q(
       "d3_ngram_jaccard",
       (s, dir) =>
-        Dedupe.exactJaccardPairs(
-            Registry.table(s, dir, "documents"), "doc_id", "text", "lang",
-            threshold = 0.8)
+        Dedupe.minhashNearDupPairs(
+            Registry.table(s, dir, "documents"), "doc_id", "text",
+            threshold = 0.8, k = 12, bands = 6)
           .orderBy("doc_a", "doc_b"),
       Some(s"""
-        WITH shl AS (
-          SELECT doc_id, lang,
-                 list_distinct([substr(text, i, 3) for i in range(1, length(text)-1)]) AS sh
-          FROM documents
-        )
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               len(list_intersect(a.sh, b.sh))::DOUBLE
-                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-        FROM shl a JOIN shl b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+        WITH ${minhashCtes(k = 12, bands = 6)}
+        SELECT doc_a, doc_b, $JaccardSql AS jaccard
+        FROM cand JOIN sh x ON cand.doc_a = x.doc_id
+                  JOIN sh y ON cand.doc_b = y.doc_id
+        WHERE $JaccardSql >= 0.8
         ORDER BY doc_a, doc_b
       """.trim),
     ),
@@ -122,30 +139,12 @@ object DedupeQueries {
           .orderBy("doc_id")
       },
       Some(s"""
-        WITH RECURSIVE $ShinglesCte,
-        sig AS (
-          SELECT doc_id,
-                 [list_min([md5(j::VARCHAR || ':' || s) for s in sh]) for j in range(0, 12)] AS sig,
-                 sh
-          FROM sh
-        ),
-        banded AS (
-          SELECT doc_id, b AS band_idx,
-                 sig[3*b+1] || '|' || sig[3*b+2] || '|' || sig[3*b+3] AS band_key
-          FROM sig, (SELECT unnest(range(0, 4)) AS b)
-        ),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM banded a JOIN banded b
-            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-           AND a.doc_id < b.doc_id
-        ),
+        WITH RECURSIVE ${minhashCtes(k = 12, bands = 4)},
         pairs AS (
           SELECT doc_a, doc_b
           FROM cand JOIN sh x ON cand.doc_a = x.doc_id
                     JOIN sh y ON cand.doc_b = y.doc_id
-          WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
-                  / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.8
+          WHERE $JaccardSql >= 0.8
         ),
         edges AS (
           SELECT doc_a AS src, doc_b AS dst FROM pairs

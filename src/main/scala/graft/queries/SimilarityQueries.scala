@@ -12,6 +12,7 @@ object SimilarityQueries {
 
   private val Dims = 64
   private val LshBits = 8
+  private val NdBands = 4 // ss3 banded-LSH bands
   private val TopK = 5
   private val ProbeMax = 10 // probe set = vec_id < 10
 
@@ -22,12 +23,13 @@ object SimilarityQueries {
     s"${dotS(a, b)} / (sqrt(${dotS(a, a)}) * sqrt(${dotS(b, b)}))"
   }
 
-  /** DuckDB fragment: the hyperplane LSH signature of alias x.v, using the
-    * same plan-time sign constants as the Spark plan. */
-  private def sigSql(): String = {
-    val h = Similarity.hyperplanes(Dims, LshBits)
+  /** DuckDB fragment: hyperplane LSH signature bits
+    * [8*band, 8*band+8) of the global family, same plan-time sign
+    * constants as the Spark plan (band 0 = the ss2 signature). */
+  private def sigSql(band: Int = 0): String = {
+    val h = Similarity.hyperplanes(Dims, LshBits * (band + 1))
     (0 until LshBits).map { i =>
-      val lits = h(i).map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      val lits = h(band * LshBits + i).map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ",", "]")
       s"(CASE WHEN list_sum([v[i] * ($lits)[i] for i in range(1, ${Dims + 1})]) >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
   }
@@ -78,25 +80,27 @@ object SimilarityQueries {
         ORDER BY probe_id, rank
       """.trim),
     ),
-    // embedding near-dup pairs above a cosine threshold
+    // embedding near-dup pairs above a cosine threshold, found via banded
+    // hyperplane LSH (4 bands × 8 bits) + exact-cosine verification — one
+    // shuffle per band key instead of the O(n²) cross join. The oracle
+    // replicates the banding, so candidate generation itself is checked.
     Q(
       "ss3_embedding_neardup",
-      (s, dir) => {
-        val vecs = Similarity.vectors(Registry.table(s, dir, "embeddings"), "vec_id", "embedding")
-        val a = vecs.as("a")
-        val b = vecs.as("b")
-        a.join(b, col("a.vec_id") < col("b.vec_id"))
-          .select(
-            col("a.vec_id").as("vec_a"),
-            col("b.vec_id").as("vec_b"),
-            Similarity.cosine(col("a.v"), col("b.v")).as("cos"))
-          .filter(col("cos") >= 0.45)
-          .orderBy("vec_a", "vec_b")
-      },
+      (s, dir) =>
+        Similarity.lshNearDupPairs(Registry.table(s, dir, "embeddings"),
+            "vec_id", "embedding", Dims,
+            bands = NdBands, bitsPerBand = LshBits, threshold = 0.45)
+          .orderBy("vec_a", "vec_b"),
       Some(s"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosSql("a", "b")} AS cos
-        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        sig AS (SELECT vec_id, v, ${(0 until NdBands).map(b => s"${sigSql(b)} AS s$b").mkString(", ")} FROM e),
+        cand AS (
+          ${(0 until NdBands).map(b =>
+            s"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM sig a JOIN sig b ON a.s$b = b.s$b AND a.vec_id < b.vec_id")
+            .mkString("\n          UNION\n          ")}
+        )
+        SELECT vec_a, vec_b, ${cosSql("a", "b")} AS cos
+        FROM cand JOIN e a ON cand.vec_a = a.vec_id JOIN e b ON cand.vec_b = b.vec_id
         WHERE ${cosSql("a", "b")} >= 0.45
         ORDER BY vec_a, vec_b
       """.trim),

@@ -22,11 +22,16 @@ object TextQueries {
       "t1_langid",
       (s, dir) => {
         val docs = Registry.table(s, dir, "documents")
-        val (scores, pred) = TextAnalysis.langId(col("text"))
-        docs.select(
-          Seq(col("doc_id")) ++
-            scores.map { case (l, c) => c.cast("long").as(s"score_$l") } :+
-            pred.as("pred_lang"): _*)
+        val (scores, pred) = TextAnalysis.langIdFromTokens(col("toks"))
+        docs
+          // tokenize ONCE per row into a materialized column; the 25 marker
+          // counts are cheap size(filter(...)) over it (non-cheap lambda
+          // referenced 25× → CollapseProject keeps the boundary)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+          .select(
+            Seq(col("doc_id")) ++
+              scores.map { case (l, c) => c.cast("long").as(s"score_$l") } :+
+              pred.as("pred_lang"): _*)
           .orderBy("doc_id")
       }, {
         val scoreExprs = TextAnalysis.LangMarkers.map { case (lang, words) =>
@@ -73,10 +78,11 @@ object TextQueries {
       (s, dir) => {
         val docs = Registry.table(s, dir, "documents")
         docs
+          .select(col("source"), TextAnalysis.tokens(col("text")).as("toks"))
           .select(
             col("source"),
-            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
-            size(array_distinct(TextAnalysis.tokens(col("text")))).cast("long").as("n_types"))
+            size(col("toks")).cast("long").as("n_tokens"),
+            size(array_distinct(col("toks"))).cast("long").as("n_types"))
           .groupBy("source")
           .agg(
             count(lit(1)).as("n_docs"),
