@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational operator coverage — SURVEY.md §2.2 (filters), §2.3 (joins),
@@ -13,6 +14,11 @@ import org.apache.spark.sql.functions._
   *     bit-identical doubles regardless of summation order;
   *   - every query has a total deterministic ORDER BY (sort field + key
   *     tiebreaker) in both the Spark plan and the oracle SQL.
+  *
+  * Scale notes: dimension sides (region, nation, probe lists) are broadcast
+  * explicitly; fact-fact joins shuffle on their equi-keys; window queries
+  * shuffle once on the partition key. No plan here carries a cross join or
+  * a driver-side collect.
   */
 object RelationalQueries {
   import Registry.table
@@ -46,6 +52,351 @@ object RelationalQueries {
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
+      """.stripMargin.trim),
+    ),
+
+    // ---- J1/J5-analog: multi-hop equi-join through two broadcast dims
+    // (customer ⋈ nation ⋈ region). Reference: pipeline join steps
+    // (DNSAndCrawlStatsJoinStep etc.) chain small-dim equi-joins the same
+    // way; dims are broadcast so the only shuffle is the final groupBy.
+    Q(
+      "j1_multihop_join",
+      (s, dir) => {
+        val cust = table(s, dir, "customer")
+        val nation = table(s, dir, "nation")
+        val region = table(s, dir, "region")
+        cust
+          .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(
+            count(lit(1)).as("n_cust"),
+            sum(dec2(col("c_acctbal"))).cast("double").as("sum_acctbal"),
+          )
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some("""
+        SELECT r_name, n_name, COUNT(*) AS n_cust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name
+      """.stripMargin.trim),
+    ),
+
+    // ---- J6-analog: bulk point-lookup join — a small probe list of keys
+    // resolved against the big fact table (DatabaseIndexV2
+    // bulkQueryURLAndMetadataGivenInputStream semantics). The probe side is
+    // broadcast, so the fact table is scanned once with no shuffle.
+    Q(
+      "j2_bulk_lookup",
+      (s, dir) => {
+        val probes = table(s, dir, "customer")
+          .filter(col("c_custkey") % 150 === 0)
+          .select(col("c_custkey"), col("c_name"))
+        val orders = table(s, dir, "orders")
+        orders
+          .join(broadcast(probes), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_custkey"), col("c_name"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(dec2(col("o_totalprice"))).cast("double").as("sum_total"),
+          )
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        SELECT c_custkey, c_name, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        FROM orders
+        JOIN (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 150 = 0) p
+          ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_name
+        ORDER BY c_custkey
+      """.stripMargin.trim),
+    ),
+
+    // ---- O7: anti-join exclusion — customers with no completed ('F')
+    // order. Reference excludes via blacklist filter files; the scale shape
+    // is a left-anti join (bloom-gated by Spark's runtime filter).
+    Q(
+      "j3_anti_join",
+      (s, dir) => {
+        val cust = table(s, dir, "customer")
+        val done = table(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        cust
+          .join(done, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        ORDER BY c_custkey
+      """.stripMargin.trim),
+    ),
+
+    // ---- J8-analog: existence (semi) join — nations that have at least
+    // one high-balance supplier. Bloom/semi-join existence filter shape.
+    Q(
+      "j4_semi_join",
+      (s, dir) => {
+        val nation = table(s, dir, "nation")
+        val rich = table(s, dir, "supplier").filter(col("s_acctbal") > 8000.0)
+        nation
+          .join(rich, col("n_nationkey") === col("s_nationkey"), "left_semi")
+          .select(col("n_nationkey"), col("n_name"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""
+        SELECT n_nationkey, n_name
+        FROM nation n
+        WHERE EXISTS (
+          SELECT 1 FROM supplier s
+          WHERE s.s_nationkey = n.n_nationkey AND s.s_acctbal > 8000.0)
+        ORDER BY n_nationkey
+      """.stripMargin.trim),
+    ),
+
+    // ---- F1/F4: regex scan (DomainListQuery-style pattern match pushed to
+    // the scan) + aggregation.
+    Q(
+      "f1_rlike_scan",
+      (s, dir) =>
+        table(s, dir, "part")
+          .filter(col("p_type").rlike("^(PROMO|ECONOMY)"))
+          .groupBy(col("p_brand"), col("p_type"))
+          .agg(
+            count(lit(1)).as("n_parts"),
+            sum(dec2(col("p_retailprice"))).cast("double").as("sum_retail"),
+          )
+          .orderBy(col("p_brand"), col("p_type")),
+      Some("""
+        SELECT p_brand, p_type, COUNT(*) AS n_parts,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_retail
+        FROM part
+        WHERE regexp_matches(p_type, '^(PROMO|ECONOMY)')
+        GROUP BY p_brand, p_type
+        ORDER BY p_brand, p_type
+      """.stripMargin.trim),
+    ),
+
+    // ---- W1/A8: top-K per group — top-3 customers per market segment by
+    // balance (SegmenterReducer ≤200-per-host / top-2-by-rank shape).
+    // One shuffle on the partition key; rank predicate prunes early.
+    Q(
+      "w1_topk_per_group",
+      (s, dir) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        table(s, dir, "customer")
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("c_mktsegment"), col("rank"), col("c_custkey"),
+            col("c_name"), col("c_acctbal"))
+          .orderBy(col("c_mktsegment"), col("rank"))
+      },
+      Some("""
+        SELECT c_mktsegment, rank, c_custkey, c_name, c_acctbal
+        FROM (
+          SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+                 ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY c_acctbal DESC, c_custkey ASC) AS rank
+          FROM customer)
+        WHERE rank <= 3
+        ORDER BY c_mktsegment, rank
+      """.stripMargin.trim),
+    ),
+
+    // ---- W2/S5: deterministic offset pagination — page 6 of orders by
+    // price desc with a total order (price, orderkey) so OFFSET is stable
+    // (PositionBasedSequenceFileIndex.readPaginatedResults semantics).
+    Q(
+      "w2_pagination",
+      (s, dir) =>
+        table(s, dir, "orders")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .offset(100)
+          .limit(20),
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 20 OFFSET 100
+      """.stripMargin.trim),
+    ),
+
+    // ---- W3: dual-sort-order listing — one aggregate materialized with
+    // ranks under BOTH sort orders (DatabaseIndexV2 indexedByURL /
+    // indexedByPR dual indexes collapse to two window functions).
+    Q(
+      "w3_dual_sort",
+      (s, dir) => {
+        val perNation = table(s, dir, "customer")
+          .join(broadcast(table(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_cust"))
+        perNation
+          .withColumn("rank_by_name",
+            row_number().over(Window.orderBy(col("n_name").asc)).cast("long"))
+          .withColumn("rank_by_count",
+            row_number().over(
+              Window.orderBy(col("n_cust").desc, col("n_name").asc)).cast("long"))
+          .orderBy(col("n_name"))
+      },
+      Some("""
+        SELECT n_name, n_cust,
+               ROW_NUMBER() OVER (ORDER BY n_name ASC) AS rank_by_name,
+               ROW_NUMBER() OVER (ORDER BY n_cust DESC, n_name ASC) AS rank_by_count
+        FROM (
+          SELECT n_name, COUNT(*) AS n_cust
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name)
+        ORDER BY n_name
+      """.stripMargin.trim),
+    ),
+
+    // ---- W4: aggregate-over-group-window — each line's share of its
+    // order's total, plus the order max (maxPageRank-per-bundle shape).
+    // Decimal sums keep the divisions bit-identical across engines.
+    Q(
+      "w4_window_share",
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_orderkey"))
+        table(s, dir, "lineitem")
+          .filter(col("l_orderkey") < 100)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            (dec2(col("l_extendedprice")).cast("double") /
+              sum(dec2(col("l_extendedprice"))).over(w).cast("double"))
+              .as("price_share"),
+            max(dec2(col("l_extendedprice"))).over(w).cast("double")
+              .as("order_max"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                        OVER (PARTITION BY l_orderkey) AS DOUBLE) AS price_share,
+               CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY l_orderkey) AS DOUBLE) AS order_max
+        FROM lineitem
+        WHERE l_orderkey < 100
+        ORDER BY l_orderkey, l_linenumber
+      """.stripMargin.trim),
+    ),
+
+    // ---- O6: tagged union of heterogeneous inputs (JoinMapper path→tag
+    // semantics): customer + supplier as one "account" stream with a tag
+    // column, aggregated per tag.
+    Q(
+      "o6_union_tagged",
+      (s, dir) => {
+        val cust = table(s, dir, "customer")
+          .select(lit("customer").as("tag"), col("c_acctbal").as("acctbal"))
+        val supp = table(s, dir, "supplier")
+          .select(lit("supplier").as("tag"), col("s_acctbal").as("acctbal"))
+        cust.unionByName(supp)
+          .groupBy(col("tag"))
+          .agg(
+            count(lit(1)).as("n_accounts"),
+            sum(dec2(col("acctbal"))).cast("double").as("sum_acctbal"),
+          )
+          .orderBy(col("tag"))
+      },
+      Some("""
+        SELECT tag, COUNT(*) AS n_accounts,
+               CAST(SUM(CAST(acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        FROM (
+          SELECT 'customer' AS tag, c_acctbal AS acctbal FROM customer
+          UNION ALL
+          SELECT 'supplier' AS tag, s_acctbal AS acctbal FROM supplier)
+        GROUP BY tag
+        ORDER BY tag
+      """.stripMargin.trim),
+    ),
+
+    // ---- A5-analog: conditional-sum pivot — order-status histogram per
+    // priority (CrawlerStats http-result-class rollup shape: one pass,
+    // N conditional aggregates).
+    Q(
+      "a5_status_pivot",
+      (s, dir) =>
+        table(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_open"),
+            sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_done"),
+            sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_partial"),
+            sum(when(col("o_orderstatus") === "F", dec2(col("o_totalprice")))
+              .otherwise(lit(0).cast("decimal(18,2)")))
+              .cast("double").as("done_revenue"),
+          )
+          .orderBy(col("o_orderpriority")),
+      Some("""
+        SELECT o_orderpriority,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_done,
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                             THEN CAST(o_totalprice AS DECIMAL(18,2))
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS done_revenue
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+      """.stripMargin.trim),
+    ),
+
+    // ---- A10: composite stats via CUBE — all (returnflag, linestatus)
+    // grouping sets in one pass (the reference simulates this with a
+    // key_type column; Spark/DuckDB have the real operator).
+    Q(
+      "a10_cube_stats",
+      (s, dir) =>
+        table(s, dir, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity")).as("sum_qty"))
+          .select(
+            coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+            coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+            col("n_lines"), col("sum_qty"))
+          .orderBy(col("returnflag"), col("linestatus")),
+      Some("""
+        SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+               COALESCE(l_linestatus, '(all)') AS linestatus,
+               COUNT(*) AS n_lines, SUM(l_quantity) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY returnflag, linestatus
+      """.stripMargin.trim),
+    ),
+
+    // ---- X5-analog: date bucketing — monthly order rollup via
+    // date_trunc (util/time Hour/Day period bucketing semantics).
+    Q(
+      "x5_month_rollup",
+      (s, dir) =>
+        table(s, dir, "orders")
+          .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(dec2(col("o_totalprice"))).cast("double").as("revenue"),
+          )
+          .orderBy(col("month")),
+      Some("""
+        SELECT date_trunc('month', o_orderdate) AS month,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY date_trunc('month', o_orderdate)
+        ORDER BY month
       """.stripMargin.trim),
     ),
   )
