@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.CrawlDb
+
+/** CrawlDB merge queries (SURVEY §2.3 J4 + §2.4 A1) over the driver
+  * testdata role mapping (FIXTURES.md §B): `orders` is the crawl-status
+  * stream and `lineitem` the link stream, both keyed by order key. The
+  * DuckDB oracle replicates the whole tagged-union fold — conditional
+  * aggregates, max_by latest-by-timestamp with the same content-derived
+  * ordinal, capped deduped sample lists — so the fold semantics themselves
+  * are hash-checked, not just row counts.
+  */
+object CrawlDbQueries {
+
+  /** Sample-list cap used by the queries: small enough (3) that the
+    * truncation path is actually exercised by test data (reference cap is
+    * 100 ext-URL samples; lineitem has ≤13 lines per key). */
+  private val SrcCap = 3
+
+  private val UnionSql =
+    """u AS (
+      |  SELECT o_orderkey AS key, 'status' AS tag,
+      |         o_orderstatus AS status, o_orderpriority AS priority,
+      |         o_orderdate AS attempt_ts,
+      |         NULL::VARCHAR AS link_type, NULL::VARCHAR AS link_rel,
+      |         NULL::TIMESTAMP AS link_date, NULL::BIGINT AS link_src,
+      |         NULL::BOOLEAN AS internal, NULL::DOUBLE AS qty
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT l_orderkey, 'link', NULL, NULL, NULL,
+      |         l_returnflag, l_linestatus, l_shipdate, l_partkey,
+      |         l_returnflag = 'N', l_quantity
+      |  FROM lineitem
+      |)""".stripMargin
+
+  private val OrdSql =
+    """COALESCE(
+      |  lpad(CAST(epoch_ms(link_date) AS VARCHAR), 15, '0')
+      |    || '|' || (link_type || '/' || link_rel)
+      |    || '|' || lpad(CAST(link_src AS VARCHAR), 12, '0'), '')""".stripMargin
+
+  def defs: Seq[Q] = Seq(
+    Q(
+      "c1_crawldb_merge",
+      (s, dir) => {
+        val status = Registry.table(s, dir, "orders").select(
+          col("o_orderkey").as("key"),
+          col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("priority"),
+          col("o_orderdate").as("attempt_ts"))
+        val links = Registry.table(s, dir, "lineitem").select(
+          col("l_orderkey").as("key"),
+          col("l_returnflag").as("link_type"),
+          col("l_linestatus").as("link_rel"),
+          col("l_shipdate").as("link_date"),
+          col("l_partkey").as("link_src"),
+          (col("l_returnflag") === "N").as("internal"),
+          col("l_quantity").as("qty"))
+        CrawlDb.merge(status, links, maxSrcSamples = SrcCap)
+          .orderBy("url_key")
+      },
+      Some(s"""
+        WITH $UnionSql
+        SELECT key AS url_key,
+               CAST(SUM(CASE WHEN tag = 'status' THEN 1 ELSE 0 END) AS BIGINT) AS attempt_count,
+               MAX(CASE WHEN tag = 'status' THEN status END) AS status,
+               MAX(CASE WHEN tag = 'status' THEN priority END) AS priority,
+               MIN(CASE WHEN tag = 'status' THEN attempt_ts END) AS first_attempt,
+               MAX(CASE WHEN tag = 'status' THEN attempt_ts END) AS latest_attempt,
+               CAST(SUM(CASE WHEN tag = 'link' THEN 1 ELSE 0 END) AS BIGINT) AS link_count,
+               CAST(SUM(CASE WHEN tag = 'link' AND internal THEN 1 ELSE 0 END) AS BIGINT) AS int_src_count,
+               CAST(SUM(CASE WHEN tag = 'link' AND NOT internal THEN 1 ELSE 0 END) AS BIGINT) AS ext_src_count,
+               MIN(CASE WHEN tag = 'link' THEN link_date END) AS earliest_link_date,
+               MAX(CASE WHEN tag = 'link' THEN link_date END) AS latest_link_date,
+               max_by(CASE WHEN tag = 'link' THEN link_type || '/' || link_rel END, $OrdSql) AS latest_link,
+               COALESCE(list_slice(list_sort(list_distinct(
+                   list(link_type || '/' || link_rel) FILTER (tag = 'link'))), 1, ${CrawlDb.MaxTypeSamples}),
+                 []::VARCHAR[]) AS type_and_rels,
+               COALESCE(list_slice(list_sort(list_distinct(
+                   list(link_src) FILTER (tag = 'link'))), 1, $SrcCap),
+                 []::BIGINT[]) AS src_samples,
+               COUNT(DISTINCT CASE WHEN tag = 'link' THEN link_src END) > $SrcCap AS src_truncated,
+               SUM(CASE WHEN tag = 'link' THEN qty ELSE 0.0 END) AS sum_qty
+        FROM u
+        GROUP BY key
+        ORDER BY url_key
+      """.trim),
+    ),
+  )
+}

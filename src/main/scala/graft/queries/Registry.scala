@@ -17,6 +17,7 @@ object Registry {
   /** All query groups, in SURVEY.md §2 order. */
   def all: Seq[Q] =
     RelationalQueries.defs ++
+      CrawlDbQueries.defs ++
       DedupeQueries.defs ++
       GraphQueries.defs ++
       TextQueries.defs ++
