@@ -1,5 +1,194 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.LinkGraph
+
+/** Link-graph queries (SURVEY §2.8 G1/G3, §2.4 A2/A3, §2.11 Q3/Q4) over
+  * the FIXTURES.md §B graph role mapping: customers are source domains,
+  * suppliers target domains, nations the root-domain grouping, and each
+  * order line contributes one raw link customer→supplier.
+  *
+  * The super-domain set for the rank query is nations 0–4 (stands in for
+  * the reference's SuperDomainList broadcast file).
+  */
 object GraphQueries {
-  def defs: Seq[Q] = Seq()
+
+  private val InvCap = 10 // inverse-DB source-sample cap
+  private val SuperMax = 5 // nations < SuperMax are "super domains"
+  private val PrMin = 5000.0 // Q4 min-pagerank analog (src acctbal)
+
+  /** G1+A9: derive the deduped edge table with multiplicities. The only
+    * fact-fact shuffle is orders⋈lineitem on the order key; customer and
+    * supplier dims are broadcast. */
+  def edges(s: SparkSession, dir: String): DataFrame = {
+    val o = Registry.table(s, dir, "orders")
+    val l = Registry.table(s, dir, "lineitem")
+    val c = Registry.table(s, dir, "customer")
+    val sup = Registry.table(s, dir, "supplier")
+    val raw = o.join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(sup), col("s_suppkey") === col("l_suppkey"))
+      .select(
+        col("o_custkey").as("src_domain"),
+        col("c_nationkey").cast("long").as("src_root"),
+        col("l_suppkey").as("dst_domain"),
+        col("s_nationkey").cast("long").as("dst_root"))
+    LinkGraph.distinctEdges(raw)
+  }
+
+  private val EdgesCte =
+    """edges AS (
+      |  SELECT o_custkey AS src_domain, CAST(c_nationkey AS BIGINT) AS src_root,
+      |         l_suppkey AS dst_domain, CAST(s_nationkey AS BIGINT) AS dst_root,
+      |         COUNT(*) AS n_links
+      |  FROM orders
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  GROUP BY 1, 2, 3, 4
+      |)""".stripMargin
+
+  def defs: Seq[Q] = Seq(
+    // G1/A9: the edge extraction itself (deduped, with multiplicity).
+    Q(
+      "g1_link_extract",
+      (s, dir) =>
+        edges(s, dir)
+          .orderBy("src_domain", "dst_domain"),
+      Some(s"""
+        WITH $EdgesCte
+        SELECT src_domain, src_root, dst_domain, dst_root, n_links
+        FROM edges
+        ORDER BY src_domain, dst_domain
+      """.trim),
+    ),
+
+    // A2: inlink counting per target, same-root vs cross-root split
+    // (CountInLinksStep.java:42 semantics).
+    Q(
+      "g2_inlink_counts",
+      (s, dir) =>
+        LinkGraph.inlinkCounts(edges(s, dir))
+          .orderBy("dst_domain"),
+      Some(s"""
+        WITH $EdgesCte
+        SELECT dst_domain, dst_root,
+               CAST(SUM(n_links) AS BIGINT) AS n_inlinks,
+               COUNT(DISTINCT src_domain) AS n_src_domains,
+               CAST(SUM(CASE WHEN src_root = dst_root THEN n_links ELSE 0 END) AS BIGINT) AS same_root_links,
+               CAST(SUM(CASE WHEN src_root <> dst_root THEN n_links ELSE 0 END) AS BIGINT) AS cross_root_links,
+               COUNT(DISTINCT CASE WHEN src_root <> dst_root THEN src_root END) AS n_cross_roots
+        FROM edges
+        GROUP BY dst_domain, dst_root
+        ORDER BY dst_domain
+      """.trim),
+    ),
+
+    // G3: inverse link DB — per target, capped sorted source list
+    // (InverseLinkDBWriterV3 semantics with bounded samples).
+    Q(
+      "g3_inverse_linkdb",
+      (s, dir) =>
+        LinkGraph.inverseLinkDb(edges(s, dir), InvCap)
+          .orderBy("dst_domain"),
+      Some(s"""
+        WITH $EdgesCte
+        SELECT dst_domain,
+               list_slice(list_sort(list_distinct(list(src_domain))), 1, $InvCap) AS src_domains,
+               COUNT(DISTINCT src_domain) > $InvCap AS src_truncated,
+               CAST(SUM(n_links) AS BIGINT) AS n_inlinks
+        FROM edges
+        GROUP BY dst_domain
+        ORDER BY dst_domain
+      """.trim),
+    ),
+
+    // A3: domain-rank score with the reference's counting rules and
+    // score formula (GenDomainRankStep.java:72-77), super roots = 0..4.
+    Q(
+      "g4_domain_rank",
+      (s, dir) => {
+        val superRoots = Registry.table(s, dir, "nation")
+          .filter(col("n_nationkey") < SuperMax)
+          .select(col("n_nationkey").cast("long").as("root"))
+        LinkGraph.domainRank(edges(s, dir), superRoots)
+          .orderBy("dst_domain")
+      },
+      Some(s"""
+        WITH $EdgesCte,
+        sup AS (SELECT CAST(n_nationkey AS BIGINT) AS root FROM nation WHERE n_nationkey < $SuperMax),
+        counts AS (
+          SELECT dst_domain,
+                 CAST(SUM(CASE WHEN src_root = dst_root
+                               AND dst_root IN (SELECT root FROM sup)
+                               THEN n_links ELSE 0 END) AS BIGINT) AS same_root_inlinks,
+                 CAST(SUM(CASE WHEN src_root <> dst_root
+                               AND src_root IN (SELECT root FROM sup)
+                               THEN n_links ELSE 0 END)
+                      + COUNT(DISTINCT CASE WHEN src_root <> dst_root
+                                            AND src_root NOT IN (SELECT root FROM sup)
+                                            THEN src_root END) AS BIGINT) AS cross_root_inlinks
+          FROM edges
+          GROUP BY dst_domain
+        )
+        SELECT dst_domain, same_root_inlinks, cross_root_inlinks,
+               round(
+                 least(sqrt(pow(ln(greatest(CAST(same_root_inlinks AS DOUBLE), 1.0)) * 0.2, 2)
+                          + pow(ln(greatest(CAST(cross_root_inlinks AS DOUBLE), 1.0)), 2)), 14.0)
+                   / 14.0 * 10.0, 6) AS rank_score
+        FROM counts
+        ORDER BY dst_domain
+      """.trim),
+    ),
+
+    // Q3: point lookup — outlinks of one source domain. At warehouse
+    // scale the edge table is bucketed by src_domain, so this prunes to
+    // one bucket; here it is a pushed-down scan filter.
+    Q(
+      "q3_links_of",
+      (s, dir) =>
+        edges(s, dir)
+          .filter(col("src_domain") === 42L)
+          .select(col("src_domain"), col("dst_domain"), col("dst_root"), col("n_links"))
+          .orderBy("dst_domain"),
+      Some(s"""
+        WITH $EdgesCte
+        SELECT src_domain, dst_domain, dst_root, n_links
+        FROM edges
+        WHERE src_domain = 42
+        ORDER BY dst_domain
+      """.trim),
+    ),
+
+    // Q4: inverse-links-by-domain — all inlinks into any target of one
+    // root domain, with the min-pagerank source filter
+    // (InverseLinksByDomainQuery.java:63 semantics; acctbal = rank analog).
+    Q(
+      "q4_inlinks_by_root",
+      (s, dir) => {
+        val o = Registry.table(s, dir, "orders")
+        val l = Registry.table(s, dir, "lineitem")
+        val c = Registry.table(s, dir, "customer").filter(col("c_acctbal") >= PrMin)
+        val sup = Registry.table(s, dir, "supplier").filter(col("s_nationkey") === 3)
+        o.join(l, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("c_custkey") === col("o_custkey"))
+          .join(broadcast(sup), col("s_suppkey") === col("l_suppkey"))
+          .groupBy(
+            col("o_custkey").as("src_domain"),
+            col("l_suppkey").as("dst_domain"))
+          .agg(count(lit(1)).as("n_links"))
+          .orderBy("src_domain", "dst_domain")
+      },
+      Some(s"""
+        SELECT o_custkey AS src_domain, l_suppkey AS dst_domain, COUNT(*) AS n_links
+        FROM orders
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN customer ON c_custkey = o_custkey AND c_acctbal >= $PrMin
+        JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = 3
+        GROUP BY 1, 2
+        ORDER BY src_domain, dst_domain
+      """.trim),
+    ),
+  )
 }
