@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** G2: iterative PageRank with the reference's per-root-domain averaging
+  * (SURVEY §2.8 G2).
+  *
+  * Reference semantics (service/pagerank/slave/PageRankUtils.java):
+  *   - damping `rank = 0.15 + 0.85 · acc` (finalizePageRank, :300-317);
+  *   - anti-spam accumulation (accumulateRank, :2438-2500): contributions
+  *     arriving from subdomains of a NON-super root domain are AVERAGED
+  *     across those subdomains instead of summed; super-domain sources sum
+  *     normally. (The reference additionally samples ≤100 subdomains per
+  *     root; at DataFrame granularity the average is over all of them.)
+  *   - GraphX cannot express the two-level aggregation, so this is a
+  *     DataFrame loop: contribs → groupBy(dst, src_root) → groupBy(dst).
+  *
+  * Numeric discipline: the entire loop runs in FIXED-POINT integer
+  * arithmetic (rank in 1e-12 units, `div` for every division), so each
+  * iteration is exact, order-insensitive, and bit-reproducible in any
+  * engine — float summation order can never drift a hash. Damping is
+  * 0.15 + 0.85·acc computed as integer ops:
+  * `150e9 + (acc div 1000)·850 + ((acc mod 1000)·850) div 1000`
+  * (the split keeps the product below Long overflow at any realistic
+  * accumulated mass).
+  *
+  * Scale notes: the edge set (with out-degree and the source-super flag
+  * pre-joined) is materialized once via localCheckpoint and reused every
+  * iteration; each iteration's ranks are checkpointed so lineage stays
+  * flat. Per iteration: one shuffle join (ranks by domain) + two
+  * aggregations + one left join — the same shape the reference's
+  * distribute/calculate phases hand-implement over TCP.
+  */
+object PageRank {
+
+  val Scale = 1000000000000L // 1e12 fixed-point units
+
+  /** `edges`: src_domain, src_root, dst_domain, dst_root (distinct).
+    * `superRoots`: one `root` column. Returns (domain, root, rank_u).
+    */
+  def run(edges: DataFrame, superRoots: DataFrame, iters: Int): DataFrame = {
+    val nodes = edges.select(col("src_domain").as("domain"), col("src_root").as("root"))
+      .unionByName(edges.select(col("dst_domain").as("domain"), col("dst_root").as("root")))
+      .distinct()
+      .localCheckpoint(true)
+    val outdeg = edges.groupBy("src_domain").agg(count(lit(1)).as("outdeg"))
+    val e = edges
+      .join(outdeg, "src_domain")
+      .join(broadcast(superRoots.select(col("root").as("sr"), lit(true).as("flag"))),
+        col("src_root") === col("sr"), "left")
+      .select(col("src_domain"), col("src_root"), col("dst_domain"),
+        col("outdeg"), coalesce(col("flag"), lit(false)).as("src_super"))
+      .localCheckpoint(true)
+
+    var ranks = nodes.withColumn("rank_u", lit(Scale)).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(ranks.select(col("domain"), col("rank_u")),
+          col("src_domain") === col("domain"))
+        .select(col("dst_domain"), col("src_root"), col("src_super"),
+          expr("rank_u div outdeg").as("contrib_u"))
+      val perRoot = contribs
+        .groupBy(col("dst_domain"), col("src_root"), col("src_super"))
+        .agg(sum(col("contrib_u")).as("s"), count(lit(1)).as("c"))
+        .select(col("dst_domain"),
+          when(col("src_super"), col("s")).otherwise(expr("s div c")).as("v"))
+      val acc = perRoot.groupBy(col("dst_domain")).agg(sum(col("v")).as("acc"))
+      ranks = nodes
+        .join(acc, col("domain") === col("dst_domain"), "left")
+        .select(col("domain"), col("root"),
+          (lit(150000000000L) +
+            expr("(coalesce(acc, 0) div 1000) * 850 + ((coalesce(acc, 0) % 1000) * 850) div 1000"))
+            .as("rank_u"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+}

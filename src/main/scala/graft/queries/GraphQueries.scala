@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.LinkGraph
+import graft.ops.{LinkGraph, PageRank}
 
 /** Link-graph queries (SURVEY §2.8 G1/G3, §2.4 A2/A3, §2.11 Q3/Q4) over
   * the FIXTURES.md §B graph role mapping: customers are source domains,
@@ -35,6 +35,23 @@ object GraphQueries {
         col("l_suppkey").as("dst_domain"),
         col("s_nationkey").cast("long").as("dst_root"))
     LinkGraph.distinctEdges(raw)
+  }
+
+  private val PrIters = 5
+  private val SuppBase = 1000000L // supplier domain-id namespace offset
+
+  /** Bidirectional distinct edge set for PageRank: customer→supplier plus
+    * the reverse direction (so the graph has cycles and real rank flow);
+    * supplier ids are offset into their own namespace. */
+  def prEdges(s: SparkSession, dir: String): DataFrame = {
+    val base = edges(s, dir).select("src_domain", "src_root", "dst_domain", "dst_root")
+    val fwd = base.select(
+      col("src_domain"), col("src_root"),
+      (col("dst_domain") + SuppBase).as("dst_domain"), col("dst_root"))
+    val rev = base.select(
+      (col("dst_domain") + SuppBase).as("src_domain"), col("dst_root").as("src_root"),
+      col("src_domain").as("dst_domain"), col("src_root").as("dst_root"))
+    fwd.unionByName(rev)
   }
 
   private val EdgesCte =
@@ -140,6 +157,63 @@ object GraphQueries {
         FROM counts
         ORDER BY dst_domain
       """.trim),
+    ),
+
+    // G2: PageRank with per-root-domain averaging, 5 iterations, exact
+    // fixed-point arithmetic (see ops.PageRank). The oracle unrolls the
+    // loop as chained CTEs and must match bit-for-bit.
+    Q(
+      "g5_pagerank",
+      (s, dir) => {
+        val superRoots = Registry.table(s, dir, "nation")
+          .filter(col("n_nationkey") < SuperMax)
+          .select(col("n_nationkey").cast("long").as("root"))
+        PageRank.run(prEdges(s, dir), superRoots, PrIters)
+          .orderBy("domain")
+      },
+      Some {
+        val iterCtes = (1 to PrIters).map { i =>
+          s"""l$i AS (
+             |  SELECT e.dst_domain, e.src_root,
+             |         CAST(SUM(r.rank_u // e.outdeg) AS BIGINT) AS s,
+             |         COUNT(*) AS c
+             |  FROM e JOIN r${i - 1} r ON e.src_domain = r.domain
+             |  GROUP BY e.dst_domain, e.src_root
+             |),
+             |a$i AS (
+             |  SELECT dst_domain,
+             |         CAST(SUM(CASE WHEN src_root < $SuperMax THEN s ELSE s // c END) AS BIGINT) AS acc
+             |  FROM l$i GROUP BY dst_domain
+             |),
+             |r$i AS (
+             |  SELECT n.domain, n.root,
+             |         CAST(150000000000 + (COALESCE(a.acc, 0) // 1000) * 850
+             |              + ((COALESCE(a.acc, 0) % 1000) * 850) // 1000 AS BIGINT) AS rank_u
+             |  FROM nodes n LEFT JOIN a$i a ON n.domain = a.dst_domain
+             |)""".stripMargin
+        }.mkString(",\n")
+        s"""
+        WITH $EdgesCte,
+        bi AS (
+          SELECT src_domain, src_root, dst_domain + $SuppBase AS dst_domain, dst_root FROM edges
+          UNION ALL
+          SELECT dst_domain + $SuppBase, dst_root, src_domain, src_root FROM edges
+        ),
+        deg AS (SELECT src_domain AS d, COUNT(*) AS outdeg FROM bi GROUP BY 1),
+        e AS (SELECT bi.*, deg.outdeg FROM bi JOIN deg ON bi.src_domain = deg.d),
+        nodes AS (
+          SELECT DISTINCT domain, root FROM (
+            SELECT src_domain AS domain, src_root AS root FROM bi
+            UNION ALL
+            SELECT dst_domain, dst_root FROM bi)
+        ),
+        r0 AS (SELECT domain, root, CAST(${PageRank.Scale} AS BIGINT) AS rank_u FROM nodes),
+        $iterCtes
+        SELECT domain, root, rank_u
+        FROM r$PrIters
+        ORDER BY domain
+        """.trim
+      },
     ),
 
     // Q3: point lookup — outlinks of one source domain. At warehouse
