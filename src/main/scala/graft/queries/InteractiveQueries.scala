@@ -1,5 +1,120 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+
+/** Interactive query surface (SURVEY §2.11) — the reference's query-server
+  * queries collapse from master/slave scatter-gather + spill-merge +
+  * position-index pagination into single declarative plans. The "domain"
+  * table analog is customers (domain_name = c_name); their "URLs" are
+  * orders.
+  *
+  * Pagination discipline (W2): every paged query orders by
+  * (sort_field, unique key) so OFFSET is total-order deterministic —
+  * the reference gets this from its positional index over a sorted file
+  * (PositionBasedSequenceFileIndex.java:229-320).
+  */
 object InteractiveQueries {
-  def defs: Seq[Q] = Seq()
+
+  private val dec2 = (c: String) => col(c).cast("decimal(18,2)")
+
+  def defs: Seq[Q] = Seq(
+    // Q1 DomainListQuery: regex scan over domain names → per-domain
+    // aggregate → sort by url count desc → page 2 (offset 20, size 10)
+    // (DomainListQuery.java:59: remote regex scan, merge, re-sort, page).
+    Q(
+      "i1_domain_list",
+      (s, dir) => {
+        val c = Registry.table(s, dir, "customer").filter(col("c_name").rlike("7$"))
+        val o = Registry.table(s, dir, "orders")
+        c.join(o, col("o_custkey") === col("c_custkey"), "left")
+          .groupBy(col("c_custkey").as("domain_id"), col("c_name").as("domain_name"))
+          .agg(count(col("o_orderkey")).as("url_count"),
+            sum(dec2("o_totalprice")).cast("double").as("total_value"))
+          .orderBy(col("url_count").desc, col("domain_id").asc)
+          .offset(20)
+          .limit(10)
+      },
+      Some("""
+        SELECT c_custkey AS domain_id, c_name AS domain_name,
+               COUNT(o_orderkey) AS url_count,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        WHERE regexp_matches(c_name, '7$')
+        GROUP BY c_custkey, c_name
+        ORDER BY url_count DESC, domain_id ASC
+        LIMIT 10 OFFSET 20
+      """.stripMargin.trim),
+    ),
+
+    // Q2 DomainURLListQuery: one domain's URL list, rank-sorted, with
+    // bulk-joined per-URL metadata (DomainURLListQuery.java:51 +
+    // DatabaseIndexV2.java:260 bulk metadata join).
+    Q(
+      "i2_domain_url_list",
+      (s, dir) => {
+        val o = Registry.table(s, dir, "orders").filter(col("o_custkey") === 77L)
+        val l = Registry.table(s, dir, "lineitem")
+        o.join(l, col("l_orderkey") === col("o_orderkey"), "left")
+          .groupBy(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+            col("o_orderdate"))
+          .agg(count(col("l_linenumber")).as("n_lines"),
+            sum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      },
+      Some("""
+        SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate,
+               COUNT(l_linenumber) AS n_lines, SUM(l_quantity) AS sum_qty
+        FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_custkey = 77
+        GROUP BY o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+      """.stripMargin.trim),
+    ),
+
+    // Q5 URLDetailQuery: single-key point lookup with detail join
+    // (DatabaseIndexV2.queryMetadataAndURLGivenFP:193-258). At warehouse
+    // scale the orders table is bucketed by key → one-bucket scan.
+    Q(
+      "i5_url_detail",
+      (s, dir) => {
+        val o = Registry.table(s, dir, "orders").filter(col("o_orderkey") === 4242L)
+        val l = Registry.table(s, dir, "lineitem").filter(col("l_orderkey") === 4242L)
+        o.join(l, col("l_orderkey") === col("o_orderkey"), "left")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("o_orderdate"),
+            col("l_linenumber"), col("l_partkey"), col("l_quantity"),
+            col("l_extendedprice"))
+          .orderBy(col("l_linenumber"), col("l_partkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+               l_linenumber, l_partkey, l_quantity, l_extendedprice
+        FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderkey = 4242
+        ORDER BY l_linenumber, l_partkey
+      """.stripMargin.trim),
+    ),
+
+    // Q6 CrawlListServlet: paged crawl-list view — urgent orders by date
+    // asc, page 4 of size 25, with the (date, key) total order
+    // (QueryServerFE.java:116 paging semantics).
+    Q(
+      "i6_crawl_list_page",
+      (s, dir) =>
+        Registry.table(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+            col("o_totalprice"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .offset(75)
+          .limit(25),
+      Some("""
+        SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+        ORDER BY o_orderdate ASC, o_orderkey ASC
+        LIMIT 25 OFFSET 75
+      """.stripMargin.trim),
+    ),
+  )
 }

@@ -33,7 +33,20 @@ object Registry {
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 
-  /** Reads one driver test table (TESTDATA.md layout). */
+  /** Reads one driver test table (TESTDATA.md layout).
+    *
+    * The `events` table stores TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects; it is read with the nanos-as-long legacy conf and
+    * the `ts` column rebuilt at microsecond precision (every consumer
+    * buckets to hours/days, so sub-micro precision is immaterial). */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
 }

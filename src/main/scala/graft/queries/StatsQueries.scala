@@ -1,5 +1,153 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+
+/** Crawl-stats rollups (SURVEY §2.4 A5–A7) over the `events` stream table.
+  * The reference's stats collector folds RPC-pushed counter records into
+  * hourly buckets and combines hours into daily values
+  * (CrawlerStatsCollection.java:41 combineHourlyValues, :191
+  * createDailyValue); here the same two-level rollup is expressed as
+  * window aggregations — `date_trunc` buckets batch-side, with the
+  * Structured Streaming variant (watermark + tumbling window) proven
+  * equivalent in StreamingStatsSpec.
+  */
 object StatsQueries {
-  def defs: Seq[Q] = Seq()
+
+  private val dec2 = (c: String) => col(c).cast("decimal(18,2)")
+
+  /** Hourly rollup fragment shared by st1/st2 oracles. */
+  private val HourlyCte =
+    """hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hour, event_type,
+      |         COUNT(*) AS n_events,
+      |         SUM(CAST(value AS DECIMAL(18,2))) AS sum_value_d,
+      |         COUNT(DISTINCT user_id) AS n_users
+      |  FROM events
+      |  GROUP BY 1, 2
+      |)""".stripMargin
+
+  def defs: Seq[Q] = Seq(
+    // A7 level 1: hourly stats per event type.
+    Q(
+      "st1_hourly_stats",
+      (s, dir) =>
+        Registry.table(s, dir, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(dec2("value")).cast("double").as("sum_value"),
+            count_distinct(col("user_id")).as("n_users"))
+          .orderBy(col("hour"), col("event_type")),
+      Some(s"""
+        WITH $HourlyCte
+        SELECT hour, event_type, n_events,
+               CAST(sum_value_d AS DOUBLE) AS sum_value, n_users
+        FROM hourly
+        ORDER BY hour, event_type
+      """.trim),
+    ),
+
+    // A7 level 2: daily values folded FROM the hourly rollup (the
+    // reference folds hour records, not raw events — combineHourlyValues
+    // → createDailyValue; the two-level shape is preserved, including
+    // hour-level min/max/avg inside the day).
+    Q(
+      "st2_daily_rollup",
+      (s, dir) => {
+        val hourly = Registry.table(s, dir, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), sum(dec2("value")).as("sum_value_d"))
+        hourly
+          .groupBy(date_trunc("day", col("hour")).as("day"), col("event_type"))
+          .agg(
+            sum(col("n_events")).as("n_events"),
+            sum(col("sum_value_d")).cast("double").as("sum_value"),
+            count(lit(1)).as("n_hours"),
+            max(col("n_events")).as("peak_hour_events"),
+            min(col("n_events")).as("min_hour_events"))
+          .orderBy(col("day"), col("event_type"))
+      },
+      Some(s"""
+        WITH $HourlyCte
+        SELECT date_trunc('day', hour) AS day, event_type,
+               CAST(SUM(n_events) AS BIGINT) AS n_events,
+               CAST(SUM(sum_value_d) AS DOUBLE) AS sum_value,
+               COUNT(*) AS n_hours,
+               MAX(n_events) AS peak_hour_events,
+               MIN(n_events) AS min_hour_events
+        FROM hourly
+        GROUP BY 1, 2
+        ORDER BY day, event_type
+      """.trim),
+    ),
+
+    // A5: conditional-sum pivot — event-type histogram per day in one
+    // pass (ShardStats http-result-class pivot shape).
+    Q(
+      "st3_type_pivot",
+      (s, dir) => {
+        val types = Seq("view", "click", "purchase", "signup", "error")
+        val aggs = types.map(t =>
+          sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")) :+
+          sum(when(col("event_type") === "purchase", dec2("value"))
+            .otherwise(lit(0).cast("decimal(18,2)")))
+            .cast("double").as("purchase_value")
+        Registry.table(s, dir, "events")
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(aggs.head, aggs.tail: _*)
+          .orderBy(col("day"))
+      },
+      Some("""
+        SELECT date_trunc('day', ts) AS day,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN CAST(value AS DECIMAL(18,2))
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value
+        FROM events
+        GROUP BY 1
+        ORDER BY day
+      """.stripMargin.trim),
+    ),
+
+    // A6-analog: per-user activity frequency — two-level aggregation
+    // (events → per-user-per-day counts → per-user avg/min/max/days),
+    // the blog post-frequency shape (AggregateStatsByMonth.java:49,82).
+    // The per-day count average is exact: CAST(sum AS DOUBLE)/days with
+    // integer operands, identical in both engines.
+    Q(
+      "st4_user_freq",
+      (s, dir) => {
+        val perDay = Registry.table(s, dir, "events")
+          .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        perDay
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("days_active"),
+            sum(col("n")).as("n_events"),
+            max(col("n")).as("max_per_day"),
+            min(col("n")).as("min_per_day"))
+          .withColumn("avg_per_day",
+            col("n_events").cast("double") / col("days_active"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH per_day AS (
+          SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS n
+          FROM events GROUP BY 1, 2)
+        SELECT user_id, days_active, n_events, max_per_day, min_per_day,
+               CAST(n_events AS DOUBLE) / days_active AS avg_per_day
+        FROM (
+          SELECT user_id, COUNT(*) AS days_active,
+                 CAST(SUM(n) AS BIGINT) AS n_events,
+                 MAX(n) AS max_per_day, MIN(n) AS min_per_day
+          FROM per_day GROUP BY user_id)
+        ORDER BY user_id
+      """.stripMargin.trim),
+    ),
+  )
 }
