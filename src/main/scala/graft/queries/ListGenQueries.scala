@@ -1,5 +1,184 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Crawl-list generation (SURVEY §2.10 P2–P5, §2.5 W1/W4): per-host
+  * top-K selection, bundle assembly, segment packing, and high-value URL
+  * generation, over the role mapping host=customer, URL=order,
+  * rank=o_totalprice.
+  *
+  * Constant mapping (test-scale values; production values in comments):
+  *   - UrlsPerHost = 5   (reference SEGMENT_URLS_PER_HOST = 200,
+  *     Segmenter.java:49)
+  *   - SegmentMax = 500  (reference SEGMENT_SIZE_MAX = 500k,
+  *     Segmenter.java:48; min-size packing folds into the same rule)
+  *   - Crawlers = 8      (reference reducers = crawlers × 8,
+  *     Segmenter.java:95)
+  *
+  * The reference packs segments sequentially in a reducer
+  * (SegmenterReducer.java:54-230); the distributed equivalent is a
+  * per-bucket prefix sum over a deterministic host order — same greedy
+  * boundaries, no sequential bottleneck, one window shuffle per bucket
+  * key.
+  */
 object ListGenQueries {
-  def defs: Seq[Q] = Seq()
+
+  private val UrlsPerHost = 5
+  private val SegmentMax = 500
+  private val Crawlers = 8
+
+  def defs: Seq[Q] = Seq(
+    // W1/P3 step 1: per-host top-K URLs by rank (row_number ≤ K with a
+    // total order; the rank predicate prunes in the window exec).
+    Q(
+      "lg1_topk_per_host",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Registry.table(s, dir, "orders")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= UrlsPerHost)
+          .select(col("o_custkey").as("host"), col("rn"),
+            col("o_orderkey").as("url"), col("o_totalprice").as("rank_value"))
+          .orderBy(col("host"), col("rn"))
+      },
+      Some(s"""
+        SELECT o_custkey AS host, rn, o_orderkey AS url, o_totalprice AS rank_value
+        FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders)
+        WHERE rn <= $UrlsPerHost
+        ORDER BY host, rn
+      """.trim),
+    ),
+
+    // P3: bundle generation — one bundle per host: the capped URL list
+    // (ordered by rank) plus bundle stats (W4 max/avg rank per bundle;
+    // GenBundlesStep.java:86,515 / SegmentGeneratorItemBundle).
+    Q(
+      "lg2_bundles",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Registry.table(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= UrlsPerHost)
+          .groupBy(col("o_custkey").as("host"))
+          .agg(
+            // rn-ordered URL list: sort (rn, url) pairs, then project url
+            transform(
+              array_sort(collect_list(struct(col("rn"), col("o_orderkey").as("url")))),
+              x => x.getField("url")).as("urls"),
+            count(lit(1)).as("n_urls"),
+            max(col("o_totalprice")).as("max_rank"),
+            min(col("o_totalprice")).as("min_rank"))
+          .orderBy(col("host"))
+      },
+      Some(s"""
+        SELECT o_custkey AS host,
+               list(o_orderkey ORDER BY rn) AS urls,
+               COUNT(*) AS n_urls,
+               MAX(o_totalprice) AS max_rank,
+               MIN(o_totalprice) AS min_rank
+        FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders)
+        WHERE rn <= $UrlsPerHost
+        GROUP BY o_custkey
+        ORDER BY host
+      """.trim),
+    ),
+
+    // P4: segment assembly — bundles land in a crawler bucket
+    // (host mod crawlers, the BundleKeyPartitioner analog) and are packed
+    // into segments by a prefix sum over host order: a segment closes
+    // when the running URL count crosses SegmentMax.
+    Q(
+      "lg3_segments",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        val bundles = Registry.table(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= UrlsPerHost)
+          .groupBy(col("o_custkey").as("host"))
+          .agg(count(lit(1)).as("n_urls"))
+          .withColumn("bucket", pmod(col("host"), lit(Crawlers)))
+        val packed = bundles.withColumn("seg_id",
+          floor(
+            (sum(col("n_urls")).over(
+              Window.partitionBy(col("bucket")).orderBy(col("host"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              - col("n_urls")) / SegmentMax))
+        packed
+          .groupBy(col("bucket"), col("seg_id"))
+          .agg(
+            count(lit(1)).as("n_bundles"),
+            sum(col("n_urls")).as("n_urls"),
+            min(col("host")).as("first_host"),
+            max(col("host")).as("last_host"))
+          .orderBy(col("bucket"), col("seg_id"))
+      },
+      Some(s"""
+        WITH bundles AS (
+          SELECT o_custkey AS host, COUNT(*) AS n_urls, o_custkey % $Crawlers AS bucket
+          FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+            FROM orders)
+          WHERE rn <= $UrlsPerHost
+          GROUP BY o_custkey
+        ),
+        packed AS (
+          SELECT host, n_urls, bucket,
+                 CAST(floor((SUM(n_urls) OVER (PARTITION BY bucket ORDER BY host
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - n_urls) / $SegmentMax) AS BIGINT) AS seg_id
+          FROM bundles
+        )
+        SELECT bucket, seg_id, COUNT(*) AS n_bundles,
+               CAST(SUM(n_urls) AS BIGINT) AS n_urls,
+               MIN(host) AS first_host, MAX(host) AS last_host
+        FROM packed
+        GROUP BY bucket, seg_id
+        ORDER BY bucket, seg_id
+      """.trim),
+    ),
+
+    // P2/P5: high-value URL generation with the crawl-list partition key
+    // root:type:url (PartitionUtils.generatePartitionKeyGivenDomain,
+    // crawllistgen/PartitionUtils.java:60-88): urgent high-price orders,
+    // keyed and sorted for downstream sharding.
+    Q(
+      "lg4_high_value_urls",
+      (s, dir) => {
+        val o = Registry.table(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 300000.0)
+        val c = Registry.table(s, dir, "customer")
+        o.join(broadcast(c), col("c_custkey") === col("o_custkey"))
+          .select(
+            concat(col("c_nationkey").cast("string"), lit(":"),
+              col("o_orderpriority"), lit(":"),
+              col("o_orderkey").cast("string")).as("partition_key"),
+            col("o_orderkey").as("url"),
+            col("o_custkey").as("host"),
+            col("o_totalprice").as("rank_value"))
+          .orderBy(col("partition_key"))
+      },
+      Some("""
+        SELECT concat(CAST(c_nationkey AS VARCHAR), ':', o_orderpriority, ':',
+                 CAST(o_orderkey AS VARCHAR)) AS partition_key,
+               o_orderkey AS url, o_custkey AS host, o_totalprice AS rank_value
+        FROM orders JOIN customer ON c_custkey = o_custkey
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 300000.0
+        ORDER BY partition_key
+      """.stripMargin.trim),
+    ),
+  )
 }
