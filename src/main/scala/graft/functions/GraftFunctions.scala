@@ -23,6 +23,7 @@ object GraftFunctions {
     if (s == null) null.asInstanceOf[java.lang.Long]
     else java.lang.Long.valueOf(RabinFingerprint.std64.fp(s))
   private val canonF = (s: String) => Urls.canonicalize(s)
+  private val hostF = (s: String) => Urls.parse(s).map(_.host).orNull
   private val rootDomainF = (s: String) => Urls.extractRootDomain(s)
   private val urlFpF = (s: String) => Urls.fingerprint(s).orNull
   private val jaccardF = (a: String, b: String) =>
@@ -33,6 +34,7 @@ object GraftFunctions {
   private val bandKeysUdf = udf(bandKeysF)
   private val rabinUdf = udf(rabinF)
   private val canonUdf = udf(canonF)
+  private val hostUdf = udf(hostF)
   private val rootDomainUdf = udf(rootDomainF)
   private val urlFpUdf = udf(urlFpF)
   private val jaccardUdf = udf(jaccardF)
@@ -54,6 +56,9 @@ object GraftFunctions {
   def rabinFp64(c: Column): Column = rabinUdf(c)
 
   def canonicalizeUrl(c: Column): Column = canonUdf(c)
+
+  /** Lowercased host of a URL (null if unparseable). */
+  def urlHost(c: Column): Column = hostUdf(c)
   def rootDomain(c: Column): Column = rootDomainUdf(c)
 
   /** struct<rootDomainHash,domainHash,urlHash> fingerprint (URLFPV2). */
@@ -69,6 +74,7 @@ object GraftFunctions {
     spark.udf.register("band_keys", bandKeysF)
     spark.udf.register("rabin_fp64", rabinF)
     spark.udf.register("canonicalize_url", canonF)
+    spark.udf.register("url_host", hostF)
     spark.udf.register("root_domain", rootDomainF)
     spark.udf.register("url_fingerprint", urlFpF)
     spark.udf.register("jaccard_shingles", jaccardF)

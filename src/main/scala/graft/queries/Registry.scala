@@ -18,6 +18,7 @@ object Registry {
   def all: Seq[Q] =
     RelationalQueries.defs ++
       CrawlDbQueries.defs ++
+      UrlQueries.defs ++
       DedupeQueries.defs ++
       GraphQueries.defs ++
       TextQueries.defs ++
