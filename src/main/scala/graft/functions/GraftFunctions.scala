@@ -39,8 +39,9 @@ object GraftFunctions {
   private val urlFpUdf = udf(urlFpF)
   private val jaccardUdf = udf(jaccardF)
 
-  /** 64-bit SimHash of a text column (util/SimHash.java:52). */
-  def simhash64(c: Column): Column = simhashUdf(c)
+  /** 64-bit SimHash of a text column (util/SimHash.java:52) — a codegen'd
+    * native Expression (NativeExpressions), not a boxed UDF. */
+  def simhash64(c: Column): Column = NativeExpressions.simhash64(c)
 
   /** Hamming distance between two 64-bit hashes — equivalently
     * `bit_count(a ^ b)`, which stays in codegen; prefer [[hammingExpr]]. */
@@ -49,11 +50,13 @@ object GraftFunctions {
   /** Codegen-friendly hamming distance via built-ins. */
   def hammingExpr(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** The 20 LSH band keys of a simhash (DeduperUtils.java:199-300). */
-  def bandKeys(c: Column): Column = bandKeysUdf(c)
+  /** The 20 LSH band keys of a simhash (DeduperUtils.java:199-300) —
+    * codegen'd native Expression. */
+  def bandKeys(c: Column): Column = NativeExpressions.bandKeys(c)
 
-  /** Rabin fp64 of a string (FPGenerator.std64 semantics). */
-  def rabinFp64(c: Column): Column = rabinUdf(c)
+  /** Rabin fp64 of a string (FPGenerator.std64 semantics) — codegen'd
+    * native Expression. */
+  def rabinFp64(c: Column): Column = NativeExpressions.rabinFp64(c)
 
   def canonicalizeUrl(c: Column): Column = canonUdf(c)
 

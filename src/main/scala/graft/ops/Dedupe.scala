@@ -57,6 +57,78 @@ object Dedupe {
     )
   }
 
+  // ---------------------------------------------------------------------
+  // Portable SimHash (D1/D2 with engine-reproducible hashing)
+  // ---------------------------------------------------------------------
+
+  /** Bits of the portable simhash (6 chunks × 10 bits; the reference's
+    * 64-bit simhash uses 6 chunks of 10/11 bits — DeduperUtils.java:199). */
+  val PortableSimhashBits = 60
+
+  /** Per-shingle 60-bit hash: the first 15 hex chars of md5, parsed as an
+    * integer — reproducible in any engine with md5 and hex parsing. */
+  def shingleHashes60(shingles: Column): Column =
+    transform(shingles, s =>
+      conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long"))
+
+  /** 60-bit SimHash over the per-shingle hashes: bit b is set iff the
+    * majority of shingle hashes have bit b set (ties → set), the standard
+    * Charikar vote (reference SimHash.java:49-106 does the same with
+    * Rabin-hashed shingles). Pure built-in expressions → codegen. */
+  def portableSimhash(hashes: Column): Column =
+    (0 until PortableSimhashBits).map { b =>
+      when(
+        aggregate(hashes, lit(0L),
+          (acc, h) => acc + shiftright(h, b).bitwiseAND(lit(1L))) * 2 >= size(hashes),
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** The C(6,3)=20 combination band keys of a 60-bit simhash: chunks of
+    * 10 bits, every 3-chunk combination packed into one 30-bit key.
+    * Hamming ≤ 3 leaves ≥ 3 chunks untouched, so some combination matches
+    * exactly — the reference's banding guarantee (DeduperUtils.java:201,
+    * BINOMIAL_COFF=20) with a 2^30 key space that keeps buckets tiny at
+    * warehouse scale. */
+  def combinationBandKeys(sim: Column): Column = {
+    def chunk(i: Int): Column = shiftright(sim, 10 * i).bitwiseAND(lit(1023L))
+    val combos = for {
+      i <- 0 until 6; j <- (i + 1) until 6; k <- (j + 1) until 6
+    } yield (i, j, k)
+    array(combos.zipWithIndex.map { case ((i, j, k), idx) =>
+      struct(
+        lit(idx).as("bi"),
+        (chunk(i) * lit(1L << 20) + chunk(j) * lit(1L << 10) + chunk(k)).as("key"))
+    }: _*)
+  }
+
+  /** D1+D2, portable: near-dup pairs with hamming(simhash) ≤ maxHamming,
+    * candidates via the 20 combination bands (one shuffle on the band
+    * key), verified by bit_count(xor). No UDFs anywhere — the whole plan
+    * is built-ins, and the DuckDB oracle replays it bit-for-bit. */
+  def portableSimhashPairs(docs: DataFrame, id: String, text: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sims = docShingles(docs, id, text)
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), shingleHashes60(col("sh")).as("hs"))
+      .select(col("doc_id"), portableSimhash(col("hs")).as("sim"))
+    val banded = sims
+      .select(col("doc_id"), col("sim"), explode(combinationBandKeys(col("sim"))).as("b"))
+      .select(col("doc_id"), col("sim"), col("b.bi").as("bi"), col("b.key").as("key"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.bi") === col("b.bi") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** LSH band keys: the signature split into `bands` groups of `rowsPerBand`,
     * each group concatenated into one key string. */
   def bandKeysOf(sig: Column, bands: Int, rowsPerBand: Int): Column =

@@ -119,10 +119,51 @@ object DedupeQueries {
     Q(
       "d4_simhash_lsh",
       (s, dir) =>
-        Dedupe.simhashNearDupPairs(
+        Dedupe.portableSimhashPairs(
             Registry.table(s, dir, "documents"), "doc_id", "text")
           .orderBy("doc_a", "doc_b"),
-      None,
+      Some {
+        // replicate the portable-simhash pipeline: 60-bit md5-derived
+        // simhash, C(6,3)=20 combination bands, hamming ≤ 3 verify
+        val simExpr = (0 until Dedupe.PortableSimhashBits).map { bit =>
+          s"(CASE WHEN 2 * list_sum([(h >> $bit) & 1 for h in hs]) >= n THEN (1::BIGINT << $bit) ELSE 0 END)"
+        }.mkString(" + ")
+        val combos = for {
+          i <- 0 until 6; j <- (i + 1) until 6; k <- (j + 1) until 6
+        } yield (i, j, k)
+        val bandSelects = combos.zipWithIndex.map { case ((i, j, k), idx) =>
+          s"SELECT doc_id, sim, $idx AS bi, c$i * 1048576 + c$j * 1024 + c$k AS key FROM chunks"
+        }.mkString("\n          UNION ALL\n          ")
+        s"""
+        WITH $ShinglesCte,
+        hs AS (
+          SELECT doc_id,
+                 [('0x' || substr(md5(s), 1, 15))::BIGINT for s in sh] AS hs,
+                 len(sh) AS n
+          FROM sh
+          WHERE len(sh) > 0
+        ),
+        sim AS (SELECT doc_id, $simExpr AS sim FROM hs),
+        chunks AS (
+          SELECT doc_id, sim,
+                 ${(0 until 6).map(c => s"(sim >> ${10 * c}) & 1023 AS c$c").mkString(", ")}
+          FROM sim
+        ),
+        bands AS (
+          $bandSelects
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.sim AS sim_a, b.sim AS sim_b
+          FROM bands a JOIN bands b
+            ON a.bi = b.bi AND a.key = b.key AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sim_a, sim_b)) <= 3
+        ORDER BY doc_a, doc_b
+        """.trim
+      },
     ),
 
     // D3/G4: dedupe clusters = connected components over verified near-dup

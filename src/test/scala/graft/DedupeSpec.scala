@@ -51,6 +51,31 @@ class DedupeSpec extends AnyFunSuite with SparkSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("portable simhash LSH pairs == brute-force hamming<=3 (sf0.001)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val lsh = Dedupe.portableSimhashPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // driver-side reimplementation of the portable 60-bit simhash
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def portable(text: String): Long = {
+      val sh = (0 to text.length - 3).map(i => text.substring(i, i + 3)).distinct
+      val hs = sh.map(s => java.lang.Long.parseLong(md5hex(s).take(15), 16))
+      (0 until 60).map { b =>
+        if (hs.count(h => ((h >> b) & 1L) == 1L) * 2 >= hs.size) 1L << b else 0L
+      }.sum
+    }
+    val sims = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), portable(r.getString(1))))
+    val brute = (for {
+      (ida, sa) <- sims; (idb, sb) <- sims
+      if ida < idb && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ida, idb)).toSet
+    assert(lsh == brute)
+  }
+
   test("exact dup groups: md5 grouping counts copies") {
     import spark.implicits._
     val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
