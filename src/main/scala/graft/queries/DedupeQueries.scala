@@ -202,5 +202,45 @@ object DedupeQueries {
         FROM walk GROUP BY id ORDER BY doc_id
       """.trim),
     ),
+
+    // D4: fuzzy cross-domain dedupe — near-dup pairs whose docs come from
+    // DIFFERENT sources ("domains"), aggregated per source pair; the
+    // reference derives bad-host/IP blacklists from exactly this signal
+    // (pipelineV3/domainmeta/fuzzydedupe/CrossDomainDupes.java).
+    Q(
+      "d6_fuzzy_cross_source",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val pairs = Dedupe.minhashNearDupPairs(docs, "doc_id", "text",
+          threshold = 0.8, k = 12, bands = 4)
+        val da = docs.select(col("doc_id").as("doc_a"), col("source").as("source_a"))
+        val db = docs.select(col("doc_id").as("doc_b"), col("source").as("source_b"))
+        pairs.join(da, "doc_a").join(db, "doc_b")
+          .filter(col("source_a") =!= col("source_b"))
+          .groupBy(
+            least(col("source_a"), col("source_b")).as("source_x"),
+            greatest(col("source_a"), col("source_b")).as("source_y"))
+          .agg(count(lit(1)).as("n_cross_dupes"))
+          .orderBy(col("source_x"), col("source_y"))
+      },
+      Some(s"""
+        WITH ${minhashCtes(k = 12, bands = 4)},
+        pairs AS (
+          SELECT doc_a, doc_b
+          FROM cand JOIN sh x ON cand.doc_a = x.doc_id
+                    JOIN sh y ON cand.doc_b = y.doc_id
+          WHERE $JaccardSql >= 0.8
+        )
+        SELECT least(a.source, b.source) AS source_x,
+               greatest(a.source, b.source) AS source_y,
+               COUNT(*) AS n_cross_dupes
+        FROM pairs
+        JOIN documents a ON pairs.doc_a = a.doc_id
+        JOIN documents b ON pairs.doc_b = b.doc_id
+        WHERE a.source <> b.source
+        GROUP BY 1, 2
+        ORDER BY source_x, source_y
+      """.trim),
+    ),
   )
 }

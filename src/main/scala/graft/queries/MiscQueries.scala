@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Remaining scalar/filter/join operator families (SURVEY §2.2 F5,
+  * §2.3 J2, §2.7 X4/X6) as oracle-matched queries. */
+object MiscQueries {
+
+  def defs: Seq[Q] = Seq(
+    // F5: crawler filter suite — broadcast block list (left-anti) +
+    // boost list (withColumn bonus), the DomainFilter/PageRankBoostFilter
+    // combination (service/crawler/filters/). Block and boost sets are
+    // derived relations, broadcast like the reference's filter files.
+    Q(
+      "f2_filter_suite",
+      (s, dir) => {
+        val blocked = Registry.table(s, dir, "nation")
+          .filter(col("n_nationkey").isin(1, 2))
+          .select(col("n_nationkey").as("blocked_key"))
+        val cust = Registry.table(s, dir, "customer")
+        cust
+          .join(broadcast(blocked), col("c_nationkey") === col("blocked_key"), "left_anti")
+          .withColumn("score",
+            (col("c_acctbal").cast("decimal(18,2)") +
+              when(col("c_mktsegment") === "BUILDING", 1000)
+                .otherwise(0).cast("decimal(18,2)")).cast("double"))
+          .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"), col("score"))
+          .orderBy(col("score").desc, col("c_custkey").asc)
+          .limit(100)
+      },
+      Some("""
+        SELECT c_custkey, c_nationkey, c_mktsegment,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2))
+                    + CAST(CASE WHEN c_mktsegment = 'BUILDING' THEN 1000 ELSE 0 END AS DECIMAL(18,2))
+                 AS DOUBLE) AS score
+        FROM customer
+        WHERE c_nationkey NOT IN (1, 2)
+        ORDER BY score DESC, c_custkey ASC
+        LIMIT 100
+      """.stripMargin.trim),
+    ),
+
+    // J2: join + secondary sort by tag — per key, values delivered in
+    // tag order (JoinByTextSortByTagMapper composite-key semantics). The
+    // Spark shape is an ordered collect: sort structs whose leading
+    // fields are the secondary sort key (value fields included, so equal
+    // keys cannot produce nondeterminism).
+    Q(
+      "j5_tag_ordered_collect",
+      (s, dir) =>
+        Registry.table(s, dir, "lineitem")
+          .filter(col("l_orderkey") < 200)
+          .groupBy(col("l_orderkey"))
+          .agg(
+            transform(
+              array_sort(collect_list(struct(
+                col("l_shipdate"), col("l_linenumber"), col("l_partkey"),
+                col("l_returnflag")))),
+              x => x.getField("l_returnflag")).as("flags_in_order"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_orderkey")),
+      Some("""
+        SELECT l_orderkey,
+               list(l_returnflag ORDER BY l_shipdate, l_linenumber, l_partkey, l_returnflag)
+                 AS flags_in_order,
+               COUNT(*) AS n
+        FROM lineitem
+        WHERE l_orderkey < 200
+        GROUP BY l_orderkey
+        ORDER BY l_orderkey
+      """.stripMargin.trim),
+    ),
+
+    // X4: IP address functions — int ↔ dotted-quad round trip with pure
+    // bit-op expressions (util/IPAddressUtils semantics), checked by
+    // recomputing the integer from the string form.
+    Q(
+      "x4_ip_functions",
+      (s, dir) =>
+        Registry.table(s, dir, "supplier")
+          .select(col("s_suppkey"),
+            ((col("s_suppkey") * 2654435761L) % 4294967296L).as("ip_int"))
+          .select(
+            col("s_suppkey"), col("ip_int"),
+            concat_ws(".",
+              shiftright(col("ip_int"), 24).bitwiseAND(lit(255L)),
+              shiftright(col("ip_int"), 16).bitwiseAND(lit(255L)),
+              shiftright(col("ip_int"), 8).bitwiseAND(lit(255L)),
+              col("ip_int").bitwiseAND(lit(255L))).as("ip_str"))
+          .withColumn("ip_roundtrip",
+            element_at(split(col("ip_str"), "\\."), 1).cast("long") * 16777216 +
+              element_at(split(col("ip_str"), "\\."), 2).cast("long") * 65536 +
+              element_at(split(col("ip_str"), "\\."), 3).cast("long") * 256 +
+              element_at(split(col("ip_str"), "\\."), 4).cast("long"))
+          .orderBy(col("s_suppkey")),
+      Some("""
+        SELECT s_suppkey, ip_int,
+               concat_ws('.', (ip_int >> 24) & 255, (ip_int >> 16) & 255,
+                              (ip_int >> 8) & 255, ip_int & 255) AS ip_str,
+               CAST(string_split(concat_ws('.', (ip_int >> 24) & 255, (ip_int >> 16) & 255,
+                              (ip_int >> 8) & 255, ip_int & 255), '.')[1] AS BIGINT) * 16777216
+                 + CAST(string_split(concat_ws('.', (ip_int >> 24) & 255, (ip_int >> 16) & 255,
+                              (ip_int >> 8) & 255, ip_int & 255), '.')[2] AS BIGINT) * 65536
+                 + CAST(string_split(concat_ws('.', (ip_int >> 24) & 255, (ip_int >> 16) & 255,
+                              (ip_int >> 8) & 255, ip_int & 255), '.')[3] AS BIGINT) * 256
+                 + CAST(string_split(concat_ws('.', (ip_int >> 24) & 255, (ip_int >> 16) & 255,
+                              (ip_int >> 8) & 255, ip_int & 255), '.')[4] AS BIGINT) AS ip_roundtrip
+        FROM (SELECT s_suppkey, (s_suppkey * 2654435761) % 4294967296 AS ip_int FROM supplier)
+        ORDER BY s_suppkey
+      """.stripMargin.trim),
+    ),
+
+    // X6: JSON functions — extract a typed property from the events
+    // props JSON and aggregate it (the crawldb records are JSON docs;
+    // safeGetLong/safeIncrementJSONCounter collapse to get_json_object +
+    // aggregation).
+    Q(
+      "x6_json_extract",
+      (s, dir) =>
+        Registry.table(s, dir, "events")
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"))
+          .orderBy(col("event_type")),
+      Some("""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(k) AS BIGINT) AS sum_k,
+               MIN(k) AS min_k, MAX(k) AS max_k
+        FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+        GROUP BY event_type
+        ORDER BY event_type
+      """.stripMargin.trim),
+    ),
+  )
+}

@@ -19,6 +19,7 @@ object Registry {
     RelationalQueries.defs ++
       CrawlDbQueries.defs ++
       UrlQueries.defs ++
+      MiscQueries.defs ++
       DedupeQueries.defs ++
       GraphQueries.defs ++
       TextQueries.defs ++
