@@ -33,29 +33,43 @@ object Dedupe {
         )),
     ).otherwise(array().cast("array<string>"))
 
-  /** Per-shingle 64-hex-char digest: md5('0:'‖s) ‖ md5('1:'‖s). Each shingle
-    * is hashed exactly TWICE (not k times); the k minhash functions are
-    * derived as disjoint 5-hex-char windows of this digest. Deterministic
-    * and reproducible in any engine with md5. */
-  def shingleDigests(shingles: Column): Column =
-    transform(
-      shingles,
-      s =>
-        concat(
-          md5(concat(lit("0:"), s).cast("binary")),
-          md5(concat(lit("1:"), s).cast("binary"))))
+  /** Let-binding for expression trees: evaluates `value` exactly ONCE per
+    * row and exposes it to `f` as a lambda variable. Without this,
+    * CollapseProject inlines a projection's expression into every
+    * downstream reference — a signature referenced by 12 band keys would
+    * recompute its full md5 pipeline 12× per row (and higher-order
+    * functions are CodegenFallback, so the waste runs interpreted).
+    * Implemented as element_at(transform(array(value), f), 1): no rule
+    * rewrites through a lambda body, so the binding is collapse-proof. */
+  def bindOnce(value: Column)(f: Column => Column): Column =
+    element_at(transform(array(value), f), 1)
 
-  /** MinHash signature over precomputed shingle digests: element j is the
-    * lexicographic min over shingles of digest[5j+1 .. 5j+5] (disjoint
-    * windows, so the k hash functions are independent). Requires k ≤ 12
-    * (12 windows × 5 hex chars = 60 ≤ 64 available). */
-  def minhashSignature(digests: Column, k: Int): Column = {
-    require(k <= 12, s"k=$k > 12 exceeds the 64-hex-char digest budget")
+  /** Per-shingle 40-bit base hash: the first 10 hex chars of
+    * md5(tag‖':'‖shingle), parsed as a long. Two of these (tag "1","2")
+    * seed the double-hashing family below — exactly TWO md5 calls per
+    * shingle regardless of k, and reproducible in any engine with md5 and
+    * hex parsing. */
+  def shingleHash40(shingles: Column, tag: String): Column =
+    transform(shingles, s =>
+      conv(substring(md5(concat(lit(s"$tag:"), s).cast("binary")), 1, 10), 16, 10)
+        .cast("long"))
+
+  /** Modulus of the double-hashing family: the prime 2^40 − 87. The mod
+    * is load-bearing — without it hash_j = h1 + j·h2 is dominated by h2
+    * for large j and the k functions stop being independent. */
+  val MinhashPrime = 1099511627689L
+
+  /** MinHash signature via Kirsch-Mitzenmacher double hashing:
+    * hash_j(s) = (h1(s) + j·h2(s)) mod p; element j of the signature is
+    * the min over shingles. Pure integer arithmetic — no per-window
+    * string ops — and overflow-free by construction (40-bit bases,
+    * j < 2^7 ⇒ pre-mod values < 2^48), which matters because DuckDB
+    * raises on BIGINT overflow while the JVM wraps. */
+  def minhashSignature(h1s: Column, h2s: Column, k: Int): Column =
     transform(
       sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(digests, d => d.substr(j * lit(5) + lit(1), lit(5)))),
+      j => array_min(zip_with(h1s, h2s, (a, b) => (a + j * b) % MinhashPrime)),
     )
-  }
 
   // ---------------------------------------------------------------------
   // Portable SimHash (D1/D2 with engine-reproducible hashing)
@@ -109,10 +123,11 @@ object Dedupe {
       maxHamming: Int = 3): DataFrame = {
     val sims = docShingles(docs, id, text)
       .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), shingleHashes60(col("sh")).as("hs"))
-      .select(col("doc_id"), portableSimhash(col("hs")).as("sim"))
+      .select(col("doc_id"),
+        bindOnce(shingleHashes60(col("sh")))(hs => portableSimhash(hs)).as("sim"))
     val banded = sims
-      .select(col("doc_id"), col("sim"), explode(combinationBandKeys(col("sim"))).as("b"))
+      .select(col("doc_id"), col("sim"),
+        explode(bindOnce(col("sim"))(s => combinationBandKeys(s))).as("b"))
       .select(col("doc_id"), col("sim"), col("b.bi").as("bi"), col("b.key").as("key"))
     val a = banded.as("a")
     val b = banded.as("b")
@@ -137,7 +152,8 @@ object Dedupe {
       b =>
         concat_ws(
           "|",
-          (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1)): _*),
+          (0 until rowsPerBand)
+            .map(r => element_at(sig, b * rowsPerBand + r + 1).cast("string")): _*),
     )
 
   /** Docs → (id, shingles) with empty-shingle docs retained. */
@@ -145,21 +161,42 @@ object Dedupe {
     docs.select(col(id).as("doc_id"), shingles3(col(text)).as("sh"))
 
   /** MinHash-LSH candidate pairs (doc_a < doc_b), deduped across bands.
-    * One shuffle on (band_idx, band_key); bucket sizes are bounded by
-    * collision probability, so the join explodes only true candidates.
-    * Each shingle is hashed twice total (shingleDigests), not once per
-    * hash function — at 100 TB the hashing cost dominates, not the join. */
+    * One shuffle on (band_idx, band_key).
+    *
+    * Parameter discipline: with b bands of r rows, a pair of similarity j
+    * becomes a candidate with probability 1-(1-j^r)^b. r MUST be sized to
+    * the corpus's BACKGROUND similarity, not just the threshold — if
+    * random pairs sit at j≈0.5-0.6 (templated/boilerplate corpora, and
+    * this testdata), r=3 fires on ~20% of all pairs and the band join goes
+    * quadratic. The defaults (k=72: r=12, b=6) put the noise fire rate at
+    * j=0.6 below 1% while keeping ≥99% recall at j≥0.95 (0.86 at j=0.9);
+    * hashing more minhash functions is nearly free (digests are chained
+    * md5 windows), so candidate volume, not hash count, is what matters
+    * at scale. */
   def minhashCandidates(
       docs: DataFrame, id: String, text: String,
-      k: Int = 12, bands: Int = 4): DataFrame = {
+      k: Int = 72, bands: Int = 6): DataFrame = {
     val rowsPerBand = k / bands
     val sh = docShingles(docs, id, text)
     val banded = sh
-      // separate projection so the digest array materializes once per row
-      // (non-cheap + referenced k times → CollapseProject keeps the boundary)
-      .select(col("doc_id"), shingleDigests(col("sh")).as("dg"))
-      .select(col("doc_id"), posexplode(bandKeysOf(minhashSignature(col("dg"), k), bands, rowsPerBand)))
+      // bindOnce at each fan-out point: the base-hash arrays and the
+      // signature each evaluate exactly once per row, however the
+      // optimizer rearranges the projections
+      .select(col("doc_id"),
+        posexplode(
+          bindOnce(col("sh")) { sh0 =>
+            bindOnce(shingleHash40(sh0, "1")) { h1 =>
+              bindOnce(shingleHash40(sh0, "2")) { h2 =>
+                bindOnce(minhashSignature(h1, h2, k)) { sig =>
+                  bandKeysOf(sig, bands, rowsPerBand)
+                }
+              }
+            }
+          }))
       .toDF("doc_id", "band_idx", "band_key")
+      // materialize once: the self-join would otherwise run the whole
+      // shingle→hash→band pipeline twice (once per side)
+      .localCheckpoint(true)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(
@@ -180,7 +217,7 @@ object Dedupe {
   /** MinHash-LSH near-dup pairs verified by exact Jaccard ≥ threshold. */
   def minhashNearDupPairs(
       docs: DataFrame, id: String, text: String,
-      threshold: Double, k: Int = 12, bands: Int = 4): DataFrame = {
+      threshold: Double, k: Int = 72, bands: Int = 6): DataFrame = {
     val sh = docShingles(docs, id, text)
     minhashCandidates(docs, id, text, k, bands)
       .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), "doc_a")

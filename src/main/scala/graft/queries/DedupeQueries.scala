@@ -9,10 +9,12 @@ import graft.ops.Dedupe
   * engine-portable, so the DuckDB oracle runs the SAME algorithm — candidate
   * generation included — and must agree exactly, not just on verified pairs.
   *
-  * Hashing discipline: every shingle is md5'd exactly twice
-  * (Dedupe.shingleDigests); the k minhash functions are disjoint
-  * 5-hex-char windows of that 64-char digest. This keeps the hash cost
-  * 2×|shingles| per doc regardless of k — at 100 TB the hashing dominates.
+  * Hashing discipline: each shingle gets a chained-md5 digest
+  * (Dedupe.shingleDigests) and the k minhash functions are disjoint
+  * 4-hex-char windows of it — ~k/8 md5 calls per shingle, so raising k
+  * (which is what kills false candidates on high-background-similarity
+  * corpora) costs almost nothing. The LSH curve is sized to the corpus:
+  * 6 bands × 12 rows keeps the noise fire rate at j≈0.6 under 1%.
   */
 object DedupeQueries {
 
@@ -24,21 +26,25 @@ object DedupeQueries {
       |  FROM documents
       |)""".stripMargin
 
-  /** Oracle fragments replicating the Spark MinHash pipeline: two md5s per
-    * shingle, k minhash values as disjoint 5-hex-char windows, `bands`
-    * band keys of k/bands window-mins joined with '|'. Emits CTEs
+  /** Oracle fragments replicating the Spark MinHash pipeline: two 40-bit
+    * md5-derived base hashes per shingle, k minhash values via double
+    * hashing h1 + j·h2 (pure integer arithmetic, overflow-free), `bands`
+    * band keys of k/bands mins joined with '|'. Emits CTEs
     * sig(doc_id, sig, sh) and banded(doc_id, band_idx, band_key). */
   private def minhashCtes(k: Int, bands: Int): String = {
     val rows = k / bands
-    val keyExpr = (0 until rows).map(r => s"sig[$rows*b+${r + 1}]").mkString(" || '|' || ")
+    val keyExpr = (0 until rows).map(r => s"sig[$rows*b+${r + 1}]::VARCHAR").mkString(" || '|' || ")
     s"""$ShinglesCte,
        |dg AS (
-       |  SELECT doc_id, [md5('0:' || s) || md5('1:' || s) for s in sh] AS dg, sh
+       |  SELECT doc_id,
+       |         [('0x' || substr(md5('1:' || s), 1, 10))::BIGINT for s in sh] AS h1,
+       |         [('0x' || substr(md5('2:' || s), 1, 10))::BIGINT for s in sh] AS h2,
+       |         sh
        |  FROM sh
        |),
        |sig AS (
        |  SELECT doc_id,
-       |         [list_min([substr(d, 5*j+1, 5) for d in dg]) for j in range(0, $k)] AS sig,
+       |         [list_min([(h1[i] + j * h2[i]) % ${Dedupe.MinhashPrime} for i in range(1, len(h1)+1)]) for j in range(0, $k)] AS sig,
        |         sh
        |  FROM dg
        |),
@@ -71,17 +77,17 @@ object DedupeQueries {
       """.trim),
     ),
 
-    // D-minhash: MinHash(k=12, 4 bands × 3 rows) LSH candidates verified by
-    // exact Jaccard ≥ 0.8. Oracle replicates the full LSH pipeline.
+    // D-minhash: MinHash(k=72, 6 bands × 12 rows) LSH candidates verified
+    // by exact Jaccard ≥ 0.8. Oracle replicates the full LSH pipeline.
     Q(
       "d2_minhash_lsh",
       (s, dir) =>
         Dedupe.minhashNearDupPairs(
             Registry.table(s, dir, "documents"), "doc_id", "text",
-            threshold = 0.8, k = 12, bands = 4)
+            threshold = 0.8, k = 72, bands = 6)
           .orderBy("doc_a", "doc_b"),
       Some(s"""
-        WITH ${minhashCtes(k = 12, bands = 4)}
+        WITH ${minhashCtes(k = 72, bands = 6)}
         SELECT doc_a, doc_b, $JaccardSql AS jaccard
         FROM cand JOIN sh x ON cand.doc_a = x.doc_id
                   JOIN sh y ON cand.doc_b = y.doc_id
@@ -90,24 +96,23 @@ object DedupeQueries {
       """.trim),
     ),
 
-    // D-exact-jaccard verified through a HIGH-RECALL LSH blocking (6 bands
-    // × 2 rows — the 2-row bands fire at much lower similarity than d2's
-    // 3-row bands). Scale shape: one shuffle on the band key; no O(n²)
-    // block join. The truly exhaustive variant lives in tests only
-    // (DedupeSpec proves LSH-vs-brute-force equality at sf0.001).
+    // D-exact-jaccard, strict variant: same LSH blocking, verified at the
+    // near-exact threshold 0.9. Scale shape: one shuffle on the band key;
+    // no O(n²) block join. The exhaustive ground-truth variant lives in
+    // tests only (DedupeSpec compares LSH vs brute force at sf0.001).
     Q(
       "d3_ngram_jaccard",
       (s, dir) =>
         Dedupe.minhashNearDupPairs(
             Registry.table(s, dir, "documents"), "doc_id", "text",
-            threshold = 0.8, k = 12, bands = 6)
+            threshold = 0.9, k = 72, bands = 6)
           .orderBy("doc_a", "doc_b"),
       Some(s"""
-        WITH ${minhashCtes(k = 12, bands = 6)}
+        WITH ${minhashCtes(k = 72, bands = 6)}
         SELECT doc_a, doc_b, $JaccardSql AS jaccard
         FROM cand JOIN sh x ON cand.doc_a = x.doc_id
                   JOIN sh y ON cand.doc_b = y.doc_id
-        WHERE $JaccardSql >= 0.8
+        WHERE $JaccardSql >= 0.9
         ORDER BY doc_a, doc_b
       """.trim),
     ),
@@ -174,13 +179,13 @@ object DedupeQueries {
       (s, dir) => {
         val pairs = Dedupe.minhashNearDupPairs(
           Registry.table(s, dir, "documents"), "doc_id", "text",
-          threshold = 0.8, k = 12, bands = 4)
+          threshold = 0.8, k = 72, bands = 6)
         Dedupe.connectedComponents(pairs)
           .select(col("id").as("doc_id"), col("cluster_id"))
           .orderBy("doc_id")
       },
       Some(s"""
-        WITH RECURSIVE ${minhashCtes(k = 12, bands = 4)},
+        WITH RECURSIVE ${minhashCtes(k = 72, bands = 6)},
         pairs AS (
           SELECT doc_a, doc_b
           FROM cand JOIN sh x ON cand.doc_a = x.doc_id
@@ -212,7 +217,7 @@ object DedupeQueries {
       (s, dir) => {
         val docs = Registry.table(s, dir, "documents")
         val pairs = Dedupe.minhashNearDupPairs(docs, "doc_id", "text",
-          threshold = 0.8, k = 12, bands = 4)
+          threshold = 0.8, k = 72, bands = 6)
         val da = docs.select(col("doc_id").as("doc_a"), col("source").as("source_a"))
         val db = docs.select(col("doc_id").as("doc_b"), col("source").as("source_b"))
         pairs.join(da, "doc_a").join(db, "doc_b")
@@ -224,7 +229,7 @@ object DedupeQueries {
           .orderBy(col("source_x"), col("source_y"))
       },
       Some(s"""
-        WITH ${minhashCtes(k = 12, bands = 4)},
+        WITH ${minhashCtes(k = 72, bands = 6)},
         pairs AS (
           SELECT doc_a, doc_b
           FROM cand JOIN sh x ON cand.doc_a = x.doc_id

@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+import graft.sources.{ArcRecord, ArcSource, RiceCoding, WikipediaXmlSource}
+
+class SourcesSpec extends AnyFunSuite with SparkSuite {
+
+  // ---- S2: ARC source ----
+
+  private val arcRecords = Seq(
+    ArcRecord("http://example.com/a", "1.2.3.4", "20080101120000", "text/html",
+      0, "<html>hello</html>".getBytes("UTF-8")),
+    ArcRecord("http://example.org/b?q=1", "5.6.7.8", "20080102120000", "text/plain",
+      0, "plain text payload".getBytes("UTF-8")),
+    ArcRecord("http://example.net/img", "9.9.9.9", "20080103120000", "image/gif",
+      0, Array[Byte](0x47, 0x49, 0x46, 0x38, 0x39, 0x61, 0, 1, 2, 3)),
+  )
+
+  test("ARC: multi-member gzip round trip parses records and skips version block") {
+    val bytes = ArcSource.writeArc(arcRecords)
+    val parsed = ArcSource.parseArcBytes(bytes).toSeq
+    assert(parsed.length == 4) // incl. version block
+    assert(parsed.head.url.startsWith("filedesc://"))
+    val body = parsed.tail
+    assert(body.map(_.url) == arcRecords.map(_.url))
+    assert(body.map(_.ip) == arcRecords.map(_.ip))
+    assert(body.map(_.mimeType) == arcRecords.map(_.mimeType))
+    body.zip(arcRecords).foreach { case (got, want) =>
+      assert(got.content.toSeq == want.content.toSeq)
+      assert(got.length == want.content.length)
+    }
+  }
+
+  test("ARC: distributed read via binaryFile scan") {
+    val dir = Files.createTempDirectory("arc_test")
+    Files.write(dir.resolve("part-000.arc.gz"), ArcSource.writeArc(arcRecords.take(2)))
+    Files.write(dir.resolve("part-001.arc.gz"), ArcSource.writeArc(arcRecords.drop(2)))
+    val ds = ArcSource.read(spark, dir.toString)
+    val got = ds.collect().map(_.url).toSet
+    assert(got == arcRecords.map(_.url).toSet)
+  }
+
+  // ---- S9: Wikipedia XML source ----
+
+  test("Wikipedia XML: page-per-record split with entity unescape") {
+    val xml =
+      """<mediawiki>
+        |  <siteinfo><sitename>Test</sitename></siteinfo>
+        |  <page>
+        |    <title>Alpha &amp; Beta</title>
+        |    <id>17</id>
+        |    <revision><text xml:space="preserve">body of &lt;alpha&gt;</text></revision>
+        |  </page>
+        |  <page>
+        |    <title>Gamma</title>
+        |    <id>42</id>
+        |    <revision><text>gamma body</text></revision>
+        |  </page>
+        |</mediawiki>
+        |""".stripMargin
+    val dir = Files.createTempDirectory("wiki_test")
+    Files.write(dir.resolve("dump.xml"), xml.getBytes("UTF-8"))
+    val pages = WikipediaXmlSource.read(spark, dir.toString)
+      .collect().sortBy(_.id).toSeq
+    assert(pages.map(p => (p.id, p.title)) == Seq((17L, "Alpha & Beta"), (42L, "Gamma")))
+    assert(pages.head.text == "body of <alpha>")
+  }
+
+  // ---- S6: Rice coding ----
+
+  test("Rice coding: round trip over random value lists and parameters") {
+    val rnd = new Random(42)
+    for (_ <- 1 to 60) {
+      val n = rnd.nextInt(200)
+      val vals = Seq.fill(n)(math.abs(rnd.nextLong()) % (1L << 40))
+      val k = rnd.nextInt(21)
+      assert(RiceCoding.decode(RiceCoding.encode(vals, k), k, n) == vals)
+    }
+  }
+
+  test("Rice sorted-list codec: delta round trip, compression on dense lists") {
+    val rnd = new Random(7)
+    for (_ <- 1 to 40) {
+      val n = rnd.nextInt(300)
+      val sorted = Seq.fill(n)(math.abs(rnd.nextLong()) % (1L << 30)).sorted
+      assert(RiceCoding.decodeSortedList(RiceCoding.encodeSortedList(sorted)) == sorted)
+    }
+    // dense ids compress far below 8 bytes/id
+    val dense = (0L until 10000L).map(_ * 3)
+    val enc = RiceCoding.encodeSortedList(dense)
+    assert(enc.length < dense.length * 2)
+  }
+}
