@@ -175,9 +175,14 @@ object Dedupe {
     * at scale. */
   def minhashCandidates(
       docs: DataFrame, id: String, text: String,
-      k: Int = 72, bands: Int = 6): DataFrame = {
+      k: Int = 72, bands: Int = 6): DataFrame =
+    minhashCandidatesFrom(docShingles(docs, id, text), k, bands)
+
+  /** [[minhashCandidates]] over a prepared (doc_id, sh) shingle table —
+    * callers that also verify pairs checkpoint the shingle table once and
+    * pass it here so the shingling never recomputes. */
+  def minhashCandidatesFrom(sh: DataFrame, k: Int, bands: Int): DataFrame = {
     val rowsPerBand = k / bands
-    val sh = docShingles(docs, id, text)
     val banded = sh
       // bindOnce at each fan-out point: the base-hash arrays and the
       // signature each evaluate exactly once per row, however the
@@ -218,8 +223,10 @@ object Dedupe {
   def minhashNearDupPairs(
       docs: DataFrame, id: String, text: String,
       threshold: Double, k: Int = 72, bands: Int = 6): DataFrame = {
-    val sh = docShingles(docs, id, text)
-    minhashCandidates(docs, id, text, k, bands)
+    // one materialization feeds banding AND both verify sides — the
+    // shingling (the most expensive per-row stage) runs exactly once
+    val sh = docShingles(docs, id, text).localCheckpoint(true)
+    minhashCandidatesFrom(sh, k, bands)
       .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), "doc_a")
       .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), "doc_b")
       .withColumn("jaccard", jaccardOf(col("sh_a"), col("sh_b")))
