@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sink-side operators (SURVEY §2.1 S7/S8 + §2.3 J3 bucketed layout). */
+object Sinks {
+
+  /** S7: multi-stream sink — one input pass fans records out into one
+    * directory per record type (the reference's ParserOutputFormat splits
+    * parse output into metadata/text/raw/arc streams the same way;
+    * ParserOutputFormat.java:55-81). `partitionBy` keeps it a single
+    * write job: no per-stream re-scan of the input. */
+  def writeByType(df: DataFrame, typeCol: String, baseDir: String): Unit =
+    df.write
+      .partitionBy(typeCol)
+      .mode("overwrite")
+      .parquet(baseDir)
+
+  /** Read one stream back from a multi-stream sink. */
+  def readStreamDir(spark: SparkSession, baseDir: String, typeCol: String,
+      value: String): DataFrame =
+    spark.read.parquet(baseDir).filter(col(typeCol) === value)
+
+  /** S8: time-series append log — append-mode parquet keyed by event
+    * time (TimeSeriesDataFile semantics: appendRecordToLogFile,
+    * readFromTail). Readers get tail/offset queries; the same directory
+    * is a Structured Streaming source for the live path. */
+  def appendLog(df: DataFrame, dir: String): Unit =
+    df.write.mode("append").parquet(dir)
+
+  /** Last n records by (ts, tiebreak) — readFromTail. */
+  def readTail(spark: SparkSession, dir: String, tsCol: String,
+      tiebreak: String, n: Int): DataFrame =
+    spark.read.parquet(dir)
+      .orderBy(col(tsCol).desc, col(tiebreak).desc)
+      .limit(n)
+
+  /** Records at or after a timestamp — seek-by-offset reads. At scale
+    * the directory is partitioned by date so this prunes partitions. */
+  def readFrom(spark: SparkSession, dir: String, tsCol: String,
+      from: java.sql.Timestamp): DataFrame =
+    spark.read.parquet(dir).filter(col(tsCol) >= lit(from))
+
+  /** J3 layout: persist a table bucketed+sorted by a join key. Two
+    * tables written with the same bucket spec join with NO shuffle —
+    * the reference's "shuffle free reduce" multi-file merge join
+    * (MultiFileMergeUtils.java:125, CrawlDBMergeJob.java:296-306) is
+    * exactly a bucketed sort-merge join. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
+}

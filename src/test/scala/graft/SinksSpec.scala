@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Sinks
+
+class SinksSpec extends AnyFunSuite with SparkSuite {
+
+  test("S7 multi-stream sink: one pass, one directory per record type") {
+    val dir = Files.createTempDirectory("multisink").toString
+    val events = graft.queries.Registry.table(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    Sinks.writeByType(events, "event_type", dir)
+    val types = events.select("event_type").distinct()
+      .collect().map(_.getString(0))
+    assert(types.nonEmpty)
+    types.foreach { t =>
+      val n = Sinks.readStreamDir(spark, dir, "event_type", t).count()
+      val want = events.filter(col("event_type") === t).count()
+      assert(n == want)
+    }
+  }
+
+  test("S8 time-series append log: append + tail + from-offset reads") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tslog").toString
+    def batch(ids: Range) = ids.map(i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 00:${i}%02d:00")))
+      .toDF("id", "ts")
+    Sinks.appendLog(batch(0 until 10), dir)
+    Sinks.appendLog(batch(10 until 20), dir) // second append survives
+    val tail = Sinks.readTail(spark, dir, "ts", "id", 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(tail == Seq(19L, 18L, 17L, 16L, 15L))
+    val from = Sinks.readFrom(spark, dir, "ts",
+      java.sql.Timestamp.valueOf("2024-01-01 00:17:00")).count()
+    assert(from == 3)
+  }
+
+  test("J3 bucketed tables join with no shuffle (no Exchange in plan)") {
+    val session = spark.newSession()
+    session.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val orders = session.read.parquet(s"$sfDir/orders.parquet")
+    val lineitem = session.read.parquet(s"$sfDir/lineitem.parquet")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    Sinks.writeBucketed(orders, "orders_b", "o_orderkey", 8)
+    Sinks.writeBucketed(lineitem, "lineitem_b", "o_orderkey", 8)
+    val joined = session.table("orders_b")
+      .join(session.table("lineitem_b"), "o_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"))
+    // co-bucketed layout ⇒ no shuffle on either side
+    assert(!plan.contains("Exchange"))
+    assert(joined.count() == lineitem.count())
+  }
+}
