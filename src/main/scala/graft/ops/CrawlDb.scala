@@ -83,7 +83,9 @@ object CrawlDb {
     val isS = col("tag") === "status"
     val isL = col("tag") === "link"
     val typeAndRel = when(isL, concat(col("link_type"), lit("/"), col("link_rel")))
-    // deterministic latest-link ordinal: equal ordinals ⇒ equal values
+    // deterministic latest-link ordinal: equal ordinals ⇒ equal values.
+    // Stored on the merged record (latest_link_ord) so a later
+    // incremental re-merge can continue the max exactly.
     val ord = coalesce(
       concat(
         lpad(unix_millis(col("link_date")).cast("string"), 15, "0"),
@@ -102,7 +104,7 @@ object CrawlDb {
         sum(when(isL && !col("internal"), 1L).otherwise(0L)).as("ext_src_count"),
         min(when(isL, col("link_date"))).as("earliest_link_date"),
         max(when(isL, col("link_date"))).as("latest_link_date"),
-        max_by(typeAndRel, ord).as("latest_link"),
+        max(ord).as("latest_link_ord"),
         slice(array_sort(collect_set(typeAndRel)), 1, maxTypeSamples)
           .as("type_and_rels"),
         slice(array_sort(collect_set(when(isL, col("link_src")))), 1, maxSrcSamples)
@@ -111,5 +113,63 @@ object CrawlDb {
           .as("src_truncated"),
         sum(when(isL, col("qty")).otherwise(0.0)).as("sum_qty"),
       )
+  }
+
+  /** Human-readable latest link (type/rel of the max ordinal). */
+  def withLatestLink(merged: DataFrame): DataFrame =
+    merged.withColumn("latest_link",
+      when(col("latest_link_ord") =!= "",
+        split(col("latest_link_ord"), "\\|").getItem(1)))
+
+  /** Incremental re-merge: combine two MERGED records per key — the
+    * reference's processMergedRecord path (previous crawldb output is fed
+    * back as input each merge, CrawlDBMergeJob.java:290-295).
+    *
+    * The combine is an exact semigroup: counts add, dates min/max, the
+    * latest-link ordinal maxes, and capped sample lists stay exact
+    * because a sorted capped list is the min-K of its set and
+    * min-K(A ∪ B) = min-K(min-K(A) ∪ min-K(B)). Therefore ANY split of
+    * the raw streams, merged per part and combined, equals the one-shot
+    * merge — which is exactly what the c2 oracle checks (incremental
+    * Spark plan vs one-shot DuckDB SQL). */
+  def combineMerged(a0: DataFrame, b0: DataFrame,
+      maxTypeSamples: Int = MaxTypeSamples,
+      maxSrcSamples: Int = MaxSrcSamples): DataFrame = {
+    val j = a0.as("a").join(b0.as("b"),
+      col("a.url_key") === col("b.url_key"), "full_outer")
+    def a(c: String) = col(s"a.$c")
+    def b(c: String) = col(s"b.$c")
+    def nullMin(x: Column, y: Column) =
+      when(x.isNull, y).when(y.isNull, x).otherwise(least(x, y))
+    def nullMax(x: Column, y: Column) =
+      when(x.isNull, y).when(y.isNull, x).otherwise(greatest(x, y))
+    def addL(c: String) = (coalesce(a(c), lit(0L)) + coalesce(b(c), lit(0L))).as(c)
+    def unionCapped(c: String, cap: Int, tpe: String) =
+      slice(array_sort(array_union(
+        coalesce(a(c), array().cast(s"array<$tpe>")),
+        coalesce(b(c), array().cast(s"array<$tpe>")))), 1, cap)
+    j.select(
+      coalesce(a("url_key"), b("url_key")).as("url_key"),
+      addL("attempt_count"),
+      nullMax(a("status"), b("status")).as("status"),
+      nullMax(a("priority"), b("priority")).as("priority"),
+      nullMin(a("first_attempt"), b("first_attempt")).as("first_attempt"),
+      nullMax(a("latest_attempt"), b("latest_attempt")).as("latest_attempt"),
+      addL("link_count"),
+      addL("int_src_count"),
+      addL("ext_src_count"),
+      nullMin(a("earliest_link_date"), b("earliest_link_date")).as("earliest_link_date"),
+      nullMax(a("latest_link_date"), b("latest_link_date")).as("latest_link_date"),
+      nullMax(a("latest_link_ord"), b("latest_link_ord")).as("latest_link_ord"),
+      unionCapped("type_and_rels", maxTypeSamples, "string").as("type_and_rels"),
+      unionCapped("src_samples", maxSrcSamples, "bigint").as("src_samples"),
+      (coalesce(a("src_truncated"), lit(false)) ||
+        coalesce(b("src_truncated"), lit(false)) ||
+        size(array_union(
+          coalesce(a("src_samples"), array().cast("array<bigint>")),
+          coalesce(b("src_samples"), array().cast("array<bigint>")))) > maxSrcSamples)
+        .as("src_truncated"),
+      (coalesce(a("sum_qty"), lit(0.0)) + coalesce(b("sum_qty"), lit(0.0))).as("sum_qty"),
+    )
   }
 }

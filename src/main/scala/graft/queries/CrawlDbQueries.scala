@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.CrawlDb
 
@@ -7,9 +8,9 @@ import graft.ops.CrawlDb
   * testdata role mapping (FIXTURES.md §B): `orders` is the crawl-status
   * stream and `lineitem` the link stream, both keyed by order key. The
   * DuckDB oracle replicates the whole tagged-union fold — conditional
-  * aggregates, max_by latest-by-timestamp with the same content-derived
-  * ordinal, capped deduped sample lists — so the fold semantics themselves
-  * are hash-checked, not just row counts.
+  * aggregates, latest-by-timestamp via a content-derived max ordinal,
+  * capped deduped sample lists — so the fold semantics themselves are
+  * hash-checked, not just row counts.
   */
 object CrawlDbQueries {
 
@@ -17,6 +18,27 @@ object CrawlDbQueries {
     * truncation path is actually exercised by test data (reference cap is
     * 100 ext-URL samples; lineitem has ≤13 lines per key). */
   private val SrcCap = 3
+
+  private def statusOf(s: SparkSession, dir: String, pred: Option[String]): DataFrame = {
+    val o = Registry.table(s, dir, "orders")
+    pred.fold(o)(o.filter(_)).select(
+      col("o_orderkey").as("key"),
+      col("o_orderstatus").as("status"),
+      col("o_orderpriority").as("priority"),
+      col("o_orderdate").as("attempt_ts"))
+  }
+
+  private def linksOf(s: SparkSession, dir: String, pred: Option[String]): DataFrame = {
+    val l = Registry.table(s, dir, "lineitem")
+    pred.fold(l)(l.filter(_)).select(
+      col("l_orderkey").as("key"),
+      col("l_returnflag").as("link_type"),
+      col("l_linestatus").as("link_rel"),
+      col("l_shipdate").as("link_date"),
+      col("l_partkey").as("link_src"),
+      (col("l_returnflag") === "N").as("internal"),
+      col("l_quantity").as("qty"))
+  }
 
   private val UnionSql =
     """u AS (
@@ -40,52 +62,72 @@ object CrawlDbQueries {
       |    || '|' || (link_type || '/' || link_rel)
       |    || '|' || lpad(CAST(link_src AS VARCHAR), 12, '0'), '')""".stripMargin
 
+  /** The one-shot merged-record SQL — also the oracle for the
+    * INCREMENTAL query c2, because the summary combine is an exact
+    * semigroup (see CrawlDb.combineMerged). */
+  private val MergeSql =
+    s"""
+      WITH $UnionSql
+      SELECT key AS url_key,
+             CAST(SUM(CASE WHEN tag = 'status' THEN 1 ELSE 0 END) AS BIGINT) AS attempt_count,
+             MAX(CASE WHEN tag = 'status' THEN status END) AS status,
+             MAX(CASE WHEN tag = 'status' THEN priority END) AS priority,
+             MIN(CASE WHEN tag = 'status' THEN attempt_ts END) AS first_attempt,
+             MAX(CASE WHEN tag = 'status' THEN attempt_ts END) AS latest_attempt,
+             CAST(SUM(CASE WHEN tag = 'link' THEN 1 ELSE 0 END) AS BIGINT) AS link_count,
+             CAST(SUM(CASE WHEN tag = 'link' AND internal THEN 1 ELSE 0 END) AS BIGINT) AS int_src_count,
+             CAST(SUM(CASE WHEN tag = 'link' AND NOT internal THEN 1 ELSE 0 END) AS BIGINT) AS ext_src_count,
+             MIN(CASE WHEN tag = 'link' THEN link_date END) AS earliest_link_date,
+             MAX(CASE WHEN tag = 'link' THEN link_date END) AS latest_link_date,
+             MAX($OrdSql) AS latest_link_ord,
+             CASE WHEN MAX($OrdSql) <> ''
+                  THEN string_split(MAX($OrdSql), '|')[2] END AS latest_link,
+             COALESCE(list_slice(list_sort(list_distinct(
+                 list(link_type || '/' || link_rel) FILTER (tag = 'link'))), 1, ${CrawlDb.MaxTypeSamples}),
+               []::VARCHAR[]) AS type_and_rels,
+             COALESCE(list_slice(list_sort(list_distinct(
+                 list(link_src) FILTER (tag = 'link'))), 1, $SrcCap),
+               []::BIGINT[]) AS src_samples,
+             COUNT(DISTINCT CASE WHEN tag = 'link' THEN link_src END) > $SrcCap AS src_truncated,
+             SUM(CASE WHEN tag = 'link' THEN qty ELSE 0.0 END) AS sum_qty
+      FROM u
+      GROUP BY key
+      ORDER BY url_key
+    """.trim
+
   def defs: Seq[Q] = Seq(
     Q(
       "c1_crawldb_merge",
+      (s, dir) =>
+        CrawlDb.withLatestLink(
+            CrawlDb.merge(statusOf(s, dir, None), linksOf(s, dir, None),
+              maxSrcSamples = SrcCap))
+          .orderBy("url_key"),
+      Some(MergeSql),
+    ),
+
+    // A1 incremental: the raw streams split at a date boundary, each half
+    // merged independently, then the two merged DBs combined — the
+    // reference's every-merge-consumes-the-previous-DB shape
+    // (CrawlDBMergeJob.java:290-295). The oracle is the ONE-SHOT merge:
+    // hash equality proves incremental == full re-merge.
+    Q(
+      "c2_crawldb_incremental",
       (s, dir) => {
-        val status = Registry.table(s, dir, "orders").select(
-          col("o_orderkey").as("key"),
-          col("o_orderstatus").as("status"),
-          col("o_orderpriority").as("priority"),
-          col("o_orderdate").as("attempt_ts"))
-        val links = Registry.table(s, dir, "lineitem").select(
-          col("l_orderkey").as("key"),
-          col("l_returnflag").as("link_type"),
-          col("l_linestatus").as("link_rel"),
-          col("l_shipdate").as("link_date"),
-          col("l_partkey").as("link_src"),
-          (col("l_returnflag") === "N").as("internal"),
-          col("l_quantity").as("qty"))
-        CrawlDb.merge(status, links, maxSrcSamples = SrcCap)
+        val cut = "'1998-01-01'"
+        val oldDb = CrawlDb.merge(
+          statusOf(s, dir, Some(s"o_orderdate < $cut")),
+          linksOf(s, dir, Some(s"l_shipdate < $cut")),
+          maxSrcSamples = SrcCap)
+        val delta = CrawlDb.merge(
+          statusOf(s, dir, Some(s"o_orderdate >= $cut")),
+          linksOf(s, dir, Some(s"l_shipdate >= $cut")),
+          maxSrcSamples = SrcCap)
+        CrawlDb.withLatestLink(
+            CrawlDb.combineMerged(oldDb, delta, maxSrcSamples = SrcCap))
           .orderBy("url_key")
       },
-      Some(s"""
-        WITH $UnionSql
-        SELECT key AS url_key,
-               CAST(SUM(CASE WHEN tag = 'status' THEN 1 ELSE 0 END) AS BIGINT) AS attempt_count,
-               MAX(CASE WHEN tag = 'status' THEN status END) AS status,
-               MAX(CASE WHEN tag = 'status' THEN priority END) AS priority,
-               MIN(CASE WHEN tag = 'status' THEN attempt_ts END) AS first_attempt,
-               MAX(CASE WHEN tag = 'status' THEN attempt_ts END) AS latest_attempt,
-               CAST(SUM(CASE WHEN tag = 'link' THEN 1 ELSE 0 END) AS BIGINT) AS link_count,
-               CAST(SUM(CASE WHEN tag = 'link' AND internal THEN 1 ELSE 0 END) AS BIGINT) AS int_src_count,
-               CAST(SUM(CASE WHEN tag = 'link' AND NOT internal THEN 1 ELSE 0 END) AS BIGINT) AS ext_src_count,
-               MIN(CASE WHEN tag = 'link' THEN link_date END) AS earliest_link_date,
-               MAX(CASE WHEN tag = 'link' THEN link_date END) AS latest_link_date,
-               max_by(CASE WHEN tag = 'link' THEN link_type || '/' || link_rel END, $OrdSql) AS latest_link,
-               COALESCE(list_slice(list_sort(list_distinct(
-                   list(link_type || '/' || link_rel) FILTER (tag = 'link'))), 1, ${CrawlDb.MaxTypeSamples}),
-                 []::VARCHAR[]) AS type_and_rels,
-               COALESCE(list_slice(list_sort(list_distinct(
-                   list(link_src) FILTER (tag = 'link'))), 1, $SrcCap),
-                 []::BIGINT[]) AS src_samples,
-               COUNT(DISTINCT CASE WHEN tag = 'link' THEN link_src END) > $SrcCap AS src_truncated,
-               SUM(CASE WHEN tag = 'link' THEN qty ELSE 0.0 END) AS sum_qty
-        FROM u
-        GROUP BY key
-        ORDER BY url_key
-      """.trim),
+      Some(MergeSql),
     ),
   )
 }

@@ -41,7 +41,8 @@ class CrawlDbSpec extends AnyFunSuite with SparkSuite {
   )
 
   private def collectMerged(s: DataFrame, l: DataFrame): Seq[Row] =
-    CrawlDb.merge(s, l, maxSrcSamples = 3).orderBy("url_key").collect().toSeq
+    CrawlDb.withLatestLink(CrawlDb.merge(s, l, maxSrcSamples = 3))
+      .orderBy("url_key").collect().toSeq
 
   test("merged record fold: counts, dates, latest-by-ts, capped samples") {
     val out = collectMerged(statusDf(status), linksDf(links))
@@ -75,6 +76,25 @@ class CrawlDbSpec extends AnyFunSuite with SparkSuite {
       val s = statusDf(rnd.shuffle(status)).repartition(5)
       val l = linksDf(rnd.shuffle(links)).repartition(3)
       assert(collectMerged(s, l) == base)
+    }
+  }
+
+  test("incremental combine == one-shot merge under any split") {
+    val all = collectMerged(statusDf(status), linksDf(links))
+    // split the raw streams three different ways; combine must be exact
+    val splits = Seq[((Long, String, String, Timestamp)) => Boolean](
+      _._1 == 1L, _._4.getTime % 2 == 0, _ => false)
+    val lsplits = Seq[((Long, String, String, Timestamp, Long, Boolean, Double)) => Boolean](
+      _._1 == 1L, _._4.getTime % 2 == 0, _ => true)
+    splits.zip(lsplits).foreach { case (sp, lp) =>
+      val oldDb = CrawlDb.merge(
+        statusDf(status.filter(sp)), linksDf(links.filter(lp)), maxSrcSamples = 3)
+      val delta = CrawlDb.merge(
+        statusDf(status.filterNot(sp)), linksDf(links.filterNot(lp)), maxSrcSamples = 3)
+      val combined = CrawlDb.withLatestLink(
+        CrawlDb.combineMerged(oldDb, delta, maxSrcSamples = 3))
+        .orderBy("url_key").collect().toSeq
+      assert(combined == all)
     }
   }
 
