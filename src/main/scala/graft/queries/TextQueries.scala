@@ -125,5 +125,43 @@ object TextQueries {
         FROM documents ORDER BY doc_id
       """.trim),
     ),
+    // BPE-ish subword tokenizer: letter runs / digit runs / single
+    // punctuation (the pre-tokenization split every BPE vocabulary
+    // starts from), counted per language. Same unicode classes in
+    // Java regex (Spark) and RE2 (DuckDB).
+    Q(
+      "t5_subword_tokens",
+      (s, dir) => {
+        val pat = "\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"
+        Registry.table(s, dir, "documents")
+          .select(col("lang"),
+            regexp_extract_all(col("text"), lit(pat), lit(0)).as("toks"))
+          .select(col("lang"),
+            size(col("toks")).cast("long").as("n_sub"),
+            size(array_distinct(col("toks"))).cast("long").as("n_uniq"))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_sub")).as("total_subtokens"),
+            max(col("n_sub")).as("max_subtokens"),
+            sum(col("n_uniq")).as("total_uniq"))
+          .withColumn("avg_subtokens",
+            col("total_subtokens").cast("double") / col("n_docs"))
+          .orderBy("lang")
+      },
+      Some("""
+        SELECT lang, COUNT(*) AS n_docs,
+               SUM(n_sub)::BIGINT AS total_subtokens,
+               MAX(n_sub) AS max_subtokens,
+               SUM(n_uniq)::BIGINT AS total_uniq,
+               SUM(n_sub)::DOUBLE / COUNT(*) AS avg_subtokens
+        FROM (
+          SELECT lang,
+                 len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]'))::BIGINT AS n_sub,
+                 len(list_distinct(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')))::BIGINT AS n_uniq
+          FROM documents)
+        GROUP BY lang ORDER BY lang
+      """.stripMargin.trim),
+    ),
   )
 }
