@@ -121,10 +121,20 @@ object Dedupe {
     * is built-ins, and the DuckDB oracle replays it bit-for-bit. */
   def portableSimhashPairs(docs: DataFrame, id: String, text: String,
       maxHamming: Int = 3): DataFrame = {
+    // the majority vote runs as a distributed HashAggregate over exploded
+    // shingle hashes (codegen, map-side partial agg) rather than 60
+    // interpreted array-aggregate lambdas per row
+    val voteSums = (0 until PortableSimhashBits).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"s$b"))
     val sims = docShingles(docs, id, text)
       .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), explode(shingleHashes60(col("sh"))).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), voteSums: _*)
       .select(col("doc_id"),
-        bindOnce(shingleHashes60(col("sh")))(hs => portableSimhash(hs)).as("sim"))
+        (0 until PortableSimhashBits).map(b =>
+          when(col(s"s$b") * 2 >= col("n"), lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sim"))
     val banded = sims
       .select(col("doc_id"), col("sim"),
         explode(bindOnce(col("sim"))(s => combinationBandKeys(s))).as("b"))

@@ -35,6 +35,22 @@ object Profile {
     time("candidates")(cand.count())
     val pairs = Dedupe.minhashNearDupPairs(docs, "doc_id", "text", 0.8, 72, 6)
     time("pairs")(pairs.count())
+    // end-to-end including construction-time checkpoints, like Bench
+    time("d2-endtoend") {
+      Dedupe.minhashNearDupPairs(docs, "doc_id", "text", 0.8, 72, 6)
+        .orderBy("doc_a", "doc_b")
+        .write.format("noop").mode("overwrite").save()
+      0L
+    }
+    time("shingles-only") {
+      Dedupe.docShingles(docs, "doc_id", "text").localCheckpoint(true).count()
+    }
+    time("d4-endtoend") {
+      Dedupe.portableSimhashPairs(docs, "doc_id", "text")
+        .orderBy("doc_a", "doc_b")
+        .write.format("noop").mode("overwrite").save()
+      0L
+    }
     spark.stop()
   }
 }

@@ -42,13 +42,14 @@ class SinksSpec extends AnyFunSuite with SparkSuite {
   test("J3 bucketed tables join with no shuffle (no Exchange in plan)") {
     val session = spark.newSession()
     session.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val suffix = java.lang.Long.toHexString(System.nanoTime()) // fresh warehouse paths
     val orders = session.read.parquet(s"$sfDir/orders.parquet")
     val lineitem = session.read.parquet(s"$sfDir/lineitem.parquet")
       .withColumnRenamed("l_orderkey", "o_orderkey")
-    Sinks.writeBucketed(orders, "orders_b", "o_orderkey", 8)
-    Sinks.writeBucketed(lineitem, "lineitem_b", "o_orderkey", 8)
-    val joined = session.table("orders_b")
-      .join(session.table("lineitem_b"), "o_orderkey")
+    Sinks.writeBucketed(orders, s"orders_b_$suffix", "o_orderkey", 8)
+    Sinks.writeBucketed(lineitem, s"lineitem_b_$suffix", "o_orderkey", 8)
+    val joined = session.table(s"orders_b_$suffix")
+      .join(session.table(s"lineitem_b_$suffix"), "o_orderkey")
     val plan = joined.queryExecution.executedPlan.toString
     assert(plan.contains("SortMergeJoin"))
     // co-bucketed layout ⇒ no shuffle on either side
