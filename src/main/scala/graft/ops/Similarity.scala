@@ -130,4 +130,35 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** Multi-probe ANN: each vector probes its own bucket plus every
+    * 1-bit-flip neighbor bucket (bits+1 probes). Multi-probe decouples
+    * recall from bucket sparsity, so `bits` can grow with log2(corpus) to
+    * keep buckets O(1) — at cos 0.9 with 8 bits, radius-1 probing lifts
+    * expected recall from ~0.30 to ~0.69 while candidate volume stays
+    * n·(bits+1)·load. One shuffle on the probe signature; a neighbor's
+    * fixed signature matches at most one probe, so no pair dedupe is
+    * needed. */
+  def multiProbeTopK(df: DataFrame, id: String, emb: String, dims: Int,
+      bits: Int, k: Int): DataFrame = {
+    val v = vectors(df, id, emb)
+      .withColumn("sig", hyperplaneSignature(col("v"), dims, bits))
+      .localCheckpoint(true) // probes and corpus share one materialization
+    val probeSigs = array(
+      (col("sig") +:
+        (0 until bits).map(f => col("sig").bitwiseXOR(lit(1L << f)))): _*)
+    val probes = v
+      .select(col("vec_id").as("probe_id"), col("v"), explode(probeSigs).as("psig"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probes.as("a")
+      .join(v.as("b"),
+        col("psig") === col("b.sig") && col("b.vec_id") =!= col("probe_id"))
+      .select(
+        col("probe_id"),
+        col("b.vec_id").as("neighbor_id"),
+        cosine(col("a.v"), col("b.v")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

@@ -62,16 +62,22 @@ object SimilarityQueries {
     Q(
       "ss2_lsh_ann",
       (s, dir) =>
-        Similarity.lshTopK(Registry.table(s, dir, "embeddings"),
+        Similarity.multiProbeTopK(Registry.table(s, dir, "embeddings"),
             "vec_id", "embedding", Dims, LshBits, TopK)
           .orderBy("probe_id", "rank"),
       Some(s"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         sig AS (SELECT vec_id, v, ${sigSql()} AS sig FROM e),
+        probes AS (
+          SELECT vec_id AS probe_id, v,
+                 CASE WHEN f = 0 THEN sig
+                      ELSE xor(sig, (1::BIGINT << (f - 1))) END AS psig
+          FROM sig, (SELECT unnest(range(0, ${LshBits + 1})) AS f)
+        ),
         cand AS (
-          SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+          SELECT a.probe_id, b.vec_id AS neighbor_id,
                  ${cosSql("a", "b")} AS cos
-          FROM sig a JOIN sig b ON a.sig = b.sig AND b.vec_id != a.vec_id
+          FROM probes a JOIN sig b ON a.psig = b.sig AND b.vec_id != a.probe_id
         )
         SELECT probe_id, neighbor_id, cos, rank FROM (
           SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
