@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Registry
+
+/** Plan audits: the physical plans the engine relies on at scale must
+  * actually materialize — predicate pushdown to the parquet scan, column
+  * pruning, broadcast joins for dims, and two-phase (partial/final)
+  * aggregation. These assertions pin the plan shape so a regression in
+  * an operator's construction shows up as a test failure, not as a 100×
+  * slowdown at warehouse scale. */
+class PlanSpec extends AnyFunSuite with SparkSuite {
+
+  private def plan(name: String): String =
+    Registry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("point lookup pushes the key predicate into the parquet scan") {
+    val p = plan("i5_url_detail")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,4242)]"))
+  }
+
+  test("scans prune to the referenced columns only") {
+    val p = plan("q1_agg")
+    // only the 5 referenced lineitem columns reach the reader
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double"))
+    Seq("l_orderkey", "l_partkey", "l_suppkey", "l_tax", "l_shipdate").foreach(c =>
+      assert(!p.contains(c), s"column $c not pruned from scan"))
+  }
+
+  test("dimension joins broadcast the small side") {
+    val p = plan("j1_multihop_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("aggregation runs partial then final (map-side combine)") {
+    val p = plan("q1_agg")
+    val hashAggs = "HashAggregate".r.findAllIn(p).size
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate, got:\n$p")
+  }
+
+  test("regex scan evaluates at the scan, before any shuffle") {
+    val p = plan("f1_rlike_scan")
+    // the RLIKE predicate is a data filter on the file scan itself
+    assert(p.contains("DataFilters: [isnotnull(p_type"))
+    assert(p.contains("RLIKE(p_type"))
+    assert(p.contains("PushedFilters: [IsNotNull(p_type)]"))
+  }
+}
