@@ -203,3 +203,66 @@ object Hashing {
     out
   }
 }
+
+/** MurmurHash2 64A — the classic public-domain 64-bit Murmur2 variant the
+  * reference's util/MurmurHash.java derives from. Clean-room from the
+  * published algorithm (m = 0xc6a4a7935bd1e995, r = 47). */
+object Murmur2 {
+  private val M = 0xc6a4a7935bd1e995L
+  private val R = 47
+
+  def hash64(data: Array[Byte], seed: Long): Long = {
+    var h = seed ^ (data.length * M)
+    val nBlocks = data.length / 8
+    var i = 0
+    while (i < nBlocks) {
+      var k = 0L
+      var j = 0
+      while (j < 8) {
+        k |= (data(i * 8 + j) & 0xffL) << (8 * j)
+        j += 1
+      }
+      k *= M; k ^= k >>> R; k *= M
+      h ^= k; h *= M
+      i += 1
+    }
+    val tail = nBlocks * 8
+    var t = data.length & 7
+    while (t > 0) {
+      t -= 1
+      h ^= (data(tail + t) & 0xffL) << (8 * t)
+      if (t == 0) h *= M
+    }
+    h ^= h >>> R; h *= M; h ^= h >>> R
+    h
+  }
+
+  def hash64(s: String, seed: Long = 0L): Long = hash64(s.getBytes("UTF-8"), seed)
+}
+
+/** CRC-16/ARC (poly 0x8005 reflected = 0xA001, init 0) — the CRC16 the
+  * reference uses for short checksums (util/CRC16.java). Check value for
+  * "123456789" is the published 0xBB3D. */
+object Crc16 {
+  private val table: Array[Int] = Array.tabulate(256) { n =>
+    var c = n
+    var k = 0
+    while (k < 8) {
+      c = if ((c & 1) != 0) 0xA001 ^ (c >>> 1) else c >>> 1
+      k += 1
+    }
+    c
+  }
+
+  def crc(data: Array[Byte]): Int = {
+    var c = 0
+    var i = 0
+    while (i < data.length) {
+      c = table((c ^ data(i)) & 0xff) ^ (c >>> 8)
+      i += 1
+    }
+    c & 0xffff
+  }
+
+  def crc(s: String): Int = crc(s.getBytes("UTF-8"))
+}

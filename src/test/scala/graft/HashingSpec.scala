@@ -67,4 +67,21 @@ class HashingSpec extends AnyFunSuite {
     assert(Hashing.jaccard(Set("abc", "bcd"), Set("abc", "bcd")) == 1.0)
     assert(Hashing.jaccard(Set("abc"), Set("xyz")) == 0.0)
   }
+
+  test("crc16/ARC matches the published check value") {
+    assert(core.Crc16.crc("123456789") == 0xBB3D)
+    assert(core.Crc16.crc("") == 0)
+  }
+
+  test("murmur2-64A: deterministic, seed- and input-sensitive, full tail handling") {
+    // lengths 0..9 cross the 8-byte block boundary and every tail size
+    val hs = (0 to 9).map(n => core.Murmur2.hash64("a" * n))
+    assert(hs.distinct.size == hs.size)
+    assert(core.Murmur2.hash64("abc") == core.Murmur2.hash64("abc"))
+    assert(core.Murmur2.hash64("abc", 1L) != core.Murmur2.hash64("abc", 2L))
+    // avalanche sanity: one-bit input change flips ~half the output bits
+    val d = java.lang.Long.bitCount(
+      core.Murmur2.hash64("abcdefgh") ^ core.Murmur2.hash64("abcdefgi"))
+    assert(d > 16 && d < 48)
+  }
 }
