@@ -17,6 +17,67 @@ object NativeFns {
   def rabinFp64(s: UTF8String): Long = RabinFingerprint.std64.fp(s.toString)
   def simhash64(s: UTF8String): Long = Hashing.simhash64(s.toString)
   def bandKeys(h: Long): ArrayData = new GenericArrayData(Hashing.bandKeys(h))
+
+  /** Exact 3-gram Jaccard of two UTF8String shingle arrays via one hash
+    * set — replaces interpreted array_intersect on the dedupe verify
+    * path. Inputs are distinct-element arrays by construction. */
+  def jaccard3(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return Double.NaN // matches 0.0/0.0 of the column form
+    val set = new java.util.HashSet[UTF8String](na * 2)
+    var i = 0
+    while (i < na) { set.add(a.getUTF8String(i)); i += 1 }
+    var inter = 0
+    i = 0
+    while (i < nb) { if (set.contains(b.getUTF8String(i))) inter += 1; i += 1 }
+    inter.toDouble / (na + nb - inter)
+  }
+
+  /** MinHash signature by double hashing — same arithmetic as the
+    * column-expression formulation (and the DuckDB oracle), one flat
+    * call instead of k interpreted zip_with lambdas. */
+  def minhashSig(h1: ArrayData, h2: ArrayData, k: Int, prime: Long): ArrayData = {
+    val n = h1.numElements()
+    val out = new Array[Any](k)
+    var j = 0
+    while (j < k) {
+      var min = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val v = (h1.getLong(i) + j * h2.getLong(i)) % prime
+        if (v < min) min = v
+        i += 1
+      }
+      out(j) = if (n == 0) null else min
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Distinct character 3-grams, first-occurrence order, by code point —
+    * the same result as array_distinct(transform(sequence…substring))
+    * but one flat call per row instead of hundreds of interpreted
+    * higher-order-function lambdas. */
+  def shingles3(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val cps = str.codePointCount(0, str.length)
+    if (cps < 3) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var start = 0
+    var i = 0
+    while (i < cps - 2) {
+      val end = str.offsetByCodePoints(start, 3)
+      seen.add(str.substring(start, end))
+      start = str.offsetByCodePoints(start, 1)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /** Codegen'd Catalyst expressions for the hot scalar functions
@@ -55,10 +116,51 @@ case class BandKeysExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression): BandKeysExpr = copy(child = c)
 }
 
+/** Distinct 3-char shingles of a text (Shingle.java:32-47 semantics). */
+case class Shingles3Expr(child: Expression)
+    extends NativeUnary("shingles3",
+      ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)) {
+  override protected def nullSafeEval(input: Any): Any =
+    NativeFns.shingles3(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): Shingles3Expr = copy(child = c)
+}
+
+/** Exact shingle-set Jaccard (Shingle.jaccard_similarity_coeff). */
+case class Jaccard3Expr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with Serializable {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "jaccard3"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeFns.jaccard3(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.NativeFns.jaccard3($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Jaccard3Expr =
+    copy(left = l, right = r)
+}
+
+/** MinHash signature from the two 40-bit base-hash arrays. */
+case class MinhashSigExpr(left: Expression, right: Expression, k: Int, prime: Long)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "minhash_sig"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeFns.minhashSig(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], k, prime)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.NativeFns.minhashSig($a, $b, $k, ${prime}L)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MinhashSigExpr =
+    copy(left = l, right = r)
+}
+
 object NativeExpressions {
   private def e(c: Column): Expression = ColumnBridge.expression(c)
 
   def rabinFp64(c: Column): Column = ColumnBridge.column(RabinFp64Expr(e(c)))
   def simhash64(c: Column): Column = ColumnBridge.column(Simhash64Expr(e(c)))
   def bandKeys(c: Column): Column = ColumnBridge.column(BandKeysExpr(e(c)))
+  def shingles3(c: Column): Column = ColumnBridge.column(Shingles3Expr(e(c)))
+  def jaccard3(a: Column, b: Column): Column =
+    ColumnBridge.column(Jaccard3Expr(e(a), e(b)))
+  def minhashSig(h1: Column, h2: Column, k: Int, prime: Long): Column =
+    ColumnBridge.column(MinhashSigExpr(e(h1), e(h2), k, prime))
 }

@@ -21,8 +21,15 @@ import graft.functions.GraftFunctions
 object Dedupe {
 
   /** Distinct character 3-gram shingles of a text column
-    * (reference Shingle.java:32-47, CHAR_GRAM_LENGTH=3). */
+    * (reference Shingle.java:32-47, CHAR_GRAM_LENGTH=3) — a native
+    * codegen expression; one flat call per row instead of hundreds of
+    * interpreted higher-order-function lambdas. */
   def shingles3(text: Column): Column =
+    graft.functions.NativeExpressions.shingles3(text)
+
+  /** Built-in-functions formulation of [[shingles3]] (kept as the
+    * cross-check for the native expression; identical semantics). */
+  def shingles3Builtin(text: Column): Column =
     // NB: Spark's sequence(1, n) is DESCENDING for n<1, so guard short texts
     when(
       length(text) >= 3,
@@ -64,8 +71,13 @@ object Dedupe {
     * the min over shingles. Pure integer arithmetic — no per-window
     * string ops — and overflow-free by construction (40-bit bases,
     * j < 2^7 ⇒ pre-mod values < 2^48), which matters because DuckDB
-    * raises on BIGINT overflow while the JVM wraps. */
+    * raises on BIGINT overflow while the JVM wraps. Runs as a native
+    * codegen expression; [[minhashSignatureBuiltin]] is the identical
+    * built-in-functions formulation kept as the cross-check. */
   def minhashSignature(h1s: Column, h2s: Column, k: Int): Column =
+    graft.functions.NativeExpressions.minhashSig(h1s, h2s, k, MinhashPrime)
+
+  def minhashSignatureBuiltin(h1s: Column, h2s: Column, k: Int): Column =
     transform(
       sequence(lit(0), lit(k - 1)),
       j => array_min(zip_with(h1s, h2s, (a, b) => (a + j * b) % MinhashPrime)),
@@ -224,7 +236,11 @@ object Dedupe {
   }
 
   /** Exact 3-gram Jaccard of two shingle-array columns, as a double. */
-  def jaccardOf(shA: Column, shB: Column): Column = {
+  def jaccardOf(shA: Column, shB: Column): Column =
+    graft.functions.NativeExpressions.jaccard3(shA, shB)
+
+  /** Built-in-functions formulation of [[jaccardOf]] (cross-check). */
+  def jaccardOfBuiltin(shA: Column, shB: Column): Column = {
     val inter = size(array_intersect(shA, shB))
     inter.cast("double") / (size(shA) + size(shB) - inter)
   }

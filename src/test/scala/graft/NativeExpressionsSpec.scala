@@ -29,6 +29,43 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("native shingles3 == built-in formulation on real texts") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val both = docs.select(
+      graft.ops.Dedupe.shingles3(col("text")).as("nat"),
+      graft.ops.Dedupe.shingles3Builtin(col("text")).as("ref"))
+    assert(both.filter(col("nat") =!= col("ref")).count() == 0)
+    // short/degenerate inputs
+    import spark.implicits._
+    val edge = Seq("", "ab", "abc", "aaaa", "日本語です").toDF("t")
+      .select(graft.ops.Dedupe.shingles3(col("t")).as("nat"),
+        graft.ops.Dedupe.shingles3Builtin(col("t")).as("ref"))
+    assert(edge.filter(col("nat") =!= col("ref")).count() == 0)
+  }
+
+  test("native jaccard3 and minhash signature == built-in formulations") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sh = graft.ops.Dedupe.docShingles(docs, "doc_id", "text").localCheckpoint(true)
+    // jaccard over all close pairs of consecutive doc ids
+    val a = sh.withColumnRenamed("doc_id", "ida").withColumnRenamed("sh", "sha")
+    val b = sh.withColumnRenamed("doc_id", "idb").withColumnRenamed("sh", "shb")
+    val pairs = a.join(b, col("idb") === col("ida") + 1)
+    val jd = pairs.select(
+      graft.ops.Dedupe.jaccardOf(col("sha"), col("shb")).as("nat"),
+      graft.ops.Dedupe.jaccardOfBuiltin(col("sha"), col("shb")).as("ref"))
+    assert(jd.filter(col("nat") =!= col("ref")).count() == 0)
+    assert(jd.count() > 0)
+
+    val h1 = graft.ops.Dedupe.shingleHash40(col("sh"), "1")
+    val h2 = graft.ops.Dedupe.shingleHash40(col("sh"), "2")
+    val sig = sh.select(
+      graft.ops.Dedupe.bindOnce(h1)(a1 => graft.ops.Dedupe.bindOnce(h2)(a2 =>
+        graft.ops.Dedupe.minhashSignature(a1, a2, 72))).as("nat"),
+      graft.ops.Dedupe.bindOnce(h1)(a1 => graft.ops.Dedupe.bindOnce(h2)(a2 =>
+        graft.ops.Dedupe.minhashSignatureBuiltin(a1, a2, 72))).as("ref"))
+    assert(sig.filter(col("nat") =!= col("ref")).count() == 0)
+  }
+
   test("native expressions run inside whole-stage codegen") {
     // parquet-backed input so the projection cannot constant-fold away
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
