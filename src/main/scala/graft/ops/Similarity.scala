@@ -50,6 +50,54 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Deterministic argbest ordinal: monotone in (cos, -tiebreak) as a
+    * single BIGINT, so max_by has identical semantics in any engine
+    * (struct-ordering max_by support varies). floor of double is exact
+    * and portable; tiebreak must be < 100000. */
+  private def cosOrd(cos: Column, tiebreak: Column): Column =
+    floor(cos * 1e12).cast("long") * 100000L - tiebreak
+
+  /** IVF-style ANN with a sampled codebook: the cells are the Voronoi
+    * regions of `nSeeds` FIXED existing vectors (ids < nSeeds) — a
+    * deterministic stand-in for k-means centroids that keeps every step
+    * exactly reproducible (centroid averaging would make float summation
+    * order observable). Index: each vector is assigned to its nearest
+    * seed (one broadcast join + argbest). Search: each probe scans only
+    * its `nProbeCells` nearest cells (the standard IVF nprobe knob) and
+    * ranks candidates by exact cosine. At scale: codebook ~ √n keeps
+    * cells O(√n); the seed table broadcasts; one shuffle on cell id. */
+  def ivfTopK(df: DataFrame, id: String, emb: String,
+      nSeeds: Int, nProbeCells: Int, probeMax: Long, k: Int): DataFrame = {
+    val v = vectors(df, id, emb).localCheckpoint(true)
+    val seeds = broadcast(
+      v.filter(col("vec_id") < nSeeds)
+        .select(col("vec_id").as("seed_id"), col("v").as("sv")))
+    // index: nearest seed per vector
+    val assigned = v.join(seeds)
+      .select(col("vec_id"), col("v"),
+        col("seed_id"), cosOrd(cosine(col("v"), col("sv")), col("seed_id")).as("ord"))
+      .groupBy(col("vec_id"), col("v"))
+      .agg(max_by(col("seed_id"), col("ord")).as("cell"))
+    // probe plan: the nProbeCells nearest cells per probe
+    val probeCells = v.filter(col("vec_id") < probeMax).join(seeds)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("seed_id"), cosine(col("v"), col("sv")).as("scos"))
+      .withColumn("cell_rank", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("scos").desc, col("seed_id"))))
+      .filter(col("cell_rank") <= nProbeCells)
+      .select(col("probe_id"), col("pv"), col("seed_id").as("cell"))
+    // search: exact cosine within the probed cells
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probeCells.join(assigned, "cell")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("pv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Random-hyperplane LSH signature: bit i = sign(dot(v, h_i)) where h_i is
     * a deterministic ±1 hyperplane derived from md5(i ‖ dim) parity — no RNG
     * at plan time, reproducible anywhere (oracle included). */

@@ -15,6 +15,8 @@ object SimilarityQueries {
   private val NdBands = 4 // ss3 banded-LSH bands
   private val TopK = 5
   private val ProbeMax = 10 // probe set = vec_id < 10
+  private val IvfSeeds = 32 // ss4 codebook size (√n-ish at test scale)
+  private val IvfProbeCells = 2 // ss4 nprobe
 
   /** DuckDB fragment: cosine between a.v and b.v (sequential double sums). */
   private def cosSql(a: String, b: String): String = {
@@ -109,6 +111,53 @@ object SimilarityQueries {
         FROM cand JOIN e a ON cand.vec_a = a.vec_id JOIN e b ON cand.vec_b = b.vec_id
         WHERE ${cosSql("a", "b")} >= 0.45
         ORDER BY vec_a, vec_b
+      """.trim),
+    ),
+
+    // IVF-style ANN: fixed sampled codebook (ids < IvfSeeds), each vector
+    // indexed to its nearest seed cell, probes scan their nprobe=2
+    // nearest cells with exact-cosine ranking. The oracle replays
+    // indexing, probe planning, and search.
+    Q(
+      "ss4_ivf_ann",
+      (s, dir) =>
+        Similarity.ivfTopK(Registry.table(s, dir, "embeddings"),
+            "vec_id", "embedding",
+            nSeeds = IvfSeeds, nProbeCells = IvfProbeCells,
+            probeMax = ProbeMax, k = TopK)
+          .orderBy("probe_id", "rank"),
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        seeds AS (SELECT vec_id AS seed_id, v FROM e WHERE vec_id < $IvfSeeds),
+        vs AS (
+          SELECT a.vec_id, s.seed_id, ${cosSql("a", "s")} AS cos
+          FROM e a, seeds s
+        ),
+        assigned AS (
+          SELECT vec_id,
+                 max_by(seed_id, CAST(floor(cos * 1e12) AS BIGINT) * 100000 - seed_id) AS cell
+          FROM vs GROUP BY vec_id
+        ),
+        pc AS (
+          SELECT vec_id AS probe_id, seed_id AS cell FROM (
+            SELECT vec_id, seed_id,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, seed_id) AS cr
+            FROM vs WHERE vec_id < $ProbeMax)
+          WHERE cr <= $IvfProbeCells
+        ),
+        cand AS (
+          SELECT pc.probe_id, na.vec_id AS neighbor_id, ${cosSql("pa", "na")} AS cos
+          FROM pc
+          JOIN e pa ON pa.vec_id = pc.probe_id
+          JOIN assigned t ON t.cell = pc.cell
+          JOIN e na ON na.vec_id = t.vec_id
+          WHERE na.vec_id != pc.probe_id
+        )
+        SELECT probe_id, neighbor_id, cos, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
+          FROM cand)
+        WHERE rank <= $TopK
+        ORDER BY probe_id, rank
       """.trim),
     ),
   )
