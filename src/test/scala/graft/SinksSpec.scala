@@ -55,5 +55,16 @@ class SinksSpec extends AnyFunSuite with SparkSuite {
     // co-bucketed layout ⇒ no shuffle on either side
     assert(!plan.contains("Exchange"))
     assert(joined.count() == lineitem.count())
+
+    // S4: point lookup on the bucket key prunes to a single bucket
+    // (the TFile seek-by-key equivalent). The planner auto-disables
+    // bucketed scans when no operator exploits the distribution, so pin
+    // it on for the lookup.
+    session.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val lookup = session.table(s"orders_b_$suffix")
+      .filter(org.apache.spark.sql.functions.col("o_orderkey") === 77L)
+    val lp = lookup.queryExecution.executedPlan.toString
+    assert(lp.contains("SelectedBucketsCount: 1 out of 8"), lp)
+    assert(lookup.count() == 1)
   }
 }
