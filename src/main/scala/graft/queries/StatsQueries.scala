@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Crawl-stats rollups (SURVEY §2.4 A5–A7) over the `events` stream table.
@@ -147,6 +148,57 @@ object StatsQueries {
                  MAX(n) AS max_per_day, MIN(n) AS min_per_day
           FROM per_day GROUP BY user_id)
         ORDER BY user_id
+      """.stripMargin.trim),
+    ),
+
+    // Sessionization: gap-based sessions (>30 min of inactivity starts a
+    // new session) via lag + running sum of session starts — the batch
+    // formulation of Structured Streaming's session windows. Total order
+    // inside each user by (ts, event_id) keeps lag deterministic.
+    Q(
+      "st5_sessionize",
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val newSession = when(
+          unix_millis(col("ts")) -
+            unix_millis(lag(col("ts"), 1).over(byUser)) > 1800000L, 1L)
+          .otherwise(when(lag(col("ts"), 1).over(byUser).isNull, 1L).otherwise(0L))
+        Registry.table(s, dir, "events")
+          .withColumn("new_s", newSession)
+          .withColumn("session_idx",
+            sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("session_idx"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"),
+            (unix_millis(max(col("ts"))) - unix_millis(min(col("ts"))))
+              .as("duration_ms"))
+          .orderBy(col("user_id"), col("session_idx"))
+      },
+      Some("""
+        WITH marked AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                      WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1
+                      ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+          SELECT user_id, event_id, ts,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+          FROM marked
+        )
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+               COUNT(*) AS n_events,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               CAST(epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS BIGINT) AS duration_ms
+        FROM sessions
+        GROUP BY user_id, session_idx
+        ORDER BY user_id, session_idx
       """.stripMargin.trim),
     ),
   )
