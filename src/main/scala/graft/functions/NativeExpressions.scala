@@ -55,6 +55,17 @@ object NativeFns {
     new GenericArrayData(out)
   }
 
+  /** Sequential-order dot product — the same left-to-right fold as
+    * aggregate(zip_with(...)), so results are bit-identical to the
+    * column formulation and the oracle's list_sum. */
+  def dotSeq(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
   /** Distinct character 3-grams, first-occurrence order, by code point —
     * the same result as array_distinct(transform(sequence…substring))
     * but one flat call per row instead of hundreds of interpreted
@@ -138,6 +149,19 @@ case class Jaccard3Expr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Sequential dot product of two double arrays. */
+case class DotSeqExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with Serializable {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "dot_seq"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeFns.dotSeq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.NativeFns.dotSeq($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotSeqExpr =
+    copy(left = l, right = r)
+}
+
 /** MinHash signature from the two 40-bit base-hash arrays. */
 case class MinhashSigExpr(left: Expression, right: Expression, k: Int, prime: Long)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with Serializable {
@@ -161,6 +185,8 @@ object NativeExpressions {
   def shingles3(c: Column): Column = ColumnBridge.column(Shingles3Expr(e(c)))
   def jaccard3(a: Column, b: Column): Column =
     ColumnBridge.column(Jaccard3Expr(e(a), e(b)))
+  def dotSeq(a: Column, b: Column): Column =
+    ColumnBridge.column(DotSeqExpr(e(a), e(b)))
   def minhashSig(h1: Column, h2: Column, k: Int, prime: Long): Column =
     ColumnBridge.column(MinhashSigExpr(e(h1), e(h2), k, prime))
 }

@@ -19,8 +19,15 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Sequential-order dot product of two double-array columns. */
+  /** Sequential-order dot product of two double-array columns — a native
+    * codegen expression whose left-to-right fold is bit-identical to the
+    * aggregate(zip_with) formulation below (and to the oracle's
+    * list_sum). */
   def dot(a: Column, b: Column): Column =
+    graft.functions.NativeExpressions.dotSeq(a, b)
+
+  /** Built-in-functions formulation of [[dot]] (cross-check). */
+  def dotBuiltin(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** L2 norm (sqrt is correctly rounded per IEEE — portable). */

@@ -66,6 +66,19 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkSuite {
     assert(sig.filter(col("nat") =!= col("ref")).count() == 0)
   }
 
+  test("native sequential dot product is bit-identical to the fold form") {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val v = graft.ops.Similarity.vectors(vecs, "vec_id", "embedding").localCheckpoint(true)
+    val a = v.withColumnRenamed("vec_id", "ida").withColumnRenamed("v", "va")
+    val b = v.withColumnRenamed("vec_id", "idb").withColumnRenamed("v", "vb")
+    val pairs = a.join(b, col("idb") === col("ida") + 1)
+      .select(
+        graft.ops.Similarity.dot(col("va"), col("vb")).as("nat"),
+        graft.ops.Similarity.dotBuiltin(col("va"), col("vb")).as("ref"))
+    assert(pairs.filter(col("nat") =!= col("ref")).count() == 0)
+    assert(pairs.count() > 0)
+  }
+
   test("native expressions run inside whole-stage codegen") {
     // parquet-backed input so the projection cannot constant-fold away
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
