@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.graftbridge.{ColumnBridge, TypeCheckBridge}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.core.{Hashing, RabinFingerprint}
@@ -95,17 +96,33 @@ object NativeFns {
   * (SURVEY §7.3: promote UDFs to Expressions). Unlike a Scala UDF, these
   * stay inside WholeStageCodegen: null checks are generated, inputs stay
   * UTF8String (no Row boxing), and the call is a static invoke. */
-abstract class NativeUnary(fn: String, out: DataType)
+abstract class NativeUnary(fn: String, in: DataType, out: DataType)
     extends UnaryExpression with Serializable {
   override def dataType: DataType = out
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeCheckBridge.check(prettyName, Seq(in), Seq(child.dataType))
   override def prettyName: String = fn
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.NativeFns.$fn($c)")
 }
 
+/** Binary counterpart — declares input types so a misuse like
+  * `jaccard3(42, x)` fails at analysis time, not with a codegen
+  * ClassCastException mid-job. */
+abstract class NativeBinary(fn: String, in: Seq[DataType], out: DataType)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with Serializable {
+  override def dataType: DataType = out
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeCheckBridge.check(prettyName, in, Seq(left.dataType, right.dataType))
+  override def prettyName: String = fn
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.NativeFns.$fn($a, $b)")
+}
+
 /** 64-bit Rabin fingerprint of a string (FPGenerator.std64 parity). */
 case class RabinFp64Expr(child: Expression)
-    extends NativeUnary("rabinFp64", LongType) {
+    extends NativeUnary("rabinFp64", StringType, LongType) {
   override protected def nullSafeEval(input: Any): Any =
     NativeFns.rabinFp64(input.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(c: Expression): RabinFp64Expr = copy(child = c)
@@ -113,7 +130,7 @@ case class RabinFp64Expr(child: Expression)
 
 /** 64-bit SimHash of a text (util/SimHash.java:52 semantics). */
 case class Simhash64Expr(child: Expression)
-    extends NativeUnary("simhash64", LongType) {
+    extends NativeUnary("simhash64", StringType, LongType) {
   override protected def nullSafeEval(input: Any): Any =
     NativeFns.simhash64(input.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(c: Expression): Simhash64Expr = copy(child = c)
@@ -121,7 +138,7 @@ case class Simhash64Expr(child: Expression)
 
 /** The 20 C(6,3) LSH band keys of a simhash (DeduperUtils.java:199-300). */
 case class BandKeysExpr(child: Expression)
-    extends NativeUnary("bandKeys", ArrayType(LongType, containsNull = false)) {
+    extends NativeUnary("bandKeys", LongType, ArrayType(LongType, containsNull = false)) {
   override protected def nullSafeEval(input: Any): Any =
     NativeFns.bandKeys(input.asInstanceOf[Long])
   override protected def withNewChildInternal(c: Expression): BandKeysExpr = copy(child = c)
@@ -129,8 +146,8 @@ case class BandKeysExpr(child: Expression)
 
 /** Distinct 3-char shingles of a text (Shingle.java:32-47 semantics). */
 case class Shingles3Expr(child: Expression)
-    extends NativeUnary("shingles3",
-      ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)) {
+    extends NativeUnary("shingles3", StringType,
+      ArrayType(StringType, containsNull = false)) {
   override protected def nullSafeEval(input: Any): Any =
     NativeFns.shingles3(input.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(c: Expression): Shingles3Expr = copy(child = c)
@@ -138,34 +155,29 @@ case class Shingles3Expr(child: Expression)
 
 /** Exact shingle-set Jaccard (Shingle.jaccard_similarity_coeff). */
 case class Jaccard3Expr(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with Serializable {
-  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
-  override def prettyName: String = "jaccard3"
+    extends NativeBinary("jaccard3",
+      Seq(ArrayType(StringType), ArrayType(StringType)), DoubleType) {
   override protected def nullSafeEval(a: Any, b: Any): Any =
     NativeFns.jaccard3(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.NativeFns.jaccard3($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Jaccard3Expr =
     copy(left = l, right = r)
 }
 
 /** Sequential dot product of two double arrays. */
 case class DotSeqExpr(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with Serializable {
-  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+    extends NativeBinary("dotSeq",
+      Seq(ArrayType(DoubleType), ArrayType(DoubleType)), DoubleType) {
   override def prettyName: String = "dot_seq"
   override protected def nullSafeEval(a: Any, b: Any): Any =
     NativeFns.dotSeq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.NativeFns.dotSeq($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotSeqExpr =
     copy(left = l, right = r)
 }
 
 /** MinHash signature from the two 40-bit base-hash arrays. */
 case class MinhashSigExpr(left: Expression, right: Expression, k: Int, prime: Long)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with Serializable {
-  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+    extends NativeBinary("minhashSig",
+      Seq(ArrayType(LongType), ArrayType(LongType)), ArrayType(LongType, containsNull = true)) {
   override def prettyName: String = "minhash_sig"
   override protected def nullSafeEval(a: Any, b: Any): Any =
     NativeFns.minhashSig(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], k, prime)

@@ -41,6 +41,11 @@ object CrawlDb {
     * exercisable on small test data). */
   val MaxSrcSamples = 100
 
+  /** Bias added to `unix_millis(link_date)` before zero-padding the
+    * latest-link ordinal, so negative (pre-1970) millis don't break the
+    * lexicographic order of the padded string. */
+  val OrdMillisBias = 500000000000000L
+
   /** Tag-union the status stream and the link stream into one row shape.
     *
     * `status` columns: key, status, priority, attempt_ts.
@@ -85,10 +90,14 @@ object CrawlDb {
     val typeAndRel = when(isL, concat(col("link_type"), lit("/"), col("link_rel")))
     // deterministic latest-link ordinal: equal ordinals ⇒ equal values.
     // Stored on the merged record (latest_link_ord) so a later
-    // incremental re-merge can continue the max exactly.
+    // incremental re-merge can continue the max exactly. Millis are
+    // biased by +5e14 before zero-padding so pre-1970 (negative) dates
+    // still sort correctly as strings; the bias keeps every timestamp in
+    // [-13800 BCE, 15000 CE] a positive 15-digit number.
     val ord = coalesce(
       concat(
-        lpad(unix_millis(col("link_date")).cast("string"), 15, "0"),
+        lpad((unix_millis(col("link_date")) + CrawlDb.OrdMillisBias)
+          .cast("string"), 15, "0"),
         lit("|"), typeAndRel,
         lit("|"), lpad(col("link_src").cast("string"), 12, "0")),
       lit(""))

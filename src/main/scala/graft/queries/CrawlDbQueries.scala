@@ -19,6 +19,15 @@ object CrawlDbQueries {
     * 100 ext-URL samples; lineitem has ≤13 lines per key). */
   private val SrcCap = 3
 
+  /** The driver's oracle gate sorts result columns in pandas, which cannot
+    * hash ndarray cells — so the registered queries serialize the sample
+    * lists to comma-joined strings (identically on the DuckDB side). The
+    * op itself ([[CrawlDb.merge]]) keeps returning real arrays. */
+  private def stringifyLists(df: DataFrame): DataFrame =
+    df.withColumn("type_and_rels", array_join(col("type_and_rels"), ","))
+      .withColumn("src_samples",
+        array_join(col("src_samples").cast("array<string>"), ","))
+
   private def statusOf(s: SparkSession, dir: String, pred: Option[String]): DataFrame = {
     val o = Registry.table(s, dir, "orders")
     pred.fold(o)(o.filter(_)).select(
@@ -57,8 +66,8 @@ object CrawlDbQueries {
       |)""".stripMargin
 
   private val OrdSql =
-    """COALESCE(
-      |  lpad(CAST(epoch_ms(link_date) AS VARCHAR), 15, '0')
+    s"""COALESCE(
+      |  lpad(CAST(epoch_ms(link_date) + ${CrawlDb.OrdMillisBias} AS VARCHAR), 15, '0')
       |    || '|' || (link_type || '/' || link_rel)
       |    || '|' || lpad(CAST(link_src AS VARCHAR), 12, '0'), '')""".stripMargin
 
@@ -82,12 +91,12 @@ object CrawlDbQueries {
              MAX($OrdSql) AS latest_link_ord,
              CASE WHEN MAX($OrdSql) <> ''
                   THEN string_split(MAX($OrdSql), '|')[2] END AS latest_link,
-             COALESCE(list_slice(list_sort(list_distinct(
+             COALESCE(array_to_string(list_slice(list_sort(list_distinct(
                  list(link_type || '/' || link_rel) FILTER (tag = 'link'))), 1, ${CrawlDb.MaxTypeSamples}),
-               []::VARCHAR[]) AS type_and_rels,
-             COALESCE(list_slice(list_sort(list_distinct(
+               ','), '') AS type_and_rels,
+             COALESCE(array_to_string(list_transform(list_slice(list_sort(list_distinct(
                  list(link_src) FILTER (tag = 'link'))), 1, $SrcCap),
-               []::BIGINT[]) AS src_samples,
+               x -> CAST(x AS VARCHAR)), ','), '') AS src_samples,
              COUNT(DISTINCT CASE WHEN tag = 'link' THEN link_src END) > $SrcCap AS src_truncated,
              SUM(CASE WHEN tag = 'link' THEN qty ELSE 0.0 END) AS sum_qty
       FROM u
@@ -99,9 +108,9 @@ object CrawlDbQueries {
     Q(
       "c1_crawldb_merge",
       (s, dir) =>
-        CrawlDb.withLatestLink(
+        stringifyLists(CrawlDb.withLatestLink(
             CrawlDb.merge(statusOf(s, dir, None), linksOf(s, dir, None),
-              maxSrcSamples = SrcCap))
+              maxSrcSamples = SrcCap)))
           .orderBy("url_key"),
       Some(MergeSql),
     ),
@@ -123,8 +132,8 @@ object CrawlDbQueries {
           statusOf(s, dir, Some(s"o_orderdate >= $cut")),
           linksOf(s, dir, Some(s"l_shipdate >= $cut")),
           maxSrcSamples = SrcCap)
-        CrawlDb.withLatestLink(
-            CrawlDb.combineMerged(oldDb, delta, maxSrcSamples = SrcCap))
+        stringifyLists(CrawlDb.withLatestLink(
+            CrawlDb.combineMerged(oldDb, delta, maxSrcSamples = SrcCap)))
           .orderBy("url_key")
       },
       Some(MergeSql),

@@ -9,12 +9,14 @@ import graft.ops.Dedupe
   * engine-portable, so the DuckDB oracle runs the SAME algorithm — candidate
   * generation included — and must agree exactly, not just on verified pairs.
   *
-  * Hashing discipline: each shingle gets a chained-md5 digest
-  * (Dedupe.shingleDigests) and the k minhash functions are disjoint
-  * 4-hex-char windows of it — ~k/8 md5 calls per shingle, so raising k
-  * (which is what kills false candidates on high-background-similarity
-  * corpora) costs almost nothing. The LSH curve is sized to the corpus:
-  * 6 bands × 12 rows keeps the noise fire rate at j≈0.6 under 1%.
+  * Hashing discipline: each shingle gets TWO 40-bit md5-derived base
+  * hashes (Dedupe.shingleHash40, tags "1"/"2") and the k minhash functions are
+  * Kirsch-Mitzenmacher double hashes `(h1 + j·h2) mod (2^40 - 87)` — two
+  * md5 calls per shingle total, so raising k (which is what kills false
+  * candidates on high-background-similarity corpora) costs almost
+  * nothing; the prime modulus is load-bearing for independence. The LSH
+  * curve is sized to the corpus: 6 bands × 12 rows keeps the noise fire
+  * rate at j≈0.6 under 1%.
   */
 object DedupeQueries {
 

@@ -107,12 +107,18 @@ object GraphQueries {
     Q(
       "g3_inverse_linkdb",
       (s, dir) =>
+        // src_domains serialized to a comma-joined string: the driver's
+        // pandas-based gate cannot sort/hash ndarray cells.
         LinkGraph.inverseLinkDb(edges(s, dir), InvCap)
+          .withColumn("src_domains",
+            array_join(col("src_domains").cast("array<string>"), ","))
           .orderBy("dst_domain"),
       Some(s"""
         WITH $EdgesCte
         SELECT dst_domain,
-               list_slice(list_sort(list_distinct(list(src_domain))), 1, $InvCap) AS src_domains,
+               array_to_string(list_transform(
+                 list_slice(list_sort(list_distinct(list(src_domain))), 1, $InvCap),
+                 x -> CAST(x AS VARCHAR)), ',') AS src_domains,
                COUNT(DISTINCT src_domain) > $InvCap AS src_truncated,
                CAST(SUM(n_links) AS BIGINT) AS n_inlinks
         FROM edges

@@ -68,10 +68,12 @@ object ListGenQueries {
           .filter(col("rn") <= UrlsPerHost)
           .groupBy(col("o_custkey").as("host"))
           .agg(
-            // rn-ordered URL list: sort (rn, url) pairs, then project url
-            transform(
+            // rn-ordered URL list: sort (rn, url) pairs, then project url;
+            // comma-joined because the driver's pandas gate cannot
+            // sort/hash ndarray cells.
+            array_join(transform(
               array_sort(collect_list(struct(col("rn"), col("o_orderkey").as("url")))),
-              x => x.getField("url")).as("urls"),
+              x => x.getField("url")).cast("array<string>"), ",").as("urls"),
             count(lit(1)).as("n_urls"),
             max(col("o_totalprice")).as("max_rank"),
             min(col("o_totalprice")).as("min_rank"))
@@ -79,7 +81,8 @@ object ListGenQueries {
       },
       Some(s"""
         SELECT o_custkey AS host,
-               list(o_orderkey ORDER BY rn) AS urls,
+               array_to_string(list_transform(list(o_orderkey ORDER BY rn),
+                 x -> CAST(x AS VARCHAR)), ',') AS urls,
                COUNT(*) AS n_urls,
                MAX(o_totalprice) AS max_rank,
                MIN(o_totalprice) AS min_rank

@@ -52,17 +52,20 @@ object MiscQueries {
           .filter(col("l_orderkey") < 200)
           .groupBy(col("l_orderkey"))
           .agg(
-            transform(
+            // comma-joined (not a raw array): the driver's pandas gate
+            // cannot sort/hash ndarray cells.
+            array_join(transform(
               array_sort(collect_list(struct(
                 col("l_shipdate"), col("l_linenumber"), col("l_partkey"),
                 col("l_returnflag")))),
-              x => x.getField("l_returnflag")).as("flags_in_order"),
+              x => x.getField("l_returnflag")), ",").as("flags_in_order"),
             count(lit(1)).as("n"))
           .orderBy(col("l_orderkey")),
       Some("""
         SELECT l_orderkey,
-               list(l_returnflag ORDER BY l_shipdate, l_linenumber, l_partkey, l_returnflag)
-                 AS flags_in_order,
+               array_to_string(
+                 list(l_returnflag ORDER BY l_shipdate, l_linenumber, l_partkey, l_returnflag),
+                 ',') AS flags_in_order,
                COUNT(*) AS n
         FROM lineitem
         WHERE l_orderkey < 200

@@ -50,15 +50,31 @@ object RiceCoding {
     }
   }
 
+  /** Unary-quotient cap: a quotient of `MaxQuotient` or more is written as
+    * an escape (`MaxQuotient` ones, a zero, then the full value in 64 raw
+    * bits) — the standard Rice/Golomb guard against outlier gaps, without
+    * which a single large value at small k degenerates to ~v unary bits
+    * (an OOM for v near 2^40). Legitimate quotients are always <
+    * `MaxQuotient`, so decode is unambiguous. */
+  val MaxQuotient = 48
+
   /** Encode non-negative values with Rice parameter k. */
   def encode(values: Seq[Long], k: Int): Array[Byte] = {
     val w = new BitWriter
     values.foreach { v =>
       require(v >= 0, s"rice coding requires non-negative values, got $v")
-      var q = v >>> k
-      while (q > 0) { w.writeBit(1); q -= 1 }
-      w.writeBit(0)
-      w.writeBits(v, k)
+      val q = v >>> k
+      if (q >= MaxQuotient) {
+        var i = 0
+        while (i < MaxQuotient) { w.writeBit(1); i += 1 }
+        w.writeBit(0)
+        w.writeBits(v, 64)
+      } else {
+        var qq = q
+        while (qq > 0) { w.writeBit(1); qq -= 1 }
+        w.writeBit(0)
+        w.writeBits(v, k)
+      }
     }
     w.toBytes
   }
@@ -68,7 +84,8 @@ object RiceCoding {
     (0 until n).map { _ =>
       var q = 0L
       while (r.readBit() == 1) q += 1
-      (q << k) | r.readBits(k)
+      if (q == MaxQuotient) r.readBits(64)
+      else (q << k) | r.readBits(k)
     }
   }
 

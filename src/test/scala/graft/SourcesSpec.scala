@@ -81,6 +81,17 @@ class SourcesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("Rice coding: outlier quotients take the escape path in bounded space") {
+    // worst case pre-escape: 2^40 at k=0 would be ~10^12 unary bits (OOM);
+    // with the escape it's MaxQuotient+1+64 bits per value.
+    val vals = Seq(0L, 1L, (1L << 40) - 1, 1L << 40, Long.MaxValue)
+    for (k <- Seq(0, 1, 7, 20)) {
+      val enc = RiceCoding.encode(vals, k)
+      assert(RiceCoding.decode(enc, k, vals.length) == vals)
+      assert(enc.length <= vals.length * (RiceCoding.MaxQuotient + 1 + 64) / 8 + vals.length)
+    }
+  }
+
   test("Rice sorted-list codec: delta round trip, compression on dense lists") {
     val rnd = new Random(7)
     for (_ <- 1 to 40) {

@@ -35,9 +35,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             except TypeError:
                 pass
             df[c] = df[c].astype("datetime64[us]")
-        if df[c].dtype == object:
-            df[c] = df[c].map(
-                lambda v: tuple(v.tolist()) if hasattr(v, "tolist") else v)
+        # NOTE: no ndarray canonicalization here — the driver's gate sorts
+        # raw object columns with pandas, which throws on ndarray cells
+        # ("unhashable type"). Keeping this pre-flight as strict as the
+        # driver means array-valued result columns fail HERE first;
+        # queries must serialize arrays (array_join) before returning.
     if len(df):
         df = df.sort_values(by=list(df.columns), kind="mergesort")
     return df.reset_index(drop=True)
