@@ -79,12 +79,15 @@ object Similarity {
     val seeds = broadcast(
       v.filter(col("vec_id") < nSeeds)
         .select(col("vec_id").as("seed_id"), col("v").as("sv")))
-    // index: nearest seed per vector
+    // index: nearest seed per vector. Grouped by vec_id ALONE — the raw
+    // 64-dim vector must not be part of the shuffle key (hashing and
+    // comparing 512-byte keys); it rides inside the max_by struct instead.
     val assigned = v.join(seeds)
       .select(col("vec_id"), col("v"),
         col("seed_id"), cosOrd(cosine(col("v"), col("sv")), col("seed_id")).as("ord"))
-      .groupBy(col("vec_id"), col("v"))
-      .agg(max_by(col("seed_id"), col("ord")).as("cell"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("seed_id").as("cell"), col("v")), col("ord")).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"), col("best.v").as("v"))
     // probe plan: the nProbeCells nearest cells per probe
     val probeCells = v.filter(col("vec_id") < probeMax).join(seeds)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),

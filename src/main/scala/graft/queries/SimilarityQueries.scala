@@ -11,12 +11,40 @@ import graft.ops.Similarity
 object SimilarityQueries {
 
   private val Dims = 64
-  private val LshBits = 8
+  private val LshBits = 8 // per-band width for the BANDED queries (ss3)
   private val NdBands = 4 // ss3 banded-LSH bands
   private val TopK = 5
   private val ProbeMax = 10 // probe set = vec_id < 10
-  private val IvfSeeds = 32 // ss4 codebook size (√n-ish at test scale)
   private val IvfProbeCells = 2 // ss4 nprobe
+
+  /** ss2 signature width cap (the oracle embeds hyperplane literals up to
+    * this many bits and gates each on the dynamic width). */
+  private val MaxLshBits = 16
+
+  /** ss2 signature width: ≈log₂(corpus), floor 8, cap [[MaxLshBits]].
+    * With 2^bits ≈ n buckets the expected bucket occupancy is O(1), so the
+    * per-bucket self-join stays O(n) total however big n gets — the fixed
+    * 8-bit version had an O(n²/256) ceiling. Multi-probe (bits+1 probes)
+    * keeps recall decoupled from the resulting bucket sparsity. The 1e-9
+    * guard makes ceil agree across engines when log2(n) lands on an
+    * integer up to float error. */
+  def lshBitsFor(n: Long): Int =
+    math.min(MaxLshBits,
+      math.max(8, math.ceil(math.log(n.toDouble) / math.log(2.0) - 1e-9).toInt))
+
+  /** ss4 codebook size: ⌊√n⌋ — cells O(√n) vectors each, the standard IVF
+    * balance between codebook scan and cell scan. Same 1e-9 guard. */
+  def ivfSeedsFor(n: Long): Int =
+    math.max(2, math.floor(math.sqrt(n.toDouble) + 1e-9).toInt)
+
+  /** DuckDB twin of the sizing formulas, as a one-row params CTE. */
+  private val ParamsCte =
+    s"""params AS (
+       |  SELECT LEAST($MaxLshBits, GREATEST(8,
+       |           CAST(ceil(log2(count(*)) - 1e-9) AS INT))) AS bits,
+       |         GREATEST(2, CAST(floor(sqrt(count(*)) + 1e-9) AS BIGINT)) AS n_seeds
+       |  FROM embeddings
+       |)""".stripMargin
 
   /** DuckDB fragment: cosine between a.v and b.v (sequential double sums). */
   private def cosSql(a: String, b: String): String = {
@@ -27,12 +55,24 @@ object SimilarityQueries {
 
   /** DuckDB fragment: hyperplane LSH signature bits
     * [8*band, 8*band+8) of the global family, same plan-time sign
-    * constants as the Spark plan (band 0 = the ss2 signature). */
+    * constants as the Spark plan (used by the banded ss3 query). */
   private def sigSql(band: Int = 0): String = {
     val h = Similarity.hyperplanes(Dims, LshBits * (band + 1))
     (0 until LshBits).map { i =>
       val lits = h(band * LshBits + i).map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ",", "]")
       s"(CASE WHEN list_sum([v[i] * ($lits)[i] for i in range(1, ${Dims + 1})]) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
+  /** DuckDB fragment: corpus-sized ss2 signature — hyperplane literals for
+    * all [[MaxLshBits]] bits, each term gated on the dynamic `bits` from
+    * the params CTE, so the SQL stays static while the width tracks the
+    * corpus exactly like the Spark plan. */
+  private def sigSqlDyn: String = {
+    val h = Similarity.hyperplanes(Dims, MaxLshBits)
+    (0 until MaxLshBits).map { i =>
+      val lits = h(i).map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"(CASE WHEN $i < bits AND list_sum([v[i] * ($lits)[i] for i in range(1, ${Dims + 1})]) >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
   }
 
@@ -60,21 +100,28 @@ object SimilarityQueries {
         ORDER BY probe_id, rank
       """.trim),
     ),
-    // ANN: random-hyperplane LSH buckets, exact cosine within bucket
+    // ANN: random-hyperplane LSH buckets, exact cosine within bucket.
+    // Signature width is sized to the corpus (lshBitsFor) so bucket
+    // occupancy stays O(1) at any scale; the oracle computes the same
+    // width from count(*) in its params CTE.
     Q(
       "ss2_lsh_ann",
-      (s, dir) =>
+      (s, dir) => {
+        val n = Registry.table(s, dir, "embeddings").count()
         Similarity.multiProbeTopK(Registry.table(s, dir, "embeddings"),
-            "vec_id", "embedding", Dims, LshBits, TopK)
-          .orderBy("probe_id", "rank"),
+            "vec_id", "embedding", Dims, lshBitsFor(n), TopK)
+          .orderBy("probe_id", "rank")
+      },
       Some(s"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        sig AS (SELECT vec_id, v, ${sigSql()} AS sig FROM e),
+        $ParamsCte,
+        sig AS (SELECT vec_id, v, $sigSqlDyn AS sig FROM e, params),
         probes AS (
           SELECT vec_id AS probe_id, v,
                  CASE WHEN f = 0 THEN sig
                       ELSE xor(sig, (1::BIGINT << (f - 1))) END AS psig
-          FROM sig, (SELECT unnest(range(0, ${LshBits + 1})) AS f)
+          FROM sig, params, (SELECT unnest(range(0, ${MaxLshBits + 1})) AS f)
+          WHERE f <= bits
         ),
         cand AS (
           SELECT a.probe_id, b.vec_id AS neighbor_id,
@@ -114,21 +161,24 @@ object SimilarityQueries {
       """.trim),
     ),
 
-    // IVF-style ANN: fixed sampled codebook (ids < IvfSeeds), each vector
-    // indexed to its nearest seed cell, probes scan their nprobe=2
-    // nearest cells with exact-cosine ranking. The oracle replays
-    // indexing, probe planning, and search.
+    // IVF-style ANN: sampled codebook of ⌊√n⌋ seed vectors (ivfSeedsFor),
+    // each vector indexed to its nearest seed cell, probes scan their
+    // nprobe=2 nearest cells with exact-cosine ranking. The oracle replays
+    // indexing, probe planning, and search with the same √n codebook.
     Q(
       "ss4_ivf_ann",
-      (s, dir) =>
+      (s, dir) => {
+        val n = Registry.table(s, dir, "embeddings").count()
         Similarity.ivfTopK(Registry.table(s, dir, "embeddings"),
             "vec_id", "embedding",
-            nSeeds = IvfSeeds, nProbeCells = IvfProbeCells,
+            nSeeds = ivfSeedsFor(n), nProbeCells = IvfProbeCells,
             probeMax = ProbeMax, k = TopK)
-          .orderBy("probe_id", "rank"),
+          .orderBy("probe_id", "rank")
+      },
       Some(s"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        seeds AS (SELECT vec_id AS seed_id, v FROM e WHERE vec_id < $IvfSeeds),
+        $ParamsCte,
+        seeds AS (SELECT vec_id AS seed_id, v FROM e, params WHERE vec_id < n_seeds),
         vs AS (
           SELECT a.vec_id, s.seed_id, ${cosSql("a", "s")} AS cos
           FROM e a, seeds s
