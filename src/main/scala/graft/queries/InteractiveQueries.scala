@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Interactive query surface (SURVEY §2.11) — the reference's query-server
@@ -114,6 +115,42 @@ object InteractiveQueries {
         WHERE o_orderpriority = '1-URGENT'
         ORDER BY o_orderdate ASC, o_orderkey ASC
         LIMIT 25 OFFSET 75
+      """.stripMargin.trim),
+    ),
+
+    // Q5 ContentQuery (the content half): archived bytes are served by an
+    // (archive_file, byte_offset) lookup — the reference resolves a URL
+    // fingerprint to its stored location and seeks (MasterServer content
+    // fetch; queryserver detail query). The real seekable index over ARC
+    // members is ArcSource.readIndex/fetchRecordAt (SourcesSpec
+    // round-trips it); this oracle analog replays the index layout over
+    // `documents`: one archive per source, offsets = running byte sums in
+    // doc_id order, and the fetched content identity checked via md5.
+    Q(
+      "i7_content_fetch",
+      (s, dir) => {
+        val w = Window.partitionBy(col("arc_file")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Registry.table(s, dir, "documents")
+          .select(col("doc_id"), col("source").as("arc_file"),
+            octet_length(col("text")).cast("long").as("content_len"), col("text"))
+          .withColumn("byte_offset", coalesce(sum(col("content_len")).over(w), lit(0L)))
+          .filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id"), col("arc_file"), col("byte_offset"),
+            col("content_len"), md5(col("text").cast("binary")).as("content_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, arc_file, byte_offset, content_len, content_md5 FROM (
+          SELECT doc_id, source AS arc_file,
+                 CAST(COALESCE(SUM(strlen(text)) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS byte_offset,
+                 CAST(strlen(text) AS BIGINT) AS content_len,
+                 md5(text) AS content_md5
+          FROM documents)
+        WHERE doc_id % 97 = 0
+        ORDER BY doc_id
       """.stripMargin.trim),
     ),
   )

@@ -90,6 +90,84 @@ object ArcSource {
       .filter(r => !r.url.startsWith("filedesc://"))
   }
 
+  /** One row of the archive content index: where a record's bytes live.
+    * The reference's query server serves archived page content by exactly
+    * this (archive file, byte offset) pair — the detail/content query
+    * resolves a URL fingerprint to the stored location and seeks
+    * (service/queryserver semantics; ArcFileReader seeks members). */
+  final case class ArcIndexEntry(
+      url: String,
+      arcFile: String,
+      offset: Long,
+      compressedLength: Long,
+      mimeType: String,
+      length: Long,
+  )
+
+  /** Length of the gzip member header starting at `off` (RFC 1952:
+    * 10 fixed bytes + optional FEXTRA/FNAME/FCOMMENT/FHCRC fields). */
+  private def gzipHeaderLength(b: Array[Byte], off: Int): Int = {
+    require((b(off) & 0xff) == 0x1f && (b(off + 1) & 0xff) == 0x8b,
+      s"not a gzip member at offset $off")
+    val flg = b(off + 3) & 0xff
+    var p = off + 10
+    if ((flg & 4) != 0) { val xlen = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8); p += 2 + xlen }
+    if ((flg & 8) != 0) { while (b(p) != 0) p += 1; p += 1 }
+    if ((flg & 16) != 0) { while (b(p) != 0) p += 1; p += 1 }
+    if ((flg & 2) != 0) p += 2
+    p - off
+  }
+
+  /** (offset, compressedLength) span of every gzip member in a multi-member
+    * archive — the seekable positions a content fetch can jump to. Inflates
+    * each member once (discarding output) to find its end; the 8 trailing
+    * bytes are the CRC32+ISIZE gzip trailer. */
+  def memberSpans(bytes: Array[Byte]): Seq[(Long, Long)] = {
+    val spans = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    var off = 0
+    while (off < bytes.length) {
+      val hdr = gzipHeaderLength(bytes, off)
+      val infl = new java.util.zip.Inflater(true)
+      infl.setInput(bytes, off + hdr, bytes.length - off - hdr)
+      val buf = new Array[Byte](8192)
+      while (!infl.finished()) {
+        val n = infl.inflate(buf)
+        if (n == 0 && infl.needsInput())
+          throw new java.io.EOFException(s"truncated gzip member at $off")
+      }
+      val consumed = hdr + infl.getBytesRead.toInt + 8
+      infl.end()
+      spans += ((off.toLong, consumed.toLong))
+      off += consumed
+    }
+    spans.toSeq
+  }
+
+  /** Point content fetch: parse the single record whose gzip member starts
+    * at `offset` — the random-access read the index entries point to. */
+  def fetchRecordAt(bytes: Array[Byte], offset: Long): ArcRecord =
+    parseArc(new ByteArrayInputStream(
+      bytes, offset.toInt, bytes.length - offset.toInt)).next()
+
+  /** Read ARC files into the content index (one entry per record, version
+    * blocks dropped). Each file is one task; member spans are discovered
+    * by streaming inflation, so the index build is a single scan. */
+  def readIndex(spark: SparkSession, path: String): Dataset[ArcIndexEntry] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.arc.gz")
+      .load(path)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .flatMap { case (file, bytes) =>
+        memberSpans(bytes).iterator.flatMap { case (off, clen) =>
+          val rec = fetchRecordAt(bytes, off)
+          if (rec.url.startsWith("filedesc://")) None
+          else Some(ArcIndexEntry(rec.url, file, off, clen, rec.mimeType, rec.length))
+        }
+      }
+  }
+
   /** Writer for tests/fixtures: one gzip member per record. */
   def writeArc(records: Seq[ArcRecord], withVersionBlock: Boolean = true): Array[Byte] = {
     val out = new ByteArrayOutputStream()

@@ -43,6 +43,38 @@ class SourcesSpec extends AnyFunSuite with SparkSuite {
     assert(got == arcRecords.map(_.url).toSet)
   }
 
+  test("ARC: content index round-trips offsets to record bytes") {
+    val bytes = ArcSource.writeArc(arcRecords)
+    val spans = ArcSource.memberSpans(bytes)
+    assert(spans.length == 4) // version block + 3 records
+    // spans tile the file exactly
+    assert(spans.head._1 == 0L)
+    assert(spans.map(s => s._1 + s._2).max == bytes.length.toLong)
+    spans.zip(spans.tail).foreach { case ((o1, l1), (o2, _)) => assert(o1 + l1 == o2) }
+    // a point fetch at each indexed offset returns that record's bytes
+    spans.tail.zip(arcRecords).foreach { case ((off, _), want) =>
+      val got = ArcSource.fetchRecordAt(bytes, off)
+      assert(got.url == want.url)
+      assert(got.content.toSeq == want.content.toSeq)
+    }
+  }
+
+  test("ARC: distributed index build via binaryFile scan") {
+    val dir = Files.createTempDirectory("arc_idx_test")
+    Files.write(dir.resolve("part-000.arc.gz"), ArcSource.writeArc(arcRecords.take(2)))
+    Files.write(dir.resolve("part-001.arc.gz"), ArcSource.writeArc(arcRecords.drop(2)))
+    val idx = ArcSource.readIndex(spark, dir.toString).collect()
+    assert(idx.map(_.url).toSet == arcRecords.map(_.url).toSet)
+    assert(idx.forall(_.compressedLength > 0))
+    // fetch through the index: read the file named in the entry, seek
+    idx.foreach { e =>
+      val raw = Files.readAllBytes(java.nio.file.Paths.get(new java.net.URI(e.arcFile)))
+      val rec = ArcSource.fetchRecordAt(raw, e.offset)
+      assert(rec.url == e.url)
+      assert(rec.length == e.length)
+    }
+  }
+
   // ---- S9: Wikipedia XML source ----
 
   test("Wikipedia XML: page-per-record split with entity unescape") {
