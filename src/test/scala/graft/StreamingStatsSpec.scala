@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -51,6 +52,68 @@ class StreamingStatsSpec extends AnyFunSuite with SparkSuite {
       .collect()
       .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
       .toSeq
+
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
+
+  test("streaming session_window == batch gap-based sessionization") {
+    // same parity discipline as the hourly test, for st5's sessionization.
+    // Boundary note: session_window starts a NEW session when the gap is
+    // exactly the timeout (windows are half-open), so the batch twin here
+    // uses `gap >= 30 min`; st5's registered query uses `>` — identical on
+    // this data (micro-precision timestamps never land on the boundary).
+    val path = java.nio.file.Files.createTempDirectory("events_sess").toString
+    graft.queries.Registry.table(spark, sfDir, "events")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+    val schema = spark.read.parquet(path).schema
+
+    val streamed = spark.readStream
+      .schema(schema)
+      .parquet(path)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        // window end = last event + timeout; subtract it back to the
+        // last-event timestamp so the tuple matches the batch fold
+        (col("session_window.end") - expr("INTERVAL 30 MINUTES")).as("session_end"),
+        col("n_events"))
+
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName("session_stream")
+      .outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+    }
+
+    val got = spark.table("session_stream")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val newSession = when(
+      unix_millis(col("ts")) -
+        unix_millis(lag(col("ts"), 1).over(byUser)) >= 1800000L, 1L)
+      .otherwise(when(lag(col("ts"), 1).over(byUser).isNull, 1L).otherwise(0L))
+    val want = graft.queries.Registry.table(spark, sfDir, "events")
+      .withColumn("new_s", newSession)
+      .withColumn("session_idx",
+        sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
 
     assert(got.nonEmpty)
     assert(got == want)
