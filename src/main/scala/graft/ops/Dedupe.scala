@@ -310,19 +310,18 @@ object Dedupe {
     * min-label propagation (reference G4: DeduperUtils.SetUnionFinder,
     * Stage2Reducer) — the distributed union-find for dedupe clusters.
     * Converges in O(log n) rounds on dedupe-cluster-shaped graphs; each
-    * round is one shuffle. Checkpoint-free because cluster diameters are
-    * tiny (bounded by LSH bucket chains). */
+    * round is one shuffle, with lineage truncated per round (reliable
+    * checkpoints when `checkpointDir` is set — see [[Iterative]]). */
   def connectedComponents(pairs: DataFrame, a: String = "doc_a", b: String = "doc_b",
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
+    val mat = Iterative.materializer(pairs.sparkSession, checkpointDir)
     // undirected edge list, both directions
-    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
+    val edges = mat(pairs.select(col(a).as("src"), col(b).as("dst"))
       .union(pairs.select(col(b).as("src"), col(a).as("dst")))
+      .distinct()) // materialize once; iterations re-read, not re-derive
+    var labels = mat(edges.select(col("src").as("id"))
       .distinct()
-      .localCheckpoint(true) // materialize once; iterations re-read, not re-derive
-    var labels = edges.select(col("src").as("id"))
-      .distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .withColumn("label", col("id")))
     // labels are monotonically non-increasing, so sum(label) strictly
     // decreases iff any label changed — convergence detection rides on the
     // same single-row action that materializes the iteration, with no extra
@@ -338,12 +337,12 @@ object Dedupe {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nbr_label"))
-      val next = labels
+      val next = mat(labels
         .join(neighborMin, Seq("id"), "left")
         .select(
           col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint(true) // truncate lineage every round
+      ) // truncate lineage every round
       val nextSum = labelSum(next)
       labels = next
       converged = nextSum == prevSum

@@ -26,9 +26,9 @@ import org.apache.spark.sql.functions._
   * accumulated mass).
   *
   * Scale notes: the edge set (with out-degree and the source-super flag
-  * pre-joined) is materialized once via localCheckpoint and reused every
-  * iteration; each iteration's ranks are checkpointed so lineage stays
-  * flat. Per iteration: one shuffle join (ranks by domain) + two
+  * pre-joined) is materialized once and reused every iteration; each
+  * iteration's ranks are checkpointed so lineage stays flat (reliable
+  * checkpoints when `checkpointDir` is set — see [[Iterative]]). Per iteration: one shuffle join (ranks by domain) + two
   * aggregations + one left join — the same shape the reference's
   * distribute/calculate phases hand-implement over TCP.
   */
@@ -38,22 +38,25 @@ object PageRank {
 
   /** `edges`: src_domain, src_root, dst_domain, dst_root (distinct).
     * `superRoots`: one `root` column. Returns (domain, root, rank_u).
+    * `checkpointDir`: when set, per-iteration state goes through reliable
+    * `checkpoint()` instead of executor-local blocks (see [[Iterative]]) —
+    * required for fault tolerance on a real cluster.
     */
-  def run(edges: DataFrame, superRoots: DataFrame, iters: Int): DataFrame = {
-    val nodes = edges.select(col("src_domain").as("domain"), col("src_root").as("root"))
+  def run(edges: DataFrame, superRoots: DataFrame, iters: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val mat = Iterative.materializer(edges.sparkSession, checkpointDir)
+    val nodes = mat(edges.select(col("src_domain").as("domain"), col("src_root").as("root"))
       .unionByName(edges.select(col("dst_domain").as("domain"), col("dst_root").as("root")))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     val outdeg = edges.groupBy("src_domain").agg(count(lit(1)).as("outdeg"))
-    val e = edges
+    val e = mat(edges
       .join(outdeg, "src_domain")
       .join(broadcast(superRoots.select(col("root").as("sr"), lit(true).as("flag"))),
         col("src_root") === col("sr"), "left")
       .select(col("src_domain"), col("src_root"), col("dst_domain"),
-        col("outdeg"), coalesce(col("flag"), lit(false)).as("src_super"))
-      .localCheckpoint(true)
+        col("outdeg"), coalesce(col("flag"), lit(false)).as("src_super")))
 
-    var ranks = nodes.withColumn("rank_u", lit(Scale)).localCheckpoint(true)
+    var ranks = mat(nodes.withColumn("rank_u", lit(Scale)))
     for (_ <- 1 to iters) {
       val contribs = e
         .join(ranks.select(col("domain"), col("rank_u")),
@@ -66,13 +69,12 @@ object PageRank {
         .select(col("dst_domain"),
           when(col("src_super"), col("s")).otherwise(expr("s div c")).as("v"))
       val acc = perRoot.groupBy(col("dst_domain")).agg(sum(col("v")).as("acc"))
-      ranks = nodes
+      ranks = mat(nodes
         .join(acc, col("domain") === col("dst_domain"), "left")
         .select(col("domain"), col("root"),
           (lit(150000000000L) +
             expr("(coalesce(acc, 0) div 1000) * 850 + ((coalesce(acc, 0) % 1000) * 850) div 1000"))
-            .as("rank_u"))
-        .localCheckpoint(true)
+            .as("rank_u")))
     }
     ranks
   }

@@ -138,5 +138,46 @@ object CrawlDbQueries {
       },
       Some(MergeSql),
     ),
+
+    // Integration: link graph derived FROM the merged crawldb, mirroring
+    // the reference's pipeline order — LinkGraphDataEmitterJob consumes
+    // the merge output, not the raw streams. Edges are kept only for URLs
+    // whose MERGED status is fetched ('F'), and each edge carries the
+    // merged record's total degree (link_count), so the result provably
+    // depends on the fold's output columns, not just the raw link stream.
+    Q(
+      "c3_merged_linkgraph",
+      (s, dir) => {
+        val merged = CrawlDb.merge(statusOf(s, dir, None), linksOf(s, dir, None),
+            maxSrcSamples = SrcCap)
+          .filter(col("status") === "F")
+          .select(col("url_key"), col("link_count"))
+        linksOf(s, dir, None)
+          .join(merged, col("key") === col("url_key"))
+          .groupBy(col("link_src").as("src_domain"))
+          .agg(
+            count_distinct(col("key")).as("n_urls"),
+            sum(when(col("internal"), 1L).otherwise(0L)).as("n_internal"),
+            count(lit(1)).as("n_links"),
+            sum(col("link_count")).as("sum_url_degree"))
+          .orderBy(col("src_domain"))
+      },
+      Some(s"""
+        WITH lc AS (
+          SELECT l_orderkey AS key, COUNT(*) AS link_count FROM lineitem GROUP BY 1),
+        fetched AS (
+          SELECT o_orderkey AS key FROM orders WHERE o_orderstatus = 'F')
+        SELECT l_partkey AS src_domain,
+               COUNT(DISTINCT l_orderkey) AS n_urls,
+               CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_internal,
+               COUNT(*) AS n_links,
+               CAST(SUM(lc.link_count) AS BIGINT) AS sum_url_degree
+        FROM lineitem
+        JOIN fetched ON fetched.key = l_orderkey
+        JOIN lc ON lc.key = l_orderkey
+        GROUP BY 1
+        ORDER BY 1
+      """.trim),
+    ),
   )
 }
