@@ -116,12 +116,21 @@ object CrawlDb {
         max(ord).as("latest_link_ord"),
         slice(array_sort(collect_set(typeAndRel)), 1, maxTypeSamples)
           .as("type_and_rels"),
-        slice(array_sort(collect_set(when(isL, col("link_src")))), 1, maxSrcSamples)
-          .as("src_samples"),
-        (count_distinct(when(isL, col("link_src"))) > maxSrcSamples)
-          .as("src_truncated"),
+        // full distinct set collected once; the sample slice AND the
+        // truncation flag both derive from it below. A separate
+        // count_distinct would force an Expand (×2 row duplication
+        // through the aggregate) for a number the set already knows.
+        array_sort(collect_set(when(isL, col("link_src")))).as("src_set"),
         sum(when(isL, col("qty")).otherwise(0.0)).as("sum_qty"),
       )
+      .withColumn("src_samples", slice(col("src_set"), 1, maxSrcSamples))
+      .withColumn("src_truncated", size(col("src_set")) > maxSrcSamples)
+      .select( // canonical merged-record column order (combineMerged's)
+        col("url_key"), col("attempt_count"), col("status"), col("priority"),
+        col("first_attempt"), col("latest_attempt"), col("link_count"),
+        col("int_src_count"), col("ext_src_count"), col("earliest_link_date"),
+        col("latest_link_date"), col("latest_link_ord"), col("type_and_rels"),
+        col("src_samples"), col("src_truncated"), col("sum_qty"))
   }
 
   /** Human-readable latest link (type/rel of the max ordinal). */

@@ -44,11 +44,15 @@ object LinkGraph {
   def inverseLinkDb(edges: DataFrame, maxSources: Int): DataFrame =
     edges.groupBy(col("dst_domain"))
       .agg(
-        slice(array_sort(collect_set(col("src_domain"))), 1, maxSources)
-          .as("src_domains"),
-        (count_distinct(col("src_domain")) > maxSources).as("src_truncated"),
+        // one full distinct set; slice + truncation flag derived from it
+        // (a count_distinct alongside would force an Expand in the agg)
+        array_sort(collect_set(col("src_domain"))).as("src_set"),
         sum(col("n_links")).as("n_inlinks"),
       )
+      .select(col("dst_domain"),
+        slice(col("src_set"), 1, maxSources).as("src_domains"),
+        (size(col("src_set")) > maxSources).as("src_truncated"),
+        col("n_inlinks"))
 
   /** A3: the reference's domain-rank score
     * (GenDomainRankStep.calcualteScore, GenDomainRankStep.java:72-77):
