@@ -10,7 +10,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // untimed warmup: whichever query runs first would otherwise absorb
+    // JVM classloading + codegen-infra + parquet-footer startup (~7 s,
+    // observed on g4) and read as the slowest query in the suite.
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      graft.queries.Registry.table(spark, sfDir, t).count()
+    }
+    SparkEntry.queries.get("q1_agg").foreach { fn =>
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    }
+    // deterministic name order so per-query numbers are comparable
+    // across rounds (Map iteration order is arbitrary)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes every row end-to-end (count() would let
       // Catalyst drop final sorts/projections and undercount the work)
@@ -24,7 +36,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -41,9 +41,16 @@ object PageRank {
     * `checkpointDir`: when set, per-iteration state goes through reliable
     * `checkpoint()` instead of executor-local blocks (see [[Iterative]]) —
     * required for fault tolerance on a real cluster.
+    * `checkpointInterval`: materialize ranks every N iterations (1 = every
+    * iteration, the safe default for long chains at scale). Iterations in
+    * between stay lazy — each rank state is consumed exactly once by the
+    * next iteration, so an unmaterialized stretch pipelines as one job
+    * with no recomputation; for short chains that removes N-1 eager
+    * materialization barriers.
     */
   def run(edges: DataFrame, superRoots: DataFrame, iters: Int,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      checkpointInterval: Int = 1): DataFrame = {
     val mat = Iterative.materializer(edges.sparkSession, checkpointDir)
     val nodes = mat(edges.select(col("src_domain").as("domain"), col("src_root").as("root"))
       .unionByName(edges.select(col("dst_domain").as("domain"), col("dst_root").as("root")))
@@ -57,7 +64,7 @@ object PageRank {
         col("outdeg"), coalesce(col("flag"), lit(false)).as("src_super")))
 
     var ranks = mat(nodes.withColumn("rank_u", lit(Scale)))
-    for (_ <- 1 to iters) {
+    for (iter <- 1 to iters) {
       val contribs = e
         .join(ranks.select(col("domain"), col("rank_u")),
           col("src_domain") === col("domain"))
@@ -69,12 +76,13 @@ object PageRank {
         .select(col("dst_domain"),
           when(col("src_super"), col("s")).otherwise(expr("s div c")).as("v"))
       val acc = perRoot.groupBy(col("dst_domain")).agg(sum(col("v")).as("acc"))
-      ranks = mat(nodes
+      val next = nodes
         .join(acc, col("domain") === col("dst_domain"), "left")
         .select(col("domain"), col("root"),
           (lit(150000000000L) +
             expr("(coalesce(acc, 0) div 1000) * 850 + ((coalesce(acc, 0) % 1000) * 850) div 1000"))
-            .as("rank_u")))
+            .as("rank_u"))
+      ranks = if (iter % checkpointInterval == 0 && iter < iters) mat(next) else next
     }
     ranks
   }

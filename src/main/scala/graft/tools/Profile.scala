@@ -51,6 +51,24 @@ object Profile {
         .write.format("noop").mode("overwrite").save()
       0L
     }
+    // ---- g4 stages ----
+    val edges = graft.queries.GraphQueries.edges(spark, dir)
+    time("g4-edges")(edges.count())
+    val superRoots = graft.queries.Registry.table(spark, dir, "nation")
+      .filter(col("n_nationkey") < 5)
+      .select(col("n_nationkey").cast("long").as("root"))
+    time("g4-endtoend") {
+      graft.ops.LinkGraph.domainRank(edges, superRoots)
+        .orderBy("dst_domain")
+        .write.format("noop").mode("overwrite").save()
+      0L
+    }
+    time("g2-endtoend") {
+      graft.ops.LinkGraph.inlinkCounts(edges)
+        .orderBy("dst_domain")
+        .write.format("noop").mode("overwrite").save()
+      0L
+    }
     spark.stop()
   }
 }
