@@ -236,6 +236,13 @@ object RelationalQueries {
     // indexedByPR dual indexes collapse to two window functions).
     Q(
       "w3_dual_sort",
+      // CARDINALITY ASSUMPTION: the two global (unpartitioned)
+      // Window.orderBy's below move their input to ONE partition — safe
+      // only because the input is the 25-row per-nation aggregate, and
+      // still safe at 100 TB (nation count doesn't scale with data). On
+      // an unaggregated input this exact shape is a scale-killer: global
+      // rankings over large inputs must partition (zipWithIndex over a
+      // range-partitioned sort, or rank within partitions + offset).
       (s, dir) => {
         val perNation = table(s, dir, "customer")
           .join(broadcast(table(s, dir, "nation")),

@@ -47,4 +47,22 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("RLIKE(p_type"))
     assert(p.contains("PushedFilters: [IsNotNull(p_type)]"))
   }
+
+  test("crawldb fold and inverse link DB aggregate without an Expand") {
+    // truncation flags derive from the collected set; a count_distinct
+    // alongside the collect_set would re-introduce an Expand (×2 row
+    // duplication through the aggregate)
+    assert(!plan("c1_crawldb_merge").contains("Expand"))
+    assert(!plan("g3_inverse_linkdb").contains("Expand"))
+  }
+
+  test("IVF cell assignment shuffles on vec_id alone, not the raw vector") {
+    val p = plan("ss4_ivf_ann")
+    val partitionings = "hashpartitioning\\([^)]*\\)".r.findAllIn(p).toSeq
+    assert(partitionings.nonEmpty)
+    partitionings.foreach { hp =>
+      assert(!hp.contains(" v#"),
+        s"embedding vector leaked into a shuffle key: $hp")
+    }
+  }
 }
