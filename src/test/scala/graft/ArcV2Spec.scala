@@ -1,0 +1,105 @@
+package graft
+
+import java.io.ByteArrayInputStream
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{ArcRecord, ArcSource, GzipMembers}
+import graft.sources.v2.ArcScan
+
+class ArcV2Spec extends AnyFunSuite with SparkSuite {
+
+  private def rec(url: String, mime: String, body: String) =
+    ArcRecord(url, "10.0.0.1", "20240101120000", mime, body.length.toLong,
+      body.getBytes("UTF-8"))
+
+  private lazy val fixtures: (String, Seq[ArcRecord]) = {
+    val dir = Files.createTempDirectory("arcv2").toString
+    val a = Seq(
+      rec("http://a.com/", "text/html", "<html>alpha</html>"),
+      rec("http://a.com/img.png", "image/png", "PNGDATA" * 100),
+      rec("http://b.org/x", "text/html", "<html>beta</html>"),
+    )
+    val b = Seq(
+      rec("http://c.net/doc", "text/plain", "plain text " * 50),
+      rec("http://a.com/two", "text/html", "<html>gamma</html>"),
+    )
+    Files.write(Paths.get(dir, "one.arc.gz"), ArcSource.writeArc(a))
+    Files.write(Paths.get(dir, "two.arc.gz"), ArcSource.writeArc(b))
+    Files.write(Paths.get(dir, "ignore.txt"), "not an arc".getBytes)
+    (dir, a ++ b)
+  }
+
+  test("GzipMembers streams members with correct offsets") {
+    val bytes = ArcSource.writeArc(fixtures._2.take(3))
+    val spans = ArcSource.memberSpans(bytes) // buffered ground truth
+    val gm = new GzipMembers(new ByteArrayInputStream(bytes), bufSize = 37)
+    var got = List.empty[(Long, Int)]
+    var m = gm.nextMember()
+    while (m != null) {
+      var n = 0
+      val tmp = new Array[Byte](64)
+      var r = m.read(tmp, 0, tmp.length)
+      while (r >= 0) { n += r; r = m.read(tmp, 0, tmp.length) }
+      got ::= (gm.memberOffset, n)
+      m = gm.nextMember()
+    }
+    assert(got.reverse.map(_._1) == spans.map(_._1))
+    assert(got.forall(_._2 > 0))
+  }
+
+  test("V2 scan matches the binaryFile-based reader row-for-row") {
+    val (dir, recs) = fixtures
+    val v2 = spark.read.format("graft-arc").load(dir)
+      .select("url", "mime_type", "length", "content")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        new String(r.getAs[Array[Byte]](3), "UTF-8")))
+      .sortBy(_._1)
+    val v1 = ArcSource.read(spark, dir).collect()
+      .map(r => (r.url, r.mimeType, r.length, new String(r.content, "UTF-8")))
+      .sortBy(_._1)
+    assert(v2.length == recs.length)
+    assert(v2.toSeq == v1.toSeq)
+  }
+
+  test("column pruning reaches the scan: metadata query reads no content") {
+    val (dir, _) = fixtures
+    val df = spark.read.format("graft-arc").load(dir).select("url", "length")
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }
+    assert(scans.length == 1)
+    assert(scans.head.readSchema().fieldNames.toSeq == Seq("url", "length"))
+    assert(df.count() == fixtures._2.length)
+  }
+
+  test("header predicates push into the scan and filter correctly") {
+    val (dir, _) = fixtures
+    val df = spark.read.format("graft-arc").load(dir)
+      .filter(col("mime_type") === "text/html" && col("length") > 0L)
+      .select("url")
+    val scan = df.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.head.asInstanceOf[ArcScan]
+    assert(scan.pushed.exists(_.references.contains("mime_type")))
+    assert(scan.pushed.exists(_.references.contains("length")))
+    assert(df.collect().map(_.getString(0)).sorted.toSeq ==
+      fixtures._2.filter(_.mimeType == "text/html").map(_.url).sorted)
+  }
+
+  test("offset column seeks back to the same record") {
+    val (dir, _) = fixtures
+    val rows = spark.read.format("graft-arc").load(dir)
+      .select("arc_file", "offset", "url").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bytes = Files.readAllBytes(Paths.get(new java.net.URI(r.getString(0))))
+      val fetched = ArcSource.fetchRecordAt(bytes, r.getLong(1))
+      assert(fetched.url == r.getString(2))
+    }
+  }
+}
