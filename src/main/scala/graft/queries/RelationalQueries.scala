@@ -300,6 +300,34 @@ object RelationalQueries {
       """.stripMargin.trim),
     ),
 
+    // ---- W5/A8 scale path: top-k per group via a bounded-heap aggregate
+    // (graft.ops.TopK) instead of a window sort. Same semantics as
+    // w1_topk_per_group's row_number ≤ 3 but only ≤k rows per group per
+    // mapper cross the shuffle (ObjectHashAggregate partial → final, no
+    // WindowExec) — the shape that survives a domain with 10^9 pages.
+    Q(
+      "w5_topk_heap",
+      (s, dir) =>
+        table(s, dir, "customer")
+          .groupBy(col("c_mktsegment"))
+          .agg(graft.ops.TopK.topKKeys(3)(col("c_acctbal"), col("c_custkey"))
+            .as("top_custkeys"))
+          .orderBy(col("c_mktsegment")),
+      Some("""
+        SELECT c_mktsegment,
+               string_agg(CAST(c_custkey AS VARCHAR), ','
+                          ORDER BY c_acctbal DESC, c_custkey ASC) AS top_custkeys
+        FROM (
+          SELECT c_mktsegment, c_custkey, c_acctbal,
+                 ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+          FROM customer)
+        WHERE rn <= 3
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+      """.stripMargin.trim),
+    ),
+
     // ---- O6: tagged union of heterogeneous inputs (JoinMapper path→tag
     // semantics): customer + supplier as one "account" stream with a tag
     // column, aggregated per tag.

@@ -56,6 +56,16 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!plan("g3_inverse_linkdb").contains("Expand"))
   }
 
+  test("top-k heap aggregates partial→final with no window sort") {
+    val p = plan("w5_topk_heap")
+    // bounded-heap top-k must run as a two-phase object aggregate —
+    // map-side combine ships ≤k rows per group into the shuffle…
+    val objAggs = "ObjectHashAggregate".r.findAllIn(p).size
+    assert(objAggs >= 2, s"expected partial+final ObjectHashAggregate, got:\n$p")
+    // …and never as a window, which would shuffle and sort whole groups
+    assert(!p.contains("Window"), s"w5 fell back to a window sort:\n$p")
+  }
+
   test("IVF cell assignment shuffles on vec_id alone, not the raw vector") {
     val p = plan("ss4_ivf_ann")
     val partitionings = "hashpartitioning\\([^)]*\\)".r.findAllIn(p).toSeq

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TopK
+
+class TopKSpec extends AnyFunSuite with SparkSuite {
+
+  test("bounded heap top-k matches window row_number semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(42)
+    val rows = (1L to 2000L).map(i =>
+      (s"g${i % 7}", rnd.nextInt(50).toDouble, i)) // heavy score ties
+    val df = rows.toDF("grp", "score", "key")
+
+    val heap = df.groupBy($"grp")
+      .agg(TopK.topKKeys(5)($"score", $"key").as("topk"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+    val w = Window.partitionBy($"grp").orderBy($"score".desc, $"key".asc)
+    val win = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+      .groupBy($"grp")
+      .agg(array_sort(collect_list(struct($"rn", $"key"))).as("s"))
+      .select($"grp",
+        concat_ws(",", expr("transform(s, x -> cast(x.key as string))")).as("topk"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+    assert(heap == win)
+  }
+
+  test("groups smaller than k return all members in rank order") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0, 10L), ("a", 3.0, 11L), ("b", 2.0, 20L))
+      .toDF("grp", "score", "key")
+    val got = df.groupBy($"grp").agg(TopK.topKKeys(5)($"score", $"key").as("t"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "11,10", "b" -> "20"))
+  }
+}
