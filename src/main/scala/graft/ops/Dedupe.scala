@@ -315,10 +315,18 @@ object Dedupe {
   def connectedComponents(pairs: DataFrame, a: String = "doc_a", b: String = "doc_b",
       maxIters: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
     val mat = Iterative.materializer(pairs.sparkSession, checkpointDir)
-    // undirected edge list, both directions
-    val edges = mat(pairs.select(col(a).as("src"), col(b).as("dst"))
+    // undirected edge list, both directions — the loop invariant. Cached
+    // pre-partitioned on dst (the per-round join key) so rounds re-read
+    // the cache without re-shuffling the O(edges) side; persist (not
+    // checkpoint) because LogicalRDD drops outputPartitioning. Only the
+    // O(nodes) label state moves each round.
+    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
       .union(pairs.select(col(b).as("src"), col(a).as("dst")))
-      .distinct()) // materialize once; iterations re-read, not re-derive
+      .distinct()
+      .repartition(
+        pairs.sparkSession.sessionState.conf.numShufflePartitions, col("dst"))
+      .persist()
+    edges.count() // materialize once; iterations re-read, not re-derive
     var labels = mat(edges.select(col("src").as("id"))
       .distinct()
       .withColumn("label", col("id")))

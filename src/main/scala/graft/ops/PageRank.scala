@@ -52,16 +52,35 @@ object PageRank {
       checkpointDir: Option[String] = None,
       checkpointInterval: Int = 1): DataFrame = {
     val mat = Iterative.materializer(edges.sparkSession, checkpointDir)
-    val nodes = mat(edges.select(col("src_domain").as("domain"), col("src_root").as("root"))
-      .unionByName(edges.select(col("dst_domain").as("domain"), col("dst_root").as("root")))
-      .distinct())
+    // Loop-invariant tables are CACHED pre-partitioned on their
+    // per-iteration join keys: the edge table — the O(data) side — never
+    // re-shuffles inside the loop; only the O(nodes) rank state moves
+    // each iteration. At 100 TB this is the difference between shuffling
+    // the crawl once and five times. persist() (not checkpoint — Spark's
+    // LogicalRDD drops outputPartitioning) keeps the partitioning
+    // visible through InMemoryTableScan, so ENSURE_REQUIREMENTS adds no
+    // Exchange above the cached side; the count is pinned explicitly
+    // because an AQE-coalesced width would never match the loop's
+    // exchanges. Invariants don't need checkpointing anyway — their
+    // lineage is constant; only the iterated state's lineage grows.
+    val nParts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    def pinned(df: DataFrame, key: String): DataFrame = {
+      val p = df.repartition(nParts, col(key)).persist()
+      p.count() // materialize now so every iteration reads the cache
+      p
+    }
+    val nodes = pinned(
+      edges.select(col("src_domain").as("domain"), col("src_root").as("root"))
+        .unionByName(edges.select(col("dst_domain").as("domain"), col("dst_root").as("root")))
+        .distinct(), "domain")
     val outdeg = edges.groupBy("src_domain").agg(count(lit(1)).as("outdeg"))
-    val e = mat(edges
+    val e = pinned(edges
       .join(outdeg, "src_domain")
       .join(broadcast(superRoots.select(col("root").as("sr"), lit(true).as("flag"))),
         col("src_root") === col("sr"), "left")
       .select(col("src_domain"), col("src_root"), col("dst_domain"),
-        col("outdeg"), coalesce(col("flag"), lit(false)).as("src_super")))
+        col("outdeg"), coalesce(col("flag"), lit(false)).as("src_super")),
+      "src_domain")
 
     var ranks = mat(nodes.withColumn("rank_u", lit(Scale)))
     for (iter <- 1 to iters) {

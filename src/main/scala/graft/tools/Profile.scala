@@ -69,6 +69,20 @@ object Profile {
         .write.format("noop").mode("overwrite").save()
       0L
     }
+    // ---- g5 checkpoint cadence ----
+    val superRoots5 = graft.queries.Registry.table(spark, dir, "nation")
+      .filter(col("n_nationkey") < 5)
+      .select(col("n_nationkey").cast("long").as("root"))
+    for (interval <- Seq(1, 5)) {
+      time(s"g5-interval-$interval") {
+        graft.ops.PageRank.run(
+            graft.queries.GraphQueries.prEdges(spark, dir), superRoots5,
+            iters = 5, checkpointInterval = interval)
+          .orderBy("domain")
+          .write.format("noop").mode("overwrite").save()
+        0L
+      }
+    }
     spark.stop()
   }
 }
