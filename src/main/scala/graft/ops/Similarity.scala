@@ -143,6 +143,78 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Deterministic argbest ordinal over a QUANTIZED cosine (see
+    * [[ivfTopK]]'s cosOrd): exact input ⇒ exact floor ⇒ portable max_by. */
+  private def qOrd(qcos: Column, tiebreak: Column): Column =
+    floor(qcos * lit(1e12)).cast("long") * 100000L - tiebreak
+
+  /** IVF ANN with a K-MEANS-REFINED codebook, everything in the quantized
+    * integer domain so even the codebook LEARNING is exactly replayable in
+    * any engine:
+    *
+    *  1. quantize all vectors ([[quantize]] — integral doubles);
+    *  2. seed centroids = the first `nSeeds` quantized vectors (as
+    *     [[ivfTopK]]);
+    *  3. one Lloyd step: assign each vector to its nearest seed by
+    *     quantized cosine, then recompute each cell's centroid as the
+    *     per-dimension rounded mean floor(sum/count + 0.5) — sums of
+    *     int8-ranged values are exact in doubles, the rounded mean is one
+    *     portable float op, so the refined codebook is bit-identical
+    *     everywhere (true k-means' running float means would make
+    *     summation order observable);
+    *  4. re-assign vectors to the refined centroids, probe the
+    *     `nProbeCells` nearest refined cells per probe, rank candidates by
+    *     quantized cosine.
+    *
+    * Scale shape: both assignment passes shuffle on `vec_id` alone (the
+    * vector rides inside max_by); the Lloyd step is one posexplode (×dims)
+    * + two aggregations over (cell, dim) — cheap, since the output is the
+    * codebook, O(√n·dims); the codebook broadcasts in both ranking joins. */
+  def ivfKmeansTopK(df: DataFrame, id: String, emb: String,
+      nSeeds: Int, nProbeCells: Int, probeMax: Long, k: Int): DataFrame = {
+    val q = vectors(df, id, emb)
+      .select(col("vec_id"), quantize(col("v")).as("qv"))
+      .localCheckpoint(true)
+    val seeds = broadcast(
+      q.filter(col("vec_id") < nSeeds)
+        .select(col("vec_id").as("seed_id"), col("qv").as("sv")))
+
+    def assignTo(centroids: DataFrame): DataFrame = q.join(centroids)
+      .select(col("vec_id"), col("qv"), col("seed_id"),
+        qOrd(cosine(col("qv"), col("sv")), col("seed_id")).as("ord"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("seed_id").as("cell"), col("qv")), col("ord")).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"), col("best.qv").as("qv"))
+
+    // one Lloyd step: rounded integer mean per (cell, dimension)
+    val refined = broadcast(assignTo(seeds)
+      .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg((floor(sum(col("x")) / count(lit(1)) + 0.5)).cast("double").as("c"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        e => e.getField("c")).as("sv"))
+      .select(col("cell").as("seed_id"), col("sv")))
+
+    val assigned = assignTo(refined)
+    val probeCells = q.filter(col("vec_id") < probeMax).join(refined)
+      .select(col("vec_id").as("probe_id"), col("qv").as("pqv"),
+        col("seed_id"), cosine(col("qv"), col("sv")).as("scos"))
+      .withColumn("cell_rank", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("scos").desc, col("seed_id"))))
+      .filter(col("cell_rank") <= nProbeCells)
+      .select(col("probe_id"), col("pqv"), col("seed_id").as("cell"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("qcos").desc, col("neighbor_id"))
+    probeCells.join(assigned, "cell")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("pqv"), col("qv")).as("qcos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Random-hyperplane LSH signature: bit i = sign(dot(v, h_i)) where h_i is
     * a deterministic ±1 hyperplane derived from md5(i ‖ dim) parity — no RNG
     * at plan time, reproducible anywhere (oracle included). */

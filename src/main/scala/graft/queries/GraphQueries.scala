@@ -174,7 +174,13 @@ object GraphQueries {
         val superRoots = Registry.table(s, dir, "nation")
           .filter(col("n_nationkey") < SuperMax)
           .select(col("n_nationkey").cast("long").as("root"))
-        PageRank.run(prEdges(s, dir), superRoots, PrIters)
+        // checkpointInterval = PrIters: with the loop invariants cached
+        // pre-partitioned, a 5-iteration state lineage is shallow (4 ops
+        // deep per round over cache reads), so the whole chain pipelines
+        // as one job with no mid-loop materialization barriers; long
+        // chains (or fault-tolerant cluster runs) should lower this.
+        PageRank.run(prEdges(s, dir), superRoots, PrIters,
+            checkpointInterval = PrIters)
           .orderBy("domain")
       },
       Some {

@@ -53,6 +53,23 @@ object SimilarityQueries {
     s"${dotS(a, b)} / (sqrt(${dotS(a, a)}) * sqrt(${dotS(b, b)}))"
   }
 
+  /** Same, over the quantized `qv` columns (integer-exact dots). */
+  private def qcosSql(a: String, b: String): String = {
+    def dotS(x: String, y: String) =
+      s"list_sum([$x.qv[i] * $y.qv[i] for i in range(1, ${Dims + 1})])"
+    s"${dotS(a, b)} / (sqrt(${dotS(a, a)}) * sqrt(${dotS(b, b)}))"
+  }
+
+  /** DuckDB CTE: the ss5/ss6 quantized-vectors table. */
+  private val QuantCte =
+    """q AS (
+      |  SELECT vec_id,
+      |         [CASE WHEN m = 0 THEN 0.0
+      |               ELSE floor(x / m * 127.0 + 0.5) END for x in v] AS qv
+      |  FROM (SELECT vec_id, v, list_max([abs(x) for x in v]) AS m
+      |        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))
+      |)""".stripMargin
+
   /** DuckDB fragment: hyperplane LSH signature bits
     * [8*band, 8*band+8) of the global family, same plan-time sign
     * constants as the Spark plan (used by the banded ss3 query). */
@@ -240,6 +257,73 @@ object SimilarityQueries {
                   sqrt(list_sum([c.qv[i] * c.qv[i] for i in range(1, ${Dims + 1})]))) AS qcos
           FROM q p JOIN q c ON c.vec_id != p.vec_id
           WHERE p.vec_id < $ProbeMax
+        )
+        SELECT probe_id, neighbor_id, qcos, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY qcos DESC, neighbor_id) AS rank
+          FROM cand)
+        WHERE rank <= $TopK
+        ORDER BY probe_id, rank
+      """.trim),
+    ),
+
+    // IVF ANN with a k-means-REFINED codebook, entirely in the quantized
+    // integer domain: seed with the first √n vectors, one Lloyd step
+    // (assign by quantized cosine, recompute centroids as per-dimension
+    // rounded integer means), re-assign, probe nprobe refined cells.
+    // Because every quantity is integer-exact (or one portable float op),
+    // the oracle replays the codebook LEARNING itself, not just the
+    // search — the same discipline d2/d4 apply to candidate generation.
+    Q(
+      "ss6_ivf_kmeans",
+      (s, dir) => {
+        val n = Registry.table(s, dir, "embeddings").count()
+        Similarity.ivfKmeansTopK(Registry.table(s, dir, "embeddings"),
+            "vec_id", "embedding",
+            nSeeds = ivfSeedsFor(n), nProbeCells = IvfProbeCells,
+            probeMax = ProbeMax, k = TopK)
+          .orderBy("probe_id", "rank")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        $ParamsCte,
+        $QuantCte,
+        seeds AS (SELECT vec_id AS seed_id, qv FROM q, params WHERE vec_id < n_seeds),
+        a0 AS (
+          SELECT vec_id,
+                 max_by(seed_id, CAST(floor(qcos * 1e12) AS BIGINT) * 100000 - seed_id) AS cell
+          FROM (SELECT a.vec_id, s.seed_id, ${qcosSql("a", "s")} AS qcos
+                FROM q a, (SELECT seed_id, qv FROM seeds) s)
+          GROUP BY vec_id
+        ),
+        cent AS (
+          SELECT a0.cell, idx,
+                 floor(SUM(q.qv[idx]) / COUNT(*) + 0.5) AS c
+          FROM a0 JOIN q USING (vec_id), range(1, ${Dims + 1}) t(idx)
+          GROUP BY a0.cell, idx
+        ),
+        refined AS (SELECT cell AS seed_id, list(c ORDER BY idx) AS qv FROM cent GROUP BY cell),
+        a1 AS (
+          SELECT vec_id,
+                 max_by(seed_id, CAST(floor(qcos * 1e12) AS BIGINT) * 100000 - seed_id) AS cell
+          FROM (SELECT a.vec_id, r.seed_id, ${qcosSql("a", "r")} AS qcos
+                FROM q a, refined r)
+          GROUP BY vec_id
+        ),
+        pc AS (
+          SELECT vec_id AS probe_id, seed_id AS cell FROM (
+            SELECT a.vec_id, r.seed_id,
+                   row_number() OVER (PARTITION BY a.vec_id
+                                      ORDER BY ${qcosSql("a", "r")} DESC, r.seed_id) AS cr
+            FROM q a, refined r WHERE a.vec_id < $ProbeMax)
+          WHERE cr <= $IvfProbeCells
+        ),
+        cand AS (
+          SELECT pc.probe_id, t.vec_id AS neighbor_id, ${qcosSql("pq", "nq")} AS qcos
+          FROM pc
+          JOIN q pq ON pq.vec_id = pc.probe_id
+          JOIN a1 t ON t.cell = pc.cell
+          JOIN q nq ON nq.vec_id = t.vec_id
+          WHERE t.vec_id != pc.probe_id
         )
         SELECT probe_id, neighbor_id, qcos, rank FROM (
           SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY qcos DESC, neighbor_id) AS rank

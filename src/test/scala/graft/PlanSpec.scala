@@ -67,12 +67,14 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("IVF cell assignment shuffles on vec_id alone, not the raw vector") {
-    val p = plan("ss4_ivf_ann")
-    val partitionings = "hashpartitioning\\([^)]*\\)".r.findAllIn(p).toSeq
-    assert(partitionings.nonEmpty)
-    partitionings.foreach { hp =>
-      assert(!hp.contains(" v#"),
-        s"embedding vector leaked into a shuffle key: $hp")
+    Seq("ss4_ivf_ann", "ss6_ivf_kmeans").foreach { name =>
+      val p = plan(name)
+      val partitionings = "hashpartitioning\\([^)]*\\)".r.findAllIn(p).toSeq
+      assert(partitionings.nonEmpty)
+      partitionings.foreach { hp =>
+        assert(!hp.contains(" v#") && !hp.contains(" qv#"),
+          s"$name: embedding vector leaked into a shuffle key: $hp")
+      }
     }
   }
 }
