@@ -8,9 +8,10 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -71,14 +72,20 @@ object ArcTable {
 }
 
 final class ArcTable(options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String =
     s"graft-arc(${options.getOrDefault("path", "")})"
   override def schema(): StructType = ArcTable.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      // writers provide the 5 record fields; length/arc_file/offset are
+      // derived at read time, so the write schema is narrower than the
+      // table's (ArcBatchWrite validates the required set)
+      TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new ArcScanBuilder(opts)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    ArcWriteBuilder(info)
 }
 
 final class ArcScanBuilder(options: CaseInsensitiveStringMap)

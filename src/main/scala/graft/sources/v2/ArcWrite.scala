@@ -1,0 +1,123 @@
+package graft.sources.v2
+
+import java.util.zip.GZIPOutputStream
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
+
+/** The `graft-arc` write path (S7 — the reference's ParserOutputFormat
+  * writes crawl output back as ARC archives,
+  * mapred/ec2/parser/ParserOutputFormat.java:81).
+  *
+  * Each task writes one `part-<partition>-<task>.arc.gz`: a filedesc://
+  * version block followed by one gzip member per record — the exact
+  * layout the reader streams, so archives round-trip and stay seekable
+  * by member offset. Task files are written under a `_temporary` prefix
+  * and renamed into place at driver commit (rename is atomic on HDFS-like
+  * stores), so a failed/speculative task never leaves a partial archive
+  * visible.
+  */
+final case class ArcWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = ArcBatchWrite(
+      info.options.get("path"),
+      info.schema(),
+      new SerializableConfiguration(
+        SparkSession.active.sparkContext.hadoopConfiguration))
+  }
+}
+
+final case class ArcBatchWrite(
+    path: String,
+    schema: StructType,
+    conf: SerializableConfiguration,
+) extends BatchWrite {
+  require(path != null, "graft-arc: 'path' option is required to write")
+
+  private val required = Seq("url", "ip", "archive_date", "mime_type", "content")
+  require(required.forall(schema.fieldNames.contains),
+    s"graft-arc write needs columns $required, got ${schema.fieldNames.toSeq}")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    ArcWriterFactory(path, schema.fieldNames, conf)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf.value)
+    messages.foreach { case ArcCommit(tmp) =>
+      val src = new Path(tmp)
+      fs.rename(src, new Path(dir, src.getName))
+    }
+    fs.delete(new Path(dir, "_temporary"), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(conf.value)
+    messages.collect { case ArcCommit(tmp) => fs.delete(new Path(tmp), false) }
+    fs.delete(new Path(path, "_temporary"), true)
+  }
+}
+
+final case class ArcCommit(tmpFile: String) extends WriterCommitMessage
+
+final case class ArcWriterFactory(
+    path: String,
+    fieldNames: Array[String],
+    conf: SerializableConfiguration,
+) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ArcDataWriter(path, fieldNames, conf, partitionId, taskId)
+}
+
+final class ArcDataWriter(
+    dir: String,
+    fieldNames: Array[String],
+    conf: SerializableConfiguration,
+    partitionId: Int,
+    taskId: Long,
+) extends DataWriter[InternalRow] {
+
+  private val tmp = new Path(
+    new Path(dir, "_temporary"), f"part-$partitionId%05d-$taskId.arc.gz")
+  private val fs = tmp.getFileSystem(conf.value)
+  private val out = fs.create(tmp, true)
+  private val idx = fieldNames.zipWithIndex.toMap
+  writeMember(
+    s"filedesc://part-$partitionId.arc.gz 0.0.0.0 20080101000000 text/plain",
+    "1 0 graft\nURL IP-address Archive-date Content-type Archive-length"
+      .getBytes("UTF-8"))
+
+  private def writeMember(headerPrefix: String, payload: Array[Byte]): Unit = {
+    val gz = new GZIPOutputStream(out)
+    gz.write(s"$headerPrefix ${payload.length}".getBytes("UTF-8"))
+    gz.write('\n')
+    gz.write(payload)
+    gz.write('\n')
+    gz.finish() // member boundary; the shared stream stays open
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val url = row.getUTF8String(idx("url")).toString
+    val ip = row.getUTF8String(idx("ip")).toString
+    val date = row.getUTF8String(idx("archive_date")).toString
+    val mime = row.getUTF8String(idx("mime_type")).toString
+    val content = row.getBinary(idx("content"))
+    writeMember(s"$url $ip $date $mime", content)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    ArcCommit(tmp.toString)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    fs.delete(tmp, false)
+  }
+
+  override def close(): Unit = ()
+}

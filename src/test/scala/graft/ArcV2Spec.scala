@@ -91,6 +91,29 @@ class ArcV2Spec extends AnyFunSuite with SparkSuite {
       fixtures._2.filter(_.mimeType == "text/html").map(_.url).sorted)
   }
 
+  test("V2 write round-trips through the V2 read (one archive per task)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("arcv2w").toString
+    val rows = (1 to 40).map(i =>
+      (s"http://w.example/$i", "10.1.1.1", "20240202000000",
+        if (i % 2 == 0) "text/html" else "text/plain",
+        s"payload-$i-${"x" * i}".getBytes("UTF-8")))
+    rows.toDF("url", "ip", "archive_date", "mime_type", "content")
+      .repartition(3)
+      .write.format("graft-arc").mode("append").save(dir)
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(files.count(_.endsWith(".arc.gz")) == 3, files.toSeq.toString)
+    assert(!files.contains("_temporary"))
+    val back = spark.read.format("graft-arc").load(dir)
+      .select("url", "mime_type", "content").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        new String(r.getAs[Array[Byte]](2), "UTF-8")))
+      .sortBy(_._1)
+    val want = rows
+      .map(r => (r._1, r._4, new String(r._5, "UTF-8"))).sortBy(_._1)
+    assert(back.toSeq == want)
+  }
+
   test("offset column seeks back to the same record") {
     val (dir, _) = fixtures
     val rows = spark.read.format("graft-arc").load(dir)
