@@ -78,6 +78,7 @@ final class ArcTable(options: CaseInsensitiveStringMap)
   override def schema(): StructType = ArcTable.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ,
       // writers provide the 5 record fields; length/arc_file/offset are
       // derived at read time, so the write schema is narrower than the
       // table's (ArcBatchWrite validates the required set)
@@ -159,11 +160,22 @@ final case class ArcScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
+    readerFactory()
+
+  /** Shared by the batch and micro-batch paths. */
+  private[v2] def readerFactory(): PartitionReaderFactory =
     ArcReaderFactory(
       new SerializableConfiguration(hadoopConf),
       required.fieldNames,
       pushed,
     )
+
+  /** Current sorted file listing, for the streaming offset model. */
+  private[v2] def listFilesForStream(): Seq[FileStatus] = listFiles()
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ArcMicroBatchStream(this)
 
   override def estimateStatistics(): Statistics = {
     val total = listFiles().map(_.getLen).sum

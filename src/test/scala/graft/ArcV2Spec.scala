@@ -114,6 +114,27 @@ class ArcV2Spec extends AnyFunSuite with SparkSuite {
     assert(back.toSeq == want)
   }
 
+  test("micro-batch stream picks up newly arrived archives per batch") {
+    val dir = Files.createTempDirectory("arcv2s").toString
+    Files.write(Paths.get(dir, "seg-001.arc.gz"), ArcSource.writeArc(Seq(
+      rec("http://s.example/1", "text/html", "one"),
+      rec("http://s.example/2", "text/html", "two"))))
+    val stream = spark.readStream.format("graft-arc").load(dir).select("url")
+    val q = stream.writeStream.format("memory").queryName("arc_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("arc_stream").count() == 2)
+      // a later segment arrives; only it is read in the next batch
+      Files.write(Paths.get(dir, "seg-002.arc.gz"), ArcSource.writeArc(Seq(
+        rec("http://s.example/3", "text/plain", "three"))))
+      q.processAllAvailable()
+      val urls = spark.table("arc_stream").collect().map(_.getString(0)).sorted
+      assert(urls.toSeq == Seq("http://s.example/1", "http://s.example/2",
+        "http://s.example/3"))
+    } finally q.stop()
+  }
+
   test("offset column seeks back to the same record") {
     val (dir, _) = fixtures
     val rows = spark.read.format("graft-arc").load(dir)
