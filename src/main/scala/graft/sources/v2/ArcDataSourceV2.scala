@@ -168,6 +168,7 @@ final case class ArcScan(
       new SerializableConfiguration(hadoopConf),
       required.fieldNames,
       pushed,
+      options.getBoolean("ignoreCorruptFiles", false),
     )
 
   /** Current sorted file listing, for the streaming offset model. */
@@ -195,10 +196,12 @@ final case class ArcReaderFactory(
     conf: SerializableConfiguration,
     fieldNames: Array[String],
     pushed: Array[Filter],
+    ignoreCorrupt: Boolean = false,
 ) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ArcPartitionReader(
-      partition.asInstanceOf[ArcInputPartition], conf.value, fieldNames, pushed)
+      partition.asInstanceOf[ArcInputPartition], conf.value, fieldNames, pushed,
+      ignoreCorrupt)
 }
 
 /** Streams one archive file member-by-member; parses the 5-field ARC header
@@ -209,6 +212,7 @@ final class ArcPartitionReader(
     conf: Configuration,
     fieldNames: Array[String],
     pushed: Array[Filter],
+    ignoreCorrupt: Boolean = false,
 ) extends PartitionReader[InternalRow] {
 
   private val path = new Path(partition.path)
@@ -237,7 +241,20 @@ final class ArcPartitionReader(
     out
   }
 
-  override def next(): Boolean = {
+  override def next(): Boolean =
+    try nextRecord()
+    catch {
+      // a truncated/garbled archive: with ignoreCorruptFiles the rest of
+      // THIS file is skipped (mid-stream gzip state is unrecoverable) and
+      // the scan moves on — one bad archive out of a 100 TB crawl must
+      // not kill the job. Records already emitted from the file stand.
+      case e: java.io.IOException if ignoreCorrupt =>
+        System.err.println(
+          s"graft-arc: skipping corrupt remainder of ${partition.path}: $e")
+        false
+    }
+
+  private def nextRecord(): Boolean = {
     row = null
     while (row == null) {
       val member = members.nextMember()

@@ -135,6 +135,20 @@ class ArcV2Spec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("ignoreCorruptFiles skips a truncated archive, strict mode throws") {
+    val dir = Files.createTempDirectory("arcv2c").toString
+    Files.write(Paths.get(dir, "good.arc.gz"), ArcSource.writeArc(Seq(
+      rec("http://ok.example/", "text/html", "fine"))))
+    val full = ArcSource.writeArc(Seq(
+      rec("http://bad.example/", "text/html", "x" * 5000)))
+    Files.write(Paths.get(dir, "trunc.arc.gz"), full.take(full.length / 2))
+    val strict = spark.read.format("graft-arc").load(dir).select("url")
+    assertThrows[org.apache.spark.SparkException](strict.collect())
+    val lax = spark.read.format("graft-arc")
+      .option("ignoreCorruptFiles", "true").load(dir).select("url")
+    assert(lax.collect().map(_.getString(0)).toSeq == Seq("http://ok.example/"))
+  }
+
   test("offset column seeks back to the same record") {
     val (dir, _) = fixtures
     val rows = spark.read.format("graft-arc").load(dir)
