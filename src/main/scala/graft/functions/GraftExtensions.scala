@@ -34,6 +34,7 @@ object GraftExtensions {
     unary("rabin_fp64", RabinFp64Expr.apply),
     unary("simhash64", Simhash64Expr.apply),
     unary("band_keys", BandKeysExpr.apply),
+    unary("sniff_charset", SniffCharsetExpr.apply),
   )
 
   /** Register into a live session (equivalent to the extension path for

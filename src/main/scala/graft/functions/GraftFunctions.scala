@@ -70,6 +70,12 @@ object GraftFunctions {
   /** 3-char-shingle Jaccard similarity of two strings (Shingle.java:49). */
   def jaccardShingles(a: Column, b: Column): Column = jaccardUdf(a, b)
 
+  /** X8: byte-level charset sniff of a binary column
+    * (CharsetUtils.bestEffortDetectCharset's deterministic tiers: BOM →
+    * strict UTF-8 validation → latin-1 fallback) — codegen'd native
+    * Expression. Header/meta charset hints are regexp_extract upstream. */
+  def sniffCharset(c: Column): Column = NativeExpressions.sniffCharset(c)
+
   /** Register every function for SQL use. */
   def registerAll(spark: SparkSession): Unit = {
     spark.udf.register("simhash64", simhashF)

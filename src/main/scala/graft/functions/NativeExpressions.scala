@@ -18,6 +18,7 @@ object NativeFns {
   def rabinFp64(s: UTF8String): Long = RabinFingerprint.std64.fp(s.toString)
   def simhash64(s: UTF8String): Long = Hashing.simhash64(s.toString)
   def bandKeys(h: Long): ArrayData = new GenericArrayData(Hashing.bandKeys(h))
+  def sniffCharset(b: Array[Byte]): UTF8String = CharsetSniff.sniffCharset(b)
 
   /** Exact 3-gram Jaccard of two UTF8String shingle arrays via one hash
     * set — replaces interpreted array_intersect on the dedupe verify
@@ -92,6 +93,58 @@ object NativeFns {
   }
 }
 
+/** X8 charset detection, the deterministic tiers of the reference's
+  * cascade (CharsetUtils.bestEffortDetectCharset: HTTP header → HTML
+  * meta → Mozilla/ICU statistical detectors). Headers and meta tags are
+  * plain `regexp_extract` on the column layer; THIS function is the
+  * byte-level tier: BOM sniffing (UTF-8/16/32 variants), then strict
+  * UTF-8 validation (→ US-ASCII if no multi-byte sequences), falling
+  * back to ISO-8859-1 (every byte sequence is valid latin-1 — the same
+  * terminal fallback the reference uses). The ICU/Mozilla frequency
+  * models stay out of scope (no ICU dependency); this covers the
+  * deterministic 90% of the cascade. */
+object CharsetSniff {
+  def sniffCharset(b: Array[Byte]): UTF8String = {
+    val n = b.length
+    def at(i: Int) = b(i) & 0xff
+    val name =
+      if (n >= 4 && at(0) == 0xff && at(1) == 0xfe && at(2) == 0 && at(3) == 0) "UTF-32LE"
+      else if (n >= 4 && at(0) == 0 && at(1) == 0 && at(2) == 0xfe && at(3) == 0xff) "UTF-32BE"
+      else if (n >= 3 && at(0) == 0xef && at(1) == 0xbb && at(2) == 0xbf) "UTF-8"
+      else if (n >= 2 && at(0) == 0xff && at(1) == 0xfe) "UTF-16LE"
+      else if (n >= 2 && at(0) == 0xfe && at(1) == 0xff) "UTF-16BE"
+      else {
+        // strict UTF-8 validation; track whether any multi-byte seq occurs
+        var i = 0
+        var multi = false
+        var valid = true
+        while (valid && i < n) {
+          val c = at(i)
+          val len =
+            if (c < 0x80) 1
+            else if ((c & 0xe0) == 0xc0 && c >= 0xc2) 2 // reject overlongs C0/C1
+            else if ((c & 0xf0) == 0xe0) 3
+            else if ((c & 0xf8) == 0xf0 && c <= 0xf4) 4
+            else 0
+          if (len == 0 || i + len > n) valid = false
+          else {
+            var j = 1
+            while (valid && j < len) {
+              if ((at(i + j) & 0xc0) != 0x80) valid = false
+              j += 1
+            }
+            if (len > 1) multi = true
+            i += len
+          }
+        }
+        if (valid && !multi) "US-ASCII"
+        else if (valid) "UTF-8"
+        else "ISO-8859-1"
+      }
+    UTF8String.fromString(name)
+  }
+}
+
 /** Codegen'd Catalyst expressions for the hot scalar functions
   * (SURVEY §7.3: promote UDFs to Expressions). Unlike a Scala UDF, these
   * stay inside WholeStageCodegen: null checks are generated, inputs stay
@@ -142,6 +195,17 @@ case class BandKeysExpr(child: Expression)
   override protected def nullSafeEval(input: Any): Any =
     NativeFns.bandKeys(input.asInstanceOf[Long])
   override protected def withNewChildInternal(c: Expression): BandKeysExpr = copy(child = c)
+}
+
+/** Byte-level charset sniff (CharsetUtils.bestEffortDetectCharset's
+  * deterministic tiers; see [[CharsetSniff]]). */
+case class SniffCharsetExpr(child: Expression)
+    extends NativeUnary("sniffCharset", org.apache.spark.sql.types.BinaryType,
+      StringType) {
+  override def prettyName: String = "sniff_charset"
+  override protected def nullSafeEval(input: Any): Any =
+    NativeFns.sniffCharset(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): SniffCharsetExpr = copy(child = c)
 }
 
 /** Distinct 3-char shingles of a text (Shingle.java:32-47 semantics). */
@@ -201,4 +265,5 @@ object NativeExpressions {
     ColumnBridge.column(DotSeqExpr(e(a), e(b)))
   def minhashSig(h1: Column, h2: Column, k: Int, prime: Long): Column =
     ColumnBridge.column(MinhashSigExpr(e(h1), e(h2), k, prime))
+  def sniffCharset(c: Column): Column = ColumnBridge.column(SniffCharsetExpr(e(c)))
 }

@@ -79,6 +79,31 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkSuite {
     assert(pairs.count() > 0)
   }
 
+  test("charset sniff: BOMs, UTF-8 validation, ASCII, latin-1 fallback") {
+    import spark.implicits._
+    val cases: Seq[(String, Array[Byte])] = Seq(
+      "UTF-8" -> Array(0xef, 0xbb, 0xbf, 'h', 'i').map(_.toByte), // BOM
+      "UTF-16LE" -> Array(0xff, 0xfe, 'h', 0).map(_.toByte),
+      "UTF-16BE" -> Array(0xfe, 0xff, 0, 'h').map(_.toByte),
+      "UTF-32LE" -> Array(0xff, 0xfe, 0, 0).map(_.toByte),
+      "UTF-32BE" -> Array(0, 0, 0xfe, 0xff).map(_.toByte),
+      "US-ASCII" -> "plain ascii".getBytes("UTF-8"),
+      "UTF-8" -> "héllo wörld — ünïcode".getBytes("UTF-8"),
+      "ISO-8859-1" -> "caffé".getBytes("ISO-8859-1"), // é = 0xE9, invalid UTF-8
+      "ISO-8859-1" -> Array(0xc0, 0xaf).map(_.toByte), // overlong '/', rejected
+      "US-ASCII" -> Array.empty[Byte],
+    )
+    val got = cases.map(_._2).zipWithIndex
+      .map { case (b, i) => (i, b) }.toDF("i", "content")
+      .select(col("i"), GraftFunctions.sniffCharset(col("content")).as("cs"))
+      .collect().sortBy(_.getInt(0)).map(_.getString(1))
+    assert(got.toSeq == cases.map(_._1))
+    // misuse fails at analysis time, not codegen time
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      Seq(1L).toDF("x").select(GraftFunctions.sniffCharset(col("x"))).collect()
+    }
+  }
+
   test("native expressions run inside whole-stage codegen") {
     // parquet-backed input so the projection cannot constant-fold away
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
