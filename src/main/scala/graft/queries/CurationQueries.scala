@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.RiceCoding
+
+/** Training-data curation surface over `documents`/`events` (LLM-pipeline
+  * extension, SURVEY §2.14): reproducible corpus splits, length profiling,
+  * mixture weighting, skew-proof exact distinct, posting-list compression,
+  * and the end-to-end dedupe→filter→sample→shard pipeline.
+  *
+  * Portability rules (the oracle hash-compares bit-exact):
+  *  - all counts/sums are over int64 — exact in any engine;
+  *  - the only doubles are single IEEE divisions of exact longs, computed
+  *    in the same operand order on both sides;
+  *  - randomness is md5-based (lowercase hex in both Spark and DuckDB), so
+  *    every "sample" is a pure deterministic function of the row key.
+  */
+object CurationQueries {
+
+  /** Two-hex-char md5 bucket of a salted key: 256 uniform buckets whose
+    * lexicographic order both engines agree on (binary collation). The
+    * reference's sampling is ad-hoc (mapper-side HashSet mod — e.g. the
+    * ≤100-sample caps in CrawlDBMergingReducer.java:95); hash-bucketing is
+    * the scale-out replacement: reproducible under re-runs, re-partitioning,
+    * and incremental appends, because it depends only on the row key. */
+  private def md5Bucket(salt: String, key: org.apache.spark.sql.Column) =
+    substring(md5(concat(lit(salt + ":"), key.cast("string"))), 1, 2)
+
+  private def md5BucketSql(salt: String, key: String) =
+    s"substr(md5('$salt:' || CAST($key AS VARCHAR)), 1, 2)"
+
+  def defs: Seq[Q] = Seq(
+    // ---------------------------------------------------------------
+    // cu1: deterministic train/val/test split. Buckets 00-0c (~5%) test,
+    // 0d-19 (~5%) val, rest train — a pure function of doc_id, so the
+    // split survives recomputation on any cluster layout. One shuffle
+    // (the groupBy); the md5 is codegen'd per row.
+    Q(
+      "cu1_det_split",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val b = md5Bucket("split", col("doc_id"))
+        docs
+          .withColumn(
+            "split",
+            when(b < lit("0d"), lit("test"))
+              .when(b < lit("1a"), lit("val"))
+              .otherwise(lit("train")))
+          .groupBy("lang", "split")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+          .orderBy("lang", "split")
+      },
+      Some(s"""
+        SELECT lang, split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM (
+          SELECT lang, n_chars,
+                 CASE WHEN ${md5BucketSql("split", "doc_id")} < '0d' THEN 'test'
+                      WHEN ${md5BucketSql("split", "doc_id")} < '1a' THEN 'val'
+                      ELSE 'train' END AS split
+          FROM documents)
+        GROUP BY lang, split
+        ORDER BY lang, split
+      """.trim),
+    ),
+    // ---------------------------------------------------------------
+    // cu2: per-language length-distribution profile via ntile deciles —
+    // exact quantile boundaries without engine-specific interpolation
+    // (ntile is pure row-order arithmetic, identical everywhere). The
+    // window sort is per-language, not global: partitionBy(lang) keeps
+    // each sort shard-local at scale.
+    Q(
+      "cu2_length_deciles",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+        docs
+          .withColumn("decile", ntile(10).over(w).cast("long"))
+          .groupBy("lang", "decile")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            min("n_chars").as("chars_lo"),
+            max("n_chars").as("chars_hi"),
+            sum("n_chars").as("chars_sum"))
+          .orderBy("lang", "decile")
+      },
+      Some("""
+        SELECT lang, decile, COUNT(*) AS n_docs,
+               MIN(n_chars) AS chars_lo, MAX(n_chars) AS chars_hi,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+        FROM (
+          SELECT lang, n_chars,
+                 ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS decile
+          FROM documents)
+        GROUP BY lang, decile
+        ORDER BY lang, decile
+      """.trim),
+    ),
+    // ---------------------------------------------------------------
+    // cu3: data-mixing weights. Per (lang, source) cell: its share of the
+    // language's chars and the up/down-sampling weight that would make the
+    // mixture uniform across that language's sources. Long sums first
+    // (exact), then single IEEE divisions in a fixed operand order so the
+    // doubles hash-match the oracle.
+    Q(
+      "cu3_mix_weights",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val wl = Window.partitionBy("lang")
+        docs
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("cell_chars"))
+          .withColumn("share",
+            col("cell_chars").cast("double") /
+              sum("cell_chars").over(wl).cast("double"))
+          .withColumn("weight",
+            (lit(1.0) / count(lit(1)).over(wl).cast("double")) / col("share"))
+          .orderBy("lang", "source")
+      },
+      Some("""
+        SELECT lang, source, n_docs, cell_chars,
+               cell_chars::DOUBLE / (SUM(cell_chars) OVER (PARTITION BY lang))::DOUBLE AS share,
+               (1.0 / (COUNT(*) OVER (PARTITION BY lang))::DOUBLE)
+                 / (cell_chars::DOUBLE / (SUM(cell_chars) OVER (PARTITION BY lang))::DOUBLE) AS weight
+        FROM (
+          SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS cell_chars
+          FROM documents GROUP BY lang, source)
+        ORDER BY lang, source
+      """.trim),
+    ),
+    // ---------------------------------------------------------------
+    // cu4: exact distinct-count over skewed keys, two-phase. A direct
+    // count_distinct on a handful of hot event_types funnels every row of
+    // a hot key through one partial-agg path; pre-grouping on
+    // (event_type, user_id) makes phase 1 shuffle on the COMPOSITE key
+    // (uniform even when event_type is pathologically skewed) and phase 2
+    // count tiny pre-aggregated rows. Same trick the reference plays with
+    // its Bloom-gated HashSets (LinkGraphDataEmitter.java:302-336), made
+    // shuffle-native.
+    Q(
+      "cu4_twophase_distinct",
+      (s, dir) => {
+        val events = Registry.table(s, dir, "events")
+        events
+          .groupBy("event_type", "user_id")
+          .agg(count(lit(1)).as("c"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("distinct_users"), sum("c").as("n_events"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users,
+               COUNT(*) AS n_events
+        FROM events GROUP BY event_type ORDER BY event_type
+      """.trim),
+    ),
+    // ---------------------------------------------------------------
+    // cu5: inverted-index posting lists through the delta+Rice codec
+    // (CompressedURLFPListV2 shape, util/RiceCoding.java:25). Long rare
+    // tokens → distinct (token, doc_id) pairs → per-token sorted id list,
+    // encoded and decoded inside the row so the checksum the oracle
+    // verifies is computed FROM THE DECODED BYTES — a broken codec breaks
+    // the hash. distinct() and groupBy share the token shuffle key; lists
+    // stay small (rare tokens), so collect_list is bounded.
+    Q(
+      "cu5_postings",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val roundtrip = udf { ids: Seq[Long] =>
+          val sorted = ids.sorted
+          val decoded = RiceCoding.decodeSortedList(RiceCoding.encodeSortedList(sorted))
+          require(decoded == sorted, "posting list codec round-trip mismatch")
+          decoded.sum
+        }
+        docs
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), "[^a-z]+")).as("token"))
+          .filter(length(col("token")) >= 5)
+          .distinct()
+          .groupBy("token")
+          .agg(collect_list("doc_id").as("ids"))
+          .select(
+            col("token"),
+            size(col("ids")).cast("long").as("doc_freq"),
+            roundtrip(col("ids")).as("docid_sum"))
+          .orderBy("token")
+      },
+      Some("""
+        SELECT token, COUNT(*) AS doc_freq, CAST(SUM(doc_id) AS BIGINT) AS docid_sum
+        FROM (
+          SELECT DISTINCT doc_id,
+                 unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
+          FROM documents)
+        WHERE length(token) >= 5
+        GROUP BY token
+        ORDER BY token
+      """.trim),
+    ),
+    // ---------------------------------------------------------------
+    // cu6: the full curation pipeline in one plan — exact dedupe (min
+    // doc_id per content hash), quality floor, deterministic 90% train
+    // sample, shard packing — ending in per-shard manifests. Each stage is
+    // a narrow transform on the previous shuffle's output; the only wide
+    // ops are the dedupe window and the final shard groupBy.
+    Q(
+      "cu6_curation_pipeline",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val dedupeW = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+        docs
+          .withColumn("rn", row_number().over(dedupeW))
+          .filter(col("rn") === 1)
+          .filter(col("n_chars") >= 200)
+          .filter(md5Bucket("split", col("doc_id")) >= lit("1a"))
+          .withColumn("shard_id", pmod(col("doc_id"), lit(8)))
+          .groupBy("shard_id")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sum_chars"),
+            min("doc_id").as("min_doc"),
+            max("doc_id").as("max_doc"))
+          .orderBy("shard_id")
+      },
+      Some(s"""
+        WITH dedup AS (
+          SELECT doc_id, n_chars,
+                 row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM documents),
+        kept AS (
+          SELECT doc_id, n_chars FROM dedup
+          WHERE rn = 1 AND n_chars >= 200
+            AND ${md5BucketSql("split", "doc_id")} >= '1a')
+        SELECT doc_id % 8 AS shard_id, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM kept GROUP BY shard_id ORDER BY shard_id
+      """.trim),
+    ),
+  )
+}

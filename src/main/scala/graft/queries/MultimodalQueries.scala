@@ -40,5 +40,70 @@ object MultimodalQueries {
         ORDER BY doc_id
       """.trim),
     ),
+    // m2: the decode STUB itself under the oracle gate — pack → binary →
+    // mapPartitions header parse (ops.Multimodal.decodeHeaderStub, the
+    // exact seam a libjpeg/ffmpeg decoder plugs into) → typed metadata.
+    // The oracle recomputes the metadata from the source columns, so a
+    // broken container layout, header parse, or batching shape breaks the
+    // hash — the plumbing is verified even though the codec is fake.
+    Q(
+      "m2_media_decode",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val frames = (col("n_chars") % 50 + 1).cast("int")
+        val media = Multimodal.packMedia(col("text"), col("doc_id") % 3, frames)
+        val packed = docs.select(col("doc_id"), media.as("media"))
+        Multimodal.decodeHeaderStub(packed, "doc_id", "media")
+          .select(
+            col("id").as("doc_id"),
+            col("format"),
+            col("n_frames").cast("long").as("n_frames"),
+            col("payload_len").cast("long").as("payload_len"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'img' WHEN 1 THEN 'audio' ELSE 'video' END AS format,
+               (n_chars % 50 + 1)::BIGINT AS n_frames,
+               octet_length(encode(text))::BIGINT AS payload_len
+        FROM documents
+        ORDER BY doc_id
+      """.trim),
+    ),
+    // m3: feature extraction over the payload bytes — the 16-bin
+    // high-nibble histogram (ops.Multimodal.byteHistogram16), emitted as
+    // one column per bin so the doubles hash exactly (array<double> would
+    // need engine-identical string formatting to survive array_join). The
+    // docs are ASCII (verified: octet_length == length over all SFs), so
+    // the oracle can count code points per nibble range with RE2 classes.
+    Q(
+      "m3_media_features",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val media = Multimodal.packMedia(col("text"), col("doc_id") % 3,
+          (col("n_chars") % 50 + 1).cast("int"))
+        val hist = Multimodal.byteHistogram16(col("media"))
+        docs
+          .select(col("doc_id"), media.as("media"))
+          .withColumn("h", hist)
+          .select(
+            Seq(col("doc_id")) ++
+              (0 until 16).map(i => element_at(col("h"), i + 1).as(f"h$i%02d")): _*)
+          .orderBy("doc_id")
+      },
+      Some {
+        val bins = (0 until 16).map { i =>
+          val lo = f"\\x${i * 16}%02x"
+          val hi = f"\\x${i * 16 + 15}%02x"
+          val name = f"h$i%02d"
+          s"len(regexp_extract_all(text, '[$lo-$hi]'))::DOUBLE / greatest(length(text), 1)::DOUBLE AS $name"
+        }
+        s"""
+        SELECT doc_id, ${bins.mkString(",\n               ")}
+        FROM documents
+        ORDER BY doc_id
+        """.trim
+      },
+    ),
   )
 }

@@ -27,7 +27,8 @@ object Registry {
       ListGenQueries.defs ++
       StatsQueries.defs ++
       InteractiveQueries.defs ++
-      MultimodalQueries.defs
+      MultimodalQueries.defs ++
+      CurationQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
