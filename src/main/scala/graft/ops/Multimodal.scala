@@ -66,19 +66,40 @@ object Multimodal {
 
   /** Feature extraction: a 16-bin histogram over the payload bytes' high
     * nibbles, L1-normalized — a deterministic feature vector expressed as
-    * column expressions, so the binary→features path needs no UDF. */
+    * column expressions, so the binary→features path needs no UDF. Each
+    * bin is one codegen'd regexp_count scan over the payload (code point
+    * == byte for the ASCII payloads this container synthesizes; a true
+    * binary-payload build would swap in a single-pass byte-counting
+    * Expression at the same call site). */
   def byteHistogram16(media: Column): Column = {
-    val hexStr = hex(substring(media, HeaderLen + 1, Int.MaxValue))
-    val nBytes = (length(hexStr) / 2).cast("int")
-    val digits = "0123456789ABCDEF"
-    val counts = digits.map { d =>
-      size(filter(
-        transform(sequence(lit(1), nBytes),
-          i => substring(hexStr, i * 2 - lit(1), lit(1))),
-        c => c === lit(d.toString)))
+    val payload = substring(media.cast("string"), HeaderLen + 1, Int.MaxValue)
+    val nBytes = length(payload)
+    val counts = (0 until 16).map { i =>
+      val cls = f"[\\x${i * 16}%02x-\\x${i * 16 + 15}%02x]"
+      regexp_count(payload, lit(cls))
     }
     val total = greatest(nBytes, lit(1)).cast("double")
     array(counts.map(c => c.cast("double") / total): _*)
+  }
+
+  /** "Resize" stub: stride-k nearest-neighbor downsample of the payload
+    * bytes — the 1-D analog of image resizing, as pure column expressions
+    * (a real resampler would replace the kernel inside the same
+    * batch-per-partition seam as `decodeHeaderStub`). Returns
+    * (out_len, checksum) of the resampled payload: the checksum is an
+    * exact integer fold over the sampled bytes, so a downstream oracle
+    * can verify which bytes were kept without shipping the payload. */
+  def resizeStride(media: Column, stride: Int): (Column, Column) = {
+    val payload = substring(media.cast("string"), HeaderLen + 1, Int.MaxValue)
+    val kept = filter(
+      sequence(lit(1), length(payload)),
+      i => (i - 1) % stride === 0)
+    val outLen = size(kept).cast("long")
+    val checksum = aggregate(
+      transform(kept, i => ascii(payload.substr(i, lit(1))).cast("long")),
+      lit(0L),
+      (acc, x) => acc + x)
+    (outLen, checksum)
   }
 
   /** Frame sampling for "video" media: every k-th frame index, capped —

@@ -105,5 +105,36 @@ object MultimodalQueries {
         """.trim
       },
     ),
+    // m4: the resize path — stride-4 nearest-neighbor downsample of the
+    // payload (ops.Multimodal.resizeStride). The oracle re-derives the
+    // kept-byte checksum with the same integer fold, so the verification
+    // covers exactly WHICH bytes the resampler kept, not just how many.
+    Q(
+      "m4_media_resize",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val media = Multimodal.packMedia(col("text"), col("doc_id") % 3,
+          (col("n_chars") % 50 + 1).cast("int"))
+        val (outLen, checksum) = Multimodal.resizeStride(col("media"), stride = 4)
+        docs
+          .select(col("doc_id"), media.as("media"))
+          .select(
+            col("doc_id"),
+            (length(col("media")) - Multimodal.HeaderLen).cast("long").as("in_len"),
+            outLen.as("out_len"),
+            checksum.as("checksum"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               length(text)::BIGINT AS in_len,
+               len(list_filter(range(1, length(text) + 1), i -> (i - 1) % 4 = 0))::BIGINT AS out_len,
+               CAST(list_sum(list_transform(
+                 list_filter(range(1, length(text) + 1), i -> (i - 1) % 4 = 0),
+                 i -> ascii(text[i]))) AS BIGINT) AS checksum
+        FROM documents
+        ORDER BY doc_id
+      """.trim),
+    ),
   )
 }

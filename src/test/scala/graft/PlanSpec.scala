@@ -66,6 +66,35 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Window"), s"w5 fell back to a window sort:\n$p")
   }
 
+  test("two-phase exact distinct carries no Expand and pre-aggregates both phases") {
+    val p = plan("cu4_twophase_distinct")
+    // the whole point of the rewrite: no count_distinct Expand, and each
+    // of the two groupBys runs partial→final (4 HashAggregates total)
+    assert(!p.contains("Expand"), s"cu4 re-introduced an Expand:\n$p")
+    val hashAggs = "HashAggregate".r.findAllIn(p).size
+    assert(hashAggs >= 4, s"expected 2×(partial+final) HashAggregate, got:\n$p")
+  }
+
+  test("curation split scan prunes to the three referenced columns") {
+    val p = plan("cu1_det_split")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>"),
+      s"cu1 read more than (doc_id, lang, n_chars):\n$p")
+  }
+
+  test("multimodal feature extraction stays inside whole-stage codegen") {
+    // execute to finalize the adaptive plan — codegen spans only appear
+    // in the materialized plan
+    val df = Registry.queries("m3_media_features")(spark, sfDir)
+    assert(df.collect().nonEmpty)
+    val p = df.queryExecution.executedPlan.toString
+    // the histogram is pure column expressions — no UDF/RDD boundary may
+    // appear between the scan and the sort ("*(n)" is the codegen-span
+    // marker in the compact plan string)
+    assert(p.contains("*("), s"no whole-stage-codegen span in:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("MapPartitions"),
+      s"m3 dropped out of codegen:\n$p")
+  }
+
   test("IVF cell assignment shuffles on vec_id alone, not the raw vector") {
     Seq("ss4_ivf_ann", "ss6_ivf_kmeans").foreach { name =>
       val p = plan(name)

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming ingest-time deduplication: the LLM-pipeline twin of batch d1
+  * (exact content-hash dedupe). At 100 TB the cheapest place to drop
+  * duplicates is on ingest, before they ever land in the corpus —
+  * Structured Streaming's dropDuplicates keys state by the content hash,
+  * so each arriving micro-batch is filtered against everything already
+  * admitted. This spec replays the documents table as a file stream split
+  * into multiple micro-batches (maxFilesPerTrigger=1) and proves the
+  * admitted set is exactly the batch winner-per-hash set in count and in
+  * key coverage (streaming keeps the FIRST arrival per hash, which is
+  * arrival-order-dependent; batch d1 keeps min doc_id — same clusters,
+  * same cardinality, deterministic representative only in batch). */
+class StreamingDedupeSpec extends AnyFunSuite with SparkSuite {
+
+  test("streaming dropDuplicates on content hash == batch exact-dedupe clusters") {
+    val docs = graft.queries.Registry.table(spark, sfDir, "documents")
+      .withColumn("content_hash", md5(col("text")))
+
+    // several parquet files so the stream sees >1 micro-batch and the
+    // dedupe state actually carries across triggers
+    val path = java.nio.file.Files.createTempDirectory("docs_stream").toString
+    docs.repartition(4).write.mode("overwrite").parquet(path)
+    val schema = spark.read.parquet(path).schema
+
+    val streamed = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(path)
+      .dropDuplicates("content_hash")
+
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName("deduped_stream")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val admitted = spark.table("deduped_stream")
+
+    val batchWinners = docs
+      .groupBy("content_hash")
+      .agg(min("doc_id").as("doc_id"))
+
+    // one admitted doc per distinct hash…
+    assert(admitted.count() == batchWinners.count())
+    assert(admitted.select("content_hash").distinct().count() == admitted.count())
+    // …covering exactly the batch hash set
+    val missing = batchWinners
+      .join(admitted, Seq("content_hash"), "left_anti")
+      .count()
+    assert(missing == 0)
+    assert(admitted.count() > 0)
+  }
+}
