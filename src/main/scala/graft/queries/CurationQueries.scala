@@ -207,10 +207,15 @@ object CurationQueries {
       "cu6_curation_pipeline",
       (s, dir) => {
         val docs = Registry.table(s, dir, "documents")
-        val dedupeW = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+        // exact dedupe as an arg-min aggregate, not a window: min_by gets
+        // map-side partial aggregation and ships only (hash, doc_id,
+        // n_chars) into the shuffle — a window over md5(text) would carry
+        // the full text through the exchange and sort every partition
         docs
-          .withColumn("rn", row_number().over(dedupeW))
-          .filter(col("rn") === 1)
+          .select(md5(col("text")).as("h"), col("doc_id"), col("n_chars"))
+          .groupBy("h")
+          .agg(min_by(struct(col("doc_id"), col("n_chars")), col("doc_id")).as("w"))
+          .select(col("w.doc_id").as("doc_id"), col("w.n_chars").as("n_chars"))
           .filter(col("n_chars") >= 200)
           .filter(md5Bucket("split", col("doc_id")) >= lit("1a"))
           .withColumn("shard_id", pmod(col("doc_id"), lit(8)))

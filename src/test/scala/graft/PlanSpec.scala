@@ -95,6 +95,20 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"m3 dropped out of codegen:\n$p")
   }
 
+  test("curation-pipeline dedupe is an arg-min aggregate, not a window sort") {
+    val p = plan("cu6_curation_pipeline")
+    assert(!p.contains("Window"), s"cu6 dedupe fell back to a window sort:\n$p")
+    // partial+final min_by: the shuffle carries (hash, doc_id, n_chars)
+    // pre-combined rows, never the document text
+    // min_by(struct) runs as an Object/Sort aggregate; the shard rollup as
+    // a HashAggregate — both must still be partial+final pairs
+    val aggs = "(HashAggregate|ObjectHashAggregate|SortAggregate)".r.findAllIn(p).size
+    assert(aggs >= 4, s"expected two partial+final aggregate pairs, got:\n$p")
+    // the dedupe shuffle is keyed by the content hash (pre-combined rows),
+    // not by anything carrying the document text
+    assert(p.contains("hashpartitioning(h#"), s"dedupe shuffle not keyed on the hash:\n$p")
+  }
+
   test("IVF cell assignment shuffles on vec_id alone, not the raw vector") {
     Seq("ss4_ivf_ann", "ss6_ivf_kmeans").foreach { name =>
       val p = plan(name)
