@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The interactive query-server surface (SURVEY §3.1): named queries,
+  * client sort + pagination, and a positional result index — the Spark
+  * re-expression of the reference's master/slave scatter-gather
+  * (Query.java:380-433), merged indexed result files
+  * (PositionBasedSequenceFileIndex.java:56) and paged serving
+  * (readPaginatedResults:229-320).
+  *
+  * Design: one cache entry per (query, sort field, direction) — the
+  * reference materializes one index per sort order the same way
+  * (indexedByURL/indexedByPR dirs, DatabaseIndexV2.java:763-781). The
+  * cached parquet carries an explicit `pos` column (the row's global
+  * rank in the requested order), so a page read is a RANGE PREDICATE on
+  * `pos`: parquet row-group min/max stats prune the scan to the one or
+  * two row groups containing the page — the columnar equivalent of the
+  * reference's record-offset seek, O(page) not O(result).
+  *
+  * The global row_number at cache-build time is a single-partition sort
+  * of the QUERY RESULT (already filtered/aggregated — the same
+  * cardinality the reference spills into one indexed result file, §3.1
+  * step 8); the raw tables never pass through it. Page serving after
+  * that is distributed and index-pruned.
+  */
+final class QueryServer(spark: SparkSession, cacheDir: String, sfDir: String) {
+
+  /** Client paging request (ClientQueryInfo, queryserver.jr:50-62). */
+  final case class PageRequest(
+      sortBy: String,
+      ascending: Boolean = true,
+      offset: Long = 0L,
+      pageSize: Int = 25)
+
+  private def sortKey(name: String, req: PageRequest): Column = {
+    val c = col(req.sortBy)
+    if (req.ascending) c.asc else c.desc
+  }
+
+  /** The materialized positional index for (query, sort, direction):
+    * result rows + `pos` (1-based rank). Cached; repeat requests in any
+    * page range reuse it (Query.getCanonicalId semantics). */
+  def index(name: String, req: PageRequest): DataFrame =
+    ResultCache.getOrCompute(spark, cacheDir, name,
+      Map("sort" -> req.sortBy, "dir" -> (if (req.ascending) "asc" else "desc"),
+        "sf" -> sfDir)) {
+      val base = Registry.queries(name)(spark, sfDir)
+      // tiebreak on every remaining column so the rank is total and the
+      // page boundaries are deterministic under re-materialization
+      val ties = base.columns.filter(_ != req.sortBy).sorted.map(col)
+      base.withColumn("pos",
+        row_number().over(
+          Window.orderBy(sortKey(name, req) +: ties.map(c => if (req.ascending) c.asc else c.desc): _*))
+          .cast("long"))
+    }
+
+  /** One page: a range predicate on `pos`, pruned to the row groups
+    * containing [offset+1, offset+pageSize] by parquet min/max stats. */
+  def page(name: String, req: PageRequest): DataFrame = {
+    val idx = index(name, req)
+    idx
+      .filter(col("pos") > req.offset && col("pos") <= req.offset + req.pageSize)
+      .orderBy(col("pos"))
+  }
+
+  /** Total result size, from the cached index (parquet count — row-group
+    * metadata, no data scan). */
+  def resultCount(name: String, req: PageRequest): Long =
+    index(name, req).count()
+}
