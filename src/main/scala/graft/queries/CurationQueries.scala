@@ -242,5 +242,52 @@ object CurationQueries {
         FROM kept GROUP BY shard_id ORDER BY shard_id
       """.trim),
     ),
+    // ---------------------------------------------------------------
+    // cu7: sequence packing — assemble documents into fixed token-budget
+    // training sequences (the batch-assembly step after curation; lg3 is
+    // the same prefix-sum packing shape for crawl segments). Docs are
+    // hash-sharded first, then packed WITHIN each shard by a running
+    // token sum over a deterministic (md5, doc_id) order — the window is
+    // partitionBy(shard), so at 100 TB each packer sees one shard, not a
+    // global sort. Token count is the chars/4 heuristic (integer div,
+    // engine-exact); seq boundaries fall out of floor(cumsum/budget).
+    Q(
+      "cu7_sequence_packing",
+      (s, dir) => {
+        val budget = 2048L
+        val docs = Registry.table(s, dir, "documents")
+        val w = Window.partitionBy("shard_id")
+          .orderBy(md5Bucket("pack", col("doc_id")), col("doc_id"))
+        docs
+          .select(col("doc_id"),
+            pmod(col("doc_id"), lit(16)).as("shard_id"),
+            expr("n_chars div 4").as("n_tokens"))
+          .withColumn("seq_id",
+            floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget))
+          .groupBy("shard_id", "seq_id")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("sum_tokens"),
+            min("doc_id").as("first_doc"))
+          .orderBy("shard_id", "seq_id")
+      },
+      Some(s"""
+        SELECT shard_id, seq_id, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+               MIN(doc_id) AS first_doc
+        FROM (
+          SELECT doc_id, shard_id, n_tokens,
+                 CAST(floor((SUM(n_tokens) OVER (
+                     PARTITION BY shard_id
+                     ORDER BY ${md5BucketSql("pack", "doc_id")}, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_tokens) / 2048) AS BIGINT) AS seq_id
+          FROM (
+            SELECT doc_id, doc_id % 16 AS shard_id, n_chars // 4 AS n_tokens
+            FROM documents))
+        GROUP BY shard_id, seq_id
+        ORDER BY shard_id, seq_id
+      """.trim),
+    ),
   )
 }
