@@ -133,8 +133,22 @@ object CharsetSniff {
               if ((at(i + j) & 0xc0) != 0x80) valid = false
               j += 1
             }
-            if (len > 1) multi = true
-            i += len
+            // strictness beyond the continuation mask: reject overlong
+            // 3/4-byte forms, UTF-16 surrogate encodings (CESU-8), and
+            // code points past U+10FFFF — all invalid UTF-8 that a
+            // lenient scan would mislabel instead of falling to latin-1
+            if (valid && len == 3) {
+              if (c == 0xe0 && at(i + 1) < 0xa0) valid = false // overlong
+              if (c == 0xed && at(i + 1) >= 0xa0) valid = false // surrogate
+            }
+            if (valid && len == 4) {
+              if (c == 0xf0 && at(i + 1) < 0x90) valid = false // overlong
+              if (c == 0xf4 && at(i + 1) >= 0x90) valid = false // > U+10FFFF
+            }
+            if (valid) {
+              if (len > 1) multi = true
+              i += len
+            }
           }
         }
         if (valid && !multi) "US-ASCII"

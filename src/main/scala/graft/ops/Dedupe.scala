@@ -357,6 +357,9 @@ object Dedupe {
       prevSum = nextSum
       iter += 1
     }
+    // labels is materialized (mat per round), so the invariant cache can
+    // be released before returning — no dead entries in long sessions
+    edges.unpersist()
     labels.withColumnRenamed("label", "cluster_id")
   }
 }

@@ -17,7 +17,13 @@ private[graft] object Iterative {
 
   /** Returns the per-round materializer. Setting `checkpointDir`
     * configures the context's checkpoint location (a cluster-visible
-    * path) and switches to reliable checkpoints. */
+    * path) and switches to reliable checkpoints.
+    *
+    * NOTE: `setCheckpointDir` is SparkContext-GLOBAL — concurrent
+    * iterative ops in one session must share a checkpoint dir (pass the
+    * same value, or set it once at session setup and pass it everywhere).
+    * Passing different dirs from overlapping ops would interleave their
+    * checkpoint files across both directories. */
   def materializer(
       spark: SparkSession,
       checkpointDir: Option[String]): DataFrame => DataFrame =

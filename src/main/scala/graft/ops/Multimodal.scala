@@ -91,9 +91,13 @@ object Multimodal {
     * can verify which bytes were kept without shipping the payload. */
   def resizeStride(media: Column, stride: Int): (Column, Column) = {
     val payload = substring(media.cast("string"), HeaderLen + 1, Int.MaxValue)
-    val kept = filter(
-      sequence(lit(1), length(payload)),
-      i => (i - 1) % stride === 0)
+    // guard the empty payload: Spark's sequence(1, 0) steps DOWNWARD to
+    // [1, 0] instead of producing an empty range, which would fabricate a
+    // one-byte "resample" of nothing
+    val kept = when(length(payload) === 0, array().cast("array<int>"))
+      .otherwise(filter(
+        sequence(lit(1), length(payload)),
+        i => (i - 1) % stride === 0))
     val outLen = size(kept).cast("long")
     val checksum = aggregate(
       transform(kept, i => ascii(payload.substr(i, lit(1))).cast("long")),

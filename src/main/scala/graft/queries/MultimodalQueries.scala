@@ -129,9 +129,9 @@ object MultimodalQueries {
         SELECT doc_id,
                length(text)::BIGINT AS in_len,
                len(list_filter(range(1, length(text) + 1), i -> (i - 1) % 4 = 0))::BIGINT AS out_len,
-               CAST(list_sum(list_transform(
+               CAST(COALESCE(list_sum(list_transform(
                  list_filter(range(1, length(text) + 1), i -> (i - 1) % 4 = 0),
-                 i -> ascii(text[i]))) AS BIGINT) AS checksum
+                 i -> ascii(text[i]))), 0) AS BIGINT) AS checksum
         FROM documents
         ORDER BY doc_id
       """.trim),

@@ -33,16 +33,20 @@ object SimilarityQueries {
       math.max(8, math.ceil(math.log(n.toDouble) / math.log(2.0) - 1e-9).toInt))
 
   /** ss4 codebook size: ⌊√n⌋ — cells O(√n) vectors each, the standard IVF
-    * balance between codebook scan and cell scan. Same 1e-9 guard. */
+    * balance between codebook scan and cell scan. Same 1e-9 guard.
+    * Capped at 99999: the argbest ordinal (Similarity.cosOrd/qOrd) packs
+    * the seed-id tiebreak into a base-100000 digit, so a larger codebook
+    * would collide adjacent cosine buckets; past ~1e10 vectors raise the
+    * base and the cap together. */
   def ivfSeedsFor(n: Long): Int =
-    math.max(2, math.floor(math.sqrt(n.toDouble) + 1e-9).toInt)
+    math.min(99999, math.max(2, math.floor(math.sqrt(n.toDouble) + 1e-9).toInt))
 
   /** DuckDB twin of the sizing formulas, as a one-row params CTE. */
   private val ParamsCte =
     s"""params AS (
        |  SELECT LEAST($MaxLshBits, GREATEST(8,
        |           CAST(ceil(log2(count(*)) - 1e-9) AS INT))) AS bits,
-       |         GREATEST(2, CAST(floor(sqrt(count(*)) + 1e-9) AS BIGINT)) AS n_seeds
+       |         LEAST(99999, GREATEST(2, CAST(floor(sqrt(count(*)) + 1e-9) AS BIGINT))) AS n_seeds
        |  FROM embeddings
        |)""".stripMargin
 

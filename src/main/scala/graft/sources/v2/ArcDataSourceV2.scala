@@ -248,7 +248,11 @@ final class ArcPartitionReader(
       // THIS file is skipped (mid-stream gzip state is unrecoverable) and
       // the scan moves on — one bad archive out of a 100 TB crawl must
       // not kill the job. Records already emitted from the file stand.
-      case e: java.io.IOException if ignoreCorrupt =>
+      // NonFatal, not just IOException: a garbled-but-decompressible
+      // header also surfaces as NumberFormatException (non-numeric
+      // length token) or NegativeArraySizeException (absurd length) —
+      // exactly the corruption this option exists to survive
+      case scala.util.control.NonFatal(e) if ignoreCorrupt =>
         System.err.println(
           s"graft-arc: skipping corrupt remainder of ${partition.path}: $e")
         false

@@ -10,38 +10,60 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
   * CrawlDBMergeJob-style), with exactly-once file-level semantics from
   * the streaming engine's offset log.
   *
-  * The offset is the count of files in lexicographic filename order.
-  * Archives are assumed to arrive with monotonically increasing names
-  * (the reference names archives by timestamp/segment id, so this holds
-  * in practice); a file sorting before the high-water mark would be
-  * treated as already processed.
+  * The offset is a NAME WATERMARK: the lexicographically greatest file
+  * path already processed. Archives are assumed to arrive with
+  * monotonically increasing names (the reference names archives by
+  * timestamp/segment id, so this holds in practice); a file sorting
+  * before the watermark is treated as already processed. Unlike a
+  * file-count offset, the watermark survives deletion of already
+  * processed archives (retention/compaction): new arrivals sort after
+  * it regardless of how many older files disappeared.
   */
-final case class ArcStreamOffset(fileCount: Int) extends Offset {
-  override def json(): String = s"""{"fileCount":$fileCount}"""
+final case class ArcStreamOffset(lastFile: String) extends Offset {
+  override def json(): String = {
+    val esc = lastFile.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c    => c.toString
+    }
+    s"""{"lastFile":"$esc"}"""
+  }
 }
 
 final class ArcMicroBatchStream(scan: ArcScan) extends MicroBatchStream {
 
   private def sortedFiles() = scan.listFilesForStream()
 
-  override def initialOffset(): Offset = ArcStreamOffset(0)
+  override def initialOffset(): Offset = ArcStreamOffset("")
 
-  override def latestOffset(): Offset = ArcStreamOffset(sortedFiles().length)
+  override def latestOffset(): Offset =
+    ArcStreamOffset(
+      sortedFiles().map(_.getPath.toString).maxOption.getOrElse(""))
 
   override def deserializeOffset(json: String): Offset =
-    ArcStreamOffset("\\d+".r.findFirstIn(json).map(_.toInt).getOrElse(0))
+    ArcStreamOffset(
+      """"lastFile"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+        .findFirstMatchIn(json)
+        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+        .getOrElse(""))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[ArcStreamOffset].fileCount
-    val to = end.asInstanceOf[ArcStreamOffset].fileCount
-    sortedFiles().slice(from, to).map { st =>
-      ArcInputPartition(st.getPath.toString, st.getLen, Array.empty): InputPartition
-    }.toArray
+    val from = start.asInstanceOf[ArcStreamOffset].lastFile
+    val to = end.asInstanceOf[ArcStreamOffset].lastFile
+    sortedFiles()
+      .filter { st =>
+        val p = st.getPath.toString
+        p > from && p <= to
+      }
+      .map { st =>
+        ArcInputPartition(st.getPath.toString, st.getLen, Array.empty): InputPartition
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     scan.readerFactory()
 
   override def commit(end: Offset): Unit = ()
+
   override def stop(): Unit = ()
 }

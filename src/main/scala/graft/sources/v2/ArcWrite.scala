@@ -50,7 +50,13 @@ final case class ArcBatchWrite(
     val fs = dir.getFileSystem(conf.value)
     messages.foreach { case ArcCommit(tmp) =>
       val src = new Path(tmp)
-      fs.rename(src, new Path(dir, src.getName))
+      val dst = new Path(dir, src.getName)
+      // rename returns false (not an exception) on e.g. an existing
+      // destination; ignoring it would silently drop the task's archive
+      // and then delete it with _temporary below
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(
+          s"graft-arc commit: rename $src -> $dst failed (destination exists?)")
     }
     fs.delete(new Path(dir, "_temporary"), true)
   }
@@ -91,13 +97,23 @@ final class ArcDataWriter(
     "1 0 graft\nURL IP-address Archive-date Content-type Archive-length"
       .getBytes("UTF-8"))
 
+  /** Shields the shared file stream from GZIPOutputStream.close(), so
+    * each member's close() can release its native Deflater (finish()
+    * alone never calls Deflater.end() — one leaked native buffer per
+    * record would OOM a large task) while the archive stays open. */
+  private final class NonClosing(o: java.io.OutputStream)
+      extends java.io.FilterOutputStream(o) {
+    override def close(): Unit = flush()
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = out.write(b, off, len)
+  }
+
   private def writeMember(headerPrefix: String, payload: Array[Byte]): Unit = {
-    val gz = new GZIPOutputStream(out)
+    val gz = new GZIPOutputStream(new NonClosing(out))
     gz.write(s"$headerPrefix ${payload.length}".getBytes("UTF-8"))
     gz.write('\n')
     gz.write(payload)
     gz.write('\n')
-    gz.finish() // member boundary; the shared stream stays open
+    gz.close() // member boundary: finish + end() the deflater; file stays open
   }
 
   override def write(row: InternalRow): Unit = {

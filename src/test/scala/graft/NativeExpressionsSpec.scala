@@ -91,6 +91,12 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkSuite {
       "UTF-8" -> "héllo wörld — ünïcode".getBytes("UTF-8"),
       "ISO-8859-1" -> "caffé".getBytes("ISO-8859-1"), // é = 0xE9, invalid UTF-8
       "ISO-8859-1" -> Array(0xc0, 0xaf).map(_.toByte), // overlong '/', rejected
+      // strictness beyond the continuation mask: all must fall to latin-1
+      "ISO-8859-1" -> Array(0xe0, 0x80, 0x80).map(_.toByte), // overlong NUL (3-byte)
+      "ISO-8859-1" -> Array(0xed, 0xa0, 0x80).map(_.toByte), // CESU-8 surrogate half
+      "ISO-8859-1" -> Array(0xf0, 0x80, 0x80, 0x80).map(_.toByte), // overlong (4-byte)
+      "ISO-8859-1" -> Array(0xf4, 0x90, 0x80, 0x80).map(_.toByte), // > U+10FFFF
+      "UTF-8" -> Array(0xf4, 0x8f, 0xbf, 0xbf).map(_.toByte), // U+10FFFF itself: valid
       "US-ASCII" -> Array.empty[Byte],
     )
     val got = cases.map(_._2).zipWithIndex
