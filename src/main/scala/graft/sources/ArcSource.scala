@@ -104,43 +104,22 @@ object ArcSource {
       length: Long,
   )
 
-  /** Length of the gzip member header starting at `off` (RFC 1952:
-    * 10 fixed bytes + optional FEXTRA/FNAME/FCOMMENT/FHCRC fields). */
-  private def gzipHeaderLength(b: Array[Byte], off: Int): Int = {
-    require((b(off) & 0xff) == 0x1f && (b(off + 1) & 0xff) == 0x8b,
-      s"not a gzip member at offset $off")
-    val flg = b(off + 3) & 0xff
-    var p = off + 10
-    if ((flg & 4) != 0) { val xlen = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8); p += 2 + xlen }
-    if ((flg & 8) != 0) { while (b(p) != 0) p += 1; p += 1 }
-    if ((flg & 16) != 0) { while (b(p) != 0) p += 1; p += 1 }
-    if ((flg & 2) != 0) p += 2
-    p - off
-  }
-
   /** (offset, compressedLength) span of every gzip member in a multi-member
-    * archive — the seekable positions a content fetch can jump to. Inflates
-    * each member once (discarding output) to find its end; the 8 trailing
-    * bytes are the CRC32+ISIZE gzip trailer. */
+    * archive — the seekable positions a content fetch can jump to. Rides
+    * [[GzipMembers]]' offset tracking (the one RFC-1952 member walk in
+    * this package): each `nextMember()` marks the next member's start, and
+    * the terminal call marks the end-of-archive position. */
   def memberSpans(bytes: Array[Byte]): Seq[(Long, Long)] = {
-    val spans = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-    var off = 0
-    while (off < bytes.length) {
-      val hdr = gzipHeaderLength(bytes, off)
-      val infl = new java.util.zip.Inflater(true)
-      infl.setInput(bytes, off + hdr, bytes.length - off - hdr)
-      val buf = new Array[Byte](8192)
-      while (!infl.finished()) {
-        val n = infl.inflate(buf)
-        if (n == 0 && infl.needsInput())
-          throw new java.io.EOFException(s"truncated gzip member at $off")
-      }
-      val consumed = hdr + infl.getBytesRead.toInt + 8
-      infl.end()
-      spans += ((off.toLong, consumed.toLong))
-      off += consumed
+    val members = new GzipMembers(new ByteArrayInputStream(bytes))
+    val starts = scala.collection.mutable.ArrayBuffer[Long]()
+    var m = members.nextMember()
+    while (m != null) {
+      starts += members.memberOffset
+      m.close() // drains through the member trailer
+      m = members.nextMember()
     }
-    spans.toSeq
+    val end = members.memberOffset // position after the last member
+    starts.toSeq.zip(starts.toSeq.drop(1) :+ end).map { case (s, e) => (s, e - s) }
   }
 
   /** Point content fetch: parse the single record whose gzip member starts
