@@ -13,13 +13,15 @@ import org.apache.spark.util.SerializableConfiguration
   * writes crawl output back as ARC archives,
   * mapred/ec2/parser/ParserOutputFormat.java:81).
   *
-  * Each task writes one `part-<partition>-<task>.arc.gz`: a filedesc://
-  * version block followed by one gzip member per record — the exact
-  * layout the reader streams, so archives round-trip and stay seekable
-  * by member offset. Task files are written under a `_temporary` prefix
-  * and renamed into place at driver commit (rename is atomic on HDFS-like
-  * stores), so a failed/speculative task never leaves a partial archive
-  * visible.
+  * Each task writes `part-<partition>-<task>[-<seq>].arc.gz` files: a
+  * filedesc:// version block followed by one gzip member per record — the
+  * exact layout the reader streams, so archives round-trip and stay
+  * seekable by member offset. Files ROLL at `rollSize` bytes (default the
+  * reference's 100 MB cap, util/ArcFileWriter.java:88), so one huge task
+  * never produces one huge archive. Task files are written under a
+  * `_temporary` prefix and renamed into place at driver commit (rename is
+  * atomic on HDFS-like stores), so a failed/speculative task never leaves
+  * a partial archive visible.
   */
 final case class ArcWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder {
   override def build(): Write = new Write {
@@ -27,7 +29,8 @@ final case class ArcWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder {
       info.options.get("path"),
       info.schema(),
       new SerializableConfiguration(
-        SparkSession.active.sparkContext.hadoopConfiguration))
+        SparkSession.active.sparkContext.hadoopConfiguration),
+      info.options.getLong("rollSize", 100000000L))
   }
 }
 
@@ -35,6 +38,7 @@ final case class ArcBatchWrite(
     path: String,
     schema: StructType,
     conf: SerializableConfiguration,
+    rollSize: Long,
 ) extends BatchWrite {
   require(path != null, "graft-arc: 'path' option is required to write")
 
@@ -43,40 +47,45 @@ final case class ArcBatchWrite(
     s"graft-arc write needs columns $required, got ${schema.fieldNames.toSeq}")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    ArcWriterFactory(path, schema.fieldNames, conf)
+    ArcWriterFactory(path, schema.fieldNames, conf, rollSize)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.value)
-    messages.foreach { case ArcCommit(tmp) =>
-      val src = new Path(tmp)
-      val dst = new Path(dir, src.getName)
-      // rename returns false (not an exception) on e.g. an existing
-      // destination; ignoring it would silently drop the task's archive
-      // and then delete it with _temporary below
-      if (!fs.rename(src, dst))
-        throw new java.io.IOException(
-          s"graft-arc commit: rename $src -> $dst failed (destination exists?)")
+    messages.foreach { case ArcCommit(tmps) =>
+      tmps.foreach { tmp =>
+        val src = new Path(tmp)
+        val dst = new Path(dir, src.getName)
+        // rename returns false (not an exception) on e.g. an existing
+        // destination; ignoring it would silently drop the task's archive
+        // and then delete it with _temporary below
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(
+            s"graft-arc commit: rename $src -> $dst failed (destination exists?)")
+      }
     }
     fs.delete(new Path(dir, "_temporary"), true)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(conf.value)
-    messages.collect { case ArcCommit(tmp) => fs.delete(new Path(tmp), false) }
+    messages.collect { case ArcCommit(tmps) =>
+      tmps.foreach(t => fs.delete(new Path(t), false))
+    }
     fs.delete(new Path(path, "_temporary"), true)
   }
 }
 
-final case class ArcCommit(tmpFile: String) extends WriterCommitMessage
+final case class ArcCommit(tmpFiles: Seq[String]) extends WriterCommitMessage
 
 final case class ArcWriterFactory(
     path: String,
     fieldNames: Array[String],
     conf: SerializableConfiguration,
+    rollSize: Long,
 ) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ArcDataWriter(path, fieldNames, conf, partitionId, taskId)
+    new ArcDataWriter(path, fieldNames, conf, partitionId, taskId, rollSize)
 }
 
 final class ArcDataWriter(
@@ -85,17 +94,37 @@ final class ArcDataWriter(
     conf: SerializableConfiguration,
     partitionId: Int,
     taskId: Long,
+    rollSize: Long,
 ) extends DataWriter[InternalRow] {
 
-  private val tmp = new Path(
-    new Path(dir, "_temporary"), f"part-$partitionId%05d-$taskId.arc.gz")
-  private val fs = tmp.getFileSystem(conf.value)
-  private val out = fs.create(tmp, true)
   private val idx = fieldNames.zipWithIndex.toMap
-  writeMember(
-    s"filedesc://part-$partitionId.arc.gz 0.0.0.0 20080101000000 text/plain",
-    "1 0 graft\nURL IP-address Archive-date Content-type Archive-length"
-      .getBytes("UTF-8"))
+  private val fs = new Path(dir).getFileSystem(conf.value)
+  private val done = scala.collection.mutable.ArrayBuffer[String]()
+  private var seq = 0
+  private var tmp: Path = null
+  private var out: org.apache.hadoop.fs.FSDataOutputStream = null
+  openNext()
+
+  /** Start the next archive in the roll sequence: its own filedesc://
+    * version block, so every rolled file is a complete standalone ARC. */
+  private def openNext(): Unit = {
+    val name =
+      if (seq == 0) f"part-$partitionId%05d-$taskId.arc.gz"
+      else f"part-$partitionId%05d-$taskId-$seq%04d.arc.gz"
+    tmp = new Path(new Path(dir, "_temporary"), name)
+    out = fs.create(tmp, true)
+    seq += 1
+    writeMember(
+      s"filedesc://$name 0.0.0.0 20080101000000 text/plain",
+      "1 0 graft\nURL IP-address Archive-date Content-type Archive-length"
+        .getBytes("UTF-8"))
+  }
+
+  private def roll(): Unit = {
+    out.close()
+    done += tmp.toString
+    openNext()
+  }
 
   /** Shields the shared file stream from GZIPOutputStream.close(), so
     * each member's close() can release its native Deflater (finish()
@@ -123,16 +152,18 @@ final class ArcDataWriter(
     val mime = row.getUTF8String(idx("mime_type")).toString
     val content = row.getBinary(idx("content"))
     writeMember(s"$url $ip $date $mime", content)
+    if (out.getPos >= rollSize) roll()
   }
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    ArcCommit(tmp.toString)
+    done += tmp.toString
+    ArcCommit(done.toSeq)
   }
 
   override def abort(): Unit = {
     out.close()
-    fs.delete(tmp, false)
+    (done.toSeq :+ tmp.toString).foreach(t => fs.delete(new Path(t), false))
   }
 
   override def close(): Unit = ()

@@ -114,6 +114,32 @@ class ArcV2Spec extends AnyFunSuite with SparkSuite {
     assert(back.toSeq == want)
   }
 
+  test("V2 write rolls archives at the size cap; every rolled file stands alone") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("arcv2roll").toString
+    val rows = (1 to 30).map(i =>
+      (s"http://r.example/$i", "10.2.2.2", "20240303000000", "text/plain",
+        ("y" * 600).getBytes("UTF-8")))
+    rows.toDF("url", "ip", "archive_date", "mime_type", "content")
+      .coalesce(1) // single task: rolling, not partitioning, must split it
+      .write.format("graft-arc").mode("append")
+      .option("rollSize", 2048) // reference caps at 100 MB; tiny for test
+      .save(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".arc.gz")).sortBy(_.getName)
+    assert(files.length > 1, s"no roll happened: ${files.map(_.getName).toSeq}")
+    // every rolled file is a complete ARC: own filedesc version block
+    files.foreach { f =>
+      val recs = ArcSource.parseArc(new java.io.ByteArrayInputStream(
+        Files.readAllBytes(f.toPath))).toSeq
+      assert(recs.nonEmpty, s"${f.getName} unreadable standalone")
+    }
+    // and the union of all files is exactly the written rows
+    val back = spark.read.format("graft-arc").load(dir).select("url").as[String]
+      .collect().sorted
+    assert(back.toSeq == rows.map(_._1).sorted)
+  }
+
   test("micro-batch stream picks up newly arrived archives per batch") {
     val dir = Files.createTempDirectory("arcv2s").toString
     Files.write(Paths.get(dir, "seg-001.arc.gz"), ArcSource.writeArc(Seq(
