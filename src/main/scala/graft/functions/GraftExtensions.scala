@@ -35,6 +35,7 @@ object GraftExtensions {
     unary("simhash64", Simhash64Expr.apply),
     unary("band_keys", BandKeysExpr.apply),
     unary("sniff_charset", SniffCharsetExpr.apply),
+    unary("nibble_hist16", NibbleHist16Expr.apply),
   )
 
   /** Register into a live session (equivalent to the extension path for

@@ -20,6 +20,17 @@ object NativeFns {
   def bandKeys(h: Long): ArrayData = new GenericArrayData(Hashing.bandKeys(h))
   def sniffCharset(b: Array[Byte]): UTF8String = CharsetSniff.sniffCharset(b)
 
+  /** High-nibble histogram of a byte payload in ONE pass — the
+    * feature-extraction kernel for binary media columns. Returns 16
+    * counts; normalization stays in column land so the expression is a
+    * pure count (exact, engine-portable). */
+  def nibbleHist16(b: Array[Byte]): ArrayData = {
+    val counts = new Array[Long](16)
+    var i = 0
+    while (i < b.length) { counts((b(i) & 0xf0) >>> 4) += 1; i += 1 }
+    new GenericArrayData(counts)
+  }
+
   /** Exact 3-gram Jaccard of two UTF8String shingle arrays via one hash
     * set — replaces interpreted array_intersect on the dedupe verify
     * path. Inputs are distinct-element arrays by construction. */
@@ -222,6 +233,16 @@ case class SniffCharsetExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression): SniffCharsetExpr = copy(child = c)
 }
 
+/** One-pass high-nibble byte histogram (16 long counts). */
+case class NibbleHist16Expr(child: Expression)
+    extends NativeUnary("nibbleHist16", org.apache.spark.sql.types.BinaryType,
+      ArrayType(LongType, containsNull = false)) {
+  override def prettyName: String = "nibble_hist16"
+  override protected def nullSafeEval(input: Any): Any =
+    NativeFns.nibbleHist16(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): NibbleHist16Expr = copy(child = c)
+}
+
 /** Distinct 3-char shingles of a text (Shingle.java:32-47 semantics). */
 case class Shingles3Expr(child: Expression)
     extends NativeUnary("shingles3", StringType,
@@ -280,4 +301,5 @@ object NativeExpressions {
   def minhashSig(h1: Column, h2: Column, k: Int, prime: Long): Column =
     ColumnBridge.column(MinhashSigExpr(e(h1), e(h2), k, prime))
   def sniffCharset(c: Column): Column = ColumnBridge.column(SniffCharsetExpr(e(c)))
+  def nibbleHist16(c: Column): Column = ColumnBridge.column(NibbleHist16Expr(e(c)))
 }

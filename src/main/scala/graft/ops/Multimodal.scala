@@ -65,21 +65,16 @@ object Multimodal {
   }
 
   /** Feature extraction: a 16-bin histogram over the payload bytes' high
-    * nibbles, L1-normalized — a deterministic feature vector expressed as
-    * column expressions, so the binary→features path needs no UDF. Each
-    * bin is one codegen'd regexp_count scan over the payload (code point
-    * == byte for the ASCII payloads this container synthesizes; a true
-    * binary-payload build would swap in a single-pass byte-counting
-    * Expression at the same call site). */
+    * nibbles, L1-normalized — ONE pass over the raw bytes via the
+    * codegen'd `nibble_hist16` native expression (true byte counts, no
+    * string decode), with the normalization kept in column land so the
+    * doubles are single exact divisions of exact counts. */
   def byteHistogram16(media: Column): Column = {
-    val payload = substring(media.cast("string"), HeaderLen + 1, Int.MaxValue)
-    val nBytes = length(payload)
-    val counts = (0 until 16).map { i =>
-      val cls = f"[\\x${i * 16}%02x-\\x${i * 16 + 15}%02x]"
-      regexp_count(payload, lit(cls))
-    }
-    val total = greatest(nBytes, lit(1)).cast("double")
-    array(counts.map(c => c.cast("double") / total): _*)
+    val payload = substring(media, HeaderLen + 1, Int.MaxValue)
+    val counts = graft.functions.NativeExpressions.nibbleHist16(payload)
+    val total = greatest(length(payload), lit(1)).cast("double")
+    array((0 until 16).map(i =>
+      element_at(counts, i + 1).cast("double") / total): _*)
   }
 
   /** "Resize" stub: stride-k nearest-neighbor downsample of the payload
