@@ -289,5 +289,62 @@ object CurationQueries {
         ORDER BY shard_id, seq_id
       """.trim),
     ),
+    // ---------------------------------------------------------------
+    // cu8: decontamination — flag training docs that share word 4-grams
+    // with a held-out benchmark set (here: source 'src0'), the standard
+    // pre-training hygiene check. Gram construction is a narrow
+    // transform; the only wide ops are the (doc, gram) distinct and the
+    // gram join, both keyed by the gram — and the benchmark side is tiny
+    // relative to the corpus, so at scale it broadcasts (or rides the
+    // runtime bloom filter) instead of shuffling the training grams twice.
+    Q(
+      "cu8_decontamination",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val toks = graft.ops.TextAnalysis.tokens(col("text"))
+        val gramList = when(size(col("t")) < 4, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(1), size(col("t")) - 3),
+            i => array_join(slice(col("t"), i, lit(4)), " ")))
+        val grams = docs
+          .select(col("doc_id"), col("source"), toks.as("t"))
+          .select(col("doc_id"), col("source"), explode(gramList).as("g"))
+          .distinct()
+        val bench = grams.filter(col("source") === "src0").select("g").distinct()
+        grams
+          .filter(col("source") =!= "src0")
+          .join(bench.withColumn("hit", lit(1L)), Seq("g"), "left")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_grams"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+          .filter(col("n_contaminated") > 0)
+          .withColumn("contamination",
+            col("n_contaminated").cast("double") / col("n_grams").cast("double"))
+          .orderBy("doc_id")
+      },
+      Some(raw"""
+        WITH toks AS (
+          SELECT doc_id, source,
+                 string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS t
+          FROM documents),
+        grams AS (
+          SELECT DISTINCT doc_id, source, array_to_string(t[i:i+3], ' ') AS g
+          FROM toks, UNNEST(range(1, greatest(len(t) - 3, 0) + 1)) AS u(i)),
+        bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+        scored AS (
+          SELECT tr.doc_id, COUNT(*) AS n_grams,
+                 CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_contaminated
+          FROM (SELECT * FROM grams WHERE source != 'src0') tr
+          LEFT JOIN bench b ON tr.g = b.g
+          GROUP BY tr.doc_id)
+        SELECT doc_id, n_grams, n_contaminated,
+               n_contaminated::DOUBLE / n_grams::DOUBLE AS contamination
+        FROM scored
+        WHERE n_contaminated > 0
+        ORDER BY doc_id
+      """.trim),
+    ),
   )
 }
