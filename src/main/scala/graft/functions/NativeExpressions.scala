@@ -31,6 +31,15 @@ object NativeFns {
     new GenericArrayData(counts)
   }
 
+  /** Sum of every `stride`-th payload byte (unsigned) — the resampled-
+    * bytes checksum of the multimodal resize path, one flat pass. */
+  def strideSum(b: Array[Byte], stride: Int): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < b.length) { acc += (b(i) & 0xff); i += stride }
+    acc
+  }
+
   /** Exact 3-gram Jaccard of two UTF8String shingle arrays via one hash
     * set — replaces interpreted array_intersect on the dedupe verify
     * path. Inputs are distinct-element arrays by construction. */
@@ -233,6 +242,17 @@ case class SniffCharsetExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression): SniffCharsetExpr = copy(child = c)
 }
 
+/** Checksum of every `stride`-th payload byte, one pass. */
+case class StrideSumExpr(child: Expression, stride: Int)
+    extends NativeUnary("strideSum", org.apache.spark.sql.types.BinaryType, LongType) {
+  override def prettyName: String = "stride_sum"
+  override protected def nullSafeEval(input: Any): Any =
+    NativeFns.strideSum(input.asInstanceOf[Array[Byte]], stride)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeFns.strideSum($c, $stride)")
+  override protected def withNewChildInternal(c: Expression): StrideSumExpr = copy(child = c)
+}
+
 /** One-pass high-nibble byte histogram (16 long counts). */
 case class NibbleHist16Expr(child: Expression)
     extends NativeUnary("nibbleHist16", org.apache.spark.sql.types.BinaryType,
@@ -302,4 +322,6 @@ object NativeExpressions {
     ColumnBridge.column(MinhashSigExpr(e(h1), e(h2), k, prime))
   def sniffCharset(c: Column): Column = ColumnBridge.column(SniffCharsetExpr(e(c)))
   def nibbleHist16(c: Column): Column = ColumnBridge.column(NibbleHist16Expr(e(c)))
+  def strideSum(c: Column, stride: Int): Column =
+    ColumnBridge.column(StrideSumExpr(e(c), stride))
 }

@@ -85,20 +85,16 @@ object Multimodal {
     * exact integer fold over the sampled bytes, so a downstream oracle
     * can verify which bytes were kept without shipping the payload. */
   def resizeStride(media: Column, stride: Int): (Column, Column) = {
-    val payload = substring(media.cast("string"), HeaderLen + 1, Int.MaxValue)
-    // guard the empty payload: Spark's sequence(1, 0) steps DOWNWARD to
-    // [1, 0] instead of producing an empty range, which would fabricate a
-    // one-byte "resample" of nothing
-    val kept = when(length(payload) === 0, array().cast("array<int>"))
-      .otherwise(filter(
-        sequence(lit(1), length(payload)),
-        i => (i - 1) % stride === 0))
-    val outLen = size(kept).cast("long")
-    val checksum = aggregate(
-      transform(kept, i => ascii(payload.substr(i, lit(1))).cast("long")),
-      lit(0L),
-      (acc, x) => acc + x)
-    (outLen, checksum)
+    val payload = substring(media, HeaderLen + 1, Int.MaxValue)
+    // kept positions are 1, 1+stride, 1+2*stride … ≤ len, so the output
+    // length is pure arithmetic — no index array to materialize — and the
+    // checksum is one codegen'd pass over the raw bytes (stride_sum)
+    val len = length(payload)
+    // ceil(len/stride) via double division then truncation — exact for
+    // any realistic payload length (double holds integers to 2^53)
+    val out = ((len + lit(stride - 1)) / lit(stride)).cast("long")
+    val checksum = graft.functions.NativeExpressions.strideSum(payload, stride)
+    (out, checksum)
   }
 
   /** Frame sampling for "video" media: every k-th frame index, capped —
