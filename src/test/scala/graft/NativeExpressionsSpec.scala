@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core.{Hashing, RabinFingerprint}
-import graft.functions.GraftFunctions
+import graft.functions.{GraftFunctions, NativeFns}
 
 /** The codegen'd native expressions must agree exactly with the core
   * library (which is itself parity-tested against reference constants),
@@ -123,5 +123,25 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkSuite {
     // a Scala UDF would appear as a non-codegen "UDF" node in the plan
     assert(!plan.contains("UDF"))
     assert(df.count() > 0)
+  }
+
+  test("nibble histogram and stride checksum match naive folds on random bytes") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 50) {
+      val n = rnd.nextInt(500)
+      val b = Array.fill(n)(rnd.nextInt(256).toByte) // full byte range incl. >0x7f
+      val hist = NativeFns.nibbleHist16(b)
+      assert(hist.numElements() == 16)
+      val naive = b.groupBy(x => (x & 0xf0) >>> 4).view.mapValues(_.length.toLong).toMap
+      (0 until 16).foreach(i =>
+        assert(hist.getLong(i) == naive.getOrElse(i, 0L), s"bin $i, n=$n"))
+      assert((0 until 16).map(hist.getLong).sum == n)
+
+      for (stride <- Seq(1, 3, 4, 7)) {
+        val want = b.indices.collect { case i if i % stride == 0 => (b(i) & 0xff).toLong }.sum
+        assert(NativeFns.strideSum(b, stride) == want, s"stride=$stride n=$n")
+      }
+    }
+    assert(NativeFns.strideSum(Array.empty[Byte], 4) == 0L)
   }
 }
