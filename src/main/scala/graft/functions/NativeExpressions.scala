@@ -245,6 +245,7 @@ case class SniffCharsetExpr(child: Expression)
 /** Checksum of every `stride`-th payload byte, one pass. */
 case class StrideSumExpr(child: Expression, stride: Int)
     extends NativeUnary("strideSum", org.apache.spark.sql.types.BinaryType, LongType) {
+  require(stride > 0, s"stride_sum requires a positive stride, got $stride")
   override def prettyName: String = "stride_sum"
   override protected def nullSafeEval(input: Any): Any =
     NativeFns.strideSum(input.asInstanceOf[Array[Byte]], stride)

@@ -244,14 +244,15 @@ final class ArcPartitionReader(
   override def next(): Boolean =
     try nextRecord()
     catch {
-      // a truncated/garbled archive: with ignoreCorruptFiles the rest of
-      // THIS file is skipped (mid-stream gzip state is unrecoverable) and
-      // the scan moves on — one bad archive out of a 100 TB crawl must
-      // not kill the job. Records already emitted from the file stand.
-      // NonFatal, not just IOException: a garbled-but-decompressible
-      // header also surfaces as NumberFormatException (non-numeric
-      // length token) or NegativeArraySizeException (absurd length) —
-      // exactly the corruption this option exists to survive
+      // gzip-layer damage (bad magic, truncated member, payload EOF,
+      // absurd-length allocation): the compressed stream state is
+      // unrecoverable, so with ignoreCorruptFiles the REST of this file
+      // is skipped and the scan moves on — one bad archive out of a
+      // 100 TB crawl must not kill the job. Records already emitted
+      // stand; header-level damage is handled per-member in
+      // nextRecord() without abandoning the file. NonFatal (not just
+      // IOException) because allocation of a garbage length surfaces as
+      // NegativeArraySizeException/OutOfMemoryError-adjacent errors
       case scala.util.control.NonFatal(e) if ignoreCorrupt =>
         System.err.println(
           s"graft-arc: skipping corrupt remainder of ${partition.path}: $e")
@@ -268,15 +269,32 @@ final class ArcPartitionReader(
       if (line == null || line.trim.isEmpty) {
         member.close()
       } else {
-        val parts = line.trim.split(" ")
-        if (parts.length < 5)
-          throw new java.io.IOException(s"malformed ARC header: $line")
-        val url = parts(0)
+        // header-level damage (wrong token count, non-numeric length) is
+        // MEMBER-level: the gzip boundary is intact, so with
+        // ignoreCorruptFiles just this record is dropped (member.close()
+        // drains to the boundary) and the file continues — only gzip-layer
+        // failures abort the remainder of the file (catch in next())
+        val parsed =
+          try {
+            val parts = line.trim.split(" ")
+            if (parts.length < 5)
+              throw new java.io.IOException(s"malformed ARC header: $line")
+            Some((parts(0), parts(1), parts(2), parts(3),
+              parts(parts.length - 1).toLong))
+          } catch {
+            case e @ (_: java.io.IOException | _: NumberFormatException)
+                if ignoreCorrupt =>
+              System.err.println(
+                s"graft-arc: skipping malformed record in ${partition.path}: $e")
+              None
+          }
+        if (parsed.isEmpty) {
+          member.close()
+        } else {
+        val (url, ip, date, mime, len) = parsed.get
         if (url.startsWith("filedesc://")) { // version block
           member.close()
         } else {
-          val ip = parts(1); val date = parts(2); val mime = parts(3)
-          val len = parts(parts.length - 1).toLong
           if (!ArcFilters.matches(pushed, url, ip, date, mime, len)) {
             member.close() // predicate failed — payload never materialized
           } else {
@@ -298,6 +316,7 @@ final class ArcPartitionReader(
             member.close() // drain the record separator / remainder
             row = new GenericInternalRow(values)
           }
+        }
         }
       }
     }

@@ -40,12 +40,20 @@ final class ArcMicroBatchStream(scan: ArcScan) extends MicroBatchStream {
     ArcStreamOffset(
       sortedFiles().map(_.getPath.toString).maxOption.getOrElse(""))
 
-  override def deserializeOffset(json: String): Offset =
+  override def deserializeOffset(json: String): Offset = {
+    // a checkpoint from the earlier file-count offset format must fail
+    // loudly — silently mapping it to the initial offset would replay
+    // every already-processed archive as duplicates
+    if (json.contains("\"fileCount\""))
+      throw new IllegalStateException(
+        s"graft-arc: legacy file-count stream offset $json is not " +
+          "supported; restart the stream with a fresh checkpoint location")
     ArcStreamOffset(
       """"lastFile"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
         .findFirstMatchIn(json)
         .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
         .getOrElse(""))
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[ArcStreamOffset].lastFile

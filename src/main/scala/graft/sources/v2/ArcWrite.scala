@@ -49,6 +49,10 @@ final case class ArcBatchWrite(
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     ArcWriterFactory(path, schema.fieldNames, conf, rollSize)
 
+  /** NOTE: like Hadoop's v1 file committer, the rename loop is not
+    * atomic across tasks — a rename failure throws after earlier tasks'
+    * archives are already visible. Callers treating the output dir as
+    * transactional should write to a fresh directory per attempt. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.value)
@@ -151,8 +155,11 @@ final class ArcDataWriter(
     val date = row.getUTF8String(idx("archive_date")).toString
     val mime = row.getUTF8String(idx("mime_type")).toString
     val content = row.getBinary(idx("content"))
-    writeMember(s"$url $ip $date $mime", content)
+    // roll LAZILY (before the next record, not after the last): an eager
+    // post-write roll would commit a trailing archive holding only the
+    // filedesc block when the final record crosses the cap
     if (out.getPos >= rollSize) roll()
+    writeMember(s"$url $ip $date $mime", content)
   }
 
   override def commit(): WriterCommitMessage = {

@@ -175,6 +175,32 @@ class ArcV2Spec extends AnyFunSuite with SparkSuite {
     assert(lax.collect().map(_.getString(0)).toSeq == Seq("http://ok.example/"))
   }
 
+  test("header-level damage skips one member, not the rest of the file") {
+    val dir = Files.createTempDirectory("arcv2hdr").toString
+    // good record ‖ member with a non-numeric length token ‖ good record —
+    // the gzip boundaries are intact, so only the bad RECORD is dropped
+    val bad = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write("http://bad.example/ 1.2.3.4 20240101120000 text/html NaN\noops\n"
+        .getBytes("UTF-8"))
+      gz.finish(); gz.close()
+      bos.toByteArray
+    }
+    val bytes = ArcSource.writeArc(Seq(rec("http://a.example/", "text/html", "one"))) ++
+      bad ++
+      ArcSource.writeArc(Seq(rec("http://b.example/", "text/html", "two")),
+        withVersionBlock = false)
+    Files.write(Paths.get(dir, "mixed.arc.gz"), bytes)
+
+    val strict = spark.read.format("graft-arc").load(dir).select("url")
+    assertThrows[org.apache.spark.SparkException](strict.collect())
+    val lax = spark.read.format("graft-arc")
+      .option("ignoreCorruptFiles", "true").load(dir).select("url")
+    assert(lax.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("http://a.example/", "http://b.example/"))
+  }
+
   test("offset column seeks back to the same record") {
     val (dir, _) = fixtures
     val rows = spark.read.format("graft-arc").load(dir)
