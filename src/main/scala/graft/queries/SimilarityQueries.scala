@@ -336,5 +336,52 @@ object SimilarityQueries {
         ORDER BY probe_id, rank
       """.trim),
     ),
+
+    // ss7: near-dup CLUSTERS over embeddings — ss3's banded-LSH pair
+    // generation chained into the distributed union-find (the same
+    // composition d5 runs for text MinHash pairs): dedupe by embedding
+    // similarity ends in clusters, not pairs, because downstream keeps
+    // one representative per cluster. The oracle replays the banding,
+    // the cosine verify, AND the label propagation (recursive CTE).
+    Q(
+      "ss7_neardup_clusters",
+      (s, dir) => {
+        val pairs = Similarity.lshNearDupPairs(
+            Registry.table(s, dir, "embeddings"),
+            "vec_id", "embedding", Dims,
+            bands = NdBands, bitsPerBand = LshBits, threshold = 0.45)
+          .select(col("vec_a"), col("vec_b"))
+        graft.ops.Dedupe.connectedComponents(pairs, "vec_a", "vec_b")
+          .select(col("id").as("vec_id"), col("cluster_id"))
+          .orderBy("vec_id")
+      },
+      Some(s"""
+        WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        sig AS (SELECT vec_id, v, ${(0 until NdBands).map(b => s"${sigSql(b)} AS s$b").mkString(", ")} FROM e),
+        cand AS (
+          ${(0 until NdBands).map(b =>
+            s"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM sig a JOIN sig b ON a.s$b = b.s$b AND a.vec_id < b.vec_id")
+            .mkString("\n          UNION\n          ")}
+        ),
+        pairs AS (
+          SELECT vec_a, vec_b
+          FROM cand JOIN e a ON cand.vec_a = a.vec_id JOIN e b ON cand.vec_b = b.vec_id
+          WHERE ${cosSql("a", "b")} >= 0.45
+        ),
+        edges AS (
+          SELECT vec_a AS src, vec_b AS dst FROM pairs
+          UNION SELECT vec_b, vec_a FROM pairs
+        ),
+        walk(id, label) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e2.src, w.label
+          FROM edges e2 JOIN walk w ON e2.dst = w.id
+          WHERE w.label < e2.src
+        )
+        SELECT id AS vec_id, MIN(label) AS cluster_id
+        FROM walk GROUP BY id ORDER BY vec_id
+      """.trim),
+    ),
   )
 }
