@@ -35,27 +35,41 @@ final class QueryServer(spark: SparkSession, cacheDir: String, sfDir: String) {
       offset: Long = 0L,
       pageSize: Int = 25)
 
-  private def sortKey(name: String, req: PageRequest): Column = {
+  private def sortKey(req: PageRequest): Column = {
     val c = col(req.sortBy)
     if (req.ascending) c.asc else c.desc
   }
 
+  // the input fingerprint folds the sfDir file listing into the cache id,
+  // so a cache entry is invalidated when the data changes in place; one
+  // listing per server instance (the reference pins a query session to a
+  // database epoch the same way)
+  private lazy val dataFingerprint: String =
+    ResultCache.inputFingerprint(spark, sfDir)
+
   /** The materialized positional index for (query, sort, direction):
     * result rows + `pos` (1-based rank). Cached; repeat requests in any
     * page range reuse it (Query.getCanonicalId semantics). */
-  def index(name: String, req: PageRequest): DataFrame =
+  def index(name: String, req: PageRequest): DataFrame = {
+    val base = Registry.queries(name)(spark, sfDir)
+    // validate the client-supplied sort field up front: spliced into
+    // col() and the cache key below, a typo would otherwise only surface
+    // as an AnalysisException deep inside the cache-build closure
+    require(base.columns.contains(req.sortBy),
+      s"unknown sort column '${req.sortBy}' for query '$name'; " +
+        s"expected one of ${base.columns.mkString(", ")}")
     ResultCache.getOrCompute(spark, cacheDir, name,
       Map("sort" -> req.sortBy, "dir" -> (if (req.ascending) "asc" else "desc"),
-        "sf" -> sfDir)) {
-      val base = Registry.queries(name)(spark, sfDir)
+        "sf" -> sfDir, "data" -> dataFingerprint)) {
       // tiebreak on every remaining column so the rank is total and the
       // page boundaries are deterministic under re-materialization
       val ties = base.columns.filter(_ != req.sortBy).sorted.map(col)
       base.withColumn("pos",
         row_number().over(
-          Window.orderBy(sortKey(name, req) +: ties.map(c => if (req.ascending) c.asc else c.desc): _*))
+          Window.orderBy(sortKey(req) +: ties.map(c => if (req.ascending) c.asc else c.desc): _*))
           .cast("long"))
     }
+  }
 
   /** One page: a range predicate on `pos`, pruned to the row groups
     * containing [offset+1, offset+pageSize] by parquet min/max stats. */

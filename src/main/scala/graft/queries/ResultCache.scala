@@ -1,8 +1,8 @@
 package graft.queries
 
-import java.nio.file.{Files, Paths}
 import java.security.MessageDigest
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Query-server result cache (SURVEY §3.1 steps 2-3): results are keyed
@@ -22,13 +22,39 @@ object ResultCache {
       .map("%02x".format(_)).mkString
   }
 
+  /** Fingerprint of a data directory: MD5 over the sorted recursive file
+    * listing (path, length, mtime). Folded into the canonical id so a
+    * cache entry is invalidated when the data under it changes in place —
+    * the reference ties cache validity to the database timestamp the same
+    * way (MasterServer.java:308 keys results by query + db epoch). */
+  def inputFingerprint(spark: SparkSession, dir: String): String = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val md = MessageDigest.getInstance("MD5")
+    if (fs.exists(p)) {
+      val it = fs.listFiles(p, true)
+      val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val st = it.next()
+        entries += s"${st.getPath}|${st.getLen}|${st.getModificationTime}"
+      }
+      entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   /** Serve from cache when present, else compute + materialize. The
     * _SUCCESS marker gates readiness, so a killed write never serves a
-    * partial result. */
+    * partial result. The probe goes through the Hadoop FileSystem for the
+    * cacheDir's scheme, so an HDFS/S3 cache dir (the deployment SURVEY §8
+    * prescribes) is probed where the parquet was actually written, not on
+    * the driver's local disk. */
   def getOrCompute(spark: SparkSession, cacheDir: String, queryName: String,
       params: Map[String, String])(compute: => DataFrame): DataFrame = {
     val path = s"$cacheDir/${canonicalId(queryName, params)}"
-    if (!Files.exists(Paths.get(path, "_SUCCESS"))) {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new Path(p, "_SUCCESS"))) {
       compute.write.mode("overwrite").parquet(path)
     }
     spark.read.parquet(path)

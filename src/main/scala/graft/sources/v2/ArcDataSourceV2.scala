@@ -250,10 +250,13 @@ final class ArcPartitionReader(
       // is skipped and the scan moves on — one bad archive out of a
       // 100 TB crawl must not kill the job. Records already emitted
       // stand; header-level damage is handled per-member in
-      // nextRecord() without abandoning the file. NonFatal (not just
-      // IOException) because allocation of a garbage length surfaces as
-      // NegativeArraySizeException/OutOfMemoryError-adjacent errors
-      case scala.util.control.NonFatal(e) if ignoreCorrupt =>
+      // nextRecord() without abandoning the file. The catch is limited
+      // to the corruption surface (IOException covers EOF/Zip; a garbage
+      // length allocation surfaces as NegativeArraySizeException) so a
+      // programming error in pushdown/row assembly still fails the task
+      // instead of silently dropping the file's records
+      case e @ (_: java.io.IOException | _: NumberFormatException |
+          _: NegativeArraySizeException) if ignoreCorrupt =>
         System.err.println(
           s"graft-arc: skipping corrupt remainder of ${partition.path}: $e")
         false

@@ -21,10 +21,13 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
   */
 final case class ArcStreamOffset(lastFile: String) extends Offset {
   override def json(): String = {
+    // control chars are legal in POSIX file names; an unescaped one would
+    // corrupt the streaming offset log (invalid JSON in the checkpoint)
     val esc = lastFile.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case c    => c.toString
+      case '"'             => "\\\""
+      case '\\'            => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c               => c.toString
     }
     s"""{"lastFile":"$esc"}"""
   }
@@ -49,10 +52,30 @@ final class ArcMicroBatchStream(scan: ArcScan) extends MicroBatchStream {
         s"graft-arc: legacy file-count stream offset $json is not " +
           "supported; restart the stream with a fresh checkpoint location")
     ArcStreamOffset(
-      """"lastFile"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+      """"lastFile"\s*:\s*"((?:[^"\\]|\\u[0-9a-fA-F]{4}|\\.)*)"""".r
         .findFirstMatchIn(json)
-        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+        .map(m => unescape(m.group(1)))
         .getOrElse(""))
+  }
+
+  // single left-to-right pass so a backslash consumed by one escape can
+  // never be re-read as the start of another
+  private def unescape(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' if i + 5 < s.length =>
+            out.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case e =>
+            out.append(e); i += 2
+        }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -201,6 +201,27 @@ class ArcV2Spec extends AnyFunSuite with SparkSuite {
       Seq("http://a.example/", "http://b.example/"))
   }
 
+  test("stream offset json round-trips control chars and escapes") {
+    import graft.sources.v2.{ArcMicroBatchStream, ArcStreamOffset}
+    import org.apache.spark.sql.types.StructType
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val stream = new ArcMicroBatchStream(
+      ArcScan(CaseInsensitiveStringMap.empty(), new StructType(), Array.empty))
+    val nasty = Seq(
+      "/data/plain.arc.gz",
+      "/data/with\nnewline.arc.gz",
+      "/data/tab\there.arc.gz",
+      "/data/quote\"and\\backslash.arc.gz",
+      "/data/bellctrl.arc.gz")
+    nasty.foreach { f =>
+      val json = ArcStreamOffset(f).json()
+      // the serialized form must never contain a raw control character
+      assert(!json.exists(_ < ' '), s"raw control char in offset json: $json")
+      val back = stream.deserializeOffset(json)
+      assert(back == ArcStreamOffset(f), s"round trip failed for $f")
+    }
+  }
+
   test("offset column seeks back to the same record") {
     val (dir, _) = fixtures
     val rows = spark.read.format("graft-arc").load(dir)
