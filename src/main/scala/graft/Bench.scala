@@ -20,9 +20,15 @@ object Bench {
     SparkEntry.queries.get("q1_agg").foreach { fn =>
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     }
+    // optional comma-separated prefix filter for targeted local profiling
+    // (e.g. SPARK_GRAFT_BENCH_FILTER=d,g5); absent → full suite
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    def selected(name: String) = filter.forall(_.exists(name.startsWith))
     // deterministic name order so per-query numbers are comparable
     // across rounds (Map iteration order is arbitrary)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => selected(q._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes every row end-to-end (count() would let
       // Catalyst drop final sorts/projections and undercount the work)

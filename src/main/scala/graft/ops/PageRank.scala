@@ -69,18 +69,32 @@ object PageRank {
       p.count() // materialize now so every iteration reads the cache
       p
     }
+    // The caller's edge plan can be arbitrarily expensive (a multi-join
+    // derivation over the raw crawl); cache it ONCE, already partitioned
+    // on src_domain. Everything keyed by src_domain downstream — the
+    // out-degree aggregation, the degree join, and the final pinned `e` —
+    // then rides that one partitioning with no further Exchange: the
+    // O(edges) table is shuffled exactly once in the whole setup phase.
+    val edgesIn = edges.repartition(nParts, col("src_domain")).persist()
+    edgesIn.count()
     val nodes = pinned(
-      edges.select(col("src_domain").as("domain"), col("src_root").as("root"))
-        .unionByName(edges.select(col("dst_domain").as("domain"), col("dst_root").as("root")))
+      edgesIn.select(col("src_domain").as("domain"), col("src_root").as("root"))
+        .unionByName(edgesIn.select(col("dst_domain").as("domain"), col("dst_root").as("root")))
         .distinct(), "domain")
-    val outdeg = edges.groupBy("src_domain").agg(count(lit(1)).as("outdeg"))
-    val e = pinned(edges
+    val outdeg = edgesIn.groupBy("src_domain").agg(count(lit(1)).as("outdeg"))
+    // co-partitioned join (no Exchange on either side) + broadcast flag;
+    // the result inherits HashPartitioning(src_domain), so persisting it
+    // directly keeps the loop's join-key partitioning visible through
+    // InMemoryTableScan without a redundant repartition pass
+    val e = edgesIn
       .join(outdeg, "src_domain")
       .join(broadcast(superRoots.select(col("root").as("sr"), lit(true).as("flag"))),
         col("src_root") === col("sr"), "left")
       .select(col("src_domain"), col("src_root"), col("dst_domain"),
-        col("outdeg"), coalesce(col("flag"), lit(false)).as("src_super")),
-      "src_domain")
+        col("outdeg"), coalesce(col("flag"), lit(false)).as("src_super"))
+      .persist()
+    e.count()
+    edgesIn.unpersist() // nodes and e are pinned; the raw plan is done
 
     var ranks = mat(nodes.withColumn("rank_u", lit(Scale)))
     for (iter <- 1 to iters) {
