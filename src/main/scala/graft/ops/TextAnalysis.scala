@@ -79,4 +79,87 @@ object TextAnalysis {
     * (a single edit disturbs at most 3 of the k mins). */
   def docFingerprint(text: Column, k: Int = 4): Column =
     md5(concat_ws("", slice(array_sort(transform(Dedupe.shingles3(text), s => md5(s.cast("binary")))), 1, k)).cast("binary"))
+
+  /** Word n-grams (space-joined) of a pre-tokenized array column; empty
+    * array when the doc has fewer than n tokens (sequence would otherwise
+    * COUNT DOWN from 1 to a non-positive stop and fabricate grams). */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= lit(n),
+      transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Gopher-style repetition metrics per document (Rae et al. 2021 §A1.1,
+    * the published quality rules every large-scale text pipeline applies):
+    * for each n-gram size, the fraction of n-gram OCCURRENCES that belong
+    * to a duplicated n-gram, and the fraction claimed by the single most
+    * frequent n-gram. Computed distributed — explode to (doc, n, gram),
+    * count, then conditional aggregation back to one row per doc; partial
+    * (map-side) aggregation shrinks the shuffle to the per-doc distinct
+    * gram count, and no per-doc data structure ever exceeds one gram.
+    */
+  def repetitionMetrics(df: DataFrame, docId: String, text: String,
+      ns: Seq[Int] = Seq(2, 3)): DataFrame = {
+    val toks = tokens(col(text))
+    val tagged = ns.map(n =>
+      df.select(col(docId), lit(n).as("n"),
+        explode(wordNgrams(toks, n)).as("gram")))
+      .reduce(_ unionByName _)
+    val counts = tagged.groupBy(col(docId), col("n"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+    val byN = counts.groupBy(col(docId), col("n"))
+      .agg(
+        sum(col("c")).as("total"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0))).as("dup"),
+        max(col("c")).as("top"))
+    val pivots = ns.flatMap { n =>
+      Seq(
+        sum(when(col("n") === n, col("total"))).as(s"total_${n}grams"),
+        sum(when(col("n") === n, col("dup"))).as(s"_dup$n"),
+        sum(when(col("n") === n, col("top"))).as(s"_top$n"))
+    }
+    byN.groupBy(col(docId))
+      .agg(pivots.head, pivots.tail: _*)
+      .select(
+        col(docId) +: ns.flatMap(n =>
+          Seq(
+            col(s"total_${n}grams"),
+            (col(s"_dup$n").cast("double") / col(s"total_${n}grams"))
+              .as(s"dup_${n}gram_frac"),
+            (col(s"_top$n").cast("double") / col(s"total_${n}grams"))
+              .as(s"top_${n}gram_frac"))): _*)
+  }
+
+  /** One scrub rule: (name, Java/RE2-common regex, replacement). Patterns
+    * must avoid constructs RE2 lacks (backreferences, lookaround) so the
+    * same rule runs identically in Spark and the SQL oracle. */
+  type ScrubRule = (String, String, String)
+
+  /** Default identifier-scrubbing rules, applied in order: long digit
+    * runs are the identifier shape (account/customer numbers), remaining
+    * digits are bucketed. */
+  val DefaultScrubRules: Seq[ScrubRule] = Seq(
+    ("longid", "\\d{4,}", "[ID]"),
+    ("num", "\\d+", "#"),
+  )
+
+  /** Rule-driven text scrubbing (the PII-redaction pass of a training-data
+    * pipeline): applies each rule's regexp_replace IN ORDER, logging per
+    * rule the match count on the text as it stood when the rule ran (what
+    * a scrubber audit-logs). Adds `n_<rule>` counts and `redacted`.
+    * Entirely codegen'd built-ins — one projection, no UDF, linear scan.
+    */
+  def piiScrub(df: DataFrame, text: String,
+      rules: Seq[ScrubRule] = DefaultScrubRules): DataFrame = {
+    val (out, counts) =
+      rules.foldLeft((col(text), Seq.empty[(String, Column)])) {
+        case ((cur, acc), (name, pat, repl)) =>
+          val n = size(regexp_extract_all(cur, lit(pat), lit(0)))
+          (regexp_replace(cur, pat, repl), acc :+ (name, n))
+      }
+    counts.foldLeft(df) { case (d, (name, c)) =>
+      d.withColumn(s"n_$name", c.cast("long"))
+    }.withColumn("redacted", out)
+  }
 }

@@ -346,5 +346,62 @@ object CurationQueries {
         ORDER BY doc_id
       """.trim),
     ),
+    // ---------------------------------------------------------------
+    // cu9: per-document top-3 keywords by TF-IDF — the keyword-extraction
+    // / topic-tagging pass of a curation pipeline. Log-free IDF
+    // (tf·N/df as exact int64 product over one IEEE division) keeps the
+    // score bit-portable across engines; ties break on the token. Shape:
+    // explode → (doc,token) count → df via a token-partitioned window on
+    // the ALREADY-AGGREGATED tf table (O(doc·vocab) rows, not O(tokens))
+    // → per-doc row_number. Three shuffles total, each on aggregated data.
+    Q(
+      "cu9_tfidf",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val tf = docs
+          .select(col("doc_id"),
+            explode(graft.ops.TextAnalysis.tokens(col("text"))).as("token"))
+          .groupBy("doc_id", "token")
+          .agg(count(lit(1)).as("tf"))
+        tf
+          .withColumn("df",
+            count(lit(1)).over(Window.partitionBy("token")).cast("long"))
+          .crossJoin(broadcast(nDocs))
+          .withColumn("score",
+            (col("tf") * col("n_docs")).cast("double") / col("df"))
+          .withColumn("rank",
+            row_number().over(
+              Window.partitionBy("doc_id")
+                .orderBy(col("score").desc, col("token").asc)).cast("long"))
+          .filter(col("rank") <= 3)
+          .select("doc_id", "rank", "token", "tf", "df", "score")
+          .orderBy("doc_id", "rank")
+      },
+      Some(raw"""
+        WITH tf AS (
+          SELECT doc_id, token, COUNT(*) AS tf
+          FROM (
+            SELECT doc_id,
+                   unnest(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS token
+            FROM documents)
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT doc_id, token, tf,
+                 COUNT(*) OVER (PARTITION BY token)::BIGINT AS df
+          FROM tf),
+        ranked AS (
+          SELECT doc_id, token, tf, df,
+                 (tf * (SELECT COUNT(*) FROM documents))::DOUBLE / df AS score
+          FROM scored)
+        SELECT doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY doc_id ORDER BY score DESC, token ASC)::BIGINT AS rank,
+               token, tf, df, score
+        FROM (SELECT * FROM ranked)
+        QUALIFY rank <= 3
+        ORDER BY doc_id, rank
+      """.trim),
+    ),
   )
 }

@@ -163,5 +163,89 @@ object TextQueries {
         GROUP BY lang ORDER BY lang
       """.stripMargin.trim),
     ),
+    // Gopher-style repetition rules (Rae et al. 2021 §A1.1): per-doc
+    // duplicated-n-gram and top-n-gram occupancy fractions, the published
+    // quality gates every large-scale text pipeline applies. Distributed
+    // explode→count→fold (see TextAnalysis.repetitionMetrics); the
+    // fractions are single IEEE divisions of exact integer counts, so the
+    // hash matches bit-for-bit.
+    Q(
+      "t6_repetition",
+      (s, dir) =>
+        graft.ops.TextAnalysis.repetitionMetrics(
+            Registry.table(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id"),
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, $Toks AS t FROM documents),
+        g2 AS (
+          SELECT doc_id, 2 AS n, t[i] || ' ' || t[i+1] AS gram
+          FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+        g3 AS (
+          SELECT doc_id, 3 AS n, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+          FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)),
+        counts AS (
+          SELECT doc_id, n, gram, COUNT(*) AS c
+          FROM (SELECT * FROM g2 UNION ALL SELECT * FROM g3)
+          GROUP BY 1, 2, 3),
+        byn AS (
+          SELECT doc_id, n, SUM(c)::BIGINT AS total,
+                 SUM(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS dup,
+                 MAX(c)::BIGINT AS top
+          FROM counts GROUP BY 1, 2)
+        SELECT doc_id,
+               SUM(CASE WHEN n = 2 THEN total END)::BIGINT AS total_2grams,
+               SUM(CASE WHEN n = 2 THEN dup END)::DOUBLE
+                 / SUM(CASE WHEN n = 2 THEN total END) AS dup_2gram_frac,
+               SUM(CASE WHEN n = 2 THEN top END)::DOUBLE
+                 / SUM(CASE WHEN n = 2 THEN total END) AS top_2gram_frac,
+               SUM(CASE WHEN n = 3 THEN total END)::BIGINT AS total_3grams,
+               SUM(CASE WHEN n = 3 THEN dup END)::DOUBLE
+                 / SUM(CASE WHEN n = 3 THEN total END) AS dup_3gram_frac,
+               SUM(CASE WHEN n = 3 THEN top END)::DOUBLE
+                 / SUM(CASE WHEN n = 3 THEN total END) AS top_3gram_frac
+        FROM byn GROUP BY doc_id ORDER BY doc_id
+      """.trim),
+    ),
+    // PII / identifier scrubbing (training-data pipeline extension): the
+    // rule-driven redaction pass over every name-bearing column, with per
+    // rule audit counts. The testdata's embedded numeric identifiers
+    // (Customer#000000042, Brand#17) are the PII stand-in; every row is a
+    // real hit, so the hash verifies the redaction itself, not a no-op.
+    Q(
+      "t7_pii_scrub",
+      (s, dir) => {
+        import graft.ops.TextAnalysis
+        val c = Registry.table(s, dir, "customer")
+          .select(lit("customer").as("src"), col("c_custkey").as("id"),
+            col("c_name").as("txt"))
+        val sup = Registry.table(s, dir, "supplier")
+          .select(lit("supplier").as("src"), col("s_suppkey").as("id"),
+            col("s_name").as("txt"))
+        val p = Registry.table(s, dir, "part")
+          .select(lit("part").as("src"), col("p_partkey").as("id"),
+            col("p_brand").as("txt"))
+        TextAnalysis.piiScrub(c.unionByName(sup).unionByName(p), "txt")
+          .select("src", "id", "n_longid", "n_num", "redacted")
+          .orderBy("src", "id")
+      },
+      Some(raw"""
+        WITH scrubbed AS (
+          SELECT src, id,
+                 len(regexp_extract_all(txt, '\d{4,}'))::BIGINT AS n_longid,
+                 regexp_replace(txt, '\d{4,}', '[ID]', 'g') AS r1
+          FROM (
+            SELECT 'customer' AS src, c_custkey AS id, c_name AS txt FROM customer
+            UNION ALL
+            SELECT 'supplier', s_suppkey, s_name FROM supplier
+            UNION ALL
+            SELECT 'part', p_partkey, p_brand FROM part)
+        )
+        SELECT src, id, n_longid,
+               len(regexp_extract_all(r1, '\d+'))::BIGINT AS n_num,
+               regexp_replace(r1, '\d+', '#', 'g') AS redacted
+        FROM scrubbed ORDER BY src, id
+      """.trim),
+    ),
   )
 }
