@@ -109,6 +109,36 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("hashpartitioning(h#"), s"dedupe shuffle not keyed on the hash:\n$p")
   }
 
+  test("PageRank loop invariants derive exchange-free from the pinned edge cache") {
+    // Pins the mechanism PageRank.run's setup relies on: a table cached
+    // pre-partitioned on the join key keeps its HashPartitioning visible
+    // through InMemoryTableScan, so the out-degree aggregation and the
+    // degree join add NO Exchange — the O(edges) table is shuffled exactly
+    // once in the whole setup phase. (Structural check, not string match:
+    // the cache's own repartition lives inside InMemoryRelation and must
+    // not count.)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions._
+    val session = spark.newSession()
+    session.conf.set("spark.sql.adaptive.enabled", "false")
+    session.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import session.implicits._
+    val raw = Seq((1L, 10L, 2L, 20L), (2L, 20L, 3L, 30L), (1L, 10L, 3L, 30L))
+      .toDF("src_domain", "src_root", "dst_domain", "dst_root")
+    val edgesIn = raw.repartition(4, col("src_domain")).persist()
+    edgesIn.count()
+    try {
+      val outdeg = edgesIn.groupBy("src_domain").agg(count(lit(1)).as("outdeg"))
+      val e = edgesIn.join(outdeg, "src_domain")
+      val exchanges = e.queryExecution.executedPlan.collect {
+        case x: ShuffleExchangeExec => x
+      }
+      assert(exchanges.isEmpty,
+        s"setup re-shuffled the cached edge table:\n${e.queryExecution.executedPlan}")
+      assert(e.count() == 3)
+    } finally edgesIn.unpersist()
+  }
+
   test("IVF cell assignment shuffles on vec_id alone, not the raw vector") {
     Seq("ss4_ivf_ann", "ss6_ivf_kmeans").foreach { name =>
       val p = plan(name)
