@@ -200,12 +200,14 @@ object Dedupe {
       k: Int = 72, bands: Int = 6): DataFrame =
     minhashCandidatesFrom(docShingles(docs, id, text), k, bands)
 
-  /** [[minhashCandidates]] over a prepared (doc_id, sh) shingle table —
-    * callers that also verify pairs checkpoint the shingle table once and
-    * pass it here so the shingling never recomputes. */
-  def minhashCandidatesFrom(sh: DataFrame, k: Int, bands: Int): DataFrame = {
+  /** The banded-signature stage of the MinHash pipeline: a (doc_id, sh)
+    * shingle table → one row per (doc_id, band_idx, band_key). This is the
+    * LSH *index* relation — at scale it is what a production pipeline
+    * materializes once per corpus (bucketed by the band key) so that
+    * incremental batches can probe it without re-hashing the corpus. */
+  def bandedSignatures(sh: DataFrame, k: Int, bands: Int): DataFrame = {
     val rowsPerBand = k / bands
-    val banded = sh
+    sh
       // bindOnce at each fan-out point: the base-hash arrays and the
       // signature each evaluate exactly once per row, however the
       // optimizer rearranges the projections
@@ -221,6 +223,13 @@ object Dedupe {
             }
           }))
       .toDF("doc_id", "band_idx", "band_key")
+  }
+
+  /** [[minhashCandidates]] over a prepared (doc_id, sh) shingle table —
+    * callers that also verify pairs checkpoint the shingle table once and
+    * pass it here so the shingling never recomputes. */
+  def minhashCandidatesFrom(sh: DataFrame, k: Int, bands: Int): DataFrame = {
+    val banded = bandedSignatures(sh, k, bands)
       // materialize once: the self-join would otherwise run the whole
       // shingle→hash→band pipeline twice (once per side)
       .localCheckpoint(true)
@@ -258,6 +267,43 @@ object Dedupe {
       .withColumn("jaccard", jaccardOf(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Incremental dedupe: near-dup pairs between a NEW batch and an existing
+    * corpus (the recurring production shape — each crawl/ingest batch is
+    * deduped against everything already accepted, reference
+    * CrawlDBMergeJob.java:290-295's new-segments-vs-previous-merged pattern
+    * applied to content near-dups).
+    *
+    * Unlike the self-join in [[minhashNearDupPairs]], the band join here is
+    * batch × corpus only: batch-internal and corpus-internal pairs never
+    * form, so candidate volume scales with |batch|, not |corpus|². At 100 TB
+    * the corpus side of this join is a materialized banded-signature index
+    * ([[bandedSignatures]], bucketed by (band_idx, band_key)); the batch —
+    * typically orders of magnitude smaller — is hashed fresh and shuffled
+    * to it, and nothing about the corpus is recomputed per batch.
+    *
+    * Returns (new_id, corpus_id, jaccard) for every batch doc whose exact
+    * 3-gram Jaccard against a corpus doc clears `threshold`. */
+  def incrementalNearDupPairs(
+      corpus: DataFrame, batch: DataFrame, id: String, text: String,
+      threshold: Double, k: Int = 72, bands: Int = 6): DataFrame = {
+    // each side's shingle table materializes once and feeds both its
+    // banding and its verify join
+    val shC = docShingles(corpus, id, text).localCheckpoint(true)
+    val shB = docShingles(batch, id, text).localCheckpoint(true)
+    val cand = bandedSignatures(shB, k, bands).as("n")
+      .join(bandedSignatures(shC, k, bands).as("c"),
+        col("n.band_idx") === col("c.band_idx") &&
+          col("n.band_key") === col("c.band_key"))
+      .select(col("n.doc_id").as("new_id"), col("c.doc_id").as("corpus_id"))
+      .distinct()
+    cand
+      .join(shB.withColumnsRenamed(Map("doc_id" -> "new_id", "sh" -> "sh_n")), "new_id")
+      .join(shC.withColumnsRenamed(Map("doc_id" -> "corpus_id", "sh" -> "sh_c")), "corpus_id")
+      .withColumn("jaccard", jaccardOf(col("sh_n"), col("sh_c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
   }
 
   /** Exact n-gram Jaccard near-dup pairs, blocked by a grouping column.

@@ -131,6 +131,48 @@ object TextAnalysis {
               .as(s"top_${n}gram_frac"))): _*)
   }
 
+  /** Stopword list for the Gopher presence gate (Rae et al. 2021 §A1.1
+    * uses exactly this set). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document gates (Rae et al. 2021 §A1.1): the boolean
+    * keep/drop rules every large-scale text pipeline applies before
+    * training. Per doc: word count in [minWords, maxWords], mean word
+    * length in [minMeanLen, maxMeanLen], ≥ minAlphaFrac of words contain
+    * an alphabetic character, ≥ minStopwords distinct stopwords present.
+    * Adds the measured features, one boolean per gate, and `pass`.
+    * Pure codegen'd built-ins over one tokenization — a linear scan; the
+    * fractions are single IEEE divisions so the oracle hash is exact. */
+  def gopherGates(df: DataFrame, text: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8, minStopwords: Int = 2): DataFrame = {
+    val stops = array(GopherStopwords.map(lit): _*)
+    df.withColumn("toks", tokens(col(text)))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      // sum of word lengths = chars minus the (n-1) separating spaces
+      // (tokens() normalizes runs of whitespace to single spaces)
+      .withColumn("mean_word_len",
+        (length(col(text)) - (col("n_words") - lit(1))).cast("double")
+          / col("n_words"))
+      .withColumn("alpha_frac",
+        size(filter(col("toks"), w => w.rlike("\\p{L}"))).cast("double")
+          / col("n_words"))
+      .withColumn("n_stopwords",
+        size(filter(stops, w => array_contains(col("toks"), w))).cast("long"))
+      .withColumn("gate_words",
+        col("n_words").between(minWords, maxWords))
+      .withColumn("gate_word_len",
+        col("mean_word_len").between(minMeanLen, maxMeanLen))
+      .withColumn("gate_alpha", col("alpha_frac") >= minAlphaFrac)
+      .withColumn("gate_stop", col("n_stopwords") >= minStopwords)
+      .withColumn("pass",
+        col("gate_words") && col("gate_word_len") &&
+          col("gate_alpha") && col("gate_stop"))
+      .drop("toks")
+  }
+
   /** One scrub rule: (name, Java/RE2-common regex, replacement). Patterns
     * must avoid constructs RE2 lacks (backreferences, lookaround) so the
     * same rule runs identically in Spark and the SQL oracle. */

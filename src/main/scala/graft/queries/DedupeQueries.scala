@@ -33,7 +33,10 @@ object DedupeQueries {
     * hashing h1 + j·h2 (pure integer arithmetic, overflow-free), `bands`
     * band keys of k/bands mins joined with '|'. Emits CTEs
     * sig(doc_id, sig, sh) and banded(doc_id, band_idx, band_key). */
-  private def minhashCtes(k: Int, bands: Int): String = {
+  /** The shared prefix — sh / dg / sig / banded — without a candidate CTE,
+    * so self-join (d2–d6) and batch-vs-corpus (d7) shapes can each bolt on
+    * their own `cand`. */
+  private def minhashBandedCtes(k: Int, bands: Int): String = {
     val rows = k / bands
     val keyExpr = (0 until rows).map(r => s"sig[$rows*b+${r + 1}]::VARCHAR").mkString(" || '|' || ")
     s"""$ShinglesCte,
@@ -53,14 +56,17 @@ object DedupeQueries {
        |banded AS (
        |  SELECT doc_id, b AS band_idx, $keyExpr AS band_key
        |  FROM sig, (SELECT unnest(range(0, $bands)) AS b)
-       |),
+       |)""".stripMargin
+  }
+
+  private def minhashCtes(k: Int, bands: Int): String =
+    s"""${minhashBandedCtes(k, bands)},
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM banded a JOIN banded b
        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        |   AND a.doc_id < b.doc_id
        |)""".stripMargin
-  }
 
   private val JaccardSql =
     """len(list_intersect(x.sh, y.sh))::DOUBLE
@@ -247,6 +253,44 @@ object DedupeQueries {
         WHERE a.source <> b.source
         GROUP BY 1, 2
         ORDER BY source_x, source_y
+      """.trim),
+    ),
+
+    // Incremental dedupe: the recurring production shape — each new ingest
+    // batch (here: source 'src0') deduped against the already-accepted
+    // corpus (every other source). The band join is batch × corpus only,
+    // so candidate volume scales with the batch; at 100 TB the corpus side
+    // is a materialized banded-signature index probed per batch
+    // (Dedupe.bandedSignatures). Oracle replays candidate generation via
+    // the same banded CTE restricted to cross-membership pairs.
+    Q(
+      "d7_incremental_dedupe",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        Dedupe.incrementalNearDupPairs(
+            corpus = docs.filter(col("source") =!= "src0"),
+            batch = docs.filter(col("source") === "src0"),
+            id = "doc_id", text = "text",
+            threshold = 0.8, k = 72, bands = 6)
+          .orderBy("new_id", "corpus_id")
+      },
+      Some(s"""
+        WITH ${minhashBandedCtes(k = 72, bands = 6)},
+        cand AS (
+          SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+          FROM banded n
+          JOIN documents dn ON n.doc_id = dn.doc_id AND dn.source = 'src0'
+          JOIN banded c ON n.band_idx = c.band_idx AND n.band_key = c.band_key
+          JOIN documents dc ON c.doc_id = dc.doc_id AND dc.source <> 'src0'
+        )
+        SELECT new_id, corpus_id,
+               len(list_intersect(x.sh, y.sh))::DOUBLE
+                 / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+        FROM cand JOIN sh x ON cand.new_id = x.doc_id
+                  JOIN sh y ON cand.corpus_id = y.doc_id
+        WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
+                / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.8
+        ORDER BY new_id, corpus_id
       """.trim),
     ),
   )

@@ -247,5 +247,40 @@ object TextQueries {
         FROM scrubbed ORDER BY src, id
       """.trim),
     ),
+    // Gopher document gates (Rae et al. 2021 §A1.1): the boolean keep/drop
+    // filter rules applied before training — word-count bounds, mean word
+    // length bounds, alphabetic-word fraction, stopword presence. The
+    // thresholds split this testdata non-trivially, so the hash verifies
+    // real discrimination, not all-true flags.
+    Q(
+      "t8_gopher_gates",
+      (s, dir) =>
+        graft.ops.TextAnalysis.gopherGates(
+            Registry.table(s, dir, "documents"), "text")
+          .select("doc_id", "n_words", "mean_word_len", "alpha_frac",
+            "n_stopwords", "gate_words", "gate_word_len", "gate_alpha",
+            "gate_stop", "pass")
+          .orderBy("doc_id"),
+      Some(s"""
+        WITH feats AS (
+          SELECT doc_id,
+                 len($Toks)::BIGINT AS n_words,
+                 (length(text) - (len($Toks) - 1))::DOUBLE / len($Toks) AS mean_word_len,
+                 len(list_filter($Toks, w -> regexp_matches(w, '\\p{L}')))::DOUBLE
+                   / len($Toks) AS alpha_frac,
+                 len(list_filter(
+                   ['the','be','to','of','and','that','have','with'],
+                   w -> list_contains($Toks, w)))::BIGINT AS n_stopwords
+          FROM documents)
+        SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stopwords,
+               n_words BETWEEN 50 AND 100000 AS gate_words,
+               mean_word_len BETWEEN 3.0 AND 10.0 AS gate_word_len,
+               alpha_frac >= 0.8 AS gate_alpha,
+               n_stopwords >= 2 AS gate_stop,
+               (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                 AND alpha_frac >= 0.8 AND n_stopwords >= 2 AS pass
+        FROM feats ORDER BY doc_id
+      """.trim),
+    ),
   )
 }

@@ -82,6 +82,31 @@ class DedupeSpec extends AnyFunSuite with SparkSuite {
     assert(lsh == brute)
   }
 
+  test("incremental dedupe == self-join pairs restricted to batch×corpus (sf0.001)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val batchPred = col("source") === "src0"
+    val inc = Dedupe.incrementalNearDupPairs(
+        corpus = docs.filter(!batchPred), batch = docs.filter(batchPred),
+        id = "doc_id", text = "text", threshold = 0.8)
+      .select("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // ground truth: the full self-join pairs, keeping exactly those with
+    // one side in the batch, re-oriented (new, corpus)
+    val srcOf = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = Dedupe.minhashNearDupPairs(docs, "doc_id", "text", 0.8)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) => (srcOf(a) == "src0", srcOf(b) == "src0") match {
+        case (true, false) => Some((a, b))
+        case (false, true) => Some((b, a))
+        case _             => None
+      }}.toSet
+    assert(inc == expected)
+    assert(inc.nonEmpty)
+  }
+
   test("exact dup groups: md5 grouping counts copies") {
     import spark.implicits._
     val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))

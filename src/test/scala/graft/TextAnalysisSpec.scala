@@ -45,6 +45,26 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSuite {
     assert(r1.getDouble(r1.fieldIndex("dup_3gram_frac")) == 2.0 / 3.0)
   }
 
+  test("gopherGates: each rule discriminates on crafted inputs") {
+    import spark.implicits._
+    val longOk = ("the of " + Seq.fill(60)("word").mkString(" ")).trim
+    val df = Seq(
+      (1L, longOk),                                  // passes all gates
+      (2L, "the of too short"),                      // fails gate_words
+      (3L, ("the of " + Seq.fill(60)("w").mkString(" ")).trim), // mean len < 3
+      (4L, ("the of " + Seq.fill(30)("1234 5678").mkString(" ")).trim), // alpha < 0.8
+      (5L, Seq.fill(60)("word").mkString(" ")),      // no stopwords
+    ).toDF("doc_id", "text")
+    val g = TextAnalysis.gopherGates(df, "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(g(1L).getAs[Boolean]("pass"))
+    assert(!g(2L).getAs[Boolean]("gate_words") && g(2L).getAs[Boolean]("gate_stop"))
+    assert(!g(3L).getAs[Boolean]("gate_word_len"))
+    assert(!g(4L).getAs[Boolean]("gate_alpha") && g(4L).getAs[Boolean]("gate_words"))
+    assert(!g(5L).getAs[Boolean]("gate_stop") && g(5L).getAs[Boolean]("gate_alpha"))
+    assert(Seq(2L, 3L, 4L, 5L).forall(i => !g(i).getAs[Boolean]("pass")))
+  }
+
   test("piiScrub applies rules in order and counts on the residual text") {
     import spark.implicits._
     val df = Seq("id 123456 then 42 and 7").toDF("txt")
