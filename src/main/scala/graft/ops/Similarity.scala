@@ -215,6 +215,48 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Max-inner-product top-k via norm augmentation (the published
+    * MIPS→cosine reduction of Bachrach et al. 2014 / Shrivastava-Li
+    * asymmetric LSH): with M = max‖v‖ over the corpus, augmenting corpus
+    * vectors to [v, sqrt(M²−‖v‖²)] (every augmented vector then has norm
+    * exactly M) and probes to [q, 0] makes augmented-cosine order equal
+    * inner-product order — so the cosine LSH machinery above applies to
+    * MIPS unchanged. Candidates come from multi-probe hyperplane buckets
+    * over the AUGMENTED dims+1 space; ranking is by the raw inner product
+    * of the original vectors.
+    *
+    * Scale shape: identical to [[multiProbeTopK]] — the max-norm scalar is
+    * one tiny aggregate broadcast into the plan, signatures are one linear
+    * scan, and the bucket join shuffles (bits+1)·n probe rows. Every float
+    * step (sequential dot, one subtraction, IEEE sqrt) is bit-portable, so
+    * the oracle replays bucketing exactly. */
+  def mipsMultiProbeTopK(df: DataFrame, id: String, emb: String, dims: Int,
+      bits: Int, probeMax: Long, k: Int): DataFrame = {
+    val base = vectors(df, id, emb)
+      .withColumn("nsq", dot(col("v"), col("v")))
+    val m2 = broadcast(base.agg(max(col("nsq")).as("m2")))
+    val corpus = base.crossJoin(m2)
+      .withColumn("av", concat(col("v"), array(sqrt(col("m2") - col("nsq")))))
+      .withColumn("sig", hyperplaneSignature(col("av"), dims + 1, bits))
+      .select(col("vec_id"), col("v"), col("sig"))
+    val probeSigs = array(
+      (col("sig") +:
+        (0 until bits).map(f => col("sig").bitwiseXOR(lit(1L << f)))): _*)
+    val probes = base.filter(col("vec_id") < probeMax)
+      .withColumn("av", concat(col("v"), array(lit(0.0))))
+      .withColumn("sig", hyperplaneSignature(col("av"), dims + 1, bits))
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        explode(probeSigs).as("psig"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("ip").desc, col("neighbor_id"))
+    probes
+      .join(corpus, col("psig") === col("sig") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        dot(col("pv"), col("v")).as("ip"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Random-hyperplane LSH signature: bit i = sign(dot(v, h_i)) where h_i is
     * a deterministic ±1 hyperplane derived from md5(i ‖ dim) parity — no RNG
     * at plan time, reproducible anywhere (oracle included). */

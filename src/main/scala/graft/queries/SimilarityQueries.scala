@@ -85,17 +85,20 @@ object SimilarityQueries {
     }.mkString(" + ")
   }
 
-  /** DuckDB fragment: corpus-sized ss2 signature — hyperplane literals for
-    * all [[MaxLshBits]] bits, each term gated on the dynamic `bits` from
-    * the params CTE, so the SQL stays static while the width tracks the
-    * corpus exactly like the Spark plan. */
-  private def sigSqlDyn: String = {
-    val h = Similarity.hyperplanes(Dims, MaxLshBits)
+  /** DuckDB fragment: corpus-sized signature over column `vcol` of `dims`
+    * components — hyperplane literals for all [[MaxLshBits]] bits, each
+    * term gated on the dynamic `bits` from the params CTE, so the SQL
+    * stays static while the width tracks the corpus exactly like the
+    * Spark plan. */
+  private def sigSqlDynOver(vcol: String, dims: Int): String = {
+    val h = Similarity.hyperplanes(dims, MaxLshBits)
     (0 until MaxLshBits).map { i =>
       val lits = h(i).map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ",", "]")
-      s"(CASE WHEN $i < bits AND list_sum([v[i] * ($lits)[i] for i in range(1, ${Dims + 1})]) >= 0 THEN ${1L << i} ELSE 0 END)"
+      s"(CASE WHEN $i < bits AND list_sum([$vcol[i] * ($lits)[i] for i in range(1, ${dims + 1})]) >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
   }
+
+  private def sigSqlDyn: String = sigSqlDynOver("v", Dims)
 
   def defs: Seq[Q] = Seq(
     // exact brute-force cosine top-k for a probe set (the ANN ground truth)
@@ -381,6 +384,57 @@ object SimilarityQueries {
         )
         SELECT id AS vec_id, MIN(label) AS cluster_id
         FROM walk GROUP BY id ORDER BY vec_id
+      """.trim),
+    ),
+
+    // ss8: max-inner-product top-k (the retrieval scoring of recommender /
+    // embedding-lookup workloads, where un-normalized magnitude matters)
+    // via the published norm-augmentation MIPS→cosine reduction: corpus
+    // vectors augmented to [v, sqrt(M²−‖v‖²)], probes to [q, 0], then the
+    // same corpus-sized multi-probe hyperplane bucketing as ss2 over the
+    // dims+1 space, ranked by the raw inner product. The oracle replays
+    // the augmentation and the bucketing, so candidate generation itself
+    // is hash-checked.
+    Q(
+      "ss8_mips_topk",
+      (s, dir) => {
+        val n = Registry.table(s, dir, "embeddings").count()
+        Similarity.mipsMultiProbeTopK(Registry.table(s, dir, "embeddings"),
+            "vec_id", "embedding", Dims, lshBitsFor(n),
+            probeMax = ProbeMax, k = TopK)
+          .orderBy("probe_id", "rank")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        $ParamsCte,
+        n AS (SELECT vec_id, v,
+                     list_sum([v[i] * v[i] for i in range(1, ${Dims + 1})]) AS nsq
+              FROM e),
+        mm AS (SELECT max(nsq) AS m2 FROM n),
+        aug AS (SELECT vec_id, v, list_append(v, sqrt(m2 - nsq)) AS av FROM n, mm),
+        sig AS (SELECT vec_id, v, ${sigSqlDynOver("av", Dims + 1)} AS sig
+                FROM aug, params),
+        p0 AS (SELECT vec_id, v, list_append(v, 0.0) AS av
+               FROM n WHERE vec_id < $ProbeMax),
+        psig AS (SELECT vec_id, v, ${sigSqlDynOver("av", Dims + 1)} AS sig
+                 FROM p0, params),
+        probes AS (
+          SELECT vec_id AS probe_id, v,
+                 CASE WHEN f = 0 THEN sig
+                      ELSE xor(sig, (1::BIGINT << (f - 1))) END AS psig
+          FROM psig, params, (SELECT unnest(range(0, ${MaxLshBits + 1})) AS f)
+          WHERE f <= bits
+        ),
+        cand AS (
+          SELECT a.probe_id, b.vec_id AS neighbor_id,
+                 list_sum([a.v[i] * b.v[i] for i in range(1, ${Dims + 1})]) AS ip
+          FROM probes a JOIN sig b ON a.psig = b.sig AND b.vec_id != a.probe_id
+        )
+        SELECT probe_id, neighbor_id, ip, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY ip DESC, neighbor_id) AS rank
+          FROM cand)
+        WHERE rank <= $TopK
+        ORDER BY probe_id, rank
       """.trim),
     ),
   )
