@@ -31,6 +31,10 @@ object CurationQueries {
   private def md5BucketSql(salt: String, key: String) =
     s"substr(md5('$salt:' || CAST($key AS VARCHAR)), 1, 2)"
 
+  /** Oracle fragment: normalized whitespace tokens (the t2 tokenizer). */
+  private val TokensSql =
+    raw"string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')"
+
   def defs: Seq[Q] = Seq(
     // ---------------------------------------------------------------
     // cu1: deterministic train/val/test split. Buckets 00-0c (~5%) test,
@@ -401,6 +405,68 @@ object CurationQueries {
         FROM (SELECT * FROM ranked)
         QUALIFY rank <= 3
         ORDER BY doc_id, rank
+      """.trim),
+    ),
+
+    // cu10: quality-stratified deterministic sampling — the CCNet/FineWeb
+    // move: docs are tiered by quality score and subsampled at a
+    // tier-specific keep rate, so high-quality text is retained in full
+    // while low-quality text is thinned, reproducibly. The keep decision
+    // is an md5 bucket of the doc id against a per-tier hex threshold
+    // (high: keep all, mid: < '80' ≈ 50%, low: < '1a' ≈ 10%) — a pure
+    // function of the row key, stable under re-runs, re-partitioning, and
+    // incremental appends. One shuffle (the rollup); everything else is a
+    // linear codegen'd scan.
+    Q(
+      "cu10_quality_sample",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val q = graft.ops.TextAnalysis.qualityFeatures(docs, "text")
+          .withColumn("tier",
+            when(col("quality_score") >= 0.75, lit("high"))
+              .when(col("quality_score") >= 0.5, lit("mid"))
+              .otherwise(lit("low")))
+        val b = md5Bucket("qsample", col("doc_id"))
+        val kept = when(col("tier") === "high", lit(true))
+          .when(col("tier") === "mid", b < lit("80"))
+          .otherwise(b < lit("1a"))
+        q.withColumn("kept", kept)
+          .groupBy("lang", "tier")
+          .agg(
+            count(lit(1)).as("n_candidates"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("chars_kept"))
+          .withColumn("kept_frac",
+            col("n_kept").cast("double") / col("n_candidates"))
+          .orderBy("lang", "tier")
+      },
+      Some(s"""
+        WITH feats AS (
+          SELECT doc_id, lang, n_chars,
+                 LEAST(n_tokens::DOUBLE / 64.0, 1.0) * 0.5
+                   + LEAST((n_types::DOUBLE / n_tokens) * 2.0, 1.0) * 0.5 AS quality_score
+          FROM (
+            SELECT doc_id, lang, n_chars,
+                   len(${TokensSql})::BIGINT AS n_tokens,
+                   len(list_distinct(${TokensSql}))::BIGINT AS n_types
+            FROM documents)),
+        tiered AS (
+          SELECT lang, n_chars,
+                 CASE WHEN quality_score >= 0.75 THEN 'high'
+                      WHEN quality_score >= 0.5 THEN 'mid'
+                      ELSE 'low' END AS tier,
+                 CASE WHEN quality_score >= 0.75 THEN TRUE
+                      WHEN quality_score >= 0.5
+                        THEN ${md5BucketSql("qsample", "doc_id")} < '80'
+                      ELSE ${md5BucketSql("qsample", "doc_id")} < '1a' END AS kept
+          FROM feats)
+        SELECT lang, tier, COUNT(*) AS n_candidates,
+               SUM(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+               SUM(CASE WHEN kept THEN n_chars ELSE 0 END)::BIGINT AS chars_kept,
+               SUM(CASE WHEN kept THEN 1 ELSE 0 END)::DOUBLE / COUNT(*) AS kept_frac
+        FROM tiered
+        GROUP BY lang, tier
+        ORDER BY lang, tier
       """.trim),
     ),
   )
