@@ -201,5 +201,39 @@ object StatsQueries {
         ORDER BY user_id, session_idx
       """.stripMargin.trim),
     ),
+
+    // Sliding (hopping) windows: 2-hour windows advancing every hour —
+    // Spark's window(ts, windowDuration, slideDuration), the trend-view
+    // shape (each event lands in exactly 2 overlapping windows). The
+    // oracle expands each event to its 2 covering hour-aligned starts.
+    // Money discipline as st1: DECIMAL(18,2) sums, cast DOUBLE at the end.
+    Q(
+      "st6_sliding_windows",
+      (s, dir) =>
+        Registry.table(s, dir, "events")
+          .groupBy(
+            window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(dec2("value")).cast("double").as("sum_value"),
+            count_distinct(col("user_id")).as("n_users"))
+          .select(col("w.start").as("window_start"), col("event_type"),
+            col("n_events"), col("sum_value"), col("n_users"))
+          .orderBy(col("window_start"), col("event_type")),
+      Some("""
+        WITH expanded AS (
+          SELECT date_trunc('hour', ts) - o * INTERVAL 1 HOUR AS window_start,
+                 event_type, user_id, value
+          FROM events, (SELECT unnest([0, 1]) AS o)
+        )
+        SELECT window_start, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM expanded
+        GROUP BY 1, 2
+        ORDER BY window_start, event_type
+      """.stripMargin.trim),
+    ),
   )
 }
