@@ -139,6 +139,40 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     } finally edgesIn.unpersist()
   }
 
+  test("incremental dedupe never shuffles shingle arrays as keys") {
+    // the band join keys are (band_idx, band_key) and the verify joins key
+    // on doc ids; the ~300-element shingle arrays must only ever ride as
+    // payload — an array shuffle KEY (hash + compare per row) would sink
+    // the batch-probe pattern at corpus scale
+    val p = plan("d7_incremental_dedupe")
+    val partitionings = "hashpartitioning\\([^)]*\\)".r.findAllIn(p).toSeq
+    assert(partitionings.nonEmpty)
+    partitionings.foreach { hp =>
+      assert(!hp.contains("sh#") && !hp.contains("sh_n#") && !hp.contains("sh_c#"),
+        s"d7: shingle array leaked into a shuffle key: $hp")
+    }
+  }
+
+  test("MIPS keeps the max-norm scalar broadcast and vectors out of shuffle keys") {
+    val p = plan("ss8_mips_topk")
+    // the corpus-wide max squared norm joins in as a broadcast one-row
+    // relation — re-shuffling the corpus against an O(1) scalar would be
+    // plan damage
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"ss8: max-norm scalar not broadcast:\n$p")
+    val partitionings = "hashpartitioning\\([^)]*\\)".r.findAllIn(p).toSeq
+    partitionings.foreach { hp =>
+      assert(!hp.contains(" v#") && !hp.contains("(v#") && !hp.contains("av#"),
+        s"ss8: embedding vector leaked into a shuffle key: $hp")
+    }
+  }
+
+  test("Gopher gates scan prunes to (doc_id, text)") {
+    val p = plan("t8_gopher_gates")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"t8 read more than (doc_id, text):\n$p")
+  }
+
   test("IVF cell assignment shuffles on vec_id alone, not the raw vector") {
     Seq("ss4_ivf_ann", "ss6_ivf_kmeans").foreach { name =>
       val p = plan(name)
