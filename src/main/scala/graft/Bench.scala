@@ -36,6 +36,11 @@ object Bench {
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
       val sec = (System.nanoTime() - t0) / 1e9
+      // release the query's localCheckpoint/persist blocks: queries are
+      // independent, and accumulated blocks from earlier queries otherwise
+      // squeeze the block manager and GC-tax later ones (d2 measured 11.9 s
+      // mid-suite vs 5.4 s standalone before this)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       // a crashed query must not masquerade as a fast one: negative sentinel
       name -> (if (ok) sec else -sec)
     }
