@@ -56,4 +56,42 @@ class StreamingDedupeSpec extends AnyFunSuite with SparkSuite {
     assert(missing == 0)
     assert(admitted.count() > 0)
   }
+
+  test("micro-batched incremental near-dup == one-shot d7 over the same batch") {
+    // d7's batch-vs-corpus probe is stateless per new doc, so splitting the
+    // ingest into micro-batches and probing the corpus per trigger must
+    // accumulate exactly the one-shot result — the property that lets the
+    // same operator run under foreachBatch at ingest time
+    val docs = graft.queries.Registry.table(spark, sfDir, "documents")
+    val corpus = docs.filter(col("source") =!= "src0")
+    val batch = docs.filter(col("source") === "src0")
+
+    val path = java.nio.file.Files.createTempDirectory("incdedupe_stream").toString
+    batch.repartition(3).write.mode("overwrite").parquet(path)
+    val schema = spark.read.parquet(path).schema
+
+    val collected = scala.collection.mutable.Set[(Long, Long)]()
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(path)
+      .writeStream
+      .foreachBatch { (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.Dedupe.incrementalNearDupPairs(
+            corpus, mb, "doc_id", "text", threshold = 0.8)
+          .select("new_id", "corpus_id").collect()
+          .foreach(r => collected += ((r.getLong(0), r.getLong(1))))
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val oneShot = graft.ops.Dedupe.incrementalNearDupPairs(
+        corpus, batch, "doc_id", "text", threshold = 0.8)
+      .select("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(collected.toSet == oneShot)
+    assert(oneShot.nonEmpty)
+  }
 }
