@@ -88,6 +88,64 @@ object NativeFns {
     acc
   }
 
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  private def md5Hex(md: java.security.MessageDigest, bytes: Array[Byte]): String = {
+    val d = md.digest(bytes) // digest() also resets the instance
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      sb.append(HexDigits((d(i) >> 4) & 0xf)).append(HexDigits(d(i) & 0xf))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Winnowing-style document fingerprint in ONE pass: md5 hex of the
+    * concatenation of the k lexicographically smallest md5(shingle)
+    * digests over the distinct 3-gram shingles. Bit-identical to the
+    * column formulation md5(concat_ws("", slice(array_sort(transform(
+    * shingles3(text), md5)), 1, k))) — hex digests are ASCII, so String
+    * ordering matches UTF8String binary ordering — but one flat call
+    * instead of ~hundreds of interpreted md5 lambdas per row, and no
+    * intermediate digest array is ever materialized (a k-slot insertion
+    * keeps the running minima). */
+  def docFp(s: UTF8String, k: Int): UTF8String = {
+    val str = s.toString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val best = new Array[String](k)
+    var n = 0
+    val cps = str.codePointCount(0, str.length)
+    if (cps >= 3) {
+      val seen = new java.util.HashSet[String]()
+      var start = 0
+      var i = 0
+      while (i < cps - 2) {
+        val end = str.offsetByCodePoints(start, 3)
+        val sh = str.substring(start, end)
+        if (seen.add(sh)) {
+          val d = md5Hex(md, sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          if (n < k || d.compareTo(best(k - 1)) < 0) {
+            // insertion into the sorted k-slot window
+            var p = math.min(n, k - 1)
+            while (p > 0 && d.compareTo(best(p - 1)) < 0) {
+              best(p) = best(p - 1); p -= 1
+            }
+            best(p) = d
+            if (n < k) n += 1
+          }
+        }
+        start = str.offsetByCodePoints(start, 1)
+        i += 1
+      }
+    }
+    val sb = new java.lang.StringBuilder(32 * n)
+    var j = 0
+    while (j < n) { sb.append(best(j)); j += 1 }
+    UTF8String.fromString(
+      md5Hex(md, sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+  }
+
   /** Distinct character 3-grams, first-occurrence order, by code point —
     * the same result as array_distinct(transform(sequence…substring))
     * but one flat call per row instead of hundreds of interpreted
@@ -264,6 +322,18 @@ case class NibbleHist16Expr(child: Expression)
   override protected def withNewChildInternal(c: Expression): NibbleHist16Expr = copy(child = c)
 }
 
+/** One-pass winnowing document fingerprint (see NativeFns.docFp). */
+case class DocFpExpr(child: Expression, k: Int)
+    extends NativeUnary("docFp", StringType, StringType) {
+  require(k > 0, s"doc_fp requires a positive k, got $k")
+  override def prettyName: String = "doc_fp"
+  override protected def nullSafeEval(input: Any): Any =
+    NativeFns.docFp(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeFns.docFp($c, $k)")
+  override protected def withNewChildInternal(c: Expression): DocFpExpr = copy(child = c)
+}
+
 /** Distinct 3-char shingles of a text (Shingle.java:32-47 semantics). */
 case class Shingles3Expr(child: Expression)
     extends NativeUnary("shingles3", StringType,
@@ -312,6 +382,7 @@ object NativeExpressions {
   private def e(c: Column): Expression = ColumnBridge.expression(c)
 
   def rabinFp64(c: Column): Column = ColumnBridge.column(RabinFp64Expr(e(c)))
+  def docFp(c: Column, k: Int): Column = ColumnBridge.column(DocFpExpr(e(c), k))
   def simhash64(c: Column): Column = ColumnBridge.column(Simhash64Expr(e(c)))
   def bandKeys(c: Column): Column = ColumnBridge.column(BandKeysExpr(e(c)))
   def shingles3(c: Column): Column = ColumnBridge.column(Shingles3Expr(e(c)))

@@ -76,8 +76,13 @@ object TextAnalysis {
 
   /** Winnowing-style document fingerprint: the k lexicographically smallest
     * md5(3-gram shingle) digests, hashed together. Robust to local edits
-    * (a single edit disturbs at most 3 of the k mins). */
+    * (a single edit disturbs at most 3 of the k mins). Runs as a one-pass
+    * native codegen expression; [[docFingerprintBuiltin]] is the identical
+    * built-in-functions formulation kept as the cross-check. */
   def docFingerprint(text: Column, k: Int = 4): Column =
+    graft.functions.NativeExpressions.docFp(text, k)
+
+  def docFingerprintBuiltin(text: Column, k: Int = 4): Column =
     md5(concat_ws("", slice(array_sort(transform(Dedupe.shingles3(text), s => md5(s.cast("binary")))), 1, k)).cast("binary"))
 
   /** Word n-grams (space-joined) of a pre-tokenized array column; empty

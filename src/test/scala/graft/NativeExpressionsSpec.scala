@@ -43,6 +43,21 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkSuite {
     assert(edge.filter(col("nat") =!= col("ref")).count() == 0)
   }
 
+  test("native doc fingerprint == built-in formulation on real and edge texts") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val both = docs.select(
+      graft.ops.TextAnalysis.docFingerprint(col("text")).as("nat"),
+      graft.ops.TextAnalysis.docFingerprintBuiltin(col("text")).as("ref"))
+    assert(both.filter(col("nat") =!= col("ref")).count() == 0)
+    import spark.implicits._
+    // fewer shingles than k, exactly k, duplicates-only, multi-byte
+    val edge = Seq("", "ab", "abc", "abcd", "aaaa", "日本語です", "abcabcabc")
+      .toDF("t")
+      .select(graft.ops.TextAnalysis.docFingerprint(col("t")).as("nat"),
+        graft.ops.TextAnalysis.docFingerprintBuiltin(col("t")).as("ref"))
+    assert(edge.filter(col("nat") =!= col("ref")).count() == 0)
+  }
+
   test("native jaccard3 and minhash signature == built-in formulations") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val sh = graft.ops.Dedupe.docShingles(docs, "doc_id", "text").localCheckpoint(true)
