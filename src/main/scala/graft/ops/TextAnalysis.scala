@@ -160,10 +160,10 @@ object TextAnalysis {
     val stops = array(GopherStopwords.map(lit): _*)
     df.withColumn("toks", tokens(col(text)))
       .withColumn("n_words", size(col("toks")).cast("long"))
-      // sum of word lengths = chars minus the (n-1) separating spaces
-      // (tokens() normalizes runs of whitespace to single spaces)
+      // direct sum of word lengths — unlike the chars-minus-spaces form
+      // (t2), correct even when the raw text has irregular whitespace
       .withColumn("mean_word_len",
-        (length(col(text)) - (col("n_words") - lit(1))).cast("double")
+        aggregate(col("toks"), lit(0L), (a, t) => a + length(t)).cast("double")
           / col("n_words"))
       .withColumn("alpha_frac",
         size(filter(col("toks"), w => w.rlike("\\p{L}"))).cast("double")

@@ -265,7 +265,7 @@ object TextQueries {
         WITH feats AS (
           SELECT doc_id,
                  len($Toks)::BIGINT AS n_words,
-                 (length(text) - (len($Toks) - 1))::DOUBLE / len($Toks) AS mean_word_len,
+                 list_sum(list_transform($Toks, w -> length(w)))::DOUBLE / len($Toks) AS mean_word_len,
                  len(list_filter($Toks, w -> regexp_matches(w, '\\p{L}')))::DOUBLE
                    / len($Toks) AS alpha_frac,
                  len(list_filter(
