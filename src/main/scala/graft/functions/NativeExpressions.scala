@@ -146,6 +146,53 @@ object NativeFns {
       md5Hex(md, sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
   }
 
+  /** Compiled marker-word tables for [[markerCounts]], keyed by the spec
+    * literal embedded in the generated code. Word → indices of every
+    * group containing it (a word can mark several languages, e.g. "la"
+    * in both fr and es). */
+  private val markerTables =
+    new java.util.concurrent.ConcurrentHashMap[String, (java.util.HashMap[UTF8String, Array[Int]], Int)]()
+
+  private def compileMarkers(spec: String): (java.util.HashMap[UTF8String, Array[Int]], Int) = {
+    val groups = spec.split('|')
+    val m = new java.util.HashMap[UTF8String, Array[Int]]()
+    groups.zipWithIndex.foreach { case (g, gi) =>
+      g.split(',').filter(_.nonEmpty).foreach { w =>
+        val k = UTF8String.fromString(w)
+        val prev = m.get(k)
+        m.put(k, if (prev == null) Array(gi) else prev :+ gi)
+      }
+    }
+    (m, groups.length)
+  }
+
+  /** Per-group exact token-occurrence counts in ONE pass over the token
+    * array: group spec "w1,w2|w3,w4|…" (compiled once per literal and
+    * cached), result = one count per group. Replaces N interpreted
+    * size(filter(toks, = w)) lambdas per row with a single scan and a
+    * hash probe per token. */
+  def markerCounts(toks: ArrayData, spec: UTF8String): ArrayData = {
+    val key = spec.toString
+    var compiled = markerTables.get(key)
+    if (compiled == null) {
+      compiled = compileMarkers(key)
+      markerTables.putIfAbsent(key, compiled)
+    }
+    val (table, nGroups) = compiled
+    val counts = new Array[Long](nGroups)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val gs = table.get(toks.getUTF8String(i))
+      if (gs != null) {
+        var j = 0
+        while (j < gs.length) { counts(gs(j)) += 1; j += 1 }
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
   /** Distinct character 3-grams, first-occurrence order, by code point —
     * the same result as array_distinct(transform(sequence…substring))
     * but one flat call per row instead of hundreds of interpreted
@@ -322,6 +369,24 @@ case class NibbleHist16Expr(child: Expression)
   override protected def withNewChildInternal(c: Expression): NibbleHist16Expr = copy(child = c)
 }
 
+/** One-pass per-group marker-token counts (see NativeFns.markerCounts).
+  * The group spec is a plan-time constant shipped as a codegen reference
+  * object — no per-row parsing or allocation. */
+case class MarkerCountsExpr(child: Expression, spec: String)
+    extends NativeUnary("markerCounts", ArrayType(StringType),
+      ArrayType(LongType, containsNull = false)) {
+  override def prettyName: String = "marker_counts"
+  @transient private lazy val specU = UTF8String.fromString(spec)
+  override protected def nullSafeEval(input: Any): Any =
+    NativeFns.markerCounts(input.asInstanceOf[ArrayData], specU)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("markerSpec", specU,
+      "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeFns.markerCounts($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): MarkerCountsExpr = copy(child = c)
+}
+
 /** One-pass winnowing document fingerprint (see NativeFns.docFp). */
 case class DocFpExpr(child: Expression, k: Int)
     extends NativeUnary("docFp", StringType, StringType) {
@@ -383,6 +448,8 @@ object NativeExpressions {
 
   def rabinFp64(c: Column): Column = ColumnBridge.column(RabinFp64Expr(e(c)))
   def docFp(c: Column, k: Int): Column = ColumnBridge.column(DocFpExpr(e(c), k))
+  def markerCounts(c: Column, spec: String): Column =
+    ColumnBridge.column(MarkerCountsExpr(e(c), spec))
   def simhash64(c: Column): Column = ColumnBridge.column(Simhash64Expr(e(c)))
   def bandKeys(c: Column): Column = ColumnBridge.column(BandKeysExpr(e(c)))
   def shingles3(c: Column): Column = ColumnBridge.column(Shingles3Expr(e(c)))

@@ -43,13 +43,40 @@ object TextAnalysis {
     val scores = LangMarkers.map { case (lang, words) =>
       lang -> words.map(w => tokenCountIn(toks, w)).reduce(_ + _)
     }
+    (scores, langPrediction(scores))
+  }
+
+  /** The argmax-with-tie-order rule shared by both langid formulations. */
+  private def langPrediction(scores: Seq[(String, Column)]): Column = {
     val best = scores.tail.foldLeft(greatest(scores.head._2, scores.head._2)) {
       case (acc, (_, s)) => greatest(acc, s)
     }
-    val pred = scores.foldRight(lit("und")) { case ((lang, s), els) =>
+    scores.foldRight(lit("und")) { case ((lang, s), els) =>
       when(s === best && s > 0, lit(lang)).otherwise(els)
     }
-    (scores, pred)
+  }
+
+  /** The marker-group spec for the native one-pass counter: languages in
+    * [[LangMarkers]] order, words comma-joined, groups pipe-joined. */
+  val LangMarkerSpec: String =
+    LangMarkers.map(_._2.mkString(",")).mkString("|")
+
+  /** Per-language marker counts as ONE array column computed in a single
+    * pass over the tokens (native expression; one hash probe per token
+    * instead of 25 interpreted filter lambdas). Element i = total marker
+    * occurrences for LangMarkers(i). */
+  def langMarkerCounts(toks: Column): Column =
+    graft.functions.NativeExpressions.markerCounts(toks, LangMarkerSpec)
+
+  /** Language scores + prediction from a MATERIALIZED counts column (the
+    * output of [[langMarkerCounts]] bound to an attribute): per-language
+    * scores are element_at lookups, so nothing recomputes per reference.
+    * Identical semantics to [[langIdFromTokens]]. */
+  def langIdFromCounts(counts: Column): (Seq[(String, Column)], Column) = {
+    val scores = LangMarkers.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> element_at(counts, i + 1)
+    }
+    (scores, langPrediction(scores))
   }
 
   /** Language scores over raw text (re-tokenizes per marker — prefer

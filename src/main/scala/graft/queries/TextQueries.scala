@@ -22,12 +22,13 @@ object TextQueries {
       "t1_langid",
       (s, dir) => {
         val docs = Registry.table(s, dir, "documents")
-        val (scores, pred) = TextAnalysis.langIdFromTokens(col("toks"))
+        val (scores, pred) = TextAnalysis.langIdFromCounts(col("cnt"))
         docs
-          // tokenize ONCE per row into a materialized column; the 25 marker
-          // counts are cheap size(filter(...)) over it (non-cheap lambda
-          // referenced 25× → CollapseProject keeps the boundary)
-          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+          // tokenize once, then ONE native pass computes all 25 marker
+          // counts (hash probe per token); the materialized counts column
+          // makes every score an element_at lookup
+          .select(col("doc_id"),
+            TextAnalysis.langMarkerCounts(TextAnalysis.tokens(col("text"))).as("cnt"))
           .select(
             Seq(col("doc_id")) ++
               scores.map { case (l, c) => c.cast("long").as(s"score_$l") } :+

@@ -58,6 +58,32 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkSuite {
     assert(edge.filter(col("nat") =!= col("ref")).count() == 0)
   }
 
+  test("native marker counts == per-word filter counts on real texts") {
+    import graft.ops.TextAnalysis
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    val (ref, _) = TextAnalysis.langIdFromTokens(col("toks"))
+    val (nat, _) = TextAnalysis.langIdFromCounts(col("cnt"))
+    val both = docs
+      .withColumn("cnt", TextAnalysis.langMarkerCounts(col("toks")))
+      .select(
+        ref.map { case (l, c) => c.cast("long").as(s"ref_$l") } ++
+          nat.map { case (l, c) => c.cast("long").as(s"nat_$l") }: _*)
+    TextAnalysis.LangMarkers.map(_._1).foreach { l =>
+      assert(both.filter(col(s"ref_$l") =!= col(s"nat_$l")).count() == 0,
+        s"marker counts diverge for $l")
+    }
+    // shared marker words must count into EVERY containing group ("la"
+    // marks both fr and es)
+    import spark.implicits._
+    val la = Seq(Seq("la", "la", "x")).toDF("toks")
+      .select(TextAnalysis.langMarkerCounts(col("toks")).as("cnt"))
+      .select(TextAnalysis.langIdFromCounts(col("cnt"))._1.map {
+        case (l, c) => c.as(l) }: _*)
+      .collect().head
+    assert(la.getAs[Long]("fr") == 2L && la.getAs[Long]("es") == 2L)
+  }
+
   test("native jaccard3 and minhash signature == built-in formulations") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val sh = graft.ops.Dedupe.docShingles(docs, "doc_id", "text").localCheckpoint(true)
