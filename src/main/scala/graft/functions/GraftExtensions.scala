@@ -28,6 +28,23 @@ object GraftExtensions {
     },
   )
 
+  private def binary(name: String, build: (Expression, Expression) => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo("graft.functions.NativeExpressions", name),
+    { args =>
+      require(args.length == 2, s"$name expects exactly two arguments")
+      build(args(0), args(1))
+    },
+  )
+
+  /** Evaluates a foldable argument at registration (SQL literals for the
+    * plan-time constants some expressions carry as Scala parameters). */
+  private def foldedValue(name: String, arg: Expression): Any = {
+    require(arg.foldable, s"$name expects a literal constant argument")
+    arg.eval(null)
+  }
+
   /** The injected function set, also usable for direct registration into
     * an existing session's FunctionRegistry. */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -36,6 +53,32 @@ object GraftExtensions {
     unary("band_keys", BandKeysExpr.apply),
     unary("sniff_charset", SniffCharsetExpr.apply),
     unary("nibble_hist16", NibbleHist16Expr.apply),
+    unary("shingles3", Shingles3Expr.apply),
+    binary("jaccard3", Jaccard3Expr.apply),
+    binary("dot_seq", DotSeqExpr.apply),
+    // doc_fp(text[, k]) — k defaults to the winnowing window of 4
+    (
+      FunctionIdentifier("doc_fp"),
+      new ExpressionInfo("graft.functions.NativeExpressions", "doc_fp"),
+      { args =>
+        require(args.length == 1 || args.length == 2,
+          "doc_fp expects (text[, k])")
+        val k = if (args.length == 2)
+          foldedValue("doc_fp", args(1)).asInstanceOf[Number].intValue
+        else 4
+        DocFpExpr(args.head, k)
+      },
+    ),
+    // marker_counts(tokens, 'w1,w2|w3,…') — spec must be a string literal
+    (
+      FunctionIdentifier("marker_counts"),
+      new ExpressionInfo("graft.functions.NativeExpressions", "marker_counts"),
+      { args =>
+        require(args.length == 2, "marker_counts expects (tokens, spec)")
+        MarkerCountsExpr(args.head,
+          foldedValue("marker_counts", args(1)).toString)
+      },
+    ),
   )
 
   /** Register into a live session (equivalent to the extension path for
