@@ -57,6 +57,41 @@ class StreamingStatsSpec extends AnyFunSuite with SparkSuite {
     assert(got == want)
   }
 
+  test("streaming sliding (2h/1h) window agg == batch hopping rollup (st6 shape)") {
+    val path = java.nio.file.Files.createTempDirectory("events_slide").toString
+    graft.queries.Registry.table(spark, sfDir, "events")
+      .write.mode("overwrite").parquet(path)
+    val schema = spark.read.parquet(path).schema
+
+    def slidingAgg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"))
+
+    val streamed = slidingAgg(
+      spark.readStream.schema(schema).parquet(path).withWatermark("ts", "1 hour"))
+
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName("sliding_stream")
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("window_start", "event_type")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .toSeq
+
+    val got = rows(spark.table("sliding_stream"))
+    val want = rows(slidingAgg(graft.queries.Registry.table(spark, sfDir, "events")))
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
+
   test("streaming session_window == batch gap-based sessionization") {
     // same parity discipline as the hourly test, for st5's sessionization.
     // Boundary note: session_window starts a NEW session when the gap is
