@@ -469,5 +469,60 @@ object CurationQueries {
         ORDER BY lang, tier
       """.trim),
     ),
+
+    // cu11: duplicate-weighted token accounting. Dedupe keeps one
+    // representative per content hash, but mixture weighting needs to see
+    // how much raw text each (lang, source) cell contributed BEFORE
+    // dedupe — the dup_inflation ratio is the standard diagnostic for
+    // which sources are mostly boilerplate. Attribution goes to the
+    // keeper (min doc_id) row's lang/source, the same deterministic
+    // representative cu6/d1 keep. Two shuffles, both on aggregated keys;
+    // the text only ever enters the plan as its md5.
+    Q(
+      "cu11_dup_weights",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val base = docs.select(
+          col("doc_id"), col("lang"), col("source"),
+          md5(col("text").cast("binary")).as("h"),
+          size(graft.ops.TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_tokens"))
+        base.groupBy("h")
+          .agg(
+            count(lit(1)).as("mult"),
+            min_by(
+              struct(col("lang"), col("source"), col("n_tokens")),
+              col("doc_id")).as("k"))
+          .groupBy(col("k.lang").as("lang"), col("k.source").as("source"))
+          .agg(
+            count(lit(1)).as("uniq_docs"),
+            sum(col("mult")).as("raw_docs"),
+            sum(col("k.n_tokens")).as("uniq_tokens"),
+            sum(col("mult") * col("k.n_tokens")).as("raw_tokens"))
+          .withColumn("dup_inflation",
+            col("raw_tokens").cast("double") / col("uniq_tokens"))
+          .orderBy("lang", "source")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, lang, source, md5(text) AS h,
+                 len(${TokensSql})::BIGINT AS n_tokens
+          FROM documents),
+        g AS (
+          SELECT h, COUNT(*) AS mult,
+                 min_by(lang, doc_id) AS lang,
+                 min_by(source, doc_id) AS source,
+                 min_by(n_tokens, doc_id) AS n_tokens
+          FROM base GROUP BY h)
+        SELECT lang, source, COUNT(*) AS uniq_docs,
+               SUM(mult)::BIGINT AS raw_docs,
+               SUM(n_tokens)::BIGINT AS uniq_tokens,
+               SUM(mult * n_tokens)::BIGINT AS raw_tokens,
+               SUM(mult * n_tokens)::DOUBLE / SUM(n_tokens) AS dup_inflation
+        FROM g
+        GROUP BY lang, source
+        ORDER BY lang, source
+      """.trim),
+    ),
   )
 }
