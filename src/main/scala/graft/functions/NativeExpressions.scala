@@ -146,6 +146,29 @@ object NativeFns {
       md5Hex(md, sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
   }
 
+  /** Per-shingle 40-bit base hash in ONE pass: for each shingle, the
+    * first 10 hex chars (= first 5 bytes, big-endian) of
+    * md5(tag ‖ ':' ‖ shingle) parsed as a long — bit-identical to the
+    * column form conv(substring(md5(concat(tag:':', s)), 1, 10), 16, 10)
+    * but one flat call per row instead of an interpreted md5 lambda per
+    * shingle. */
+  def shingleHash40(sh: ArrayData, tag: UTF8String): ArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val prefix = (tag.toString + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = sh.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      md.update(prefix)
+      md.update(sh.getUTF8String(i).getBytes)
+      val d = md.digest() // resets for the next shingle
+      out(i) = ((d(0) & 0xffL) << 32) | ((d(1) & 0xffL) << 24) |
+        ((d(2) & 0xffL) << 16) | ((d(3) & 0xffL) << 8) | (d(4) & 0xffL)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Compiled marker-word tables for [[markerCounts]], keyed by the spec
     * literal embedded in the generated code. Word → indices of every
     * group containing it (a word can mark several languages, e.g. "la"
@@ -387,6 +410,22 @@ case class MarkerCountsExpr(child: Expression, spec: String)
   override protected def withNewChildInternal(c: Expression): MarkerCountsExpr = copy(child = c)
 }
 
+/** One-pass 40-bit shingle base hashes (see NativeFns.shingleHash40). */
+case class ShingleHash40Expr(child: Expression, tag: String)
+    extends NativeUnary("shingleHash40", ArrayType(StringType),
+      ArrayType(LongType, containsNull = false)) {
+  override def prettyName: String = "shingle_hash40"
+  @transient private lazy val tagU = UTF8String.fromString(tag)
+  override protected def nullSafeEval(input: Any): Any =
+    NativeFns.shingleHash40(input.asInstanceOf[ArrayData], tagU)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleTag", tagU,
+      "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeFns.shingleHash40($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): ShingleHash40Expr = copy(child = c)
+}
+
 /** One-pass winnowing document fingerprint (see NativeFns.docFp). */
 case class DocFpExpr(child: Expression, k: Int)
     extends NativeUnary("docFp", StringType, StringType) {
@@ -450,6 +489,8 @@ object NativeExpressions {
   def docFp(c: Column, k: Int): Column = ColumnBridge.column(DocFpExpr(e(c), k))
   def markerCounts(c: Column, spec: String): Column =
     ColumnBridge.column(MarkerCountsExpr(e(c), spec))
+  def shingleHash40(c: Column, tag: String): Column =
+    ColumnBridge.column(ShingleHash40Expr(e(c), tag))
   def simhash64(c: Column): Column = ColumnBridge.column(Simhash64Expr(e(c)))
   def bandKeys(c: Column): Column = ColumnBridge.column(BandKeysExpr(e(c)))
   def shingles3(c: Column): Column = ColumnBridge.column(Shingles3Expr(e(c)))

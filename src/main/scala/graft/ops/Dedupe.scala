@@ -55,8 +55,13 @@ object Dedupe {
     * md5(tag‖':'‖shingle), parsed as a long. Two of these (tag "1","2")
     * seed the double-hashing family below — exactly TWO md5 calls per
     * shingle regardless of k, and reproducible in any engine with md5 and
-    * hex parsing. */
+    * hex parsing. Runs as a one-pass native codegen expression;
+    * [[shingleHash40Builtin]] is the identical built-in-functions
+    * formulation kept as the cross-check. */
   def shingleHash40(shingles: Column, tag: String): Column =
+    graft.functions.NativeExpressions.shingleHash40(shingles, tag)
+
+  def shingleHash40Builtin(shingles: Column, tag: String): Column =
     transform(shingles, s =>
       conv(substring(md5(concat(lit(s"$tag:"), s).cast("binary")), 1, 10), 16, 10)
         .cast("long"))

@@ -58,6 +58,24 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkSuite {
     assert(edge.filter(col("nat") =!= col("ref")).count() == 0)
   }
 
+  test("native shingle hashes == built-in formulation on real texts") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(graft.ops.Dedupe.shingles3(col("text")).as("sh"))
+    Seq("1", "2").foreach { tag =>
+      val both = docs.select(
+        graft.ops.Dedupe.shingleHash40(col("sh"), tag).as("nat"),
+        graft.ops.Dedupe.shingleHash40Builtin(col("sh"), tag).as("ref"))
+      assert(both.filter(col("nat") =!= col("ref")).count() == 0, s"tag $tag")
+    }
+    // empty array and multi-byte shingles
+    import spark.implicits._
+    val edge = Seq("", "日本語です").toDF("t")
+      .select(graft.ops.Dedupe.shingles3(col("t")).as("sh"))
+      .select(graft.ops.Dedupe.shingleHash40(col("sh"), "1").as("nat"),
+        graft.ops.Dedupe.shingleHash40Builtin(col("sh"), "1").as("ref"))
+    assert(edge.filter(col("nat") =!= col("ref")).count() == 0)
+  }
+
   test("native marker counts == per-word filter counts on real texts") {
     import graft.ops.TextAnalysis
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
