@@ -169,6 +169,26 @@ object NativeFns {
     new GenericArrayData(out)
   }
 
+  /** Per-shingle 60-bit hashes in ONE pass: the first 15 hex chars
+    * (= 7 bytes + the high nibble of the 8th, big-endian) of md5(shingle)
+    * as a long — bit-identical to the column form
+    * conv(substring(md5(s), 1, 15), 16, 10). */
+  def shingleHashes60(sh: ArrayData): ArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = sh.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val d = md.digest(sh.getUTF8String(i).getBytes)
+      var v = 0L
+      var j = 0
+      while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+      out(i) = (v << 4) | ((d(7) >> 4) & 0xfL)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Compiled marker-word tables for [[markerCounts]], keyed by the spec
     * literal embedded in the generated code. Word → indices of every
     * group containing it (a word can mark several languages, e.g. "la"
@@ -410,6 +430,16 @@ case class MarkerCountsExpr(child: Expression, spec: String)
   override protected def withNewChildInternal(c: Expression): MarkerCountsExpr = copy(child = c)
 }
 
+/** One-pass 60-bit shingle hashes (see NativeFns.shingleHashes60). */
+case class ShingleHashes60Expr(child: Expression)
+    extends NativeUnary("shingleHashes60", ArrayType(StringType),
+      ArrayType(LongType, containsNull = false)) {
+  override def prettyName: String = "shingle_hashes60"
+  override protected def nullSafeEval(input: Any): Any =
+    NativeFns.shingleHashes60(input.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(c: Expression): ShingleHashes60Expr = copy(child = c)
+}
+
 /** One-pass 40-bit shingle base hashes (see NativeFns.shingleHash40). */
 case class ShingleHash40Expr(child: Expression, tag: String)
     extends NativeUnary("shingleHash40", ArrayType(StringType),
@@ -491,6 +521,8 @@ object NativeExpressions {
     ColumnBridge.column(MarkerCountsExpr(e(c), spec))
   def shingleHash40(c: Column, tag: String): Column =
     ColumnBridge.column(ShingleHash40Expr(e(c), tag))
+  def shingleHashes60(c: Column): Column =
+    ColumnBridge.column(ShingleHashes60Expr(e(c)))
   def simhash64(c: Column): Column = ColumnBridge.column(Simhash64Expr(e(c)))
   def bandKeys(c: Column): Column = ColumnBridge.column(BandKeysExpr(e(c)))
   def shingles3(c: Column): Column = ColumnBridge.column(Shingles3Expr(e(c)))

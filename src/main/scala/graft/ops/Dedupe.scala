@@ -97,8 +97,13 @@ object Dedupe {
   val PortableSimhashBits = 60
 
   /** Per-shingle 60-bit hash: the first 15 hex chars of md5, parsed as an
-    * integer — reproducible in any engine with md5 and hex parsing. */
+    * integer — reproducible in any engine with md5 and hex parsing. Runs
+    * as a one-pass native expression; the builtin form below is the
+    * cross-check. */
   def shingleHashes60(shingles: Column): Column =
+    graft.functions.NativeExpressions.shingleHashes60(shingles)
+
+  def shingleHashes60Builtin(shingles: Column): Column =
     transform(shingles, s =>
       conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long"))
 

@@ -67,13 +67,21 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkSuite {
         graft.ops.Dedupe.shingleHash40Builtin(col("sh"), tag).as("ref"))
       assert(both.filter(col("nat") =!= col("ref")).count() == 0, s"tag $tag")
     }
+    // the 60-bit simhash base hashes ride the same one-pass machinery
+    val both60 = docs.select(
+      graft.ops.Dedupe.shingleHashes60(col("sh")).as("nat"),
+      graft.ops.Dedupe.shingleHashes60Builtin(col("sh")).as("ref"))
+    assert(both60.filter(col("nat") =!= col("ref")).count() == 0)
     // empty array and multi-byte shingles
     import spark.implicits._
     val edge = Seq("", "日本語です").toDF("t")
       .select(graft.ops.Dedupe.shingles3(col("t")).as("sh"))
-      .select(graft.ops.Dedupe.shingleHash40(col("sh"), "1").as("nat"),
-        graft.ops.Dedupe.shingleHash40Builtin(col("sh"), "1").as("ref"))
-    assert(edge.filter(col("nat") =!= col("ref")).count() == 0)
+      .select(graft.ops.Dedupe.shingleHash40(col("sh"), "1").as("nat40"),
+        graft.ops.Dedupe.shingleHash40Builtin(col("sh"), "1").as("ref40"),
+        graft.ops.Dedupe.shingleHashes60(col("sh")).as("nat60"),
+        graft.ops.Dedupe.shingleHashes60Builtin(col("sh")).as("ref60"))
+    assert(edge.filter(col("nat40") =!= col("ref40") ||
+      col("nat60") =!= col("ref60")).count() == 0)
   }
 
   test("native marker counts == per-word filter counts on real texts") {
