@@ -173,6 +173,19 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"t8 read more than (doc_id, text):\n$p")
   }
 
+  test("dup-weight accounting shuffles on the content hash, never the text") {
+    val p = plan("cu11_dup_weights")
+    val partitionings = "hashpartitioning\\([^)]*\\)".r.findAllIn(p).toSeq
+    assert(partitionings.nonEmpty)
+    partitionings.foreach { hp =>
+      assert(!hp.contains("text#"),
+        s"cu11: document text leaked into a shuffle key: $hp")
+    }
+    // both rollups run partial→final
+    val aggs = "(HashAggregate|ObjectHashAggregate|SortAggregate)".r.findAllIn(p).size
+    assert(aggs >= 4, s"expected two partial+final aggregate pairs, got:\n$p")
+  }
+
   test("IVF cell assignment shuffles on vec_id alone, not the raw vector") {
     Seq("ss4_ivf_ann", "ss6_ivf_kmeans").foreach { name =>
       val p = plan(name)
