@@ -44,11 +44,50 @@ object Bench {
       // a crashed query must not masquerade as a fast one: negative sentinel
       name -> (if (ok) sec else -sec)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    // full precision for local analysis (the stdout line below is budgeted)
+    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("0")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$fullQs,"sf":$sfNum,"sf_dir":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] full dump failed: $e") }
+    // The harness keeps only the last ~2000 chars of the run's output; a
+    // full-precision 85-query map is ~3000 chars, so its head (and the
+    // required {"metric": prefix) would be cut off and the line would never
+    // parse. Emit 2-decimal values and, if still over budget, fold the
+    // fastest queries into omitted counters — failed and slow queries (the
+    // ones that carry signal) are always kept.
+    def fmt(v: Double): String = {
+      val s = f"$v%.2f"
+      val t = s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      if (t.isEmpty || t == "-") "0" else t
+    }
+    def render(keep: Seq[(String, Double)], omitted: Seq[(String, Double)]): String = {
+      val qsStr = keep.sortBy(_._1)
+        .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val om =
+        if (omitted.isEmpty) ""
+        else s""","omitted":${omitted.size},"omitted_sec":${fmt(omitted.map(_._2).sum)}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed$om,"queries":$qsStr,"sf":$sfNum}"""
+    }
+    val budget = 1850
+    // drop-order: fastest successful queries first; failures never dropped
+    val dropOrder = results.filter(_._2 >= 0).sortBy(_._2) ++
+      results.filter(_._2 < 0)
+    var nDrop = 0
+    var line = render(results, Seq.empty)
+    while (line.length > budget && nDrop < results.size - 1) {
+      nDrop += 1
+      val dropped = dropOrder.take(nDrop).map(_._1).toSet
+      line = render(results.filterNot(r => dropped(r._1)), dropOrder.take(nDrop))
+    }
+    println(line)
     spark.stop()
   }
 }

@@ -28,7 +28,8 @@ object Registry {
       StatsQueries.defs ++
       InteractiveQueries.defs ++
       MultimodalQueries.defs ++
-      CurationQueries.defs
+      CurationQueries.defs ++
+      SourceQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

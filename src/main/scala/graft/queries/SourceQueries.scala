@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.sources.{ArcSource, RiceCoding, Sinks, WikipediaXmlSource}
+
+/** Driver-verified round trips for the storage-format operators (SURVEY §2.1
+  * S2/S6/S7/S8/S9). Each query pushes table data OUT through the real
+  * writer/encoder and back IN through the real reader/decoder, then returns
+  * columns an ANSI-SQL oracle can recompute from the original table — so a
+  * lossy or corrupting codec/source shows up as a hash mismatch in the
+  * correctness gate, not just in a unit test.
+  *
+  * The staging directory is a fresh temp dir per invocation (the queries
+  * are correctness probes over small slices, not production paths; the
+  * production write surface is the same code under `graft.sources`).
+  */
+object SourceQueries {
+
+  private def stage(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$name-").toString
+
+  /** XML-escape the three structural entities, matching
+    * [[WikipediaXmlSource.unescape]]'s inverse order. */
+  private def xmlEscape(c: Column): Column =
+    replace(replace(replace(c, lit("&"), lit("&amp;")),
+      lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+
+  def defs: Seq[Q] = Seq(
+    // S2+S7: ARC archive write → read round trip through the graft-arc
+    // DataSource V2 (reference util/ArcFileWriter.java:77 writes, ArcFileReader
+    // .java:68 streams; one gzip member per record, seekable by offset).
+    // `length` comes back from the ARC header line, so a header/payload
+    // disagreement fails the hash even though the oracle never sees ARC bytes.
+    Q(
+      "s2_arc_roundtrip",
+      (s, dir) => {
+        val out = stage("s2")
+        Registry.table(s, dir, "documents")
+          .filter(col("doc_id") % 13 === 0)
+          .select(
+            concat(lit("http://"), col("source"), lit("/doc/"),
+              col("doc_id").cast("string")).as("url"),
+            lit("10.0.0.1").as("ip"),
+            lit("20260101000000").as("archive_date"),
+            lit("text/plain").as("mime_type"),
+            col("text").cast("binary").as("content"))
+          .write.format("graft-arc").mode("append").save(out)
+        s.read.format("graft-arc").load(out)
+          .select(col("url"), col("length"),
+            md5(col("content")).as("content_md5"))
+      },
+      Some("""
+        SELECT 'http://' || source || '/doc/' || CAST(doc_id AS VARCHAR) AS url,
+               CAST(strlen(text) AS BIGINT) AS length,
+               md5(text) AS content_md5
+        FROM documents WHERE doc_id % 13 = 0
+      """.stripMargin.trim),
+    ),
+
+    // S6: delta+Rice posting-list codec round trip (reference
+    // util/RiceCoding.java:25 via util/CompressedURLFPListV2.java:58's
+    // sorted-id-list layout). Encode each customer's sorted order-key list,
+    // decode, explode — any bit-level codec defect breaks the identity and
+    // the hash. The k=chooseK + escape-marker path is additionally
+    // property-fuzzed in SourcesSpec over the full 2^40 value range.
+    Q(
+      "s6_rice_roundtrip",
+      (s, dir) => {
+        val roundtrip = udf { xs: Seq[Long] =>
+          RiceCoding.decodeSortedList(RiceCoding.encodeSortedList(xs))
+        }
+        Registry.table(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sort_array(collect_list(col("o_orderkey").cast("long"))).as("ks"))
+          .select(col("o_custkey"),
+            explode(roundtrip(col("ks"))).as("o_orderkey"))
+      },
+      Some("SELECT o_custkey, CAST(o_orderkey AS BIGINT) AS o_orderkey FROM orders"),
+    ),
+
+    // S8: time-series append log — two appends (so append semantics are
+    // actually exercised) then a tail read (reference util/TimeSeriesDataFile
+    // .java:41, appendRecordToLogFile :78 / readFromTail :208). Ordering is
+    // by microsecond epoch with event_id tiebreak so both engines pick the
+    // identical tail set (the raw parquet is nanos; Spark reads micros).
+    Q(
+      "s8_tslog_tail",
+      (s, dir) => {
+        val out = stage("s8")
+        val ev = Registry.table(s, dir, "events")
+          .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            col("user_id"), col("event_type"), col("value"))
+        Sinks.appendLog(ev.filter(col("event_id") % 2 === 0), out)
+        Sinks.appendLog(ev.filter(col("event_id") % 2 === 1), out)
+        Sinks.readTail(s, out, "ts_us", "event_id", 200)
+      },
+      Some("""
+        SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        FROM events ORDER BY ts_us DESC, event_id DESC LIMIT 200
+      """.stripMargin.trim),
+    ),
+
+    // Q5 (content half), end-to-end through real archive bytes: write a
+    // documents slice as ARC, build the (url, arc_file, offset) content
+    // index by walking gzip member spans (reference DatabaseIndexV2's
+    // metadata→archive-location resolution), then POINT-FETCH each probe
+    // url by seeking its member offset and parsing just that record
+    // (MasterServer.java:1057 / queryserver.jr:229-233 serve page bytes
+    // exactly this way). i7 verifies the offset arithmetic analytically;
+    // this verifies the seek against bytes the oracle never parses.
+    Q(
+      "i8_archive_point_fetch",
+      (s, dir) => {
+        val out = stage("i8")
+        Registry.table(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 0)
+          .select(
+            concat(lit("http://"), col("source"), lit("/doc/"),
+              col("doc_id").cast("string")).as("url"),
+            lit("10.0.0.1").as("ip"),
+            lit("20260101000000").as("archive_date"),
+            lit("text/plain").as("mime_type"),
+            col("text").cast("binary").as("content"))
+          .write.format("graft-arc").mode("append").save(out)
+        val fetchAt = udf { (bytes: Array[Byte], off: Long) =>
+          ArcSource.fetchRecordAt(bytes, off).content
+        }
+        val probes = ArcSource.readIndex(s, out).toDF()
+          .filter(element_at(split(col("url"), "/"), -1).cast("long") % 21 === 0)
+          .select(col("url"), col("arcFile"), col("offset"), col("length"))
+        // per-file bytes join: the fetch seeks inside the member span, so
+        // only probed files are read and only probed members are inflated
+        val files = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.arc.gz").load(out)
+          .select(col("path").as("arcFile"), col("content").as("file_bytes"))
+        probes.join(files, "arcFile")
+          .select(col("url"), col("length"),
+            md5(fetchAt(col("file_bytes"), col("offset"))).as("content_md5"))
+      },
+      Some("""
+        SELECT 'http://' || source || '/doc/' || CAST(doc_id AS VARCHAR) AS url,
+               CAST(strlen(text) AS BIGINT) AS length,
+               md5(text) AS content_md5
+        FROM documents WHERE doc_id % 21 = 0
+      """.stripMargin.trim),
+    ),
+
+    // S9: MediaWiki XML dump source — build page-per-record XML from the
+    // documents table, write as split-safe text, stream back through the
+    // `</page>`-delimited reader (reference WikipediaPageInputFormat /
+    // XMLInputFormat page splitting). md5 over the round-tripped body
+    // verifies the escape/unescape pair and the split walker together.
+    Q(
+      "s9_wiki_roundtrip",
+      (s, dir) => {
+        val out = stage("s9")
+        Registry.table(s, dir, "documents")
+          .select(concat(
+            lit("<page><title>doc-"), col("doc_id").cast("string"),
+            lit("</title><id>"), col("doc_id").cast("string"),
+            lit("</id><text>"), xmlEscape(col("text")),
+            lit("</text></page>\n")).as("value"))
+          .write.mode("overwrite").text(out)
+        WikipediaXmlSource.read(s, out).toDF()
+          .select(col("id").as("doc_id"), col("title"),
+            md5(col("text").cast("binary")).as("text_md5"))
+      },
+      Some("""
+        SELECT doc_id, 'doc-' || CAST(doc_id AS VARCHAR) AS title,
+               md5(text) AS text_md5
+        FROM documents
+      """.stripMargin.trim),
+    ),
+  )
+}
