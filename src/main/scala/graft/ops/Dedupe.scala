@@ -316,6 +316,49 @@ object Dedupe {
       .select(col("new_id"), col("corpus_id"), col("jaccard"))
   }
 
+  /** Approximate exact-substring dedupe — the "any shared run of ≥ L
+    * chars" operator of modern training-data pipelines (the suffix-array
+    * dedupe stage of the RefinedWeb/Gopher recipes) re-expressed as a
+    * postings join over deterministically sampled anchor grams:
+    *
+    *   1. per doc, distinct char `gram`-grams; keep the ~1/16 whose
+    *      md5 ends in `sampleHex` (content-defined selection — both docs
+    *      of a shared run select the SAME anchors, no alignment needed);
+    *   2. drop anchors appearing in > `stopDocFreq` docs (boilerplate
+    *      stop-grams would fan out quadratically — same guard as the
+    *      banded-LSH curve) and in < 2 docs (can't form a pair);
+    *   3. docs sharing ≥ `minShared` anchors → (doc_a, doc_b, shared).
+    *
+    * Scale shape: everything is one explode + one groupBy + one
+    * postings self-join whose per-key fan-out is capped at
+    * C(stopDocFreq, 2); no quadratic term in corpus size. At 100 TB the
+    * anchor selection moves into the native winnowing expression
+    * (t4's kernel) so the gram table is never materialized as strings. */
+  def sharedSubstringPairs(docs: DataFrame, id: String, text: String,
+      gram: Int = 12, sampleHex: String = "0", stopDocFreq: Int = 32,
+      minShared: Int = 2): DataFrame = {
+    val anchors = docs
+      .select(col(id).as("doc_id"),
+        explode(array_distinct(when(length(col(text)) < gram,
+          array().cast("array<string>"))
+          .otherwise(expr(
+            s"transform(sequence(1, char_length($text) - ${gram - 1}), " +
+              s"i -> substring($text, i, $gram))")))).as("g"))
+      .filter(substring(md5(col("g")), 32, 1) === sampleHex)
+      .localCheckpoint(true) // feeds the doc-freq gate and both join sides
+    val ok = anchors.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= stopDocFreq)
+      .select(col("g"))
+    val sel = anchors.join(ok, "g")
+    sel.select(col("g"), col("doc_id").as("doc_a"))
+      .join(sel.select(col("g"), col("doc_id").as("doc_b")), "g")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Exact n-gram Jaccard near-dup pairs, blocked by a grouping column.
     * TESTS-ONLY ground truth: the block join is quadratic within blocks, so
     * this must never appear in a production plan — the scale path is

@@ -293,5 +293,38 @@ object DedupeQueries {
         ORDER BY new_id, corpus_id
       """.trim),
     ),
+    // D8: approximate exact-substring dedupe (suffix-array-style "shared
+    // run of >= 12 chars") via content-defined anchor grams — see
+    // Dedupe.sharedSubstringPairs. The oracle replays anchor selection,
+    // the stop-gram gate, and the postings join verbatim, so the whole
+    // candidate pipeline is hash-checked, not just the pair list.
+    Q(
+      "d8_substring_dupes",
+      (s, dir) =>
+        graft.ops.Dedupe.sharedSubstringPairs(
+          Registry.table(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_a", "doc_b"),
+      Some("""
+        WITH g0 AS (
+          SELECT doc_id,
+                 unnest(list_distinct(
+                   CASE WHEN length(text) < 12 THEN []::VARCHAR[]
+                        ELSE [substr(text, i, 12) for i in range(1, length(text) - 10)]
+                   END)) AS g
+          FROM documents
+        ), sel AS (
+          SELECT doc_id, g FROM g0 WHERE substr(md5(g), 32, 1) = '0'
+        ), ok AS (
+          SELECT g FROM sel GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 32
+        ), p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+          FROM sel a JOIN ok USING (g) JOIN sel b USING (g)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, shared FROM p WHERE shared >= 2
+        ORDER BY doc_a, doc_b
+      """.trim),
+    ),
   )
 }

@@ -102,6 +102,37 @@ object SourceQueries {
       """.stripMargin.trim),
     ),
 
+    // S4+J3: the reference's "shuffle free reduce" multi-file merge join
+    // (MultiFileMergeUtils.java:125, CrawlDBMergeJob.java:296-306) as a
+    // bucketed sort-merge join — both sides land pre-bucketed+sorted on the
+    // join key, so the join itself needs no Exchange (plan pinned in
+    // SinksSpec; here the RESULT of that layout is what the oracle hashes).
+    Q(
+      "j6_bucketed_join",
+      (s, dir) => {
+        val out = stage("j6")
+        Sinks.writeBucketedAt(
+          Registry.table(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_custkey")),
+          "j6_orders", "o_custkey", 8, s"$out/orders")
+        Sinks.writeBucketedAt(
+          Registry.table(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey")),
+          "j6_customer", "c_custkey", 8, s"$out/customer")
+        s.table("j6_orders")
+          .join(s.table("j6_customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_orderkey").cast("long")).as("sum_orderkey"))
+      },
+      Some("""
+        SELECT c_nationkey, COUNT(*) AS n_orders,
+               CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey
+      """.stripMargin.trim),
+    ),
+
     // Q5 (content half), end-to-end through real archive bytes: write a
     // documents slice as ARC, build the (url, arc_file, offset) content
     // index by walking gzip member spans (reference DatabaseIndexV2's

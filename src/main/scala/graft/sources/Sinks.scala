@@ -54,4 +54,17 @@ object Sinks {
       .mode("overwrite")
       .format("parquet")
       .saveAsTable(table)
+
+  /** [[writeBucketed]] with an explicit storage location (an EXTERNAL
+    * bucketed table) — the catalog entry carries the bucket spec, the
+    * files live at `path` instead of the session warehouse dir. */
+  def writeBucketedAt(df: DataFrame, table: String, key: String,
+      buckets: Int, path: String): Unit =
+    df.write
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .mode("overwrite")
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
 }
