@@ -524,5 +524,53 @@ object CurationQueries {
         ORDER BY lang, source
       """.trim),
     ),
+    // cu12: deterministic epoch shuffle — every training epoch is a fresh
+    // global permutation (key = md5(epoch:doc_id)) packed into fixed-size
+    // shards. The global position is NOT a global window (that single-
+    // partitions the corpus): ordering by the md5 key means the 256
+    // two-hex-prefix buckets are contiguous ranges of the global order, so
+    // rank = per-bucket row_number (parallel) + the bucket's size prefix
+    // sum (a 256-row broadcast). Same prefix-sum packing shape as lg3's
+    // segment assembly, applied to the training-shard problem.
+    Q(
+      "cu12_epoch_shuffle",
+      (s, dir) => {
+        val k = Registry.table(s, dir, "documents")
+          .select(col("doc_id"),
+            md5(concat(lit("e3:"), col("doc_id").cast("string"))).as("sk"))
+          .withColumn("b", substring(col("sk"), 1, 2))
+        // 256-row prefix sum; the single-partition window is over bucket
+        // SIZES, never over data rows — safe at any corpus size
+        val offs = k.groupBy(col("b")).agg(count(lit(1)).as("n"))
+          .withColumn("off",
+            coalesce(sum(col("n")).over(
+              Window.orderBy(col("b"))
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("b"), col("off"))
+        k.withColumn("r",
+            row_number().over(
+              Window.partitionBy(col("b")).orderBy(col("sk"), col("doc_id"))))
+          .join(broadcast(offs), "b")
+          .withColumn("pos", col("r").cast("long") - 1 + col("off"))
+          .select(
+            expr("pos div 64").as("shard"),
+            expr("pos % 64").as("pos_in_shard"),
+            col("doc_id"), col("sk"))
+          .orderBy("shard", "pos_in_shard")
+      },
+      Some("""
+        WITH k AS (
+          SELECT doc_id, md5('e3:' || CAST(doc_id AS VARCHAR)) AS sk
+          FROM documents
+        ), o AS (
+          SELECT doc_id, sk,
+                 ROW_NUMBER() OVER (ORDER BY sk, doc_id) - 1 AS pos
+          FROM k
+        )
+        SELECT CAST(pos // 64 AS BIGINT) AS shard,
+               CAST(pos % 64 AS BIGINT) AS pos_in_shard, doc_id, sk
+        FROM o ORDER BY shard, pos_in_shard
+      """.trim),
+    ),
   )
 }

@@ -115,4 +115,36 @@ class DedupeSpec extends AnyFunSuite with SparkSuite {
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(got == Set((1L, 2L), (3L, 1L)))
   }
+
+  test("shared-substring pairs: planted run found, unrelated docs not paired") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def noise(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    // a 120-char run shared by docs 1 and 2, embedded in different noise;
+    // docs 3 and 4 are independent noise and must not pair with anything
+    val run = noise(120)
+    val docs = Seq(
+      (1L, noise(200) + run + noise(150)),
+      (2L, noise(80) + run + noise(300)),
+      (3L, noise(400)),
+      (4L, noise(400)),
+    ).toDF("doc_id", "text")
+    val pairs = Dedupe.sharedSubstringPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a 120-char run has 109 overlapping 12-grams; E[selected] ≈ 6.8 at the
+    // 1/16 md5 gate, and this seed selects ≥ minShared of them
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("shared-substring pairs: boilerplate beyond stopDocFreq never fans out") {
+    import spark.implicits._
+    // 40 docs all carrying the same 60-char boilerplate header: its anchors
+    // have doc-freq 40 > stopDocFreq 32, so the gate drops them and NO
+    // pairs form — the quadratic fan-out a naive postings join would hit
+    val boiler = "standard legal disclaimer header shared by every document!"
+    val rnd = new scala.util.Random(11)
+    def noise(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val docs = (1L to 40L).map(i => (i, boiler + noise(300))).toDF("doc_id", "text")
+    assert(Dedupe.sharedSubstringPairs(docs, "doc_id", "text").count() == 0L)
+  }
 }
