@@ -69,6 +69,23 @@ object GraftExtensions {
         DocFpExpr(args.head, k)
       },
     ),
+    // anchor_grams(text[, gram[, nibble]]) — d8's content-defined anchor
+    // selection; gram defaults to 12, md5-suffix nibble to 0
+    (
+      FunctionIdentifier("anchor_grams"),
+      new ExpressionInfo("graft.functions.NativeExpressions", "anchor_grams"),
+      { args =>
+        require(args.nonEmpty && args.length <= 3,
+          "anchor_grams expects (text[, gram[, nibble]])")
+        val gram = if (args.length >= 2)
+          foldedValue("anchor_grams", args(1)).asInstanceOf[Number].intValue
+        else 12
+        val nibble = if (args.length == 3)
+          foldedValue("anchor_grams", args(2)).asInstanceOf[Number].intValue
+        else 0
+        AnchorGramsExpr(args.head, gram, nibble)
+      },
+    ),
     // marker_counts(tokens, 'w1,w2|w3,…') — spec must be a string literal
     (
       FunctionIdentifier("marker_counts"),

@@ -259,6 +259,41 @@ object NativeFns {
     while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
     new GenericArrayData(out)
   }
+
+  /** One-pass content-defined anchor-gram selection (d8): the distinct
+    * `gram`-code-point substrings whose md5 hex ends in the `nibble`
+    * hex digit. Bit-identical to the column form
+    * `array_distinct(filter(transform(sequence(1, char_length(s)-gram+1),
+    * i -> substring(s, i, gram)), g -> substring(md5(g), 32, 1) = hex))`
+    * — Spark substring counts code points and md5 hashes UTF-8 bytes,
+    * both replicated here — but one flat call per row: a single reused
+    * MessageDigest, no full gram array, and the ~15/16 unselected grams
+    * never allocate beyond their digest. */
+  def anchorGrams(s: UTF8String, gram: Int, nibble: Int): ArrayData = {
+    val str = s.toString
+    val cps = str.codePointCount(0, str.length)
+    if (cps < gram) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val seen = new java.util.LinkedHashSet[String]()
+    var start = 0
+    var end = str.offsetByCodePoints(0, gram)
+    var i = 0
+    while (i <= cps - gram) {
+      val g = str.substring(start, end)
+      val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if ((d(15) & 0xf) == nibble) seen.add(g)
+      if (i < cps - gram) {
+        start = str.offsetByCodePoints(start, 1)
+        end = str.offsetByCodePoints(end, 1)
+      }
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /** X8 charset detection, the deterministic tiers of the reference's
@@ -456,6 +491,23 @@ case class ShingleHash40Expr(child: Expression, tag: String)
   override protected def withNewChildInternal(c: Expression): ShingleHash40Expr = copy(child = c)
 }
 
+/** One-pass content-defined anchor-gram selection (see
+  * NativeFns.anchorGrams). */
+case class AnchorGramsExpr(child: Expression, gram: Int, nibble: Int)
+    extends NativeUnary("anchorGrams", StringType,
+      ArrayType(StringType, containsNull = false)) {
+  require(gram > 0, s"anchor_grams requires a positive gram, got $gram")
+  require(nibble >= 0 && nibble <= 15,
+    s"anchor_grams requires a hex nibble 0..15, got $nibble")
+  override def prettyName: String = "anchor_grams"
+  override protected def nullSafeEval(input: Any): Any =
+    NativeFns.anchorGrams(input.asInstanceOf[UTF8String], gram, nibble)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NativeFns.anchorGrams($c, $gram, $nibble)")
+  override protected def withNewChildInternal(c: Expression): AnchorGramsExpr = copy(child = c)
+}
+
 /** One-pass winnowing document fingerprint (see NativeFns.docFp). */
 case class DocFpExpr(child: Expression, k: Int)
     extends NativeUnary("docFp", StringType, StringType) {
@@ -536,4 +588,6 @@ object NativeExpressions {
   def nibbleHist16(c: Column): Column = ColumnBridge.column(NibbleHist16Expr(e(c)))
   def strideSum(c: Column, stride: Int): Column =
     ColumnBridge.column(StrideSumExpr(e(c), stride))
+  def anchorGrams(c: Column, gram: Int, nibble: Int): Column =
+    ColumnBridge.column(AnchorGramsExpr(e(c), gram, nibble))
 }

@@ -337,14 +337,14 @@ object Dedupe {
   def sharedSubstringPairs(docs: DataFrame, id: String, text: String,
       gram: Int = 12, sampleHex: String = "0", stopDocFreq: Int = 32,
       minShared: Int = 2): DataFrame = {
+    // anchor selection is ONE native pass per doc (reused digest, no
+    // intermediate gram array; 15/16 unselected grams never become rows)
+    // — bit-identical to the declarative form, which NativeFnsSpec fuzzes
+    val nibble = Integer.parseInt(sampleHex, 16)
     val anchors = docs
       .select(col(id).as("doc_id"),
-        explode(array_distinct(when(length(col(text)) < gram,
-          array().cast("array<string>"))
-          .otherwise(expr(
-            s"transform(sequence(1, char_length($text) - ${gram - 1}), " +
-              s"i -> substring($text, i, $gram))")))).as("g"))
-      .filter(substring(md5(col("g")), 32, 1) === sampleHex)
+        explode(graft.functions.NativeExpressions.anchorGrams(
+          col(text), gram, nibble)).as("g"))
       .localCheckpoint(true) // feeds the doc-freq gate and both join sides
     val ok = anchors.groupBy(col("g"))
       .agg(count(lit(1)).as("df"))

@@ -41,6 +41,18 @@ class NativeKernelFuzzSpec extends AnyFunSuite with SparkSuite {
     assert(checks.filter(!col("c1") || !col("c2") || !col("c3") || !col("c4"))
       .count() == 0)
 
+    // anchor grams (d8): native one-pass vs the declarative
+    // filter(transform(...)) + array_distinct formulation, short grams so
+    // the fuzz corpus (mostly short strings) actually produces anchors
+    val ag = df.select(
+      (graft.functions.NativeExpressions.anchorGrams(col("t"), 3, 0) ===
+        array_distinct(expr(
+          "filter(transform(sequence(1, greatest(char_length(t) - 2, 1)), " +
+            "i -> substring(t, i, 3)), " +
+            "g -> char_length(g) = 3 and substring(md5(g), 32, 1) = '0')")))
+        .as("ok"))
+    assert(ag.filter(!col("ok")).count() == 0)
+
     // jaccard over fuzzed pairs (cross join of a small sample)
     val sample = df.limit(30)
     val pairs = sample.as("a").crossJoin(sample.as("b"))
