@@ -197,4 +197,31 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       }
     }
   }
+
+  test("substring dedupe: native anchor selection, no cartesian, equi postings join") {
+    val p = plan("d8_substring_dupes")
+    // the anchor table is checkpointed before this plan; the final plan
+    // must be pure equi-join + two-phase aggregation over it
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"postings self-join degenerated to a cross product:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    // the anchor selection itself stays a single codegen'd expression
+    val ap = org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+      graft.functions.NativeExpressions.anchorGrams(
+        org.apache.spark.sql.functions.lit("abcdefghijklmnop"), 12, 0)).toString
+    assert(ap.contains("anchor_grams"))
+  }
+
+  test("epoch shuffle: bucket offsets broadcast; no data-sized global window") {
+    val p = plan("cu12_epoch_shuffle")
+    assert(p.contains("BroadcastHashJoin"),
+      s"256-row offset table must broadcast, not shuffle-join:\n$p")
+    // the data-sized row_number window is PARTITIONED by the hex bucket;
+    // the only single-partition exchange feeds the 256-row prefix sum
+    assert("row_number\\(\\) windowspecdefinition\\(b#\\d+, sk#".r
+      .findFirstIn(p).isDefined,
+      s"row_number window lost its bucket partitioning:\n$p")
+    assert("Exchange SinglePartition".r.findAllIn(p).size == 1,
+      s"expected exactly the bucket-size prefix sum on one partition:\n$p")
+  }
 }
