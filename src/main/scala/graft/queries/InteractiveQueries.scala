@@ -153,5 +153,42 @@ object InteractiveQueries {
         ORDER BY doc_id
       """.stripMargin.trim),
     ),
+    // §3.1 end-to-end through the page server: build the cached positional
+    // index for (g2_inlink_counts, n_inlinks desc) in a fresh cache dir,
+    // then serve page 2 as a pos-range read off the cached parquet — the
+    // reference's Query.getCanonicalId cache + readPaginatedResults path.
+    // The oracle recomputes the base query and replays the index's
+    // total-order rank (sort field, then every remaining column by name),
+    // so a wrong tiebreak or off-by-one page boundary breaks the hash.
+    Q(
+      "i9_cached_page",
+      (s, dir) => {
+        val cache = java.nio.file.Files
+          .createTempDirectory("graft-i9-").toString
+        val server = new QueryServer(s, cache, dir)
+        server.page("g2_inlink_counts",
+          server.PageRequest("n_inlinks", ascending = false,
+            offset = 10, pageSize = 10))
+      },
+      Some {
+        val base = GraphQueries.defs.find(_.name == "g2_inlink_counts")
+          .flatMap(_.oracle)
+          .getOrElse(sys.error("g2_inlink_counts oracle missing"))
+        s"""
+        WITH base AS ($base),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (ORDER BY
+            n_inlinks DESC, cross_root_links DESC, dst_domain DESC,
+            dst_root DESC, n_cross_roots DESC, n_src_domains DESC,
+            same_root_links DESC) AS pos
+          FROM base
+        )
+        SELECT dst_domain, dst_root, n_inlinks, n_src_domains,
+               same_root_links, cross_root_links, n_cross_roots,
+               CAST(pos AS BIGINT) AS pos
+        FROM r WHERE pos > 10 AND pos <= 20 ORDER BY pos
+        """.stripMargin.trim
+      },
+    ),
   )
 }
