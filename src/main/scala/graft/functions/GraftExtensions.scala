@@ -80,8 +80,18 @@ object GraftExtensions {
         val gram = if (args.length >= 2)
           foldedValue("anchor_grams", args(1)).asInstanceOf[Number].intValue
         else 12
+        // the nibble selector accepts an int (0..15) or the Scala API's
+        // one-hex-char string convention ('a' == 10)
         val nibble = if (args.length == 3)
-          foldedValue("anchor_grams", args(2)).asInstanceOf[Number].intValue
+          foldedValue("anchor_grams", args(2)) match {
+            case n: Number => n.intValue
+            case s =>
+              val hex = s.toString
+              require(hex.length == 1 &&
+                Character.digit(hex.charAt(0), 16) >= 0,
+                s"anchor_grams nibble must be 0..15 or one hex char, got '$hex'")
+              Character.digit(hex.charAt(0), 16)
+          }
         else 0
         AnchorGramsExpr(args.head, gram, nibble)
       },

@@ -262,36 +262,52 @@ object NativeFns {
 
   /** One-pass content-defined anchor-gram selection (d8): the distinct
     * `gram`-code-point substrings whose md5 hex ends in the `nibble`
-    * hex digit. Bit-identical to the column form
+    * hex digit. Bit-identical (for inputs of ≥ `gram` code points; shorter
+    * inputs return an empty array, matching d8's original
+    * `when(length < gram, array())` guard) to the column form
     * `array_distinct(filter(transform(sequence(1, char_length(s)-gram+1),
     * i -> substring(s, i, gram)), g -> substring(md5(g), 32, 1) = hex))`
-    * — Spark substring counts code points and md5 hashes UTF-8 bytes,
-    * both replicated here — but one flat call per row: a single reused
-    * MessageDigest, no full gram array, and the ~15/16 unselected grams
-    * never allocate beyond their digest. */
+    * — Spark substring counts code points and md5 hashes UTF-8 bytes.
+    * One flat call per row over the raw UTF-8 bytes: code-point starts
+    * are indexed once, each gram is digested as a byte slice through a
+    * single reused MessageDigest, and only the ~1/16 SELECTED grams ever
+    * materialize as objects (a copied byte slice for the dedup set);
+    * unselected grams allocate nothing. */
   def anchorGrams(s: UTF8String, gram: Int, nibble: Int): ArrayData = {
-    val str = s.toString
-    val cps = str.codePointCount(0, str.length)
-    if (cps < gram) return new GenericArrayData(Array.empty[Any])
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val seen = new java.util.LinkedHashSet[String]()
-    var start = 0
-    var end = str.offsetByCodePoints(0, gram)
+    val bytes = s.getBytes
+    // code-point start offsets: UTF-8 continuation bytes are 10xxxxxx
+    var cps = 0
     var i = 0
-    while (i <= cps - gram) {
-      val g = str.substring(start, end)
-      val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      if ((d(15) & 0xf) == nibble) seen.add(g)
-      if (i < cps - gram) {
-        start = str.offsetByCodePoints(start, 1)
-        end = str.offsetByCodePoints(end, 1)
-      }
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xc0) != 0x80) cps += 1
       i += 1
+    }
+    if (cps < gram) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](cps + 1)
+    var c = 0
+    i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xc0) != 0x80) { starts(c) = i; c += 1 }
+      i += 1
+    }
+    starts(cps) = bytes.length
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var p = 0
+    while (p <= cps - gram) {
+      val off = starts(p)
+      val end = starts(p + gram)
+      md.update(bytes, off, end - off)
+      val d = md.digest() // finalizes and resets the instance
+      if ((d(15) & 0xf) == nibble)
+        seen.add(UTF8String.fromBytes(
+          java.util.Arrays.copyOfRange(bytes, off, end)))
+      p += 1
     }
     val out = new Array[Any](seen.size)
     val it = seen.iterator()
     var j = 0
-    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
     new GenericArrayData(out)
   }
 }

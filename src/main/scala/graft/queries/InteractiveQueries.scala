@@ -163,8 +163,12 @@ object InteractiveQueries {
     Q(
       "i9_cached_page",
       (s, dir) => {
-        val cache = java.nio.file.Files
-          .createTempDirectory("graft-i9-").toString
+        // one FIXED cache dir, deliberately reused across invocations:
+        // ResultCache keys entries by (query, sort, sfDir, data
+        // fingerprint), so reruns exercise the cache-HIT path instead of
+        // leaking a fresh index copy per run; a data change re-keys it
+        val cache = new java.io.File(
+          System.getProperty("java.io.tmpdir"), "graft-i9-cache").toString
         val server = new QueryServer(s, cache, dir)
         server.page("g2_inlink_counts",
           server.PageRequest("n_inlinks", ascending = false,

@@ -48,23 +48,22 @@ object Sinks {
     * (MultiFileMergeUtils.java:125, CrawlDBMergeJob.java:296-306) is
     * exactly a bucketed sort-merge join. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write
-      .bucketBy(buckets, key)
-      .sortBy(key)
-      .mode("overwrite")
-      .format("parquet")
-      .saveAsTable(table)
+    bucketedWriter(df, key, buckets, None).saveAsTable(table)
 
   /** [[writeBucketed]] with an explicit storage location (an EXTERNAL
     * bucketed table) — the catalog entry carries the bucket spec, the
     * files live at `path` instead of the session warehouse dir. */
   def writeBucketedAt(df: DataFrame, table: String, key: String,
       buckets: Int, path: String): Unit =
-    df.write
+    bucketedWriter(df, key, buckets, Some(path)).saveAsTable(table)
+
+  private def bucketedWriter(df: DataFrame, key: String, buckets: Int,
+      path: Option[String]) = {
+    val w = df.write
       .bucketBy(buckets, key)
       .sortBy(key)
       .mode("overwrite")
-      .option("path", path)
       .format("parquet")
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p))
+  }
 }

@@ -16,8 +16,12 @@ import graft.ops.{Dedupe, TextAnalysis}
 class NativeKernelFuzzSpec extends AnyFunSuite with SparkSuite {
 
   private def corpus: Seq[String] = {
-    val weird = Gen.listOf(Gen.oneOf(
-      'a', 'b', ' ', '\t', '\n', '0', '.', '日', '本', '語', 'é', 'ß', '\u0001'))
+    // includes supplementary-plane chars (surrogate pairs in UTF-16,
+    // 4-byte sequences in UTF-8) so code-point stepping is exercised
+    // where it differs from naive char/byte indexing
+    val weird = Gen.listOf(Gen.oneOf(Seq(
+      "a", "b", " ", "\t", "\n", "0", ".", "日", "本", "語",
+      "é", "ß", "\u0001", "😀", "𝛼")))
       .map(_.mkString)
     val gen = Gen.listOfN(300,
       Gen.frequency(3 -> Gen.asciiPrintableStr, 2 -> weird))

@@ -67,4 +67,28 @@ class SinksSpec extends AnyFunSuite with SparkSuite {
     assert(lp.contains("SelectedBucketsCount: 1 out of 8"), lp)
     assert(lookup.count() == 1)
   }
+
+  test("external-path bucketed tables (writeBucketedAt) also join shuffle-free") {
+    // j6's staging variant: the catalog must carry the bucket spec even
+    // when the files live at an explicit location, or the merge join
+    // silently regains its exchanges
+    val session = spark.newSession()
+    session.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val suffix = java.lang.Long.toHexString(System.nanoTime())
+    val base = java.nio.file.Files.createTempDirectory("graft-bext-").toString
+    val orders = session.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_custkey")
+    val customer = session.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey", "c_nationkey")
+    Sinks.writeBucketedAt(orders, s"oext_$suffix", "o_custkey", 4, s"$base/o")
+    Sinks.writeBucketedAt(customer, s"cext_$suffix", "c_custkey", 4, s"$base/c")
+    val joined = session.table(s"oext_$suffix")
+      .join(session.table(s"cext_$suffix"),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    assert(joined.count() == orders.count())
+  }
 }
