@@ -359,6 +359,51 @@ object Dedupe {
       .filter(col("shared") >= minShared)
   }
 
+  /** Materialize the corpus side of the incremental-dedupe pipeline as a
+    * PERSISTENT LSH index: two bucketed+sorted tables — the banded
+    * signature relation (bucketed by `band_key`, what batch bands probe)
+    * and the shingle relation (bucketed by `doc_id`, what the verify join
+    * reads). Written ONCE per corpus (the role the reference's
+    * previous-merge outputs play as inputs to the next merge,
+    * CrawlDBMergeJob.java:290-295); every later batch probes it with no
+    * recomputation of the corpus and no shuffle of the corpus side: the
+    * bucketed scan's HashPartitioning already satisfies the probe join's
+    * clustering, so only the (small) batch side moves. */
+  def writeBandedIndex(corpus: DataFrame, id: String, text: String,
+      table: String, path: String,
+      k: Int = 72, bands: Int = 6, buckets: Int = 16): Unit = {
+    // shingle once; both artifacts derive from the checkpointed table
+    val sh = docShingles(corpus, id, text).localCheckpoint(true)
+    graft.sources.Sinks.writeBucketedAt(bandedSignatures(sh, k, bands),
+      s"${table}_bands", "band_key", buckets, s"$path/bands")
+    graft.sources.Sinks.writeBucketedAt(sh,
+      s"${table}_shingles", "doc_id", buckets, s"$path/shingles")
+  }
+
+  /** Probe a [[writeBandedIndex]] corpus index with a new batch — same
+    * result as [[incrementalNearDupPairs]] (DedupeSpec proves equality at
+    * sf0.001) with the corpus only ever READ: banded keys from the bands
+    * table, verify shingles from the shingles table. `k`/`bands` must
+    * match the values the index was written with. */
+  def probeBandedIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, batch: DataFrame, id: String, text: String,
+      threshold: Double, k: Int = 72, bands: Int = 6): DataFrame = {
+    val shB = docShingles(batch, id, text).localCheckpoint(true)
+    val cand = bandedSignatures(shB, k, bands).as("n")
+      .join(spark.table(s"${table}_bands").as("c"),
+        col("n.band_idx") === col("c.band_idx") &&
+          col("n.band_key") === col("c.band_key"))
+      .select(col("n.doc_id").as("new_id"), col("c.doc_id").as("corpus_id"))
+      .distinct()
+    cand
+      .join(shB.withColumnsRenamed(Map("doc_id" -> "new_id", "sh" -> "sh_n")), "new_id")
+      .join(spark.table(s"${table}_shingles")
+        .withColumnsRenamed(Map("doc_id" -> "corpus_id", "sh" -> "sh_c")), "corpus_id")
+      .withColumn("jaccard", jaccardOf(col("sh_n"), col("sh_c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs, blocked by a grouping column.
     * TESTS-ONLY ground truth: the block join is quadratic within blocks, so
     * this must never appear in a production plan — the scale path is

@@ -72,6 +72,27 @@ object DedupeQueries {
     """len(list_intersect(x.sh, y.sh))::DOUBLE
       |                 / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))""".stripMargin
 
+  /** Shared by d7 (recompute-per-run) and d9 (persistent-index probe):
+    * the two plans implement the same semantics, so one oracle gates both. */
+  private def incrementalOracle: String = s"""
+        WITH ${minhashBandedCtes(k = 72, bands = 6)},
+        cand AS (
+          SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+          FROM banded n
+          JOIN documents dn ON n.doc_id = dn.doc_id AND dn.source = 'src0'
+          JOIN banded c ON n.band_idx = c.band_idx AND n.band_key = c.band_key
+          JOIN documents dc ON c.doc_id = dc.doc_id AND dc.source <> 'src0'
+        )
+        SELECT new_id, corpus_id,
+               len(list_intersect(x.sh, y.sh))::DOUBLE
+                 / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+        FROM cand JOIN sh x ON cand.new_id = x.doc_id
+                  JOIN sh y ON cand.corpus_id = y.doc_id
+        WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
+                / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.8
+        ORDER BY new_id, corpus_id
+      """.trim
+
   def defs: Seq[Q] = Seq(
     // D-exact: content-hash dedupe groups.
     Q(
@@ -274,24 +295,27 @@ object DedupeQueries {
             threshold = 0.8, k = 72, bands = 6)
           .orderBy("new_id", "corpus_id")
       },
-      Some(s"""
-        WITH ${minhashBandedCtes(k = 72, bands = 6)},
-        cand AS (
-          SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
-          FROM banded n
-          JOIN documents dn ON n.doc_id = dn.doc_id AND dn.source = 'src0'
-          JOIN banded c ON n.band_idx = c.band_idx AND n.band_key = c.band_key
-          JOIN documents dc ON c.doc_id = dc.doc_id AND dc.source <> 'src0'
-        )
-        SELECT new_id, corpus_id,
-               len(list_intersect(x.sh, y.sh))::DOUBLE
-                 / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
-        FROM cand JOIN sh x ON cand.new_id = x.doc_id
-                  JOIN sh y ON cand.corpus_id = y.doc_id
-        WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
-                / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.8
-        ORDER BY new_id, corpus_id
-      """.trim),
+      Some(incrementalOracle),
+    ),
+    // D9: the SAME incremental semantics served from the PERSISTENT
+    // banded-signature index (Dedupe.writeBandedIndex / probeBandedIndex):
+    // the corpus is hashed once into two bucketed tables and the batch
+    // probes them — d7 recomputes the corpus per run, d9 is the artifact
+    // lifecycle a production pipeline actually runs at 100 TB. Oracle is
+    // d7's verbatim: both plans must land on the identical pair set.
+    Q(
+      "d9_indexed_incremental",
+      (s, dir) => {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-d9-").toString
+        val docs = Registry.table(s, dir, "documents")
+        Dedupe.writeBandedIndex(docs.filter(col("source") =!= "src0"),
+          "doc_id", "text", "d9_idx", path)
+        Dedupe.probeBandedIndex(s, "d9_idx",
+            docs.filter(col("source") === "src0"), "doc_id", "text", 0.8)
+          .orderBy("new_id", "corpus_id")
+      },
+      Some(incrementalOracle),
     ),
     // D8: approximate exact-substring dedupe (suffix-array-style "shared
     // run of >= 12 chars") via content-defined anchor grams — see

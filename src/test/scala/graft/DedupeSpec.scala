@@ -116,6 +116,23 @@ class DedupeSpec extends AnyFunSuite with SparkSuite {
     assert(got == Set((1L, 2L), (3L, 1L)))
   }
 
+  test("persistent banded index probe == direct incremental pairs (sf0.001)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val corpus = docs.filter(col("source") =!= "src0")
+    val batch = docs.filter(col("source") === "src0")
+    val suffix = java.lang.Long.toHexString(System.nanoTime())
+    val path = java.nio.file.Files.createTempDirectory("graft-idx-").toString
+    Dedupe.writeBandedIndex(corpus, "doc_id", "text", s"idx_$suffix", path)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaIndex = pairs(Dedupe.probeBandedIndex(
+      spark, s"idx_$suffix", batch, "doc_id", "text", 0.8))
+    val direct = pairs(Dedupe.incrementalNearDupPairs(
+      corpus, batch, "doc_id", "text", 0.8))
+    assert(viaIndex == direct)
+    assert(viaIndex.nonEmpty)
+  }
+
   test("shared-substring pairs: planted run found, unrelated docs not paired") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
