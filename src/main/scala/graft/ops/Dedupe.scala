@@ -380,6 +380,21 @@ object Dedupe {
       s"${table}_shingles", "doc_id", buckets, s"$path/shingles")
   }
 
+  /** Fold an ACCEPTED batch into an existing [[writeBandedIndex]] index —
+    * the production ingest loop: probe batch → drop near-dups → append
+    * the survivors' bands and shingles so the NEXT batch dedupes against
+    * them too. Appends land per bucket (spec validated against the
+    * table's), so probe joins keep their shuffle-free corpus side;
+    * `k`/`bands`/`buckets` must match the index's creation values. */
+  def appendToBandedIndex(accepted: DataFrame, id: String, text: String,
+      table: String, k: Int = 72, bands: Int = 6, buckets: Int = 16): Unit = {
+    val sh = docShingles(accepted, id, text).localCheckpoint(true)
+    graft.sources.Sinks.appendBucketed(
+      bandedSignatures(sh, k, bands), s"${table}_bands", "band_key", buckets)
+    graft.sources.Sinks.appendBucketed(
+      sh, s"${table}_shingles", "doc_id", buckets)
+  }
+
   /** Probe a [[writeBandedIndex]] corpus index with a new batch — same
     * result as [[incrementalNearDupPairs]] (DedupeSpec proves equality at
     * sf0.001) with the corpus only ever READ: banded keys from the bands

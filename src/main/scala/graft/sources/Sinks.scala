@@ -57,12 +57,19 @@ object Sinks {
       buckets: Int, path: String): Unit =
     bucketedWriter(df, key, buckets, Some(path)).saveAsTable(table)
 
+  /** Append into an EXISTING bucketed table (the bucket spec must match
+    * what the table was created with — Spark validates); new files land
+    * per bucket, so readers keep their shuffle-free guarantees. */
+  def appendBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    bucketedWriter(df, key, buckets, None, "append").saveAsTable(table)
+
   private def bucketedWriter(df: DataFrame, key: String, buckets: Int,
-      path: Option[String]) = {
+      path: Option[String], mode: String = "overwrite") = {
     val w = df.write
       .bucketBy(buckets, key)
       .sortBy(key)
-      .mode("overwrite")
+      .mode(mode)
       .format("parquet")
     path.fold(w)(p => w.option("path", p))
   }

@@ -116,21 +116,36 @@ class DedupeSpec extends AnyFunSuite with SparkSuite {
     assert(got == Set((1L, 2L), (3L, 1L)))
   }
 
-  test("persistent banded index probe == direct incremental pairs (sf0.001)") {
+  test("persistent banded index: probe == direct, and append grows the corpus (sf0.001)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val corpus = docs.filter(col("source") =!= "src0")
-    val batch = docs.filter(col("source") === "src0")
+    // two batches arrive in sequence against a base corpus that contains
+    // neither — the real ingest loop
+    val corpus0 = docs.filter(col("source") =!= "src0" && col("source") =!= "src1")
+    val batch1 = docs.filter(col("source") === "src0")
+    val batch2 = docs.filter(col("source") === "src1")
     val suffix = java.lang.Long.toHexString(System.nanoTime())
     val path = java.nio.file.Files.createTempDirectory("graft-idx-").toString
-    Dedupe.writeBandedIndex(corpus, "doc_id", "text", s"idx_$suffix", path)
+    Dedupe.writeBandedIndex(corpus0, "doc_id", "text", s"idx_$suffix", path)
     def pairs(df: org.apache.spark.sql.DataFrame) = df
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val viaIndex = pairs(Dedupe.probeBandedIndex(
-      spark, s"idx_$suffix", batch, "doc_id", "text", 0.8))
+      spark, s"idx_$suffix", batch1, "doc_id", "text", 0.8))
     val direct = pairs(Dedupe.incrementalNearDupPairs(
-      corpus, batch, "doc_id", "text", 0.8))
+      corpus0, batch1, "doc_id", "text", 0.8))
     assert(viaIndex == direct)
-    assert(viaIndex.nonEmpty)
+
+    // fold batch1's non-dup survivors in; probing batch2 must then equal
+    // the direct incremental pairs against the GROWN corpus
+    val dupIds = viaIndex.map(_._1)
+    val accepted = batch1.filter(!col("doc_id").isin(dupIds.toSeq: _*))
+    Dedupe.appendToBandedIndex(accepted, "doc_id", "text", s"idx_$suffix")
+    val grown = corpus0.unionByName(accepted)
+    val viaIndex2 = pairs(Dedupe.probeBandedIndex(
+      spark, s"idx_$suffix", batch2, "doc_id", "text", 0.8))
+    val direct2 = pairs(Dedupe.incrementalNearDupPairs(
+      grown, batch2, "doc_id", "text", 0.8))
+    assert(viaIndex2 == direct2)
+    assert((viaIndex ++ viaIndex2).nonEmpty)
   }
 
   test("shared-substring pairs: planted run found, unrelated docs not paired") {
