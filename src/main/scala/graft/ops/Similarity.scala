@@ -79,17 +79,29 @@ object Similarity {
     val seeds = broadcast(
       v.filter(col("vec_id") < nSeeds)
         .select(col("vec_id").as("seed_id"), col("v").as("sv")))
-    // index: nearest seed per vector. Grouped by vec_id ALONE — the raw
-    // 64-dim vector must not be part of the shuffle key (hashing and
-    // comparing 512-byte keys); it rides inside the max_by struct instead.
-    val assigned = v.join(seeds)
+    ivfSearch(
+      ivfProbeCells(v.filter(col("vec_id") < probeMax), seeds, nProbeCells),
+      ivfAssign(v, seeds), k)
+  }
+
+  /** The IVF index relation: (vec_id, cell, v) — every vector's
+    * nearest-seed cell with the vector as payload. Grouped by vec_id
+    * ALONE — the raw 64-dim vector must not be part of the shuffle key
+    * (hashing and comparing 512-byte keys); it rides inside the max_by
+    * struct instead. Shared by the in-memory and persistent paths so
+    * both index identically. */
+  private def ivfAssign(v: DataFrame, seeds: DataFrame): DataFrame =
+    v.join(seeds)
       .select(col("vec_id"), col("v"),
         col("seed_id"), cosOrd(cosine(col("v"), col("sv")), col("seed_id")).as("ord"))
       .groupBy(col("vec_id"))
       .agg(max_by(struct(col("seed_id").as("cell"), col("v")), col("ord")).as("best"))
       .select(col("vec_id"), col("best.cell").as("cell"), col("best.v").as("v"))
-    // probe plan: the nProbeCells nearest cells per probe
-    val probeCells = v.filter(col("vec_id") < probeMax).join(seeds)
+
+  /** Probe plan: the `nProbeCells` nearest cells per probe vector. */
+  private def ivfProbeCells(probes: DataFrame, seeds: DataFrame,
+      nProbeCells: Int): DataFrame =
+    probes.join(seeds)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("seed_id"), cosine(col("v"), col("sv")).as("scos"))
       .withColumn("cell_rank", row_number().over(
@@ -97,7 +109,10 @@ object Similarity {
           .orderBy(col("scos").desc, col("seed_id"))))
       .filter(col("cell_rank") <= nProbeCells)
       .select(col("probe_id"), col("pv"), col("seed_id").as("cell"))
-    // search: exact cosine within the probed cells
+
+  /** Search: exact cosine within the probed cells, per-probe top-k. */
+  private def ivfSearch(probeCells: DataFrame, assigned: DataFrame,
+      k: Int): DataFrame = {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     probeCells.join(assigned, "cell")
@@ -106,6 +121,32 @@ object Similarity {
         cosine(col("pv"), col("v")).as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+  }
+
+  /** Persist the IVF index: the seed codebook as a plain table (tiny —
+    * readers broadcast it) and the cell-assigned vectors bucketed by
+    * `cell`, so probe searches join the corpus side with no shuffle —
+    * the vector-index twin of Dedupe.writeBandedIndex. Built once per
+    * corpus; probes never recompute assignments. */
+  def writeIvfIndex(df: DataFrame, id: String, emb: String,
+      table: String, path: String, nSeeds: Int, buckets: Int = 16): Unit = {
+    val v = vectors(df, id, emb).localCheckpoint(true)
+    val seeds = v.filter(col("vec_id") < nSeeds)
+      .select(col("vec_id").as("seed_id"), col("v").as("sv"))
+    seeds.write.mode("overwrite").option("path", s"$path/seeds")
+      .format("parquet").saveAsTable(s"${table}_seeds")
+    graft.sources.Sinks.writeBucketedAt(ivfAssign(v, broadcast(seeds)),
+      s"${table}_cells", "cell", buckets, s"$path/cells")
+  }
+
+  /** ANN search against a [[writeIvfIndex]] index: same results as
+    * [[ivfTopK]] with the same parameters (SimilaritySpec proves it);
+    * the index is only ever read. `probes` = (vec_id, v) rows. */
+  def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+      probes: DataFrame, nProbeCells: Int, k: Int): DataFrame = {
+    val seeds = broadcast(spark.table(s"${table}_seeds"))
+    ivfSearch(ivfProbeCells(probes, seeds, nProbeCells),
+      spark.table(s"${table}_cells"), k)
   }
 
   /** Symmetric per-vector int8 quantization: q_i = floor(v_i/m·127 + 0.5)

@@ -100,6 +100,43 @@ object SimilarityQueries {
 
   private def sigSqlDyn: String = sigSqlDynOver("v", Dims)
 
+  /** Shared by ss4 (in-memory IVF) and ss9 (persistent-index probe):
+    * identical semantics, one oracle gates both plans. */
+  private def ivfOracle: String = s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        $ParamsCte,
+        seeds AS (SELECT vec_id AS seed_id, v FROM e, params WHERE vec_id < n_seeds),
+        vs AS (
+          SELECT a.vec_id, s.seed_id, ${cosSql("a", "s")} AS cos
+          FROM e a, seeds s
+        ),
+        assigned AS (
+          SELECT vec_id,
+                 max_by(seed_id, CAST(floor(cos * 1e12) AS BIGINT) * 100000 - seed_id) AS cell
+          FROM vs GROUP BY vec_id
+        ),
+        pc AS (
+          SELECT vec_id AS probe_id, seed_id AS cell FROM (
+            SELECT vec_id, seed_id,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, seed_id) AS cr
+            FROM vs WHERE vec_id < $ProbeMax)
+          WHERE cr <= $IvfProbeCells
+        ),
+        cand AS (
+          SELECT pc.probe_id, na.vec_id AS neighbor_id, ${cosSql("pa", "na")} AS cos
+          FROM pc
+          JOIN e pa ON pa.vec_id = pc.probe_id
+          JOIN assigned t ON t.cell = pc.cell
+          JOIN e na ON na.vec_id = t.vec_id
+          WHERE na.vec_id != pc.probe_id
+        )
+        SELECT probe_id, neighbor_id, cos, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
+          FROM cand)
+        WHERE rank <= $TopK
+        ORDER BY probe_id, rank
+      """.trim
+
   def defs: Seq[Q] = Seq(
     // exact brute-force cosine top-k for a probe set (the ANN ground truth)
     Q(
@@ -199,40 +236,30 @@ object SimilarityQueries {
             probeMax = ProbeMax, k = TopK)
           .orderBy("probe_id", "rank")
       },
-      Some(s"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        $ParamsCte,
-        seeds AS (SELECT vec_id AS seed_id, v FROM e, params WHERE vec_id < n_seeds),
-        vs AS (
-          SELECT a.vec_id, s.seed_id, ${cosSql("a", "s")} AS cos
-          FROM e a, seeds s
-        ),
-        assigned AS (
-          SELECT vec_id,
-                 max_by(seed_id, CAST(floor(cos * 1e12) AS BIGINT) * 100000 - seed_id) AS cell
-          FROM vs GROUP BY vec_id
-        ),
-        pc AS (
-          SELECT vec_id AS probe_id, seed_id AS cell FROM (
-            SELECT vec_id, seed_id,
-                   row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, seed_id) AS cr
-            FROM vs WHERE vec_id < $ProbeMax)
-          WHERE cr <= $IvfProbeCells
-        ),
-        cand AS (
-          SELECT pc.probe_id, na.vec_id AS neighbor_id, ${cosSql("pa", "na")} AS cos
-          FROM pc
-          JOIN e pa ON pa.vec_id = pc.probe_id
-          JOIN assigned t ON t.cell = pc.cell
-          JOIN e na ON na.vec_id = t.vec_id
-          WHERE na.vec_id != pc.probe_id
-        )
-        SELECT probe_id, neighbor_id, cos, rank FROM (
-          SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
-          FROM cand)
-        WHERE rank <= $TopK
-        ORDER BY probe_id, rank
-      """.trim),
+      Some(ivfOracle),
+    ),
+    // ss9: the SAME IVF search served from a PERSISTENT index
+    // (Similarity.writeIvfIndex / probeIvfIndex): seed codebook + cell-
+    // assigned vectors land as tables (cells bucketed by cell id), probes
+    // only read them — the vector-index twin of d9's banded-index
+    // lifecycle. Oracle is ss4's verbatim: both plans must produce the
+    // identical neighbor ranking.
+    Q(
+      "ss9_ivf_indexed",
+      (s, dir) => {
+        val emb = Registry.table(s, dir, "embeddings")
+        val n = emb.count()
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-ss9-").toString
+        Similarity.writeIvfIndex(emb, "vec_id", "embedding",
+          "ss9_idx", path, nSeeds = ivfSeedsFor(n))
+        Similarity.probeIvfIndex(s, "ss9_idx",
+            Similarity.vectors(emb, "vec_id", "embedding")
+              .filter(col("vec_id") < ProbeMax),
+            nProbeCells = IvfProbeCells, k = TopK)
+          .orderBy("probe_id", "rank")
+      },
+      Some(ivfOracle),
     ),
 
     // int8-quantized cosine top-k: per-vector symmetric quantization

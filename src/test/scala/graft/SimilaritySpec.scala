@@ -28,6 +28,25 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("persistent IVF index probe == in-memory ivfTopK (sf0.001)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = emb.count()
+    val nSeeds = math.max(4, math.sqrt(n.toDouble).toInt)
+    val suffix = java.lang.Long.toHexString(System.nanoTime())
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-").toString
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding",
+      s"ivf_$suffix", path, nSeeds)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val viaIndex = rows(Similarity.probeIvfIndex(spark, s"ivf_$suffix",
+      Similarity.vectors(emb, "vec_id", "embedding").filter(col("vec_id") < 20),
+      nProbeCells = 2, k = 5))
+    val direct = rows(Similarity.ivfTopK(emb, "vec_id", "embedding",
+      nSeeds, nProbeCells = 2, probeMax = 20, k = 5))
+    assert(viaIndex == direct)
+    assert(viaIndex.nonEmpty)
+  }
+
   test("mipsMultiProbeTopK: ranks candidates by exact inner product") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val n = emb.count()
