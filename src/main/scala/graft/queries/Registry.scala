@@ -31,8 +31,13 @@ object Registry {
       CurationQueries.defs ++
       SourceQueries.defs
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    // a duplicate name would silently shadow a query in the Map — and the
+    // driver's gate would "pass" while never running the shadowed one
+    val dups = all.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
     all.map(q => q.name -> q.run).toMap
+  }
 
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap
