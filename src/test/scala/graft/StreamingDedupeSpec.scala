@@ -94,4 +94,71 @@ class StreamingDedupeSpec extends AnyFunSuite with SparkSuite {
     assert(collected.toSet == oneShot)
     assert(oneShot.nonEmpty)
   }
+
+  test("foreachBatch probe+append maintains the persistent index across triggers") {
+    // the full production ingest loop under Structured Streaming: each
+    // micro-batch probes the PERSISTENT banded index, drops its near-dups,
+    // and appends the survivors — so later triggers dedupe against earlier
+    // ones. Final state must equal the sequential batch computation.
+    val docs = graft.queries.Registry.table(spark, sfDir, "documents")
+    val corpus0 = docs.filter(col("source") =!= "src0" && col("source") =!= "src1")
+    val ingest = docs.filter(col("source") === "src0" || col("source") === "src1")
+
+    val suffix = java.lang.Long.toHexString(System.nanoTime())
+    val idxPath = java.nio.file.Files.createTempDirectory("graft-sidx-").toString
+    graft.ops.Dedupe.writeBandedIndex(corpus0, "doc_id", "text",
+      s"sidx_$suffix", idxPath)
+
+    val path = java.nio.file.Files.createTempDirectory("ingest_stream").toString
+    // deterministic trigger split (by source), not repartition: the
+    // accumulated result depends on arrival grouping, and the sequential
+    // reference below must replay the same grouping
+    ingest.filter(col("source") === "src0").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/b0")
+    ingest.filter(col("source") === "src1").coalesce(1)
+      .write.mode("append").parquet(s"$path/b0") // same dir, 2 files
+    val schema = spark.read.parquet(s"$path/b0").schema
+
+    val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$path/b0")
+      .writeStream
+      .foreachBatch { (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val mbDf = mb.cache()
+        val dupIds = graft.ops.Dedupe.probeBandedIndex(
+            spark, s"sidx_$suffix", mbDf, "doc_id", "text", 0.8)
+          .select("new_id").distinct()
+          .collect().map(_.getLong(0)).toSet
+        val survivors = mbDf.filter(!col("doc_id").isin(dupIds.toSeq: _*))
+        graft.ops.Dedupe.appendToBandedIndex(
+          survivors, "doc_id", "text", s"sidx_$suffix")
+        admitted ++= survivors.select("doc_id").collect().map(_.getLong(0))
+        mbDf.unpersist()
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    // sequential reference over the same trigger order (the file stream
+    // picks up files oldest-first; part names are UUIDs, so order by mtime)
+    val files = new java.io.File(s"$path/b0").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.lastModified).map(_.toString)
+    var refCorpus = corpus0
+    val refAdmitted = scala.collection.mutable.ArrayBuffer[Long]()
+    files.foreach { f =>
+      val mb = spark.read.parquet(f)
+      val dup = graft.ops.Dedupe.incrementalNearDupPairs(
+          refCorpus, mb, "doc_id", "text", 0.8)
+        .select("new_id").distinct().collect().map(_.getLong(0)).toSet
+      val surv = mb.filter(!col("doc_id").isin(dup.toSeq: _*))
+      refAdmitted ++= surv.select("doc_id").collect().map(_.getLong(0))
+      refCorpus = refCorpus.unionByName(surv)
+    }
+    assert(admitted.toSet == refAdmitted.toSet)
+    assert(admitted.nonEmpty)
+  }
 }
