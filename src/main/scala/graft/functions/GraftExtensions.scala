@@ -84,7 +84,11 @@ object GraftExtensions {
         // one-hex-char string convention ('a' == 10)
         val nibble = if (args.length == 3)
           foldedValue("anchor_grams", args(2)) match {
-            case n: Number => n.intValue
+            case n: Number =>
+              val i = n.intValue
+              require(i >= 0 && i <= 15,
+                s"anchor_grams nibble must be 0..15 or one hex char, got $i")
+              i
             case s =>
               val hex = s.toString
               require(hex.length == 1 &&

@@ -372,10 +372,14 @@ object Dedupe {
   def writeBandedIndex(corpus: DataFrame, id: String, text: String,
       table: String, path: String,
       k: Int = 72, bands: Int = 6, buckets: Int = 16): Unit = {
-    // shingle once; both artifacts derive from the checkpointed table
+    // shingle once; both artifacts derive from the checkpointed table.
+    // Bands are bucketed by BOTH probe-join keys — Spark's default
+    // co-partition rule rejects a partitioning on a strict subset of the
+    // join keys, so bucketing by band_key alone would re-shuffle the
+    // whole index on every sort-merge probe
     val sh = docShingles(corpus, id, text).localCheckpoint(true)
     graft.sources.Sinks.writeBucketedAt(bandedSignatures(sh, k, bands),
-      s"${table}_bands", "band_key", buckets, s"$path/bands")
+      s"${table}_bands", Seq("band_idx", "band_key"), buckets, s"$path/bands")
     graft.sources.Sinks.writeBucketedAt(sh,
       s"${table}_shingles", "doc_id", buckets, s"$path/shingles")
   }
@@ -389,8 +393,8 @@ object Dedupe {
   def appendToBandedIndex(accepted: DataFrame, id: String, text: String,
       table: String, k: Int = 72, bands: Int = 6, buckets: Int = 16): Unit = {
     val sh = docShingles(accepted, id, text).localCheckpoint(true)
-    graft.sources.Sinks.appendBucketed(
-      bandedSignatures(sh, k, bands), s"${table}_bands", "band_key", buckets)
+    graft.sources.Sinks.appendBucketed(bandedSignatures(sh, k, bands),
+      s"${table}_bands", Seq("band_idx", "band_key"), buckets)
     graft.sources.Sinks.appendBucketed(
       sh, s"${table}_shingles", "doc_id", buckets)
   }

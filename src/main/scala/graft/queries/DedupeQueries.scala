@@ -72,6 +72,10 @@ object DedupeQueries {
     """len(list_intersect(x.sh, y.sh))::DOUBLE
       |                 / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))""".stripMargin
 
+  /** One index staging dir per JVM (see the d9 comment). */
+  private lazy val d9StagePath: String =
+    java.nio.file.Files.createTempDirectory("graft-d9-").toString
+
   /** Shared by d7 (recompute-per-run) and d9 (persistent-index probe):
     * the two plans implement the same semantics, so one oracle gates both. */
   private def incrementalOracle: String = s"""
@@ -306,11 +310,12 @@ object DedupeQueries {
     Q(
       "d9_indexed_incremental",
       (s, dir) => {
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-d9-").toString
+        // ONE staging dir per process: saveAsTable(overwrite) to the same
+        // external location replaces the data in place, so reruns don't
+        // accumulate index copies under /tmp
         val docs = Registry.table(s, dir, "documents")
         Dedupe.writeBandedIndex(docs.filter(col("source") =!= "src0"),
-          "doc_id", "text", "d9_idx", path)
+          "doc_id", "text", "d9_idx", d9StagePath)
         Dedupe.probeBandedIndex(s, "d9_idx",
             docs.filter(col("source") === "src0"), "doc_id", "text", 0.8)
           .orderBy("new_id", "corpus_id")

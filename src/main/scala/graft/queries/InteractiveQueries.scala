@@ -18,6 +18,10 @@ object InteractiveQueries {
 
   private val dec2 = (c: String) => col(c).cast("decimal(18,2)")
 
+  /** One page-server cache dir per JVM (see the i9 comment). */
+  private lazy val i9CachePath: String =
+    java.nio.file.Files.createTempDirectory("graft-i9-cache-").toString
+
   def defs: Seq[Q] = Seq(
     // Q1 DomainListQuery: regex scan over domain names → per-domain
     // aggregate → sort by url count desc → page 2 (offset 20, size 10)
@@ -163,13 +167,12 @@ object InteractiveQueries {
     Q(
       "i9_cached_page",
       (s, dir) => {
-        // one FIXED cache dir, deliberately reused across invocations:
-        // ResultCache keys entries by (query, sort, sfDir, data
-        // fingerprint), so reruns exercise the cache-HIT path instead of
-        // leaking a fresh index copy per run; a data change re-keys it
-        val cache = new java.io.File(
-          System.getProperty("java.io.tmpdir"), "graft-i9-cache").toString
-        val server = new QueryServer(s, cache, dir)
+        // one cache dir PER JVM, reused across invocations in the process:
+        // reruns exercise the cache-HIT path without leaking an index copy
+        // per run, while separate processes never race on a shared /tmp
+        // path (concurrent overwrite under a world-shared dir could yank
+        // part files out from under another process's scan)
+        val server = new QueryServer(s, i9CachePath, dir)
         server.page("g2_inlink_counts",
           server.PageRequest("n_inlinks", ascending = false,
             offset = 10, pageSize = 10))

@@ -14,8 +14,11 @@ final case class Q(
 )
 
 object Registry {
-  /** All query groups, in SURVEY.md §2 order. */
-  def all: Seq[Q] =
+  /** All query groups, in SURVEY.md §2 order. Lazy vals: the defs are
+    * immutable config, and the page server resolves `queries(name)` per
+    * request — rebuilding ~100 defs (and re-running the duplicate check)
+    * per page would be O(all queries) work on the serving path. */
+  lazy val all: Seq[Q] =
     RelationalQueries.defs ++
       CrawlDbQueries.defs ++
       UrlQueries.defs ++
@@ -31,7 +34,7 @@ object Registry {
       CurationQueries.defs ++
       SourceQueries.defs
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = {
     // a duplicate name would silently shadow a query in the Map — and the
     // driver's gate would "pass" while never running the shadowed one
     val dups = all.groupBy(_.name).filter(_._2.size > 1).keys
@@ -39,8 +42,10 @@ object Registry {
     all.map(q => q.name -> q.run).toMap
   }
 
-  def oracleSql: Map[String, String] =
+  lazy val oracleSql: Map[String, String] = {
+    queries // run the duplicate-name guard before serving either map
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+  }
 
   /** Reads one driver test table (TESTDATA.md layout).
     *

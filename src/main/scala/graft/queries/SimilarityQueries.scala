@@ -100,6 +100,10 @@ object SimilarityQueries {
 
   private def sigSqlDyn: String = sigSqlDynOver("v", Dims)
 
+  /** One index staging dir per JVM (see the ss9 comment). */
+  private lazy val ss9StagePath: String =
+    java.nio.file.Files.createTempDirectory("graft-ss9-").toString
+
   /** Shared by ss4 (in-memory IVF) and ss9 (persistent-index probe):
     * identical semantics, one oracle gates both plans. */
   private def ivfOracle: String = s"""
@@ -249,10 +253,10 @@ object SimilarityQueries {
       (s, dir) => {
         val emb = Registry.table(s, dir, "embeddings")
         val n = emb.count()
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-ss9-").toString
+        // one staging dir per JVM — overwrite replaces in place, reruns
+        // don't accumulate index copies
         Similarity.writeIvfIndex(emb, "vec_id", "embedding",
-          "ss9_idx", path, nSeeds = ivfSeedsFor(n))
+          "ss9_idx", ss9StagePath, nSeeds = ivfSeedsFor(n))
         Similarity.probeIvfIndex(s, "ss9_idx",
             Similarity.vectors(emb, "vec_id", "embedding")
               .filter(col("vec_id") < ProbeMax),

@@ -48,27 +48,41 @@ object Sinks {
     * (MultiFileMergeUtils.java:125, CrawlDBMergeJob.java:296-306) is
     * exactly a bucketed sort-merge join. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    bucketedWriter(df, key, buckets, None).saveAsTable(table)
+    bucketedWriter(df, Seq(key), buckets, None).saveAsTable(table)
 
   /** [[writeBucketed]] with an explicit storage location (an EXTERNAL
     * bucketed table) — the catalog entry carries the bucket spec, the
     * files live at `path` instead of the session warehouse dir. */
   def writeBucketedAt(df: DataFrame, table: String, key: String,
       buckets: Int, path: String): Unit =
-    bucketedWriter(df, key, buckets, Some(path)).saveAsTable(table)
+    bucketedWriter(df, Seq(key), buckets, Some(path)).saveAsTable(table)
 
   /** Append into an EXISTING bucketed table (the bucket spec must match
     * what the table was created with — Spark validates); new files land
     * per bucket, so readers keep their shuffle-free guarantees. */
   def appendBucketed(df: DataFrame, table: String, key: String,
       buckets: Int): Unit =
-    bucketedWriter(df, key, buckets, None, "append").saveAsTable(table)
+    bucketedWriter(df, Seq(key), buckets, None, "append").saveAsTable(table)
 
-  private def bucketedWriter(df: DataFrame, key: String, buckets: Int,
+  /** Multi-column variants: the bucket columns MUST equal the join keys
+    * exactly — Spark's default co-partition rule
+    * (`requireAllClusterKeysForCoPartition=true`) rejects a partitioning
+    * on a strict subset of the join keys for sort-merge co-partitioning,
+    * so a table bucketed by one column cannot serve a two-key join
+    * shuffle-free. */
+  def writeBucketedAt(df: DataFrame, table: String, keys: Seq[String],
+      buckets: Int, path: String): Unit =
+    bucketedWriter(df, keys, buckets, Some(path)).saveAsTable(table)
+
+  def appendBucketed(df: DataFrame, table: String, keys: Seq[String],
+      buckets: Int): Unit =
+    bucketedWriter(df, keys, buckets, None, "append").saveAsTable(table)
+
+  private def bucketedWriter(df: DataFrame, keys: Seq[String], buckets: Int,
       path: Option[String], mode: String = "overwrite") = {
     val w = df.write
-      .bucketBy(buckets, key)
-      .sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .mode(mode)
       .format("parquet")
     path.fold(w)(p => w.option("path", p))

@@ -91,4 +91,30 @@ class SinksSpec extends AnyFunSuite with SparkSuite {
     assert(!plan.contains("Exchange"), plan)
     assert(joined.count() == orders.count())
   }
+
+  test("two-key bucketed tables serve a two-key join shuffle-free (d9 band shape)") {
+    // requireAllClusterKeysForCoPartition=true (the default) rejects a
+    // partitioning on a strict subset of the join keys, so the banded
+    // index MUST be bucketed by both (band_idx, band_key) — this pins
+    // that layout actually yields an exchange-free sort-merge join
+    val session = spark.newSession()
+    session.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val suffix = java.lang.Long.toHexString(System.nanoTime())
+    val base = java.nio.file.Files.createTempDirectory("graft-b2k-").toString
+    // the synthetic lineitem does not enforce PK uniqueness — dedupe so
+    // the 1:1 join count is checkable
+    val li = session.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .dropDuplicates("l_orderkey", "l_linenumber")
+    Sinks.writeBucketedAt(li, s"b2a_$suffix",
+      Seq("l_orderkey", "l_linenumber"), 4, s"$base/a")
+    Sinks.writeBucketedAt(li.withColumnRenamed("l_quantity", "q2"),
+      s"b2b_$suffix", Seq("l_orderkey", "l_linenumber"), 4, s"$base/b")
+    val joined = session.table(s"b2a_$suffix")
+      .join(session.table(s"b2b_$suffix"), Seq("l_orderkey", "l_linenumber"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    assert(joined.count() == li.count())
+  }
 }

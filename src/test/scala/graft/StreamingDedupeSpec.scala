@@ -115,8 +115,20 @@ class StreamingDedupeSpec extends AnyFunSuite with SparkSuite {
     // reference below must replay the same grouping
     ingest.filter(col("source") === "src0").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/b0")
+    val firstFiles = new java.io.File(s"$path/b0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
     ingest.filter(col("source") === "src1").coalesce(1)
       .write.mode("append").parquet(s"$path/b0") // same dir, 2 files
+    // pin the arrival order explicitly: FileStreamSource lists oldest-
+    // first, and a coarse-mtime filesystem could otherwise tie the two
+    // writes and leave the order (and the accumulated result) ambiguous
+    val now = System.currentTimeMillis()
+    new java.io.File(s"$path/b0").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach { f =>
+        f.setLastModified(
+          if (firstFiles(f.getName)) now - 120000L else now - 60000L)
+      }
     val schema = spark.read.parquet(s"$path/b0").schema
 
     val admitted = scala.collection.mutable.ArrayBuffer[Long]()
