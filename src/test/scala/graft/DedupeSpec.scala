@@ -148,6 +148,28 @@ class DedupeSpec extends AnyFunSuite with SparkSuite {
     assert((viaIndex ++ viaIndex2).nonEmpty)
   }
 
+  test("index probe plan: corpus sides stay bucketed with no exchange (SMJ regime)") {
+    // the reason the persistent index exists: under sort-merge (probe too
+    // big to broadcast) the corpus tables must join via their bucketed
+    // layout. Expected exchanges are exactly the batch/intermediate ones:
+    // batch bands to the index's layout, the pair distinct, both sides of
+    // the new_id verify join, and the corpus_id repartition of its result
+    // — 5. A broken bucket spec re-shuffles the two corpus scans and the
+    // count jumps to 7.
+    val session = spark.newSession()
+    session.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val docs = session.read.parquet(s"$sfDir/documents.parquet")
+    val suffix = java.lang.Long.toHexString(System.nanoTime())
+    val path = java.nio.file.Files.createTempDirectory("graft-pidx-").toString
+    Dedupe.writeBandedIndex(docs.filter(col("source") =!= "src0"),
+      "doc_id", "text", s"pidx_$suffix", path)
+    val p = Dedupe.probeBandedIndex(session, s"pidx_$suffix",
+        docs.filter(col("source") === "src0"), "doc_id", "text", 0.8)
+      .queryExecution.executedPlan.toString
+    assert("Bucketed: true".r.findAllIn(p).size >= 2, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 5, p)
+  }
+
   test("shared-substring pairs: planted run found, unrelated docs not paired") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
