@@ -43,6 +43,14 @@ object ResultCache {
     md.digest().map("%02x".format(_)).mkString
   }
 
+  /** One lock object per cache path within this JVM, so concurrent page
+    * requests for the SAME uncached entry serialize on its build instead
+    * of racing two overwrite-writes into one directory (the _SUCCESS
+    * probe alone cannot prevent a writer deleting files out from under a
+    * concurrent writer; distinct entries still build in parallel). */
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Serve from cache when present, else compute + materialize. The
     * _SUCCESS marker gates readiness, so a killed write never serves a
     * partial result. The probe goes through the Hadoop FileSystem for the
@@ -54,8 +62,10 @@ object ResultCache {
     val path = s"$cacheDir/${canonicalId(queryName, params)}"
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(new Path(p, "_SUCCESS"))) {
-      compute.write.mode("overwrite").parquet(path)
+    buildLocks.computeIfAbsent(path, _ => new Object).synchronized {
+      if (!fs.exists(new Path(p, "_SUCCESS"))) {
+        compute.write.mode("overwrite").parquet(path)
+      }
     }
     spark.read.parquet(path)
   }

@@ -66,4 +66,28 @@ class QueryServerSpec extends AnyFunSuite with SparkSuite {
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(pos"),
       s"pos range not pushed to the scan:\n$plan")
   }
+
+  test("concurrent first requests for one entry serialize on its build") {
+    // two threads asking for the same uncached (query, sort) must not
+    // race two overwrite-writes into one cache directory; the per-path
+    // build lock serializes them and both serve the same result
+    val (server, _) = newServer()
+    val sortBy = Registry.queries("w2_pagination")(spark, sfDir).columns.head
+    val req = server.PageRequest(sortBy, ascending = true,
+      offset = 0, pageSize = 5)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val fs = (1 to 2).map { _ =>
+      scala.concurrent.Future {
+        server.page("w2_pagination", req)
+          .collect().map(_.toString).toSeq
+      }
+    }
+    val results = fs.map(f =>
+      scala.concurrent.Await.result(f, scala.concurrent.duration.Duration(120, "s")))
+    pool.shutdown()
+    assert(results(0) == results(1))
+    assert(results(0).nonEmpty)
+  }
 }

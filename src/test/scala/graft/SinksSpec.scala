@@ -92,6 +92,22 @@ class SinksSpec extends AnyFunSuite with SparkSuite {
     assert(joined.count() == orders.count())
   }
 
+  test("appendBucketed validates the bucket spec against the existing table") {
+    // the banded-index append path leans on this: appending with a
+    // mismatched bucket count must fail loudly, not silently mix layouts
+    // (a mixed-bucket table would serve wrong-partitioned scans)
+    val session = spark.newSession()
+    val suffix = java.lang.Long.toHexString(System.nanoTime())
+    val base = java.nio.file.Files.createTempDirectory("graft-bval-").toString
+    val df = session.read.parquet(s"$sfDir/nation.parquet")
+      .select(col("n_nationkey"), col("n_name"))
+    Sinks.writeBucketedAt(df, s"bval_$suffix", "n_nationkey", 4, s"$base/t")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Sinks.appendBucketed(df, s"bval_$suffix", "n_nationkey", 8)
+    }
+    assert(e.getMessage.toLowerCase.contains("bucket"), e.getMessage)
+  }
+
   test("two-key bucketed tables serve a two-key join shuffle-free (d9 band shape)") {
     // requireAllClusterKeysForCoPartition=true (the default) rejects a
     // partitioning on a strict subset of the join keys, so the banded
