@@ -18,6 +18,10 @@ object CrawlDbQueries {
     * truncation path is actually exercised by test data (reference cap is
     * 100 ext-URL samples; lineitem has ≤13 lines per key). */
   private val SrcCap = 3
+  // c4 pipeline constants: super-root cutoff mirrors the g-family's, list
+  // depth mirrors the segmenter's per-bucket rank-ordered pick
+  private val PipeSuperMax = 5
+  private val PipeListK = 5
 
   /** The driver's oracle gate sorts result columns in pandas, which cannot
     * hash ndarray cells — so the registered queries serialize the sample
@@ -177,6 +181,94 @@ object CrawlDbQueries {
         JOIN lc ON lc.key = l_orderkey
         GROUP BY 1
         ORDER BY 1
+      """.trim),
+    ),
+    // c4: the reference's FULL production pipeline order as one chained
+    // plan — crawldb merge (CrawlDBMergeJob) → link graph restricted to
+    // merge-fetched URLs (LinkGraphDataEmitterJob consumes merge output)
+    // → domain rank (GenDomainRankStep.java:72-77 formula) → per-root
+    // top-k crawl list (the Segmenter's rank-ordered selection). Each
+    // stage consumes the previous stage's output, so the hash depends on
+    // the whole chain composing correctly, not on any stage in isolation.
+    Q(
+      "c4_pipeline_rank_lists",
+      (s, dir) => {
+        val fetched = CrawlDb.merge(statusOf(s, dir, None), linksOf(s, dir, None),
+            maxSrcSamples = SrcCap)
+          .filter(col("status") === "F")
+          .select(col("url_key"))
+        val o = Registry.table(s, dir, "orders")
+        val l = Registry.table(s, dir, "lineitem")
+        val c = Registry.table(s, dir, "customer")
+        val sup = Registry.table(s, dir, "supplier")
+        val raw = o
+          .join(fetched, col("o_orderkey") === col("url_key"), "left_semi")
+          .join(l, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("c_custkey") === col("o_custkey"))
+          .join(broadcast(sup), col("s_suppkey") === col("l_suppkey"))
+          .select(
+            col("o_custkey").as("src_domain"),
+            col("c_nationkey").cast("long").as("src_root"),
+            col("l_suppkey").as("dst_domain"),
+            col("s_nationkey").cast("long").as("dst_root"))
+        val edges = graft.ops.LinkGraph.distinctEdges(raw)
+        val superRoots = Registry.table(s, dir, "nation")
+          .filter(col("n_nationkey") < PipeSuperMax)
+          .select(col("n_nationkey").cast("long").as("root"))
+        val rank = graft.ops.LinkGraph.domainRank(edges, superRoots)
+        val roots = edges.select(col("dst_domain"), col("dst_root")).distinct()
+        rank.join(roots, "dst_domain")
+          .withColumn("pos", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("dst_root"))
+              .orderBy(col("rank_score").desc, col("dst_domain"))).cast("long"))
+          .filter(col("pos") <= PipeListK)
+          .select(col("dst_root"), col("pos"), col("dst_domain"), col("rank_score"))
+          .orderBy("dst_root", "pos")
+      },
+      Some(s"""
+        WITH fetched AS (
+          SELECT o_orderkey AS fkey FROM orders WHERE o_orderstatus = 'F'),
+        edges AS (
+          SELECT o_custkey AS src_domain, CAST(c_nationkey AS BIGINT) AS src_root,
+                 l_suppkey AS dst_domain, CAST(s_nationkey AS BIGINT) AS dst_root,
+                 COUNT(*) AS n_links
+          FROM orders
+          JOIN lineitem ON l_orderkey = o_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          WHERE o_orderkey IN (SELECT fkey FROM fetched)
+          GROUP BY 1, 2, 3, 4),
+        sup AS (SELECT CAST(n_nationkey AS BIGINT) AS root FROM nation
+                WHERE n_nationkey < $PipeSuperMax),
+        counts AS (
+          SELECT dst_domain,
+                 CAST(SUM(CASE WHEN src_root = dst_root
+                               AND dst_root IN (SELECT root FROM sup)
+                               THEN n_links ELSE 0 END) AS BIGINT) AS same_root_inlinks,
+                 CAST(SUM(CASE WHEN src_root <> dst_root
+                               AND src_root IN (SELECT root FROM sup)
+                               THEN n_links ELSE 0 END)
+                      + COUNT(DISTINCT CASE WHEN src_root <> dst_root
+                                            AND src_root NOT IN (SELECT root FROM sup)
+                                            THEN src_root END) AS BIGINT) AS cross_root_inlinks
+          FROM edges GROUP BY dst_domain),
+        rnk AS (
+          SELECT dst_domain, same_root_inlinks, cross_root_inlinks,
+                 round(
+                   least(sqrt(pow(ln(greatest(CAST(same_root_inlinks AS DOUBLE), 1.0)) * 0.2, 2)
+                            + pow(ln(greatest(CAST(cross_root_inlinks AS DOUBLE), 1.0)), 2)), 14.0)
+                     / 14.0 * 10.0, 6) AS rank_score
+          FROM counts),
+        roots AS (SELECT DISTINCT dst_domain, dst_root FROM edges),
+        list AS (
+          SELECT roots.dst_root,
+                 ROW_NUMBER() OVER (PARTITION BY roots.dst_root
+                   ORDER BY rnk.rank_score DESC, rnk.dst_domain) AS pos,
+                 rnk.dst_domain, rnk.rank_score
+          FROM rnk JOIN roots ON rnk.dst_domain = roots.dst_domain)
+        SELECT dst_root, CAST(pos AS BIGINT) AS pos, dst_domain, rank_score
+        FROM list WHERE pos <= $PipeListK
+        ORDER BY dst_root, pos
       """.trim),
     ),
   )
