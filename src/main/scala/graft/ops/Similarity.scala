@@ -139,6 +139,20 @@ object Similarity {
       s"${table}_cells", "cell", buckets, s"$path/cells")
   }
 
+  /** Fold new vectors into an existing [[writeIvfIndex]] index — the
+    * ingest path: assign each new vector to its nearest cell of the
+    * EXISTING codebook (centroids stay fixed between rebuilds, the
+    * standard IVF maintenance contract) and append per bucket, so probe
+    * joins keep their shuffle-free corpus side. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, batch: DataFrame, id: String, emb: String,
+      buckets: Int = 16): Unit = {
+    val seeds = broadcast(spark.table(s"${table}_seeds"))
+    graft.sources.Sinks.appendBucketed(
+      ivfAssign(vectors(batch, id, emb).localCheckpoint(true), seeds),
+      s"${table}_cells", "cell", buckets)
+  }
+
   /** ANN search against a [[writeIvfIndex]] index: same results as
     * [[ivfTopK]] with the same parameters (SimilaritySpec proves it);
     * the index is only ever read. `probes` = (vec_id, v) rows. */

@@ -45,6 +45,21 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
       nSeeds, nProbeCells = 2, probeMax = 20, k = 5))
     assert(viaIndex == direct)
     assert(viaIndex.nonEmpty)
+
+    // ingest path: index built WITHOUT a held-out slice (ids >= nSeeds so
+    // the codebook is identical), slice appended, probe must then equal
+    // ivfTopK over the full corpus with the same seeds
+    val heldOut = emb.filter(col("vec_id") >= nSeeds && col("vec_id") % 7 === 0)
+    val partial = emb.exceptAll(heldOut)
+    val path2 = java.nio.file.Files.createTempDirectory("graft-ivf2-").toString
+    Similarity.writeIvfIndex(partial, "vec_id", "embedding",
+      s"ivf2_$suffix", path2, nSeeds)
+    Similarity.appendToIvfIndex(spark, s"ivf2_$suffix",
+      heldOut, "vec_id", "embedding")
+    val viaGrown = rows(Similarity.probeIvfIndex(spark, s"ivf2_$suffix",
+      Similarity.vectors(emb, "vec_id", "embedding").filter(col("vec_id") < 20),
+      nProbeCells = 2, k = 5))
+    assert(viaGrown == direct)
   }
 
   test("mipsMultiProbeTopK: ranks candidates by exact inner product") {
