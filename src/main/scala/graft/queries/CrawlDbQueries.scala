@@ -124,6 +124,15 @@ object CrawlDbQueries {
     // reference's every-merge-consumes-the-previous-DB shape
     // (CrawlDBMergeJob.java:290-295). The oracle is the ONE-SHOT merge:
     // hash equality proves incremental == full re-merge.
+    //
+    // Plan budget (profiled; tools/AqeScratch prints the post-AQE plan):
+    // exactly 3 exchanges — one hash shuffle per half-merge aggregate, the
+    // full-outer SMJ reusing both aggregates' partitioning exchange-free,
+    // and the final orderBy range partition. Partial aggregation is
+    // present on both halves. At sf0.1 c2 runs 0.9–1.5× c1 (it was also
+    // FASTER than c1 in every pre-round-5 bench); a raised
+    // objectHashAggregate fallback threshold measured no gain, so the
+    // sort-based agg fallback is not the bottleneck either.
     Q(
       "c2_crawldb_incremental",
       (s, dir) => {
