@@ -43,28 +43,53 @@ object ResultCache {
     md.digest().map("%02x".format(_)).mkString
   }
 
-  /** One lock object per cache path within this JVM, so concurrent page
-    * requests for the SAME uncached entry serialize on its build instead
-    * of racing two overwrite-writes into one directory (the _SUCCESS
-    * probe alone cannot prevent a writer deleting files out from under a
-    * concurrent writer; distinct entries still build in parallel). */
-  private val buildLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  /** In-JVM build locks, striped by path hash: concurrent page requests
+    * for the SAME uncached entry serialize on its build instead of both
+    * computing it; distinct entries almost always build in parallel (a
+    * stripe collision only serializes, never corrupts). A fixed stripe
+    * array replaces the earlier per-path lock map, which grew without
+    * bound across distinct cache paths in a long-lived server. */
+  private val NStripes = 64
+  private val buildLocks = Array.fill(NStripes)(new Object)
+  private def lockFor(path: String): Object =
+    buildLocks(math.floorMod(path.hashCode, NStripes))
 
   /** Serve from cache when present, else compute + materialize. The
     * _SUCCESS marker gates readiness, so a killed write never serves a
     * partial result. The probe goes through the Hadoop FileSystem for the
     * cacheDir's scheme, so an HDFS/S3 cache dir (the deployment SURVEY §8
     * prescribes) is probed where the parquet was actually written, not on
-    * the driver's local disk. */
+    * the driver's local disk.
+    *
+    * Cross-process safety: the entry is built in a private staging dir
+    * and RENAMED into place, so on filesystems with atomic directory
+    * rename (HDFS, local) another process either sees the complete entry
+    * or none — two servers sharing a cacheDir race only on who publishes,
+    * never on partial reads. On object stores without atomic rename
+    * (raw S3), keep one writer per cacheDir. */
   def getOrCompute(spark: SparkSession, cacheDir: String, queryName: String,
       params: Map[String, String])(compute: => DataFrame): DataFrame = {
     val path = s"$cacheDir/${canonicalId(queryName, params)}"
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    buildLocks.computeIfAbsent(path, _ => new Object).synchronized {
-      if (!fs.exists(new Path(p, "_SUCCESS"))) {
-        compute.write.mode("overwrite").parquet(path)
+    def ready = fs.exists(new Path(p, "_SUCCESS"))
+    lockFor(path).synchronized {
+      if (!ready) {
+        val tmp = new Path(s"$path.build-${java.util.UUID.randomUUID}")
+        compute.write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(p) || !fs.rename(tmp, p)) {
+          // lost the publish race — another process renamed first; its
+          // entry is complete (rename is atomic), discard our build
+          fs.delete(tmp, true)
+        } else {
+          // photo-finish loss: Hadoop rename moves src INTO an existing
+          // dst dir, so if p appeared between the exists check and our
+          // rename we just nested our build under the winner's entry.
+          // Spark's non-recursive parquet listing ignores the subdir, but
+          // clean it up rather than leak it.
+          val nested = new Path(p, tmp.getName)
+          if (fs.exists(nested)) fs.delete(nested, true)
+        }
       }
     }
     spark.read.parquet(path)
