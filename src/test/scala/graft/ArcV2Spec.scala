@@ -201,6 +201,23 @@ class ArcV2Spec extends AnyFunSuite with SparkSuite {
       Seq("http://a.example/", "http://b.example/"))
   }
 
+  test("a row-assembly programming error fails the task even with ignoreCorruptFiles") {
+    // the corrupt-file catch is scoped to the real corruption surface
+    // (IOException/NumberFormat/NegativeArraySize); a bug in row assembly
+    // (here: a field the match does not know) must propagate, not be
+    // logged as a "corrupt remainder" and silently drop the file
+    val dir = Files.createTempDirectory("arcv2err").toString
+    val f = Paths.get(dir, "ok.arc.gz")
+    Files.write(f, ArcSource.writeArc(Seq(rec("http://e.example/", "text/html", "x"))))
+    val reader = new graft.sources.v2.ArcPartitionReader(
+      graft.sources.v2.ArcInputPartition(f.toString, Files.size(f), Array.empty),
+      spark.sessionState.newHadoopConf(),
+      fieldNames = Array("url", "no_such_field"),
+      pushed = Array.empty,
+      ignoreCorrupt = true)
+    assertThrows[MatchError] { while (reader.next()) () }
+  }
+
   test("stream offset json round-trips control chars and escapes") {
     import graft.sources.v2.{ArcMicroBatchStream, ArcStreamOffset}
     import org.apache.spark.sql.types.StructType
