@@ -63,7 +63,10 @@ object Bench {
     // fastest queries into omitted counters — failed and slow queries (the
     // ones that carry signal) are always kept.
     def fmt(v: Double): String = {
-      val s = f"$v%.2f"
+      // clamp failure sentinels away from zero: a crash in a <5ms query
+      // would otherwise render as "-0", which JSON consumers read as 0
+      val c = if (v < 0) math.min(v, -0.01) else v
+      val s = f"$c%.2f"
       val t = s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       if (t.isEmpty || t == "-") "0" else t
     }
@@ -77,12 +80,14 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed$om,"queries":$qsStr,"sf":$sfNum}"""
     }
     val budget = 1850
-    // drop-order: fastest successful queries first; failures never dropped
-    val dropOrder = results.filter(_._2 >= 0).sortBy(_._2) ++
-      results.filter(_._2 < 0)
+    // drop-order: fastest successful queries first; failures never dropped —
+    // the loop bound is the SUCCESS count, so under extreme budget pressure
+    // a failure can never be folded into omitted/omitted_sec (its negative
+    // time would corrupt the sum and hide the crash)
+    val dropOrder = results.filter(_._2 >= 0).sortBy(_._2)
     var nDrop = 0
     var line = render(results, Seq.empty)
-    while (line.length > budget && nDrop < results.size - 1) {
+    while (line.length > budget && nDrop < dropOrder.size) {
       nDrop += 1
       val dropped = dropOrder.take(nDrop).map(_._1).toSet
       line = render(results.filterNot(r => dropped(r._1)), dropOrder.take(nDrop))
