@@ -382,6 +382,10 @@ object Dedupe {
       s"${table}_bands", Seq("band_idx", "band_key"), buckets, s"$path/bands")
     graft.sources.Sinks.writeBucketedAt(sh,
       s"${table}_shingles", "doc_id", buckets, s"$path/shingles")
+    // stamp the signature parameters: append/probe validate against them
+    graft.sources.Sinks.setTableParams(corpus.sparkSession, s"${table}_bands",
+      Map("k" -> k.toString, "bands" -> bands.toString,
+        "buckets" -> buckets.toString))
   }
 
   /** Fold an ACCEPTED batch into an existing [[writeBandedIndex]] index —
@@ -392,6 +396,9 @@ object Dedupe {
     * `k`/`bands`/`buckets` must match the index's creation values. */
   def appendToBandedIndex(accepted: DataFrame, id: String, text: String,
       table: String, k: Int = 72, bands: Int = 6, buckets: Int = 16): Unit = {
+    graft.sources.Sinks.requireTableParams(accepted.sparkSession,
+      s"${table}_bands", Map("k" -> k.toString, "bands" -> bands.toString,
+        "buckets" -> buckets.toString))
     val sh = docShingles(accepted, id, text).localCheckpoint(true)
     graft.sources.Sinks.appendBucketed(bandedSignatures(sh, k, bands),
       s"${table}_bands", Seq("band_idx", "band_key"), buckets)
@@ -407,6 +414,8 @@ object Dedupe {
   def probeBandedIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, batch: DataFrame, id: String, text: String,
       threshold: Double, k: Int = 72, bands: Int = 6): DataFrame = {
+    graft.sources.Sinks.requireTableParams(spark, s"${table}_bands",
+      Map("k" -> k.toString, "bands" -> bands.toString))
     val shB = docShingles(batch, id, text).localCheckpoint(true)
     val cand = bandedSignatures(shB, k, bands).as("n")
       .join(spark.table(s"${table}_bands").as("c"),

@@ -137,6 +137,10 @@ object Similarity {
       .format("parquet").saveAsTable(s"${table}_seeds")
     graft.sources.Sinks.writeBucketedAt(ivfAssign(v, broadcast(seeds)),
       s"${table}_cells", "cell", buckets, s"$path/cells")
+    // stamp the signature parameters: the append path validates against
+    // them (the codebook itself travels in the _seeds table)
+    graft.sources.Sinks.setTableParams(df.sparkSession, s"${table}_cells",
+      Map("nSeeds" -> nSeeds.toString, "buckets" -> buckets.toString))
   }
 
   /** Fold new vectors into an existing [[writeIvfIndex]] index — the
@@ -147,6 +151,8 @@ object Similarity {
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, batch: DataFrame, id: String, emb: String,
       buckets: Int = 16): Unit = {
+    graft.sources.Sinks.requireTableParams(spark, s"${table}_cells",
+      Map("buckets" -> buckets.toString))
     val seeds = broadcast(spark.table(s"${table}_seeds"))
     graft.sources.Sinks.appendBucketed(
       ivfAssign(vectors(batch, id, emb).localCheckpoint(true), seeds),

@@ -87,4 +87,37 @@ object Sinks {
       .format("parquet")
     path.fold(w)(p => w.option("path", p))
   }
+
+  /** Record operator signature parameters on a saved table. Spark
+    * validates the BUCKET spec on append, but not the parameters that
+    * shaped the rows (minhash k/bands, IVF codebook size): a mismatched
+    * append would silently mix incompatible keys into an index and later
+    * probes would just miss duplicates with no error. Writers stamp the
+    * parameters as `graft.*` table properties; append/probe paths
+    * [[requireTableParams]] against them. */
+  def setTableParams(spark: SparkSession, table: String,
+      params: Map[String, String]): Unit = {
+    val kv = params.toSeq.sorted
+      .map { case (k, v) => s"'graft.$k'='$v'" }.mkString(", ")
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ($kv)")
+  }
+
+  /** Fail fast when a caller's signature parameters disagree with the
+    * ones the table was created with (see [[setTableParams]]). A table
+    * without stamped properties (pre-existing index) passes — the check
+    * guards stamped tables, it does not retrofit old ones. */
+  def requireTableParams(spark: SparkSession, table: String,
+      params: Map[String, String]): Unit = {
+    val props = spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).properties
+    params.foreach { case (k, v) =>
+      props.get(s"graft.$k").foreach { actual =>
+        require(actual == v,
+          s"index table $table was written with $k=$actual but this " +
+            s"operation was called with $k=$v; mixing the two would " +
+            "silently produce incompatible keys")
+      }
+    }
+  }
 }

@@ -148,6 +148,27 @@ class DedupeSpec extends AnyFunSuite with SparkSuite {
     assert((viaIndex ++ viaIndex2).nonEmpty)
   }
 
+  test("banded index rejects append/probe with mismatched signature params") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val suffix = java.lang.Long.toHexString(System.nanoTime())
+    val path = java.nio.file.Files.createTempDirectory("graft-midx-").toString
+    Dedupe.writeBandedIndex(docs.limit(50), "doc_id", "text",
+      s"midx_$suffix", path, k = 72, bands = 6)
+    // Spark validates the bucket spec on append, but only the stamped
+    // table properties catch a k/bands drift — which would silently mix
+    // incompatible band keys and make future probes miss duplicates
+    assertThrows[IllegalArgumentException] {
+      Dedupe.appendToBandedIndex(docs.limit(5), "doc_id", "text",
+        s"midx_$suffix", k = 48, bands = 6)
+    }
+    assertThrows[IllegalArgumentException] {
+      Dedupe.probeBandedIndex(spark, s"midx_$suffix",
+        docs.limit(5), "doc_id", "text", 0.8, k = 72, bands = 4)
+    }
+    // matching parameters still pass (the stamp guards, it doesn't block)
+    Dedupe.appendToBandedIndex(docs.limit(5), "doc_id", "text", s"midx_$suffix")
+  }
+
   test("index probe plan: corpus sides stay bucketed with no exchange (SMJ regime)") {
     // the reason the persistent index exists: under sort-merge (probe too
     // big to broadcast) the corpus tables must join via their bucketed

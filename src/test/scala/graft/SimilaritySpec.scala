@@ -60,6 +60,13 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
       Similarity.vectors(emb, "vec_id", "embedding").filter(col("vec_id") < 20),
       nProbeCells = 2, k = 5))
     assert(viaGrown == direct)
+
+    // an append with a different bucket count must fail fast on the
+    // stamped table properties, not silently degrade the bucketed layout
+    assertThrows[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(spark, s"ivf2_$suffix",
+        heldOut, "vec_id", "embedding", buckets = 8)
+    }
   }
 
   test("mipsMultiProbeTopK: ranks candidates by exact inner product") {
