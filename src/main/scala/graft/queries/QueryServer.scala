@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The interactive query-server surface (SURVEY §3.1): named queries,
@@ -20,11 +19,17 @@ import org.apache.spark.sql.functions._
   * two row groups containing the page — the columnar equivalent of the
   * reference's record-offset seek, O(page) not O(result).
   *
-  * The global row_number at cache-build time is a single-partition sort
-  * of the QUERY RESULT (already filtered/aggregated — the same
-  * cardinality the reference spills into one indexed result file, §3.1
-  * step 8); the raw tables never pass through it. Page serving after
-  * that is distributed and index-pruned.
+  * The global rank at cache-build time is computed WITHOUT a global
+  * sort: the result is range-partitioned by the requested order (so
+  * partition i holds a contiguous slice of the global order), ranked
+  * locally per partition, and shifted by a prefix sum of the partition
+  * sizes (nParts numbers on the driver — the same broadcast-offsets
+  * shape as cu12's epoch shuffle, with sampled range boundaries in
+  * place of md5 prefixes). An unaggregated result — a full per-domain
+  * URL list at crawl scale — therefore never passes through one
+  * partition; the reference pays the equivalent cost in its merged
+  * single indexed result file (§3.1 step 8). Page serving after that
+  * is distributed and index-pruned.
   */
 final class QueryServer(spark: SparkSession, cacheDir: String, sfDir: String) {
 
@@ -64,10 +69,35 @@ final class QueryServer(spark: SparkSession, cacheDir: String, sfDir: String) {
       // tiebreak on every remaining column so the rank is total and the
       // page boundaries are deterministic under re-materialization
       val ties = base.columns.filter(_ != req.sortBy).sorted.map(col)
-      base.withColumn("pos",
-        row_number().over(
-          Window.orderBy(sortKey(req) +: ties.map(c => if (req.ascending) c.asc else c.desc): _*))
-          .cast("long"))
+      val order = sortKey(req) +:
+        ties.map(c => if (req.ascending) c.asc else c.desc)
+      val nParts = spark.sessionState.conf.numShufflePartitions
+      // contiguous slices of the global order, ranked locally: the low 33
+      // bits of monotonically_increasing_id are the record number within
+      // its partition (documented layout), so after the range shuffle and
+      // per-partition sort they ARE the local rank. Checkpointed once so
+      // the size count below and the offset join read the same partition
+      // layout (range boundaries are sampled, so an uncheckpointed plan
+      // could draw different boundaries per branch).
+      val ordered = base
+        .repartitionByRange(nParts, order: _*)
+        .sortWithinPartitions(order: _*)
+        .withColumn("_pid", spark_partition_id().cast("long"))
+        .withColumn("_local",
+          monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+        .localCheckpoint(true)
+      // prefix sum over ≤ nParts partition SIZES — driver-side metadata,
+      // never a data-sized window or collect
+      val sizes = ordered.groupBy(col("_pid")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val offs = sizes.scanLeft((-1L, 0L, 0L)) { case ((_, off, n0), (pid, n)) =>
+        (pid, off + n0, n)
+      }.drop(1).map { case (pid, off, _) => (pid, off) }
+      import spark.implicits._
+      ordered
+        .join(broadcast(offs.toSeq.toDF("_pid", "_off")), "_pid")
+        .withColumn("pos", col("_off") + col("_local") + 1L)
+        .drop("_pid", "_local", "_off")
     }
   }
 

@@ -37,6 +37,27 @@ class QueryServerSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("index pos is the exact global rank across the whole result") {
+    // the rank is computed per range partition + a size prefix sum (no
+    // global window); this compares EVERY pos against the ground-truth
+    // global sort, so a boundary error between partitions cannot hide
+    val (server, _) = newServer()
+    val name = "w2_pagination"
+    val base = Registry.queries(name)(spark, sfDir)
+    val sortBy = base.columns.head
+    val req = server.PageRequest(sortBy, ascending = false, offset = 0, pageSize = 1)
+    val idx = server.index(name, req).orderBy("pos")
+    val n = idx.count()
+    assert(n == base.count())
+    assert(idx.select("pos").collect().map(_.getLong(0)).toSeq == (1L to n),
+      "pos is not 1..N")
+    val ties = base.columns.filter(_ != sortBy).sorted.map(col)
+    val want = base
+      .orderBy((col(sortBy) +: ties).map(_.desc): _*)
+      .collect().map(_.toString).toSeq
+    assert(idx.drop("pos").collect().map(_.toString).toSeq == want)
+  }
+
   test("repeat pages hit one cached index per (sort, direction)") {
     val (server, dir) = newServer()
     val req = server.PageRequest("o_orderkey", ascending = true, offset = 0, pageSize = 10)
