@@ -242,7 +242,7 @@ object Dedupe {
     val banded = bandedSignatures(sh, k, bands)
       // materialize once: the self-join would otherwise run the whole
       // shingle→hash→band pipeline twice (once per side)
-      .localCheckpoint(true)
+      .transform(Iterative.materialize)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(
@@ -270,7 +270,7 @@ object Dedupe {
       threshold: Double, k: Int = 72, bands: Int = 6): DataFrame = {
     // one materialization feeds banding AND both verify sides — the
     // shingling (the most expensive per-row stage) runs exactly once
-    val sh = docShingles(docs, id, text).localCheckpoint(true)
+    val sh = docShingles(docs, id, text).transform(Iterative.materialize)
     minhashCandidatesFrom(sh, k, bands)
       .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), "doc_a")
       .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), "doc_b")
@@ -300,8 +300,8 @@ object Dedupe {
       threshold: Double, k: Int = 72, bands: Int = 6): DataFrame = {
     // each side's shingle table materializes once and feeds both its
     // banding and its verify join
-    val shC = docShingles(corpus, id, text).localCheckpoint(true)
-    val shB = docShingles(batch, id, text).localCheckpoint(true)
+    val shC = docShingles(corpus, id, text).transform(Iterative.materialize)
+    val shB = docShingles(batch, id, text).transform(Iterative.materialize)
     val cand = bandedSignatures(shB, k, bands).as("n")
       .join(bandedSignatures(shC, k, bands).as("c"),
         col("n.band_idx") === col("c.band_idx") &&
@@ -345,7 +345,7 @@ object Dedupe {
       .select(col(id).as("doc_id"),
         explode(graft.functions.NativeExpressions.anchorGrams(
           col(text), gram, nibble)).as("g"))
-      .localCheckpoint(true) // feeds the doc-freq gate and both join sides
+      .transform(Iterative.materialize) // feeds the doc-freq gate and both join sides
     val ok = anchors.groupBy(col("g"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= stopDocFreq)
@@ -377,7 +377,7 @@ object Dedupe {
     // co-partition rule rejects a partitioning on a strict subset of the
     // join keys, so bucketing by band_key alone would re-shuffle the
     // whole index on every sort-merge probe
-    val sh = docShingles(corpus, id, text).localCheckpoint(true)
+    val sh = docShingles(corpus, id, text).transform(Iterative.materialize)
     graft.sources.Sinks.writeBucketedAt(bandedSignatures(sh, k, bands),
       s"${table}_bands", Seq("band_idx", "band_key"), buckets, s"$path/bands")
     graft.sources.Sinks.writeBucketedAt(sh,
@@ -399,7 +399,7 @@ object Dedupe {
     graft.sources.Sinks.requireTableParams(accepted.sparkSession,
       s"${table}_bands", Map("k" -> k.toString, "bands" -> bands.toString,
         "buckets" -> buckets.toString))
-    val sh = docShingles(accepted, id, text).localCheckpoint(true)
+    val sh = docShingles(accepted, id, text).transform(Iterative.materialize)
     graft.sources.Sinks.appendBucketed(bandedSignatures(sh, k, bands),
       s"${table}_bands", Seq("band_idx", "band_key"), buckets)
     graft.sources.Sinks.appendBucketed(
@@ -416,7 +416,7 @@ object Dedupe {
       threshold: Double, k: Int = 72, bands: Int = 6): DataFrame = {
     graft.sources.Sinks.requireTableParams(spark, s"${table}_bands",
       Map("k" -> k.toString, "bands" -> bands.toString))
-    val shB = docShingles(batch, id, text).localCheckpoint(true)
+    val shB = docShingles(batch, id, text).transform(Iterative.materialize)
     val cand = bandedSignatures(shB, k, bands).as("n")
       .join(spark.table(s"${table}_bands").as("c"),
         col("n.band_idx") === col("c.band_idx") &&

@@ -75,7 +75,7 @@ object Similarity {
     * cells O(√n); the seed table broadcasts; one shuffle on cell id. */
   def ivfTopK(df: DataFrame, id: String, emb: String,
       nSeeds: Int, nProbeCells: Int, probeMax: Long, k: Int): DataFrame = {
-    val v = vectors(df, id, emb).localCheckpoint(true)
+    val v = vectors(df, id, emb).transform(Iterative.materialize)
     val seeds = broadcast(
       v.filter(col("vec_id") < nSeeds)
         .select(col("vec_id").as("seed_id"), col("v").as("sv")))
@@ -130,7 +130,7 @@ object Similarity {
     * corpus; probes never recompute assignments. */
   def writeIvfIndex(df: DataFrame, id: String, emb: String,
       table: String, path: String, nSeeds: Int, buckets: Int = 16): Unit = {
-    val v = vectors(df, id, emb).localCheckpoint(true)
+    val v = vectors(df, id, emb).transform(Iterative.materialize)
     val seeds = v.filter(col("vec_id") < nSeeds)
       .select(col("vec_id").as("seed_id"), col("v").as("sv"))
     seeds.write.mode("overwrite").option("path", s"$path/seeds")
@@ -155,7 +155,7 @@ object Similarity {
       Map("buckets" -> buckets.toString))
     val seeds = broadcast(spark.table(s"${table}_seeds"))
     graft.sources.Sinks.appendBucketed(
-      ivfAssign(vectors(batch, id, emb).localCheckpoint(true), seeds),
+      ivfAssign(vectors(batch, id, emb).transform(Iterative.materialize), seeds),
       s"${table}_cells", "cell", buckets)
   }
 
@@ -235,7 +235,7 @@ object Similarity {
       nSeeds: Int, nProbeCells: Int, probeMax: Long, k: Int): DataFrame = {
     val q = vectors(df, id, emb)
       .select(col("vec_id"), quantize(col("v")).as("qv"))
-      .localCheckpoint(true)
+      .transform(Iterative.materialize)
     val seeds = broadcast(
       q.filter(col("vec_id") < nSeeds)
         .select(col("vec_id").as("seed_id"), col("qv").as("sv")))
@@ -411,7 +411,7 @@ object Similarity {
       bits: Int, k: Int): DataFrame = {
     val v = vectors(df, id, emb)
       .withColumn("sig", hyperplaneSignature(col("v"), dims, bits))
-      .localCheckpoint(true) // probes and corpus share one materialization
+      .transform(Iterative.materialize) // probes and corpus share one materialization
     val probeSigs = array(
       (col("sig") +:
         (0 until bits).map(f => col("sig").bitwiseXOR(lit(1L << f)))): _*)
