@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** G2: iterative PageRank with the reference's per-root-domain averaging
@@ -11,8 +12,9 @@ import org.apache.spark.sql.functions._
   *   - anti-spam accumulation (accumulateRank, :2438-2500): contributions
   *     arriving from subdomains of a NON-super root domain are AVERAGED
   *     across those subdomains instead of summed; super-domain sources sum
-  *     normally. (The reference additionally samples ≤100 subdomains per
-  *     root; at DataFrame granularity the average is over all of them.)
+  *     normally. (The reference additionally samples ~100 subdomains per
+  *     root; `subdomainSampleCap` reproduces that deterministically —
+  *     default off, averaging over all of them.)
   *   - GraphX cannot express the two-level aggregation, so this is a
   *     DataFrame loop: contribs → groupBy(dst, src_root) → groupBy(dst).
   *
@@ -47,10 +49,27 @@ object PageRank {
     * next iteration, so an unmaterialized stretch pipelines as one job
     * with no recomputation; for short chains that removes N-1 eager
     * materialization barriers.
+    * `subdomainSampleCap`: when set, a non-super root's average for a
+    * given target runs over at most this many of its subdomains, chosen
+    * deterministically by (md5 of the source id, id) — the reference
+    * walks a domain-hash-sorted map and stops after ~100 subdomains
+    * (accumulateRank, PageRankUtils.java:2458-2470; its guard trips
+    * AFTER adding the 101st, so exact parity with the stock build is
+    * cap=101). The sample depends only on the edge structure, never on
+    * ranks, so it is applied ONCE in setup as an edge pre-filter and the
+    * loop is unchanged; super-root sources always all sum. Default off:
+    * the average runs over every subdomain.
+    * `tol`: when set, iteration stops early once no domain's rank moved
+    * by more than `tol` fixed-point units (1e-12 of a rank point) in an
+    * iteration — the reference master iterates until told to stop; this
+    * is the engine's self-stopping form. Costs one max-aggregation per
+    * iteration, and forces per-iteration materialization.
     */
   def run(edges: DataFrame, superRoots: DataFrame, iters: Int,
       checkpointDir: Option[String] = None,
-      checkpointInterval: Int = 1): DataFrame = {
+      checkpointInterval: Int = 1,
+      subdomainSampleCap: Option[Int] = None,
+      tol: Option[Long] = None): DataFrame = {
     val mat = Iterative.materializer(edges.sparkSession, checkpointDir)
     // Loop-invariant tables are CACHED pre-partitioned on their
     // per-iteration join keys: the edge table — the O(data) side — never
@@ -86,18 +105,38 @@ object PageRank {
     // the result inherits HashPartitioning(src_domain), so persisting it
     // directly keeps the loop's join-key partitioning visible through
     // InMemoryTableScan without a redundant repartition pass
-    val e = edgesIn
+    val eAll = edgesIn
       .join(outdeg, "src_domain")
       .join(broadcast(superRoots.select(col("root").as("sr"), lit(true).as("flag"))),
         col("src_root") === col("sr"), "left")
       .select(col("src_domain"), col("src_root"), col("dst_domain"),
         col("outdeg"), coalesce(col("flag"), lit(false)).as("src_super"))
-      .persist()
+    // the subdomain sample is loop-invariant (it depends on the edge
+    // structure, not on ranks): one setup-time window + filter, then the
+    // reduced edge set is re-pinned on the loop's join key. Out-degrees
+    // were computed on the FULL edge set above, matching the reference
+    // (sampling narrows whose contributions count, not how much each
+    // source spreads its rank).
+    val eChosen = subdomainSampleCap match {
+      case Some(cap) =>
+        val w = Window
+          .partitionBy(col("dst_domain"), col("src_root"), col("src_super"))
+          .orderBy(md5(concat_ws(":", lit("sd"), col("src_domain"))),
+            col("src_domain"))
+        eAll.withColumn("_rn", row_number().over(w))
+          .filter(col("src_super") || col("_rn") <= cap)
+          .drop("_rn")
+          .repartition(nParts, col("src_domain"))
+      case None => eAll
+    }
+    val e = eChosen.persist()
     e.count()
     edgesIn.unpersist() // nodes and e are pinned; the raw plan is done
 
     var ranks = mat(nodes.withColumn("rank_u", lit(Scale)))
-    for (iter <- 1 to iters) {
+    var iter = 1
+    var converged = false
+    while (iter <= iters && !converged) {
       val contribs = e
         .join(ranks.select(col("domain"), col("rank_u")),
           col("src_domain") === col("domain"))
@@ -115,13 +154,29 @@ object PageRank {
           (lit(150000000000L) +
             expr("(coalesce(acc, 0) div 1000) * 850 + ((coalesce(acc, 0) % 1000) * 850) div 1000"))
             .as("rank_u"))
-      ranks = if (iter % checkpointInterval == 0 && iter < iters) mat(next) else next
+      tol match {
+        case Some(eps) =>
+          // fixed-point ranks make the stop test exact: max |Δrank_u| is
+          // an integer, so "no domain moved more than eps units" cannot
+          // drift with summation order. One extra (cheap, O(nodes))
+          // aggregation per iteration.
+          val nextM = mat(next)
+          val d = nextM
+            .join(ranks.select(col("domain"), col("rank_u").as("prev_u")), "domain")
+            .agg(max(abs(col("rank_u") - col("prev_u"))))
+            .collect()(0)
+          converged = d.isNullAt(0) || d.getLong(0) <= eps
+          ranks = nextM
+        case None =>
+          ranks = if (iter % checkpointInterval == 0 && iter < iters) mat(next) else next
+      }
+      iter += 1
     }
     // materialize the final state BEFORE releasing the loop invariants:
     // the cached tables feed the last (lazy) iteration, and a long-lived
     // session (query server, repeated bench rounds) must not accumulate
-    // dead cache entries per run
-    val out = mat(ranks)
+    // dead cache entries per run; the tol path has already materialized it
+    val out = if (tol.isDefined) ranks else mat(ranks)
     nodes.unpersist()
     e.unpersist()
     out
