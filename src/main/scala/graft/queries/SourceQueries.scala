@@ -80,6 +80,48 @@ object SourceQueries {
       Some("SELECT o_custkey, CAST(o_orderkey AS BIGINT) AS o_orderkey FROM orders"),
     ),
 
+    // S7: multi-stream sink round trip — ONE pass over a parse-shaped
+    // input fans records out into one directory per record type
+    // (reference ParserOutputFormat.java:55-81 splits parse output into
+    // metadata/text/raw streams the same way), then each stream is read
+    // back INDIVIDUALLY and the union is content-hashed per stream. A
+    // record landing in the wrong stream, dropped, or corrupted breaks
+    // the per-type (count, length sum, md5-prefix sum) against the
+    // oracle's recompute from the original table.
+    Q(
+      "s7_multisink_roundtrip",
+      (s, dir) => {
+        val out = stage("s7")
+        val parsed = Registry.table(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            element_at(array(lit("meta"), lit("text"), lit("raw")),
+              (col("doc_id") % 3 + 1).cast("int")).as("rec_type"))
+        Sinks.writeByType(parsed, "rec_type", out)
+        Seq("meta", "text", "raw")
+          .map(t => Sinks.readStreamDir(s, out, "rec_type", t))
+          .reduce(_ unionByName _)
+          .groupBy(col("rec_type"))
+          .agg(
+            count(lit(1)).as("n_records"),
+            sum(length(col("text")).cast("long")).as("sum_len"),
+            sum(conv(substring(md5(col("text").cast("binary")), 1, 10), 16, 10)
+              .cast("long")).as("content_sum"),
+            min(col("doc_id")).as("min_id"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy("rec_type")
+      },
+      Some("""
+        SELECT CASE CAST(doc_id % 3 AS INT)
+                 WHEN 0 THEN 'meta' WHEN 1 THEN 'text' ELSE 'raw' END AS rec_type,
+               COUNT(*) AS n_records,
+               CAST(SUM(strlen(text)) AS BIGINT) AS sum_len,
+               CAST(SUM(('0x' || substr(md5(text), 1, 10))::BIGINT) AS BIGINT) AS content_sum,
+               MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        FROM documents
+        GROUP BY 1 ORDER BY 1
+      """.stripMargin.trim),
+    ),
+
     // S8: time-series append log — two appends (so append semantics are
     // actually exercised) then a tail read (reference util/TimeSeriesDataFile
     // .java:41, appendRecordToLogFile :78 / readFromTail :208). Ordering is
