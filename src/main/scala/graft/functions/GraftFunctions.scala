@@ -73,8 +73,55 @@ object GraftFunctions {
   /** X8: byte-level charset sniff of a binary column
     * (CharsetUtils.bestEffortDetectCharset's deterministic tiers: BOM →
     * strict UTF-8 validation → latin-1 fallback) — codegen'd native
-    * Expression. Header/meta charset hints are regexp_extract upstream. */
+    * Expression. Hint tiers compose in front via [[detectCharset]]. */
   def sniffCharset(c: Column): Column = NativeExpressions.sniffCharset(c)
+
+  /** The reference's `charset=` parameter pattern
+    * (CharsetUtils.java:188-190), applied to headers and to the meta-tag
+    * attribute blob alike. */
+  private val CharsetParamRegex = "(?i)charset=\\s*([a-zA-Z][_\\-0-9a-zA-Z]*)"
+
+  /** The reference's `<meta http-equiv="content-type" …>` tag pattern
+    * (CharsetUtils.java:184-187). */
+  private val MetaTagRegex =
+    "(?i)<meta\\s+([^>]*http-equiv=\"?content-type\"?[^>]*)>"
+
+  /** Canonicalize a declared charset name the way the reference's
+    * `Charset.forName` + alias step does for the common web spellings
+    * (CharsetUtils.aliasCharset); unknown names pass through uppercased —
+    * a crawl pipeline groups on the verdict, it never re-decodes here. */
+  private def normalizeCharsetName(c: Column): Column = {
+    val u = upper(c)
+    when(u.isin("UTF8", "UTF-8"), "UTF-8")
+      .when(u.isin("LATIN1", "LATIN-1", "ISO8859-1", "ISO-8859-1",
+        "ISO_8859-1", "ISO-LATIN-1", "8859-1"), "ISO-8859-1")
+      .when(u.isin("ASCII", "US-ASCII"), "US-ASCII")
+      .when(u.isin("UTF16", "UTF-16"), "UTF-16")
+      .otherwise(u)
+  }
+
+  /** X8, full deterministic cascade of the reference's
+    * bestEffortDetectCharset (CharsetUtils.java:128-180): the HTTP
+    * Content-Type `charset=` parameter wins; else the `<meta http-equiv
+    * ="content-type">` charset within the first 2000 bytes (inflated
+    * byte-per-char like the reference's ASCII read — decode as latin-1,
+    * which is that inflation exactly); else the byte sniffer
+    * ([[sniffCharset]]: BOM → strict UTF-8 → latin-1 punt, standing in
+    * for the out-of-scope ICU/Mozilla statistical tier — SURVEY §2.7
+    * documents that permanent descope). Entirely built-ins + one native
+    * expression: stays inside codegen, no UDF. */
+  def detectCharset(headers: Column, content: Column): Column = {
+    val fromHeaders =
+      regexp_extract(coalesce(headers, lit("")), CharsetParamRegex, 1)
+    val chunk = decode(substring(content, 1, 2000), "ISO-8859-1")
+    val fromMeta = regexp_extract(
+      regexp_extract(coalesce(chunk, lit("")), MetaTagRegex, 1),
+      CharsetParamRegex, 1)
+    val hint =
+      when(fromHeaders =!= "", fromHeaders)
+        .when(fromMeta =!= "", fromMeta)
+    coalesce(normalizeCharsetName(hint), sniffCharset(content))
+  }
 
   /** Register every function for SQL use. */
   def registerAll(spark: SparkSession): Unit = {

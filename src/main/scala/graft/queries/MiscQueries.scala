@@ -139,32 +139,44 @@ object MiscQueries {
         ORDER BY event_type
       """.stripMargin.trim),
     ),
-    // x8: byte-level charset sniff (the deterministic tiers of the
-    // reference's bestEffortDetectCharset — CharsetUtils.java). Each doc's
-    // ASCII text is wrapped into one of five byte shapes exercising every
-    // tier: BOM hits (UTF-8, UTF-16LE), strict-UTF-8 validation accepting
-    // a multi-byte sequence, rejecting a bare high byte (→ latin-1
-    // fallback), and the pure-ASCII fast path. The oracle knows which
-    // shape each doc_id got, so the native expression's verdict is
-    // hash-verified per row without DuckDB re-implementing the sniffer.
+    // x8: the full deterministic charset cascade of the reference's
+    // bestEffortDetectCharset (CharsetUtils.java:128-180). Each doc's
+    // ASCII text is wrapped into one of seven (headers, bytes) shapes
+    // exercising every tier: the HTTP Content-Type charset parameter
+    // (with an alias spelling, proving normalization), the <meta
+    // http-equiv> charset in the first 2000 bytes, then the byte
+    // sniffer's tiers — pure ASCII, BOM hits (UTF-8, UTF-16LE),
+    // strict-UTF-8 validation accepting a multi-byte sequence, and a
+    // bare high byte punting to latin-1. The oracle knows which shape
+    // each doc_id got, so every verdict is hash-verified per row without
+    // DuckDB re-implementing the cascade. (The ICU/Mozilla statistical
+    // tier between meta and the punt stays descoped — SURVEY §2.7.)
     Q(
       "x8_charset_sniff",
       (s, dir) => {
         val docs = Registry.table(s, dir, "documents")
         val text = col("text").cast("binary")
+        val shape = col("doc_id") % 7
+        val headers =
+          when(shape === 0, // header tier, alias spelling normalized
+            lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=windows-1252\r\n"))
+        val meta = lit(
+          """<html><head><meta http-equiv="content-type" content="text/html; charset=utf8"></head>""")
         val payload =
-          when(col("doc_id") % 5 === 0, text) // pure ASCII
-            .when(col("doc_id") % 5 === 1, // UTF-8 BOM
+          when(shape === 1, concat(meta.cast("binary"), text)) // meta tier
+            .when(shape === 2, text) // pure ASCII
+            .when(shape === 3, // UTF-8 BOM
               concat(lit(Array(0xef.toByte, 0xbb.toByte, 0xbf.toByte)), text))
-            .when(col("doc_id") % 5 === 2, // UTF-16LE BOM
+            .when(shape === 4, // UTF-16LE BOM
               concat(lit(Array(0xff.toByte, 0xfe.toByte)), text))
-            .when(col("doc_id") % 5 === 3, // valid 2-byte UTF-8 seq (é)
+            .when(shape === 5, // valid 2-byte UTF-8 seq (é)
               concat(text, lit(Array(0xc3.toByte, 0xa9.toByte))))
             .otherwise( // bare high byte → invalid UTF-8 → latin-1
               concat(text, lit(Array(0xe9.toByte))))
         docs
           .select(col("doc_id"),
-            graft.functions.GraftFunctions.sniffCharset(payload).as("charset"))
+            graft.functions.GraftFunctions.detectCharset(headers, payload)
+              .as("charset"))
           .groupBy("charset")
           .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
           .orderBy("charset")
@@ -173,11 +185,14 @@ object MiscQueries {
         SELECT charset, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
         FROM (
           SELECT doc_id,
-                 CASE doc_id % 5 WHEN 0 THEN 'US-ASCII'
-                                 WHEN 1 THEN 'UTF-8'
-                                 WHEN 2 THEN 'UTF-16LE'
-                                 WHEN 3 THEN 'UTF-8'
-                                 ELSE 'ISO-8859-1' END AS charset
+                 CASE CAST(doc_id % 7 AS INT)
+                   WHEN 0 THEN 'WINDOWS-1252'
+                   WHEN 1 THEN 'UTF-8'
+                   WHEN 2 THEN 'US-ASCII'
+                   WHEN 3 THEN 'UTF-8'
+                   WHEN 4 THEN 'UTF-16LE'
+                   WHEN 5 THEN 'UTF-8'
+                   ELSE 'ISO-8859-1' END AS charset
           FROM documents)
         GROUP BY charset
         ORDER BY charset

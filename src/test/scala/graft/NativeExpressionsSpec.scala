@@ -177,6 +177,36 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("charset cascade: header beats meta beats sniff; hints normalize; chunk is 2000 bytes") {
+    import spark.implicits._
+    val metaU8 =
+      """<meta http-equiv="content-type" content="text/html; charset=utf8">"""
+    val hdr1252 = "Content-Type: text/html; charset=windows-1252"
+    val latin1Body = "caffé".getBytes("ISO-8859-1")
+    val cases: Seq[(String, String, Array[Byte])] = Seq(
+      // header tier wins over both the meta tag and the byte shape
+      ("WINDOWS-1252", hdr1252, (metaU8.getBytes("UTF-8") ++ latin1Body)),
+      // meta tier (alias utf8 → UTF-8) wins over the latin-1 byte shape
+      ("UTF-8", null, (metaU8.getBytes("UTF-8") ++ latin1Body)),
+      // unquoted http-equiv, uppercase attribute, spaced charset=
+      ("ISO-8859-1", null,
+        "<META HTTP-EQUIV=content-type CONTENT=\"text/html; charset= latin1\">"
+          .getBytes("UTF-8")),
+      // a meta tag past the 2000-byte chunk is invisible (reference
+      // CHUNK_SIZE, CharsetUtils.java:179): byte sniff decides
+      ("US-ASCII", null, (" " * 2000 + metaU8).getBytes("UTF-8")),
+      // no hints anywhere: plain sniff verdicts pass through
+      ("ISO-8859-1", null, latin1Body),
+      ("US-ASCII", null, "plain".getBytes("UTF-8")),
+    )
+    val got = cases.zipWithIndex
+      .map { case ((_, h, b), i) => (i, h, b) }.toDF("i", "headers", "content")
+      .select(col("i"),
+        GraftFunctions.detectCharset(col("headers"), col("content")).as("cs"))
+      .collect().sortBy(_.getInt(0)).map(_.getString(1))
+    assert(got.toSeq == cases.map(_._1))
+  }
+
   test("native expressions run inside whole-stage codegen") {
     // parquet-backed input so the projection cannot constant-fold away
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
