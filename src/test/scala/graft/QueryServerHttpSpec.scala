@@ -1,0 +1,55 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{QueryServer, QueryServerHttp, Registry}
+
+/** The reference's serving shape (QueryServerFE servlets) over real HTTP:
+  * a page request returns the same rows the library page() call does, the
+  * count endpoint reads the cached index, and client errors are 400s. */
+class QueryServerHttpSpec extends AnyFunSuite with SparkSuite {
+
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def get(port: Int, pathAndQuery: String): (Int, String) = {
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$pathAndQuery"))
+        .GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  test("paged query, count, and error handling over HTTP") {
+    val cacheDir = java.nio.file.Files.createTempDirectory("qhttp").toString
+    val server = new QueryServer(spark, cacheDir, sfDir)
+    val fe = new QueryServerHttp(server)
+    val port = fe.start()
+    try {
+      val name = "w3_dual_sort"
+      val sortBy = Registry.queries(name)(spark, sfDir).columns.head
+
+      val (code, body) =
+        get(port, s"/query/$name?sortBy=$sortBy&dir=desc&offset=3&pageSize=4")
+      assert(code == 200)
+      val want = server
+        .page(name, server.PageRequest(sortBy, ascending = false,
+          offset = 3, pageSize = 4))
+        .toJSON.collect().mkString("[", ",", "]")
+      assert(body == want)
+      assert(body.startsWith("[{") && body.count(_ == '{') == 4)
+
+      val (cCode, cBody) = get(port, s"/count/$name?sortBy=$sortBy&dir=desc")
+      assert(cCode == 200)
+      val n = Registry.queries(name)(spark, sfDir).count()
+      assert(cBody == s"""{"count":$n}""")
+
+      // client errors: unknown sort column and unknown query name
+      assert(get(port, s"/query/$name?sortBy=nope")._1 == 400)
+      assert(get(port, s"/query/no_such_query?sortBy=x")._1 == 400)
+      assert(get(port, s"/query/$name")._1 == 400) // missing sortBy
+    } finally fe.stop()
+  }
+}
