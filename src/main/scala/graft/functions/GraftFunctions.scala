@@ -123,6 +123,34 @@ object GraftFunctions {
     coalesce(normalizeCharsetName(hint), sniffCharset(content))
   }
 
+  /** X8 (parser half): visible text of an HTML document — the
+    * deterministic tier of the reference parser's DOM text walk
+    * (ParserMapper feeds HTMLDomUtils-encoded documents; the crawl's
+    * text stream is the tag-stripped, entity-decoded, whitespace-folded
+    * body). Script/style subtrees and comments vanish wholesale, tags
+    * become word boundaries, the five core entities + nbsp decode
+    * (`&amp;` last, single literal pass), and runs of whitespace fold to
+    * one space. Entirely built-in string functions → codegen; patterns
+    * avoid backreferences so an RE2-based oracle replays them exactly.
+    * A full DOM walk (nesting-aware block/inline spacing) stays out of
+    * scope with the DOM codec itself (SURVEY §2.7). */
+  def htmlToText(html: Column): Column = {
+    val noScript =
+      regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    val ent = replace(replace(replace(replace(replace(replace(noTags,
+      lit("&lt;"), lit("<")),
+      lit("&gt;"), lit(">")),
+      lit("&quot;"), lit("\"")),
+      lit("&#39;"), lit("'")),
+      lit("&nbsp;"), lit(" ")),
+      lit("&amp;"), lit("&"))
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
   /** Register every function for SQL use. */
   def registerAll(spark: SparkSession): Unit = {
     spark.udf.register("simhash64", simhashF)

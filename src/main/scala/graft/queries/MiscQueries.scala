@@ -198,5 +198,48 @@ object MiscQueries {
         ORDER BY charset
       """.trim),
     ),
+    // x9: HTML visible-text extraction (the parser's DOM text walk,
+    // deterministic tier — ParserMapper/HTMLDomUtils). Each doc's text is
+    // escaped into a full HTML page salted with a style block, a script
+    // (containing a bare '<' and quotes), a comment, and entity-encoded
+    // visible text; htmlToText must strip exactly the invisible parts,
+    // decode the entities, and fold whitespace. The oracle never parses
+    // HTML: it builds the EXPECTED visible text directly from the
+    // documents table, so a stripping/decoding defect is a hash mismatch.
+    Q(
+      "x9_html_text",
+      (s, dir) => {
+        val esc = replace(replace(replace(col("text"),
+          lit("&"), lit("&amp;")),
+          lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+        val html = concat(
+          lit("<html><head><title>t</title><style>body { color: red; }</style>" +
+            "<script type=\"text/javascript\">if (1 < 2) { alert(\"x&y\"); }" +
+            "</script></head><body><h1>Doc "),
+          col("doc_id").cast("string"),
+          lit("</h1><!-- hidden --><p>"), esc,
+          lit("</p><p>A&amp;B &lt;tag&gt;&nbsp;end</p></body></html>"))
+        Registry.table(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.GraftFunctions.htmlToText(html).as("txt"))
+          .select(col("doc_id"),
+            length(col("txt")).cast("long").as("text_len"),
+            md5(col("txt").cast("binary")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(length(expected) AS BIGINT) AS text_len,
+               md5(expected) AS text_md5
+        FROM (
+          SELECT doc_id,
+                 trim(regexp_replace(
+                   't Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text ||
+                     ' A&B <tag> end',
+                   '\s+', ' ', 'g')) AS expected
+          FROM documents)
+        ORDER BY doc_id
+      """.trim),
+    ),
   )
 }

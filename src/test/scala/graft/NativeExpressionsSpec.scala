@@ -207,6 +207,29 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkSuite {
     assert(got.toSeq == cases.map(_._1))
   }
 
+  test("html text extraction: invisible subtrees, entities, whitespace") {
+    import spark.implicits._
+    val cases: Seq[(String, String)] = Seq(
+      // script/style vanish wholesale, including bare '<' inside them
+      ("<p>a</p><script>if (1 < 2) { x(\"<b>\"); }</script><p>b</p>", "a b"),
+      ("<style>p { color: red; }</style>hi", "hi"),
+      // comments vanish; tags are word boundaries, attributes never leak
+      ("x<!-- secret <b>bold</b> -->y", "x y"),
+      ("<a href=\"http://e.com/?q=1&amp;r=2\" title='t'>link</a>", "link"),
+      // entity decode, &amp; last (escaped entities stay literal text)
+      ("A&amp;B &lt;i&gt; &quot;q&quot; &#39;s&#39;&nbsp;end", "A&B <i> \"q\" 's' end"),
+      ("&amp;lt;", "&lt;"),
+      // whitespace folding across newlines/tabs; empty body
+      ("<div>\n  a\t\tb\r\n</div>", "a b"),
+      ("<br/><hr>", ""),
+    )
+    val got = cases.zipWithIndex.map { case ((h, _), i) => (i, h) }
+      .toDF("i", "html")
+      .select(col("i"), GraftFunctions.htmlToText(col("html")).as("t"))
+      .collect().sortBy(_.getInt(0)).map(_.getString(1))
+    assert(got.toSeq == cases.map(_._2))
+  }
+
   test("native expressions run inside whole-stage codegen") {
     // parquet-backed input so the projection cannot constant-fold away
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
