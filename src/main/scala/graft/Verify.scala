@@ -12,9 +12,9 @@ object Verify {
     val prefixes = args.lift(2).map(_.split(",").toSeq)
     def selected(name: String) = prefixes.forall(_.exists(name.startsWith))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+    // same session shape as Bench: the gate verifies the engine under
+    // its deployed configuration (GraftSession), not a plain session
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
