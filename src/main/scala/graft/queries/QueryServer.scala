@@ -90,6 +90,13 @@ final class QueryServer(spark: SparkSession, cacheDir: String, sfDir: String) {
       // never a data-sized window or collect
       val sizes = ordered.groupBy(col("_pid")).agg(count(lit(1)).as("n"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      // the local rank lives in the id's low 33 bits; a partition beyond
+      // that would overflow it silently. The sizes are already on the
+      // driver, so the invariant is checked for free (a >8.5B-row range
+      // partition means nParts was catastrophically misconfigured anyway)
+      require(sizes.forall(_._2 < (1L << 33)),
+        s"range partition exceeds 2^33 rows; raise shuffle partitions " +
+          s"(sizes: ${sizes.filter(_._2 >= (1L << 33)).take(3).mkString(", ")})")
       val offs = sizes.scanLeft((-1L, 0L, 0L)) { case ((_, off, n0), (pid, n)) =>
         (pid, off + n0, n)
       }.drop(1).map { case (pid, off, _) => (pid, off) }
