@@ -139,6 +139,20 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     } finally edgesIn.unpersist()
   }
 
+  test("incremental crawldb combine joins the half-merges exchange-free") {
+    // the round-6 profile of c2: one hash exchange per half-merge
+    // aggregate, the full-outer SMJ riding both aggregates' partitioning
+    // with NO exchange of its own, and one range partition for the final
+    // order — 3 exchanges total. A fourth exchange means the combine
+    // stopped reusing the aggregate partitioning (e.g. a repartition
+    // snuck in, or the join keys drifted from the grouping keys).
+    val p = plan("c2_crawldb_incremental")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert("Exchange rangepartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("FullOuter"))
+    assert("partial_".r.findAllIn(p).nonEmpty, "no partial aggregation")
+  }
+
   test("incremental dedupe never shuffles shingle arrays as keys") {
     // the band join keys are (band_idx, band_key) and the verify joins key
     // on doc ids; the ~300-element shingle arrays must only ever ride as
