@@ -39,6 +39,10 @@ object GraphQueries {
 
   private val PrIters = 5
   private val SuppBase = 1000000L // supplier domain-id namespace offset
+  // g6 sampled variant: fewer iterations (the loop is g5's, already
+  // exercised at depth), a cap small enough that real groups exceed it
+  private val SampIters = 2
+  private val SampCap = 2
 
   /** Bidirectional distinct edge set for PageRank: customer→supplier plus
     * the reverse direction (so the graph has cycles and real rank flow);
@@ -223,6 +227,76 @@ object GraphQueries {
         $iterCtes
         SELECT domain, root, rank_u
         FROM r$PrIters
+        ORDER BY domain
+        """.trim
+      },
+    ),
+
+    // G2 sampled variant: the reference's ≤100-subdomain anti-spam
+    // sampling (accumulateRank walks a domain-hash-sorted map and stops —
+    // PageRankUtils.java:2458-2470), replayed deterministically by
+    // (md5('sd:'‖id), id) order. The oracle re-derives the SAME sample
+    // with a window over the edge CTE and runs the same fixed-point
+    // loop, so the sampling semantics themselves are hash-verified, not
+    // just spec-pinned.
+    Q(
+      "g6_pagerank_sampled",
+      (s, dir) => {
+        val superRoots = Registry.table(s, dir, "nation")
+          .filter(col("n_nationkey") < SuperMax)
+          .select(col("n_nationkey").cast("long").as("root"))
+        PageRank.run(prEdges(s, dir), superRoots, SampIters,
+            subdomainSampleCap = Some(SampCap))
+          .orderBy("domain")
+      },
+      Some {
+        val iterCtes = (1 to SampIters).map { i =>
+          s"""l$i AS (
+             |  SELECT e.dst_domain, e.src_root,
+             |         CAST(SUM(r.rank_u // e.outdeg) AS BIGINT) AS s,
+             |         COUNT(*) AS c
+             |  FROM es e JOIN r${i - 1} r ON e.src_domain = r.domain
+             |  GROUP BY e.dst_domain, e.src_root
+             |),
+             |a$i AS (
+             |  SELECT dst_domain,
+             |         CAST(SUM(CASE WHEN src_root < $SuperMax THEN s ELSE s // c END) AS BIGINT) AS acc
+             |  FROM l$i GROUP BY dst_domain
+             |),
+             |r$i AS (
+             |  SELECT n.domain, n.root,
+             |         CAST(150000000000 + (COALESCE(a.acc, 0) // 1000) * 850
+             |              + ((COALESCE(a.acc, 0) % 1000) * 850) // 1000 AS BIGINT) AS rank_u
+             |  FROM nodes n LEFT JOIN a$i a ON n.domain = a.dst_domain
+             |)""".stripMargin
+        }.mkString(",\n")
+        s"""
+        WITH $EdgesCte,
+        bi AS (
+          SELECT src_domain, src_root, dst_domain + $SuppBase AS dst_domain, dst_root FROM edges
+          UNION ALL
+          SELECT dst_domain + $SuppBase, dst_root, src_domain, src_root FROM edges
+        ),
+        deg AS (SELECT src_domain AS d, COUNT(*) AS outdeg FROM bi GROUP BY 1),
+        e AS (SELECT bi.*, deg.outdeg FROM bi JOIN deg ON bi.src_domain = deg.d),
+        es AS (
+          SELECT src_domain, src_root, dst_domain, dst_root, outdeg FROM (
+            SELECT e.*, ROW_NUMBER() OVER (
+              PARTITION BY dst_domain, src_root
+              ORDER BY md5('sd:' || CAST(src_domain AS VARCHAR)), src_domain) AS rn
+            FROM e)
+          WHERE src_root < $SuperMax OR rn <= $SampCap
+        ),
+        nodes AS (
+          SELECT DISTINCT domain, root FROM (
+            SELECT src_domain AS domain, src_root AS root FROM bi
+            UNION ALL
+            SELECT dst_domain, dst_root FROM bi)
+        ),
+        r0 AS (SELECT domain, root, CAST(${PageRank.Scale} AS BIGINT) AS rank_u FROM nodes),
+        $iterCtes
+        SELECT domain, root, rank_u
+        FROM r$SampIters
         ORDER BY domain
         """.trim
       },
