@@ -85,7 +85,7 @@ final class QueryServer(spark: SparkSession, cacheDir: String, sfDir: String) {
         .withColumn("_pid", spark_partition_id().cast("long"))
         .withColumn("_local",
           monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
-        .localCheckpoint(true)
+        .transform(graft.ops.Iterative.materialize)
       // prefix sum over ≤ nParts partition SIZES — driver-side metadata,
       // never a data-sized window or collect
       val sizes = ordered.groupBy(col("_pid")).agg(count(lit(1)).as("n"))
