@@ -71,40 +71,7 @@ final class QueryServer(spark: SparkSession, cacheDir: String, sfDir: String) {
       val ties = base.columns.filter(_ != req.sortBy).sorted.map(col)
       val order = sortKey(req) +:
         ties.map(c => if (req.ascending) c.asc else c.desc)
-      val nParts = spark.sessionState.conf.numShufflePartitions
-      // contiguous slices of the global order, ranked locally: the low 33
-      // bits of monotonically_increasing_id are the record number within
-      // its partition (documented layout), so after the range shuffle and
-      // per-partition sort they ARE the local rank. Checkpointed once so
-      // the size count below and the offset join read the same partition
-      // layout (range boundaries are sampled, so an uncheckpointed plan
-      // could draw different boundaries per branch).
-      val ordered = base
-        .repartitionByRange(nParts, order: _*)
-        .sortWithinPartitions(order: _*)
-        .withColumn("_pid", spark_partition_id().cast("long"))
-        .withColumn("_local",
-          monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
-        .transform(graft.ops.Iterative.materialize)
-      // prefix sum over ≤ nParts partition SIZES — driver-side metadata,
-      // never a data-sized window or collect
-      val sizes = ordered.groupBy(col("_pid")).agg(count(lit(1)).as("n"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-      // the local rank lives in the id's low 33 bits; a partition beyond
-      // that would overflow it silently. The sizes are already on the
-      // driver, so the invariant is checked for free (a >8.5B-row range
-      // partition means nParts was catastrophically misconfigured anyway)
-      require(sizes.forall(_._2 < (1L << 33)),
-        s"range partition exceeds 2^33 rows; raise shuffle partitions " +
-          s"(sizes: ${sizes.filter(_._2 >= (1L << 33)).take(3).mkString(", ")})")
-      val offs = sizes.scanLeft((-1L, 0L, 0L)) { case ((_, off, n0), (pid, n)) =>
-        (pid, off + n0, n)
-      }.drop(1).map { case (pid, off, _) => (pid, off) }
-      import spark.implicits._
-      ordered
-        .join(broadcast(offs.toSeq.toDF("_pid", "_off")), "_pid")
-        .withColumn("pos", col("_off") + col("_local") + 1L)
-        .drop("_pid", "_local", "_off")
+      QueryServer.withGlobalPos(base, order)
     }
   }
 
@@ -121,4 +88,48 @@ final class QueryServer(spark: SparkSession, cacheDir: String, sfDir: String) {
     * metadata, no data scan). */
   def resultCount(name: String, req: PageRequest): Long =
     index(name, req).count()
+}
+
+object QueryServer {
+
+  /** `df` + a `pos` column holding each row's 1-based global rank under
+    * `order`, computed WITHOUT a global sort: range-partition by the
+    * order (partition i is a contiguous slice of the global order), rank
+    * locally — the low 33 bits of monotonically_increasing_id are the
+    * record number within a partition (documented layout), so after the
+    * range shuffle and per-partition sort they ARE the local rank — and
+    * shift by a prefix sum of the ≤ nParts partition sizes (driver-side
+    * metadata, never a data-sized window or collect). Checkpointed once
+    * so the size count and the offset join read the same partition
+    * layout (range boundaries are sampled, so an unmaterialized plan
+    * could draw different boundaries per branch). */
+  private[graft] def withGlobalPos(df: DataFrame,
+      order: Seq[Column]): DataFrame = {
+    val spark = df.sparkSession
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val ordered = df
+      .repartitionByRange(nParts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("_pid", spark_partition_id().cast("long"))
+      .withColumn("_local",
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+      .transform(graft.ops.Iterative.materialize)
+    val sizes = ordered.groupBy(col("_pid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // the local rank lives in the id's low 33 bits; a partition beyond
+    // that would overflow it silently. The sizes are already on the
+    // driver, so the invariant is checked for free (a >8.5B-row range
+    // partition means nParts was catastrophically misconfigured anyway)
+    require(sizes.forall(_._2 < (1L << 33)),
+      s"range partition exceeds 2^33 rows; raise shuffle partitions " +
+        s"(sizes: ${sizes.filter(_._2 >= (1L << 33)).take(3).mkString(", ")})")
+    val offs = sizes.scanLeft((-1L, 0L, 0L)) { case ((_, off, n0), (pid, n)) =>
+      (pid, off + n0, n)
+    }.drop(1).map { case (pid, off, _) => (pid, off) }
+    import spark.implicits._
+    ordered
+      .join(broadcast(offs.toSeq.toDF("_pid", "_off")), "_pid")
+      .withColumn("pos", col("_off") + col("_local") + 1L)
+      .drop("_pid", "_local", "_off")
+  }
 }

@@ -58,6 +58,34 @@ class QueryServerSpec extends AnyFunSuite with SparkSuite {
     assert(idx.drop("pos").collect().map(_.toString).toSeq == want)
   }
 
+  test("rank matches a global sort on randomized data (nulls, dup keys, both directions)") {
+    // randomized adversary for the range-partition + prefix-sum rank:
+    // duplicate sort keys spanning partition boundaries, nulls (asc =
+    // nulls first), and a value column to prove row/rank pairing — not
+    // just the rank sequence — survives the distributed computation
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    val n = 5000
+    val rows = (1 to n).map { i =>
+      (i.toLong,
+        if (rnd.nextInt(10) == 0) null
+        else s"k${rnd.nextInt(40)}", // heavy duplication → boundary ties
+        rnd.nextInt(1000).toLong)
+    }
+    import spark.implicits._
+    val df = rows.toDF("id", "skey", "v")
+    for (asc <- Seq(true, false)) {
+      def d(c: org.apache.spark.sql.Column) = if (asc) c.asc else c.desc
+      val order = Seq(d(col("skey")), d(col("id")), d(col("v")))
+      val got = QueryServer.withGlobalPos(df, order)
+        .orderBy("pos")
+        .collect().map(r => (r.getLong(r.fieldIndex("pos")), r.getLong(0)))
+      assert(got.map(_._1).toSeq == (1L to n).toSeq, s"asc=$asc pos not 1..N")
+      val want = df.orderBy(order: _*).collect().map(_.getLong(0)).toSeq
+      assert(got.map(_._2).toSeq == want, s"asc=$asc row order diverged")
+    }
+  }
+
   test("repeat pages hit one cached index per (sort, direction)") {
     val (server, dir) = newServer()
     val req = server.PageRequest("o_orderkey", ascending = true, offset = 0, pageSize = 10)
