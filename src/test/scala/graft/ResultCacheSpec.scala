@@ -33,6 +33,27 @@ class ResultCacheSpec extends AnyFunSuite with SparkSuite {
     assert(first == second && first.size == 3)
   }
 
+  test("input fingerprint is stable unchanged, moves when data changes in place") {
+    // the fingerprint folds (path, length, mtime) of the recursive
+    // listing into the cache id, so an in-place data refresh invalidates
+    // every cached index built over it (the reference keys results by
+    // query + db epoch the same way)
+    val dir = Files.createTempDirectory("fp_data").toString
+    Registry.table(spark, sfDir, "region").write.mode("overwrite").parquet(s"$dir/t")
+    val fp1 = ResultCache.inputFingerprint(spark, dir)
+    val fp1Again = ResultCache.inputFingerprint(spark, dir)
+    assert(fp1 == fp1Again)
+    // new file under the dir → new fingerprint → new canonical cache ids
+    Registry.table(spark, sfDir, "nation").write.mode("overwrite").parquet(s"$dir/t2")
+    val fp2 = ResultCache.inputFingerprint(spark, dir)
+    assert(fp1 != fp2)
+    assert(
+      ResultCache.canonicalId("q", Map("data" -> fp1)) !=
+        ResultCache.canonicalId("q", Map("data" -> fp2)))
+    // a missing dir fingerprints to the empty digest, not an error
+    assert(ResultCache.inputFingerprint(spark, s"$dir/absent").nonEmpty)
+  }
+
   test("scheme-qualified cacheDir probes and writes through the same FileSystem") {
     // the SURVEY §8 deployment puts the cache on HDFS/S3; a file:-scheme
     // URI exercises the same code path (probe resolved via the Hadoop
