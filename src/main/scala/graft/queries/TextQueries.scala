@@ -14,6 +14,10 @@ object TextQueries {
   private val Toks =
     raw"string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')"
 
+  // t9 pruning knobs: drop the long tail before ranking, keep the head
+  private val NgramMinCount = 5
+  private val NgramTop = 100
+
   private def cntSql(w: String) =
     s"len(list_filter($Toks, t -> t = '$w'))"
 
@@ -281,6 +285,65 @@ object TextQueries {
                (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
                  AND alpha_frac >= 0.8 AND n_stopwords >= 2 AS pass
         FROM feats ORDER BY doc_id
+      """.trim),
+    ),
+    // t9: n-gram language-model counts with pruning — the classic
+    // 100 TB corpus statistic (contamination screens, LM smoothing
+    // tables, quality priors all start from pruned n-gram counts; the
+    // Brants et al. "large LM" recipe is exactly count → threshold).
+    // One explode per n and ONE shuffle for the count (map-side partial
+    // agg); the min-count filter prunes the long tail before the
+    // (tiny) per-n top-k window. Bigrams pair consecutive tokens via
+    // zip_with over two slices — no self-join, no positional explode.
+    Q(
+      "t9_ngram_counts",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val toks = docs.select(
+          filter(TextAnalysis.tokens(lower(col("text"))), t => t =!= "").as("ts"))
+        val uni = toks
+          .select(explode(col("ts")).as("gram")).withColumn("n", lit(1L))
+        val bi = toks
+          .filter(size(col("ts")) >= 2)
+          .select(explode(zip_with(
+            slice(col("ts"), lit(1), size(col("ts")) - 1),
+            slice(col("ts"), lit(2), size(col("ts")) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("gram"))
+          .withColumn("n", lit(2L))
+        uni.unionByName(bi)
+          .groupBy(col("n"), col("gram"))
+          .agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= NgramMinCount)
+          .withColumn("pos", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("n"))
+              .orderBy(col("cnt").desc, col("gram"))).cast("long"))
+          .filter(col("pos") <= NgramTop)
+          .select(col("n"), col("pos"), col("gram"), col("cnt"))
+          .orderBy("n", "pos")
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT list_filter(
+                   string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '),
+                   t -> t <> '') AS ts
+          FROM documents),
+        uni AS (SELECT 1::BIGINT AS n, unnest(ts) AS gram FROM toks),
+        bi AS (
+          SELECT 2::BIGINT AS n,
+                 unnest(list_transform(range(1, len(ts)),
+                   i -> ts[i] || ' ' || ts[i + 1])) AS gram
+          FROM toks WHERE len(ts) >= 2),
+        g AS (
+          SELECT n, gram, COUNT(*) AS cnt
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+          GROUP BY n, gram HAVING COUNT(*) >= $NgramMinCount),
+        r AS (
+          SELECT n, CAST(ROW_NUMBER() OVER (
+                   PARTITION BY n ORDER BY cnt DESC, gram) AS BIGINT) AS pos,
+                 gram, cnt
+          FROM g)
+        SELECT n, pos, gram, cnt FROM r WHERE pos <= $NgramTop
+        ORDER BY n, pos
       """.trim),
     ),
   )
