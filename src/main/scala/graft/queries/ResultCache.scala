@@ -77,19 +77,21 @@ object ResultCache {
       if (!ready) {
         val tmp = new Path(s"$path.build-${java.util.UUID.randomUUID}")
         compute.write.mode("overwrite").parquet(tmp.toString)
-        if (fs.exists(p) || !fs.rename(tmp, p)) {
-          // lost the publish race — another process renamed first; its
-          // entry is complete (rename is atomic), discard our build
-          fs.delete(tmp, true)
-        } else {
-          // photo-finish loss: Hadoop rename moves src INTO an existing
-          // dst dir, so if p appeared between the exists check and our
-          // rename we just nested our build under the winner's entry.
-          // Spark's non-recursive parquet listing ignores the subdir, but
-          // clean it up rather than leak it.
-          val nested = new Path(p, tmp.getName)
-          if (fs.exists(nested)) fs.delete(nested, true)
-        }
+        // Publish via FileContext.rename, whose no-OVERWRITE contract is
+        // DEFINED to fail when the destination exists — atomic
+        // server-side on HDFS, plain rename(2) on local disks. The
+        // FileSystem.rename API must NOT be used here: with an existing
+        // destination directory it merges (local) or nests (HDFS) the
+        // staging dir into the winner's entry, silently corrupting the
+        // cache with a second copy of every row (pinned by
+        // ResultCacheSpec's semantics test). Losing the race is fine —
+        // the winner's entry is complete or its _SUCCESS probe fails.
+        try
+          org.apache.hadoop.fs.FileContext
+            .getFileContext(p.toUri, spark.sessionState.newHadoopConf())
+            .rename(tmp, p)
+        catch { case _: java.io.IOException => () }
+        finally if (fs.exists(tmp)) fs.delete(tmp, true)
       }
     }
     spark.read.parquet(path)

@@ -33,6 +33,32 @@ class ResultCacheSpec extends AnyFunSuite with SparkSuite {
     assert(first == second && first.size == 3)
   }
 
+  test("publish rename cannot merge into an existing entry (FileContext contract)") {
+    // the publish step MUST fail when the destination exists, leaving
+    // both sides untouched. The FileSystem.rename API does the opposite
+    // on local disks — it MERGES the staging dir's contents into the
+    // existing entry (second copy of every row, since Spark part files
+    // carry unique job UUIDs) — which is exactly why getOrCompute
+    // publishes through FileContext.rename instead. Pin both halves.
+    import org.apache.hadoop.fs.{FileContext, Path}
+    val base = Files.createTempDirectory("rename_sem").toString
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(base).getFileSystem(conf)
+    val src = new Path(base, "staging")
+    val dst = new Path(base, "entry")
+    fs.mkdirs(src)
+    fs.create(new Path(src, "part-loser")).close()
+    fs.mkdirs(dst) // the winner's entry already exists
+    fs.create(new Path(dst, "part-winner")).close()
+    intercept[java.io.IOException] {
+      FileContext.getFileContext(dst.toUri, conf).rename(src, dst)
+    }
+    // nothing merged, nothing nested, nothing lost
+    val entryFiles = fs.listStatus(dst).map(_.getPath.getName).toSet
+    assert(entryFiles == Set("part-winner"), s"entry corrupted: $entryFiles")
+    assert(fs.exists(new Path(src, "part-loser")), "staging destroyed")
+  }
+
   test("input fingerprint is stable unchanged, moves when data changes in place") {
     // the fingerprint folds (path, length, mtime) of the recursive
     // listing into the cache id, so an in-place data refresh invalidates
