@@ -572,5 +572,69 @@ object CurationQueries {
         FROM o ORDER BY shard, pos_in_shard
       """.trim),
     ),
+    // cu13: temperature-scaled mixture resampling — the data-mix
+    // primitive of the Gopher/LLaMA recipes: source weights ∝
+    // share^(1/T) flatten the natural distribution (T=2 here, so the
+    // exponent is a SQRT — correctly rounded per IEEE, hence bit-equal
+    // in any engine; no pow in a branch). Floats touch only the 10
+    // per-source weights (rounded once to integer micro-units); every
+    // per-document decision is integer: budget*wgt//wsum targets, and
+    // each source contributes its md5-first `target` docs — the same
+    // deterministic-order selection as cu10/PageRank sampling.
+    Q(
+      "cu13_temperature_mix",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val per = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        val tot = per.agg(sum("n_docs").as("total"))
+        val w = per.crossJoin(broadcast(tot)) // one-row scalar
+          .withColumn("wgt",
+            round(sqrt(col("n_docs").cast("double") / col("total").cast("double")) * 1e6, 0)
+              .cast("long"))
+        val ws = w.agg(sum("wgt").as("wsum"))
+        val tgt = w.crossJoin(broadcast(ws)) // one-row scalar
+          .withColumn("target", expr("(total div 4) * wgt div wsum"))
+          .select("source", "n_docs", "wgt", "target")
+        val ranked = docs.withColumn("rk",
+          row_number().over(Window.partitionBy("source")
+            .orderBy(md5(concat(lit("mix:"), col("doc_id").cast("string"))),
+              col("doc_id"))).cast("long"))
+        val picked = ranked
+          .join(broadcast(tgt.select("source", "target")), "source")
+          .filter(col("rk") <= col("target"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_picked"), sum("doc_id").as("picked_id_sum"))
+        tgt.join(picked, Seq("source"), "left")
+          .select(col("source"), col("n_docs"), col("wgt"), col("target"),
+            coalesce(col("n_picked"), lit(0L)).as("n_picked"),
+            coalesce(col("picked_id_sum"), lit(0L)).as("picked_id_sum"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH per AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+        tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM per),
+        w AS (SELECT source, n_docs,
+                     CAST(round(sqrt(n_docs::DOUBLE / total::DOUBLE) * 1e6) AS BIGINT) AS wgt
+              FROM per, tot),
+        ws AS (SELECT CAST(SUM(wgt) AS BIGINT) AS wsum FROM w),
+        tgt AS (SELECT source, n_docs, wgt,
+                       (total // 4) * wgt // wsum AS target
+                FROM w, ws, tot),
+        rk AS (SELECT source, doc_id,
+                      ROW_NUMBER() OVER (PARTITION BY source
+                        ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+               FROM documents),
+        picked AS (
+          SELECT rk.source, COUNT(*) AS n_picked,
+                 CAST(SUM(doc_id) AS BIGINT) AS picked_id_sum
+          FROM rk JOIN tgt ON rk.source = tgt.source
+          WHERE rk.rk <= tgt.target GROUP BY rk.source)
+        SELECT t.source, t.n_docs, t.wgt, CAST(t.target AS BIGINT) AS target,
+               COALESCE(p.n_picked, 0) AS n_picked,
+               COALESCE(p.picked_id_sum, 0) AS picked_id_sum
+        FROM tgt t LEFT JOIN picked p ON t.source = p.source
+        ORDER BY t.source
+      """.trim),
+    ),
   )
 }
