@@ -35,6 +35,46 @@ object CurationQueries {
   private val TokensSql =
     raw"string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')"
 
+  /** Hard cap on posting-list length: tokens seen in more documents than
+    * this never reach `collect_list`, so every aggregation buffer in cu5
+    * holds at most this many ids regardless of corpus size. The reference
+    * enforces the same invariant when READING lists back — it truncates at
+    * 2^27 bytes / 8-byte items (DatabaseIndexV2.java:772,811-814); gating
+    * at build time is the shuffle-native equivalent (a stop word's list is
+    * useless for lookup anyway, exactly why the reference truncates it). */
+  val MaxPostingDocFreq: Int = 1 << 14
+
+  /** cu5's plan, parameterized so the spec can pin the bounded-state
+    * invariant with a tiny cap. `pairs` is materialized once (d8's
+    * stop-doc-freq gate pattern, Dedupe.sharedSubstringPairs) and feeds
+    * both the frequency gate and the gated collect; the gate join and the
+    * final groupBy share the `token` hash-partitioning, so the gate costs
+    * one extra small aggregate, not an extra shuffle of the pairs. */
+  def postings(docs: org.apache.spark.sql.DataFrame,
+      maxDocFreq: Int = MaxPostingDocFreq): org.apache.spark.sql.DataFrame = {
+    val roundtrip = udf { ids: Seq[Long] =>
+      val sorted = ids.sorted
+      val decoded = RiceCoding.decodeSortedList(RiceCoding.encodeSortedList(sorted))
+      require(decoded == sorted, "posting list codec round-trip mismatch")
+      decoded.sum
+    }
+    val pairs = docs
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("token"))
+      .filter(length(col("token")) >= 5)
+      .distinct()
+      .transform(graft.ops.Iterative.materialize) // feeds gate + gated collect
+    val eligible = pairs.groupBy("token")
+      .agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") <= maxDocFreq)
+    pairs.join(eligible, "token")
+      .groupBy("token", "doc_freq")
+      .agg(collect_list("doc_id").as("ids")) // bounded: |ids| <= maxDocFreq
+      .select(col("token"), col("doc_freq"),
+        roundtrip(col("ids")).as("docid_sum"))
+      .orderBy("token")
+  }
+
   def defs: Seq[Q] = Seq(
     // ---------------------------------------------------------------
     // cu1: deterministic train/val/test split. Buckets 00-0c (~5%) test,
@@ -162,42 +202,25 @@ object CurationQueries {
     // ---------------------------------------------------------------
     // cu5: inverted-index posting lists through the delta+Rice codec
     // (CompressedURLFPListV2 shape, util/RiceCoding.java:25). Long rare
-    // tokens → distinct (token, doc_id) pairs → per-token sorted id list,
+    // tokens → distinct (token, doc_id) pairs → doc-freq gate (bounded
+    // aggregation state, see `postings`) → per-token sorted id list,
     // encoded and decoded inside the row so the checksum the oracle
     // verifies is computed FROM THE DECODED BYTES — a broken codec breaks
-    // the hash. distinct() and groupBy share the token shuffle key; lists
-    // stay small (rare tokens), so collect_list is bounded.
+    // the hash.
     Q(
       "cu5_postings",
-      (s, dir) => {
-        val docs = Registry.table(s, dir, "documents")
-        val roundtrip = udf { ids: Seq[Long] =>
-          val sorted = ids.sorted
-          val decoded = RiceCoding.decodeSortedList(RiceCoding.encodeSortedList(sorted))
-          require(decoded == sorted, "posting list codec round-trip mismatch")
-          decoded.sum
-        }
-        docs
-          .select(col("doc_id"),
-            explode(split(lower(col("text")), "[^a-z]+")).as("token"))
-          .filter(length(col("token")) >= 5)
-          .distinct()
-          .groupBy("token")
-          .agg(collect_list("doc_id").as("ids"))
-          .select(
-            col("token"),
-            size(col("ids")).cast("long").as("doc_freq"),
-            roundtrip(col("ids")).as("docid_sum"))
-          .orderBy("token")
-      },
-      Some("""
-        SELECT token, COUNT(*) AS doc_freq, CAST(SUM(doc_id) AS BIGINT) AS docid_sum
-        FROM (
-          SELECT DISTINCT doc_id,
-                 unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
-          FROM documents)
-        WHERE length(token) >= 5
-        GROUP BY token
+      (s, dir) => postings(Registry.table(s, dir, "documents")),
+      Some(s"""
+        SELECT token, doc_freq, docid_sum FROM (
+          SELECT token, COUNT(*) AS doc_freq,
+                 CAST(SUM(doc_id) AS BIGINT) AS docid_sum
+          FROM (
+            SELECT DISTINCT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
+            FROM documents)
+          WHERE length(token) >= 5
+          GROUP BY token)
+        WHERE doc_freq <= $MaxPostingDocFreq
         ORDER BY token
       """.trim),
     ),
