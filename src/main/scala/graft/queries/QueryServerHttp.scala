@@ -65,12 +65,23 @@ final class QueryServerHttp(server: QueryServer, port: Int = 0) {
       case c => c.toString
     } + "\""
 
-  private def reqOf(p: Map[String, String]) = server.PageRequest(
-    sortBy = p.getOrElse("sortBy",
-      throw new IllegalArgumentException("missing sortBy parameter")),
-    ascending = p.getOrElse("dir", "asc") != "desc",
-    offset = p.getOrElse("offset", "0").toLong,
-    pageSize = p.getOrElse("pageSize", "25").toInt)
+  private def reqOf(p: Map[String, String]) = {
+    // the page is collected on the driver (one page = one response body),
+    // so client-supplied sizes must be bounded — the reference's servlet
+    // layer bounds paging the same way (ClientQueryInfo's bounded window,
+    // queryserver.jr:50-62). Violations → 400 via the handle() path.
+    val pageSize = p.getOrElse("pageSize", "25").toInt
+    require(pageSize >= 1 && pageSize <= QueryServerHttp.MaxPageSize,
+      s"pageSize must be in [1, ${QueryServerHttp.MaxPageSize}], got $pageSize")
+    val offset = p.getOrElse("offset", "0").toLong
+    require(offset >= 0, s"offset must be >= 0, got $offset")
+    server.PageRequest(
+      sortBy = p.getOrElse("sortBy",
+        throw new IllegalArgumentException("missing sortBy parameter")),
+      ascending = p.getOrElse("dir", "asc") != "desc",
+      offset = offset,
+      pageSize = pageSize)
+  }
 
   http.createContext("/query/", (ex: HttpExchange) => handle(ex) {
     val name = ex.getRequestURI.getPath.stripPrefix("/query/")
@@ -90,4 +101,10 @@ final class QueryServerHttp(server: QueryServer, port: Int = 0) {
   }
 
   def stop(): Unit = http.stop(0)
+}
+
+object QueryServerHttp {
+  /** Upper bound on one page: keeps a single response's driver-side
+    * collect O(MaxPageSize) no matter what the client asks for. */
+  val MaxPageSize: Int = 10000
 }

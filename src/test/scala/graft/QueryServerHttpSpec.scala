@@ -50,6 +50,16 @@ class QueryServerHttpSpec extends AnyFunSuite with SparkSuite {
       assert(get(port, s"/query/$name?sortBy=nope")._1 == 400)
       assert(get(port, s"/query/no_such_query?sortBy=x")._1 == 400)
       assert(get(port, s"/query/$name")._1 == 400) // missing sortBy
+
+      // unbounded paging is refused, not collected on the driver
+      val (pCode, pBody) =
+        get(port, s"/query/$name?sortBy=$sortBy&pageSize=2000000000")
+      assert(pCode == 400 && pBody.contains("pageSize"))
+      assert(get(port, s"/query/$name?sortBy=$sortBy&pageSize=0")._1 == 400)
+      assert(get(port, s"/query/$name?sortBy=$sortBy&pageSize=9e9")._1 == 400)
+      assert(get(port, s"/query/$name?sortBy=$sortBy&offset=-1")._1 == 400)
+      assert(get(port,
+        s"/count/$name?sortBy=$sortBy&pageSize=${QueryServerHttp.MaxPageSize}")._1 == 200)
     } finally fe.stop()
   }
 }
