@@ -86,12 +86,25 @@ object ResultCache {
         // cache with a second copy of every row (pinned by
         // ResultCacheSpec's semantics test). Losing the race is fine —
         // the winner's entry is complete or its _SUCCESS probe fails.
-        try
-          org.apache.hadoop.fs.FileContext
-            .getFileContext(p.toUri, spark.sessionState.newHadoopConf())
-            .rename(tmp, p)
-        catch { case _: java.io.IOException => () }
-        finally if (fs.exists(tmp)) fs.delete(tmp, true)
+        val renameFailure =
+          try {
+            org.apache.hadoop.fs.FileContext
+              .getFileContext(p.toUri, spark.sessionState.newHadoopConf())
+              .rename(tmp, p)
+            None
+          }
+          catch { case e: java.io.IOException => Some(e) }
+          finally if (fs.exists(tmp)) fs.delete(tmp, true)
+        // A failed rename is benign ONLY as a lost race (the winner's
+        // complete entry is in place). A genuine publish failure — FS
+        // error, or a legacy/partial destination without _SUCCESS that no
+        // rename can ever replace — must surface here, not as a detached
+        // read error (or worse, a silently-served stale partial entry).
+        renameFailure.foreach { e =>
+          if (!ready) throw new java.io.IOException(
+            s"result-cache publish failed and no complete entry exists at $path" +
+              " (destination present without _SUCCESS? remove it manually)", e)
+        }
       }
     }
     spark.read.parquet(path)

@@ -1,18 +1,18 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-
 /** Scratch: execute one registered query at a given SF under the Bench
-  * session shape (AQE on, 32 shuffle partitions) and print the FINAL
+  * session shape (GraftSession.local — AQE on, bloom joins, extensions)
+  * and print the FINAL
   * adaptive plan's exchange/join skeleton — `executedPlan` before an
   * action only shows the static plan, so runtime re-planning (AQE
   * coalescing, join strategy swaps) is invisible to ExplainScratch. */
 object AqeScratch {
   def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // the deployed session shape (GraftSession: AQE+skew, bloom joins,
+    // 256m scan partitions, native extensions) — profiles taken here
+    // match what Bench/Verify actually execute
+    val spark = graft.GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     val name = sys.env.getOrElse("Q", "c2_crawldb_incremental")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

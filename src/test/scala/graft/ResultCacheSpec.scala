@@ -113,6 +113,25 @@ class ResultCacheSpec extends AnyFunSuite with SparkSuite {
     assert(computes.get == 1) // later arrivals waited on the stripe, then hit the probe
   }
 
+  test("a partial destination without _SUCCESS fails the publish loudly") {
+    // a legacy/killed-writer entry dir (present, no _SUCCESS) can never
+    // be replaced by the no-OVERWRITE rename; getOrCompute must surface
+    // that as a descriptive publish error, not a detached read failure
+    // or a silently-served partial entry
+    val dir = Files.createTempDirectory("result_cache_partial").toString
+    val id = ResultCache.canonicalId("q", Map("p" -> "1"))
+    val partial = new java.io.File(dir, id)
+    assert(partial.mkdirs())
+    Files.createFile(partial.toPath.resolve("part-00000-stale.parquet"))
+    val e = intercept[java.io.IOException] {
+      ResultCache.getOrCompute(spark, dir, "q", Map("p" -> "1")) {
+        Registry.table(spark, sfDir, "region").limit(2)
+      }
+    }
+    assert(e.getMessage.contains("publish failed"))
+    assert(e.getCause != null) // wraps the rename failure
+  }
+
   test("a lost publish race discards the staged build and serves the winner") {
     val dir = Files.createTempDirectory("result_cache_race").toString
     // winner publishes first
