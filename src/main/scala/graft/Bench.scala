@@ -26,10 +26,7 @@ object Bench {
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     def selected(name: String) = filter.forall(_.exists(name.startsWith))
-    // deterministic name order so per-query numbers are comparable
-    // across rounds (Map iteration order is arbitrary)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(q => selected(q._1)).map { case (name, fn) =>
+    def runOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // noop sink materializes every row end-to-end (count() would let
       // Catalyst drop final sorts/projections and undercount the work)
@@ -43,17 +40,46 @@ object Bench {
       // mid-suite vs 5.4 s standalone before this)
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       // a crashed query must not masquerade as a fast one: negative sentinel
-      name -> (if (ok) sec else -sec)
+      if (ok) sec else -sec
+    }
+    // Machine-noise guard: one slow reading on a loaded box can report a
+    // query at 5-10x its true cost (observed twice on driver runs: r5's
+    // c2=18.5s and r6's cu5=23.3s vs ~2-5s on re-measurement). With
+    // SPARK_GRAFT_BENCH_REPEATS=N (default 1 — single-pass, driver
+    // behavior unchanged), queries whose first reading exceeds SlowSec
+    // are re-run up to N-1 times and the MIN is reported: the minimum of
+    // a wall-clock sample estimates the noise-free cost, and only slow
+    // readings repeat so the suite stays near single-pass time.
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "1").toInt.max(1)
+    val SlowSec = 5.0
+    // deterministic name order so per-query numbers are comparable
+    // across rounds (Map iteration order is arbitrary)
+    val samples: Seq[(String, Seq[Double])] = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => selected(q._1)).map { case (name, fn) =>
+        val first = runOnce(name, fn)
+        val rest =
+          if (first >= SlowSec && repeats > 1) (2 to repeats).map(_ => runOnce(name, fn))
+          else Seq.empty
+        name -> (first +: rest)
+      }
+    val results = samples.map { case (name, ts) =>
+      val ok = ts.filter(_ >= 0)
+      name -> (if (ok.nonEmpty) ok.min else ts.head)
     }
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
     // full precision for local analysis (the stdout line below is budgeted)
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val repeated = samples.filter(_._2.size > 1)
+    val fullRepeats =
+      if (repeated.isEmpty) ""
+      else repeated.map { case (k, ts) => s"\"" + k + "\":" + ts.mkString("[", ",", "]") }
+        .mkString(""","repeat_times":{""", ",", "}")
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$fullQs,"sf":$sfNum,"sf_dir":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$fullQs$fullRepeats,"sf":$sfNum,"sf_dir":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] full dump failed: $e") }
@@ -71,27 +97,49 @@ object Bench {
       val t = s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       if (t.isEmpty || t == "-") "0" else t
     }
-    def render(keep: Seq[(String, Double)], omitted: Seq[(String, Double)]): String = {
+    def render(keep: Seq[(String, Double)], omitted: Seq[(String, Double)],
+        failedOmitted: Int): String = {
       val qsStr = keep.sortBy(_._1)
         .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val om =
         if (omitted.isEmpty) ""
         else s""","omitted":${omitted.size},"omitted_sec":${fmt(omitted.map(_._2).sum)}"""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed$om,"queries":$qsStr,"sf":$sfNum}"""
+      val fom =
+        if (failedOmitted == 0) ""
+        else s""","failed_omitted":$failedOmitted"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed$om$fom,"queries":$qsStr,"sf":$sfNum}"""
     }
     val budget = 1850
-    // drop-order: fastest successful queries first; failures never dropped —
-    // the loop bound is the SUCCESS count, so under extreme budget pressure
-    // a failure can never be folded into omitted/omitted_sec (its negative
-    // time would corrupt the sum and hide the crash)
+    // drop-order: fastest successful queries first; failures are never
+    // folded into omitted/omitted_sec (their negative times would corrupt
+    // the sum and hide the crash)
     val dropOrder = results.filter(_._2 >= 0).sortBy(_._2)
     var nDrop = 0
-    var line = render(results, Seq.empty)
+    var line = render(results, Seq.empty, 0)
     while (line.length > budget && nDrop < dropOrder.size) {
       nDrop += 1
       val dropped = dropOrder.take(nDrop).map(_._1).toSet
-      line = render(results.filterNot(r => dropped(r._1)), dropOrder.take(nDrop))
+      line = render(results.filterNot(r => dropped(r._1)), dropOrder.take(nDrop), 0)
+    }
+    // Pathological case: every success dropped and the line STILL over
+    // budget (a run with very many failures — exactly when the signal
+    // matters most). An over-budget line gets its head truncated by the
+    // harness's ~2000-char tail window and never parses, so fold excess
+    // failures into the count-only "failed_omitted" field instead,
+    // keeping the slowest (most informative) failures named. Full detail
+    // is always in BENCH_FULL.json.
+    if (line.length > budget) {
+      val keptSucc = results.filterNot(r =>
+        dropOrder.take(nDrop).map(_._1).toSet(r._1))
+      val failOrder = results.filter(_._2 < 0).sortBy(_._2).reverse // fastest first
+      var nFailDrop = 0
+      while (line.length > budget && nFailDrop < failOrder.size) {
+        nFailDrop += 1
+        val droppedF = failOrder.take(nFailDrop).map(_._1).toSet
+        line = render(keptSucc.filterNot(r => droppedF(r._1)),
+          dropOrder.take(nDrop), nFailDrop)
+      }
     }
     println(line)
     spark.stop()
