@@ -132,6 +132,71 @@ object Urls {
     }
   }
 
+  /** RFC 3986 §5.2.4 remove_dot_segments over the path part of `s`
+    * (query/fragment tail untouched). */
+  private def removeDotSegments(s: String): String = {
+    val cut = s.indexWhere(c => c == '?' || c == '#') match {
+      case -1 => s.length
+      case i => i
+    }
+    val (path, tail) = (s.substring(0, cut), s.substring(cut))
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val abs = path.startsWith("/")
+    val segs = path.split("/", -1)
+    for (seg <- segs) seg match {
+      case "." => ()
+      case ".." => if (out.nonEmpty && out.last != "..") out.remove(out.length - 1)
+                   else if (!abs) out += ".."
+      case s2 => out += s2
+    }
+    // preserve a trailing slash implied by a final "." / ".." segment
+    val trailingSlash = path.endsWith("/.") || path.endsWith("/..") || path.endsWith("/")
+    val joined = out.filter(_.nonEmpty).mkString("/")
+    val p = (if (abs) "/" else "") + joined + (if (trailingSlash && joined.nonEmpty) "/" else "")
+    (if (p.isEmpty && abs) "/" else p) + tail
+  }
+
+  /** Resolve `ref` against absolute `base` (RFC 3986 §5 reference
+    * resolution, the subset a link extractor needs): absolute refs and
+    * non-hierarchical schemes pass through, `//host` takes the base
+    * scheme, `/path` roots at the base authority, `?q`/`#f` replace the
+    * base's query/fragment, and relative paths merge with the base path's
+    * directory with dot-segment removal. The reference rebases links the
+    * same way via its `<base href>`-aware URL construction
+    * (ParseWorker.java:697, link URL resolution against baseURL). */
+  def resolve(base: String, ref0: String): String = {
+    if (ref0 == null) return null
+    val ref = ref0.trim
+    if (ref.isEmpty) return base
+    if (ref.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*")) return ref
+    parse(base) match {
+      case None => ref
+      case Some(b) =>
+        val auth = new StringBuilder(b.scheme).append("://")
+        if (b.userInfo.nonEmpty) auth.append(b.userInfo).append('@')
+        auth.append(b.host)
+        if (b.port > 0) auth.append(':').append(b.port)
+        val prefix = auth.toString
+        if (ref.startsWith("//")) b.scheme + ":" + ref
+        else if (ref.startsWith("#")) {
+          val cut = base.indexOf('#')
+          (if (cut < 0) base else base.substring(0, cut)) + ref
+        }
+        else if (ref.startsWith("?")) {
+          val path = if (b.path.isEmpty) "/" else b.path
+          prefix + path + ref
+        }
+        else if (ref.startsWith("/")) prefix + removeDotSegments(ref)
+        else {
+          val dir = b.path.lastIndexOf('/') match {
+            case -1 => "/"
+            case i => b.path.substring(0, i + 1)
+          }
+          prefix + removeDotSegments(dir + ref)
+        }
+    }
+  }
+
   /** 128-bit-style URL fingerprint (URLFPV2 — protocol.jr:54-72):
     * rootDomainHash = fp(rootDomain), domainHash = fp(host),
     * urlHash = fp(canonicalUrl) (URLUtils.java:268-319). */

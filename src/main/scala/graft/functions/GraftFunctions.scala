@@ -151,6 +151,93 @@ object GraftFunctions {
     trim(regexp_replace(ent, "\\s+", " "))
   }
 
+  // --- link extraction (the parser's link walk: ParseWorker.java:82-88
+  // tag→attr inventory; ParserMapper.java:241-265 canonicalized href
+  // emission) — declarative regex passes over the markup, so the whole
+  // extraction stays in codegen'd built-ins; only the final base-URL
+  // resolution is a scalar UDF.
+
+  /** Attribute value in double quotes, single quotes, or unquoted (the
+    * three HTML spellings), null when absent. No backreferences, so an
+    * RE2-based engine replays the patterns identically. */
+  private def attrValue(tag: Column, name: String): Column = {
+    def nonEmpty(c: Column) = when(c =!= "", c)
+    coalesce(
+      nonEmpty(regexp_extract(tag, s"""(?i)\\b$name\\s*=\\s*"([^"]*)"""", 1)),
+      nonEmpty(regexp_extract(tag, s"(?i)\\b$name\\s*=\\s*'([^']*)'", 1)),
+      nonEmpty(regexp_extract(tag, s"""(?i)\\b$name\\s*=\\s*([^\\s"'>]+)""", 1)))
+  }
+
+  /** Entity-decode an attribute value / anchor text (the five core
+    * entities + nbsp, `&amp;` last — same single literal pass as
+    * [[htmlToText]]). */
+  private def decodeEntities(c: Column): Column =
+    replace(replace(replace(replace(replace(replace(c,
+      lit("&lt;"), lit("<")),
+      lit("&gt;"), lit(">")),
+      lit("&quot;"), lit("\"")),
+      lit("&#39;"), lit("'")),
+      lit("&nbsp;"), lit(" ")),
+      lit("&amp;"), lit("&"))
+
+  /** Comments vanish wholesale; script BODIES vanish but the opening tag
+    * survives (it carries `src` — the reference's DOM walk likewise never
+    * surfaces markup inside script text as tags). */
+  private def stripInvisible(html: Column): Column = {
+    val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    regexp_replace(noComment, "(?is)(<script\\b[^>]*>).*?</script\\s*>", "$1 ")
+  }
+
+  /** First `<base href>` of the document (ParseWorker.java:697 rebases
+    * all links on it), null when absent. */
+  def baseHref(html: Column): Column =
+    attrValue(
+      regexp_extract(stripInvisible(html), "(?i)(<base\\b[^>]*>)", 1), "href")
+
+  /** G1 front end / X10: candidate links of an HTML document as
+    * `array<struct<tag,url,text>>` — the reference parser's tag→attribute
+    * inventory (a/area/link → href; frame/iframe/script/img → src,
+    * ParseWorker.java:82-88), with per-link anchor text accumulated for
+    * `<a>` elements the way the walk's AddText instruction does. URLs and
+    * text are entity-decoded; relative URLs are NOT resolved here — pair
+    * with [[resolveUrl]]([[baseHref]](html), url). `<a>` needs a closing
+    * tag (the unclosed-anchor recovery a real DOM parser does is out of
+    * scope); href-less anchors and src-less scripts drop out. */
+  def extractLinks(html: Column): Column = {
+    val cleaned = stripInvisible(html)
+    // full <a>…</a> elements: opening tag carries href, body carries text
+    val aElems = regexp_extract_all(cleaned,
+      lit("(?is)<a\\b[^>]*>.*?</a\\s*>"), lit(0))
+    val aLinks = transform(aElems, el => struct(
+      lit("a").as("tag"),
+      decodeEntities(attrValue(regexp_extract(el, "(?is)(<a\\b[^>]*>)", 1),
+        "href")).as("url"),
+      decodeEntities(trim(regexp_replace(
+        regexp_replace(el, "(?s)<[^>]*>", " "), "\\s+", " "))).as("text")))
+    // void/self-contained tags: one struct per opening tag
+    def tagLinks(tag: String, attr: String) = {
+      val tags = regexp_extract_all(cleaned,
+        lit(s"(?i)<$tag\\b[^>]*>"), lit(0))
+      transform(tags, t => struct(
+        lit(tag).as("tag"),
+        decodeEntities(attrValue(t, attr)).as("url"),
+        lit("").as("text")))
+    }
+    val all = concat(aLinks,
+      tagLinks("area", "href"), tagLinks("link", "href"),
+      tagLinks("frame", "src"), tagLinks("iframe", "src"),
+      tagLinks("script", "src"), tagLinks("img", "src"))
+    filter(all, s => s.getField("url").isNotNull && s.getField("url") =!= "")
+  }
+
+  private val resolveF = (base: String, ref: String) =>
+    if (base == null) ref else Urls.resolve(base, ref)
+  private val resolveUdf = udf(resolveF)
+
+  /** RFC 3986 reference resolution of `ref` against `base` (null base
+    * passes `ref` through — a page with no base URL). */
+  def resolveUrl(base: Column, ref: Column): Column = resolveUdf(base, ref)
+
   /** Register every function for SQL use. */
   def registerAll(spark: SparkSession): Unit = {
     spark.udf.register("simhash64", simhashF)
@@ -162,5 +249,6 @@ object GraftFunctions {
     spark.udf.register("root_domain", rootDomainF)
     spark.udf.register("url_fingerprint", urlFpF)
     spark.udf.register("jaccard_shingles", jaccardF)
+    spark.udf.register("resolve_url", resolveF)
   }
 }

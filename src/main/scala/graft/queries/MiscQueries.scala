@@ -241,5 +241,65 @@ object MiscQueries {
         ORDER BY doc_id
       """.trim),
     ),
+    // x10: link extraction from raw markup — the other half of the parser
+    // loop (ParseWorker.java:82-88 tag→attr inventory, :697 <base href>
+    // rebasing; ParserMapper.java:241-265 canonical href emission). Each
+    // doc becomes a full page exercising every spelling the walk handles:
+    // both quote styles + unquoted attrs, entity-encoded URLs and anchor
+    // text, a <base href> that rebases relative/rooted/protocol-relative
+    // and fragment-only refs, an href-less anchor, a src-less script, and
+    // a link hidden in a comment and in script text (both must vanish).
+    // The oracle never parses HTML: it constructs the expected (tag, url,
+    // text) rows directly, so a missed tag, an unresolved relative, or a
+    // swallowed entity is a row/hash mismatch. The exploded output IS the
+    // link-table shape g1 consumes — raw bytes to link graph end-to-end.
+    Q(
+      "x10_link_extract",
+      (s, dir) => {
+        val F = graft.functions.GraftFunctions
+        val id = col("doc_id").cast("string")
+        val html = concat(
+          lit("<html><head><base href=\"http://base"), id,
+          lit(".example.org/dir/page.html\">" +
+            "<link rel=\"stylesheet\" href='/css/site.css'>" +
+            "<script src=app.js></script>" +
+            "<script>var s = \"<a href=\\\"http://nope"), id,
+          lit(".com/\\\">x</a>\";</script></head><body>" +
+            "<!-- <a href=\"http://commented"), id,
+          lit(".com/\">no</a> --><h1>Doc "), id,
+          lit("</h1><a href=\"http://d"), id,
+          lit(".example.com/p?a=1&amp;b=2\">First &amp; second</a>" +
+            "<a href='rel/"), id,
+          lit(".html'>Relative <b>link</b></a>" +
+            "<a name=\"x\">no href</a>" +
+            "<img src=/img/"), id,
+          lit(".png alt=\"i\">" +
+            "<iframe src=\"//cdn.example.net/f"), id,
+          lit(".html\"></iframe><area href=\"#frag\"></body></html>"))
+        Registry.table(s, dir, "documents")
+          .select(col("doc_id"), html.as("html"))
+          .select(col("doc_id"), F.baseHref(col("html")).as("base"),
+            explode(F.extractLinks(col("html"))).as("l"))
+          .select(col("doc_id"), col("l.tag").as("tag"),
+            F.resolveUrl(col("base"), col("l.url")).as("url"),
+            col("l.text").as("text"))
+          .orderBy("doc_id", "tag", "url")
+      },
+      Some("""
+        SELECT d.doc_id, t.tag,
+               replace(t.url_t, '{id}', CAST(d.doc_id AS VARCHAR)) AS url,
+               t.txt AS text
+        FROM documents d, (VALUES
+          ('a',      'http://d{id}.example.com/p?a=1&b=2', 'First & second'),
+          ('a',      'http://base{id}.example.org/dir/rel/{id}.html', 'Relative link'),
+          ('area',   'http://base{id}.example.org/dir/page.html#frag', ''),
+          ('iframe', 'http://cdn.example.net/f{id}.html', ''),
+          ('img',    'http://base{id}.example.org/img/{id}.png', ''),
+          ('link',   'http://base{id}.example.org/css/site.css', ''),
+          ('script', 'http://base{id}.example.org/dir/app.js', '')
+        ) t(tag, url_t, txt)
+        ORDER BY doc_id, tag, url
+      """.trim),
+    ),
   )
 }

@@ -112,6 +112,39 @@ class UrlsSpec extends AnyFunSuite {
     assert(fp.rootDomainHash == fp.domainHash)
   }
 
+  test("resolve: RFC 3986 reference resolution vectors") {
+    val base = "http://a.example.com/b/c/d?q#f"
+    val vectors: Seq[(String, String)] = Seq(
+      // absolute and non-hierarchical refs pass through
+      "http://other.com/x" -> "http://other.com/x",
+      "mailto:x@y.com" -> "mailto:x@y.com",
+      // RFC 3986 §5.4.1 normal examples
+      "g" -> "http://a.example.com/b/c/g",
+      "./g" -> "http://a.example.com/b/c/g",
+      "g/" -> "http://a.example.com/b/c/g/",
+      "/g" -> "http://a.example.com/g",
+      "//g.com/h" -> "http://g.com/h",
+      "?y" -> "http://a.example.com/b/c/d?y",
+      "#s" -> "http://a.example.com/b/c/d?q#s",
+      "" -> base,
+      "../g" -> "http://a.example.com/b/g",
+      "../../g" -> "http://a.example.com/g",
+      // dot-segments can't climb above the root
+      "../../../g" -> "http://a.example.com/g",
+      "g?y#s" -> "http://a.example.com/b/c/g?y#s",
+    )
+    vectors.foreach { case (ref, want) =>
+      assert(Urls.resolve(base, ref) == want, s"resolve($base, $ref)")
+    }
+    // base with no path: relative refs root at /
+    assert(Urls.resolve("http://h.com", "x") == "http://h.com/x")
+    assert(Urls.resolve("http://h.com", "?q") == "http://h.com/?q")
+    // non-default port survives resolution
+    assert(Urls.resolve("http://h.com:8080/a/b", "c") == "http://h.com:8080/a/c")
+    // unparseable base: ref passes through untouched
+    assert(Urls.resolve("garbage", "x/y") == "x/y")
+  }
+
   test("fingerprint: stable, root/domain/url hashes distinct") {
     val fp1 = Urls.fingerprint("http://www.example.com/a").get
     val fp2 = Urls.fingerprint("http://example.com/a").get
