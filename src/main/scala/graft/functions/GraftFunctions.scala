@@ -106,10 +106,11 @@ object GraftFunctions {
     * ="content-type">` charset within the first 2000 bytes (inflated
     * byte-per-char like the reference's ASCII read — decode as latin-1,
     * which is that inflation exactly); else the byte sniffer
-    * ([[sniffCharset]]: BOM → strict UTF-8 → latin-1 punt, standing in
-    * for the out-of-scope ICU/Mozilla statistical tier — SURVEY §2.7
-    * documents that permanent descope). Entirely built-ins + one native
-    * expression: stays inside codegen, no UDF. */
+    * ([[sniffCharset]]: BOM → statistical tier (BOM-less UTF-16 by
+    * zero-byte distribution, windows-1252 by printable-C1 occupancy —
+    * the published-heuristic core of the reference's ICU/Mozilla
+    * detectors) → strict UTF-8 → latin-1 punt). Entirely built-ins +
+    * one native expression: stays inside codegen, no UDF. */
   def detectCharset(headers: Column, content: Column): Column = {
     val fromHeaders =
       regexp_extract(coalesce(headers, lit("")), CharsetParamRegex, 1)

@@ -312,17 +312,31 @@ object NativeFns {
   }
 }
 
-/** X8 charset detection, the deterministic tiers of the reference's
-  * cascade (CharsetUtils.bestEffortDetectCharset: HTTP header → HTML
-  * meta → Mozilla/ICU statistical detectors). Headers and meta tags are
-  * plain `regexp_extract` on the column layer; THIS function is the
-  * byte-level tier: BOM sniffing (UTF-8/16/32 variants), then strict
-  * UTF-8 validation (→ US-ASCII if no multi-byte sequences), falling
-  * back to ISO-8859-1 (every byte sequence is valid latin-1 — the same
-  * terminal fallback the reference uses). The ICU/Mozilla frequency
-  * models stay out of scope (no ICU dependency); this covers the
-  * deterministic 90% of the cascade. */
+/** X8 charset detection, the full tier cascade of the reference's
+  * bestEffortDetectCharset (CharsetUtils.java). Headers and meta tags
+  * are plain `regexp_extract` on the column layer; THIS function is the
+  * byte-level tier: BOM sniffing (UTF-8/16/32 variants), then a
+  * statistical tier standing in for the reference's ICU/Mozilla
+  * detectors with the two published-heuristic checks that decide the
+  * overwhelming share of real verdicts — BOM-less UTF-16 by positional
+  * zero-byte distribution (Latin-script UTF-16 zeroes every other byte;
+  * the universalchardet zero-byte heuristic), and windows-1252 vs
+  * ISO-8859-1 by C1-range occupancy (0x80-0x9F are printable
+  * punctuation in cp1252 but control characters latin-1 text never
+  * carries, which is why the WHATWG encoding standard maps latin-1
+  * labels to cp1252) — then strict UTF-8 validation (→ US-ASCII if no
+  * multi-byte sequences), falling back to ISO-8859-1 (every byte
+  * sequence is valid latin-1, the reference's terminal fallback). The
+  * full ICU n-gram language/charset models stay out (no ICU
+  * dependency); these two deterministic heuristics are the tier's
+  * publishable core. */
 object CharsetSniff {
+  // cp1252's five unmapped code points; any OTHER C1 byte is printable
+  // punctuation there (curly quotes, dashes, euro) and a strong cp1252
+  // signal, while in latin-1 the whole range is control characters
+  private def definedInCp1252(c: Int): Boolean =
+    c != 0x81 && c != 0x8d && c != 0x8f && c != 0x90 && c != 0x9d
+
   def sniffCharset(b: Array[Byte]): UTF8String = {
     val n = b.length
     def at(i: Int) = b(i) & 0xff
@@ -333,6 +347,24 @@ object CharsetSniff {
       else if (n >= 2 && at(0) == 0xff && at(1) == 0xfe) "UTF-16LE"
       else if (n >= 2 && at(0) == 0xfe && at(1) == 0xff) "UTF-16BE"
       else {
+        // BOM-less UTF-16 (statistical tier): Latin-script UTF-16 text
+        // zeroes (nearly) every high byte — odd positions for LE, even
+        // for BE — while no single/multi-byte text carries NULs at all.
+        // Thresholds: ≥40% of the expected positions zero, ≤5% strays
+        // on the other side. Runs BEFORE UTF-8 validation because NULs
+        // are valid UTF-8 and an ASCII-in-UTF-16LE buffer would
+        // otherwise sniff as US-ASCII with half its bytes NUL.
+        var zeroEven = 0
+        var zeroOdd = 0
+        var z = 0
+        while (z < n) {
+          if (at(z) == 0) { if ((z & 1) == 0) zeroEven += 1 else zeroOdd += 1 }
+          z += 1
+        }
+        val half = n / 2
+        if (n >= 8 && zeroOdd * 5 >= half * 2 && zeroEven * 20 <= half) "UTF-16LE"
+        else if (n >= 8 && zeroEven * 5 >= half * 2 && zeroOdd * 20 <= half) "UTF-16BE"
+        else {
         // strict UTF-8 validation; track whether any multi-byte seq occurs
         var i = 0
         var multi = false
@@ -372,7 +404,20 @@ object CharsetSniff {
         }
         if (valid && !multi) "US-ASCII"
         else if (valid) "UTF-8"
-        else "ISO-8859-1"
+        else {
+          // single-byte tier: a C1-range byte that cp1252 maps to a
+          // printable character marks windows-1252; latin-1 text never
+          // contains C1 controls
+          var k = 0
+          var cp1252 = false
+          while (!cp1252 && k < n) {
+            val c = at(k)
+            if (c >= 0x80 && c <= 0x9f && definedInCp1252(c)) cp1252 = true
+            k += 1
+          }
+          if (cp1252) "WINDOWS-1252" else "ISO-8859-1"
+        }
+        }
       }
     UTF8String.fromString(name)
   }

@@ -139,24 +139,26 @@ object MiscQueries {
         ORDER BY event_type
       """.stripMargin.trim),
     ),
-    // x8: the full deterministic charset cascade of the reference's
+    // x8: the full charset cascade of the reference's
     // bestEffortDetectCharset (CharsetUtils.java:128-180). Each doc's
-    // ASCII text is wrapped into one of seven (headers, bytes) shapes
+    // ASCII text is wrapped into one of nine (headers, bytes) shapes
     // exercising every tier: the HTTP Content-Type charset parameter
     // (with an alias spelling, proving normalization), the <meta
     // http-equiv> charset in the first 2000 bytes, then the byte
     // sniffer's tiers — pure ASCII, BOM hits (UTF-8, UTF-16LE),
-    // strict-UTF-8 validation accepting a multi-byte sequence, and a
-    // bare high byte punting to latin-1. The oracle knows which shape
+    // strict-UTF-8 validation accepting a multi-byte sequence, a bare
+    // ≥0xA0 high byte punting to latin-1, and the statistical tier
+    // standing in for the reference's ICU/Mozilla detectors: BOM-less
+    // UTF-16LE by positional zero bytes, and printable-C1 bytes (curly
+    // quotes) classifying windows-1252. The oracle knows which shape
     // each doc_id got, so every verdict is hash-verified per row without
-    // DuckDB re-implementing the cascade. (The ICU/Mozilla statistical
-    // tier between meta and the punt stays descoped — SURVEY §2.7.)
+    // DuckDB re-implementing the cascade.
     Q(
       "x8_charset_sniff",
       (s, dir) => {
         val docs = Registry.table(s, dir, "documents")
         val text = col("text").cast("binary")
-        val shape = col("doc_id") % 7
+        val shape = col("doc_id") % 9
         val headers =
           when(shape === 0, // header tier, alias spelling normalized
             lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=windows-1252\r\n"))
@@ -171,8 +173,12 @@ object MiscQueries {
               concat(lit(Array(0xff.toByte, 0xfe.toByte)), text))
             .when(shape === 5, // valid 2-byte UTF-8 seq (é)
               concat(text, lit(Array(0xc3.toByte, 0xa9.toByte))))
-            .otherwise( // bare high byte → invalid UTF-8 → latin-1
+            .when(shape === 6, // bare ≥0xA0 high byte → latin-1
               concat(text, lit(Array(0xe9.toByte))))
+            .when(shape === 7, // statistical: BOM-less UTF-16LE
+              encode(col("text"), "UTF-16LE"))
+            .otherwise( // statistical: cp1252 curly quotes around the text
+              concat(lit(Array(0x93.toByte)), text, lit(Array(0x94.toByte))))
         docs
           .select(col("doc_id"),
             graft.functions.GraftFunctions.detectCharset(headers, payload)
@@ -185,14 +191,16 @@ object MiscQueries {
         SELECT charset, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
         FROM (
           SELECT doc_id,
-                 CASE CAST(doc_id % 7 AS INT)
+                 CASE CAST(doc_id % 9 AS INT)
                    WHEN 0 THEN 'WINDOWS-1252'
                    WHEN 1 THEN 'UTF-8'
                    WHEN 2 THEN 'US-ASCII'
                    WHEN 3 THEN 'UTF-8'
                    WHEN 4 THEN 'UTF-16LE'
                    WHEN 5 THEN 'UTF-8'
-                   ELSE 'ISO-8859-1' END AS charset
+                   WHEN 6 THEN 'ISO-8859-1'
+                   WHEN 7 THEN 'UTF-16LE'
+                   ELSE 'WINDOWS-1252' END AS charset
           FROM documents)
         GROUP BY charset
         ORDER BY charset

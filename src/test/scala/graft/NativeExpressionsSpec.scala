@@ -158,13 +158,26 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkSuite {
       "UTF-8" -> "héllo wörld — ünïcode".getBytes("UTF-8"),
       "ISO-8859-1" -> "caffé".getBytes("ISO-8859-1"), // é = 0xE9, invalid UTF-8
       "ISO-8859-1" -> Array(0xc0, 0xaf).map(_.toByte), // overlong '/', rejected
-      // strictness beyond the continuation mask: all must fall to latin-1
-      "ISO-8859-1" -> Array(0xe0, 0x80, 0x80).map(_.toByte), // overlong NUL (3-byte)
-      "ISO-8859-1" -> Array(0xed, 0xa0, 0x80).map(_.toByte), // CESU-8 surrogate half
-      "ISO-8859-1" -> Array(0xf0, 0x80, 0x80, 0x80).map(_.toByte), // overlong (4-byte)
-      "ISO-8859-1" -> Array(0xf4, 0x90, 0x80, 0x80).map(_.toByte), // > U+10FFFF
+      // strictness beyond the continuation mask: all invalid UTF-8; the
+      // 0x80 continuation bytes sit in the C1 range cp1252 prints (€),
+      // so the single-byte tier refines the old latin-1 verdict
+      "WINDOWS-1252" -> Array(0xe0, 0x80, 0x80).map(_.toByte), // overlong NUL (3-byte)
+      "WINDOWS-1252" -> Array(0xed, 0xa0, 0x80).map(_.toByte), // CESU-8 surrogate half
+      "WINDOWS-1252" -> Array(0xf0, 0x80, 0x80, 0x80).map(_.toByte), // overlong (4-byte)
+      "WINDOWS-1252" -> Array(0xf4, 0x90, 0x80, 0x80).map(_.toByte), // > U+10FFFF
       "UTF-8" -> Array(0xf4, 0x8f, 0xbf, 0xbf).map(_.toByte), // U+10FFFF itself: valid
       "US-ASCII" -> Array.empty[Byte],
+      // statistical tier: BOM-less UTF-16 by positional zero bytes
+      "UTF-16LE" -> "bomless utf16 text".getBytes("UTF-16LE"),
+      "UTF-16BE" -> "bomless utf16 text".getBytes("UTF-16BE"),
+      // statistical tier: printable C1 bytes (curly quotes) → cp1252;
+      // a C1 byte cp1252 leaves unmapped (0x90) is a control char → latin-1
+      "WINDOWS-1252" -> ("he said ".getBytes("UTF-8") ++
+        Array(0x93, 0x68, 0x69, 0x94).map(_.toByte)),
+      "ISO-8859-1" -> ("ctrl".getBytes("UTF-8") ++ Array(0x90.toByte, 0xe9.toByte)),
+      // short buffers never trigger the UTF-16 heuristic (n >= 8): the
+      // NULs are valid ASCII, so strict validation wins
+      "US-ASCII" -> Array('h'.toByte, 0.toByte, 'i'.toByte, 0.toByte),
     )
     val got = cases.map(_._2).zipWithIndex
       .map { case (b, i) => (i, b) }.toDF("i", "content")
