@@ -64,30 +64,139 @@ object Urls {
     else labels.takeRight(suffixLabels).mkString(".")
   }
 
-  // session-id path/query fragments the normalizer removes
-  // (SessionIDURLNormalizer.java:58-66)
-  private val SessionQueryParams: Set[String] =
-    Set("jsessionid", "phpsessid", "sid", "oscsid", "mscsid", "sessionid", "session_id")
-  private val HexId = "^[0-9a-fA-F]{16,64}$".r
-  private val PathSessionSeg =
-    "(?i)[;/](jsessionid|phpsessid|session_id|oscsid)[=/.][0-9a-zA-Z]{8,64}".r
+  // ---- session-id normalization (the reference's full pattern
+  // inventory, SessionIDURLNormalizer.java) ----
+  // Eight families of embedded session tokens, each gated on an exact id
+  // shape — 32-hex, 26-alnum, digits, or ≥36 hex-with-dashes — so
+  // ordinary short ids (?sid=4422, ?sid=1085) survive. Tiers run in the
+  // reference's order; first hit wins. Where the reference's raw
+  // substring splice would detach a following query param ("cart&item"),
+  // the splice here repairs the separator ("cart?item") — its own test
+  // URLs never exercise that edge.
 
-  /** Remove common session-id patterns from a canonical URL string. */
+  private def isHex(s: String) = s.forall(c =>
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F'))
+  private def isAlnumAscii(s: String) = s.forall(c =>
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))
+  private def isHexDash(s: String) = s.forall(c => c == '-' || isHex(c.toString))
+  private def isDigits(s: String) = s.forall(c => c >= '0' && c <= '9')
+
+  /** Remove common session-id patterns from a URL string. */
   def stripSessionIds(url: String): String = {
-    var out = PathSessionSeg.replaceAllIn(url, "")
-    val qIdx = out.indexOf('?')
-    if (qIdx >= 0) {
-      val (base, queryPart) = (out.substring(0, qIdx), out.substring(qIdx + 1))
-      val kept = queryPart.split('&').filter { kv =>
-        val eq = kv.indexOf('=')
-        val k = (if (eq >= 0) kv.substring(0, eq) else kv).toLowerCase
-        val v = if (eq >= 0) kv.substring(eq + 1) else ""
-        !(SessionQueryParams.contains(k) &&
-          (v.length >= 8 || HexId.findFirstIn(v).isDefined))
-      }
-      out = if (kept.isEmpty) base else base + "?" + kept.mkString("&")
+    if (url == null) return null
+    val lower = url.toLowerCase
+    // remove [from, until) and repair query separators the removal broke
+    def splice(from: Int, until: Int): String = {
+      val pre = url.substring(0, from)
+      var post = url.substring(until)
+      if (post.startsWith("&") && !pre.contains('?')) post = "?" + post.substring(1)
+      if (pre.endsWith("?") && post.startsWith("&")) post = post.substring(1)
+      val out = pre + post
+      if (out.endsWith("?") || out.endsWith("&")) out.dropRight(1) else out
     }
-    out
+    // 1. PHPSESSID<delim><id>: delim in =.-+/, id runs to the next
+    //    &.-+/ or end, and must be exactly 32-hex or 26-alnum
+    val phpIdx = lower.lastIndexOf("phpsessid")
+    if (phpIdx >= 1 && phpIdx + 9 < lower.length &&
+        "=.-+/".indexOf(lower.charAt(phpIdx + 9)) >= 0) {
+      val idStart = phpIdx + 10
+      var idEnd = idStart
+      while (idEnd < lower.length && "&.-+/".indexOf(lower.charAt(idEnd)) < 0) idEnd += 1
+      val id = lower.substring(idStart, idEnd)
+      if ((id.length == 32 && isHex(id)) || (id.length == 26 && isAlnumAscii(id)))
+        return splice(phpIdx - 1, idEnd)
+    }
+    // 2. .php URL whose trailing path is /oscsid/<32-hex>
+    if (lower.contains(".php")) {
+      val lastSlash = lower.lastIndexOf('/')
+      if (lastSlash > 0) {
+        val id = lower.substring(lastSlash + 1)
+        if (id.length == 32 && isHex(id)) {
+          val prevSlash = lower.lastIndexOf('/', lastSlash - 1)
+          if (prevSlash >= 0 && lower.startsWith("oscsid", prevSlash + 1) &&
+              prevSlash + 7 == lastSlash)
+            return url.substring(0, prevSlash)
+        }
+      }
+    }
+    // 3. oscsid<...>/<32-hex> tail (any spelling position)
+    val oscIdx = lower.lastIndexOf("oscsid")
+    if (oscIdx >= 1) {
+      val slash = lower.indexOf('/', oscIdx + 6)
+      if (slash >= 0) {
+        val id = lower.substring(slash + 1)
+        if (id.length == 32 && isHex(id)) return url.substring(0, oscIdx - 1)
+      }
+    }
+    // 4. -oscsid-<32-hex>.html
+    val dashIdx = lower.lastIndexOf("-oscsid-")
+    if (dashIdx >= 0) {
+      val htmlIdx = lower.lastIndexOf(".html")
+      if (htmlIdx > dashIdx) {
+        val id = lower.substring(dashIdx + 8, htmlIdx)
+        if (id.length == 32 && isHex(id))
+          return url.substring(0, dashIdx) + url.substring(htmlIdx)
+      }
+    }
+    // 5. /sessions/<32-hex>/
+    val sessIdx = lower.indexOf("/sessions/")
+    if (sessIdx >= 0) {
+      val slash = lower.indexOf('/', sessIdx + 10)
+      if (slash >= 0) {
+        val id = lower.substring(sessIdx + 10, slash)
+        if (id.length == 32 && isHex(id))
+          return url.substring(0, sessIdx) + url.substring(slash)
+      }
+    }
+    // 6. ;$sessionid$<alnum-to-end>
+    val dsIdx = lower.indexOf(";$sessionid$")
+    if (dsIdx >= 0 && isAlnumAscii(lower.substring(dsIdx + 12)))
+      return url.substring(0, dsIdx)
+    // 7. /session_id/<32-hex>/
+    val siIdx = lower.indexOf("/session_id/")
+    if (siIdx >= 0) {
+      val slash = lower.indexOf('/', siIdx + 12)
+      if (slash >= 0) {
+        val id = lower.substring(siIdx + 12, slash)
+        if (id.length == 32 && isHex(id))
+          return url.substring(0, siIdx) + url.substring(slash)
+      }
+    }
+    // 8. --session_id.<digits>--
+    val ddIdx = lower.indexOf("--session_id.")
+    if (ddIdx >= 0) {
+      val next = lower.indexOf("--", ddIdx + 13)
+      if (next >= 0 && isDigits(lower.substring(ddIdx + 13, next)))
+        return url.substring(0, ddIdx) + url.substring(next)
+    }
+    // 9. generic sid/oscsid/mscsid param preceded by / ? & +, id shape
+    //    ≥32-hex, ≥36 hex-with-dashes, or ≥26-alnum (dashes allowed
+    //    mid-id: the terminator set here excludes '-')
+    var keyIdx = -1
+    var keyLen = 0
+    for (k <- Seq("sid", "oscsid", "mscsid") if keyIdx < 0) {
+      val i = lower.lastIndexOf(k)
+      if (i >= 1 && "/?&+".indexOf(lower.charAt(i - 1)) >= 0) { keyIdx = i; keyLen = k.length }
+    }
+    if (keyIdx >= 1 && keyIdx + keyLen < lower.length &&
+        "=.-+/".indexOf(lower.charAt(keyIdx + keyLen)) >= 0) {
+      val idStart = keyIdx + keyLen + 1
+      var idEnd = idStart
+      while (idEnd < lower.length && "&.+/".indexOf(lower.charAt(idEnd)) < 0) idEnd += 1
+      val id = lower.substring(idStart, idEnd)
+      val ok = (id.length >= 32 && isHex(id)) ||
+        (id.length >= 36 && isHexDash(id)) ||
+        (id.length >= 26 && isAlnumAscii(id))
+      if (ok) return splice(keyIdx - 1, idEnd)
+    }
+    // 10. ;jsessionid=… runs to '?' (query survives) or to the end
+    val jsIdx = lower.indexOf(";jsessionid=")
+    if (jsIdx >= 0) {
+      val q = lower.indexOf('?', jsIdx)
+      return if (q >= 0) url.substring(0, jsIdx) + url.substring(q)
+      else url.substring(0, jsIdx)
+    }
+    url
   }
 
   private val UrlRe =

@@ -30,7 +30,8 @@ object UrlQueries {
     when(m === 0, concat(lit("HTTP://WWW.Site"), site,
       lit(".com/u/"), ck, lit(";jsessionid=ABCDEF0123456789?x=1")))
       .when(m === 1, concat(lit("http://Sub"), sub, lit(".Site"), site,
-        lit(".CO.UK:80/a/"), ck, lit("?PHPSESSID=deadbeef12345678&y=2")))
+        lit(".CO.UK:80/a/"), ck,
+        lit("?PHPSESSID=deadbeef12345678deadbeef12345678&y=2")))
       .when(m === 2, concat(lit("https://s"), sub, lit(".site"), site,
         lit(".com:8080/item?id="), ck))
       .otherwise(concat(lit("http://site"), site, lit(".org/p/"), ck, lit("#!x")))

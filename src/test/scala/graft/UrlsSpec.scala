@@ -28,8 +28,12 @@ class UrlsSpec extends AnyFunSuite {
     assert(Urls.canonicalize(
       "http://example.com/cart?phpsessid=96bc0d2490b3ce6206d04c1ed7ccfb26&item=2")
       == "http://example.com/cart?item=2")
-    assert(Urls.canonicalize("http://example.com/a?sid=deadbeefdeadbeef")
+    assert(Urls.canonicalize(
+      "http://example.com/a?sid=deadbeefdeadbeefdeadbeefdeadbeef")
       == "http://example.com/a")
+    // short ids are NOT session tokens (?sid=4422 is a store id)
+    assert(Urls.canonicalize("http://example.com/a?sid=deadbeef")
+      == "http://example.com/a?sid=deadbeef")
   }
 
   test("canonicalize: invalid URLs → null") {
@@ -69,8 +73,8 @@ class UrlsSpec extends AnyFunSuite {
       "http://example.com:/a" -> "http://example.com/a",
       // ;params truncate the path at the first semicolon
       "http://example.com/a;b/c" -> "http://example.com/a",
-      // session id as a path segment
-      "http://example.com/x/jsessionid=0123456789abcdef" -> "http://example.com/x",
+      // session id in path params: the ; cut removes it
+      "http://example.com/x;jsessionid=0123456789abcdef" -> "http://example.com/x",
       // session params are case-insensitive; short non-hex sid kept
       "http://example.com/c?PHPSESSID=96bc0d2490b3ce6206d04c1ed7ccfb26&i=2" ->
         "http://example.com/c?i=2",
@@ -110,6 +114,97 @@ class UrlsSpec extends AnyFunSuite {
   test("fingerprint: IP hosts hash the host as their root") {
     val fp = Urls.fingerprint("http://192.168.0.1/x").get
     assert(fp.rootDomainHash == fp.domainHash)
+  }
+
+  test("session-id normalizer: the reference's full pattern inventory") {
+    // Golden vectors: the URL corpus from the reference normalizer's own
+    // test main() (SessionIDURLNormalizer.java:313-352), with expected
+    // outputs derived from its tier semantics. Every family: PHPSESSID
+    // in all five delimiter spellings, osCsid path/dash/query forms,
+    // /sessions/, ;$sessionid$, /session_id/, --session_id., generic
+    // sid/SID with 32-hex and 36-hex-dash ids, ;jsessionid= with and
+    // without a trailing query — plus the decoys that must NOT strip.
+    val strip = Seq(
+      "http://www.bearcountryuk.com/images/bc0059.jpg/osCsid/96a7bddc9c8a4249dbabd862f859e9e1"
+        -> "http://www.bearcountryuk.com/images/bc0059.jpg",
+      "http://www.jileyes.com/lingerie_category-cat-26-name-Inseparables___ensembles__soutien_gorge-osCsid-3416a5c31a2013e37cf87ca963c6c99f.html"
+        -> "http://www.jileyes.com/lingerie_category-cat-26-name-Inseparables___ensembles__soutien_gorge.html",
+      "http://www.construfacil.com/index.php/P/search/PHPSESSID/015c350a9dcead350788459fe27e1d2c"
+        -> "http://www.construfacil.com/index.php/P/search",
+      "http://www.didglobal.com/page/PHPSESSID/db2efa56f2d298cbed0f27be2574cbfe/home"
+        -> "http://www.didglobal.com/page/home",
+      "http://www.lot-tissimo.com/zf/1/PHPSESSID/gfhte7m6riss8a57kt8hou7bl6/"
+        -> "http://www.lot-tissimo.com/zf/1/",
+      "http://www.droles-blagues.com/news+index.storytopic+0+start+10+PHPSESSID+dabb2d0c754e989167997c0f6cca69b3.htm"
+        -> "http://www.droles-blagues.com/news+index.storytopic+0+start+10.htm",
+      "http://relax-navi.net/formmail+index.id_form+1+PHPSESSID+8014724e439c07d12e0bb63599af99e1.htm"
+        -> "http://relax-navi.net/formmail+index.id_form+1.htm",
+      "http://www.tagtag.com/site/mobile/terms/PHPSESSID/a82av7cnicjak8t8gcq9ss8lg6"
+        -> "http://www.tagtag.com/site/mobile/terms",
+      "http://www.nblskil.org/ct/wffaq+index.PHPSESSID+7f1426a7e7d6f8717a05028335811b9e.htm"
+        -> "http://www.nblskil.org/ct/wffaq+index.htm",
+      "http://www.soft-news.net/m-news+index+PHPSESSID-7375c6f2abc8237cefb6a19012281821.html"
+        -> "http://www.soft-news.net/m-news+index.html",
+      "http://www.horizon-etudiant.com/news+index.PHPSESSID+df70913950e6a2aeca5049f6ccbf2a46.htm"
+        -> "http://www.horizon-etudiant.com/news+index.htm",
+      "http://www.classicsilks.com/catalog/images//osCsid/1eccdf955e1accf18372a3e12aa92fd6"
+        -> "http://www.classicsilks.com/catalog/images/",
+      "http://www.bearcountryuk.com/index.php/cPath/50/teddy+bear+name/Accessories/osCsid/4d4b2659aa5f1a39d907d315cf0a5209"
+        -> "http://www.bearcountryuk.com/index.php/cPath/50/teddy+bear+name/Accessories",
+      "http://www.minshuku-web.com/catalog/869/PHPSESSID/96bc0d2490b3ce6206d04c1ed7ccfb26.html"
+        -> "http://www.minshuku-web.com/catalog/869.html",
+      "http://ifshinviolins.com/sessions/dd603a0a691faeb744db3f72212ca888/store"
+        -> "http://ifshinviolins.com/store",
+      "http://www.iexplore.co.uk/travel-photos/French+Polynesia/1;$sessionid$BHZYH4QAAMGH5TBKYHVCFEQ"
+        -> "http://www.iexplore.co.uk/travel-photos/French+Polynesia/1",
+      "http://www.reinke.com/index.html/session_id/d606e74935a60c04d9989082b2fb624d/screen/interesting_links"
+        -> "http://www.reinke.com/index.html/screen/interesting_links",
+      "http://www.iboats.com/Portable_Above_Deck_Fuel_Tanks/dm/cart_id.726334728--category_id.238165--search_type.category--session_id.729524783--view_id.238165"
+        -> "http://www.iboats.com/Portable_Above_Deck_Fuel_Tanks/dm/cart_id.726334728--category_id.238165--search_type.category--view_id.238165",
+      "http://www.bearcountryuk.com/index.ddd/cPath/50/teddy+bear+name/Accessories/osCsid/4d4b2659aa5f1a39d907d315cf0a5209"
+        -> "http://www.bearcountryuk.com/index.ddd/cPath/50/teddy+bear+name/Accessories",
+      "http://www.bearcountryuk.com/index.ddd;jsessionid=08301521611089820628281"
+        -> "http://www.bearcountryuk.com/index.ddd",
+      "http://www.myredpacket.co.uk/section.php/25/12/birthday-gifts-and-presents;JSESSIONID=08301521611089820628281"
+        -> "http://www.myredpacket.co.uk/section.php/25/12/birthday-gifts-and-presents",
+      "http://www.placidway.com/treatment-detail/20/Orthopedic/Knee-Surgery-Treatment-Abroad//?PHPSESSID=c83e4440fdb325634206cda3482aa758"
+        -> "http://www.placidway.com/treatment-detail/20/Orthopedic/Knee-Surgery-Treatment-Abroad//",
+      "http://www.allacademic.com/one/www/www/index.php?cmd=www&PHPSESSID=e563c9711d20c906de543d52a1633072"
+        -> "http://www.allacademic.com/one/www/www/index.php?cmd=www",
+      "http://boards.bootsnall.com/the-team.html?sid=f52964b93dcfeb6a9ba43b0caf44d752"
+        -> "http://boards.bootsnall.com/the-team.html",
+      "http://www.fnac.com/livre.asp?SID=2f3f0314-8164-f087-e7e9-4ed9487391c8&UID=0B3FF5542-5944-146B-8EEB-ECDB3218C6AF&Origin=FnacAff&OrderInSession=0&TTL=040520100324&bl=2%5b1pro%5dliv"
+        -> "http://www.fnac.com/livre.asp?UID=0B3FF5542-5944-146B-8EEB-ECDB3218C6AF&Origin=FnacAff&OrderInSession=0&TTL=040520100324&bl=2%5b1pro%5dliv",
+      "http://forums-test.mozillazine.org/memberlist.php?mode=viewprofile&u=261941&sid=dd4c61187cd950ad4b64b8e4da7c20a9"
+        -> "http://forums-test.mozillazine.org/memberlist.php?mode=viewprofile&u=261941",
+      "http://www.eloan.com/s/show/glossary?context=refi&lockdays=30&sid=B456E0E99B62D31EAB4274D8B59B944A&user=&mcode=&vid="
+        -> "http://www.eloan.com/s/show/glossary?context=refi&lockdays=30&user=&mcode=&vid=",
+      "http://www.trainpetdog.com/store/terms-of-use.php?osCsid=b27eecba862e5c723c05b2f4245c06ea"
+        -> "http://www.trainpetdog.com/store/terms-of-use.php",
+      "http://www.emeraldinsight.com/Insight/menuNavigation.do;jsessionid=A17FC93E864C2F8B3709F63558BA69DB?hdAction=InsightHome"
+        -> "http://www.emeraldinsight.com/Insight/menuNavigation.do?hdAction=InsightHome",
+      "http://www.lakeshorelearning.com/order/onlineOrder.jsp;jsessionid=KxMMpRGgPpC1ktZ1pJJCZF1MmmFxZHPnyrNJhBmWJGHkhcL5Hd4p!-617247554!NONE?FOLDER%3C%3Efolder_id=2534374302096766&ASSORTMENT%3C%3East_id=1408474395181113&bmUID=1257311436941"
+        -> "http://www.lakeshorelearning.com/order/onlineOrder.jsp?FOLDER%3C%3Efolder_id=2534374302096766&ASSORTMENT%3C%3East_id=1408474395181113&bmUID=1257311436941",
+    )
+    strip.foreach { case (in, want) =>
+      assert(Urls.stripSessionIds(in) == want, s"stripSessionIds($in)")
+    }
+    // decoys: short ids, store/category ids, and hyphenated non-session
+    // tokens must pass through untouched
+    val keep = Seq(
+      "http://www.myredpacket.co.uk/section.php/25/12/birthday-gifts-and-presents/d1b4c32d834a331b63109589ef730c27",
+      "http://quote.yahoo.com/tech-ticker/article/37053/VMware-Tanks-as-CEO-Greene-Gets-Ousted;_ylt=An1dUveIfo30T0EBvyw6_US7YWsA?tickers=vmw",
+      "https://www.harrahs.com/AvailabilityCalendar.do?propCode=PLV",
+      "http://www.google.com/search?hl=en&q=st+jude+hospital+fullerton&btnG=Google+Search",
+      "http://www1.cimaglobal.com/cps/rde/xchg/SID-0AE7C4D1-E388165B/live/root.xsl/13928.htm",
+      "http://www.rainbowresource.com/prodlist.php?sid=1257592724-171162",
+      "http://www.motherwear.com/cs/sizechart.cfm?cid=107&sid=25046",
+      "http://alumni.byu.edu/s/1085/03-provo-Alumni/index.aspx?sid=1085&gid=7&pgid=60&cid=169&referer=&query=emeriti%2fpdf%2femeritiwinter09.pdf",
+      "http://www.couponchief.com/coupons/submit?sid=4422",
+    )
+    keep.foreach { u =>
+      assert(Urls.stripSessionIds(u) == u, s"must keep: $u")
+    }
   }
 
   test("resolve: RFC 3986 reference resolution vectors") {
