@@ -6,6 +6,14 @@ import scala.util.Random
 
 import graft.sources.{ArcRecord, ArcSource, RiceCoding, WikipediaXmlSource}
 
+/** A local-disk FileSystem registered under a non-file scheme: the
+  * minimal stand-in for an object-store connector, proving the ARC
+  * reader's scheme-portability without network or extra jars. */
+class MockSchemeFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "mockfs"
+  override def getUri: java.net.URI = java.net.URI.create("mockfs:///")
+}
+
 class SourcesSpec extends AnyFunSuite with SparkSuite {
 
   // ---- S2: ARC source ----
@@ -41,6 +49,29 @@ class SourcesSpec extends AnyFunSuite with SparkSuite {
     val ds = ArcSource.read(spark, dir.toString)
     val got = ds.collect().map(_.url).toSet
     assert(got == arcRecords.map(_.url).toSet)
+  }
+
+  test("ARC: reader resolves the filesystem from the path scheme (S3A contract shape)") {
+    // The S3 claim (S3) rests on one property: the reader never touches
+    // java.io directly — it hands the path to Spark's binaryFile source,
+    // which resolves a Hadoop FileSystem from the URI scheme. Pin that
+    // property with a custom scheme backed by a registered FileSystem:
+    // if this read works, any scheme with an installed FS connector
+    // (s3a:// via hadoop-aws at deploy time) works identically. The
+    // sandbox has no S3 connector jar, so s3a itself is
+    // deploy-time-verified (documented in SURVEY §2.1).
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mockfs.impl", classOf[MockSchemeFileSystem].getName)
+    val dir = Files.createTempDirectory("arc_scheme")
+    Files.write(dir.resolve("part-000.arc.gz"), ArcSource.writeArc(arcRecords))
+    val viaScheme = ArcSource.read(spark, s"mockfs://$dir").collect()
+    assert(viaScheme.map(_.url).toSet == arcRecords.map(_.url).toSet)
+    // the index build takes the same path through the FS abstraction
+    val idx = ArcSource.readIndex(spark, s"mockfs://$dir").collect()
+    assert(idx.map(_.url).toSet == arcRecords.map(_.url).toSet)
+    // the recorded location is scheme-qualified (how the FS spells its
+    // authority varies: mockfs:/ vs mockfs:///)
+    assert(idx.forall(_.arcFile.startsWith("mockfs:")))
   }
 
   test("ARC: content index round-trips offsets to record bytes") {
