@@ -31,7 +31,8 @@ import org.apache.spark.sql.functions._
   * single indexed result file (§3.1 step 8). Page serving after that
   * is distributed and index-pruned.
   */
-final class QueryServer(spark: SparkSession, cacheDir: String, sfDir: String) {
+final class QueryServer(
+    private[queries] val spark: SparkSession, cacheDir: String, sfDir: String) {
 
   /** Client paging request (ClientQueryInfo, queryserver.jr:50-62). */
   final case class PageRequest(
@@ -73,6 +74,17 @@ final class QueryServer(spark: SparkSession, cacheDir: String, sfDir: String) {
         ties.map(c => if (req.ascending) c.asc else c.desc)
       QueryServer.withGlobalPos(base, order)
     }
+  }
+
+  /** Fail fast on an unknown query name or sort column WITHOUT building
+    * anything — the synchronous validation an async submit needs before
+    * handing the expensive part to a worker (plan-only, no action). */
+  def validate(name: String, req: PageRequest): Unit = {
+    require(Registry.queries.contains(name), s"unknown query '$name'")
+    val cols = Registry.queries(name)(spark, sfDir).columns
+    require(cols.contains(req.sortBy),
+      s"unknown sort column '${req.sortBy}' for query '$name'; " +
+        s"expected one of ${cols.mkString(", ")}")
   }
 
   /** One page: a range predicate on `pos`, pruned to the row groups

@@ -16,6 +16,10 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *       → JSON array of row objects (one page of the positional index)
   *   GET /count/<name>?sortBy=<col>[&dir=asc|desc]
   *       → {"count": N} (row-group metadata read, no data scan)
+  *   GET /submit/<name>?…   → {"id":…} async page build under a job group
+  *   GET /status/<id>       → status + task-level progress (heartbeat)
+  *   GET /result/<id>       → the page JSON once status is "done"
+  *   GET /cancel/<id>       → cooperative cancellation via cancelJobGroup
   *
   * JSON rendering rides DataFrame.toJSON (schema-aware, correct escaping)
   * rather than hand-rolled string building. Built on the JDK's HttpServer
@@ -94,13 +98,109 @@ final class QueryServerHttp(server: QueryServer, port: Int = 0) {
     s"""{"count":${server.resultCount(name, reqOf(params(ex)))}}"""
   })
 
+  // --- async submit/status/result/cancel: the serving shape of the
+  // reference's long-query protocol, where the client polls progress
+  // heartbeats for a remotely executing query and can cancel it
+  // (queryserver.jr:244 QueryStatus/heartbeat; RemoteQueryInfo). The
+  // submit validates synchronously (400 on bad name/column), hands the
+  // page build to a worker under a Spark job group named by the query
+  // id, and cancel maps to cancelJobGroup — Spark's cooperative task
+  // interruption, the cluster analog of the reference's cancel flag.
+
+  private final class AsyncJob(val name: String) {
+    val status = new java.util.concurrent.atomic.AtomicReference[String]("running")
+    @volatile var result: String = _
+    @volatile var error: String = _
+    val startedAt: Long = System.currentTimeMillis
+  }
+  private val jobs = new java.util.concurrent.ConcurrentHashMap[String, AsyncJob]()
+  private val MaxJobs = 256
+  private val workers = java.util.concurrent.Executors.newFixedThreadPool(2)
+
+  private def jobOf(path: String, prefix: String): AsyncJob = {
+    val id = path.stripPrefix(prefix)
+    val j = jobs.get(id)
+    if (j == null) throw new IllegalArgumentException(s"unknown job id '$id'")
+    j
+  }
+
+  private def statusJson(id: String, j: AsyncJob): String = {
+    // task-level progress from the status tracker, keyed by the job
+    // group — the heartbeat payload the reference streams back
+    val tracker = server.spark.sparkContext.statusTracker
+    val (done, total) = tracker.getJobIdsForGroup(id)
+      .flatMap(jid => tracker.getJobInfo(jid).toSeq)
+      .flatMap(_.stageIds().flatMap(sid => tracker.getStageInfo(sid).toSeq))
+      .foldLeft((0, 0)) { case ((d, t), s) => (d + s.numCompletedTasks, t + s.numTasks) }
+    s"""{"id":${jsonStr(id)},"status":${jsonStr(j.status.get)}""" +
+      s""","elapsed_ms":${System.currentTimeMillis - j.startedAt}""" +
+      s""","tasks_done":$done,"tasks_total":$total""" +
+      (if (j.error == null) "" else s""","error":${jsonStr(j.error)}""") + "}"
+  }
+
+  http.createContext("/submit/", (ex: HttpExchange) => handle(ex) {
+    val name = ex.getRequestURI.getPath.stripPrefix("/submit/")
+    val req = reqOf(params(ex))
+    server.validate(name, req) // 400 now, not a failed job later
+    // bound the ledger: drop the oldest terminal jobs beyond the cap
+    if (jobs.size > MaxJobs) {
+      import scala.jdk.CollectionConverters._
+      jobs.entrySet.asScala.toSeq
+        .filter(e => e.getValue.status.get != "running")
+        .sortBy(_.getValue.startedAt)
+        .take(jobs.size - MaxJobs)
+        .foreach(e => jobs.remove(e.getKey))
+    }
+    val id = java.util.UUID.randomUUID.toString
+    val job = new AsyncJob(name)
+    jobs.put(id, job)
+    workers.submit(new Runnable {
+      override def run(): Unit = {
+        val sc = server.spark.sparkContext
+        sc.setJobGroup(id, s"graft async $name", interruptOnCancel = true)
+        try {
+          val page = server.page(name, req).toJSON.collect().mkString("[", ",", "]")
+          // CAS: a cancel that won the race keeps its terminal state
+          if (job.status.compareAndSet("running", "done")) job.result = page
+        } catch {
+          case e: Throwable =>
+            job.error = e.toString
+            job.status.compareAndSet("running", "failed")
+        } finally sc.clearJobGroup()
+      }
+    })
+    s"""{"id":${jsonStr(id)},"status":"running"}"""
+  })
+
+  http.createContext("/status/", (ex: HttpExchange) => handle(ex) {
+    val id = ex.getRequestURI.getPath.stripPrefix("/status/")
+    statusJson(id, jobOf(ex.getRequestURI.getPath, "/status/"))
+  })
+
+  http.createContext("/result/", (ex: HttpExchange) => handle(ex) {
+    val j = jobOf(ex.getRequestURI.getPath, "/result/")
+    require(j.status.get == "done", s"job is ${j.status.get}, not done")
+    j.result
+  })
+
+  http.createContext("/cancel/", (ex: HttpExchange) => handle(ex) {
+    val id = ex.getRequestURI.getPath.stripPrefix("/cancel/")
+    val j = jobOf(ex.getRequestURI.getPath, "/cancel/")
+    if (j.status.compareAndSet("running", "cancelled"))
+      server.spark.sparkContext.cancelJobGroup(id)
+    s"""{"id":${jsonStr(id)},"status":${jsonStr(j.status.get)}}"""
+  })
+
   /** Start listening; returns the bound port (ephemeral when port=0). */
   def start(): Int = {
     http.start()
     http.getAddress.getPort
   }
 
-  def stop(): Unit = http.stop(0)
+  def stop(): Unit = {
+    http.stop(0)
+    workers.shutdownNow()
+  }
 }
 
 object QueryServerHttp {

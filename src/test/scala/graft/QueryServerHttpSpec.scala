@@ -62,4 +62,62 @@ class QueryServerHttpSpec extends AnyFunSuite with SparkSuite {
         s"/count/$name?sortBy=$sortBy&pageSize=${QueryServerHttp.MaxPageSize}")._1 == 200)
     } finally fe.stop()
   }
+
+  test("async submit → poll → result matches the synchronous page; cancel reaches a terminal state") {
+    val cacheDir = java.nio.file.Files.createTempDirectory("qhttp_async").toString
+    val server = new QueryServer(spark, cacheDir, sfDir)
+    val fe = new QueryServerHttp(server)
+    val port = fe.start()
+    try {
+      val name = "w3_dual_sort"
+      val sortBy = Registry.queries(name)(spark, sfDir).columns.head
+
+      // synchronous validation: bad name / bad column / bad paging → 400
+      assert(get(port, s"/submit/no_such?sortBy=x")._1 == 400)
+      assert(get(port, s"/submit/$name?sortBy=nope")._1 == 400)
+      assert(get(port, s"/submit/$name?sortBy=$sortBy&pageSize=0")._1 == 400)
+      assert(get(port, "/status/nope")._1 == 400)
+
+      val (sCode, sBody) =
+        get(port, s"/submit/$name?sortBy=$sortBy&dir=desc&offset=3&pageSize=4")
+      assert(sCode == 200)
+      val id = """"id":"([^"]+)"""".r.findFirstMatchIn(sBody).get.group(1)
+
+      // poll the heartbeat until terminal (the reference's QueryStatus loop)
+      var status = ""
+      val deadline = System.currentTimeMillis + 120000
+      while (status != "done" && status != "failed" &&
+          System.currentTimeMillis < deadline) {
+        val (c, b) = get(port, s"/status/$id")
+        assert(c == 200)
+        status = """"status":"([^"]+)"""".r.findFirstMatchIn(b).get.group(1)
+        if (status == "running") Thread.sleep(100)
+      }
+      assert(status == "done")
+
+      val (rCode, rBody) = get(port, s"/result/$id")
+      assert(rCode == 200)
+      val want = server
+        .page(name, server.PageRequest(sortBy, ascending = false,
+          offset = 3, pageSize = 4))
+        .toJSON.collect().mkString("[", ",", "]")
+      assert(rBody == want)
+
+      // result before done / after cancel is a client error
+      val (s2Code, s2Body) = get(port, s"/submit/$name?sortBy=$sortBy")
+      assert(s2Code == 200)
+      val id2 = """"id":"([^"]+)"""".r.findFirstMatchIn(s2Body).get.group(1)
+      val (cCode, cBody) = get(port, s"/cancel/$id2")
+      assert(cCode == 200)
+      // cancel races the (fast) build: either terminal state is legal,
+      // but the job must never report running after cancel returns
+      val st2 = """"status":"([^"]+)"""".r.findFirstMatchIn(cBody).get.group(1)
+      assert(st2 == "cancelled" || st2 == "done")
+      if (st2 == "cancelled") {
+        assert(get(port, s"/result/$id2")._1 == 400)
+        // idempotent: a second cancel reports the same state
+        assert(get(port, s"/cancel/$id2")._2.contains("cancelled"))
+      }
+    } finally fe.stop()
+  }
 }
