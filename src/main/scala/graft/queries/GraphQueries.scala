@@ -350,5 +350,52 @@ object GraphQueries {
         ORDER BY src_domain, dst_domain
       """.trim),
     ),
+
+    // G1 end-to-end from raw bytes: the complete parser→graph loop the
+    // reference runs per crawled page (ParseWorker link walk →
+    // ParserMapper canonical href emission → LinkGraphDataEmitter
+    // aggregation). Each doc becomes a page with three links — an
+    // absolute hub link, an absolute per-site link, and a RELATIVE link
+    // resolved against the page's <base href> — and the graph is host-
+    // level inlink counts computed from nothing but the raw markup:
+    // extractLinks → resolve → urlHost → aggregate. The oracle builds
+    // the expected (host, links, source-doc) counts constructively.
+    Q(
+      "g7_raw_html_linkgraph",
+      (s, dir) => {
+        val F = graft.functions.GraftFunctions
+        val id = col("doc_id").cast("string")
+        val hub = (col("doc_id") % 5).cast("string")
+        val site = (col("doc_id") % 40).cast("string")
+        val self = (col("doc_id") % 7).cast("string")
+        val html = concat(
+          lit("<html><head><base href=\"http://self"), self,
+          lit(".example.net/dir/page.html\"></head><body><a href=\"http://hub"),
+          hub, lit(".example.com/x\">hub</a><a href='http://site"), site,
+          lit(".example.org/p/"), id,
+          lit("'>site</a><a href=rel/a.html>self</a></body></html>"))
+        Registry.table(s, dir, "documents")
+          .select(col("doc_id"), html.as("html"))
+          .select(col("doc_id"), F.baseHref(col("html")).as("base"),
+            explode(F.extractLinks(col("html"))).as("l"))
+          .select(col("doc_id"),
+            F.urlHost(F.resolveUrl(col("base"), col("l.url"))).as("host"))
+          .groupBy("host")
+          .agg(count(lit(1)).as("n_links"),
+            count_distinct(col("doc_id")).as("n_src_docs"))
+          .orderBy("host")
+      },
+      Some("""
+        SELECT host, COUNT(*) AS n_links, COUNT(DISTINCT doc_id) AS n_src_docs
+        FROM (
+          SELECT doc_id, 'hub' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' AS host FROM documents
+          UNION ALL
+          SELECT doc_id, 'site' || CAST(doc_id % 40 AS VARCHAR) || '.example.org' FROM documents
+          UNION ALL
+          SELECT doc_id, 'self' || CAST(doc_id % 7 AS VARCHAR) || '.example.net' FROM documents)
+        GROUP BY host
+        ORDER BY host
+      """.trim),
+    ),
   )
 }
