@@ -346,5 +346,66 @@ object TextQueries {
         ORDER BY n, pos
       """.trim),
     ),
+    // ---------------------------------------------------------------
+    // t10: LM-score quality filtering — each document scored against the
+    // corpus's own min-count-pruned bigram LM (the shape of the
+    // KenLM-perplexity filters real training pipelines run; t9 builds
+    // the LM, this applies it). Scores stay pure int64 — bigram count,
+    // out-of-vocabulary count under the pruned LM, and total hit mass
+    // (sum of LM counts of in-vocabulary bigrams) — so the oracle
+    // compares exactly with no IEEE-log drift; a downstream gate turns
+    // them into a keep/drop ratio. Scale shape: the bigram table is
+    // materialized ONCE (checkpoint policy) and feeds both the LM
+    // aggregate and the probe side — the LM join and both groupBys are
+    // plain gram/doc_id-keyed shuffles with partial aggregation, and at
+    // corpus scale the pruned LM is the small side (min-count kills the
+    // unique-bigram long tail, the same prune t9 applies before its
+    // top-k head).
+    Q(
+      "t10_lm_score",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val bigrams = docs
+          .select(col("doc_id"),
+            filter(TextAnalysis.tokens(lower(col("text"))), t => t =!= "").as("ts"))
+          .filter(size(col("ts")) >= 2)
+          .select(col("doc_id"), explode(zip_with(
+            slice(col("ts"), lit(1), size(col("ts")) - 1),
+            slice(col("ts"), lit(2), size(col("ts")) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("gram"))
+          .transform(graft.ops.Iterative.materialize) // feeds LM + probe
+        val lm = bigrams.groupBy("gram")
+          .agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= NgramMinCount)
+        bigrams.join(lm, Seq("gram"), "left")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_bigrams"),
+            sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_oov"),
+            sum(coalesce(col("cnt"), lit(0L))).as("hit_mass"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, list_filter(
+                   string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '),
+                   t -> t <> '') AS ts
+          FROM documents),
+        bi AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(ts)),
+                   i -> ts[i] || ' ' || ts[i + 1])) AS gram
+          FROM toks WHERE len(ts) >= 2),
+        lm AS (
+          SELECT gram, COUNT(*) AS cnt
+          FROM bi GROUP BY gram HAVING COUNT(*) >= $NgramMinCount)
+        SELECT bi.doc_id, COUNT(*) AS n_bigrams,
+               CAST(SUM(CASE WHEN lm.cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+               CAST(SUM(COALESCE(lm.cnt, 0)) AS BIGINT) AS hit_mass
+        FROM bi LEFT JOIN lm USING (gram)
+        GROUP BY bi.doc_id
+        ORDER BY bi.doc_id
+      """.trim),
+    ),
   )
 }
