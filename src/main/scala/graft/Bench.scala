@@ -63,8 +63,11 @@ object Bench {
         name -> (first +: rest)
       }
     val results = samples.map { case (name, ts) =>
-      val ok = ts.filter(_ >= 0)
-      name -> (if (ok.nonEmpty) ok.min else ts.head)
+      // any crashed sample marks the query failed — best-of-N is outlier
+      // armor for wall-clock noise, not amnesty for an intermittent crash
+      // (the negative sentinel's magnitude is the fastest attempt, so the
+      // line still carries a time-scale hint)
+      name -> (if (ts.exists(_ < 0)) -ts.map(math.abs).min else ts.min)
     }
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -24,9 +24,31 @@ private[graft] object Iterative {
     * reliable checkpoints rooted at this (cluster-visible) path. */
   val CheckpointDirKey = "spark.graft.checkpointDir"
 
+  // Plan-only mode: while set on the calling thread, materialize() is the
+  // identity — no checkpoint job runs. Query builders are invoked
+  // synchronously on the caller's thread, so the flag scopes exactly over
+  // one builder call. Used by schema-discovery paths (QueryServer column
+  // validation) that need the ANALYZED plan, never its data: an eager
+  // checkpoint there would execute the heavy stage on an HTTP handler
+  // thread, outside any cancellable job group (and the worker would then
+  // redo the same work). Never set this around code that will EXECUTE the
+  // returned frame — iterative ops rely on materialize for lineage
+  // truncation and stable sampled partition boundaries.
+  private val planOnlyFlag = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
+  /** Run `f` with every graft materialization point downgraded to a
+    * no-op on this thread (schema/plan inspection only). */
+  def planOnly[A](f: => A): A = {
+    val prev = planOnlyFlag.get
+    planOnlyFlag.set(java.lang.Boolean.TRUE)
+    try f finally planOnlyFlag.set(prev)
+  }
+
   /** Materialize one DataFrame under the session-configured policy. */
   def materialize(df: DataFrame): DataFrame =
-    materializer(df.sparkSession, None)(df)
+    if (planOnlyFlag.get) df else materializer(df.sparkSession, None)(df)
 
   /** Returns the per-round materializer. An explicit `checkpointDir`
     * wins; otherwise `spark.graft.checkpointDir` applies; otherwise
@@ -43,8 +65,8 @@ private[graft] object Iterative {
     checkpointDir.orElse(spark.conf.getOption(CheckpointDirKey)) match {
       case Some(dir) =>
         spark.sparkContext.setCheckpointDir(dir)
-        df => df.checkpoint(true)
+        df => if (planOnlyFlag.get) df else df.checkpoint(true)
       case None =>
-        df => df.localCheckpoint(true)
+        df => if (planOnlyFlag.get) df else df.localCheckpoint(true)
     }
 }

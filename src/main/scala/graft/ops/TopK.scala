@@ -56,4 +56,42 @@ object TopK {
   /** Untyped column function: `topKKeys(k)(score, key)` → "k1,k2,…". */
   def topKKeys(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(new TopKAgg(k))
+
+  /** String-keyed candidate: `score` (a count) ranks desc, `key` breaks
+    * ties asc — the (cnt, gram) shape of n-gram head selection. */
+  final case class ScoredStr(score: Long, key: String)
+
+  private val strOrder: Ordering[ScoredStr] =
+    Ordering.by((s: ScoredStr) => (-s.score, s.key))
+
+  private final class TopStrAgg(k: Int)
+      extends Aggregator[ScoredStr, List[ScoredStr], Seq[ScoredStr]] {
+    override def zero: List[ScoredStr] = Nil
+
+    private def insert(buf: List[ScoredStr], in: ScoredStr): List[ScoredStr] =
+      if (buf.lengthCompare(k) >= 0 && strOrder.gteq(in, buf.last)) buf
+      else (in :: buf).sorted(strOrder).take(k)
+
+    override def reduce(buf: List[ScoredStr], in: ScoredStr): List[ScoredStr] =
+      insert(buf, in)
+
+    override def merge(a: List[ScoredStr], b: List[ScoredStr]): List[ScoredStr] =
+      (a ++ b).sorted(strOrder).take(k)
+
+    /** The k winners in rank order — posexplode downstream recovers the
+      * 0-based rank without any window. */
+    override def finish(buf: List[ScoredStr]): Seq[ScoredStr] = buf
+
+    override def bufferEncoder: Encoder[List[ScoredStr]] =
+      ExpressionEncoder[List[ScoredStr]]()
+    override def outputEncoder: Encoder[Seq[ScoredStr]] =
+      ExpressionEncoder[Seq[ScoredStr]]()
+  }
+
+  /** Untyped column function: `topScoredStrings(k)(score, key)` →
+    * array<struct<score,key>> in (score desc, key asc) order. Same
+    * bounded-buffer cost model as [[topKKeys]]: ≤k rows per group leave
+    * each mapper, no WindowExec, no per-group full sort. */
+  def topScoredStrings(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new TopStrAgg(k))
 }

@@ -618,10 +618,33 @@ object CurationQueries {
         val tgt = w.crossJoin(broadcast(ws)) // one-row scalar
           .withColumn("target", expr("(total div 4) * wgt div wsum"))
           .select("source", "n_docs", "wgt", "target")
-        val ranked = docs.withColumn("rk",
-          row_number().over(Window.partitionBy("source")
-            .orderBy(md5(concat(lit("mix:"), col("doc_id").cast("string"))),
-              col("doc_id"))).cast("long"))
+        // two-phase per-source rank (cu12's bucket-prefix-sum shape):
+        // the md5 sort key's leading two hex chars split every source
+        // into 256 contiguous ranges of its per-source order, so
+        // rank = row_number within (source, bucket) + the bucket's
+        // per-source size prefix sum (a ≤256-rows-per-source broadcast).
+        // The naive Window.partitionBy("source") this replaces shuffles
+        // a whole source to ONE task and sorts it there — at 100 TB a
+        // dominant source is a single-task sort; here no task ever
+        // holds more than ~1/256 of one source.
+        val keyed = docs
+          .withColumn("sk",
+            md5(concat(lit("mix:"), col("doc_id").cast("string"))))
+          .withColumn("b", substring(col("sk"), 1, 2))
+        // prefix sum over bucket SIZES (≤256 rows per source), never data
+        val offs = keyed.groupBy(col("source"), col("b"))
+          .agg(count(lit(1)).as("bn"))
+          .withColumn("off",
+            coalesce(sum(col("bn")).over(
+              Window.partitionBy("source").orderBy("b")
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("source"), col("b"), col("off"))
+        val ranked = keyed
+          .withColumn("r", row_number().over(
+            Window.partitionBy(col("source"), col("b"))
+              .orderBy(col("sk"), col("doc_id"))))
+          .join(broadcast(offs), Seq("source", "b"))
+          .withColumn("rk", col("r").cast("long") + col("off"))
         val picked = ranked
           .join(broadcast(tgt.select("source", "target")), "source")
           .filter(col("rk") <= col("target"))

@@ -58,6 +58,7 @@ final class QueryServer(
     * page range reuse it (Query.getCanonicalId semantics). */
   def index(name: String, req: PageRequest): DataFrame = {
     val base = Registry.queries(name)(spark, sfDir)
+    columnsCache.putIfAbsent(name, base.columns)
     // validate the client-supplied sort field up front: spliced into
     // col() and the cache key below, a typo would otherwise only surface
     // as an AnalysisException deep inside the cache-build closure
@@ -76,12 +77,26 @@ final class QueryServer(
     }
   }
 
-  /** Fail fast on an unknown query name or sort column WITHOUT building
-    * anything — the synchronous validation an async submit needs before
-    * handing the expensive part to a worker (plan-only, no action). */
+  // column schemas discovered so far, one entry per query name (sfDir is
+  // fixed per server instance, so the name alone keys it)
+  private val columnsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+
+  /** Fail fast on an unknown query name or sort column — the synchronous
+    * validation an async submit needs before handing the expensive part
+    * to a worker. Column discovery builds the query's ANALYZED plan
+    * once per name under [[graft.ops.Iterative.planOnly]], so graft
+    * materialization points (eager checkpoints in the dedupe/LM
+    * builders) do NOT execute on the caller's thread; repeat validates
+    * are a map lookup. Builders with their own build-time actions
+    * (iterative convergence loops, staging writes) still pay that cost
+    * on first contact — same as any first page request. */
   def validate(name: String, req: PageRequest): Unit = {
     require(Registry.queries.contains(name), s"unknown query '$name'")
-    val cols = Registry.queries(name)(spark, sfDir).columns
+    val cols = columnsCache.computeIfAbsent(name,
+      _ => graft.ops.Iterative.planOnly {
+        Registry.queries(name)(spark, sfDir).columns
+      })
     require(cols.contains(req.sortBy),
       s"unknown sort column '${req.sortBy}' for query '$name'; " +
         s"expected one of ${cols.mkString(", ")}")

@@ -26,7 +26,8 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * so the library adds no dependency; production fronting (TLS, auth)
   * belongs on a reverse proxy, exactly like the reference's Jetty FE sat
   * behind the ops stack. */
-final class QueryServerHttp(server: QueryServer, port: Int = 0) {
+final class QueryServerHttp(server: QueryServer, port: Int = 0,
+    maxJobs: Int = QueryServerHttp.DefaultMaxJobs) {
 
   private val http =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -52,6 +53,8 @@ final class QueryServerHttp(server: QueryServer, port: Int = 0) {
   private def handle(ex: HttpExchange)(f: => String): Unit =
     try respond(ex, 200, f)
     catch {
+      case e: QueryServerHttp.TooManyJobsException =>
+        respond(ex, 429, s"""{"error":${jsonStr(e.getMessage)}}""")
       // bad request names / sort columns surface as require() or map
       // lookups — client errors, not server faults
       case e @ (_: IllegalArgumentException | _: NoSuchElementException) =>
@@ -114,7 +117,6 @@ final class QueryServerHttp(server: QueryServer, port: Int = 0) {
     val startedAt: Long = System.currentTimeMillis
   }
   private val jobs = new java.util.concurrent.ConcurrentHashMap[String, AsyncJob]()
-  private val MaxJobs = 256
   private val workers = java.util.concurrent.Executors.newFixedThreadPool(2)
 
   private def jobOf(path: String, prefix: String): AsyncJob = {
@@ -142,20 +144,32 @@ final class QueryServerHttp(server: QueryServer, port: Int = 0) {
     val name = ex.getRequestURI.getPath.stripPrefix("/submit/")
     val req = reqOf(params(ex))
     server.validate(name, req) // 400 now, not a failed job later
-    // bound the ledger: drop the oldest terminal jobs beyond the cap
-    if (jobs.size > MaxJobs) {
+    // bound the ledger: drop the oldest terminal jobs beyond the cap,
+    // and REFUSE new work while MaxJobs jobs are still non-terminal —
+    // otherwise a submit burst grows both the map and the executor's
+    // unbounded queue without limit (the advertised bound must hold even
+    // though the bind is loopback-only)
+    if (jobs.size >= maxJobs) {
       import scala.jdk.CollectionConverters._
       jobs.entrySet.asScala.toSeq
         .filter(e => e.getValue.status.get != "running")
         .sortBy(_.getValue.startedAt)
-        .take(jobs.size - MaxJobs)
+        .take(jobs.size - (maxJobs - 1))
         .foreach(e => jobs.remove(e.getKey))
     }
+    if (jobs.size >= maxJobs)
+      throw new QueryServerHttp.TooManyJobsException(
+        s"too many in-flight jobs (cap $maxJobs); retry after polling " +
+          "existing jobs to completion")
     val id = java.util.UUID.randomUUID.toString
     val job = new AsyncJob(name)
     jobs.put(id, job)
     workers.submit(new Runnable {
       override def run(): Unit = {
+        // a cancel that landed while this job sat in the worker queue
+        // already CASed it terminal — honor it instead of building the
+        // whole page only to discard the result
+        if (job.status.get != "running") return
         val sc = server.spark.sparkContext
         sc.setJobGroup(id, s"graft async $name", interruptOnCancel = true)
         try {
@@ -207,4 +221,11 @@ object QueryServerHttp {
   /** Upper bound on one page: keeps a single response's driver-side
     * collect O(MaxPageSize) no matter what the client asks for. */
   val MaxPageSize: Int = 10000
+
+  /** Default in-flight job cap (ledger + worker-queue bound). */
+  val DefaultMaxJobs: Int = 256
+
+  /** Submit refused because maxJobs jobs are still non-terminal → 429. */
+  private[queries] final class TooManyJobsException(msg: String)
+      extends RuntimeException(msg)
 }

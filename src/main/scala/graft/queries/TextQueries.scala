@@ -310,15 +310,21 @@ object TextQueries {
             slice(col("ts"), lit(2), size(col("ts")) - 1),
             (a, b) => concat(a, lit(" "), b))).as("gram"))
           .withColumn("n", lit(2L))
+        // per-n head via the bounded-heap aggregator, not a window: a
+        // Window.partitionBy(n) would sort EVERY pruned gram of an n on
+        // one task (10^7-10^8 survivors at corpus scale); the heap ships
+        // ≤ NgramTop rows per n per mapper and posexplode recovers the
+        // rank from the buffer's order
         uni.unionByName(bi)
           .groupBy(col("n"), col("gram"))
           .agg(count(lit(1)).as("cnt"))
           .filter(col("cnt") >= NgramMinCount)
-          .withColumn("pos", row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("n"))
-              .orderBy(col("cnt").desc, col("gram"))).cast("long"))
-          .filter(col("pos") <= NgramTop)
-          .select(col("n"), col("pos"), col("gram"), col("cnt"))
+          .groupBy(col("n"))
+          .agg(graft.ops.TopK.topScoredStrings(NgramTop)(
+            col("cnt"), col("gram")).as("top"))
+          .select(col("n"), posexplode(col("top")))
+          .select(col("n"), (col("pos") + 1).cast("long").as("pos"),
+            col("col.key").as("gram"), col("col.score").as("cnt"))
           .orderBy("n", "pos")
       },
       Some(s"""

@@ -66,6 +66,33 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Window"), s"w5 fell back to a window sort:\n$p")
   }
 
+  test("cu13 mix selection never window-sorts a whole source") {
+    val p = plan("cu13_temperature_mix")
+    // every row_number window must be bucket-partitioned (source, b):
+    // a source-only partition shuffles a whole source to one task and
+    // sorts it there — the single-task-sort cost model TopK's scaladoc
+    // warns about. The bucket column immediately follows source in the
+    // PARTITION list (a trailing comma separates it from the ORDER BY
+    // keys; the offs prefix-sum window instead ORDERS by b — "b#N ASC" —
+    // and aggregates ≤256 rows per source, which is fine).
+    val specs = """row_number\(\) windowspecdefinition\(([^)]*)""".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, s"no row_number window found in:\n$p")
+    specs.foreach { s =>
+      assert("""source#\d+, b#\d+,""".r.findFirstIn(s).isDefined,
+        s"row_number window not bucket-partitioned: $s\n$p")
+    }
+  }
+
+  test("t9 n-gram head runs as a bounded heap, not a per-n window") {
+    val p = plan("t9_ngram_counts")
+    // a Window.partitionBy(n) head would sort every pruned gram of an n
+    // on ONE task; the heap aggregate ships ≤ top-k rows per n per mapper
+    assert(!p.contains("Window"), s"t9 fell back to a window sort:\n$p")
+    val objAggs = "ObjectHashAggregate".r.findAllIn(p).size
+    assert(objAggs >= 2, s"expected partial+final ObjectHashAggregate, got:\n$p")
+  }
+
   test("two-phase exact distinct carries no Expand and pre-aggregates both phases") {
     val p = plan("cu4_twophase_distinct")
     // the whole point of the rewrite: no count_distinct Expand, and each

@@ -120,4 +120,22 @@ class QueryServerHttpSpec extends AnyFunSuite with SparkSuite {
       }
     } finally fe.stop()
   }
+
+  test("submit refuses new work at the in-flight cap with 429; sync paths unaffected") {
+    val cacheDir = java.nio.file.Files.createTempDirectory("qhttp_cap").toString
+    val server = new QueryServer(spark, cacheDir, sfDir)
+    // cap 0: the refusal path itself, with no timing dependence on how
+    // fast the worker drains (a real cap rejects identically once
+    // maxJobs jobs are non-terminal)
+    val fe = new QueryServerHttp(server, maxJobs = 0)
+    val port = fe.start()
+    try {
+      val name = "w3_dual_sort"
+      val sortBy = Registry.queries(name)(spark, sfDir).columns.head
+      val (code, body) = get(port, s"/submit/$name?sortBy=$sortBy")
+      assert(code == 429 && body.contains("in-flight"), s"$code $body")
+      // the cap bounds the ASYNC ledger only — synchronous pages still serve
+      assert(get(port, s"/query/$name?sortBy=$sortBy&pageSize=2")._1 == 200)
+    } finally fe.stop()
+  }
 }

@@ -30,6 +30,32 @@ class TopKSpec extends AnyFunSuite with SparkSuite {
     assert(heap == win)
   }
 
+  test("string-keyed heap matches window row_number semantics with ranks") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val words = (1 to 3000).map(i => (i % 2 + 1, s"w${rnd.nextInt(40)}"))
+    val counts = words.toDF("n", "gram")
+      .groupBy($"n", $"gram").agg(count(lit(1)).as("cnt"))
+
+    val heap = counts.groupBy($"n")
+      .agg(TopK.topScoredStrings(5)($"cnt", $"gram").as("top"))
+      .select($"n", posexplode($"top"))
+      .select($"n", ($"pos" + 1).as("pos"), $"col.key".as("gram"),
+        $"col.score".as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .toSet
+
+    val w = Window.partitionBy($"n").orderBy($"cnt".desc, $"gram".asc)
+    val win = counts.withColumn("pos", row_number().over(w))
+      .filter($"pos" <= 5)
+      .select($"n", $"pos", $"gram", $"cnt")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .toSet
+
+    assert(heap == win)
+  }
+
   test("groups smaller than k return all members in rank order") {
     import spark.implicits._
     val df = Seq(("a", 1.0, 10L), ("a", 3.0, 11L), ("b", 2.0, 20L))
