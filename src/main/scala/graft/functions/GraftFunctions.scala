@@ -231,6 +231,43 @@ object GraftFunctions {
     filter(all, s => s.getField("url").isNotNull && s.getField("url") =!= "")
   }
 
+  /** Feed-link extraction from raw Atom/RSS markup as
+    * `array<struct<scope,rel,url>>` — the reference's link emitter
+    * handles feed sources beside HTML, emitting the channel-level link
+    * and each item/entry link (LinkGraphDataEmitter.java:201
+    * emitLinksFromAtomContent, :273 emitLinksFromRSSContent; its
+    * "alternate"-rel filter maps to the `rel` field here, with a missing
+    * Atom rel defaulting to "alternate" per the Atom spec). Atom links
+    * are `<link href=…/>` attributes; RSS links are `<link>` element
+    * TEXT. `scope` is "channel" for links outside any `<entry>`/`<item>`
+    * block, "item" inside one — the distinction the reference counts
+    * separately (GOT_TOP_LEVEL_LINK vs GOT_ITEM_LINK). Relative URLs are
+    * NOT resolved here — pair with [[resolveUrl]] against the fetch URL. */
+  def extractFeedLinks(xml: Column): Column = {
+    val cleaned = regexp_replace(xml, "(?s)<!--.*?-->", " ")
+    val itemBlockRe = "(?is)<(?:entry|item)[\\s>].*?</(?:entry|item)\\s*>"
+    val items = regexp_extract_all(cleaned, lit(itemBlockRe), lit(0))
+    val channel = regexp_replace(cleaned, itemBlockRe, " ")
+    // Atom form: self-closing <link …/> carrying href (+ optional rel)
+    def atomLinks(block: Column) = transform(
+      regexp_extract_all(block, lit("(?i)<link\\b[^>]*>"), lit(0)),
+      t => struct(
+        coalesce(attrValue(t, "rel"), lit("alternate")).as("rel"),
+        decodeEntities(attrValue(t, "href")).as("url")))
+    // RSS form: <link>URL</link> element text (no attributes, no rel)
+    def rssLinks(block: Column) = transform(
+      regexp_extract_all(block, lit("(?is)<link\\s*>\\s*([^<]*?)\\s*</link\\s*>"), lit(1)),
+      u => struct(lit("alternate").as("rel"), decodeEntities(u).as("url")))
+    def scoped(scope: String, links: Column) = transform(links, s =>
+      struct(lit(scope).as("scope"), s.getField("rel").as("rel"),
+        s.getField("url").as("url")))
+    val all = concat(
+      scoped("channel", concat(atomLinks(channel), rssLinks(channel))),
+      flatten(transform(items, b =>
+        scoped("item", concat(atomLinks(b), rssLinks(b))))))
+    filter(all, s => s.getField("url").isNotNull && s.getField("url") =!= "")
+  }
+
   private val resolveF = (base: String, ref: String) =>
     if (base == null) ref else Urls.resolve(base, ref)
   private val resolveUdf = udf(resolveF)

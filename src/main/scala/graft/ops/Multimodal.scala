@@ -64,6 +64,89 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  // --- real public-format image headers -----------------------------
+  // The codec gap the stub above documents is narrower than "no media
+  // support": container METADATA (dimensions, format) lives in the first
+  // few bytes of every public image format and needs no codec library —
+  // the same magic-byte header walk ArcFileReader does over archive
+  // member headers. Payload DECODE (pixels) remains out of scope.
+
+  val ImageMetaSchema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+  ))
+
+  /** Parse format + dimensions from real image container bytes:
+    * PNG (IHDR width/height, RFC 2083 §3.1), JPEG (first SOFn segment's
+    * lines/samples, ITU T.81 §B.2.2 — marker walk over variable-length
+    * segments), GIF87a/89a (logical screen descriptor, LE uint16).
+    * Unknown/truncated input → ("unknown", -1, -1), never a throw: at
+    * corpus scale malformed bytes are data, not errors. */
+  def parseImageHeader(b: Array[Byte]): (String, Int, Int) = {
+    def u8(i: Int) = b(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    if (b.length >= 24 && u8(0) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+        b(3) == 'G' && new String(b, 12, 4, "US-ASCII") == "IHDR")
+      ("png", be32(16), be32(20))
+    else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      ("gif", le16(6), le16(8))
+    else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // walk FF-marker segments to the first frame header: SOF0-SOF15
+      // are 0xC0-0xCF minus DHT (C4), JPG (C8), DAC (CC)
+      var i = 2
+      while (i + 9 <= b.length && u8(i) == 0xff) {
+        val m = u8(i + 1)
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+          return ("jpeg", be16(i + 7), be16(i + 5))
+        i += 2 + be16(i + 2)
+      }
+      ("jpeg", -1, -1)
+    } else ("unknown", -1, -1)
+  }
+
+  /** Real-format decode over the SAME per-partition batch seam as
+    * [[decodeHeaderStub]]: (id, media) → (id, format, width, height). */
+  def decodeImageHeaders(df: DataFrame, id: String, media: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(
+      StructField("id", LongType, nullable = false) +: ImageMetaSchema.fields.toSeq)
+    val rdd = df.select(col(id).cast("long"), col(media)).rdd.mapPartitions { it =>
+      it.map { r =>
+        val (fmt, w, h) = parseImageHeader(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), fmt, w, h)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Synthesize real image container bytes (PNG through IHDR, JPEG
+    * SOI‖APP0‖SOF0‖EOI, GIF89a screen descriptor) from computed
+    * dimensions — pure column expressions (hex text → unhex), so the
+    * synthesis stays in the scan projection and an oracle can re-derive
+    * the dimensions analytically. Dimensions must fit uint16 (the
+    * JPEG/GIF field width); formatSel: 0=png, 1=jpeg, 2=gif. */
+  def packImage(formatSel: Column, width: Column, height: Column): Column = {
+    val w16 = lpad(hex(width.cast("long")), 4, "0")
+    val h16 = lpad(hex(height.cast("long")), 4, "0")
+    val w32 = lpad(hex(width.cast("long")), 8, "0")
+    val h32 = lpad(hex(height.cast("long")), 8, "0")
+    def le(x: Column) = concat(substring(x, 3, 2), substring(x, 1, 2))
+    val png = concat(
+      lit("89504E470D0A1A0A" + "0000000D" + "49484452"), w32, h32,
+      lit("0806000000")) // bit depth 8, RGBA, deflate, adaptive, no interlace
+    val jpeg = concat(
+      lit("FFD8" + "FFE00004" + "4A46" + "FFC0000B08"), h16, w16,
+      lit("01011100" + "FFD9")) // 1 component (4:4:4), then EOI
+    val gif = concat(
+      lit("474946383961"), le(w16), le(h16),
+      lit("F7000000")) // GCT flags + background + aspect
+    unhex(when(formatSel === 0, png).when(formatSel === 1, jpeg).otherwise(gif))
+  }
+
   /** Feature extraction: a 16-bin histogram over the payload bytes' high
     * nibbles, L1-normalized — ONE pass over the raw bytes via the
     * codegen'd `nibble_hist16` native expression (true byte counts, no

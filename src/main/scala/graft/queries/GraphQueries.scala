@@ -397,5 +397,64 @@ object GraphQueries {
         ORDER BY host
       """.trim),
     ),
+    // g8: feed-link graph from raw Atom/RSS bytes — the g7 shape for the
+    // few-percent of a crawl corpus that is feed XML, not HTML (the
+    // reference's emitter branches on source type the same way:
+    // LinkGraphDataEmitter.java:201/:273). Each doc synthesizes a real
+    // feed (even doc_id → Atom with href attributes + a rel="self" link
+    // the alternate filter must DROP; odd → RSS with element-text links),
+    // item links are RELATIVE and resolve against the fetch URL, and the
+    // result is the per-host inlink rollup. A scope bug, a missed rel
+    // default, an unfiltered self link, or a broken RFC 3986 resolve all
+    // change the host histogram.
+    Q(
+      "g8_feed_linkgraph",
+      (s, dir) => {
+        val F = graft.functions.GraftFunctions
+        val id = col("doc_id").cast("string")
+        val a = (col("doc_id") % 13).cast("string")
+        val f = (col("doc_id") % 11).cast("string")
+        val atom = concat(
+          lit("<feed xmlns=\"http://www.w3.org/2005/Atom\">" +
+            "<link rel=\"self\" href=\"sub/self.xml\"/>" +
+            "<link rel=\"alternate\" href=\"http://asite"), a,
+          lit(".example.org/\"/><entry><title>e1</title><link href=\"/p/"), id,
+          lit("\"/></entry><entry><link href='item2.html'/></entry></feed>"))
+        val rss = concat(
+          lit("<rss version=\"2.0\"><channel><title>c</title>" +
+            "<link>http://rsite"), a,
+          lit(".example.org/</link><item><link> /p/"), id,
+          lit(" </link></item><item><link>item2.html</link></item>" +
+            "</channel></rss>"))
+        val base = concat(lit("http://feed"), f, lit(".example.com/dir/feed.xml"))
+        Registry.table(s, dir, "documents")
+          .select(col("doc_id"),
+            when(col("doc_id") % 2 === 0, atom).otherwise(rss).as("xml"),
+            base.as("base"))
+          .select(col("doc_id"), col("base"),
+            explode(F.extractFeedLinks(col("xml"))).as("l"))
+          .filter(col("l.rel") === "alternate")
+          .select(col("doc_id"),
+            F.urlHost(F.resolveUrl(col("base"), col("l.url"))).as("host"))
+          .groupBy("host")
+          .agg(count(lit(1)).as("n_links"),
+            count_distinct(col("doc_id")).as("n_src_docs"))
+          .orderBy("host")
+      },
+      Some("""
+        SELECT host, COUNT(*) AS n_links, COUNT(DISTINCT doc_id) AS n_src_docs
+        FROM (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0 THEN 'asite' ELSE 'rsite' END
+                   || CAST(doc_id % 13 AS VARCHAR) || '.example.org' AS host
+          FROM documents
+          UNION ALL
+          SELECT doc_id, 'feed' || CAST(doc_id % 11 AS VARCHAR) || '.example.com' FROM documents
+          UNION ALL
+          SELECT doc_id, 'feed' || CAST(doc_id % 11 AS VARCHAR) || '.example.com' FROM documents)
+        GROUP BY host
+        ORDER BY host
+      """.trim),
+    ),
   )
 }

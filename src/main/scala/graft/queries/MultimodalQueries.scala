@@ -136,5 +136,38 @@ object MultimodalQueries {
         ORDER BY doc_id
       """.trim),
     ),
+    // m5: REAL public-format media metadata — pack actual PNG/JPEG/GIF
+    // container bytes from computed dimensions, then round-trip them
+    // through the magic-byte header parser (ops.Multimodal
+    // .parseImageHeader: PNG IHDR, JPEG SOFn marker walk, GIF screen
+    // descriptor) in the same mapPartitions batch seam as m2. The oracle
+    // re-derives the dimensions analytically, so a wrong byte layout OR
+    // a wrong parse breaks the hash — this closes the "codec stub only"
+    // gap for header-level metadata (pixel decode stays out of scope).
+    Q(
+      "m5_real_media_meta",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val w = (col("doc_id") % 1897 + 16).cast("int")
+        val h = (col("doc_id") % 1061 + 9).cast("int")
+        val img = Multimodal.packImage(col("doc_id") % 3, w, h)
+        val packed = docs.select(col("doc_id"), img.as("media"))
+        Multimodal.decodeImageHeaders(packed, "doc_id", "media")
+          .select(
+            col("id").as("doc_id"),
+            col("format"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+               (doc_id % 1897 + 16)::BIGINT AS width,
+               (doc_id % 1061 + 9)::BIGINT AS height
+        FROM documents
+        ORDER BY doc_id
+      """.trim),
+    ),
   )
 }

@@ -34,6 +34,47 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("real image header parse: PNG IHDR, JPEG SOFn marker walk, GIF LSD") {
+    def hx(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // a real 1×1 PNG file prefix (signature + IHDR chunk)
+    assert(Multimodal.parseImageHeader(hx(
+      "89504E470D0A1A0A 0000000D 49484452 00000001 00000001 08 06 00 00 00"))
+      == (("png", 1, 1)))
+    // baseline JPEG: APP0(JFIF) then SOF0 320×240
+    assert(Multimodal.parseImageHeader(hx(
+      "FFD8 FFE00010 4A46494600010101004800480000 FFC0000B 08 00F0 0140 01 011100 FFD9"))
+      == (("jpeg", 320, 240)))
+    // progressive JPEG: the walk must skip DQT and DHT (C4 is NOT a SOF)
+    // and land on SOF2
+    assert(Multimodal.parseImageHeader(hx(
+      "FFD8 FFDB0005 010203 FFC40005 010203 FFC2000B 08 0010 0020 01 011100 FFD9"))
+      == (("jpeg", 32, 16)))
+    // GIF87a and GIF89a, little-endian uint16 dims
+    assert(Multimodal.parseImageHeader(hx("474946383761 4001 F000 F7 00 00"))
+      == (("gif", 320, 240)))
+    assert(Multimodal.parseImageHeader(hx("474946383961 0502 0301 F7 00 00"))
+      == (("gif", 517, 259)))
+    // malformed inputs are data, not errors
+    assert(Multimodal.parseImageHeader(hx("FFD8 FFDA0002"))._2 == -1) // no SOF
+    assert(Multimodal.parseImageHeader("notanimage".getBytes("UTF-8"))._1 == "unknown")
+    assert(Multimodal.parseImageHeader(Array[Byte]())._1 == "unknown")
+  }
+
+  test("packImage synthesizes bytes the real parser round-trips") {
+    import spark.implicits._
+    val df = Seq((0L, 16, 9), (1L, 1897, 1061), (2L, 65535, 65535), (3L, 1, 1))
+      .toDF("id", "w", "h")
+      .select(col("id"), Multimodal.packImage(col("id") % 3, col("w"), col("h")).as("media"),
+        col("w"), col("h"))
+    val got = Multimodal.decodeImageHeaders(df, "id", "media")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(got(0L) == (("png", 16, 9)))
+    assert(got(1L) == (("jpeg", 1897, 1061)))
+    assert(got(2L) == (("gif", 65535, 65535)))
+    assert(got(3L) == (("png", 1, 1)))
+  }
+
   test("byte histogram feature vector: 16 bins, L1-normalized") {
     import spark.implicits._
     val df = Seq((1L, "abc"), (2L, "zzzz")).toDF("id", "text")

@@ -243,6 +243,36 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkSuite {
     assert(got.toSeq == cases.map(_._2))
   }
 
+  test("feed-link extraction: Atom attrs vs RSS element text, scope, rel default") {
+    import spark.implicits._
+    val atom =
+      """<feed xmlns="http://www.w3.org/2005/Atom">
+        |<link rel="self" href="http://h/atom.xml"/>
+        |<link rel="alternate" href="http://h/site/"/>
+        |<!-- <link rel="alternate" href="http://commented.out/"/> -->
+        |<entry><link href="http://h/e1"/><title>t</title></entry>
+        |<entry><link rel="enclosure" href="http://h/e2.mp3"/></entry>
+        |</feed>""".stripMargin
+    val rss =
+      """<rss version="2.0"><channel><title>c</title>
+        |<link>http://h/rsite/</link>
+        |<item><link> http://h/i1 </link><guid>g</guid></item>
+        |<item><description>no link</description></item>
+        |</channel></rss>""".stripMargin
+    val got = Seq((1L, atom), (2L, rss)).toDF("id", "xml")
+      .select(col("id"), explode(GraftFunctions.extractFeedLinks(col("xml"))).as("l"))
+      .select(col("id"), col("l.scope"), col("l.rel"), col("l.url"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(got == Set(
+      (1L, "channel", "self", "http://h/atom.xml"),
+      (1L, "channel", "alternate", "http://h/site/"),
+      (1L, "item", "alternate", "http://h/e1"), // missing rel defaults
+      (1L, "item", "enclosure", "http://h/e2.mp3"),
+      (2L, "channel", "alternate", "http://h/rsite/"),
+      (2L, "item", "alternate", "http://h/i1"))) // text trimmed
+  }
+
   test("native expressions run inside whole-stage codegen") {
     // parquet-backed input so the projection cannot constant-fold away
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
