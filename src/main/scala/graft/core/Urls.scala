@@ -202,13 +202,22 @@ object Urls {
   private val UrlRe =
     "^([a-zA-Z][a-zA-Z0-9+.-]*)://(?:([^/?#@]*)@)?([^/?#:]*)(?::([0-9]*))?([^?#]*)(?:\\?([^#]*))?(?:#(.*))?$".r
 
+  /** IDN host → punycode ASCII form (googleurl canonicalizes non-ASCII
+    * hosts the same way; RFC 3490 via the JDK). Unconvertible input
+    * passes through — malformed hosts are data at crawl scale. */
+  private def punycode(host: String): String =
+    if (host.forall(_ < 128)) host
+    else scala.util.Try(
+      java.net.IDN.toASCII(host, java.net.IDN.ALLOW_UNASSIGNED).toLowerCase)
+      .getOrElse(host)
+
   def parse(url: String): Option[ParsedUrl] = url match {
     case null => None
     case UrlRe(scheme, user, host, port, path, query, ref) if host != null && host.nonEmpty =>
       Some(ParsedUrl(
         scheme.toLowerCase,
         Option(user).getOrElse(""),
-        host.toLowerCase.stripSuffix("."),
+        punycode(host.toLowerCase.stripSuffix(".")),
         Option(port).filter(_.nonEmpty).map(_.toInt).getOrElse(-1),
         Option(path).getOrElse(""),
         Option(query).getOrElse(""),
@@ -217,7 +226,58 @@ object Urls {
     case _ => None
   }
 
-  /** Canonical form usable as the identity of a URL. Null for invalid URLs. */
+  private def isHexDigit(c: Char) =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
+  private val UnreservedChars: Set[Char] =
+    (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9')).toSet ++ Set('-', '.', '_', '~')
+
+  /** googleurl-style percent-encoding normalization of a path/query
+    * section: an escape of an UNRESERVED char decodes (%7E → ~), any
+    * other escape uppercases its hex (%3c → %3C), a raw space encodes
+    * (→ %20), and a stray '%' not opening a valid escape becomes %25.
+    * Decoding runs before dot-segment removal so %2E-spelled dots
+    * participate in it, as they do in googleurl. */
+  private def normalizeEscapes(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          isHexDigit(s.charAt(i + 1)) && isHexDigit(s.charAt(i + 2))) {
+        val v = Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar
+        if (UnreservedChars.contains(v)) sb.append(v)
+        else sb.append('%')
+          .append(Character.toUpperCase(s.charAt(i + 1)))
+          .append(Character.toUpperCase(s.charAt(i + 2)))
+        i += 3
+      } else if (c == '%') { sb.append("%25"); i += 1 }
+      else if (c == ' ') { sb.append("%20"); i += 1 }
+      else if (c > 127) {
+        // raw non-ASCII: UTF-8 percent-encode the full code point
+        val end = if (Character.isHighSurrogate(c) && i + 1 < s.length) i + 2 else i + 1
+        s.substring(i, end).getBytes("UTF-8")
+          .foreach(b => sb.append(f"%%${b & 0xff}%02X"))
+        i = end
+      }
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Scheme default ports (url_canon's per-scheme defaults). */
+  private val DefaultPorts = Map(
+    "http" -> 80, "ws" -> 80, "https" -> 443, "wss" -> 443, "ftp" -> 21)
+
+  /** Canonical form usable as the identity of a URL. Null for invalid
+    * URLs. Follows the reference's assembly (URLUtils.canonicalizeURL:
+    * scheme://[user[:pass]@]host[:port]path-cut-at-';'[?query], session
+    * ids stripped, ref kept only for #! hashbangs) over googleurl's
+    * component canonicalization (IDN→punycode in [[parse]], escape
+    * normalization, dot-segment removal, empty path → "/", default and
+    * port-80 stripping — the reference drops :80 for EVERY scheme, not
+    * just http: URLUtils.java:114 compares the port string to "80"
+    * unconditionally; kept bit-for-bit for fingerprint parity). */
   def canonicalize(url: String, stripWww: Boolean = true): String = {
     parse(url) match {
       case None => null
@@ -231,10 +291,14 @@ object Urls {
         sb.append(u.scheme).append("://")
         if (u.userInfo.nonEmpty) sb.append(u.userInfo).append('@')
         sb.append(host)
-        if (u.port > 0 && u.port != 80) sb.append(':').append(u.port)
+        if (u.port > 0 && u.port != 80 &&
+            !DefaultPorts.get(u.scheme).contains(u.port))
+          sb.append(':').append(u.port)
         val semi = u.path.indexOf(';')
-        sb.append(if (semi >= 0) u.path.substring(0, semi) else u.path)
-        if (u.query.nonEmpty) sb.append('?').append(u.query)
+        val rawPath = if (semi >= 0) u.path.substring(0, semi) else u.path
+        val path = removeDotSegments(normalizeEscapes(rawPath))
+        sb.append(if (path.isEmpty) "/" else path)
+        if (u.query.nonEmpty) sb.append('?').append(normalizeEscapes(u.query))
         var out = stripSessionIds(sb.toString)
         if (u.ref.nonEmpty && u.ref.charAt(0) == '!') out += "#" + u.ref
         out
