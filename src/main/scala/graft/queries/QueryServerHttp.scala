@@ -18,7 +18,9 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *       → {"count": N} (row-group metadata read, no data scan)
   *   GET /submit/<name>?…   → {"id":…} async page build under a job group
   *   GET /status/<id>       → status + task-level progress (heartbeat)
-  *   GET /result/<id>       → the page JSON once status is "done"
+  *   GET /result/<id>[?offset=N&pageSize=N] → the submit-time page once
+  *       status is "done"; explicit paging params browse any page of the
+  *       cached positional index without re-running the query
   *   GET /cancel/<id>       → cooperative cancellation via cancelJobGroup
   *
   * JSON rendering rides DataFrame.toJSON (schema-aware, correct escaping)
@@ -110,7 +112,7 @@ final class QueryServerHttp(server: QueryServer, port: Int = 0,
   // id, and cancel maps to cancelJobGroup — Spark's cooperative task
   // interruption, the cluster analog of the reference's cancel flag.
 
-  private final class AsyncJob(val name: String) {
+  private final class AsyncJob(val name: String, val req: server.PageRequest) {
     val status = new java.util.concurrent.atomic.AtomicReference[String]("running")
     @volatile var result: String = _
     @volatile var error: String = _
@@ -162,7 +164,7 @@ final class QueryServerHttp(server: QueryServer, port: Int = 0,
         s"too many in-flight jobs (cap $maxJobs); retry after polling " +
           "existing jobs to completion")
     val id = java.util.UUID.randomUUID.toString
-    val job = new AsyncJob(name)
+    val job = new AsyncJob(name, req)
     jobs.put(id, job)
     workers.submit(new Runnable {
       override def run(): Unit = {
@@ -191,10 +193,25 @@ final class QueryServerHttp(server: QueryServer, port: Int = 0,
     statusJson(id, jobOf(ex.getRequestURI.getPath, "/status/"))
   })
 
+  // /result/<id> returns the page built at submit time; with explicit
+  // offset/pageSize params it serves ANY page of the completed query
+  // instead — the submit-time work cached the positional index, so a
+  // different page is a pos-range-pruned read of that cache, never a
+  // re-execution (the reference's cache-then-paginate protocol: run the
+  // query once, browse the indexed result page by page, §3.1 step 9).
   http.createContext("/result/", (ex: HttpExchange) => handle(ex) {
     val j = jobOf(ex.getRequestURI.getPath, "/result/")
     require(j.status.get == "done", s"job is ${j.status.get}, not done")
-    j.result
+    val p = params(ex)
+    if (p.contains("offset") || p.contains("pageSize")) {
+      val req = j.req.copy(
+        offset = p.get("offset").map(_.toLong).getOrElse(j.req.offset),
+        pageSize = p.get("pageSize").map(_.toInt).getOrElse(j.req.pageSize))
+      require(req.offset >= 0, s"offset must be >= 0, got ${req.offset}")
+      require(req.pageSize >= 1 && req.pageSize <= QueryServerHttp.MaxPageSize,
+        s"pageSize must be in [1, ${QueryServerHttp.MaxPageSize}], got ${req.pageSize}")
+      server.page(j.name, req).toJSON.collect().mkString("[", ",", "]")
+    } else j.result
   })
 
   http.createContext("/cancel/", (ex: HttpExchange) => handle(ex) {

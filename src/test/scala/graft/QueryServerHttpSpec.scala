@@ -103,6 +103,18 @@ class QueryServerHttpSpec extends AnyFunSuite with SparkSuite {
         .toJSON.collect().mkString("[", ",", "]")
       assert(rBody == want)
 
+      // browse a DIFFERENT page of the finished job against the cached
+      // index (no re-execution): explicit offset/pageSize on /result
+      val (pCode, pBody) = get(port, s"/result/$id?offset=0&pageSize=2")
+      assert(pCode == 200)
+      val wantP0 = server
+        .page(name, server.PageRequest(sortBy, ascending = false,
+          offset = 0, pageSize = 2))
+        .toJSON.collect().mkString("[", ",", "]")
+      assert(pBody == wantP0)
+      assert(get(port, s"/result/$id?pageSize=0")._1 == 400)
+      assert(get(port, s"/result/$id?offset=-1")._1 == 400)
+
       // result before done / after cancel is a client error
       val (s2Code, s2Body) = get(port, s"/submit/$name?sortBy=$sortBy")
       assert(s2Code == 200)
