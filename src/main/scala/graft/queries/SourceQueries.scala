@@ -59,6 +59,46 @@ object SourceQueries {
       """.stripMargin.trim),
     ),
 
+    // S2 extension: WARC (ISO 28500) write → read round trip through the
+    // graft-warc DataSource V2 — the format the reference's corpus ships
+    // in today (the reference itself predates WARC and writes ARC,
+    // util/ArcFileWriter.java:77; same member-seekable layout). Each
+    // document goes out as a `response` record wrapping a real HTTP
+    // message; the reader must re-split the envelope, so `http_status`,
+    // `mime_type` and the payload hash all verify the block round trip
+    // AND the HTTP parse against an oracle that never sees WARC bytes.
+    Q(
+      "s10_warc_roundtrip",
+      (s, dir) => {
+        val out = stage("s10")
+        val httpHead = "HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=UTF-8\r\n\r\n"
+        Registry.table(s, dir, "documents")
+          .filter(col("doc_id") % 11 === 0)
+          .select(
+            concat(lit("http://"), col("source"), lit("/doc/"),
+              col("doc_id").cast("string")).as("url"),
+            lit("response").as("warc_type"),
+            lit("2026-01-02T03:04:05Z").as("warc_date"),
+            lit("application/http; msgtype=response").as("content_type"),
+            lit("10.0.0.1").as("ip"),
+            concat(lit(httpHead).cast("binary"),
+              col("text").cast("binary")).as("content"))
+          .write.format("graft-warc").mode("append").save(out)
+        s.read.format("graft-warc").load(out)
+          .filter(col("warc_type") === "response")
+          .select(col("url"), col("length"), col("http_status"),
+            col("mime_type"), md5(col("payload")).as("payload_md5"))
+      },
+      Some(s"""
+        SELECT 'http://' || source || '/doc/' || CAST(doc_id AS VARCHAR) AS url,
+               CAST(strlen(text) + ${"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=UTF-8\r\n\r\n".length} AS BIGINT) AS length,
+               200 AS http_status,
+               'text/plain' AS mime_type,
+               md5(text) AS payload_md5
+        FROM documents WHERE doc_id % 11 = 0
+      """.stripMargin.trim),
+    ),
+
     // S6: delta+Rice posting-list codec round trip (reference
     // util/RiceCoding.java:25 via util/CompressedURLFPListV2.java:58's
     // sorted-id-list layout). Encode each customer's sorted order-key list,

@@ -113,8 +113,9 @@ final case class ArcScan(
     options: CaseInsensitiveStringMap,
     required: StructType,
     pushed: Array[Filter],
-) extends Scan with Batch with SupportsReportStatistics {
+) extends Scan with Batch with SupportsReportStatistics with ArchiveStreamScan {
 
+  override def formatName: String = "graft-arc"
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -163,7 +164,7 @@ final case class ArcScan(
     readerFactory()
 
   /** Shared by the batch and micro-batch paths. */
-  private[v2] def readerFactory(): PartitionReaderFactory =
+  override def readerFactory(): PartitionReaderFactory =
     ArcReaderFactory(
       new SerializableConfiguration(hadoopConf),
       required.fieldNames,
@@ -172,7 +173,7 @@ final case class ArcScan(
     )
 
   /** Current sorted file listing, for the streaming offset model. */
-  private[v2] def listFilesForStream(): Seq[FileStatus] = listFiles()
+  override def listFilesForStream(): Seq[FileStatus] = listFiles()
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =

@@ -33,7 +33,16 @@ final case class ArcStreamOffset(lastFile: String) extends Offset {
   }
 }
 
-final class ArcMicroBatchStream(scan: ArcScan) extends MicroBatchStream {
+/** The scan surface the archive micro-batch stream needs — implemented by
+  * both the ARC and WARC scans, which share the file-per-partition,
+  * name-watermark streaming model. */
+private[v2] trait ArchiveStreamScan {
+  def listFilesForStream(): Seq[org.apache.hadoop.fs.FileStatus]
+  def readerFactory(): PartitionReaderFactory
+  def formatName: String
+}
+
+final class ArcMicroBatchStream(scan: ArchiveStreamScan) extends MicroBatchStream {
 
   private def sortedFiles() = scan.listFilesForStream()
 
@@ -49,7 +58,7 @@ final class ArcMicroBatchStream(scan: ArcScan) extends MicroBatchStream {
     // every already-processed archive as duplicates
     if (json.contains("\"fileCount\""))
       throw new IllegalStateException(
-        s"graft-arc: legacy file-count stream offset $json is not " +
+        s"${scan.formatName}: legacy file-count stream offset $json is not " +
           "supported; restart the stream with a fresh checkpoint location")
     ArcStreamOffset(
       """"lastFile"\s*:\s*"((?:[^"\\]|\\u[0-9a-fA-F]{4}|\\.)*)"""".r

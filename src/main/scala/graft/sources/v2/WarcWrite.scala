@@ -1,0 +1,194 @@
+package graft.sources.v2
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.GZIPOutputStream
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
+
+/** The `graft-warc` write path. Same task/commit discipline as
+  * [[ArcBatchWrite]] (the reference's archive writer rolls at a size cap
+  * and renames finished files into place, util/ArcFileWriter.java:88):
+  * each task writes `part-<partition>-<task>[-<seq>].warc.gz` under
+  * `_temporary` and the driver renames at commit; files roll at
+  * `rollSize` bytes, each rolled file opening with its own `warcinfo`
+  * record so every archive is standalone.
+  *
+  * Record layout (ISO 28500): one gzip member per record — the
+  * member-seekable layout the reader exposes as `offset` — containing
+  * the `WARC/1.0` line, named headers, blank line, the block, and the
+  * closing CRLF CRLF. `WARC-Record-ID` is a deterministic name-based
+  * UUID over (url, date, block): re-writing the same data produces the
+  * same archive bytes, which keeps the round-trip queries hashable.
+  *
+  * Required columns: `url, warc_type, warc_date, content_type, content`;
+  * optional `ip` (written as WARC-IP-Address when present and non-null).
+  */
+final case class WarcWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = WarcBatchWrite(
+      info.options.get("path"),
+      info.schema(),
+      new SerializableConfiguration(
+        SparkSession.active.sparkContext.hadoopConfiguration),
+      info.options.getLong("rollSize", 1000000000L))
+  }
+}
+
+final case class WarcBatchWrite(
+    path: String,
+    schema: StructType,
+    conf: SerializableConfiguration,
+    rollSize: Long,
+) extends BatchWrite {
+  require(path != null, "graft-warc: 'path' option is required to write")
+
+  private val required = Seq("url", "warc_type", "warc_date", "content_type", "content")
+  require(required.forall(schema.fieldNames.contains),
+    s"graft-warc write needs columns $required, got ${schema.fieldNames.toSeq}")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    WarcWriterFactory(path, schema.fieldNames, conf, rollSize)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf.value)
+    messages.foreach { case ArcCommit(tmps) =>
+      tmps.foreach { tmp =>
+        val src = new Path(tmp)
+        val dst = new Path(dir, src.getName)
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(
+            s"graft-warc commit: rename $src -> $dst failed (destination exists?)")
+      }
+    }
+    fs.delete(new Path(dir, "_temporary"), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(conf.value)
+    messages.collect { case ArcCommit(tmps) =>
+      tmps.foreach(t => fs.delete(new Path(t), false))
+    }
+    fs.delete(new Path(path, "_temporary"), true)
+  }
+}
+
+final case class WarcWriterFactory(
+    path: String,
+    fieldNames: Array[String],
+    conf: SerializableConfiguration,
+    rollSize: Long,
+) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new WarcDataWriter(path, fieldNames, conf, partitionId, taskId, rollSize)
+}
+
+final class WarcDataWriter(
+    dir: String,
+    fieldNames: Array[String],
+    conf: SerializableConfiguration,
+    partitionId: Int,
+    taskId: Long,
+    rollSize: Long,
+) extends DataWriter[InternalRow] {
+
+  private val idx = fieldNames.zipWithIndex.toMap
+  private val hasIp = idx.contains("ip")
+  private val fs = new Path(dir).getFileSystem(conf.value)
+  private val done = scala.collection.mutable.ArrayBuffer[String]()
+  private var seq = 0
+  private var tmp: Path = null
+  private var out: org.apache.hadoop.fs.FSDataOutputStream = null
+  private var currentName: String = null
+  openNext()
+
+  private def openNext(): Unit = {
+    currentName =
+      if (seq == 0) f"part-$partitionId%05d-$taskId.warc.gz"
+      else f"part-$partitionId%05d-$taskId-$seq%04d.warc.gz"
+    tmp = new Path(new Path(dir, "_temporary"), currentName)
+    out = fs.create(tmp, true)
+    seq += 1
+    val info = "software: graft\r\nformat: WARC File Format 1.0\r\n".getBytes(UTF_8)
+    writeMember(Seq(
+      "WARC-Type" -> "warcinfo",
+      "WARC-Record-ID" -> recordId(currentName, "", info),
+      "WARC-Date" -> "2026-01-01T00:00:00Z",
+      "WARC-Filename" -> currentName,
+      "Content-Type" -> "application/warc-fields",
+    ), info)
+  }
+
+  private def roll(): Unit = {
+    out.close()
+    done += tmp.toString
+    openNext()
+  }
+
+  /** Deterministic name-based record id (RFC 4122 v3 over the record's
+    * identity), so identical input rewrites identical archives. */
+  private def recordId(url: String, date: String, block: Array[Byte]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(url.getBytes(UTF_8)); md.update(0.toByte)
+    md.update(date.getBytes(UTF_8)); md.update(0.toByte)
+    md.update(block)
+    s"<urn:uuid:${java.util.UUID.nameUUIDFromBytes(md.digest())}>"
+  }
+
+  /** Shields the shared file stream from GZIPOutputStream.close() — see
+    * [[ArcDataWriter]]'s NonClosing note on Deflater lifecycle. */
+  private final class NonClosing(o: java.io.OutputStream)
+      extends java.io.FilterOutputStream(o) {
+    override def close(): Unit = flush()
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = out.write(b, off, len)
+  }
+
+  private def writeMember(headers: Seq[(String, String)], block: Array[Byte]): Unit = {
+    val gz = new GZIPOutputStream(new NonClosing(out))
+    val head = new StringBuilder("WARC/1.0\r\n")
+    headers.foreach { case (k, v) => head.append(k).append(": ").append(v).append("\r\n") }
+    head.append("Content-Length: ").append(block.length).append("\r\n\r\n")
+    gz.write(head.toString.getBytes(UTF_8))
+    gz.write(block)
+    gz.write("\r\n\r\n".getBytes(UTF_8))
+    gz.close()
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val url = row.getUTF8String(idx("url")).toString
+    val wtype = row.getUTF8String(idx("warc_type")).toString
+    val date = row.getUTF8String(idx("warc_date")).toString
+    val ctype = row.getUTF8String(idx("content_type")).toString
+    val block = row.getBinary(idx("content"))
+    val ip =
+      if (hasIp && !row.isNullAt(idx("ip"))) row.getUTF8String(idx("ip")).toString
+      else null
+    if (out.getPos >= rollSize) roll()
+    val headers = Seq(
+      "WARC-Type" -> wtype,
+      "WARC-Record-ID" -> recordId(url, date, block),
+      "WARC-Date" -> date,
+      "WARC-Target-URI" -> url) ++
+      (if (ip == null) Seq.empty else Seq("WARC-IP-Address" -> ip)) ++
+      Seq("Content-Type" -> ctype)
+    writeMember(headers, block)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    done += tmp.toString
+    ArcCommit(done.toSeq)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    (done.toSeq :+ tmp.toString).foreach(t => fs.delete(new Path(t), false))
+  }
+
+  override def close(): Unit = ()
+}

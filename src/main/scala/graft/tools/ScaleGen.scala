@@ -1,0 +1,123 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Soak-test data generator: writes a `factor`-times-scaled copy of a
+  * TESTDATA scale-factor directory (same schemas, same file layout), so
+  * the flagship queries can be benchmarked one decade above the largest
+  * driver-provided SF and the measured cost ratios recorded in
+  * SCALING.md. Not part of the library surface.
+  *
+  * Construction (all deterministic, no RNG):
+  *  - dimension tables (`region`, `nation`) are copied unchanged;
+  *  - fact tables are replicated `factor`× with every key shifted by
+  *    `rep * stride(keyDomain)` where the stride is `max(key)+1` in the
+  *    source — replica i of `lineitem` references replica i of
+  *    `orders`/`part`/`supplier`, so join fan-out ratios are preserved
+  *    exactly;
+  *  - `documents.text` in replica i>0 has every token suffixed with
+  *    `xi`: per-replica token vocabularies are disjoint, so each
+  *    replica's INTERNAL duplicate/near-duplicate structure is identical
+  *    to the original while no cross-replica near-dups are introduced —
+  *    cluster COUNT scales with the corpus and cluster SIZE does not,
+  *    the linear-corpus-growth regime a crawl corpus approximates;
+  *  - `embeddings.embedding` in replica i>0 gets a small deterministic
+  *    per-element perturbation (±0.01, hash-derived), keeping the space
+  *    filled rather than collapsing replicas onto identical points.
+  */
+object ScaleGen {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ScaleGen <srcSfDir> <outDir> <factor>")
+    val Array(src, out, factorS) = args
+    val factor = factorS.toInt
+    require(factor >= 2 && factor <= 100, s"factor must be in [2,100], got $factor")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = graft.GraftSession.local(cpus)
+    spark.sparkContext.setLogLevel("WARN")
+    try generate(spark, src, out, factor)
+    finally spark.stop()
+  }
+
+  def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    def read(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+    def write(name: String)(df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[scalegen] $name done")
+    }
+    // one replica index per source row; kept as a column until the final
+    // select so key shifts can reference it
+    def replicate(df: DataFrame): DataFrame =
+      df.withColumn("rep", explode(sequence(lit(0L), lit((factor - 1).toLong))))
+    def stride(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).head.getLong(0) + 1L
+
+    write("region")(read("region"))
+    write("nation")(read("nation"))
+
+    val customer = read("customer")
+    val supplier = read("supplier")
+    val part = read("part")
+    val orders = read("orders")
+    val custStride = stride(customer, "c_custkey")
+    val suppStride = stride(supplier, "s_suppkey")
+    val partStride = stride(part, "p_partkey")
+    val orderStride = stride(orders, "o_orderkey")
+
+    write("customer")(replicate(customer)
+      .withColumn("c_custkey", col("c_custkey") + col("rep") * custStride)
+      .drop("rep"))
+    write("supplier")(replicate(supplier)
+      .withColumn("s_suppkey", col("s_suppkey") + col("rep") * suppStride)
+      .drop("rep"))
+    write("part")(replicate(part)
+      .withColumn("p_partkey", col("p_partkey") + col("rep") * partStride)
+      .drop("rep"))
+    write("orders")(replicate(orders)
+      .withColumn("o_orderkey", col("o_orderkey") + col("rep") * orderStride)
+      .withColumn("o_custkey", col("o_custkey") + col("rep") * custStride)
+      .drop("rep"))
+    write("lineitem")(replicate(read("lineitem"))
+      .withColumn("l_orderkey", col("l_orderkey") + col("rep") * orderStride)
+      .withColumn("l_partkey", col("l_partkey") + col("rep") * partStride)
+      .withColumn("l_suppkey", col("l_suppkey") + col("rep") * suppStride)
+      .drop("rep"))
+
+    // the source events table stores TIMESTAMP(NANOS); read it the way
+    // Registry.table does (nanos as long) and keep `ts` as a plain INT64
+    // in the copy — Registry's `ts div 1000` conversion handles both
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = read("events")
+    val eventStride = stride(events, "event_id")
+    val userStride = stride(events, "user_id")
+    write("events")(replicate(events)
+      .withColumn("event_id", col("event_id") + col("rep") * eventStride)
+      .withColumn("user_id", col("user_id") + col("rep") * userStride)
+      .drop("rep"))
+
+    val documents = read("documents")
+    val docStride = stride(documents, "doc_id")
+    write("documents")(replicate(documents)
+      .withColumn("doc_id", col("doc_id") + col("rep") * docStride)
+      .withColumn("text",
+        when(col("rep") === 0, col("text")).otherwise(
+          array_join(
+            transform(split(col("text"), " "),
+              w => concat(w, lit("x"), col("rep"))),
+            " ")))
+      .withColumn("n_chars", length(col("text")))
+      .drop("rep"))
+
+    val embeddings = read("embeddings")
+    val vecStride = stride(embeddings, "vec_id")
+    write("embeddings")(replicate(embeddings)
+      .withColumn("vec_id", col("vec_id") + col("rep") * vecStride)
+      .withColumn("embedding",
+        when(col("rep") === 0, col("embedding")).otherwise(
+          transform(col("embedding"),
+            (x, i) => (x + (pmod(hash(col("vec_id"), i), lit(201)) - 100)
+              .cast("float") / lit(10000.0f)).cast("float"))))
+      .drop("rep"))
+  }
+}
