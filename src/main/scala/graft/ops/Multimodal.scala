@@ -147,6 +147,135 @@ object Multimodal {
     unhex(when(formatSel === 0, png).when(formatSel === 1, jpeg).otherwise(gif))
   }
 
+  // --- real public-format audio/video container headers --------------
+  // Same boundary as the image headers: container METADATA is a few
+  // fixed-layout fields near the front of every public AV format —
+  // RIFF/WAVE chunks and ISO BMFF (MP4) boxes — parseable with byte
+  // arithmetic alone. Sample/frame DECODE stays out of scope. The
+  // parsers read declared sizes without requiring the media body to be
+  // present, because a crawler typically stores only a prefix of a
+  // fetched object (the reference truncates content buffers the same
+  // way — ArcFileWriter caps item content); header sniffing over a
+  // truncated fetch is the production case, not a corner.
+
+  val AvMetaSchema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("channels", IntegerType, nullable = false), // -1 where n/a
+    StructField("sample_rate", IntegerType, nullable = false), // MP4: timescale
+    StructField("bits", IntegerType, nullable = false), // -1 where n/a
+    StructField("duration_ms", LongType, nullable = false),
+  ))
+
+  /** Parse format + timing metadata from real AV container bytes:
+    * WAV (RIFF §"WAVE" chunk walk: `fmt ` PCM fields + `data` declared
+    * size, all little-endian), MP4 (ISO 14496-12 box walk: `moov/mvhd`
+    * timescale+duration, version 0 and 1 layouts, big-endian).
+    * Unknown/truncated input → ("unknown", -1, -1, -1), never a throw. */
+  def parseAvHeader(b: Array[Byte]): (String, Int, Int, Int, Long) = {
+    def u8(i: Int) = b(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = (le16(i) | (le16(i + 2).toLong << 16)) & 0xffffffffL
+    def be32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def cc(i: Int) = if (i + 4 <= b.length) new String(b, i, 4, "US-ASCII") else ""
+    val none = ("unknown", -1, -1, -1, 0L)
+    if (b.length >= 12 && cc(0) == "RIFF" && cc(8) == "WAVE") {
+      // chunk walk; declared sizes may extend past the stored prefix
+      var i = 12
+      var channels = -1; var rate = -1; var bits = -1; var byteRate = 0L
+      var dataLen = -1L
+      while (i + 8 <= b.length && (channels < 0 || dataLen < 0)) {
+        val id = cc(i); val size = le32(i + 4)
+        if (id == "fmt " && i + 24 <= b.length) {
+          channels = le16(i + 10); rate = le32(i + 12).toInt
+          byteRate = le32(i + 16); bits = le16(i + 22)
+        } else if (id == "data") dataLen = size
+        i += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+      }
+      if (channels < 0) return none
+      val durMs = if (byteRate > 0 && dataLen > 0) dataLen * 1000L / byteRate else 0L
+      ("wav", channels, rate, bits, durMs)
+    } else if (b.length >= 8 && cc(4) == "ftyp") {
+      var i = 0
+      var timescale = -1L; var duration = -1L
+      while (i + 8 <= b.length && timescale < 0) {
+        val size = be32(i); val id = cc(i + 4)
+        if (id == "moov") {
+          // walk children of the container box
+          var j = i + 8
+          val end = math.min(i + size, b.length.toLong).toInt
+          while (j + 8 <= end && timescale < 0) {
+            val csize = be32(j)
+            if (cc(j + 4) == "mvhd" && j + 16 <= b.length) {
+              val version = u8(j + 8)
+              if (version == 1 && j + 40 <= b.length) {
+                timescale = be32(j + 28); duration = be64(j + 32)
+              } else if (version == 0 && j + 28 <= b.length) {
+                timescale = be32(j + 20); duration = be32(j + 24)
+              }
+            }
+            if (csize < 8) j = end else j += csize.toInt
+          }
+        }
+        if (size < 8) return none else i += size.toInt
+      }
+      if (timescale <= 0) return none
+      ("mp4", -1, timescale.toInt, -1, duration * 1000L / timescale)
+    } else none
+  }
+
+  /** Real AV-format decode over the SAME per-partition batch seam as
+    * [[decodeHeaderStub]]: (id, media) → AvMetaSchema row per record. */
+  def decodeAvHeaders(df: DataFrame, id: String, media: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(
+      StructField("id", LongType, nullable = false) +: AvMetaSchema.fields.toSeq)
+    val rdd = df.select(col(id).cast("long"), col(media)).rdd.mapPartitions { it =>
+      it.map { r =>
+        val (fmt, ch, rate, bits, durMs) = parseAvHeader(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), fmt, ch, rate, bits, durMs)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  private def le16hex(x: Column): Column = {
+    val h = lpad(hex(x.cast("long")), 4, "0")
+    concat(substring(h, 3, 2), substring(h, 1, 2))
+  }
+  private def le32hex(x: Column): Column = {
+    val h = lpad(hex(x.cast("long")), 8, "0")
+    concat(substring(h, 7, 2), substring(h, 5, 2), substring(h, 3, 2), substring(h, 1, 2))
+  }
+  private def be32hex(x: Column): Column = lpad(hex(x.cast("long")), 8, "0")
+
+  /** Synthesize a spec-shaped WAV header (RIFF ‖ fmt ‖ data declaration;
+    * the data body itself is omitted — the truncated-fetch prefix shape
+    * the parser is specified against). PCM fields are derived:
+    * byte_rate = rate·channels·bits/8. */
+  def packWav(channels: Column, rate: Column, bits: Column, dataLen: Column): Column = {
+    val byteRate = (rate * channels * bits / lit(8)).cast("long")
+    val blockAlign = (channels * bits / lit(8)).cast("long")
+    unhex(concat(
+      lit("52494646"), le32hex(dataLen + 36), lit("57415645"), // RIFF size WAVE
+      lit("666D7420"), le32hex(lit(16)), // 'fmt ' 16
+      le16hex(lit(1)), le16hex(channels), le32hex(rate), le32hex(byteRate),
+      le16hex(blockAlign), le16hex(bits),
+      lit("64617461"), le32hex(dataLen))) // 'data' declared size, body absent
+  }
+
+  /** Synthesize a minimal valid MP4: `ftyp` (isom) then `moov/mvhd`
+    * (version 0) with the given timescale/duration; post-duration mvhd
+    * fields (rate/volume/matrix/next-track) are zeros. */
+  def packMp4(timescale: Column, duration: Column): Column =
+    unhex(concat(
+      lit("00000010" + "66747970" + "69736F6D" + "00000000"), // ftyp isom
+      lit("00000074" + "6D6F6F76"), // moov (8+108)
+      lit("0000006C" + "6D766864" + "00000000" + "00000000" + "00000000"),
+      be32hex(timescale), be32hex(duration),
+      lit("00" * 80))) // remaining mvhd v0 fields
+
   /** Feature extraction: a 16-bin histogram over the payload bytes' high
     * nibbles, L1-normalized — ONE pass over the raw bytes via the
     * codegen'd `nibble_hist16` native expression (true byte counts, no

@@ -169,5 +169,57 @@ object MultimodalQueries {
         ORDER BY doc_id
       """.trim),
     ),
+    // m6: REAL audio/video container metadata — synthesize spec-shaped
+    // WAV (RIFF fmt/data chunks) and MP4 (ftyp + moov/mvhd) header
+    // bytes, round-trip them through the chunk/box walker
+    // (ops.Multimodal.parseAvHeader) in the m2 batch seam. The WAV body
+    // is deliberately absent (declared data size only): header sniffing
+    // over a truncated fetch prefix is how a crawler meets AV bytes.
+    // The oracle re-derives channels/rate/bits/duration analytically
+    // with the same integer arithmetic, so a wrong field offset, wrong
+    // endianness, or wrong duration fold breaks the hash.
+    Q(
+      "m6_av_meta",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val channels = ((col("doc_id") % 4) / 2 + 1).cast("int")
+        val bits = ((((col("doc_id") % 8) / 4).cast("int") + 1) * 8).cast("int")
+        val rate = (((col("doc_id") % 10) / 2 + 1) * 8000).cast("int")
+        val dataLen = (col("n_chars") * 4).cast("long")
+        val timescale = (col("doc_id") % 10 * 100 + 600).cast("long")
+        val duration = (col("n_chars") * 7).cast("long")
+        val media = when(col("doc_id") % 2 === 0,
+          Multimodal.packWav(channels, rate, bits, dataLen))
+          .otherwise(Multimodal.packMp4(timescale, duration))
+        val packed = docs.select(col("doc_id"), media.as("media"))
+        Multimodal.decodeAvHeaders(packed, "doc_id", "media")
+          .select(
+            col("id").as("doc_id"),
+            col("format"),
+            col("channels"),
+            col("sample_rate"),
+            col("bits"),
+            col("duration_ms"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS format,
+               CASE WHEN doc_id % 2 = 0 THEN CAST((doc_id % 4) // 2 + 1 AS INT)
+                    ELSE -1 END AS channels,
+               CASE WHEN doc_id % 2 = 0 THEN CAST(((doc_id % 10) // 2 + 1) * 8000 AS INT)
+                    ELSE CAST(doc_id % 10 * 100 + 600 AS INT) END AS sample_rate,
+               CASE WHEN doc_id % 2 = 0 THEN CAST(((doc_id % 8) // 4 + 1) * 8 AS INT)
+                    ELSE -1 END AS bits,
+               CASE WHEN doc_id % 2 = 0 THEN
+                 CAST(n_chars * 4 * 1000 // (((doc_id % 10) // 2 + 1) * 8000
+                   * ((doc_id % 4) // 2 + 1) * (((doc_id % 8) // 4 + 1) * 8) // 8) AS BIGINT)
+               ELSE
+                 CAST(n_chars * 7 * 1000 // (doc_id % 10 * 100 + 600) AS BIGINT)
+               END AS duration_ms
+        FROM documents
+        ORDER BY doc_id
+      """.trim),
+    ),
   )
 }

@@ -99,6 +99,55 @@ object SourceQueries {
       """.stripMargin.trim),
     ),
 
+    // WET derivation end-to-end: raw WARC response records (HTTP + HTML)
+    // → html-to-text extraction → WARC `conversion` records (the WET
+    // sidecar format the corpus publishes alongside raw crawls) → read
+    // back. Exercises both graft-warc trips, the HTTP envelope split,
+    // and the htmlToText kernel in one pipeline; the oracle re-derives
+    // the extracted text from the source table, so a defect in ANY stage
+    // breaks the hash.
+    Q(
+      "s11_wet_export",
+      (s, dir) => {
+        val out = stage("s11")
+        val httpHead = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n\r\n"
+        val html = concat(
+          lit("<html><head><title>d</title></head><body><p>"),
+          xmlEscape(col("text")), lit("</p></body></html>"))
+        Registry.table(s, dir, "documents")
+          .filter(col("doc_id") % 7 === 0)
+          .select(
+            concat(lit("http://"), col("source"), lit("/doc/"),
+              col("doc_id").cast("string")).as("url"),
+            lit("response").as("warc_type"),
+            lit("2026-01-02T03:04:05Z").as("warc_date"),
+            lit("application/http; msgtype=response").as("content_type"),
+            concat(lit(httpHead).cast("binary"), html.cast("binary")).as("content"))
+          .write.format("graft-warc").mode("append").save(s"$out/raw")
+        s.read.format("graft-warc").load(s"$out/raw")
+          .filter(col("warc_type") === "response" && col("mime_type") === "text/html")
+          .select(col("url"),
+            lit("conversion").as("warc_type"),
+            col("warc_date"),
+            lit("text/plain").as("content_type"),
+            graft.functions.GraftFunctions.htmlToText(col("payload").cast("string"))
+              .cast("binary").as("content"))
+          .write.format("graft-warc").mode("append").save(s"$out/wet")
+        s.read.format("graft-warc").load(s"$out/wet")
+          .filter(col("warc_type") === "conversion")
+          .select(col("url"), col("length"), md5(col("payload")).as("text_md5"))
+      },
+      Some("""
+        SELECT 'http://' || source || '/doc/' || CAST(doc_id AS VARCHAR) AS url,
+               CAST(strlen(expected) AS BIGINT) AS length,
+               md5(expected) AS text_md5
+        FROM (
+          SELECT doc_id, source,
+                 trim(regexp_replace('d ' || text, '\s+', ' ', 'g')) AS expected
+          FROM documents WHERE doc_id % 7 = 0)
+      """.stripMargin.trim),
+    ),
+
     // S6: delta+Rice posting-list codec round trip (reference
     // util/RiceCoding.java:25 via util/CompressedURLFPListV2.java:58's
     // sorted-id-list layout). Encode each customer's sorted order-key list,

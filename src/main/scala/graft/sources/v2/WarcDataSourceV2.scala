@@ -77,10 +77,17 @@ object WarcTable {
     StructField("offset", LongType, nullable = false),
     StructField("content", BinaryType, nullable = false),
     StructField("payload", BinaryType, nullable = true),
+    // full HTTP response headers, lowercased names, first value wins —
+    // the reference extracts the same map to crawl metadata JSON
+    // (util/HttpHeaderInfoExtractor.java, ParserMapper
+    // .httpHeadersToJsonObject); null for records without an envelope
+    StructField("http_headers",
+      MapType(StringType, StringType, valueContainsNull = false), nullable = true),
   ))
 
   /** Columns that require reading (or splitting) the record block. */
-  private[v2] val blockCols = Set("content", "payload", "http_status", "mime_type")
+  private[v2] val blockCols =
+    Set("content", "payload", "http_status", "mime_type", "http_headers")
 }
 
 final class WarcTable(options: CaseInsensitiveStringMap)
@@ -225,8 +232,8 @@ final class WarcPartitionReader(
     new BufferedInputStream(path.getFileSystem(conf).open(path), 1 << 16)
   private val members = new GzipMembers(raw)
   private val needBlock = fieldNames.exists(WarcTable.blockCols)
-  private val needSplit =
-    fieldNames.exists(f => f == "payload" || f == "http_status" || f == "mime_type")
+  private val needSplit = fieldNames.exists(f =>
+    f == "payload" || f == "http_status" || f == "mime_type" || f == "http_headers")
   private val fileName = UTF8String.fromString(partition.path)
   private var member: InputStream = _
   private var memberStart: Long = 0L
@@ -347,11 +354,11 @@ final class WarcPartitionReader(
             val block = if (needBlock) readBlock(member, len) else { skipBlock(member, len); null }
             // HTTP envelope split (response/request/revisit records carry
             // an application/http block per the spec)
-            val (status, mime, payload) =
+            val (status, mime, payload, httpHeaders) =
               if (needSplit && block != null && ctype != null &&
                   ctype.toLowerCase.startsWith("application/http"))
-                WarcHttp.split(block)
-              else (null, null, block)
+                WarcHttp.split(block, needHeaders = fieldNames.contains("http_headers"))
+              else (null, null, block, null)
             val values = new Array[Any](fieldNames.length)
             var i = 0
             while (i < fieldNames.length) {
@@ -370,6 +377,7 @@ final class WarcPartitionReader(
                 case "offset" => offset
                 case "content" => block
                 case "payload" => payload
+                case "http_headers" => httpHeaders
               }
               i += 1
             }
@@ -387,10 +395,13 @@ final class WarcPartitionReader(
 /** HTTP message split for response-record blocks (status, payload mime,
   * body) — byte-level, tolerant of LF-only separators. */
 private[v2] object WarcHttp {
-  /** Returns (http_status | null, mime | null, payload bytes). */
-  def split(block: Array[Byte]): (Integer, UTF8String, Array[Byte]) = {
+  /** Returns (http_status | null, mime | null, payload bytes,
+    * header map | null — built only when `needHeaders`). */
+  def split(block: Array[Byte], needHeaders: Boolean = false)
+      : (Integer, UTF8String, Array[Byte],
+         org.apache.spark.sql.catalyst.util.ArrayBasedMapData) = {
     val bodyAt = headerEnd(block)
-    if (bodyAt < 0) return (null, null, block) // no envelope found: raw block
+    if (bodyAt < 0) return (null, null, block, null) // no envelope: raw block
     val head = new String(block, 0, bodyAt, java.nio.charset.StandardCharsets.ISO_8859_1)
     val lines = head.split("\r?\n")
     val status: Integer = lines.headOption
@@ -406,7 +417,26 @@ private[v2] object WarcHttp {
       .map(UTF8String.fromString)
       .nextOption()
       .orNull
-    (status, mime, java.util.Arrays.copyOfRange(block, skipSeparator(block, bodyAt), block.length))
+    val headerMap =
+      if (!needHeaders) null
+      else {
+        val seen = scala.collection.mutable.LinkedHashMap[String, String]()
+        lines.iterator.drop(1).foreach { l =>
+          val i = l.indexOf(':')
+          if (i > 0) {
+            val k = l.substring(0, i).trim.toLowerCase
+            if (!seen.contains(k)) seen(k) = l.substring(i + 1).trim
+          }
+        }
+        new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            seen.keys.map(UTF8String.fromString).toArray[Any]),
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            seen.values.map(UTF8String.fromString).toArray[Any]))
+      }
+    (status, mime,
+      java.util.Arrays.copyOfRange(block, skipSeparator(block, bodyAt), block.length),
+      headerMap)
   }
 
   /** Index of the first header/body separator (CRLFCRLF or LFLF); -1 if

@@ -42,8 +42,15 @@ object ScaleGen {
 
   def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     def read(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+    // a corpus grows by ADDING archives, not by inflating one file: write
+    // factor× the source's file count so scan parallelism scales with the
+    // data exactly as it does in production (one small output file would
+    // pin every pre-shuffle stage of the soak to one task and fake a
+    // superlinear cost curve — observed: d2 at 29.8× from exactly this)
     def write(name: String)(df: DataFrame): Unit = {
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      val srcFiles = math.max(1, spark.read.parquet(s"$src/$name.parquet").inputFiles.length)
+      df.repartition(factor * srcFiles)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"[scalegen] $name done")
     }
     // one replica index per source row; kept as a column until the final
@@ -53,8 +60,12 @@ object ScaleGen {
     def stride(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head.getLong(0) + 1L
 
-    write("region")(read("region"))
-    write("nation")(read("nation"))
+    def writeDim(name: String)(df: DataFrame): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[scalegen] $name done")
+    }
+    writeDim("region")(read("region"))
+    writeDim("nation")(read("nation"))
 
     val customer = read("customer")
     val supplier = read("supplier")
@@ -98,14 +109,24 @@ object ScaleGen {
 
     val documents = read("documents")
     val docStride = stride(documents, "doc_id")
+    // Replica texts must be dissimilar at the CHARACTER level, because
+    // the dedupe family shingles char 3-grams: a per-token suffix leaves
+    // replicas at ~0.7 char-Jaccard, every doc becomes a factor-clique
+    // of near-dups, and candidate pairs grow QUADRATICALLY in the factor
+    // (measured: d2 17× at 10× data). A per-replica alphabet rotation
+    // keeps length, word counts and distribution shape identical while
+    // making char n-grams (and token vocabularies) disjoint across
+    // replicas — duplicate structure is preserved per replica, cluster
+    // COUNT scales, cluster SIZE doesn't. Rotations repeat past factor
+    // 26; keep factor ≤ 26 for dedupe soaks.
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def rot(i: Int) = alpha.drop(i % 26) + alpha.take(i % 26)
+    val rotated = (1 until factor).foldLeft(when(col("rep") === 0, col("text"))) {
+      (acc, i) => acc.when(col("rep") === i, translate(col("text"), alpha, rot(i)))
+    }
     write("documents")(replicate(documents)
       .withColumn("doc_id", col("doc_id") + col("rep") * docStride)
-      .withColumn("text",
-        when(col("rep") === 0, col("text")).otherwise(
-          array_join(
-            transform(split(col("text"), " "),
-              w => concat(w, lit("x"), col("rep"))),
-            " ")))
+      .withColumn("text", rotated)
       .withColumn("n_chars", length(col("text")))
       .drop("rep"))
 

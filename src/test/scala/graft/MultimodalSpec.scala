@@ -91,6 +91,53 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(rows(0).getAs[scala.collection.Seq[Double]]("hist")(6) == 1.0)
   }
 
+  test("real AV header parse: golden WAV and MP4 bytes built from the specs") {
+    // WAV: hand-assembled from the RIFF spec (not via packWav) — 2ch,
+    // 44100 Hz, 16-bit PCM, 1 s of audio declared (176400 bytes), body
+    // truncated after 4 bytes (the crawler-prefix case)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def be32(v: Long) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val wav = "RIFF".getBytes ++ le32(176436) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+      le32(176400) ++ le16(4) ++ le16(16) ++
+      "data".getBytes ++ le32(176400) ++ Array[Byte](1, 2, 3, 4)
+    assert(Multimodal.parseAvHeader(wav) == (("wav", 2, 44100, 16, 1000L)))
+    // MP4 with a version-1 mvhd (64-bit duration) and a leading free box
+    // inside moov, so the child walk has to skip a sibling
+    val mvhd1 = be32(120) ++ "mvhd".getBytes ++ Array[Byte](1, 0, 0, 0) ++
+      Array.fill[Byte](16)(0) ++ be32(90000) ++
+      Array.fill[Byte](4)(0) ++ be32(270000) ++ Array.fill[Byte](80)(0)
+    val free = be32(16) ++ "free".getBytes ++ Array.fill[Byte](8)(0)
+    val moov = be32(8L + free.length + mvhd1.length) ++ "moov".getBytes ++ free ++ mvhd1
+    val ftyp = be32(16) ++ "ftyp".getBytes ++ "mp42".getBytes ++ be32(0)
+    assert(Multimodal.parseAvHeader(ftyp ++ moov) == (("mp4", -1, 90000, -1, 3000L)))
+    // garbage and truncation never throw
+    assert(Multimodal.parseAvHeader(Array[Byte](1, 2, 3))._1 == "unknown")
+    assert(Multimodal.parseAvHeader("RIFF1234WAVE".getBytes)._1 == "unknown")
+    assert(Multimodal.parseAvHeader(ftyp)._1 == "unknown")
+  }
+
+  test("packWav/packMp4 synthesize bytes the real parser round-trips") {
+    import spark.implicits._
+    val df = Seq((0L, 1, 8000, 8, 16000L, 600L, 4200L),
+      (1L, 2, 44100, 16, 352800L, 90000L, 450000L))
+      .toDF("id", "ch", "rate", "bits", "dlen", "tsc", "dur")
+      .select(col("id"),
+        when(col("id") % 2 === 0,
+          Multimodal.packWav(col("ch"), col("rate"), col("bits"), col("dlen")))
+          .otherwise(Multimodal.packMp4(col("tsc"), col("dur"))).as("media"))
+    val got = Multimodal.decodeAvHeaders(df, "id", "media")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5))))
+      .toMap
+    // 16000 bytes at 8000 B/s (1ch·8bit·8000Hz) = 2000 ms
+    assert(got(0L) == (("wav", 1, 8000, 8, 2000L)))
+    // 450000 ticks at 90000 Hz = 5000 ms
+    assert(got(1L) == (("mp4", -1, 90000, -1, 5000L)))
+  }
+
   test("frame sampling: every k-th index, capped") {
     import spark.implicits._
     val df = Seq(10, 1, 100).toDF("n")

@@ -95,6 +95,19 @@ class WarcV2Spec extends AnyFunSuite with SparkSuite {
     assert(byKey(("", "warcinfo"))._2 == "warcinfo")
   }
 
+  test("http_headers map: lowercased names, first value wins, null without envelope") {
+    val rows = spark.read.format("graft-warc").load(fixtureDir)
+      .select("url", "warc_type", "http_headers")
+      .collect()
+      .map(r => (Option(r.getString(0)).getOrElse(""), r.getString(1),
+        Option(r.getAs[Map[String, String]](2)).getOrElse(Map.empty)))
+      .groupBy(t => (t._1, t._2)).view.mapValues(_.head._3).toMap
+    val alpha = rows(("http://a.com/", "response"))
+    assert(alpha("content-type") == "text/html; charset=UTF-8")
+    assert(alpha("server") == "test")
+    assert(rows(("http://a.com/", "conversion")).isEmpty) // no HTTP envelope
+  }
+
   test("column pruning: metadata scan reads no block columns") {
     val df = spark.read.format("graft-warc").load(fixtureDir)
       .select("url", "warc_type", "length")
