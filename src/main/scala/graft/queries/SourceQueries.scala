@@ -148,6 +148,115 @@ object SourceQueries {
       """.stripMargin.trim),
     ),
 
+    // WAT derivation end-to-end: raw WARC response records → per-page
+    // metadata JSON (status, payload mime, title, outlinks — the fields
+    // the corpus's WAT sidecar carries in its Envelope) written back as
+    // WARC `metadata` records, then read and re-parsed. Completes the
+    // raw/WET/WAT sidecar trio over graft-warc; exercises the HTTP
+    // split, link extraction, and a JSON round trip through real archive
+    // bytes. The oracle re-derives every field analytically.
+    Q(
+      "s12_wat_export",
+      (s, dir) => {
+        val F = graft.functions.GraftFunctions
+        val out = stage("s12")
+        val httpHead = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n\r\n"
+        val hub = (col("doc_id") % 9).cast("string")
+        val html = concat(
+          lit("<html><head><title>doc "), col("doc_id").cast("string"),
+          lit(" meta</title></head><body><a href=\"http://hub"), hub,
+          lit(".example.com/x\">h</a><a href=\"/p/"), col("doc_id").cast("string"),
+          lit("\">s</a>body</body></html>"))
+        Registry.table(s, dir, "documents")
+          .filter(col("doc_id") % 5 === 0)
+          .select(
+            concat(lit("http://"), col("source"), lit("/doc/"),
+              col("doc_id").cast("string")).as("url"),
+            lit("response").as("warc_type"),
+            lit("2026-01-02T03:04:05Z").as("warc_date"),
+            lit("application/http; msgtype=response").as("content_type"),
+            concat(lit(httpHead).cast("binary"), html.cast("binary")).as("content"))
+          .write.format("graft-warc").mode("append").save(s"$out/raw")
+        val payloadStr = col("payload").cast("string")
+        val wat = to_json(struct(
+          col("http_status").as("status"),
+          col("mime_type").as("mime"),
+          regexp_extract(payloadStr, "(?i)<title>([^<]*)</title>", 1).as("title"),
+          transform(F.extractLinks(payloadStr), l => l.getField("url")).as("links")))
+        s.read.format("graft-warc").load(s"$out/raw")
+          .filter(col("warc_type") === "response")
+          .select(col("url"),
+            lit("metadata").as("warc_type"),
+            col("warc_date"),
+            lit("application/json").as("content_type"),
+            wat.cast("binary").as("content"))
+          .write.format("graft-warc").mode("append").save(s"$out/wat")
+        val watSchema = "status INT, mime STRING, title STRING, links ARRAY<STRING>"
+        s.read.format("graft-warc").load(s"$out/wat")
+          .filter(col("warc_type") === "metadata")
+          .select(col("url"), from_json(col("payload").cast("string"),
+            org.apache.spark.sql.types.StructType.fromDDL(watSchema)).as("w"))
+          .select(col("url"),
+            col("w.status").as("http_status"),
+            col("w.mime").as("mime_type"),
+            col("w.title").as("title"),
+            size(col("w.links")).cast("long").as("n_links"))
+      },
+      Some("""
+        SELECT 'http://' || source || '/doc/' || CAST(doc_id AS VARCHAR) AS url,
+               200 AS http_status,
+               'text/html' AS mime_type,
+               'doc ' || CAST(doc_id AS VARCHAR) || ' meta' AS title,
+               CAST(2 AS BIGINT) AS n_links
+        FROM documents WHERE doc_id % 5 = 0
+      """.stripMargin.trim),
+    ),
+
+    // Content serving over WARC: the i8 shape for the modern format. A
+    // metadata-ONLY scan (url/file/offset — column pruning means no
+    // record block is ever inflated) builds the content index; probes
+    // then seek the gzip member at `offset` and parse just that record,
+    // splitting the HTTP envelope to the payload (WarcRecords
+    // .fetchPayloadAt). The md5 against the oracle verifies the offset
+    // arithmetic, the member seek, AND the point HTTP split against
+    // bytes the oracle never parses.
+    Q(
+      "i10_warc_point_fetch",
+      (s, dir) => {
+        val out = stage("i10")
+        val httpHead = "HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=UTF-8\r\n\r\n"
+        Registry.table(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 0)
+          .select(
+            concat(lit("http://"), col("source"), lit("/doc/"),
+              col("doc_id").cast("string")).as("url"),
+            lit("response").as("warc_type"),
+            lit("2026-01-02T03:04:05Z").as("warc_date"),
+            lit("application/http; msgtype=response").as("content_type"),
+            concat(lit(httpHead).cast("binary"),
+              col("text").cast("binary")).as("content"))
+          .write.format("graft-warc").mode("append").save(out)
+        val fetchAt = udf { (bytes: Array[Byte], off: Long) =>
+          graft.sources.v2.WarcRecords.fetchPayloadAt(bytes, off)
+        }
+        val probes = s.read.format("graft-warc").load(out)
+          .filter(col("warc_type") === "response" &&
+            element_at(split(col("url"), "/"), -1).cast("long") % 21 === 0)
+          .select(col("url"), col("warc_file"), col("offset"))
+        val files = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.warc.gz").load(out)
+          .select(col("path").as("warc_file"), col("content").as("file_bytes"))
+        probes.join(files, "warc_file")
+          .select(col("url"),
+            md5(fetchAt(col("file_bytes"), col("offset"))).as("payload_md5"))
+      },
+      Some("""
+        SELECT 'http://' || source || '/doc/' || CAST(doc_id AS VARCHAR) AS url,
+               md5(text) AS payload_md5
+        FROM documents WHERE doc_id % 21 = 0
+      """.stripMargin.trim),
+    ),
+
     // S6: delta+Rice posting-list codec round trip (reference
     // util/RiceCoding.java:25 via util/CompressedURLFPListV2.java:58's
     // sorted-id-list layout). Encode each customer's sorted order-key list,

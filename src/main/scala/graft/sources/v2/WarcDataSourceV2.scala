@@ -392,6 +392,65 @@ final class WarcPartitionReader(
   override def close(): Unit = raw.close()
 }
 
+/** Point access to WARC archive bytes: parse the single record whose
+  * gzip member starts at `offset` — the random-access read the scan's
+  * `offset` column points to (the content-serving path; the reference's
+  * query server seeks archive members the same way for page-content
+  * fetches, ArcFileReader member seeks). */
+object WarcRecords {
+
+  /** (named headers lowercased, block bytes) of the record at `offset`.
+    * `offset` must be a gzip member start (the scan's `offset` column);
+    * for a member holding several records this returns the FIRST —
+    * the published corpus layout is one record per member, which the
+    * graft-warc writer also produces. */
+  def fetchRecordAt(bytes: Array[Byte], offset: Long)
+      : (Map[String, String], Array[Byte]) = {
+    val in = new BufferedInputStream(new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(
+        bytes, offset.toInt, bytes.length - offset.toInt)))
+    def readLine(): String = {
+      val buf = new ByteArrayOutputStream(128)
+      var b = in.read()
+      while (b != -1 && b != '\n') { buf.write(b); b = in.read() }
+      if (b == -1 && buf.size() == 0) return null
+      val s = buf.toString("UTF-8")
+      if (s.endsWith("\r")) s.substring(0, s.length - 1) else s
+    }
+    var magic = readLine()
+    while (magic != null && magic.isEmpty) magic = readLine()
+    require(magic != null && magic.startsWith("WARC/"),
+      s"no WARC record at offset $offset: $magic")
+    val headers = scala.collection.mutable.LinkedHashMap[String, String]()
+    var line = readLine()
+    while (line != null && line.nonEmpty) {
+      val i = line.indexOf(':')
+      require(i > 0, s"malformed WARC header line: $line")
+      headers(line.substring(0, i).trim.toLowerCase) = line.substring(i + 1).trim
+      line = readLine()
+    }
+    val len = headers("content-length").toLong
+    val block = new Array[Byte](len.toInt)
+    var off = 0
+    while (off < len) {
+      val r = in.read(block, off, (len - off).toInt)
+      if (r < 0) throw new EOFException(s"WARC block truncated at $off/$len")
+      off += r
+    }
+    (headers.toMap, block)
+  }
+
+  /** The HTTP payload of the record at `offset` (the block itself for
+    * records without an envelope). */
+  def fetchPayloadAt(bytes: Array[Byte], offset: Long): Array[Byte] = {
+    val (headers, block) = fetchRecordAt(bytes, offset)
+    if (headers.get("content-type").exists(
+        _.toLowerCase.startsWith("application/http")))
+      WarcHttp.split(block)._3
+    else block
+  }
+}
+
 /** HTTP message split for response-record blocks (status, payload mime,
   * body) — byte-level, tolerant of LF-only separators. */
 private[v2] object WarcHttp {

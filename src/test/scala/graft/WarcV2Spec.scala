@@ -177,6 +177,28 @@ class WarcV2Spec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("point fetch: seek a member offset, parse one record, split payload") {
+    import graft.sources.v2.WarcRecords
+    val dir = fixtureDir
+    val f = new java.io.File(dir, "seg-00001.warc.gz")
+    val bytes = Files.readAllBytes(f.toPath)
+    // offsets from the scan's metadata columns (no payload read)
+    val rows = spark.read.format("graft-warc").load(dir)
+      .filter(col("warc_type") === "response")
+      .select("url", "offset").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (hdrs, _) = WarcRecords.fetchRecordAt(bytes, rows("http://a.com/"))
+    assert(hdrs("warc-target-uri") == "http://a.com/")
+    assert(new String(WarcRecords.fetchPayloadAt(bytes, rows("http://a.com/")),
+      "UTF-8") == "<html>alpha</html>")
+    // conversion record (no envelope): payload IS the block
+    val conv = spark.read.format("graft-warc").load(dir)
+      .filter(col("warc_type") === "conversion")
+      .select("offset").collect().head.getLong(0)
+    assert(new String(WarcRecords.fetchPayloadAt(bytes, conv), "UTF-8") ==
+      "alpha extracted text")
+  }
+
   test("micro-batch stream picks up newly arrived warc segments") {
     val dir = Files.createTempDirectory("warcv2s").toString
     Files.write(Paths.get(dir, "seg-001.warc.gz"), gzMember(Seq(
