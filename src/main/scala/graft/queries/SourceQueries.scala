@@ -257,6 +257,54 @@ object SourceQueries {
       """.stripMargin.trim),
     ),
 
+    // Header analytics through the http_headers map column (the
+    // reference extracts the same header map to crawl metadata JSON —
+    // util/HttpHeaderInfoExtractor.java): write responses with varied
+    // Server/X-Cache headers, read the split map back, roll up hit
+    // rates per server. Verifies name lowercasing, value fidelity and
+    // the map's null-for-non-envelope contract against an analytic
+    // oracle that never sees HTTP bytes.
+    Q(
+      "s13_http_header_stats",
+      (s, dir) => {
+        val out = stage("s13")
+        val httpHead = concat(
+          lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nServer: srv"),
+          (col("doc_id") % 7).cast("string"),
+          lit("\r\nX-Cache: "),
+          when(col("doc_id") % 3 === 0, lit("HIT")).otherwise(lit("MISS")),
+          lit("\r\n\r\n"))
+        Registry.table(s, dir, "documents")
+          .filter(col("doc_id") % 2 === 0)
+          .select(
+            concat(lit("http://"), col("source"), lit("/doc/"),
+              col("doc_id").cast("string")).as("url"),
+            lit("response").as("warc_type"),
+            lit("2026-01-02T03:04:05Z").as("warc_date"),
+            lit("application/http; msgtype=response").as("content_type"),
+            concat(httpHead.cast("binary"), col("text").cast("binary")).as("content"))
+          .write.format("graft-warc").mode("append").save(out)
+        s.read.format("graft-warc").load(out)
+          .filter(col("warc_type") === "response")
+          .select(col("http_headers")("server").as("server"),
+            col("http_headers")("x-cache").as("cache"),
+            length(col("payload")).cast("long").as("n_bytes"))
+          .groupBy("server", "cache")
+          .agg(count(lit(1)).as("n_responses"),
+            sum(col("n_bytes")).as("sum_bytes"))
+          .orderBy("server", "cache")
+      },
+      Some("""
+        SELECT 'srv' || CAST(doc_id % 7 AS VARCHAR) AS server,
+               CASE WHEN doc_id % 3 = 0 THEN 'HIT' ELSE 'MISS' END AS cache,
+               COUNT(*) AS n_responses,
+               CAST(SUM(strlen(text)) AS BIGINT) AS sum_bytes
+        FROM documents WHERE doc_id % 2 = 0
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+      """.stripMargin.trim),
+    ),
+
     // S6: delta+Rice posting-list codec round trip (reference
     // util/RiceCoding.java:25 via util/CompressedURLFPListV2.java:58's
     // sorted-id-list layout). Encode each customer's sorted order-key list,
