@@ -305,6 +305,72 @@ object SourceQueries {
       """.stripMargin.trim),
     ),
 
+    // Crawl-dedup with revisit records (ISO 28500 §6.7.2 — the corpus
+    // writes a `revisit` record instead of re-storing an unchanged
+    // page): crawl 1 stores every page; crawl 2 stores changed pages as
+    // new responses and unchanged ones as revisit records carrying
+    // WARC-Payload-Digest + WARC-Refers-To-Target-URI via the writer's
+    // extra_headers column. Reading back, every revisit's digest is
+    // joined against the original page text — so the extra-header write
+    // path, the warc_headers map read path, and the dedup bookkeeping
+    // are all under the oracle gate.
+    Q(
+      "s14_warc_revisit",
+      (s, dir) => {
+        val out = stage("s14")
+        val httpHead = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+        val url = concat(lit("http://"), col("source"), lit("/doc/"),
+          col("doc_id").cast("string"))
+        val docs = Registry.table(s, dir, "documents")
+        val noExtras = lit(null).cast("map<string,string>")
+        val crawl1 = docs.select(url.as("url"),
+          lit("response").as("warc_type"),
+          lit("2026-01-01T00:00:00Z").as("warc_date"),
+          lit("application/http; msgtype=response").as("content_type"),
+          concat(lit(httpHead).cast("binary"), col("text").cast("binary")).as("content"),
+          noExtras.as("extra_headers"))
+        val unchanged = col("doc_id") % 3 === 0
+        val crawl2 = docs.select(url.as("url"),
+          when(unchanged, lit("revisit")).otherwise(lit("response")).as("warc_type"),
+          lit("2026-02-01T00:00:00Z").as("warc_date"),
+          when(unchanged, lit("message/http"))
+            .otherwise(lit("application/http; msgtype=response")).as("content_type"),
+          when(unchanged, lit(Array.empty[Byte]))
+            .otherwise(concat(lit(httpHead).cast("binary"),
+              concat(col("text"), lit(" v2")).cast("binary"))).as("content"),
+          when(unchanged, map(
+            lit("WARC-Payload-Digest"),
+            concat(lit("md5:"), md5(col("text").cast("binary"))),
+            lit("WARC-Refers-To-Target-URI"), url)).otherwise(noExtras)
+            .as("extra_headers"))
+        crawl1.unionByName(crawl2)
+          .write.format("graft-warc").mode("append").save(out)
+        val back = s.read.format("graft-warc").load(out)
+          .filter(col("warc_type") =!= "warcinfo")
+        val originals = docs.select(url.as("url"),
+          md5(col("text").cast("binary")).as("orig_md5"))
+        val digestOk = back.filter(col("warc_type") === "revisit")
+          .select(col("url"),
+            col("warc_headers")("warc-payload-digest").as("digest"),
+            col("warc_headers")("warc-refers-to-target-uri").as("refers_to"))
+          .join(originals, "url")
+          .filter(col("digest") === concat(lit("md5:"), col("orig_md5")) &&
+            col("refers_to") === col("url"))
+        back.groupBy()
+          .agg(
+            sum(when(col("warc_type") === "response", 1L).otherwise(0L)).as("n_response"),
+            sum(when(col("warc_type") === "revisit", 1L).otherwise(0L)).as("n_revisit"))
+          .crossJoin(digestOk.agg(count(lit(1)).as("n_digest_ok")))
+          .select(col("n_response"), col("n_revisit"), col("n_digest_ok"))
+      },
+      Some("""
+        SELECT CAST(COUNT(*) + SUM(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_response,
+               CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_revisit,
+               CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_digest_ok
+        FROM documents
+      """.stripMargin.trim),
+    ),
+
     // S6: delta+Rice posting-list codec round trip (reference
     // util/RiceCoding.java:25 via util/CompressedURLFPListV2.java:58's
     // sorted-id-list layout). Encode each customer's sorted order-key list,

@@ -83,6 +83,11 @@ object WarcTable {
     // .httpHeadersToJsonObject); null for records without an envelope
     StructField("http_headers",
       MapType(StringType, StringType, valueContainsNull = false), nullable = true),
+    // every named WARC header of the record, lowercased — the escape
+    // hatch for fields outside the typed columns (WARC-Payload-Digest,
+    // WARC-Refers-To on revisit records, extension headers)
+    StructField("warc_headers",
+      MapType(StringType, StringType, valueContainsNull = false), nullable = false),
   ))
 
   /** Columns that require reading (or splitting) the record block. */
@@ -378,6 +383,12 @@ final class WarcPartitionReader(
                 case "content" => block
                 case "payload" => payload
                 case "http_headers" => httpHeaders
+                case "warc_headers" =>
+                  new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+                    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                      headers.keys.map(UTF8String.fromString).toArray[Any]),
+                    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                      headers.values.map(UTF8String.fromString).toArray[Any]))
               }
               i += 1
             }

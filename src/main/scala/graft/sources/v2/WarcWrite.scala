@@ -99,6 +99,10 @@ final class WarcDataWriter(
 
   private val idx = fieldNames.zipWithIndex.toMap
   private val hasIp = idx.contains("ip")
+  // optional map<string,string> column: extra named WARC headers written
+  // verbatim (e.g. WARC-Payload-Digest / WARC-Refers-To on revisit
+  // records); the reader surfaces them back through `warc_headers`
+  private val hasExtra = idx.contains("extra_headers")
   private val fs = new Path(dir).getFileSystem(conf.value)
   private val done = scala.collection.mutable.ArrayBuffer[String]()
   private var seq = 0
@@ -168,6 +172,15 @@ final class WarcDataWriter(
     val ip =
       if (hasIp && !row.isNullAt(idx("ip"))) row.getUTF8String(idx("ip")).toString
       else null
+    val extras: Seq[(String, String)] =
+      if (!hasExtra || row.isNullAt(idx("extra_headers"))) Seq.empty
+      else {
+        val m = row.getMap(idx("extra_headers"))
+        (0 until m.numElements()).map { i =>
+          m.keyArray.getUTF8String(i).toString ->
+            m.valueArray.getUTF8String(i).toString
+        }
+      }
     if (out.getPos >= rollSize) roll()
     val headers = Seq(
       "WARC-Type" -> wtype,
@@ -175,6 +188,7 @@ final class WarcDataWriter(
       "WARC-Date" -> date,
       "WARC-Target-URI" -> url) ++
       (if (ip == null) Seq.empty else Seq("WARC-IP-Address" -> ip)) ++
+      extras ++
       Seq("Content-Type" -> ctype)
     writeMember(headers, block)
   }

@@ -106,6 +106,13 @@ class WarcV2Spec extends AnyFunSuite with SparkSuite {
     assert(alpha("content-type") == "text/html; charset=UTF-8")
     assert(alpha("server") == "test")
     assert(rows(("http://a.com/", "conversion")).isEmpty) // no HTTP envelope
+    // the warc_headers map carries every named record header, lowercased
+    val wh = spark.read.format("graft-warc").load(fixtureDir)
+      .filter(col("warc_type") === "response" && col("url") === "http://a.com/")
+      .select("warc_headers").collect().head.getAs[Map[String, String]](0)
+    assert(wh("warc-target-uri") == "http://a.com/")
+    assert(wh("warc-ip-address") == "10.0.0.1")
+    assert(wh.contains("warc-record-id") && wh.contains("content-length"))
   }
 
   test("column pruning: metadata scan reads no block columns") {
