@@ -371,6 +371,78 @@ object SourceQueries {
       """.stripMargin.trim),
     ),
 
+    // CDX(J) index generation — the random-access sidecar the corpus
+    // publishes so a URL can be served without scanning archives (the
+    // reference's DatabaseIndex plays the same role over its own files;
+    // member-offset serving itself is i10). One metadata scan of the
+    // archive (payload read only for the digest) emits one CDXJ line
+    // per record: SURT-style reversed-host key, 14-digit timestamp,
+    // JSON payload of locator fields. The lines round-trip through a
+    // text sink and are re-parsed; every oracle-checkable field is
+    // verified (offsets are archive-layout-dependent, so the query
+    // checks their INVARIANT — parseable and non-negative — not their
+    // values).
+    Q(
+      "s15_cdx_index",
+      (s, dir) => {
+        val out = stage("s15")
+        val httpHead = "HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=UTF-8\r\n\r\n"
+        Registry.table(s, dir, "documents")
+          .filter(col("doc_id") % 9 === 0)
+          .select(
+            concat(lit("http://"), col("source"), lit("/doc/"),
+              col("doc_id").cast("string")).as("url"),
+            lit("response").as("warc_type"),
+            lit("2026-01-02T03:04:05Z").as("warc_date"),
+            lit("application/http; msgtype=response").as("content_type"),
+            concat(lit(httpHead).cast("binary"),
+              col("text").cast("binary")).as("content"))
+          .write.format("graft-warc").mode("append").save(s"$out/warc")
+        val host = graft.functions.GraftFunctions.urlHost(col("url"))
+        val path = regexp_replace(col("url"), "^https?://[^/]+", "")
+        val urlkey = concat(
+          array_join(reverse(split(host, "\\.")), ","), lit(")"), path)
+        val ts = regexp_replace(col("warc_date"), "[^0-9]", "")
+        val cdxLine = concat(urlkey, lit(" "), ts, lit(" "), to_json(struct(
+          col("url"),
+          col("mime_type").as("mime"),
+          col("http_status").as("status"),
+          md5(col("payload")).as("digest"),
+          col("length"),
+          col("offset"),
+          col("warc_file").as("filename"))))
+        s.read.format("graft-warc").load(s"$out/warc")
+          .filter(col("warc_type") === "response")
+          .select(cdxLine.as("value"))
+          .write.mode("overwrite").text(s"$out/cdx")
+        val parsed = s.read.text(s"$out/cdx")
+          .select(
+            substring_index(col("value"), " ", 1).as("urlkey"),
+            element_at(split(col("value"), " ", 3), 2).as("ts"),
+            from_json(element_at(split(col("value"), " ", 3), 3),
+              org.apache.spark.sql.types.StructType.fromDDL(
+                "url STRING, mime STRING, status INT, digest STRING, " +
+                  "length BIGINT, offset BIGINT, filename STRING")).as("c"))
+        parsed.select(
+          col("urlkey"), col("ts"), col("c.url").as("url"),
+          col("c.status").as("http_status"), col("c.mime").as("mime_type"),
+          col("c.digest").as("digest"), col("c.length").as("block_len"),
+          (col("c.offset") >= 0 && col("c.filename").endsWith(".warc.gz"))
+            .as("locator_ok"))
+      },
+      Some(s"""
+        SELECT source || ')/doc/' || CAST(doc_id AS VARCHAR) AS urlkey,
+               '20260102030405' AS ts,
+               'http://' || source || '/doc/' || CAST(doc_id AS VARCHAR) AS url,
+               200 AS http_status,
+               'text/plain' AS mime_type,
+               md5(text) AS digest,
+               CAST(strlen(text) + ${"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=UTF-8\r\n\r\n".length} AS BIGINT) AS block_len,
+               TRUE AS locator_ok
+        FROM documents WHERE doc_id % 9 = 0
+      """.stripMargin.trim),
+    ),
+
     // S6: delta+Rice posting-list codec round trip (reference
     // util/RiceCoding.java:25 via util/CompressedURLFPListV2.java:58's
     // sorted-id-list layout). Encode each customer's sorted order-key list,
