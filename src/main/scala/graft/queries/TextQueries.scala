@@ -22,6 +22,56 @@ object TextQueries {
     s"len(list_filter($Toks, t -> t = '$w'))"
 
   def defs: Seq[Q] = Seq(
+    // t11: language-tagged WET export — the t1 language-ID feeding the
+    // corpus's WARC-Identified-Content-Language header (the WET metadata
+    // field downstream corpus curation filters on), through the
+    // graft-warc writer's extra_headers path and back via warc_headers.
+    // The oracle recomputes the full marker-count language CASE per doc
+    // and the per-language rollup, so the langid, the header write, the
+    // header read AND the aggregation are one gate.
+    Q(
+      "t11_lang_tagged_wet",
+      (s, dir) => {
+        val out = java.nio.file.Files.createTempDirectory("graft-t11-").toString
+        val docs = Registry.table(s, dir, "documents")
+        val (_, pred) = TextAnalysis.langIdFromCounts(col("cnt"))
+        docs
+          .select(col("doc_id"), col("source"), col("text"),
+            TextAnalysis.langMarkerCounts(TextAnalysis.tokens(col("text"))).as("cnt"))
+          .select(
+            concat(lit("http://"), col("source"), lit("/doc/"),
+              col("doc_id").cast("string")).as("url"),
+            lit("conversion").as("warc_type"),
+            lit("2026-01-02T03:04:05Z").as("warc_date"),
+            lit("text/plain").as("content_type"),
+            col("text").cast("binary").as("content"),
+            map(lit("WARC-Identified-Content-Language"), pred).as("extra_headers"))
+          .write.format("graft-warc").mode("append").save(out)
+        s.read.format("graft-warc").load(out)
+          .filter(col("warc_type") === "conversion")
+          .groupBy(col("warc_headers")("warc-identified-content-language").as("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("length")).as("sum_bytes"))
+          .orderBy("lang")
+      }, {
+        val scoreExprs = TextAnalysis.LangMarkers.map { case (lang, words) =>
+          words.map(cntSql).mkString(" + ") + s" AS score_$lang"
+        }
+        val langs = TextAnalysis.LangMarkers.map(_._1)
+        val best = s"GREATEST(${langs.map("score_" + _).mkString(", ")})"
+        val caseArms = langs
+          .map(l => s"WHEN score_$l = $best AND score_$l > 0 THEN '$l'")
+          .mkString(" ")
+        Some(s"""
+          SELECT lang, COUNT(*) AS n_docs,
+                 CAST(SUM(strlen(text)) AS BIGINT) AS sum_bytes
+          FROM (SELECT CASE $caseArms ELSE 'und' END AS lang, text
+                FROM (SELECT doc_id, text, ${scoreExprs.mkString(", ")}
+                      FROM documents))
+          GROUP BY lang ORDER BY lang
+        """.trim)
+      },
+    ),
     Q(
       "t1_langid",
       (s, dir) => {
