@@ -181,46 +181,56 @@ object Multimodal {
     def cc(i: Int) = if (i + 4 <= b.length) new String(b, i, 4, "US-ASCII") else ""
     val none = ("unknown", -1, -1, -1, 0L)
     if (b.length >= 12 && cc(0) == "RIFF" && cc(8) == "WAVE") {
-      // chunk walk; declared sizes may extend past the stored prefix
-      var i = 12
+      // chunk walk with a LONG cursor: declared sizes are untrusted u32,
+      // so Int arithmetic would overflow negative on adversarial bytes
+      // and index backwards (fuzz-caught); sizes may also honestly
+      // extend past a stored prefix
+      var i = 12L
       var channels = -1; var rate = -1; var bits = -1; var byteRate = 0L
       var dataLen = -1L
       while (i + 8 <= b.length && (channels < 0 || dataLen < 0)) {
-        val id = cc(i); val size = le32(i + 4)
+        val at = i.toInt
+        val id = cc(at); val size = le32(at + 4)
         if (id == "fmt " && i + 24 <= b.length) {
-          channels = le16(i + 10); rate = le32(i + 12).toInt
-          byteRate = le32(i + 16); bits = le16(i + 22)
+          // rate is u32 on disk but no real PCM rate approaches 2^31 —
+          // an overflowing value is malformed data, not a rate
+          val rateL = le32(at + 12)
+          if (rateL > Int.MaxValue) return none
+          channels = le16(at + 10); rate = rateL.toInt
+          byteRate = le32(at + 16); bits = le16(at + 22)
         } else if (id == "data") dataLen = size
-        i += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+        i += 8L + size + (size & 1L) // chunks pad to even
       }
       if (channels < 0) return none
       val durMs = if (byteRate > 0 && dataLen > 0) dataLen * 1000L / byteRate else 0L
       ("wav", channels, rate, bits, durMs)
     } else if (b.length >= 8 && cc(4) == "ftyp") {
-      var i = 0
+      var i = 0L // box sizes are untrusted u32: Long cursor, same as above
       var timescale = -1L; var duration = -1L
       while (i + 8 <= b.length && timescale < 0) {
-        val size = be32(i); val id = cc(i + 4)
+        val at = i.toInt
+        val size = be32(at); val id = cc(at + 4)
         if (id == "moov") {
           // walk children of the container box
           var j = i + 8
-          val end = math.min(i + size, b.length.toLong).toInt
+          val end = math.min(i + size, b.length.toLong)
           while (j + 8 <= end && timescale < 0) {
-            val csize = be32(j)
-            if (cc(j + 4) == "mvhd" && j + 16 <= b.length) {
-              val version = u8(j + 8)
+            val ja = j.toInt
+            val csize = be32(ja)
+            if (cc(ja + 4) == "mvhd" && j + 16 <= b.length) {
+              val version = u8(ja + 8)
               if (version == 1 && j + 40 <= b.length) {
-                timescale = be32(j + 28); duration = be64(j + 32)
+                timescale = be32(ja + 28); duration = be64(ja + 32)
               } else if (version == 0 && j + 28 <= b.length) {
-                timescale = be32(j + 20); duration = be32(j + 24)
+                timescale = be32(ja + 20); duration = be32(ja + 24)
               }
             }
-            if (csize < 8) j = end else j += csize.toInt
+            if (csize < 8) j = end else j += csize
           }
         }
-        if (size < 8) return none else i += size.toInt
+        if (size < 8) return none else i += size
       }
-      if (timescale <= 0) return none
+      if (timescale <= 0 || timescale > Int.MaxValue || duration < 0) return none
       ("mp4", -1, timescale.toInt, -1, duration * 1000L / timescale)
     } else none
   }

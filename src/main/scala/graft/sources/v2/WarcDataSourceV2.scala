@@ -464,7 +464,7 @@ object WarcRecords {
 
 /** HTTP message split for response-record blocks (status, payload mime,
   * body) — byte-level, tolerant of LF-only separators. */
-private[v2] object WarcHttp {
+private[graft] object WarcHttp {
   /** Returns (http_status | null, mime | null, payload bytes,
     * header map | null — built only when `needHeaders`). */
   def split(block: Array[Byte], needHeaders: Boolean = false)

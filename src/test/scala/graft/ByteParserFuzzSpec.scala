@@ -1,0 +1,57 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Multimodal
+import graft.sources.v2.WarcHttp
+
+/** Never-throws fuzz for the byte-level header parsers: at corpus scale
+  * malformed bytes are data, not errors, so `parseImageHeader`,
+  * `parseAvHeader` and the HTTP envelope split must return their
+  * unknown/raw fallbacks on ANY input — including inputs that start
+  * with valid magic and then lie (truncated fields, absurd declared
+  * sizes, negative-looking big-endian values). Fixed seed, so the
+  * corpus is deterministic. */
+class ByteParserFuzzSpec extends AnyFunSuite {
+
+  private def corpus: Seq[Array[Byte]] = {
+    val raw = Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+      .map(_.toArray)
+    // adversarial prefixes: valid magics spliced onto random tails, so
+    // the parsers get past the cheap checks and into field arithmetic
+    val magics = Seq(
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a),
+      "GIF89a".getBytes("US-ASCII"),
+      "GIF87a".getBytes("US-ASCII"),
+      Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte),
+      "RIFF".getBytes("US-ASCII"),
+      "RIFF1234WAVE".getBytes("US-ASCII"),
+      "RIFF1234WAVEfmt ".getBytes("US-ASCII"),
+      Array[Byte](0, 0, 0, 16) ++ "ftyp".getBytes("US-ASCII"),
+      Array[Byte](0, 0, 0, 0) ++ "ftyp".getBytes("US-ASCII"), // size<8 box
+      "HTTP".getBytes("US-ASCII"),
+      "HTTP/1.1 ".getBytes("US-ASCII"),
+      "HTTP/1.1 200 OK\r\nContent-Type:".getBytes("US-ASCII"))
+    val prefixed = for {
+      m <- Gen.oneOf(magics)
+      tail <- raw
+    } yield m ++ tail
+    val gen = Gen.listOfN(600, Gen.frequency(1 -> raw, 2 -> prefixed))
+    gen(Gen.Parameters.default, Seed(8L)).get
+  }
+
+  test("image/AV header parsers and HTTP split never throw on fuzzed bytes") {
+    corpus.foreach { b =>
+      val (imgFmt, w, h) = Multimodal.parseImageHeader(b)
+      assert(imgFmt == "unknown" || w >= -1 && h >= -1)
+      val (avFmt, ch, rate, bits, dur) = Multimodal.parseAvHeader(b)
+      assert(avFmt == "unknown" || avFmt == "wav" || avFmt == "mp4")
+      if (avFmt == "unknown") assert(ch == -1 && bits == -1 && dur == 0L)
+      assert(rate >= -1)
+      val (_, _, payload, _) = WarcHttp.split(b, needHeaders = true)
+      assert(payload != null && payload.length <= b.length)
+    }
+  }
+}
