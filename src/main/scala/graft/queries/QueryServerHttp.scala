@@ -29,7 +29,8 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * belongs on a reverse proxy, exactly like the reference's Jetty FE sat
   * behind the ops stack. */
 final class QueryServerHttp(server: QueryServer, port: Int = 0,
-    maxJobs: Int = QueryServerHttp.DefaultMaxJobs) {
+    maxJobs: Int = QueryServerHttp.DefaultMaxJobs,
+    archiveRoot: Option[String] = None) {
 
   private val http =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -212,6 +213,57 @@ final class QueryServerHttp(server: QueryServer, port: Int = 0,
         s"pageSize must be in [1, ${QueryServerHttp.MaxPageSize}], got ${req.pageSize}")
       server.page(j.name, req).toJSON.collect().mkString("[", ",", "]")
     } else j.result
+  })
+
+  // --- archived page content by (archive file, member offset) — the
+  // reference's content servlet resolves a URL's stored location and
+  // seeks the archive member the same way (MasterServer.java:1057,
+  // queryserver.jr:229-233 readPaginatedResults serve page bytes).
+  // The locator comes from the scans' (arc_file/warc_file, offset)
+  // columns or a CDX line (s15); the fetch SEEKS — it never reads the
+  // archive. Raw payload bytes, payload mime as Content-Type.
+  //
+  //   GET /fetch?file=<relative path>&offset=N
+  //
+  // Only enabled when an archiveRoot is configured; the path must stay
+  // under it (no "..", no absolute paths) — the bind is loopback-only,
+  // but the root is the contract.
+  http.createContext("/fetch", (ex: HttpExchange) => {
+    try {
+      val p = params(ex)
+      val root = archiveRoot.getOrElse(
+        throw new IllegalArgumentException("content fetch is not enabled (no archive root)"))
+      val rel = p.getOrElse("file",
+        throw new IllegalArgumentException("missing file parameter"))
+      require(!rel.startsWith("/") && !rel.split("/").contains("..") && rel.nonEmpty,
+        s"file must be a relative path under the archive root, got '$rel'")
+      require(rel.endsWith(".warc.gz") || rel.endsWith(".arc.gz"),
+        s"not an archive file: '$rel'")
+      val offset = p.getOrElse("offset", "0").toLong
+      require(offset >= 0, s"offset must be >= 0, got $offset")
+      val f = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(root), rel)
+      val fs = f.getFileSystem(server.spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(f)
+      val (payload, mime) =
+        try {
+          in.seek(offset)
+          if (rel.endsWith(".warc.gz")) graft.sources.v2.WarcRecords.fetchPayload(in)
+          else {
+            val rec = graft.sources.ArcSource.parseArc(in).next()
+            (rec.content, rec.mimeType)
+          }
+        } finally in.close()
+      ex.getResponseHeaders.set("Content-Type", mime)
+      ex.sendResponseHeaders(200, payload.length.toLong)
+      val os = ex.getResponseBody
+      try os.write(payload) finally os.close()
+    } catch {
+      case e @ (_: IllegalArgumentException | _: NoSuchElementException |
+          _: NumberFormatException) =>
+        respond(ex, 400, s"""{"error":${jsonStr(e.getMessage)}}""")
+      case e: Exception =>
+        respond(ex, 500, s"""{"error":${jsonStr(e.toString)}}""")
+    } finally ex.close()
   })
 
   http.createContext("/cancel/", (ex: HttpExchange) => handle(ex) {

@@ -416,10 +416,15 @@ object WarcRecords {
     * the published corpus layout is one record per member, which the
     * graft-warc writer also produces. */
   def fetchRecordAt(bytes: Array[Byte], offset: Long)
-      : (Map[String, String], Array[Byte]) = {
-    val in = new BufferedInputStream(new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(
-        bytes, offset.toInt, bytes.length - offset.toInt)))
+      : (Map[String, String], Array[Byte]) =
+    fetchRecord(new java.io.ByteArrayInputStream(
+      bytes, offset.toInt, bytes.length - offset.toInt))
+
+  /** Stream form of [[fetchRecordAt]]: `raw` must be positioned at a
+    * gzip member start (e.g. an FSDataInputStream after seek(offset) —
+    * the server-side point fetch never reads the whole archive). */
+  def fetchRecord(raw: InputStream): (Map[String, String], Array[Byte]) = {
+    val in = new BufferedInputStream(new java.util.zip.GZIPInputStream(raw))
     def readLine(): String = {
       val buf = new ByteArrayOutputStream(128)
       var b = in.read()
@@ -431,7 +436,7 @@ object WarcRecords {
     var magic = readLine()
     while (magic != null && magic.isEmpty) magic = readLine()
     require(magic != null && magic.startsWith("WARC/"),
-      s"no WARC record at offset $offset: $magic")
+      s"no WARC record at this offset: $magic")
     val headers = scala.collection.mutable.LinkedHashMap[String, String]()
     var line = readLine()
     while (line != null && line.nonEmpty) {
@@ -453,12 +458,20 @@ object WarcRecords {
 
   /** The HTTP payload of the record at `offset` (the block itself for
     * records without an envelope). */
-  def fetchPayloadAt(bytes: Array[Byte], offset: Long): Array[Byte] = {
-    val (headers, block) = fetchRecordAt(bytes, offset)
+  def fetchPayloadAt(bytes: Array[Byte], offset: Long): Array[Byte] =
+    fetchPayload(new java.io.ByteArrayInputStream(
+      bytes, offset.toInt, bytes.length - offset.toInt))._1
+
+  /** (payload bytes, payload mime) of the record a positioned stream
+    * points at — what a content-serving endpoint returns. */
+  def fetchPayload(raw: InputStream): (Array[Byte], String) = {
+    val (headers, block) = fetchRecord(raw)
     if (headers.get("content-type").exists(
-        _.toLowerCase.startsWith("application/http")))
-      WarcHttp.split(block)._3
-    else block
+        _.toLowerCase.startsWith("application/http"))) {
+      val (_, mime, payload, _) = WarcHttp.split(block)
+      (payload, if (mime == null) "application/octet-stream" else mime.toString)
+    } else
+      (block, headers.getOrElse("content-type", "application/octet-stream"))
   }
 }
 

@@ -150,4 +150,45 @@ class QueryServerHttpSpec extends AnyFunSuite with SparkSuite {
       assert(get(port, s"/query/$name?sortBy=$sortBy&pageSize=2")._1 == 200)
     } finally fe.stop()
   }
+
+  test("content fetch: seek an archive member offset, serve payload bytes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("qhttp_arch").toString
+    val httpHead = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n\r\n"
+    Seq(("http://f.example/1", "response", "2026-01-01T00:00:00Z",
+        "application/http; msgtype=response",
+        (httpHead + "<html>fetched</html>").getBytes("UTF-8")))
+      .toDF("url", "warc_type", "warc_date", "content_type", "content")
+      .coalesce(1)
+      .write.format("graft-warc").mode("append").save(root)
+    val (file, offset) = spark.read.format("graft-warc").load(root)
+      .filter(col("warc_type") === "response")
+      .select("warc_file", "offset").collect()
+      .map(r => (r.getString(0), r.getLong(1))).head
+    val rel = new java.io.File(new java.net.URI(file).getPath).getName
+
+    val cacheDir = java.nio.file.Files.createTempDirectory("qhttp_f").toString
+    val server = new QueryServer(spark, cacheDir, sfDir)
+    val fe = new QueryServerHttp(server, archiveRoot = Some(root))
+    val port = fe.start()
+    try {
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$port/fetch?file=$rel&offset=$offset"))
+          .GET().build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(resp.statusCode() == 200)
+      assert(new String(resp.body(), "UTF-8") == "<html>fetched</html>")
+      assert(resp.headers().firstValue("Content-Type").orElse("") == "text/html")
+      // traversal and non-archive paths are client errors
+      assert(this.get(port, s"/fetch?file=../$rel&offset=0")._1 == 400)
+      assert(this.get(port, "/fetch?file=notthere.txt&offset=0")._1 == 400)
+      // disabled without a root
+      val fe2 = new QueryServerHttp(server)
+      val p2 = fe2.start()
+      try assert(this.get(p2, s"/fetch?file=$rel&offset=0")._1 == 400)
+      finally fe2.stop()
+    } finally fe.stop()
+  }
 }
