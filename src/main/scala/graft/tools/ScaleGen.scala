@@ -16,15 +16,17 @@ import org.apache.spark.sql.functions._
   *    source — replica i of `lineitem` references replica i of
   *    `orders`/`part`/`supplier`, so join fan-out ratios are preserved
   *    exactly;
-  *  - `documents.text` in replica i>0 has every token suffixed with
-  *    `xi`: per-replica token vocabularies are disjoint, so each
-  *    replica's INTERNAL duplicate/near-duplicate structure is identical
-  *    to the original while no cross-replica near-dups are introduced —
+  *  - `documents.text` in replica i>0 is alphabet-rotated (per-replica
+  *    Caesar `translate`): char n-grams and token vocabularies are
+  *    disjoint across replicas, so each replica's INTERNAL
+  *    duplicate/near-duplicate structure is identical to the original
+  *    while no cross-replica near-dups are introduced — duplicate
   *    cluster COUNT scales with the corpus and cluster SIZE does not,
   *    the linear-corpus-growth regime a crawl corpus approximates;
-  *  - `embeddings.embedding` in replica i>0 gets a small deterministic
-  *    per-element perturbation (±0.01, hash-derived), keeping the space
-  *    filled rather than collapsing replicas onto identical points.
+  *  - `embeddings.embedding` in replica i>0 is dimension-rotated
+  *    (norm and coordinate distribution preserved, replicas
+  *    ≈ orthogonal) then jittered ±0.01 — decorrelated, not collapsed
+  *    into factor-cliques of embedding near-dups.
   */
 object ScaleGen {
 
@@ -132,11 +134,24 @@ object ScaleGen {
 
     val embeddings = read("embeddings")
     val vecStride = stride(embeddings, "vec_id")
+    // Replica vectors must be DECORRELATED, not just perturbed: a ±0.01
+    // jitter leaves replicas at cosine ≈ 0.999, so every vector becomes
+    // a factor-clique of embedding near-dups and the ss near-dup family
+    // goes superlinear by data construction (the embedding analog of
+    // the text mirror problem above). A per-replica circular shift of
+    // the dimensions preserves the norm and the coordinate distribution
+    // exactly while making replicas ≈ orthogonal; the jitter then fills
+    // space locally.
+    val dim = size(col("embedding"))
+    val k = pmod(col("rep"), dim.cast("long")).cast("int")
+    val vecRotated = when(col("rep") === 0, col("embedding")).otherwise(
+      concat(slice(col("embedding"), k + 1, dim - k),
+        slice(col("embedding"), lit(1), k)))
     write("embeddings")(replicate(embeddings)
       .withColumn("vec_id", col("vec_id") + col("rep") * vecStride)
       .withColumn("embedding",
         when(col("rep") === 0, col("embedding")).otherwise(
-          transform(col("embedding"),
+          transform(vecRotated,
             (x, i) => (x + (pmod(hash(col("vec_id"), i), lit(201)) - 100)
               .cast("float") / lit(10000.0f)).cast("float"))))
       .drop("rep"))
