@@ -29,6 +29,13 @@ object GraftFunctions {
   private val jaccardF = (a: String, b: String) =>
     Hashing.jaccard(Hashing.shingles(a), Hashing.shingles(b))
 
+  private val robotsAllowedF = (robots: String, agent: String, path: String) =>
+    graft.core.Robots.isAllowed(robots, agent, path)
+  private val robotsDelayF = (robots: String, agent: String) =>
+    graft.core.Robots.crawlDelay(robots, agent)
+
+  private val robotsAllowedUdf = udf(robotsAllowedF)
+  private val robotsDelayUdf = udf(robotsDelayF)
   private val simhashUdf = udf(simhashF)
   private val hammingUdf = udf(hammingF)
   private val bandKeysUdf = udf(bandKeysF)
@@ -59,6 +66,15 @@ object GraftFunctions {
   def rabinFp64(c: Column): Column = NativeExpressions.rabinFp64(c)
 
   def canonicalizeUrl(c: Column): Column = canonUdf(c)
+
+  /** robots.txt gate with the reference crawler's first-match-wins
+    * prefix semantics (RobotRulesParser.java:162-185). */
+  def robotsAllowed(robotsTxt: Column, agent: Column, path: Column): Column =
+    robotsAllowedUdf(robotsTxt, agent, path)
+
+  /** Crawl-delay seconds for an agent (-1 unset; RobotRuleSet.crawlDelay). */
+  def robotsCrawlDelay(robotsTxt: Column, agent: Column): Column =
+    robotsDelayUdf(robotsTxt, agent)
 
   /** Lowercased host of a URL (null if unparseable). */
   def urlHost(c: Column): Column = hostUdf(c)

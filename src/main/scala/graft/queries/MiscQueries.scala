@@ -7,6 +7,58 @@ import org.apache.spark.sql.functions._
 object MiscQueries {
 
   def defs: Seq[Q] = Seq(
+    // F8: robots.txt gating — the reference crawler's Nutch-derived
+    // robots engine (service/crawler/RobotRulesParser.java: per-agent
+    // sections with precedence, ordered first-match-wins prefix rules,
+    // Crawl-delay) re-expressed clean-room in core/Robots and applied
+    // as a corpus-scale fetchability audit: per (host, agent), how many
+    // candidate URLs the synthesized policy admits/blocks and the
+    // host's crawl delay. The oracle re-derives every decision
+    // analytically, so the section selection, the Allow-before-Disallow
+    // ordering, the * fallback AND the delay parse are all gated.
+    Q(
+      "f8_robots_gate",
+      (s, dir) => {
+        val F = graft.functions.GraftFunctions
+        val h = (col("doc_id") % 7).cast("string")
+        val robots = concat(
+          lit("# crawl policy\nUser-agent: graftbot\nAllow: /p/ok/\n" +
+            "Disallow: /p/\nCrawl-delay: "), h,
+          lit("\n\nUser-agent: *\nDisallow: /q/\n"))
+        val agent = when(col("doc_id") % 3 === 0, lit("graftbot"))
+          .otherwise(lit("otherbot"))
+        val path = concat(
+          when(col("doc_id") % 4 === 0, lit("/p/ok/"))
+            .when(col("doc_id") % 4 === 1, lit("/p/"))
+            .when(col("doc_id") % 4 === 2, lit("/q/"))
+            .otherwise(lit("/r/")),
+          col("doc_id").cast("string"))
+        Registry.table(s, dir, "documents")
+          .select(concat(lit("h"), h).as("host"), agent.as("agent"),
+            F.robotsAllowed(robots, agent, path).as("ok"),
+            F.robotsCrawlDelay(robots, agent).as("delay"))
+          .groupBy("host", "agent")
+          .agg(
+            sum(when(col("ok"), 1L).otherwise(0L)).as("n_allowed"),
+            sum(when(col("ok"), 0L).otherwise(1L)).as("n_blocked"),
+            max(col("delay")).as("crawl_delay"))
+          .orderBy("host", "agent")
+      },
+      Some("""
+        SELECT 'h' || CAST(h AS VARCHAR) AS host, agent,
+               CAST(SUM(ok) AS BIGINT) AS n_allowed,
+               CAST(SUM(1 - ok) AS BIGINT) AS n_blocked,
+               CAST(MAX(CASE WHEN agent = 'graftbot' THEN h ELSE -1 END) AS BIGINT) AS crawl_delay
+        FROM (SELECT doc_id % 7 AS h,
+                     CASE WHEN doc_id % 3 = 0 THEN 'graftbot' ELSE 'otherbot' END AS agent,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN CASE WHEN doc_id % 4 = 1 THEN 0 ELSE 1 END
+                          ELSE CASE WHEN doc_id % 4 = 2 THEN 0 ELSE 1 END END AS ok
+              FROM documents)
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+      """.stripMargin.trim),
+    ),
     // F5: crawler filter suite — broadcast block list (left-anti) +
     // boost list (withColumn bonus), the DomainFilter/PageRankBoostFilter
     // combination (service/crawler/filters/). Block and boost sets are
