@@ -165,6 +165,38 @@ object MiscQueries {
       """.stripMargin.trim),
     ),
 
+    // X4 at scale: interval-lookup join — probe IPs resolved against
+    // [lo, hi] address blocks (the IP→geo/AS shape) WITHOUT the
+    // BroadcastNestedLoopJoin a raw BETWEEN join condition produces.
+    // RangeJoin explodes each block into 2^24-wide covering buckets and
+    // equi-joins on the bucket key + residual BETWEEN; blocks here overlap
+    // by half a stride, so some probes legitimately match two blocks and
+    // some none — the general interval case, not a disguised equi-join.
+    Q(
+      "x11_ip_range_lookup",
+      (s, dir) => {
+        val p = Registry.table(s, dir, "supplier")
+          .select(col("s_suppkey"),
+            ((col("s_suppkey") * 2654435761L) % 4294967296L).as("ip_int"))
+        val r = Registry.table(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"),
+            (col("n_nationkey").cast("long") * 134217728L).as("lo"),
+            (col("n_nationkey").cast("long") * 134217728L + 201326591L).as("hi"))
+        graft.ops.RangeJoin.lookup(p, "ip_int", r, "lo", "hi", bucketBits = 24)
+          .select(col("s_suppkey"), col("ip_int"),
+            col("n_nationkey").as("range_id"), col("n_name").as("range_label"))
+          .orderBy(col("s_suppkey"), col("range_id"))
+      },
+      Some("""
+        SELECT p.s_suppkey, p.ip_int, r.n_nationkey AS range_id, r.n_name AS range_label
+        FROM (SELECT s_suppkey, (s_suppkey*2654435761)%4294967296 AS ip_int FROM supplier) p
+        JOIN (SELECT n_nationkey, n_name, CAST(n_nationkey AS BIGINT)*134217728 AS lo,
+                     CAST(n_nationkey AS BIGINT)*134217728 + 201326591 AS hi FROM nation) r
+          ON p.ip_int BETWEEN r.lo AND r.hi
+        ORDER BY p.s_suppkey, range_id
+      """.stripMargin.trim),
+    ),
+
     // X6: JSON functions — extract a typed property from the events
     // props JSON and aggregate it (the crawldb records are JSON docs;
     // safeGetLong/safeIncrementJSONCounter collapse to get_json_object +

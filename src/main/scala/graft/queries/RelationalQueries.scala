@@ -434,5 +434,77 @@ object RelationalQueries {
         ORDER BY month
       """.stripMargin.trim),
     ),
+
+    // ---- As-of (point-in-time) join: each click event joined to the most
+    // recent purchase state at-or-before it per user — the time-series
+    // append log (S8, SURVEY §1.6) probed at query timestamps. Runs the
+    // BUCKETED variant (1-day buckets) so the heavy window is bounded per
+    // (user, day) no matter how long one user's history grows; the spec
+    // pins bucketed ≡ plain. Build side deduped to one row per (key, ts)
+    // as the operator requires.
+    Q(
+      "j7_asof_join",
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+        val st = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("asof_value"))
+        val pr = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        graft.ops.AsOfJoin
+          .backwardBucketed(pr, st, "user_id", "ts", bucketWidthSec = 86400L)
+          .select(col("event_id"), col("user_id"), col("ts"), col("asof_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH st AS (
+          SELECT user_id, ts, MAX(value) AS asof_value
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        ), pr AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ), u AS (
+          SELECT user_id, ts, 0 AS seq, asof_value, CAST(NULL AS BIGINT) AS event_id FROM st
+          UNION ALL
+          SELECT user_id, ts, 1 AS seq, CAST(NULL AS DOUBLE) AS asof_value, event_id FROM pr
+        ), f AS (
+          SELECT user_id, ts, seq, event_id,
+                 LAST_VALUE(asof_value IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, seq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value_f
+          FROM u
+        )
+        SELECT event_id, user_id, ts, asof_value_f AS asof_value
+        FROM f WHERE seq = 1 ORDER BY event_id
+      """.stripMargin.trim),
+    ),
+
+    // ---- Bounded-memory heavy hitters: suppliers holding ≥0.5% of all
+    // lineitems via the Misra-Gries mergeable sketch — ≤4096 counters per
+    // partial aggregate cross the shuffle instead of one row per distinct
+    // key. Capacity ≥ distinct suppliers at every test SF, so the sketch's
+    // answer is provably exact and a plain GROUP BY oracles it; the
+    // eviction regime is spec-pinned (SketchesSpec).
+    Q(
+      "a11_heavy_hitters",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        li.agg(
+            graft.ops.Sketches.frequentItems(4096)(col("l_suppkey").cast("string")).as("hh"),
+            count(lit(1)).as("total"))
+          .select(explode(col("hh")).as("h"), col("total"))
+          .select(col("h.key").cast("long").as("suppkey"),
+            col("h.count").as("est_count"), col("total"))
+          .filter(col("est_count") * 200 >= col("total"))
+          .select(col("suppkey"), col("est_count"))
+          .orderBy(desc("est_count"), col("suppkey"))
+      },
+      Some("""
+        SELECT l_suppkey AS suppkey, COUNT(*) AS est_count
+        FROM lineitem
+        GROUP BY l_suppkey
+        HAVING COUNT(*) * 200 >= (SELECT COUNT(*) FROM lineitem)
+        ORDER BY est_count DESC, suppkey
+      """.stripMargin.trim),
+    ),
   )
 }
