@@ -506,5 +506,40 @@ object RelationalQueries {
         ORDER BY est_count DESC, suppkey
       """.stripMargin.trim),
     ),
+
+    // ---- Mergeable quantile sketch: per-language document-length
+    // quartiles via the KLL-style bounded buffer — O(cap · log(n/cap))
+    // state per partial aggregate instead of a per-group full sort
+    // (cu2's exact ntile path). Capacity ≥ the largest group at every
+    // test SF, so the sketch's lower-rank answers are provably exact and
+    // DuckDB's quantile_disc (same ceil(q·n)−1 rank) oracles them;
+    // the compaction regime's error bound is SketchesSpec-pinned.
+    Q(
+      "a12_quantile_sketch",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        d.groupBy(col("lang"))
+          .agg(
+            graft.ops.Sketches.quantiles(4096, Seq(0.25, 0.5, 0.75))(
+              col("n_chars").cast("double")).as("qs"),
+            count(lit(1)).as("n_docs"))
+          .select(col("lang"),
+            element_at(col("qs"), 1).cast("long").as("p25"),
+            element_at(col("qs"), 2).cast("long").as("p50"),
+            element_at(col("qs"), 3).cast("long").as("p75"),
+            col("n_docs"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        SELECT lang,
+               quantile_disc(n_chars, 0.25) AS p25,
+               quantile_disc(n_chars, 0.5) AS p50,
+               quantile_disc(n_chars, 0.75) AS p75,
+               COUNT(*) AS n_docs
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+      """.stripMargin.trim),
+    ),
   )
 }

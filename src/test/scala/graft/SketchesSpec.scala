@@ -68,6 +68,52 @@ class SketchesSpec extends AnyFunSuite with SparkSuite {
     assert(out == Seq("a" -> 2L, "b" -> 2L, "c" -> 1L, "d" -> 1L))
   }
 
+  test("quantiles: exact (quantile_disc lower rank) while n <= capacity") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val data = (1 to 3000).map(_ => rnd.nextInt(100000).toDouble)
+    val sorted = data.sorted
+    val probs = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 1.0)
+    // SQL quantile_disc rank: smallest value with rank/n >= q
+    val want = probs.map(q =>
+      sorted(math.max(1, math.ceil(q * data.size).toInt) - 1))
+    for (parts <- Seq(1, 8)) {
+      val got = data.toDF("x").repartition(parts)
+        .agg(Sketches.quantiles(4096, probs)(col("x")).as("qs"))
+        .as[Seq[Double]].collect().head
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
+  test("quantiles: compaction regime stays within a small rank error") {
+    import spark.implicits._
+    val n = 100000
+    val cap = 256
+    val rnd = new scala.util.Random(5)
+    val data = (1 to n).map(_ => rnd.nextDouble())
+    val sorted = data.sorted.toArray
+    val probs = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+    val got = data.toDF("x").repartition(16)
+      .agg(Sketches.quantiles(cap, probs)(col("x")).as("qs"))
+      .as[Seq[Double]].collect().head
+    probs.zip(got).foreach { case (q, v) =>
+      // true rank of the reported value vs requested rank, as a fraction
+      val rank = sorted.count(_ <= v).toDouble / n
+      assert(math.abs(rank - q) < 0.05,
+        s"q=$q reported value at rank $rank (err ${math.abs(rank - q)})")
+    }
+  }
+
+  test("quantiles: bounded buffer — state stays O(cap log n), not O(n)") {
+    import spark.implicits._
+    // 200k rows through a cap-128 sketch in one partition: if the buffer
+    // accumulated O(n) this would blow far past 128*levels
+    val got = (1 to 200000).map(_.toDouble).toDF("x").coalesce(1)
+      .agg(Sketches.quantiles(128, Seq(0.5))(col("x")).as("qs"))
+      .as[Seq[Double]].collect().head
+    assert(math.abs(got.head / 200000.0 - 0.5) < 0.05)
+  }
+
   test("runs as ObjectHashAggregate with partial merge, no sort-based fallback") {
     import spark.implicits._
     val plan = skewed(2000, 100, 3).toDF("k").repartition(4)
