@@ -122,6 +122,23 @@ object AsOfJoin {
       .select((key +: ts +: (pCols ++ vCols)).map(col): _*)
   }
 
+  /** The carry for incremental/streaming as-of: only the LAST build row
+    * per key can influence any future probe, so a micro-batched ingest
+    * keeps O(keys) state, not the log. Per time-ordered micro-batch i:
+    * `out_i = backward(probe_i, carry ∪ build_i)` and
+    * `carry' = lastStatePerKey(carry ∪ build_i)` — the union of `out_i`
+    * equals the one-shot backward join over the whole log (AsOfJoinSpec
+    * pins the equivalence). Same schema as `build`; struct-max picks the
+    * greatest ts per key (build unique per (key, ts) by precondition). */
+  def lastStatePerKey(build: DataFrame, key: String, ts: String): DataFrame = {
+    val vCols = build.columns.toSeq.filterNot(c => c == key || c == ts)
+    build.groupBy(col(key))
+      .agg(max(struct(col(ts) +: vCols.map(col): _*)).as("_s"))
+      .select(col(key) +:
+        col("_s").getField(ts).as(ts) +:
+        vCols.map(c => col("_s").getField(c).as(c)): _*)
+  }
+
   /** Forward as-of join (earliest build `ts >= probe.ts`): the mirrored
     * carry, for "next state after" probes. */
   def forward(probe: DataFrame, build: DataFrame,

@@ -84,6 +84,51 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSuite {
     assert(plan.contains("_asof_bucket"))
   }
 
+  test("micro-batched as-of with compacted carry == one-shot backward") {
+    // the ingest decomposition: time-ordered micro-batches, each joined
+    // against carry ∪ batch-build, carry compacted to last-state-per-key
+    // (O(keys) streaming state) — union of outputs equals the one-shot
+    // join over the full log
+    val ev = graft.queries.Registry.table(spark, sfDir, "events")
+    val st = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("v"))
+    val pr = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+
+    val oneShot = AsOfJoin.backward(pr, st, "user_id", "ts")
+      .orderBy(col("event_id")).collect().toSeq
+
+    val cuts = st.select(col("ts")).unionByName(pr.select(col("ts")))
+      .selectExpr(
+        "timestamp_micros(cast(percentile_disc(0.25) WITHIN GROUP (ORDER BY unix_micros(ts)) AS BIGINT)) p1",
+        "timestamp_micros(cast(percentile_disc(0.5) WITHIN GROUP (ORDER BY unix_micros(ts)) AS BIGINT)) p2",
+        "timestamp_micros(cast(percentile_disc(0.75) WITHIN GROUP (ORDER BY unix_micros(ts)) AS BIGINT)) p3")
+      .collect()(0)
+    val bounds = Seq(cuts.getTimestamp(0), cuts.getTimestamp(1), cuts.getTimestamp(2))
+    def slice(df: org.apache.spark.sql.DataFrame, i: Int) = i match {
+      case 0 => df.filter(col("ts") <= bounds(0))
+      case 3 => df.filter(col("ts") > bounds(2))
+      case n => df.filter(col("ts") > bounds(n - 1) && col("ts") <= bounds(n))
+    }
+
+    var carry = st.limit(0) // empty state, build schema
+    val outs = (0 to 3).map { i =>
+      val bBuild = slice(st, i)
+      val bProbe = slice(pr, i)
+      val withState = carry.unionByName(bBuild)
+      val out = AsOfJoin.backward(bProbe, withState, "user_id", "ts")
+      carry = AsOfJoin.lastStatePerKey(withState, "user_id", "ts")
+        .localCheckpoint(true) // truncate the growing lineage, as ingest would
+      out
+    }
+    val incremental = outs.reduce(_ unionByName _)
+      .orderBy(col("event_id")).collect().toSeq
+    assert(incremental == oneShot)
+    assert(oneShot.nonEmpty)
+    // the carry stays O(keys): never more rows than distinct users
+    assert(carry.count() <= ev.select("user_id").distinct().count())
+  }
+
   test("probe/build column collision is rejected") {
     import spark.implicits._
     val b = Seq(("a", ts(1), 1.0)).toDF("k", "ts", "x")
