@@ -86,19 +86,28 @@ object AsOfJoin {
       floor(unix_timestamp(col(ts)) / lit(bucketWidthSec)))
 
     // Phase 1: carry-forward within (key, bucket) — bounded partitions.
+    // The fill lands in SHADOW columns (originals stay for phase 2).
     val wLocal = Window.partitionBy(col(key), col(BucketCol))
       .orderBy(col(ts), col(SeqCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = vCols.foldLeft(u) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(wLocal))
+      df.withColumn("_f_" + c, last(col(c), ignoreNulls = true).over(wLocal))
     }
 
     // Phase 2: per-bucket LAST build state. struct(ts, values…) under max()
     // picks the lexicographically-largest, i.e. the latest ts (build rows
     // are unique per (key, ts) by precondition); probe rows contribute
-    // null which max() ignores. Rides the same (key, bucket) partitioning
-    // as the phase-1 window — no extra exchange.
-    val lastInBucket = u
+    // null which max() ignores.
+    //
+    // Cost model (deliberate): Catalyst plans this branch as a second
+    // column-pruned, filter-pushed scan of the inputs with a MAP-SIDE
+    // partial max — the only thing it shuffles is one partial struct per
+    // (key, bucket), O(keys × active buckets). The O(rows) sort+shuffle
+    // of the union happens exactly once, in phase 1. (Forcing this
+    // branch through the phase-1 window output would dodge the rescan
+    // but re-SORT the whole union per consumer above the reused
+    // exchange — a worse trade at scale than a pruned scan.)
+    val lastInBucket = local
       .groupBy(col(key), col(BucketCol))
       .agg(max(when(col(SeqCol) === 0,
         struct(col(ts) +: vCols.map(col): _*))).as("_last"))
@@ -115,11 +124,9 @@ object AsOfJoin {
     // Phase 3: probes missing an in-bucket state take the carried one.
     val joined = local.filter(col(SeqCol) === 1)
       .join(carry, Seq(key, BucketCol), "left")
-    val fixed = vCols.foldLeft(joined) { (df, c) =>
-      df.withColumn(c, coalesce(col(c), col("_carry").getField(c)))
-    }
-    fixed.drop(SeqCol, BucketCol, "_carry")
-      .select((key +: ts +: (pCols ++ vCols)).map(col): _*)
+    joined.select(col(key) +: col(ts) +: (pCols.map(col) ++
+      vCols.map(c =>
+        coalesce(col("_f_" + c), col("_carry").getField(c)).as(c))): _*)
   }
 
   /** The carry for incremental/streaming as-of: only the LAST build row
