@@ -682,5 +682,46 @@ object CurationQueries {
         ORDER BY t.source
       """.trim),
     ),
+
+    // cu14: deterministic WEIGHTED Bernoulli subsampling — inclusion
+    // probability ∝ document length (the duplication-weight / quality-
+    // weight shape), zero coordination: the keep decision reads one row,
+    // so the operator is embarrassingly parallel, reproducible under
+    // re-partitioning and appends, and the sample of a union is the
+    // union of samples. Integer-exact thresholds (ops/Sampling split-
+    // division) make the oracle an exact hash match, not statistical.
+    Q(
+      "cu14_weighted_sample",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val den = docs.agg((max(col("n_chars")) * 2).as("denom"))
+        graft.ops.Sampling.weightedKeep(
+            docs.crossJoin(broadcast(den)),
+            "cu14", "doc_id", "n_chars", "denom", "kept")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_total"),
+            count(when(col("kept"), 1)).as("n_kept"),
+            coalesce(sum(when(col("kept"), col("n_chars"))), lit(0L)).as("chars_kept"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH den AS (SELECT 2*MAX(n_chars) AS d FROM documents),
+        s AS (
+          SELECT doc_id, source, n_chars,
+            lpad(substr(md5('cu14:' || CAST(doc_id AS VARCHAR)), 1, 15), 16, '0') AS u16,
+            lpad(lower(to_hex(least(
+              (1152921504606846976 // d) * n_chars
+                + ((1152921504606846976 % d) * n_chars) // d,
+              1152921504606846976))), 16, '0') AS thr
+          FROM documents, den
+        )
+        SELECT source,
+               COUNT(*) AS n_total,
+               COUNT(*) FILTER (WHERE u16 < thr) AS n_kept,
+               CAST(COALESCE(SUM(n_chars) FILTER (WHERE u16 < thr), 0) AS BIGINT) AS chars_kept
+        FROM s GROUP BY source ORDER BY source
+      """.trim),
+    ),
   )
 }
