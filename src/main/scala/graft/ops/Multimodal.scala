@@ -80,13 +80,17 @@ object Multimodal {
   /** Parse format + dimensions from real image container bytes:
     * PNG (IHDR width/height, RFC 2083 §3.1), JPEG (first SOFn segment's
     * lines/samples, ITU T.81 §B.2.2 — marker walk over variable-length
-    * segments), GIF87a/89a (logical screen descriptor, LE uint16).
+    * segments), GIF87a/89a (logical screen descriptor, LE uint16), WebP
+    * (RIFF/WEBP with all three layouts: VP8X canvas LE24+1, VP8L
+    * 14-bit-packed LE32 after the 0x2F signature, lossy VP8 frame-tag
+    * dimensions behind the 9D 01 2A start code).
     * Unknown/truncated input → ("unknown", -1, -1), never a throw: at
     * corpus scale malformed bytes are data, not errors. */
   def parseImageHeader(b: Array[Byte]): (String, Int, Int) = {
     def u8(i: Int) = b(i) & 0xff
     def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
     def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le24(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)
     def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
     if (b.length >= 24 && u8(0) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
         b(3) == 'G' && new String(b, 12, 4, "US-ASCII") == "IHDR")
@@ -94,7 +98,20 @@ object Multimodal {
     else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
       ("gif", le16(6), le16(8))
-    else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+    else if (b.length >= 16 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P') {
+      new String(b, 12, 4, "US-ASCII") match {
+        case "VP8X" if b.length >= 30 =>
+          ("webp", le24(24) + 1, le24(27) + 1)
+        case "VP8L" if b.length >= 25 && u8(20) == 0x2f =>
+          val bits = le24(21) | (u8(24) << 24)
+          ("webp", (bits & 0x3fff) + 1, ((bits >> 14) & 0x3fff) + 1)
+        case "VP8 " if b.length >= 30 && u8(23) == 0x9d && u8(24) == 0x01 &&
+            u8(25) == 0x2a =>
+          ("webp", le16(26) & 0x3fff, le16(28) & 0x3fff)
+        case _ => ("webp", -1, -1)
+      }
+    } else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
       // walk FF-marker segments to the first frame header: SOF0-SOF15
       // are 0xC0-0xCF minus DHT (C4), JPG (C8), DAC (CC)
       var i = 2
@@ -128,13 +145,17 @@ object Multimodal {
     * dimensions — pure column expressions (hex text → unhex), so the
     * synthesis stays in the scan projection and an oracle can re-derive
     * the dimensions analytically. Dimensions must fit uint16 (the
-    * JPEG/GIF field width); formatSel: 0=png, 1=jpeg, 2=gif. */
+    * JPEG/GIF field width); formatSel: 0=png, 1=jpeg, 2=gif, 3=webp
+    * (VP8X extended layout: LE24 canvas width−1 / height−1). */
   def packImage(formatSel: Column, width: Column, height: Column): Column = {
     val w16 = lpad(hex(width.cast("long")), 4, "0")
     val h16 = lpad(hex(height.cast("long")), 4, "0")
     val w32 = lpad(hex(width.cast("long")), 8, "0")
     val h32 = lpad(hex(height.cast("long")), 8, "0")
     def le(x: Column) = concat(substring(x, 3, 2), substring(x, 1, 2))
+    // LE24 of a value already rendered as 8 hex chars (top byte zero)
+    def le24(x: Column) =
+      concat(substring(x, 7, 2), substring(x, 5, 2), substring(x, 3, 2))
     val png = concat(
       lit("89504E470D0A1A0A" + "0000000D" + "49484452"), w32, h32,
       lit("0806000000")) // bit depth 8, RGBA, deflate, adaptive, no interlace
@@ -144,7 +165,15 @@ object Multimodal {
     val gif = concat(
       lit("474946383961"), le(w16), le(h16),
       lit("F7000000")) // GCT flags + background + aspect
-    unhex(when(formatSel === 0, png).when(formatSel === 1, jpeg).otherwise(gif))
+    val wm1 = lpad(hex((width - 1).cast("long")), 8, "0")
+    val hm1 = lpad(hex((height - 1).cast("long")), 8, "0")
+    val webp = concat(
+      // RIFF size 22 (file 30 bytes), VP8X chunk size 10, flags+reserved 0
+      lit("52494646" + "16000000" + "57454250" + "56503858" + "0A000000" +
+        "00" + "000000"),
+      le24(wm1), le24(hm1))
+    unhex(when(formatSel === 0, png).when(formatSel === 1, jpeg)
+      .when(formatSel === 2, gif).otherwise(webp))
   }
 
   // --- real public-format audio/video container headers --------------

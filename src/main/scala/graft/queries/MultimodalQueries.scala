@@ -150,7 +150,7 @@ object MultimodalQueries {
         val docs = Registry.table(s, dir, "documents")
         val w = (col("doc_id") % 1897 + 16).cast("int")
         val h = (col("doc_id") % 1061 + 9).cast("int")
-        val img = Multimodal.packImage(col("doc_id") % 3, w, h)
+        val img = Multimodal.packImage(col("doc_id") % 4, w, h)
         val packed = docs.select(col("doc_id"), img.as("media"))
         Multimodal.decodeImageHeaders(packed, "doc_id", "media")
           .select(
@@ -162,7 +162,7 @@ object MultimodalQueries {
       },
       Some("""
         SELECT doc_id,
-               CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+               CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif' ELSE 'webp' END AS format,
                (doc_id % 1897 + 16)::BIGINT AS width,
                (doc_id % 1061 + 9)::BIGINT AS height
         FROM documents

@@ -55,6 +55,23 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
       == (("gif", 320, 240)))
     assert(Multimodal.parseImageHeader(hx("474946383961 0502 0301 F7 00 00"))
       == (("gif", 517, 259)))
+    // WebP, all three chunk layouts (RFC 9649):
+    // VP8X extended: canvas 64×32 → LE24 fields hold w−1=63, h−1=31
+    assert(Multimodal.parseImageHeader(hx(
+      "52494646 16000000 57454250 56503858 0A000000 00 000000 3F0000 1F0000"))
+      == (("webp", 64, 32)))
+    // VP8L lossless: signature 2F then 32 bits: (w−1) in 0-13, (h−1) in 14-27
+    // w=517, h=259 → bits = 516 | 258<<14 = 0x408204 → LE 04 82 40 00
+    assert(Multimodal.parseImageHeader(hx(
+      "52494646 12000000 57454250 5650384C 06000000 2F 04824000 00"))
+      == (("webp", 517, 259)))
+    // lossy VP8: frame tag ×3, start code 9D 01 2A, LE14 dims 320×240
+    assert(Multimodal.parseImageHeader(hx(
+      "52494646 1A000000 57454250 56503820 0E000000 000000 9D012A 4001 F000 0000"))
+      == (("webp", 320, 240)))
+    // RIFF/WEBP with a truncated chunk is webp with unknown dims
+    assert(Multimodal.parseImageHeader(hx("52494646 16000000 57454250 56503858 0A00"))
+      == (("webp", -1, -1)))
     // malformed inputs are data, not errors
     assert(Multimodal.parseImageHeader(hx("FFD8 FFDA0002"))._2 == -1) // no SOF
     assert(Multimodal.parseImageHeader("notanimage".getBytes("UTF-8"))._1 == "unknown")
@@ -63,16 +80,18 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
 
   test("packImage synthesizes bytes the real parser round-trips") {
     import spark.implicits._
-    val df = Seq((0L, 16, 9), (1L, 1897, 1061), (2L, 65535, 65535), (3L, 1, 1))
+    val df = Seq((0L, 16, 9), (1L, 1897, 1061), (2L, 65535, 65535), (3L, 4000, 3000),
+        (4L, 1, 1))
       .toDF("id", "w", "h")
-      .select(col("id"), Multimodal.packImage(col("id") % 3, col("w"), col("h")).as("media"),
+      .select(col("id"), Multimodal.packImage(col("id") % 4, col("w"), col("h")).as("media"),
         col("w"), col("h"))
     val got = Multimodal.decodeImageHeaders(df, "id", "media")
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
     assert(got(0L) == (("png", 16, 9)))
     assert(got(1L) == (("jpeg", 1897, 1061)))
     assert(got(2L) == (("gif", 65535, 65535)))
-    assert(got(3L) == (("png", 1, 1)))
+    assert(got(3L) == (("webp", 4000, 3000)))
+    assert(got(4L) == (("png", 1, 1)))
   }
 
   test("byte histogram feature vector: 16 bins, L1-normalized") {
