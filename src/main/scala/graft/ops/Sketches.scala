@@ -105,6 +105,39 @@ object Sketches {
   def frequentItems(capacity: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(new MisraGries(capacity))
 
+  /** Re-aggregate PERSISTED sketch reports: input rows are (key, count)
+    * hitters from earlier `frequentItems` runs (per day, per shard, per
+    * micro-batch), output is the merged summary under the same PODS'12
+    * rule — the daily→monthly rollup path, so heavy-hitter state can be
+    * stored as plain rows and re-merged later without rescanning the
+    * corpus. Exact when every input summary was exact and capacity
+    * covers the union of keys; otherwise the merged error is the sum of
+    * the parts' bounds (mergeability is what the PODS construction
+    * buys). */
+  private final class MisraGriesMerge(capacity: Int)
+      extends Aggregator[Hitter, scala.collection.mutable.HashMap[String, Long], Seq[Hitter]] {
+    require(capacity > 0, s"bad capacity $capacity")
+    private type Buf = scala.collection.mutable.HashMap[String, Long]
+    private val inner = new MisraGries(capacity)
+
+    override def zero: Buf = new Buf
+    override def reduce(m: Buf, h: Hitter): Buf = {
+      val one = new Buf
+      one.update(h.key, h.count)
+      inner.merge(m, one)
+    }
+    override def merge(a: Buf, b: Buf): Buf = inner.merge(a, b)
+    override def finish(m: Buf): Seq[Hitter] = inner.finish(m)
+    override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
+    override def outputEncoder: Encoder[Seq[Hitter]] =
+      ExpressionEncoder[Seq[Hitter]]()
+  }
+
+  /** Untyped aggregate column over struct<key:string,count:long> rows:
+    * `mergeFrequent(cap)(hitterStruct)` → merged array<struct<key,count>>. */
+  def mergeFrequent(capacity: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new MisraGriesMerge(capacity))
+
   /** KLL-style quantile state: level i holds items of weight 2^i in a
     * flat pre-sized double array (no per-row boxing). Public fields +
     * no-arg constructor for kryo. */

@@ -507,6 +507,41 @@ object RelationalQueries {
       """.stripMargin.trim),
     ),
 
+    // ---- Sketch ROLLUP: per-day heavy-hitter summaries re-merged into
+    // the corpus-wide report — the path where sketch state is persisted
+    // as plain (key, count) rows (per day / shard / micro-batch) and
+    // re-aggregated later WITHOUT rescanning the corpus. Capacity 4096
+    // covers the 1.5k users at every test SF, so each daily summary and
+    // the merged one are exact and a plain GROUP BY oracles the rollup;
+    // lossy-rollup error composition is spec-pinned (SketchesSpec).
+    Q(
+      "a13_sketch_rollup",
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+        val daily = ev
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(graft.ops.Sketches.frequentItems(4096)(
+            col("user_id").cast("string")).as("hh"))
+        val total = ev.agg(count(lit(1)).as("total"))
+        daily.select(explode(col("hh")).as("h"))
+          .agg(graft.ops.Sketches.mergeFrequent(4096)(col("h.key"), col("h.count")).as("merged"))
+          .crossJoin(broadcast(total))
+          .select(explode(col("merged")).as("h"), col("total"))
+          .select(col("h.key").cast("long").as("user_id"),
+            col("h.count").as("est_count"), col("total"))
+          .filter(col("est_count") * 1200 >= col("total"))
+          .select(col("user_id"), col("est_count"))
+          .orderBy(desc("est_count"), col("user_id"))
+      },
+      Some("""
+        SELECT user_id, COUNT(*) AS est_count
+        FROM events
+        GROUP BY user_id
+        HAVING COUNT(*) * 1200 >= (SELECT COUNT(*) FROM events)
+        ORDER BY est_count DESC, user_id
+      """.stripMargin.trim),
+    ),
+
     // ---- Mergeable quantile sketch: per-language document-length
     // quartiles via the KLL-style bounded buffer — O(cap · log(n/cap))
     // state per partial aggregate instead of a per-group full sort

@@ -68,6 +68,48 @@ class SketchesSpec extends AnyFunSuite with SparkSuite {
     assert(out == Seq("a" -> 2L, "b" -> 2L, "c" -> 1L, "d" -> 1L))
   }
 
+  test("rollup: merged per-slice summaries == one-shot sketch (exact regime)") {
+    import spark.implicits._
+    val data = skewed(30000, 40, 13).zipWithIndex
+      .map { case (k, i) => (i % 6, k) } // 6 "days"
+    val df = data.toDF("day", "k")
+    val oneShot = df.agg(Sketches.frequentItems(64)($"k").as("hh"))
+      .select(explode($"hh").as("h"))
+      .select($"h.key", $"h.count").as[(String, Long)].collect().toMap
+    val rolled = df.groupBy($"day")
+      .agg(Sketches.frequentItems(64)($"k").as("hh"))
+      .select(explode($"hh").as("h"))
+      .agg(Sketches.mergeFrequent(64)($"h.key", $"h.count").as("m"))
+      .select(explode($"m").as("h"))
+      .select($"h.key", $"h.count").as[(String, Long)].collect().toMap
+    assert(rolled == oneShot)
+  }
+
+  test("rollup: lossy per-slice summaries still meet the merged bound") {
+    import spark.implicits._
+    val n = 60000
+    val cap = 16
+    val data = skewed(n, 5000, 21).zipWithIndex.map { case (k, i) => (i % 4, k) }
+    val truth = data.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    // error composes: each of the 4 slice sketches under-counts by at most
+    // n_slice/(cap+1), the merge adds its own cut — total ≤ n/(cap+1)·2
+    val bound = 2L * n / (cap + 1)
+    val rolled = data.toDF("day", "k").groupBy($"day")
+      .agg(Sketches.frequentItems(cap)($"k").as("hh"))
+      .select(explode($"hh").as("h"))
+      .agg(Sketches.mergeFrequent(cap)($"h.key", $"h.count").as("m"))
+      .select(explode($"m").as("h"))
+      .select($"h.key", $"h.count").as[(String, Long)].collect().toMap
+    assert(rolled.size <= cap)
+    truth.filter(_._2 > bound).keys.foreach { k =>
+      assert(rolled.contains(k), s"heavy key $k lost in rollup")
+    }
+    rolled.foreach { case (k, c) =>
+      assert(c <= truth(k), s"$k over-counted after rollup")
+      assert(truth(k) - c <= bound, s"$k rollup error exceeds $bound")
+    }
+  }
+
   test("quantiles: exact (quantile_disc lower rank) while n <= capacity") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
