@@ -271,4 +271,134 @@ object Sketches {
     * the data, crosses the shuffle. */
   def quantiles(capacity: Int, probs: Seq[Double]): org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(new KllQuantiles(capacity, probs))
+
+  // --------------------------------------------------------------------
+  // KMV (k-minimum-values) distinct-count sketch — Beyer et al.,
+  // "On Synopses for Distinct-Value Estimation Under Multiset
+  // Operations" (SIGMOD'07). COUNT(DISTINCT url) at 100 TB is a shuffle
+  // of one row per distinct key; the KMV summary caps shuffled state at
+  // k hashes per partial regardless of input size. Two regimes:
+  //  - k ≥ distinct keys seen: no hash is ever discarded, the set size
+  //    IS the exact distinct count (modulo 64-bit collisions, absent at
+  //    oracle scale) — the regime a14 pins against COUNT(DISTINCT).
+  //  - overflow: the (k−1)/R estimator over the k-th smallest normalized
+  //    hash R, relative error ~1/√(k−2), spec-bounded empirically.
+  // Unlike MG/KLL, the KMV merge is EXACT in both regimes: the k
+  // smallest hashes of a union are computable from the parts' k
+  // smallest, so any merge tree yields bit-identical state to a
+  // one-shot scan — pinned by SketchesSpec.
+
+  /** Sorted flat array of the ≤k smallest SIGN-FLIPPED key hashes
+    * (h ^ Long.MinValue, so signed order == unsigned hash order); `full`
+    * is sticky once any distinct hash has been discarded (the moment
+    * exactness is lost). Public fields + no-arg constructor for kryo. */
+  final class KmvBuf(var hashes: Array[Long], var size: Int, var full: Boolean) {
+    def this() = this(new Array[Long](16), 0, false)
+  }
+
+  /** Persisted sketch state: plain rows a user can store per day/shard
+    * and re-merge later via [[mergeDistinct]] without rescanning. */
+  final case class DistinctState(hashes: Seq[Long], full: Boolean)
+
+  private object Kmv {
+    def insert(s: KmvBuf, k: Int, h: Long): Unit = {
+      val idx = java.util.Arrays.binarySearch(s.hashes, 0, s.size, h)
+      if (idx >= 0) return // already present — distinctness is the point
+      val ins = -idx - 1
+      if (s.size < k) {
+        if (s.size == s.hashes.length)
+          s.hashes = java.util.Arrays.copyOf(s.hashes, math.min(k, s.hashes.length * 2))
+        System.arraycopy(s.hashes, ins, s.hashes, ins + 1, s.size - ins)
+        s.hashes(ins) = h
+        s.size += 1
+      } else {
+        // a new distinct hash with the sketch at capacity: something is
+        // discarded either way — exactness ends here
+        s.full = true
+        if (ins < k) {
+          System.arraycopy(s.hashes, ins, s.hashes, ins + 1, k - ins - 1)
+          s.hashes(ins) = h
+        }
+      }
+    }
+
+    def merge(a: KmvBuf, b: KmvBuf, k: Int): KmvBuf = {
+      if (b.size == 0 && !b.full) return a
+      if (a.size == 0 && !a.full) return b
+      a.full ||= b.full
+      var i = 0
+      while (i < b.size) { insert(a, k, b.hashes(i)); i += 1 }
+      a
+    }
+
+    /** Exact size below capacity; the SIGMOD'07 unbiased (k−1)/R
+      * estimator past it, R = k-th smallest hash as a fraction of the
+      * unsigned 64-bit space. */
+    def estimate(s: KmvBuf, k: Int): Long =
+      if (!s.full) s.size.toLong
+      else {
+        val raw = s.hashes(s.size - 1) ^ Long.MinValue // back to unsigned bits
+        val frac = ((raw >>> 1).toDouble * 2.0 + (raw & 1L).toDouble) / 1.8446744073709552e19
+        math.round((k - 1).toDouble / frac)
+      }
+  }
+
+  private final class KmvDistinct(k: Int) extends Aggregator[String, KmvBuf, Long] {
+    require(k > 1, s"bad k $k")
+    override def zero: KmvBuf = new KmvBuf()
+    override def reduce(s: KmvBuf, key: String): KmvBuf = {
+      Kmv.insert(s, k, graft.core.Murmur2.hash64(key) ^ Long.MinValue)
+      s
+    }
+    override def merge(a: KmvBuf, b: KmvBuf): KmvBuf = Kmv.merge(a, b, k)
+    override def finish(s: KmvBuf): Long = Kmv.estimate(s, k)
+    override def bufferEncoder: Encoder[KmvBuf] = Encoders.kryo[KmvBuf]
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  private final class KmvState(k: Int) extends Aggregator[String, KmvBuf, DistinctState] {
+    require(k > 1, s"bad k $k")
+    override def zero: KmvBuf = new KmvBuf()
+    override def reduce(s: KmvBuf, key: String): KmvBuf = {
+      Kmv.insert(s, k, graft.core.Murmur2.hash64(key) ^ Long.MinValue)
+      s
+    }
+    override def merge(a: KmvBuf, b: KmvBuf): KmvBuf = Kmv.merge(a, b, k)
+    override def finish(s: KmvBuf): DistinctState =
+      DistinctState(s.hashes.take(s.size).toSeq, s.full)
+    override def bufferEncoder: Encoder[KmvBuf] = Encoders.kryo[KmvBuf]
+    override def outputEncoder: Encoder[DistinctState] =
+      ExpressionEncoder[DistinctState]()
+  }
+
+  private final class KmvMerge(k: Int) extends Aggregator[DistinctState, KmvBuf, Long] {
+    require(k > 1, s"bad k $k")
+    override def zero: KmvBuf = new KmvBuf()
+    override def reduce(s: KmvBuf, st: DistinctState): KmvBuf = {
+      s.full ||= st.full
+      st.hashes.foreach(h => Kmv.insert(s, k, h))
+      s
+    }
+    override def merge(a: KmvBuf, b: KmvBuf): KmvBuf = Kmv.merge(a, b, k)
+    override def finish(s: KmvBuf): Long = Kmv.estimate(s, k)
+    override def bufferEncoder: Encoder[KmvBuf] = Encoders.kryo[KmvBuf]
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** Untyped aggregate column: `distinctCount(k)(keyCol)` → long
+    * (approximate) distinct count; exact while k covers the distinct
+    * keys. Bounded partials, never one shuffle row per distinct key. */
+  def distinctCount(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new KmvDistinct(k))
+
+  /** `distinctState(k)(keyCol)` → struct<hashes:array<long>,full:boolean>
+    * — the persistable sketch state for later [[mergeDistinct]] rollup. */
+  def distinctState(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new KmvState(k))
+
+  /** `mergeDistinct(k)(hashesCol, fullCol)` over persisted states →
+    * merged distinct-count long; bit-identical to a one-shot
+    * [[distinctCount]] over the union (KMV merge is exact). */
+  def mergeDistinct(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new KmvMerge(k))
 }

@@ -542,6 +542,34 @@ object RelationalQueries {
       """.stripMargin.trim),
     ),
 
+    // ---- Distinct-count sketch ROLLUP: per-(type, day) KMV states
+    // persisted as plain rows, re-merged into per-type distinct-user
+    // counts — COUNT(DISTINCT) without re-shuffling one row per distinct
+    // key, and without rescanning when a new day arrives. k=4096 covers
+    // the 1.5k users at every test SF so the estimate is exact and a
+    // plain COUNT(DISTINCT) oracles it; the lossy-regime error bound and
+    // the merge-tree-invariance of KMV state are spec-pinned
+    // (SketchesSpec).
+    Q(
+      "a14_distinct_rollup",
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+        ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(graft.ops.Sketches.distinctState(4096)(
+            col("user_id").cast("string")).as("st"))
+          .groupBy(col("event_type"))
+          .agg(graft.ops.Sketches.mergeDistinct(4096)(
+            col("st.hashes"), col("st.full")).as("distinct_users"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+      """.stripMargin.trim),
+    ),
+
     // ---- Mergeable quantile sketch: per-language document-length
     // quartiles via the KLL-style bounded buffer — O(cap · log(n/cap))
     // state per partial aggregate instead of a per-group full sort

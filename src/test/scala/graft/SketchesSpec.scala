@@ -163,4 +163,58 @@ class SketchesSpec extends AnyFunSuite with SparkSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
+
+  test("kmv: exact == COUNT(DISTINCT) while k covers the keys, any partitioning") {
+    import spark.implicits._
+    val data = skewed(20000, 300, 5)
+    val truth = data.distinct.size.toLong
+    for (parts <- Seq(1, 9)) {
+      val got = data.toDF("k").repartition(parts)
+        .agg(Sketches.distinctCount(512)(col("k")).as("d"))
+        .as[Long].collect().head
+      assert(got == truth, s"parts=$parts: $got != $truth")
+    }
+  }
+
+  test("kmv: overflow estimate within the ~1/sqrt(k-2) error envelope") {
+    import spark.implicits._
+    // ~39k distinct keys through a k=256 sketch: expected relative
+    // standard error 1/sqrt(254) ~ 6.3%; assert a generous 4-sigma band
+    val n = 60000
+    val data = (0 until n).map(i => s"u${i % 39000}")
+    val truth = data.distinct.size.toDouble
+    val got = data.toDF("k").repartition(8)
+      .agg(Sketches.distinctCount(256)(col("k")).as("d"))
+      .as[Long].collect().head
+    val relErr = math.abs(got - truth) / truth
+    assert(relErr < 0.25, s"relative error $relErr (got $got, truth $truth)")
+  }
+
+  test("kmv: persisted-state rollup is bit-identical to a one-shot scan") {
+    import spark.implicits._
+    // the KMV merge is exact in BOTH regimes: the k smallest hashes of a
+    // union are computable from the parts' k smallest — so per-slice
+    // states re-merged later must equal the one-shot estimate exactly,
+    // even deep in overflow (k=64 over ~20k distinct)
+    val data = skewed(50000, 40000, 17).zipWithIndex
+      .map { case (k, i) => (i % 5, k) }
+    val oneShot = data.toDF("day", "k")
+      .agg(Sketches.distinctCount(64)(col("k")).as("d"))
+      .as[Long].collect().head
+    val rolled = data.toDF("day", "k").groupBy(col("day"))
+      .agg(Sketches.distinctState(64)(col("k")).as("st"))
+      .agg(Sketches.mergeDistinct(64)(col("st.hashes"), col("st.full")).as("d"))
+      .as[Long].collect().head
+    assert(rolled == oneShot)
+  }
+
+  test("kmv: duplicates never advance the sketch (multiset-insensitive)") {
+    import spark.implicits._
+    val once = (0 until 100).map(i => s"k$i")
+    val repeated = once ++ once ++ once
+    val a = once.toDF("k").agg(Sketches.distinctCount(32)(col("k"))).as[Long].collect().head
+    val b = repeated.toDF("k").repartition(7)
+      .agg(Sketches.distinctCount(32)(col("k"))).as[Long].collect().head
+    assert(a == b)
+  }
 }
