@@ -253,6 +253,26 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(ap.contains("anchor_grams"))
   }
 
+  test("sketch rollups aggregate partial→final; states never key a shuffle") {
+    // a13/a14: both aggregation levels (raw→per-slice sketch, slices→
+    // merged report) must run as two-phase object aggregates — a mapper
+    // ships O(capacity) sketch state into each shuffle, never raw rows —
+    // and the sketch payload (hash arrays / hitter structs) must ride as
+    // payload, not as a partitioning key
+    Seq("a13_sketch_rollup", "a14_distinct_rollup").foreach { name =>
+      val p = plan(name)
+      val objAggs = "ObjectHashAggregate".r.findAllIn(p).size
+      assert(objAggs >= 4, s"$name: expected 2×(partial+final) ObjectHashAggregate:\n$p")
+      "hashpartitioning\\([^)]*\\)".r.findAllIn(p).foreach { hp =>
+        assert(!hp.contains("hh#") && !hp.contains("st#") && !hp.contains("merged#"),
+          s"$name: sketch state leaked into a shuffle key: $hp")
+      }
+    }
+    // a13's corpus total joins in as a broadcast one-row relation
+    assert(plan("a13_sketch_rollup").contains("BroadcastNestedLoopJoin"),
+      s"a13: one-row total not broadcast")
+  }
+
   test("epoch shuffle: bucket offsets broadcast; no data-sized global window") {
     val p = plan("cu12_epoch_shuffle")
     assert(p.contains("BroadcastHashJoin"),
