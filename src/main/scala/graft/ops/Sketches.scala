@@ -50,6 +50,7 @@ object Sketches {
     override def zero: Buf = new Buf
 
     override def reduce(m: Buf, k: String): Buf = {
+      if (k == null) return m // SQL aggregate convention: nulls don't count
       val cur = m.getOrElse(k, -1L)
       if (cur >= 0) m.update(k, cur + 1)
       else if (m.size < capacity) m.update(k, 1L)
@@ -122,6 +123,7 @@ object Sketches {
 
     override def zero: Buf = new Buf
     override def reduce(m: Buf, h: Hitter): Buf = {
+      if (h == null || h.key == null) return m // null summaries don't count
       val one = new Buf
       one.update(h.key, h.count)
       inner.merge(m, one)
@@ -158,7 +160,7 @@ object Sketches {
     * the a12 oracle pins with a plain `quantile_disc`. The compaction
     * regime's rank error is spec-bounded empirically (SketchesSpec). */
   private final class KllQuantiles(capacity: Int, probs: Seq[Double])
-      extends Aggregator[Double, QState, Seq[Double]] {
+      extends Aggregator[Option[Double], QState, Seq[Double]] {
     require(capacity > 1, s"bad capacity $capacity")
     require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1), s"bad probs $probs")
 
@@ -204,8 +206,13 @@ object Sketches {
       }
     }
 
-    override def reduce(s: QState, x: Double): QState = {
-      push(s, 0, x)
+    // Option input so a NULL arrives as None and is SKIPPED (the SQL
+    // aggregate convention) — with a bare Double input type the encoder
+    // silently deserializes NULL to 0.0, which would corrupt every
+    // low quantile of a nullable column
+    override def reduce(s: QState, x: Option[Double]): QState = {
+      if (x.isEmpty) return s
+      push(s, 0, x.get)
       s.n += 1
       if (s.sizes(0) > capacity) compactFrom(s, 0)
       s
@@ -347,6 +354,7 @@ object Sketches {
     require(k > 1, s"bad k $k")
     override def zero: KmvBuf = new KmvBuf()
     override def reduce(s: KmvBuf, key: String): KmvBuf = {
+      if (key == null) return s // COUNT(DISTINCT) ignores nulls
       Kmv.insert(s, k, graft.core.Murmur2.hash64(key) ^ Long.MinValue)
       s
     }
@@ -360,6 +368,7 @@ object Sketches {
     require(k > 1, s"bad k $k")
     override def zero: KmvBuf = new KmvBuf()
     override def reduce(s: KmvBuf, key: String): KmvBuf = {
+      if (key == null) return s // COUNT(DISTINCT) ignores nulls
       Kmv.insert(s, k, graft.core.Murmur2.hash64(key) ^ Long.MinValue)
       s
     }
@@ -375,6 +384,7 @@ object Sketches {
     require(k > 1, s"bad k $k")
     override def zero: KmvBuf = new KmvBuf()
     override def reduce(s: KmvBuf, st: DistinctState): KmvBuf = {
+      if (st == null || st.hashes == null) return s // null states don't count
       s.full ||= st.full
       st.hashes.foreach(h => Kmv.insert(s, k, h))
       s

@@ -208,6 +208,23 @@ class SketchesSpec extends AnyFunSuite with SparkSuite {
     assert(rolled == oneShot)
   }
 
+  test("null inputs are skipped, the SQL aggregate convention — never counted, never 0.0") {
+    import spark.implicits._
+    val ks = Seq(Some("a"), None, Some("b"), Some("a"), None).toDF("k")
+    val mg = ks.agg(Sketches.frequentItems(8)(col("k")).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.key"), col("h.count")).as[(String, Long)].collect().toMap
+    assert(mg == Map("a" -> 2L, "b" -> 1L))
+    val d = ks.agg(Sketches.distinctCount(8)(col("k")).as("d")).as[Long].collect().head
+    assert(d == 2L)
+    // a bare-Double input encoder would deserialize NULL to 0.0 and
+    // poison the minimum; the Option input must skip it instead
+    val qs = Seq(Some(1.0), None, Some(3.0), None, Some(2.0)).toDF("x")
+      .agg(Sketches.quantiles(8, Seq(0.0, 0.5, 1.0))(col("x")).as("q"))
+      .as[Seq[Double]].collect().head
+    assert(qs == Seq(1.0, 2.0, 3.0), s"got $qs")
+  }
+
   test("kmv: duplicates never advance the sketch (multiset-insensitive)") {
     import spark.implicits._
     val once = (0 until 100).map(i => s"k$i")
