@@ -411,4 +411,53 @@ object Sketches {
     * [[distinctCount]] over the union (KMV merge is exact). */
   def mergeDistinct(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(new KmvMerge(k))
+
+  /** |A ∩ B| from two persisted KMV states ALONE — the multiset
+    * operation the SIGMOD'07 construction exists for: the overlap of two
+    * corpus-scale key sets from two k-row summaries, no corpus join.
+    * K = the k smallest hashes of K(A) ∪ K(B) is a valid KMV sketch of
+    * A ∪ B; the fraction of K present in both input sketches estimates
+    * the Jaccard similarity, and intersect ≈ jaccard · D̂(A∪B). Exact
+    * while neither input overflowed and |A ∪ B| ≤ k — the regime the
+    * a15 oracle pins. Scalar udf, cold path by construction: it runs on
+    * summary PAIRS (a handful of rows), never per corpus row. */
+  def intersectDistinct(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf {
+      (ha: Seq[Long], fa: Boolean, hb: Seq[Long], fb: Boolean) =>
+        val sa = ha.toArray
+        val sb = hb.toArray // sorted ascending by construction
+        // k smallest of the union (merge of two sorted runs), dedup'd
+        val union = new Array[Long](math.min(k, sa.length + sb.length))
+        var i = 0; var j = 0; var u = 0
+        while (u < union.length && (i < sa.length || j < sb.length)) {
+          val takeA = j >= sb.length || (i < sa.length && sa(i) <= sb(j))
+          val h = if (takeA) sa(i) else sb(j)
+          if (takeA) i += 1 else j += 1
+          if (u == 0 || union(u - 1) != h) { union(u) = h; u += 1 }
+        }
+        val overflowed = fa || fb || i < sa.length || j < sb.length
+        if (!overflowed) {
+          // exact regime: the union list IS A ∪ B's hash set
+          var both = 0; var t = 0
+          while (t < u) {
+            val h = union(t)
+            if (java.util.Arrays.binarySearch(sa, h) >= 0 &&
+                java.util.Arrays.binarySearch(sb, h) >= 0) both += 1
+            t += 1
+          }
+          both.toLong
+        } else {
+          val raw = union(u - 1) ^ Long.MinValue
+          val frac = ((raw >>> 1).toDouble * 2.0 + (raw & 1L).toDouble) / 1.8446744073709552e19
+          val dUnion = (k - 1).toDouble / frac
+          var both = 0; var t = 0
+          while (t < u) {
+            val h = union(t)
+            if (java.util.Arrays.binarySearch(sa, h) >= 0 &&
+                java.util.Arrays.binarySearch(sb, h) >= 0) both += 1
+            t += 1
+          }
+          math.round(both.toDouble / u * dUnion)
+        }
+    }
 }

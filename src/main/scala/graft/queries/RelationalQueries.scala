@@ -570,6 +570,39 @@ object RelationalQueries {
       """.stripMargin.trim),
     ),
 
+    // ---- KMV multiset ops: pairwise audience overlap between event
+    // types computed from the per-type persisted sketch states ALONE —
+    // at 100 TB this is |A ∩ B| of two corpus-scale key sets from two
+    // k-row summaries, with no join of the corpora. k=4096 covers the
+    // users, so the estimate is exact and a DISTINCT self-join oracles
+    // it; the lossy-regime Jaccard estimator is spec-pinned.
+    Q(
+      "a15_sketch_overlap",
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+        val st = ev.groupBy(col("event_type"))
+          .agg(graft.ops.Sketches.distinctState(4096)(
+            col("user_id").cast("string")).as("st"))
+        val a = st.select(col("event_type").as("type_a"), col("st").as("sa"))
+        val b = st.select(col("event_type").as("type_b"), col("st").as("sb"))
+        a.join(broadcast(b), col("type_a") < col("type_b"))
+          .select(col("type_a"), col("type_b"),
+            graft.ops.Sketches.intersectDistinct(4096)(
+              col("sa.hashes"), col("sa.full"),
+              col("sb.hashes"), col("sb.full")).as("overlap"))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      Some("""
+        WITH s AS (SELECT DISTINCT event_type, user_id FROM events)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS overlap
+        FROM s a JOIN s b ON a.user_id = b.user_id
+         AND a.event_type < b.event_type
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+      """.stripMargin.trim),
+    ),
+
     // ---- Mergeable quantile sketch: per-language document-length
     // quartiles via the KLL-style bounded buffer — O(cap · log(n/cap))
     // state per partial aggregate instead of a per-group full sort

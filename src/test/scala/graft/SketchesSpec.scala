@@ -225,6 +225,35 @@ class SketchesSpec extends AnyFunSuite with SparkSuite {
     assert(qs == Seq(1.0, 2.0, 3.0), s"got $qs")
   }
 
+  test("kmv: pairwise overlap from states alone — exact small, estimated large") {
+    import spark.implicits._
+    // exact regime: two 300-key sets overlapping in 120, k covers the union
+    val aKeys = (0 until 300).map(i => ("A", s"k$i"))
+    val bKeys = (180 until 480).map(i => ("B", s"k$i"))
+    val exact = (aKeys ++ bKeys).toDF("s", "k").groupBy(col("s"))
+      .agg(Sketches.distinctState(1024)(col("k")).as("st"))
+    val pair = exact.filter(col("s") === "A").crossJoin(
+      exact.filter(col("s") === "B").select(col("st").as("st2")))
+      .select(Sketches.intersectDistinct(1024)(
+        col("st.hashes"), col("st.full"), col("st2.hashes"), col("st2.full")).as("o"))
+      .as[Long].collect().head
+    assert(pair == 120L)
+
+    // lossy regime: 30k vs 30k with 15k overlap through k=512 — the
+    // Jaccard·D(union) estimator should land within ~4σ of truth
+    val bigA = (0 until 30000).map(i => ("A", s"k$i"))
+    val bigB = (15000 until 45000).map(i => ("B", s"k$i"))
+    val lossy = (bigA ++ bigB).toDF("s", "k").repartition(8).groupBy(col("s"))
+      .agg(Sketches.distinctState(512)(col("k")).as("st"))
+    val est = lossy.filter(col("s") === "A").crossJoin(
+      lossy.filter(col("s") === "B").select(col("st").as("st2")))
+      .select(Sketches.intersectDistinct(512)(
+        col("st.hashes"), col("st.full"), col("st2.hashes"), col("st2.full")).as("o"))
+      .as[Long].collect().head
+    val relErr = math.abs(est - 15000.0) / 15000.0
+    assert(relErr < 0.3, s"overlap estimate $est off by $relErr")
+  }
+
   test("kmv: duplicates never advance the sketch (multiset-insensitive)") {
     import spark.implicits._
     val once = (0 until 100).map(i => s"k$i")
