@@ -29,6 +29,22 @@ object Sketches {
     * the distinct keys, otherwise an under-estimate within n/(cap+1). */
   final case class Hitter(key: String, count: Long)
 
+  /** The PODS'12 cut: subtract the (capacity+1)-th largest count from
+    * every counter and drop the non-positive ones — ≤capacity survivors
+    * by construction, error grows by ≤ the subtracted count. */
+  private def mgPrune(a: scala.collection.mutable.HashMap[String, Long],
+      capacity: Int): Unit =
+    if (a.size > capacity) {
+      val counts = a.values.toArray
+      java.util.Arrays.sort(counts)
+      val cut = counts(counts.length - capacity - 1)
+      val dead = List.newBuilder[String]
+      a.foreachEntry { (k, c) =>
+        if (c > cut) a.update(k, c - cut) else dead += k
+      }
+      dead.result().foreach(a.remove)
+    }
+
   /** Misra–Gries (the SpaceSaving/"frequent" family), with the
     * summary-merge from Agarwal et al., "Mergeable Summaries" (PODS'12):
     * pointwise-add the two counter maps, then subtract the
@@ -72,19 +88,7 @@ object Sketches {
       if (b.isEmpty) return a
       if (a.isEmpty) return b
       b.foreachEntry { (k, c) => a.update(k, a.getOrElse(k, 0L) + c) }
-      if (a.size > capacity) {
-        // subtract the (capacity+1)-th largest count from everyone —
-        // the mergeable-summaries rule; ≤capacity survivors by
-        // construction, error grows by ≤ that count
-        val counts = a.values.toArray
-        java.util.Arrays.sort(counts)
-        val cut = counts(counts.length - capacity - 1)
-        val dead = List.newBuilder[String]
-        a.foreachEntry { (k, c) =>
-          if (c > cut) a.update(k, c - cut) else dead += k
-        }
-        dead.result().foreach(a.remove)
-      }
+      Sketches.mgPrune(a, capacity)
       a
     }
 
@@ -122,11 +126,14 @@ object Sketches {
     private val inner = new MisraGries(capacity)
 
     override def zero: Buf = new Buf
+    // single-key inline of the PODS merge rule — the per-row hot loop of
+    // a rollup over millions of persisted summary rows must not allocate
+    // a map per row
     override def reduce(m: Buf, h: Hitter): Buf = {
       if (h == null || h.key == null) return m // null summaries don't count
-      val one = new Buf
-      one.update(h.key, h.count)
-      inner.merge(m, one)
+      m.update(h.key, m.getOrElse(h.key, 0L) + h.count)
+      Sketches.mgPrune(m, capacity)
+      m
     }
     override def merge(a: Buf, b: Buf): Buf = inner.merge(a, b)
     override def finish(m: Buf): Seq[Hitter] = inner.finish(m)
