@@ -166,12 +166,10 @@ object Sketches {
     * the buffer IS the sorted sample, so answers are exact — the regime
     * the a12 oracle pins with a plain `quantile_disc`. The compaction
     * regime's rank error is spec-bounded empirically (SketchesSpec). */
-  private final class KllQuantiles(capacity: Int, probs: Seq[Double])
-      extends Aggregator[Option[Double], QState, Seq[Double]] {
-    require(capacity > 1, s"bad capacity $capacity")
-    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1), s"bad probs $probs")
-
-    override def zero: QState = {
+  /** The KLL mechanics, shared by the direct aggregator and the
+    * persisted-state merge aggregator. */
+  private object Kll {
+    def zero(capacity: Int): QState = {
       val s = new QState()
       s.levels = Array(new Array[Double](capacity + 1))
       s.sizes = Array(0)
@@ -179,7 +177,7 @@ object Sketches {
       s
     }
 
-    private def ensureLevel(s: QState, i: Int): Unit =
+    def ensureLevel(s: QState, capacity: Int, i: Int): Unit =
       if (i >= s.levels.length) {
         s.levels = s.levels :+ new Array[Double](capacity + 1)
         s.sizes = s.sizes :+ 0
@@ -188,15 +186,18 @@ object Sketches {
 
     /** Append x to level i's array, growing past capacity+1 only
       * transiently during merges. */
-    private def push(s: QState, i: Int, x: Double): Unit = {
-      ensureLevel(s, i)
+    def push(s: QState, capacity: Int, i: Int, x: Double): Unit = {
+      ensureLevel(s, capacity, i)
       if (s.sizes(i) >= s.levels(i).length)
-        s.levels(i) = java.util.Arrays.copyOf(s.levels(i), s.levels(i).length * 2)
+        // reconstructed persisted states carry exact-size (possibly
+        // empty) level arrays — doubling alone can't grow from 0
+        s.levels(i) = java.util.Arrays.copyOf(
+          s.levels(i), math.max(16, s.levels(i).length * 2))
       s.levels(i)(s.sizes(i)) = x
       s.sizes(i) += 1
     }
 
-    private def compactFrom(s: QState, start: Int): Unit = {
+    def compactFrom(s: QState, capacity: Int, start: Int): Unit = {
       var i = start
       while (i < s.levels.length) {
         if (s.sizes(i) > capacity) {
@@ -206,38 +207,26 @@ object Sketches {
           val sz = s.sizes(i)
           s.sizes(i) = 0
           var j = offset
-          while (j < sz) { push(s, i + 1, s.levels(i)(j)); j += 2 }
+          while (j < sz) { push(s, capacity, i + 1, s.levels(i)(j)); j += 2 }
           // level i is now empty; fall through to check i+1 next
         }
         i += 1
       }
     }
 
-    // Option input so a NULL arrives as None and is SKIPPED (the SQL
-    // aggregate convention) — with a bare Double input type the encoder
-    // silently deserializes NULL to 0.0, which would corrupt every
-    // low quantile of a nullable column
-    override def reduce(s: QState, x: Option[Double]): QState = {
-      if (x.isEmpty) return s
-      push(s, 0, x.get)
-      s.n += 1
-      if (s.sizes(0) > capacity) compactFrom(s, 0)
-      s
-    }
-
-    override def merge(a: QState, b: QState): QState = {
+    def merge(a: QState, b: QState, capacity: Int): QState = {
       if (b.n == 0) return a
       if (a.n == 0) return b
       var i = 0
       while (i < b.levels.length) {
         var j = 0
-        while (j < b.sizes(i)) { push(a, i, b.levels(i)(j)); j += 1 }
-        ensureLevel(a, i)
+        while (j < b.sizes(i)) { push(a, capacity, i, b.levels(i)(j)); j += 1 }
+        ensureLevel(a, capacity, i)
         a.parities(i) = a.parities(i) ^ b.parities(i)
         i += 1
       }
       a.n += b.n
-      compactFrom(a, 0)
+      compactFrom(a, capacity, 0)
       a
     }
 
@@ -245,7 +234,7 @@ object Sketches {
       * the value-sorted weighted items — the SQL `quantile_disc`
       * convention (smallest value v with rank(v)/n ≥ q), exactly its
       * 0-based index ceil(q·n)−1 when all weights are 1. */
-    override def finish(s: QState): Seq[Double] = {
+    def query(s: QState, probs: Seq[Double]): Seq[Double] = {
       if (s.n == 0) return probs.map(_ => Double.NaN)
       val total = s.sizes.sum
       val vals = new Array[Double](total)
@@ -273,7 +262,26 @@ object Sketches {
         ans
       }
     }
+  }
 
+  private final class KllQuantiles(capacity: Int, probs: Seq[Double])
+      extends Aggregator[Option[Double], QState, Seq[Double]] {
+    require(capacity > 1, s"bad capacity $capacity")
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1), s"bad probs $probs")
+    override def zero: QState = Kll.zero(capacity)
+    // Option input so a NULL arrives as None and is SKIPPED (the SQL
+    // aggregate convention) — with a bare Double input type the encoder
+    // silently deserializes NULL to 0.0, which would corrupt every
+    // low quantile of a nullable column
+    override def reduce(s: QState, x: Option[Double]): QState = {
+      if (x.isEmpty) return s
+      Kll.push(s, capacity, 0, x.get)
+      s.n += 1
+      if (s.sizes(0) > capacity) Kll.compactFrom(s, capacity, 0)
+      s
+    }
+    override def merge(a: QState, b: QState): QState = Kll.merge(a, b, capacity)
+    override def finish(s: QState): Seq[Double] = Kll.query(s, probs)
     override def bufferEncoder: Encoder[QState] = Encoders.kryo[QState]
     override def outputEncoder: Encoder[Seq[Double]] =
       ExpressionEncoder[Seq[Double]]()
@@ -285,6 +293,66 @@ object Sketches {
     * the data, crosses the shuffle. */
   def quantiles(capacity: Int, probs: Seq[Double]): org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(new KllQuantiles(capacity, probs))
+
+  /** Persisted quantile-sketch state: the weighted level buffers as
+    * plain nested arrays (level i items carry weight 2^i; sizes are the
+    * array lengths), storable per slice and re-mergeable later via
+    * [[mergeQuantiles]]. */
+  final case class QuantState(levels: Seq[Seq[Double]], parities: Seq[Boolean], n: Long)
+
+  private final class KllState(capacity: Int)
+      extends Aggregator[Option[Double], QState, QuantState] {
+    require(capacity > 1, s"bad capacity $capacity")
+    override def zero: QState = Kll.zero(capacity)
+    override def reduce(s: QState, x: Option[Double]): QState = {
+      if (x.isEmpty) return s
+      Kll.push(s, capacity, 0, x.get)
+      s.n += 1
+      if (s.sizes(0) > capacity) Kll.compactFrom(s, capacity, 0)
+      s
+    }
+    override def merge(a: QState, b: QState): QState = Kll.merge(a, b, capacity)
+    override def finish(s: QState): QuantState =
+      QuantState(
+        (0 until s.levels.length).map(i => s.levels(i).take(s.sizes(i)).toSeq),
+        s.parities.toSeq, s.n)
+    override def bufferEncoder: Encoder[QState] = Encoders.kryo[QState]
+    override def outputEncoder: Encoder[QuantState] =
+      ExpressionEncoder[QuantState]()
+  }
+
+  private final class KllMergeQ(capacity: Int, probs: Seq[Double])
+      extends Aggregator[QuantState, QState, Seq[Double]] {
+    require(capacity > 1, s"bad capacity $capacity")
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1), s"bad probs $probs")
+    override def zero: QState = Kll.zero(capacity)
+    override def reduce(s: QState, st: QuantState): QState = {
+      if (st == null || st.levels == null) return s // null states don't count
+      val b = new QState(
+        st.levels.map(_.toArray).toArray,
+        st.levels.map(_.length).toArray,
+        st.parities.toArray, st.n)
+      Kll.merge(s, b, capacity)
+    }
+    override def merge(a: QState, b: QState): QState = Kll.merge(a, b, capacity)
+    override def finish(s: QState): Seq[Double] = Kll.query(s, probs)
+    override def bufferEncoder: Encoder[QState] = Encoders.kryo[QState]
+    override def outputEncoder: Encoder[Seq[Double]] =
+      ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** `quantileState(cap)(valueCol)` → the persistable sketch state
+    * (struct<levels:array<array<double>>,parities:array<boolean>,n:long>)
+    * for later [[mergeQuantiles]] rollup. */
+  def quantileState(capacity: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new KllState(capacity))
+
+  /** `mergeQuantiles(cap, probs)(levelsCol, paritiesCol, nCol)` over
+    * persisted states → merged array<double> quantiles. Exact while no
+    * slice compacted and the merged total stays ≤ capacity; otherwise
+    * the usual KLL rank-error regime. */
+  def mergeQuantiles(capacity: Int, probs: Seq[Double]): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new KllMergeQ(capacity, probs))
 
   // --------------------------------------------------------------------
   // KMV (k-minimum-values) distinct-count sketch — Beyer et al.,

@@ -637,5 +637,44 @@ object RelationalQueries {
         ORDER BY lang
       """.stripMargin.trim),
     ),
+
+    // ---- Quantile-state ROLLUP: per-(lang, source) KLL states persisted
+    // as plain rows, re-merged into per-language quartiles — the same
+    // store-slices-now, aggregate-later path as a13/a14 but for RANKS.
+    // Exact here because no slice compacts (capacity covers each
+    // language) and the merged totals stay ≤ capacity, so the a12 oracle
+    // applies unchanged; the compaction-regime error is spec-bounded.
+    Q(
+      "a16_quantile_rollup",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        d.groupBy(col("lang"), col("source"))
+          .agg(
+            graft.ops.Sketches.quantileState(4096)(
+              col("n_chars").cast("double")).as("qs"),
+            count(lit(1)).as("n_docs"))
+          .groupBy(col("lang"))
+          .agg(
+            graft.ops.Sketches.mergeQuantiles(4096, Seq(0.25, 0.5, 0.75))(
+              col("qs.levels"), col("qs.parities"), col("qs.n")).as("qs"),
+            sum(col("n_docs")).as("n_docs"))
+          .select(col("lang"),
+            element_at(col("qs"), 1).cast("long").as("p25"),
+            element_at(col("qs"), 2).cast("long").as("p50"),
+            element_at(col("qs"), 3).cast("long").as("p75"),
+            col("n_docs"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        SELECT lang,
+               quantile_disc(n_chars, 0.25) AS p25,
+               quantile_disc(n_chars, 0.5) AS p50,
+               quantile_disc(n_chars, 0.75) AS p75,
+               COUNT(*) AS n_docs
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+      """.stripMargin.trim),
+    ),
   )
 }

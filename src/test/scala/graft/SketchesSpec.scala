@@ -110,6 +110,41 @@ class SketchesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("quantile rollup: merged per-slice states == one-shot (exact regime), bounded when compacting") {
+    import spark.implicits._
+    // exact: 3000 values in 6 slices through cap 4096 — no compaction
+    // anywhere, so the rollup must equal the one-shot sketch exactly
+    val rnd = new scala.util.Random(23)
+    val vals = (1 to 3000).map(_ => rnd.nextDouble() * 1e6)
+    val sliced = vals.zipWithIndex.map { case (v, i) => (i % 6, v) }
+    val probs = Seq(0.1, 0.5, 0.9)
+    val oneShot = vals.toDF("x")
+      .agg(Sketches.quantiles(4096, probs)(col("x")).as("q"))
+      .as[Seq[Double]].collect().head
+    val rolled = sliced.toDF("day", "x").groupBy(col("day"))
+      .agg(Sketches.quantileState(4096)(col("x")).as("qs"))
+      .agg(Sketches.mergeQuantiles(4096, probs)(
+        col("qs.levels"), col("qs.parities"), col("qs.n")).as("q"))
+      .as[Seq[Double]].collect().head
+    assert(rolled == oneShot)
+
+    // compaction regime: 80k values, cap 128, 8 slices — the rolled-up
+    // answer must stay within a small rank error of the true quantile
+    val big = (1 to 80000).map(_ => rnd.nextDouble())
+    val bigSliced = big.zipWithIndex.map { case (v, i) => (i % 8, v) }
+    val sorted = big.sorted
+    val got = bigSliced.toDF("day", "x").repartition(8).groupBy(col("day"))
+      .agg(Sketches.quantileState(128)(col("x")).as("qs"))
+      .agg(Sketches.mergeQuantiles(128, probs)(
+        col("qs.levels"), col("qs.parities"), col("qs.n")).as("q"))
+      .as[Seq[Double]].collect().head
+    probs.zip(got).foreach { case (q, v) =>
+      val rank = sorted.count(_ <= v).toDouble / big.size
+      assert(math.abs(rank - q) < 0.06,
+        s"rolled q=$q reported value at rank $rank")
+    }
+  }
+
   test("quantiles: exact (quantile_disc lower rank) while n <= capacity") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
