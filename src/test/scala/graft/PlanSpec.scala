@@ -259,12 +259,13 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     // ships O(capacity) sketch state into each shuffle, never raw rows —
     // and the sketch payload (hash arrays / hitter structs) must ride as
     // payload, not as a partitioning key
-    Seq("a13_sketch_rollup", "a14_distinct_rollup").foreach { name =>
+    Seq("a13_sketch_rollup", "a14_distinct_rollup", "a16_quantile_rollup").foreach { name =>
       val p = plan(name)
       val objAggs = "ObjectHashAggregate".r.findAllIn(p).size
       assert(objAggs >= 4, s"$name: expected 2×(partial+final) ObjectHashAggregate:\n$p")
       "hashpartitioning\\([^)]*\\)".r.findAllIn(p).foreach { hp =>
-        assert(!hp.contains("hh#") && !hp.contains("st#") && !hp.contains("merged#"),
+        assert(!hp.contains("hh#") && !hp.contains("st#") && !hp.contains("merged#")
+            && !hp.contains("qs#"),
           s"$name: sketch state leaked into a shuffle key: $hp")
       }
     }
