@@ -49,17 +49,27 @@ object Registry {
 
   /** Reads one driver test table (TESTDATA.md layout).
     *
-    * The `events` table stores TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects; it is read with the nanos-as-long legacy conf and
-    * the `ts` column rebuilt at microsecond precision (every consumer
-    * buckets to hours/days, so sub-micro precision is immaterial). */
+    * The `events` table's `ts` column has shipped in two generator
+    * layouts: TIMESTAMP(NANOS) (which Spark's parquet reader rejects —
+    * read with the nanos-as-long legacy conf and rebuilt at microsecond
+    * precision; every consumer buckets to hours/days, so sub-micro
+    * precision is immaterial) and plain TIMESTAMP(MICROS) (arrives as
+    * TIMESTAMP_NTZ — cast to the session-zone timestamp type so both
+    * layouts produce identical UTC instants for every consumer). The
+    * branch keys off the loaded type, so either generator works. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _: TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => raw
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
