@@ -356,4 +356,122 @@ object Multimodal {
         sequence(lit(0), greatest(nFrames.cast("int") - 1, lit(0))),
         i => i % every === 0),
       1, cap)
+
+  // --- real PIXEL decode: uncompressed 24-bit BMP --------------------
+  // Pixel decode of the compressed formats (PNG/JPEG/WebP) needs codec
+  // libraries this container doesn't ship; BI_RGB BMP does not — pixels
+  // sit raw after the headers, 3 bytes/pixel in BGR order, rows stored
+  // bottom-up (top-down when the height field is negative) and padded
+  // to 4-byte boundaries. Decoding it is pure byte arithmetic, so for
+  // BMP the decode itself is REAL: the stub boundary narrows from "no
+  // pixel decode" to "no compressed-codec pixel decode".
+
+  val PixelStatsSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false),
+    StructField("even_sum", LongType, nullable = false),
+  ))
+
+  /** Deterministic test-pattern pixel at (x, y) for seed k — the fixture
+    * formula (encoder-only; the decoder never sees it). Channel values
+    * are (r, g, b). */
+  private[graft] def testPixel(k: Long, x: Int, y: Int): (Int, Int, Int) = (
+    ((x + y + 3 * k) % 256).toInt,
+    ((3 * x + 5 * y + 2 * k) % 256).toInt,
+    ((7 * x + 11 * y + k) % 256).toInt,
+  )
+
+  /** Encode a real BI_RGB 24-bit BMP (BITMAPFILEHEADER +
+    * BITMAPINFOHEADER, bottom-up rows, 4-byte row padding) holding the
+    * [[testPixel]] pattern for seed k. Fixture synthesis only — the
+    * cold-path side of the m7 round-trip. */
+  private[graft] def encodeBmp24(k: Long, w: Int, h: Int): Array[Byte] = {
+    val rowPad = (4 - (w * 3) % 4) % 4
+    val imgSize = (w * 3 + rowPad) * h
+    val buf = java.nio.ByteBuffer.allocate(54 + imgSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + imgSize)
+      .putInt(0).putInt(54) // reserved, pixel-data offset
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(imgSize) // BI_RGB, declared image size
+      .putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 dpi, palette n/a
+    var y = h - 1
+    while (y >= 0) { // bottom-up row order
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = testPixel(k, x, y)
+        buf.put(b.toByte).put(g.toByte).put(r.toByte)
+        x += 1
+      }
+      var p = 0
+      while (p < rowPad) { buf.put(0.toByte); p += 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  /** REAL pixel decode of a BI_RGB 24-bit BMP: walks the file/DIB
+    * headers (data offset, signed height for bottom-up vs top-down,
+    * bpp 24, compression 0), then the padded pixel rows, producing
+    * integer-exact channel sums plus a geometry-sensitive probe —
+    * `even_sum` folds only pixels at even (x, y), so a wrong row
+    * stride, a missed bottom-up flip (for even heights), or padding
+    * bytes leaking into pixels each break a different output.
+    * Malformed input → all-(-1) stats, never a throw. */
+  private[graft] def decodeBmp24Stats(b: Array[Byte]): (Int, Int, Long, Long, Long, Long) = {
+    def u8(i: Int) = b(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = le16(i) | (le16(i + 2) << 16) // signed: height may be <0
+    val bad = (-1, -1, -1L, -1L, -1L, -1L)
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return bad
+    val dataOff = le32(10)
+    val w = le32(18)
+    val hRaw = le32(22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    if (le16(28) != 24 || le32(30) != 0 || w <= 0 || h == 0) return bad
+    val stride = (w * 3 + 3) / 4 * 4
+    if (dataOff < 0 || dataOff.toLong + stride.toLong * h > b.length) return bad
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var evenSum = 0L
+    var y = 0
+    while (y < h) {
+      val row = dataOff + (if (topDown) y else h - 1 - y) * stride
+      var x = 0
+      while (x < w) {
+        val i = row + 3 * x
+        val bb = u8(i); val gg = u8(i + 1); val rr = u8(i + 2)
+        sumR += rr; sumG += gg; sumB += bb
+        if ((x & 1) == 0 && (y & 1) == 0) evenSum += rr + gg + bb
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, sumR, sumG, sumB, evenSum)
+  }
+
+  /** Fixture-synthesis column: BMP bytes for (seed, width, height).
+    * A UDF by design — per-pixel imperative encode is fixture
+    * construction, not a measured decode path. */
+  def packBmp24(id: Column, width: Column, height: Column): Column = {
+    val enc = udf((k: Long, w: Int, h: Int) => encodeBmp24(k % 251, w, h))
+    enc(id.cast("long"), width.cast("int"), height.cast("int"))
+  }
+
+  /** Real-pixel decode over the SAME per-partition batch seam as
+    * [[decodeHeaderStub]]: (id, media) → (id, PixelStatsSchema...). */
+  def decodeBmpPixelStats(df: DataFrame, id: String, media: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(
+      StructField("id", LongType, nullable = false) +: PixelStatsSchema.fields.toSeq)
+    val rdd = df.select(col(id).cast("long"), col(media)).rdd.mapPartitions { it =>
+      it.map { r =>
+        val (w, h, sr, sg, sb, es) = decodeBmp24Stats(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), w, h, sr, sg, sb, es)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
 }

@@ -221,5 +221,56 @@ object MultimodalQueries {
         ORDER BY doc_id
       """.trim),
     ),
+    // m7: REAL pixel decode — uncompressed BI_RGB 24-bit BMP needs no
+    // codec library, so the pixel step itself is genuine: pack real BMP
+    // bytes (headers + padded bottom-up BGR rows) holding a deterministic
+    // test pattern, decode them back through an independent header+row
+    // walker (ops.Multimodal.decodeBmp24Stats) in the m2 batch seam, and
+    // emit integer-exact channel sums. The oracle recomputes the sums
+    // analytically from the pattern formula — a wrong row stride, a
+    // missed bottom-up flip, or padding leaking into pixels each breaks
+    // the hash (even_sum only folds pixels at even (x, y), so it is
+    // geometry-sensitive where the plain sums are not). Width spans 3-16
+    // so every row-padding value 0-3 occurs; height spans 2-10 so both
+    // parities exercise the row flip.
+    Q(
+      "m7_bmp_pixels",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val w = (col("doc_id") % 14 + 3).cast("int")
+        val h = (col("doc_id") % 9 + 2).cast("int")
+        val packed = docs.select(col("doc_id"),
+          Multimodal.packBmp24(col("doc_id"), w, h).as("media"))
+        Multimodal.decodeBmpPixelStats(packed, "doc_id", "media")
+          .select(
+            col("id").as("doc_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("sum_r"), col("sum_g"), col("sum_b"), col("even_sum"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH g AS (
+          SELECT doc_id, doc_id % 14 + 3 AS w, doc_id % 9 + 2 AS h,
+                 doc_id % 251 AS k
+          FROM documents)
+        SELECT doc_id,
+               w::BIGINT AS width, h::BIGINT AS height,
+               CAST(list_sum(list_transform(range(0, w*h),
+                 i -> (i % w + i // w + 3*k) % 256)) AS BIGINT) AS sum_r,
+               CAST(list_sum(list_transform(range(0, w*h),
+                 i -> (3*(i % w) + 5*(i // w) + 2*k) % 256)) AS BIGINT) AS sum_g,
+               CAST(list_sum(list_transform(range(0, w*h),
+                 i -> (7*(i % w) + 11*(i // w) + k) % 256)) AS BIGINT) AS sum_b,
+               CAST(list_sum(list_transform(
+                 list_filter(range(0, w*h),
+                   i -> (i % w) % 2 = 0 AND (i // w) % 2 = 0),
+                 i -> (i % w + i // w + 3*k) % 256
+                    + (3*(i % w) + 5*(i // w) + 2*k) % 256
+                    + (7*(i % w) + 11*(i // w) + k) % 256)) AS BIGINT) AS even_sum
+        FROM g
+        ORDER BY doc_id
+      """.trim),
+    ),
   )
 }
