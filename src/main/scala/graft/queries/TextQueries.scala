@@ -463,5 +463,70 @@ object TextQueries {
         ORDER BY bi.doc_id
       """.trim),
     ),
+    // t12: model-based quality filtering — hashed-feature linear
+    // classifier INFERENCE (the fastText shape, Joulin et al. 2016):
+    // unigram + word-bigram features hash into B buckets, the trained
+    // weight vector is a broadcast dim table, score = integer weight
+    // sum over features, label = sign. The weights here are a
+    // deterministic md5 stand-in (no trained artifact ships in this
+    // container); the inference plumbing is the production shape — at
+    // 100 TB the corpus explodes linearly, the weight table stays a
+    // broadcast (a 2^20-bucket int table is ~8 MB), the per-feature
+    // lookup is a BroadcastHashJoin, and the per-doc sum is one shuffle
+    // on doc_id with map-side partial aggregation. Integer weights keep
+    // the score exact, so the oracle hash cannot drift on float order.
+    Q(
+      "t12_linear_classifier",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val B = 4096
+        val weights = s.range(B).select(
+          col("id").as("bucket"),
+          (conv(substring(md5(concat(lit("w:"), col("id").cast("string"))
+            .cast("binary")), 1, 6), 16, 10).cast("long") % 2001 - 1000)
+            .as("weight"))
+        val toks = TextAnalysis.tokens(col("text"))
+        val feats = docs.select(col("doc_id"),
+          explode(concat(toks, TextAnalysis.wordNgrams(toks, 2))).as("feat"))
+        val hashed = feats.select(col("doc_id"),
+          (conv(substring(md5(col("feat").cast("binary")), 1, 6), 16, 10)
+            .cast("long") % B).as("bucket"))
+        hashed.join(broadcast(weights), "bucket")
+          .groupBy("doc_id")
+          .agg(sum(col("weight")).as("score"),
+            count(lit(1)).as("n_feats"))
+          .select(col("doc_id"), col("score"), col("n_feats"),
+            when(col("score") > 0, "keep").otherwise("drop").as("label"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT b AS bucket,
+                 ('0x' || substr(md5('w:' || CAST(b AS VARCHAR)), 1, 6))::BIGINT
+                   % 2001 - 1000 AS weight
+          FROM range(4096) t(b)),
+        toks AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS ts
+          FROM documents),
+        feats AS (
+          SELECT doc_id, unnest(ts) AS feat FROM toks
+          UNION ALL
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(ts)),
+                   i -> ts[i] || ' ' || ts[i + 1])) AS feat
+          FROM toks WHERE len(ts) >= 2),
+        h AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(feat), 1, 6))::BIGINT % 4096 AS bucket
+          FROM feats)
+        SELECT h.doc_id, CAST(SUM(w.weight) AS BIGINT) AS score,
+               COUNT(*) AS n_feats,
+               CASE WHEN SUM(w.weight) > 0 THEN 'keep' ELSE 'drop' END AS label
+        FROM h JOIN w USING (bucket)
+        GROUP BY h.doc_id
+        ORDER BY h.doc_id
+      """.trim),
+    ),
   )
 }
