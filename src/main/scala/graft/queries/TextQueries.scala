@@ -485,9 +485,14 @@ object TextQueries {
           (conv(substring(md5(concat(lit("w:"), col("id").cast("string"))
             .cast("binary")), 1, 6), 16, 10).cast("long") % 2001 - 1000)
             .as("weight"))
-        val toks = TextAnalysis.tokens(col("text"))
-        val feats = docs.select(col("doc_id"),
-          explode(concat(toks, TextAnalysis.wordNgrams(toks, 2))).as("feat"))
+        // tokenize ONCE behind a projection boundary: the bigram lambda
+        // touches the token array 2x per gram, and inlining the split()
+        // there would re-run the regex per element_at (measured 2x on
+        // t12); the multi-use reference survives CollapseProject
+        val feats = docs
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
+          .select(col("doc_id"),
+            explode(concat(col("ts"), TextAnalysis.wordNgrams(col("ts"), 2))).as("feat"))
         val hashed = feats.select(col("doc_id"),
           (conv(substring(md5(col("feat").cast("binary")), 1, 6), 16, 10)
             .cast("long") % B).as("bucket"))

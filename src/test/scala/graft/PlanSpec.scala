@@ -274,6 +274,20 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"a13: one-row total not broadcast")
   }
 
+  test("linear-classifier inference broadcasts the weight table") {
+    val p = plan("t12_linear_classifier")
+    // the per-feature weight lookup must be a BroadcastHashJoin — the
+    // model dim is KBs while the exploded feature stream is corpus-sized;
+    // a sort-merge join would shuffle every feature row on the bucket key
+    assert(p.contains("BroadcastHashJoin"),
+      s"weight lookup must broadcast the model table:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"feature stream must never shuffle on the weight key:\n$p")
+    // per-doc score sum keeps map-side partial aggregation
+    val hashAggs = "HashAggregate".r.findAllIn(p).size
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n$p")
+  }
+
   test("epoch shuffle: bucket offsets broadcast; no data-sized global window") {
     val p = plan("cu12_epoch_shuffle")
     assert(p.contains("BroadcastHashJoin"),
