@@ -431,14 +431,21 @@ object Multimodal {
     val w = le32(18)
     val hRaw = le32(22)
     val topDown = hRaw < 0
-    val h = math.abs(hRaw)
+    // abs in Long: hRaw may be Int.MinValue, whose Int abs is itself
+    val h = math.abs(hRaw.toLong)
     if (le16(28) != 24 || le32(30) != 0 || w <= 0 || h == 0) return bad
-    val stride = (w * 3 + 3) / 4 * 4
-    if (dataOff < 0 || dataOff.toLong + stride.toLong * h > b.length) return bad
+    // declared dimensions are untrusted: stride arithmetic in Long, and
+    // both must already fit the stored bytes before any row is touched
+    // (w near 2^31 would overflow `w * 3` to a negative Int stride and
+    // index backwards — the AV-parser fuzz lesson applies here too)
+    val strideL = (w.toLong * 3 + 3) / 4 * 4
+    if (dataOff < 0 || strideL * h > b.length.toLong - dataOff) return bad
+    val stride = strideL.toInt
+    val hI = h.toInt
     var sumR = 0L; var sumG = 0L; var sumB = 0L; var evenSum = 0L
     var y = 0
-    while (y < h) {
-      val row = dataOff + (if (topDown) y else h - 1 - y) * stride
+    while (y < hI) {
+      val row = dataOff + (if (topDown) y else hI - 1 - y) * stride
       var x = 0
       while (x < w) {
         val i = row + 3 * x
@@ -449,7 +456,7 @@ object Multimodal {
       }
       y += 1
     }
-    (w, h, sumR, sumG, sumB, evenSum)
+    (w, hI, sumR, sumG, sumB, evenSum)
   }
 
   /** Fixture-synthesis column: BMP bytes for (seed, width, height).

@@ -26,6 +26,10 @@ class ByteParserFuzzSpec extends AnyFunSuite {
       "GIF89a".getBytes("US-ASCII"),
       "GIF87a".getBytes("US-ASCII"),
       Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte),
+      "BM".getBytes("US-ASCII"),
+      // a full valid 54-byte BMP header promising pixels that are absent,
+      // with fuzz deciding the (untrusted) dims/offset fields after byte 2
+      "BM".getBytes("US-ASCII") ++ Array.fill[Byte](4)(0x7f) ++ Array.fill[Byte](8)(0),
       "RIFF".getBytes("US-ASCII"),
       "RIFF1234WAVE".getBytes("US-ASCII"),
       "RIFF1234WAVEfmt ".getBytes("US-ASCII"),
@@ -46,6 +50,9 @@ class ByteParserFuzzSpec extends AnyFunSuite {
     corpus.foreach { b =>
       val (imgFmt, w, h) = Multimodal.parseImageHeader(b)
       assert(imgFmt == "unknown" || w >= -1 && h >= -1)
+      // BMP pixel decode: untrusted dims/offset must reject, not index
+      val (bw, bh, _, _, _, _) = Multimodal.decodeBmp24Stats(b)
+      assert(bw >= -1 && bh >= -1)
       val (avFmt, ch, rate, bits, dur) = Multimodal.parseAvHeader(b)
       assert(avFmt == "unknown" || avFmt == "wav" || avFmt == "mp4")
       if (avFmt == "unknown") assert(ch == -1 && bits == -1 && dur == 0L)
