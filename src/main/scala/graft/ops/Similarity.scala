@@ -276,6 +276,79 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Product-quantization ANN with ASYMMETRIC distance scoring (PQ-ADC,
+    * Jégou/Douze/Schmid TPAMI 2011 — the codebook layout behind every
+    * billion-scale vector index): split each quantized vector into `m`
+    * subvectors, learn a per-subspace codebook (seeds = the first `ksub`
+    * vectors' subvectors, one Lloyd step), store each vector as just its
+    * m codes, and score probe→vector as Σ_s dot(probe_sub_s,
+    * centroid[code_s]) — the probe side stays exact (asymmetric), the
+    * corpus side is compressed ~dims·4/m bytes → m bytes.
+    *
+    * Exactness discipline (the ss6 playbook, simplified further): all
+    * arithmetic stays in the integer-valued-double domain — codebook
+    * assignment by exact integral squared-L2 with the code id packed
+    * into the ordinal (base 100000), centroid refresh by the rounded
+    * integer mean, ADC scores as exact integral dot sums — so codebook
+    * LEARNING, coding and scoring all replay bit-identically in any
+    * engine; no floor-of-float-ratio buckets needed anywhere.
+    *
+    * Scale shape: `subs` shuffles once on (vec_id, s); both assignment
+    * passes broadcast the codebook (m·ksub·subDim integers) and reduce
+    * by min_by, never shuffling subvectors as keys; the codes table —
+    * the thing that exists at corpus scale — carries m SMALL INTEGER
+    * codes per vector; the probe LUT (probes × m × ksub dot entries) is
+    * the classic ADC lookup table and broadcasts into the scoring join,
+    * whose per-row work is one lookup + partial-aggregated sum. */
+  def pqAdcTopK(df: DataFrame, id: String, emb: String, dims: Int,
+      m: Int, ksub: Int, probeMax: Long, k: Int): DataFrame = {
+    val subDim = dims / m
+    require(subDim * m == dims, s"dims $dims must split into $m subspaces")
+    val q = vectors(df, id, emb)
+      .select(col("vec_id"), quantize(col("v")).as("qv"))
+    val sliceArr = array((0 until m).map(s =>
+      slice(col("qv"), s * subDim + 1, subDim)): _*)
+    val subs = q
+      .select(col("vec_id"), posexplode(sliceArr).as(Seq("s", "sub")))
+      .transform(Iterative.materialize)
+    val seeds = broadcast(subs.filter(col("vec_id") < ksub)
+      .select(col("s"), col("vec_id").as("code"), col("sub").as("cv")))
+
+    // exact integral squared-L2 — portable (sums of ≤254² terms)
+    def l2sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    def assignTo(cb: DataFrame): DataFrame = subs.join(cb, "s")
+      .select(col("vec_id"), col("s"), col("code"),
+        (l2sq(col("sub"), col("cv")) * 100000 + col("code")).cast("long").as("ord"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min_by(col("code"), col("ord")).as("code"))
+
+    // one Lloyd step: rounded integer mean per (subspace, code, dim)
+    val refined = broadcast(assignTo(seeds)
+      .join(subs, Seq("vec_id", "s"))
+      .select(col("s"), col("code"), posexplode(col("sub")).as(Seq("pos", "x")))
+      .groupBy(col("s"), col("code"), col("pos"))
+      .agg(floor(sum(col("x")) / count(lit(1)) + 0.5).cast("double").as("c"))
+      .groupBy(col("s"), col("code"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        e => e.getField("c")).as("cv")))
+
+    val codes = assignTo(refined) // the compressed corpus: m codes/vector
+    val lut = broadcast(subs.filter(col("vec_id") < probeMax).join(refined, "s")
+      .select(col("vec_id").as("probe_id"), col("s"), col("code"),
+        dot(col("sub"), col("cv")).as("pdot")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc_dot").desc, col("neighbor_id"))
+    codes.join(lut, Seq("s", "code"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum(col("pdot")).cast("long").as("adc_dot"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("adc_dot"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Max-inner-product top-k via norm augmentation (the published
     * MIPS→cosine reduction of Bachrach et al. 2014 / Shrivastava-Li
     * asymmetric LSH): with M = max‖v‖ over the corpus, augmenting corpus

@@ -16,6 +16,8 @@ object SimilarityQueries {
   private val TopK = 5
   private val ProbeMax = 10 // probe set = vec_id < 10
   private val IvfProbeCells = 2 // ss4 nprobe
+  private val PqM = 4 // ss10 subspaces (subDim = Dims/PqM)
+  private val PqKsub = 16 // ss10 codewords per subspace
 
   /** ss2 signature width cap (the oracle embeds hyperplane literals up to
     * this many bits and gates each on the dynamic width). */
@@ -467,6 +469,66 @@ object SimilarityQueries {
         WHERE rank <= $TopK
         ORDER BY probe_id, rank
       """.trim),
+    ),
+    // ss10: product quantization with asymmetric-distance scoring
+    // (PQ-ADC, Jégou/Douze/Schmid 2011) — the memory-compression scale
+    // path the IVF family doesn't cover: the corpus is stored as m small
+    // codes per vector (here 4 × one-of-16 over 16-dim subspaces), the
+    // probe stays exact, and scoring is m LUT lookups + a sum. Codebook
+    // learning (seed + one Lloyd step), coding and scoring all run in
+    // the integer-valued-double domain, so the oracle replays the ENTIRE
+    // pipeline — a drifted centroid, code or LUT entry breaks the hash.
+    Q(
+      "ss10_pq_adc",
+      (s, dir) =>
+        Similarity.pqAdcTopK(Registry.table(s, dir, "embeddings"),
+            "vec_id", "embedding", dims = Dims, m = PqM, ksub = PqKsub,
+            probeMax = ProbeMax, k = TopK)
+          .orderBy("probe_id", "rank"),
+      Some {
+        val sd = Dims / PqM
+        def l2 = s"CAST(list_sum(list_transform(range(1, ${sd + 1})," +
+          s" i -> (sub[i] - cv[i]) * (sub[i] - cv[i]))) * 100000 + code AS BIGINT)"
+        s"""
+        WITH $QuantCte,
+        subs AS (
+          SELECT vec_id, s, list_slice(qv, s * $sd + 1, s * $sd + $sd) AS sub
+          FROM q, range(0, $PqM) t(s)),
+        seeds AS (SELECT s, vec_id AS code, sub AS cv FROM subs WHERE vec_id < $PqKsub),
+        a0 AS (
+          SELECT subs.vec_id, subs.s, min_by(code, $l2) AS code
+          FROM subs JOIN seeds USING (s)
+          GROUP BY subs.vec_id, subs.s),
+        cent AS (
+          SELECT a0.s, a0.code, idx, floor(SUM(sub[idx]) / COUNT(*) + 0.5) AS c
+          FROM a0 JOIN subs ON subs.vec_id = a0.vec_id AND subs.s = a0.s,
+               range(1, ${sd + 1}) t(idx)
+          GROUP BY a0.s, a0.code, idx),
+        refined AS (SELECT s, code, list(c ORDER BY idx) AS cv FROM cent GROUP BY s, code),
+        codes AS (
+          SELECT subs.vec_id, subs.s, min_by(code, $l2) AS code
+          FROM subs JOIN refined USING (s)
+          GROUP BY subs.vec_id, subs.s),
+        lut AS (
+          SELECT p.vec_id AS probe_id, r.s, r.code,
+                 list_sum(list_transform(range(1, ${sd + 1}),
+                   i -> p.sub[i] * r.cv[i])) AS pdot
+          FROM subs p JOIN refined r USING (s)
+          WHERE p.vec_id < $ProbeMax),
+        adc AS (
+          SELECT l.probe_id, c.vec_id AS neighbor_id,
+                 CAST(SUM(l.pdot) AS BIGINT) AS adc_dot
+          FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
+          WHERE c.vec_id != l.probe_id
+          GROUP BY 1, 2)
+        SELECT probe_id, neighbor_id, adc_dot, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+                      ORDER BY adc_dot DESC, neighbor_id) AS rank
+          FROM adc)
+        WHERE rank <= $TopK
+        ORDER BY probe_id, rank
+        """.trim
+      },
     ),
   )
 }

@@ -239,6 +239,22 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("PQ-ADC: codebook and LUT broadcast; subvectors never key a shuffle") {
+    val p = plan("ss10_pq_adc")
+    // codebook joins (assignment) and the LUT scoring join must broadcast
+    // the small side — the codes table is the corpus-scale object
+    assert(p.contains("BroadcastHashJoin"),
+      s"codebook/LUT must broadcast into the scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"scoring must not shuffle the corpus on the code key:\n$p")
+    val partitionings = "hashpartitioning\\([^)]*\\)".r.findAllIn(p).toSeq
+    assert(partitionings.nonEmpty)
+    partitionings.foreach { hp =>
+      assert(!hp.contains(" sub#") && !hp.contains(" qv#") && !hp.contains(" cv#"),
+        s"subvector array leaked into a shuffle key: $hp")
+    }
+  }
+
   test("substring dedupe: native anchor selection, no cartesian, equi postings join") {
     val p = plan("d8_substring_dupes")
     // the anchor table is checkpointed before this plan; the final plan
