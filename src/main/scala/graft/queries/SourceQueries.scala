@@ -506,6 +506,51 @@ object SourceQueries {
       """.stripMargin.trim),
     ),
 
+    // S1 (real container): round trip through ACTUAL Hadoop SequenceFiles
+    // — the reference's universal job I/O (JobBuilder.java:110
+    // inputIsSeqFile; SequenceFileReader.java:42) and the format a
+    // migrating user's existing shards are in. Rows go OUT through
+    // compressed LongWritable/Text shards (one per partition, the
+    // reference's sharded layout) and back IN through the Hadoop reader;
+    // the per-source aggregate hashes the JSON payloads, so a corrupted
+    // write, a dropped shard, or Writable-reuse aliasing each breaks the
+    // oracle hash. The oracle recomputes from the original table — the
+    // SequenceFile bytes are the only path between the two.
+    Q(
+      "s16_seqfile_roundtrip",
+      (s, dir) => {
+        val out = stage("s16") + "/shards"
+        val docs = Registry.table(s, dir, "documents")
+        graft.sources.SequenceFiles.write(
+          docs.select(col("doc_id").as("key"),
+            to_json(struct(col("source"), col("n_chars"),
+              md5(col("text").cast("binary")).as("h"))).as("rec")),
+          out)
+        val back = graft.sources.SequenceFiles.read(s, out)
+          .select(col("key"),
+            get_json_object(col("rec"), "$.source").as("source"),
+            get_json_object(col("rec"), "$.n_chars").cast("long").as("n_chars"),
+            get_json_object(col("rec"), "$.h").as("h"))
+        back.groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_records"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(conv(substring(col("h"), 1, 10), 16, 10).cast("long")).as("content_sum"),
+            min(col("key")).as("min_id"),
+            max(col("key")).as("max_id"))
+          .orderBy("source")
+      },
+      Some("""
+        SELECT source,
+               COUNT(*) AS n_records,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(SUM(('0x' || substr(md5(text), 1, 10))::BIGINT) AS BIGINT) AS content_sum,
+               MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        FROM documents
+        GROUP BY source ORDER BY source
+      """.stripMargin.trim),
+    ),
+
     // S8: time-series append log — two appends (so append semantics are
     // actually exercised) then a tail read (reference util/TimeSeriesDataFile
     // .java:41, appendRecordToLogFile :78 / readFromTail :208). Ordering is
