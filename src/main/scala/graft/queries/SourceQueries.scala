@@ -551,6 +551,43 @@ object SourceQueries {
       """.stripMargin.trim),
     ),
 
+    // S4 (real container): point fetch through ACTUAL Hadoop TFiles —
+    // the reference query server's index container
+    // (PositionBasedSequenceFileIndex + the TFile indexes it seeks;
+    // SURVEY §2.1 S4). Records go OUT as range-partitioned sorted
+    // gz-block TFile shards plus a shard-span manifest, and each probe
+    // key comes back IN through the TFile block-index seek
+    // (Scanner.seekTo) on the one shard that owns it — the reference's
+    // interactive fetch mechanism. The oracle recomputes the probed
+    // records from the original table; a wrong sort, a mis-routed
+    // probe, or a corrupt block each drops/garbles rows and breaks the
+    // hash.
+    Q(
+      "s17_tfile_point_fetch",
+      (s, dir) => {
+        val out = stage("s17")
+        val docs = Registry.table(s, dir, "documents")
+        graft.sources.TFiles.write(
+          docs.select(col("doc_id").as("key"),
+            to_json(struct(col("source"), col("n_chars"),
+              md5(col("text").cast("binary")).as("h"))).as("rec")),
+          out, shards = 8)
+        val probes = docs.select(col("doc_id").as("key"))
+          .filter(col("key") % 37 === 5)
+        graft.sources.TFiles.lookup(s, out, probes)
+          .select(col("key").as("doc_id"),
+            get_json_object(col("rec"), "$.source").as("source"),
+            get_json_object(col("rec"), "$.n_chars").cast("long").as("n_chars"),
+            get_json_object(col("rec"), "$.h").as("h"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+               md5(text) AS h
+        FROM documents WHERE doc_id % 37 = 5 ORDER BY doc_id
+      """.stripMargin.trim),
+    ),
+
     // S8: time-series append log — two appends (so append semantics are
     // actually exercised) then a tail read (reference util/TimeSeriesDataFile
     // .java:41, appendRecordToLogFile :78 / readFromTail :208). Ordering is

@@ -189,4 +189,25 @@ class SourcesSpec extends AnyFunSuite with SparkSuite {
     assert(back.size == 500)
     assert((0L until 500L).forall(i => back(i) == s"rec-$i"))
   }
+
+  test("TFile bridge: sorted shards, manifest routing, block-index point seek") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.TFiles
+    val dir = java.nio.file.Files.createTempDirectory("graft-tfile-").toString
+    // sparse keys so absent-key probes land between real ones
+    val df = spark.range(400).select((col("id") * 3).as("key"),
+      concat(lit("rec-"), col("id") * 3).as("rec"))
+    TFiles.write(df, dir, shards = 4)
+    val shards = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tfile"))
+    assert(shards.length == 4)
+    assert(new java.io.File(dir, "manifest.json").exists())
+    // probe hits, misses (odd keys absent) and both range extremes
+    import spark.implicits._
+    val probes = Seq(0L, 3L, 7L, 599L, 601L, 1197L, 5000L).toDF("key")
+    val got = TFiles.lookup(spark, dir, probes).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(0L -> "rec-0", 3L -> "rec-3", 1197L -> "rec-1197"),
+      s"seek must hit exactly the present keys: $got")
+  }
 }
