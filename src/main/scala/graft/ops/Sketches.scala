@@ -535,4 +535,49 @@ object Sketches {
           math.round(both.toDouble / u * dUnion)
         }
     }
+
+  // --- exactly-replayable Bloom membership gate (a17) ----------------
+  // The reference gates crawldb dedup work behind a 2^26-entry Bloom
+  // over URL fingerprints (util/URLFPBloomFilter.java:46,68-96, applied
+  // at CrawlDBMergingReducer.java:160-162,296 and
+  // rank/GenDomainRankStep.java:65). The Spark-native state is the SET
+  // OF SET BITS as rows — bounded by m regardless of corpus size,
+  // mergeable by plain union (bitwise OR), and derived from md5 so the
+  // filter — INCLUDING its false positives — replays bit-identically in
+  // any engine. Probing is a bounded broadcast-able join, not an opaque
+  // binary blob.
+
+  /** The k md5-derived bit positions of a key (7 hex digits = 28 bits;
+    * m must divide 2^28 for an exactly uniform modulo). */
+  def bloomPositions(key: org.apache.spark.sql.Column, m: Int, k: Int)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(m > 0 && (1 << 28) % m == 0, s"m=$m must divide 2^28")
+    array((0 until k).map(i =>
+      (conv(substring(md5(concat(lit(s"b$i:"), key).cast("binary")), 1, 7),
+        16, 10).cast("long") % m)): _*)
+  }
+
+  /** Build the filter: distinct set-bit rows (≤ m, whatever the corpus
+    * size). Slices built separately OR-merge by `union.distinct`. */
+  def bloomBits(df: org.apache.spark.sql.DataFrame, key: String, m: Int, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.select(explode(bloomPositions(col(key), m, k)).as("bit")).distinct()
+  }
+
+  /** Probe candidates against the filter: a candidate is `in_bloom` iff
+    * all k of its positions are set (no false negatives by
+    * construction; false positives are the deterministic md5 ones). */
+  def bloomProbe(bits: org.apache.spark.sql.DataFrame,
+      cands: org.apache.spark.sql.DataFrame, key: String, m: Int, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val verdict = cands.select(col(key),
+        explode(bloomPositions(col(key), m, k)).as("bit"))
+      .join(bits.withColumn("hit", lit(1)), Seq("bit"), "left")
+      .groupBy(col(key))
+      .agg((count(col("hit")) === k).as("in_bloom"))
+    cands.join(verdict, key)
+  }
 }

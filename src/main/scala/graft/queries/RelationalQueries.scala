@@ -676,5 +676,62 @@ object RelationalQueries {
         ORDER BY lang
       """.stripMargin.trim),
     ),
+    // ---- Bloom membership GATE: the reference's URLFPBloomFilter
+    // (2^26-entry, gating crawldb dedup work —
+    // CrawlDBMergingReducer.java:160-162,296) as an exactly-replayable
+    // structure: the filter state is the bounded set of set BITS (≤ m
+    // rows however big the corpus), built from md5-derived positions so
+    // the oracle replays the filter — including any false positives —
+    // bit-identically. Candidates are half corpus fingerprints (must
+    // all hit: Blooms have no false negatives) and half salted-absent
+    // keys (hits here are the deterministic FP set). The confusion
+    // matrix with doc_id sums is the gate.
+    Q(
+      "a17_bloom_gate",
+      (s, dir) => {
+        val m = 1 << 18
+        val kH = 3
+        val docs = table(s, dir, "documents")
+        val bits = graft.ops.Sketches.bloomBits(
+          docs.select(md5(col("text").cast("binary")).as("f")), "f", m, kH)
+        val cands = docs.select(col("doc_id"),
+          when(col("doc_id") % 2 === 0, md5(col("text").cast("binary")))
+            .otherwise(md5(concat(col("text"), lit(":absent")).cast("binary")))
+            .as("f"),
+          when(col("doc_id") % 2 === 0, "present").otherwise("absent")
+            .as("actual"))
+        graft.ops.Sketches.bloomProbe(bits, cands, "f", m, kH)
+          .groupBy(col("actual"), col("in_bloom"))
+          .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"))
+          .orderBy("actual", "in_bloom")
+      },
+      Some("""
+        WITH corpus AS (SELECT DISTINCT md5(text) AS f FROM documents),
+        bits AS (
+          SELECT DISTINCT
+                 ('0x' || substr(md5('b' || i || ':' || f), 1, 7))::BIGINT
+                   % 262144 AS bit
+          FROM corpus, range(0, 3) t(i)),
+        cand AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0 THEN md5(text)
+                      ELSE md5(text || ':absent') END AS f,
+                 CASE WHEN doc_id % 2 = 0 THEN 'present'
+                      ELSE 'absent' END AS actual
+          FROM documents),
+        probe AS (
+          SELECT doc_id, actual,
+                 ('0x' || substr(md5('b' || i || ':' || f), 1, 7))::BIGINT
+                   % 262144 AS bit
+          FROM cand, range(0, 3) t(i)),
+        verdict AS (
+          SELECT doc_id, actual, COUNT(h.hit) = 3 AS in_bloom
+          FROM probe LEFT JOIN (SELECT bit, 1 AS hit FROM bits) h USING (bit)
+          GROUP BY doc_id, actual)
+        SELECT actual, in_bloom, COUNT(*) AS n,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_id
+        FROM verdict GROUP BY actual, in_bloom ORDER BY actual, in_bloom
+      """.stripMargin.trim),
+    ),
   )
 }

@@ -298,4 +298,27 @@ class SketchesSpec extends AnyFunSuite with SparkSuite {
       .agg(Sketches.distinctCount(32)(col("k"))).as[Long].collect().head
     assert(a == b)
   }
+
+  test("bloom gate: no false negatives, slice blooms OR-merge exactly") {
+    import spark.implicits._
+    val m = 1 << 14
+    val k = 3
+    val corpus = (0 until 2000).map(i => s"key-$i").toDF("f")
+    val bits = Sketches.bloomBits(corpus, "f", m, k)
+    // membership of every corpus key — a Bloom never misses
+    val present = corpus.withColumn("id", lit(0L))
+    val verdicts = Sketches.bloomProbe(bits, present, "f", m, k)
+    assert(verdicts.filter(!col("in_bloom")).count() == 0)
+    // per-slice filters OR-merged (union of set bits) == the whole filter
+    val sliceA = Sketches.bloomBits(corpus.limit(900), "f", m, k)
+    val sliceB = Sketches.bloomBits(corpus.exceptAll(corpus.limit(900)), "f", m, k)
+    val merged = sliceA.union(sliceB).distinct()
+    assert(merged.exceptAll(bits).count() == 0 && bits.exceptAll(merged).count() == 0)
+    // absent keys: the deterministic FP fraction stays near theory
+    // ((1-e^{-kn/m})^k ≈ 3.5% here), not near 0.5 or 1
+    val absent = (0 until 2000).map(i => s"nope-$i").toDF("f").withColumn("id", lit(0L))
+    val fp = Sketches.bloomProbe(bits, absent, "f", m, k)
+      .filter(col("in_bloom")).count()
+    assert(fp < 2000 * 0.15, s"FP count $fp far above theory")
+  }
 }
