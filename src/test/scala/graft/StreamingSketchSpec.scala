@@ -56,6 +56,39 @@ class StreamingSketchSpec extends AnyFunSuite with SparkSuite {
     assert(rolled == want)
   }
 
+  test("streaming bloom: per-batch bit sets OR-merge into the crawl-history gate") {
+    // the reference's URLFPBloomFilter use case is incremental by
+    // nature — the crawl history grows batch by batch; the set-bit-rows
+    // state makes the streaming build trivial (append per-batch bits,
+    // distinct at probe time) and EXACTLY equal to the one-shot filter
+    val (path, schema) = restreamEvents(4)
+    val bitsDir = java.nio.file.Files.createTempDirectory("bloom_bits").toString
+    val m = 1 << 16
+    val k = 3
+
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(path)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Sketches.bloomBits(
+          batch.select(concat(col("user_id"), lit(":"), col("event_type")).as("key")),
+          "key", m, k)
+          .write.mode("append").parquet(bitsDir)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamedBits = spark.read.parquet(bitsDir).distinct()
+    val oneShot = Sketches.bloomBits(
+      graft.queries.Registry.table(spark, sfDir, "events")
+        .select(concat(col("user_id"), lit(":"), col("event_type")).as("key")),
+      "key", m, k)
+    assert(streamedBits.exceptAll(oneShot).count() == 0 &&
+      oneShot.exceptAll(streamedBits).count() == 0,
+      "incrementally built filter must equal the one-shot filter bit-for-bit")
+  }
+
   test("per-batch heavy-hitter summaries roll up to the batch counts (exact regime)") {
     import spark.implicits._
     val (path, schema) = restreamEvents(4)
