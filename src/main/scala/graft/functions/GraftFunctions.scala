@@ -284,6 +284,36 @@ object GraftFunctions {
     filter(all, s => s.getField("url").isNotNull && s.getField("url") =!= "")
   }
 
+  /** Sitemap extraction from raw urlset/sitemapindex XML as
+    * `array<struct<scope,url,lastmod,changefreq,priority>>` — the
+    * reference's crawl data model carries sitemap discovery as
+    * first-class metadata (protocol.jr:190 `Flag_InSitemap`, :267
+    * `SitemapChangeFrequency`, :278-282 sitemapChangeFreq/Priority/
+    * LastModifiedTime; database.jr:670 `hasSitemapURL`), so the engine
+    * needs the extraction that populates those fields. `scope` is
+    * "url" for `<urlset><url>` entries and "index" for
+    * `<sitemapindex><sitemap>` child-sitemap pointers (the two document
+    * shapes of sitemaps.org 0.9); absent optional fields are null.
+    * Relative locs resolve against the fetch URL via [[resolveUrl]]. */
+  def extractSitemapUrls(xml: Column): Column = {
+    val cleaned = regexp_replace(xml, "(?s)<!--.*?-->", " ")
+    // <url[\s>] will not match <urlset, <sitemap[\s>] not <sitemapindex
+    val blocks = regexp_extract_all(cleaned,
+      lit("(?is)<(?:url|sitemap)[\\s>].*?</(?:url|sitemap)\\s*>"), lit(0))
+    val isIndex = cleaned.rlike("(?i)<sitemapindex")
+    def elText(b: Column, tag: String) = {
+      val v = regexp_extract(b, s"(?is)<$tag\\s*>\\s*([^<]*?)\\s*</$tag\\s*>", 1)
+      when(v === "", lit(null).cast("string")).otherwise(decodeEntities(v))
+    }
+    val all = transform(blocks, b => struct(
+      when(isIndex, "index").otherwise("url").as("scope"),
+      elText(b, "loc").as("url"),
+      elText(b, "lastmod").as("lastmod"),
+      elText(b, "changefreq").as("changefreq"),
+      elText(b, "priority").as("priority")))
+    filter(all, s => s.getField("url").isNotNull)
+  }
+
   private val resolveF = (base: String, ref: String) =>
     if (base == null) ref else Urls.resolve(base, ref)
   private val resolveUdf = udf(resolveF)

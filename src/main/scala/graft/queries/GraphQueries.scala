@@ -456,5 +456,79 @@ object GraphQueries {
         ORDER BY host
       """.trim),
     ),
+    // g9: sitemap URL discovery — the third discovery source beside raw
+    // HTML (g7) and feeds (g8). The reference's crawl records carry
+    // sitemap metadata as first-class fields (protocol.jr:190
+    // Flag_InSitemap, :267 SitemapChangeFrequency, :278-282 change
+    // freq/priority/lastmod; database.jr:670 hasSitemapURL); this is
+    // the extraction that fills them. Even docs synthesize a real
+    // urlset (one absolute loc with lastmod/changefreq/priority, one
+    // RELATIVE loc that must resolve against the fetch URL and carries
+    // no optional fields); odd docs a sitemapindex pointing at a child
+    // sitemap. The per-(scope, host) rollup counts dated entries and
+    // sums priority tenths integer-exactly — a missed optional field,
+    // a scope mix-up, an <urlset>/<url> regex confusion, or a broken
+    // relative resolve each shifts a histogram cell.
+    Q(
+      "g9_sitemap_urls",
+      (s, dir) => {
+        val F = graft.functions.GraftFunctions
+        val id = col("doc_id").cast("string")
+        val a = (col("doc_id") % 13).cast("string")
+        val f = (col("doc_id") % 11).cast("string")
+        val dd = lpad((col("doc_id") % 27 + 1).cast("string"), 2, "0")
+        val cf = element_at(array(lit("daily"), lit("weekly"), lit("monthly")),
+          (col("doc_id") % 3 + 1).cast("int"))
+        val p = (col("doc_id") % 9 + 1).cast("string")
+        val urlset = concat(
+          lit("<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+            "<url><loc>http://site"), a, lit(".example.org/p/"), id,
+          lit("</loc><lastmod>2026-01-"), dd, lit("</lastmod><changefreq>"), cf,
+          lit("</changefreq><priority>0."), p,
+          lit("</priority></url><url><loc>/rel/"), id,
+          lit("</loc></url></urlset>"))
+        val index = concat(
+          lit("<sitemapindex><sitemap><loc>http://idx"), a,
+          lit(".example.org/sitemaps/part"), id,
+          lit(".xml</loc><lastmod>2026-02-"), dd,
+          lit("</lastmod></sitemap></sitemapindex>"))
+        val base = concat(lit("http://sm"), f, lit(".example.com/sitemap.xml"))
+        Registry.table(s, dir, "documents")
+          .select(col("doc_id"), base.as("base"),
+            when(col("doc_id") % 2 === 0, urlset).otherwise(index).as("xml"))
+          .select(col("doc_id"), col("base"),
+            explode(F.extractSitemapUrls(col("xml"))).as("u"))
+          .select(col("doc_id"), col("u.scope").as("scope"),
+            F.urlHost(F.resolveUrl(col("base"), col("u.url"))).as("host"),
+            col("u.lastmod"), col("u.priority"))
+          .groupBy("scope", "host")
+          .agg(count(lit(1)).as("n_urls"),
+            count_distinct(col("doc_id")).as("n_docs"),
+            sum(when(col("lastmod").isNotNull, 1L).otherwise(0L)).as("n_dated"),
+            sum(coalesce(
+              regexp_extract(col("priority"), "0\\.(\\d)", 1).cast("long"),
+              lit(0L))).as("sum_prio10"))
+          .orderBy("scope", "host")
+      },
+      Some("""
+        WITH e AS (
+          SELECT doc_id, 'url' AS scope,
+                 'site' || CAST(doc_id % 13 AS VARCHAR) || '.example.org' AS host,
+                 1 AS dated, doc_id % 9 + 1 AS prio
+          FROM documents WHERE doc_id % 2 = 0
+          UNION ALL
+          SELECT doc_id, 'url',
+                 'sm' || CAST(doc_id % 11 AS VARCHAR) || '.example.com', 0, 0
+          FROM documents WHERE doc_id % 2 = 0
+          UNION ALL
+          SELECT doc_id, 'index',
+                 'idx' || CAST(doc_id % 13 AS VARCHAR) || '.example.org', 1, 0
+          FROM documents WHERE doc_id % 2 = 1)
+        SELECT scope, host, COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs,
+               CAST(SUM(dated) AS BIGINT) AS n_dated,
+               CAST(SUM(prio) AS BIGINT) AS sum_prio10
+        FROM e GROUP BY scope, host ORDER BY scope, host
+      """.trim),
+    ),
   )
 }

@@ -273,6 +273,37 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkSuite {
       (2L, "item", "alternate", "http://h/i1"))) // text trimmed
   }
 
+  test("sitemap extraction: urlset vs sitemapindex, optional fields, entities") {
+    import spark.implicits._
+    val urlset =
+      """<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |<url><loc> http://h/a?x=1&amp;y=2 </loc><lastmod>2026-01-02</lastmod>
+        |<changefreq>daily</changefreq><priority>0.8</priority></url>
+        |<url><loc>/rel/b</loc></url>
+        |<!-- <url><loc>http://commented.out/</loc></url> -->
+        |<url><lastmod>2026-01-03</lastmod></url>
+        |</urlset>""".stripMargin
+    val index =
+      """<sitemapindex><sitemap><loc>http://h/maps/1.xml</loc>
+        |<lastmod>2026-02-03</lastmod></sitemap></sitemapindex>""".stripMargin
+    val got = Seq((1L, urlset), (2L, index)).toDF("id", "xml")
+      .select(col("id"), explode(GraftFunctions.extractSitemapUrls(col("xml"))).as("u"))
+      .select(col("id"), col("u.scope"), col("u.url"), col("u.lastmod"),
+        col("u.changefreq"), col("u.priority"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)), Option(r.getString(4)), Option(r.getString(5))))
+      .toSet
+    assert(got == Set(
+      // entities decoded, loc whitespace trimmed, all optionals present
+      (1L, "url", "http://h/a?x=1&y=2",
+        Some("2026-01-02"), Some("daily"), Some("0.8")),
+      // relative loc kept verbatim (resolution is the caller's step),
+      // optionals absent → null; the loc-less <url> block is dropped
+      (1L, "url", "/rel/b", None, None, None),
+      (2L, "index", "http://h/maps/1.xml", Some("2026-02-03"), None, None)))
+  }
+
   test("native expressions run inside whole-stage codegen") {
     // parquet-backed input so the projection cannot constant-fold away
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
