@@ -439,7 +439,12 @@ object Multimodal {
     // (w near 2^31 would overflow `w * 3` to a negative Int stride and
     // index backwards — the AV-parser fuzz lesson applies here too)
     val strideL = (w.toLong * 3 + 3) / 4 * 4
-    if (dataOff < 0 || strideL * h > b.length.toLong - dataOff) return bad
+    // overflow-free form: `strideL * h` wraps negative when both dims
+    // are near 2^31 (e.g. 0x7f7f7f7f), letting a wrapped product pass a
+    // direct `> remaining` compare — divide instead (strideL >= 4
+    // whenever w >= 1, so the division is safe)
+    if (dataOff < 0 || dataOff > b.length ||
+        h > (b.length.toLong - dataOff) / strideL) return bad
     val stride = strideL.toInt
     val hI = h.toInt
     var sumR = 0L; var sumG = 0L; var sumB = 0L; var evenSum = 0L

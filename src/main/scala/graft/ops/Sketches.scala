@@ -573,8 +573,10 @@ object Sketches {
       cands: org.apache.spark.sql.DataFrame, key: String, m: Int, k: Int)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val verdict = cands.select(col(key),
-        explode(bloomPositions(col(key), m, k)).as("bit"))
+    // probe DISTINCT keys: duplicate candidate rows would pool 2k+
+    // exploded positions under one key and break `count === k`
+    val verdict = cands.select(col(key)).distinct()
+      .select(col(key), explode(bloomPositions(col(key), m, k)).as("bit"))
       .join(bits.withColumn("hit", lit(1)), Seq("bit"), "left")
       .groupBy(col(key))
       .agg((count(col("hit")) === k).as("in_bloom"))

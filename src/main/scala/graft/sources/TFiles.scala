@@ -64,8 +64,11 @@ object TFiles {
     val json = manifest.map { case (f, mn, mx, n) =>
       s"""{"file":"$f","min":$mn,"max":$mx,"n":$n}"""
     }.mkString("", "\n", "\n")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir, "manifest.json"), json.getBytes(UTF_8))
+    // through the same Hadoop FileSystem as the shards, so hdfs:// and
+    // s3a:// targets get both artifacts in one place
+    val mPath = new Path(dir, "manifest.json")
+    val mOut = mPath.getFileSystem(new Configuration()).create(mPath, true)
+    try mOut.write(json.getBytes(UTF_8)) finally mOut.close()
   }
 
   /** Distributed point lookup: each probe key routes to its owning shard
@@ -94,6 +97,10 @@ object TFiles {
         if (in != null) in.close()
         scanner = null; reader = null; in = null
       }
+      // a partially consumed partition (limit / failed downstream) never
+      // exhausts the iterator — close unconditionally at task end too
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => close()))
       val out = it.flatMap { r =>
         val f = r.getString(0); val k = r.getLong(1)
         if (f != curFile) {

@@ -16,6 +16,18 @@ import graft.sources.v2.WarcHttp
   * corpus is deterministic. */
 class ByteParserFuzzSpec extends AnyFunSuite {
 
+  /** A structurally valid 54-byte BI_RGB 24-bpp BMP header claiming the
+    * given (untrusted) width/height — dimension-lie seeds for the pixel
+    * decoder's bounds arithmetic. */
+  private def bmpDims(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(64).putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    b.putInt(0).putInt(0).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    b.array()
+  }
+
   private def corpus: Seq[Array[Byte]] = {
     val raw = Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
       .map(_.toArray)
@@ -30,6 +42,10 @@ class ByteParserFuzzSpec extends AnyFunSuite {
       // a full valid 54-byte BMP header promising pixels that are absent,
       // with fuzz deciding the (untrusted) dims/offset fields after byte 2
       "BM".getBytes("US-ASCII") ++ Array.fill[Byte](4)(0x7f) ++ Array.fill[Byte](8)(0),
+      // dims both 0x7f7f7f7f with otherwise-valid header: stride*height
+      // overflows Long if compared naively (the round-8 ADVICE overflow)
+      bmpDims(0x7f7f7f7f, 0x7f7f7f7f),
+      bmpDims(0x7f7f7f7f, 2), bmpDims(2, 0x7f7f7f7f),
       "RIFF".getBytes("US-ASCII"),
       "RIFF1234WAVE".getBytes("US-ASCII"),
       "RIFF1234WAVEfmt ".getBytes("US-ASCII"),

@@ -320,5 +320,12 @@ class SketchesSpec extends AnyFunSuite with SparkSuite {
     val fp = Sketches.bloomProbe(bits, absent, "f", m, k)
       .filter(col("in_bloom")).count()
     assert(fp < 2000 * 0.15, s"FP count $fp far above theory")
+    // duplicate candidate keys (two docs, identical text) must each get
+    // the per-key verdict — pooling 2k exploded positions under one key
+    // used to break `count === k` into a false negative
+    val dup = corpus.limit(5).union(corpus.limit(5)).withColumn("id", lit(0L))
+    val dupVerdicts = Sketches.bloomProbe(bits, dup, "f", m, k)
+    assert(dupVerdicts.count() == 10)
+    assert(dupVerdicts.filter(!col("in_bloom")).count() == 0)
   }
 }
