@@ -57,6 +57,38 @@ object TopK {
   def topKKeys(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(new TopKAgg(k))
 
+  private final class TopScoredAgg(k: Int)
+      extends Aggregator[Scored, List[Scored], Seq[Scored]] {
+    override def zero: List[Scored] = Nil
+
+    private def insert(buf: List[Scored], in: Scored): List[Scored] =
+      if (buf.lengthCompare(k) >= 0 && rankOrder.gteq(in, buf.last)) buf
+      else (in :: buf).sorted(rankOrder).take(k)
+
+    override def reduce(buf: List[Scored], in: Scored): List[Scored] =
+      insert(buf, in)
+
+    override def merge(a: List[Scored], b: List[Scored]): List[Scored] =
+      (a ++ b).sorted(rankOrder).take(k)
+
+    /** The k winners in rank order — posexplode downstream recovers the
+      * 0-based rank without any window. */
+    override def finish(buf: List[Scored]): Seq[Scored] = buf
+
+    override def bufferEncoder: Encoder[List[Scored]] =
+      ExpressionEncoder[List[Scored]]()
+    override def outputEncoder: Encoder[Seq[Scored]] =
+      ExpressionEncoder[Seq[Scored]]()
+  }
+
+  /** Untyped column function: `topScored(k)(score, key)` →
+    * array<struct<score,key>> in (score desc, key asc) order — the
+    * (rank_value, url) shape of per-host crawl-list selection. Same
+    * bounded-buffer cost model as [[topKKeys]]: ≤k rows per group leave
+    * each mapper, no WindowExec, no per-group full sort. */
+  def topScored(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new TopScoredAgg(k))
+
   /** String-keyed candidate: `score` (a count) ranks desc, `key` breaks
     * ties asc — the (cnt, gram) shape of n-gram head selection. */
   final case class ScoredStr(score: Long, key: String)

@@ -111,22 +111,47 @@ object CurationQueries {
     // ---------------------------------------------------------------
     // cu2: per-language length-distribution profile via ntile deciles —
     // exact quantile boundaries without engine-specific interpolation
-    // (ntile is pure row-order arithmetic, identical everywhere). The
-    // window sort is per-language, not global: partitionBy(lang) keeps
-    // each sort shard-local at scale.
+    // (ntile is pure row-order arithmetic, identical everywhere). NO
+    // per-row window: a naive ntile over partitionBy(lang) would sort a
+    // whole language on ONE task, and a dominant language is ~half a
+    // crawl corpus. The output only needs per-(lang, decile) aggregates,
+    // and within one (lang, n_chars) value group every decile aggregate
+    // is symmetric in the rows, so the exact answer derives from value-
+    // group COUNTS: one partial-agg'd groupBy(lang, n_chars), a prefix
+    // sum over group SIZES per lang (O(distinct lengths), never data
+    // rows), then SQL-ntile boundary arithmetic — with n rows, q = n/10
+    // and rem = n%10, decile d covers ranks
+    // [(d-1)q + min(d-1,rem) + 1, dq + min(d,rem)] — intersected with
+    // each group's rank span [s, s+c-1].
     Q(
       "cu2_length_deciles",
       (s, dir) => {
         val docs = Registry.table(s, dir, "documents")
-        val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
-        docs
-          .withColumn("decile", ntile(10).over(w).cast("long"))
+        val vg = docs.groupBy("lang", "n_chars").agg(count(lit(1)).as("c"))
+        val totals = vg.groupBy("lang").agg(sum("c").as("n"))
+        val ranked = vg.withColumn("s",
+          coalesce(sum("c").over(
+            Window.partitionBy("lang").orderBy("n_chars")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + 1)
+        ranked.join(broadcast(totals), "lang")
+          .withColumn("q", expr("n div 10"))
+          .withColumn("rem", col("n") % 10)
+          .withColumn("e", col("s") + col("c") - 1)
+          .withColumn("decile", explode(sequence(lit(1L), lit(10L))))
+          .withColumn("d_lo",
+            (col("decile") - 1) * col("q")
+              + least(col("decile") - 1, col("rem")) + 1)
+          .withColumn("d_hi",
+            col("decile") * col("q") + least(col("decile"), col("rem")))
+          .withColumn("k",
+            least(col("e"), col("d_hi")) - greatest(col("s"), col("d_lo")) + 1)
+          .filter(col("k") >= 1)
           .groupBy("lang", "decile")
           .agg(
-            count(lit(1)).as("n_docs"),
+            sum("k").as("n_docs"),
             min("n_chars").as("chars_lo"),
             max("n_chars").as("chars_hi"),
-            sum("n_chars").as("chars_sum"))
+            sum(col("k") * col("n_chars")).as("chars_sum"))
           .orderBy("lang", "decile")
       },
       Some("""
@@ -378,9 +403,12 @@ object CurationQueries {
     // / topic-tagging pass of a curation pipeline. Log-free IDF
     // (tf·N/df as exact int64 product over one IEEE division) keeps the
     // score bit-portable across engines; ties break on the token. Shape:
-    // explode → (doc,token) count → df via a token-partitioned window on
-    // the ALREADY-AGGREGATED tf table (O(doc·vocab) rows, not O(tokens))
-    // → per-doc row_number. Three shuffles total, each on aggregated data.
+    // explode → (doc,token) count → df via groupBy(token) + equi-join
+    // back onto tf — NOT a token-partitioned window: a window buffers a
+    // token's whole posting list on ONE task, and a stop-like token's
+    // list is O(corpus) rows at 100 TB; the groupBy form moves the same
+    // bytes hash-distributed with map-side partial aggregation, and the
+    // per-doc ranking window is bounded by per-document vocabulary.
     Q(
       "cu9_tfidf",
       (s, dir) => {
@@ -391,9 +419,9 @@ object CurationQueries {
             explode(graft.ops.TextAnalysis.tokens(col("text"))).as("token"))
           .groupBy("doc_id", "token")
           .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("token").agg(count(lit(1)).cast("long").as("df"))
         tf
-          .withColumn("df",
-            count(lit(1)).over(Window.partitionBy("token")).cast("long"))
+          .join(df, "token")
           .crossJoin(broadcast(nDocs))
           .withColumn("score",
             (col("tf") * col("n_docs")).cast("double") / col("df"))

@@ -29,18 +29,23 @@ object ListGenQueries {
   private val Crawlers = 8
 
   def defs: Seq[Q] = Seq(
-    // W1/P3 step 1: per-host top-K URLs by rank (row_number ≤ K with a
-    // total order; the rank predicate prunes in the window exec).
+    // W1/P3 step 1: per-host top-K URLs by rank. Hosts are zipf-skewed
+    // in real crawl data (a megasite is 10^7-10^8 URLs), so a
+    // row_number window — which shuffles and sorts a whole host on one
+    // task before discarding all but K — is the wrong cost model. The
+    // bounded-heap aggregate ships ≤K rows per host per mapper
+    // (partial→final ObjectHashAggregate, plan-pinned); posexplode
+    // recovers the rank from the ordered winner array.
     Q(
       "lg1_topk_per_host",
       (s, dir) => {
-        val w = Window.partitionBy(col("o_custkey"))
-          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         Registry.table(s, dir, "orders")
-          .withColumn("rn", row_number().over(w).cast("long"))
-          .filter(col("rn") <= UrlsPerHost)
-          .select(col("o_custkey").as("host"), col("rn"),
-            col("o_orderkey").as("url"), col("o_totalprice").as("rank_value"))
+          .groupBy(col("o_custkey").as("host"))
+          .agg(graft.ops.TopK.topScored(UrlsPerHost)(
+            col("o_totalprice"), col("o_orderkey")).as("top"))
+          .select(col("host"), posexplode(col("top")))
+          .select(col("host"), (col("pos") + 1).cast("long").as("rn"),
+            col("col.key").as("url"), col("col.score").as("rank_value"))
           .orderBy(col("host"), col("rn"))
       },
       Some(s"""
@@ -61,22 +66,23 @@ object ListGenQueries {
     Q(
       "lg2_bundles",
       (s, dir) => {
-        val w = Window.partitionBy(col("o_custkey"))
-          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        // one bounded-heap aggregate per host (≤K rows per mapper into
+        // the shuffle — no window sort of a whole megasite); the winner
+        // array is already rank-ordered, so the URL list, cap count and
+        // rank stats all read straight off it.
         Registry.table(s, dir, "orders")
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= UrlsPerHost)
           .groupBy(col("o_custkey").as("host"))
-          .agg(
-            // rn-ordered URL list: sort (rn, url) pairs, then project url;
+          .agg(graft.ops.TopK.topScored(UrlsPerHost)(
+            col("o_totalprice"), col("o_orderkey")).as("top"))
+          .select(
+            col("host"),
             // comma-joined because the driver's pandas gate cannot
             // sort/hash ndarray cells.
-            array_join(transform(
-              array_sort(collect_list(struct(col("rn"), col("o_orderkey").as("url")))),
-              x => x.getField("url")).cast("array<string>"), ",").as("urls"),
-            count(lit(1)).as("n_urls"),
-            max(col("o_totalprice")).as("max_rank"),
-            min(col("o_totalprice")).as("min_rank"))
+            array_join(transform(col("top"), x => x.getField("key"))
+              .cast("array<string>"), ",").as("urls"),
+            size(col("top")).cast("long").as("n_urls"),
+            element_at(col("top"), 1).getField("score").as("max_rank"),
+            element_at(col("top"), -1).getField("score").as("min_rank"))
           .orderBy(col("host"))
       },
       Some(s"""
@@ -104,13 +110,14 @@ object ListGenQueries {
     Q(
       "lg3_segments",
       (s, dir) => {
-        val w = Window.partitionBy(col("o_custkey"))
-          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        // the segment packer only needs each host's CAPPED url count, and
+        // |top-K of a host| = min(count, K) — a plain partial-agg'd count
+        // with a least(), no per-host window or heap at all. The packing
+        // prefix sum that follows windows over BUNDLE rows (one per
+        // host), never data rows.
         val bundles = Registry.table(s, dir, "orders")
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= UrlsPerHost)
           .groupBy(col("o_custkey").as("host"))
-          .agg(count(lit(1)).as("n_urls"))
+          .agg(least(count(lit(1)), lit(UrlsPerHost.toLong)).as("n_urls"))
           .withColumn("bucket", pmod(col("host"), lit(Crawlers)))
         val packed = bundles.withColumn("seg_id",
           floor(

@@ -187,15 +187,23 @@ object RelationalQueries {
 
     // ---- W1/A8: top-K per group — top-3 customers per market segment by
     // balance (SegmenterReducer ≤200-per-host / top-2-by-rank shape).
-    // One shuffle on the partition key; rank predicate prunes early.
+    // Groups are zipf-skewed at crawl scale, so the selection runs as the
+    // bounded-heap aggregate (≤k rows per group per mapper, partial→
+    // final, no window sort of a whole group); the O(groups·k) winner
+    // set then broadcast-joins back for the payload column.
     Q(
       "w1_topk_per_group",
       (s, dir) => {
-        val w = Window.partitionBy(col("c_mktsegment"))
-          .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
-        table(s, dir, "customer")
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 3)
+        val c = table(s, dir, "customer")
+        val winners = c
+          .groupBy(col("c_mktsegment"))
+          .agg(graft.ops.TopK.topScored(3)(
+            col("c_acctbal"), col("c_custkey")).as("top"))
+          .select(col("c_mktsegment"), posexplode(col("top")))
+          .select((col("pos") + 1).cast("long").as("rank"),
+            col("col.key").as("c_custkey"))
+        c.select("c_custkey", "c_mktsegment", "c_name", "c_acctbal")
+          .join(broadcast(winners), "c_custkey")
           .select(col("c_mktsegment"), col("rank"), col("c_custkey"),
             col("c_name"), col("c_acctbal"))
           .orderBy(col("c_mktsegment"), col("rank"))

@@ -304,6 +304,73 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n$p")
   }
 
+  test("per-host/per-group top-k selections run as bounded heaps, not window sorts") {
+    // lg1/lg2/w1: hosts and segments are zipf-skewed; each selection must
+    // be a partial→final ObjectHashAggregate (≤k rows per group per
+    // mapper) with no WindowExec anywhere in the plan
+    Seq("lg1_topk_per_host", "lg2_bundles", "w1_topk_per_group").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("Window"), s"$name fell back to a window sort:\n$p")
+      val objAggs = "ObjectHashAggregate".r.findAllIn(p).size
+      assert(objAggs >= 2, s"$name: expected partial+final ObjectHashAggregate:\n$p")
+    }
+    // w1's winner set joins back broadcast — the big side never reshuffles
+    assert(plan("w1_topk_per_group").contains("BroadcastHashJoin"))
+  }
+
+  test("lg3 packs segments from capped counts; windows touch bundle rows only") {
+    val p = plan("lg3_segments")
+    // the per-host cap is least(count, K) — plain partial→final
+    // HashAggregate, no heap, no per-host window; the only window left is
+    // the per-bucket packing prefix sum over one-row-per-host bundles
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"lg3 lost partial agg:\n$p")
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, s"no packing prefix-sum window in:\n$p")
+    specs.foreach { w =>
+      assert(!w.contains("o_orderkey#") && !w.contains("o_totalprice#"),
+        s"lg3: raw order rows entered a window sort: $w\n$p")
+    }
+  }
+
+  test("cu9 document frequency is a two-phase aggregate, never a token window") {
+    val p = plan("cu9_tfidf")
+    // a count().over(partitionBy(token)) buffers a token's whole posting
+    // list on one task — a stop-token partition is O(corpus). The df must
+    // come from a partial→final groupBy + equi-join; the only window left
+    // is the per-doc rank (bounded by per-document vocabulary).
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, s"no window found in:\n$p")
+    specs.foreach { w =>
+      // the PARTITION key is the leading element of the spec (ORDER BY
+      // keys follow, where token is the legitimate tie-break)
+      assert(w.trim.startsWith("doc_id#"),
+        s"cu9: window not partitioned by doc_id: $w\n$p")
+    }
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"cu9: tf and df must both aggregate partial→final:\n$p")
+  }
+
+  test("cu2 deciles derive from value-group counts, never a per-lang ntile sort") {
+    val p = plan("cu2_length_deciles")
+    assert(!p.contains("ntile("),
+      s"cu2 fell back to a per-language ntile sort:\n$p")
+    // the only window is the prefix sum over (lang, n_chars) group SIZES
+    // — its spec must order by n_chars over aggregated rows and no raw
+    // per-document column (doc_id/text) may appear in any window spec
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, s"no prefix-sum window found in:\n$p")
+    specs.foreach { w =>
+      assert(!w.contains("doc_id#") && !w.contains("text#"),
+        s"cu2: per-row column in a window spec (data-sized sort): $w\n$p")
+    }
+    // value-group count and final rollup each run partial→final
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"cu2: expected 2×(partial+final) HashAggregate:\n$p")
+  }
+
   test("epoch shuffle: bucket offsets broadcast; no data-sized global window") {
     val p = plan("cu12_epoch_shuffle")
     assert(p.contains("BroadcastHashJoin"),
