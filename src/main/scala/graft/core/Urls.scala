@@ -199,9 +199,6 @@ object Urls {
     url
   }
 
-  private val UrlRe =
-    "^([a-zA-Z][a-zA-Z0-9+.-]*)://(?:([^/?#@]*)@)?([^/?#:]*)(?::([0-9]*))?([^?#]*)(?:\\?([^#]*))?(?:#(.*))?$".r
-
   /** IDN host → punycode ASCII form (googleurl canonicalizes non-ASCII
     * hosts the same way; RFC 3490 via the JDK). Unconvertible input
     * passes through — malformed hosts are data at crawl scale. */
@@ -211,19 +208,128 @@ object Urls {
       java.net.IDN.toASCII(host, java.net.IDN.ALLOW_UNASSIGNED).toLowerCase)
       .getOrElse(host)
 
-  def parse(url: String): Option[ParsedUrl] = url match {
-    case null => None
-    case UrlRe(scheme, user, host, port, path, query, ref) if host != null && host.nonEmpty =>
-      Some(ParsedUrl(
-        scheme.toLowerCase,
-        Option(user).getOrElse(""),
-        punycode(host.toLowerCase.stripSuffix(".")),
-        Option(port).filter(_.nonEmpty).map(_.toInt).getOrElse(-1),
-        Option(path).getOrElse(""),
-        Option(query).getOrElse(""),
-        Option(ref).getOrElse(""),
-      ))
-    case _ => None
+  /** Characters that invalidate a host after %-decoding (url_canon's
+    * forbidden-host set: a host containing any of these makes the whole
+    * URL invalid, it is not escaped around). '%' is here too — after
+    * decoding, a leftover '%' means a malformed escape. */
+  private def hostCharForbidden(c: Char): Boolean =
+    c <= ' ' || " <>\"#%/:?@[\\]^|{}".indexOf(c) >= 0
+
+  /** %-decode a host section to UTF-8 (url_canon decodes host escapes
+    * before IDN); returns null on a malformed escape or bad UTF-8. */
+  private def decodeHostEscapes(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    val bytes = new java.io.ByteArrayOutputStream(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%') {
+        if (i + 2 >= s.length || !isHexDigit(s.charAt(i + 1)) || !isHexDigit(s.charAt(i + 2)))
+          return null
+        bytes.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+        i += 3
+      } else if (c < 128) { bytes.write(c.toInt); i += 1 }
+      else {
+        s.substring(i, i + 1).getBytes("UTF-8").foreach(b => bytes.write(b & 0xff))
+        i += 1
+      }
+    }
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+    scala.util.Try(
+      dec.decode(java.nio.ByteBuffer.wrap(bytes.toByteArray)).toString
+    ).getOrElse(null)
+  }
+
+  /** Component-wise URL parse with url_canon's cleanup rules (the
+    * googleurl behaviors GoogleURL.java:30 delegates to native code for):
+    * tab/CR/LF stripped anywhere, surrounding space/control trimmed,
+    * backslashes read as slashes for the special schemes, userinfo split
+    * at the LAST '@' of the authority, host %-decoded → lowercased → IDN
+    * punycoded with the forbidden-char check, port validated ≤ 65535
+    * with leading zeros dropped. Invalid host/port ⇒ None (url_canon
+    * marks the whole URL invalid, it never "repairs" a bad authority). */
+  def parse(url: String): Option[ParsedUrl] = {
+    if (url == null) return None
+    var s = url
+    var lo = 0
+    var hi = s.length
+    while (lo < hi && s.charAt(lo) <= ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) <= ' ') hi -= 1
+    s = s.substring(lo, hi).filter(c => c != '\t' && c != '\n' && c != '\r')
+    val ci = s.indexOf(':')
+    if (ci <= 0) return None
+    val scheme = s.substring(0, ci).toLowerCase
+    if (!scheme.charAt(0).isLetter ||
+        !scheme.forall(c => c.isLetterOrDigit || c == '+' || c == '.' || c == '-'))
+      return None
+    val special = DefaultPorts.contains(scheme)
+    // special schemes: any run of / or \ opens the authority (url_canon
+    // accepts http:\\host, http:////host); others need a literal //
+    var p = ci + 1
+    if (special) {
+      if (p >= s.length || (s.charAt(p) != '/' && s.charAt(p) != '\\')) return None
+      while (p < s.length && (s.charAt(p) == '/' || s.charAt(p) == '\\')) p += 1
+    } else {
+      if (!s.startsWith("//", p)) return None
+      p += 2
+    }
+    // authority runs to the first / \ ? #
+    var ae = p
+    while (ae < s.length && "/\\?#".indexOf(s.charAt(ae)) < 0) ae += 1
+    val authority = s.substring(p, ae)
+    val at = authority.lastIndexOf('@')
+    val userInfo = if (at < 0) "" else authority.substring(0, at)
+    val hostPort = authority.substring(at + 1)
+    // bracketed IPv6 literal: [::1] passes through lowercased
+    val (rawHost, portStr) =
+      if (hostPort.startsWith("[")) {
+        val rb = hostPort.indexOf(']')
+        if (rb < 0) return None
+        val tail = hostPort.substring(rb + 1)
+        if (tail.isEmpty) (hostPort.substring(0, rb + 1), "")
+        else if (tail.startsWith(":")) (hostPort.substring(0, rb + 1), tail.substring(1))
+        else return None
+      } else hostPort.lastIndexOf(':') match {
+        case -1 => (hostPort, "")
+        case i => (hostPort.substring(0, i), hostPort.substring(i + 1))
+      }
+    if (rawHost.isEmpty) return None
+    val port =
+      if (portStr.isEmpty) -1
+      else if (portStr.forall(c => c >= '0' && c <= '9') && portStr.length <= 9) {
+        val v = portStr.toInt
+        if (v > 65535) return None else v
+      } else return None
+    val host =
+      if (rawHost.startsWith("[")) rawHost.toLowerCase
+      else {
+        val dec = decodeHostEscapes(rawHost)
+        if (dec == null) return None
+        val lower = dec.toLowerCase.stripSuffix(".")
+        if (lower.isEmpty || lower.exists(c => c < 128 && hostCharForbidden(c)))
+          return None
+        punycode(lower)
+      }
+    // the rest: path (backslashes are slashes up to the query), ?query, #ref
+    val rest = s.substring(ae)
+    val qi = rest.indexOf('?')
+    val fi = rest.indexOf('#')
+    val pathEnd = (qi, fi) match {
+      case (-1, -1) => rest.length
+      case (-1, f) => f
+      case (q, -1) => q
+      case (q, f) => math.min(q, f)
+    }
+    val path = rest.substring(0, pathEnd).replace('\\', '/')
+    val afterPath = rest.substring(pathEnd)
+    val (query, ref) =
+      if (afterPath.startsWith("?")) {
+        val f2 = afterPath.indexOf('#')
+        if (f2 < 0) (afterPath.substring(1), "")
+        else (afterPath.substring(1, f2), afterPath.substring(f2 + 1))
+      } else if (afterPath.startsWith("#")) ("", afterPath.substring(1))
+      else ("", "")
+    Some(ParsedUrl(scheme, userInfo, host, port, path, query, ref))
   }
 
   private def isHexDigit(c: Char) =
@@ -232,12 +338,26 @@ object Urls {
   private val UnreservedChars: Set[Char] =
     (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9')).toSet ++ Set('-', '.', '_', '~')
 
-  /** googleurl-style percent-encoding normalization of a path/query
-    * section: an escape of an UNRESERVED char decodes (%7E → ~), any
-    * other escape uppercases its hex (%3c → %3C), a raw space encodes
-    * (→ %20), and a stray '%' not opening a valid escape becomes %25.
-    * Decoding runs before dot-segment removal so %2E-spelled dots
-    * participate in it, as they do in googleurl. */
+  /** Characters a canonical PATH escapes when they appear raw
+    * (url_canon's path charset: space plus the "unsafe" printables). */
+  private def pathCharNeedsEscape(c: Char): Boolean =
+    c < ' ' || c == 0x7f || " \"<>`^{}|".indexOf(c) >= 0
+
+  private def appendUtf8Escaped(sb: StringBuilder, s: String, i: Int): Int = {
+    val c = s.charAt(i)
+    val end = if (Character.isHighSurrogate(c) && i + 1 < s.length) i + 2 else i + 1
+    s.substring(i, end).getBytes("UTF-8")
+      .foreach(b => sb.append(f"%%${b & 0xff}%02X"))
+    end
+  }
+
+  /** googleurl-style percent-encoding normalization of a PATH section:
+    * an escape of an UNRESERVED char decodes (%7E → ~), any other escape
+    * uppercases its hex (%3c → %3C), raw space/unsafe printables/
+    * controls/non-ASCII encode, and a stray '%' not opening a valid
+    * escape passes through unchanged (url_canon is lenient there — it
+    * never rewrites it to %25). Decoding runs before dot-segment removal
+    * so %2E-spelled dots participate in it, as they do in googleurl. */
   private def normalizeEscapes(s: String): String = {
     val sb = new StringBuilder(s.length)
     var i = 0
@@ -251,19 +371,39 @@ object Urls {
           .append(Character.toUpperCase(s.charAt(i + 1)))
           .append(Character.toUpperCase(s.charAt(i + 2)))
         i += 3
-      } else if (c == '%') { sb.append("%25"); i += 1 }
-      else if (c == ' ') { sb.append("%20"); i += 1 }
-      else if (c > 127) {
-        // raw non-ASCII: UTF-8 percent-encode the full code point
-        val end = if (Character.isHighSurrogate(c) && i + 1 < s.length) i + 2 else i + 1
-        s.substring(i, end).getBytes("UTF-8")
-          .foreach(b => sb.append(f"%%${b & 0xff}%02X"))
-        i = end
+      }
+      else if (c > 127) i = appendUtf8Escaped(sb, s, i)
+      else if (pathCharNeedsEscape(c)) { sb.append(f"%%${c.toInt}%02X"); i += 1 }
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Canonical QUERY encoding (url_canon_query): existing escapes pass
+    * through VERBATIM — no case normalization, no unreserved decoding —
+    * and only space, quote, angle brackets, controls and non-ASCII get
+    * escaped. A query hashes differently from a path on purpose: the
+    * reference fingerprints the canonical string, and googleurl leaves
+    * query escapes exactly as the site emitted them. */
+  private def normalizeQueryEscapes(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c > 127) i = appendUtf8Escaped(sb, s, i)
+      else if (c < ' ' || c == 0x7f || " \"<>".indexOf(c) >= 0) {
+        sb.append(f"%%${c.toInt}%02X"); i += 1
       }
       else { sb.append(c); i += 1 }
     }
     sb.toString
   }
+
+  /** Canonical userinfo: path-style escape normalization plus the '@'
+    * that survived the last-wins authority split (url_canon escapes it
+    * so the canonical form re-parses to the same components). */
+  private def normalizeUserInfo(s: String): String =
+    normalizeEscapes(s).replace("@", "%40")
 
   /** Scheme default ports (url_canon's per-scheme defaults). */
   private val DefaultPorts = Map(
@@ -289,7 +429,7 @@ object Urls {
         }
         val sb = new StringBuilder(url.length)
         sb.append(u.scheme).append("://")
-        if (u.userInfo.nonEmpty) sb.append(u.userInfo).append('@')
+        if (u.userInfo.nonEmpty) sb.append(normalizeUserInfo(u.userInfo)).append('@')
         sb.append(host)
         if (u.port > 0 && u.port != 80 &&
             !DefaultPorts.get(u.scheme).contains(u.port))
@@ -298,7 +438,7 @@ object Urls {
         val rawPath = if (semi >= 0) u.path.substring(0, semi) else u.path
         val path = removeDotSegments(normalizeEscapes(rawPath))
         sb.append(if (path.isEmpty) "/" else path)
-        if (u.query.nonEmpty) sb.append('?').append(normalizeEscapes(u.query))
+        if (u.query.nonEmpty) sb.append('?').append(normalizeQueryEscapes(u.query))
         var out = stripSessionIds(sb.toString)
         if (u.ref.nonEmpty && u.ref.charAt(0) == '!') out += "#" + u.ref
         out

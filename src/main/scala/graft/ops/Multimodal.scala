@@ -464,6 +464,213 @@ object Multimodal {
     (w, hI, sumR, sumG, sumB, evenSum)
   }
 
+  // --- real PIXEL decode: PNG (RGB8 / RGBA8, non-interlaced) ----------
+  // PNG needs no codec library either: IDAT is zlib (java.util.zip) and
+  // the five scanline filters (None/Sub/Up/Average/Paeth) are byte
+  // arithmetic over the previous row — RFC 2083. This closes the pixel
+  // stub for the dominant web image CONTAINER; only the lossy codecs
+  // (JPEG/WebP) remain out of scope.
+
+  /** Cap on inflated pixel bytes per image: IDAT is compressed, so the
+    * declared dimensions — not the input length — size the allocation;
+    * an adversarial 1-KB file can declare a 2^31-pixel image. */
+  private val MaxInflateBytes = 1L << 26
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Encode a real PNG (8-bit RGB, color type 2, non-interlaced) holding
+    * the [[testPixel]] pattern for seed k. Each scanline uses filter
+    * type y % 5, so a round-trip exercises every unfilter path with the
+    * genuine filter math (Sub/Up/Average/Paeth applied, then zlib).
+    * Fixture synthesis only — the cold-path side of the m8 round-trip. */
+  private[graft] def encodePng24(k: Long, w: Int, h: Int): Array[Byte] = {
+    val bpp = 3
+    val stride = w * bpp
+    val raw = new Array[Byte]((stride + 1) * h)
+    val cur = new Array[Int](stride)
+    val prev = new Array[Int](stride)
+    var off = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = testPixel(k, x, y)
+        cur(3 * x) = r; cur(3 * x + 1) = g; cur(3 * x + 2) = b
+        x += 1
+      }
+      val ft = y % 5
+      raw(off) = ft.toByte; off += 1
+      var i = 0
+      while (i < stride) {
+        val a = if (i >= bpp) cur(i - bpp) else 0
+        val up = prev(i)
+        val c = if (i >= bpp) prev(i - bpp) else 0
+        val v = ft match {
+          case 0 => cur(i)
+          case 1 => cur(i) - a
+          case 2 => cur(i) - up
+          case 3 => cur(i) - ((a + up) >> 1)
+          case _ => cur(i) - paeth(a, up, c)
+        }
+        raw(off) = (v & 0xff).toByte; off += 1
+        i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val comp = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) comp.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream(comp.size() + 64)
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a), 0, 8)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(data.length).array(), 0, 4)
+      val tb = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(tb, 0, 4)
+      out.write(data, 0, data.length)
+      out.write(java.nio.ByteBuffer.allocate(4)
+        .putInt(crc.getValue.toInt).array(), 0, 4)
+    }
+    chunk("IHDR", java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .array())
+    chunk("IDAT", comp.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** REAL pixel decode of a non-interlaced 8-bit RGB/RGBA PNG: walks the
+    * chunk stream (IHDR geometry/flags, IDAT concatenation, ancillary
+    * chunks skipped), inflates through `java.util.zip.Inflater` with the
+    * allocation bounded by [[MaxInflateBytes]] BEFORE trusting the
+    * declared dimensions, reverses all five scanline filters, and folds
+    * the same channel sums + even-(x,y) geometry probe as the BMP path.
+    * Malformed input → all-(-1) stats, never a throw. */
+  private[graft] def decodePngStats(bytes: Array[Byte]): (Int, Int, Long, Long, Long, Long) = {
+    val bad = (-1, -1, -1L, -1L, -1L, -1L)
+    try {
+      if (bytes.length < 33) return bad
+      val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
+      var si = 0
+      while (si < 8) { if ((bytes(si) & 0xff) != sig(si)) return bad; si += 1 }
+      def be32(o: Int): Int =
+        ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
+          ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
+      var pos = 8
+      var w = -1; var h = -1; var colorType = -1; var bitDepth = -1
+      var sawIhdr = false
+      val idat = new java.io.ByteArrayOutputStream()
+      var done = false
+      while (!done) {
+        if (pos + 8 > bytes.length) return bad
+        val len = be32(pos)
+        if (len < 0 || pos + 12L + len > bytes.length) return bad
+        val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+        typ match {
+          case "IHDR" =>
+            if (len != 13) return bad
+            w = be32(pos + 8); h = be32(pos + 12)
+            bitDepth = bytes(pos + 16) & 0xff
+            colorType = bytes(pos + 17) & 0xff
+            if ((bytes(pos + 18) & 0xff) != 0 || (bytes(pos + 19) & 0xff) != 0 ||
+                (bytes(pos + 20) & 0xff) != 0) return bad
+            sawIhdr = true
+          case "IDAT" => idat.write(bytes, pos + 8, len)
+          case "IEND" => done = true
+          case _ => () // ancillary chunk: skip
+        }
+        pos += 12 + len
+      }
+      if (!sawIhdr || w <= 0 || h <= 0 || bitDepth != 8) return bad
+      val bpp = colorType match { case 2 => 3; case 6 => 4; case _ => return bad }
+      // declared dims are untrusted AND unbounded by input size (IDAT is
+      // compressed): overflow-free stride math, hard allocation cap
+      val strideL = w.toLong * bpp + 1
+      if (h > MaxInflateBytes / strideL) return bad
+      val total = (strideL * h).toInt
+      val raw = new Array[Byte](total)
+      val inf = new java.util.zip.Inflater()
+      try {
+        inf.setInput(idat.toByteArray)
+        var got = 0
+        var stuck = false
+        while (got < total && !inf.finished() && !stuck) {
+          val n = inf.inflate(raw, got, total - got)
+          if (n == 0 && (inf.needsInput() || inf.needsDictionary())) stuck = true
+          got += n
+        }
+        if (got < total) return bad
+      } finally inf.end()
+      val stride = w * bpp
+      val prev = new Array[Int](stride)
+      val cur = new Array[Int](stride)
+      var sumR = 0L; var sumG = 0L; var sumB = 0L; var evenSum = 0L
+      var off = 0
+      var y = 0
+      while (y < h) {
+        val ft = raw(off) & 0xff; off += 1
+        if (ft > 4) return bad
+        var i = 0
+        while (i < stride) {
+          val v = raw(off + i) & 0xff
+          val a = if (i >= bpp) cur(i - bpp) else 0
+          val up = prev(i)
+          val c = if (i >= bpp) prev(i - bpp) else 0
+          cur(i) = ft match {
+            case 0 => v
+            case 1 => (v + a) & 0xff
+            case 2 => (v + up) & 0xff
+            case 3 => (v + ((a + up) >> 1)) & 0xff
+            case _ => (v + paeth(a, up, c)) & 0xff
+          }
+          i += 1
+        }
+        off += stride
+        var x = 0
+        while (x < w) {
+          val r = cur(bpp * x); val g = cur(bpp * x + 1); val b = cur(bpp * x + 2)
+          sumR += r; sumG += g; sumB += b
+          if ((x & 1) == 0 && (y & 1) == 0) evenSum += r + g + b
+          x += 1
+        }
+        System.arraycopy(cur, 0, prev, 0, stride)
+        y += 1
+      }
+      (w, h, sumR, sumG, sumB, evenSum)
+    } catch { case scala.util.control.NonFatal(_) => bad }
+  }
+
+  /** Fixture-synthesis column: PNG bytes for (seed, width, height) —
+    * the m8 analog of [[packBmp24]]. */
+  def packPng24(id: Column, width: Column, height: Column): Column = {
+    val enc = udf((k: Long, w: Int, h: Int) => encodePng24(k % 251, w, h))
+    enc(id.cast("long"), width.cast("int"), height.cast("int"))
+  }
+
+  /** Real-pixel PNG decode over the same per-partition batch seam as
+    * [[decodeBmpPixelStats]]: (id, media) → (id, PixelStatsSchema...). */
+  def decodePngPixelStats(df: DataFrame, id: String, media: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(
+      StructField("id", LongType, nullable = false) +: PixelStatsSchema.fields.toSeq)
+    val rdd = df.select(col(id).cast("long"), col(media)).rdd.mapPartitions { it =>
+      it.map { r =>
+        val (w, h, sr, sg, sb, es) = decodePngStats(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), w, h, sr, sg, sb, es)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Fixture-synthesis column: BMP bytes for (seed, width, height).
     * A UDF by design — per-pixel imperative encode is fixture
     * construction, not a measured decode path. */

@@ -272,5 +272,53 @@ object MultimodalQueries {
         ORDER BY doc_id
       """.trim),
     ),
+
+    // m8: REAL PNG pixel decode — same round-trip discipline as m7 but
+    // through the full PNG stack: chunk walk, zlib inflate
+    // (java.util.zip), and all five scanline filters (the encoder
+    // rotates filter type per row, so Sub/Up/Average/Paeth each carry
+    // real image rows, not just the identity filter). The oracle is the
+    // same analytic pattern recomputation as m7 — a wrong filter
+    // reversal, stride, or row order each breaks the hash. Closes the
+    // pixel stub for the dominant web image container.
+    Q(
+      "m8_png_pixels",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val w = (col("doc_id") % 14 + 3).cast("int")
+        val h = (col("doc_id") % 9 + 2).cast("int")
+        val packed = docs.select(col("doc_id"),
+          Multimodal.packPng24(col("doc_id"), w, h).as("media"))
+        Multimodal.decodePngPixelStats(packed, "doc_id", "media")
+          .select(
+            col("id").as("doc_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("sum_r"), col("sum_g"), col("sum_b"), col("even_sum"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH g AS (
+          SELECT doc_id, doc_id % 14 + 3 AS w, doc_id % 9 + 2 AS h,
+                 doc_id % 251 AS k
+          FROM documents)
+        SELECT doc_id,
+               w::BIGINT AS width, h::BIGINT AS height,
+               CAST(list_sum(list_transform(range(0, w*h),
+                 i -> (i % w + i // w + 3*k) % 256)) AS BIGINT) AS sum_r,
+               CAST(list_sum(list_transform(range(0, w*h),
+                 i -> (3*(i % w) + 5*(i // w) + 2*k) % 256)) AS BIGINT) AS sum_g,
+               CAST(list_sum(list_transform(range(0, w*h),
+                 i -> (7*(i % w) + 11*(i // w) + k) % 256)) AS BIGINT) AS sum_b,
+               CAST(list_sum(list_transform(
+                 list_filter(range(0, w*h),
+                   i -> (i % w) % 2 = 0 AND (i // w) % 2 = 0),
+                 i -> (i % w + i // w + 3*k) % 256
+                    + (3*(i % w) + 5*(i // w) + 2*k) % 256
+                    + (7*(i % w) + 11*(i // w) + k) % 256)) AS BIGINT) AS even_sum
+        FROM g
+        ORDER BY doc_id
+      """.trim),
+    ),
   )
 }

@@ -115,16 +115,26 @@ object ScaleGen {
     // the dedupe family shingles char 3-grams: a per-token suffix leaves
     // replicas at ~0.7 char-Jaccard, every doc becomes a factor-clique
     // of near-dups, and candidate pairs grow QUADRATICALLY in the factor
-    // (measured: d2 17× at 10× data). A per-replica alphabet rotation
-    // keeps length, word counts and distribution shape identical while
-    // making char n-grams (and token vocabularies) disjoint across
-    // replicas — duplicate structure is preserved per replica, cluster
-    // COUNT scales, cluster SIZE doesn't. Rotations repeat past factor
-    // 26; keep factor ≤ 26 for dedupe soaks.
+    // (measured: d2 17× at 10× data). A per-replica alphabet
+    // SUBSTITUTION keeps length, word counts and distribution shape
+    // identical while making char n-grams (and token vocabularies)
+    // (near-)disjoint across replicas — duplicate structure is preserved
+    // per replica, cluster COUNT scales, cluster SIZE doesn't. A plain
+    // Caesar rotation cycles at 26 and capped dedupe soaks at 25×; the
+    // affine maps x → a·x+b (mod 26), a coprime to 26, give 312 distinct
+    // substitutions, and two DISTINCT affine maps agree on at most
+    // gcd(a1−a2, 26) ≤ 2 letters — a trigram collides across replicas
+    // only when all three chars agree (≲ (2/26)³ of trigrams), so
+    // cross-replica Jaccard stays ≈ 0 up to the factor-100 cap.
     val alpha = "abcdefghijklmnopqrstuvwxyz"
-    def rot(i: Int) = alpha.drop(i % 26) + alpha.take(i % 26)
+    val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    def affine(i: Int): String = {
+      val a = coprimes(i % coprimes.length)
+      val b = i % 26
+      (0 until 26).map(x => alpha((a * x + b) % 26)).mkString
+    }
     val rotated = (1 until factor).foldLeft(when(col("rep") === 0, col("text"))) {
-      (acc, i) => acc.when(col("rep") === i, translate(col("text"), alpha, rot(i)))
+      (acc, i) => acc.when(col("rep") === i, translate(col("text"), alpha, affine(i)))
     }
     write("documents")(replicate(documents)
       .withColumn("doc_id", col("doc_id") + col("rep") * docStride)

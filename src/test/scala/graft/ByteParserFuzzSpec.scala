@@ -46,6 +46,10 @@ class ByteParserFuzzSpec extends AnyFunSuite {
       // overflows Long if compared naively (the round-8 ADVICE overflow)
       bmpDims(0x7f7f7f7f, 0x7f7f7f7f),
       bmpDims(0x7f7f7f7f, 2), bmpDims(2, 0x7f7f7f7f),
+      // a valid PNG signature+IHDR with fuzz deciding the chunk stream
+      // after it — the walker gets past the cheap checks into
+      // length/inflate arithmetic
+      Multimodal.encodePng24(1L, 4, 4).take(33),
       "RIFF".getBytes("US-ASCII"),
       "RIFF1234WAVE".getBytes("US-ASCII"),
       "RIFF1234WAVEfmt ".getBytes("US-ASCII"),
@@ -69,6 +73,10 @@ class ByteParserFuzzSpec extends AnyFunSuite {
       // BMP pixel decode: untrusted dims/offset must reject, not index
       val (bw, bh, _, _, _, _) = Multimodal.decodeBmp24Stats(b)
       assert(bw >= -1 && bh >= -1)
+      // PNG pixel decode: chunk walk + inflate + unfilter must never
+      // throw on fuzzed chunk lengths, dims, or corrupt zlib streams
+      val (pw, ph, _, _, _, _) = Multimodal.decodePngStats(b)
+      assert(pw >= -1 && ph >= -1)
       val (avFmt, ch, rate, bits, dur) = Multimodal.parseAvHeader(b)
       assert(avFmt == "unknown" || avFmt == "wav" || avFmt == "mp4")
       if (avFmt == "unknown") assert(ch == -1 && bits == -1 && dur == 0L)

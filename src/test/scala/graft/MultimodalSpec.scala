@@ -205,6 +205,54 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(Multimodal.decodeBmp24Stats(bpp16)._1 == -1)
   }
 
+  test("PNG pixel decode: all five filters, RGBA, ancillary chunks, malformed") {
+    // heights ≥ 5 exercise every filter type (the encoder rotates y % 5)
+    // against an independent brute-force of the pattern
+    for (w <- Seq(1, 3, 7, 16); h <- Seq(2, 5, 9); k <- Seq(0L, 17L)) {
+      val got = Multimodal.decodePngStats(Multimodal.encodePng24(k, w, h))
+      val px = for { y <- 0 until h; x <- 0 until w } yield Multimodal.testPixel(k, x, y)
+      val even = for { y <- 0 until h by 2; x <- 0 until w by 2 }
+        yield Multimodal.testPixel(k, x, y)
+      assert(got == ((w, h,
+        px.map(_._1.toLong).sum, px.map(_._2.toLong).sum, px.map(_._3.toLong).sum,
+        even.map(p => (p._1 + p._2 + p._3).toLong).sum)), s"w=$w h=$h k=$k")
+    }
+    // an ancillary chunk between IHDR and IDAT must be skipped: splice a
+    // tEXt chunk into a valid file
+    val png = Multimodal.encodePng24(3, 4, 4)
+    val ihdrEnd = 8 + 12 + 13
+    val text = {
+      val data = "k v".getBytes("US-ASCII")
+      val tb = "tEXt".getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(data)
+      java.nio.ByteBuffer.allocate(12 + data.length).putInt(data.length)
+        .put(tb).put(data).putInt(crc.getValue.toInt).array()
+    }
+    val spliced = png.take(ihdrEnd) ++ text ++ png.drop(ihdrEnd)
+    assert(Multimodal.decodePngStats(spliced) == Multimodal.decodePngStats(png))
+    // malformed: bad magic, truncated IDAT, interlaced flag, bad filter,
+    // 16-bit depth, dimension lies past the inflate cap
+    assert(Multimodal.decodePngStats("nope".getBytes)._1 == -1)
+    assert(Multimodal.decodePngStats(png.dropRight(20))._1 == -1)
+    val interlaced = png.clone(); interlaced(8 + 8 + 12) = 1
+    assert(Multimodal.decodePngStats(interlaced)._1 == -1)
+    val deep = png.clone(); deep(8 + 8 + 8) = 16
+    assert(Multimodal.decodePngStats(deep)._1 == -1)
+    val huge = png.clone()
+    huge(16) = 0x7f; huge(17) = 0x7f.toByte; huge(18) = 0x7f; huge(19) = 0x7f
+    huge(20) = 0x7f; huge(21) = 0x7f; huge(22) = 0x7f; huge(23) = 0x7f
+    assert(Multimodal.decodePngStats(huge)._1 == -1)
+  }
+
+  test("packPng24 → decodePngPixelStats round-trips through the batch seam") {
+    import spark.implicits._
+    val df = Seq((0L, 3, 2), (7L, 16, 9), (250L, 5, 4)).toDF("id", "w", "h")
+      .select(col("id"), Multimodal.packPng24(col("id"), col("w"), col("h")).as("media"))
+    val got = Multimodal.decodePngPixelStats(df, "id", "media")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(got == Map(0L -> ((3, 2)), 7L -> ((16, 9)), 250L -> ((5, 4))))
+  }
+
   test("packBmp24 → decodeBmpPixelStats round-trips through the batch seam") {
     import spark.implicits._
     val df = Seq((0L, 3, 2), (7L, 16, 9), (250L, 5, 4)).toDF("id", "w", "h")

@@ -123,14 +123,16 @@ class UrlsSpec extends AnyFunSuite {
       // IDN host → punycode, case-folded first
       "http://Bücher.DE/gruß" -> "http://xn--bcher-kva.de/gru%C3%9F",
       "http://münchen.example/x" -> "http://xn--mnchen-3ya.example/x",
-      // unreserved escapes decode; reserved escapes uppercase their hex
-      "http://h.com/%7euser/%2D/%3c?q=%3e" -> "http://h.com/~user/-/%3C?q=%3E",
+      // unreserved escapes decode; reserved PATH escapes uppercase their
+      // hex — QUERY escapes pass through verbatim (url_canon_query never
+      // touches existing escapes)
+      "http://h.com/%7euser/%2D/%3c?q=%3e" -> "http://h.com/~user/-/%3C?q=%3e",
       // %2E-spelled dots join dot-segment removal, like googleurl
       "http://h.com/a/%2E%2E/b/./c" -> "http://h.com/b/c",
       "http://h.com/a/b/../../../x" -> "http://h.com/x",
-      // raw space → %20; stray '%' → %25
+      // raw space → %20; stray '%' passes through (url_canon leniency)
       "http://h.com/a b?x=1 2" -> "http://h.com/a%20b?x=1%202",
-      "http://h.com/100%" -> "http://h.com/100%25",
+      "http://h.com/100%" -> "http://h.com/100%",
       // scheme-default ports drop (https 443, ftp 21), others stay;
       // :80 drops for EVERY scheme (the reference's unconditional rule)
       "https://secure.example.com:443/a" -> "https://secure.example.com/a",
@@ -143,6 +145,61 @@ class UrlsSpec extends AnyFunSuite {
     vectors.foreach { case (in, want) =>
       assert(Urls.canonicalize(in, stripWww = false) == want,
         s"canonicalize($in, stripWww=false)")
+    }
+  }
+
+  test("canonicalize: url_canon exotic-edge vectors (round-9 breadth)") {
+    // The remaining googleurl behaviors unproven until now: whitespace
+    // stripping, backslash slashes, multi-@ authorities, host escapes,
+    // port normalization/validation, forbidden-host rejection, IDN
+    // nameprep (fullwidth), IPv6 literals. Expected values follow
+    // Chromium's public url_canon/url_parse semantics, which is exactly
+    // what GoogleURL.java:30 binds (JDK IDN outputs verified directly).
+    val vectors = Seq(
+      // tab/CR/LF stripped anywhere; surrounding whitespace trimmed
+      "  http://x.com/a\tb\r\nc " -> "http://x.com/abc",
+      // backslashes are slashes for special schemes — scheme and path
+      "http:\\\\x.com\\p\\q" -> "http://x.com/p/q",
+      "http://x.com\\p/q" -> "http://x.com/p/q",
+      // extra slashes after the scheme collapse
+      "http:////x.com/p" -> "http://x.com/p",
+      // authority splits at the LAST @; the earlier one escapes
+      "http://a@b@c.com/" -> "http://a%40b@c.com/",
+      // empty userinfo drops its '@'
+      "http://@x.com/" -> "http://x.com/",
+      // host %-escapes decode before IDN/lowercase
+      "http://ex%41mple.com/" -> "http://example.com/",
+      "http://b%C3%BCcher.de/" -> "http://xn--bcher-kva.de/",
+      // raw Unicode host → punycode; fullwidth maps through nameprep
+      "http://你好.com/" -> "http://xn--6qq79v.com/",
+      "http://ＧＯＯＧＬＥ.com/" -> "http://google.com/",
+      // port: leading zeros normalize (then the default-port drop rules)
+      "http://x.com:0080/" -> "http://x.com/",
+      "https://x.com:00443/" -> "https://x.com/",
+      "https://x.com:08443/a" -> "https://x.com:8443/a",
+      // bare host gets "/" ; query with empty path keeps it
+      "http://x.com" -> "http://x.com/",
+      "http://x.com?q=1" -> "http://x.com/?q=1",
+      // IPv6 literals pass lowercased with their port logic intact
+      "http://[2001:DB8::1]:8080/x" -> "http://[2001:db8::1]:8080/x",
+      "http://[::1]/" -> "http://[::1]/",
+    )
+    vectors.foreach { case (in, want) =>
+      assert(Urls.canonicalize(in, stripWww = false) == want,
+        s"canonicalize($in, stripWww=false)")
+    }
+    // invalid authorities ⇒ the whole URL is invalid (url_canon never
+    // repairs a bad host or port)
+    Seq(
+      "http://x.com:65536/",   // port overflow
+      "http://x.com:8a/",      // non-numeric port
+      "http://exa mple.com/",  // forbidden char in host
+      "http://ex%zzample.com/", // malformed host escape
+      "http://ex<ample>.com/", // angle brackets in host
+      "http:///",              // no host at all
+    ).foreach { in =>
+      assert(Urls.canonicalize(in, stripWww = false) == null,
+        s"canonicalize($in) should be null")
     }
   }
 
