@@ -416,6 +416,14 @@ object Dedupe {
       threshold: Double, k: Int = 72, bands: Int = 6): DataFrame = {
     graft.sources.Sinks.requireTableParams(spark, s"${table}_bands",
       Map("k" -> k.toString, "bands" -> bands.toString))
+    // appends may come from ANOTHER session (foreachBatch hands the sink
+    // a session clone, and saveAsTable-append only invalidates the
+    // writer's own table-relation cache) — refresh drops this session's
+    // cached file listing so the probe sees the latest appended buckets.
+    // Cost is a re-list, not a data read; without it a probe silently
+    // misses every near-dup of a previously-admitted document.
+    spark.catalog.refreshTable(s"${table}_bands")
+    spark.catalog.refreshTable(s"${table}_shingles")
     val shB = docShingles(batch, id, text).transform(Iterative.materialize)
     val cand = bandedSignatures(shB, k, bands).as("n")
       .join(spark.table(s"${table}_bands").as("c"),

@@ -164,6 +164,10 @@ object Similarity {
     * the index is only ever read. `probes` = (vec_id, v) rows. */
   def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, table: String,
       probes: DataFrame, nProbeCells: Int, k: Int): DataFrame = {
+    // appends may come from another session (e.g. a foreachBatch clone;
+    // saveAsTable-append only invalidates the writer's own relation
+    // cache) — refresh the cells listing so probes see appended vectors
+    spark.catalog.refreshTable(s"${table}_cells")
     val seeds = broadcast(spark.table(s"${table}_seeds"))
     ivfSearch(ivfProbeCells(probes, seeds, nProbeCells),
       spark.table(s"${table}_cells"), k)
