@@ -671,6 +671,416 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  // --- real PIXEL decode: GIF (87a/89a, LZW, interlace) ---------------
+  // GIF needs no codec library either: the pixel stream is LZW with
+  // GIF's variable-width codes (clear/EOI, widths growing 3→12 bits,
+  // LSB-first bit packing) over a palette — all public spec (GIF89a,
+  // CompuServe 1990). The encoder below is a REAL LZW compressor, so
+  // round-trips exercise genuine dictionary codes, code-width growth,
+  // clear handling and the four-pass interlace, not just literals.
+
+  /** Palette entry j → (r, g, b): analytic, so the oracle can recompute
+    * channel sums without decoding. */
+  private[graft] def gifPalette(j: Int): (Int, Int, Int) =
+    ((5 * j + 1) % 256, (11 * j + 2) % 256, (23 * j + 3) % 256)
+
+  /** Palette index at (x, y) for seed k. */
+  private[graft] def gifIndex(k: Long, x: Int, y: Int): Int =
+    ((x + 2 * y + k) % 256).toInt
+
+  /** GIF interlace pass structure: (first row, step) per pass. */
+  private val GifPasses = Seq((0, 8), (4, 8), (2, 4), (1, 2))
+
+  /** Row order of an interlaced GIF image of height h. */
+  private def interlaceRows(h: Int): Seq[Int] =
+    GifPasses.flatMap { case (start, step) => start until h by step }
+
+  /** Real GIF LZW compress of an index stream (min code size 8, the
+    * 256-color case): dictionary built exactly as a decoder rebuilds it,
+    * variable code widths, clear emitted on dictionary overflow. */
+  private def lzwCompress(indices: Array[Int], out: java.io.ByteArrayOutputStream): Unit = {
+    val minCode = 8
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    var bitBuf = 0L
+    var bitCnt = 0
+    val data = new java.io.ByteArrayOutputStream()
+    var codeSize = minCode + 1
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt
+      bitCnt += codeSize
+      while (bitCnt >= 8) {
+        data.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8
+      }
+    }
+    var dict = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+    var nextCode = eoi + 1
+    emit(clear)
+    var cur = -1
+    for (sym <- indices) {
+      if (cur < 0) cur = sym
+      else dict.get((cur, sym)) match {
+        case Some(code) => cur = code
+        case None =>
+          emit(cur)
+          if (nextCode < 4096) {
+            dict((cur, sym)) = nextCode
+            // the decoder's dictionary lags the encoder by ONE entry
+            // (it cannot build an entry from the first post-clear code),
+            // so the encoder must widen one entry LATER than the naive
+            // symmetric rule: when the just-assigned id reaches
+            // 1<<codeSize, the decoder — whose count is one less — has
+            // just filled the current width and widens at the same
+            // stream position
+            if (nextCode == (1 << codeSize) && codeSize < 12) codeSize += 1
+            nextCode += 1
+          } else {
+            emit(clear)
+            dict = scala.collection.mutable.HashMap.empty
+            nextCode = eoi + 1
+            codeSize = minCode + 1
+          }
+          cur = sym
+      }
+    }
+    if (cur >= 0) emit(cur)
+    emit(eoi)
+    if (bitCnt > 0) data.write((bitBuf & 0xff).toInt)
+    // wrap in ≤255-byte sub-blocks
+    out.write(minCode)
+    val bytes = data.toByteArray
+    var off = 0
+    while (off < bytes.length) {
+      val n = math.min(255, bytes.length - off)
+      out.write(n); out.write(bytes, off, n)
+      off += n
+    }
+    out.write(0) // block terminator
+  }
+
+  /** Encode a real GIF89a (global 256-color table, one image, real LZW;
+    * interlaced when the seed is odd) holding [[gifIndex]] pixels. */
+  private[graft] def encodeGif(k: Long, w: Int, h: Int): Array[Byte] = {
+    val interlaced = (k & 1) == 1
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    le16(w); le16(h)
+    out.write(0xf7) // global table, 8-bit color resolution, 256 entries
+    out.write(0); out.write(0) // bg color, aspect
+    for (j <- 0 until 256) {
+      val (r, g, b) = gifPalette(j)
+      out.write(r); out.write(g); out.write(b)
+    }
+    out.write(0x2c) // image descriptor
+    le16(0); le16(0); le16(w); le16(h)
+    out.write(if (interlaced) 0x40 else 0x00)
+    val rows = if (interlaced) interlaceRows(h) else 0 until h
+    val indices = rows.toArray.flatMap(y => (0 until w).map(x => gifIndex(k, x, y)))
+    lzwCompress(indices, out)
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** REAL pixel decode of a GIF: screen descriptor, global color table,
+    * extension-block skip, image descriptor (interlace honored), and the
+    * genuine variable-width LZW stream (clear/EOI, KwKwK first-use case,
+    * 12-bit cap) — producing the same channel-sum + even-(x,y) stats as
+    * the other decoders. Local color tables override the global one.
+    * Malformed input → all-(-1) stats, never a throw. */
+  private[graft] def decodeGifStats(b: Array[Byte]): (Int, Int, Long, Long, Long, Long) = {
+    val bad = (-1, -1, -1L, -1L, -1L, -1L)
+    try {
+      if (b.length < 13) return bad
+      val hdr = new String(b, 0, 6, "US-ASCII")
+      if (hdr != "GIF87a" && hdr != "GIF89a") return bad
+      def u8(i: Int) = b(i) & 0xff
+      def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+      var pos = 6
+      val sw = le16(pos); val sh = le16(pos + 2)
+      val packed = u8(pos + 4)
+      pos += 7
+      var palette: Array[Int] = null // packed rgb per entry
+      def readTable(n: Int): Array[Int] = {
+        val t = new Array[Int](n)
+        var j = 0
+        while (j < n) {
+          t(j) = (u8(pos) << 16) | (u8(pos + 1) << 8) | u8(pos + 2)
+          pos += 3; j += 1
+        }
+        t
+      }
+      if ((packed & 0x80) != 0) {
+        val n = 1 << ((packed & 7) + 1)
+        if (pos + 3 * n > b.length) return bad
+        palette = readTable(n)
+      }
+      // block stream: skip extensions until the first image
+      while (true) {
+        if (pos >= b.length) return bad
+        u8(pos) match {
+          case 0x3b => return bad // trailer before any image
+          case 0x21 => // extension: label + sub-blocks
+            pos += 2
+            while ({ if (pos >= b.length) return bad; u8(pos) != 0 }) {
+              pos += 1 + u8(pos)
+            }
+            pos += 1
+          case 0x2c =>
+            pos += 1
+            if (pos + 9 > b.length) return bad
+            val w = le16(pos + 4); val h = le16(pos + 6)
+            val ip = u8(pos + 8)
+            pos += 9
+            var pal = palette
+            if ((ip & 0x80) != 0) {
+              val n = 1 << ((ip & 7) + 1)
+              if (pos + 3 * n > b.length) return bad
+              pal = readTable(n)
+            }
+            if (pal == null || w <= 0 || h <= 0) return bad
+            if (w.toLong * h > MaxInflateBytes) return bad
+            val interlaced = (ip & 0x40) != 0
+            // concatenate the LZW sub-blocks
+            if (pos >= b.length) return bad
+            val minCode = u8(pos); pos += 1
+            if (minCode < 2 || minCode > 11) return bad
+            val lzw = new java.io.ByteArrayOutputStream()
+            while ({ if (pos >= b.length) return bad; u8(pos) != 0 }) {
+              val n = u8(pos)
+              if (pos + 1 + n > b.length) return bad
+              lzw.write(b, pos + 1, n)
+              pos += 1 + n
+            }
+            val idx = lzwDecode(lzw.toByteArray, minCode, w * h)
+            if (idx == null) return bad
+            // row order: sequential or the four interlace passes
+            val rowOf = new Array[Int](h)
+            val order = if (interlaced) interlaceRows(h) else 0 until h
+            var r = 0
+            for (y <- order) { rowOf(r) = y; r += 1 }
+            var sumR = 0L; var sumG = 0L; var sumB = 0L; var evenSum = 0L
+            var i = 0
+            while (i < w * h) {
+              val y = rowOf(i / w); val x = i % w
+              val e = idx(i)
+              if (e >= pal.length) return bad
+              val rgb = pal(e)
+              val rr = rgb >> 16; val gg = (rgb >> 8) & 0xff; val bb = rgb & 0xff
+              sumR += rr; sumG += gg; sumB += bb
+              if ((x & 1) == 0 && (y & 1) == 0) evenSum += rr + gg + bb
+              i += 1
+            }
+            return (w, h, sumR, sumG, sumB, evenSum)
+          case _ => return bad
+        }
+      }
+      bad
+    } catch { case scala.util.control.NonFatal(_) => bad }
+  }
+
+  /** GIF variable-width LZW decode to exactly `n` indices (null on any
+    * malformation: bad code, early exhaustion, overflow). */
+  private def lzwDecode(data: Array[Byte], minCode: Int, n: Int): Array[Int] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    // dictionary as (prefix code, appended symbol); roots are implicit
+    val prefix = new Array[Int](4096)
+    val append = new Array[Int](4096)
+    var nextCode = eoi + 1
+    var codeSize = minCode + 1
+    val out = new Array[Int](n)
+    var outLen = 0
+    var bitBuf = 0L
+    var bitCnt = 0
+    var pos = 0
+    var prev = -1
+    val stack = new Array[Int](4096)
+    def expand(code0: Int, extra: Int): Boolean = {
+      // write the string for code0 (+ optional repeated-first for KwKwK)
+      var sp = 0
+      var c = code0
+      while (c >= clear) { // composite codes chain through the dictionary
+        if (sp >= stack.length || c >= nextCode) return false
+        stack(sp) = append(c); sp += 1; c = prefix(c)
+      }
+      val first = c
+      if (outLen + sp + 1 + (if (extra >= 0) 1 else 0) > n) return false
+      out(outLen) = first; outLen += 1
+      while (sp > 0) { sp -= 1; out(outLen) = stack(sp); outLen += 1 }
+      if (extra >= 0) { out(outLen) = first; outLen += 1 }
+      true
+    }
+    def firstOf(code: Int): Int = {
+      var c = code
+      while (c >= clear) c = prefix(c)
+      c
+    }
+    while (outLen < n) {
+      while (bitCnt < codeSize) {
+        if (pos >= data.length) return null
+        bitBuf |= (data(pos) & 0xffL) << bitCnt
+        bitCnt += 8; pos += 1
+      }
+      val code = (bitBuf & ((1 << codeSize) - 1)).toInt
+      bitBuf >>>= codeSize; bitCnt -= codeSize
+      if (code == clear) {
+        nextCode = eoi + 1; codeSize = minCode + 1; prev = -1
+      } else if (code == eoi) {
+        return if (outLen == n) out else null
+      } else if (prev < 0) {
+        if (code >= clear) return null // first code must be a root
+        out(outLen) = code; outLen += 1
+        prev = code
+      } else {
+        if (code < nextCode) {
+          if (!expand(code, -1)) return null
+        } else if (code == nextCode) {
+          // KwKwK: prev's string + its own first symbol
+          if (!expand(prev, firstOf(prev))) return null
+        } else return null
+        if (nextCode < 4096) {
+          prefix(nextCode) = prev
+          append(nextCode) = firstOf(code)
+          if (nextCode == (1 << codeSize) - 1 && codeSize < 12) codeSize += 1
+          nextCode += 1
+        }
+        prev = code
+      }
+    }
+    out
+  }
+
+  /** Fixture-synthesis column: GIF bytes for (seed, width, height). */
+  def packGif(id: Column, width: Column, height: Column): Column = {
+    val enc = udf((k: Long, w: Int, h: Int) => encodeGif(k % 251, w, h))
+    enc(id.cast("long"), width.cast("int"), height.cast("int"))
+  }
+
+  /** Real-pixel GIF decode over the standard batch seam. */
+  def decodeGifPixelStats(df: DataFrame, id: String, media: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(
+      StructField("id", LongType, nullable = false) +: PixelStatsSchema.fields.toSeq)
+    val rdd = df.select(col(id).cast("long"), col(media)).rdd.mapPartitions { it =>
+      it.map { r =>
+        val (w, h, sr, sg, sb, es) = decodeGifStats(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), w, h, sr, sg, sb, es)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  // --- real SAMPLE decode: WAV 16-bit PCM -----------------------------
+  // m6 walks the RIFF/fmt headers; this decodes the data chunk's actual
+  // samples (16-bit little-endian signed PCM — pure byte arithmetic),
+  // the audio analog of the pixel decoders: per-file sample statistics
+  // a training-data pipeline filters on (silence/clipping detection,
+  // loudness buckets) without any codec library.
+
+  val SampleStatsSchema: StructType = StructType(Seq(
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("sum_s", LongType, nullable = false),
+    StructField("sum_abs", LongType, nullable = false),
+    StructField("max_abs", LongType, nullable = false),
+  ))
+
+  /** Deterministic test sample i for seed k (full int16 range). */
+  private[graft] def testSample(k: Long, i: Int): Int =
+    (((37L * i + k) % 65536) - 32768).toInt
+
+  /** Encode a real RIFF/WAVE file: PCM fmt chunk + 16-bit LE mono data
+    * chunk holding the [[testSample]] waveform. Fixture synthesis. */
+  private[graft] def encodeWavPcm16(k: Long, n: Int): Array[Byte] = {
+    val dataLen = 2 * n
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(8000).putInt(16000) // rate, byte rate
+      .putShort(2).putShort(16) // block align, bits
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) { buf.putShort(testSample(k, i).toShort); i += 1 }
+    buf.array()
+  }
+
+  /** REAL sample decode of a 16-bit PCM WAV: RIFF envelope check, chunk
+    * walk (fmt validated as uncompressed 16-bit PCM, unknown chunks
+    * skipped by their declared — untrusted — lengths), then the data
+    * chunk's interleaved int16 samples folded into sum / |sum| / peak
+    * stats. Malformed input → all-(-1), never a throw. */
+  private[graft] def decodeWavStats(b: Array[Byte]): (Int, Long, Long, Long, Long) = {
+    val bad = (-1, -1L, -1L, -1L, -1L)
+    try {
+      if (b.length < 44) return bad
+      def u8(i: Int) = b(i) & 0xff
+      def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+      def le32(i: Int) = le16(i) | (le16(i + 2) << 16)
+      def tag(i: Int) = new String(b, i, 4, "US-ASCII")
+      if (tag(0) != "RIFF" || tag(8) != "WAVE") return bad
+      var pos = 12
+      var channels = -1
+      var ok = false
+      var dataOff = -1
+      var dataLen = -1
+      while (pos + 8 <= b.length && (channels < 0 || dataOff < 0)) {
+        val t = tag(pos)
+        val len = le32(pos + 4)
+        if (len < 0 || pos + 8L + len > b.length) return bad
+        t match {
+          case "fmt " =>
+            if (len < 16) return bad
+            val fmt = le16(pos + 8)
+            channels = le16(pos + 10)
+            val bits = le16(pos + 22)
+            ok = fmt == 1 && bits == 16 && channels >= 1
+          case "data" => dataOff = pos + 8; dataLen = len
+          case _ => () // ancillary chunk: skip by declared length
+        }
+        pos += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      if (!ok || dataOff < 0 || dataLen < 2) return bad
+      val n = dataLen / 2
+      var sum = 0L; var sumAbs = 0L; var maxAbs = 0L
+      var i = 0
+      while (i < n) {
+        val v = (le16(dataOff + 2 * i) << 16) >> 16 // sign-extend int16
+        sum += v
+        val a = math.abs(v.toLong)
+        sumAbs += a
+        if (a > maxAbs) maxAbs = a
+        i += 1
+      }
+      (channels, n.toLong, sum, sumAbs, maxAbs)
+    } catch { case scala.util.control.NonFatal(_) => bad }
+  }
+
+  /** Fixture-synthesis column: WAV bytes for (seed, n_samples). */
+  def packWavPcm16(id: Column, nSamples: Column): Column = {
+    val enc = udf((k: Long, n: Int) => encodeWavPcm16(k % 251, n))
+    enc(id.cast("long"), nSamples.cast("int"))
+  }
+
+  /** Real-sample WAV decode over the standard batch seam:
+    * (id, media) → (id, SampleStatsSchema...). */
+  def decodeWavSampleStats(df: DataFrame, id: String, media: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(
+      StructField("id", LongType, nullable = false) +: SampleStatsSchema.fields.toSeq)
+    val rdd = df.select(col(id).cast("long"), col(media)).rdd.mapPartitions { it =>
+      it.map { r =>
+        val (ch, n, s, sa, ma) = decodeWavStats(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), ch, n, s, sa, ma)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Fixture-synthesis column: BMP bytes for (seed, width, height).
     * A UDF by design — per-pixel imperative encode is fixture
     * construction, not a measured decode path. */

@@ -320,5 +320,89 @@ object MultimodalQueries {
         ORDER BY doc_id
       """.trim),
     ),
+
+    // m9: REAL GIF pixel decode — the LZW container. The fixture encoder
+    // is a genuine LZW compressor (dictionary codes, variable widths,
+    // overflow clears) and odd seeds write INTERLACED images, so the
+    // decoder's four-pass row reordering and full code machinery carry
+    // real data. Palette and index pattern are analytic, so the oracle
+    // recomputes the channel sums without decoding; even_sum keeps the
+    // geometry probe (a wrong interlace pass order breaks it).
+    Q(
+      "m9_gif_pixels",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val w = (col("doc_id") % 14 + 3).cast("int")
+        val h = (col("doc_id") % 11 + 2).cast("int")
+        val packed = docs.select(col("doc_id"),
+          Multimodal.packGif(col("doc_id"), w, h).as("media"))
+        Multimodal.decodeGifPixelStats(packed, "doc_id", "media")
+          .select(
+            col("id").as("doc_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("sum_r"), col("sum_g"), col("sum_b"), col("even_sum"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH g AS (
+          SELECT doc_id, doc_id % 14 + 3 AS w, doc_id % 11 + 2 AS h,
+                 doc_id % 251 AS k
+          FROM documents)
+        SELECT doc_id,
+               w::BIGINT AS width, h::BIGINT AS height,
+               CAST(list_sum(list_transform(range(0, w*h),
+                 i -> (5*((i % w + 2*(i // w) + k) % 256) + 1) % 256)) AS BIGINT) AS sum_r,
+               CAST(list_sum(list_transform(range(0, w*h),
+                 i -> (11*((i % w + 2*(i // w) + k) % 256) + 2) % 256)) AS BIGINT) AS sum_g,
+               CAST(list_sum(list_transform(range(0, w*h),
+                 i -> (23*((i % w + 2*(i // w) + k) % 256) + 3) % 256)) AS BIGINT) AS sum_b,
+               CAST(list_sum(list_transform(
+                 list_filter(range(0, w*h),
+                   i -> (i % w) % 2 = 0 AND (i // w) % 2 = 0),
+                 i -> (5*((i % w + 2*(i // w) + k) % 256) + 1) % 256
+                    + (11*((i % w + 2*(i // w) + k) % 256) + 2) % 256
+                    + (23*((i % w + 2*(i // w) + k) % 256) + 3) % 256)) AS BIGINT) AS even_sum
+        FROM g
+        ORDER BY doc_id
+      """.trim),
+    ),
+
+    // m10: REAL WAV PCM sample decode — the audio analog of the pixel
+    // round-trips: RIFF chunk walk + int16 LE sample fold into
+    // sum/|sum|/peak stats (the silence/clipping/loudness gates an audio
+    // curation pass filters on). The waveform is analytic, so the oracle
+    // recomputes the exact integer stats.
+    Q(
+      "m10_wav_samples",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val n = (col("doc_id") % 400 + 50).cast("int")
+        val packed = docs.select(col("doc_id"),
+          Multimodal.packWavPcm16(col("doc_id"), n).as("media"))
+        Multimodal.decodeWavSampleStats(packed, "doc_id", "media")
+          .select(
+            col("id").as("doc_id"),
+            col("channels").cast("long").as("channels"),
+            col("n_samples"), col("sum_s"), col("sum_abs"), col("max_abs"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH g AS (
+          SELECT doc_id, doc_id % 400 + 50 AS n, doc_id % 251 AS k
+          FROM documents)
+        SELECT doc_id,
+               CAST(1 AS BIGINT) AS channels,
+               n::BIGINT AS n_samples,
+               CAST(list_sum(list_transform(range(0, n),
+                 i -> (37*i + k) % 65536 - 32768)) AS BIGINT) AS sum_s,
+               CAST(list_sum(list_transform(range(0, n),
+                 i -> abs((37*i + k) % 65536 - 32768))) AS BIGINT) AS sum_abs,
+               CAST(list_max(list_transform(range(0, n),
+                 i -> abs((37*i + k) % 65536 - 32768))) AS BIGINT) AS max_abs
+        FROM g
+        ORDER BY doc_id
+      """.trim),
+    ),
   )
 }

@@ -50,6 +50,11 @@ class ByteParserFuzzSpec extends AnyFunSuite {
       // after it — the walker gets past the cheap checks into
       // length/inflate arithmetic
       Multimodal.encodePng24(1L, 4, 4).take(33),
+      // a valid GIF header+screen descriptor+global table with fuzz
+      // deciding the block stream — exercises the LZW decoder on junk
+      Multimodal.encodeGif(1L, 4, 4).take(13 + 768 + 10),
+      // a valid RIFF/WAVE/fmt prefix with fuzz deciding the chunk tail
+      Multimodal.encodeWavPcm16(1L, 8).take(36),
       "RIFF".getBytes("US-ASCII"),
       "RIFF1234WAVE".getBytes("US-ASCII"),
       "RIFF1234WAVEfmt ".getBytes("US-ASCII"),
@@ -77,6 +82,12 @@ class ByteParserFuzzSpec extends AnyFunSuite {
       // throw on fuzzed chunk lengths, dims, or corrupt zlib streams
       val (pw, ph, _, _, _, _) = Multimodal.decodePngStats(b)
       assert(pw >= -1 && ph >= -1)
+      // GIF decode: block walk + LZW (fuzzed codes, widths, KwKwK edge)
+      val (gw, gh, _, _, _, _) = Multimodal.decodeGifStats(b)
+      assert(gw >= -1 && gh >= -1)
+      // WAV sample decode: chunk walk + int16 fold
+      val (wc, _, _, _, _) = Multimodal.decodeWavStats(b)
+      assert(wc >= -1)
       val (avFmt, ch, rate, bits, dur) = Multimodal.parseAvHeader(b)
       assert(avFmt == "unknown" || avFmt == "wav" || avFmt == "mp4")
       if (avFmt == "unknown") assert(ch == -1 && bits == -1 && dur == 0L)

@@ -253,6 +253,57 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(got == Map(0L -> ((3, 2)), 7L -> ((16, 9)), 250L -> ((5, 4))))
   }
 
+  test("GIF pixel decode: real LZW, interlace, local tables, malformed") {
+    // even seeds = sequential, odd = interlaced; widths/heights across
+    // all four interlace passes; brute-force reference from the pattern
+    for (w <- Seq(1, 3, 16); h <- Seq(2, 5, 9, 17); k <- Seq(0L, 1L, 17L, 250L)) {
+      val got = Multimodal.decodeGifStats(Multimodal.encodeGif(k, w, h))
+      val px = for { y <- 0 until h; x <- 0 until w }
+        yield Multimodal.gifPalette(Multimodal.gifIndex(k, x, y))
+      val even = for { y <- 0 until h by 2; x <- 0 until w by 2 }
+        yield Multimodal.gifPalette(Multimodal.gifIndex(k, x, y))
+      assert(got == ((w, h,
+        px.map(_._1.toLong).sum, px.map(_._2.toLong).sum, px.map(_._3.toLong).sum,
+        even.map(p => (p._1 + p._2 + p._3).toLong).sum)), s"w=$w h=$h k=$k")
+    }
+    // a large image forces dictionary growth through several code widths
+    // (64×64 = 4096 indices) — and an overflow clear on repetitive data
+    val big = Multimodal.decodeGifStats(Multimodal.encodeGif(9, 64, 64))
+    assert(big._1 == 64 && big._2 == 64)
+    // an extension block (e.g. GCE) before the image must be skipped:
+    // splice one in after the global color table
+    val gif = Multimodal.encodeGif(4, 5, 4)
+    val gce = Array[Byte](0x21, 0xf9.toByte, 4, 0, 0, 0, 0, 0)
+    val cut = 13 + 768 // header + screen descriptor + global table
+    val spliced = gif.take(cut) ++ gce ++ gif.drop(cut)
+    assert(Multimodal.decodeGifStats(spliced) == Multimodal.decodeGifStats(gif))
+    // malformed: magic, truncation, trailer-before-image
+    assert(Multimodal.decodeGifStats("GIF89x rest".getBytes)._1 == -1)
+    assert(Multimodal.decodeGifStats(gif.dropRight(8))._1 == -1)
+    assert(Multimodal.decodeGifStats(gif.take(cut) :+ 0x3b.toByte)._1 == -1)
+  }
+
+  test("WAV PCM decode: sample stats, chunk skip, malformed") {
+    for (n <- Seq(1, 50, 449); k <- Seq(0L, 17L, 250L)) {
+      val got = Multimodal.decodeWavStats(Multimodal.encodeWavPcm16(k, n))
+      val samples = (0 until n).map(i => Multimodal.testSample(k, i).toLong)
+      assert(got == ((1, n.toLong, samples.sum,
+        samples.map(math.abs).sum, samples.map(math.abs).max)), s"n=$n k=$k")
+    }
+    // an ancillary LIST chunk between fmt and data must be skipped
+    val wav = Multimodal.encodeWavPcm16(7, 20)
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val spliced = wav.take(36) ++ list ++ wav.drop(36)
+    // RIFF size field is now stale but the walker uses chunk lengths
+    assert(Multimodal.decodeWavStats(spliced) == Multimodal.decodeWavStats(wav))
+    // malformed: magic, truncated data chunk, non-PCM format
+    assert(Multimodal.decodeWavStats("RIFFxxxxWAVX".getBytes)._1 == -1)
+    assert(Multimodal.decodeWavStats(wav.dropRight(3))._1 == -1)
+    val fmt3 = wav.clone(); fmt3(20) = 3 // IEEE float
+    assert(Multimodal.decodeWavStats(fmt3)._1 == -1)
+  }
+
   test("packBmp24 → decodeBmpPixelStats round-trips through the batch seam") {
     import spark.implicits._
     val df = Seq((0L, 3, 2), (7L, 16, 9), (250L, 5, 4)).toDF("id", "w", "h")
