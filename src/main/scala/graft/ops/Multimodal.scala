@@ -971,6 +971,469 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  // --- real PIXEL decode: baseline JPEG (SOF0, 4:2:0 / grayscale) -----
+  // The entropy layer — the hard part of JPEG — is pure spec arithmetic:
+  // canonical Huffman tables from DHT, DC-delta/AC-run-length block
+  // decode with byte unstuffing and restart handling, dequantization,
+  // IDCT, 4:2:0 chroma replication and the JFIF YCbCr→RGB transform
+  // (ITU-T T.81 + JFIF 1.02, both public). The oracle uses the exact
+  // regime the sketch family pioneered: fixtures carry DC-only blocks,
+  // whose IDCT is bit-exact flat output under ANY correct IDCT, so the
+  // analytic recomputation in DuckDB hash-matches while the REAL
+  // Huffman/marker/dequant/color machinery runs end-to-end. Decoding a
+  // general JPEG differs only in nonzero ACs (IDCT rounding then varies
+  // by implementation — exactly why general JPEGs cannot be oracle'd).
+
+  /** Analytic fixture values: per-8×8-block luma, per-16×16 chroma. */
+  private[graft] def jpegY(k: Long, bx: Int, by: Int): Int =
+    ((16 * bx + 8 * by + 3 * k) % 200 + 20).toInt
+  private[graft] def jpegCb(k: Long, mx: Int, my: Int): Int =
+    ((5 * mx + 7 * my + 2 * k) % 160 + 48).toInt
+  private[graft] def jpegCr(k: Long, mx: Int, my: Int): Int =
+    ((11 * mx + 3 * my + k) % 160 + 48).toInt
+
+  /** JFIF YCbCr→RGB, floor(x+0.5) rounding — the decoder's (and the
+    * oracle's) single color formula; constants and operation order must
+    * stay identical on both sides. */
+  private[graft] def ycbcrToRgb(y: Int, cb: Int, cr: Int): (Int, Int, Int) = {
+    def cl(v: Double): Int =
+      math.max(0, math.min(255, math.floor(v + 0.5).toInt))
+    (cl(y + 1.402 * (cr - 128)),
+      cl(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)),
+      cl(y + 1.772 * (cb - 128)))
+  }
+
+  private val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  // Annex K (T.81 Table K.3/K.4) DC Huffman specs: BITS[1..16] + values.
+  private val DcLumBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcLumVals = (0 to 11).toArray
+  private val DcChrBits = Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val DcChrVals = (0 to 11).toArray
+  // minimal legal AC table for DC-only scans: "0" → EOB, "10" → ZRL
+  private val AcMinBits = Array(1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val AcMinVals = Array(0x00, 0xf0)
+
+  /** Canonical Huffman codes for (BITS, values): value → (code, len). */
+  private def huffCodes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0
+    var vi = 0
+    val out = scala.collection.mutable.HashMap.empty[Int, (Int, Int)]
+    for (len <- 1 to 16) {
+      var i = 0
+      while (i < bits(len - 1)) {
+        out(vals(vi)) = (code, len); code += 1; vi += 1; i += 1
+      }
+      code <<= 1
+    }
+    out.toMap
+  }
+
+  /** Encode a real baseline JPEG: JFIF/DQT/SOF0/DHT/SOS markers, 4:2:0
+    * sampling, and a genuine Huffman-coded entropy scan (DC deltas with
+    * category/extend bits, EOB-terminated blocks, FF byte stuffing).
+    * Blocks are DC-only — the exact-IDCT regime — with q[0]=8 so the
+    * dequantized DC is 8·(v−128) and every correct IDCT reproduces v
+    * exactly. Grayscale (single component) when the seed is even. */
+  private[graft] def encodeJpeg(k: Long, wMcu: Int, hMcu: Int): Array[Byte] = {
+    val gray = (k & 1) == 0
+    val w = 16 * wMcu; val h = 16 * hMcu
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int, body: Array[Int]): Unit = {
+      u8(0xff); u8(m); u16(body.length + 2); body.foreach(u8)
+    }
+    u8(0xff); u8(0xd8) // SOI
+    // DQT: table 0, q[0]=8, rest 16
+    marker(0xdb, 0 +: Array.tabulate(64)(i => if (i == 0) 8 else 16))
+    // SOF0
+    val comps =
+      if (gray) Seq((1, 0x11, 0)) else Seq((1, 0x22, 0), (2, 0x11, 0), (3, 0x11, 0))
+    marker(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, comps.length) ++
+      comps.flatMap { case (id, samp, q) => Seq(id, samp, q) })
+    // DHT: DC lum (class 0 id 0), DC chr (class 0 id 1), AC min (class 1 id 0)
+    marker(0xc4, (0x00 +: (DcLumBits ++ DcLumVals)) ++
+      (0x01 +: (DcChrBits ++ DcChrVals)) ++
+      (0x10 +: (AcMinBits ++ AcMinVals)))
+    // SOS
+    marker(0xda, Array(comps.length) ++
+      comps.flatMap { case (id, _, _) =>
+        Seq(id, if (id == 1) 0x00 else 0x10)
+      } ++ Array(0, 63, 0))
+    // entropy scan
+    val dcLum = huffCodes(DcLumBits, DcLumVals)
+    val dcChr = huffCodes(DcChrBits, DcChrVals)
+    val acMin = huffCodes(AcMinBits, AcMinVals)
+    var bitBuf = 0L; var bitCnt = 0
+    def putBits(code: Int, len: Int): Unit = {
+      if (len > 0) {
+        bitBuf = (bitBuf << len) | (code & ((1L << len) - 1))
+        bitCnt += len
+        while (bitCnt >= 8) {
+          val byte = ((bitBuf >> (bitCnt - 8)) & 0xff).toInt
+          out.write(byte)
+          if (byte == 0xff) out.write(0x00) // byte stuffing
+          bitCnt -= 8
+        }
+      }
+    }
+    val pred = Array(0, 0, 0)
+    def block(ci: Int, value: Int): Unit = {
+      val level = value - 128 // quantized DC at q=8: 8(v-128)/8
+      val diff = level - pred(ci); pred(ci) = level
+      val s = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      val (c, l) = (if (ci == 0) dcLum else dcChr)(s)
+      putBits(c, l)
+      if (s > 0) putBits(if (diff < 0) diff - 1 else diff, s)
+      val (ec, el) = acMin(0x00) // EOB: no AC coefficients
+      putBits(ec, el)
+    }
+    for (my <- 0 until hMcu; mx <- 0 until wMcu) {
+      // 4 luma blocks in raster order within the MCU, then Cb, Cr
+      for (v <- 0 until 2; hh <- 0 until 2)
+        block(0, jpegY(k, 2 * mx + hh, 2 * my + v))
+      if (!gray) {
+        block(1, jpegCb(k, mx, my))
+        block(2, jpegCr(k, mx, my))
+      }
+    }
+    if (bitCnt > 0) putBits((1 << (8 - bitCnt)) - 1, 8 - bitCnt) // pad with 1s
+    u8(0xff); u8(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** REAL baseline-JPEG pixel decode: marker walk (APPn/COM skipped, DQT
+    * 8-bit tables, SOF0 with 1 or 3 components and sampling factors ≤ 2,
+    * DHT canonical Huffman build, DRI honored), then the entropy scan —
+    * per-MCU DC-delta + AC-run-length block decode with FF00 unstuffing
+    * and RSTn predictor resets — dequant, de-zigzag, IDCT, chroma
+    * replication and the JFIF color transform, folded into the standard
+    * channel-sum + even-(x,y) stats. Malformed input → all-(-1). */
+  private[graft] def decodeJpegStats(bytes: Array[Byte]): (Int, Int, Long, Long, Long, Long) = {
+    val bad = (-1, -1, -1L, -1L, -1L, -1L)
+    try {
+      if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
+        return bad
+      def u8(i: Int) = bytes(i) & 0xff
+      def u16(i: Int) = (u8(i) << 8) | u8(i + 1)
+      var pos = 2
+      val qt = Array.ofDim[Int](4, 64)
+      val qtSeen = new Array[Boolean](4)
+      // huffman tables: [class][id] → (firstCode, firstIdx per len, vals)
+      val huffFirstCode = Array.ofDim[Int](2, 4, 17)
+      val huffFirstIdx = Array.ofDim[Int](2, 4, 17)
+      val huffCount = Array.ofDim[Int](2, 4, 17)
+      val huffVals = Array.ofDim[Array[Int]](2, 4)
+      var w = -1; var h = -1
+      var nComp = 0
+      val compSampH = new Array[Int](4); val compSampV = new Array[Int](4)
+      val compQ = new Array[Int](4); val compId = new Array[Int](4)
+      val compDc = new Array[Int](4); val compAc = new Array[Int](4)
+      var restartInterval = 0
+      var sosAt = -1
+      while (sosAt < 0) {
+        if (pos + 4 > bytes.length) return bad
+        if (u8(pos) != 0xff) return bad
+        val m = u8(pos + 1)
+        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) { pos += 2 }
+        else {
+          val len = u16(pos + 2)
+          if (len < 2 || pos + 2 + len > bytes.length) return bad
+          val body = pos + 4
+          m match {
+            case 0xdb => // DQT (possibly several tables)
+              var p = body
+              while (p < pos + 2 + len) {
+                val pq = u8(p) >> 4; val tq = u8(p) & 15
+                if (pq != 0 || tq > 3 || p + 65 > pos + 2 + len) return bad
+                var i = 0
+                while (i < 64) { qt(tq)(i) = u8(p + 1 + i); i += 1 }
+                qtSeen(tq) = true
+                p += 65
+              }
+            case 0xc0 => // SOF0 baseline
+              if (len < 8) return bad
+              if (u8(body) != 8) return bad
+              h = u16(body + 1); w = u16(body + 3)
+              nComp = u8(body + 5)
+              if (w <= 0 || h <= 0 || (nComp != 1 && nComp != 3)) return bad
+              if (w.toLong * h > MaxInflateBytes / 4) return bad
+              var c = 0
+              while (c < nComp) {
+                val o = body + 6 + 3 * c
+                compId(c) = u8(o)
+                compSampH(c) = u8(o + 1) >> 4; compSampV(c) = u8(o + 1) & 15
+                compQ(c) = u8(o + 2)
+                if (compSampH(c) < 1 || compSampH(c) > 2 ||
+                    compSampV(c) < 1 || compSampV(c) > 2 || compQ(c) > 3) return bad
+                c += 1
+              }
+            case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+                0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+              return bad // progressive/extended: out of scope
+            case 0xc4 => // DHT (possibly several)
+              var p = body
+              while (p < pos + 2 + len) {
+                val tc = u8(p) >> 4; val th = u8(p) & 15
+                if (tc > 1 || th > 3 || p + 17 > pos + 2 + len) return bad
+                var total = 0
+                var l = 1
+                while (l <= 16) { huffCount(tc)(th)(l) = u8(p + l); total += u8(p + l); l += 1 }
+                if (total > 256 || p + 17 + total > pos + 2 + len) return bad
+                huffVals(tc)(th) = Array.tabulate(total)(i => u8(p + 17 + i))
+                var code = 0; var vi = 0
+                l = 1
+                while (l <= 16) {
+                  huffFirstCode(tc)(th)(l) = code
+                  huffFirstIdx(tc)(th)(l) = vi
+                  code += huffCount(tc)(th)(l); vi += huffCount(tc)(th)(l)
+                  code <<= 1
+                  l += 1
+                }
+                p += 17 + total
+              }
+            case 0xdd => // DRI
+              if (len != 4) return bad
+              restartInterval = u16(body)
+            case 0xda => // SOS
+              val ns = u8(body)
+              if (ns != nComp || len < 6 + 2 * ns) return bad
+              var c = 0
+              while (c < ns) {
+                val id = u8(body + 1 + 2 * c)
+                val ci = compId.indexOf(id)
+                if (ci < 0 || ci >= nComp) return bad
+                compDc(ci) = u8(body + 2 + 2 * c) >> 4
+                compAc(ci) = u8(body + 2 + 2 * c) & 15
+                c += 1
+              }
+              sosAt = pos + 2 + len
+            case 0xd9 => return bad // EOI before scan
+            case _ => () // APPn / COM / others: skip by length
+          }
+          pos += 2 + len
+        }
+      }
+      if (w < 0 || nComp == 0) return bad
+      var c = 0
+      while (c < nComp) { if (!qtSeen(compQ(c))) return bad; c += 1 }
+      val maxH = (0 until nComp).map(compSampH).max
+      val maxV = (0 until nComp).map(compSampV).max
+      val mcuW = 8 * maxH; val mcuH = 8 * maxV
+      val mcusX = (w + mcuW - 1) / mcuW
+      val mcusY = (h + mcuH - 1) / mcuH
+      // per-component pixel planes at component resolution
+      val planeW = new Array[Int](nComp); val planeH = new Array[Int](nComp)
+      val planes = new Array[Array[Byte]](nComp)
+      c = 0
+      while (c < nComp) {
+        planeW(c) = mcusX * compSampH(c) * 8
+        planeH(c) = mcusY * compSampV(c) * 8
+        planes(c) = new Array[Byte](planeW(c) * planeH(c))
+        c += 1
+      }
+      // entropy reader
+      var p = sosAt
+      var bitBuf = 0L; var bitCnt = 0
+      var feedDone = false // scan bytes exhausted (marker / end reached)
+      var fail = false     // a read actually ran dry or hit a bad code
+      def fill(): Unit = {
+        while (bitCnt <= 56 && !feedDone) {
+          if (p >= bytes.length) { feedDone = true }
+          else {
+            val v = u8(p)
+            if (v == 0xff) {
+              if (p + 1 < bytes.length && u8(p + 1) == 0x00) {
+                bitBuf = (bitBuf << 8) | 0xff; bitCnt += 8; p += 2
+              } else feedDone = true // a real marker: stop feeding, but
+              // already-buffered bits stay valid (the final MCU's codes
+              // typically sit in the buffer when EOI is reached)
+            } else { bitBuf = (bitBuf << 8) | v; bitCnt += 8; p += 1 }
+          }
+        }
+      }
+      def getBits(n: Int): Int = {
+        if (n == 0) return 0
+        fill()
+        if (bitCnt < n) { fail = true; return 0 }
+        val v = ((bitBuf >> (bitCnt - n)) & ((1L << n) - 1)).toInt
+        bitCnt -= n
+        v
+      }
+      def huffDecode(tc: Int, th: Int): Int = {
+        if (huffVals(tc)(th) == null) { fail = true; return -1 }
+        var code = 0
+        var l = 1
+        while (l <= 16) {
+          code = (code << 1) | getBits(1)
+          if (fail) return -1
+          val cnt = huffCount(tc)(th)(l)
+          if (cnt > 0 && code >= huffFirstCode(tc)(th)(l) &&
+              code - huffFirstCode(tc)(th)(l) < cnt) {
+            return huffVals(tc)(th)(huffFirstIdx(tc)(th)(l) + code - huffFirstCode(tc)(th)(l))
+          }
+          l += 1
+        }
+        fail = true; -1
+      }
+      def extend(v: Int, s: Int): Int =
+        if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+      val coef = new Array[Int](64)
+      val pix = new Array[Int](64)
+      val pred = new Array[Int](4)
+      // IDCT cos table
+      val cosT = Array.tabulate(8, 8)((x, u) =>
+        math.cos((2 * x + 1) * u * math.Pi / 16) * (if (u == 0) 1.0 / math.sqrt(2) else 1.0))
+      def idctBlock(): Unit = {
+        var y0 = 0
+        while (y0 < 8) {
+          var x0 = 0
+          while (x0 < 8) {
+            var s = 0.0
+            var u = 0
+            while (u < 8) {
+              var v = 0
+              while (v < 8) {
+                val f = coef(8 * v + u)
+                if (f != 0) s += cosT(x0)(u) * cosT(y0)(v) * f
+                v += 1
+              }
+              u += 1
+            }
+            val out = math.floor(s / 4 + 128 + 0.5).toInt
+            pix(8 * y0 + x0) = math.max(0, math.min(255, out))
+            x0 += 1
+          }
+          y0 += 1
+        }
+      }
+      def decodeBlock(ci: Int): Boolean = {
+        java.util.Arrays.fill(coef, 0)
+        val q = qt(compQ(ci))
+        val s = huffDecode(0, compDc(ci))
+        if (s < 0 || s > 11) return false
+        val diff = extend(getBits(s), s)
+        if (fail) return false
+        pred(ci) += diff
+        coef(0) = pred(ci) * q(0)
+        var kk = 1
+        var run = true
+        while (run && kk < 64) {
+          val rs = huffDecode(1, compAc(ci))
+          if (rs < 0) return false
+          val r = rs >> 4; val ss = rs & 15
+          if (rs == 0) run = false // EOB
+          else if (ss == 0) {
+            if (r != 15) return false
+            kk += 16
+          } else {
+            kk += r
+            if (kk > 63) return false
+            coef(ZigZag(kk)) = extend(getBits(ss), ss) * q(kk)
+            if (fail) return false
+            kk += 1
+          }
+        }
+        idctBlock()
+        true
+      }
+      var mcuCount = 0
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          if (restartInterval > 0 && mcuCount > 0 && mcuCount % restartInterval == 0) {
+            // align to byte and consume the RSTn marker
+            bitCnt -= bitCnt % 8
+            fail = false; feedDone = false
+            if (p + 1 < bytes.length && u8(p) == 0xff && u8(p + 1) >= 0xd0 && u8(p + 1) <= 0xd7) {
+              p += 2
+              java.util.Arrays.fill(pred, 0)
+              bitBuf = 0; bitCnt = 0
+            } else return bad
+          }
+          var ci = 0
+          while (ci < nComp) {
+            var v = 0
+            while (v < compSampV(ci)) {
+              var hh = 0
+              while (hh < compSampH(ci)) {
+                if (!decodeBlock(ci)) return bad
+                // place the block into the component plane
+                val bx = (mx * compSampH(ci) + hh) * 8
+                val by = (my * compSampV(ci) + v) * 8
+                var yy = 0
+                while (yy < 8) {
+                  var xx = 0
+                  while (xx < 8) {
+                    planes(ci)((by + yy) * planeW(ci) + bx + xx) =
+                      pix(8 * yy + xx).toByte
+                    xx += 1
+                  }
+                  yy += 1
+                }
+                hh += 1
+              }
+              v += 1
+            }
+            ci += 1
+          }
+          mcuCount += 1
+          mx += 1
+        }
+        my += 1
+      }
+      // fold stats over the visible pixels with chroma replication
+      var sumR = 0L; var sumG = 0L; var sumB = 0L; var evenSum = 0L
+      var y0 = 0
+      while (y0 < h) {
+        var x0 = 0
+        while (x0 < w) {
+          val yv = planes(0)(y0 * planeW(0) + x0) & 0xff
+          val (r, g, b2) =
+            if (nComp == 1) (yv, yv, yv)
+            else {
+              val cbx = x0 * compSampH(1) / maxH; val cby = y0 * compSampV(1) / maxV
+              val crx = x0 * compSampH(2) / maxH; val cry = y0 * compSampV(2) / maxV
+              ycbcrToRgb(yv,
+                planes(1)(cby * planeW(1) + cbx) & 0xff,
+                planes(2)(cry * planeW(2) + crx) & 0xff)
+            }
+          sumR += r; sumG += g; sumB += b2
+          if ((x0 & 1) == 0 && (y0 & 1) == 0) evenSum += r + g + b2
+          x0 += 1
+        }
+        y0 += 1
+      }
+      (w, h, sumR, sumG, sumB, evenSum)
+    } catch { case scala.util.control.NonFatal(_) => bad }
+  }
+
+  /** Fixture-synthesis column: baseline JPEG bytes for (seed, MCU grid). */
+  def packJpeg(id: Column, wMcu: Column, hMcu: Column): Column = {
+    val enc = udf((k: Long, wm: Int, hm: Int) => encodeJpeg(k % 251, wm, hm))
+    enc(id.cast("long"), wMcu.cast("int"), hMcu.cast("int"))
+  }
+
+  /** Real-pixel JPEG decode over the standard batch seam. */
+  def decodeJpegPixelStats(df: DataFrame, id: String, media: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(
+      StructField("id", LongType, nullable = false) +: PixelStatsSchema.fields.toSeq)
+    val rdd = df.select(col(id).cast("long"), col(media)).rdd.mapPartitions { it =>
+      it.map { r =>
+        val (w, h, sr, sg, sb, es) = decodeJpegStats(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), w, h, sr, sg, sb, es)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   // --- real SAMPLE decode: WAV 16-bit PCM -----------------------------
   // m6 walks the RIFF/fmt headers; this decodes the data chunk's actual
   // samples (16-bit little-endian signed PCM — pure byte arithmetic),

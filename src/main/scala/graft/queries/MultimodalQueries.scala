@@ -368,6 +368,63 @@ object MultimodalQueries {
       """.trim),
     ),
 
+    // m11: REAL baseline-JPEG pixel decode — the entropy layer (canonical
+    // Huffman from DHT, DC-delta/AC-run-length blocks, FF00 unstuffing),
+    // dequant, IDCT, 4:2:0 chroma replication and the JFIF color
+    // transform all run for real; the fixture's DC-only blocks are the
+    // exact-IDCT regime, so the oracle recomputes the pixels analytically
+    // (flat 8×8 luma blocks, 16×16 chroma, the identical float color
+    // formula) and hash-matches. Even seeds exercise the grayscale
+    // single-component path; odd seeds the interleaved 4:2:0 MCU path.
+    Q(
+      "m11_jpeg_pixels",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val wm = (col("doc_id") % 2 + 1).cast("int")
+        val hm = (col("doc_id") % 3 + 1).cast("int")
+        val packed = docs.select(col("doc_id"),
+          Multimodal.packJpeg(col("doc_id"), wm, hm).as("media"))
+        Multimodal.decodeJpegPixelStats(packed, "doc_id", "media")
+          .select(
+            col("id").as("doc_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("sum_r"), col("sum_g"), col("sum_b"), col("even_sum"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH g AS (
+          SELECT doc_id, 16*(doc_id % 2 + 1) AS w, 16*(doc_id % 3 + 1) AS h,
+                 doc_id % 251 AS k
+          FROM documents),
+        px AS (
+          SELECT doc_id, w, h, k, i,
+                 (16*((i % w) // 8) + 8*((i // w) // 8) + 3*k) % 200 + 20 AS yv,
+                 (5*((i % w) // 16) + 7*((i // w) // 16) + 2*k) % 160 + 48 AS cb,
+                 (11*((i % w) // 16) + 3*((i // w) // 16) + k) % 160 + 48 AS cr
+          FROM g, UNNEST(range(0, w*h)) AS u(i)),
+        rgb AS (
+          SELECT doc_id, w, h, i,
+                 CASE WHEN k % 2 = 0 THEN yv
+                      ELSE least(greatest(CAST(floor(yv + 1.402*(cr-128) + 0.5) AS BIGINT), 0), 255) END AS r,
+                 CASE WHEN k % 2 = 0 THEN yv
+                      ELSE least(greatest(CAST(floor(yv - 0.344136*(cb-128) - 0.714136*(cr-128) + 0.5) AS BIGINT), 0), 255) END AS g2,
+                 CASE WHEN k % 2 = 0 THEN yv
+                      ELSE least(greatest(CAST(floor(yv + 1.772*(cb-128) + 0.5) AS BIGINT), 0), 255) END AS b
+          FROM px)
+        SELECT doc_id,
+               w::BIGINT AS width, h::BIGINT AS height,
+               CAST(SUM(r) AS BIGINT) AS sum_r,
+               CAST(SUM(g2) AS BIGINT) AS sum_g,
+               CAST(SUM(b) AS BIGINT) AS sum_b,
+               CAST(SUM(CASE WHEN (i % w) % 2 = 0 AND (i // w) % 2 = 0
+                             THEN r + g2 + b ELSE 0 END) AS BIGINT) AS even_sum
+        FROM rgb
+        GROUP BY doc_id, w, h
+        ORDER BY doc_id
+      """.trim),
+    ),
+
     // m10: REAL WAV PCM sample decode — the audio analog of the pixel
     // round-trips: RIFF chunk walk + int16 LE sample fold into
     // sum/|sum|/peak stats (the silence/clipping/loudness gates an audio

@@ -55,6 +55,9 @@ class ByteParserFuzzSpec extends AnyFunSuite {
       Multimodal.encodeGif(1L, 4, 4).take(13 + 768 + 10),
       // a valid RIFF/WAVE/fmt prefix with fuzz deciding the chunk tail
       Multimodal.encodeWavPcm16(1L, 8).take(36),
+      // a valid JPEG SOI..SOS prefix with fuzz deciding the entropy
+      // scan — exercises the huffman decoder on junk codes
+      Multimodal.encodeJpeg(1L, 1, 1).take(180),
       "RIFF".getBytes("US-ASCII"),
       "RIFF1234WAVE".getBytes("US-ASCII"),
       "RIFF1234WAVEfmt ".getBytes("US-ASCII"),
@@ -88,6 +91,9 @@ class ByteParserFuzzSpec extends AnyFunSuite {
       // WAV sample decode: chunk walk + int16 fold
       val (wc, _, _, _, _) = Multimodal.decodeWavStats(b)
       assert(wc >= -1)
+      // JPEG decode: marker walk + huffman scan + IDCT
+      val (jw, jh, _, _, _, _) = Multimodal.decodeJpegStats(b)
+      assert(jw >= -1 && jh >= -1)
       val (avFmt, ch, rate, bits, dur) = Multimodal.parseAvHeader(b)
       assert(avFmt == "unknown" || avFmt == "wav" || avFmt == "mp4")
       if (avFmt == "unknown") assert(ch == -1 && bits == -1 && dur == 0L)

@@ -283,6 +283,44 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(Multimodal.decodeGifStats(gif.take(cut) :+ 0x3b.toByte)._1 == -1)
   }
 
+  test("JPEG pixel decode: huffman scan, 4:2:0 vs grayscale, malformed") {
+    // brute-force reference from the analytic block model; even seeds
+    // grayscale, odd seeds color 4:2:0 (both real entropy paths)
+    for (wm <- 1 to 2; hm <- 1 to 3; k <- Seq(0L, 1L, 17L, 42L, 250L)) {
+      val w = 16 * wm; val h = 16 * hm
+      val got = Multimodal.decodeJpegStats(Multimodal.encodeJpeg(k, wm, hm))
+      val px = for { y <- 0 until h; x <- 0 until w } yield {
+        val yv = Multimodal.jpegY(k, x / 8, y / 8)
+        if ((k & 1) == 0) (yv, yv, yv)
+        else Multimodal.ycbcrToRgb(yv,
+          Multimodal.jpegCb(k, x / 16, y / 16), Multimodal.jpegCr(k, x / 16, y / 16))
+      }
+      val even = for { y <- 0 until h by 2; x <- 0 until w by 2 } yield {
+        val yv = Multimodal.jpegY(k, x / 8, y / 8)
+        if ((k & 1) == 0) (yv, yv, yv)
+        else Multimodal.ycbcrToRgb(yv,
+          Multimodal.jpegCb(k, x / 16, y / 16), Multimodal.jpegCr(k, x / 16, y / 16))
+      }
+      assert(got == ((w, h,
+        px.map(_._1.toLong).sum, px.map(_._2.toLong).sum, px.map(_._3.toLong).sum,
+        even.map(p => (p._1 + p._2 + p._3).toLong).sum)), s"wm=$wm hm=$hm k=$k")
+    }
+    // an APP0/JFIF segment must be skipped like any APPn
+    val jpg = Multimodal.encodeJpeg(3, 1, 1)
+    val app0 = Array[Byte](0xff.toByte, 0xe0.toByte, 0, 16,
+      'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+    val spliced = jpg.take(2) ++ app0 ++ jpg.drop(2)
+    assert(Multimodal.decodeJpegStats(spliced) == Multimodal.decodeJpegStats(jpg))
+    // malformed: magic, truncated scan, progressive SOF2 rejected
+    assert(Multimodal.decodeJpegStats("not a jpeg".getBytes)._1 == -1)
+    assert(Multimodal.decodeJpegStats(jpg.dropRight(jpg.length / 3))._1 == -1)
+    val sof2 = jpg.clone()
+    val sofAt = (0 until sof2.length - 1).find(i =>
+      (sof2(i) & 0xff) == 0xff && (sof2(i + 1) & 0xff) == 0xc0).get
+    sof2(sofAt + 1) = 0xc2.toByte
+    assert(Multimodal.decodeJpegStats(sof2)._1 == -1)
+  }
+
   test("WAV PCM decode: sample stats, chunk skip, malformed") {
     for (n <- Seq(1, 50, 449); k <- Seq(0L, 17L, 250L)) {
       val got = Multimodal.decodeWavStats(Multimodal.encodeWavPcm16(k, n))
