@@ -226,12 +226,16 @@ object CrawlDbQueries {
           .select(col("n_nationkey").cast("long").as("root"))
         val rank = graft.ops.LinkGraph.domainRank(edges, superRoots)
         val roots = edges.select(col("dst_domain"), col("dst_root")).distinct()
+        // per-root top-K through the bounded heap, not a window: root
+        // domains are zipf-skewed (one root can own millions of
+        // subdomains), and a window would sort a whole root on one task
         rank.join(roots, "dst_domain")
-          .withColumn("pos", row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("dst_root"))
-              .orderBy(col("rank_score").desc, col("dst_domain"))).cast("long"))
-          .filter(col("pos") <= PipeListK)
-          .select(col("dst_root"), col("pos"), col("dst_domain"), col("rank_score"))
+          .groupBy("dst_root")
+          .agg(graft.ops.TopK.topScored(PipeListK)(
+            col("rank_score"), col("dst_domain")).as("top"))
+          .select(col("dst_root"), posexplode(col("top")))
+          .select(col("dst_root"), (col("pos") + 1).cast("long").as("pos"),
+            col("col.key").as("dst_domain"), col("col.score").as("rank_score"))
           .orderBy("dst_root", "pos")
       },
       Some(s"""

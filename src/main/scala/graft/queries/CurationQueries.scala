@@ -298,24 +298,41 @@ object CurationQueries {
     // cu7: sequence packing — assemble documents into fixed token-budget
     // training sequences (the batch-assembly step after curation; lg3 is
     // the same prefix-sum packing shape for crawl segments). Docs are
-    // hash-sharded first, then packed WITHIN each shard by a running
-    // token sum over a deterministic (md5, doc_id) order — the window is
-    // partitionBy(shard), so at 100 TB each packer sees one shard, not a
-    // global sort. Token count is the chars/4 heuristic (integer div,
-    // engine-exact); seq boundaries fall out of floor(cumsum/budget).
+    // hash-sharded, then packed within each shard by a running token sum
+    // over a deterministic (md5-bucket, doc_id) order — computed with
+    // the cu12/cu13 TWO-PHASE shape, not a per-shard window: 16 shards
+    // is a parallelism cap, and one shard is corpus/16 rows on a single
+    // task at 100 TB. The md5 order's leading 2 hex chars split each
+    // shard into 256 contiguous ranges, so cumsum = within-(shard,
+    // bucket) running sum + the bucket's per-shard TOKEN-TOTAL prefix
+    // (a ≤256-rows-per-shard broadcast) — bit-identical seq boundaries,
+    // 4096-way parallel. Token count is the chars/4 heuristic; seq
+    // boundaries fall out of floor(cumsum/budget).
     Q(
       "cu7_sequence_packing",
       (s, dir) => {
         val budget = 2048L
         val docs = Registry.table(s, dir, "documents")
-        val w = Window.partitionBy("shard_id")
-          .orderBy(md5Bucket("pack", col("doc_id")), col("doc_id"))
-        docs
+        val keyed = docs
           .select(col("doc_id"),
             pmod(col("doc_id"), lit(16)).as("shard_id"),
             expr("n_chars div 4").as("n_tokens"))
+          .withColumn("b", md5Bucket("pack", col("doc_id")))
+        val offs = keyed.groupBy("shard_id", "b")
+          .agg(sum("n_tokens").as("bt"))
+          .withColumn("off",
+            coalesce(sum("bt").over(
+              Window.partitionBy("shard_id").orderBy("b")
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("shard_id"), col("b"), col("off"))
+        keyed
+          .withColumn("run",
+            sum(col("n_tokens")).over(
+              Window.partitionBy("shard_id", "b").orderBy(col("doc_id"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .join(broadcast(offs), Seq("shard_id", "b"))
           .withColumn("seq_id",
-            floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget))
+            floor((col("off") + col("run") - col("n_tokens")) / budget))
           .groupBy("shard_id", "seq_id")
           .agg(
             count(lit(1)).as("n_docs"),

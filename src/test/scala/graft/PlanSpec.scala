@@ -333,6 +333,36 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("c4 per-root rank lists run as bounded heaps, not root windows") {
+    val p = plan("c4_pipeline_rank_lists")
+    // root domains are zipf-skewed; the final top-K per root must be a
+    // partial→final ObjectHashAggregate, and no row_number window over
+    // rank rows may remain
+    assert(!"row_number\\(\\)".r.findFirstIn(p).isDefined,
+      s"c4 fell back to a row_number window:\n$p")
+    val objAggs = "ObjectHashAggregate".r.findAllIn(p).size
+    assert(objAggs >= 2, s"c4: expected partial+final ObjectHashAggregate:\n$p")
+  }
+
+  test("cu7 packs sequences two-phase; every data window is bucket-partitioned") {
+    val p = plan("cu7_sequence_packing")
+    // the running token sum must be partitioned by (shard, md5-bucket) —
+    // a shard-only window puts corpus/16 rows on one task; the offs
+    // prefix sum windows over ≤256 bucket totals per shard instead
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, s"no window found in:\n$p")
+    val dataWindows = specs.filter(_.contains("doc_id#"))
+    assert(dataWindows.nonEmpty, s"no per-row running-sum window in:\n$p")
+    dataWindows.foreach { w =>
+      assert("""shard_id#\d+L?, b#\d+,""".r.findFirstIn(w).isDefined,
+        s"cu7: data window not (shard, bucket)-partitioned: $w\n$p")
+    }
+    // bucket offsets join in broadcast
+    assert(p.contains("BroadcastHashJoin"),
+      s"cu7: 256-row offset table must broadcast:\n$p")
+  }
+
   test("cu9 document frequency is a two-phase aggregate, never a token window") {
     val p = plan("cu9_tfidf")
     // a count().over(partitionBy(token)) buffers a token's whole posting
