@@ -337,6 +337,93 @@ object CharsetSniff {
   private def definedInCp1252(c: Int): Boolean =
     c != 0x81 && c != 0x8d && c != 0x8f && c != 0x90 && c != 0x9d
 
+  /** CJK/Cyrillic tier of the statistical cascade (the role the
+    * reference delegates to ICU/Mozilla detectors — CharsetUtils.java's
+    * detectCharacterEncoding fallbacks — re-derived from the PUBLIC
+    * encoding structures alone, no trained models):
+    *
+    *  - Shift_JIS is structurally distinctive: lead bytes 0x81–0x9F
+    *    (excluding the EUC-JP SS2/SS3 bytes 0x8E/0x8F) exist in no EUC
+    *    encoding, and hiragana/katakana — 0x82xx/0x83xx — make them
+    *    ubiquitous in real Japanese pages. Requires a fully valid SJIS
+    *    parse plus ≥2 such leads (a stray cp1252 curly quote can forge
+    *    one).
+    *  - The EUC family (EUC-JP / EUC-KR / GB2312) shares the
+    *    0xA1–0xFE pair structure, so validity alone cannot split it;
+    *    the split uses row occupancy: kana rows 0xA4/0xA5 (or an SS2
+    *    half-width kana) ⇒ EUC-JP; hangul occupies rows ≤ 0xC8 while
+    *    GB2312's pinyin-ordered hanzi spread well past it, so ≥95 % of
+    *    leads ≤ 0xC8 ⇒ EUC-KR, else GB2312.
+    *  - windows-1251 Cyrillic text is ≥40 % letters in 0xC0–0xFF with
+    *    odd-length letter runs (word lengths) that break any EUC pair
+    *    parse; Latin cp1252 text never reaches that density (accents
+    *    are a few percent of bytes).
+    *
+    * Returns null when no legacy profile matches (the cp1252/latin-1
+    * single-byte tier then decides). */
+  private def sniffLegacyMultiByte(b: Array[Byte]): String = {
+    val n = b.length
+    def at(i: Int) = b(i) & 0xff
+    // Shift_JIS validity + structural-lead count
+    var i = 0
+    var sjisValid = true
+    var sjisStrong = 0
+    while (sjisValid && i < n) {
+      val c = at(i)
+      if (c < 0x80) i += 1
+      else if (c >= 0xa1 && c <= 0xdf) i += 1 // half-width kana
+      else if ((c >= 0x81 && c <= 0x9f) || (c >= 0xe0 && c <= 0xef)) {
+        if (i + 1 >= n) sjisValid = false
+        else {
+          val t = at(i + 1)
+          if ((t >= 0x40 && t <= 0x7e) || (t >= 0x80 && t <= 0xfc)) {
+            if (c <= 0x9f && c != 0x8e && c != 0x8f) sjisStrong += 1
+            i += 2
+          } else sjisValid = false
+        }
+      } else sjisValid = false
+    }
+    if (sjisValid && sjisStrong >= 2) return "SHIFT_JIS"
+    // EUC family validity + row occupancy
+    var j = 0
+    var eucValid = true
+    var pairs = 0
+    var kanaRow = 0
+    var leadHigh = 0 // leads past the hangul region
+    var ss2 = 0
+    while (eucValid && j < n) {
+      val c = at(j)
+      if (c < 0x80) j += 1
+      else if (c == 0x8e) { // EUC-JP SS2 (half-width kana)
+        if (j + 1 < n && at(j + 1) >= 0xa1 && at(j + 1) <= 0xdf) { ss2 += 1; j += 2 }
+        else eucValid = false
+      } else if (c >= 0xa1 && c <= 0xfe) {
+        if (j + 1 < n && at(j + 1) >= 0xa1 && at(j + 1) <= 0xfe) {
+          pairs += 1
+          if (c == 0xa4 || c == 0xa5) kanaRow += 1
+          if (c > 0xc8) leadHigh += 1
+          j += 2
+        } else eucValid = false
+      } else eucValid = false
+    }
+    if (eucValid && (pairs >= 2 || ss2 > 0)) {
+      if (ss2 > 0 || kanaRow * 10 >= pairs) return "EUC-JP"
+      if (leadHigh * 20 <= pairs) return "EUC-KR"
+      return "GB2312"
+    }
+    // windows-1251 density test
+    var k = 0
+    var hi = 0
+    var cyr = 0
+    while (k < n) {
+      val c = at(k)
+      if (c >= 0x80) { hi += 1; if (c >= 0xc0) cyr += 1 }
+      k += 1
+    }
+    if (n > 0 && cyr * 5 >= n * 2 && cyr * 10 >= hi * 9) return "WINDOWS-1251"
+    null
+  }
+
   def sniffCharset(b: Array[Byte]): UTF8String = {
     val n = b.length
     def at(i: Int) = b(i) & 0xff
@@ -405,6 +492,9 @@ object CharsetSniff {
         if (valid && !multi) "US-ASCII"
         else if (valid) "UTF-8"
         else {
+          val legacy = sniffLegacyMultiByte(b)
+          if (legacy != null) legacy
+          else {
           // single-byte tier: a C1-range byte that cp1252 maps to a
           // printable character marks windows-1252; latin-1 text never
           // contains C1 controls
@@ -416,6 +506,7 @@ object CharsetSniff {
             k += 1
           }
           if (cp1252) "WINDOWS-1252" else "ISO-8859-1"
+          }
         }
         }
       }

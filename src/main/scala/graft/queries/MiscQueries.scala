@@ -290,6 +290,54 @@ object MiscQueries {
         ORDER BY charset
       """.trim),
     ),
+    // x12: the CJK/Cyrillic statistical tier (the ICU/Mozilla role in
+    // the reference's cascade, CharsetUtils.java detectCharacterEncoding
+    // fallbacks) over REAL legacy-encoded bytes: each doc's fixture text
+    // is genuine Japanese/Korean/Chinese/Russian prose encoded through
+    // the JVM's own Shift_JIS / EUC-JP / EUC-KR / GB2312 / windows-1251
+    // codecs, and the sniffer must recover the encoding from the bytes
+    // alone — structural SJIS leads, EUC row occupancy (kana rows vs
+    // hangul-region vs pinyin-spread hanzi), Cyrillic letter density.
+    // The oracle knows which class each doc_id got, so every verdict is
+    // hash-checked without DuckDB running the detector.
+    Q(
+      "x12_legacy_charsets",
+      (s, dir) => {
+        val legacyBytes = udf { (cls: Int, docId: Long) =>
+          val (text, cs) = cls match {
+            case 0 => ("これは にほんごの ぶんしょうです。かなが ならんでいます。", "Shift_JIS")
+            case 1 => ("これは にほんごの ぶんしょうです。かなが ならんでいます。", "EUC-JP")
+            case 2 => ("한국어 문서 처리 시스템 텍스트 분석 결과", "EUC-KR")
+            case 3 => ("中文文本处理系统字符编码检测数据分析程序", "GB2312")
+            case _ => ("Русский текст для проверки кодировки символов", "windows-1251")
+          }
+          ((text + " ") * 3 + s"doc $docId").getBytes(cs)
+        }
+        Registry.table(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.GraftFunctions.detectCharset(
+              lit(null).cast("string"),
+              legacyBytes((col("doc_id") % 5).cast("int"), col("doc_id")))
+              .as("charset"))
+          .groupBy("charset")
+          .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+          .orderBy("charset")
+      },
+      Some("""
+        SELECT charset, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+        FROM (
+          SELECT doc_id,
+                 CASE CAST(doc_id % 5 AS INT)
+                   WHEN 0 THEN 'SHIFT_JIS'
+                   WHEN 1 THEN 'EUC-JP'
+                   WHEN 2 THEN 'EUC-KR'
+                   WHEN 3 THEN 'GB2312'
+                   ELSE 'WINDOWS-1251' END AS charset
+          FROM documents)
+        GROUP BY charset
+        ORDER BY charset
+      """.trim),
+    ),
     // x9: HTML visible-text extraction (the parser's DOM text walk,
     // deterministic tier — ParserMapper/HTMLDomUtils). Each doc's text is
     // escaped into a full HTML page salted with a style block, a script

@@ -178,6 +178,14 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkSuite {
       // short buffers never trigger the UTF-16 heuristic (n >= 8): the
       // NULs are valid ASCII, so strict validation wins
       "US-ASCII" -> Array('h'.toByte, 0.toByte, 'i'.toByte, 0.toByte),
+      // CJK/Cyrillic tier: real JVM-encoded legacy bytes round-trip to
+      // their encoding name — structural SJIS leads, EUC row occupancy,
+      // Cyrillic density (each with mixed-in ASCII, as real pages have)
+      "SHIFT_JIS" -> "これは にほんごの 文章です。abc 123".getBytes("Shift_JIS"),
+      "EUC-JP" -> "これは にほんごの ぶんしょうです abc".getBytes("EUC-JP"),
+      "EUC-KR" -> "한국어 문서 처리 시스템 abc 123".getBytes("EUC-KR"),
+      "GB2312" -> "中文文本处理系统字符编码检测 abc".getBytes("GB2312"),
+      "WINDOWS-1251" -> "Русский текст для проверки abc".getBytes("windows-1251"),
     )
     val got = cases.map(_._2).zipWithIndex
       .map { case (b, i) => (i, b) }.toDF("i", "content")
