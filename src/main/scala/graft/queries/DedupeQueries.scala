@@ -355,5 +355,61 @@ object DedupeQueries {
         ORDER BY doc_a, doc_b
       """.trim),
     ),
+    // D10: chunk-level boilerplate removal — the CCNet/RefinedWeb line-dedup
+    // shape (dedupe at sub-document granularity: nav bars, cookie banners,
+    // repeated footers). Documents split into 5-word chunks; a chunk seen
+    // >= 3 times corpus-wide is boilerplate and is dropped; the cleaned
+    // text is reassembled in chunk order. All three stages are
+    // partial-agg'd groupBys (chunk counts never sit on one task — a hot
+    // boilerplate chunk is map-side combined before the shuffle), and the
+    // reassembly state is bounded by the document's own length. The oracle
+    // replays chunking, counting, and reassembly, so WHICH chunks were
+    // dropped — not just how many — is hash-checked.
+    Q(
+      "d10_chunk_dedupe",
+      (s, dir) => {
+        val W = 5
+        val T = 3
+        val docs = Registry.table(s, dir, "documents")
+        val words = split(col("text"), " ")
+        val nChunks = ceil(size(words).cast("double") / W).cast("int")
+        val chunks = docs.select(
+          col("doc_id"),
+          posexplode(transform(sequence(lit(0), nChunks - 1),
+            k => array_join(slice(words, k * W + 1, lit(W)), " "))))
+          .withColumnRenamed("pos", "chunk_idx")
+          .withColumnRenamed("col", "chunk")
+        val counts = chunks.groupBy("chunk").agg(count(lit(1)).as("n"))
+        chunks.join(counts, "chunk")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            sum(when(col("n") >= T, 1L).otherwise(0L)).as("n_boilerplate"),
+            array_join(
+              transform(
+                array_sort(collect_list(
+                  when(col("n") < T, struct(col("chunk_idx"), col("chunk"))))),
+                x => x.getField("chunk")),
+              " ").as("kept_text"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH nw AS (
+          SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        ), chunks AS (
+          SELECT doc_id, u.k AS chunk_idx,
+                 array_to_string(list_slice(words, u.k*5+1, u.k*5+5), ' ') AS chunk
+          FROM nw, unnest(range(0, CAST(ceil(len(words)/5.0) AS BIGINT))) AS u(k)
+        ), counts AS (SELECT chunk, COUNT(*) AS n FROM chunks GROUP BY 1)
+        SELECT doc_id,
+               COUNT(*) AS n_chunks,
+               SUM(CASE WHEN n >= 3 THEN 1 ELSE 0 END)::BIGINT AS n_boilerplate,
+               coalesce(array_to_string(
+                 list(chunk ORDER BY chunk_idx) FILTER (WHERE n < 3), ' '), '') AS kept_text
+        FROM chunks JOIN counts USING (chunk)
+        GROUP BY doc_id
+        ORDER BY doc_id
+      """.trim),
+    ),
   )
 }

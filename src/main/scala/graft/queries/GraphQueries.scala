@@ -530,5 +530,36 @@ object GraphQueries {
         FROM e GROUP BY scope, host ORDER BY scope, host
       """.trim),
     ),
+    // G10: HITS hubs/authorities over the same edge table as g5 (ops.Hits) —
+    // the link-spam second opinion to PageRank (a mutually-linking farm
+    // inflates rank but not authority). Two exact unnormalized integer
+    // iterations; the oracle unrolls them as joins, so the whole power
+    // iteration — weighting, seeding, both half-steps per round — is
+    // hash-checked.
+    Q(
+      "g10_hits",
+      (s, dir) =>
+        graft.ops.Hits.run(edges(s, dir), iters = 2)
+          .orderBy("role", "node"),
+      Some(s"""
+        WITH $EdgesCte,
+        auth1 AS (
+          SELECT dst_domain AS node, CAST(SUM(n_links) AS BIGINT) AS a
+          FROM edges GROUP BY 1),
+        hub1 AS (
+          SELECT e.src_domain AS node, CAST(SUM(e.n_links * a1.a) AS BIGINT) AS h
+          FROM edges e JOIN auth1 a1 ON e.dst_domain = a1.node GROUP BY 1),
+        auth2 AS (
+          SELECT e.dst_domain AS node, CAST(SUM(e.n_links * h1.h) AS BIGINT) AS a
+          FROM edges e JOIN hub1 h1 ON e.src_domain = h1.node GROUP BY 1),
+        hub2 AS (
+          SELECT e.src_domain AS node, CAST(SUM(e.n_links * a2.a) AS BIGINT) AS h
+          FROM edges e JOIN auth2 a2 ON e.dst_domain = a2.node GROUP BY 1)
+        SELECT 'auth' AS role, node, a AS score_u FROM auth2
+        UNION ALL
+        SELECT 'hub' AS role, node, h AS score_u FROM hub2
+        ORDER BY role, node
+      """.trim),
+    ),
   )
 }

@@ -741,5 +741,45 @@ object RelationalQueries {
         FROM verdict GROUP BY actual, in_bloom ORDER BY actual, in_bloom
       """.stripMargin.trim),
     ),
+    // A18: single-artifact table profiler — per-column row/null/distinct/
+    // mode-frequency stats, the data-quality report a pipeline runs before
+    // and after every transform. One union branch per column; each branch's
+    // scan prunes to exactly that column (columnar-friendly: the branches
+    // read disjoint single-column projections, not N full scans), and every
+    // branch is a two-level partial-agg'd groupBy — the inner groupBy is on
+    // the column's distinct values (map-side combined), the outer folds the
+    // O(ndv) group counts, so no value list ever sits on one task. All
+    // metrics are count-valued BIGINTs: value equality happens on native
+    // types inside each engine and no formatted value crosses the oracle
+    // boundary (double/timestamp rendering never enters the hash).
+    Q(
+      "a18_table_profile",
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+        val cols = Seq("event_id", "event_type", "props", "ts", "user_id", "value")
+        cols.map { c =>
+          ev.select(col(c).as("v"))
+            .groupBy("v").agg(count(lit(1)).as("cnt"))
+            .agg(
+              sum(col("cnt")).as("n_rows"),
+              coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L)).as("n_nulls"),
+              count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
+              coalesce(max(when(col("v").isNotNull, col("cnt"))), lit(0L)).as("mode_count"))
+            .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
+              col("n_distinct"), col("mode_count"))
+        }.reduce(_ unionByName _).orderBy("column_name")
+      },
+      Some {
+        val branch = (c: String) => s"""
+          |SELECT '$c' AS column_name,
+          |       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+          |       CAST(coalesce(SUM(CASE WHEN v IS NULL THEN cnt END), 0) AS BIGINT) AS n_nulls,
+          |       COUNT(CASE WHEN v IS NOT NULL THEN 1 END) AS n_distinct,
+          |       CAST(coalesce(MAX(CASE WHEN v IS NOT NULL THEN cnt END), 0) AS BIGINT) AS mode_count
+          |FROM (SELECT $c AS v, COUNT(*) AS cnt FROM events GROUP BY 1)""".stripMargin.trim
+        Seq("event_id", "event_type", "props", "ts", "user_id", "value")
+          .map(branch).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+      },
+    ),
   )
 }
