@@ -1566,4 +1566,151 @@ object Multimodal {
     }
     spark.createDataFrame(rdd, outSchema)
   }
+
+  // --- MP4 sample tables: the frame-level metadata layer ---------------
+  // parseAvHeader stops at moov/mvhd (whole-presentation timing). The
+  // frame-sampling plan a video pipeline runs — "which byte ranges are
+  // frames, how long is each" — lives one level down, in the track's
+  // sample tables (ISO 14496-12 §8.6/8.7): stts (time-to-sample run
+  // lengths) and stsz (per-sample sizes). Both are fixed-layout
+  // big-endian arrays: parseable exactly, no codec. This is the metadata
+  // a 100 TB corpus scan needs to budget frame extraction WITHOUT
+  // touching mdat payload bytes.
+
+  val Mp4SampleStatsSchema: StructType = StructType(Seq(
+    StructField("n_samples", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false), // from stts Σcount·delta over mdhd timescale
+    StructField("total_sample_bytes", LongType, nullable = false),
+    StructField("max_sample_size", LongType, nullable = false),
+  ))
+
+  /** Walk moov/trak/mdia/{mdhd, minf/stbl/{stts, stsz}} and fold the
+    * sample tables: (n_samples, duration_ms, total_sample_bytes,
+    * max_sample_size). Declared box sizes and entry counts are untrusted
+    * (Long cursors, end-clamping, count-vs-available-bytes caps) —
+    * malformed input returns the (-1, 0, 0, 0) sentinel, never a throw. */
+  private[graft] def parseMp4SampleStats(b: Array[Byte]): (Long, Long, Long, Long) = {
+    def u8(i: Int) = b(i) & 0xff
+    def be32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    def cc(i: Int) = if (i + 4 <= b.length) new String(b, i, 4, "US-ASCII") else ""
+    val none = (-1L, 0L, 0L, 0L)
+    if (b.length < 8 || cc(4) != "ftyp") return none
+    // first child box named `id` inside [start, end) → its body span
+    def child(start: Long, end: Long, id: String): Option[(Long, Long)] = {
+      var i = start
+      while (i + 8 <= end) {
+        val size = be32(i.toInt)
+        if (size < 8) return None // malformed/size-0 box: stop the walk
+        if (cc(i.toInt + 4) == id) return Some((i + 8, math.min(i + size, end)))
+        i += size
+      }
+      None
+    }
+    val stats = for {
+      moov <- child(0, b.length.toLong, "moov")
+      trak <- child(moov._1, moov._2, "trak")
+      mdia <- child(trak._1, trak._2, "mdia")
+      mdhd <- child(mdia._1, mdia._2, "mdhd")
+      minf <- child(mdia._1, mdia._2, "minf")
+      stbl <- child(minf._1, minf._2, "stbl")
+      stts <- child(stbl._1, stbl._2, "stts")
+      stsz <- child(stbl._1, stbl._2, "stsz")
+    } yield {
+      // mdhd v0: ver/flags, ctime, mtime, timescale, duration
+      val ma = mdhd._1.toInt
+      val timescale =
+        if (mdhd._2 - mdhd._1 >= 20 && u8(ma) == 0) be32(ma + 12) else -1L
+      // stts: ver/flags, entry_count, then (sample_count, sample_delta)*
+      val ta = stts._1.toInt
+      var sumCount = 0L
+      var sumDeltas = 0L
+      var ok = stts._2 - stts._1 >= 8
+      if (ok) {
+        val declared = be32(ta + 4)
+        val avail = (stts._2 - stts._1 - 8) / 8
+        if (declared > avail) ok = false
+        else {
+          var e = 0
+          while (e < declared && ok) {
+            val cnt = be32(ta + 8 + e * 8)
+            val delta = be32(ta + 12 + e * 8)
+            // u32·u32 can exceed Long range (the BMP-overflow lesson:
+            // wrapped intermediates turn bounds checks into lies) —
+            // saturating guards keep adversarial tables in the sentinel
+            // path instead of emitting wrapped negatives
+            if (cnt != 0 && delta > Long.MaxValue / cnt) ok = false
+            else {
+              sumCount += cnt
+              sumDeltas += cnt * delta
+              if (sumDeltas < 0 || sumDeltas > Long.MaxValue / 1000L) ok = false
+            }
+            e += 1
+          }
+        }
+      }
+      // stsz: ver/flags, sample_size (0 = per-sample table), sample_count
+      val za = stsz._1.toInt
+      var n = 0L; var total = 0L; var mx = 0L
+      if (ok && stsz._2 - stsz._1 >= 12) {
+        val fixed = be32(za + 4)
+        n = be32(za + 8)
+        if (fixed > 0) {
+          if (n > Long.MaxValue / fixed) ok = false // u32·u32 overflow guard
+          else { total = n * fixed; mx = fixed }
+        }
+        else if (n > (stsz._2 - stsz._1 - 12) / 4) ok = false
+        else {
+          var i = 0
+          while (i < n) {
+            val sz = be32(za + 12 + i * 4)
+            total += sz
+            if (sz > mx) mx = sz
+            i += 1
+          }
+        }
+      } else ok = false
+      if (!ok || timescale <= 0) none
+      else (n, sumDeltas * 1000L / timescale, total, mx)
+    }
+    stats.getOrElse(none)
+  }
+
+  /** Synthesize a one-track MP4 whose sample tables are real: ftyp, then
+    * moov/trak/mdia/{mdhd v0 (timescale, duration = n·delta), minf/stbl/
+    * {stts (one run: n samples × delta ticks), stsz (per-sample size
+    * table, sizes = base + i² mod 7)}}. Box sizes are computed from the
+    * children, so the parser walks genuine nesting. */
+  def packMp4Track(timescale: Column, delta: Column, n: Column, base: Column): Column = {
+    val sizesHex = array_join(
+      transform(sequence(lit(0), n - 1),
+        i => be32hex(base + (i * i) % 7)), "")
+    val stsz = concat(be32hex(n * 4 + 20), lit("7374737A" + "00000000" + "00000000"),
+      be32hex(n), sizesHex)
+    val stts = concat(lit("00000018" + "73747473" + "00000000" + "00000001"),
+      be32hex(n), be32hex(delta))
+    val stbl = concat(be32hex(n * 4 + 52), lit("7374626C"), stts, stsz)
+    val minf = concat(be32hex(n * 4 + 60), lit("6D696E66"), stbl)
+    val mdhd = concat(lit("00000020" + "6D646864" + "00000000" + "00000000" + "00000000"),
+      be32hex(timescale), be32hex(n * delta), lit("00000000"))
+    val mdia = concat(be32hex(n * 4 + 100), lit("6D646961"), mdhd, minf)
+    val trak = concat(be32hex(n * 4 + 108), lit("7472616B"), mdia)
+    val moov = concat(be32hex(n * 4 + 116), lit("6D6F6F76"), trak)
+    unhex(concat(lit("00000010" + "66747970" + "69736F6D" + "00000000"), moov))
+  }
+
+  /** MP4 sample-table decode over the SAME per-partition batch seam as
+    * [[decodeHeaderStub]]: (id, media) → (id, Mp4SampleStatsSchema...). */
+  def decodeMp4SampleStats(df: DataFrame, id: String, media: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(
+      StructField("id", LongType, nullable = false) +: Mp4SampleStatsSchema.fields.toSeq)
+    val rdd = df.select(col(id).cast("long"), col(media)).rdd.mapPartitions { it =>
+      it.map { r =>
+        val (n, durMs, total, mx) = parseMp4SampleStats(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), n, durMs, total, mx)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
 }

@@ -461,5 +461,49 @@ object MultimodalQueries {
         ORDER BY doc_id
       """.trim),
     ),
+
+    // m12: REAL MP4 sample-table walk — one level below m6's mvhd:
+    // moov/trak/mdia/{mdhd, minf/stbl/{stts, stsz}} (ISO 14496-12), the
+    // per-frame timing/size metadata a video pipeline needs to budget
+    // frame extraction without touching mdat. The synthesized container
+    // has genuine box nesting with child-derived sizes and a REAL
+    // per-sample stsz table (sizes = base + i² mod 7), so a wrong box
+    // walk, a misread run-length stts, or an off-by-one in the size
+    // table each breaks the hash. Durations are integer-exact
+    // (Σcount·delta·1000 div timescale) in both engines.
+    Q(
+      "m12_mp4_samples",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val packed = docs.select(col("doc_id"),
+          Multimodal.packMp4Track(
+            (col("doc_id") % 5 * 600 + 600).cast("int"),
+            (col("doc_id") % 50 + 100).cast("int"),
+            (col("n_chars") % 30 + 1).cast("int"),
+            (col("doc_id") % 100 + 200).cast("int")).as("media"))
+        Multimodal.decodeMp4SampleStats(packed, "doc_id", "media")
+          .select(col("id").as("doc_id"), col("n_samples"),
+            col("duration_ms"), col("total_sample_bytes"), col("max_sample_size"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id,
+                 doc_id % 5 * 600 + 600 AS tsc,
+                 doc_id % 50 + 100 AS delta,
+                 n_chars % 30 + 1 AS n,
+                 doc_id % 100 + 200 AS base
+          FROM documents)
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(n * delta * 1000 // tsc AS BIGINT) AS duration_ms,
+               CAST(n * base + list_sum(list_transform(range(0, n),
+                 i -> (i * i) % 7)) AS BIGINT) AS total_sample_bytes,
+               CAST(base + list_max(list_transform(range(0, n),
+                 i -> (i * i) % 7)) AS BIGINT) AS max_sample_size
+        FROM p
+        ORDER BY doc_id
+      """.trim),
+    ),
   )
 }

@@ -352,6 +352,36 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(got == Map(0L -> ((3, 2)), 7L -> ((16, 9)), 250L -> ((5, 4))))
   }
 
+  test("packMp4Track → parseMp4SampleStats round-trips the sample tables") {
+    import spark.implicits._
+    // timescale 1200, delta 110, n 4, base 250:
+    //   sizes = 250+0, 250+1, 250+4, 250+2 (i² mod 7) → total 1007, max 254
+    //   duration_ms = 4·110·1000/1200 = 366
+    val media = Seq((1L, 1200, 110, 4, 250)).toDF("id", "tsc", "d", "n", "b")
+      .select(Multimodal.packMp4Track(col("tsc"), col("d"), col("n"), col("b")))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(Multimodal.parseMp4SampleStats(media) == ((4L, 366L, 1007L, 254L)))
+    // the parsed container is also still a valid m6-level MP4... no mvhd
+    // here (track-only moov), so parseAvHeader reports unknown — by design
+    assert(Multimodal.parseAvHeader(media)._1 == "unknown")
+  }
+
+  test("stsz fixed-size branch: constant sample size folds without a table") {
+    // hand-build: replace stsz with fixed sample_size=100, count=5
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(id: String, body: Array[Byte]) =
+      be32(8 + body.length) ++ id.getBytes("US-ASCII") ++ body
+    val stts = box("stts", be32(0) ++ be32(1) ++ be32(5) ++ be32(200))
+    val stsz = box("stsz", be32(0) ++ be32(100) ++ be32(5))
+    val mdhd = box("mdhd", Array.fill[Byte](12)(0) ++ be32(1000) ++ be32(1000) ++ be32(0))
+    val stbl = box("stbl", stts ++ stsz)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", mdhd ++ minf)
+    val b = be32(16) ++ "ftypisom".getBytes("US-ASCII") ++ be32(0) ++
+      box("moov", box("trak", mdia))
+    assert(Multimodal.parseMp4SampleStats(b) == ((5L, 1000L, 500L, 100L)))
+  }
+
   test("frame sampling: every k-th index, capped") {
     import spark.implicits._
     val df = Seq(10, 1, 100).toDF("n")
