@@ -533,5 +533,56 @@ object TextQueries {
         ORDER BY h.doc_id
       """.trim),
     ),
+    // t13: distributed BPE merge learning (ops.Bpe) — the subword
+    // tokenizer trained before any pretraining run. The corpus collapses
+    // to its word-frequency table once; five merge rounds then run over
+    // the vocabulary only. The oracle replays the ENTIRE training loop
+    // level-by-level in SQL (pair count → deterministic argmax →
+    // left-to-right non-overlapping rewrite via a list_reduce lambda), so
+    // the learned merge table — not a summary of it — is hash-checked.
+    Q(
+      "t13_bpe_merges",
+      (s, dir) =>
+        graft.ops.Bpe.learnMerges(
+          Registry.table(s, dir, "documents"), "text", k = 5)
+          .orderBy("step"),
+      Some(bpeOracle(5)),
+    ),
   )
+
+  /** t13 oracle: k unrolled BPE levels. Level i computes pair counts over
+    * s(i-1), picks the (cnt DESC, l, r) argmax, and rewrites the
+    * vocabulary with DuckDB's list_reduce (acc slicing is end-INCLUSIVE:
+    * acc[:len(acc)-1] drops the merged-away last element). */
+  private def bpeOracle(k: Int): String = {
+    val levels = (1 to k).map { i =>
+      s"""p$i AS (
+         |  SELECT syms[j] AS l, syms[j+1] AS r, SUM(freq)::BIGINT AS cnt
+         |  FROM s${i - 1}, unnest(range(1, len(syms))) AS u(j)
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |s$i AS (
+         |  SELECT freq,
+         |         list_reduce(list_transform(syms, s -> [s]), (acc, x) ->
+         |           CASE WHEN len(acc) > 0 AND acc[-1] = b$i.l AND x[1] = b$i.r
+         |                THEN list_append(acc[:len(acc)-1], b$i.l || b$i.r)
+         |                ELSE list_concat(acc, x) END) AS syms
+         |  FROM s${i - 1}, b$i)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k)
+      .map(i => s"SELECT $i AS step, l AS lhs, r AS rhs, cnt AS weight FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH v0 AS (
+       |  SELECT w, COUNT(*)::BIGINT AS freq
+       |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
+       |  WHERE length(w) > 0 GROUP BY w),
+       |s0 AS (
+       |  SELECT freq,
+       |         list_append([substr(w, i, 1) for i in range(1, length(w)+1)],
+       |                     '</w>') AS syms
+       |  FROM v0),
+       |$levels
+       |$out
+       |ORDER BY step""".stripMargin
+  }
 }
