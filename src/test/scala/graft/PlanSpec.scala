@@ -413,4 +413,25 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert("Exchange SinglePartition".r.findAllIn(p).size == 1,
       s"expected exactly the bucket-size prefix sum on one partition:\n$p")
   }
+
+  test("d10 chunk dedupe: no window; chunk counts partial→final") {
+    val p = plan("d10_chunk_dedupe")
+    // a hot boilerplate chunk must be map-side combined, never
+    // window-partitioned (that would buffer its whole posting on one task)
+    assert(!p.contains("Window"), s"d10 fell back to a window:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final HashAggregate for chunk counts:\n$p")
+  }
+
+  test("a18 profiler branches scan exactly one column each") {
+    val p = plan("a18_table_profile")
+    // per-branch column pruning is the whole point of the union shape:
+    // six branches read six disjoint single-column projections
+    Seq("event_id:bigint", "event_type:string", "props:string",
+      "user_id:bigint", "value:double").foreach { c =>
+      assert(p.contains(s"ReadSchema: struct<$c>"),
+        s"branch for $c not single-column pruned:\n$p")
+    }
+    assert(p.contains("ReadSchema: struct<ts:"), s"ts branch missing:\n$p")
+  }
 }
