@@ -55,9 +55,12 @@ object Hits {
       p.count() // materialize now so every iteration reads the cache
       p
     }
-    val base = edges.select("src_domain", "dst_domain", "n_links")
-    val bySrc = pinned(base, "src_domain")
-    val byDst = pinned(base, "dst_domain")
+    // the caller's edge plan can be an arbitrarily expensive multi-join
+    // derivation: materialize it exactly ONCE (the src-partitioned pin),
+    // and build the dst-partitioned copy FROM that cache — two pins of
+    // the raw plan would run the whole derivation twice
+    val bySrc = pinned(edges.select("src_domain", "dst_domain", "n_links"), "src_domain")
+    val byDst = pinned(bySrc, "dst_domain")
 
     def rescale(df: DataFrame, scoreCol: String): DataFrame =
       if (!normalize) df
