@@ -561,5 +561,57 @@ object GraphQueries {
         ORDER BY role, node
       """.trim),
     ),
+    // G11: co-citation similarity — target domains that share many source
+    // domains ("related pages" in link analysis; the bipartite projection
+    // a crawl graph supports where triangle-style metrics don't apply).
+    // The per-source fanout is capped at 20 through the bounded TopK heap
+    // (ObjectHashAggregate, ≤20 rows per source leave each mapper — the
+    // reference's InvCap sampling analog), so pair generation is
+    // O(sources · cap²) — LINEAR in the corpus, never Σdeg² on a zipf
+    // hub. Jaccard runs over the capped neighbor sets, making the oracle
+    // exact: one integer ratio per pair, bit-identical in both engines.
+    Q(
+      "g11_cocitation",
+      (s, dir) => {
+        val cap = 20
+        val e = edges(s, dir)
+          .select(col("src_domain").as("cust"), col("dst_domain").as("supp"))
+        val capped = e.groupBy("cust")
+          .agg(graft.ops.TopK.topScored(cap)(
+            -col("supp").cast("double"), col("supp")).as("top"))
+          .select(col("cust"), explode(col("top.key")).as("supp"))
+        val deg = capped.groupBy("supp").agg(count(lit(1)).as("deg"))
+        val a = capped.select(col("cust"), col("supp").as("sa"))
+        val b = capped.select(col("cust"), col("supp").as("sb"))
+        a.join(b, "cust").filter(col("sa") < col("sb"))
+          .groupBy("sa", "sb").agg(count(lit(1)).as("common"))
+          .filter(col("common") >= 3)
+          .join(deg.select(col("supp").as("sa"), col("deg").as("dega")), "sa")
+          .join(deg.select(col("supp").as("sb"), col("deg").as("degb")), "sb")
+          .select(col("sa"), col("sb"), col("common"),
+            (col("common").cast("double") /
+              (col("dega") + col("degb") - col("common"))).as("jaccard"))
+          .orderBy(col("common").desc, col("sa"), col("sb"))
+      },
+      Some(s"""
+        WITH $EdgesCte,
+        capped AS (
+          SELECT src_domain AS cust, dst_domain AS supp
+          FROM edges
+          QUALIFY row_number() OVER (PARTITION BY src_domain ORDER BY dst_domain) <= 20
+        ),
+        deg AS (SELECT supp, COUNT(*) AS deg FROM capped GROUP BY 1),
+        pairs AS (
+          SELECT a.supp AS sa, b.supp AS sb, COUNT(*)::BIGINT AS common
+          FROM capped a JOIN capped b ON a.cust = b.cust AND a.supp < b.supp
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= 3
+        )
+        SELECT sa, sb, common,
+               common::DOUBLE / (da.deg + db.deg - common) AS jaccard
+        FROM pairs JOIN deg da ON sa = da.supp JOIN deg db ON sb = db.supp
+        ORDER BY common DESC, sa, sb
+      """.trim),
+    ),
   )
 }

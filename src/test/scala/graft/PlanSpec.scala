@@ -434,4 +434,14 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     }
     assert(p.contains("ReadSchema: struct<ts:"), s"ts branch missing:\n$p")
   }
+
+  test("g11 co-citation caps fanout through the heap, never a window") {
+    val p = plan("g11_cocitation")
+    // the per-source neighbor cap must run as the bounded TopK aggregate
+    // (≤20 rows per source leave each mapper); a row_number window would
+    // sort a zipf hub's whole posting on one task
+    assert(!p.contains("Window"), s"g11 fell back to a window sort:\n$p")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final ObjectHashAggregate for the cap:\n$p")
+  }
 }
