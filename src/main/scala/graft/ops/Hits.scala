@@ -67,7 +67,8 @@ object Hits {
       else {
         // integer rescale to max = NormScale; the max is a single scalar
         // aggregate over O(nodes) state (never over edges)
-        val mx = df.agg(max(col(scoreCol))).collect()(0).getLong(0).max(1L)
+        val row = df.agg(max(col(scoreCol))).collect()(0)
+        val mx = if (row.isNullAt(0)) 1L else row.getLong(0).max(1L) // empty graph → identity
         df.withColumn(scoreCol, expr(s"$scoreCol * ${NormScale}L div ${mx}L"))
       }
 

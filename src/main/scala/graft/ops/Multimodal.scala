@@ -1617,10 +1617,13 @@ object Multimodal {
       stts <- child(stbl._1, stbl._2, "stts")
       stsz <- child(stbl._1, stbl._2, "stsz")
     } yield {
-      // mdhd v0: ver/flags, ctime, mtime, timescale, duration
+      // mdhd v0: ver/flags, ctime, mtime, timescale, duration (u32 each);
+      // v1 widens the times to u64, shifting timescale to offset 20
       val ma = mdhd._1.toInt
       val timescale =
-        if (mdhd._2 - mdhd._1 >= 20 && u8(ma) == 0) be32(ma + 12) else -1L
+        if (mdhd._2 - mdhd._1 >= 20 && u8(ma) == 0) be32(ma + 12)
+        else if (mdhd._2 - mdhd._1 >= 28 && u8(ma) == 1) be32(ma + 20)
+        else -1L
       // stts: ver/flags, entry_count, then (sample_count, sample_delta)*
       val ta = stts._1.toInt
       var sumCount = 0L

@@ -366,6 +366,22 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(Multimodal.parseAvHeader(media)._1 == "unknown")
   }
 
+  test("mdhd v1 layout: timescale shifts past the 64-bit times") {
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(id: String, body: Array[Byte]) =
+      be32(8 + body.length) ++ id.getBytes("US-ASCII") ++ body
+    // v1: ver=1/flags, ctime(8), mtime(8), timescale(4), duration(8)
+    val mdhd = box("mdhd", Array[Byte](1, 0, 0, 0) ++ Array.fill[Byte](16)(0) ++
+      be32(500) ++ Array.fill[Byte](8)(0))
+    val stts = box("stts", be32(0) ++ be32(1) ++ be32(2) ++ be32(250))
+    val stsz = box("stsz", be32(0) ++ be32(10) ++ be32(2))
+    val mdia = box("mdia", mdhd ++ box("minf", box("stbl", stts ++ stsz)))
+    val b = be32(16) ++ "ftypisom".getBytes("US-ASCII") ++ be32(0) ++
+      box("moov", box("trak", mdia))
+    // duration_ms = 2·250·1000/500 = 1000; total 20, max 10
+    assert(Multimodal.parseMp4SampleStats(b) == ((2L, 1000L, 20L, 10L)))
+  }
+
   test("stsz fixed-size branch: constant sample size folds without a table") {
     // hand-build: replace stsz with fixed sample_size=100, count=5
     def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
