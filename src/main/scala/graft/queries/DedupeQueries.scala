@@ -355,6 +355,70 @@ object DedupeQueries {
         ORDER BY doc_a, doc_b
       """.trim),
     ),
+    // D11: the dedup KEEP DECISION — d5 finds the clusters; this picks
+    // which copy survives (best quality = longest, ties to the smallest
+    // id) and accounts what the drop saves, the form a curation run
+    // actually materializes. Singletons are their own winners, so the
+    // output IS the full keep-set decision. One extra groupBy over the
+    // labeled corpus: winner via max_by (partial-agg'd — a giant cluster
+    // folds to scalars per partition, never a window sort).
+    Q(
+      "d11_cluster_winners",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents").select("doc_id", "n_chars")
+        val pairs = Dedupe.minhashNearDupPairs(
+          Registry.table(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.8, k = 72, bands = 6)
+        val cc = Dedupe.connectedComponents(pairs)
+        docs.join(cc, docs("doc_id") === cc("id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+            col("n_chars"))
+          .groupBy("cluster_id")
+          .agg(
+            max_by(col("doc_id"), struct(col("n_chars"), (-col("doc_id")).as("nd")))
+              .as("winner_id"),
+            count(lit(1)).as("n_docs"),
+            (sum(col("n_chars")) - max(col("n_chars"))).as("removed_chars"))
+          .orderBy("cluster_id")
+      },
+      Some(s"""
+        WITH RECURSIVE ${minhashCtes(k = 72, bands = 6)},
+        pairs AS (
+          SELECT doc_a, doc_b
+          FROM cand JOIN sh x ON cand.doc_a = x.doc_id
+                    JOIN sh y ON cand.doc_b = y.doc_id
+          WHERE $JaccardSql >= 0.8
+        ),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        walk(id, label) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, w.label
+          FROM edges e JOIN walk w ON e.dst = w.id
+          WHERE w.label < e.src
+        ),
+        cc AS (SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id),
+        labeled AS (
+          SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+          FROM documents d LEFT JOIN cc ON d.doc_id = cc.id),
+        agg AS (
+          SELECT cluster_id, MAX(n_chars) AS mx, COUNT(*)::BIGINT AS n_docs,
+                 CAST(SUM(n_chars) - MAX(n_chars) AS BIGINT) AS removed_chars
+          FROM labeled GROUP BY cluster_id)
+        -- winner = smallest id among the longest docs: the tie-free
+        -- equivalent of Spark's max_by over (n_chars, -doc_id)
+        SELECT a.cluster_id, MIN(l.doc_id) AS winner_id,
+               a.n_docs, a.removed_chars
+        FROM agg a JOIN labeled l
+          ON l.cluster_id = a.cluster_id AND l.n_chars = a.mx
+        GROUP BY a.cluster_id, a.n_docs, a.removed_chars
+        ORDER BY a.cluster_id
+      """.trim),
+    ),
     // D10: chunk-level boilerplate removal — the CCNet/RefinedWeb line-dedup
     // shape (dedupe at sub-document granularity: nav bars, cookie banners,
     // repeated footers). Documents split into 5-word chunks; a chunk seen
