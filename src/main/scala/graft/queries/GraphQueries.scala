@@ -576,10 +576,14 @@ object GraphQueries {
         val cap = 20
         val e = edges(s, dir)
           .select(col("src_domain").as("cust"), col("dst_domain").as("supp"))
-        val capped = e.groupBy("cust")
-          .agg(graft.ops.TopK.topScored(cap)(
-            -col("supp").cast("double"), col("supp")).as("top"))
-          .select(col("cust"), explode(col("top.key")).as("supp"))
+        // capped feeds THREE consumers (deg + both pair-join sides):
+        // materialize once or the 4-table edge derivation and the heap
+        // cap would each run three times
+        val capped = graft.ops.Iterative.materialize(
+          e.groupBy("cust")
+            .agg(graft.ops.TopK.topScored(cap)(
+              -col("supp").cast("double"), col("supp")).as("top"))
+            .select(col("cust"), explode(col("top.key")).as("supp")))
         val deg = capped.groupBy("supp").agg(count(lit(1)).as("deg"))
         val a = capped.select(col("cust"), col("supp").as("sa"))
         val b = capped.select(col("cust"), col("supp").as("sb"))

@@ -436,7 +436,9 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("g11 co-citation caps fanout through the heap, never a window") {
-    val p = plan("g11_cocitation")
+    // planOnly: keep the materialization seam transparent so the capped
+    // sub-plan (heap aggregate) stays visible in the inspected plan
+    val p = graft.ops.Iterative.planOnly(plan("g11_cocitation"))
     // the per-source neighbor cap must run as the bounded TopK aggregate
     // (≤20 rows per source leave each mapper); a row_number window would
     // sort a zipf hub's whole posting on one task
