@@ -107,9 +107,18 @@ object SimilarityQueries {
     java.nio.file.Files.createTempDirectory("graft-ss9-").toString
 
   /** Shared by ss4 (in-memory IVF) and ss9 (persistent-index probe):
-    * identical semantics, one oracle gates both plans. */
+    * identical semantics, one oracle gates both plans; ss11 reuses the
+    * CTE block to score IVF candidates against the brute-force truth. */
   private def ivfOracle: String = s"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        WITH $ivfCtes
+        SELECT probe_id, neighbor_id, cos, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
+          FROM cand)
+        WHERE rank <= $TopK
+        ORDER BY probe_id, rank
+      """.trim
+
+  private def ivfCtes: String = s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         $ParamsCte,
         seeds AS (SELECT vec_id AS seed_id, v FROM e, params WHERE vec_id < n_seeds),
         vs AS (
@@ -135,13 +144,7 @@ object SimilarityQueries {
           JOIN assigned t ON t.cell = pc.cell
           JOIN e na ON na.vec_id = t.vec_id
           WHERE na.vec_id != pc.probe_id
-        )
-        SELECT probe_id, neighbor_id, cos, rank FROM (
-          SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
-          FROM cand)
-        WHERE rank <= $TopK
-        ORDER BY probe_id, rank
-      """.trim
+        )""".stripMargin
 
   def defs: Seq[Q] = Seq(
     // exact brute-force cosine top-k for a probe set (the ANN ground truth)
@@ -529,6 +532,59 @@ object SimilarityQueries {
         ORDER BY probe_id, rank
         """.trim
       },
+    ),
+    // ss11: ANN recall evaluation — the metric an ANN deployment tunes
+    // against (nprobe/bits trade recall for cost; without a measured
+    // recall@k the trade is blind). Per probe: |IVF top-k ∩ exact top-k|
+    // over k, IVF (ss4 semantics) scored against the brute-force ground
+    // truth (ss1 semantics). Both sides carry their existing oracle
+    // machinery, so the evaluation itself — the intersection and the
+    // ratio — is hash-checked too. Scale: the truth side is the probe
+    // set × corpus scan (probe sets are small by construction); the IVF
+    // side is the production path being measured.
+    Q(
+      "ss11_ann_recall",
+      (s, dir) => {
+        val emb = Registry.table(s, dir, "embeddings")
+        val n = emb.count()
+        val vecs = Similarity.vectors(emb, "vec_id", "embedding")
+        val truth = Similarity.bruteForceTopK(
+            vecs, vecs.filter(col("vec_id") < ProbeMax), TopK)
+          .select(col("probe_id"), col("neighbor_id"))
+        val approx = Similarity.ivfTopK(emb, "vec_id", "embedding",
+            nSeeds = ivfSeedsFor(n), nProbeCells = IvfProbeCells,
+            probeMax = ProbeMax, k = TopK)
+          .select(col("probe_id"), col("neighbor_id"), lit(1L).as("hit"))
+        truth.join(approx, Seq("probe_id", "neighbor_id"), "left")
+          .groupBy("probe_id")
+          .agg(count(col("hit")).as("n_hits"))
+          .select(col("probe_id"), col("n_hits"),
+            (col("n_hits").cast("double") / TopK).as("recall"))
+          .orderBy("probe_id")
+      },
+      Some(s"""
+        WITH $ivfCtes,
+        ivfk AS (
+          SELECT probe_id, neighbor_id FROM (
+            SELECT probe_id, neighbor_id,
+                   row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
+            FROM cand)
+          WHERE rank <= $TopK),
+        bf AS (
+          SELECT probe_id, neighbor_id FROM (
+            SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY p.vec_id
+                     ORDER BY ${cosSql("p", "c")} DESC, c.vec_id) AS rank
+            FROM e p JOIN e c ON c.vec_id != p.vec_id
+            WHERE p.vec_id < $ProbeMax)
+          WHERE rank <= $TopK)
+        SELECT bf.probe_id, COUNT(i.neighbor_id)::BIGINT AS n_hits,
+               COUNT(i.neighbor_id)::DOUBLE / $TopK AS recall
+        FROM bf LEFT JOIN ivfk i
+          ON bf.probe_id = i.probe_id AND bf.neighbor_id = i.neighbor_id
+        GROUP BY bf.probe_id
+        ORDER BY bf.probe_id
+      """.trim),
     ),
   )
 }
