@@ -190,5 +190,62 @@ object ListGenQueries {
         ORDER BY partition_key
       """.stripMargin.trim),
     ),
+    // LG5: the recrawl DUE LIST with exponential error backoff — the
+    // scheduling decision the reference's crawler makes per host (retry
+    // backoff on failures, recrawl interval on success; the streaming
+    // twin is streaming/FirstSeen's TTL gate). Role mapping: user=host,
+    // event=fetch, event_type 'error'=failed fetch. Per host: last fetch,
+    // the consecutive-error streak SINCE the last success (count of
+    // errors after max(success ts) — two aggregates and a join, no
+    // per-host ordered window), and due = cutoff - last_fetch >=
+    // 1 h × 2^min(streak,5). Everything is a partial-agg'd groupBy:
+    // a host with 10^8 fetch records folds map-side.
+    Q(
+      "lg5_recrawl_due",
+      (s, dir) => {
+        val ev = Registry.table(s, dir, "events")
+        val cutoffMs = 1706659200000L // 2024-01-31 00:00 UTC
+        val lastAny = ev.groupBy("user_id")
+          .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n_fetches"))
+        val lastOk = ev.filter(col("event_type") =!= "error")
+          .groupBy("user_id").agg(max(col("ts")).as("last_ok_ts"))
+        val errAfter = ev.join(lastOk, Seq("user_id"), "left")
+          .filter(col("event_type") === "error" &&
+            (col("last_ok_ts").isNull || col("ts") > col("last_ok_ts")))
+          .groupBy("user_id").agg(count(lit(1)).as("streak"))
+        lastAny
+          .join(errAfter, Seq("user_id"), "left")
+          .select(col("user_id"), col("last_ts"), col("n_fetches"),
+            coalesce(col("streak"), lit(0L)).as("streak"))
+          .withColumn("backoff_hours",
+            expr("shiftleft(1L, cast(least(streak, 5L) as int))"))
+          .withColumn("due",
+            lit(cutoffMs) - unix_millis(col("last_ts")) >=
+              col("backoff_hours") * 3600000L)
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH last_any AS (
+          SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS n_fetches
+          FROM events GROUP BY 1),
+        last_ok AS (
+          SELECT user_id, MAX(ts) AS last_ok_ts
+          FROM events WHERE event_type <> 'error' GROUP BY 1),
+        err AS (
+          SELECT e.user_id, COUNT(*)::BIGINT AS streak
+          FROM events e LEFT JOIN last_ok o USING (user_id)
+          WHERE e.event_type = 'error'
+            AND (o.last_ok_ts IS NULL OR e.ts > o.last_ok_ts)
+          GROUP BY 1)
+        SELECT a.user_id, a.last_ts, a.n_fetches,
+               coalesce(err.streak, 0)::BIGINT AS streak,
+               (1::BIGINT << LEAST(coalesce(err.streak, 0), 5)::INT) AS backoff_hours,
+               (1706659200000 - epoch_ms(a.last_ts)) >=
+                 (1::BIGINT << LEAST(coalesce(err.streak, 0), 5)::INT) * 3600000
+                 AS due
+        FROM last_any a LEFT JOIN err USING (user_id)
+        ORDER BY a.user_id
+      """.stripMargin.trim),
+    ),
   )
 }
