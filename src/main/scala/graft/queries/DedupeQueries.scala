@@ -419,6 +419,67 @@ object DedupeQueries {
         ORDER BY a.cluster_id
       """.trim),
     ),
+    // D12: LSH recall evaluation — the d2 analog of ss11: measures the
+    // banding curve (6 bands × 12 rows at j≥0.8) against exhaustive
+    // Jaccard ground truth on a probe sample. Without this measurement
+    // the bands/rows trade (recall vs candidate volume) is blind. The
+    // truth side is probe-sample × corpus (linear per probe, the ss1
+    // pattern — NEVER all-pairs on the full corpus); the found side is
+    // the production d2 path restricted to probe pairs. Both directions
+    // of a probe-probe pair count separately, mirrored in the oracle.
+    Q(
+      "d12_lsh_recall",
+      (s, dir) => {
+        val P = 100
+        val docs = Registry.table(s, dir, "documents")
+        val sh = docs.select(col("doc_id"), Dedupe.shingles3(col("text")).as("sh"))
+        val probes = sh.filter(col("doc_id") < P)
+          .select(col("doc_id").as("probe_id"), col("sh").as("psh"))
+        val truth = sh.join(broadcast(probes), col("doc_id") =!= col("probe_id"))
+          .withColumn("jaccard", Dedupe.jaccardOf(col("psh"), col("sh")))
+          .filter(col("jaccard") >= 0.8)
+          .select(col("probe_id"), col("doc_id").as("other_id"))
+        val found = Dedupe.minhashNearDupPairs(docs, "doc_id", "text",
+          threshold = 0.8, k = 72, bands = 6)
+        val foundNorm = found.filter(col("doc_a") < P)
+          .select(col("doc_a").as("probe_id"), col("doc_b").as("other_id"))
+          .unionByName(found.filter(col("doc_b") < P)
+            .select(col("doc_b").as("probe_id"), col("doc_a").as("other_id")))
+          .distinct()
+          .withColumn("hit", lit(1L))
+        truth.join(foundNorm, Seq("probe_id", "other_id"), "left")
+          .groupBy("probe_id")
+          .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_found"))
+          .withColumn("recall", col("n_found").cast("double") / col("n_true"))
+          .orderBy("probe_id")
+      },
+      Some(s"""
+        WITH ${minhashCtes(k = 72, bands = 6)},
+        truth AS (
+          SELECT p.doc_id AS probe_id, c.doc_id AS other_id
+          FROM sh p JOIN sh c ON c.doc_id != p.doc_id
+          WHERE p.doc_id < 100
+            AND len(list_intersect(p.sh, c.sh))::DOUBLE
+                  / (len(p.sh) + len(c.sh) - len(list_intersect(p.sh, c.sh))) >= 0.8),
+        found AS (
+          SELECT doc_a, doc_b
+          FROM cand JOIN sh x ON cand.doc_a = x.doc_id
+                    JOIN sh y ON cand.doc_b = y.doc_id
+          WHERE $JaccardSql >= 0.8),
+        fn AS (
+          SELECT doc_a AS probe_id, doc_b AS other_id FROM found WHERE doc_a < 100
+          UNION
+          SELECT doc_b, doc_a FROM found WHERE doc_b < 100)
+        SELECT t.probe_id,
+               COUNT(*)::BIGINT AS n_true,
+               COUNT(f.other_id)::BIGINT AS n_found,
+               COUNT(f.other_id)::DOUBLE / COUNT(*) AS recall
+        FROM truth t LEFT JOIN fn f
+          ON t.probe_id = f.probe_id AND t.other_id = f.other_id
+        GROUP BY t.probe_id
+        ORDER BY t.probe_id
+      """.trim),
+    ),
     // D10: chunk-level boilerplate removal — the CCNet/RefinedWeb line-dedup
     // shape (dedupe at sub-document granularity: nav bars, cookie banners,
     // repeated footers). Documents split into 5-word chunks; a chunk seen
