@@ -47,6 +47,42 @@ object Bpe {
     syms
   }
 
+  /** t14 inference path: tokenize a corpus with a learned merge list and
+    * account tokens per document.
+    *
+    * Scale design mirrors [[learnMerges]]: encoding is a function of the
+    * WORD alone, so the corpus collapses to its distinct-word table and
+    * each surface form is encoded exactly ONCE (vocabulary work, not
+    * corpus work — at 100 TB the vocabulary is ~10^7–10^8 forms while the
+    * corpus is ~10^13 tokens, a 10^5× saving over per-occurrence
+    * encoding). The merge list itself is O(k) rows — driver-collected and
+    * broadcast inside the encode closure; it never enters a shuffle. The
+    * per-doc accounting pre-groups on (doc_id, word) so the join back to
+    * the encoded vocabulary moves one row per distinct (doc, word) pair,
+    * and the final per-doc rollup partial-aggs map-side.
+    *
+    * Returns (doc_id, n_words, n_tokens): whitespace word count and BPE
+    * token count per document — the unit every mixture/budget decision
+    * (cu15) is denominated in.
+    */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(merges)
+    val nToks = udf((w: String) => encodeWord(w, bc.value).length)
+    val dw = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val wordToks = dw.select("w").distinct()
+      .withColumn("nt", nToks(col("w")))
+    dw.join(wordToks, "w")
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("c") * col("nt")).as("n_tokens"))
+  }
+
   /** Learn `k` merges from whitespace-tokenized `textCol` (characters +
     * terminal [[EndOfWord]] marker as the initial alphabet). Returns
     * (step, lhs, rhs, weight) ordered by step — weight is the pair's

@@ -768,5 +768,106 @@ object CurationQueries {
         FROM s GROUP BY source ORDER BY source
       """.trim),
     ),
+
+    // cu15: TOKEN-BUDGET epoch allocation — the other half of the data-mix
+    // recipe (cu13 selects docs for ONE epoch; real pretraining runs
+    // OVERSAMPLE: each source is repeated `full_epochs` times plus a
+    // deterministic partial epoch that tops the source up to its exact
+    // token target). Targets are temperature-weighted (T=2 → sqrt share,
+    // correctly-rounded IEEE, the one float touch on 10 source rows);
+    // everything per-document is integer. The partial epoch is "docs in
+    // md5 order until the cumulative token count reaches the remainder" —
+    // a per-source ordered CUMSUM, computed with cu13's two-phase
+    // bucket-prefix shape generalized from counts to weights: the md5
+    // key's leading two hex chars split each source into 256 contiguous
+    // ranges; in-bucket windows cumsum ≤1/256 of a source per task, and
+    // cross-bucket offsets are a ≤256-rows-per-source broadcast prefix
+    // sum. No task ever sorts a whole source — the dominant-language
+    // single-task sort this shape exists to avoid at 100 TB.
+    Q(
+      "cu15_token_budget",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val per = docs.groupBy("source")
+          .agg(sum("n_chars").as("cell_chars"), count(lit(1)).as("n_docs"))
+        val tot = per.agg(sum("cell_chars").as("total"))
+        val w = per.crossJoin(broadcast(tot)) // one-row scalar
+          .withColumn("wgt",
+            round(sqrt(col("cell_chars").cast("double") / col("total").cast("double")) * 1e6, 0)
+              .cast("long"))
+        val ws = w.agg(sum("wgt").as("wsum"))
+        // budget = 3× the corpus (oversampling regime); integer splits
+        val plan = w.crossJoin(broadcast(ws)) // one-row scalar
+          .withColumn("target_tokens", expr("(total * 3) * wgt div wsum"))
+          .withColumn("full_epochs", expr("target_tokens div cell_chars"))
+          .withColumn("rem_tokens", expr("target_tokens % cell_chars"))
+          .select("source", "cell_chars", "wgt", "target_tokens",
+            "full_epochs", "rem_tokens")
+        val keyed = docs
+          .withColumn("sk",
+            md5(concat(lit("budget:"), col("doc_id").cast("string"))))
+          .withColumn("b", substring(col("sk"), 1, 2))
+        // prefix sum over bucket CHAR TOTALS (≤256 rows/source), not data
+        val offs = keyed.groupBy(col("source"), col("b"))
+          .agg(sum("n_chars").as("bs"))
+          .withColumn("off",
+            coalesce(sum(col("bs")).over(
+              Window.partitionBy("source").orderBy("b")
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("source"), col("b"), col("off"))
+        val cum = keyed
+          .withColumn("lc", sum("n_chars").over(
+            Window.partitionBy(col("source"), col("b"))
+              .orderBy(col("sk"), col("doc_id"))))
+          .join(broadcast(offs), Seq("source", "b"))
+          .withColumn("cum", col("lc") + col("off"))
+        val partial = cum
+          .join(broadcast(plan.select("source", "rem_tokens")), "source")
+          .filter(col("cum") <= col("rem_tokens"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_partial_docs"),
+            sum("n_chars").as("partial_chars"))
+        plan.join(partial, Seq("source"), "left")
+          .select(col("source"), col("cell_chars"), col("wgt"),
+            col("target_tokens"), col("full_epochs"), col("rem_tokens"),
+            coalesce(col("n_partial_docs"), lit(0L)).as("n_partial_docs"),
+            coalesce(col("partial_chars"), lit(0L)).as("partial_chars"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH per AS (
+          SELECT source, CAST(SUM(n_chars) AS BIGINT) AS cell_chars
+          FROM documents GROUP BY source),
+        tot AS (SELECT CAST(SUM(cell_chars) AS BIGINT) AS total FROM per),
+        w AS (SELECT source, cell_chars,
+                     CAST(round(sqrt(cell_chars::DOUBLE / total::DOUBLE) * 1e6) AS BIGINT) AS wgt
+              FROM per, tot),
+        ws AS (SELECT CAST(SUM(wgt) AS BIGINT) AS wsum FROM w),
+        plan AS (
+          SELECT source, cell_chars, wgt,
+                 (total * 3) * wgt // wsum AS target_tokens,
+                 ((total * 3) * wgt // wsum) // cell_chars AS full_epochs,
+                 ((total * 3) * wgt // wsum) % cell_chars AS rem_tokens
+          FROM w, ws, tot),
+        cum AS (
+          SELECT source, doc_id, n_chars,
+                 SUM(n_chars) OVER (PARTITION BY source
+                   ORDER BY md5('budget:' || CAST(doc_id AS VARCHAR)), doc_id) AS cum
+          FROM documents),
+        partial AS (
+          SELECT c.source, COUNT(*) AS n_partial_docs,
+                 CAST(SUM(c.n_chars) AS BIGINT) AS partial_chars
+          FROM cum c JOIN plan p ON c.source = p.source
+          WHERE c.cum <= p.rem_tokens GROUP BY c.source)
+        SELECT p.source, p.cell_chars, p.wgt,
+               CAST(p.target_tokens AS BIGINT) AS target_tokens,
+               CAST(p.full_epochs AS BIGINT) AS full_epochs,
+               CAST(p.rem_tokens AS BIGINT) AS rem_tokens,
+               COALESCE(pa.n_partial_docs, 0) AS n_partial_docs,
+               COALESCE(pa.partial_chars, 0) AS partial_chars
+        FROM plan p LEFT JOIN partial pa ON p.source = pa.source
+        ORDER BY p.source
+      """.trim),
+    ),
   )
 }

@@ -548,13 +548,42 @@ object TextQueries {
           .orderBy("step"),
       Some(bpeOracle(5)),
     ),
+
+    // t14: BPE ENCODING — the inference half of t13. The corpus is
+    // tokenized with the learned merge table and tokens are accounted per
+    // document (the unit every mixture/budget decision is denominated
+    // in). Scale design: encoding is a function of the word alone, so
+    // the corpus collapses to its distinct-word table and each surface
+    // form is encoded exactly once — vocabulary work, not corpus work
+    // (see ops.Bpe.tokenCounts). The oracle replays merge LEARNING level
+    // by level (as t13), then applies the final vocabulary back onto the
+    // per-document word multiset — so the learned merges, the per-word
+    // encoding AND the per-doc accounting are one hash gate.
+    Q(
+      "t14_bpe_encode",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        // O(k) merge rows: driver-collect is the broadcast pattern, not a
+        // data collect — the merge table is the MODEL, not the data.
+        val merges = graft.ops.Bpe
+          .learnMerges(docs, "text", k = 5)
+          .orderBy("step").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.ops.Bpe.tokenCounts(docs, "doc_id", "text", merges)
+          .orderBy("doc_id")
+      },
+      Some(bpeEncodeOracle(5)),
+    ),
   )
 
-  /** t13 oracle: k unrolled BPE levels. Level i computes pair counts over
-    * s(i-1), picks the (cnt DESC, l, r) argmax, and rewrites the
-    * vocabulary with DuckDB's list_reduce (acc slicing is end-INCLUSIVE:
-    * acc[:len(acc)-1] drops the merged-away last element). */
-  private def bpeOracle(k: Int): String = {
+  /** Shared BPE oracle machinery: k unrolled merge levels over the word
+    * vocabulary. Level i computes pair counts over s(i-1), picks the
+    * (cnt DESC, l, r) argmax, and rewrites the vocabulary with DuckDB's
+    * list_reduce (acc slicing is end-INCLUSIVE: acc[:len(acc)-1] drops
+    * the merged-away last element). `s$k` carries (w, freq, syms), so
+    * both the merge-table output (t13) and the encoded-vocabulary output
+    * (t14) read off the same chain. */
+  private def bpeLevelCtes(k: Int): String = {
     val levels = (1 to k).map { i =>
       s"""p$i AS (
          |  SELECT syms[j] AS l, syms[j+1] AS r, SUM(freq)::BIGINT AS cnt
@@ -562,27 +591,49 @@ object TextQueries {
          |  GROUP BY 1, 2),
          |b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
          |s$i AS (
-         |  SELECT freq,
+         |  SELECT w, freq,
          |         list_reduce(list_transform(syms, s -> [s]), (acc, x) ->
          |           CASE WHEN len(acc) > 0 AND acc[-1] = b$i.l AND x[1] = b$i.r
          |                THEN list_append(acc[:len(acc)-1], b$i.l || b$i.r)
          |                ELSE list_concat(acc, x) END) AS syms
          |  FROM s${i - 1}, b$i)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to k)
-      .map(i => s"SELECT $i AS step, l AS lhs, r AS rhs, cnt AS weight FROM b$i")
-      .mkString("\nUNION ALL\n")
-    s"""WITH v0 AS (
+    s"""v0 AS (
        |  SELECT w, COUNT(*)::BIGINT AS freq
        |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
        |  WHERE length(w) > 0 GROUP BY w),
        |s0 AS (
-       |  SELECT freq,
+       |  SELECT w, freq,
        |         list_append([substr(w, i, 1) for i in range(1, length(w)+1)],
        |                     '</w>') AS syms
        |  FROM v0),
-       |$levels
+       |$levels""".stripMargin
+  }
+
+  private def bpeOracle(k: Int): String = {
+    val out = (1 to k)
+      .map(i => s"SELECT $i AS step, l AS lhs, r AS rhs, cnt AS weight FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${bpeLevelCtes(k)}
        |$out
        |ORDER BY step""".stripMargin
   }
+
+  /** t14 oracle: final vocabulary after k merges → per-word token count →
+    * joined back onto the per-document word multiset. */
+  private def bpeEncodeOracle(k: Int): String =
+    s"""WITH ${bpeLevelCtes(k)},
+       |wt AS (SELECT w, len(syms)::BIGINT AS nt FROM s$k),
+       |dwf AS (
+       |  SELECT doc_id, w, COUNT(*)::BIGINT AS c
+       |  FROM (SELECT doc_id,
+       |               unnest(string_split_regex(text, '\\s+')) AS w
+       |        FROM documents)
+       |  WHERE length(w) > 0 GROUP BY doc_id, w)
+       |SELECT doc_id,
+       |       CAST(SUM(c) AS BIGINT) AS n_words,
+       |       CAST(SUM(c * nt) AS BIGINT) AS n_tokens
+       |FROM dwf JOIN wt USING (w)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 }

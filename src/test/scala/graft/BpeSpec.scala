@@ -45,6 +45,21 @@ class BpeSpec extends AnyFunSuite with SparkSuite {
     assert(got == Seq((1, "x", "</w>", 1L)))
   }
 
+  test("tokenCounts accounts tokens per doc through the distinct-word path") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "low lower low"),
+      (2L, "lowest"),
+      (3L, ""),
+    ).toDF("doc_id", "text")
+    val merges = Seq(("l", "o"), ("lo", "w"), ("low", "</w>"))
+    // low → [low</w>] (1); lower → [low, e, r, </w>] (4); lowest → 5
+    val got = Bpe.tokenCounts(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    // doc 3 has no words → no row (matches the oracle's inner join)
+    assert(got == Seq((1L, 3L, 6L), (2L, 1L, 5L)))
+  }
+
   test("reliable checkpoint path matches default") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ck").toString
