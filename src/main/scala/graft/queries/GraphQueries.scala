@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{LinkGraph, PageRank}
+import graft.ops.{LinkGraph, PageRank, Ppr}
 
 /** Link-graph queries (SURVEY §2.8 G1/G3, §2.4 A2/A3, §2.11 Q3/Q4) over
   * the FIXTURES.md §B graph role mapping: customers are source domains,
@@ -43,6 +43,9 @@ object GraphQueries {
   // exercised at depth), a cap small enough that real groups exceed it
   private val SampIters = 2
   private val SampCap = 2
+  // g12 personalized variant: 4 iterations localize visibly beyond the
+  // 1-hop frontier while keeping the unrolled oracle chain readable
+  private val PprIters = 4
 
   /** Bidirectional distinct edge set for PageRank: customer→supplier plus
     * the reverse direction (so the graph has cycles and real rank flow);
@@ -349,6 +352,66 @@ object GraphQueries {
         GROUP BY 1, 2
         ORDER BY src_domain, dst_domain
       """.trim),
+    ),
+
+    // g12: PERSONALIZED PageRank — random walk restarting at a seed set
+    // (topic-sensitive PageRank / the TrustRank shape): "domains related
+    // to these seeds", the crawl-policy query that prioritizes a frontier
+    // around known-good hubs. Seeds are the nation-0 source domains; the
+    // restart mass re-injects at seeds ONLY, so rank localizes. The
+    // oracle replays the fixed-point loop as chained CTEs (g5's
+    // discipline) and must match bit-for-bit — the locality itself is
+    // hash-checked, not eyeballed.
+    Q(
+      "g12_ppr",
+      (s, dir) => {
+        val es = prEdges(s, dir)
+        val seeds = es.filter(col("src_root") === 0)
+          .select(col("src_domain").as("domain")).distinct()
+        Ppr.run(es, seeds, PprIters).orderBy("domain")
+      },
+      Some {
+        val iterCtes = (1 to PprIters).map { i =>
+          s"""a$i AS (
+             |  SELECT e.dst_domain, CAST(SUM(r.rank_u // e.outdeg) AS BIGINT) AS acc
+             |  FROM e JOIN r${i - 1} r ON e.src_domain = r.domain
+             |  GROUP BY 1
+             |),
+             |r$i AS (
+             |  SELECT n.domain, n.is_seed,
+             |         CAST(n.is_seed * 150000000000 + (COALESCE(a.acc, 0) // 1000) * 850
+             |              + ((COALESCE(a.acc, 0) % 1000) * 850) // 1000 AS BIGINT) AS rank_u
+             |  FROM r0 n LEFT JOIN a$i a ON n.domain = a.dst_domain
+             |)""".stripMargin
+        }.mkString(",\n")
+        s"""
+        WITH $EdgesCte,
+        bi AS (
+          SELECT src_domain, src_root, dst_domain + $SuppBase AS dst_domain, dst_root FROM edges
+          UNION ALL
+          SELECT dst_domain + $SuppBase, dst_root, src_domain, src_root FROM edges
+        ),
+        deg AS (SELECT src_domain AS d, COUNT(*) AS outdeg FROM bi GROUP BY 1),
+        e AS (SELECT bi.src_domain, bi.dst_domain, deg.outdeg FROM bi JOIN deg ON bi.src_domain = deg.d),
+        nodes AS (
+          SELECT DISTINCT domain FROM (
+            SELECT src_domain AS domain FROM bi
+            UNION ALL
+            SELECT dst_domain FROM bi)
+        ),
+        seeds AS (SELECT DISTINCT src_domain AS domain FROM bi WHERE src_root = 0),
+        r0 AS (
+          SELECT n.domain,
+                 CASE WHEN s.domain IS NOT NULL THEN 1 ELSE 0 END::BIGINT AS is_seed,
+                 CAST(CASE WHEN s.domain IS NOT NULL THEN ${PageRank.Scale} ELSE 0 END AS BIGINT) AS rank_u
+          FROM nodes n LEFT JOIN seeds s ON n.domain = s.domain
+        ),
+        $iterCtes
+        SELECT domain, is_seed, rank_u
+        FROM r$PprIters
+        ORDER BY domain
+        """.trim
+      },
     ),
 
     // G1 end-to-end from raw bytes: the complete parser→graph loop the
