@@ -1523,6 +1523,77 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => bad }
   }
 
+  /** REAL autocorrelation over the decoded PCM stream: for each lag L,
+    * Σᵢ s[i]·s[i+L] (i ∈ [0, n−L)), plus the lag-0 energy Σ s[i]² — the
+    * periodicity/pitch evidence an audio curation pass gates on (a
+    * voiced/tonal file has a lag where ac[L]/ac[0] stays near 1; noise
+    * decorrelates immediately). Same chunk walk and malformed-input
+    * policy as [[decodeWavStats]]; all-(-1) on damage, never a throw.
+    * Integer-exact: |s| ≤ 2¹⁵ so each product ≤ 2³⁰ and any realistic
+    * clip length stays far from Long overflow. */
+  private[graft] def decodeWavAutocorr(b: Array[Byte], lags: Seq[Int]): (Long, Long, Seq[Long]) = {
+    val bad = (-1L, -1L, lags.map(_ => -1L))
+    try {
+      if (b.length < 44) return bad
+      def u8(i: Int) = b(i) & 0xff
+      def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+      def le32(i: Int) = le16(i) | (le16(i + 2) << 16)
+      def tag(i: Int) = new String(b, i, 4, "US-ASCII")
+      if (tag(0) != "RIFF" || tag(8) != "WAVE") return bad
+      var pos = 12
+      var ok = false
+      var dataOff = -1
+      var dataLen = -1
+      while (pos + 8 <= b.length && (!ok || dataOff < 0)) {
+        val t = tag(pos)
+        val len = le32(pos + 4)
+        if (len < 0 || pos + 8L + len > b.length) return bad
+        t match {
+          case "fmt " =>
+            if (len < 16) return bad
+            ok = le16(pos + 8) == 1 && le16(pos + 22) == 16 && le16(pos + 10) >= 1
+          case "data" => dataOff = pos + 8; dataLen = len
+          case _ => () // ancillary chunk: skip by declared length
+        }
+        pos += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      if (!ok || dataOff < 0 || dataLen < 2) return bad
+      val n = dataLen / 2
+      val s = new Array[Int](n)
+      var i = 0
+      while (i < n) { s(i) = (le16(dataOff + 2 * i) << 16) >> 16; i += 1 }
+      var energy = 0L
+      i = 0
+      while (i < n) { energy += s(i).toLong * s(i); i += 1 }
+      val acs = lags.map { l =>
+        var acc = 0L
+        var j = 0
+        while (j + l < n) { acc += s(j).toLong * s(j + l); j += 1 }
+        acc
+      }
+      (n.toLong, energy, acs)
+    } catch { case scala.util.control.NonFatal(_) => bad }
+  }
+
+  /** Autocorrelation decode over the standard batch seam:
+    * (id, media) → (id, n_samples, energy, ac<lag>...). */
+  def decodeWavAutocorrStats(df: DataFrame, id: String, media: String,
+      lags: Seq[Int]): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(
+      Seq(StructField("id", LongType, nullable = false),
+        StructField("n_samples", LongType, nullable = false),
+        StructField("energy", LongType, nullable = false)) ++
+        lags.map(l => StructField(s"ac$l", LongType, nullable = false)))
+    val rdd = df.select(col(id).cast("long"), col(media)).rdd.mapPartitions { it =>
+      it.map { r =>
+        val (n, energy, acs) = decodeWavAutocorr(r.getAs[Array[Byte]](1), lags)
+        Row.fromSeq(r.getLong(0) +: n +: energy +: acs)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Fixture-synthesis column: WAV bytes for (seed, n_samples). */
   def packWavPcm16(id: Column, nSamples: Column): Column = {
     val enc = udf((k: Long, n: Int) => encodeWavPcm16(k % 251, n))

@@ -462,6 +462,49 @@ object MultimodalQueries {
       """.trim),
     ),
 
+    // m13: REAL autocorrelation over the decoded PCM stream — the
+    // periodicity/pitch evidence (ac[L]/ac[0]) an audio curation pass
+    // gates on, computed from the same RIFF chunk walk as m10. The
+    // waveform is analytic, so the oracle recomputes every lag product
+    // exactly: a decode off by one sample, a sign-extension slip, or a
+    // lag window off-by-one each breaks the hash.
+    Q(
+      "m13_audio_autocorr",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val n = (col("doc_id") % 400 + 50).cast("int")
+        val packed = docs.select(col("doc_id"),
+          Multimodal.packWavPcm16(col("doc_id"), n).as("media"))
+        Multimodal.decodeWavAutocorrStats(packed, "doc_id", "media",
+            Seq(1, 2, 4, 8))
+          .select(col("id").as("doc_id"), col("n_samples"), col("energy"),
+            col("ac1"), col("ac2"), col("ac4"), col("ac8"))
+          .orderBy("doc_id")
+      },
+      Some {
+        def sampleAt(i: String) = s"(37*($i) + k) % 65536 - 32768"
+        def ac(l: Int) =
+          s"""CAST(list_sum(list_transform(range(0, n - $l),
+             |  i -> (${sampleAt("i")}) * (${sampleAt(s"i + $l")}))) AS BIGINT) AS ac$l"""
+            .stripMargin
+        s"""
+        WITH g AS (
+          SELECT doc_id, doc_id % 400 + 50 AS n, doc_id % 251 AS k
+          FROM documents)
+        SELECT doc_id,
+               n::BIGINT AS n_samples,
+               CAST(list_sum(list_transform(range(0, n),
+                 i -> (${sampleAt("i")}) * (${sampleAt("i")}))) AS BIGINT) AS energy,
+               ${ac(1)},
+               ${ac(2)},
+               ${ac(4)},
+               ${ac(8)}
+        FROM g
+        ORDER BY doc_id
+        """.trim
+      },
+    ),
+
     // m12: REAL MP4 sample-table walk — one level below m6's mvhd:
     // moov/trak/mdia/{mdhd, minf/stbl/{stts, stsz}} (ISO 14496-12), the
     // per-frame timing/size metadata a video pipeline needs to budget

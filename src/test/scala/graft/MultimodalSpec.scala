@@ -342,6 +342,25 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(Multimodal.decodeWavStats(fmt3)._1 == -1)
   }
 
+  test("WAV autocorrelation: exact lag products, lag past length, malformed") {
+    val lags = Seq(1, 2, 4, 8)
+    for (n <- Seq(1, 50, 449); k <- Seq(0L, 17L, 250L)) {
+      val got = Multimodal.decodeWavAutocorr(Multimodal.encodeWavPcm16(k, n), lags)
+      val s = (0 until n).map(i => Multimodal.testSample(k, i).toLong)
+      val want = (n.toLong, s.map(v => v * v).sum,
+        lags.map(l => (0 until n - l).map(i => s(i) * s(i + l)).sum))
+      assert(got == want, s"n=$n k=$k")
+    }
+    // a lag ≥ n has an empty product window → 0, not an index error
+    assert(Multimodal.decodeWavAutocorr(
+      Multimodal.encodeWavPcm16(3, 5), Seq(5, 9)) ==
+      ((5L, (0 until 5).map(i => { val v = Multimodal.testSample(3, i).toLong; v * v }).sum,
+        Seq(0L, 0L))))
+    val wav = Multimodal.encodeWavPcm16(7, 20)
+    assert(Multimodal.decodeWavAutocorr(wav.dropRight(3), lags)._1 == -1L)
+    assert(Multimodal.decodeWavAutocorr("RIFFxxxxWAVX".getBytes, lags)._1 == -1L)
+  }
+
   test("packBmp24 → decodeBmpPixelStats round-trips through the batch seam") {
     import spark.implicits._
     val df = Seq((0L, 3, 2), (7L, 16, 9), (250L, 5, 4)).toDF("id", "w", "h")
