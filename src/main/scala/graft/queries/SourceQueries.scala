@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-import graft.sources.{ArcSource, RiceCoding, Sinks, WikipediaXmlSource}
+import graft.sources.{ArcSource, FrontCoding, RiceCoding, Sinks, WikipediaXmlSource}
 
 /** Driver-verified round trips for the storage-format operators (SURVEY §2.1
   * S2/S6/S7/S8/S9). Each query pushes table data OUT through the real
@@ -462,6 +462,37 @@ object SourceQueries {
             explode(roundtrip(col("ks"))).as("o_orderkey"))
       },
       Some("SELECT o_custkey, CAST(o_orderkey AS BIGINT) AS o_orderkey FROM orders"),
+    ),
+
+    // S18: front-coded sorted URL lists — the shared-prefix layout of
+    // every sorted URL dictionary (CDX keys, SSTable blocks; Parquet's
+    // own DELTA_BYTE_ARRAY is the same idea). Each customer's sorted
+    // URL list is encoded as (lcp, suffix) entries with full-string
+    // restarts every 16, decoded back, and exploded — any varint, lcp,
+    // or restart-boundary defect breaks the identity and the hash. The
+    // restart-table binary-search point lookup is property-fuzzed in
+    // SourcesSpec.
+    Q(
+      "s18_frontcoded_urls",
+      (s, dir) => {
+        val roundtrip = udf { xs: Seq[String] =>
+          FrontCoding.decodeSortedList(FrontCoding.encodeSortedList(xs))
+        }
+        Registry.table(s, dir, "orders")
+          .select(col("o_custkey"),
+            concat(lit("https://c"), col("o_custkey").cast("string"),
+              lit(".example/order/"), col("o_orderkey").cast("string"))
+              .as("url"))
+          .groupBy(col("o_custkey"))
+          .agg(sort_array(collect_list(col("url"))).as("us"))
+          .select(col("o_custkey"), explode(roundtrip(col("us"))).as("url"))
+      },
+      Some("""
+        SELECT o_custkey,
+               'https://c' || CAST(o_custkey AS VARCHAR) ||
+               '.example/order/' || CAST(o_orderkey AS VARCHAR) AS url
+        FROM orders
+      """.trim),
     ),
 
     // S7: multi-stream sink round trip — ONE pass over a parse-shaped

@@ -168,6 +168,39 @@ class SourcesSpec extends AnyFunSuite with SparkSuite {
     assert(enc.length < dense.length * 2)
   }
 
+  test("front-coding: round trip, compression, unicode, restart lookup") {
+    import graft.sources.FrontCoding
+    val rnd = new Random(11)
+    val alphabet = Seq("https://a.example/", "https://a.example/path/",
+      "https://bücher.example/ü", "x")
+    for (_ <- 1 to 40) {
+      val n = rnd.nextInt(200)
+      // shared-prefix-heavy lists incl. duplicates and multi-byte UTF-8
+      val xs = Seq.fill(n)(
+        alphabet(rnd.nextInt(alphabet.length)) + rnd.nextInt(40)).sorted
+      val ri = 1 + rnd.nextInt(20)
+      val enc = FrontCoding.encodeSortedList(xs, ri)
+      assert(FrontCoding.decodeSortedList(enc) == xs)
+      // every member found at its index; absent keys miss
+      if (xs.nonEmpty) {
+        val i = rnd.nextInt(xs.length)
+        assert(xs(FrontCoding.lookup(enc, xs(i))) == xs(i))
+      }
+      assert(FrontCoding.lookup(enc, "https://zzz.example/none") == -1)
+      assert(FrontCoding.lookup(enc, "") == -1 || xs.headOption.contains(""))
+    }
+    // empty strings and the empty list are legal
+    assert(FrontCoding.decodeSortedList(
+      FrontCoding.encodeSortedList(Seq("", "", "a"))) == Seq("", "", "a"))
+    assert(FrontCoding.decodeSortedList(
+      FrontCoding.encodeSortedList(Nil)) == Nil)
+    assert(FrontCoding.lookup(FrontCoding.encodeSortedList(Nil), "k") == -1)
+    // sorted URL lists compress well below their raw size
+    val urls = (0 until 5000).map(i => f"https://site.example/page/$i%06d").sorted
+    val enc = FrontCoding.encodeSortedList(urls)
+    assert(enc.length < urls.map(_.length).sum / 3)
+  }
+
   test("SequenceFile bridge: real Hadoop container, compressed, round trip") {
     import org.apache.spark.sql.functions._
     import graft.sources.SequenceFiles
