@@ -1,0 +1,102 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.SessionWindows
+import graft.streaming.SessionWindows.{ClosedSession, SessionEvent}
+
+/** Custom keyed state #2 (streaming/SessionWindows): capped session
+  * windows — gap-merge like the built-in session_window, plus the
+  * maxEvents close the built-in cannot express (the anti-hot-key bound:
+  * per-key state is three longs no matter how many events fold in).
+  * MemoryStream drives the watermark so gap closes, cap closes, and
+  * in-batch splits are each pinned deterministically. */
+class StreamingSessionSpec extends AnyFunSuite with SparkSuite {
+
+  private def ts(min: Int): Timestamp = new Timestamp(min * 60000L)
+
+  private def run(gapMin: Int, cap: Long)(
+      feed: (MemoryStream[SessionEvent], org.apache.spark.sql.streaming.StreamingQuery) => Unit)
+      : Seq[(String, Long, Long, Long, String)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val events = in.toDS().withWatermark("ts", "0 seconds").as[SessionEvent]
+    val name = s"sessions_${gapMin}_$cap"
+    val q = SessionWindows.sessionize(events, gapMs = gapMin * 60000L, maxEvents = cap)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try feed(in, q) finally q.stop()
+    spark.table(name).as[ClosedSession].collect()
+      .map(s => (s.key, s.session_start.getTime / 60000L,
+        s.session_end.getTime / 60000L, s.n_events, s.closed_by))
+      .toSeq.sorted
+  }
+
+  test("gap close: the watermark passing last+gap emits the session") {
+    val got = run(gapMin = 30, cap = 100) { (in, q) =>
+      in.addData(SessionEvent("u1", ts(600)), SessionEvent("u1", ts(610)))
+      q.processAllAvailable()
+      // u2 far ahead advances the watermark past 610+30 → u1's session
+      // closes by timeout; u2's own session stays open (no emission)
+      in.addData(SessionEvent("u2", ts(700)))
+      q.processAllAvailable()
+      in.addData(SessionEvent("u3", ts(800)))
+      q.processAllAvailable()
+    }
+    assert(got == Seq(
+      ("u1", 600L, 610L, 2L, "gap"),
+      ("u2", 700L, 700L, 1L, "gap")))
+  }
+
+  test("in-batch gap splits one batch into two sessions immediately") {
+    val got = run(gapMin = 30, cap = 100) { (in, q) =>
+      // one batch, one key: 600,610 then a 40-min hole then 650 — the
+      // first session closes on the DATA path, no timeout needed
+      in.addData(SessionEvent("u1", ts(600)), SessionEvent("u1", ts(610)),
+        SessionEvent("u1", ts(650)))
+      q.processAllAvailable()
+    }
+    assert(got == Seq(("u1", 600L, 610L, 2L, "gap")))
+  }
+
+  test("cap close: event maxEvents ends the session on the data path") {
+    val got = run(gapMin = 30, cap = 3) { (in, q) =>
+      in.addData(SessionEvent("bot", ts(600)), SessionEvent("bot", ts(601)),
+        SessionEvent("bot", ts(602)), SessionEvent("bot", ts(603)),
+        SessionEvent("bot", ts(604)))
+      q.processAllAvailable()
+      // the 2-event remainder (603, 604) is still open; close it by gap
+      in.addData(SessionEvent("w", ts(700)))
+      q.processAllAvailable()
+      in.addData(SessionEvent("w2", ts(800)))
+      q.processAllAvailable()
+    }
+    assert(got == Seq(
+      ("bot", 600L, 602L, 3L, "cap"),
+      ("bot", 603L, 604L, 2L, "gap"),
+      ("w", 700L, 700L, 1L, "gap")))
+  }
+
+  test("a session spanning batches folds without buffering events") {
+    val got = run(gapMin = 30, cap = 1000) { (in, q) =>
+      in.addData(SessionEvent("u1", ts(600)))
+      q.processAllAvailable()
+      in.addData(SessionEvent("u1", ts(620)))
+      q.processAllAvailable()
+      in.addData(SessionEvent("u1", ts(645)))
+      q.processAllAvailable()
+      // silence + a watermark push past 645+30
+      in.addData(SessionEvent("z", ts(700)))
+      q.processAllAvailable()
+      in.addData(SessionEvent("z2", ts(800)))
+      q.processAllAvailable()
+    }
+    assert(got == Seq(
+      ("u1", 600L, 645L, 3L, "gap"),
+      ("z", 700L, 700L, 1L, "gap")))
+  }
+}
