@@ -247,5 +247,64 @@ object ListGenQueries {
         ORDER BY a.user_id
       """.stripMargin.trim),
     ),
+
+    // LG6: POLITENESS SCHEDULING — the other half of the crawl-rate
+    // decision (lg5 decides WHEN a host is due; lg6 decides how a due
+    // host's URLs serialize under its crawl-delay and what fetch load
+    // the fleet must provision). Each host's URLs get deterministic
+    // slots (md5 order — the reference fetcher's host-queue discipline)
+    // spaced crawl-delay apart; the output is the per-minute load
+    // histogram (fetches + active hosts), i.e. the fetcher-fleet
+    // capacity plan. Scale shape: the per-host slot rank uses the
+    // two-phase bucket-prefix rank (no whole-host window sort — hosts
+    // are zipf; a megasite with 10^7 URLs never lands on one task), and
+    // the offset join is a plain equi-join, NOT a broadcast: unlike
+    // cu13's 10 sources, hosts are corpus-cardinality, so the offset
+    // table is O(hosts·256) and must shuffle like any fact-dim join.
+    // Active-host counting is two-phase exact distinct (cu4's shape).
+    Q(
+      "lg6_politeness_schedule",
+      (s, dir) => {
+        val keyed = Registry.table(s, dir, "orders")
+          .select(col("o_custkey").as("host"), col("o_orderkey").as("ok"))
+          .withColumn("sk", md5(concat(lit("lg6:"), col("ok").cast("string"))))
+          .withColumn("b", substring(col("sk"), 1, 2))
+        val offs = keyed.groupBy(col("host"), col("b"))
+          .agg(count(lit(1)).as("bn"))
+          .withColumn("off",
+            coalesce(sum(col("bn")).over(
+              Window.partitionBy("host").orderBy("b")
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("host"), col("b"), col("off"))
+        val slots = keyed
+          .withColumn("r", row_number().over(
+            Window.partitionBy(col("host"), col("b"))
+              .orderBy(col("sk"), col("ok"))))
+          .join(offs, Seq("host", "b"))
+          .withColumn("slot", col("r").cast("long") + col("off") - 1)
+          .withColumn("delay_s", lit(5L) + (col("host") % 4) * 5L)
+          .withColumn("minute", expr("(slot * delay_s) div 60"))
+        slots.groupBy(col("minute"), col("host"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("minute"))
+          .agg(sum(col("c")).as("n_fetches"), count(lit(1)).as("n_hosts"))
+          .orderBy("minute")
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT o_custkey AS host,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                   ORDER BY md5('lg6:' || CAST(o_orderkey AS VARCHAR)), o_orderkey)
+                   - 1 AS slot
+          FROM orders),
+        m AS (
+          SELECT host, (slot * (5 + (host % 4) * 5)) // 60 AS minute
+          FROM ranked)
+        SELECT CAST(minute AS BIGINT) AS minute,
+               COUNT(*) AS n_fetches,
+               COUNT(DISTINCT host) AS n_hosts
+        FROM m GROUP BY minute ORDER BY minute
+      """.stripMargin.trim),
+    ),
   )
 }
