@@ -57,6 +57,44 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Two-stage retrieval: COARSE scoring on the first `prefixDims`
+    * dimensions shortlists `shortlist` candidates per probe, then an
+    * exact-cosine RERANK over the shortlist returns the top `k` — the
+    * truncated-dimension (matryoshka) search pattern. At a billion
+    * vectors this is the memory-bandwidth lever: the coarse pass touches
+    * prefixDims/dims of every vector's bytes (an 8-of-64 prefix is an 8×
+    * scan-traffic cut — and with a column-split vector layout, 8× less
+    * I/O), while full vectors are read only for the O(probes × shortlist)
+    * survivors. The shortlist is selected by [[TopK]]'s bounded heap —
+    * each mapper ships ≤shortlist rows per probe into the shuffle, no
+    * per-probe window sort of the whole corpus — and the rerank's window
+    * runs over ≤shortlist rows per probe by construction. */
+  def truncatedRerankTopK(corpus: DataFrame, probes: DataFrame,
+      prefixDims: Int, shortlist: Int, k: Int): DataFrame = {
+    val coarse = corpus.as("c")
+      .join(broadcast(probes.as("p")), col("p.vec_id") =!= col("c.vec_id"))
+      .select(
+        col("p.vec_id").as("probe_id"),
+        col("c.vec_id").as("neighbor_id"),
+        dot(slice(col("p.v"), 1, prefixDims), slice(col("c.v"), 1, prefixDims))
+          .as("coarse"))
+    val short = coarse.groupBy(col("probe_id"))
+      .agg(TopK.topScored(shortlist)(col("coarse"), col("neighbor_id")).as("ss"))
+      .select(col("probe_id"), explode(col("ss")).as("s"))
+      .select(col("probe_id"), col("s.key").as("neighbor_id"))
+    val cand = short
+      .join(broadcast(probes.select(col("vec_id").as("probe_id"), col("v").as("pv"))),
+        "probe_id")
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("v").as("nv")),
+        "neighbor_id")
+      .select(col("probe_id"), col("neighbor_id"),
+        cosine(col("pv"), col("nv")).as("cos"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Deterministic argbest ordinal: monotone in (cos, -tiebreak) as a
     * single BIGINT, so max_by has identical semantics in any engine
     * (struct-ordering max_by support varies). floor of double is exact

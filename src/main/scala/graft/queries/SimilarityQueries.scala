@@ -15,6 +15,9 @@ object SimilarityQueries {
   private val NdBands = 4 // ss3 banded-LSH bands
   private val TopK = 5
   private val ProbeMax = 10 // probe set = vec_id < 10
+  // ss12 two-stage knobs: 8-of-64 coarse prefix, 20-candidate shortlist
+  private val PrefixDims = 8
+  private val Shortlist = 20
   private val IvfProbeCells = 2 // ss4 nprobe
   private val PqM = 4 // ss10 subspaces (subDim = Dims/PqM)
   private val PqKsub = 16 // ss10 codewords per subspace
@@ -584,6 +587,53 @@ object SimilarityQueries {
           ON bf.probe_id = i.probe_id AND bf.neighbor_id = i.neighbor_id
         GROUP BY bf.probe_id
         ORDER BY bf.probe_id
+      """.trim),
+    ),
+
+    // ss12: TRUNCATED-DIMENSION two-stage retrieval (the matryoshka
+    // pattern): a coarse pass scores only the first 8 of 64 dimensions —
+    // at a billion vectors that is the memory-bandwidth lever, an 8×
+    // scan-traffic cut — shortlists 20 candidates per probe through the
+    // bounded TopK heap (≤20 rows per probe per mapper into the shuffle,
+    // no corpus-wide window sort), and an exact-cosine rerank over the
+    // shortlist returns the top 5. The oracle replays both stages, so
+    // the prefix-dot arithmetic, the shortlist cut, AND the rerank are
+    // one hash gate.
+    Q(
+      "ss12_truncated_rerank",
+      (s, dir) => {
+        val vecs = Similarity.vectors(
+          Registry.table(s, dir, "embeddings"), "vec_id", "embedding")
+        Similarity.truncatedRerankTopK(
+            vecs, vecs.filter(col("vec_id") < ProbeMax),
+            prefixDims = PrefixDims, shortlist = Shortlist, k = TopK)
+          .orderBy("probe_id", "rank")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        coarse AS (
+          SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                 list_sum([p.v[i] * c.v[i] for i in range(1, ${PrefixDims + 1})]) AS coarse
+          FROM e p JOIN e c ON c.vec_id != p.vec_id
+          WHERE p.vec_id < $ProbeMax),
+        short AS (
+          SELECT probe_id, neighbor_id FROM (
+            SELECT probe_id, neighbor_id,
+                   row_number() OVER (PARTITION BY probe_id
+                     ORDER BY coarse DESC, neighbor_id) AS rr
+            FROM coarse)
+          WHERE rr <= $Shortlist),
+        cand AS (
+          SELECT s.probe_id, s.neighbor_id, ${cosSql("p", "c")} AS cos
+          FROM short s
+          JOIN e p ON p.vec_id = s.probe_id
+          JOIN e c ON c.vec_id = s.neighbor_id)
+        SELECT probe_id, neighbor_id, cos, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+                   ORDER BY cos DESC, neighbor_id) AS rank
+          FROM cand)
+        WHERE rank <= $TopK
+        ORDER BY probe_id, rank
       """.trim),
     ),
   )
