@@ -235,5 +235,38 @@ object StatsQueries {
         ORDER BY window_start, event_type
       """.stripMargin.trim),
     ),
+
+    // A19: exponentially TIME-DECAYED activity scores — the freshness
+    // signal a recrawl scheduler ranks hosts by (recent fetches count
+    // fully; a week-old burst counts at 1/128). Decay runs in power-of-2
+    // fixed point (weight = 2^20 >> min(age_days, 20)), so every weight
+    // is an exact integer and the aggregate is order-insensitive — no
+    // float exp(), no summation-order drift, SQL-replayable bit-for-bit.
+    // One partial-agg'd groupBy: a host with 10^8 fetch rows folds
+    // map-side; nothing is ordered, nothing is windowed.
+    Q(
+      "a19_decayed_activity",
+      (s, dir) => {
+        val cutoffMs = 1706659200000L // 2024-01-31 00:00 UTC (lg5's clock)
+        val w = expr(
+          s"shiftright(1048576L, cast(least(greatest(($cutoffMs - unix_millis(ts)) div 86400000, 0), 20) as int))")
+        Registry.table(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(w).as("score_u"),
+            max(col("ts")).as("last_ts"))
+          .orderBy("user_id")
+      },
+      Some("""
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(1048576 >> LEAST(GREATEST(
+                 (1706659200000 - epoch_ms(ts)) // 86400000, 0), 20)::INT)
+                 AS BIGINT) AS score_u,
+               MAX(ts) AS last_ts
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+      """.stripMargin.trim),
+    ),
   )
 }
