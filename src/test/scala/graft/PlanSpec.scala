@@ -446,4 +446,47 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
       s"expected partial+final ObjectHashAggregate for the cap:\n$p")
   }
+
+  test("cu15 partial-epoch cumsum is bucket-partitioned, never per-source") {
+    val p = plan("cu15_token_budget")
+    // the per-doc running char sum must window over (source, md5-bucket):
+    // a source-only partition sorts a whole (possibly dominant) source on
+    // one task. The data window is the one ordering by the md5 sort key.
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    val dataWindows = specs.filter(_.contains("sk#"))
+    assert(dataWindows.nonEmpty, s"no md5-ordered cumsum window in:\n$p")
+    dataWindows.foreach { w =>
+      assert("""source#\d+, b#\d+,""".r.findFirstIn(w).isDefined,
+        s"cu15: data window not (source, bucket)-partitioned: $w\n$p")
+    }
+  }
+
+  test("lg6 slot ranks window over (host, bucket); no whole-host sort") {
+    val p = plan("lg6_politeness_schedule")
+    val specs = """row_number\(\) windowspecdefinition\(([^)]*)""".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, s"no row_number window found in:\n$p")
+    specs.foreach { s =>
+      assert("""host#\d+L?, b#\d+,""".r.findFirstIn(s).isDefined,
+        s"lg6: slot window not bucket-partitioned: $s\n$p")
+    }
+  }
+
+  test("ss12 shortlists through the heap; vectors never key a shuffle") {
+    val p = plan("ss12_truncated_rerank")
+    // the coarse cut must be the bounded TopK aggregate (≤shortlist rows
+    // per probe per mapper), not a corpus-wide per-probe window sort
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final ObjectHashAggregate for the shortlist:\n$p")
+    // the only window is the rerank over ≤shortlist rows per probe
+    val specs = """row_number\(\) windowspecdefinition\(([^)]*)""".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    specs.foreach(s => assert(s.contains("probe_id#"),
+      s"ss12: unexpected window partitioning: $s"))
+    // full vectors ride as payload only — never in a shuffle key
+    val partitionings = "hashpartitioning\\([^)]*\\)".r.findAllIn(p).toSeq
+    partitionings.foreach(hp => assert(!hp.contains("v#") && !hp.contains("pv#") && !hp.contains("nv#"),
+      s"ss12: embedding vector leaked into a shuffle key: $hp"))
+  }
 }
