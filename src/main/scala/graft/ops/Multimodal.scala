@@ -464,6 +464,127 @@ object Multimodal {
     (w, hI, sumR, sumG, sumB, evenSum)
   }
 
+  // --- perceptual hash over the real BMP decode -----------------------
+  // dHash (difference hash): nearest-neighbor downsample to a 9-wide ×
+  // 8-tall grayscale grid, then 64 bits of "is the right neighbor
+  // brighter" — the standard perceptual fingerprint for image near-dup
+  // detection (same family as pHash/aHash; cf. the reference's SimHash
+  // text analog at `/root/reference/src/org/commoncrawl/util/SimHash`-
+  // style fingerprinting). The hash is invariant to any pixel change
+  // OFF the 72-point sample lattice — exactly the compression/retouch
+  // noise a mirror or CDN re-encode introduces — so hash-equality
+  // groups perceptually identical images without an all-pairs compare.
+
+  /** Downsample lattice coordinate for grid index g of n along an axis
+    * of extent d: evenly spread, endpoints inclusive. */
+  @inline private def latticeCoord(g: Int, n: Int, d: Int): Int =
+    (g * (d - 1)) / (n - 1)
+
+  /** Scene pattern for the perceptual-hash fixtures: quadratic in the
+    * coordinates with a scene-keyed interaction term, so adjacent-cell
+    * brightness comparisons vary with BOTH position and scene (the
+    * linear [[testPixel]] gradient is too smooth — most scenes collapse
+    * to the same monotone sign pattern and dHash cannot separate them;
+    * this formula maps all 53 fixture scenes to 53 distinct hashes). */
+  private[graft] def scenePixel(k: Long, x: Int, y: Int): (Int, Int, Int) = (
+    ((x * x * 7 + y * y * 11 + k * (x + 1) * (y + 2)) % 256).toInt,
+    ((x * x * 3 + y * y * 5 + k * (x + 2) * (y + 1)) % 256).toInt,
+    ((x * x * 13 + y * y * 2 + k * (x + 3) * (y + 3)) % 256).toInt,
+  )
+
+  /** Encode a BI_RGB 24-bit BMP whose SAMPLE-LATTICE pixels carry the
+    * [[scenePixel]] pattern for the scene seed, while every off-lattice
+    * pixel is perturbed by a per-document jitter — two documents of the
+    * same scene are byte-different images that are perceptually (and
+    * dHash-) identical. Fixture synthesis only. */
+  private[graft] def encodeBmp24Jittered(
+      scene: Long, docSeed: Long, w: Int, h: Int): Array[Byte] = {
+    val xs = new Array[Boolean](w)
+    val ys = new Array[Boolean](h)
+    var g = 0
+    while (g < 9) { xs(latticeCoord(g, 9, w)) = true; g += 1 }
+    g = 0
+    while (g < 8) { ys(latticeCoord(g, 8, h)) = true; g += 1 }
+    val rowPad = (4 - (w * 3) % 4) % 4
+    val imgSize = (w * 3 + rowPad) * h
+    val buf = java.nio.ByteBuffer.allocate(54 + imgSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + imgSize)
+      .putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(imgSize)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = h - 1
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        val (r0, g0, b0) = scenePixel(scene, x, y)
+        val j =
+          if (xs(x) && ys(y)) 0
+          else ((docSeed * 31 + 17 * x + 19 * y) % 7 + 1).toInt
+        buf.put(((b0 + j) % 256).toByte)
+          .put(((g0 + j) % 256).toByte)
+          .put(((r0 + j) % 256).toByte)
+        x += 1
+      }
+      var p = 0
+      while (p < rowPad) { buf.put(0.toByte); p += 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  /** REAL dHash decode: the same untrusted-header BMP walk as
+    * [[decodeBmp24Stats]], then grayscale `(r + 2g + b) / 4` at the
+    * 9×8 nearest-neighbor lattice and 64 right-neighbor comparisons,
+    * packed 32 bits each into (h_hi, h_lo) so both halves stay in
+    * non-negative Long range for an engine-portable GROUP BY key.
+    * Malformed input → (-1, -1, -1, -1), never a throw. */
+  private[graft] def decodeBmpDHash(b: Array[Byte]): (Int, Int, Long, Long) = {
+    def u8(i: Int) = b(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = le16(i) | (le16(i + 2) << 16)
+    val bad = (-1, -1, -1L, -1L)
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return bad
+    val dataOff = le32(10)
+    val w = le32(18)
+    val hRaw = le32(22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw.toLong)
+    if (le16(28) != 24 || le32(30) != 0 || w <= 0 || h == 0) return bad
+    val strideL = (w.toLong * 3 + 3) / 4 * 4
+    if (dataOff < 0 || dataOff > b.length ||
+        h > (b.length.toLong - dataOff) / strideL) return bad
+    val stride = strideL.toInt
+    val hI = h.toInt
+    // grid row base for image row y, honoring bottom-up storage
+    def rowOff(y: Int) = dataOff + (if (topDown) y else hI - 1 - y) * stride
+    val gray = Array.ofDim[Int](8, 9)
+    var gy = 0
+    while (gy < 8) {
+      val sy = latticeCoord(gy, 8, hI)
+      val ro = rowOff(sy)
+      var gx = 0
+      while (gx < 9) {
+        val sx = latticeCoord(gx, 9, w)
+        val i = ro + 3 * sx
+        gray(gy)(gx) = (u8(i + 2) + 2 * u8(i + 1) + u8(i)) / 4
+        gx += 1
+      }
+      gy += 1
+    }
+    var hHi = 0L; var hLo = 0L
+    var idx = 0
+    while (idx < 64) {
+      val bx = idx % 8; val by = idx / 8
+      if (gray(by)(bx + 1) > gray(by)(bx)) {
+        if (idx < 32) hHi |= 1L << idx else hLo |= 1L << (idx - 32)
+      }
+      idx += 1
+    }
+    (w, hI, hHi, hLo)
+  }
+
   // --- real PIXEL decode: PNG (RGB8 / RGBA8, non-interlaced) ----------
   // PNG needs no codec library either: IDAT is zlib (java.util.zip) and
   // the five scanline filters (None/Sub/Up/Average/Paeth) are byte
@@ -1621,6 +1742,38 @@ object Multimodal {
   def packBmp24(id: Column, width: Column, height: Column): Column = {
     val enc = udf((k: Long, w: Int, h: Int) => encodeBmp24(k % 251, w, h))
     enc(id.cast("long"), width.cast("int"), height.cast("int"))
+  }
+
+  /** Fixture-synthesis column: jittered same-scene BMP bytes for
+    * (scene, docSeed, width, height) — see [[encodeBmp24Jittered]]. */
+  def packBmp24Jittered(
+      scene: Column, docSeed: Column, width: Column, height: Column): Column = {
+    val enc = udf((sc: Long, ds: Long, w: Int, h: Int) =>
+      encodeBmp24Jittered(sc % 251, ds, w, h))
+    enc(scene.cast("long"), docSeed.cast("long"),
+      width.cast("int"), height.cast("int"))
+  }
+
+  val DHashSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("h_hi", LongType, nullable = false),
+    StructField("h_lo", LongType, nullable = false),
+  ))
+
+  /** Real perceptual-hash decode over the standard batch seam:
+    * (id, media) → (id, width, height, h_hi, h_lo). */
+  def decodeBmpDHashes(df: DataFrame, id: String, media: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(
+      StructField("id", LongType, nullable = false) +: DHashSchema.fields.toSeq)
+    val rdd = df.select(col(id).cast("long"), col(media)).rdd.mapPartitions { it =>
+      it.map { r =>
+        val (w, h, hi, lo) = decodeBmpDHash(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), w, h, hi, lo)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** Real-pixel decode over the SAME per-partition batch seam as

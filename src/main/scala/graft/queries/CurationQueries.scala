@@ -869,5 +869,64 @@ object CurationQueries {
         ORDER BY p.source
       """.trim),
     ),
+
+    // cu16: hashed n-gram importance weights — the DSIR-style (Xie et
+    // al. 2023, "Data Selection for Language Models via Importance
+    // Resampling") target-vs-raw reweighting: hash every token into a
+    // 256-bucket feature space (first two hex chars of md5 — no vocab,
+    // no training), estimate the target distribution from the
+    // target-domain slice (lang = 'en' here; a quality reference corpus
+    // in production) and the raw distribution from the whole corpus,
+    // then score each document by the sum of its tokens' integer
+    // likelihood ratios (ppm fixed point: n_target·10⁶ div n_raw —
+    // exact in both engines, no float log drift). Scale shape: the
+    // weight table is 256 rows — model-sized, broadcast — so the corpus
+    // side is one explode + map-side hash join + partially-aggregated
+    // groupBy(doc_id): linear, skew-free (doc_id is unique), and the
+    // only wide op is the uniform final agg. At 100 TB the feature
+    // space widens to 2⁴ hex chars; the plan is unchanged.
+    Q(
+      "cu16_importance_weights",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val toks = docs
+          .select(col("doc_id"), col("lang"),
+            explode(split(lower(col("text")), "[^a-z]+")).as("tok"))
+          .where(col("tok") =!= "")
+          .select(col("doc_id"), col("lang"),
+            substring(md5(col("tok")), 1, 2).as("f"))
+        val weights = toks
+          .groupBy("f")
+          .agg(
+            count(lit(1)).as("n_raw"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_tgt"))
+          .select(col("f"), expr("n_tgt * 1000000 div n_raw").as("w"))
+        toks
+          .join(broadcast(weights), "f")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_tokens"),
+            sum(col("w")).as("score"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, lang,
+                 unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                    t -> t <> '')) AS tok
+          FROM documents),
+        f AS (SELECT doc_id, lang, substr(md5(tok), 1, 2) AS f FROM tok),
+        wt AS (
+          SELECT f, COUNT(*) AS n_raw,
+                 SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_tgt
+          FROM f GROUP BY f)
+        SELECT doc_id,
+               COUNT(*)::BIGINT AS n_tokens,
+               CAST(SUM(n_tgt * 1000000 // n_raw) AS BIGINT) AS score
+        FROM f JOIN wt USING (f)
+        GROUP BY doc_id
+        ORDER BY doc_id
+      """.trim),
+    ),
   )
 }

@@ -197,5 +197,88 @@ object InteractiveQueries {
         """.stripMargin.trim
       },
     ),
+
+    // i11: phrase search over a POSITIONAL inverted index — the
+    // interactive-search mechanism cu5's postings lack (doc frequency
+    // alone cannot answer "these words ADJACENT"). Spark side: tokens
+    // posexplode into (token, doc, sorted positions) postings, the
+    // query phrases' word postings are pruned by a broadcast semi-join
+    // (only the queried words' lists ever reach a shuffle — at 100 TB
+    // the full postings table is corpus-sized, the pruned one is
+    // query-sized), and adjacency = |shift(positions(w1)) ∩
+    // positions(w2)| per doc. The DuckDB oracle never builds postings:
+    // it counts adjacent bigrams directly from the token stream —
+    // mechanism-diverse evidence that the index path returns exactly
+    // the scan-path answer. Phrases are the corpus's own top-5 bigrams
+    // (count desc, bigram asc — deterministic in both engines), so the
+    // query set needs no fixture table.
+    Q(
+      "i11_phrase_search",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val toksArr = docs.select(col("doc_id"),
+          filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "").as("ts"))
+        val bg = toksArr
+          .select(col("doc_id"),
+            explode(when(size(col("ts")) < 2,
+              expr("CAST(array() AS array<struct<w1:string,w2:string>>)"))
+              .otherwise(expr(
+                """transform(slice(ts, 1, size(ts) - 1),
+                  |  (t, i) -> named_struct('w1', t, 'w2', element_at(ts, i + 2)))"""
+                  .stripMargin))).as("b"))
+          .select(col("doc_id"), col("b.w1"), col("b.w2"),
+            concat(col("b.w1"), lit(" "), col("b.w2")).as("phrase"))
+        val top5 = bg.groupBy("phrase", "w1", "w2")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("phrase").asc)
+          .limit(5)
+          .select("phrase", "w1", "w2")
+        val post = toksArr
+          .select(col("doc_id"), posexplode(col("ts")).as(Seq("pos", "tok")))
+          .groupBy("tok", "doc_id")
+          .agg(sort_array(collect_list(col("pos"))).as("ps"))
+        val m1 = post.join(broadcast(top5), col("tok") === col("w1"))
+          .select(col("phrase"), col("w2"), col("doc_id").as("doc_id1"),
+            col("ps").as("ps1"))
+        val post2 = post
+          .join(broadcast(top5.select(col("w2").as("tok")).distinct()),
+            Seq("tok"), "leftsemi")
+          .select(col("tok").as("tok2"), col("doc_id").as("doc_id2"), col("ps"))
+        val joined = post2
+          .join(m1, col("tok2") === col("w2") && col("doc_id2") === col("doc_id1"))
+          .select(col("phrase"), col("doc_id1").as("doc_id"),
+            size(array_intersect(
+              transform(col("ps1"), p => p + 1), col("ps"))).as("occ"))
+          .where(col("occ") > 0)
+        joined.groupBy("phrase")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("occ")).cast("long").as("n_occurrences"),
+            sum(col("doc_id")).as("docid_sum"))
+          .orderBy("phrase")
+      },
+      Some("""
+        WITH ts AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                             t -> t <> '') AS ts
+          FROM documents),
+        bg AS (
+          SELECT doc_id, ts[i] || ' ' || ts[i+1] AS phrase
+          FROM ts, UNNEST(range(1, len(ts))) AS u(i)),
+        top5 AS (
+          SELECT phrase FROM bg GROUP BY phrase
+          ORDER BY COUNT(*) DESC, phrase LIMIT 5),
+        occ AS (
+          SELECT b.phrase, b.doc_id, COUNT(*) AS occ
+          FROM bg b JOIN top5 t ON b.phrase = t.phrase
+          GROUP BY 1, 2)
+        SELECT phrase,
+               COUNT(*) AS n_docs,
+               CAST(SUM(occ) AS BIGINT) AS n_occurrences,
+               CAST(SUM(doc_id) AS BIGINT) AS docid_sum
+        FROM occ GROUP BY phrase ORDER BY phrase
+      """.trim),
+    ),
   )
 }

@@ -548,5 +548,76 @@ object MultimodalQueries {
         ORDER BY doc_id
       """.trim),
     ),
+
+    // m14: perceptual image near-dup — the multimodal analog of the d4
+    // SimHash text pipeline, over the REAL BMP pixel decode. Documents
+    // sharing a scene id carry byte-DIFFERENT images (every off-lattice
+    // pixel is jittered per doc — the re-encode/CDN-noise regime) that
+    // are perceptually identical; dHash (9×8 grayscale grid, 64
+    // right-neighbor comparisons) collapses each scene to one 64-bit
+    // key, and a plain hash GROUP BY yields the near-dup clusters — no
+    // all-pairs compare, no vectors in the shuffle, O(1) bytes per
+    // image into the exchange. The oracle recomputes the hash
+    // analytically from the lattice formula, so a wrong sample
+    // coordinate, grayscale fold, bit order, or row flip each breaks
+    // the hash; the jitter invariance IS the assertion that only
+    // lattice pixels reach the hash.
+    Q(
+      "m14_image_neardup",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val scene = col("doc_id") % 53
+        val w = (scene % 14 + 3).cast("int")
+        val h = (scene % 9 + 2).cast("int")
+        val packed = docs.select(col("doc_id"),
+          Multimodal.packBmp24Jittered(scene, col("doc_id"), w, h).as("media"))
+        Multimodal.decodeBmpDHashes(packed, "doc_id", "media")
+          .groupBy("h_hi", "h_lo")
+          .agg(
+            count(lit(1)).as("cluster_size"),
+            min(col("id")).as("canonical_doc"),
+            sum(col("id")).as("docid_sum"))
+          .orderBy("h_hi", "h_lo")
+      },
+      Some("""
+        WITH g AS (
+          SELECT doc_id, doc_id % 53 AS scene,
+                 (doc_id % 53) % 14 + 3 AS w, (doc_id % 53) % 9 + 2 AS h
+          FROM documents),
+        co AS (
+          SELECT doc_id, scene,
+                 list_transform(range(0, 72), i ->
+                   {'sx': (i%9)*(w-1)//8, 'sy': (i//9)*(h-1)//7}) AS cs
+          FROM g),
+        gr AS (
+          SELECT doc_id,
+                 list_transform(cs, c ->
+                   ( (c.sx*c.sx*7 + c.sy*c.sy*11 + scene*(c.sx+1)*(c.sy+2)) % 256
+                   + 2*((c.sx*c.sx*3 + c.sy*c.sy*5 + scene*(c.sx+2)*(c.sy+1)) % 256)
+                   + (c.sx*c.sx*13 + c.sy*c.sy*2 + scene*(c.sx+3)*(c.sy+3)) % 256
+                   ) // 4) AS gray
+          FROM co),
+        bits AS (
+          SELECT doc_id,
+                 list_transform(range(0, 64), i ->
+                   CASE WHEN gray[(i//8)*9 + (i%8) + 2] > gray[(i//8)*9 + (i%8) + 1]
+                        THEN 1 ELSE 0 END) AS b
+          FROM gr),
+        hh AS (
+          SELECT doc_id,
+                 CAST(list_sum(list_transform(range(0, 32),
+                   i -> b[i+1] * (1::BIGINT << i))) AS BIGINT) AS h_hi,
+                 CAST(list_sum(list_transform(range(32, 64),
+                   i -> b[i+1] * (1::BIGINT << (i-32)))) AS BIGINT) AS h_lo
+          FROM bits)
+        SELECT h_hi, h_lo,
+               COUNT(*) AS cluster_size,
+               MIN(doc_id) AS canonical_doc,
+               CAST(SUM(doc_id) AS BIGINT) AS docid_sum
+        FROM hh
+        GROUP BY h_hi, h_lo
+        ORDER BY h_hi, h_lo
+      """.trim),
+    ),
   )
 }

@@ -205,6 +205,55 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(Multimodal.decodeBmp24Stats(bpp16)._1 == -1)
   }
 
+  test("BMP dHash: jitter invariance, brute-force parity, scene separation, malformed") {
+    def lattice(g: Int, n: Int, d: Int) = g * (d - 1) / (n - 1)
+    // independent brute-force of the hash from the scene formula
+    def want(k: Long, w: Int, h: Int): (Long, Long) = {
+      def gray(gx: Int, gy: Int): Int = {
+        val (r, g, b) =
+          Multimodal.scenePixel(k, lattice(gx, 9, w), lattice(gy, 8, h))
+        (r + 2 * g + b) / 4
+      }
+      var hi = 0L; var lo = 0L
+      for (i <- 0 until 64 if gray(i % 8 + 1, i / 8) > gray(i % 8, i / 8))
+        if (i < 32) hi |= 1L << i else lo |= 1L << (i - 32)
+      (hi, lo)
+    }
+    for (k <- Seq(0L, 5L, 52L); w <- Seq(3, 7, 16); h <- Seq(2, 6, 10)) {
+      // two docs of the same scene: byte-different images, identical hash
+      val a = Multimodal.encodeBmp24Jittered(k, 1L, w, h)
+      val b = Multimodal.encodeBmp24Jittered(k, 2L, w, h)
+      // a 9×8 lattice covers EVERY pixel of a ≤9×≤8 image — only larger
+      // images have off-lattice pixels for the jitter to touch
+      if (w > 9 || h > 8)
+        assert(!java.util.Arrays.equals(a, b), s"jitter must change bytes w=$w h=$h")
+      val (aw, ah, ahi, alo) = Multimodal.decodeBmpDHash(a)
+      assert((aw, ah) == ((w, h)))
+      assert(Multimodal.decodeBmpDHash(b) == ((w, h, ahi, alo)), s"k=$k w=$w h=$h")
+      assert((ahi, alo) == want(k, w, h), s"brute-force k=$k w=$w h=$h")
+    }
+    // the fixture regime's 53 scenes map to 53 distinct hashes (the
+    // m14 cluster count depends on this separation)
+    val hs = (0 until 53).map { s =>
+      Multimodal.decodeBmpDHash(
+        Multimodal.encodeBmp24Jittered(s.toLong, 9L, s % 14 + 3, s % 9 + 2))
+    }
+    assert(hs.distinct.size == 53)
+    // top-down twin (negative height, rows pre-flipped) hashes identically
+    val up = Multimodal.encodeBmp24Jittered(5L, 1L, 1, 2)
+    val dn = up.clone()
+    dn(22) = (-2).toByte; dn(23) = -1; dn(24) = -1; dn(25) = -1
+    for (i <- 0 until 4) {
+      val t = dn(54 + i); dn(54 + i) = dn(54 + 4 + i); dn(54 + 4 + i) = t
+    }
+    assert(Multimodal.decodeBmpDHash(dn) == Multimodal.decodeBmpDHash(up))
+    // malformed: wrong magic, truncated, non-24bpp
+    assert(Multimodal.decodeBmpDHash("nope".getBytes)._1 == -1)
+    assert(Multimodal.decodeBmpDHash(up.dropRight(3))._1 == -1)
+    val b16 = up.clone(); b16(28) = 16
+    assert(Multimodal.decodeBmpDHash(b16)._1 == -1)
+  }
+
   test("PNG pixel decode: all five filters, RGBA, ancillary chunks, malformed") {
     // heights ≥ 5 exercise every filter type (the encoder rotates y % 5)
     // against an independent brute-force of the pattern

@@ -489,4 +489,39 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     partitionings.foreach(hp => assert(!hp.contains("v#") && !hp.contains("pv#") && !hp.contains("nv#"),
       s"ss12: embedding vector leaked into a shuffle key: $hp"))
   }
+
+  test("cu16 importance weights broadcast the 256-row weight table") {
+    val p = plan("cu16_importance_weights")
+    // the weight table is model-sized: a shuffle join here would
+    // re-shuffle the whole exploded token stream on the feature key
+    assert(p.contains("BroadcastHashJoin"), s"weight join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"token stream shuffled for the weight join:\n$p")
+    assert(!p.contains("Window"), s"unexpected window in cu16:\n$p")
+    // the per-doc score agg combines map-side (doc_id is unique — the
+    // skew-free final shuffle)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final HashAggregate:\n$p")
+  }
+
+  test("i11 phrase search prunes postings by broadcast before any shuffle join") {
+    val p = plan("i11_phrase_search")
+    // both the w1-postings selection and the w2 semi-join prune must be
+    // broadcasts of the 5-phrase table — the full postings relation
+    // must never shuffle on behalf of a 5-word query
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"expected two broadcast prunes (w1 join, w2 semi):\n$p")
+    assert(!p.contains("CartesianProduct"), s"phrase join degenerated:\n$p")
+    assert(!p.contains("Window"), s"unexpected window in i11:\n$p")
+  }
+
+  test("m14 perceptual dedup groups hashes with map-side combine, no window") {
+    val p = plan("m14_image_neardup")
+    // near-dup clustering is ONE hash groupBy: 16 bytes per image into
+    // the exchange, partial-aggregated — never an all-pairs compare or
+    // a window over cluster members
+    assert(!p.contains("Window"), s"unexpected window in m14:\n$p")
+    assert(!p.contains("CartesianProduct"), s"m14 degenerated to all-pairs:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final HashAggregate over (h_hi, h_lo):\n$p")
+  }
 }
