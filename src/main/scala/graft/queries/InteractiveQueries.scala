@@ -280,5 +280,76 @@ object InteractiveQueries {
         FROM occ GROUP BY phrase ORDER BY phrase
       """.trim),
     ),
+
+    // i12: BM25 ranked retrieval — the scoring layer over the postings
+    // machinery (cu5 doc-frequency, i11 positions): Okapi BM25 with
+    // k1 = 1.2, b = 0.75 in pure integer fixed point. The log-idf is
+    // replaced by the rational Robertson–Sparck-Jones core
+    // (N − df)·10⁶ div df — monotone in df, exact in both engines (a
+    // float log would hash-drift); the saturation/length-norm fraction
+    // multiplies through by 10·avgdl so numerator and denominator stay
+    // integral: score(t,d) = idf · 22·tf·avgdl div
+    // (10·avgdl·tf + 3·avgdl + 9·dl). Query = the corpus's own
+    // mid-frequency terms (df ranks 11–15 — deterministic in both
+    // engines; the top-10 df terms are stopword-like and would swamp
+    // the ranking). Scale shape: tf/dl/df are partial-agg'd groupBys;
+    // the 5-term query table and the two one-row scalars broadcast, so
+    // scoring is a map-side join over only the matching postings; the
+    // global top-10 runs as TakeOrdered (per-partition heads, never a
+    // full sort).
+    Q(
+      "i12_bm25_search",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("tok"))
+          .where(col("tok") =!= "")
+        val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val terms = df.orderBy(col("df").desc, col("tok").asc)
+          .offset(10).limit(5)
+        val scal = dl.agg(
+          count(lit(1)).as("n_docs"),
+          expr("sum(dl) div count(1)").as("avgdl"))
+        val scored = tf
+          .join(broadcast(terms), Seq("tok"))
+          .join(dl, Seq("doc_id"))
+          .crossJoin(broadcast(scal))
+          .select(col("doc_id"),
+            expr("""((n_docs - df) * 1000000 div df)
+                   | * (22 * tf * avgdl)
+                   | div (10 * avgdl * tf + 3 * avgdl + 9 * dl)"""
+              .stripMargin).as("ts"))
+        scored.groupBy("doc_id")
+          .agg(sum(col("ts")).as("score"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .limit(10)
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                    t -> t <> '')) AS tok
+          FROM documents),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        terms AS (
+          SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 5 OFFSET 10),
+        scal AS (
+          SELECT COUNT(*) AS n_docs, SUM(dl) // COUNT(*) AS avgdl FROM dl),
+        scored AS (
+          SELECT tf.doc_id,
+                 ((n_docs - t.df) * 1000000 // t.df)
+                   * (22 * tf.tf * avgdl)
+                   // (10 * avgdl * tf.tf + 3 * avgdl + 9 * dl.dl) AS ts
+          FROM tf JOIN terms t USING (tok)
+                  JOIN dl ON tf.doc_id = dl.doc_id, scal)
+        SELECT doc_id, CAST(SUM(ts) AS BIGINT) AS score
+        FROM scored GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT 10
+      """.trim),
+    ),
   )
 }

@@ -743,5 +743,75 @@ object SourceQueries {
         FROM documents
       """.stripMargin.trim),
     ),
+
+    // s19: packed token-sequence shards (.bin/.idx, the Megatron-style
+    // indexed-dataset layout) — the EXPORT artifact a trainer's data
+    // loader reads: documents tokenize against a bounded 1024-word
+    // frequency vocabulary (unknown → 0), the id sequences go OUT as
+    // range-partitioned int32 .bin shards with fixed-width .idx
+    // sidecars, and probe doc_ids come back IN through the real binary
+    // path: manifest route → .idx binary search → ranged .bin read.
+    // The oracle recomputes the fetched stats from the raw text in
+    // SQL, so a wrong byte order, a mis-written offset, an off-by-one
+    // in the index search, or a scrambled sequence order each breaks
+    // the hash (first/last are position-sensitive where the sum is
+    // not). The vocabulary rank window runs over exactly 1024 rows —
+    // bounded by construction, never corpus-sized.
+    Q(
+      "s19_token_shards",
+      (s, dir) => {
+        val out = stage("s19")
+        val docs = Registry.table(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          posexplode(filter(split(lower(col("text")), "[^a-z]+"),
+            t => t =!= "")).as(Seq("pos", "tok")))
+        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok").asc).limit(1024)
+          .withColumn("id", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("cnt").desc, col("tok").asc)).cast("int"))
+          .select("tok", "id")
+        val seqs = toks.join(broadcast(vocab), Seq("tok"), "left")
+          .select(col("doc_id"),
+            col("pos"), coalesce(col("id"), lit(0)).cast("int").as("id"))
+          .groupBy("doc_id")
+          .agg(transform(
+            sort_array(collect_list(struct(col("pos"), col("id")))),
+            e => e.getField("id")).as("ids"))
+        graft.sources.TokenShards.write(seqs, out, shards = 8)
+        val probes = docs.select(col("doc_id")).filter(col("doc_id") % 23 === 7)
+        graft.sources.TokenShards.fetch(s, out, probes)
+          .select(col("doc_id"),
+            col("n_tokens").cast("long").as("n_tokens"),
+            col("id_sum"),
+            col("first_id").cast("long").as("first_id"),
+            col("last_id").cast("long").as("last_id"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH ts AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                             t -> t <> '') AS ts
+          FROM documents),
+        tok AS (
+          SELECT doc_id, i AS pos, ts[i] AS tok
+          FROM ts, UNNEST(range(1, len(ts) + 1)) AS u(i)),
+        vc AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+        vocab AS (
+          SELECT tok, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS id
+          FROM (SELECT * FROM vc ORDER BY cnt DESC, tok LIMIT 1024)),
+        ids AS (
+          SELECT t.doc_id, t.pos, COALESCE(v.id, 0) AS id
+          FROM tok t LEFT JOIN vocab v USING (tok))
+        SELECT doc_id,
+               COUNT(*)::BIGINT AS n_tokens,
+               CAST(SUM(id) AS BIGINT) AS id_sum,
+               CAST(min_by(id, pos) AS BIGINT) AS first_id,
+               CAST(max_by(id, pos) AS BIGINT) AS last_id
+        FROM ids WHERE doc_id % 23 = 7
+        GROUP BY doc_id ORDER BY doc_id
+      """.stripMargin.trim),
+    ),
   )
 }

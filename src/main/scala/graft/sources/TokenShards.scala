@@ -1,0 +1,174 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Packed token-sequence shards with an index sidecar — the binary
+  * layout a pretraining data loader random-accesses (the
+  * Megatron-LM-style indexed dataset: a `.bin` of concatenated token
+  * ids plus a `.idx` of per-document offsets; public format, described
+  * in the Megatron-LM repository's `indexed_dataset.py`). This is the
+  * EXPORT side of the curation pipeline: cu-family selects and packs
+  * documents, t13/t14 tokenize them, and this sink lays the ids out so
+  * a trainer fetches any document with one index lookup and one ranged
+  * read — no parquet decode, no row-group scan, on the hot input path
+  * of every training step.
+  *
+  * Layout per shard i (all through Hadoop FileSystem, so hdfs:// and
+  * s3a:// targets work like the TFiles bridge):
+  *  - `part-i.bin`  — each document's token ids as little-endian
+  *    int32s, concatenated in doc_id order.
+  *  - `part-i.idx`  — fixed 20-byte entries `(doc_id: i64 LE,
+  *    byte_offset: i64 LE, n_tokens: i32 LE)`, sorted by doc_id — a
+  *    reader binary-searches the entry, then ranged-reads the span.
+  *  - `manifest.json` — shard → [min,max] doc_id span (the TFiles
+  *    range-routing pattern), so a point fetch opens only the owning
+  *    shard.
+  *
+  * Scale shape: shards are range-partitioned and internally sorted by
+  * doc_id (one shuffle at write); fetches route via the broadcast
+  * manifest, co-locate per shard, and share one open reader per task —
+  * the same discipline as `TFiles.lookup`.
+  */
+object TokenShards {
+
+  val FetchSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("id_sum", LongType, nullable = false),
+    StructField("first_id", IntegerType, nullable = false),
+    StructField("last_id", IntegerType, nullable = false)))
+
+  private val IdxEntryBytes = 20
+
+  /** Write (doc_id: long, ids: array<int>) rows as range-partitioned
+    * sorted .bin/.idx shard pairs under `dir`, plus manifest.json of
+    * shard doc_id spans (driver-side, O(shards)). */
+  def write(df: DataFrame, dir: String, shards: Int): Unit = {
+    val manifest = df.select(col("doc_id").cast("long"), col("ids"))
+      .repartitionByRange(shards, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .rdd.mapPartitionsWithIndex { (i, it) =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val conf = new Configuration()
+          val binPath = new Path(f"$dir/part-$i%05d.bin")
+          val idxPath = new Path(f"$dir/part-$i%05d.idx")
+          val fs = binPath.getFileSystem(conf)
+          val bin = fs.create(binPath)
+          val idx = fs.create(idxPath)
+          // little-endian scratch buffers (FSDataOutputStream itself is
+          // big-endian DataOutput — bypass it with explicit buffers)
+          def le32(v: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+          def le64(v: Long): Array[Byte] = java.nio.ByteBuffer.allocate(8)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v).array()
+          var min = Long.MaxValue
+          var max = Long.MinValue
+          var nDocs = 0L
+          var off = 0L
+          it.foreach { r =>
+            val k = r.getLong(0)
+            val ids = r.getSeq[Int](1)
+            idx.write(le64(k)); idx.write(le64(off)); idx.write(le32(ids.length))
+            val buf = java.nio.ByteBuffer.allocate(ids.length * 4)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            ids.foreach(buf.putInt)
+            bin.write(buf.array())
+            off += ids.length.toLong * 4
+            min = math.min(min, k); max = math.max(max, k); nDocs += 1
+          }
+          bin.close(); idx.close()
+          Iterator((f"part-$i%05d", min, max, nDocs))
+        }
+      }.collect()
+    val json = manifest.map { case (f, mn, mx, n) =>
+      s"""{"stem":"$f","min":$mn,"max":$mx,"n":$n}"""
+    }.mkString("", "\n", "\n")
+    val mPath = new Path(dir, "manifest.json")
+    val mOut = mPath.getFileSystem(new Configuration()).create(mPath, true)
+    try mOut.write(json.getBytes(UTF_8)) finally mOut.close()
+  }
+
+  /** Distributed point fetch: probe doc_ids route to their owning shard
+    * via the broadcast manifest, co-locate per shard, and each task
+    * binary-searches the shard's .idx then ranged-reads the .bin span —
+    * the trainer's data-loader access pattern. Missing doc_ids produce
+    * no row. Returns (doc_id, n_tokens, id_sum, first_id, last_id). */
+  def fetch(spark: SparkSession, dir: String, probes: DataFrame): DataFrame = {
+    val manifest = spark.read.json(s"$dir/manifest.json")
+      .select(col("stem"), col("min").cast("long"), col("max").cast("long"))
+    val routed = probes.select(col("doc_id").cast("long").as("doc_id"))
+      .join(broadcast(manifest),
+        col("doc_id") >= col("min") && col("doc_id") <= col("max"))
+      .select(col("stem"), col("doc_id"))
+      .repartition(col("stem"))
+      .sortWithinPartitions("stem", "doc_id")
+    val rows = routed.rdd.mapPartitions { it =>
+      val conf = new Configuration()
+      var curStem: String = null
+      var idx: java.nio.ByteBuffer = null
+      var bin: org.apache.hadoop.fs.FSDataInputStream = null
+      def close(): Unit = {
+        if (bin != null) bin.close()
+        bin = null; idx = null; curStem = null
+      }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => close()))
+      val out = it.flatMap { r =>
+        val stem = r.getString(0); val k = r.getLong(1)
+        if (stem != curStem) {
+          close()
+          val idxPath = new Path(s"$dir/$stem.idx")
+          val fs = idxPath.getFileSystem(conf)
+          // the whole index is entries×20 bytes — read it once per task
+          // (the data loader equivalently mmaps it); .bin stays open for
+          // ranged reads only
+          val len = fs.getFileStatus(idxPath).getLen
+          val raw = new Array[Byte](len.toInt)
+          val in = fs.open(idxPath)
+          try in.readFully(0, raw) finally in.close()
+          idx = java.nio.ByteBuffer.wrap(raw)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bin = fs.open(new Path(s"$dir/$stem.bin"))
+          curStem = stem
+        }
+        // binary search the sorted fixed-width entries for doc_id k
+        val n = idx.capacity() / IdxEntryBytes
+        var lo = 0; var hi = n - 1; var found = -1
+        while (lo <= hi && found < 0) {
+          val mid = (lo + hi) >>> 1
+          val d = idx.getLong(mid * IdxEntryBytes)
+          if (d == k) found = mid
+          else if (d < k) lo = mid + 1
+          else hi = mid - 1
+        }
+        if (found < 0) Iterator.empty
+        else {
+          val off = idx.getLong(found * IdxEntryBytes + 8)
+          val nTok = idx.getInt(found * IdxEntryBytes + 16)
+          val raw = new Array[Byte](nTok * 4)
+          bin.readFully(off, raw)
+          val bb = java.nio.ByteBuffer.wrap(raw)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var s = 0L
+          var i = 0
+          while (i < nTok) { s += bb.getInt(i * 4); i += 1 }
+          val first = if (nTok > 0) bb.getInt(0) else -1
+          val last = if (nTok > 0) bb.getInt((nTok - 1) * 4) else -1
+          Iterator(Row(k, nTok, s, first, last))
+        }
+      }
+      new Iterator[Row] {
+        def hasNext: Boolean = { val h = out.hasNext; if (!h) close(); h }
+        def next(): Row = out.next()
+      }
+    }
+    spark.createDataFrame(rows, FetchSchema)
+  }
+}

@@ -514,6 +514,16 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Window"), s"unexpected window in i11:\n$p")
   }
 
+  test("i12 BM25 broadcasts query terms and takes the top-10 without a global sort") {
+    val p = plan("i12_bm25_search")
+    // the 5-term query table and the one-row scalars broadcast; the
+    // only sort is TakeOrdered's per-partition heads
+    assert(p.contains("BroadcastHashJoin"), s"term join not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 fell back to a global sort:\n$p")
+    assert(!p.contains("Window"), s"unexpected window in i12:\n$p")
+  }
+
   test("m14 perceptual dedup groups hashes with map-side combine, no window") {
     val p = plan("m14_image_neardup")
     // near-dup clustering is ONE hash groupBy: 16 bytes per image into

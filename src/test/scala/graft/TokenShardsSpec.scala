@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.TokenShards
+
+/** The packed token-shard sink (s19's binary layer): write → manifest →
+  * index-seek fetch round-trips, including the edges the oracle query
+  * can't reach — missing probes, partial consumption (the
+  * task-completion close path), empty shards, and empty id sequences. */
+class TokenShardsSpec extends AnyFunSuite with SparkSuite {
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("ids", ArrayType(IntegerType, containsNull = false),
+      nullable = false)))
+
+  private def mk(rows: (Long, Seq[Int])*) = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.map { case (k, ids) => Row(k, ids) }.asJava, schema)
+  }
+
+  test("round-trip: every doc comes back with exact stats; misses drop") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-tokshard-").toString
+    val docs = (0L until 100L).map(k =>
+      k -> (0 until (k % 7 + 1).toInt).map(i => (k * 31 + i).toInt))
+    TokenShards.write(mk(docs: _*), dir, shards = 4)
+    // probes: all present keys plus misses below/above/between
+    val probes = mk((Seq(-5L, 1000L) ++ (0L until 100L)).map(_ -> Seq[Int](0)): _*)
+      .select("doc_id")
+    val got = TokenShards.fetch(spark, dir, probes)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(got.size == 100) // the two misses produced no rows
+    docs.foreach { case (k, ids) =>
+      assert(got(k) == ((ids.length, ids.map(_.toLong).sum, ids.head, ids.last)),
+        s"doc $k")
+    }
+    // manifest spans cover disjoint ranges and all 100 docs
+    val man = spark.read.json(s"$dir/manifest.json")
+      .select("min", "max", "n").collect()
+    assert(man.map(_.getLong(2)).sum == 100)
+    val spans = man.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Array((_, aMax), (bMin, _)) => assert(aMax < bMin)
+      case _ =>
+    }
+  }
+
+  test("partial consumption (limit) still closes readers; empty ids fetch") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-tokshard-").toString
+    TokenShards.write(
+      mk(1L -> Seq(7, 8), 2L -> Seq.empty[Int], 3L -> Seq(9)), dir, shards = 2)
+    // a limit(1) leaves the fetch iterator un-exhausted — the
+    // TaskCompletionListener must close the streams (no assertion
+    // possible on the handle itself; the test passes if no leak-related
+    // failure or hang occurs and the row is correct)
+    val one = TokenShards.fetch(spark, dir,
+      mk(1L -> Seq(0), 3L -> Seq(0)).select("doc_id")).limit(1).collect()
+    assert(one.length == 1)
+    // an empty id sequence round-trips as n_tokens=0 with -1 sentinels
+    val empty = TokenShards.fetch(spark, dir, mk(2L -> Seq(0)).select("doc_id"))
+      .collect()
+    assert(empty.map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+      r.getInt(3), r.getInt(4))).toSeq == Seq((2L, 0, 0L, -1, -1)))
+  }
+}
