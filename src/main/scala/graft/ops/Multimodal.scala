@@ -498,13 +498,29 @@ object Multimodal {
     * same scene are byte-different images that are perceptually (and
     * dHash-) identical. Fixture synthesis only. */
   private[graft] def encodeBmp24Jittered(
-      scene: Long, docSeed: Long, w: Int, h: Int): Array[Byte] = {
+      scene: Long, docSeed: Long, w: Int, h: Int): Array[Byte] =
+    encodeBmp24Perturbed(scene, docSeed, w, h, cell = -1)
+
+  /** [[encodeBmp24Jittered]] plus an optional single-cell perturbation:
+    * when `cell` ∈ [0, 72), the LATTICE pixel of grid cell (cell%9,
+    * cell/9) gets +64 on every channel — the "re-encode changed a
+    * detail" regime that flips ≤2 dHash comparisons (the cell's left
+    * and right neighbor comparisons) when the lattice is injective
+    * (w ≥ 9, h ≥ 8; smaller dims alias one pixel to several grid
+    * cells and the flip count is unbounded — d13's fixture dims
+    * guarantee injectivity). Fixture synthesis only. */
+  private[graft] def encodeBmp24Perturbed(
+      scene: Long, docSeed: Long, w: Int, h: Int, cell: Int): Array[Byte] = {
     val xs = new Array[Boolean](w)
     val ys = new Array[Boolean](h)
     var g = 0
     while (g < 9) { xs(latticeCoord(g, 9, w)) = true; g += 1 }
     g = 0
     while (g < 8) { ys(latticeCoord(g, 8, h)) = true; g += 1 }
+    val (bumpX, bumpY) =
+      if (cell >= 0 && cell < 72)
+        (latticeCoord(cell % 9, 9, w), latticeCoord(cell / 9, 8, h))
+      else (-1, -1)
     val rowPad = (4 - (w * 3) % 4) % 4
     val imgSize = (w * 3 + rowPad) * h
     val buf = java.nio.ByteBuffer.allocate(54 + imgSize)
@@ -522,9 +538,10 @@ object Multimodal {
         val j =
           if (xs(x) && ys(y)) 0
           else ((docSeed * 31 + 17 * x + 19 * y) % 7 + 1).toInt
-        buf.put(((b0 + j) % 256).toByte)
-          .put(((g0 + j) % 256).toByte)
-          .put(((r0 + j) % 256).toByte)
+        val p = if (x == bumpX && y == bumpY) 64 else 0
+        buf.put(((b0 + j + p) % 256).toByte)
+          .put(((g0 + j + p) % 256).toByte)
+          .put(((r0 + j + p) % 256).toByte)
         x += 1
       }
       var p = 0
@@ -1752,6 +1769,16 @@ object Multimodal {
       encodeBmp24Jittered(sc % 251, ds, w, h))
     enc(scene.cast("long"), docSeed.cast("long"),
       width.cast("int"), height.cast("int"))
+  }
+
+  /** Fixture-synthesis column with the single-cell perturbation (cell
+    * −1 = none) — see [[encodeBmp24Perturbed]]. */
+  def packBmp24Perturbed(scene: Column, docSeed: Column,
+      width: Column, height: Column, cell: Column): Column = {
+    val enc = udf((sc: Long, ds: Long, w: Int, h: Int, c: Int) =>
+      encodeBmp24Perturbed(sc % 251, ds, w, h, c))
+    enc(scene.cast("long"), docSeed.cast("long"),
+      width.cast("int"), height.cast("int"), cell.cast("int"))
   }
 
   val DHashSchema: StructType = StructType(Seq(

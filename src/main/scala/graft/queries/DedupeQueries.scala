@@ -536,5 +536,115 @@ object DedupeQueries {
         ORDER BY doc_id
       """.trim),
     ),
+
+    // d13: image near-dup with HAMMING tolerance — the path m14's exact
+    // hash grouping cannot take: a re-encode that changes a detail
+    // flips a few dHash bits, so equality misses it. The pipeline is
+    // d4's SimHash-banding discipline applied to the REAL image decode:
+    // (1) exact-hash supernodes first (the dedup-before-dedup step —
+    // identical images collapse to one node, so the candidate space is
+    // bounded by DISTINCT hashes, which the fixture bounds at
+    // ~73/scene however large the corpus grows); (2) 8×8-bit bands over
+    // the supernodes — ≤2 flipped bits leave ≥6 of 8 bands intact, so
+    // recall is guaranteed, never probabilistic; (3) hamming ≤ 2
+    // verification (xor + bit_count on the two 32-bit halves);
+    // (4) min-label connected components over the tiny supernode graph
+    // (perturbed variants link to their base transitively). Fixture
+    // dims keep the sample lattice injective (w ≥ 9, h ≥ 8) so the
+    // single-cell perturbation flips ≤2 comparisons; measured margins:
+    // within-scene ≤2 bits, cross-scene ≥11 — the oracle can therefore
+    // assert GROUND-TRUTH scene clusters and the banding pipeline must
+    // recover them exactly.
+    Q(
+      "d13_image_hamming_clusters",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val scene = col("doc_id") % 53
+        val w = (scene % 8 + 9).cast("int")
+        val h = (scene % 5 + 8).cast("int")
+        val cell = when(col("doc_id") % 5 === 4, (col("doc_id") % 72).cast("int"))
+          .otherwise(lit(-1))
+        val packed = docs.select(col("doc_id"),
+          graft.ops.Multimodal.packBmp24Perturbed(
+            scene, col("doc_id"), w, h, cell).as("media"))
+        val nodes = graft.ops.Multimodal
+          .decodeBmpDHashes(packed, "doc_id", "media")
+          .groupBy("h_hi", "h_lo")
+          .agg(count(lit(1)).as("n_docs"), min(col("id")).as("min_doc"),
+            sum(col("id")).as("docid_sum"))
+          .withColumn("node", shiftleft(col("h_hi"), 32).bitwiseOR(col("h_lo")))
+        val bands = nodes.select(col("node"), col("h_hi"), col("h_lo"),
+          explode(array((0 until 8).map { j =>
+            val half = if (j < 4) col("h_hi") else col("h_lo")
+            struct(lit(j).as("bi"),
+              shiftright(half, 8 * (j % 4)).bitwiseAND(lit(255L)).as("bv"))
+          }: _*)).as("b"))
+          .select(col("node"), col("h_hi"), col("h_lo"),
+            col("b.bi").as("bi"), col("b.bv").as("bv"))
+        val a = bands.as("a"); val b = bands.as("b")
+        val edges = a.join(b,
+            col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+              col("a.node") < col("b.node"))
+          .select(col("a.node").as("doc_a"), col("b.node").as("doc_b"),
+            (bit_count(col("a.h_hi").bitwiseXOR(col("b.h_hi"))) +
+              bit_count(col("a.h_lo").bitwiseXOR(col("b.h_lo")))).as("hamming"))
+          .filter(col("hamming") <= 2)
+          .select("doc_a", "doc_b")
+          .distinct()
+        val labels = Dedupe.connectedComponents(edges)
+        nodes.join(labels, nodes("node") === labels("id"), "left")
+          .select(col("min_doc"), col("n_docs"), col("docid_sum"),
+            coalesce(col("cluster_id"), col("node")).as("cl"))
+          .groupBy("cl")
+          .agg(min(col("min_doc")).as("canonical_doc"),
+            sum(col("n_docs")).as("n_docs"),
+            count(lit(1)).as("n_hashes"),
+            sum(col("docid_sum")).as("docid_sum"))
+          .select("canonical_doc", "n_docs", "n_hashes", "docid_sum")
+          .orderBy("canonical_doc")
+      },
+      Some("""
+        WITH g AS (
+          SELECT doc_id, doc_id % 53 AS scene,
+                 (doc_id % 53) % 8 + 9 AS w, (doc_id % 53) % 5 + 8 AS h,
+                 CASE WHEN doc_id % 5 = 4 THEN CAST(doc_id % 72 AS INT)
+                      ELSE -1 END AS cell
+          FROM documents),
+        co AS (
+          SELECT doc_id, scene, cell,
+                 list_transform(range(0, 72), i ->
+                   {'sx': (i%9)*(w-1)//8, 'sy': (i//9)*(h-1)//7,
+                    'p': CASE WHEN i = cell THEN 64 ELSE 0 END}) AS cs
+          FROM g),
+        gr AS (
+          SELECT doc_id, scene,
+                 list_transform(cs, c ->
+                   ( (c.sx*c.sx*7 + c.sy*c.sy*11 + scene*(c.sx+1)*(c.sy+2) + c.p) % 256
+                   + 2*((c.sx*c.sx*3 + c.sy*c.sy*5 + scene*(c.sx+2)*(c.sy+1) + c.p) % 256)
+                   + (c.sx*c.sx*13 + c.sy*c.sy*2 + scene*(c.sx+3)*(c.sy+3) + c.p) % 256
+                   ) // 4) AS gray
+          FROM co),
+        bits AS (
+          SELECT doc_id, scene,
+                 list_transform(range(0, 64), i ->
+                   CASE WHEN gray[(i//8)*9 + (i%8) + 2] > gray[(i//8)*9 + (i%8) + 1]
+                        THEN 1 ELSE 0 END) AS b
+          FROM gr),
+        hh AS (
+          SELECT doc_id, scene,
+                 CAST(list_sum(list_transform(range(0, 32),
+                   i -> b[i+1] * (1::BIGINT << i))) AS BIGINT) AS h_hi,
+                 CAST(list_sum(list_transform(range(32, 64),
+                   i -> b[i+1] * (1::BIGINT << (i-32)))) AS BIGINT) AS h_lo
+          FROM bits)
+        SELECT MIN(doc_id) AS canonical_doc,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT CAST(h_hi AS VARCHAR) || ':' || CAST(h_lo AS VARCHAR)) AS n_hashes,
+               CAST(SUM(doc_id) AS BIGINT) AS docid_sum
+        FROM hh
+        GROUP BY scene
+        ORDER BY canonical_doc
+      """.trim),
+    ),
   )
 }

@@ -254,6 +254,23 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(Multimodal.decodeBmpDHash(b16)._1 == -1)
   }
 
+  test("BMP dHash perturbation: single cell flips ≤2 bits under injective dims") {
+    // the d13 fixture contract: with w ≥ 9, h ≥ 8 the 9×8 lattice is
+    // injective, so one bumped pixel affects exactly one grid cell and
+    // at most its two neighbor comparisons
+    for (k <- Seq(0L, 17L, 52L)) {
+      val w = (k % 8 + 9).toInt; val h = (k % 5 + 8).toInt
+      val (_, _, bhi, blo) =
+        Multimodal.decodeBmpDHash(Multimodal.encodeBmp24Perturbed(k, 1L, w, h, -1))
+      for (c <- Seq(0, 8, 35, 71)) {
+        val (_, _, phi, plo) =
+          Multimodal.decodeBmpDHash(Multimodal.encodeBmp24Perturbed(k, 2L, w, h, c))
+        val d = java.lang.Long.bitCount(bhi ^ phi) + java.lang.Long.bitCount(blo ^ plo)
+        assert(d <= 2, s"k=$k c=$c flipped $d bits")
+      }
+    }
+  }
+
   test("PNG pixel decode: all five filters, RGBA, ancillary chunks, malformed") {
     // heights ≥ 5 exercise every filter type (the encoder rotates y % 5)
     // against an independent brute-force of the pattern

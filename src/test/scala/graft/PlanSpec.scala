@@ -524,6 +524,17 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Window"), s"unexpected window in i12:\n$p")
   }
 
+  test("d13 hamming clusters band over supernodes; no window, no cartesian") {
+    val p = plan("d13_image_hamming_clusters")
+    // candidates come from the band-key equi-join over DISTINCT hashes
+    // (supernodes), never an all-pairs compare or a window over members
+    assert(!p.contains("CartesianProduct"), s"d13 degenerated to all-pairs:\n$p")
+    assert(!p.contains("Window"), s"unexpected window in d13:\n$p")
+    // the supernode collapse is a partial+final hash aggregate
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final HashAggregate for supernodes:\n$p")
+  }
+
   test("m14 perceptual dedup groups hashes with map-side combine, no window") {
     val p = plan("m14_image_neardup")
     // near-dup clustering is ONE hash groupBy: 16 bytes per image into
