@@ -1930,6 +1930,67 @@ object Multimodal {
     stats.getOrElse(none)
   }
 
+  /** Per-sample sizes from the stsz table — the m15 keyframe-selection
+    * input ([[parseMp4SampleStats]] folds the same table to aggregates;
+    * selection needs the individual entries). Same untrusted-size
+    * discipline: declared counts cap at available bytes AND at 2²⁰
+    * entries (a 1-KB file can declare 2³²−1 samples — the allocation
+    * must size from evidence, not declaration). Malformed → empty. */
+  private[graft] def parseMp4SampleSizes(b: Array[Byte]): Array[Int] = {
+    def u8(i: Int) = b(i) & 0xff
+    def be32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    def cc(i: Int) = if (i + 4 <= b.length) new String(b, i, 4, "US-ASCII") else ""
+    if (b.length < 8 || cc(4) != "ftyp") return Array.empty
+    def child(start: Long, end: Long, id: String): Option[(Long, Long)] = {
+      var i = start
+      while (i + 8 <= end) {
+        val size = be32(i.toInt)
+        if (size < 8) return None
+        if (cc(i.toInt + 4) == id) return Some((i + 8, math.min(i + size, end)))
+        i += size
+      }
+      None
+    }
+    val sizes = for {
+      moov <- child(0, b.length.toLong, "moov")
+      trak <- child(moov._1, moov._2, "trak")
+      mdia <- child(trak._1, trak._2, "mdia")
+      minf <- child(mdia._1, mdia._2, "minf")
+      stbl <- child(minf._1, minf._2, "stbl")
+      stsz <- child(stbl._1, stbl._2, "stsz")
+      if stsz._2 - stsz._1 >= 12
+    } yield {
+      val za = stsz._1.toInt
+      val fixed = be32(za + 4)
+      val n = be32(za + 8)
+      val cap = 1L << 20
+      if (n > cap) Array.empty[Int]
+      else if (fixed > 0) Array.fill(n.toInt)(
+        math.min(fixed, Int.MaxValue.toLong).toInt)
+      else if (n > (stsz._2 - stsz._1 - 12) / 4) Array.empty[Int]
+      else Array.tabulate(n.toInt)(i =>
+        math.min(be32(za + 12 + i * 4), Int.MaxValue.toLong).toInt)
+    }
+    sizes.getOrElse(Array.empty)
+  }
+
+  /** Per-sample stsz decode over the standard batch seam:
+    * (id, media) → (id, sizes: array<int>). */
+  def decodeMp4SampleSizes(df: DataFrame, id: String, media: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("sizes", ArrayType(IntegerType, containsNull = false),
+        nullable = false)))
+    val rdd = df.select(col(id).cast("long"), col(media)).rdd.mapPartitions { it =>
+      it.map { r =>
+        Row(r.getLong(0), parseMp4SampleSizes(r.getAs[Array[Byte]](1)).toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Synthesize a one-track MP4 whose sample tables are real: ftyp, then
     * moov/trak/mdia/{mdhd v0 (timescale, duration = n·delta), minf/stbl/
     * {stts (one run: n samples × delta ticks), stsz (per-sample size

@@ -619,5 +619,58 @@ object MultimodalQueries {
         ORDER BY h_hi, h_lo
       """.trim),
     ),
+
+    // m15: keyframe selection from the REAL sample tables — the frame
+    // extraction plan a video pipeline budgets BEFORE touching mdat:
+    // I-frames dominate sample size, so "top-3 largest samples per
+    // video" is the keyframe proxy, and it must run as the bounded
+    // heap (≤3 rows per video leave each mapper), never a per-video
+    // window sort — sample tables of long videos are 10⁵–10⁶ entries,
+    // the zipf-partition lesson again. The stsz walk (m12's layer)
+    // here yields the INDIVIDUAL entries through the same untrusted-
+    // size discipline; the oracle re-ranks the analytic size table
+    // with a window — heap path vs sort path, mechanism-diverse.
+    Q(
+      "m15_keyframe_select",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val packed = docs.select(col("doc_id"),
+          Multimodal.packMp4Track(
+            (col("doc_id") % 5 * 600 + 600).cast("int"),
+            (col("doc_id") % 50 + 100).cast("int"),
+            (col("n_chars") % 30 + 1).cast("int"),
+            (col("doc_id") % 100 + 200).cast("int")).as("media"))
+        Multimodal.decodeMp4SampleSizes(packed, "doc_id", "media")
+          .select(col("id").as("doc_id"),
+            posexplode(col("sizes")).as(Seq("idx", "size")))
+          .groupBy("doc_id")
+          .agg(graft.ops.TopK.topScored(3)(
+            col("size").cast("double"), col("idx").cast("long")).as("top"))
+          .select(col("doc_id"), posexplode(col("top")))
+          .select(col("doc_id"),
+            (col("pos") + 1).cast("long").as("rank"),
+            col("col.key").as("sample_idx"),
+            col("col.score").cast("long").as("sample_size"))
+          .orderBy("doc_id", "rank")
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id, n_chars % 30 + 1 AS n, doc_id % 100 + 200 AS base
+          FROM documents),
+        sz AS (
+          SELECT doc_id, i AS idx, base + (i * i) % 7 AS size
+          FROM p, UNNEST(range(0, n)) AS u(i)),
+        r AS (
+          SELECT doc_id, idx, size,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY size DESC, idx) AS rank
+          FROM sz)
+        SELECT doc_id, CAST(rank AS BIGINT) AS rank,
+               CAST(idx AS BIGINT) AS sample_idx,
+               CAST(size AS BIGINT) AS sample_size
+        FROM r WHERE rank <= 3
+        ORDER BY doc_id, rank
+      """.trim),
+    ),
   )
 }

@@ -535,6 +535,15 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"expected partial+final HashAggregate for supernodes:\n$p")
   }
 
+  test("m15 keyframe selection runs as the bounded heap, not a per-video window") {
+    val p = plan("m15_keyframe_select")
+    // sample tables of long videos are 10^5-10^6 entries — the top-3
+    // must ship <=3 rows per video per mapper, never sort a partition
+    assert(!p.contains("Window"), s"m15 fell back to a window sort:\n$p")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final ObjectHashAggregate:\n$p")
+  }
+
   test("m14 perceptual dedup groups hashes with map-side combine, no window") {
     val p = plan("m14_image_neardup")
     // near-dup clustering is ONE hash groupBy: 16 bytes per image into
