@@ -306,5 +306,74 @@ object ListGenQueries {
         FROM m GROUP BY minute ORDER BY minute
       """.stripMargin.trim),
     ),
+
+    // lg7: frontier prioritization — the decision the whole lg/a/g
+    // stack feeds: which due hosts does the next fetch cycle spend its
+    // budget on? Composes lg5's due/backoff logic (recrawl eligibility
+    // by error-streak exponential backoff), a19's time-decayed activity
+    // score (importance, power-of-2 fixed point), and a per-host fetch
+    // quota (n_fetches div 4 clamped to [1, 200] — the politeness cap
+    // lg2/lg6 enforce downstream). The top-50 cut is a TakeOrdered
+    // (per-partition heads), not a global sort; every aggregate is a
+    // partial-agg'd groupBy on the uniform host key. The oracle
+    // replays the same integer arithmetic in SQL.
+    Q(
+      "lg7_frontier_priority",
+      (s, dir) => {
+        val ev = Registry.table(s, dir, "events")
+        val cutoffMs = 1706659200000L // 2024-01-31 00:00 UTC (lg5's clock)
+        val decay = expr(
+          s"shiftright(1048576L, cast(least(greatest(($cutoffMs - unix_millis(ts)) div 86400000, 0), 20) as int))")
+        val lastAny = ev.groupBy("user_id")
+          .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n_fetches"),
+            sum(decay).as("score_u"))
+        val lastOk = ev.filter(col("event_type") =!= "error")
+          .groupBy("user_id").agg(max(col("ts")).as("last_ok_ts"))
+        val errAfter = ev.join(lastOk, Seq("user_id"), "left")
+          .filter(col("event_type") === "error" &&
+            (col("last_ok_ts").isNull || col("ts") > col("last_ok_ts")))
+          .groupBy("user_id").agg(count(lit(1)).as("streak"))
+        lastAny
+          .join(errAfter, Seq("user_id"), "left")
+          .select(col("user_id"), col("score_u"), col("n_fetches"),
+            coalesce(col("streak"), lit(0L)).as("streak"),
+            col("last_ts"))
+          .withColumn("backoff_hours",
+            expr("shiftleft(1L, cast(least(streak, 5L) as int))"))
+          .filter(lit(cutoffMs) - unix_millis(col("last_ts")) >=
+            col("backoff_hours") * 3600000L)
+          .select(col("user_id"), col("score_u"), col("streak"),
+            least(greatest(expr("n_fetches div 4"), lit(1L)), lit(200L))
+              .as("quota"))
+          .orderBy(col("score_u").desc, col("user_id").asc)
+          .limit(50)
+      },
+      Some("""
+        WITH base AS (
+          SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS n_fetches,
+                 CAST(SUM(1048576 >> LEAST(GREATEST(
+                   (1706659200000 - epoch_ms(ts)) // 86400000, 0), 20)::INT)
+                   AS BIGINT) AS score_u
+          FROM events GROUP BY 1),
+        last_ok AS (
+          SELECT user_id, MAX(ts) AS last_ok_ts
+          FROM events WHERE event_type <> 'error' GROUP BY 1),
+        err AS (
+          SELECT e.user_id, COUNT(*)::BIGINT AS streak
+          FROM events e LEFT JOIN last_ok o USING (user_id)
+          WHERE e.event_type = 'error'
+            AND (o.last_ok_ts IS NULL OR e.ts > o.last_ok_ts)
+          GROUP BY 1),
+        due AS (
+          SELECT b.user_id, b.score_u,
+                 coalesce(err.streak, 0)::BIGINT AS streak,
+                 LEAST(GREATEST(b.n_fetches // 4, 1), 200)::BIGINT AS quota
+          FROM base b LEFT JOIN err USING (user_id)
+          WHERE (1706659200000 - epoch_ms(b.last_ts)) >=
+            (1::BIGINT << LEAST(coalesce(err.streak, 0), 5)::INT) * 3600000)
+        SELECT user_id, score_u, streak, quota
+        FROM due ORDER BY score_u DESC, user_id LIMIT 50
+      """.stripMargin.trim),
+    ),
   )
 }

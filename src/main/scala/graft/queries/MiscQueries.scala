@@ -441,5 +441,91 @@ object MiscQueries {
         ORDER BY doc_id, tag, url
       """.trim),
     ),
+
+    // x13: HTTP cache-policy parsing → recrawl TTLs — the freshness
+    // input a recrawl scheduler (lg5/a19) actually gets from the wire:
+    // Cache-Control directives (RFC 9111) ride the REAL graft-warc
+    // round-trip (written into response records, read back through the
+    // DSv2 header parser), then directive precedence runs as column
+    // expressions: no-store > no-cache > s-maxage > max-age > default,
+    // with a crawler-side cap on `private` responses and a [60 s, 7 d]
+    // clamp on the recrawl interval. The oracle recomputes policy and
+    // TTL from the fixture arithmetic — a wrong header parse, a wrong
+    // precedence order, or a wrong clamp each breaks the hash.
+    Q(
+      "x13_cache_policy",
+      (s, dir) => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-x13-").toString
+        val m = col("doc_id") % 7
+        val cacheControl = when(m === 0, lit("max-age=3600, public"))
+          .when(m === 1, lit("no-cache"))
+          .when(m === 2, lit("s-maxage=600, max-age=60"))
+          .when(m === 3, lit("no-store"))
+          .when(m === 4, lit("private, max-age=7200"))
+          .when(m === 5, lit(""))   // header absent → heuristic default
+          .otherwise(lit("max-age=0, must-revalidate"))
+        val httpHead = concat(
+          lit("HTTP/1.1 200 OK\r\nContent-Type: text/html"),
+          when(m === 5, lit("")).otherwise(
+            concat(lit("\r\nCache-Control: "), cacheControl)),
+          lit("\r\n\r\n"))
+        Registry.table(s, dir, "documents")
+          .select(
+            concat(lit("http://"), col("source"), lit("/doc/"),
+              col("doc_id").cast("string")).as("url"),
+            lit("response").as("warc_type"),
+            lit("2026-01-02T03:04:05Z").as("warc_date"),
+            lit("application/http; msgtype=response").as("content_type"),
+            concat(httpHead.cast("binary"), col("text").cast("binary")).as("content"))
+          .write.format("graft-warc").mode("append").save(out)
+        val cc = lower(coalesce(col("http_headers")("cache-control"), lit("")))
+        val maxAge = regexp_extract(cc, "(^|[,\\s])max-age=(\\d+)", 2)
+        val sMaxAge = regexp_extract(cc, "(^|[,\\s])s-maxage=(\\d+)", 2)
+        val policy = when(cc.contains("no-store"), "no-store")
+          .when(cc.contains("no-cache"), "no-cache")
+          .when(sMaxAge =!= "", "s-maxage")
+          .when(maxAge =!= "", "max-age")
+          .otherwise("default")
+        val rawTtl = when(policy === "no-store", lit(-1L))
+          .when(policy === "no-cache", lit(0L))
+          .when(policy === "s-maxage", sMaxAge.cast("long"))
+          .when(policy === "max-age",
+            when(cc.contains("private"),
+              least(maxAge.cast("long"), lit(300L)))
+              .otherwise(maxAge.cast("long")))
+          .otherwise(lit(86400L))
+        s.read.format("graft-warc").load(out)
+          .filter(col("warc_type") === "response")
+          .select(
+            regexp_extract(col("url"), "/doc/(\\d+)$", 1)
+              .cast("long").as("doc_id"),
+            policy.as("policy"),
+            rawTtl.as("ttl_s"),
+            when(rawTtl < 0, lit(-1L))
+              .otherwise(least(greatest(rawTtl, lit(60L)), lit(604800L)))
+              .as("next_fetch_s"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CASE doc_id % 7
+                 WHEN 3 THEN 'no-store'
+                 WHEN 1 THEN 'no-cache'
+                 WHEN 2 THEN 's-maxage'
+                 WHEN 5 THEN 'default'
+                 ELSE 'max-age' END AS policy,
+               CASE doc_id % 7
+                 WHEN 0 THEN 3600 WHEN 1 THEN 0 WHEN 2 THEN 600
+                 WHEN 3 THEN -1 WHEN 4 THEN 300 WHEN 5 THEN 86400
+                 ELSE 0 END::BIGINT AS ttl_s,
+               CASE doc_id % 7
+                 WHEN 0 THEN 3600 WHEN 1 THEN 60 WHEN 2 THEN 600
+                 WHEN 3 THEN -1 WHEN 4 THEN 300 WHEN 5 THEN 86400
+                 ELSE 60 END::BIGINT AS next_fetch_s
+        FROM documents
+        ORDER BY doc_id
+      """.trim),
+    ),
   )
 }

@@ -544,6 +544,15 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"expected partial+final ObjectHashAggregate:\n$p")
   }
 
+  test("lg7 frontier cut is TakeOrdered over partial-agg'd host signals") {
+    val p = plan("lg7_frontier_priority")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-50 fell back to a global sort:\n$p")
+    assert(!p.contains("Window"), s"unexpected window in lg7:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final HashAggregate on the host key:\n$p")
+  }
+
   test("m14 perceptual dedup groups hashes with map-side combine, no window") {
     val p = plan("m14_image_neardup")
     // near-dup clustering is ONE hash groupBy: 16 bytes per image into
