@@ -130,6 +130,11 @@ object TokenShards {
           // (the data loader equivalently mmaps it); .bin stays open for
           // ranged reads only
           val len = fs.getFileStatus(idxPath).getLen
+          // 20 B/doc: 2 GiB of index = 107 M docs in ONE shard — a
+          // mis-sized shard count, not a normal state. Fail loudly
+          // instead of truncating through toInt.
+          require(len <= Int.MaxValue,
+            s"$idxPath is ${len} B; resize shard count so each .idx fits in memory")
           val raw = new Array[Byte](len.toInt)
           val in = fs.open(idxPath)
           try in.readFully(0, raw) finally in.close()
