@@ -486,6 +486,38 @@ object Dedupe {
       .distinct()
   }
 
+  /** Banded-hamming candidate pairs over a 64-bit key split into two
+    * non-negative 32-bit halves (`hi`, `lo` — the engine-portable
+    * GROUP-BY form the image dHash uses): 8 bands of 8 bits, band-key
+    * equi-join, xor+bit_count verify at ≤ maxHamming. The
+    * [[simhashNearDupPairs]] invariant — k flipped bits can break at
+    * most k of the 8 bands, so recall is guaranteed (not
+    * probabilistic) whenever maxHamming < 8 — in one place for every
+    * split-key caller. Input must carry a unique `node` column (the
+    * pair order/dedup key); emits (doc_a, doc_b) = node pairs. */
+  def bandedHammingPairs(
+      nodes: DataFrame, maxHamming: Int): DataFrame = {
+    val bands = nodes.select(col("node"), col("h_hi"), col("h_lo"),
+      explode(array((0 until 8).map { j =>
+        val half = if (j < 4) col("h_hi") else col("h_lo")
+        struct(lit(j).as("bi"),
+          shiftright(half, 8 * (j % 4)).bitwiseAND(lit(255L)).as("bv"))
+      }: _*)).as("b"))
+      .select(col("node"), col("h_hi"), col("h_lo"),
+        col("b.bi").as("bi"), col("b.bv").as("bv"))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b,
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+          col("a.node") < col("b.node"))
+      .select(col("a.node").as("doc_a"), col("b.node").as("doc_b"),
+        (bit_count(col("a.h_hi").bitwiseXOR(col("b.h_hi"))) +
+          bit_count(col("a.h_lo").bitwiseXOR(col("b.h_lo")))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
   /** Connected components over an undirected pair list by iterative
     * min-label propagation (reference G4: DeduperUtils.SetUnionFinder,
     * Stage2Reducer) — the distributed union-find for dedupe clusters.

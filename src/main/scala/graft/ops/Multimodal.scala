@@ -476,9 +476,12 @@ object Multimodal {
   // groups perceptually identical images without an all-pairs compare.
 
   /** Downsample lattice coordinate for grid index g of n along an axis
-    * of extent d: evenly spread, endpoints inclusive. */
+    * of extent d: evenly spread, endpoints inclusive. The product runs
+    * in Long — d is an UNTRUSTED decoded width/height (a declared
+    * w ≥ 2²⁸ makes g·(d−1) wrap negative in Int and indexes backwards;
+    * the same overflow-free discipline as the stride checks). */
   @inline private def latticeCoord(g: Int, n: Int, d: Int): Int =
-    (g * (d - 1)) / (n - 1)
+    ((g.toLong * (d - 1)) / (n - 1)).toInt
 
   /** Scene pattern for the perceptual-hash fixtures: quadratic in the
     * coordinates with a scene-keyed interaction term, so adjacent-cell

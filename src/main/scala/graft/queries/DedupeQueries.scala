@@ -573,24 +573,7 @@ object DedupeQueries {
           .agg(count(lit(1)).as("n_docs"), min(col("id")).as("min_doc"),
             sum(col("id")).as("docid_sum"))
           .withColumn("node", shiftleft(col("h_hi"), 32).bitwiseOR(col("h_lo")))
-        val bands = nodes.select(col("node"), col("h_hi"), col("h_lo"),
-          explode(array((0 until 8).map { j =>
-            val half = if (j < 4) col("h_hi") else col("h_lo")
-            struct(lit(j).as("bi"),
-              shiftright(half, 8 * (j % 4)).bitwiseAND(lit(255L)).as("bv"))
-          }: _*)).as("b"))
-          .select(col("node"), col("h_hi"), col("h_lo"),
-            col("b.bi").as("bi"), col("b.bv").as("bv"))
-        val a = bands.as("a"); val b = bands.as("b")
-        val edges = a.join(b,
-            col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
-              col("a.node") < col("b.node"))
-          .select(col("a.node").as("doc_a"), col("b.node").as("doc_b"),
-            (bit_count(col("a.h_hi").bitwiseXOR(col("b.h_hi"))) +
-              bit_count(col("a.h_lo").bitwiseXOR(col("b.h_lo")))).as("hamming"))
-          .filter(col("hamming") <= 2)
-          .select("doc_a", "doc_b")
-          .distinct()
+        val edges = Dedupe.bandedHammingPairs(nodes, maxHamming = 2)
         val labels = Dedupe.connectedComponents(edges)
         nodes.join(labels, nodes("node") === labels("id"), "left")
           .select(col("min_doc"), col("n_docs"), col("docid_sum"),
