@@ -636,5 +636,89 @@ object SimilarityQueries {
         ORDER BY probe_id, rank
       """.trim),
     ),
+
+    // ss13: ss12's bandwidth claim made PHYSICAL — a column-split
+    // vector layout (vec_id, head[8], tail[56]) so the coarse pass
+    // reads 8 of 64 dims off disk, not just out of a loaded array:
+    // with vectors stored column-split, truncated-dimension scoring is
+    // a parquet column-pruning win (the scan's ReadSchema carries
+    // `head` but NOT `tail` — pinned in PlanSpec), which at a billion
+    // vectors is 8× less scan I/O for the stage that touches the WHOLE
+    // corpus. The rerank then fetches head+tail only for the
+    // O(probes × shortlist) survivors. Semantics are ss12's exactly
+    // (same knobs, same probes, same fixed-point-free sequential
+    // double arithmetic — concat(head, tail) restores the original
+    // accumulation order), so the ss12 oracle gates this layout
+    // unchanged.
+    Q(
+      "ss13_columnar_coarse",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val split = java.nio.file.Files
+          .createTempDirectory("graft-ss13-").toString
+        Similarity.vectors(
+            Registry.table(s, dir, "embeddings"), "vec_id", "embedding")
+          .select(col("vec_id"),
+            slice(col("v"), 1, PrefixDims).as("head"),
+            slice(col("v"), PrefixDims + 1, Dims - PrefixDims).as("tail"))
+          .write.mode("overwrite").parquet(split)
+        val full = s.read.parquet(split)
+        val probes = full.filter(col("vec_id") < ProbeMax)
+          .select(col("vec_id"), col("head"),
+            concat(col("head"), col("tail")).as("v"))
+        // coarse: a second scan that references ONLY (vec_id, head) —
+        // Catalyst prunes `tail` out of the parquet read
+        val coarse = s.read.parquet(split).select("vec_id", "head").as("c")
+          .join(broadcast(probes
+              .select(col("vec_id").as("probe_id"), col("head").as("ph"))),
+            col("probe_id") =!= col("c.vec_id"))
+          .select(col("probe_id"), col("c.vec_id").as("neighbor_id"),
+            Similarity.dot(col("ph"), col("c.head")).as("coarse"))
+        val short = coarse.groupBy("probe_id")
+          .agg(graft.ops.TopK.topScored(Shortlist)(
+            col("coarse"), col("neighbor_id")).as("ss"))
+          .select(col("probe_id"), explode(col("ss")).as("sx"))
+          .select(col("probe_id"), col("sx.key").as("neighbor_id"))
+        val cand = short
+          .join(broadcast(probes
+              .select(col("vec_id").as("probe_id"), col("v").as("pv"))),
+            "probe_id")
+          .join(full.select(col("vec_id").as("neighbor_id"),
+            concat(col("head"), col("tail")).as("nv")), "neighbor_id")
+          .select(col("probe_id"), col("neighbor_id"),
+            Similarity.cosine(col("pv"), col("nv")).as("cos"))
+        val w = Window.partitionBy("probe_id")
+          .orderBy(col("cos").desc, col("neighbor_id"))
+        cand.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= TopK)
+          .orderBy("probe_id", "rank")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        coarse AS (
+          SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                 list_sum([p.v[i] * c.v[i] for i in range(1, ${PrefixDims + 1})]) AS coarse
+          FROM e p JOIN e c ON c.vec_id != p.vec_id
+          WHERE p.vec_id < $ProbeMax),
+        short AS (
+          SELECT probe_id, neighbor_id FROM (
+            SELECT probe_id, neighbor_id,
+                   row_number() OVER (PARTITION BY probe_id
+                     ORDER BY coarse DESC, neighbor_id) AS rr
+            FROM coarse)
+          WHERE rr <= $Shortlist),
+        cand AS (
+          SELECT s.probe_id, s.neighbor_id, ${cosSql("p", "c")} AS cos
+          FROM short s
+          JOIN e p ON p.vec_id = s.probe_id
+          JOIN e c ON c.vec_id = s.neighbor_id)
+        SELECT probe_id, neighbor_id, cos, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+                   ORDER BY cos DESC, neighbor_id) AS rank
+          FROM cand)
+        WHERE rank <= $TopK
+        ORDER BY probe_id, rank
+      """.trim),
+    ),
   )
 }

@@ -490,6 +490,24 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"ss12: embedding vector leaked into a shuffle key: $hp"))
   }
 
+  test("ss13 coarse scan prunes the tail column from the parquet read") {
+    val p = plan("ss13_columnar_coarse")
+    // the point of the split layout: the corpus-wide coarse pass must
+    // read (vec_id, head) ONLY — a ReadSchema carrying `tail` means the
+    // 8× scan-bandwidth win silently evaporated
+    val coarseScans = "ReadSchema: struct<vec_id:bigint,head".r.findAllIn(p).size
+    assert(coarseScans >= 1, s"no head-only pruned scan found:\n$p")
+    // the rerank fetch legitimately reads all three columns; but the
+    // coarse side must not
+    val schemas = "ReadSchema: [^\\n]*".r.findAllIn(p).toSeq
+    assert(schemas.exists(s => s.contains("head") && !s.contains("tail")),
+      s"every scan reads tail — pruning lost:\n${schemas.mkString("\n")}")
+    // shortlist via the bounded heap; the only window is the
+    // ≤shortlist-row rerank
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final ObjectHashAggregate shortlist:\n$p")
+  }
+
   test("cu16 importance weights broadcast the 256-row weight table") {
     val p = plan("cu16_importance_weights")
     // the weight table is model-sized: a shuffle join here would
