@@ -230,8 +230,13 @@ object Urls {
         i += 3
       } else if (c < 128) { bytes.write(c.toInt); i += 1 }
       else {
-        s.substring(i, i + 1).getBytes("UTF-8").foreach(b => bytes.write(b & 0xff))
-        i += 1
+        // advance by CODE POINT: char-at-a-time UTF-8 encoding turns a
+        // surrogate pair (any non-BMP host label, e.g. an emoji domain)
+        // into two '?' bytes — '?' is then a forbidden host char and a
+        // valid IDN host gets rejected
+        val n = s.offsetByCodePoints(i, 1)
+        s.substring(i, n).getBytes("UTF-8").foreach(b => bytes.write(b & 0xff))
+        i = n
       }
     }
     val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
@@ -259,8 +264,12 @@ object Urls {
     val ci = s.indexOf(':')
     if (ci <= 0) return None
     val scheme = s.substring(0, ci).toLowerCase
-    if (!scheme.charAt(0).isLetter ||
-        !scheme.forall(c => c.isLetterOrDigit || c == '+' || c == '.' || c == '-'))
+    // ASCII-only scheme charset (url_canon / RFC 3986 §3.1):
+    // Char.isLetter is Unicode-aware and would accept "фtp:"
+    def asciiLetter(c: Char) = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+    def asciiAlnum(c: Char) = asciiLetter(c) || (c >= '0' && c <= '9')
+    if (!asciiLetter(scheme.charAt(0)) ||
+        !scheme.forall(c => asciiAlnum(c) || c == '+' || c == '.' || c == '-'))
       return None
     val special = DefaultPorts.contains(scheme)
     // special schemes: any run of / or \ opens the authority (url_canon

@@ -69,7 +69,14 @@ object Hits {
         // aggregate over O(nodes) state (never over edges)
         val row = df.agg(max(col(scoreCol))).collect()(0)
         val mx = if (row.isNullAt(0)) 1L else row.getLong(0).max(1L) // empty graph → identity
-        df.withColumn(scoreCol, expr(s"$scoreCol * ${NormScale}L div ${mx}L"))
+        // widen to DECIMAL(38,0) for the product: `score * NormScale` in
+        // Long overflows once a hub's weighted in-degree over max-scaled
+        // neighbors exceeds ~9.2e6 — at exactly the scale the normalize
+        // flag exists for. score ≤ 2⁶³ × 10⁶ fits decimal(38,0) exactly,
+        // and `div` floors back to the same Long the non-overflowing
+        // Long path produced.
+        df.withColumn(scoreCol, expr(
+          s"cast(cast($scoreCol as decimal(38,0)) * ${NormScale}L div ${mx}L as bigint)"))
       }
 
     var hub = mat(bySrc.select(col("src_domain").as("node")).distinct()

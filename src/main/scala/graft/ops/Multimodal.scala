@@ -1234,11 +1234,19 @@ object Multimodal {
       val (ec, el) = acMin(0x00) // EOB: no AC coefficients
       putBits(ec, el)
     }
-    for (my <- 0 until hMcu; mx <- 0 until wMcu) {
-      // 4 luma blocks in raster order within the MCU, then Cb, Cr
-      for (v <- 0 until 2; hh <- 0 until 2)
-        block(0, jpegY(k, 2 * mx + hh, 2 * my + v))
-      if (!gray) {
+    if (gray) {
+      // single-component non-interleaved scan (T.81 §A.2.2): the MCU is
+      // ONE 8×8 block, raster order over the full block grid — the 2×2
+      // luma-tile order below would place stream blocks into the wrong
+      // raster positions in any conformant decoder (masked here only by
+      // position-symmetric stats)
+      for (by <- 0 until 2 * hMcu; bx <- 0 until 2 * wMcu)
+        block(0, jpegY(k, bx, by))
+    } else {
+      for (my <- 0 until hMcu; mx <- 0 until wMcu) {
+        // 4 luma blocks in raster order within the MCU, then Cb, Cr
+        for (v <- 0 until 2; hh <- 0 until 2)
+          block(0, jpegY(k, 2 * mx + hh, 2 * my + v))
         block(1, jpegCb(k, mx, my))
         block(2, jpegCr(k, mx, my))
       }

@@ -7,12 +7,18 @@ import java.nio.charset.StandardCharsets.UTF_8
   * — the classic layout for URL dictionaries and CDX-style index keys
   * (sorted SURTs share long prefixes; each entry stores only
   * (lcp-with-previous, suffix)). Every `restartInterval`-th entry is a
-  * RESTART: written in full, so a reader can binary-search the restart
-  * table and decode at most one interval to serve a point lookup —
-  * O(log R + B) per probe instead of O(list).
+  * RESTART: written in full, and its byte offset is persisted in a
+  * trailer table, so a reader binary-searches the restart table —
+  * decoding ONLY the R restart strings it probes — and then scans at
+  * most one interval: O(log R + B) per probe instead of O(list).
   *
-  * Layout: varint count, varint restartInterval, then per entry
-  * varint lcp (0 at restarts), varint suffixLen, suffix bytes (UTF-8).
+  * Layout (the LevelDB/SSTable block shape, public format): varint
+  * count, varint restartInterval, then per entry varint lcp (0 at
+  * restarts), varint suffixLen, suffix bytes (UTF-8); then a trailer of
+  * R fixed u32-BE restart offsets (absolute positions of the restart
+  * entries) and a final u32-BE R. Fixed-width trailer ints are what
+  * make the restart table itself random-accessible — varints would need
+  * a scan to find the k-th offset, defeating the binary search.
   * LCPs are computed on UTF-8 BYTES — a restart boundary can never split
   * a code point because restarts are whole strings, and within an
   * interval the decoder reassembles bytes before decoding UTF-8, so
@@ -35,12 +41,23 @@ object FrontCoding {
     out.write(v.toInt)
   }
 
-  private final class Reader(b: Array[Byte]) {
+  private def writeU32(out: ByteArrayOutputStream, v: Int): Unit = {
+    out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
+    out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+  }
+
+  private def readU32(b: Array[Byte], at: Int): Int = {
+    require(at >= 0 && at + 4 <= b.length, "truncated trailer")
+    ((b(at) & 0xff) << 24) | ((b(at + 1) & 0xff) << 16) |
+      ((b(at + 2) & 0xff) << 8) | (b(at + 3) & 0xff)
+  }
+
+  private final class Reader(b: Array[Byte], end: Int) {
     var pos = 0
     def varint(): Long = {
       var shift = 0; var acc = 0L
       while ({
-        require(pos < b.length, "truncated varint")
+        require(pos < end, "truncated varint")
         val x = b(pos) & 0xff; pos += 1
         acc |= (x & 0x7fL) << shift; shift += 7
         (x & 0x80) != 0
@@ -48,9 +65,19 @@ object FrontCoding {
       acc
     }
     def bytes(n: Int): Array[Byte] = {
-      require(n >= 0 && pos + n <= b.length, "truncated suffix")
+      require(n >= 0 && pos + n <= end, "truncated suffix")
       val r = java.util.Arrays.copyOfRange(b, pos, pos + n); pos += n; r
     }
+  }
+
+  /** Byte offset where the entry region ends (= trailer start), plus the
+    * restart count, validated against the block length. */
+  private def trailer(b: Array[Byte]): (Int, Int) = {
+    require(b.length >= 4, "block too short for a trailer")
+    val r = readU32(b, b.length - 4)
+    val entriesEnd = b.length - 4 - 4 * r
+    require(r >= 0 && entriesEnd >= 0, s"corrupt restart count $r")
+    (entriesEnd, r)
   }
 
   private def lcp(a: Array[Byte], b: Array[Byte]): Int = {
@@ -63,29 +90,36 @@ object FrontCoding {
   /** Encode a SORTED (ascending, duplicates allowed) string list.
     * Sortedness is the caller's contract (it is what creates shared
     * prefixes); encoding never depends on it for correctness — any list
-    * round-trips — but an unsorted list just compresses poorly. */
+    * round-trips — but an unsorted list just compresses poorly and
+    * breaks only [[lookup]] (as with any index). */
   def encodeSortedList(xs: Seq[String],
       restartInterval: Int = DefaultRestartInterval): Array[Byte] = {
     require(restartInterval >= 1, "restartInterval must be >= 1")
     val out = new ByteArrayOutputStream()
     writeVarint(out, xs.length.toLong)
     writeVarint(out, restartInterval.toLong)
+    val restarts = new scala.collection.mutable.ArrayBuffer[Int]()
     var prev: Array[Byte] = Array.emptyByteArray
     var i = 0
     xs.foreach { s =>
       val cur = s.getBytes(UTF_8)
-      val p = if (i % restartInterval == 0) 0 else lcp(prev, cur)
+      val restart = i % restartInterval == 0
+      if (restart) restarts += out.size()
+      val p = if (restart) 0 else lcp(prev, cur)
       writeVarint(out, p.toLong)
       writeVarint(out, (cur.length - p).toLong)
       out.write(cur, p, cur.length - p)
       prev = cur
       i += 1
     }
+    restarts.foreach(writeU32(out, _))
+    writeU32(out, restarts.length)
     out.toByteArray
   }
 
   def decodeSortedList(b: Array[Byte]): Seq[String] = {
-    val r = new Reader(b)
+    val (entriesEnd, _) = trailer(b)
+    val r = new Reader(b, entriesEnd)
     val n = r.varint().toInt
     r.varint() // restartInterval: layout metadata, not needed to scan
     val res = new scala.collection.mutable.ArrayBuffer[String](n)
@@ -105,11 +139,12 @@ object FrontCoding {
     res.toSeq
   }
 
-  /** Point lookup WITHOUT full decode: binary-search the restart table
-    * (decoded lazily from the block), then scan at most one interval.
-    * Returns the index of `key` in the encoded list, or -1. Requires the
-    * list to have been SORTED at encode time (the lookup contract, as
-    * with any index). */
+  /** Point lookup WITHOUT full decode: binary-search the persisted
+    * restart-offset table — decoding only the ≤ log₂R restart strings
+    * the search probes — then scan at most one interval. Returns the
+    * index of `key` in the encoded list, or -1. Requires the list to
+    * have been SORTED at encode time (the lookup contract, as with any
+    * index). */
   def lookup(b: Array[Byte], key: String): Int = {
     val keyB = key.getBytes(UTF_8)
     def cmp(x: Array[Byte], y: Array[Byte]): Int = {
@@ -122,42 +157,34 @@ object FrontCoding {
       }
       x.length - y.length
     }
-    val r = new Reader(b)
-    val n = r.varint().toInt
-    val interval = r.varint().toInt
-    if (n == 0) return -1
-    // one forward pass records restart offsets + first strings; restart
-    // count is n/interval — for a block-sized list this is the in-memory
-    // restart table a CDX/SSTable reader keeps per block
-    val starts = new scala.collection.mutable.ArrayBuffer[(Int, Int, Array[Byte])]()
-    var prev: Array[Byte] = Array.emptyByteArray
-    var i = 0
-    while (i < n) {
-      val entryPos = r.pos
+    val (entriesEnd, restartCount) = trailer(b)
+    val header = new Reader(b, entriesEnd)
+    val n = header.varint().toInt
+    val interval = header.varint().toInt
+    if (n == 0 || restartCount == 0) return -1
+    // a restart entry is a FULL string (lcp 0): decodable straight from
+    // its trailer offset with no predecessor state
+    def restartString(ri: Int): Array[Byte] = {
+      val r = new Reader(b, entriesEnd)
+      r.pos = readU32(b, entriesEnd + 4 * ri)
       val p = r.varint().toInt
-      val sl = r.varint().toInt
-      val cur = new Array[Byte](p + sl)
-      System.arraycopy(prev, 0, cur, 0, p)
-      System.arraycopy(r.bytes(sl), 0, cur, p, sl)
-      if (i % interval == 0) starts += ((i, entryPos, cur))
-      prev = cur
-      i += 1
+      require(p == 0, "restart entry with nonzero lcp")
+      r.bytes(r.varint().toInt)
     }
     // binary search the restart table for the last restart ≤ key
+    if (cmp(restartString(0), keyB) > 0) return -1
     var lo = 0
-    var hi = starts.length - 1
-    if (cmp(starts(0)._3, keyB) > 0) return -1
+    var hi = restartCount - 1
     while (lo < hi) {
       val mid = (lo + hi + 1) >>> 1
-      if (cmp(starts(mid)._3, keyB) <= 0) lo = mid else hi = mid - 1
+      if (cmp(restartString(mid), keyB) <= 0) lo = mid else hi = mid - 1
     }
-    val (startIdx, startPos, _) = starts(lo)
-    // scan the interval from the restart
-    val r2 = new Reader(b)
-    r2.pos = startPos
+    // scan the one owning interval from its restart
+    val r2 = new Reader(b, entriesEnd)
+    r2.pos = readU32(b, entriesEnd + 4 * lo)
     var prev2: Array[Byte] = Array.emptyByteArray
-    var j = startIdx
-    val end = math.min(n, startIdx + interval)
+    var j = lo * interval
+    val end = math.min(n, (lo + 1) * interval)
     while (j < end) {
       val p = r2.varint().toInt
       val sl = r2.varint().toInt

@@ -59,26 +59,39 @@ object SessionWindows {
             state.remove()
             Iterator.single(close(key, s, "gap"))
           } else {
-            // deterministic within-batch order (micro-batch iterator
-            // order is not guaranteed)
-            val ts = events.map(_.ts.getTime).toVector.sorted
+            // INTERVAL MERGE over (sorted batch events + the open-state
+            // interval), not a left fold over arrival order: a late but
+            // watermark-valid event can precede the open session's START
+            // (extend it backwards, or — past the gap — form its own
+            // earlier session), which a lastMs-only gap test silently
+            // swallows. Sorting by interval start makes the gap test
+            // one-directional and handles both.
+            val items =
+              (events.map(e => SessState(e.ts.getTime, e.ts.getTime, 1)).toVector ++
+                (if (state.exists) Vector(state.get) else Vector.empty))
+                .sortBy(iv => (iv.startMs, iv.lastMs))
             val closed = Vector.newBuilder[ClosedSession]
-            var open: Option[SessState] = if (state.exists) Some(state.get) else None
-            ts.foreach { t =>
+            var open: Option[SessState] = None
+            items.foreach { iv =>
               open match {
-                case Some(s) if t - s.lastMs > gapMs =>
-                  // in-batch gap: the old session closed before this
-                  // event — emit it now rather than waiting for a timeout
+                case Some(s) if iv.startMs - s.lastMs > gapMs =>
+                  // in-batch gap: the previous session closed before this
+                  // item — emit it now rather than waiting for a timeout
                   closed += close(key, s, "gap")
-                  open = Some(SessState(t, t, 1))
+                  if (iv.n >= maxEvents) closed += close(key, iv, "cap")
+                  else open = Some(iv)
                 case Some(s) =>
-                  val grown = SessState(s.startMs, math.max(s.lastMs, t), s.n + 1)
+                  val grown = SessState(math.min(s.startMs, iv.startMs),
+                    math.max(s.lastMs, iv.lastMs), s.n + iv.n)
                   if (grown.n >= maxEvents) {
                     closed += close(key, grown, "cap")
                     open = None
                   } else open = Some(grown)
                 case None =>
-                  open = Some(SessState(t, t, 1))
+                  // cap-on-open: maxEvents = 1 must close on the data
+                  // path like any other cap, not idle until the gap
+                  if (iv.n >= maxEvents) closed += close(key, iv, "cap")
+                  else open = Some(iv)
               }
             }
             open match {

@@ -31,6 +31,17 @@ class HitsSpec extends AnyFunSuite with SparkSuite {
       ("hub", 1L) -> 41L, ("hub", 2L) -> 17L))
   }
 
+  test("normalized rescale survives scores past Long.Max/NormScale") {
+    import spark.implicits._
+    // one heavy edge: auth1 = 2e7 → rescaled 1e6; hub raw = 2e7 · 1e6 =
+    // 2e13, whose NAIVE ×NormScale rescale product (2e19) wraps Long —
+    // the decimal-widened rescale must keep every score in [0, NormScale]
+    val heavy = Seq((1L, 10L, 20000000L)).toDF("src_domain", "dst_domain", "n_links")
+    val got = scores(Hits.run(heavy, iters = 2, normalize = true))
+    assert(got.values.forall(v => v >= 0L && v <= Hits.NormScale), got.toString)
+    assert(got(("hub", 1L)) == Hits.NormScale)
+  }
+
   test("normalized path preserves the ranking and bounds the magnitudes") {
     val got = scores(Hits.run(edges, iters = 4, normalize = true))
     // every score rescaled into [0, NormScale]; top auth/hub unchanged

@@ -371,6 +371,25 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
         px.map(_._1.toLong).sum, px.map(_._2.toLong).sum, px.map(_._3.toLong).sum,
         even.map(p => (p._1 + p._2 + p._3).toLong).sum)), s"wm=$wm hm=$hm k=$k")
     }
+    // CONFORMANCE, position-sensitive: the channel sums above are
+    // block-permutation invariant, so a wrong block STREAM ORDER (the
+    // single-component scan is raster, one 8×8 block per MCU — not the
+    // 2×2 luma-tile order of the interleaved path) would pass them.
+    // The JDK's own ImageIO JPEG decoder is the independent referee:
+    // each block's pixel must land at its raster position.
+    {
+      val k = 42L // even → grayscale
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.encodeJpeg(k, 2, 2)))
+      assert(img != null && img.getWidth == 32 && img.getHeight == 32)
+      for (by <- 0 until 4; bx <- 0 until 4) {
+        val got = img.getRaster.getSample(bx * 8 + 3, by * 8 + 5, 0)
+        val want = Multimodal.jpegY(k, bx, by)
+        // DC-only blocks decode exactly (q=8 cancels); allow ±1 for the
+        // JDK's IDCT rounding
+        assert(math.abs(got - want) <= 1, s"block ($bx,$by): $got vs $want")
+      }
+    }
     // an APP0/JFIF segment must be skipped like any APPn
     val jpg = Multimodal.encodeJpeg(3, 1, 1)
     val app0 = Array[Byte](0xff.toByte, 0xe0.toByte, 0, 16,

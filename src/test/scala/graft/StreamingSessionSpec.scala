@@ -18,14 +18,15 @@ class StreamingSessionSpec extends AnyFunSuite with SparkSuite {
 
   private def ts(min: Int): Timestamp = new Timestamp(min * 60000L)
 
-  private def run(gapMin: Int, cap: Long)(
+  private def run(gapMin: Int, cap: Long, lateMin: Int = 0)(
       feed: (MemoryStream[SessionEvent], org.apache.spark.sql.streaming.StreamingQuery) => Unit)
       : Seq[(String, Long, Long, Long, String)] = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[SessionEvent]
-    val events = in.toDS().withWatermark("ts", "0 seconds").as[SessionEvent]
-    val name = s"sessions_${gapMin}_$cap"
+    val events = in.toDS()
+      .withWatermark("ts", s"$lateMin minutes").as[SessionEvent]
+    val name = s"sessions_${gapMin}_${cap}_$lateMin"
     val q = SessionWindows.sessionize(events, gapMs = gapMin * 60000L, maxEvents = cap)
       .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
@@ -98,5 +99,51 @@ class StreamingSessionSpec extends AnyFunSuite with SparkSuite {
     assert(got == Seq(
       ("u1", 600L, 645L, 3L, "gap"),
       ("z", 700L, 700L, 1L, "gap")))
+  }
+
+  test("maxEvents = 1 closes every session by cap on the data path") {
+    val got = run(gapMin = 30, cap = 1) { (in, q) =>
+      in.addData(SessionEvent("u1", ts(600)), SessionEvent("u1", ts(610)))
+      q.processAllAvailable()
+    }
+    // no timeout churn, no 'gap' label: each event is its own capped
+    // session the moment it arrives
+    assert(got == Seq(
+      ("u1", 600L, 600L, 1L, "cap"),
+      ("u1", 610L, 610L, 1L, "cap")))
+  }
+
+  test("a late event before the open session's start extends it backwards") {
+    val got = run(gapMin = 30, cap = 100, lateMin = 120) { (in, q) =>
+      in.addData(SessionEvent("u1", ts(600)))
+      q.processAllAvailable()
+      // 590 is watermark-valid (120-min allowance) and within gap of the
+      // session's START — session_start must move back, not stay at 600
+      in.addData(SessionEvent("u1", ts(590)))
+      q.processAllAvailable()
+      in.addData(SessionEvent("z", ts(800)))
+      q.processAllAvailable()
+      in.addData(SessionEvent("z2", ts(1000)))
+      q.processAllAvailable()
+    }
+    assert(got.contains(("u1", 590L, 600L, 2L, "gap")),
+      s"late merge lost/mislabeled: $got")
+  }
+
+  test("a late event a full gap before the open session forms its own session") {
+    val got = run(gapMin = 30, cap = 100, lateMin = 120) { (in, q) =>
+      in.addData(SessionEvent("u2", ts(600)))
+      q.processAllAvailable()
+      // 500 is watermark-valid but 500+30 < 600: a separate EARLIER
+      // session — it must close immediately, not fold into 600's
+      in.addData(SessionEvent("u2", ts(500)))
+      q.processAllAvailable()
+      in.addData(SessionEvent("z", ts(800)))
+      q.processAllAvailable()
+      in.addData(SessionEvent("z2", ts(1000)))
+      q.processAllAvailable()
+    }
+    assert(got.contains(("u2", 500L, 500L, 1L, "gap")), s"earlier session lost: $got")
+    assert(got.contains(("u2", 600L, 600L, 1L, "gap")), s"open session corrupted: $got")
   }
 }

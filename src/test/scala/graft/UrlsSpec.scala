@@ -41,6 +41,23 @@ class UrlsSpec extends AnyFunSuite {
     assert(Urls.canonicalize("") == null)
   }
 
+  test("scheme charset is ASCII-only (url_canon), not Unicode isLetter") {
+    // Cyrillic 'ф' passes Char.isLetter but url_canon rejects the URL
+    assert(Urls.canonicalize("фtp://x.com/") == null)
+    assert(Urls.canonicalize("hфtp://x.com/") == null)
+  }
+
+  test("non-BMP host labels survive %-escape decoding (surrogate pairs)") {
+    // an emoji label alongside a %-escape drives the byte-decode path;
+    // char-at-a-time UTF-8 encoding would mangle the surrogate pair to
+    // '?' (a forbidden host char) and reject a valid IDN host
+    val escaped = Urls.canonicalize("http://%74😀.example/")
+    val raw = Urls.canonicalize("http://t😀.example/")
+    assert(escaped != null, "escaped emoji host rejected")
+    assert(escaped == raw, s"escaped vs raw host diverge: $escaped vs $raw")
+    assert(escaped.startsWith("http://xn--"), s"host not punycoded: $escaped")
+  }
+
   test("root domain: two-label default, multi-part public suffixes, IP/null") {
     assert(Urls.extractRootDomain("news.example.com") == "example.com")
     assert(Urls.extractRootDomain("a.b.example.co.uk") == "example.co.uk")
