@@ -78,6 +78,22 @@ object Similarity {
         col("c.vec_id").as("neighbor_id"),
         dot(slice(col("p.v"), 1, prefixDims), slice(col("c.v"), 1, prefixDims))
           .as("coarse"))
+    shortlistRerank(coarse, probes, corpus, shortlist, k)
+  }
+
+  /** The two-stage tail shared by every coarse-scoring layout (ss12's
+    * in-memory prefix slice, ss13's column-split scan): shortlist by
+    * coarse score through the bounded heap (≤`shortlist` rows per probe
+    * per mapper — never a corpus-wide per-probe window), then
+    * exact-cosine rerank of the survivors with the (cos desc,
+    * neighbor_id) tie-break the shared DuckDB oracle replays. Keeping
+    * the rank semantics in ONE place is what keeps ss12 and ss13
+    * hash-identical under the same oracle.
+    *
+    * `coarse` = (probe_id, neighbor_id, coarse); `probes`/`corpus` =
+    * (vec_id, v) with v the FULL vector. */
+  def shortlistRerank(coarse: DataFrame, probes: DataFrame, corpus: DataFrame,
+      shortlist: Int, k: Int): DataFrame = {
     val short = coarse.groupBy(col("probe_id"))
       .agg(TopK.topScored(shortlist)(col("coarse"), col("neighbor_id")).as("ss"))
       .select(col("probe_id"), explode(col("ss")).as("s"))

@@ -653,7 +653,6 @@ object SimilarityQueries {
     Q(
       "ss13_columnar_coarse",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val split = java.nio.file.Files
           .createTempDirectory("graft-ss13-").toString
         Similarity.vectors(
@@ -674,23 +673,12 @@ object SimilarityQueries {
             col("probe_id") =!= col("c.vec_id"))
           .select(col("probe_id"), col("c.vec_id").as("neighbor_id"),
             Similarity.dot(col("ph"), col("c.head")).as("coarse"))
-        val short = coarse.groupBy("probe_id")
-          .agg(graft.ops.TopK.topScored(Shortlist)(
-            col("coarse"), col("neighbor_id")).as("ss"))
-          .select(col("probe_id"), explode(col("ss")).as("sx"))
-          .select(col("probe_id"), col("sx.key").as("neighbor_id"))
-        val cand = short
-          .join(broadcast(probes
-              .select(col("vec_id").as("probe_id"), col("v").as("pv"))),
-            "probe_id")
-          .join(full.select(col("vec_id").as("neighbor_id"),
-            concat(col("head"), col("tail")).as("nv")), "neighbor_id")
-          .select(col("probe_id"), col("neighbor_id"),
-            Similarity.cosine(col("pv"), col("nv")).as("cos"))
-        val w = Window.partitionBy("probe_id")
-          .orderBy(col("cos").desc, col("neighbor_id"))
-        cand.withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= TopK)
+        Similarity.shortlistRerank(
+            coarse,
+            probes.select(col("vec_id"), col("v")),
+            full.select(col("vec_id"),
+              concat(col("head"), col("tail")).as("v")),
+            shortlist = Shortlist, k = TopK)
           .orderBy("probe_id", "rank")
       },
       Some(s"""

@@ -75,9 +75,11 @@ object FrontCoding {
   private def trailer(b: Array[Byte]): (Int, Int) = {
     require(b.length >= 4, "block too short for a trailer")
     val r = readU32(b, b.length - 4)
-    val entriesEnd = b.length - 4 - 4 * r
+    // Long math: a corrupt count like 2^29 makes `4 * r` wrap to 0 in
+    // Int and sail past the validation into a garbage decode
+    val entriesEnd = b.length - 4 - 4L * r
     require(r >= 0 && entriesEnd >= 0, s"corrupt restart count $r")
-    (entriesEnd, r)
+    (entriesEnd.toInt, r)
   }
 
   private def lcp(a: Array[Byte], b: Array[Byte]): Int = {

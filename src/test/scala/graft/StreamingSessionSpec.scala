@@ -146,4 +146,46 @@ class StreamingSessionSpec extends AnyFunSuite with SparkSuite {
     assert(got.contains(("u2", 500L, 500L, 1L, "gap")), s"earlier session lost: $got")
     assert(got.contains(("u2", 600L, 600L, 1L, "gap")), s"open session corrupted: $got")
   }
+
+  test("a bridging late event merges a held island instead of fragmenting") {
+    val got = run(gapMin = 30, cap = 100, lateMin = 120) { (in, q) =>
+      in.addData(SessionEvent("u3", ts(600)))
+      q.processAllAvailable()
+      // 500 forms a held earlier island (an eager emit here could never
+      // be joined by a later bridge — the fragmentation regression)
+      in.addData(SessionEvent("u3", ts(500)))
+      q.processAllAvailable()
+      // 520 is watermark-valid and within gap of 500: ONE session
+      // [500, 520] must come out, not two singleton fragments
+      in.addData(SessionEvent("u3", ts(520)))
+      q.processAllAvailable()
+      in.addData(SessionEvent("z", ts(900)))
+      q.processAllAvailable()
+      in.addData(SessionEvent("z2", ts(1100)))
+      q.processAllAvailable()
+    }
+    assert(got.contains(("u3", 500L, 520L, 2L, "gap")),
+      s"late island fragmented: $got")
+    assert(!got.exists(r => r._1 == "u3" && r._4 == 1L && r._2 == 500L),
+      s"singleton fragment emitted: $got")
+  }
+
+  test("over-MaxOpenIntervals keys evict the oldest island, state stays bounded") {
+    // 10 disjoint islands, newest-first arrival so every one is held
+    // (nothing watermark-sealed): the two oldest must be evicted on the
+    // data path, the rest emitted once the watermark seals them
+    val got = run(gapMin = 1, cap = 100, lateMin = 10000) { (in, q) =>
+      for (i <- 9 to 0 by -1) {
+        in.addData(SessionEvent("k", ts(1000 + 10 * i)))
+        q.processAllAvailable()
+      }
+      in.addData(SessionEvent("z", ts(30000)))
+      q.processAllAvailable()
+      in.addData(SessionEvent("z2", ts(60000)))
+      q.processAllAvailable()
+    }
+    val k = got.filter(_._1 == "k")
+    assert(k.length == 10, s"every island must eventually emit once: $k")
+    assert(k.map(_._2).distinct.length == 10, s"duplicate emissions: $k")
+  }
 }
