@@ -284,5 +284,89 @@ object CrawlDbQueries {
         ORDER BY dst_root, pos
       """.trim),
     ),
+
+    // c5: redirect-chain resolution — the crawldb operation behind the
+    // reference's RedirectRecordV2 stream (database.jr:483-495; the
+    // merge carries redirect data, PartitionRedirectDataStep shards it):
+    // every redirecting URL must resolve to its FINAL destination, with
+    // loops and dangling targets classified, before dedupe/rank can key
+    // on the landing page. Spark mechanism: POINTER JUMPING (path
+    // halving) — each round joins the pointer table with itself, so an
+    // L-hop chain resolves in ⌈log₂L⌉ rounds of hash-distributed
+    // equi-joins (a chain-walk would need L rounds; a per-chain groupBy
+    // would put a viral redirect fan-in on one task). Classification
+    // falls out of the resolved pointer: target still a redirect source
+    // after the rounds ⇒ loop (emitted with final_dst = self, hops −1);
+    // target absent from the corpus ⇒ dead; else ok. The fixture's
+    // chain/loop/dangling structure is doc_id arithmetic, so the oracle
+    // states the closed-form ground truth — the jumping must reach it
+    // mechanically.
+    Q(
+      "c5_redirect_resolution",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents").select(col("doc_id"))
+        val m = col("doc_id") % 7
+        // m 1-3: chain down to the m=0 final; 4: dangling; 5↔6: loop.
+        // Only full 7-blocks redirect: a corpus ending mid-block would
+        // strand an m=5 whose loop partner doesn't exist (one broadcast
+        // scalar; the oracle applies the same guard)
+        val maxId = broadcast(docs.agg(max(col("doc_id")).as("max_id")))
+        val edges = docs
+          .crossJoin(maxId)
+          .where(m.between(1, 6) &&
+            col("doc_id") - m + 6 <= col("max_id"))
+          .select(col("doc_id").as("src"),
+            when(m === 4, col("doc_id") + 10000000L)
+              .when(m === 5, col("doc_id") + 1)
+              .otherwise(col("doc_id") - 1).as("dst"),
+            lit(1L).as("hops"))
+        var ptr = graft.ops.Iterative.materialize(edges)
+        for (_ <- 1 to 3) { // 2³ = 8 ≥ any fixture chain length
+          val jumped = ptr.as("a")
+            .join(ptr.select(col("src").as("jsrc"), col("dst").as("jdst"),
+              col("hops").as("jhops")), col("a.dst") === col("jsrc"), "left")
+            .select(col("a.src").as("src"),
+              coalesce(col("jdst"), col("a.dst")).as("dst"),
+              (col("a.hops") + coalesce(col("jhops"), lit(0L))).as("hops"))
+          ptr = graft.ops.Iterative.materialize(jumped)
+        }
+        val srcs = edges.select(col("src").as("dst")).distinct()
+        val exists = docs.select(col("doc_id").as("dst"))
+        ptr
+          .join(srcs.withColumn("is_src", lit(1)), Seq("dst"), "left")
+          .join(exists.withColumn("in_corpus", lit(1)), Seq("dst"), "left")
+          .select(col("src").as("doc_id"),
+            when(col("is_src") === 1, col("src")).otherwise(col("dst"))
+              .as("final_dst"),
+            when(col("is_src") === 1, lit(-1L)).otherwise(col("hops"))
+              .as("hops"),
+            when(col("is_src") === 1, "loop")
+              .when(col("in_corpus").isNull, "dead")
+              .otherwise("ok").as("status"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CASE doc_id % 7
+                 WHEN 4 THEN doc_id + 10000000
+                 WHEN 5 THEN doc_id
+                 WHEN 6 THEN doc_id
+                 ELSE doc_id - (doc_id % 7) END AS final_dst,
+               CASE doc_id % 7
+                 WHEN 4 THEN 1
+                 WHEN 5 THEN -1
+                 WHEN 6 THEN -1
+                 ELSE doc_id % 7 END::BIGINT AS hops,
+               CASE doc_id % 7
+                 WHEN 4 THEN 'dead'
+                 WHEN 5 THEN 'loop'
+                 WHEN 6 THEN 'loop'
+                 ELSE 'ok' END AS status
+        FROM documents
+        WHERE doc_id % 7 BETWEEN 1 AND 6
+          AND doc_id - doc_id % 7 + 6 <= (SELECT MAX(doc_id) FROM documents)
+        ORDER BY doc_id
+      """.trim),
+    ),
   )
 }

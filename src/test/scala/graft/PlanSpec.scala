@@ -571,6 +571,14 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"expected partial+final HashAggregate on the host key:\n$p")
   }
 
+  test("c5 redirect resolution is hash-join pointer jumping, no window, no cartesian") {
+    val p = plan("c5_redirect_resolution")
+    // each jump round is a hash-distributed self equi-join on the
+    // pointer key; the only nested-loop is the broadcast one-row max
+    assert(!p.contains("Window"), s"unexpected window in c5:\n$p")
+    assert(!p.contains("CartesianProduct"), s"c5 degenerated:\n$p")
+  }
+
   test("m14 perceptual dedup groups hashes with map-side combine, no window") {
     val p = plan("m14_image_neardup")
     // near-dup clustering is ONE hash groupBy: 16 bytes per image into
