@@ -316,7 +316,11 @@ object CrawlDbQueries {
           .where(m.between(1, 6) &&
             col("doc_id") - m + 6 <= col("max_id"))
           .select(col("doc_id").as("src"),
-            when(m === 4, col("doc_id") + 10000000L)
+            // dangling target must be absent at ANY corpus size: derive
+            // it from max_id so it sits past the end by construction
+            // (a fixed +1e7 offset collides once the corpus reaches 1e7
+            // rows — scale-dependent oracle divergence)
+            when(m === 4, col("max_id") + col("doc_id") + 1L)
               .when(m === 5, col("doc_id") + 1)
               .otherwise(col("doc_id") - 1).as("dst"),
             lit(1L).as("hops"))
@@ -348,7 +352,7 @@ object CrawlDbQueries {
       Some("""
         SELECT doc_id,
                CASE doc_id % 7
-                 WHEN 4 THEN doc_id + 10000000
+                 WHEN 4 THEN (SELECT MAX(doc_id) FROM documents) + doc_id + 1
                  WHEN 5 THEN doc_id
                  WHEN 6 THEN doc_id
                  ELSE doc_id - (doc_id % 7) END AS final_dst,

@@ -60,8 +60,24 @@ object TokenShards {
           val binPath = new Path(f"$dir/part-$i%05d.bin")
           val idxPath = new Path(f"$dir/part-$i%05d.idx")
           val fs = binPath.getFileSystem(conf)
-          val bin = fs.create(binPath)
-          val idx = fs.create(idxPath)
+          // Task-commit protocol: a speculative or retried attempt must
+          // never interleave bytes with a live attempt on the final
+          // offset-sensitive paths. Each attempt writes to an
+          // attempt-unique temp name and renames into place only after
+          // a clean close; rename is atomic per file, and because the
+          // input partition is deterministically sorted every winning
+          // attempt produces identical bytes — whichever rename lands
+          // first is complete and correct, the loser deletes its temp.
+          val attempt = Option(org.apache.spark.TaskContext.get())
+            .map(_.taskAttemptId()).getOrElse(0L)
+          val binTmp = new Path(f"$dir/_tmp-part-$i%05d.bin.$attempt")
+          val idxTmp = new Path(f"$dir/_tmp-part-$i%05d.idx.$attempt")
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskFailureListener((_, _) => {
+              fs.delete(binTmp, false); fs.delete(idxTmp, false); ()
+            }))
+          val bin = fs.create(binTmp, true)
+          val idx = fs.create(idxTmp, true)
           // little-endian scratch buffers (FSDataOutputStream itself is
           // big-endian DataOutput — bypass it with explicit buffers)
           def le32(v: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4)
@@ -84,6 +100,10 @@ object TokenShards {
             min = math.min(min, k); max = math.max(max, k); nDocs += 1
           }
           bin.close(); idx.close()
+          // commit: rename temp → final; if a faster duplicate attempt
+          // already installed the (byte-identical) final files, drop ours
+          if (!fs.rename(binTmp, binPath)) fs.delete(binTmp, false)
+          if (!fs.rename(idxTmp, idxPath)) fs.delete(idxTmp, false)
           Iterator((f"part-$i%05d", min, max, nDocs))
         }
       }.collect()
@@ -101,8 +121,14 @@ object TokenShards {
     * the trainer's data-loader access pattern. Missing doc_ids produce
     * no row. Returns (doc_id, n_tokens, id_sum, first_id, last_id). */
   def fetch(spark: SparkSession, dir: String, probes: DataFrame): DataFrame = {
-    val manifest = spark.read.json(s"$dir/manifest.json")
-      .select(col("stem"), col("min").cast("long"), col("max").cast("long"))
+    // explicit schema: an empty write leaves a zero-record manifest, and
+    // schema inference over it yields no columns — the select below would
+    // then throw instead of returning the correct empty fetch result
+    val manifestSchema = StructType(Seq(
+      StructField("stem", StringType), StructField("min", LongType),
+      StructField("max", LongType), StructField("n", LongType)))
+    val manifest = spark.read.schema(manifestSchema).json(s"$dir/manifest.json")
+      .select(col("stem"), col("min"), col("max"))
     val routed = probes.select(col("doc_id").cast("long").as("doc_id"))
       .join(broadcast(manifest),
         col("doc_id") >= col("min") && col("doc_id") <= col("max"))

@@ -70,4 +70,28 @@ class TokenShardsSpec extends AnyFunSuite with SparkSuite {
     assert(empty.map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
       r.getInt(3), r.getInt(4))).toSeq == Seq((2L, 0, 0L, -1, -1)))
   }
+
+  test("empty input writes a readable (empty) shard set") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-tokshard-").toString
+    // zero input rows → every partition skips its shard, manifest is a
+    // zero-record file; fetch must return an empty result, not throw on
+    // schema inference over the empty manifest
+    TokenShards.write(mk().limit(0), dir, shards = 2)
+    val got = TokenShards.fetch(spark, dir, mk(1L -> Seq(0)).select("doc_id"))
+    assert(got.collect().isEmpty)
+  }
+
+  test("commit protocol: no _tmp files survive a write; finals are complete") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-tokshard-").toString
+    TokenShards.write(mk((0L until 20L).map(k => k -> Seq(k.toInt)): _*),
+      dir, shards = 3)
+    val names = new java.io.File(dir).list().toSeq
+    assert(!names.exists(_.startsWith("_tmp-")), s"stale temps in $names")
+    assert(names.count(_.endsWith(".bin")) == names.count(_.endsWith(".idx")))
+    val got = TokenShards.fetch(spark, dir,
+      mk((0L until 20L).map(_ -> Seq(0)): _*).select("doc_id")).collect()
+    assert(got.length == 20)
+  }
 }
