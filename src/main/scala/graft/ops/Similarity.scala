@@ -334,6 +334,50 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** SemDeDup-style semantic dedupe (Abbas et al. 2023,
+    * arXiv:2303.09540): duplicates that share no bytes but say the same
+    * thing are found by embedding similarity, with a codebook bounding
+    * the candidate space — assign every vector to its nearest-seed cell,
+    * then compare pairs ONLY within a cell; a vector is dropped when a
+    * lower-id cellmate sits above the cosine threshold (so the lowest id
+    * of every dominance chain survives — deterministic, no float
+    * argmin-over-centroid-distance tie ambiguity). Everything runs in
+    * the quantized integer domain ([[quantize]]), so cell assignment AND
+    * the pairwise verdicts are exactly replayable in any engine.
+    * Returns one row per vector: (vec_id, cell, kept).
+    *
+    * Scale shape: assignment shuffles on vec_id alone (the vector rides
+    * inside max_by; the seed codebook broadcasts); the pairwise stage is
+    * ONE shuffle on the cell id, and cells hold O(n/nSeeds) vectors —
+    * the codebook size is the paper's own lever for keeping the
+    * quadratic term bounded (√n here; ~10⁵ cells at corpus scale), so
+    * no task ever sees more than a cell. */
+  def semanticDedupe(df: DataFrame, id: String, emb: String,
+      nSeeds: Int, threshold: Double): DataFrame = {
+    val q = vectors(df, id, emb)
+      .select(col("vec_id"), quantize(col("v")).as("qv"))
+      .transform(Iterative.materialize)
+    val seeds = broadcast(
+      q.filter(col("vec_id") < nSeeds)
+        .select(col("vec_id").as("seed_id"), col("qv").as("sv")))
+    val assigned = q.join(seeds)
+      .select(col("vec_id"), col("qv"), col("seed_id"),
+        qOrd(cosine(col("qv"), col("sv")), col("seed_id")).as("ord"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("seed_id").as("cell"), col("qv")), col("ord"))
+        .as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"), col("best.qv").as("qv"))
+      .transform(Iterative.materialize)
+    val dropped = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id"))
+      .where(cosine(col("a.qv"), col("b.qv")) >= threshold)
+      .select(col("a.vec_id").as("vec_id")).distinct()
+    assigned
+      .join(dropped.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("hit").isNull.as("kept"))
+  }
+
   /** Product-quantization ANN with ASYMMETRIC distance scoring (PQ-ADC,
     * Jégou/Douze/Schmid TPAMI 2011 — the codebook layout behind every
     * billion-scale vector index): split each quantized vector into `m`

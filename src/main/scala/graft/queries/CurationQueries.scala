@@ -928,5 +928,48 @@ object CurationQueries {
         ORDER BY doc_id
       """.trim),
     ),
+    // ---------------------------------------------------------------
+    // cu17: leakage-guarded train/heldout split — the split key is the
+    // NEAR-DUP CLUSTER, not the document. cu1's per-doc hash split
+    // leaks: two near-duplicates landing in different splits put
+    // (nearly) the training text into held-out eval — the contamination
+    // mode cu8 screens third-party benchmarks for, here caused by the
+    // split itself. Composition: d5's banded-MinHash pairs →
+    // distributed min-label components → every doc keyed by its cluster
+    // representative (singletons = themselves) → cu1's deterministic
+    // md5 bucket computed on the CLUSTER id, so no cluster straddles
+    // the boundary by construction. Scale shape: the clustering is
+    // d5's (banding-bounded candidates, one shuffle per band key,
+    // log-round label propagation); the split itself is a per-row hash
+    // with zero added coordination — re-runs, re-partitions, and
+    // incremental appends reproduce it exactly.
+    Q(
+      "cu17_leakage_split",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val pairs = graft.ops.Dedupe.minhashNearDupPairs(docs, "doc_id",
+          "text", threshold = 0.8, k = 72, bands = 6)
+        val clus = graft.ops.Dedupe.connectedComponents(pairs)
+          .select(col("id").as("doc_id"), col("cluster_id"))
+        docs.select(col("doc_id"))
+          .join(clus, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+          .withColumn("split",
+            when(md5Bucket("lsplit", col("cluster_id")) < lit("cc"),
+              lit("train")).otherwise(lit("heldout")))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE ${DedupeQueries.clusterCtes},
+        asg AS (
+          SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id)
+        SELECT doc_id, cluster_id,
+               CASE WHEN ${md5BucketSql("lsplit", "cluster_id")} < 'cc'
+                    THEN 'train' ELSE 'heldout' END AS split
+        FROM asg ORDER BY doc_id
+      """.trim),
+    ),
   )
 }

@@ -72,6 +72,35 @@ object DedupeQueries {
     """len(list_intersect(x.sh, y.sh))::DOUBLE
       |                 / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))""".stripMargin
 
+  /** Shared oracle block: d5's full pipeline through cluster labels —
+    * minhash CTEs, verified pairs at jaccard ≥ 0.8, undirected edges,
+    * min-label walk — ending in clus(doc_id, cluster_id). Docs with no
+    * near-dup edge are ABSENT (callers COALESCE to doc_id). Must run
+    * under WITH RECURSIVE. Used by d5 and cu17. */
+  private[queries] def clusterCtes: String =
+    s"""${minhashCtes(k = 72, bands = 6)},
+       |pairs AS (
+       |  SELECT doc_a, doc_b
+       |  FROM cand JOIN sh x ON cand.doc_a = x.doc_id
+       |            JOIN sh y ON cand.doc_b = y.doc_id
+       |  WHERE $JaccardSql >= 0.8
+       |),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |),
+       |walk(id, label) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, w.label
+       |  FROM edges e JOIN walk w ON e.dst = w.id
+       |  WHERE w.label < e.src
+       |),
+       |clus AS (
+       |  SELECT id AS doc_id, MIN(label) AS cluster_id
+       |  FROM walk GROUP BY id
+       |)""".stripMargin
+
   /** One index staging dir per JVM (see the d9 comment). */
   private lazy val d9StagePath: String =
     java.nio.file.Files.createTempDirectory("graft-d9-").toString
@@ -218,26 +247,8 @@ object DedupeQueries {
           .orderBy("doc_id")
       },
       Some(s"""
-        WITH RECURSIVE ${minhashCtes(k = 72, bands = 6)},
-        pairs AS (
-          SELECT doc_a, doc_b
-          FROM cand JOIN sh x ON cand.doc_a = x.doc_id
-                    JOIN sh y ON cand.doc_b = y.doc_id
-          WHERE $JaccardSql >= 0.8
-        ),
-        edges AS (
-          SELECT doc_a AS src, doc_b AS dst FROM pairs
-          UNION SELECT doc_b, doc_a FROM pairs
-        ),
-        walk(id, label) AS (
-          SELECT src, src FROM edges
-          UNION
-          SELECT e.src, w.label
-          FROM edges e JOIN walk w ON e.dst = w.id
-          WHERE w.label < e.src
-        )
-        SELECT id AS doc_id, MIN(label) AS cluster_id
-        FROM walk GROUP BY id ORDER BY doc_id
+        WITH RECURSIVE $clusterCtes
+        SELECT doc_id, cluster_id FROM clus ORDER BY doc_id
       """.trim),
     ),
 

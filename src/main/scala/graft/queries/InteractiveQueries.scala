@@ -351,5 +351,85 @@ object InteractiveQueries {
         ORDER BY score DESC, doc_id LIMIT 10
       """.trim),
     ),
+
+    // i13: hit SNIPPETS — the result-page layer over i11's positional
+    // postings: for every (phrase, matching doc) return the first match
+    // position and the surrounding token window (6 tokens from the
+    // first phrase word), which is what a search UI actually renders.
+    // Spark side walks the INDEX (pruned postings → first adjacent
+    // position per doc → one doc_id-keyed join back to the token
+    // arrays for the window slice); the oracle scans the raw token
+    // stream directly — mechanism-diverse evidence, as i11. Scale
+    // shape: the phrase table broadcasts, only the queried words'
+    // postings shuffle, and the snippet join touches only MATCHING
+    // docs (semi-join-sized, doc_id-keyed).
+    Q(
+      "i13_snippets",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val toksArr = docs.select(col("doc_id"),
+          filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "").as("ts"))
+        val bg = toksArr
+          .select(col("doc_id"),
+            explode(when(size(col("ts")) < 2,
+              expr("CAST(array() AS array<struct<w1:string,w2:string>>)"))
+              .otherwise(expr(
+                """transform(slice(ts, 1, size(ts) - 1),
+                  |  (t, i) -> named_struct('w1', t, 'w2', element_at(ts, i + 2)))"""
+                  .stripMargin))).as("b"))
+          .select(col("doc_id"), col("b.w1"), col("b.w2"),
+            concat(col("b.w1"), lit(" "), col("b.w2")).as("phrase"))
+        val top5 = bg.groupBy("phrase", "w1", "w2")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("phrase").asc)
+          .limit(5)
+          .select("phrase", "w1", "w2")
+        val post = toksArr
+          .select(col("doc_id"), posexplode(col("ts")).as(Seq("pos", "tok")))
+          .groupBy("tok", "doc_id")
+          .agg(sort_array(collect_list(col("pos"))).as("ps"))
+        val m1 = post.join(broadcast(top5), col("tok") === col("w1"))
+          .select(col("phrase"), col("w2"), col("doc_id").as("doc_id1"),
+            col("ps").as("ps1"))
+        val post2 = post
+          .join(broadcast(top5.select(col("w2").as("tok")).distinct()),
+            Seq("tok"), "leftsemi")
+          .select(col("tok").as("tok2"), col("doc_id").as("doc_id2"), col("ps"))
+        val hits = post2
+          .join(m1, col("tok2") === col("w2") && col("doc_id2") === col("doc_id1"))
+          .select(col("phrase"), col("doc_id1").as("doc_id"),
+            // 0-based w2 hit positions = 1-based index of the phrase's
+            // FIRST word — the min doubles as the slice start
+            array_min(array_intersect(
+              transform(col("ps1"), p => p + 1), col("ps"))).as("fp"))
+          .where(col("fp").isNotNull)
+        hits.join(toksArr, "doc_id")
+          .select(col("phrase"), col("doc_id"),
+            col("fp").cast("long").as("first_pos"),
+            concat_ws(" ", slice(col("ts"), col("fp"), lit(6))).as("snippet"))
+          .orderBy("phrase", "doc_id")
+      },
+      Some("""
+        WITH ts AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                             t -> t <> '') AS ts
+          FROM documents),
+        bg AS (
+          SELECT doc_id, i, ts[i] || ' ' || ts[i+1] AS phrase
+          FROM ts, UNNEST(range(1, len(ts))) AS u(i)),
+        top5 AS (
+          SELECT phrase FROM bg GROUP BY phrase
+          ORDER BY COUNT(*) DESC, phrase LIMIT 5),
+        hit AS (
+          SELECT b.phrase, b.doc_id, MIN(i) AS fp
+          FROM bg b JOIN top5 t ON b.phrase = t.phrase
+          GROUP BY 1, 2)
+        SELECT h.phrase, h.doc_id, CAST(fp AS BIGINT) AS first_pos,
+               array_to_string(t.ts[fp:fp+5], ' ') AS snippet
+        FROM hit h JOIN ts t ON h.doc_id = t.doc_id
+        ORDER BY h.phrase, h.doc_id
+      """.trim),
+    ),
   )
 }

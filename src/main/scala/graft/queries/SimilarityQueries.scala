@@ -21,6 +21,10 @@ object SimilarityQueries {
   private val IvfProbeCells = 2 // ss4 nprobe
   private val PqM = 4 // ss10 subspaces (subDim = Dims/PqM)
   private val PqKsub = 16 // ss10 codewords per subspace
+  // d14 semantic-dup threshold: aligned with ss3's near-dup notion (the
+  // fixture's planted near-pairs sit just above it; unrelated
+  // within-cell pairs stay well below)
+  private val SemThreshold = 0.45
 
   /** ss2 signature width cap (the oracle embeds hyperplane literals up to
     * this many bits and gates each on the dynamic width). */
@@ -706,6 +710,47 @@ object SimilarityQueries {
           FROM cand)
         WHERE rank <= $TopK
         ORDER BY probe_id, rank
+      """.trim),
+    ),
+    // d14: SemDeDup semantic dedupe (Abbas et al. 2023) — the dedupe
+    // tier ABOVE d2/d4: paraphrases and re-writes share no shingles, so
+    // MinHash never pairs them; embedding cosine within k-means-style
+    // cells does, with the codebook bounding the pairwise work (the
+    // paper's lever: cells are O(n/k), so the quadratic term never sees
+    // the corpus). Quantized integer domain end to end — the oracle
+    // replays assignment AND verdicts exactly. Keeps the lowest vec_id
+    // of every dominance chain; (vec_id, cell, kept) per vector.
+    Q(
+      "d14_semantic_dedupe",
+      (s, dir) => {
+        val n = Registry.table(s, dir, "embeddings").count()
+        Similarity.semanticDedupe(Registry.table(s, dir, "embeddings"),
+            "vec_id", "embedding", nSeeds = ivfSeedsFor(n),
+            threshold = SemThreshold)
+          .orderBy("vec_id")
+      },
+      Some(s"""
+        WITH $ParamsCte,
+        $QuantCte,
+        seeds AS (SELECT vec_id AS seed_id, qv FROM q, params
+                  WHERE vec_id < n_seeds),
+        a0 AS (
+          SELECT vec_id,
+                 max_by(seed_id, CAST(floor(qcos * 1e12) AS BIGINT) * 100000 - seed_id) AS cell
+          FROM (SELECT a.vec_id, s.seed_id, ${qcosSql("a", "s")} AS qcos
+                FROM q a, seeds s)
+          GROUP BY vec_id
+        ),
+        drp AS (
+          SELECT DISTINCT a.vec_id
+          FROM a0 a JOIN a0 b ON a.cell = b.cell AND b.vec_id < a.vec_id
+          JOIN q qa ON qa.vec_id = a.vec_id
+          JOIN q qb ON qb.vec_id = b.vec_id
+          WHERE ${qcosSql("qa", "qb")} >= $SemThreshold
+        )
+        SELECT a0.vec_id, a0.cell AS cell, drp.vec_id IS NULL AS kept
+        FROM a0 LEFT JOIN drp ON a0.vec_id = drp.vec_id
+        ORDER BY a0.vec_id
       """.trim),
     ),
   )

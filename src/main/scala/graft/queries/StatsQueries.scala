@@ -268,5 +268,51 @@ object StatsQueries {
         ORDER BY user_id
       """.stripMargin.trim),
     ),
+
+    // st7: rolling anomaly flags over the hourly series — the ops
+    // signal a crawl/ingest pipeline watches (a fetch-rate or error-rate
+    // hour spiking to ≥2× its trailing-day mean). Pure integer
+    // arithmetic: the flag is cnt·24 ≥ 2·Σ(trailing 24 counts), so no
+    // stddev float ever enters the hash compare; hours with an
+    // incomplete trailing day carry the flag false. Scale shape: the
+    // corpus-sized work is the partial-agg'd groupBy to (type, hour);
+    // the window then runs over the AGGREGATED series, whose partition
+    // size is O(hours) — bounded by elapsed time, not by data volume
+    // (a year is 8 760 rows per type however many events arrive), the
+    // same bounded-partition rationale as st2's day fold.
+    Q(
+      "st7_anomalies",
+      (s, dir) => {
+        val hourly = Registry.table(s, dir, "events")
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+          .agg(count(lit(1)).as("n_events"))
+        val tw = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+          .rowsBetween(-24, -1)
+        hourly
+          .withColumn("trail_sum", coalesce(sum(col("n_events")).over(tw), lit(0L)))
+          .withColumn("trail_n", count(lit(1)).over(tw))
+          .withColumn("is_anomaly",
+            col("trail_n") === 24 && col("n_events") * 24 >= col("trail_sum") * 2)
+          .select("event_type", "hour", "n_events", "trail_sum", "trail_n",
+            "is_anomaly")
+          .orderBy("event_type", "hour")
+      },
+      Some("""
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS hour,
+                 COUNT(*) AS n_events
+          FROM events GROUP BY 1, 2),
+        w AS (
+          SELECT event_type, hour, n_events,
+                 CAST(COALESCE(SUM(n_events) OVER tw, 0) AS BIGINT) AS trail_sum,
+                 COUNT(*) OVER tw AS trail_n
+          FROM hourly
+          WINDOW tw AS (PARTITION BY event_type ORDER BY hour
+                        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        SELECT event_type, hour, n_events, trail_sum, trail_n,
+               trail_n = 24 AND n_events * 24 >= trail_sum * 2 AS is_anomaly
+        FROM w ORDER BY event_type, hour
+      """.trim),
+    ),
   )
 }

@@ -574,6 +574,84 @@ object TextQueries {
       },
       Some(bpeEncodeOracle(5)),
     ),
+    // ---------------------------------------------------------------
+    // t15: boilerplate detection by per-source shingle doc-frequency —
+    // the jusText/trafilatura signal distributed: a text fragment that
+    // recurs across many pages of the SAME source is template chrome
+    // (nav bars, footers, cookie banners), not content, and a doc made
+    // mostly of such fragments is dropped before training. The fragment
+    // unit here is the token bigram (the fixture has no line structure;
+    // line-hash or sentence units drop into the same plan). Rule: a
+    // (source, gram) is boilerplate when it appears in ≥20% of the
+    // source's docs AND ≥3 docs — RELATIVE threshold, so the gate keeps
+    // meaning at any corpus size. Scale shape: three hash-keyed
+    // partial-agg groupBys (doc-distinct grams, per-(source,gram) df,
+    // per-doc rollup) + one broadcast of per-source doc counts; df is
+    // bounded by the source's doc count, never corpus-global, so no
+    // stop-gram skew key exists by construction.
+    Q(
+      "t15_boilerplate",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val toks = docs.select(col("doc_id"), col("source"),
+          filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "").as("ts"))
+        val grams = toks
+          .select(col("doc_id"), col("source"),
+            explode(when(size(col("ts")) < 2,
+              expr("CAST(array() AS array<string>)"))
+              .otherwise(expr(
+                """transform(slice(ts, 1, size(ts) - 1),
+                  |  (t, i) -> concat(t, ' ', element_at(ts, i + 2)))"""
+                  .stripMargin))).as("gram"))
+          .distinct()
+        val nd = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        val boiler = grams
+          .groupBy("source", "gram")
+          .agg(count(lit(1)).as("df"))
+          .join(broadcast(nd), "source")
+          .filter(col("df") * 5 >= col("n_docs") && col("df") >= 3)
+          .select(col("source"), col("gram"), lit(1).as("is_b"))
+        val per = grams
+          .join(boiler, Seq("source", "gram"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"), count(col("is_b")).as("n_boiler"))
+        docs.select(col("doc_id"))
+          .join(per, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+            coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+          .withColumn("keep", col("n_boiler") * 5 <= col("n_grams"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH ts AS (
+          SELECT doc_id, source,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                             t -> t <> '') AS ts
+          FROM documents),
+        g AS (
+          SELECT DISTINCT doc_id, source, ts[i] || ' ' || ts[i+1] AS gram
+          FROM ts, UNNEST(range(1, len(ts))) u(i)),
+        nd AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+        bl AS (
+          SELECT source, gram FROM (
+            SELECT source, gram, COUNT(*) AS df FROM g GROUP BY 1, 2)
+          JOIN nd USING (source)
+          WHERE df * 5 >= n_docs AND df >= 3),
+        per AS (
+          SELECT g.doc_id,
+                 COUNT(*) AS n_grams,
+                 COUNT(*) FILTER (bl.gram IS NOT NULL) AS n_boiler
+          FROM g LEFT JOIN bl ON g.source = bl.source AND g.gram = bl.gram
+          GROUP BY 1)
+        SELECT d.doc_id,
+               COALESCE(n_grams, 0)::BIGINT AS n_grams,
+               COALESCE(n_boiler, 0)::BIGINT AS n_boiler,
+               COALESCE(n_boiler, 0) * 5 <= COALESCE(n_grams, 0) AS keep
+        FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        ORDER BY d.doc_id
+      """.trim),
+    ),
   )
 
   /** Shared BPE oracle machinery: k unrolled merge levels over the word

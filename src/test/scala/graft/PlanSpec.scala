@@ -589,4 +589,69 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       s"expected partial+final HashAggregate over (h_hi, h_lo):\n$p")
   }
+
+  test("t15 boilerplate: df aggregates partial→final, doc counts broadcast, no window") {
+    val p = plan("t15_boilerplate")
+    // per-(source, gram) doc frequency and the per-doc rollup are hash
+    // groupBys with map-side combine; the per-source doc-count table
+    // (O(sources) rows) broadcasts into the threshold filter — a
+    // Window.partitionBy(source) formulation would sort whole sources
+    assert(!p.contains("Window"), s"unexpected window in t15:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source doc counts not broadcast:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected ≥2 two-phase HashAggregates:\n$p")
+  }
+
+  test("cu17 leakage split: cluster machinery only — no window, no cartesian") {
+    val p = plan("cu17_leakage_split")
+    // the split adds only per-row hash arithmetic on top of d5's banded
+    // pipeline; nothing may degenerate into a per-cluster sort or an
+    // all-pairs compare
+    assert(!p.contains("Window"), s"unexpected window in cu17:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cu17 degenerated:\n$p")
+  }
+
+  test("d14 semantic dedupe: seeds broadcast; vectors never key a shuffle") {
+    val p = plan("d14_semantic_dedupe")
+    // cell assignment aggregates on vec_id (the vector rides inside
+    // max_by); the within-cell pair join shuffles on the CELL id —
+    // quantized vectors must never appear in a hashpartitioning key
+    val partitionings = "hashpartitioning\\([^)]*\\)".r.findAllIn(p).toSeq
+    assert(partitionings.nonEmpty)
+    partitionings.foreach { hp =>
+      assert(!hp.contains(" v#") && !hp.contains(" qv#"),
+        s"embedding vector leaked into a shuffle key: $hp")
+    }
+    // the seed-codebook scan is a BroadcastNestedLoopJoin (tiny side
+    // broadcast); a non-broadcast CartesianProduct would mean the
+    // corpus is cross-joining itself
+    assert(!p.contains("CartesianProduct"),
+      s"pairwise stage degenerated to a corpus cross join:\n$p")
+    assert(!p.contains("Window"), s"unexpected window in d14:\n$p")
+  }
+
+  test("st7 anomalies: the window runs over the aggregated hourly series") {
+    val df = Registry.queries("st7_anomalies")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // the corpus-sized work is the partial→final groupBy to (type,
+    // hour); the rolling window's partition is the AGGREGATED series
+    // (O(hours) rows per type — time-bounded), so exactly one Window
+    // is allowed and it must sit above the final HashAggregate
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"hourly rollup lost its map-side combine:\n$p")
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1,
+      s"expected exactly one (bounded) window in st7:\n$p")
+  }
+
+  test("i13 snippets prune postings by broadcast; snippet join stays equi") {
+    val p = plan("i13_snippets")
+    // same discipline as i11: only the queried words' postings shuffle,
+    // and the token-array fetch for the window slice is a doc_id equi
+    // join over matching docs only
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"expected broadcast prunes on both phrase words:\n$p")
+    assert(!p.contains("CartesianProduct"), s"i13 degenerated:\n$p")
+    assert(!p.contains("Window"), s"unexpected window in i13:\n$p")
+  }
 }
