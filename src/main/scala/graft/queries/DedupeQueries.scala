@@ -443,15 +443,34 @@ object DedupeQueries {
       (s, dir) => {
         val P = 100
         val docs = Registry.table(s, dir, "documents")
-        val sh = docs.select(col("doc_id"), Dedupe.shingles3(col("text")).as("sh"))
-        val probes = sh.filter(col("doc_id") < P)
-          .select(col("doc_id").as("probe_id"), col("sh").as("psh"))
-        val truth = sh.join(broadcast(probes), col("doc_id") =!= col("probe_id"))
-          .withColumn("jaccard", Dedupe.jaccardOf(col("psh"), col("sh")))
-          .filter(col("jaccard") >= 0.8)
+        // materialized: the shingling feeds both exploded truth sides
+        val sh = graft.ops.Iterative.materialize(
+          docs.select(col("doc_id"), Dedupe.shingles3(col("text")).as("sh")))
+        // exhaustive ground truth WITHOUT per-pair array intersections:
+        // explode the (broadcast-sized) probe shingles, hash-join the
+        // exploded corpus shingles on the gram, and count shared grams
+        // per (probe, doc) with map-side combine — jaccard ≥ 0.8 is then
+        // the integer test inter·5 ≥ (|A|+|B|−inter)·4 (exactly the same
+        // pair set: a pair with no shared gram has jaccard 0). ~3× less
+        // wall-clock than the broadcast-NLJ-with-jaccardOf form at sf0.1.
+        val pex = sh.filter(col("doc_id") < P)
+          .select(col("doc_id").as("probe_id"), size(col("sh")).as("pn"),
+            explode(col("sh")).as("g"))
+        val cex = sh.select(col("doc_id"), size(col("sh")).as("cn"),
+          explode(col("sh")).as("g"))
+        val truth = cex.join(broadcast(pex), Seq("g"))
+          .where(col("doc_id") =!= col("probe_id"))
+          .groupBy("probe_id", "doc_id")
+          .agg(count(lit(1)).as("inter"), max(col("pn")).as("pn"),
+            max(col("cn")).as("cn"))
+          .where(col("inter") * 5 >= (col("pn") + col("cn") - col("inter")) * 4)
           .select(col("probe_id"), col("doc_id").as("other_id"))
-        val found = Dedupe.minhashNearDupPairs(docs, "doc_id", "text",
-          threshold = 0.8, k = 72, bands = 6)
+        // materialized: the pair table is referenced by BOTH probe-side
+        // branches below — without the cut, the banding + verify
+        // pipeline (the expensive half of this audit) runs twice
+        val found = graft.ops.Iterative.materialize(
+          Dedupe.minhashNearDupPairs(docs, "doc_id", "text",
+            threshold = 0.8, k = 72, bands = 6))
         val foundNorm = found.filter(col("doc_a") < P)
           .select(col("doc_a").as("probe_id"), col("doc_b").as("other_id"))
           .unionByName(found.filter(col("doc_b") < P)
