@@ -971,5 +971,38 @@ object CurationQueries {
         FROM asg ORDER BY doc_id
       """.trim),
     ),
+    // ---------------------------------------------------------------
+    // cu19: provenance/audit manifest — the per-source summary two
+    // sides of a data handoff diff to prove they hold the SAME corpus
+    // without moving it (replica audit, post-migration check, "did the
+    // retry double-write?"). The content checksum is the SUM of 40-bit
+    // md5 prefixes — COMMUTATIVE, so it is invariant under partitioning,
+    // task order, and row order (an ordered hash chain would pin a sort;
+    // this aggregates map-side like any sum) and reorder-insensitive
+    // collisions are bounded by the 40-bit space times source size.
+    // One partial-agg'd groupBy; output is O(sources).
+    Q(
+      "cu19_audit_manifest",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        docs.groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_chars"),
+            min(col("doc_id")).as("min_id"),
+            max(col("doc_id")).as("max_id"),
+            sum(conv(substring(md5(col("text")), 1, 10), 16, 10)
+              .cast("long")).as("content_sum"))
+          .orderBy("source")
+      },
+      Some("""
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+               MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+               CAST(SUM(('0x' || substr(md5(text), 1, 10))::BIGINT) AS BIGINT)
+                 AS content_sum
+        FROM documents GROUP BY source ORDER BY source
+      """.trim),
+    ),
   )
 }

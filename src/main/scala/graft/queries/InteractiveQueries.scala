@@ -431,5 +431,51 @@ object InteractiveQueries {
         ORDER BY h.phrase, h.doc_id
       """.trim),
     ),
+
+    // i14: prefix autocomplete — top-5 corpus tokens per 3-char prefix
+    // by frequency, the typeahead index a search box serves. Same skew
+    // discipline as t9's head: token counting is a partial-agg'd
+    // groupBy, and the per-prefix head runs as the bounded-heap
+    // aggregate (≤5 rows per prefix per mapper reach the shuffle) —
+    // never a Window over a prefix's whole vocabulary, which for a hot
+    // prefix is zipf-fat at corpus scale.
+    Q(
+      "i14_autocomplete",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        docs.select(explode(
+            filter(split(lower(col("text")), "[^a-z]+"), t => t =!= ""))
+            .as("tok"))
+          .where(length(col("tok")) >= 3)
+          .groupBy("tok")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("prefix", substring(col("tok"), 1, 3))
+          .groupBy("prefix")
+          .agg(graft.ops.TopK.topScoredStrings(5)(col("cnt"), col("tok"))
+            .as("top"))
+          .select(col("prefix"), posexplode(col("top")))
+          .select(col("prefix"), (col("pos") + 1).cast("long").as("pos"),
+            col("col.key").as("tok"), col("col.score").as("cnt"))
+          .orderBy("prefix", "pos")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT unnest(list_filter(
+                   regexp_split_to_array(lower(text), '[^a-z]+'),
+                   t -> t <> '')) AS tok
+          FROM documents),
+        tc AS (
+          SELECT tok, COUNT(*) AS cnt FROM tok
+          WHERE length(tok) >= 3 GROUP BY tok),
+        r AS (
+          SELECT substr(tok, 1, 3) AS prefix, tok, cnt,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY substr(tok, 1, 3)
+                   ORDER BY cnt DESC, tok) AS BIGINT) AS pos
+          FROM tc)
+        SELECT prefix, pos, tok, cnt FROM r WHERE pos <= 5
+        ORDER BY prefix, pos
+      """.trim),
+    ),
   )
 }

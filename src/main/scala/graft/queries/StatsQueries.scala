@@ -314,5 +314,44 @@ object StatsQueries {
         FROM w ORDER BY event_type, hour
       """.trim),
     ),
+
+    // st8: session transition mining (funnel analysis) — which event
+    // follows which within a session: lag(event_type) per user (st5's
+    // exact window and 30-minute gap), filtered to same-session
+    // adjacency, counted per (src, dst) pair. The output is the
+    // |types|² transition matrix — O(25) rows here, O(k²) always.
+    // Scale shape: st5's per-user window rationale (a user's history is
+    // bounded by human activity; a bot-heavy corpus would bucket the
+    // partition by day, trading cross-midnight transitions for a hard
+    // bound); the transition count is a partial-agg'd groupBy onto a
+    // model-sized result.
+    Q(
+      "st8_transitions",
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Registry.table(s, dir, "events")
+          .withColumn("src_type", lag(col("event_type"), 1).over(byUser))
+          .withColumn("gap_ms",
+            unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(byUser)))
+          .where(col("src_type").isNotNull && col("gap_ms") <= 1800000L)
+          .groupBy(col("src_type"), col("event_type").as("dst_type"))
+          .agg(count(lit(1)).as("n_transitions"))
+          .orderBy("src_type", "dst_type")
+      },
+      Some("""
+        WITH lagged AS (
+          SELECT event_type AS dst_type,
+                 lag(event_type) OVER w AS src_type,
+                 epoch_ms(ts) - epoch_ms(lag(ts) OVER w) AS gap_ms
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT src_type, dst_type, COUNT(*) AS n_transitions
+        FROM lagged
+        WHERE src_type IS NOT NULL AND gap_ms <= 1800000
+        GROUP BY src_type, dst_type
+        ORDER BY src_type, dst_type
+      """.trim),
+    ),
   )
 }

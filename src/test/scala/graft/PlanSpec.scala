@@ -644,6 +644,37 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"expected exactly one (bounded) window in st7:\n$p")
   }
 
+  test("i14 autocomplete heads run as bounded heaps, not prefix windows") {
+    val p = plan("i14_autocomplete")
+    // a hot prefix's vocabulary is zipf-fat; the head must ship ≤5 rows
+    // per prefix per mapper (two-phase ObjectHashAggregate), never sort
+    // a prefix's whole token list under a window
+    assert(!p.contains("Window"), s"i14 fell back to a window sort:\n$p")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final ObjectHashAggregate:\n$p")
+  }
+
+  test("st8 transitions: one per-user window, counts partial→final") {
+    val p = plan("st8_transitions")
+    // the lag() pass is st5's per-user window (one Window, shared by
+    // both lag columns); the transition count aggregates map-side onto
+    // the O(types²) result
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1,
+      s"expected exactly one (per-user) window in st8:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"transition count lost its map-side combine:\n$p")
+  }
+
+  test("cu19 manifest is one two-phase aggregate over a pruned scan") {
+    val p = plan("cu19_audit_manifest")
+    assert(!p.contains("Window"), s"unexpected window in cu19:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"manifest checksum lost its map-side combine:\n$p")
+    // only the four referenced columns reach the reader
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string,n_chars:bigint>"),
+      s"cu19 read more than (doc_id, text, source, n_chars):\n$p")
+  }
+
   test("i13 snippets prune postings by broadcast; snippet join stays equi") {
     val p = plan("i13_snippets")
     // same discipline as i11: only the queried words' postings shuffle,
