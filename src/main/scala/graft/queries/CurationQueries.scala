@@ -980,7 +980,11 @@ object CurationQueries {
     // task order, and row order (an ordered hash chain would pin a sort;
     // this aggregates map-side like any sum) and reorder-insensitive
     // collisions are bounded by the 40-bit space times source size.
-    // One partial-agg'd groupBy; output is O(sources).
+    // One partial-agg'd groupBy; output is O(sources). The per-doc hash
+    // is 28 bits (7 hex chars), NOT the 40-bit fingerprint width: the
+    // sum of per-doc hashes must stay inside int64 at any source size
+    // (2⁶³/2²⁸ ≈ 3.4×10¹⁰ docs of headroom per source; a 40-bit term
+    // would overflow — an ANSI-mode runtime error — at ~8×10⁶ docs).
     Q(
       "cu19_audit_manifest",
       (s, dir) => {
@@ -991,7 +995,7 @@ object CurationQueries {
             sum(col("n_chars")).as("n_chars"),
             min(col("doc_id")).as("min_id"),
             max(col("doc_id")).as("max_id"),
-            sum(conv(substring(md5(col("text")), 1, 10), 16, 10)
+            sum(conv(substring(md5(col("text")), 1, 7), 16, 10)
               .cast("long")).as("content_sum"))
           .orderBy("source")
       },
@@ -999,7 +1003,7 @@ object CurationQueries {
         SELECT source, COUNT(*) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS n_chars,
                MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
-               CAST(SUM(('0x' || substr(md5(text), 1, 10))::BIGINT) AS BIGINT)
+               CAST(SUM(('0x' || substr(md5(text), 1, 7))::BIGINT) AS BIGINT)
                  AS content_sum
         FROM documents GROUP BY source ORDER BY source
       """.trim),
