@@ -372,5 +372,73 @@ object CrawlDbQueries {
         ORDER BY doc_id
       """.trim),
     ),
+
+    // c6: snapshot diff — "what changed between crawl N−1 and crawl N":
+    // the first question asked of every fresh crawl before it merges
+    // (a 30% removed-rate means the fetcher broke, not the web). The
+    // operation is a FULL OUTER join of two snapshots on the document
+    // key comparing content fingerprints, classified added / removed /
+    // changed / same and rolled up per source. Snapshot B derives
+    // deterministically from the fixture (drop doc_id%7==3, rewrite
+    // text for doc_id%5==0) so the oracle replays both sides. Scale
+    // shape: the join is one hash shuffle on doc_id carrying 28-bit
+    // fingerprints — never the text (hashes computed at the scan); the
+    // rollup partial-aggregates onto O(sources × 4) rows.
+    Q(
+      "c6_snapshot_diff",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val fp = conv(substring(md5(col("text")), 1, 7), 16, 10).cast("long")
+        val a = docs.select(col("doc_id"), col("source"), fp.as("fp_a"))
+        val maxId = broadcast(docs.agg(max(col("doc_id")).as("max_id")))
+        val bKept = docs.filter(col("doc_id") % 7 =!= 3)
+          .select(col("doc_id"),
+            conv(substring(md5(
+              when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+                .otherwise(col("text"))), 1, 7), 16, 10)
+              .cast("long").as("fp_b"))
+        // newly-crawled ids past the old snapshot's end (absent from A
+        // by construction at any corpus size — the c5 max_id discipline)
+        val bNew = docs.filter(col("doc_id") % 11 === 0).crossJoin(maxId)
+          .select((col("max_id") + col("doc_id") + 1L).as("doc_id"),
+            conv(substring(md5(concat(col("text"), lit(" new"))), 1, 7), 16, 10)
+              .cast("long").as("fp_b"))
+        val b = bKept.unionByName(bNew)
+        a.join(b, Seq("doc_id"), "full_outer")
+          .select(
+            coalesce(col("source"), lit("?")).as("source"),
+            when(col("fp_a").isNull, "added")
+              .when(col("fp_b").isNull, "removed")
+              .when(col("fp_a") =!= col("fp_b"), "changed")
+              .otherwise("same").as("status"))
+          .groupBy("source", "status")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("source", "status")
+      },
+      Some("""
+        WITH a AS (
+          SELECT doc_id, source,
+                 ('0x' || substr(md5(text), 1, 7))::BIGINT AS fp_a
+          FROM documents),
+        b AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(CASE WHEN doc_id % 5 = 0
+                       THEN text || ' v2' ELSE text END), 1, 7))::BIGINT AS fp_b
+          FROM documents WHERE doc_id % 7 <> 3
+          UNION ALL
+          SELECT (SELECT MAX(doc_id) FROM documents) + doc_id + 1,
+                 ('0x' || substr(md5(text || ' new'), 1, 7))::BIGINT
+          FROM documents WHERE doc_id % 11 = 0),
+        d AS (
+          SELECT COALESCE(a.source, '?') AS source,
+                 CASE WHEN fp_a IS NULL THEN 'added'
+                      WHEN fp_b IS NULL THEN 'removed'
+                      WHEN fp_a <> fp_b THEN 'changed'
+                      ELSE 'same' END AS status
+          FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        SELECT source, status, COUNT(*) AS n_docs
+        FROM d GROUP BY source, status ORDER BY source, status
+      """.trim),
+    ),
   )
 }

@@ -1008,5 +1008,52 @@ object CurationQueries {
         FROM documents GROUP BY source ORDER BY source
       """.trim),
     ),
+    // ---------------------------------------------------------------
+    // cu20: budgeted threshold sweep — "keep the highest-quality slice
+    // that still fills the token budget": the DataComp/FineWeb curation
+    // decision of WHERE to cut a quality score so the surviving corpus
+    // hits a target size. The sweep table gives the kept mass at every
+    // candidate threshold; the first bucket (scanning from the top)
+    // whose cumulative mass meets the budget (here: half the corpus) is
+    // the cut. Score = n_chars as the pluggable quality proxy, bucketed
+    // to width 16. Scale shape: the corpus-sized pass is one partial-
+    // agg'd groupBy to buckets; the cumsum window runs over the bucket
+    // table, whose size is MODEL-bounded (score range ÷ 16 — the t8
+    // length gates cap doc length, so this is O(10³) rows at any corpus
+    // size), and the budget scalar broadcasts.
+    Q(
+      "cu20_budget_threshold",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val buckets = docs
+          .groupBy(((col("n_chars") / 16).cast("long") * 16).as("bucket_lo"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        val budget = broadcast(
+          docs.agg((sum(col("n_chars")) / 2).cast("long").as("budget")))
+        val w = Window.orderBy(col("bucket_lo").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        buckets.crossJoin(budget)
+          .withColumn("cum_chars", sum(col("n_chars")).over(w))
+          .withColumn("meets", col("cum_chars") >= col("budget"))
+          .select("bucket_lo", "n_docs", "n_chars", "cum_chars", "meets")
+          .orderBy(col("bucket_lo").desc)
+      },
+      Some("""
+        WITH b AS (
+          SELECT (n_chars // 16) * 16 AS bucket_lo,
+                 COUNT(*) AS n_docs,
+                 CAST(SUM(n_chars) AS BIGINT) AS n_chars
+          FROM documents GROUP BY 1),
+        t AS (SELECT CAST(SUM(n_chars) // 2 AS BIGINT) AS budget FROM documents)
+        SELECT bucket_lo, n_docs, n_chars,
+               CAST(SUM(n_chars) OVER (ORDER BY bucket_lo DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_chars,
+               CAST(SUM(n_chars) OVER (ORDER BY bucket_lo DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 >= budget AS meets
+        FROM b, t ORDER BY bucket_lo DESC
+      """.trim),
+    ),
   )
 }

@@ -353,5 +353,36 @@ object StatsQueries {
         ORDER BY src_type, dst_type
       """.trim),
     ),
+
+    // st9: weekly cohort retention — users grouped by their FIRST
+    // active week, counted again in every later week they return: the
+    // engagement matrix behind "is the crawl-source/user base decaying".
+    // Three partial-agg'd corpus passes (distinct (user, week), per-user
+    // min week, the (cohort, week) rollup) and one user-keyed equi join;
+    // output is O(weeks²) — time-bounded. No windows anywhere.
+    Q(
+      "st9_retention",
+      (s, dir) => {
+        val act = Registry.table(s, dir, "events")
+          .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+          .distinct()
+        val cohort = act.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+        act.join(cohort, "user_id")
+          .groupBy("cohort_week", "week")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort_week", "week")
+      },
+      Some("""
+        WITH act AS (
+          SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+          FROM events),
+        cohort AS (
+          SELECT user_id, MIN(week) AS cohort_week FROM act GROUP BY user_id)
+        SELECT cohort_week, week, COUNT(*) AS n_users
+        FROM act JOIN cohort USING (user_id)
+        GROUP BY cohort_week, week
+        ORDER BY cohort_week, week
+      """.trim),
+    ),
   )
 }

@@ -675,6 +675,41 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"cu19 read more than (doc_id, text, source, n_chars):\n$p")
   }
 
+  test("c6 snapshot diff: fingerprints computed at the scan, one equi shuffle") {
+    val p = plan("c6_snapshot_diff")
+    // the full-outer join must move 28-bit fingerprints, never text —
+    // no text column may appear in a hashpartitioning key, and the
+    // rollup partial-aggregates
+    val partitionings = "hashpartitioning\\([^)]*\\)".r.findAllIn(p).toSeq
+    assert(partitionings.nonEmpty)
+    partitionings.foreach(hp => assert(!hp.contains("text#"),
+      s"text leaked into a shuffle key: $hp"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"diff rollup lost its map-side combine:\n$p")
+    assert(!p.contains("Window"), s"unexpected window in c6:\n$p")
+  }
+
+  test("cu20 sweep: corpus collapses to buckets before the bounded cumsum") {
+    val p = plan("cu20_budget_threshold")
+    // the only corpus-sized work is the partial→final bucket groupBy;
+    // the single window cumsum runs over the model-sized bucket table
+    // with the broadcast budget scalar
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"bucket rollup lost its map-side combine:\n$p")
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1,
+      s"expected exactly one (bucket-table) window in cu20:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"budget scalar not broadcast:\n$p")
+  }
+
+  test("st9 retention: three partial-agg passes, no windows") {
+    val p = plan("st9_retention")
+    assert(!p.contains("Window"), s"unexpected window in st9:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected partial+final aggregates for distinct/cohort/rollup:\n$p")
+    assert(!p.contains("CartesianProduct"), s"st9 degenerated:\n$p")
+  }
+
   test("i13 snippets prune postings by broadcast; snippet join stays equi") {
     val p = plan("i13_snippets")
     // same discipline as i11: only the queried words' postings shuffle,
