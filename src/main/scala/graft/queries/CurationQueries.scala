@@ -941,8 +941,13 @@ object CurationQueries {
     // the boundary by construction. Scale shape: the clustering is
     // d5's (banding-bounded candidates, one shuffle per band key,
     // log-round label propagation); the split itself is a per-row hash
-    // with zero added coordination — re-runs, re-partitions, and
-    // incremental appends reproduce it exactly.
+    // with zero added coordination — re-runs and re-partitions of the
+    // SAME corpus reproduce it exactly. Caveat for incremental regimes:
+    // the representative is the cluster's min doc_id, so a later batch
+    // that bridges two clusters can change it (and flip the split of
+    // the absorbed side) — a production pipeline freezes assignments of
+    // already-split docs and hashes only never-seen clusters, exactly
+    // the d7/d9 batch-vs-corpus discipline.
     Q(
       "cu17_leakage_split",
       (s, dir) => {
@@ -1025,11 +1030,14 @@ object CurationQueries {
       "cu20_budget_threshold",
       (s, dir) => {
         val docs = Registry.table(s, dir, "documents")
+        // integer div, not float-divide-then-floor: a double round-trip
+        // is exact only below 2^53 — the corpus-total sum would cross
+        // that around a petabyte of text
         val buckets = docs
-          .groupBy(((col("n_chars") / 16).cast("long") * 16).as("bucket_lo"))
+          .groupBy((expr("n_chars div 16") * 16).as("bucket_lo"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
         val budget = broadcast(
-          docs.agg((sum(col("n_chars")) / 2).cast("long").as("budget")))
+          docs.agg(expr("sum(n_chars) div 2").as("budget")))
         val w = Window.orderBy(col("bucket_lo").desc)
           .rowsBetween(Window.unboundedPreceding, 0)
         buckets.crossJoin(budget)
