@@ -50,6 +50,21 @@ object TokenShards {
     * sorted .bin/.idx shard pairs under `dir`, plus manifest.json of
     * shard doc_id spans (driver-side, O(shards)). */
   def write(df: DataFrame, dir: String, shards: Int): Unit = {
+    // driver-side pre-clean: Hadoop rename FAILS onto an existing
+    // destination, so a job re-run over the same dir would otherwise
+    // keep the previous run's .bin/.idx under the new manifest (and a
+    // smaller shard count would strand files past its range). After
+    // this sweep, an in-job rename failure can only mean a faster
+    // byte-identical duplicate attempt of THIS job — safe to drop.
+    {
+      val dirPath = new Path(dir)
+      val fs = dirPath.getFileSystem(new Configuration())
+      if (fs.exists(dirPath)) fs.listStatus(dirPath).foreach { st =>
+        val n = st.getPath.getName
+        if (n.endsWith(".bin") || n.endsWith(".idx") || n.startsWith("_tmp-"))
+          fs.delete(st.getPath, false)
+      }
+    }
     val manifest = df.select(col("doc_id").cast("long"), col("ids"))
       .repartitionByRange(shards, col("doc_id"))
       .sortWithinPartitions("doc_id")

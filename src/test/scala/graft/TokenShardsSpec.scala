@@ -82,6 +82,22 @@ class TokenShardsSpec extends AnyFunSuite with SparkSuite {
     assert(got.collect().isEmpty)
   }
 
+  test("re-running a write over the same dir replaces it cleanly") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-tokshard-").toString
+    TokenShards.write(mk((0L until 10L).map(k => k -> Seq(1, 2)): _*),
+      dir, shards = 2)
+    // job re-run (e.g. after a downstream failure): new content, same
+    // target — the rename-over commit and manifest overwrite must leave
+    // only the second run visible
+    TokenShards.write(mk((0L until 10L).map(k => k -> Seq(7)): _*),
+      dir, shards = 2)
+    val got = TokenShards.fetch(spark, dir,
+      mk((0L until 10L).map(_ -> Seq(0)): _*).select("doc_id"))
+      .collect().map(r => (r.getInt(1), r.getLong(2))).distinct.toSeq
+    assert(got == Seq((1, 7L)), s"stale first-run data visible: $got")
+  }
+
   test("commit protocol: no _tmp files survive a write; finals are complete") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-tokshard-").toString
