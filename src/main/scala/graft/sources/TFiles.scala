@@ -38,6 +38,21 @@ object TFiles {
     * spans (driver-side, O(shards) — the QueryServer prefix-sum
     * pattern). */
   def write(df: DataFrame, dir: String, shards: Int): Unit = {
+    // same task-commit discipline as TokenShards.write: pre-clean stale
+    // shards (Hadoop rename fails onto an existing destination), write
+    // each attempt to an attempt-unique temp, rename on clean close —
+    // a speculative duplicate can never truncate a live attempt's file,
+    // and a rename failure after the sweep means a byte-identical
+    // faster attempt won.
+    {
+      val dirPath = new Path(dir)
+      val fs = dirPath.getFileSystem(new Configuration())
+      if (fs.exists(dirPath)) fs.listStatus(dirPath).foreach { st =>
+        val n = st.getPath.getName
+        if (n.endsWith(".tfile") || n.startsWith("_tmp-"))
+          fs.delete(st.getPath, false)
+      }
+    }
     val manifest = df.select("key", "rec")
       .repartitionByRange(shards, col("key"))
       .sortWithinPartitions("key")
@@ -47,7 +62,12 @@ object TFiles {
           val conf = new Configuration()
           val path = new Path(f"$dir/part-$i%05d.tfile")
           val fs = path.getFileSystem(conf)
-          val out = fs.create(path)
+          val attempt = Option(org.apache.spark.TaskContext.get())
+            .map(_.taskAttemptId()).getOrElse(0L)
+          val tmp = new Path(f"$dir/_tmp-part-$i%05d.tfile.$attempt")
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskFailureListener((_, _) => { fs.delete(tmp, false); () }))
+          val out = fs.create(tmp, true)
           val w = new TFile.Writer(out, 64 * 1024, "gz", "memcmp", conf)
           var min = Long.MaxValue
           var max = Long.MinValue
@@ -58,6 +78,7 @@ object TFiles {
             min = math.min(min, k); max = math.max(max, k); n += 1
           }
           w.close(); out.close()
+          if (!fs.rename(tmp, path)) fs.delete(tmp, false)
           Iterator((path.getName, min, max, n))
         }
       }.collect()
@@ -77,8 +98,19 @@ object TFiles {
     * (`Scanner.seekTo` — the reference's fetch path). Missing keys
     * produce no row. Returns (key, rec). */
   def lookup(spark: SparkSession, dir: String, probes: DataFrame): DataFrame = {
-    val manifest = spark.read.json(s"$dir/manifest.json")
-      .select(col("file"), col("min").cast("long"), col("max").cast("long"))
+    // explicit schema: an empty write's zero-record manifest must yield
+    // an empty lookup, not an AnalysisException from schema inference
+    val manifestSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("file",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("min",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("max",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType)))
+    val manifest = spark.read.schema(manifestSchema).json(s"$dir/manifest.json")
+      .select(col("file"), col("min"), col("max"))
     val routed = probes.select(col("key").cast("long").as("key"))
       .join(broadcast(manifest),
         col("key") >= col("min") && col("key") <= col("max"))

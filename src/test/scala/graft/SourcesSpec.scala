@@ -243,4 +243,27 @@ class SourcesSpec extends AnyFunSuite with SparkSuite {
     assert(got == Map(0L -> "rec-0", 3L -> "rec-3", 1197L -> "rec-1197"),
       s"seek must hit exactly the present keys: $got")
   }
+
+  test("TFile bridge: re-run replaces cleanly; empty write looks up empty") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.TFiles
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tfile-").toString
+    TFiles.write(spark.range(10).select(col("id").as("key"),
+      lit("old").as("rec")), dir, shards = 3)
+    // re-run with new content AND fewer shards: no stale shard (or
+    // stale record) may survive — the Hadoop-rename-onto-existing trap
+    TFiles.write(spark.range(10).select(col("id").as("key"),
+      lit("new").as("rec")), dir, shards = 2)
+    val got = TFiles.lookup(spark, dir, (0L until 10L).toDF("key"))
+      .collect().map(_.getString(1)).distinct.toSeq
+    assert(got == Seq("new"), s"stale first-run records visible: $got")
+    assert(new java.io.File(dir).list().count(_.endsWith(".tfile")) == 2)
+    // empty write: zero-record manifest must read with the explicit
+    // schema and produce an empty lookup, not an AnalysisException
+    val empty = java.nio.file.Files.createTempDirectory("graft-tfile-").toString
+    TFiles.write(spark.range(0).select(col("id").as("key"),
+      lit("x").as("rec")), empty, shards = 2)
+    assert(TFiles.lookup(spark, empty, Seq(1L).toDF("key")).collect().isEmpty)
+  }
 }
