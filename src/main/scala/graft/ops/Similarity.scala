@@ -352,21 +352,30 @@ object Similarity {
     * the codebook size is the paper's own lever for keeping the
     * quadratic term bounded (√n here; ~10⁵ cells at corpus scale), so
     * no task ever sees more than a cell. */
-  def semanticDedupe(df: DataFrame, id: String, emb: String,
-      nSeeds: Int, threshold: Double): DataFrame = {
+  /** Quantized nearest-seed cell assignment (the d14/ss6 `a0` step):
+    * codebook = the first `nSeeds` vectors' quantized forms (broadcast),
+    * each vector shuffles on vec_id alone with the vector riding inside
+    * max_by. Returns (vec_id, cell, qv). */
+  def assignCells(df: DataFrame, id: String, emb: String,
+      nSeeds: Int): DataFrame = {
     val q = vectors(df, id, emb)
       .select(col("vec_id"), quantize(col("v")).as("qv"))
       .transform(Iterative.materialize)
     val seeds = broadcast(
       q.filter(col("vec_id") < nSeeds)
         .select(col("vec_id").as("seed_id"), col("qv").as("sv")))
-    val assigned = q.join(seeds)
+    q.join(seeds)
       .select(col("vec_id"), col("qv"), col("seed_id"),
         qOrd(cosine(col("qv"), col("sv")), col("seed_id")).as("ord"))
       .groupBy(col("vec_id"))
       .agg(max_by(struct(col("seed_id").as("cell"), col("qv")), col("ord"))
         .as("best"))
       .select(col("vec_id"), col("best.cell").as("cell"), col("best.qv").as("qv"))
+  }
+
+  def semanticDedupe(df: DataFrame, id: String, emb: String,
+      nSeeds: Int, threshold: Double): DataFrame = {
+    val assigned = assignCells(df, id, emb, nSeeds)
       .transform(Iterative.materialize)
     val dropped = assigned.as("a")
       .join(assigned.as("b"),

@@ -753,5 +753,75 @@ object SimilarityQueries {
         ORDER BY a0.vec_id
       """.trim),
     ),
+    // d15: SemDeDup recall audit — completes the evaluation triple
+    // (d12 audits the MinHash banding curve, ss11 audits IVF recall,
+    // this audits the CELL-LOCALITY assumption d14 rests on): of the
+    // over-threshold pairs a probe sample's brute-force scan finds,
+    // what fraction lands in one cell (and is therefore visible to
+    // d14's within-cell compare)? Probe-sample truth keeps the audit
+    // linear per probe (the d12 discipline — never corpus all-pairs);
+    // cells come from the SAME assignment the production path uses.
+    // The number this reports (~⅓ on the fixture's mid-similarity
+    // pairs) is the tuning signal for the codebook-size/nprobe trade —
+    // low cell-recall at a site's threshold means fewer, larger cells
+    // or multi-cell probing.
+    Q(
+      "d15_semdedup_recall",
+      (s, dir) => {
+        val emb = Registry.table(s, dir, "embeddings")
+        val n = emb.count()
+        val qv = Similarity.vectors(emb, "vec_id", "embedding")
+          .select(col("vec_id"), Similarity.quantize(col("v")).as("qv"))
+        val qvm = graft.ops.Iterative.materialize(qv)
+        val probes = qvm.filter(col("vec_id") < ProbeMax * 10)
+          .select(col("vec_id").as("probe_id"), col("qv").as("pqv"))
+        val truth = qvm.join(broadcast(probes),
+            col("vec_id") =!= col("probe_id"))
+          .where(Similarity.cosine(col("pqv"), col("qv")) >= SemThreshold)
+          .select(col("probe_id"), col("vec_id").as("other_id"))
+        val cells = Similarity.assignCells(emb, "vec_id", "embedding",
+            nSeeds = ivfSeedsFor(n)).select(col("vec_id"), col("cell"))
+        truth
+          .join(cells.withColumnsRenamed(
+            Map("vec_id" -> "probe_id", "cell" -> "cell_p")), "probe_id")
+          .join(cells.withColumnsRenamed(
+            Map("vec_id" -> "other_id", "cell" -> "cell_o")), "other_id")
+          .groupBy("probe_id")
+          .agg(count(lit(1)).as("n_true"),
+            sum(when(col("cell_p") === col("cell_o"), 1L).otherwise(0L))
+              .as("n_cocell"))
+          .withColumn("recall", col("n_cocell").cast("double") / col("n_true"))
+          .orderBy("probe_id")
+      },
+      Some(s"""
+        WITH $ParamsCte,
+        $QuantCte,
+        seeds AS (SELECT vec_id AS seed_id, qv FROM q, params
+                  WHERE vec_id < n_seeds),
+        a0 AS (
+          SELECT vec_id,
+                 max_by(seed_id, CAST(floor(qcos * 1e12) AS BIGINT) * 100000 - seed_id) AS cell
+          FROM (SELECT a.vec_id, s.seed_id, ${qcosSql("a", "s")} AS qcos
+                FROM q a, seeds s)
+          GROUP BY vec_id
+        ),
+        truth AS (
+          SELECT p.vec_id AS probe_id, c.vec_id AS other_id
+          FROM q p JOIN q c ON c.vec_id != p.vec_id
+          WHERE p.vec_id < ${ProbeMax * 10}
+            AND ${qcosSql("p", "c")} >= $SemThreshold)
+        SELECT t.probe_id,
+               COUNT(*)::BIGINT AS n_true,
+               CAST(SUM(CASE WHEN ap.cell = ao.cell THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_cocell,
+               SUM(CASE WHEN ap.cell = ao.cell THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*) AS recall
+        FROM truth t
+        JOIN a0 ap ON t.probe_id = ap.vec_id
+        JOIN a0 ao ON t.other_id = ao.vec_id
+        GROUP BY t.probe_id
+        ORDER BY t.probe_id
+      """.trim),
+    ),
   )
 }

@@ -631,6 +631,21 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Window"), s"unexpected window in d14:\n$p")
   }
 
+  test("d15 recall audit: probes broadcast; vectors never key a shuffle") {
+    val p = plan("d15_semdedup_recall")
+    val partitionings = "hashpartitioning\\([^)]*\\)".r.findAllIn(p).toSeq
+    assert(partitionings.nonEmpty)
+    partitionings.foreach { hp =>
+      assert(!hp.contains(" v#") && !hp.contains(" qv#"),
+        s"embedding vector leaked into a shuffle key: $hp")
+    }
+    // probe-sample truth = a BroadcastNestedLoopJoin against the probe
+    // set; a plain CartesianProduct would be corpus × corpus
+    assert(!p.contains("CartesianProduct"),
+      s"truth scan degenerated to corpus all-pairs:\n$p")
+    assert(!p.contains("Window"), s"unexpected window in d15:\n$p")
+  }
+
   test("st7 anomalies: the window runs over the aggregated hourly series") {
     val df = Registry.queries("st7_anomalies")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
