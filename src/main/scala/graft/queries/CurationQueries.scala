@@ -1063,5 +1063,105 @@ object CurationQueries {
         FROM b, t ORDER BY bucket_lo DESC
       """.trim),
     ),
+    // ---------------------------------------------------------------
+    // cu21: the governed corpus — round-11's operators COMPOSED into
+    // the artifact a training run actually consumes: documents pass the
+    // t15 boilerplate gate, split leakage-safe by near-dup cluster
+    // (cu17), and the surviving corpus is summarized as the cu19 audit
+    // manifest per (source, split) — counts, char mass, commutative
+    // content checksum. Re-running the pipeline anywhere, any
+    // partitioning, must reproduce this manifest bit-for-bit; two
+    // sites diff it to prove they trained on the same bytes. One
+    // oracle gates the whole composition (boilerplate CTEs + the
+    // recursive cluster walk + split hash + rollup).
+    Q(
+      "cu21_governed_corpus",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        // t15's gate, inline (same constants)
+        val toks = docs.select(col("doc_id"), col("source"),
+          filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "").as("ts"))
+        val grams = toks
+          .select(col("doc_id"), col("source"),
+            explode(when(size(col("ts")) < 2,
+              expr("CAST(array() AS array<string>)"))
+              .otherwise(expr(
+                """transform(slice(ts, 1, size(ts) - 1),
+                  |  (t, i) -> concat(t, ' ', element_at(ts, i + 2)))"""
+                  .stripMargin))).as("gram"))
+          .distinct()
+        val nd = docs.groupBy("source").agg(count(lit(1)).as("n_docs_src"))
+        val boiler = grams.groupBy("source", "gram")
+          .agg(count(lit(1)).as("df"))
+          .join(broadcast(nd), "source")
+          .filter(col("df") * 5 >= col("n_docs_src") && col("df") >= 3)
+          .select(col("source"), col("gram"), lit(1).as("is_b"))
+        val keep = grams.join(boiler, Seq("source", "gram"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"), count(col("is_b")).as("n_boiler"))
+          .filter(col("n_boiler") * 5 <= col("n_grams"))
+          .select(col("doc_id"))
+        // cu17's split
+        val pairs = graft.ops.Dedupe.minhashNearDupPairs(docs, "doc_id",
+          "text", threshold = 0.8, k = 72, bands = 6)
+        val clus = graft.ops.Dedupe.connectedComponents(pairs)
+          .select(col("id").as("doc_id"), col("cluster_id"))
+        val splitDf = docs.select(col("doc_id"))
+          .join(clus, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+          .withColumn("split",
+            when(md5Bucket("lsplit", col("cluster_id")) < lit("cc"),
+              lit("train")).otherwise(lit("heldout")))
+          .select("doc_id", "split")
+        // cu19's manifest of the survivors
+        docs.join(keep, "doc_id").join(splitDf, "doc_id")
+          .groupBy("source", "split")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_chars"),
+            sum(conv(substring(md5(col("text")), 1, 7), 16, 10)
+              .cast("long")).as("content_sum"))
+          .orderBy("source", "split")
+      },
+      Some(s"""
+        WITH RECURSIVE ${DedupeQueries.clusterCtes},
+        ts AS (
+          SELECT doc_id, source,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                             t -> t <> '') AS ts
+          FROM documents),
+        g AS (
+          SELECT DISTINCT doc_id, source, ts[i] || ' ' || ts[i+1] AS gram
+          FROM ts, UNNEST(range(1, len(ts))) u(i)),
+        nd AS (SELECT source, COUNT(*) AS n_docs_src FROM documents GROUP BY source),
+        bl AS (
+          SELECT source, gram FROM (
+            SELECT source, gram, COUNT(*) AS df FROM g GROUP BY 1, 2)
+          JOIN nd USING (source)
+          WHERE df * 5 >= n_docs_src AND df >= 3),
+        keep AS (
+          SELECT g.doc_id
+          FROM g LEFT JOIN bl ON g.source = bl.source AND g.gram = bl.gram
+          GROUP BY g.doc_id
+          HAVING COUNT(*) FILTER (bl.gram IS NOT NULL) * 5 <= COUNT(*)),
+        sp AS (
+          SELECT d.doc_id,
+                 CASE WHEN ${md5BucketSql("lsplit",
+                   "COALESCE(c.cluster_id, d.doc_id)")} < 'cc'
+                      THEN 'train' ELSE 'heldout' END AS split
+          FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id)
+        SELECT d.source, sp.split,
+               COUNT(*) AS n_docs,
+               CAST(SUM(d.n_chars) AS BIGINT) AS n_chars,
+               CAST(SUM(('0x' || substr(md5(d.text), 1, 7))::BIGINT) AS BIGINT)
+                 AS content_sum
+        FROM documents d
+        JOIN keep k ON d.doc_id = k.doc_id
+        JOIN sp ON d.doc_id = sp.doc_id
+        GROUP BY d.source, sp.split
+        ORDER BY d.source, sp.split
+      """.trim),
+    ),
   )
 }

@@ -646,6 +646,17 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Window"), s"unexpected window in d15:\n$p")
   }
 
+  test("cu21 governed corpus composes without windows or cartesians") {
+    val p = plan("cu21_governed_corpus")
+    // the composition inherits each stage's discipline: t15's
+    // partial-agg gate, cu17's banded clustering, cu19's commutative
+    // rollup — nothing may degenerate when chained
+    assert(!p.contains("Window"), s"unexpected window in cu21:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cu21 degenerated:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source doc counts not broadcast:\n$p")
+  }
+
   test("st7 anomalies: the window runs over the aggregated hourly series") {
     val df = Registry.queries("st7_anomalies")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
