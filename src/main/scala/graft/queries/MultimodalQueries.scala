@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.Multimodal
 
@@ -670,6 +671,71 @@ object MultimodalQueries {
                CAST(size AS BIGINT) AS sample_size
         FROM r WHERE rank <= 3
         ORDER BY doc_id, rank
+      """.trim),
+    ),
+    // m16: shot-boundary segmentation from the real MP4 sample tables —
+    // the preprocessing every video training pipeline runs before clip
+    // sampling: a hard cut shows up as a large inter-frame coded-size
+    // delta (I-frame after a scene change), so shots = maximal runs
+    // between |Δsize| ≥ threshold cuts (threshold 3 — the fixture size
+    // pattern cycles with |Δ| ≤ 3, so 3 yields multi-shot tracks). Container-level truth (stsz via
+    // the m12 box walk, mdat untouched); a pixel-delta refiner drops
+    // into the same per-shot frame spans. Scale shape: the per-video
+    // window is bounded by the video's own frame count (the m12/m15
+    // rationale), and the shot rollup partial-aggregates; videos are
+    // independent — embarrassingly parallel across the corpus.
+    Q(
+      "m16_shot_boundaries",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val packed = docs.select(col("doc_id"),
+          Multimodal.packMp4Track(
+            (col("doc_id") % 5 * 600 + 600).cast("int"),
+            (col("doc_id") % 50 + 100).cast("int"),
+            (col("n_chars") % 30 + 1).cast("int"),
+            (col("doc_id") % 100 + 200).cast("int")).as("media"))
+        val frames = Multimodal.decodeMp4SampleSizes(packed, "doc_id", "media")
+          .select(col("id").as("doc_id"),
+            posexplode(col("sizes")).as(Seq("idx", "size")))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+        frames
+          .withColumn("delta", col("size") - lag(col("size"), 1).over(w))
+          .withColumn("is_cut", when(col("delta").isNull, 1L)
+            .otherwise((abs(col("delta")) >= 3).cast("long")))
+          .withColumn("shot_idx", sum(col("is_cut"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("doc_id", "shot_idx")
+          .agg(min(col("idx")).cast("long").as("start_idx"),
+            max(col("idx")).cast("long").as("end_idx"),
+            count(lit(1)).as("n_frames"))
+          .orderBy("doc_id", "shot_idx")
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id, n_chars % 30 + 1 AS n, doc_id % 100 + 200 AS base
+          FROM documents),
+        sz AS (
+          SELECT doc_id, i AS idx, base + (i * i) % 7 AS size
+          FROM p, UNNEST(range(0, n)) AS u(i)),
+        d AS (
+          SELECT doc_id, idx, size, size - lag(size) OVER w AS delta
+          FROM sz WINDOW w AS (PARTITION BY doc_id ORDER BY idx)),
+        c AS (
+          SELECT doc_id, idx,
+                 CASE WHEN delta IS NULL THEN 1
+                      WHEN abs(delta) >= 3 THEN 1 ELSE 0 END AS is_cut
+          FROM d),
+        sh AS (
+          SELECT doc_id, idx,
+                 SUM(is_cut) OVER (PARTITION BY doc_id ORDER BY idx
+                   ROWS UNBOUNDED PRECEDING) AS shot_idx
+          FROM c)
+        SELECT doc_id, CAST(shot_idx AS BIGINT) AS shot_idx,
+               CAST(MIN(idx) AS BIGINT) AS start_idx,
+               CAST(MAX(idx) AS BIGINT) AS end_idx,
+               COUNT(*) AS n_frames
+        FROM sh GROUP BY doc_id, shot_idx
+        ORDER BY doc_id, shot_idx
       """.trim),
     ),
   )

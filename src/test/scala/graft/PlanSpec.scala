@@ -646,6 +646,18 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Window"), s"unexpected window in d15:\n$p")
   }
 
+  test("m16 shot windows are per-video; rollup partial-aggregates") {
+    val p = plan("m16_shot_boundaries")
+    // lag + cumulative cut-count share ONE per-video window (partition
+    // bounded by the video's frame count); the shot rollup combines
+    // map-side
+    assert("\\bWindow\\b".r.findAllIn(p).size <= 2,
+      s"expected the shared per-video window(s) only:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"shot rollup lost its map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"m16 degenerated:\n$p")
+  }
+
   test("cu21 governed corpus composes without windows or cartesians") {
     val p = plan("cu21_governed_corpus")
     // the composition inherits each stage's discipline: t15's
