@@ -384,5 +384,68 @@ object StatsQueries {
         ORDER BY cohort_week, week
       """.trim),
     ),
+
+    // st10: ordered funnel conversion (view → click → purchase) — the
+    // step the transition matrix (st8) can't answer: how many users
+    // complete the ORDERED sequence, with arbitrary gaps. Min-timestamp
+    // chaining: first view per user, first click strictly after it,
+    // first purchase strictly after that — three partial-agg'd passes
+    // and two user-keyed equi joins, NO per-user ordered window (a
+    // window formulation would sort each user's whole history; the
+    // chain only ever reduces to one timestamp per user per step).
+    // Ties on ts break by event_id via min on the (ts, event_id)
+    // struct — deterministic in both engines.
+    Q(
+      "st10_funnel",
+      (s, dir) => {
+        val ev = Registry.table(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        def first(df: org.apache.spark.sql.DataFrame, typ: String,
+            after: Option[org.apache.spark.sql.DataFrame]): org.apache.spark.sql.DataFrame = {
+          val base = df.filter(col("event_type") === typ)
+          val gated = after match {
+            case None => base
+            case Some(prev) => base.join(prev, "user_id")
+              .filter(col("ts") > col("prev_ts") ||
+                (col("ts") === col("prev_ts") && col("event_id") > col("prev_id")))
+          }
+          gated.groupBy("user_id")
+            .agg(min(struct(col("ts"), col("event_id"))).as("m"))
+            .select(col("user_id"), col("m.ts").as("prev_ts"),
+              col("m.event_id").as("prev_id"))
+        }
+        val v = first(ev, "view", None)
+        val c = first(ev, "click", Some(v))
+        val p = first(ev, "purchase", Some(c))
+        val counts = Seq(("1_view", v), ("2_click", c), ("3_purchase", p))
+          .map { case (step, df) =>
+            df.agg(lit(step).as("step"), count(lit(1)).as("n_users"))
+          }
+          .reduce(_ unionByName _)
+        counts.orderBy("step")
+      },
+      Some("""
+        WITH v AS (
+          SELECT user_id, MIN({'ts': ts, 'eid': event_id}) AS m
+          FROM events WHERE event_type = 'view' GROUP BY user_id),
+        c AS (
+          SELECT e.user_id, MIN({'ts': e.ts, 'eid': e.event_id}) AS m
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click'
+            AND (e.ts > (v.m).ts OR (e.ts = (v.m).ts AND e.event_id > (v.m).eid))
+          GROUP BY e.user_id),
+        p AS (
+          SELECT e.user_id, MIN({'ts': e.ts, 'eid': e.event_id}) AS m
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase'
+            AND (e.ts > (c.m).ts OR (e.ts = (c.m).ts AND e.event_id > (c.m).eid))
+          GROUP BY e.user_id)
+        SELECT step, n_users FROM (
+          SELECT '1_view' AS step, COUNT(*) AS n_users FROM v
+          UNION ALL SELECT '2_click', COUNT(*) FROM c
+          UNION ALL SELECT '3_purchase', COUNT(*) FROM p)
+        ORDER BY step
+      """.trim),
+    ),
   )
 }

@@ -740,6 +740,17 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"budget scalar not broadcast:\n$p")
   }
 
+  test("st10 funnel chains min-timestamps; no per-user ordered window") {
+    val p = plan("st10_funnel")
+    // each step reduces to ONE (ts, event_id) per user via min-struct
+    // aggregation + a user-keyed equi join — a window formulation would
+    // sort every user's whole history
+    assert(!p.contains("Window"), s"unexpected window in st10:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"step aggregates lost their map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"st10 degenerated:\n$p")
+  }
+
   test("st9 retention: three partial-agg passes, no windows") {
     val p = plan("st9_retention")
     assert(!p.contains("Window"), s"unexpected window in st9:\n$p")
