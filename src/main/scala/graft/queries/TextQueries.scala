@@ -652,6 +652,68 @@ object TextQueries {
         ORDER BY d.doc_id
       """.trim),
     ),
+    // ---------------------------------------------------------------
+    // t16: term co-occurrence mining ("related terms") — for each
+    // token, its top-3 same-document partners by co-occurrence count:
+    // the association signal behind query suggestion, lexicon
+    // induction, and skip-gram-style pair generation. Pair generation
+    // is a doc_id-keyed self-join over the doc's DISTINCT ≥5-char
+    // tokens — per-doc quadratic but bounded by the doc's own
+    // vocabulary (the length gates cap it; the same rationale as g11's
+    // capped fanout), never corpus-quadratic. Counts partial-aggregate
+    // on the pair key; the min-count prune kills the long tail before
+    // the per-token head ships ≤3 rows per mapper through the heap
+    // (a per-token window would sort a hub token's whole partner list).
+    Q(
+      "t16_cooccurrence",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+            explode(array_distinct(
+              filter(split(lower(col("text")), "[^a-z]+"),
+                t => length(t) >= 5))).as("tok"))
+        val pairs = toks.as("a")
+          .join(toks.as("b"),
+            col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+          .groupBy(col("a.tok").as("x"), col("b.tok").as("y"))
+          .agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 3)
+        pairs.select(col("x").as("tok"), col("y").as("partner"), col("cnt"))
+          .unionByName(pairs.select(col("y").as("tok"), col("x").as("partner"),
+            col("cnt")))
+          .groupBy("tok")
+          .agg(graft.ops.TopK.topScoredStrings(3)(col("cnt"), col("partner"))
+            .as("top"))
+          .select(col("tok"), posexplode(col("top")))
+          .select(col("tok"), (col("pos") + 1).cast("long").as("pos"),
+            col("col.key").as("partner"), col("col.score").as("cnt"))
+          .orderBy("tok", "pos")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT DISTINCT doc_id, t AS tok
+          FROM (SELECT doc_id,
+                       unnest(list_filter(
+                         regexp_split_to_array(lower(text), '[^a-z]+'),
+                         t -> length(t) >= 5)) AS t
+                FROM documents)),
+        p AS (
+          SELECT a.tok AS x, b.tok AS y, COUNT(*) AS cnt
+          FROM toks a JOIN toks b
+            ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        sym AS (
+          SELECT x AS tok, y AS partner, cnt FROM p
+          UNION ALL SELECT y, x, cnt FROM p),
+        r AS (
+          SELECT tok, partner, cnt,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY tok
+                   ORDER BY cnt DESC, partner) AS BIGINT) AS pos
+          FROM sym)
+        SELECT tok, pos, partner, cnt FROM r WHERE pos <= 3
+        ORDER BY tok, pos
+      """.trim),
+    ),
   )
 
   /** Shared BPE oracle machinery: k unrolled merge levels over the word

@@ -713,6 +713,17 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"cu19 read more than (doc_id, text, source, n_chars):\n$p")
   }
 
+  test("t16 co-occurrence heads run as bounded heaps after the pair prune") {
+    val p = plan("t16_cooccurrence")
+    // a hub token's partner list is zipf-fat: the per-token head must
+    // ship ≤3 rows per mapper (ObjectHashAggregate), never window-sort;
+    // the pair self-join is doc_id-keyed equi, never cartesian
+    assert(!p.contains("Window"), s"t16 fell back to a window sort:\n$p")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final ObjectHashAggregate:\n$p")
+    assert(!p.contains("CartesianProduct"), s"t16 degenerated:\n$p")
+  }
+
   test("c6 snapshot diff: fingerprints computed at the scan, one equi shuffle") {
     val p = plan("c6_snapshot_diff")
     // the full-outer join must move 28-bit fingerprints, never text —
