@@ -680,5 +680,97 @@ object GraphQueries {
         ORDER BY common DESC, sa, sb
       """.trim),
     ),
+    // G13: triangle counting over the co-citation projection — the
+    // customer→supplier link graph is bipartite (no odd cycles), so the
+    // triangle substrate is g11's derived supplier–supplier graph:
+    // per-node triangle participation, the local clustering signal
+    // behind link-farm and community detection. An absolute support
+    // threshold is NOT scale-invariant here (expected co-citation of a
+    // random pair grows linearly with source count, so a ≥3 graph
+    // densifies toward complete — measured 163 s at 10×), so the
+    // substrate is the TOP-M strongest edges (common desc, ids asc):
+    // fixed-size at any corpus scale, like the analysis graphs people
+    // actually run clustering on. The heavy distributed work — the
+    // capped pair aggregation — stays linear in sources; the top-M is
+    // TakeOrdered (per-partition heads). Spark then runs the
+    // DEGREE-ORDERED algorithm: every undirected edge is oriented
+    // low-degree → high-degree (ties by id), capping any node's
+    // out-neighborhood at O(√M) — wedge generation is Σ outdeg² ≤
+    // O(M^1.5) TOTAL even if M is raised to warehouse width, and no
+    // hub ever enumerates its Σdeg² wedges on one task. The wedge
+    // closes against the canonical (lo, hi) edge set with an
+    // equi-join. The oracle counts the SAME triangles with the naive
+    // a<b<c triple join — orientation is pure work placement, the
+    // triple set is provably identical, so agreement checks the
+    // mechanism, not a shared implementation.
+    Q(
+      "g13_triangles",
+      (s, dir) => {
+        val cap = 20
+        val topM = 500
+        val e = edges(s, dir)
+          .select(col("src_domain").as("cust"), col("dst_domain").as("supp"))
+        val capped = graft.ops.Iterative.materialize(
+          e.groupBy("cust")
+            .agg(graft.ops.TopK.topScored(cap)(
+              -col("supp").cast("double"), col("supp")).as("top"))
+            .select(col("cust"), explode(col("top.key")).as("supp")))
+        val a = capped.select(col("cust"), col("supp").as("sa"))
+        val b = capped.select(col("cust"), col("supp").as("sb"))
+        // pairs feeds deg, orientation, and the closing join
+        val pairs = graft.ops.Iterative.materialize(
+          a.join(b, "cust").filter(col("sa") < col("sb"))
+            .groupBy("sa", "sb").agg(count(lit(1)).as("common"))
+            .orderBy(col("common").desc, col("sa"), col("sb"))
+            .limit(topM)
+            .select("sa", "sb"))
+        val deg = pairs.select(col("sa").as("n"))
+          .unionByName(pairs.select(col("sb").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("deg"))
+        val flip = col("da") > col("db") // sa<sb already breaks deg ties
+        val oriented = pairs
+          .join(deg.select(col("n").as("sa"), col("deg").as("da")), Seq("sa"))
+          .join(deg.select(col("n").as("sb"), col("deg").as("db")), Seq("sb"))
+          .select(
+            when(flip, col("sb")).otherwise(col("sa")).as("u"),
+            when(flip, col("sa")).otherwise(col("sb")).as("v"))
+        val wedges = oriented.as("e1")
+          .join(oriented.as("e2"),
+            col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+          .select(col("e1.u").as("a"), col("e1.v").as("x"), col("e2.v").as("y"))
+        val tri = wedges.join(
+          pairs.select(col("sa").as("x"), col("sb").as("y")), Seq("x", "y"))
+        tri.select(explode(array(col("a"), col("x"), col("y"))).as("node"))
+          .groupBy("node").agg(count(lit(1)).as("triangles"))
+          .orderBy("node")
+      },
+      Some(s"""
+        WITH $EdgesCte,
+        capped AS (
+          SELECT src_domain AS cust, dst_domain AS supp
+          FROM edges
+          QUALIFY row_number() OVER (PARTITION BY src_domain ORDER BY dst_domain) <= 20
+        ),
+        pairs AS (
+          SELECT sa, sb FROM (
+            SELECT a.supp AS sa, b.supp AS sb, COUNT(*) AS common
+            FROM capped a JOIN capped b ON a.cust = b.cust AND a.supp < b.supp
+            GROUP BY 1, 2
+            ORDER BY common DESC, sa, sb LIMIT 500)
+        ),
+        tri AS (
+          SELECT p1.sa AS a, p1.sb AS b, p2.sb AS c
+          FROM pairs p1
+          JOIN pairs p2 ON p2.sa = p1.sa AND p2.sb > p1.sb
+          JOIN pairs p3 ON p3.sa = p1.sb AND p3.sb = p2.sb
+        ),
+        nodes AS (
+          SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+        SELECT node, COUNT(*) AS triangles
+        FROM nodes GROUP BY node ORDER BY node
+      """.trim),
+    ),
   )
 }

@@ -477,5 +477,72 @@ object InteractiveQueries {
         ORDER BY prefix, pos
       """.trim),
     ),
+
+    // i15: faceted search — the result-page sidebar over the same query
+    // the i12 ranker answers: for the corpus's mid-frequency query terms
+    // (df ranks 11–15, i12's deterministic query-selection discipline),
+    // the per-facet document counts (source and lang dimensions) plus
+    // each facet's share of the matched set in ppm. Scale shape: the
+    // 5-term query table broadcasts into a LEFTSEMI over the distinct
+    // postings, so only matching (doc, term) rows survive the scan; the
+    // matched-doc set is collapsed to distinct doc_ids BEFORE the
+    // facet-dimension fetch join (doc_id-keyed equi, matching docs
+    // only); facet counts are partial-agg'd groupBys onto a
+    // facet-cardinality output. Nothing sorts or shuffles at corpus
+    // width — the facet table is model-sized by construction.
+    Q(
+      "i15_facets",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val post = docs.select(col("doc_id"),
+            explode(array_distinct(
+              filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "")))
+              .as("tok"))
+        val df = post.groupBy("tok").agg(count(lit(1)).as("df"))
+        val terms = df.orderBy(col("df").desc, col("tok").asc)
+          .offset(10).limit(5).select("tok")
+        val matched = post.join(broadcast(terms), Seq("tok"), "leftsemi")
+          .select("doc_id").distinct()
+        val hits = matched.join(docs.select("doc_id", "source", "lang"),
+          Seq("doc_id"))
+        val total = hits.agg(count(lit(1)).as("n_matched"))
+        hits.select(lit("source").as("facet"), col("source").as("value"))
+          .unionByName(
+            hits.select(lit("lang").as("facet"), col("lang").as("value")))
+          .groupBy("facet", "value")
+          .agg(count(lit(1)).as("n_docs"))
+          .crossJoin(broadcast(total))
+          .select(col("facet"), col("value"), col("n_docs"),
+            expr("n_docs * 1000000 div n_matched").as("share_ppm"))
+          .orderBy("facet", "value")
+      },
+      Some("""
+        WITH post AS (
+          SELECT DISTINCT doc_id, t AS tok
+          FROM (SELECT doc_id,
+                       unnest(list_filter(
+                         regexp_split_to_array(lower(text), '[^a-z]+'),
+                         t -> t <> '')) AS t
+                FROM documents)),
+        df AS (SELECT tok, COUNT(*) AS df FROM post GROUP BY 1),
+        terms AS (
+          SELECT tok FROM df ORDER BY df DESC, tok LIMIT 5 OFFSET 10),
+        matched AS (
+          SELECT DISTINCT doc_id FROM post
+          WHERE tok IN (SELECT tok FROM terms)),
+        hits AS (
+          SELECT d.doc_id, d.source, d.lang
+          FROM matched m JOIN documents d ON m.doc_id = d.doc_id),
+        total AS (SELECT COUNT(*) AS n_matched FROM hits),
+        fac AS (
+          SELECT 'source' AS facet, source AS value FROM hits
+          UNION ALL SELECT 'lang', lang FROM hits)
+        SELECT facet, value, COUNT(*) AS n_docs,
+               CAST(COUNT(*) * 1000000 // n_matched AS BIGINT) AS share_ppm
+        FROM fac, total
+        GROUP BY facet, value, n_matched
+        ORDER BY facet, value
+      """.trim),
+    ),
   )
 }

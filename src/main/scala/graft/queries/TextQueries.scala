@@ -714,6 +714,66 @@ object TextQueries {
         ORDER BY tok, pos
       """.trim),
     ),
+    // ---------------------------------------------------------------
+    // t17: collocation detection — the corpus's top-50 ADJACENT bigrams
+    // ranked by pointwise association (lift), the classic MWE/phrase
+    // induction signal ("new york" scores high, "of the" low, even
+    // though the latter has the higher raw count that t16/i11 rank by).
+    // PMI's log is monotone, so ranking by the rational lift core
+    // cnt_xy·10⁶ div (cnt_x·cnt_y) is ranking by PMI — exact integer in
+    // both engines where a float log would hash-drift (i12's idf rule).
+    // The corpus-size factor N is a constant across one ranking and is
+    // omitted, which also buys int64 headroom: cnt_x·cnt_y stays under
+    // 2⁶³ past 10⁹-token sources. Scale shape: unigram and bigram
+    // counts are partial-agg'd groupBys; the two unigram joins hash on
+    // the word (bounded vocabulary, no corpus-keyed shuffle); the ≥5
+    // support prune kills the hapax tail BEFORE the joins; the global
+    // top-50 is TakeOrderedAndProject — per-partition heads, never a
+    // full sort.
+    Q(
+      "t17_collocations",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val toksArr = docs.select(col("doc_id"),
+          filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "").as("ts"))
+        val uni = toksArr.select(explode(col("ts")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        val bg = toksArr
+          .select(explode(when(size(col("ts")) < 2,
+            expr("CAST(array() AS array<struct<w1:string,w2:string>>)"))
+            .otherwise(expr(
+              """transform(slice(ts, 1, size(ts) - 1),
+                |  (t, i) -> named_struct('w1', t, 'w2', element_at(ts, i + 2)))"""
+                .stripMargin))).as("b"))
+          .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .agg(count(lit(1)).as("cxy"))
+          .filter(col("cxy") >= 5)
+        bg.join(uni.select(col("w").as("w1"), col("c").as("cx")), Seq("w1"))
+          .join(uni.select(col("w").as("w2"), col("c").as("cy")), Seq("w2"))
+          .select(col("w1"), col("w2"), col("cxy"),
+            expr("cxy * 1000000 div (cx * cy)").as("lift_ppm"))
+          .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+          .limit(50)
+      },
+      Some("""
+        WITH ts AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                             t -> t <> '') AS ts
+          FROM documents),
+        uni AS (
+          SELECT t AS w, COUNT(*) AS c
+          FROM (SELECT unnest(ts) AS t FROM ts) GROUP BY 1),
+        bg AS (
+          SELECT ts[i] AS w1, ts[i+1] AS w2, COUNT(*) AS cxy
+          FROM ts, UNNEST(range(1, len(ts))) AS u(i)
+          GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        SELECT w1, w2, CAST(cxy AS BIGINT) AS cxy,
+               CAST(cxy * 1000000 // (ux.c * uy.c) AS BIGINT) AS lift_ppm
+        FROM bg JOIN uni ux ON bg.w1 = ux.w JOIN uni uy ON bg.w2 = uy.w
+        ORDER BY lift_ppm DESC, w1, w2 LIMIT 50
+      """.trim),
+    ),
   )
 
   /** Shared BPE oracle machinery: k unrolled merge levels over the word

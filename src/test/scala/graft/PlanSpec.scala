@@ -724,6 +724,37 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("CartesianProduct"), s"t16 degenerated:\n$p")
   }
 
+  test("t17 collocations: partial-agg counts, top-50 as TakeOrdered, no window") {
+    val p = plan("t17_collocations")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"t17 global top-50 must run as per-partition heads:\n$p")
+    assert(!p.contains("Window"), s"t17 fell back to a window:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected partial+final aggs for unigrams and bigrams:\n$p")
+  }
+
+  test("i15 facets: query terms broadcast-semi, matched set before the fetch join") {
+    val p = plan("i15_facets")
+    // the 5-term query table must broadcast into the postings (never
+    // shuffle the corpus on a 5-row side)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"i15 terms must broadcast-semi-prune the postings:\n$p")
+    assert(!p.contains("Window"), s"i15 fell back to a window:\n$p")
+  }
+
+  test("g13 triangles: degree-ordered equi joins, no cartesian, no window") {
+    val p = plan("g13_triangles")
+    // the heap cap and pair prune run in the materialization pre-jobs;
+    // the final plan starts from the materialized pairs and must keep
+    // the wedge + close joins equi-keyed (never cartesian) and the
+    // per-node rollup two-phase
+    assert(!p.contains("CartesianProduct"),
+      s"g13 wedge/close joins must stay equi:\n$p")
+    assert(!p.contains("Window"), s"g13 fell back to a window sort:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final per-node counts:\n$p")
+  }
+
   test("c6 snapshot diff: fingerprints computed at the scan, one equi shuffle") {
     val p = plan("c6_snapshot_diff")
     // the full-outer join must move 28-bit fingerprints, never text —
