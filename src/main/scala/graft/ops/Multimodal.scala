@@ -1749,6 +1749,100 @@ object Multimodal {
     enc(id.cast("long"), nSamples.cast("int"))
   }
 
+  /** Fixture PCM with SILENT SPANS: sample i is muted to 0 when
+    * (i div 70) % 4 == 0, else [[testSample]] — a 70-sample silent gap
+    * every 280 samples, deliberately misaligned with any power-of-two
+    * or decimal window size so silence-run boundaries fall mid-window. */
+  private[graft] def encodeWavPcm16GatedImpl(k: Long, n: Int): Array[Byte] = {
+    val dataLen = 2 * n
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(8000).putInt(16000) // rate, byte rate
+      .putShort(2).putShort(16) // block align, bits
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      val v = if ((i / 70) % 4 == 0) 0 else testSample(k, i)
+      buf.putShort(v.toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Fixture-synthesis column: gated (silence-bearing) WAV bytes. */
+  def packWavPcm16Gated(id: Column, nSamples: Column): Column = {
+    val enc = udf((k: Long, n: Int) => encodeWavPcm16GatedImpl(k % 251, n))
+    enc(id.cast("long"), nSamples.cast("int"))
+  }
+
+  /** REAL windowed-loudness decode: same RIFF chunk walk and
+    * malformed-input policy as [[decodeWavStats]], then the PCM stream
+    * folded into per-window Σ|s| over fixed `w`-sample windows (last
+    * window may be partial) — the frame-level energy track a
+    * silence-trimming / VAD pass segments on. (-1, empty) on damage. */
+  private[graft] def decodeWavWindowAbs(b: Array[Byte], w: Int): (Long, Array[Long]) = {
+    val bad = (-1L, Array.empty[Long])
+    try {
+      if (b.length < 44 || w <= 0) return bad
+      def u8(i: Int) = b(i) & 0xff
+      def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+      def le32(i: Int) = le16(i) | (le16(i + 2) << 16)
+      def tag(i: Int) = new String(b, i, 4, "US-ASCII")
+      if (tag(0) != "RIFF" || tag(8) != "WAVE") return bad
+      var pos = 12
+      var ok = false
+      var dataOff = -1
+      var dataLen = -1
+      while (pos + 8 <= b.length && (!ok || dataOff < 0)) {
+        val t = tag(pos)
+        val len = le32(pos + 4)
+        if (len < 0 || pos + 8L + len > b.length) return bad
+        t match {
+          case "fmt " =>
+            if (len < 16) return bad
+            ok = le16(pos + 8) == 1 && le16(pos + 22) == 16 && le16(pos + 10) >= 1
+          case "data" => dataOff = pos + 8; dataLen = len
+          case _ => () // ancillary chunk: skip by declared length
+        }
+        pos += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      if (!ok || dataOff < 0 || dataLen < 2) return bad
+      val n = dataLen / 2
+      val wins = new Array[Long]((n + w - 1) / w)
+      var i = 0
+      while (i < n) {
+        val v = (le16(dataOff + 2 * i) << 16) >> 16 // sign-extend int16
+        wins(i / w) += math.abs(v.toLong)
+        i += 1
+      }
+      (n.toLong, wins)
+    } catch { case scala.util.control.NonFatal(_) => bad }
+  }
+
+  /** Windowed-loudness decode over the standard batch seam:
+    * (id, media) → (id, n_samples, win_abs array). */
+  def decodeWavWindowStats(df: DataFrame, id: String, media: String,
+      w: Int): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("win_abs", ArrayType(LongType, containsNull = false),
+        nullable = false)))
+    val rdd = df.select(col(id).cast("long"), col(media)).rdd.mapPartitions { it =>
+      it.map { r =>
+        val (n, wins) = decodeWavWindowAbs(r.getAs[Array[Byte]](1), w)
+        Row(r.getLong(0), n, wins.toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Real-sample WAV decode over the standard batch seam:
     * (id, media) → (id, SampleStatsSchema...). */
   def decodeWavSampleStats(df: DataFrame, id: String, media: String): DataFrame = {

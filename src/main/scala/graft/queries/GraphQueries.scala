@@ -772,5 +772,39 @@ object GraphQueries {
         FROM nodes GROUP BY node ORDER BY node
       """.trim),
     ),
+    // G14: degree distribution — the first profile anyone computes on a
+    // crawl graph (power-law check, hub census, partitioner sizing
+    // input): for each direction, how many nodes have each distinct
+    // (deduped-edge) degree. Two partial-agg'd corpus passes collapse
+    // the edge table to per-node degrees, then the histogram groupBy
+    // lands on an output bounded by the number of DISTINCT degree
+    // values (≪ nodes; heavy-tailed graphs reuse small degrees
+    // constantly) — no windows, no sorts at corpus width, and the
+    // degree shuffle key is the node id, so zipf hubs cost one counter
+    // each, not a sorted partition.
+    Q(
+      "g14_degree_dist",
+      (s, dir) => {
+        val e = edges(s, dir).select("src_domain", "dst_domain")
+        val outDeg = e.groupBy("src_domain").agg(count(lit(1)).as("deg"))
+        val inDeg = e.groupBy("dst_domain").agg(count(lit(1)).as("deg"))
+        outDeg.select(lit("out").as("direction"), col("deg"))
+          .unionByName(inDeg.select(lit("in").as("direction"), col("deg")))
+          .groupBy("direction", "deg")
+          .agg(count(lit(1)).as("n_nodes"))
+          .orderBy("direction", "deg")
+      },
+      Some(s"""
+        WITH $EdgesCte,
+        od AS (SELECT src_domain, COUNT(*) AS deg FROM edges GROUP BY 1),
+        idg AS (SELECT dst_domain, COUNT(*) AS deg FROM edges GROUP BY 1),
+        u AS (
+          SELECT 'out' AS direction, deg FROM od
+          UNION ALL SELECT 'in', deg FROM idg)
+        SELECT direction, CAST(deg AS BIGINT) AS deg, COUNT(*) AS n_nodes
+        FROM u GROUP BY direction, deg
+        ORDER BY direction, deg
+      """.trim),
+    ),
   )
 }

@@ -544,5 +544,73 @@ object InteractiveQueries {
         ORDER BY facet, value
       """.trim),
     ),
+
+    // i16: "more like this" — the related-documents panel: top-10 docs
+    // sharing the most DISCRIMINATIVE phrasing with a probe doc, scored
+    // by summed integer idf (N·10⁶ div df) over shared distinct word
+    // 3-gram SHINGLES. Shingles, not unigrams: the corpus vocabulary is
+    // closed (every word is near-stopword by df), while 3-gram phrasing
+    // is zipf-sparse — the same reason the dedupe tier shingles (d2) and
+    // t15 fingerprints templates at shingle level. Stopword-ish shingles
+    // are pruned by the RELATIVE gate df·20 ≤ N (≤5% of docs —
+    // scale-invariant, the t15 lesson; an absolute cap would pass
+    // everything at sf0.001 and nothing at 100×). Scale shape: the
+    // probe's shingle set is ONE doc's — broadcast; scoring touches only
+    // postings of the probe's rare shingles (map-side pruned),
+    // partial-aggs per candidate doc; top-10 is TakeOrdered. The
+    // probe's own row is excluded; counts and scores integer-exact.
+    Q(
+      "i16_more_like_this",
+      (s, dir) => {
+        val probeId = 42L
+        val docs = Registry.table(s, dir, "documents")
+        val toksArr = docs.select(col("doc_id"),
+          filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "").as("ts"))
+        val post = toksArr.select(col("doc_id"),
+          explode(array_distinct(when(size(col("ts")) < 3,
+            expr("CAST(array() AS array<string>)"))
+            .otherwise(expr(
+              """transform(slice(ts, 1, size(ts) - 2),
+                |  (t, i) -> concat(t, ' ', element_at(ts, i + 2),
+                |                   ' ', element_at(ts, i + 3)))"""
+                .stripMargin)))).as("g"))
+        val df = post.groupBy("g").agg(count(lit(1)).as("df"))
+        val scal = docs.agg(count(lit(1)).as("n_docs"))
+        val probeTerms = post.filter(col("doc_id") === probeId)
+          .join(df, Seq("g"))
+          .crossJoin(broadcast(scal))
+          .filter(col("df") * 20 <= col("n_docs"))
+          .select(col("g"), expr("n_docs * 1000000 div df").as("idf_u"))
+        post.filter(col("doc_id") =!= probeId)
+          .join(broadcast(probeTerms), Seq("g"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("shared_shingles"),
+            sum(col("idf_u")).cast("long").as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some("""
+        WITH ts AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                             t -> t <> '') AS ts
+          FROM documents),
+        post AS (
+          SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+          FROM ts, UNNEST(range(1, len(ts) - 1)) AS u(i)),
+        df AS (SELECT g, COUNT(*) AS df FROM post GROUP BY 1),
+        scal AS (SELECT COUNT(*) AS n_docs FROM documents),
+        probe AS (
+          SELECT p.g, n_docs * 1000000 // df.df AS idf_u
+          FROM post p JOIN df USING (g), scal
+          WHERE p.doc_id = 42 AND df.df * 20 <= n_docs)
+        SELECT p.doc_id, COUNT(*) AS shared_shingles,
+               CAST(SUM(pr.idf_u) AS BIGINT) AS score
+        FROM post p JOIN probe pr ON p.g = pr.g
+        WHERE p.doc_id <> 42
+        GROUP BY p.doc_id
+        ORDER BY score DESC, doc_id LIMIT 10
+      """.trim),
+    ),
   )
 }

@@ -738,5 +738,71 @@ object MultimodalQueries {
         ORDER BY doc_id, shot_idx
       """.trim),
     ),
+    // m17: silence-run segmentation — the VAD/silence-trim preprocessing
+    // an ASR corpus needs, from REAL decoded PCM: the gated fixture mutes
+    // sample i when (i div 70) % 4 == 0 (a 70-sample gap every 280,
+    // deliberately misaligned with the 50-sample analysis window so run
+    // boundaries fall mid-window), the windowed-loudness decoder walks
+    // the RIFF chunks and folds per-window Σ|s|, and maximal runs of
+    // quiet windows (Σ|s| < 50·512) collapse via the m16 lag+cumsum
+    // pattern. The margin is decisive by construction: a fully voiced
+    // window sums ≈10⁶, a boundary window keeps ≥10 voiced samples
+    // (≥1.6·10⁵), so "quiet" ≡ fully-inside-a-gap — an off-by-one in
+    // the chunk walk, the window fold, or the gate phase moves a
+    // boundary and breaks the hash. Per-audio windows only (bounded by
+    // the clip's own frame count, m16's discipline); clips are
+    // independent — embarrassingly parallel in the corpus dimension.
+    Q(
+      "m17_silence_runs",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val n = (col("doc_id") % 400 + 50).cast("int")
+        val packed = docs.select(col("doc_id"),
+          Multimodal.packWavPcm16Gated(col("doc_id"), n).as("media"))
+        val wins = Multimodal.decodeWavWindowStats(packed, "doc_id", "media", 50)
+          .select(col("id").as("doc_id"),
+            posexplode(col("win_abs")).as(Seq("wi", "sabs")))
+        val quiet = wins.filter(col("sabs") < 25600).select("doc_id", "wi")
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("wi"))
+        quiet
+          .withColumn("is_start",
+            when(col("wi") - lag(col("wi"), 1).over(w) === 1, 0L).otherwise(1L))
+          .withColumn("run_idx", sum(col("is_start"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("doc_id", "run_idx")
+          .agg(min(col("wi")).cast("long").as("start_win"),
+            max(col("wi")).cast("long").as("end_win"),
+            count(lit(1)).as("n_windows"))
+          .orderBy("doc_id", "run_idx")
+      },
+      Some("""
+        WITH g AS (
+          SELECT doc_id, doc_id % 400 + 50 AS n, doc_id % 251 AS k
+          FROM documents),
+        w AS (
+          SELECT doc_id, wi,
+                 list_sum(list_transform(range(50*wi, least(50*wi + 50, n)),
+                   i -> CASE WHEN (i // 70) % 4 = 0 THEN 0
+                             ELSE abs((37*i + k) % 65536 - 32768) END)) AS sabs
+          FROM g, UNNEST(range(0, (n + 49) // 50)) AS u(wi)),
+        q AS (SELECT doc_id, wi FROM w WHERE sabs < 25600),
+        r AS (
+          SELECT doc_id, wi,
+                 CASE WHEN wi - lag(wi) OVER (PARTITION BY doc_id ORDER BY wi) = 1
+                      THEN 0 ELSE 1 END AS is_start
+          FROM q),
+        sr AS (
+          SELECT doc_id, wi,
+                 SUM(is_start) OVER (PARTITION BY doc_id ORDER BY wi
+                   ROWS UNBOUNDED PRECEDING) AS run_idx
+          FROM r)
+        SELECT doc_id, CAST(run_idx AS BIGINT) AS run_idx,
+               CAST(MIN(wi) AS BIGINT) AS start_win,
+               CAST(MAX(wi) AS BIGINT) AS end_win,
+               COUNT(*) AS n_windows
+        FROM sr GROUP BY doc_id, run_idx
+        ORDER BY doc_id, run_idx
+      """.trim),
+    ),
   )
 }

@@ -774,6 +774,60 @@ object TextQueries {
         ORDER BY lift_ppm DESC, w1, w2 LIMIT 50
       """.trim),
     ),
+    // ---------------------------------------------------------------
+    // t18: readability scoring — the Flesch–Kincaid grade estimate a
+    // curriculum/quality tier gates on, in pure integers: syllables are
+    // estimated as vowel-letter GROUPS ([aeiouy]+ runs, the standard
+    // regex estimator) counted via the replace-to-marker length trick
+    // (one codegen'd regexp pass, no explode); sentences as [.!?]+
+    // runs, floored at 1. The grade is the exact ×100 fixed-point
+    // rational: fk_x100 = 39·words div sentences + 1180·syllables div
+    // words − 1559 (0.39·w/s + 11.8·sy/w − 15.59, multiplied through) —
+    // identical integer division order in both engines, no float
+    // anywhere. Shape: a single projection pass over the scan, fully
+    // whole-stage-codegen; per-doc output ordered by id.
+    Q(
+      "t18_readability",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val low = lower(col("text"))
+        val words = size(filter(split(low, "[^a-z]+"), t => t =!= ""))
+          .cast("long")
+        val syll = (length(regexp_replace(low, "[aeiouy]+", "V")) -
+          length(regexp_replace(low, "[aeiouy]+", ""))).cast("long")
+        val sents = greatest(lit(1L),
+          (length(regexp_replace(col("text"), "[.!?]+", "S")) -
+            length(regexp_replace(col("text"), "[.!?]+", ""))).cast("long"))
+        docs.select(col("doc_id"),
+            words.as("n_words"), sents.as("n_sentences"), syll.as("n_syllables"))
+          .withColumn("wg", greatest(lit(1L), col("n_words")))
+          .select(col("doc_id"), col("n_words"), col("n_sentences"),
+            col("n_syllables"),
+            expr("39 * n_words div n_sentences" +
+              " + 1180 * n_syllables div wg - 1559").as("fk_x100"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH m AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(
+                   regexp_split_to_array(lower(text), '[^a-z]+'),
+                   t -> t <> '')) AS BIGINT) AS n_words,
+                 GREATEST(1, CAST(
+                   length(regexp_replace(text, '[.!?]+', 'S', 'g')) -
+                   length(regexp_replace(text, '[.!?]+', '', 'g')) AS BIGINT))
+                   AS n_sentences,
+                 CAST(length(regexp_replace(lower(text), '[aeiouy]+', 'V', 'g')) -
+                   length(regexp_replace(lower(text), '[aeiouy]+', '', 'g'))
+                   AS BIGINT) AS n_syllables
+          FROM documents)
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               CAST(39 * n_words // n_sentences
+                 + 1180 * n_syllables // GREATEST(1, n_words) - 1559
+                 AS BIGINT) AS fk_x100
+        FROM m ORDER BY doc_id
+      """.trim),
+    ),
   )
 
   /** Shared BPE oracle machinery: k unrolled merge levels over the word

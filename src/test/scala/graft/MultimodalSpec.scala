@@ -427,6 +427,29 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(Multimodal.decodeWavStats(fmt3)._1 == -1)
   }
 
+  test("WAV windowed loudness: exact window fold, gated fixture, malformed") {
+    // ungated fixture: per-window |s| sums over 50-sample frames
+    for (n <- Seq(1, 49, 50, 51, 449); k <- Seq(0L, 17L, 250L)) {
+      val (gotN, wins) =
+        Multimodal.decodeWavWindowAbs(Multimodal.encodeWavPcm16(k, n), 50)
+      val s = (0 until n).map(i => math.abs(Multimodal.testSample(k, i).toLong))
+      assert(gotN == n.toLong, s"n=$n k=$k")
+      assert(wins.toSeq == s.grouped(50).map(_.sum).toSeq, s"n=$n k=$k")
+    }
+    // gated fixture mutes exactly the (i/70)%4==0 spans
+    val (_, gw) =
+      Multimodal.decodeWavWindowAbs(Multimodal.encodeWavPcm16GatedImpl(17, 449), 50)
+    val gs = (0 until 449).map(i =>
+      if ((i / 70) % 4 == 0) 0L else math.abs(Multimodal.testSample(17, i).toLong))
+    assert(gw.toSeq == gs.grouped(50).map(_.sum).toSeq)
+    assert(gw(0) == 0L) // window 0 sits inside the first 70-sample gap
+    // malformed: truncation and bad magic → (-1, empty), never a throw
+    val wav = Multimodal.encodeWavPcm16(7, 20)
+    assert(Multimodal.decodeWavWindowAbs(wav.dropRight(3), 50)._1 == -1L)
+    assert(Multimodal.decodeWavWindowAbs("RIFFxxxxWAVX".getBytes, 50)._1 == -1L)
+    assert(Multimodal.decodeWavWindowAbs(wav, 0)._1 == -1L)
+  }
+
   test("WAV autocorrelation: exact lag products, lag past length, malformed") {
     val lags = Seq(1, 2, 4, 8)
     for (n <- Seq(1, 50, 449); k <- Seq(0L, 17L, 250L)) {

@@ -742,6 +742,44 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Window"), s"i15 fell back to a window:\n$p")
   }
 
+  test("m17 silence windows are per-clip; run rollup partial-aggregates") {
+    val p = plan("m17_silence_runs")
+    // lag + cumulative run-start share the per-clip window (partition
+    // bounded by the clip's own window count, m16's discipline)
+    assert("\\bWindow\\b".r.findAllIn(p).size <= 2,
+      s"expected the shared per-clip window(s) only:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"run rollup lost its map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"m17 degenerated:\n$p")
+  }
+
+  test("t18 readability is one codegen'd projection pass, no window/join") {
+    val p = plan("t18_readability")
+    assert(!p.contains("Window"), s"t18 grew a window:\n$p")
+    assert(!p.contains("Join"), s"t18 grew a join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"t18 grew a hash shuffle:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"t18 read more than (doc_id, text):\n$p")
+  }
+
+  test("g14 degree histogram: two-level partial aggs, no window") {
+    val p = plan("g14_degree_dist")
+    assert(!p.contains("Window"), s"g14 fell back to a window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"g14 degenerated:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected partial+final aggs for degrees and the histogram:\n$p")
+  }
+
+  test("i16 more-like-this: probe shingles broadcast, top-10 as TakeOrdered") {
+    val p = plan("i16_more_like_this")
+    assert(p.contains("BroadcastHashJoin"),
+      s"i16 probe shingle set must broadcast into the postings:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"i16 top-10 must run as per-partition heads:\n$p")
+    assert(!p.contains("Window"), s"i16 fell back to a window:\n$p")
+  }
+
   test("g13 triangles: degree-ordered equi joins, no cartesian, no window") {
     val p = plan("g13_triangles")
     // the heap cap and pair prune run in the materialization pre-jobs;
