@@ -73,6 +73,46 @@ object GraphQueries {
       |  GROUP BY 1, 2, 3, 4
       |)""".stripMargin
 
+  /** Shared g13/g15 substrate: the top-500 strongest co-citation edges
+    * (common desc, ids asc) over the heap-capped supplier pair graph —
+    * fixed-size at any corpus factor (see g13's comment for why an
+    * absolute support threshold densifies instead). MATERIALIZED:
+    * multiple consumers, and the 4-table edge derivation must run once. */
+  private[graft] def cocitationTopEdges(s: SparkSession, dir: String): DataFrame = {
+    val cap = 20
+    val topM = 500
+    val e = edges(s, dir)
+      .select(col("src_domain").as("cust"), col("dst_domain").as("supp"))
+    val capped = graft.ops.Iterative.materialize(
+      e.groupBy("cust")
+        .agg(graft.ops.TopK.topScored(cap)(
+          -col("supp").cast("double"), col("supp")).as("top"))
+        .select(col("cust"), explode(col("top.key")).as("supp")))
+    val a = capped.select(col("cust"), col("supp").as("sa"))
+    val b = capped.select(col("cust"), col("supp").as("sb"))
+    graft.ops.Iterative.materialize(
+      a.join(b, "cust").filter(col("sa") < col("sb"))
+        .groupBy("sa", "sb").agg(count(lit(1)).as("common"))
+        .orderBy(col("common").desc, col("sa"), col("sb"))
+        .limit(topM)
+        .select("sa", "sb"))
+  }
+
+  /** The same substrate as SQL CTEs (appended after [[EdgesCte]]). */
+  private val TopEdgesCtes =
+    """capped AS (
+      |  SELECT src_domain AS cust, dst_domain AS supp
+      |  FROM edges
+      |  QUALIFY row_number() OVER (PARTITION BY src_domain ORDER BY dst_domain) <= 20
+      |),
+      |pairs AS (
+      |  SELECT sa, sb FROM (
+      |    SELECT a.supp AS sa, b.supp AS sb, COUNT(*) AS common
+      |    FROM capped a JOIN capped b ON a.cust = b.cust AND a.supp < b.supp
+      |    GROUP BY 1, 2
+      |    ORDER BY common DESC, sa, sb LIMIT 500)
+      |)""".stripMargin
+
   def defs: Seq[Q] = Seq(
     // G1/A9: the edge extraction itself (deduped, with multiplicity).
     Q(
@@ -706,24 +746,8 @@ object GraphQueries {
     Q(
       "g13_triangles",
       (s, dir) => {
-        val cap = 20
-        val topM = 500
-        val e = edges(s, dir)
-          .select(col("src_domain").as("cust"), col("dst_domain").as("supp"))
-        val capped = graft.ops.Iterative.materialize(
-          e.groupBy("cust")
-            .agg(graft.ops.TopK.topScored(cap)(
-              -col("supp").cast("double"), col("supp")).as("top"))
-            .select(col("cust"), explode(col("top.key")).as("supp")))
-        val a = capped.select(col("cust"), col("supp").as("sa"))
-        val b = capped.select(col("cust"), col("supp").as("sb"))
         // pairs feeds deg, orientation, and the closing join
-        val pairs = graft.ops.Iterative.materialize(
-          a.join(b, "cust").filter(col("sa") < col("sb"))
-            .groupBy("sa", "sb").agg(count(lit(1)).as("common"))
-            .orderBy(col("common").desc, col("sa"), col("sb"))
-            .limit(topM)
-            .select("sa", "sb"))
+        val pairs = cocitationTopEdges(s, dir)
         val deg = pairs.select(col("sa").as("n"))
           .unionByName(pairs.select(col("sb").as("n")))
           .groupBy("n").agg(count(lit(1)).as("deg"))
@@ -746,18 +770,7 @@ object GraphQueries {
       },
       Some(s"""
         WITH $EdgesCte,
-        capped AS (
-          SELECT src_domain AS cust, dst_domain AS supp
-          FROM edges
-          QUALIFY row_number() OVER (PARTITION BY src_domain ORDER BY dst_domain) <= 20
-        ),
-        pairs AS (
-          SELECT sa, sb FROM (
-            SELECT a.supp AS sa, b.supp AS sb, COUNT(*) AS common
-            FROM capped a JOIN capped b ON a.cust = b.cust AND a.supp < b.supp
-            GROUP BY 1, 2
-            ORDER BY common DESC, sa, sb LIMIT 500)
-        ),
+        $TopEdgesCtes,
         tri AS (
           SELECT p1.sa AS a, p1.sb AS b, p2.sb AS c
           FROM pairs p1
@@ -806,5 +819,77 @@ object GraphQueries {
         ORDER BY direction, deg
       """.trim),
     ),
+    // G15: k-core decomposition (k=18) over the g13 substrate — the
+    // PEELING class of iterative graph algorithm (PageRank/HITS/PPR
+    // cover power iteration, d5 covers label propagation; peeling is
+    // the remaining one): repeatedly delete nodes of degree < k until
+    // the maximal subgraph where every node keeps ≥ k neighbors
+    // remains — the dense-community / spam-farm core detector. Spark
+    // iterates to the TRUE fixpoint (each round: one partial-agg'd
+    // degree count + two semi joins on the materialized edge set;
+    // convergence = edge count unchanged, capped defensively). k = 18
+    // drives a genuine 5-round cascade at sf0.01 (500 → 328 edges,
+    // 42 → 28 nodes), not a one-shot filter. The oracle unrolls 8
+    // peel rounds — at fixpoint further rounds are no-ops, so
+    // fixed-depth replay equals the fixpoint exactly; KCoreSpec pins
+    // convergence-within-8 so the unroll depth stays honest.
+    Q(
+      "g15_kcore",
+      (s, dir) => {
+        val k = 18
+        def degOf(df: DataFrame): DataFrame =
+          df.select(col("sa").as("n")).unionByName(df.select(col("sb").as("n")))
+            .groupBy("n").agg(count(lit(1)).as("core_deg"))
+        var cur = cocitationTopEdges(s, dir)
+        var prev = -1L
+        var cnt = cur.count()
+        var rounds = 0
+        while (cnt != prev && rounds < 40) {
+          val keep = degOf(cur).filter(col("core_deg") >= k).select("n")
+          cur = graft.ops.Iterative.materialize(
+            cur.join(keep.withColumnRenamed("n", "sa"), Seq("sa"), "leftsemi")
+              .join(keep.withColumnRenamed("n", "sb"), Seq("sb"), "leftsemi"))
+          prev = cnt
+          cnt = cur.count()
+          rounds += 1
+        }
+        require(cnt == prev, s"k-core did not converge within $rounds rounds")
+        degOf(cur).select(col("n").as("node"), col("core_deg"))
+          .orderBy("node")
+      },
+      Some(s"""
+        WITH $EdgesCte,
+        $TopEdgesCtes,
+        e0 AS MATERIALIZED (SELECT sa, sb FROM pairs),
+        ${kcoreRoundCtes(8, 18)}
+        SELECT n AS node, CAST(dg AS BIGINT) AS core_deg
+        FROM (
+          SELECT n, COUNT(*) AS dg
+          FROM (SELECT sa AS n FROM e8 UNION ALL SELECT sb FROM e8)
+          GROUP BY 1)
+        ORDER BY node
+      """.trim),
+    ),
   )
+
+  /** g15 oracle machinery: `rounds` unrolled peel levels — level i
+    * recomputes degrees over e(i-1), keeps the ≥k nodes, and filters
+    * the edge set to kept endpoints. Rounds past the fixpoint are
+    * no-ops, so any depth ≥ the actual peel depth replays the
+    * fixpoint exactly. Every level is MATERIALIZED: each e(i) is
+    * referenced three times by level i+1, so inlined CTEs would expand
+    * the plan 3^rounds-fold (measured: DuckDB exhausts file handles
+    * re-scanning the base tables). */
+  private def kcoreRoundCtes(rounds: Int, k: Int): String =
+    (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT n, COUNT(*) AS dg
+         |  FROM (SELECT sa AS n FROM e${i - 1} UNION ALL SELECT sb FROM e${i - 1})
+         |  GROUP BY 1),
+         |k$i AS MATERIALIZED (SELECT n FROM d$i WHERE dg >= $k),
+         |e$i AS MATERIALIZED (
+         |  SELECT sa, sb FROM e${i - 1}
+         |  WHERE sa IN (SELECT n FROM k$i) AND sb IN (SELECT n FROM k$i))"""
+        .stripMargin
+    }.mkString(",\n")
 }

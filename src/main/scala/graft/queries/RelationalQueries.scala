@@ -578,6 +578,73 @@ object RelationalQueries {
       """.stripMargin.trim),
     ),
 
+    // ---- Count-Min sketch: the remaining classic mergeable summary —
+    // point-frequency estimates from d×w integer cells (d=3 rows, w=64
+    // columns; cell = md5-derived column per row-salt). The state IS a
+    // (r, c) → count table, so in Spark it falls out of ONE partial-agg'd
+    // groupBy over the salted explode: ≤192 counters per partition cross
+    // the shuffle regardless of key cardinality — the sketch's memory
+    // bound, by construction — and merging replicas is the same SUM
+    // (commutative, partition/append-invariant). Estimates for the
+    // top-10 exact heavy keys (evaluation-only ground truth, as
+    // ss11/d12) take min over the key's d cells from the BROADCAST
+    // 192-row state; 1.5k users over 192 cells puts ~23 keys in every
+    // cell, so the one-sided CM overestimate (est ≥ exact always) is
+    // real and measured, not vacuous. All hashes/counts integer-exact
+    // in both engines (the cu14 md5-hex idiom).
+    Q(
+      "a20_countmin",
+      (s, dir) => {
+        val d = 3
+        val w = 64
+        val ev = table(s, dir, "events")
+        val keyed = ev.select(col("user_id").cast("string").as("k"))
+        def cellOf(r: Column, k: Column): Column =
+          conv(substring(md5(concat(r.cast("string"), lit(":"), k)), 1, 7),
+            16, 10).cast("long") % w
+        val salts = explode(array((0 until d).map(lit): _*)).as("r")
+        val cells = keyed.select(salts, col("k"))
+          .select(col("r"), cellOf(col("r"), col("k")).as("c"))
+          .groupBy("r", "c")
+          .agg(count(lit(1)).as("cell_cnt"))
+        val exact = keyed.groupBy("k").agg(count(lit(1)).as("exact_cnt"))
+        val probes = exact.orderBy(col("exact_cnt").desc, col("k")).limit(10)
+        probes.select(col("k"), col("exact_cnt"), salts)
+          .select(col("k"), col("exact_cnt"), col("r"),
+            cellOf(col("r"), col("k")).as("c"))
+          .join(broadcast(cells), Seq("r", "c"))
+          .groupBy("k", "exact_cnt")
+          .agg(min(col("cell_cnt")).cast("long").as("est_cnt"))
+          .select(col("k").cast("long").as("user_id"),
+            col("exact_cnt"), col("est_cnt"))
+          .orderBy(col("exact_cnt").desc, col("user_id"))
+      },
+      Some("""
+        WITH k AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+        rs AS (SELECT unnest([0, 1, 2]) AS r),
+        cells AS (
+          SELECT r,
+                 ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || k), 1, 7))::BIGINT
+                   % 64 AS c,
+                 COUNT(*) AS cell_cnt
+          FROM k CROSS JOIN rs
+          GROUP BY 1, 2),
+        exact AS (SELECT k, COUNT(*) AS exact_cnt FROM k GROUP BY 1),
+        probes AS (
+          SELECT k, exact_cnt FROM exact ORDER BY exact_cnt DESC, k LIMIT 10),
+        pr AS (
+          SELECT p.k, p.exact_cnt, rs.r,
+                 ('0x' || substr(md5(CAST(rs.r AS VARCHAR) || ':' || p.k), 1, 7))::BIGINT
+                   % 64 AS c
+          FROM probes p CROSS JOIN rs)
+        SELECT CAST(pr.k AS BIGINT) AS user_id, pr.exact_cnt,
+               CAST(MIN(cells.cell_cnt) AS BIGINT) AS est_cnt
+        FROM pr JOIN cells ON cells.r = pr.r AND cells.c = pr.c
+        GROUP BY 1, 2
+        ORDER BY exact_cnt DESC, user_id
+      """.stripMargin.trim),
+    ),
+
     // ---- KMV multiset ops: pairwise audience overlap between event
     // types computed from the per-type persisted sketch states ALONE —
     // at 100 TB this is |A ∩ B| of two corpus-scale key sets from two

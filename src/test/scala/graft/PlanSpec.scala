@@ -780,6 +780,28 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Window"), s"i16 fell back to a window:\n$p")
   }
 
+  test("a20 count-min: cells partial-aggregate, probes join the broadcast state") {
+    val p = plan("a20_countmin")
+    // the d×w state must combine map-side (≤192 counters per partition
+    // cross the shuffle) and the 192-row state must broadcast into the
+    // probe estimation, never shuffle the probes onto it
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected partial+final aggs for cells and exact counts:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"a20 state must broadcast into probe estimation:\n$p")
+    assert(!p.contains("Window"), s"a20 fell back to a window:\n$p")
+  }
+
+  test("g15 k-core: fixpoint rollup partial-aggregates, no cartesian/window") {
+    val p = plan("g15_kcore")
+    // the final plan reads the materialized fixpoint edges; the degree
+    // rollup must combine map-side and the peel must never degenerate
+    assert(!p.contains("CartesianProduct"), s"g15 degenerated:\n$p")
+    assert(!p.contains("Window"), s"g15 fell back to a window:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final degree counts:\n$p")
+  }
+
   test("g13 triangles: degree-ordered equi joins, no cartesian, no window") {
     val p = plan("g13_triangles")
     // the heap cap and pair prune run in the materialization pre-jobs;

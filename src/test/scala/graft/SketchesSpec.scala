@@ -18,6 +18,43 @@ class SketchesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  /** The a20 Count-Min lattice: cell = md5-derived column per row salt
+    * (the query's exact hash), state = groupBy(r, c) counts. */
+  private def cmCells(df: org.apache.spark.sql.DataFrame, d: Int, w: Int) =
+    df.select(explode(array((0 until d).map(lit): _*)).as("r"), col("k"))
+      .select(col("r"),
+        (conv(substring(md5(concat(col("r").cast("string"), lit(":"), col("k"))),
+          1, 7), 16, 10).cast("long") % w).as("c"))
+      .groupBy("r", "c").agg(count(lit(1)).as("cell_cnt"))
+
+  test("count-min: est >= exact for EVERY key; state partition-invariant") {
+    import spark.implicits._
+    val data = skewed(20000, 500, 13)
+    val df = data.toDF("k")
+    val cells = cmCells(df, 3, 64).as[(Int, Long, Long)].collect()
+      .map { case (r, c, n) => (r, c) -> n }.toMap
+    // merge/partitioning invariance: the state is one commutative SUM
+    val cells7 = cmCells(df.repartition(7), 3, 64).as[(Int, Long, Long)]
+      .collect().map { case (r, c, n) => (r, c) -> n }.toMap
+    assert(cells == cells7)
+    // the one-sided CM guarantee, checked exhaustively (not just probes)
+    val truth = data.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    def cellOf(r: Int, k: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$r:$k".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(7)
+      java.lang.Long.parseLong(hex, 16) % 64
+    }
+    var over = 0
+    truth.foreach { case (k, exact) =>
+      val est = (0 until 3).map(r => cells((r, cellOf(r, k)))).min
+      assert(est >= exact, s"CM underestimated $k: $est < $exact")
+      if (est > exact) over += 1
+    }
+    // 500 keys over 192 cells: collisions must actually occur
+    assert(over > 0, "overestimate regime vacuous — no collisions at all")
+  }
+
   test("exact when capacity covers the distinct keys, any partitioning") {
     import spark.implicits._
     val data = skewed(20000, 50, 42)
