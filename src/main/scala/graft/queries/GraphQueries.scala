@@ -870,7 +870,71 @@ object GraphQueries {
         ORDER BY node
       """.trim),
     ),
+    // G16: multi-source BFS seed distance — min hops (≤ 3) from the
+    // nation-0 seed list over the bidirectional pagerank graph: the
+    // hop-limited frontier expansion every crawler runs ("crawl depth
+    // from the seed file", reference CrawlSeedsList semantics). Level-
+    // synchronous BFS is exact min-distance by construction: round i
+    // joins the dist-(i−1) frontier onto the edge set (hash join on the
+    // src key — the frontier is O(nodes) at scale, so it is NEVER
+    // broadcast), dedupes, and anti-joins already-labelled nodes.
+    // Exactly 3 rounds run in both engines — a fixed-depth semantic,
+    // so no convergence pin is needed (an empty frontier makes later
+    // rounds no-ops). Unreached nodes are absent from the output.
+    // Seeds come from the customer DIM (nationkey 0), including
+    // zero-degree seeds — both engines agree by construction.
+    Q(
+      "g16_seed_distance",
+      (s, dir) => {
+        val depth = 3
+        val ed = graft.ops.Iterative.materialize(
+          prEdges(s, dir).select(col("src_domain").as("src"),
+            col("dst_domain").as("dst")).distinct())
+        val seeds = Registry.table(s, dir, "customer")
+          .filter(col("c_nationkey") === 0)
+          .select(col("c_custkey").as("n"), lit(0L).as("dist"))
+        var labelled = graft.ops.Iterative.materialize(seeds)
+        for (i <- 1 to depth) {
+          val frontier = labelled.filter(col("dist") === (i - 1).toLong)
+            .select(col("n").as("src"))
+          val next = ed.join(frontier, "src")
+            .select(col("dst").as("n")).distinct()
+            .join(labelled.select("n"), Seq("n"), "left_anti")
+            .select(col("n"), lit(i.toLong).as("dist"))
+          labelled = graft.ops.Iterative.materialize(labelled.unionByName(next))
+        }
+        labelled.select(col("n").as("node"), col("dist")).orderBy("node")
+      },
+      Some(s"""
+        WITH $EdgesCte,
+        ed AS MATERIALIZED (
+          SELECT src_domain AS src, dst_domain + 1000000 AS dst FROM edges
+          UNION
+          SELECT dst_domain + 1000000 AS src, src_domain AS dst FROM edges),
+        b0 AS MATERIALIZED (
+          SELECT c_custkey AS n, CAST(0 AS BIGINT) AS dist
+          FROM customer WHERE c_nationkey = 0),
+        ${bfsRoundCtes(3)}
+        SELECT n AS node, dist FROM b3 ORDER BY node
+      """.trim),
+    ),
   )
+
+  /** g16 oracle machinery: level-synchronous BFS unrolled — round i
+    * expands the dist-(i−1) frontier of b(i−1) and labels unseen
+    * neighbors i. MATERIALIZED for the same 3^rounds reason as
+    * [[kcoreRoundCtes]]. */
+  private def bfsRoundCtes(rounds: Int): String =
+    (1 to rounds).map { i =>
+      s"""b$i AS MATERIALIZED (
+         |  SELECT n, dist FROM b${i - 1}
+         |  UNION ALL
+         |  SELECT n, CAST($i AS BIGINT) AS dist FROM (
+         |    SELECT DISTINCT ed.dst AS n
+         |    FROM ed JOIN b${i - 1} f ON ed.src = f.n AND f.dist = ${i - 1}
+         |    WHERE ed.dst NOT IN (SELECT n FROM b${i - 1})))"""
+        .stripMargin
+    }.mkString(",\n")
 
   /** g15 oracle machinery: `rounds` unrolled peel levels — level i
     * recomputes degrees over e(i-1), keeps the ≥k nodes, and filters

@@ -116,5 +116,60 @@ object UrlQueries {
         ORDER BY root_domain
       """.trim),
     ),
+
+    // X1/F6 adjunct — typosquat / near-miss host detection: all host
+    // pairs at edit distance exactly 1 (the lookalike-domain sweep a
+    // crawl operator runs for phishing/brand-abuse triage). ALL-PAIRS
+    // levenshtein is O(n²·len²) — a non-starter at corpus host counts —
+    // so Spark blocks by SYMMETRIC DELETION (FastSS/SymSpell): every
+    // host emits itself plus its |h| single-character deletions, and
+    // candidates are pairs sharing a variant. Completeness is provable,
+    // not heuristic: if lev(a,b)=1 then (substitution at i) del_i(a)
+    // = del_i(b), (insertion making b from a) a ∈ dels(b) — so every
+    // true pair shares a block. Sharing a block is NOT sufficient
+    // (del_i(a)=del_j(b) with i≠j can be distance 2), hence the final
+    // levenshtein verify on candidates only. Cost: O(n·len) variant
+    // rows through one hash shuffle; a variant bucket is the set of
+    // hosts one deletion away from the same string — bounded by the
+    // alphabet × length, never by n. The oracle asserts the GROUND
+    // TRUTH via brute-force pairs (oracle-scale only): blocking
+    // completeness means the two sets are equal by construction.
+    Q(
+      "u3_typosquat",
+      (s, dir) => {
+        val hosts = Registry.table(s, dir, "customer")
+          .select(concat(lit("shop-"), col("c_custkey").cast("string"),
+            lit(".com")).as("host"))
+          .distinct()
+        val h = col("host")
+        // variant 0 = the host itself; variant i>=1 = delete char i
+        val variants = hosts.select(h, explode(concat(
+          array(h),
+          transform(sequence(lit(1), length(h)),
+            i => concat(h.substr(lit(1), i - 1),
+              h.substr(i + 1, length(h)))))).as("block"))
+        val a = variants.select(col("host").as("host_a"), col("block"))
+        val b = variants.select(col("host").as("host_b"), col("block"))
+        a.join(b, "block")
+          .where(col("host_a") < col("host_b"))
+          .select("host_a", "host_b").distinct()
+          .where(levenshtein(col("host_a"), col("host_b")) === 1)
+          .select(col("host_a"), col("host_b"),
+            levenshtein(col("host_a"), col("host_b")).cast("long").as("dist"))
+          .orderBy("host_a", "host_b")
+      },
+      Some("""
+        WITH h AS (
+          SELECT DISTINCT 'shop-' || c_custkey || '.com' AS host
+          FROM customer)
+        SELECT a.host AS host_a, b.host AS host_b,
+               CAST(levenshtein(a.host, b.host) AS BIGINT) AS dist
+        FROM h a JOIN h b
+          ON a.host < b.host
+         AND abs(length(a.host) - length(b.host)) <= 1
+         AND levenshtein(a.host, b.host) = 1
+        ORDER BY host_a, host_b
+      """.trim),
+    ),
   )
 }

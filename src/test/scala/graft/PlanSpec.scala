@@ -802,6 +802,23 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"expected partial+final degree counts:\n$p")
   }
 
+  test("u3 typosquat: variant-blocked equi join, no cartesian, no window") {
+    val p = plan("u3_typosquat")
+    // all-pairs levenshtein would surface as a cartesian (join with no
+    // equi keys); the symmetric-delete design keys every join on the
+    // variant block and dedupes candidates through a partial agg
+    assert(!p.contains("CartesianProduct"), s"u3 degenerated to all-pairs:\n$p")
+    assert(!p.contains("Window"), s"u3 fell back to a window:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final candidate dedupe:\n$p")
+  }
+
+  test("g16 seed distance: frontier equi joins, no cartesian, no window") {
+    val p = plan("g16_seed_distance")
+    assert(!p.contains("CartesianProduct"), s"g16 degenerated:\n$p")
+    assert(!p.contains("Window"), s"g16 fell back to a window:\n$p")
+  }
+
   test("g13 triangles: degree-ordered equi joins, no cartesian, no window") {
     val p = plan("g13_triangles")
     // the heap cap and pair prune run in the materialization pre-jobs;

@@ -1,0 +1,68 @@
+package graft
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** u3 mechanism pins: symmetric-delete blocking (FastSS/SymSpell) must
+  * find EVERY pair at edit distance 1 — the completeness claim the
+  * oracle's brute force checks only on the fixture's digit-string
+  * shapes. The fuzz here drives arbitrary random strings plus planted
+  * single-edit variants (substitution, insertion, deletion) through the
+  * same variant generation and compares against brute-force levenshtein
+  * over all pairs. */
+class TypoSquatSpec extends AnyFunSuite {
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = d(0) // d[i-1][j-1]
+      d(0) = j
+      for (i <- 1 to a.length) {
+        val cur = d(i)
+        d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    d(a.length)
+  }
+
+  /** The query's exact variant set: the string itself plus each
+    * single-character deletion. */
+  private def variants(h: String): Set[String] =
+    (h.indices.map(i => h.substring(0, i) + h.substring(i + 1)) :+ h).toSet
+
+  test("symmetric-delete blocking finds exactly the levenshtein<=1 pairs") {
+    val rnd = new Random(20260814)
+    val alphabet = "abcz0" // tiny alphabet forces dense collisions
+    def randStr(n: Int) = (1 to n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val bases = (1 to 120).map(_ => randStr(3 + rnd.nextInt(6)))
+    // plant single-edit variants of every kind
+    val planted = bases.flatMap { b =>
+      val i = rnd.nextInt(b.length)
+      Seq(
+        b.substring(0, i) + alphabet(rnd.nextInt(alphabet.length)) + b.substring(i + 1),
+        b.substring(0, i) + alphabet(rnd.nextInt(alphabet.length)) + b.substring(i),
+        b.substring(0, i) + b.substring(i + 1))
+    }
+    val hosts = (bases ++ planted).distinct.filter(_.nonEmpty)
+
+    val truth = (for {
+      a <- hosts; b <- hosts if a < b && lev(a, b) == 1
+    } yield (a, b)).toSet
+    assert(truth.size > 100, s"fuzz degenerated: only ${truth.size} true pairs")
+
+    val byVariant = hosts.flatMap(h => variants(h).map(_ -> h))
+      .groupBy(_._1).values
+    val candidates = byVariant.flatMap { vs =>
+      val hs = vs.map(_._2).distinct
+      for (a <- hs; b <- hs if a < b) yield (a, b)
+    }.toSet
+    val blocked = candidates.filter { case (a, b) => lev(a, b) == 1 }
+    assert(blocked == truth)
+    // the verify step must be load-bearing: blocking alone over-generates
+    assert(candidates.exists { case (a, b) => lev(a, b) > 1 },
+      "no distance-2 candidates — the levenshtein verify is vacuous here")
+  }
+}
