@@ -527,5 +527,64 @@ object MiscQueries {
         ORDER BY doc_id
       """.trim),
     ),
+
+    // F9: URL-template mining / crawler-trap detection — collapse every
+    // URL to its structural skeleton (digit runs → N) and profile each
+    // template's URL mass. Calendar pages, session-id paths and infinite
+    // pagination show up as templates whose DISTINCT-URL share of the
+    // corpus explodes; '/about'-style singletons don't. The trap flag is
+    // RELATIVE (share > 5% of all distinct URLs) — the t15/g13 lesson:
+    // an absolute count threshold flips meaning as the corpus grows,
+    // a share is scale-invariant. Shape: one partial-agg'd groupBy onto
+    // the template-cardinality output plus a broadcast one-row total;
+    // nothing here is corpus-sized after the first fold. Synthesized
+    // 4-shape URL substrate from orders (the u1 discipline).
+    Q(
+      "f9_url_templates",
+      (s, dir) => {
+        val o = Registry.table(s, dir, "orders")
+        val m = col("o_orderkey") % 4
+        val url = when(m === 0, concat(lit("/cat-"), (col("o_custkey") % 50).cast("string"),
+            lit("/item/"), col("o_orderkey").cast("string")))
+          .when(m === 1, concat(lit("/search?q=term"), (col("o_orderkey") % 20).cast("string")))
+          .when(m === 2, concat(lit("/calendar/2024/"), (col("o_orderkey") % 12 + 1).cast("string"),
+            lit("/"), (col("o_orderkey") % 28 + 1).cast("string"),
+            lit("?session="), col("o_orderkey").cast("string")))
+          .otherwise(lit("/about"))
+        val perTemplate = o.select(url.as("url"))
+          .select(col("url"), regexp_replace(col("url"), "[0-9]+", "N").as("template"))
+          .groupBy("template")
+          .agg(count(lit(1)).as("n_urls"),
+            count_distinct(col("url")).as("n_distinct_urls"))
+        val total = perTemplate.agg(
+          sum(col("n_distinct_urls")).as("total_distinct"))
+        perTemplate.crossJoin(broadcast(total))
+          .select(col("template"), col("n_urls"), col("n_distinct_urls"),
+            expr("n_distinct_urls * 1000000 div total_distinct").as("share_ppm"),
+            (col("n_distinct_urls") * 20 > col("total_distinct")).as("is_trap"))
+          .orderBy("template")
+      },
+      Some("""
+        WITH u AS (
+          SELECT CASE o_orderkey % 4
+            WHEN 0 THEN '/cat-' || (o_custkey % 50) || '/item/' || o_orderkey
+            WHEN 1 THEN '/search?q=term' || (o_orderkey % 20)
+            WHEN 2 THEN '/calendar/2024/' || (o_orderkey % 12 + 1) || '/'
+                        || (o_orderkey % 28 + 1) || '?session=' || o_orderkey
+            ELSE '/about' END AS url
+          FROM orders),
+        t AS (
+          SELECT regexp_replace(url, '[0-9]+', 'N', 'g') AS template,
+                 COUNT(*) AS n_urls,
+                 COUNT(DISTINCT url) AS n_distinct_urls
+          FROM u GROUP BY 1),
+        tot AS (SELECT SUM(n_distinct_urls) AS total_distinct FROM t)
+        SELECT template, n_urls, n_distinct_urls,
+               CAST(n_distinct_urls * 1000000 // total_distinct AS BIGINT) AS share_ppm,
+               n_distinct_urls * 20 > total_distinct AS is_trap
+        FROM t CROSS JOIN tot
+        ORDER BY template
+      """.trim),
+    ),
   )
 }

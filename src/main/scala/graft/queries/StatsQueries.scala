@@ -447,5 +447,67 @@ object StatsQueries {
         ORDER BY step
       """.trim),
     ),
+
+    // ST11: per-user activity trend — the exact least-squares slope of
+    // the daily event-count series, the regression aggregate (Spark's
+    // regr_slope / DuckDB's regr_slope, in EXACT RATIONAL form so the
+    // hashes cannot drift): slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    // with x = days since the data epoch and y = that day's count, both
+    // integers. Reported as sign·(|num|·10⁶ div den) — positive-operand
+    // integer division, so Spark's `div` and DuckDB's `//` agree
+    // regardless of truncation convention. Width: x ≤ 29 here (30-day
+    // corpus) ⇒ |num| ≤ n·29·Σy; the ppm scaling stays in int64 while a
+    // user's monthly event count is < ~10¹⁰ — the growth/decline screen
+    // over accounts, domains, or sources. Shape: two partial-agg'd
+    // passes (user×day, then user) — nothing wider than the user
+    // cardinality ever shuffles, no windows, no sorts.
+    Q(
+      "st11_trend_slope",
+      (s, dir) => {
+        val daily = Registry.table(s, dir, "events")
+          .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+          .select(col("user_id"),
+            datediff(to_date(col("day")), lit("2024-01-01").cast("date"))
+              .cast("long").as("x"),
+            col("y"))
+        daily.groupBy("user_id")
+          .agg(count(lit(1)).as("n_days"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("user_id"), col("n_days"),
+            (col("n_days") * col("sxy") - col("sx") * col("sy")).as("num"),
+            (col("n_days") * col("sxx") - col("sx") * col("sx")).as("den"))
+          .where(col("den") > 0)
+          .select(col("user_id"), col("n_days"),
+            (when(col("num") < 0, -1L).otherwise(1L) *
+              expr("(abs(num) * 1000000) div den")).as("slope_ppm"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT user_id,
+                 date_diff('day', DATE '2024-01-01',
+                           CAST(date_trunc('day', ts) AS DATE)) AS x,
+                 COUNT(*) AS y
+          FROM events GROUP BY 1, 2),
+        sums AS (
+          SELECT user_id, COUNT(*) AS n_days,
+                 SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx
+          FROM daily GROUP BY 1),
+        r AS (
+          SELECT user_id, CAST(n_days AS BIGINT) AS n_days,
+                 CAST(n_days * sxy - sx * sy AS BIGINT) AS num,
+                 CAST(n_days * sxx - sx * sx AS BIGINT) AS den
+          FROM sums)
+        SELECT user_id, n_days,
+               CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END
+                    * (abs(num) * 1000000 // den) AS BIGINT) AS slope_ppm
+        FROM r WHERE den > 0
+        ORDER BY user_id
+      """.trim),
+    ),
   )
 }

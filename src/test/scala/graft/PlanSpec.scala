@@ -802,6 +802,24 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"expected partial+final degree counts:\n$p")
   }
 
+  test("f9 url templates: partial-agg fold, one-row total broadcast, no window") {
+    val p = plan("f9_url_templates")
+    assert(!p.contains("CartesianProduct"), s"f9 total join degenerated:\n$p")
+    assert(!p.contains("Window"), s"f9 fell back to a window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"f9 one-row total must broadcast:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final template fold:\n$p")
+  }
+
+  test("st11 trend slope: two partial-agg passes, no window, no sort before agg") {
+    val p = plan("st11_trend_slope")
+    assert(!p.contains("Window"), s"st11 fell back to a window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"st11 degenerated:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected partial+final aggs for daily and per-user passes:\n$p")
+  }
+
   test("u3 typosquat: variant-blocked equi join, no cartesian, no window") {
     val p = plan("u3_typosquat")
     // all-pairs levenshtein would surface as a cartesian (join with no
