@@ -823,5 +823,79 @@ object SimilarityQueries {
         ORDER BY t.probe_id
       """.trim),
     ),
+
+    // SS14: multi-vector late-interaction retrieval (ColBERT MaxSim,
+    // Khattab & Zaharia 2020) — documents and queries are BAGS of token
+    // vectors (5 per doc here); score(q, d) = Σ over query tokens of
+    // max over doc tokens of the token-pair similarity. The whole
+    // pipeline stays integer-exact: int8-quantized token vectors (the
+    // ss5 discipline), integer MIPS dots (≤127²·64 ≈ 10⁶ per pair,
+    // Σ over 5 query tokens ≪ 2⁵³ — exact in double), so max/sum
+    // reassociate freely across partitions and the oracle replays
+    // scoring bit-for-bit. Scale shape: the QUERY token bag broadcasts
+    // (the late-interaction design point — queries are model-sized);
+    // the corpus token table is scanned once; the two reductions
+    // (max per query-token×doc, sum per query×doc) are partial-agg'd
+    // groupBys; the final per-query top-5 is the bounded heap, never a
+    // corpus-wide window.
+    Q(
+      "ss14_maxsim",
+      (s, dir) => {
+        val toksPerDoc = 5
+        val probeDocs = 4
+        val emb = Similarity.vectors(
+          Registry.table(s, dir, "embeddings"), "vec_id", "embedding")
+        val tok = emb.select(col("vec_id"),
+          (col("vec_id") / toksPerDoc).cast("long").as("doc"),
+          Similarity.quantize(col("v")).as("qv"))
+        val probes = tok.filter(col("doc") < probeDocs)
+          .select(col("doc").as("probe_doc"), col("vec_id").as("ptok"),
+            col("qv").as("pv"))
+        val dots = tok.join(broadcast(probes), col("doc") =!= col("probe_doc"))
+          .select(col("probe_doc"), col("ptok"), col("doc").as("corpus_doc"),
+            aggregate(zip_with(col("qv"), col("pv"), (x, y) => x * y),
+              lit(0.0), (acc, x) => acc + x).as("dot"))
+        dots.groupBy("probe_doc", "ptok", "corpus_doc")
+          .agg(max(col("dot")).as("m"))
+          .groupBy("probe_doc", "corpus_doc")
+          .agg(sum(col("m")).as("score"))
+          .groupBy("probe_doc")
+          .agg(graft.ops.TopK.topScored(TopK)(col("score"), col("corpus_doc"))
+            .as("top"))
+          .select(col("probe_doc"), posexplode(col("top")))
+          .select(col("probe_doc"), (col("pos") + 1).cast("long").as("rank"),
+            col("col.key").as("corpus_doc"),
+            col("col.score").cast("long").as("score"))
+          .orderBy("probe_doc", "rank")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (
+          SELECT vec_id, vec_id // 5 AS doc,
+                 [CASE WHEN m = 0 THEN 0.0
+                       ELSE floor(x / m * 127.0 + 0.5) END for x in v] AS qv
+          FROM (SELECT vec_id, v, list_max([abs(x) for x in v]) AS m FROM e)),
+        p AS (SELECT doc AS probe_doc, vec_id AS ptok, qv AS pv
+              FROM q WHERE doc < 4),
+        dots AS (
+          SELECT p.probe_doc, p.ptok, c.doc AS corpus_doc,
+                 list_sum([c.qv[i] * p.pv[i] for i in range(1, ${Dims + 1})]) AS dot
+          FROM q c JOIN p ON c.doc != p.probe_doc),
+        mx AS (
+          SELECT probe_doc, ptok, corpus_doc, MAX(dot) AS m
+          FROM dots GROUP BY 1, 2, 3),
+        sc AS (
+          SELECT probe_doc, corpus_doc, SUM(m) AS score
+          FROM mx GROUP BY 1, 2)
+        SELECT probe_doc, rank, corpus_doc, score FROM (
+          SELECT probe_doc, corpus_doc, CAST(score AS BIGINT) AS score,
+                 CAST(row_number() OVER (
+                   PARTITION BY probe_doc
+                   ORDER BY score DESC, corpus_doc) AS BIGINT) AS rank
+          FROM sc)
+        WHERE rank <= $TopK
+        ORDER BY probe_doc, rank
+      """.trim),
+    ),
   )
 }

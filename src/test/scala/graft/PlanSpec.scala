@@ -802,6 +802,19 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"expected partial+final degree counts:\n$p")
   }
 
+  test("ss14 maxsim: probe bag broadcast, partial-agg reductions, heap top-k") {
+    val p = plan("ss14_maxsim")
+    // query tokens broadcast (late-interaction design point); the two
+    // reductions partial-agg; the per-query top-5 is the bounded heap
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"ss14 probe bag must broadcast:\n$p")
+    assert(!p.contains("Window"), s"ss14 fell back to a window:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"ss14 top-k must run through the bounded heap:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected partial+final max and sum reductions:\n$p")
+  }
+
   test("f9 url templates: partial-agg fold, one-row total broadcast, no window") {
     val p = plan("f9_url_templates")
     assert(!p.contains("CartesianProduct"), s"f9 total join degenerated:\n$p")
