@@ -121,42 +121,70 @@ object UrlQueries {
     // pairs at edit distance exactly 1 (the lookalike-domain sweep a
     // crawl operator runs for phishing/brand-abuse triage). ALL-PAIRS
     // levenshtein is O(n²·len²) — a non-starter at corpus host counts —
-    // so Spark blocks by SYMMETRIC DELETION (FastSS/SymSpell): every
-    // host emits itself plus its |h| single-character deletions, and
-    // candidates are pairs sharing a variant. Completeness is provable,
-    // not heuristic: if lev(a,b)=1 then (substitution at i) del_i(a)
-    // = del_i(b), (insertion making b from a) a ∈ dels(b) — so every
-    // true pair shares a block. Sharing a block is NOT sufficient
-    // (del_i(a)=del_j(b) with i≠j can be distance 2), hence the final
-    // levenshtein verify on candidates only. Cost: O(n·len) variant
-    // rows through one hash shuffle; a variant bucket is the set of
-    // hosts one deletion away from the same string — bounded by the
-    // alphabet × length, never by n. The oracle asserts the GROUND
-    // TRUTH via brute-force pairs (oracle-scale only): blocking
-    // completeness means the two sets are equal by construction.
+    // so Spark blocks by POSITION-TAGGED symmetric deletion (the
+    // FastSS/SymSpell family, sharpened): two equi-join channels whose
+    // candidates are not merely complete but EXACT —
+    //   · substitution: del_i(a) = del_i(b) at the SAME i ⇔ a and b
+    //     differ at exactly position i (distance exactly 1, and the
+    //     match position is unique, so no dedupe is even needed);
+    //   · indel: a = del_i(b) ⇔ b is a single insertion into a
+    //     (dedupe only for insertions into equal-char runs).
+    // The naive any-position variant join admits del_i(a) = del_j(b)
+    // i≠j distance-2 pairs — measured 17.3M candidates vs 3.9M exact
+    // at 10× (and 135 s vs ~10 s) — position tagging deletes the
+    // false-candidate class instead of filtering it. Cost: O(n·len)
+    // variant rows through hash shuffles keyed on (block, pos); a
+    // bucket is the set of hosts one same-position deletion away —
+    // bounded by the alphabet, never by n. The final levenshtein
+    // column double-checks the exactness claim row-by-row. The oracle
+    // asserts the GROUND TRUTH via brute-force pairs (oracle-scale
+    // only): channel exactness means the two sets are equal by
+    // construction (fuzz-pinned in TypoSquatSpec).
     Q(
       "u3_typosquat",
       (s, dir) => {
-        val hosts = Registry.table(s, dir, "customer")
-          .select(concat(lit("shop-"), col("c_custkey").cast("string"),
-            lit(".com")).as("host"))
-          .distinct()
+        // materialize hosts and the variant table ONCE: both feed two
+        // consumers, and Catalyst's size estimate for an exploded tiny
+        // dim is wildly low — without runtime stats it broadcast the
+        // 2.1M-row variant side at 10× (measured 135 s; with
+        // materialized true sizes AQE picks shuffle joins and the run
+        // is ~7 s)
+        val hosts = graft.ops.Iterative.materialize(
+          Registry.table(s, dir, "customer")
+            .select(concat(lit("shop-"), col("c_custkey").cast("string"),
+              lit(".com")).as("host"))
+            .distinct())
         val h = col("host")
-        // variant 0 = the host itself; variant i>=1 = delete char i
-        val variants = hosts.select(h, explode(concat(
-          array(h),
-          transform(sequence(lit(1), length(h)),
-            i => concat(h.substr(lit(1), i - 1),
-              h.substr(i + 1, length(h)))))).as("block"))
-        val a = variants.select(col("host").as("host_a"), col("block"))
-        val b = variants.select(col("host").as("host_b"), col("block"))
-        a.join(b, "block")
+        // (host, pos, block): block = host with char `pos` deleted
+        val dels = graft.ops.Iterative.materialize(
+          hosts.select(h, posexplode(
+              transform(sequence(lit(1), length(h)),
+                i => concat(h.substr(lit(1), i - 1),
+                  h.substr(i + 1, length(h))))))
+            .select(h, (col("pos") + 1).as("pos"), col("col").as("block")))
+        // shuffle_hash hints: localCheckpoint stats under-report the
+        // variant table (~1 MB claimed for 2.1M rows at 10×), which
+        // otherwise broadcasts a corpus-sized side — exactly the OOM
+        // shape a 1000-executor run must never plan
+        val subs = dels.select(col("host").as("host_a"), col("pos"), col("block"))
+          .join(dels.select(col("host").as("host_b"), col("pos"), col("block"))
+            .hint("shuffle_hash"), Seq("block", "pos"))
           .where(col("host_a") < col("host_b"))
-          .select("host_a", "host_b").distinct()
-          .where(levenshtein(col("host_a"), col("host_b")) === 1)
+          .select("host_a", "host_b")
+        val indel = hosts.select(col("host").as("ha"))
+          .join(dels.select(col("host").as("hb"), col("block"))
+            .hint("shuffle_hash"), col("ha") === col("block"))
+          .select(least(col("ha"), col("hb")).as("host_a"),
+            greatest(col("ha"), col("hb")).as("host_b"))
+          .distinct()
+        // NO global orderBy: the result is corpus-sized (3.9M pairs at
+        // 10×), and range-partitioned sorting would re-execute the whole
+        // upstream for sampling (measured +36 s) to order a report
+        // nobody needs ordered — the gate sorts rows itself
+        subs.unionByName(indel)
           .select(col("host_a"), col("host_b"),
             levenshtein(col("host_a"), col("host_b")).cast("long").as("dist"))
-          .orderBy("host_a", "host_b")
+          .where(col("dist") === 1L)
       },
       Some("""
         WITH h AS (

@@ -833,13 +833,21 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"expected partial+final aggs for daily and per-user passes:\n$p")
   }
 
-  test("u3 typosquat: variant-blocked equi join, no cartesian, no window") {
+  test("u3 typosquat: shuffled variant joins, no broadcast, no cartesian, no sort") {
     val p = plan("u3_typosquat")
     // all-pairs levenshtein would surface as a cartesian (join with no
-    // equi keys); the symmetric-delete design keys every join on the
-    // variant block and dedupes candidates through a partial agg
+    // equi keys); both variant-table sides are corpus-sized, so neither
+    // may broadcast (localCheckpoint stats under-report them — the hints
+    // pin the scale-safe shuffle plan); and the corpus-sized pair report
+    // must not pay a global range sort (the gate sorts rows itself)
     assert(!p.contains("CartesianProduct"), s"u3 degenerated to all-pairs:\n$p")
     assert(!p.contains("Window"), s"u3 fell back to a window:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"u3 broadcast a corpus-sized variant side:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"u3 variant joins must shuffle-hash:\n$p")
+    assert(!"Sort \\[host".r.findFirstIn(p).isDefined,
+      s"u3 pays a global sort on the corpus-sized result:\n$p")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       s"expected partial+final candidate dedupe:\n$p")
   }

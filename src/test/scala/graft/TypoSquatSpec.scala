@@ -28,12 +28,12 @@ class TypoSquatSpec extends AnyFunSuite {
     d(a.length)
   }
 
-  /** The query's exact variant set: the string itself plus each
-    * single-character deletion. */
-  private def variants(h: String): Set[String] =
-    (h.indices.map(i => h.substring(0, i) + h.substring(i + 1)) :+ h).toSet
+  /** The query's exact variant set: (pos, string-with-char-pos-deleted),
+    * 1-based pos — the position tag is what makes the channels exact. */
+  private def dels(h: String): Seq[(Int, String)] =
+    h.indices.map(i => (i + 1) -> (h.substring(0, i) + h.substring(i + 1)))
 
-  test("symmetric-delete blocking finds exactly the levenshtein<=1 pairs") {
+  test("pos-tagged two-channel blocking yields EXACTLY the levenshtein=1 pairs") {
     val rnd = new Random(20260814)
     val alphabet = "abcz0" // tiny alphabet forces dense collisions
     def randStr(n: Int) = (1 to n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
@@ -53,16 +53,20 @@ class TypoSquatSpec extends AnyFunSuite {
     } yield (a, b)).toSet
     assert(truth.size > 100, s"fuzz degenerated: only ${truth.size} true pairs")
 
-    val byVariant = hosts.flatMap(h => variants(h).map(_ -> h))
-      .groupBy(_._1).values
-    val candidates = byVariant.flatMap { vs =>
-      val hs = vs.map(_._2).distinct
-      for (a <- hs; b <- hs if a < b) yield (a, b)
-    }.toSet
-    val blocked = candidates.filter { case (a, b) => lev(a, b) == 1 }
-    assert(blocked == truth)
-    // the verify step must be load-bearing: blocking alone over-generates
-    assert(candidates.exists { case (a, b) => lev(a, b) > 1 },
-      "no distance-2 candidates — the levenshtein verify is vacuous here")
+    // substitution channel: same deleted position, equal remainder
+    val subs = hosts.flatMap(h => dels(h).map(d => d -> h))
+      .groupBy(_._1).values.flatMap { vs =>
+        val hs = vs.map(_._2).distinct
+        for (a <- hs; b <- hs if a < b) yield (a, b)
+      }.toSet
+    // indel channel: a full host equals some deletion of another
+    val hostSet = hosts.toSet
+    val indel = hosts.flatMap(h => dels(h).map(_._2).filter(hostSet)
+      .map(a => if (a < h) (a, h) else (h, a))).toSet
+    val candidates = subs ++ indel
+    // the sharpened claim: candidates ARE the answer — complete (no
+    // missed edit kind) AND exact (no distance-2 false candidates)
+    assert(candidates == truth)
+    assert(candidates.forall { case (a, b) => lev(a, b) == 1 })
   }
 }
