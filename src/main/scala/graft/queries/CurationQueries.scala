@@ -1163,5 +1163,50 @@ object CurationQueries {
         ORDER BY d.source, sp.split
       """.trim),
     ),
+
+    // CU22: k-anonymity / l-diversity re-identification audit — the
+    // release-governance check run before publishing a derived table:
+    // every quasi-identifier cell (nation × coarse balance bucket)
+    // must hold ≥ k records (k-anonymity, k=5), and the sensitive
+    // attribute (market segment) within the cell must take ≥ l
+    // distinct values (l-diversity, l=3) or the cell leaks by
+    // homogeneity even when k holds. Output = the per-cell audit with
+    // both flags; safe cells AND both risk classes are non-empty at
+    // the gate SFs (the bucket is coarse in the bulk, sparse at the
+    // balance-distribution tails). Shape:
+    // ONE partial-agg'd groupBy onto QI-cell cardinality — count and
+    // count_distinct both map-side combine; nothing corpus-sized
+    // survives the fold. Scale-invariant semantics: k and l are
+    // absolute floors by DEFINITION (privacy law, not tuning).
+    Q(
+      "cu22_kanonymity",
+      (s, dir) => {
+        val k = 5
+        val l = 3
+        Registry.table(s, dir, "customer")
+          .select(col("c_nationkey").cast("long").as("nation"),
+            floor(col("c_acctbal") / 2000.0).cast("long").as("bal_bucket"),
+            col("c_mktsegment"))
+          .groupBy("nation", "bal_bucket")
+          .agg(count(lit(1)).as("n"),
+            count_distinct(col("c_mktsegment")).as("n_sensitive"))
+          .select(col("nation"), col("bal_bucket"), col("n"),
+            col("n_sensitive"),
+            (col("n") < k).as("k_risk"),
+            (col("n_sensitive") < l).as("l_risk"))
+          .orderBy("nation", "bal_bucket")
+      },
+      Some("""
+        SELECT CAST(c_nationkey AS BIGINT) AS nation,
+               CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_bucket,
+               COUNT(*) AS n,
+               COUNT(DISTINCT c_mktsegment) AS n_sensitive,
+               COUNT(*) < 5 AS k_risk,
+               COUNT(DISTINCT c_mktsegment) < 3 AS l_risk
+        FROM customer
+        GROUP BY 1, 2
+        ORDER BY nation, bal_bucket
+      """.trim),
+    ),
   )
 }

@@ -196,7 +196,48 @@ object UrlQueries {
           ON a.host < b.host
          AND abs(length(a.host) - length(b.host)) <= 1
          AND levenshtein(a.host, b.host) = 1
-        ORDER BY host_a, host_b
+      """.trim),
+    ),
+
+    // X1/F6 adjunct #2 — homoglyph / confusable-skeleton collision
+    // detection (the UTS#39 idea): map visually-confusable characters
+    // to a canonical skeleton and flag DISTINCT hosts whose skeletons
+    // collide — the digit-for-letter lookalike sweep ('0'→o, '1'→l,
+    // '3'→e, '4'→a, '5'→s) that catches what edit-distance blocking
+    // treats as just-another-substitution. One skeleton groupBy onto
+    // collision-group cardinality (partial-agg'd, scale-trivial); the
+    // per-skeleton member sample is min/max (order-free aggregates, no
+    // list collection). Substrate plants 'sale'→'s4le' lookalikes on
+    // every 7th key (the u1 synthesized-messiness discipline).
+    Q(
+      "u4_homoglyph",
+      (s, dir) => {
+        val name = when(col("c_custkey") % 7 === 0, lit("s4le"))
+          .otherwise(lit("sale"))
+        val hosts = Registry.table(s, dir, "customer")
+          .select(concat(name, (col("c_custkey") % 500).cast("string"),
+            lit(".com")).as("host"))
+          .distinct()
+        hosts
+          .select(col("host"), translate(col("host"), "01345", "oleas").as("skeleton"))
+          .groupBy("skeleton")
+          .agg(count(lit(1)).as("n_hosts"),
+            min(col("host")).as("sample_a"), max(col("host")).as("sample_b"))
+          .where(col("n_hosts") >= 2)
+          .orderBy("skeleton")
+      },
+      Some("""
+        WITH h AS (
+          SELECT DISTINCT
+            (CASE WHEN c_custkey % 7 = 0 THEN 's4le' ELSE 'sale' END)
+              || (c_custkey % 500) || '.com' AS host
+          FROM customer)
+        SELECT translate(host, '01345', 'oleas') AS skeleton,
+               COUNT(*) AS n_hosts,
+               MIN(host) AS sample_a, MAX(host) AS sample_b
+        FROM h
+        GROUP BY 1 HAVING COUNT(*) >= 2
+        ORDER BY skeleton
       """.trim),
     ),
   )

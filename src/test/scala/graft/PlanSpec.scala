@@ -802,6 +802,16 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"expected partial+final degree counts:\n$p")
   }
 
+  test("u4/cu22 audits: one partial-agg fold each, no window, no join") {
+    for (q <- Seq("u4_homoglyph", "cu22_kanonymity")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q fell back to a window:\n$p")
+      assert(!p.contains("Join"), s"$q grew an unexpected join:\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q expected partial+final fold:\n$p")
+    }
+  }
+
   test("ss14 maxsim: probe bag broadcast, partial-agg reductions, heap top-k") {
     val p = plan("ss14_maxsim")
     // query tokens broadcast (late-interaction design point); the two
