@@ -659,5 +659,87 @@ object DedupeQueries {
         ORDER BY canonical_doc
       """.trim),
     ),
+
+    // D16: probabilistic record linkage (the Fellegi–Sunter 1969 shape
+    // every entity-resolution system implements): two record sources,
+    // blocking to bound candidate pairs, per-field agreement WEIGHTS
+    // summed to a match score, a decision threshold. Source B is a
+    // synthesized "import" of the customer file with realistic damage —
+    // a third with a one-digit name typo, a third re-keyed entirely
+    // (never blocks), a third with a drifted balance — so every scoring
+    // channel (exact name 24 / near name 16 / balance 8 / segment 5,
+    // threshold 22) and the blocking miss-path are all exercised. Name
+    // collisions across records (a typo'd name landing exactly on a
+    // NEIGHBOR's name) match too — correct linkage behavior, not a test
+    // artifact. Money routes through DECIMAL(18,2)→cents so agreement
+    // is integer-exact in both engines. Scale shape: candidates are
+    // per-(nation, name-prefix) block joins — O(Σ|A_b|·|B_b|), never
+    // |A|·|B|; scoring is one codegen'd projection; NO global sort on
+    // the corpus-sized match report (the gate sorts rows itself).
+    Q(
+      "d16_record_linkage",
+      (s, dir) => {
+        val cust = Registry.table(s, dir, "customer")
+        val cents = (col("c_acctbal").cast("decimal(18,2)") * 100)
+          .cast("long")
+        val a = cust.select(col("c_custkey").as("id_a"),
+          col("c_name").as("name_a"), col("c_nationkey").as("nation"),
+          col("c_mktsegment").as("seg_a"), cents.as("cents_a"))
+        val bump = pmod(substring(col("c_name"), 18, 1).cast("int") + 1, lit(10))
+          .cast("string")
+        val nameB = when(col("c_custkey") % 3 === 0,
+            concat(substring(col("c_name"), 1, 17), bump))
+          .when(col("c_custkey") % 3 === 1,
+            concat(lit("Unknown#"), col("c_custkey").cast("string")))
+          .otherwise(col("c_name"))
+        val centsB = when(col("c_custkey") % 3 === 2, cents + 100)
+          .otherwise(cents)
+        val b = cust.select(col("c_custkey").as("id_b"), nameB.as("name_b"),
+          col("c_nationkey").as("nation"), col("c_mktsegment").as("seg_b"),
+          centsB.as("cents_b"))
+        a.as("ra").join(b.as("rb"),
+            col("ra.nation") === col("rb.nation") &&
+              substring(col("name_a"), 1, 17) === substring(col("name_b"), 1, 17))
+          .select(col("id_a"), col("id_b"),
+            (when(col("name_a") === col("name_b"), 24)
+              .when(levenshtein(col("name_a"), col("name_b")) <= 1, 16)
+              .otherwise(0) +
+              when(col("cents_a") === col("cents_b"), 8).otherwise(0) +
+              when(col("seg_a") === col("seg_b"), 5).otherwise(0))
+              .cast("long").as("score"))
+          .where(col("score") >= 22L)
+      },
+      Some("""
+        WITH a AS (
+          SELECT c_custkey AS id_a, c_name AS name_a,
+                 c_nationkey AS nation, c_mktsegment AS seg_a,
+                 CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents_a
+          FROM customer),
+        b AS (
+          SELECT c_custkey AS id_b,
+                 CASE c_custkey % 3
+                   WHEN 0 THEN substr(c_name, 1, 17) ||
+                               CAST((CAST(substr(c_name, 18, 1) AS INT) + 1) % 10 AS VARCHAR)
+                   WHEN 1 THEN 'Unknown#' || c_custkey
+                   ELSE c_name END AS name_b,
+                 c_nationkey AS nation, c_mktsegment AS seg_b,
+                 CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   + CASE WHEN c_custkey % 3 = 2 THEN 100 ELSE 0 END AS cents_b
+          FROM customer)
+        SELECT id_a, id_b,
+               CAST(CASE WHEN name_a = name_b THEN 24
+                         WHEN levenshtein(name_a, name_b) <= 1 THEN 16
+                         ELSE 0 END
+                    + CASE WHEN cents_a = cents_b THEN 8 ELSE 0 END
+                    + CASE WHEN seg_a = seg_b THEN 5 ELSE 0 END AS BIGINT) AS score
+        FROM a JOIN b ON a.nation = b.nation
+                     AND substr(name_a, 1, 17) = substr(name_b, 1, 17)
+        WHERE CASE WHEN name_a = name_b THEN 24
+                   WHEN levenshtein(name_a, name_b) <= 1 THEN 16
+                   ELSE 0 END
+              + CASE WHEN cents_a = cents_b THEN 8 ELSE 0 END
+              + CASE WHEN seg_a = seg_b THEN 5 ELSE 0 END >= 22
+      """.trim),
+    ),
   )
 }

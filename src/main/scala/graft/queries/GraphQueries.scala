@@ -918,6 +918,50 @@ object GraphQueries {
         SELECT n AS node, dist FROM b3 ORDER BY node
       """.trim),
     ),
+    // G17: connected components by TWO-PHASE STAR CONTRACTION
+    // (Kiveris et al., SoCC 2014) — the O(log n)-round algorithm of
+    // record for web-scale components, vs the O(diameter) hash-min
+    // loop d5 uses (fine for dedupe clusters whose diameter is tiny,
+    // hopeless on redirect/pagination CHAINS). The substrate is
+    // exactly that worst case: 100-link successor chains over the
+    // customer keys (edge k→k+1 except across century boundaries) —
+    // diameter 99, where hash-min needs 99 rounds and star
+    // contraction measures 6–8 (StarContractSpec pins ≤ 12, and
+    // equality with a driver-side union-find). The oracle walks the
+    // same chains with a recursive min-label CTE (depth-99 recursion
+    // is DuckDB's problem, not the cluster's). Output: every node
+    // labelled with its component's minimum id.
+    Q(
+      "g17_components",
+      (s, dir) => {
+        val c = Registry.table(s, dir, "customer").select("c_custkey")
+        val pairs = c.select(col("c_custkey").as("a"))
+          .where(col("a") % 100 =!= 99)
+          .join(c.select(col("c_custkey").as("b")),
+            col("b") === col("a") + 1)
+        graft.ops.Components.starContract(pairs)
+          .select(col("node"), col("component"))
+          .orderBy("node")
+      },
+      Some("""
+        WITH RECURSIVE
+        e0 AS (
+          SELECT a.c_custkey AS a, b.c_custkey AS b
+          FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+          WHERE a.c_custkey % 100 <> 99),
+        edges AS (
+          SELECT a AS src, b AS dst FROM e0
+          UNION SELECT b, a FROM e0),
+        walk(id, label) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, w.label
+          FROM edges e JOIN walk w ON e.dst = w.id
+          WHERE w.label < e.src)
+        SELECT id AS node, MIN(label) AS component
+        FROM walk GROUP BY id ORDER BY node
+      """.trim),
+    ),
   )
 
   /** g16 oracle machinery: level-synchronous BFS unrolled — round i

@@ -802,6 +802,23 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"expected partial+final degree counts:\n$p")
   }
 
+  test("g17 components: star-forest readout, no cartesian, no window") {
+    val p = plan("g17_components")
+    assert(!p.contains("CartesianProduct"), s"g17 degenerated:\n$p")
+    assert(!p.contains("Window"), s"g17 fell back to a window:\n$p")
+  }
+
+  test("d16 record linkage: blocked equi join, no cartesian, no window, no sort") {
+    val p = plan("d16_record_linkage")
+    // |A|x|B| scoring would surface as a cartesian; blocking keys the
+    // join on (nation, name-prefix); the corpus-sized match report
+    // must not pay a global range sort
+    assert(!p.contains("CartesianProduct"), s"d16 degenerated to all-pairs:\n$p")
+    assert(!p.contains("Window"), s"d16 fell back to a window:\n$p")
+    assert(!"Sort \\[id_a".r.findFirstIn(p).isDefined,
+      s"d16 pays a global sort on the match report:\n$p")
+  }
+
   test("u4/cu22 audits: one partial-agg fold each, no window, no join") {
     for (q <- Seq("u4_homoglyph", "cu22_kanonymity")) {
       val p = plan(q)
