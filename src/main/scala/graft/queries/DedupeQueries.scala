@@ -660,6 +660,88 @@ object DedupeQueries {
       """.trim),
     ),
 
+    // D17: EXACT-recall set-similarity join by prefix filtering (the
+    // AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.):
+    // the deterministic complement to the MinHash banding tier, whose
+    // recall d12 MEASURES at < 1. Canonical-order theorem: order every
+    // doc's shingles by global rarity (df asc, gram asc); if
+    // J(x,y) ≥ t then the first |x|−⌈t·|x|⌉+1 shingles of x and of y
+    // must share a gram — so joining PREFIX tokens only is complete by
+    // construction, and candidate volume tracks rare-gram posting
+    // lists (median df = 1 here), not all pairs (spec-pinned ≪ 1% of
+    // n²/2). Candidates then pass the size-ratio prune and the exact
+    // integer Jaccard test (inter·5 ≥ union·4 — the d12 idiom). The
+    // per-doc prefix selection is a window PARTITIONED BY doc_id —
+    // bounded by one document's shingle count, never by the corpus
+    // (the st7 bounded-partition discipline). The oracle asserts the
+    // GROUND TRUTH via the all-pairs gram join: prefix completeness
+    // means the two sets are equal by construction.
+    Q(
+      "d17_prefix_filter_join",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Registry.table(s, dir, "documents")
+        val toksArr = docs.select(col("doc_id"),
+          filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "").as("ts"))
+        val sh = graft.ops.Iterative.materialize(
+          toksArr.select(col("doc_id"),
+            explode(array_distinct(when(size(col("ts")) < 3,
+              expr("CAST(array() AS array<string>)"))
+              .otherwise(expr(
+                """transform(slice(ts, 1, size(ts) - 2),
+                  |  (t, i) -> concat(t, ' ', element_at(ts, i + 2),
+                  |                   ' ', element_at(ts, i + 3)))"""
+                  .stripMargin)))).as("g")))
+        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val dfreq = sh.groupBy("g").agg(count(lit(1)).as("df"))
+        val pref = sh.join(dfreq, "g")
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("doc_id").orderBy(col("df"), col("g"))))
+          .join(sz, "doc_id")
+          .where(col("rk") <= col("n") - expr("(4 * n + 4) div 5") + 1)
+          .select(col("doc_id"), col("g"))
+        val cand = pref.select(col("doc_id").as("a"), col("g"))
+          .join(pref.select(col("doc_id").as("b"), col("g")), "g")
+          .where(col("a") < col("b"))
+          .select("a", "b").distinct()
+          .join(sz.select(col("doc_id").as("a"), col("n").as("na")), "a")
+          .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+          .where(col("na") * 4 <= col("nb") * 5 && col("nb") * 4 <= col("na") * 5)
+        sh.select(col("doc_id").as("a"), col("g"))
+          .join(cand, "a")
+          .join(sh.select(col("doc_id").as("b"), col("g")), Seq("b", "g"))
+          .groupBy("a", "b", "na", "nb")
+          .agg(count(lit(1)).as("inter"))
+          .where(col("inter") * 5 >= (col("na") + col("nb") - col("inter")) * 4)
+          .select(col("a").as("doc_a"), col("b").as("doc_b"),
+            col("inter").as("inter_grams"),
+            (col("na") + col("nb") - col("inter")).as("union_grams"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""
+        WITH ts AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                             t -> t <> '') AS ts
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+          FROM ts, UNNEST(range(1, len(ts) - 1)) AS u(i)),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+          FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+          GROUP BY 1, 2)
+        SELECT a AS doc_a, b AS doc_b, CAST(i AS BIGINT) AS inter_grams,
+               CAST(sa.n + sb.n - i AS BIGINT) AS union_grams
+        FROM inter
+        JOIN sz sa ON sa.doc_id = a
+        JOIN sz sb ON sb.doc_id = b
+        WHERE i * 5 >= (sa.n + sb.n - i) * 4
+        ORDER BY doc_a, doc_b
+      """.trim),
+    ),
+
     // D16: probabilistic record linkage (the Fellegi–Sunter 1969 shape
     // every entity-resolution system implements): two record sources,
     // blocking to bound candidate pairs, per-field agreement WEIGHTS

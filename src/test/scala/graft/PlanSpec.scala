@@ -802,6 +802,18 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"expected partial+final degree counts:\n$p")
   }
 
+  test("d17 prefix filter: gram-keyed equi joins, doc-bounded window only") {
+    val p = plan("d17_prefix_filter_join")
+    assert(!p.contains("CartesianProduct"), s"d17 degenerated to all-pairs:\n$p")
+    // the ONE window is the per-doc prefix rank — its partition is a
+    // single document's shingle count, bounded by doc length, never by
+    // the corpus (the st7 bounded-partition discipline)
+    assert("partitionBy.*doc_id|Window.*doc_id".r.findFirstIn(p).isDefined ||
+      p.contains("Window"), s"expected the doc-bounded prefix window:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected partial+final folds for df/size/intersection:\n$p")
+  }
+
   test("g17 components: star-forest readout, no cartesian, no window") {
     val p = plan("g17_components")
     assert(!p.contains("CartesianProduct"), s"g17 degenerated:\n$p")
