@@ -440,5 +440,63 @@ object CrawlDbQueries {
         FROM d GROUP BY source, status ORDER BY source, status
       """.trim),
     ),
+
+    // C7: incremental JOIN-view maintenance — the delta-join algebra
+    // (ΔV = ΔO⋈C ∪ O⋈ΔC ∪ ΔO⋈ΔC) that c2's semigroup fold does for
+    // aggregates, extended to a two-sided join view: the stored view's
+    // contribution comes from a PRE-AGGREGATED old partition (never
+    // re-joining old×old rows with the new batch), the delta
+    // contribution from the three delta terms, and the two merge by
+    // the group-key SUM — the semigroup discipline again. Both sides
+    // carry real deltas (late orders by date cut, newly-registered
+    // customers by key residue), including the out-of-order case (old
+    // orders from new customers, which lands in the O_old⋈ΔC term).
+    // The oracle asserts the SEMANTICS — one full join + aggregate —
+    // so the gate checks the delta algebra, not a replay of it. Money
+    // through DECIMAL(18,2) cents. Scale shape: every term joins on
+    // the same key and partial-aggregates; the stored-view stand-in is
+    // group-cardinality-sized, so maintenance cost tracks |Δ|, not
+    // |corpus|.
+    Q(
+      "c7_incremental_join",
+      (s, dir) => {
+        val cut = lit("1997-01-01").cast("date")
+        val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        val o = Registry.table(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderpriority"),
+            cents.as("cents"), col("o_orderdate").cast("date").as("od"))
+        val c = Registry.table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey").cast("long").as("nation"),
+            (col("c_custkey") % 10 === 3).as("is_new"))
+        val oOld = o.where(col("od") < cut)
+        val oNew = o.where(col("od") >= cut)
+        val cOld = c.where(!col("is_new"))
+        val cNew = c.where(col("is_new"))
+        def term(os: org.apache.spark.sql.DataFrame, cs: org.apache.spark.sql.DataFrame) =
+          os.join(cs, col("o_custkey") === col("c_custkey"))
+            .groupBy("nation", "o_orderpriority")
+            .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        // stored view stand-in: the old partition, already aggregated
+        val vOld = term(oOld, cOld)
+        // the three delta terms of the join algebra
+        val dv = term(oNew, cOld)
+          .unionByName(term(oOld, cNew))
+          .unionByName(term(oNew, cNew))
+        vOld.unionByName(dv)
+          .groupBy("nation", "o_orderpriority")
+          .agg(sum(col("n_orders")).as("n_orders"),
+            sum(col("sum_cents")).as("sum_cents"))
+          .orderBy("nation", "o_orderpriority")
+      },
+      Some("""
+        SELECT CAST(c_nationkey AS BIGINT) AS nation, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS sum_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+        ORDER BY nation, o_orderpriority
+      """.trim),
+    ),
   )
 }

@@ -813,5 +813,62 @@ object SourceQueries {
         GROUP BY doc_id ORDER BY doc_id
       """.stripMargin.trim),
     ),
+
+    // S20: Z-order (Morton curve) clustering for multi-dimensional data
+    // skipping — the layout op behind Delta/Iceberg OPTIMIZE ZORDER:
+    // interleave the bits of two scan dimensions (customer residue ×
+    // order-day residue, 10 bits each), range-bucket rows by the curve
+    // key, and emit each bucket's min/max per dimension — the row-group
+    // stats a pruning scan consumes. The curve's locality GUARANTEE is
+    // visible in the output: bucket width 4096 = 2¹² is tile-aligned,
+    // so every bucket's bounding rectangle is exactly ≤ 64×64 (span
+    // columns ≤ 63) — a predicate on EITHER dimension prunes ~63/64 of
+    // buckets, where row-order layout gives full-domain spans and
+    // prunes nothing. All bit arithmetic integer-exact in both
+    // engines; one partial-agg'd fold onto the 256-bucket output.
+    Q(
+      "s20_zorder_layout",
+      (s, dir) => {
+        def z(x: Column, y: Column): Column =
+          (0 until 10).map { i =>
+            shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+              .bitwiseOR(
+                shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+          }.reduce(_ bitwiseOR _)
+        Registry.table(s, dir, "orders")
+          .select((col("o_custkey") % 1024).as("x"),
+            (datediff(col("o_orderdate").cast("date"),
+              lit("1992-01-01").cast("date")) % 1024).cast("long").as("y"))
+          .withColumn("bucket", shiftright(z(col("x"), col("y")), 12))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_rows"),
+            min("x").as("x_min"), max("x").as("x_max"),
+            min("y").as("y_min"), max("y").as("y_max"))
+          .select(col("bucket"), col("n_rows"),
+            col("x_min"), col("x_max"), col("y_min"), col("y_max"),
+            (col("x_max") - col("x_min")).as("x_span"),
+            (col("y_max") - col("y_min")).as("y_span"))
+          .orderBy("bucket")
+      },
+      Some {
+        val zSql = (0 until 10).map(i =>
+          s"(((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1})")
+          .mkString(" | ")
+        s"""
+        WITH d AS (
+          SELECT o_custkey % 1024 AS x,
+                 date_diff('day', DATE '1992-01-01',
+                           CAST(o_orderdate AS DATE)) % 1024 AS y
+          FROM orders),
+        zv AS (SELECT x, y, $zSql AS zval FROM d),
+        z AS (SELECT x, y, zval // 4096 AS bucket FROM zv)
+        SELECT bucket, COUNT(*) AS n_rows,
+               MIN(x) AS x_min, MAX(x) AS x_max,
+               MIN(y) AS y_min, MAX(y) AS y_max,
+               MAX(x) - MIN(x) AS x_span, MAX(y) - MIN(y) AS y_span
+        FROM z GROUP BY bucket ORDER BY bucket
+        """.trim
+      },
+    ),
   )
 }

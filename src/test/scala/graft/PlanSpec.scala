@@ -802,6 +802,22 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"expected partial+final degree counts:\n$p")
   }
 
+  test("c7 incremental join: equi-join terms with partial aggs, no window") {
+    val p = plan("c7_incremental_join")
+    assert(!p.contains("CartesianProduct"), s"c7 degenerated:\n$p")
+    assert(!p.contains("Window"), s"c7 fell back to a window:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 6,
+      s"expected partial+final aggs across the view/delta terms:\n$p")
+  }
+
+  test("s20 zorder: one partial-agg fold, no join, no window") {
+    val p = plan("s20_zorder_layout")
+    assert(!p.contains("Window"), s"s20 fell back to a window:\n$p")
+    assert(!p.contains("Join"), s"s20 grew an unexpected join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final bucket fold:\n$p")
+  }
+
   test("d17 prefix filter: gram-keyed equi joins, doc-bounded window only") {
     val p = plan("d17_prefix_filter_join")
     assert(!p.contains("CartesianProduct"), s"d17 degenerated to all-pairs:\n$p")
