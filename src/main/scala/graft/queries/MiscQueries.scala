@@ -586,5 +586,70 @@ object MiscQueries {
         ORDER BY template
       """.trim),
     ),
+
+    // X15: user-agent parsing + bot-traffic rollup — the access-log
+    // analytics every crawl/serving operator runs: extract the agent
+    // FAMILY and MAJOR VERSION with one regex, classify bots, roll up
+    // requests and distinct users per (family, major). The regex is
+    // deliberately in the common subset (literal alternation + digit
+    // class + one capture) so Java and RE2 semantics agree. One
+    // partial-agg'd fold onto agent-family cardinality — model-sized
+    // output at any scale. Substrate synthesizes four realistic UA
+    // shapes from the event stream (the u1 discipline).
+    Q(
+      "x15_useragent",
+      (s, dir) => {
+        val k = get_json_object(col("props"), "$.k").cast("long")
+        val ua = when(col("event_id") % 4 === 0,
+            concat(lit("Mozilla/5.0 (X11; Linux x86_64) Chrome/"),
+              (lit(90) + k % 30).cast("string"), lit(".0.0.1 Safari/537.36")))
+          .when(col("event_id") % 4 === 1,
+            concat(lit("Mozilla/5.0 (Macintosh) Version/16."),
+              (k % 10).cast("string"), lit(" Safari/605.1.15")))
+          .when(col("event_id") % 4 === 2,
+            concat(lit("curl/7."), (k % 40).cast("string"), lit(".0")))
+          .otherwise(lit("Googlebot/2.1 (+http://www.google.com/bot.html)"))
+        Registry.table(s, dir, "events")
+          .select(col("user_id"), ua.as("ua"))
+          .select(col("user_id"),
+            regexp_extract(col("ua"),
+              "(Chrome|Version|curl|Googlebot)/([0-9]+)", 1).as("family"),
+            regexp_extract(col("ua"),
+              "(Chrome|Version|curl|Googlebot)/([0-9]+)", 2).cast("long")
+              .as("major"))
+          .groupBy("family", "major")
+          .agg(count(lit(1)).as("n_requests"),
+            count_distinct(col("user_id")).as("n_users"))
+          .withColumn("is_bot", col("family").isin("curl", "Googlebot"))
+          .orderBy("family", "major")
+      },
+      Some("""
+        WITH u AS (
+          SELECT user_id,
+                 CASE event_id % 4
+                   WHEN 0 THEN 'Mozilla/5.0 (X11; Linux x86_64) Chrome/'
+                     || (90 + CAST(json_extract(props, '$.k') AS BIGINT) % 30)
+                     || '.0.0.1 Safari/537.36'
+                   WHEN 1 THEN 'Mozilla/5.0 (Macintosh) Version/16.'
+                     || (CAST(json_extract(props, '$.k') AS BIGINT) % 10)
+                     || ' Safari/605.1.15'
+                   WHEN 2 THEN 'curl/7.'
+                     || (CAST(json_extract(props, '$.k') AS BIGINT) % 40) || '.0'
+                   ELSE 'Googlebot/2.1 (+http://www.google.com/bot.html)'
+                 END AS ua
+          FROM events)
+        SELECT regexp_extract(ua, '(Chrome|Version|curl|Googlebot)/([0-9]+)', 1)
+                 AS family,
+               CAST(regexp_extract(ua, '(Chrome|Version|curl|Googlebot)/([0-9]+)', 2)
+                 AS BIGINT) AS major,
+               COUNT(*) AS n_requests,
+               COUNT(DISTINCT user_id) AS n_users,
+               regexp_extract(ua, '(Chrome|Version|curl|Googlebot)/([0-9]+)', 1)
+                 IN ('curl', 'Googlebot') AS is_bot
+        FROM u
+        GROUP BY 1, 2
+        ORDER BY family, major
+      """.trim),
+    ),
   )
 }

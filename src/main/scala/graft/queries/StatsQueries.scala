@@ -509,5 +509,72 @@ object StatsQueries {
         ORDER BY user_id
       """.trim),
     ),
+
+    // ST12: SCD Type-2 interval build (the gaps-and-islands idiom, by
+    // VALUE change rather than st5's time gap): per entity, collapse
+    // the ordered event stream into validity intervals of a derived
+    // attribute state — [valid_from, valid_to) rows with the current
+    // interval open-ended (NULL valid_to), exactly the slowly-changing-
+    // dimension history a warehouse maintains per URL/fetch-status or
+    // account/plan. Mechanics: per-user lag() marks changes, a running
+    // sum numbers the runs, one fold per run, and a run-level lead()
+    // closes each interval at its successor's start. Both window
+    // partitions are ONE entity's history — bounded by per-entity
+    // event count (the st5 discipline), never corpus-wide; the run-
+    // level window is smaller still. Ties broken by (ts, event_id) so
+    // the replay is deterministic in both engines.
+    Q(
+      "st12_scd2",
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        // `div`, not cast-after-/: double-division + CAST rounds in
+        // DuckDB but truncates in Spark — integer division agrees
+        val state = expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 50")
+        val runs = Registry.table(s, dir, "events")
+          .withColumn("state", state)
+          .withColumn("chg",
+            when(lag(col("state"), 1).over(byUser).isNull ||
+              lag(col("state"), 1).over(byUser) =!= col("state"), 1L)
+              .otherwise(0L))
+          .withColumn("run_id",
+            sum(col("chg")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "run_id", "state")
+          .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+        val byRun = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
+        runs
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(byRun))
+          .select(col("user_id"), col("run_id"), col("state"),
+            col("valid_from"), col("valid_to"), col("n_events"))
+          .orderBy("user_id", "run_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, ts, event_id,
+                 CAST(json_extract(props, '$.k') AS BIGINT) // 50 AS state
+          FROM events),
+        c AS (
+          SELECT *,
+                 CASE WHEN lag(state) OVER w IS NULL
+                        OR lag(state) OVER w <> state THEN 1 ELSE 0 END AS chg
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        r AS (
+          SELECT *,
+                 CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+          FROM c),
+        runs AS (
+          SELECT user_id, run_id, state,
+                 MIN(ts) AS valid_from, COUNT(*) AS n_events
+          FROM r GROUP BY 1, 2, 3)
+        SELECT user_id, run_id, state, valid_from,
+               lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+                 AS valid_to,
+               n_events
+        FROM runs
+        ORDER BY user_id, run_id
+      """.trim),
+    ),
   )
 }

@@ -802,6 +802,24 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"expected partial+final degree counts:\n$p")
   }
 
+  test("st12 scd2: per-entity windows only, no corpus-wide partition, no join") {
+    val p = plan("st12_scd2")
+    // both windows partition by user_id — one entity's history, the
+    // st5 bounded-partition discipline; nothing partitions corpus-wide
+    assert(p.contains("Window"), s"st12 lost its island windows:\n$p")
+    assert(!p.contains("Join"), s"st12 grew an unexpected join:\n$p")
+    assert(!"partitionBy=\\[\\]|Window.*, \\[\\],".r.findFirstIn(p).isDefined,
+      s"st12 has an UNPARTITIONED window (corpus-wide sort):\n$p")
+  }
+
+  test("x15 useragent: one partial-agg fold, no window, no join") {
+    val p = plan("x15_useragent")
+    assert(!p.contains("Window"), s"x15 fell back to a window:\n$p")
+    assert(!p.contains("Join"), s"x15 grew an unexpected join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final fold:\n$p")
+  }
+
   test("c7 incremental join: equi-join terms with partial aggs, no window") {
     val p = plan("c7_incremental_join")
     assert(!p.contains("CartesianProduct"), s"c7 degenerated:\n$p")
