@@ -612,5 +612,92 @@ object InteractiveQueries {
         ORDER BY score DESC, doc_id LIMIT 10
       """.trim),
     ),
+
+    // I17: "did you mean" spell-correction (the SymSpell ≤2-deletion
+    // index — the serving-side twin of u3's offline sweep): candidates
+    // for a misspelled query term are vocabulary words sharing a
+    // ≤2-deletion variant. The guarantee (lev(a,b) ≤ 2 ⟹ del≤2(a) ∩
+    // del≤2(b) ≠ ∅ — delete the edited positions of an optimal script
+    // from both sides) is fuzz-pinned in SpellcheckSpec; unlike u3's
+    // distance-1 channels the d=2 block is complete but NOT exact, so
+    // the levenshtein verify here is load-bearing. Ranking: distance
+    // first, then corpus frequency, then the token — top-3 per probe
+    // through a PROBE-partitioned window (the probe set is a live
+    // query stream's misspellings — model-sized by definition; the
+    // vocab side carries the ≤2-deletion index, O(vocab·len²) rows,
+    // vocab-sized, never corpus-sized). The oracle asserts GROUND
+    // TRUTH by brute-force probe×vocab levenshtein (oracle-scale) —
+    // blocking completeness makes the sets equal by construction.
+    Q(
+      "i17_spellcheck",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val vocab = docs.select(explode(
+            filter(split(lower(col("text")), "[^a-z]+"), t => t =!= ""))
+            .as("token"))
+          .groupBy("token").agg(count(lit(1)).as("freq"))
+        // ≤2-deletion variant set of a string column (incl. itself)
+        def del2(c: org.apache.spark.sql.Column) = {
+          val L = length(c)
+          val d1 = transform(sequence(lit(1), L),
+            i => concat(c.substr(lit(1), i - 1), c.substr(i + 1, L)))
+          val d2 = flatten(transform(sequence(lit(1), L), i =>
+            transform(sequence(i + 1, L), j =>
+              concat(c.substr(lit(1), i - 1),
+                c.substr(i + 1, j - i - 1), c.substr(j + 1, L)))))
+          array_distinct(concat(array(c), d1, d2))
+        }
+        // probe stream: three misspelling shapes per ≥5-char vocab word
+        val probes = vocab.where(length(col("token")) >= 5)
+          .select(explode(array(
+            concat(col("token").substr(lit(1), lit(1)),
+              col("token").substr(lit(3), length(col("token")))),
+            concat(lit("q"), col("token").substr(lit(2), length(col("token")))),
+            concat(col("token").substr(lit(1), lit(1)),
+              col("token").substr(lit(3), length(col("token")) - lit(3)))))
+            .as("probe"))
+          .distinct()
+        val vocabIdx = vocab.select(col("token"), col("freq"),
+          explode(del2(col("token"))).as("block"))
+        val probeIdx = probes.select(col("probe"),
+          explode(del2(col("probe"))).as("block"))
+        val cand = probeIdx.join(vocabIdx, "block")
+          .select("probe", "token", "freq").distinct()
+          .withColumn("dist", levenshtein(col("probe"), col("token")).cast("long"))
+          .where(col("dist") <= 2)
+        cand
+          .withColumn("rank", row_number().over(Window.partitionBy("probe")
+            .orderBy(col("dist"), col("freq").desc, col("token"))).cast("long"))
+          .where(col("rank") <= 3)
+          .select(col("probe"), col("rank"), col("token"), col("dist"), col("freq"))
+          .orderBy("probe", "rank")
+      },
+      Some("""
+        WITH v AS (
+          SELECT unnest(list_filter(
+                   regexp_split_to_array(lower(text), '[^a-z]+'),
+                   t -> t <> '')) AS token
+          FROM documents),
+        vocab AS (SELECT token, COUNT(*) AS freq FROM v GROUP BY 1),
+        probes AS (
+          SELECT DISTINCT unnest([
+            substr(token, 1, 1) || substr(token, 3),
+            'q' || substr(token, 2),
+            substr(token, 1, 1) || substr(token, 3, length(token) - 3)
+          ]) AS probe
+          FROM vocab WHERE length(token) >= 5),
+        cand AS (
+          SELECT p.probe, w.token, w.freq,
+                 CAST(levenshtein(p.probe, w.token) AS BIGINT) AS dist
+          FROM probes p CROSS JOIN vocab w
+          WHERE levenshtein(p.probe, w.token) <= 2)
+        SELECT probe, rank, token, dist, freq FROM (
+          SELECT *, CAST(row_number() OVER (
+            PARTITION BY probe ORDER BY dist, freq DESC, token) AS BIGINT) AS rank
+          FROM cand)
+        WHERE rank <= 3
+        ORDER BY probe, rank
+      """.trim),
+    ),
   )
 }

@@ -802,6 +802,16 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"expected partial+final degree counts:\n$p")
   }
 
+  test("i17 spellcheck: block-keyed equi join, probe-partitioned window only") {
+    val p = plan("i17_spellcheck")
+    // probe x vocab brute force would be a cartesian; the deletion
+    // index joins on the variant block; the one window partitions by
+    // probe (a model-sized live query stream, never the corpus)
+    assert(!p.contains("CartesianProduct"), s"i17 degenerated to brute force:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final folds for vocab/candidates:\n$p")
+  }
+
   test("st12 scd2: per-entity windows only, no corpus-wide partition, no join") {
     val p = plan("st12_scd2")
     // both windows partition by user_id — one entity's history, the
