@@ -576,5 +576,57 @@ object StatsQueries {
         ORDER BY user_id, run_id
       """.trim),
     ),
+
+    // ST13: DAU / trailing-7-day WAU / stickiness — the product-health
+    // headline every analytics stack reports. Exact rolling DISTINCT
+    // is the trap here: a window over users would buffer corpus-scale
+    // state. Instead each (day, user) activity row EXPANDS to the ≤7
+    // trailing report days it contributes to (a bounded ×7 fanout of
+    // the day-user table — already collapsed to one row per day-user,
+    // so the fanout is on deduped data), and WAU is a plain distinct
+    // fold per report day — partial-agg'd, no window at all. Only
+    // complete 7-day windows report (min-day via broadcast one-row
+    // agg); stickiness = dau·10⁶ div wau, integer-exact. Day arithmetic
+    // on integer day indexes (the st11 epoch discipline).
+    Q(
+      "st13_stickiness",
+      (s, dir) => {
+        val dayIdx = datediff(to_date(date_trunc("day", col("ts"))),
+          lit("2024-01-01").cast("date")).cast("long")
+        val da = Registry.table(s, dir, "events")
+          .select(col("user_id"), dayIdx.as("d")).distinct()
+        val dau = da.groupBy("d").agg(count(lit(1)).as("dau"))
+        val wau = da.select(col("user_id"),
+            explode(sequence(col("d"), col("d") + 6)).as("rd"))
+          .distinct()
+          .groupBy("rd").agg(count(lit(1)).as("wau"))
+        val bounds = da.agg(min(col("d")).as("min_d"), max(col("d")).as("max_d"))
+        dau.join(wau, col("d") === col("rd"))
+          .crossJoin(broadcast(bounds))
+          .where(col("d") >= col("min_d") + 6 && col("d") <= col("max_d"))
+          .select(col("d").as("day_idx"), col("dau"), col("wau"),
+            expr("dau * 1000000 div wau").as("stickiness_ppm"))
+          .orderBy("day_idx")
+      },
+      Some("""
+        WITH da AS (
+          SELECT DISTINCT user_id,
+                 date_diff('day', DATE '2024-01-01',
+                           CAST(date_trunc('day', ts) AS DATE)) AS d
+          FROM events),
+        dau AS (SELECT d, COUNT(*) AS dau FROM da GROUP BY 1),
+        wau AS (
+          SELECT rd, COUNT(*) AS wau FROM (
+            SELECT DISTINCT user_id, d + i AS rd
+            FROM da, UNNEST(range(0, 7)) AS t(i))
+          GROUP BY 1),
+        bounds AS (SELECT MIN(d) AS min_d, MAX(d) AS max_d FROM da)
+        SELECT CAST(d AS BIGINT) AS day_idx, dau, wau,
+               CAST(dau * 1000000 // wau AS BIGINT) AS stickiness_ppm
+        FROM dau JOIN wau ON d = rd, bounds
+        WHERE d >= min_d + 6 AND d <= max_d
+        ORDER BY day_idx
+      """.trim),
+    ),
   )
 }

@@ -162,18 +162,21 @@ object UrlQueries {
                 i => concat(h.substr(lit(1), i - 1),
                   h.substr(i + 1, length(h))))))
             .select(h, (col("pos") + 1).as("pos"), col("col").as("block")))
-        // shuffle_hash hints: localCheckpoint stats under-report the
-        // variant table (~1 MB claimed for 2.1M rows at 10×), which
-        // otherwise broadcasts a corpus-sized side — exactly the OOM
-        // shape a 1000-executor run must never plan
+        // merge hints: localCheckpoint stats under-report the variant
+        // table (~1 MB claimed for 2.1M rows at 10×), which otherwise
+        // broadcasts a corpus-sized side — exactly the OOM shape a
+        // 1000-executor run must never plan. Sort-merge (not
+        // shuffle-hash): SMJ spills, while a shuffled-hash build map is
+        // memory-rigid — at 100× on the 8 g local harness SHJ build
+        // maps OOM'd where SMJ completes
         val subs = dels.select(col("host").as("host_a"), col("pos"), col("block"))
           .join(dels.select(col("host").as("host_b"), col("pos"), col("block"))
-            .hint("shuffle_hash"), Seq("block", "pos"))
+            .hint("merge"), Seq("block", "pos"))
           .where(col("host_a") < col("host_b"))
           .select("host_a", "host_b")
         val indel = hosts.select(col("host").as("ha"))
           .join(dels.select(col("host").as("hb"), col("block"))
-            .hint("shuffle_hash"), col("ha") === col("block"))
+            .hint("merge"), col("ha") === col("block"))
           .select(least(col("ha"), col("hb")).as("host_a"),
             greatest(col("ha"), col("hb")).as("host_b"))
           .distinct()

@@ -802,6 +802,16 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"expected partial+final degree counts:\n$p")
   }
 
+  test("st13 stickiness: expansion + distinct folds, no window over users") {
+    val p = plan("st13_stickiness")
+    // rolling distinct must come from the bounded day expansion +
+    // partial-agg'd folds, never a user-buffering window
+    assert(!p.contains("Window"), s"st13 fell back to a window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"st13 degenerated:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected partial+final folds for dau/wau:\n$p")
+  }
+
   test("i17 spellcheck: block-keyed equi join, probe-partitioned window only") {
     val p = plan("i17_spellcheck")
     // probe x vocab brute force would be a cartesian; the deletion
@@ -927,8 +937,8 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Window"), s"u3 fell back to a window:\n$p")
     assert(!p.contains("BroadcastHashJoin"),
       s"u3 broadcast a corpus-sized variant side:\n$p")
-    assert(p.contains("ShuffledHashJoin"),
-      s"u3 variant joins must shuffle-hash:\n$p")
+    assert(p.contains("SortMergeJoin"),
+      s"u3 variant joins must sort-merge (spillable):\n$p")
     assert(!"Sort \\[host".r.findFirstIn(p).isDefined,
       s"u3 pays a global sort on the corpus-sized result:\n$p")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
