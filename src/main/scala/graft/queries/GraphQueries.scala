@@ -962,6 +962,59 @@ object GraphQueries {
         FROM walk GROUP BY id ORDER BY node
       """.trim),
     ),
+
+    // G18: link prediction by the resource-allocation index (Zhou/Lü/
+    // Zhang 2009 — the degree-weighted refinement of g11's raw
+    // co-citation count; Adamic–Adar with 1/deg in place of 1/log deg,
+    // which keeps the score EXACT in integer ppm). Evidence from a
+    // co-citing source is discounted by how promiscuous the source is:
+    // ra(sa,sb) = Σ_{cust co-citing both} 1/deg(cust). The reference's
+    // link-graph analyses (ranker/ + the inverse link DB) stop at raw
+    // counts; this is the similar-page signal a recommender builds on
+    // top. Shape: ONE shuffle keyed by cust folds each source's capped
+    // citation set into a sorted array (≤20), pairs explode doc-locally
+    // (≤190 rows per cust, never corpus-quadratic), and the pair fold
+    // partial-aggregates into TakeOrdered(100) — no self-join, no
+    // window, output fixed-size at any corpus factor.
+    Q(
+      "g18_link_prediction",
+      (s, dir) => {
+        val cap = 20
+        val e = edges(s, dir)
+          .select(col("src_domain").as("cust"), col("dst_domain").as("supp"))
+        e.groupBy("cust")
+          .agg(graft.ops.TopK.topScored(cap)(
+            -col("supp").cast("double"), col("supp")).as("top"))
+          .select(sort_array(col("top.key")).as("supps"))
+          .select(
+            expr("""explode(flatten(transform(supps,
+              (x, i) -> transform(slice(supps, i + 2, size(supps)),
+                        y -> struct(x AS sa, y AS sb))))) AS p"""),
+            expr("CAST(1000000 DIV size(supps) AS BIGINT)").as("w"))
+          .groupBy(col("p.sa").as("sa"), col("p.sb").as("sb"))
+          .agg(count(lit(1)).as("common"), sum(col("w")).as("ra_ppm"))
+          .filter(col("common") >= 3)
+          .orderBy(col("ra_ppm").desc, col("sa"), col("sb"))
+          .limit(100)
+      },
+      Some(s"""
+        WITH $EdgesCte,
+        capped AS (
+          SELECT src_domain AS cust, dst_domain AS supp
+          FROM edges
+          QUALIFY row_number() OVER (PARTITION BY src_domain ORDER BY dst_domain) <= 20
+        ),
+        cdeg AS (SELECT cust, COUNT(*) AS deg FROM capped GROUP BY 1),
+        pr AS (
+          SELECT a.supp AS sa, b.supp AS sb, 1000000 // d.deg AS w
+          FROM capped a
+          JOIN capped b ON a.cust = b.cust AND a.supp < b.supp
+          JOIN cdeg d ON d.cust = a.cust)
+        SELECT sa, sb, COUNT(*)::BIGINT AS common, CAST(SUM(w) AS BIGINT) AS ra_ppm
+        FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        ORDER BY ra_ppm DESC, sa, sb LIMIT 100
+      """.trim),
+    ),
   )
 
   /** g16 oracle machinery: level-synchronous BFS unrolled — round i

@@ -870,5 +870,87 @@ object SourceQueries {
         """.trim
       },
     ),
+
+    // S1-adjacent: ORC round trip — the THIRD columnar container a
+    // migrating warehouse holds (Hive's default). Spark's native ORC
+    // source (the orc-core jars ship in every Spark distro) gets the
+    // same treatment as parquet: lang-partitioned layout at write,
+    // partition PRUNING plus predicate PUSHDOWN at read (both pinned in
+    // PlanSpec), and a content checksum through the round trip so a
+    // truncated stripe or a mis-written partition breaks the hash. The
+    // oracle replays the aggregate from the parquet original — the two
+    // containers must agree bit-for-bit on the surviving rows.
+    Q(
+      "s21_orc_roundtrip",
+      (s, dir) => {
+        val out = stage("s21") + "/orc"
+        val docs = Registry.table(s, dir, "documents")
+        docs
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+            md5(col("text").cast("binary")).as("h"))
+          .write.partitionBy("lang").orc(out)
+        s.read.orc(out)
+          .filter(col("lang").isin("en", "de") && col("n_chars") >= 500)
+          .groupBy("lang", "source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(conv(substring(col("h"), 1, 10), 16, 10).cast("long")).as("content_sum"),
+            min(col("doc_id")).as("min_id"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy("lang", "source")
+      },
+      Some("""
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(SUM(('0x' || substr(md5(text), 1, 10))::BIGINT) AS BIGINT) AS content_sum,
+               MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        FROM documents
+        WHERE lang IN ('en', 'de') AND n_chars >= 500
+        GROUP BY 1, 2 ORDER BY 1, 2
+      """.stripMargin.trim),
+    ),
+
+    // S1-adjacent: Avro Object Container File round trip — the row
+    // container bridge (sources/AvroFiles): out through the stock
+    // avro.mapreduce output format (real Hadoop commit protocol,
+    // deflate codec, schema in the header), back in through the stock
+    // input format, with the same fold-and-checksum gate as the
+    // SequenceFile bridge s16. AvroFilesSpec additionally opens a shard
+    // with the plain Avro DataFileStream to prove foreign readability.
+    Q(
+      "s22_avro_roundtrip",
+      (s, dir) => {
+        val out = stage("s22") + "/avro"
+        val docs = Registry.table(s, dir, "documents")
+        graft.sources.AvroFiles.write(
+          docs.select(col("doc_id").as("key"),
+            to_json(struct(col("source"), col("n_chars"),
+              md5(col("text").cast("binary")).as("h"))).as("rec")),
+          out)
+        val back = graft.sources.AvroFiles.read(s, out)
+          .select(col("key"),
+            get_json_object(col("rec"), "$.source").as("source"),
+            get_json_object(col("rec"), "$.n_chars").cast("long").as("n_chars"),
+            get_json_object(col("rec"), "$.h").as("h"))
+        back.groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_records"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(conv(substring(col("h"), 1, 10), 16, 10).cast("long")).as("content_sum"),
+            min(col("key")).as("min_id"),
+            max(col("key")).as("max_id"))
+          .orderBy("source")
+      },
+      Some("""
+        SELECT source,
+               COUNT(*) AS n_records,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(SUM(('0x' || substr(md5(text), 1, 10))::BIGINT) AS BIGINT) AS content_sum,
+               MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        FROM documents
+        GROUP BY source ORDER BY source
+      """.stripMargin.trim),
+    ),
   )
 }

@@ -792,6 +792,29 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Window"), s"a20 fell back to a window:\n$p")
   }
 
+  test("s21 ORC read-back: partition pruning and predicate pushdown reach the ORC scan") {
+    val p = plan("s21_orc_roundtrip")
+    assert(p.contains("Format: ORC"), s"s21 must read back through the ORC source:\n$p")
+    assert(p.contains("PartitionFilters") && p.contains("lang"),
+      s"s21 lang predicate must prune partitions, not filter rows:\n$p")
+    assert(p.contains("GreaterThanOrEqual(n_chars,500)"),
+      s"s21 n_chars predicate must push into the ORC reader:\n$p")
+  }
+
+  test("g18 link prediction: doc-local pair explode, partial-agg fold, TakeOrdered(100)") {
+    val p = plan("g18_link_prediction")
+    assert(!p.contains("Window"), s"g18 fell back to a window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"g18 degenerated:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"g18 top-100 must run as per-partition heads:\n$p")
+    // citation sets fold through the bounded heap (ObjectHashAggregate),
+    // the pair fold through partial+final HashAggregate
+    assert(p.contains("ObjectHashAggregate"),
+      s"g18 per-source citation cap must use the heap aggregator:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"g18 pair fold must combine map-side:\n$p")
+  }
+
   test("g15 k-core: fixpoint rollup partial-aggregates, no cartesian/window") {
     val p = plan("g15_kcore")
     // the final plan reads the materialized fixpoint edges; the degree
