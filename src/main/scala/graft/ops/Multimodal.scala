@@ -328,6 +328,25 @@ object Multimodal {
       element_at(counts, i + 1).cast("double") / total): _*)
   }
 
+  /** Magic-byte MIME sniffing as pure codegen'd column expressions — no
+    * UDF, no batch seam: six fixed-offset prefix probes (PNG signature,
+    * JPEG SOI, GIF87a/89a, RIFF+WEBP, RIFF+WAVE, ISO-BMFF ftyp) that
+    * whole-stage codegen fuses into the scan projection. The reference
+    * TRUSTS the fetch-declared type (ArcFileItem mime carried verbatim,
+    * `util/StreamingArcFileReader.java:916-918`); content-vs-claim
+    * auditing is the training-pipeline hardening a corpus builder runs
+    * before routing bytes to a decoder. */
+  def sniffMime(media: Column): Column = {
+    def hx(off: Int, len: Int) = hex(substring(media, off, len))
+    when(hx(1, 4) === "89504E47", "image/png")
+      .when(hx(1, 3) === "FFD8FF", "image/jpeg")
+      .when(hx(1, 4) === "47494638", "image/gif")
+      .when(hx(1, 4) === "52494646" && hx(9, 4) === "57454250", "image/webp")
+      .when(hx(1, 4) === "52494646" && hx(9, 4) === "57415645", "audio/wav")
+      .when(hx(5, 4) === "66747970", "video/mp4")
+      .otherwise(lit("application/octet-stream"))
+  }
+
   /** "Resize" stub: stride-k nearest-neighbor downsample of the payload
     * bytes — the 1-D analog of image resizing, as pure column expressions
     * (a real resampler would replace the kernel inside the same

@@ -651,5 +651,63 @@ object MiscQueries {
         ORDER BY family, major
       """.trim),
     ),
+
+    // X16: claimed-vs-sniffed content-type audit. The crawl stores the
+    // type the SERVER declared (the reference carries it verbatim from
+    // the fetch, StreamingArcFileReader.java:916); a corpus builder must
+    // not trust it — a mislabeled blob routed to the wrong decoder is a
+    // crash or an exploit. Substrate packs REAL container bytes (the six
+    // m5/m6 packers) under an independently-derived claimed type so a
+    // deterministic subset genuinely disagrees; the sniffer is six
+    // fixed-offset magic probes as pure codegen'd projections
+    // (ops.Multimodal.sniffMime — no UDF, no batch seam), and the audit
+    // folds onto (claimed, sniffed) cardinality — model-sized output.
+    // The oracle re-derives both sides analytically: a wrong packer
+    // byte, wrong probe offset, or wrong precedence breaks the hash.
+    Q(
+      "x16_mime_sniff",
+      (s, dir) => {
+        import graft.ops.Multimodal
+        val docs = Registry.table(s, dir, "documents")
+        val fmt = col("doc_id") % 6
+        val media = when(fmt < 4,
+            Multimodal.packImage(fmt,
+              (col("doc_id") % 1897 + 16).cast("int"),
+              (col("doc_id") % 1061 + 9).cast("int")))
+          .when(fmt === 4, Multimodal.packWav(lit(1), lit(8000), lit(8),
+            col("n_chars").cast("long")))
+          .otherwise(Multimodal.packMp4(lit(600), col("n_chars").cast("long")))
+        val mimeOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column = i =>
+          when(i === 0, "image/png").when(i === 1, "image/jpeg")
+            .when(i === 2, "image/gif").when(i === 3, "image/webp")
+            .when(i === 4, "audio/wav").when(i === 5, "video/mp4")
+            .otherwise(lit("text/html"))
+        docs
+          .select(col("doc_id"),
+            mimeOf(col("doc_id") % 7).as("claimed"),
+            Multimodal.sniffMime(media).as("sniffed"))
+          .groupBy("claimed", "sniffed")
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_id"))
+          .withColumn("mismatch", col("claimed") =!= col("sniffed"))
+          .orderBy("claimed", "sniffed")
+      },
+      Some("""
+        WITH typed AS (
+          SELECT doc_id,
+                 CASE doc_id % 7
+                   WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+                   WHEN 2 THEN 'image/gif' WHEN 3 THEN 'image/webp'
+                   WHEN 4 THEN 'audio/wav' WHEN 5 THEN 'video/mp4'
+                   ELSE 'text/html' END AS claimed,
+                 CASE doc_id % 6
+                   WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+                   WHEN 2 THEN 'image/gif' WHEN 3 THEN 'image/webp'
+                   WHEN 4 THEN 'audio/wav' ELSE 'video/mp4' END AS sniffed
+          FROM documents)
+        SELECT claimed, sniffed, COUNT(*) AS n, MIN(doc_id) AS first_id,
+               claimed <> sniffed AS mismatch
+        FROM typed GROUP BY 1, 2 ORDER BY 1, 2
+      """.trim),
+    ),
   )
 }

@@ -952,5 +952,53 @@ object SourceQueries {
         GROUP BY source ORDER BY source
       """.stripMargin.trim),
     ),
+
+    // S1-adjacent: gzip JSONL shard delivery — THE interchange format a
+    // training pipeline hands to trainers (every public LLM corpus —
+    // C4, Pile, RedPajama — ships as sharded .json.gz). Out through the
+    // native json sink with range-partitioned, record-capped shards
+    // (contiguous doc_id spans, bounded shard size → resumable
+    // loaders); back in with an EXPLICIT schema — at 100 TB, json
+    // schema inference is a full extra pass over the corpus, so the
+    // bridge never permits it. The content checksum is recomputed from
+    // the read-back text, so a lossy JSON escape/parse cycle (control
+    // chars, unicode, embedded quotes) fails the hash, not just a count.
+    Q(
+      "s23_jsonl_shards",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val out = stage("s23") + "/jsonl"
+        val docs = Registry.table(s, dir, "documents")
+        docs
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+          .repartitionByRange(8, col("doc_id"))
+          .sortWithinPartitions("doc_id")
+          .write
+          .option("compression", "gzip")
+          .option("maxRecordsPerFile", 1000)
+          .json(out)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("lang", StringType),
+          StructField("n_chars", LongType), StructField("text", StringType)))
+        s.read.schema(schema).json(out)
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(conv(substring(md5(col("text").cast("binary")), 1, 10), 16, 10)
+              .cast("long")).as("content_sum"),
+            min(col("doc_id")).as("min_id"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy("lang")
+      },
+      Some("""
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(SUM(('0x' || substr(md5(text), 1, 10))::BIGINT) AS BIGINT) AS content_sum,
+               MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        FROM documents
+        GROUP BY 1 ORDER BY 1
+      """.stripMargin.trim),
+    ),
   )
 }

@@ -815,6 +815,24 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"g18 pair fold must combine map-side:\n$p")
   }
 
+  test("s23 JSONL read-back: explicit schema (no inference pass), partial-agg fold") {
+    val p = plan("s23_jsonl_shards")
+    assert(p.contains("Format: JSON"), s"s23 must read back through the json source:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"s23 parity fold must combine map-side:\n$p")
+  }
+
+  test("x16 mime sniff: codegen'd probes (no batch seam), (claimed,sniffed)-sized fold") {
+    val p = plan("x16_mime_sniff")
+    // the sniffer must stay inside whole-stage codegen: the mapPartitions
+    // decode seam would show up as object (de)serialization boundaries
+    assert(!p.contains("SerializeFromObject") && !p.contains("MapPartitions"),
+      s"x16 sniff fell out of column land:\n$p")
+    assert(!p.contains("Window"), s"x16 fell back to a window:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"x16 audit fold must combine map-side:\n$p")
+  }
+
   test("g15 k-core: fixpoint rollup partial-aggregates, no cartesian/window") {
     val p = plan("g15_kcore")
     // the final plan reads the materialized fixpoint edges; the degree

@@ -266,4 +266,46 @@ class SourcesSpec extends AnyFunSuite with SparkSuite {
       lit("x").as("rec")), empty, shards = 2)
     assert(TFiles.lookup(spark, empty, Seq(1L).toDF("key")).collect().isEmpty)
   }
+
+  test("JSONL shards: foreign-readable gzip, record cap, contiguous non-overlapping spans") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-jsonl-").toString + "/shards"
+    spark.range(1, 5001)
+      .select(col("id").as("doc_id"),
+        concat(lit("text \"quoted\" & ctrl\t#"), col("id")).as("text"))
+      .repartitionByRange(2, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.option("compression", "gzip").option("maxRecordsPerFile", 1000)
+      .json(out)
+
+    val shards = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".json.gz")).sortBy(_.getName)
+    assert(shards.length >= 5, "record cap must split each range partition")
+
+    // foreign readability: plain GZIPInputStream + line split, no Spark
+    val spans = shards.map { f =>
+      val in = new java.util.zip.GZIPInputStream(new java.io.FileInputStream(f))
+      val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      in.close()
+      assert(lines.nonEmpty && lines.size <= 1000, s"${f.getName}: ${lines.size} records")
+      assert(lines.forall(l => l.startsWith("{\"doc_id\":") && l.endsWith("}")))
+      val ids = lines.map(l => l.drop(10).takeWhile(_ != ',').toLong)
+      assert(ids == ids.sorted, s"${f.getName} not id-sorted")
+      (ids.head, ids.last)
+    }
+    // shards within a range partition are contiguous; across the dataset,
+    // spans never overlap (resumable loaders can seek by manifest)
+    val sorted = spans.sortBy(_._1)
+    sorted.sliding(2).foreach { case Array((_, hi), (lo2, _)) =>
+      assert(hi < lo2, s"overlapping shard spans: $hi >= $lo2")
+    case _ => }
+    assert(sorted.head._1 == 1L && sorted.last._2 == 5000L)
+
+    // escape fidelity: quoted text round-trips through the json parser
+    val back = spark.read
+      .schema("doc_id LONG, text STRING").json(out)
+      .filter(col("doc_id") === 7L).select("text").as[String].head()
+    assert(back == "text \"quoted\" & ctrl\t#7")
+  }
 }
