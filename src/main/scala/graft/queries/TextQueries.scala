@@ -828,6 +828,93 @@ object TextQueries {
         FROM m ORDER BY doc_id
       """.trim),
     ),
+
+    // ---------------------------------------------------------------
+    // t19: TextRank keyphrase extraction (Mihalcea & Tarau, EMNLP 2004)
+    // — PageRank over the word co-occurrence graph; the corpus-level
+    // "what is this crawl about" signal the reference's analyses stop
+    // short of (its ranker walks the LINK graph only). Graph substrate
+    // is exactly t16's: doc-distinct tokens ≥5 chars, pair support ≥3 —
+    // the support prune kills the hapax tail so the graph is
+    // vocabulary-sized, never corpus-sized. The damped update runs in
+    // g5's integer fixed-point (rank DIV deg fold, 0.85 applied as an
+    // exact rational split), 6 rounds, so the oracle can replay it
+    // bit-for-bit with unrolled CTEs. Scale shape: the O(edges) table is
+    // shuffled ONCE onto src and persisted; each round moves only the
+    // O(vocab) rank state; per-round state is checkpoint-materialized
+    // (Iterative.materializer) so lineage stays flat; final top-50 is
+    // TakeOrderedAndProject.
+    Q(
+      "t19_textrank",
+      (s, dir) => {
+        val iters = 6
+        val docs = Registry.table(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          explode(array_distinct(
+            filter(split(lower(col("text")), "[^a-z]+"),
+              t => length(t) >= 5))).as("tok"))
+        val pairs = toks.as("a")
+          .join(toks.as("b"),
+            col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+          .groupBy(col("a.tok").as("x"), col("b.tok").as("y"))
+          .agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 3)
+        val sym = pairs.select(col("x").as("src"), col("y").as("dst"))
+          .unionByName(pairs.select(col("y").as("src"), col("x").as("dst")))
+        val nParts = s.sessionState.conf.numShufflePartitions
+        val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+        val e = sym.join(deg, "src").repartition(nParts, col("src")).persist()
+        e.count()
+        val mat = graft.ops.Iterative.materializer(s, None)
+        var r = e.select(col("src").as("word")).distinct()
+          .select(col("word"), lit(1000000000L).as("rank_u"))
+        for (_ <- 1 to iters) {
+          val acc = e.join(r, col("src") === col("word"))
+            .groupBy(col("dst"))
+            .agg(sum(expr("rank_u DIV deg")).as("acc"))
+          r = mat(deg.select(col("src").as("word"))
+            .join(acc, col("word") === col("dst"), "left")
+            .select(col("word"), expr(
+              """CAST(150000000 + (COALESCE(acc, 0) DIV 1000) * 850
+                |  + ((COALESCE(acc, 0) % 1000) * 850) DIV 1000 AS BIGINT)"""
+                .stripMargin).as("rank_u")))
+        }
+        val out = r.orderBy(col("rank_u").desc, col("word")).limit(50)
+        e.unpersist()
+        out
+      },
+      Some {
+        val iterCtes = (1 to 6).map { i =>
+          s"""l$i AS (
+             |  SELECT e.dst, CAST(SUM(r.rank_u // e.deg) AS BIGINT) AS acc
+             |  FROM e JOIN r${i - 1} r ON e.src = r.word GROUP BY 1),
+             |r$i AS (
+             |  SELECT d.src AS word,
+             |         CAST(150000000 + (COALESCE(a.acc, 0) // 1000) * 850
+             |           + ((COALESCE(a.acc, 0) % 1000) * 850) // 1000 AS BIGINT) AS rank_u
+             |  FROM deg d LEFT JOIN l$i a ON d.src = a.dst)""".stripMargin
+        }.mkString(",\n")
+        s"""
+        WITH toks AS (
+          SELECT DISTINCT doc_id, t AS tok
+          FROM (SELECT doc_id,
+                       unnest(list_filter(
+                         regexp_split_to_array(lower(text), '[^a-z]+'),
+                         t -> length(t) >= 5)) AS t
+                FROM documents)),
+        p AS (
+          SELECT a.tok AS x, b.tok AS y, COUNT(*) AS cnt
+          FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        sym AS (SELECT x AS src, y AS dst FROM p UNION ALL SELECT y, x FROM p),
+        deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY 1),
+        e AS (SELECT sym.src, sym.dst, deg.deg FROM sym JOIN deg USING (src)),
+        r0 AS (SELECT src AS word, CAST(1000000000 AS BIGINT) AS rank_u FROM deg),
+        $iterCtes
+        SELECT word, rank_u FROM r6 ORDER BY rank_u DESC, word LIMIT 50
+        """.trim
+      },
+    ),
   )
 
   /** Shared BPE oracle machinery: k unrolled merge levels over the word

@@ -833,6 +833,17 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"x16 audit fold must combine map-side:\n$p")
   }
 
+  test("t19 textrank: final ranking is TakeOrdered off the checkpointed state, no window") {
+    val p = graft.ops.Iterative.planOnly(plan("t19_textrank"))
+    assert(!p.contains("Window"), s"t19 fell back to a window:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"t19 top-50 must run as per-partition heads:\n$p")
+    // the loop-invariant edge table must ride its one-shot src
+    // partitioning from cache — the final plan reads checkpointed rank
+    // state, so just pin that nothing cartesian survived
+    assert(!p.contains("CartesianProduct"), s"t19 degenerated:\n$p")
+  }
+
   test("g15 k-core: fixpoint rollup partial-aggregates, no cartesian/window") {
     val p = plan("g15_kcore")
     // the final plan reads the materialized fixpoint edges; the degree
