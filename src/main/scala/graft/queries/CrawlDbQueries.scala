@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.CrawlDb
 
@@ -496,6 +497,73 @@ object CrawlDbQueries {
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY 1, 2
         ORDER BY nation, o_orderpriority
+      """.trim),
+    ),
+
+    // ---------------------------------------------------------------
+    // c8: small-file compaction planner — the operational answer to the
+    // problem the reference solves by periodically rewriting the WHOLE
+    // CrawlDB (its merge emits one full new generation per run); an
+    // incremental store instead accumulates small segment files and
+    // bin-packs them into target-size rewrite groups (Delta OPTIMIZE /
+    // Iceberg rewriteDataFiles semantics). Plan rule: within each
+    // partition (source), files in id order are packed left-to-right;
+    // a file's bin is its exclusive byte-offset DIV target — bins are
+    // contiguous, deterministic, and overflow a bin by at most one file.
+    // The offset is NEVER a per-source global window (a dominant
+    // source's manifest would sort on one task): two-level prefix sum —
+    // ≤32-row local windows inside fixed chunks, then a chunk-level
+    // cumsum over manifest/32 rows — the cu12/lg3 packing shape applied
+    // to the metadata plane. Output is bin-cardinality (one row per
+    // rewrite task), which is what the compaction scheduler consumes.
+    Q(
+      "c8_compaction_plan",
+      (s, dir) => {
+        val target = 2000L
+        val files = Registry.table(s, dir, "documents")
+          .groupBy(col("source"), expr("doc_id DIV 8").as("file_id"))
+          .agg(sum(col("n_chars")).as("bytes"), count(lit(1)).as("n_docs"))
+        val wLocal = Window.partitionBy(col("source"), expr("file_id DIV 32"))
+          .orderBy(col("file_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val chunkSums = files
+          .groupBy(col("source"), expr("file_id DIV 32").as("chunk"))
+          .agg(sum(col("bytes")).as("cb"))
+        val wChunk = Window.partitionBy(col("source")).orderBy(col("chunk"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val chunkOffs = chunkSums
+          .select(col("source"), col("chunk"),
+            coalesce(sum(col("cb")).over(wChunk), lit(0L)).as("chunk_off"))
+        files
+          .withColumn("local_off", coalesce(sum(col("bytes")).over(wLocal), lit(0L)))
+          .withColumn("chunk", expr("file_id DIV 32"))
+          .join(chunkOffs, Seq("source", "chunk"))
+          .withColumn("bin", expr(s"(local_off + chunk_off) DIV $target"))
+          .groupBy("source", "bin")
+          .agg(count(lit(1)).as("n_files"), sum(col("n_docs")).as("n_docs"),
+            sum(col("bytes")).as("bytes"),
+            min(col("file_id")).as("first_file"),
+            max(col("file_id")).as("last_file"))
+          .orderBy("source", "bin")
+      },
+      Some("""
+        WITH f AS (
+          SELECT source, doc_id // 8 AS file_id,
+                 CAST(SUM(n_chars) AS BIGINT) AS bytes,
+                 COUNT(*) AS n_docs
+          FROM documents GROUP BY 1, 2),
+        o AS (
+          SELECT source, file_id, bytes, n_docs,
+                 CAST(COALESCE(SUM(bytes) OVER (PARTITION BY source
+                   ORDER BY file_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS start
+          FROM f)
+        SELECT source, CAST(start // 2000 AS BIGINT) AS bin,
+               COUNT(*) AS n_files, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+               CAST(SUM(bytes) AS BIGINT) AS bytes,
+               MIN(file_id) AS first_file, MAX(file_id) AS last_file
+        FROM o GROUP BY 1, 2 ORDER BY source, bin
       """.trim),
     ),
   )

@@ -34,4 +34,47 @@ class LayoutSpec extends AnyFunSuite with SparkSuite {
     assert(wide * 10 >= naive.length * 9,
       s"row-order layout unexpectedly tight ($wide/${naive.length} wide) — the comparison is vacuous")
   }
+
+  test("compaction: bins are contiguous offset-DIV-target groups; rewrite preserves content") {
+    import graft.sources.Compaction
+    val root = java.nio.file.Files.createTempDirectory("graft-compact-").toString
+    val in = s"$root/in"; val out = s"$root/out"
+    // ~40 deliberately small part files
+    spark.range(1, 2001)
+      .select(col("id"), concat(lit("payload-"), col("id")).as("v"))
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .write.option("maxRecordsPerFile", 50).parquet(in)
+    val nIn = new java.io.File(in).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(nIn >= 20, s"substrate too coarse: $nIn input files")
+
+    val target = {
+      // pick a target ≈ 8 input files per bin from the real sizes
+      val sizes = new java.io.File(in).listFiles()
+        .filter(_.getName.startsWith("part-")).map(_.length).sum
+      sizes / 5
+    }
+    val bins = Compaction.compact(spark, in, out, target)
+    assert(bins.size >= 3 && bins.size < nIn, s"got ${bins.size} bins for $nIn files")
+    // contiguity + the offset rule: replay the cumsum over the planned order
+    var off = 0L
+    val fs = new java.io.File(in).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val expected = fs.map { f => val b = off / target; off += f.length; b.toInt }
+    assert(bins.flatMap(b => Seq.fill(b.files.size)(b.id)).toSeq == expected.toSeq)
+    // every bin overflows by at most one file
+    bins.foreach(b => assert(b.files.size == 1 || b.bytes - fs.filter(f =>
+      b.files.exists(_.endsWith(f.getName))).map(_.length).max < target))
+    // one output file per bin; exact content parity
+    bins.foreach { b =>
+      val outFiles = new java.io.File(s"$out/bin=${b.id}").listFiles()
+        .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      assert(outFiles == 1, s"bin ${b.id}: $outFiles files")
+    }
+    val a = spark.read.parquet(in)
+      .agg(count(lit(1)), sum(col("id")), sum(crc32(col("v")))).head
+    val c = spark.read.parquet(out)
+      .agg(count(lit(1)), sum(col("id")), sum(crc32(col("v")))).head
+    assert(a == c, s"content drift: $a vs $c")
+  }
 }

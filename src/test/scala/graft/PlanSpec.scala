@@ -844,6 +844,24 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("CartesianProduct"), s"t19 degenerated:\n$p")
   }
 
+  test("c8 compaction plan: file-level cumsum windows over (source, chunk), never source-only") {
+    val p = plan("c8_compaction_plan")
+    // the manifest-row window must be bounded by the 32-file chunk; only
+    // the chunk-SUMS window (manifest/32 rows) may partition by source
+    // alone — it orders by chunk, the data window by file_id
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    val dataWindows = specs.filter(_.contains("file_id#"))
+    assert(dataWindows.nonEmpty, s"no file-ordered cumsum window in:\n$p")
+    dataWindows.foreach { w =>
+      // the chunk expr projects as _w0; a source-only partition would
+      // have file_id directly after source in the spec
+      assert("""source#\d+, (_w\d+#\d+L?|chunk#\d+L?), file_id#\d+L? ASC"""
+        .r.findFirstIn(w).isDefined,
+        s"c8: data window not (source, chunk)-partitioned: $w\n$p")
+    }
+  }
+
   test("g15 k-core: fixpoint rollup partial-aggregates, no cartesian/window") {
     val p = plan("g15_kcore")
     // the final plan reads the materialized fixpoint edges; the degree
