@@ -1000,5 +1000,52 @@ object SourceQueries {
         GROUP BY 1 ORDER BY 1
       """.stripMargin.trim),
     ),
+
+    // S1-adjacent: schema evolution across segment generations — a
+    // long-lived store NEVER has one schema: the reference's own record
+    // protocol versions fields for exactly this reason, and a parquet
+    // warehouse accumulates old-writer segments next to new-writer ones.
+    // gen=1 segments lack the `quality` column that gen=2 writers added;
+    // the union read reconciles footers (mergeSchema), nulls the missing
+    // column for old rows, and aggregates must treat absence as absence
+    // (COUNT(col)/SUM skip nulls) — not as zero. The directory name also
+    // round-trips as a partition column, so generation-scoped reads stay
+    // prunable. Oracle re-derives both generations analytically from
+    // parity; a reader that zero-fills, drops old rows, or fails to
+    // reconcile the footers breaks the hash.
+    Q(
+      "s24_schema_evolution",
+      (s, dir) => {
+        val out = stage("s24") + "/evo"
+        val docs = Registry.table(s, dir, "documents")
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .write.parquet(out + "/gen=1")
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            (col("n_chars") % 100).as("quality"))
+          .write.parquet(out + "/gen=2")
+        s.read.option("mergeSchema", "true").parquet(out)
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            count(col("quality")).as("n_with_quality"),
+            sum(col("quality")).as("sum_quality"),
+            max(col("gen").cast("int")).as("max_gen"))
+          .orderBy("lang")
+      },
+      Some("""
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(COUNT(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT)
+                 AS n_with_quality,
+               CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars % 100 END) AS BIGINT)
+                 AS sum_quality,
+               CAST(MAX(doc_id % 2 + 1) AS INT) AS max_gen
+        FROM documents
+        GROUP BY 1 ORDER BY 1
+      """.stripMargin.trim),
+    ),
   )
 }

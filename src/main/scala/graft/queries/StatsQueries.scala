@@ -628,5 +628,46 @@ object StatsQueries {
         ORDER BY day_idx
       """.trim),
     ),
+
+    // A6/A7-adjacent: st14 hour-of-week seasonality profile — the
+    // capacity-planning shape behind the reference's hourly→daily stats
+    // fold: how does each event type's traffic tile across the 168
+    // hour-of-week cells, as a seasonality index (cell share vs the
+    // uniform share, in exact ppm integers). Day-of-week and hour come
+    // from raw epoch arithmetic ((days+4)%7, 1970-01-01 = Thursday) so
+    // both engines compute the identical calendar with no TZ/locale
+    // function semantics in play. Scale shape: one partial-agg'd fold
+    // onto ≤168×types cells, per-type totals joined back as a broadcast
+    // — nothing corpus-sized past the first aggregate.
+    Q(
+      "st14_seasonality",
+      (s, dir) => {
+        val cells = Registry.table(s, dir, "events")
+          .select(col("event_type"),
+            expr("CAST((unix_timestamp(ts) DIV 86400 + 4) % 7 AS INT)").as("dow"),
+            expr("CAST((unix_timestamp(ts) DIV 3600) % 24 AS INT)").as("hour"))
+          .groupBy("event_type", "dow", "hour")
+          .agg(count(lit(1)).as("n"))
+        val totals = cells.groupBy("event_type").agg(sum(col("n")).as("total"))
+        cells.join(broadcast(totals), "event_type")
+          .select(col("event_type"), col("dow"), col("hour"), col("n"),
+            expr("n * 168 * 1000000 DIV total").as("idx_ppm"))
+          .orderBy("event_type", "dow", "hour")
+      },
+      Some("""
+        WITH c AS (
+          SELECT event_type,
+                 CAST((epoch_ms(ts) // 86400000 + 4) % 7 AS INT) AS dow,
+                 CAST((epoch_ms(ts) // 3600000) % 24 AS INT) AS hour,
+                 COUNT(*) AS n
+          FROM events GROUP BY 1, 2, 3),
+        t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS total
+              FROM c GROUP BY 1)
+        SELECT event_type, dow, hour, n,
+               CAST(n * 168 * 1000000 // total AS BIGINT) AS idx_ppm
+        FROM c JOIN t USING (event_type)
+        ORDER BY event_type, dow, hour
+      """.trim),
+    ),
   )
 }
