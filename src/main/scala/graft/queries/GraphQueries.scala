@@ -1015,6 +1015,73 @@ object GraphQueries {
         ORDER BY ra_ppm DESC, sa, sb LIMIT 100
       """.trim),
     ),
+
+    // g19: directed weighted modularity of the root-domain partition —
+    // the graph-quality audit behind "is the web graph actually
+    // domain-clustered?", and the objective every community-detection
+    // pass (Louvain/label-propagation) optimizes; here it scores the
+    // partition the reference already has (root domains = nations, the
+    // g4 grouping). Q·m² = Σ_c (m·intra_c − out_c·in_c), all BIGINT:
+    // each root's contribution is exact (headroom: m·intra ≤ m² < 2^63
+    // up to m ≈ 3e9 edge-weight — past that the per-root triple
+    // (intra, out, in) is still exact and the caller rescales). Scale
+    // shape: the only corpus-sized work is the one edge-derivation pass;
+    // each edge then contributes two (root, role) rows to ONE
+    // partial-agg'd groupBy onto O(|roots|) rows — no window, no
+    // self-join, and the total-weight scalar joins back as a broadcast
+    // single row. A positive contrib means the root keeps more of its
+    // weight internal than a degree-preserving random rewiring would —
+    // at crawl scale the per-root sign is the budget signal for
+    // partition-aware sharding (SURVEY §8.2 ingest layout).
+    Q(
+      "g19_modularity",
+      (s, dir) => {
+        val e = edges(s, dir)
+        val roles = e.select(
+          col("src_root").as("root"),
+          col("n_links").as("w_out"),
+          lit(0L).as("w_in"),
+          when(col("src_root") === col("dst_root"), col("n_links"))
+            .otherwise(0L).as("w_intra"))
+          .unionByName(e.select(
+            col("dst_root").as("root"),
+            lit(0L).as("w_out"),
+            col("n_links").as("w_in"),
+            lit(0L).as("w_intra")))
+        val byRoot = roles.groupBy("root").agg(
+          sum(col("w_out")).as("w_out"),
+          sum(col("w_in")).as("w_in"),
+          sum(col("w_intra")).as("w_intra"))
+        val total = e.agg(sum(col("n_links")).as("m"))
+        byRoot.crossJoin(broadcast(total))
+          .select(col("root"), col("m"), col("w_intra"), col("w_out"),
+            col("w_in"),
+            (col("m") * col("w_intra") - col("w_out") * col("w_in"))
+              .as("contrib_num"))
+          .orderBy("root")
+      },
+      Some(s"""
+        WITH $EdgesCte,
+        roles AS (
+          SELECT src_root AS root, n_links AS w_out, 0 AS w_in,
+                 CASE WHEN src_root = dst_root THEN n_links ELSE 0 END
+                   AS w_intra
+          FROM edges
+          UNION ALL
+          SELECT dst_root, 0, n_links, 0 FROM edges),
+        g AS (
+          SELECT root,
+                 CAST(SUM(w_out) AS BIGINT) AS w_out,
+                 CAST(SUM(w_in) AS BIGINT) AS w_in,
+                 CAST(SUM(w_intra) AS BIGINT) AS w_intra
+          FROM roles GROUP BY 1),
+        t AS (SELECT CAST(SUM(n_links) AS BIGINT) AS m FROM edges)
+        SELECT root, m, w_intra, w_out, w_in,
+               CAST(m * w_intra - w_out * w_in AS BIGINT) AS contrib_num
+        FROM g CROSS JOIN t
+        ORDER BY root
+      """.trim),
+    ),
   )
 
   /** g16 oracle machinery: level-synchronous BFS unrolled — round i

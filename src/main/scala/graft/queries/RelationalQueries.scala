@@ -848,5 +848,93 @@ object RelationalQueries {
           .map(branch).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
       },
     ),
+
+    // ---- HyperLogLog register sketch (a21): the canonical cardinality
+    // summary (Flajolet et al. 2007) that KMV (a14) approximates from the
+    // other direction — m=256 registers, register j = max ρ(hash) over the
+    // items whose hash prefix lands in bucket j, where ρ = leading-zero
+    // rank of a 40-bit md5-derived suffix. The state is a ≤256-row
+    // integer table per group, so in Spark it is two partial-agg'd
+    // groupBys: per-(type, day, bucket) MAX (the per-partition/per-shard
+    // sketch) folded by per-(type, bucket) MAX — MAX is the HLL merge,
+    // so the daily→total fold IS the mergeability proof (a13/a16
+    // pattern), and at 100 TB only O(groups × 256) registers ever cross
+    // the second shuffle. The raw estimate α·m²/Σ2^-reg is computed in
+    // pure integer arithmetic (Σ2^-reg scaled by 2^41; fixed division
+    // order, documented headroom: 2^57 DIV S ≤ 2^49, ×7213 < 2^63), so
+    // the oracle replays it exactly; exact distinct counts ride along as
+    // evaluation ground truth (the a20/ss11 discipline) — the observed
+    // |est−exact| error at m=256 is the real ~6.5%/√m envelope, not
+    // vacuous. ρ and buckets come from md5 hex (the cu14 idiom), so both
+    // engines hash identically; bin() length gives the exact integer
+    // floor-log2 with no float ever entering the hash.
+    Q(
+      "a21_hll_registers",
+      (s, dir) => {
+        val W = 41 // ρ domain: 40-bit suffix, ρ ∈ [1, 41]
+        val ev = table(s, dir, "events")
+        val md = md5(col("user_id").cast("string"))
+        val bucket = conv(substring(md, 1, 2), 16, 10).cast("int")
+        val v = conv(substring(md, 3, 10), 16, 10).cast("long")
+        val rho = when(v === 0L, W).otherwise(lit(W) - length(bin(v)))
+        val daily = ev
+          .select(col("event_type"), to_date(col("ts")).as("day"),
+            bucket.as("bucket"), rho.as("rho"))
+          .groupBy("event_type", "day", "bucket")
+          .agg(max(col("rho")).as("reg"))
+        val merged = daily.groupBy("event_type", "bucket")
+          .agg(max(col("reg")).as("reg"))
+        val g = merged.groupBy("event_type").agg(
+          count(lit(1)).as("n_buckets_hit"),
+          sum(col("reg")).as("sum_reg"),
+          sum(expr("shiftleft(1L, 41 - reg)")).as("s_hit"))
+        val exact = ev.groupBy("event_type")
+          .agg(count_distinct(col("user_id")).as("exact_users"))
+        g
+          // Σ 2^(41-reg) over all 256 buckets: empty bucket ⇒ reg=0 ⇒ 2^41
+          .withColumn("s_scaled", col("s_hit") +
+            (lit(256L) - col("n_buckets_hit")) * lit(2199023255552L))
+          // 2^57 = m²·2^41; integer `div` end-to-end — `/` would route
+          // through double, which cannot represent 2^57
+          .withColumn("est_users",
+            expr("(144115188075855872L div s_scaled) * 7213L div 10000L"))
+          .select("event_type", "n_buckets_hit", "sum_reg", "s_scaled",
+            "est_users")
+          .join(broadcast(exact), "event_type")
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH h AS (
+          SELECT event_type,
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::BIGINT
+                   AS bucket,
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 10))::BIGINT
+                   AS v
+          FROM events),
+        r AS (
+          SELECT event_type, bucket,
+                 MAX(CASE WHEN v = 0 THEN 41
+                          ELSE 41 - length(bin(v)) END) AS reg
+          FROM h GROUP BY 1, 2),
+        g AS (
+          SELECT event_type,
+                 COUNT(*) AS n_buckets_hit,
+                 CAST(SUM(reg) AS BIGINT) AS sum_reg,
+                 CAST(SUM(1::BIGINT << (41 - reg)) AS BIGINT) AS s_hit
+          FROM r GROUP BY 1),
+        e AS (
+          SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+          FROM events GROUP BY 1)
+        SELECT g.event_type, g.n_buckets_hit, g.sum_reg,
+               CAST(g.s_hit + (256 - g.n_buckets_hit) * 2199023255552
+                 AS BIGINT) AS s_scaled,
+               CAST(144115188075855872
+                      // (g.s_hit + (256 - g.n_buckets_hit) * 2199023255552)
+                    * 7213 // 10000 AS BIGINT) AS est_users,
+               e.exact_users
+        FROM g JOIN e USING (event_type)
+        ORDER BY event_type
+      """.stripMargin.trim),
+    ),
   )
 }

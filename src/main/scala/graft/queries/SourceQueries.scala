@@ -1047,5 +1047,50 @@ object SourceQueries {
         GROUP BY 1 ORDER BY 1
       """.stripMargin.trim),
     ),
+
+    // S5/Q-family adjacent: s25 SURT prefix range scan — the CDX lookup
+    // shape the reference's query master serves ("every capture under
+    // this host/path"): the index is laid out SORTED by SURT key
+    // (host-reversed, the s15 form), so a host prefix query is a
+    // contiguous key range, not a corpus scan. The range is expressed as
+    // a sargable BETWEEN-style pair (urlkey >= prefix AND urlkey <
+    // prefix-successor — ')' + 1 = '*'), which reaches the parquet
+    // reader as PushedFilters and prunes via row-group min/max zone maps
+    // (plan-pinned in PlanSpec); combined with the range-partitioned
+    // write, a 1000-executor cluster opens only the files whose key
+    // range intersects the prefix — O(result), not O(index). The oracle
+    // derives the same capture set relationally (source = 'src7'),
+    // proving the range arithmetic selects exactly the host's keys.
+    Q(
+      "s25_cdx_prefix_scan",
+      (s, dir) => {
+        val out = stage("s25") + "/cdx"
+        val docs = Registry.table(s, dir, "documents")
+        val host = concat(col("source"), lit(".example.org"))
+        val urlkey = concat(
+          array_join(reverse(split(host, "\\.")), ","),
+          lit(")/doc/"), col("doc_id").cast("string"))
+        docs
+          .select(urlkey.as("urlkey"), col("doc_id"), col("lang"),
+            col("n_chars"))
+          .repartitionByRange(8, col("urlkey"))
+          .sortWithinPartitions("urlkey")
+          .write.parquet(out)
+        val lo = "org,example,src7)"
+        val hi = "org,example,src7*" // prefix successor: ')' + 1
+        s.read.parquet(out)
+          .filter(col("urlkey") >= lo && col("urlkey") < hi)
+          .select("urlkey", "doc_id", "lang", "n_chars")
+          .orderBy("urlkey")
+      },
+      Some("""
+        SELECT 'org,example,' || source || ')/doc/' ||
+                 CAST(doc_id AS VARCHAR) AS urlkey,
+               doc_id, lang, n_chars
+        FROM documents
+        WHERE source = 'src7'
+        ORDER BY urlkey
+      """.stripMargin.trim),
+    ),
   )
 }

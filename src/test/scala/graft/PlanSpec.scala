@@ -1090,4 +1090,40 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("CartesianProduct"), s"i13 degenerated:\n$p")
     assert(!p.contains("Window"), s"unexpected window in i13:\n$p")
   }
+
+  test("a21 HLL registers fold partial→final at every level; exact side broadcasts") {
+    val p = plan("a21_hll_registers")
+    // daily registers, the daily→total MAX merge, and the 256-row report
+    // fold must all combine map-side — only O(groups × 256) register rows
+    // ever cross a shuffle; the exact-distinct ground truth joins back as
+    // a broadcast O(types) relation
+    assert(!p.contains("Window"), s"a21 fell back to a window:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected partial+final register folds:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"a21 exact-count side must broadcast:\n$p")
+  }
+
+  test("g19 modularity: one edge pass into a partial-agg fold; total broadcasts") {
+    val p = plan("g19_modularity")
+    // each edge contributes two (root, role) rows to ONE groupBy onto
+    // O(|roots|) rows; the total-weight scalar is a broadcast one-row
+    // relation — no window, no self-join, no corpus reshuffle
+    assert(!p.contains("Window"), s"g19 fell back to a window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"g19 total-weight scalar not broadcast:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"g19 root fold lost its map-side combine:\n$p")
+  }
+
+  test("s25 prefix scan: the SURT range reaches the parquet reader as pushed filters") {
+    val p = plan("s25_cdx_prefix_scan")
+    // the sorted-layout design point: the prefix query must arrive at the
+    // scan as a sargable key range (row-group min/max pruning), never as
+    // a post-scan filter over the whole index
+    assert(p.contains("GreaterThanOrEqual(urlkey"),
+      s"s25 lower bound not pushed to the scan:\n$p")
+    assert(p.contains("LessThan(urlkey"),
+      s"s25 upper bound not pushed to the scan:\n$p")
+  }
 }
