@@ -1092,5 +1092,88 @@ object SourceQueries {
         ORDER BY urlkey
       """.stripMargin.trim),
     ),
+
+    // s26: copy-on-write MERGE (upsert) with partition-pruned rewrite —
+    // the Delta/Iceberg-style maintenance op a living corpus needs: apply
+    // a batch of updates + inserts by rewriting ONLY the partitions the
+    // batch touches. The base corpus is laid out in doc_id-range
+    // partitions (bucket = doc_id div 250); the update batch hits buckets
+    // 0–1 and the inserts key past max_id (the c5 discipline), landing in
+    // fresh partitions — so the rewrite reads O(batch)-many buckets
+    // however large the corpus grows, and every untouched partition
+    // passes through by NOT being read (the final read unions original
+    // dirs with the rewritten output). The affected-bucket list is an
+    // O(buckets-touched) driver-side collect (the TFile-manifest class of
+    // small collect), and the pruned scans carry real PartitionFilters
+    // (plan-pinned). The oracle replays MERGE semantics relationally
+    // (FULL OUTER coalesce of base vs upserts), so a row lost, duplicated,
+    // or left stale by the rewrite breaks the hash — per-language counts,
+    // char sums, AND the bucket fan-out are all value-checked.
+    Q(
+      "s26_cow_merge",
+      (s, dir) => {
+        val out = stage("s26")
+        val docs = Registry.table(s, dir, "documents")
+        val base = docs.select(col("doc_id"), col("lang"), col("n_chars"),
+          expr("doc_id div 250").as("bucket"))
+        base.write.partitionBy("bucket").parquet(s"$out/base")
+        val maxId = base.agg(max(col("doc_id")).as("m"))
+        val updates = base.filter(col("bucket") < 2 && col("doc_id") % 10 === 3)
+          .select(col("doc_id"), col("lang"),
+            (col("n_chars") + 1000L).as("n_chars"))
+        val inserts = base.filter(col("bucket") < 2 && col("doc_id") % 10 === 7)
+          .crossJoin(broadcast(maxId))
+          .select((col("m") + 1L + col("doc_id")).as("doc_id"),
+            lit("new").as("lang"), lit(50L).as("n_chars"))
+        val upserts = updates.unionByName(inserts)
+          .withColumn("bucket", expr("doc_id div 250"))
+        // plan which partitions the batch touches (O(touched) rows)
+        val touched = upserts.select("bucket").distinct()
+          .collect().map(_.getLong(0)).sorted
+        val baseRead = s.read.parquet(s"$out/base")
+        // COW rewrite: full-outer coalesce over the touched buckets only
+        baseRead.filter(col("bucket").isin(touched: _*))
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .join(upserts.select(col("doc_id").as("u_id"),
+            col("lang").as("u_lang"), col("n_chars").as("u_chars")),
+            col("doc_id") === col("u_id"), "full_outer")
+          .select(
+            coalesce(col("doc_id"), col("u_id")).as("doc_id"),
+            coalesce(col("u_lang"), col("lang")).as("lang"),
+            coalesce(col("u_chars"), col("n_chars")).as("n_chars"))
+          .withColumn("bucket", expr("doc_id div 250"))
+          .write.partitionBy("bucket").parquet(s"$out/rewrite")
+        // post-merge corpus = untouched base partitions ∪ the rewrite
+        val merged = baseRead.filter(!col("bucket").isin(touched: _*))
+          .unionByName(s.read.parquet(s"$out/rewrite"))
+        merged.groupBy("lang").agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            count_distinct(col("bucket")).as("n_buckets"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, lang, n_chars, doc_id // 250 AS bucket
+          FROM documents),
+        mx AS (SELECT MAX(doc_id) AS m FROM base),
+        upserts AS (
+          SELECT doc_id, lang, n_chars + 1000 AS n_chars
+          FROM base WHERE bucket < 2 AND doc_id % 10 = 3
+          UNION ALL
+          SELECT m + 1 + doc_id, 'new', 50
+          FROM base CROSS JOIN mx WHERE bucket < 2 AND doc_id % 10 = 7),
+        merged AS (
+          SELECT COALESCE(b.doc_id, u.doc_id) AS doc_id,
+                 COALESCE(u.lang, b.lang) AS lang,
+                 COALESCE(u.n_chars, b.n_chars) AS n_chars
+          FROM base b FULL OUTER JOIN upserts u ON b.doc_id = u.doc_id)
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               COUNT(DISTINCT doc_id // 250) AS n_buckets
+        FROM merged
+        GROUP BY 1 ORDER BY 1
+      """.stripMargin.trim),
+    ),
   )
 }

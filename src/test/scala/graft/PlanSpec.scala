@@ -1116,6 +1116,17 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"g19 root fold lost its map-side combine:\n$p")
   }
 
+  test("s26 COW merge: the touched-bucket cut prunes partitions, not rows") {
+    val p = plan("s26_cow_merge")
+    // both final-read legs must prune at the PARTITION level (directory
+    // listing), never as a post-scan row filter: the untouched leg skips
+    // the touched dirs, and the rewrite leg reads only its own output —
+    // at corpus scale the merge's read volume is O(batch), not O(corpus)
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(p).isDefined,
+      s"s26 bucket cut did not reach PartitionFilters:\n$p")
+    assert(!p.contains("Window"), s"unexpected window in s26:\n$p")
+  }
+
   test("s25 prefix scan: the SURT range reaches the parquet reader as pushed filters") {
     val p = plan("s25_cdx_prefix_scan")
     // the sorted-layout design point: the prefix query must arrive at the
