@@ -699,5 +699,54 @@ object InteractiveQueries {
         ORDER BY probe, rank
       """.trim),
     ),
+
+    // i18: keyset (cursor/"seek-method") pagination — the scale-correct
+    // complement to w2's offset windows: page N+1 resumes from the last
+    // row of page N via a sargable composite-key predicate, so the scan
+    // cost is O(page), not O(pages-skipped) — offset pagination re-reads
+    // and re-sorts everything before the requested page, which is why
+    // every deep-paging API (and the reference's own paginated index
+    // reads, PositionBasedSequenceFileIndex.java:229) keys on a cursor.
+    // The cursor here is the 60th row of the (o_totalprice DESC,
+    // o_orderkey ASC) listing — an O(1) driver-side fetch (the TFile-
+    // manifest collect class) — and the page-4 fetch is a tuple-order
+    // predicate + TakeOrdered: (price < c) OR (price = c AND key > k),
+    // which reaches the parquet scan as pushed min/max-prunable filters.
+    // On a listing laid out sorted by the ranking key (the s25
+    // discipline), the seek touches O(1) row groups at any corpus size.
+    Q(
+      "i18_keyset_pagination",
+      (s, dir) => {
+        val orders = Registry.table(s, dir, "orders")
+        val listing = orders
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        // cursor = last row of page 3 (rows 1-60): O(1) rows to the driver
+        val cur = listing.limit(60)
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").desc)
+          .select(col("o_totalprice"), col("o_orderkey"))
+          .limit(1).collect()(0)
+        val (cPrice, cKey) = (cur.getDouble(0), cur.getLong(1))
+        orders
+          .filter(col("o_totalprice") < cPrice ||
+            (col("o_totalprice") === cPrice && col("o_orderkey") > cKey))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(20)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderdate"))
+      },
+      Some("""
+        WITH cur AS (
+          SELECT o_totalprice AS c_price, o_orderkey AS c_key
+          FROM orders
+          ORDER BY o_totalprice DESC, o_orderkey ASC
+          LIMIT 1 OFFSET 59)
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        FROM orders CROSS JOIN cur
+        WHERE o_totalprice < c_price
+           OR (o_totalprice = c_price AND o_orderkey > c_key)
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 20
+      """.stripMargin.trim),
+    ),
   )
 }

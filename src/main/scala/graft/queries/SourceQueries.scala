@@ -1175,5 +1175,47 @@ object SourceQueries {
         GROUP BY 1 ORDER BY 1
       """.stripMargin.trim),
     ),
+
+    // s27: CSV delivery round trip under RFC 4180 adversarial content —
+    // embedded commas, doubled quotes, AND a literal newline inside a
+    // quoted field (the case that breaks naive line-split readers; the
+    // read side must run multiLine record assembly). Quote escaping is
+    // pinned to the RFC doubled-" convention on both legs (Spark's
+    // default escape is backslash — interop poison for every non-Spark
+    // consumer). The oracle recomputes the tricky field's md5 + length
+    // from the raw table, so a quoting/escaping/record-split defect on
+    // either leg breaks the hash. Explicit read schema — no inference
+    // pass (the s23 discipline).
+    Q(
+      "s27_csv_roundtrip",
+      (s, dir) => {
+        val out = stage("s27") + "/csv"
+        Registry.table(s, dir, "documents")
+          .filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"),
+            concat(lit("x,\"y\"\n"), col("source")).as("tricky"),
+            col("n_chars"))
+          .write.option("header", "true")
+          .option("quoteAll", "true").option("escape", "\"")
+          .csv(out)
+        s.read
+          .schema("doc_id LONG, tricky STRING, n_chars LONG")
+          .option("header", "true").option("multiLine", "true")
+          .option("escape", "\"")
+          .csv(out)
+          .select(col("doc_id"), md5(col("tricky")).as("tricky_md5"),
+            length(col("tricky")).as("tricky_len"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               md5('x,"y"' || chr(10) || source) AS tricky_md5,
+               CAST(length('x,"y"' || chr(10) || source) AS INT) AS tricky_len,
+               n_chars
+        FROM documents
+        WHERE doc_id % 5 = 0
+        ORDER BY doc_id
+      """.stripMargin.trim),
+    ),
   )
 }

@@ -669,5 +669,68 @@ object StatsQueries {
         ORDER BY event_type, dow, hour
       """.trim),
     ),
+
+    // st15: calendar gap-fill + last-observation-carried-forward — the
+    // series-completeness op every dashboard/forecast consumer needs: a
+    // day with no rows is DATA (a zero, or the carried prior level), not
+    // a missing tick. The day spine generates from the global [min, max]
+    // span (sequence() off a one-row broadcast agg — never a driver
+    // loop), left-joins the per-(type, day) fold, and LOCF is
+    // last(n, ignoreNulls) over the per-type ordered window — whose
+    // partition is O(elapsed days), time-bounded however many events
+    // arrive (the st7 rationale). A 1-in-7 event sample makes real gaps
+    // for the sparse types, so zero-fill, the gap flag, and the carried
+    // level are all non-vacuously hash-checked. Day indexes are raw
+    // epoch-millis arithmetic (the st14 discipline — no TZ semantics).
+    Q(
+      "st15_gap_fill_locf",
+      (s, dir) => {
+        val ev = Registry.table(s, dir, "events")
+          .filter(col("event_id") % 7 === 0)
+          .select(col("event_type"),
+            expr("unix_millis(ts) div 86400000").as("day_idx"))
+        val daily = ev.groupBy("event_type", "day_idx")
+          .agg(count(lit(1)).as("n"))
+        val span = ev.agg(min(col("day_idx")).as("lo"),
+          max(col("day_idx")).as("hi"))
+        val spine = ev.select("event_type").distinct()
+          .crossJoin(broadcast(span))
+          .select(col("event_type"),
+            explode(expr("sequence(lo, hi)")).as("day_idx"))
+        val w = Window.partitionBy("event_type").orderBy("day_idx")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(daily, Seq("event_type", "day_idx"), "left")
+          .withColumn("n_events", coalesce(col("n"), lit(0L)))
+          .withColumn("is_gap", col("n").isNull)
+          .withColumn("locf_n",
+            coalesce(last(col("n"), ignoreNulls = true).over(w), lit(0L)))
+          .select("event_type", "day_idx", "n_events", "is_gap", "locf_n")
+          .orderBy("event_type", "day_idx")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_type, epoch_ms(ts) // 86400000 AS day_idx
+          FROM events WHERE event_id % 7 = 0),
+        daily AS (
+          SELECT event_type, day_idx, COUNT(*) AS n
+          FROM ev GROUP BY 1, 2),
+        span AS (SELECT MIN(day_idx) AS lo, MAX(day_idx) AS hi FROM ev),
+        spine AS (
+          SELECT event_type, unnest(generate_series(lo, hi)) AS day_idx
+          FROM (SELECT DISTINCT event_type FROM ev) CROSS JOIN span),
+        j AS (
+          SELECT s.event_type, s.day_idx, d.n
+          FROM spine s LEFT JOIN daily d USING (event_type, day_idx))
+        SELECT event_type, day_idx,
+               CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+               n IS NULL AS is_gap,
+               CAST(COALESCE(LAST_VALUE(n IGNORE NULLS) OVER (
+                 PARTITION BY event_type ORDER BY day_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+                 AS BIGINT) AS locf_n
+        FROM j
+        ORDER BY event_type, day_idx
+      """.trim),
+    ),
   )
 }

@@ -1127,6 +1127,35 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Window"), s"unexpected window in s26:\n$p")
   }
 
+  test("i18 keyset page: the cursor predicate pushes to the scan; limit is TakeOrdered") {
+    val p = plan("i18_keyset_pagination")
+    // the whole point of seek-method pagination: the tuple-order cursor
+    // predicate must reach the reader (min/max-prunable Or of the two
+    // branches), and the page head must be TakeOrdered — never a global
+    // sort, never a row_number window over everything before the page
+    assert("PushedFilters: \\[[^\\]]*Or\\(LessThan\\(o_totalprice".r.findFirstIn(p).isDefined,
+      s"i18 cursor predicate not pushed to the scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"i18 page head fell back to a global sort:\n$p")
+    assert(!p.contains("Window"), s"i18 grew an offset window:\n$p")
+  }
+
+  test("st15 gap fill: spine broadcasts; the LOCF window is per-type time-bounded") {
+    val p = plan("st15_gap_fill_locf")
+    // the one-row span agg must broadcast into the spine cross join, and
+    // the only window is the per-event_type LOCF over O(elapsed days)
+    // rows — never a corpus-partitioned or unpartitioned window
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"st15 span scalar not broadcast:\n$p")
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, s"no LOCF window found in:\n$p")
+    specs.foreach { w =>
+      assert(w.trim.startsWith("event_type#"),
+        s"st15 window not per-type partitioned: $w\n$p")
+    }
+  }
+
   test("s25 prefix scan: the SURT range reaches the parquet reader as pushed filters") {
     val p = plan("s25_cdx_prefix_scan")
     // the sorted-layout design point: the prefix query must arrive at the
