@@ -1208,5 +1208,63 @@ object CurationQueries {
         ORDER BY nation, bal_bucket
       """.trim),
     ),
+
+    // cu23: distribution-drift audit between corpus snapshots — the ML
+    // monitoring gate behind "did this crawl's language mix shift?": a
+    // chi-square-style contingency comparison of the (lang × snapshot)
+    // table, all in exact integer rationals (the st11 multiply-through
+    // discipline — no float chi² ever enters the hash). Snapshot halves
+    // come from doc parity (the c6 snapshot convention); per cell the
+    // audit reports observed count O, the independence expectation
+    // E = R·C div N, and the signed relative deviation
+    // dev_ppm = (O·N − R·C)·10⁶ div (R·C) — the drift signal a corpus
+    // monitor thresholds on. Width bound documented: O·N ≤ N² needs
+    // N ≤ 3×10⁹ docs in int64; past that the fold runs per-shard and
+    // rescales (the cu19 checksum-width discipline). Scale shape: ONE
+    // partial-agg'd groupBy onto O(langs × 2) cells; margins and the
+    // total join back as broadcast model-sized relations.
+    Q(
+      "cu23_drift_audit",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val cells = docs
+          .select(col("lang"), (col("doc_id") % 2).cast("int").as("snap"))
+          .groupBy("lang", "snap").agg(count(lit(1)).as("o"))
+        val rowM = cells.groupBy("lang").agg(sum(col("o")).as("r"))
+        val colM = cells.groupBy("snap").agg(sum(col("o")).as("c"))
+        val tot = cells.agg(sum(col("o")).as("n"))
+        cells
+          .join(broadcast(rowM), "lang")
+          .join(broadcast(colM), "snap")
+          .crossJoin(broadcast(tot))
+          .withColumn("e", expr("r * c div n"))
+          // negative deviations divide as sign·(|d|·10⁶ div rc): Spark's
+          // `div` truncates toward zero while DuckDB's `//` floors, so
+          // the quotient must only ever see a non-negative numerator
+          .withColumn("dev_ppm", expr(
+            """CASE WHEN o * n >= r * c
+               THEN (o * n - r * c) * 1000000L div (r * c)
+               ELSE -((r * c - o * n) * 1000000L div (r * c)) END"""))
+          .select("lang", "snap", "o", "e", "dev_ppm")
+          .orderBy("lang", "snap")
+      },
+      Some("""
+        WITH cells AS (
+          SELECT lang, CAST(doc_id % 2 AS INT) AS snap, COUNT(*) AS o
+          FROM documents GROUP BY 1, 2),
+        rm AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        cm AS (SELECT snap, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells)
+        SELECT lang, snap, o,
+               CAST(r * c // n AS BIGINT) AS e,
+               CAST(CASE WHEN o * n >= r * c
+                    THEN (o * n - r * c) * 1000000 // (r * c)
+                    ELSE -((r * c - o * n) * 1000000 // (r * c)) END
+                 AS BIGINT) AS dev_ppm
+        FROM cells
+        JOIN rm USING (lang) JOIN cm USING (snap) CROSS JOIN t
+        ORDER BY lang, snap
+      """.trim),
+    ),
   )
 }

@@ -1082,6 +1082,65 @@ object GraphQueries {
         ORDER BY root
       """.trim),
     ),
+
+    // g20: degree assortativity (Newman 2002) — do high-fanout sources
+    // link to high-indegree targets? The hub-wiring health metric that
+    // separates a crawl graph with link farms (assortative hubs) from an
+    // organic web (disassortative). Per distinct edge the sample point is
+    // (x, y) = (src out-degree, dst in-degree); the report is the exact
+    // integer Pearson pieces over all edges — Σx Σy Σx² Σy² Σxy, the
+    // covariance numerator n·Σxy − Σx·Σy and both variance denominators
+    // — so the correlation's sign and magnitude are consumer-derivable
+    // with no float ever in the hash (the st11 regression discipline;
+    // int64 width bound: deg ≤ 10⁵ and edges ≤ 10⁷ keep n·Σxy < 2⁶²,
+    // past that the fold runs per-shard and rescales). Scale shape: two
+    // partial-agg'd degree folds, two hash equi-joins keyed on the edge
+    // endpoints (degree tables are O(nodes) — never broadcast), ONE
+    // global partial-agg'd reduction to a single row.
+    Q(
+      "g20_assortativity",
+      (s, dir) => {
+        val e = edges(s, dir).select("src_domain", "dst_domain")
+        val outdeg = e.groupBy("src_domain")
+          .agg(count(lit(1)).as("x"))
+        val indeg = e.groupBy("dst_domain")
+          .agg(count(lit(1)).as("y"))
+        e.join(outdeg, "src_domain").join(indeg, "dst_domain")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"),
+            sum(col("x") * col("y")).as("sxy"))
+          .select(col("n"), col("sx"), col("sy"), col("sxx"), col("syy"),
+            col("sxy"),
+            (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
+            (col("n") * col("sxx") - col("sx") * col("sx")).as("var_x_num"),
+            (col("n") * col("syy") - col("sy") * col("sy")).as("var_y_num"))
+      },
+      Some(s"""
+        WITH $EdgesCte,
+        e AS (SELECT DISTINCT src_domain, dst_domain FROM edges),
+        od AS (SELECT src_domain, COUNT(*) AS x FROM e GROUP BY 1),
+        id AS (SELECT dst_domain, COUNT(*) AS y FROM e GROUP BY 1),
+        pts AS (
+          SELECT x, y FROM e
+          JOIN od USING (src_domain) JOIN id USING (dst_domain)),
+        s AS (
+          SELECT COUNT(*) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(y * y) AS BIGINT) AS syy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy
+          FROM pts)
+        SELECT n, sx, sy, sxx, syy, sxy,
+               CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+               CAST(n * sxx - sx * sx AS BIGINT) AS var_x_num,
+               CAST(n * syy - sy * sy AS BIGINT) AS var_y_num
+        FROM s
+      """.trim),
+    ),
   )
 
   /** g16 oracle machinery: level-synchronous BFS unrolled — round i
