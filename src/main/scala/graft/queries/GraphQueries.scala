@@ -1088,12 +1088,14 @@ object GraphQueries {
     // separates a crawl graph with link farms (assortative hubs) from an
     // organic web (disassortative). Per distinct edge the sample point is
     // (x, y) = (src out-degree, dst in-degree); the report is the exact
-    // integer Pearson pieces over all edges — Σx Σy Σx² Σy² Σxy, the
-    // covariance numerator n·Σxy − Σx·Σy and both variance denominators
-    // — so the correlation's sign and magnitude are consumer-derivable
-    // with no float ever in the hash (the st11 regression discipline;
-    // int64 width bound: deg ≤ 10⁵ and edges ≤ 10⁷ keep n·Σxy < 2⁶²,
-    // past that the fold runs per-shard and rescales). Scale shape: two
+    // integer SUFFICIENT STATISTICS — n, Σx, Σy, Σx², Σy², Σxy — whose
+    // int64 headroom is comfortable (Σy² ≈ edges·deg² needs ~2⁵⁶ at 10⁹
+    // edges × 10⁴ degrees; per-shard rescale past that, the cu19
+    // discipline). The n·Σ−Σ·Σ Pearson PRODUCTS overflow int64 already
+    // at the 10× soak (measured: ARITHMETIC_OVERFLOW), so the in-engine
+    // verdict column is only the covariance SIGN, compared overflow-safe
+    // through 38-digit decimals — the full correlation is one big-rational
+    // multiply the consumer does on this one-row report. Scale shape: two
     // partial-agg'd degree folds, two hash equi-joins keyed on the edge
     // endpoints (degree tables are O(nodes) — never broadcast), ONE
     // global partial-agg'd reduction to a single row.
@@ -1115,9 +1117,11 @@ object GraphQueries {
             sum(col("x") * col("y")).as("sxy"))
           .select(col("n"), col("sx"), col("sy"), col("sxx"), col("syy"),
             col("sxy"),
-            (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
-            (col("n") * col("sxx") - col("sx") * col("sx")).as("var_x_num"),
-            (col("n") * col("syy") - col("sy") * col("sy")).as("var_y_num"))
+            when(expr("cast(n as decimal(38,0)) * cast(sxy as decimal(38,0))") >
+                 expr("cast(sx as decimal(38,0)) * cast(sy as decimal(38,0))"), 1)
+              .when(expr("cast(n as decimal(38,0)) * cast(sxy as decimal(38,0))") <
+                    expr("cast(sx as decimal(38,0)) * cast(sy as decimal(38,0))"), -1)
+              .otherwise(0).cast("int").as("cov_sign"))
       },
       Some(s"""
         WITH $EdgesCte,
@@ -1135,9 +1139,10 @@ object GraphQueries {
                  CAST(SUM(x * y) AS BIGINT) AS sxy
           FROM pts)
         SELECT n, sx, sy, sxx, syy, sxy,
-               CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
-               CAST(n * sxx - sx * sx AS BIGINT) AS var_x_num,
-               CAST(n * syy - sy * sy AS BIGINT) AS var_y_num
+               CAST(CASE
+                 WHEN n::HUGEINT * sxy::HUGEINT > sx::HUGEINT * sy::HUGEINT THEN 1
+                 WHEN n::HUGEINT * sxy::HUGEINT < sx::HUGEINT * sy::HUGEINT THEN -1
+                 ELSE 0 END AS INT) AS cov_sign
         FROM s
       """.trim),
     ),
