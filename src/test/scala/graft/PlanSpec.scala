@@ -1156,6 +1156,18 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("i19 host crowding: heap cut per source, TakeOrdered page, no window") {
+    val p = plan("i19_host_crowding")
+    // a megasite must ship ≤2 rows per mapper (partial→final
+    // ObjectHashAggregate); the page head is per-partition TakeOrdered
+    // over the O(2·hosts) survivors
+    assert(!p.contains("Window"), s"i19 fell back to a window sort:\n$p")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"i19: expected partial+final ObjectHashAggregate:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"i19 page cut fell back to a global sort:\n$p")
+  }
+
   test("s25 prefix scan: the SURT range reaches the parquet reader as pushed filters") {
     val p = plan("s25_cdx_prefix_scan")
     // the sorted-layout design point: the prefix query must arrive at the
