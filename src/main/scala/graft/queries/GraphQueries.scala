@@ -1037,22 +1037,36 @@ object GraphQueries {
       "g19_modularity",
       (s, dir) => {
         val e = edges(s, dir)
-        val roles = e.select(
-          col("src_root").as("root"),
-          col("n_links").as("w_out"),
-          lit(0L).as("w_in"),
-          when(col("src_root") === col("dst_root"), col("n_links"))
-            .otherwise(0L).as("w_intra"))
-          .unionByName(e.select(
+        // ONE pass over the 4-table edge derivation: each edge explodes
+        // into its two (root, role) rows inline (a union of two selects
+        // would re-run the whole derivation per branch — measured 5.7×
+        // superlinear at the 100× soak before this)
+        val roles = e.select(explode(array(
+          struct(
+            col("src_root").as("root"),
+            col("n_links").as("w_out"),
+            lit(0L).as("w_in"),
+            when(col("src_root") === col("dst_root"), col("n_links"))
+              .otherwise(0L).as("w_intra")),
+          struct(
             col("dst_root").as("root"),
             lit(0L).as("w_out"),
             col("n_links").as("w_in"),
-            lit(0L).as("w_intra")))
-        val byRoot = roles.groupBy("root").agg(
-          sum(col("w_out")).as("w_out"),
-          sum(col("w_in")).as("w_in"),
-          sum(col("w_intra")).as("w_intra"))
-        val total = e.agg(sum(col("n_links")).as("m"))
+            lit(0L).as("w_intra")))).as("x"))
+          .select(col("x.root").as("root"), col("x.w_out").as("w_out"),
+            col("x.w_in").as("w_in"), col("x.w_intra").as("w_intra"))
+        // materialized: two consumers (the report and the total), each of
+        // which would otherwise re-run the whole edge derivation chain —
+        // the O(roots) fold is 25 rows, the cheapest checkpoint there is
+        val byRoot = graft.ops.Iterative.materialize(
+          roles.groupBy("root").agg(
+            sum(col("w_out")).as("w_out"),
+            sum(col("w_in")).as("w_in"),
+            sum(col("w_intra")).as("w_intra")))
+        // total edge weight m = Σ w_out over the O(roots) fold — every
+        // edge contributes its weight to exactly one root's out side, so
+        // no second pass over the edges is needed
+        val total = byRoot.agg(sum(col("w_out")).as("m"))
         byRoot.crossJoin(broadcast(total))
           .select(col("root"), col("m"), col("w_intra"), col("w_out"),
             col("w_in"),
@@ -1102,7 +1116,11 @@ object GraphQueries {
     Q(
       "g20_assortativity",
       (s, dir) => {
-        val e = edges(s, dir).select("src_domain", "dst_domain")
+        // materialize the 4-table edge derivation once — three consumers
+        // (both degree folds + the point join) would otherwise each
+        // re-run the orders⋈lineitem shuffle
+        val e = graft.ops.Iterative.materialize(
+          edges(s, dir).select("src_domain", "dst_domain"))
         val outdeg = e.groupBy("src_domain")
           .agg(count(lit(1)).as("x"))
         val indeg = e.groupBy("dst_domain")
