@@ -152,28 +152,66 @@ object StatsQueries {
     ),
 
     // Sessionization: gap-based sessions (>30 min of inactivity starts a
-    // new session) via lag + running sum of session starts — the batch
-    // formulation of Structured Streaming's session windows. Total order
-    // inside each user by (ts, event_id) keeps lag deterministic.
+    // new session) — the batch formulation of Structured Streaming's
+    // session windows. DE-SKEWED two-phase form: a bare per-user window
+    // would buffer one user's whole history on one task, and crawl-scale
+    // event logs are bot-heavy (a crawler UA is 10⁸⁺ events). Phase 1
+    // sessionizes inside (user_id, day) buckets (lag + run-sum — the
+    // partition is one user's ONE DAY, 365× tighter than per-user and
+    // bounded by daily volume). Phase 2 stitches sessions that span a
+    // midnight: only the LAST fragment of day d can merge with the FIRST
+    // fragment of day d+1 (a skipped calendar day forces a ≥24 h gap >
+    // the 30-min threshold), so the stitch runs over per-(user, day)
+    // SUMMARY rows — ≤366/user/year, time-bounded, never event-bounded —
+    // and renumbers fragments with a cumulative runs-before offset.
+    // Total order inside each bucket by (ts, event_id) keeps lag
+    // deterministic; the boundary gap test reproduces the event-level
+    // rule exactly (fragment end/start ARE the adjacent events' ts).
     Q(
       "st5_sessionize",
       (s, dir) => {
-        val byUser = Window.partitionBy(col("user_id"))
+        val ev = Registry.table(s, dir, "events")
+          .withColumn("day", to_date(col("ts")))
+        val byBucket = Window.partitionBy(col("user_id"), col("day"))
           .orderBy(col("ts"), col("event_id"))
-        val newSession = when(
-          unix_millis(col("ts")) -
-            unix_millis(lag(col("ts"), 1).over(byUser)) > 1800000L, 1L)
-          .otherwise(when(lag(col("ts"), 1).over(byUser).isNull, 1L).otherwise(0L))
-        Registry.table(s, dir, "events")
-          .withColumn("new_s", newSession)
-          .withColumn("session_idx",
-            sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        val newLocal = when(lag(col("ts"), 1).over(byBucket).isNull, 1L)
+          .otherwise(when(
+            unix_millis(col("ts")) -
+              unix_millis(lag(col("ts"), 1).over(byBucket)) > 1800000L, 1L)
+            .otherwise(0L))
+        val frags = ev
+          .withColumn("new_s", newLocal)
+          .withColumn("local_idx",
+            sum(col("new_s")).over(byBucket.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("day"), col("local_idx"))
+          .agg(count(lit(1)).as("n_ev"),
+            min(col("ts")).as("fs"), max(col("ts")).as("fe"))
+        // Per-(user, day) summary: fragments are disjoint in time, so the
+        // day's first event ts = min(fs), last = max(fe).
+        val daySum = frags.groupBy(col("user_id"), col("day"))
+          .agg(min(col("fs")).as("day_first"), max(col("fe")).as("day_last"),
+            max(col("local_idx")).as("n_frags"))
+        val byUserDay = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        // carry = this day's first fragment continues the previous active
+        // day's last session (gap ≤ 30 min; NULL gap = no previous day →
+        // otherwise-0). runs-before = Σ (n_frags − carry) over prior days.
+        val stitched = daySum
+          .withColumn("carry", when(
+            unix_millis(col("day_first")) -
+              unix_millis(lag(col("day_last"), 1).over(byUserDay)) <= 1800000L, 1L)
+            .otherwise(0L))
+          .withColumn("before", coalesce(
+            sum(col("n_frags") - col("carry"))
+              .over(byUserDay.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("user_id"), col("day"), col("carry"), col("before"))
+        frags.join(stitched, Seq("user_id", "day"))
+          .withColumn("session_idx", col("before") + col("local_idx") - col("carry"))
           .groupBy(col("user_id"), col("session_idx"))
           .agg(
-            count(lit(1)).as("n_events"),
-            min(col("ts")).as("session_start"),
-            max(col("ts")).as("session_end"),
-            (unix_millis(max(col("ts"))) - unix_millis(min(col("ts"))))
+            sum(col("n_ev")).as("n_events"),
+            min(col("fs")).as("session_start"),
+            max(col("fe")).as("session_end"),
+            (unix_millis(max(col("fe"))) - unix_millis(min(col("fs"))))
               .as("duration_ms"))
           .orderBy(col("user_id"), col("session_idx"))
       },
@@ -316,26 +354,46 @@ object StatsQueries {
     ),
 
     // st8: session transition mining (funnel analysis) — which event
-    // follows which within a session: lag(event_type) per user (st5's
-    // exact window and 30-minute gap), filtered to same-session
-    // adjacency, counted per (src, dst) pair. The output is the
-    // |types|² transition matrix — O(25) rows here, O(k²) always.
-    // Scale shape: st5's per-user window rationale (a user's history is
-    // bounded by human activity; a bot-heavy corpus would bucket the
-    // partition by day, trading cross-midnight transitions for a hard
-    // bound); the transition count is a partial-agg'd groupBy onto a
-    // model-sized result.
+    // follows which within a session (st5's 30-minute adjacency rule),
+    // counted per (src, dst) pair onto the |types|² matrix — O(25) rows
+    // here, O(k²) always. DE-SKEWED like st5: the lag() runs inside
+    // (user_id, day) buckets, never over a bare per-user partition.
+    // Cross-midnight adjacency is recovered WITHOUT any per-user window
+    // at all: the only global pairs the buckets miss are (last event of
+    // day d → first event of day d+1) — any pair bridging a skipped
+    // calendar day has a ≥24 h gap and fails the 30-min filter in both
+    // formulations — so a per-(user, day) min_by/max_by summary
+    // (partial-agg'd, one row per active day) self-joins on
+    // (user, day+1) and contributes the boundary transitions.
     Q(
       "st8_transitions",
       (s, dir) => {
-        val byUser = Window.partitionBy(col("user_id"))
+        val ev = Registry.table(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("day", to_date(col("ts")))
+        val byBucket = Window.partitionBy(col("user_id"), col("day"))
           .orderBy(col("ts"), col("event_id"))
-        Registry.table(s, dir, "events")
-          .withColumn("src_type", lag(col("event_type"), 1).over(byUser))
+        val inDay = ev
+          .withColumn("src_type", lag(col("event_type"), 1).over(byBucket))
           .withColumn("gap_ms",
-            unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(byUser)))
+            unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(byBucket)))
           .where(col("src_type").isNotNull && col("gap_ms") <= 1800000L)
-          .groupBy(col("src_type"), col("event_type").as("dst_type"))
+          .select(col("src_type"), col("event_type").as("dst_type"))
+        val bounds = ev.groupBy(col("user_id"), col("day"))
+          .agg(
+            min_by(struct(col("event_type"), col("ts")),
+              struct(col("ts"), col("event_id"))).as("first"),
+            max_by(struct(col("event_type"), col("ts")),
+              struct(col("ts"), col("event_id"))).as("last"))
+        val cross = bounds.as("a").join(bounds.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("b.day") === date_add(col("a.day"), 1))
+          .where(unix_millis(col("b.first.ts")) -
+            unix_millis(col("a.last.ts")) <= 1800000L)
+          .select(col("a.last.event_type").as("src_type"),
+            col("b.first.event_type").as("dst_type"))
+        inDay.unionByName(cross)
+          .groupBy(col("src_type"), col("dst_type"))
           .agg(count(lit(1)).as("n_transitions"))
           .orderBy("src_type", "dst_type")
       },
@@ -516,34 +574,67 @@ object StatsQueries {
     // attribute state — [valid_from, valid_to) rows with the current
     // interval open-ended (NULL valid_to), exactly the slowly-changing-
     // dimension history a warehouse maintains per URL/fetch-status or
-    // account/plan. Mechanics: per-user lag() marks changes, a running
-    // sum numbers the runs, one fold per run, and a run-level lead()
-    // closes each interval at its successor's start. Both window
-    // partitions are ONE entity's history — bounded by per-entity
-    // event count (the st5 discipline), never corpus-wide; the run-
-    // level window is smaller still. Ties broken by (ts, event_id) so
-    // the replay is deterministic in both engines.
+    // account/plan. Mechanics, DE-SKEWED (the st5 two-phase discipline):
+    // lag() marks state changes inside (user_id, day) buckets — bounded
+    // by daily volume, never one entity's whole history on one task.
+    // Unlike st5 a run persists across ANY day gap (a state change, not
+    // a time gap, ends it), so the stitch window runs over per-(user,
+    // day) summary rows ordered by day (≤366/user/year, time-bounded):
+    // carry = previous active day's LAST event state equals this day's
+    // FIRST event state, replicating the original's exact null
+    // semantics (a NULL previous state always starts a run; lag <>
+    // state is NULL-falsy). Global run ids come from a cumulative
+    // runs-before offset, and the interval close (valid_to =
+    // successor's valid_from) is an equi self-join on the DENSE
+    // (user_id, run_id+1) key instead of a run-level lead() window —
+    // shuffle-partitioned by (user, run), skew-free. Ties broken by
+    // (ts, event_id) so the replay is deterministic in both engines.
     Q(
       "st12_scd2",
       (s, dir) => {
-        val byUser = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts"), col("event_id"))
         // `div`, not cast-after-/: double-division + CAST rounds in
         // DuckDB but truncates in Spark — integer division agrees
         val state = expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 50")
-        val runs = Registry.table(s, dir, "events")
+        val ev = Registry.table(s, dir, "events")
           .withColumn("state", state)
+          .withColumn("day", to_date(col("ts")))
+        val byBucket = Window.partitionBy(col("user_id"), col("day"))
+          .orderBy(col("ts"), col("event_id"))
+        val marked = ev
           .withColumn("chg",
-            when(lag(col("state"), 1).over(byUser).isNull ||
-              lag(col("state"), 1).over(byUser) =!= col("state"), 1L)
+            when(lag(col("state"), 1).over(byBucket).isNull ||
+              lag(col("state"), 1).over(byBucket) =!= col("state"), 1L)
               .otherwise(0L))
-          .withColumn("run_id",
-            sum(col("chg")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
-          .groupBy("user_id", "run_id", "state")
-          .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
-        val byRun = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
-        runs
-          .withColumn("valid_to", lead(col("valid_from"), 1).over(byRun))
+          .withColumn("local_run",
+            sum(col("chg")).over(byBucket.rowsBetween(Window.unboundedPreceding, 0)))
+        val frags = marked
+          .groupBy(col("user_id"), col("day"), col("local_run"), col("state"))
+          .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_ev"))
+        // Boundary summary at the EVENT level (first/last event state,
+        // not fragment state — the null quirk can mix states in one run).
+        val daySum = marked.groupBy(col("user_id"), col("day"))
+          .agg(
+            min_by(col("state"), struct(col("ts"), col("event_id"))).as("first_state"),
+            max_by(col("state"), struct(col("ts"), col("event_id"))).as("last_state"),
+            max(col("local_run")).as("n_runs"))
+        val byUserDay = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        val stitched = daySum
+          .withColumn("carry",
+            when(lag(col("last_state"), 1).over(byUserDay).isNull ||
+              lag(col("last_state"), 1).over(byUserDay) =!= col("first_state"), 0L)
+              .otherwise(1L))
+          .withColumn("before", coalesce(
+            sum(col("n_runs") - col("carry"))
+              .over(byUserDay.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("user_id"), col("day"), col("carry"), col("before"))
+        val runs = frags.join(stitched, Seq("user_id", "day"))
+          .withColumn("run_id", col("before") + col("local_run") - col("carry"))
+          .groupBy(col("user_id"), col("run_id"), col("state"))
+          .agg(min(col("valid_from")).as("valid_from"),
+            sum(col("n_ev")).as("n_events"))
+        val next = runs.select(col("user_id"), (col("run_id") - 1).as("run_id"),
+          col("valid_from").as("valid_to"))
+        runs.join(next, Seq("user_id", "run_id"), "left")
           .select(col("user_id"), col("run_id"), col("state"),
             col("valid_from"), col("valid_to"), col("n_events"))
           .orderBy("user_id", "run_id")

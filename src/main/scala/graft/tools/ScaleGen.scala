@@ -31,18 +31,28 @@ import org.apache.spark.sql.functions._
 object ScaleGen {
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleGen <srcSfDir> <outDir> <factor>")
-    val Array(src, out, factorS) = args
-    val factor = factorS.toInt
+    require(args.length == 3 || args.length == 4,
+      "usage: ScaleGen <srcSfDir> <outDir> <factor> [skew]")
+    val src = args(0); val out = args(1)
+    val factor = args(2).toInt
+    val skew = args.length == 4 && args(3) == "skew"
     require(factor >= 2 && factor <= 100, s"factor must be in [2,100], got $factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = graft.GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
-    try generate(spark, src, out, factor)
+    try generate(spark, src, out, factor, skew)
     finally spark.stop()
   }
 
-  def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+  /** With `skew` on, one "bot" user absorbs ~20% of all events and one
+    * "megasite" host ~20% of all orders (deterministic hash selection) —
+    * the zipf-head regime a crawl corpus actually has, so the per-key
+    * skew discipline (bounded heaps, day-bucketed windows, bucket-prefix
+    * ranks) is MEASURED on a hot key, not argued: a query that buffers
+    * one key's rows on one task goes visibly superlinear here.
+    */
+  def generate(spark: SparkSession, src: String, out: String, factor: Int,
+      skew: Boolean = false): Unit = {
     def read(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
     // a corpus grows by ADDING archives, not by inflating one file: write
     // factor× the source's file count so scan parallelism scales with the
@@ -87,9 +97,15 @@ object ScaleGen {
     write("part")(replicate(part)
       .withColumn("p_partkey", col("p_partkey") + col("rep") * partStride)
       .drop("rep"))
+    // skew: ~20% of orders collapse onto custkey 1 (a valid rep-0 key,
+    // so customer joins stay referentially intact — they just fan in)
+    val custShifted = col("o_custkey") + col("rep") * custStride
     write("orders")(replicate(orders)
       .withColumn("o_orderkey", col("o_orderkey") + col("rep") * orderStride)
-      .withColumn("o_custkey", col("o_custkey") + col("rep") * custStride)
+      .withColumn("o_custkey",
+        if (skew) when(pmod(hash(col("o_orderkey")), lit(5)) === 0, lit(1L))
+          .otherwise(custShifted)
+        else custShifted)
       .drop("rep"))
     write("lineitem")(replicate(read("lineitem"))
       .withColumn("l_orderkey", col("l_orderkey") + col("rep") * orderStride)
@@ -104,9 +120,17 @@ object ScaleGen {
     val events = read("events")
     val eventStride = stride(events, "event_id")
     val userStride = stride(events, "user_id")
+    // skew: ~20% of all events collapse onto one bot user (crawler UAs
+    // are single keys with 1e8+ events at corpus scale); timestamps are
+    // untouched, so the bot's history spans the full time range — the
+    // worst case for any per-user ordered window
+    val userShifted = col("user_id") + col("rep") * userStride
     write("events")(replicate(events)
       .withColumn("event_id", col("event_id") + col("rep") * eventStride)
-      .withColumn("user_id", col("user_id") + col("rep") * userStride)
+      .withColumn("user_id",
+        if (skew) when(pmod(hash(col("event_id")), lit(5)) === 0,
+            lit(userStride * factor)).otherwise(userShifted)
+        else userShifted)
       .drop("rep"))
 
     val documents = read("documents")

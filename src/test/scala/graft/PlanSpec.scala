@@ -692,14 +692,20 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"expected partial+final ObjectHashAggregate:\n$p")
   }
 
-  test("st8 transitions: one per-user window, counts partial→final") {
+  test("st8 transitions: day-bucketed lag, no bare per-user window") {
     val p = plan("st8_transitions")
-    // the lag() pass is st5's per-user window (one Window, shared by
-    // both lag columns); the transition count aggregates map-side onto
-    // the O(types²) result
+    // the lag() pass runs inside (user_id, day) buckets — a bare
+    // per-user window would buffer a bot UA's whole history on one task
+    assert("windowspecdefinition\\(user_id#\\d+L?, ts#".r.findFirstIn(p).isEmpty,
+      s"st8 has a bare per-user event window (bot-skew buffer):\n$p")
+    assert("windowspecdefinition\\(user_id#\\d+L?, day#\\d+,".r.findFirstIn(p).nonEmpty,
+      s"st8 lost its (user_id, day) bucketed window:\n$p")
     assert("\\bWindow\\b".r.findAllIn(p).size == 1,
-      s"expected exactly one (per-user) window in st8:\n$p")
-    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected exactly one (bucketed) window in st8:\n$p")
+    // the midnight-boundary pairs come from a partial-agg'd per-day
+    // min_by/max_by summary equi-joined on (user, day+1) — never a window
+    assert(!p.contains("CartesianProduct"), s"st8 boundary join degenerated:\n$p")
+    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2,
       s"transition count lost its map-side combine:\n$p")
   }
 
@@ -892,14 +898,33 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"expected partial+final folds for vocab/candidates:\n$p")
   }
 
-  test("st12 scd2: per-entity windows only, no corpus-wide partition, no join") {
+  test("st12 scd2: day-bucketed run detection, no bare per-user event window") {
     val p = plan("st12_scd2")
-    // both windows partition by user_id — one entity's history, the
-    // st5 bounded-partition discipline; nothing partitions corpus-wide
-    assert(p.contains("Window"), s"st12 lost its island windows:\n$p")
-    assert(!p.contains("Join"), s"st12 grew an unexpected join:\n$p")
+    // the change-detection lag runs inside (user_id, day) buckets; the
+    // only per-user window orders DAY SUMMARY rows (≤366/user/year) —
+    // and the interval close is a dense equi self-join, not a run window
+    assert("windowspecdefinition\\(user_id#\\d+L?, ts#".r.findFirstIn(p).isEmpty,
+      s"st12 has a bare per-user event window (bot-skew buffer):\n$p")
+    assert("windowspecdefinition\\(user_id#\\d+L?, day#\\d+,".r.findFirstIn(p).nonEmpty,
+      s"st12 lost its (user_id, day) bucketed window:\n$p")
+    assert("windowspecdefinition\\(user_id#\\d+L?, run_id#".r.findFirstIn(p).isEmpty,
+      s"st12 regrew the run-level lead() window:\n$p")
     assert(!"partitionBy=\\[\\]|Window.*, \\[\\],".r.findFirstIn(p).isDefined,
       s"st12 has an UNPARTITIONED window (corpus-wide sort):\n$p")
+    assert(!p.contains("CartesianProduct"), s"st12 interval close degenerated:\n$p")
+  }
+
+  test("st5 sessionize: day-bucketed windows + day-summary stitch, no bare per-user window") {
+    val p = plan("st5_sessionize")
+    // phase 1 sessionizes inside (user_id, day); phase 2's per-user
+    // window orders per-day SUMMARY rows (≤366/user/year) — no window
+    // anywhere sorts one user's raw event history
+    assert("windowspecdefinition\\(user_id#\\d+L?, ts#".r.findFirstIn(p).isEmpty,
+      s"st5 has a bare per-user event window (bot-skew buffer):\n$p")
+    assert("windowspecdefinition\\(user_id#\\d+L?, day#\\d+,".r.findFirstIn(p).nonEmpty,
+      s"st5 lost its (user_id, day) bucketed window:\n$p")
+    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"st5 fragment fold lost its two-phase shape:\n$p")
   }
 
   test("x15 useragent: one partial-agg fold, no window, no join") {
