@@ -40,18 +40,28 @@ object Components {
       .filter(col("lo") =!= col("hi"))
       .distinct())
 
-    // the edge set is canonical (lo < hi, distinct), so fixpoint
-    // detection can ride on one cheap agg signature per round
-    def sig(df: DataFrame): (Long, Long, Long) = {
-      val r = df.agg(count(lit(1)), sum("lo"), sum("hi")).first()
-      if (r.getLong(0) == 0L) (0L, 0L, 0L)
-      else (r.getLong(0), r.getLong(1), r.getLong(2))
+    // the edge set is canonical (lo < hi, distinct), so per-round change
+    // detection rides on one cheap agg signature. The signature is only
+    // a NEGATIVE test (different signature ⇒ the set changed, keep
+    // iterating — trivially sound, it's a function of the set);
+    // convergence itself is never declared on it: a matching signature
+    // only triggers the exact set comparison below, so a collision
+    // between two different consecutive edge sets cannot end the loop
+    // early. 32-bit murmur terms summed into a long stay overflow-free
+    // under ANSI mode to ~2^32 edges (raw 64-bit hashed node ids would
+    // overflow sum() immediately).
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        sum(hash(col("lo"), col("hi")).cast("long"))).first()
+      if (r.getLong(0) == 0L) (0L, 0L)
+      else (r.getLong(0), r.getLong(1))
     }
 
     var cur = sig(edges)
-    var prev = (-1L, 0L, 0L)
+    var converged = edges.isEmpty
     var rounds = 0
-    while (cur != prev && rounds < maxIters) {
+    while (!converged && rounds < maxIters) {
+      val prevEdges = edges
       // LARGE-STAR: m(u) = min(N(u) ∪ {u}) over both directions;
       // attach every LARGER neighbor v of u to m(u). Since
       // m(u) ≤ u < v the result is canonical by construction.
@@ -71,11 +81,16 @@ object Components {
         .unionByName(withM.select(col("m").as("lo"), col("lo").as("hi")))
         .filter(col("lo") =!= col("hi"))
         .distinct())
-      prev = cur
-      cur = sig(edges)
+      val next = sig(edges)
       rounds += 1
+      // a signature match is treated as NECESSARY only: convergence is
+      // declared solely after the exact set comparison confirms it, so
+      // a hash-style collision between two different consecutive edge
+      // sets can never terminate the loop early with wrong components
+      converged = next == cur && confirmedFixpoint(prevEdges, edges)
+      cur = next
     }
-    require(cur == prev, s"star contraction did not converge in $maxIters rounds")
+    require(converged, s"star contraction did not converge in $maxIters rounds")
     // fixpoint = star forest rooted at each component's minimum: every
     // hi is a non-root member, its lo the root; roots label themselves
     val members = edges.select(col("hi").as("node"), col("lo").as("component"))
@@ -84,4 +99,12 @@ object Components {
       .select(col("lo").as("node"), col("lo").as("component"))
     (members.unionByName(roots), rounds)
   }
+
+  /** Exact fixpoint confirmation: with equal row counts already
+    * established by the signature, one-sided `except` decides set
+    * equality of two distinct canonical edge tables. Both sides are
+    * checkpointed when called from the contraction loop, so this is a
+    * single small job over materialized blocks, run once at the end. */
+  private[graft] def confirmedFixpoint(prev: DataFrame, cur: DataFrame): Boolean =
+    cur.except(prev).isEmpty
 }

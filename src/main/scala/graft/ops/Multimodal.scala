@@ -682,6 +682,14 @@ object Multimodal {
       System.arraycopy(cur, 0, prev, 0, stride)
       y += 1
     }
+    pngContainer(raw, w, h, 8, 2, Nil)
+  }
+
+  /** Deflate filtered scanlines and wrap them in a real PNG container:
+    * signature, IHDR, any extra pre-IDAT chunks (PLTE/tRNS), IDAT, IEND
+    * — shared by the truecolor and palette/gray fixture encoders. */
+  private def pngContainer(raw: Array[Byte], w: Int, h: Int, depth: Int,
+      colorType: Int, extra: Seq[(String, Array[Byte])]): Array[Byte] = {
     val deflater = new java.util.zip.Deflater()
     deflater.setInput(raw); deflater.finish()
     val comp = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
@@ -701,11 +709,93 @@ object Multimodal {
         .putInt(crc.getValue.toInt).array(), 0, 4)
     }
     chunk("IHDR", java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
-      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
-      .array())
+      .put(depth.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array())
+    extra.foreach { case (t, d) => chunk(t, d) }
     chunk("IDAT", comp.toByteArray)
     chunk("IEND", Array.emptyByteArray)
     out.toByteArray
+  }
+
+  /** Palette entry j → (r, g, b): analytic, so the m18 oracle recomputes
+    * channel sums without decoding (the GIF-palette discipline). */
+  private[graft] def pngPalette(j: Int): (Int, Int, Int) =
+    ((5 * j + 1) % 256, (11 * j + 2) % 256, (23 * j + 3) % 256)
+
+  /** Sample value at (x, y) for seed k at `depth` bits — analytic. */
+  private[graft] def pngSample(k: Long, x: Int, y: Int, depth: Int): Int =
+    ((x + 2L * y + k) % (1 << depth)).toInt
+
+  /** Encode a real grayscale (color type 0) or paletted (color type 3)
+    * PNG at bit depth 1/2/4/8 with MSB-first sub-byte sample packing
+    * and per-row filter rotation (y % 5, byte-domain bpp=1) — the
+    * dominant PNG classes on the real web, and deterministic (no IDCT),
+    * so the m18 oracle is exact. Seeds k % 3 == 0 of the palette form
+    * also carry a tRNS chunk to exercise the ancillary-skip path. */
+  private[graft] def encodePngSub(k: Long, w: Int, h: Int, depth: Int,
+      palette: Boolean): Array[Byte] = {
+    require(depth == 1 || depth == 2 || depth == 4 || depth == 8, s"depth $depth")
+    val rowBytes = (w * depth + 7) / 8
+    val raw = new Array[Byte]((rowBytes + 1) * h)
+    val cur = new Array[Int](rowBytes)
+    val prev = new Array[Int](rowBytes)
+    var off = 0
+    var y = 0
+    while (y < h) {
+      java.util.Arrays.fill(cur, 0)
+      var x = 0
+      while (x < w) {
+        val s = pngSample(k, x, y, depth)
+        val bitPos = x * depth
+        cur(bitPos >> 3) |= s << (8 - depth - (bitPos & 7))
+        x += 1
+      }
+      val ft = y % 5
+      raw(off) = ft.toByte; off += 1
+      var i = 0
+      while (i < rowBytes) {
+        val a = if (i >= 1) cur(i - 1) else 0
+        val up = prev(i)
+        val c = if (i >= 1) prev(i - 1) else 0
+        val v = ft match {
+          case 0 => cur(i)
+          case 1 => cur(i) - a
+          case 2 => cur(i) - up
+          case 3 => cur(i) - ((a + up) >> 1)
+          case _ => cur(i) - paeth(a, up, c)
+        }
+        raw(off) = (v & 0xff).toByte; off += 1
+        i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, rowBytes)
+      y += 1
+    }
+    val extra =
+      if (!palette) Nil
+      else {
+        val n = 1 << depth
+        val p = new Array[Byte](3 * n)
+        var j = 0
+        while (j < n) {
+          val (r, g, b) = pngPalette(j)
+          p(3 * j) = r.toByte; p(3 * j + 1) = g.toByte; p(3 * j + 2) = b.toByte
+          j += 1
+        }
+        if (k % 3 == 0)
+          Seq("PLTE" -> p, "tRNS" -> Array.tabulate(n)(j => ((j * 7) % 256).toByte))
+        else Seq("PLTE" -> p)
+      }
+    pngContainer(raw, w, h, depth, if (palette) 3 else 0, extra)
+  }
+
+  /** Fixture-synthesis column for m18: palette/gray PNG bytes for
+    * (seed, width, height, depth, palette?). */
+  def packPngSub(id: Column, width: Column, height: Column,
+      depth: Column, palette: Column): Column = {
+    val enc = udf((k: Long, w: Int, h: Int, d: Int, p: Boolean) =>
+      encodePngSub(k % 251, w, h, d, p))
+    enc(id.cast("long"), width.cast("int"), height.cast("int"),
+      depth.cast("int"), palette.cast("boolean"))
   }
 
   /** REAL pixel decode of a non-interlaced 8-bit RGB/RGBA PNG: walks the
@@ -728,6 +818,7 @@ object Multimodal {
       var pos = 8
       var w = -1; var h = -1; var colorType = -1; var bitDepth = -1
       var sawIhdr = false
+      var plte: Array[Byte] = null
       val idat = new java.io.ByteArrayOutputStream()
       var done = false
       while (!done) {
@@ -744,17 +835,33 @@ object Multimodal {
             if ((bytes(pos + 18) & 0xff) != 0 || (bytes(pos + 19) & 0xff) != 0 ||
                 (bytes(pos + 20) & 0xff) != 0) return bad
             sawIhdr = true
+          case "PLTE" =>
+            if (len % 3 != 0 || len > 768) return bad
+            plte = java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + len)
           case "IDAT" => idat.write(bytes, pos + 8, len)
           case "IEND" => done = true
-          case _ => () // ancillary chunk: skip
+          case _ => () // ancillary chunk (tEXt, tRNS, gAMA, …): skip
         }
         pos += 12 + len
       }
-      if (!sawIhdr || w <= 0 || h <= 0 || bitDepth != 8) return bad
-      val bpp = colorType match { case 2 => 3; case 6 => 4; case _ => return bad }
+      if (!sawIhdr || w <= 0 || h <= 0) return bad
+      // truecolor stays 8-bit only; grayscale (0) and palette (3) — the
+      // dominant PNG classes on the real web — accept depths 1/2/4/8
+      // with PNG's MSB-first sub-byte sample packing
+      val channels = colorType match {
+        case 0 => 1; case 2 => 3; case 3 => 1; case 6 => 4; case _ => return bad
+      }
+      val depthOk = colorType match {
+        case 0 | 3 => bitDepth == 1 || bitDepth == 2 || bitDepth == 4 || bitDepth == 8
+        case _ => bitDepth == 8
+      }
+      if (!depthOk) return bad
+      if (colorType == 3 && (plte == null || plte.length < 3)) return bad
+      val bitsPerPixel = bitDepth * channels
       // declared dims are untrusted AND unbounded by input size (IDAT is
       // compressed): overflow-free stride math, hard allocation cap
-      val strideL = w.toLong * bpp + 1
+      val rowBytesL = (w.toLong * bitsPerPixel + 7) / 8
+      val strideL = rowBytesL + 1
       if (h > MaxInflateBytes / strideL) return bad
       val total = (strideL * h).toInt
       val raw = new Array[Byte](total)
@@ -770,9 +877,15 @@ object Multimodal {
         }
         if (got < total) return bad
       } finally inf.end()
-      val stride = w * bpp
+      val stride = rowBytesL.toInt
+      // filters run over the BYTE domain: the "previous pixel" byte is
+      // max(1, bitsPerPixel/8) back (PNG's bpp-rounded-up-to-1 rule),
+      // so sub-byte rows filter against the prior byte
+      val fbpp = math.max(1, bitsPerPixel / 8)
       val prev = new Array[Int](stride)
       val cur = new Array[Int](stride)
+      val maxSample = (1 << bitDepth) - 1
+      val grayScale = 255 / maxSample // exact for depths 1/2/4/8
       var sumR = 0L; var sumG = 0L; var sumB = 0L; var evenSum = 0L
       var off = 0
       var y = 0
@@ -782,9 +895,9 @@ object Multimodal {
         var i = 0
         while (i < stride) {
           val v = raw(off + i) & 0xff
-          val a = if (i >= bpp) cur(i - bpp) else 0
+          val a = if (i >= fbpp) cur(i - fbpp) else 0
           val up = prev(i)
-          val c = if (i >= bpp) prev(i - bpp) else 0
+          val c = if (i >= fbpp) prev(i - fbpp) else 0
           cur(i) = ft match {
             case 0 => v
             case 1 => (v + a) & 0xff
@@ -795,9 +908,29 @@ object Multimodal {
           i += 1
         }
         off += stride
+        // MSB-first sample extraction at bit position x*bitDepth
+        def sampleAt(x: Int): Int =
+          if (bitDepth == 8) cur(x)
+          else {
+            val bitPos = x * bitDepth
+            (cur(bitPos >> 3) >> (8 - bitDepth - (bitPos & 7))) & maxSample
+          }
         var x = 0
         while (x < w) {
-          val r = cur(bpp * x); val g = cur(bpp * x + 1); val b = cur(bpp * x + 2)
+          var r = 0; var g = 0; var b = 0
+          colorType match {
+            case 2 | 6 =>
+              r = cur(channels * x); g = cur(channels * x + 1)
+              b = cur(channels * x + 2)
+            case 0 =>
+              val v = sampleAt(x) * grayScale
+              r = v; g = v; b = v
+            case _ => // 3: palette lookup; an index past PLTE is malformed
+              val j = sampleAt(x)
+              if (3 * j + 2 >= plte.length) return bad
+              r = plte(3 * j) & 0xff; g = plte(3 * j + 1) & 0xff
+              b = plte(3 * j + 2) & 0xff
+          }
           sumR += r; sumG += g; sumB += b
           if ((x & 1) == 0 && (y & 1) == 0) evenSum += r + g + b
           x += 1

@@ -31,6 +31,12 @@ object CurationQueries {
   private def md5BucketSql(salt: String, key: String) =
     s"substr(md5('$salt:' || CAST($key AS VARCHAR)), 1, 2)"
 
+  /** One frozen-split staging dir per JVM (the d9StagePath discipline):
+    * saveAsTable(overwrite) to the same external location replaces the
+    * assignment table in place, so reruns don't accumulate copies. */
+  private lazy val cu24StagePath: String =
+    java.nio.file.Files.createTempDirectory("graft-cu24-").toString
+
   /** Oracle fragment: normalized whitespace tokens (the t2 tokenizer). */
   private val TokensSql =
     raw"string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')"
@@ -1264,6 +1270,114 @@ object CurationQueries {
         FROM cells
         JOIN rm USING (lang) JOIN cm USING (snap) CROSS JOIN t
         ORDER BY lang, snap
+      """.trim),
+    ),
+    // ---------------------------------------------------------------
+    // cu24: FROZEN incremental leakage split — the production fix for
+    // cu17's documented caveat: a later batch that bridges or re-roots
+    // a near-dup cluster must NOT flip the split of docs already used
+    // for training/eval (an eval doc silently moving into train after
+    // the fact is contamination you can't undo). Round 1 splits the
+    // initial corpus with cu17's cluster-keyed hash and PERSISTS the
+    // (doc_id → split) assignment as a doc_id-bucketed table (the d9
+    // artifact discipline — corpus-sized, so the probe join's index
+    // side never re-shuffles). Round 2's new batch probes it: a new
+    // doc whose full-corpus cluster touches ANY already-split doc
+    // inherits that anchor's frozen split (anchor = the cluster's
+    // smallest assigned doc_id — deterministic); only clusters the
+    // index has never seen get hashed. Output also carries what a
+    // naive full re-split WOULD assign (`flipped` marks frozen
+    // assignments the re-split would have changed — the leak the
+    // freeze prevents). Scale shape: two d5-shaped clusterings (banded
+    // candidates, log-round components), one groupBy for anchors, one
+    // bucketed probe join; no windows, no corpus² anywhere.
+    Q(
+      "cu24_frozen_split",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val batch1 = docs.filter(col("source") =!= "src0")
+        def bucketOf(rep: org.apache.spark.sql.Column) =
+          when(md5Bucket("lsplit", rep) < lit("cc"), lit("train"))
+            .otherwise(lit("heldout"))
+        // ROUND 1: cu17 verbatim over the initial corpus only, persisted
+        val pairs1 = graft.ops.Dedupe.minhashNearDupPairs(batch1, "doc_id",
+          "text", threshold = 0.8, k = 72, bands = 6)
+        val clus1 = graft.ops.Dedupe.connectedComponents(pairs1)
+          .select(col("id").as("doc_id"), col("cluster_id"))
+        val assigned = batch1.select(col("doc_id"))
+          .join(clus1, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            bucketOf(coalesce(col("cluster_id"), col("doc_id"))).as("split"))
+        graft.sources.Sinks.writeBucketedAt(assigned, "cu24_frozen",
+          "doc_id", 8, s"$cu24StagePath/frozen")
+        val frozen = s.table("cu24_frozen")
+        // ROUND 2: cluster the grown corpus, probe the frozen index
+        val pairsAll = graft.ops.Dedupe.minhashNearDupPairs(docs, "doc_id",
+          "text", threshold = 0.8, k = 72, bands = 6)
+        val clusAll = graft.ops.Dedupe.connectedComponents(pairsAll)
+          .select(col("id").as("doc_id"), col("cluster_id"))
+        val withRep = docs.select(col("doc_id"),
+            (col("source") === "src0").as("is_new"))
+          .join(clusAll, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("is_new"),
+            coalesce(col("cluster_id"), col("doc_id")).as("rep"))
+          .transform(graft.ops.Iterative.materialize) // feeds anchors + output
+        val anchors = withRep.filter(!col("is_new"))
+          .groupBy("rep").agg(min(col("doc_id")).as("anchor_id"))
+          .join(frozen, col("anchor_id") === frozen("doc_id"))
+          .select(col("rep"), col("split").as("anchor_split"))
+        withRep
+          .join(frozen.withColumnRenamed("split", "own_split"),
+            Seq("doc_id"), "left")
+          .join(anchors, Seq("rep"), "left")
+          .withColumn("split", when(!col("is_new"), col("own_split"))
+            .otherwise(coalesce(col("anchor_split"), bucketOf(col("rep")))))
+          .withColumn("frozen", !col("is_new"))
+          .withColumn("flipped", col("split") =!= bucketOf(col("rep")))
+          .select(col("doc_id"), col("split"), col("frozen"), col("flipped"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE ${DedupeQueries.clusterCtes},
+        b1 AS (SELECT doc_id FROM documents WHERE source <> 'src0'),
+        edges1 AS (
+          SELECT e.src, e.dst FROM edges e
+          JOIN b1 x ON e.src = x.doc_id JOIN b1 y ON e.dst = y.doc_id),
+        walk1(id, label) AS (
+          SELECT src, src FROM edges1
+          UNION
+          SELECT e.src, w.label FROM edges1 e JOIN walk1 w ON e.dst = w.id
+          WHERE w.label < e.src),
+        clus1 AS (SELECT id AS doc_id, MIN(label) AS cluster_id
+                  FROM walk1 GROUP BY id),
+        frozen AS (
+          SELECT d.doc_id,
+                 CASE WHEN ${md5BucketSql("lsplit",
+            "COALESCE(c.cluster_id, d.doc_id)")} < 'cc'
+                      THEN 'train' ELSE 'heldout' END AS split
+          FROM b1 d LEFT JOIN clus1 c ON d.doc_id = c.doc_id),
+        full_rep AS (
+          SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS rep,
+                 d.source = 'src0' AS is_new
+          FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id),
+        anchors AS (
+          SELECT a.rep, fr.split AS anchor_split
+          FROM (SELECT rep, MIN(doc_id) AS anchor_id
+                FROM full_rep WHERE NOT is_new GROUP BY rep) a
+          JOIN frozen fr ON a.anchor_id = fr.doc_id),
+        outp AS (
+          SELECT r.doc_id, r.is_new, r.rep,
+                 CASE WHEN NOT r.is_new THEN fr.split
+                      WHEN an.anchor_split IS NOT NULL THEN an.anchor_split
+                      ELSE CASE WHEN ${md5BucketSql("lsplit", "r.rep")} < 'cc'
+                           THEN 'train' ELSE 'heldout' END END AS split
+          FROM full_rep r
+          LEFT JOIN frozen fr ON r.doc_id = fr.doc_id
+          LEFT JOIN anchors an ON r.rep = an.rep)
+        SELECT doc_id, split, NOT is_new AS frozen,
+               split <> (CASE WHEN ${md5BucketSql("lsplit", "rep")} < 'cc'
+                         THEN 'train' ELSE 'heldout' END) AS flipped
+        FROM outp ORDER BY doc_id
       """.trim),
     ),
   )

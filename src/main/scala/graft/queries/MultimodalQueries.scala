@@ -804,5 +804,72 @@ object MultimodalQueries {
         ORDER BY doc_id, run_idx
       """.trim),
     ),
+
+    // m18: palette + grayscale PNG pixel decode — the two PNG classes
+    // that dominate the real web (color type 3 with a PLTE, color type
+    // 0 gray) at bit depths 1/2/4/8: MSB-first sub-byte sample packing,
+    // byte-domain filters (bpp=1), palette lookup, exact integer gray
+    // scaling (255/(2^d−1) is integral for d | 8), and a tRNS chunk on
+    // every third palette seed to exercise the ancillary skip. All
+    // deterministic (no IDCT rounding), so the oracle recomputes the
+    // geometry-sensitive channel sums analytically — same regime as m8.
+    Q(
+      "m18_png_palette_gray",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val w = (col("doc_id") % 14 + 3).cast("int")
+        val h = (col("doc_id") % 9 + 2).cast("int")
+        val depth = when(col("doc_id") % 4 === 0, 1)
+          .when(col("doc_id") % 4 === 1, 2)
+          .when(col("doc_id") % 4 === 2, 4)
+          .otherwise(8)
+        val pal = col("doc_id") % 2 === 1
+        val packed = docs.select(col("doc_id"),
+          Multimodal.packPngSub(col("doc_id"), w, h, depth, pal).as("media"))
+        Multimodal.decodePngPixelStats(packed, "doc_id", "media")
+          .select(
+            col("id").as("doc_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("sum_r"), col("sum_g"), col("sum_b"), col("even_sum"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH g AS (
+          SELECT doc_id, doc_id % 14 + 3 AS w, doc_id % 9 + 2 AS h,
+                 doc_id % 251 AS k, doc_id % 2 AS pal,
+                 1 << (CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+                       WHEN 2 THEN 4 ELSE 8 END) AS nv
+          FROM documents)
+        SELECT doc_id,
+               w::BIGINT AS width, h::BIGINT AS height,
+               CAST(list_sum(list_transform(range(0, w*h), i ->
+                 CASE WHEN pal = 1
+                      THEN (5*((i % w + 2*(i // w) + k) % nv) + 1) % 256
+                      ELSE ((i % w + 2*(i // w) + k) % nv) * (255 // (nv - 1))
+                 END)) AS BIGINT) AS sum_r,
+               CAST(list_sum(list_transform(range(0, w*h), i ->
+                 CASE WHEN pal = 1
+                      THEN (11*((i % w + 2*(i // w) + k) % nv) + 2) % 256
+                      ELSE ((i % w + 2*(i // w) + k) % nv) * (255 // (nv - 1))
+                 END)) AS BIGINT) AS sum_g,
+               CAST(list_sum(list_transform(range(0, w*h), i ->
+                 CASE WHEN pal = 1
+                      THEN (23*((i % w + 2*(i // w) + k) % nv) + 3) % 256
+                      ELSE ((i % w + 2*(i // w) + k) % nv) * (255 // (nv - 1))
+                 END)) AS BIGINT) AS sum_b,
+               CAST(list_sum(list_transform(
+                 list_filter(range(0, w*h),
+                   i -> (i % w) % 2 = 0 AND (i // w) % 2 = 0),
+                 i -> CASE WHEN pal = 1
+                      THEN (5*((i % w + 2*(i // w) + k) % nv) + 1) % 256
+                         + (11*((i % w + 2*(i // w) + k) % nv) + 2) % 256
+                         + (23*((i % w + 2*(i // w) + k) % nv) + 3) % 256
+                      ELSE 3 * (((i % w + 2*(i // w) + k) % nv) * (255 // (nv - 1)))
+                 END)) AS BIGINT) AS even_sum
+        FROM g
+        ORDER BY doc_id
+      """.trim),
+    ),
   )
 }

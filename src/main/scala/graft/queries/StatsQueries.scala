@@ -390,6 +390,9 @@ object StatsQueries {
               col("b.day") === date_add(col("a.day"), 1))
           .where(unix_millis(col("b.first.ts")) -
             unix_millis(col("a.last.ts")) <= 1800000L)
+          // same null semantics as the in-day path (and the per-user
+          // oracle): a NULL src event_type never emits a transition row
+          .where(col("a.last.event_type").isNotNull)
           .select(col("a.last.event_type").as("src_type"),
             col("b.first.event_type").as("dst_type"))
         inDay.unionByName(cross)
@@ -632,8 +635,15 @@ object StatsQueries {
           .groupBy(col("user_id"), col("run_id"), col("state"))
           .agg(min(col("valid_from")).as("valid_from"),
             sum(col("n_ev")).as("n_events"))
-        val next = runs.select(col("user_id"), (col("run_id") - 1).as("run_id"),
-          col("valid_from").as("valid_to"))
+        // one successor row per (user_id, run_id) GUARANTEED: the null
+        // quirk ('lag <> state' is NULL-falsy) can put two states — and
+        // so two `runs` rows — in one run_id, and a bare select here
+        // would then fan the equi join out, duplicating intervals. The
+        // run's start is min(valid_from) over its states.
+        val next = runs.groupBy(col("user_id"), col("run_id"))
+          .agg(min(col("valid_from")).as("valid_to"))
+          .select(col("user_id"), (col("run_id") - 1).as("run_id"),
+            col("valid_to"))
         runs.join(next, Seq("user_id", "run_id"), "left")
           .select(col("user_id"), col("run_id"), col("state"),
             col("valid_from"), col("valid_to"), col("n_events"))

@@ -64,8 +64,27 @@ object Compaction {
           .parquet(s"$outDir/bin=${b.id}")
       }
     }
-    try Await.result(Future.sequence(jobs), Duration.Inf)
-    finally pool.shutdown()
+    // QUIESCENT on failure: a fail-fast Future.sequence would rethrow on
+    // the first bad bin while the pool keeps mutating outDir behind the
+    // caller's back. Lift every job to Try and drain them ALL, so this
+    // method returns (or throws) only after every rewrite job has
+    // stopped; per-bin failures are collected and surfaced together.
+    val results =
+      try Await.result(
+        Future.sequence(jobs.map(_.transform(scala.util.Success(_)))),
+        Duration.Inf)
+      finally pool.shutdown()
+    val failures = bins.zip(results).collect {
+      case (b, scala.util.Failure(e)) => (b.id, e)
+    }
+    if (failures.nonEmpty) {
+      val ex = new RuntimeException(
+        s"compaction failed for bin(s) ${failures.map(_._1).mkString(",")}" +
+          s" of ${bins.size}; all rewrite jobs have stopped",
+        failures.head._2)
+      failures.tail.foreach { case (_, e) => ex.addSuppressed(e) }
+      throw ex
+    }
     bins
   }
 }

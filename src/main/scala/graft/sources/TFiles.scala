@@ -2,7 +2,6 @@ package graft.sources
 
 import java.nio.charset.StandardCharsets.UTF_8
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.hadoop.io.file.tfile.TFile
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -38,15 +37,17 @@ object TFiles {
     * spans (driver-side, O(shards) — the QueryServer prefix-sum
     * pattern). */
   def write(df: DataFrame, dir: String, shards: Int): Unit = {
+    val spark = df.sparkSession
+    val confEntries = HadoopConfs.snapshot(spark)
     // same task-commit discipline as TokenShards.write: pre-clean stale
     // shards (Hadoop rename fails onto an existing destination), write
     // each attempt to an attempt-unique temp, rename on clean close —
     // a speculative duplicate can never truncate a live attempt's file,
     // and a rename failure after the sweep means a byte-identical
     // faster attempt won.
-    {
+    locally {
       val dirPath = new Path(dir)
-      val fs = dirPath.getFileSystem(new Configuration())
+      val fs = dirPath.getFileSystem(HadoopConfs.session(spark))
       if (fs.exists(dirPath)) fs.listStatus(dirPath).foreach { st =>
         val n = st.getPath.getName
         if (n.endsWith(".tfile") || n.startsWith("_tmp-"))
@@ -59,7 +60,7 @@ object TFiles {
       .rdd.mapPartitionsWithIndex { (i, it) =>
         if (it.isEmpty) Iterator.empty
         else {
-          val conf = new Configuration()
+          val conf = HadoopConfs.restore(confEntries)
           val path = new Path(f"$dir/part-$i%05d.tfile")
           val fs = path.getFileSystem(conf)
           val attempt = Option(org.apache.spark.TaskContext.get())
@@ -88,7 +89,7 @@ object TFiles {
     // through the same Hadoop FileSystem as the shards, so hdfs:// and
     // s3a:// targets get both artifacts in one place
     val mPath = new Path(dir, "manifest.json")
-    val mOut = mPath.getFileSystem(new Configuration()).create(mPath, true)
+    val mOut = mPath.getFileSystem(HadoopConfs.session(spark)).create(mPath, true)
     try mOut.write(json.getBytes(UTF_8)) finally mOut.close()
   }
 
@@ -117,8 +118,9 @@ object TFiles {
       .select(col("file"), col("key"))
       .repartition(col("file"))
       .sortWithinPartitions("file", "key")
+    val confEntries = HadoopConfs.snapshot(spark)
     val rows = routed.rdd.mapPartitions { it =>
-      val conf = new Configuration()
+      val conf = HadoopConfs.restore(confEntries)
       var curFile: String = null
       var reader: TFile.Reader = null
       var scanner: TFile.Reader.Scanner = null

@@ -2,7 +2,6 @@ package graft.sources
 
 import java.nio.charset.StandardCharsets.UTF_8
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -50,15 +49,17 @@ object TokenShards {
     * sorted .bin/.idx shard pairs under `dir`, plus manifest.json of
     * shard doc_id spans (driver-side, O(shards)). */
   def write(df: DataFrame, dir: String, shards: Int): Unit = {
+    val spark = df.sparkSession
+    val confEntries = HadoopConfs.snapshot(spark)
     // driver-side pre-clean: Hadoop rename FAILS onto an existing
     // destination, so a job re-run over the same dir would otherwise
     // keep the previous run's .bin/.idx under the new manifest (and a
     // smaller shard count would strand files past its range). After
     // this sweep, an in-job rename failure can only mean a faster
     // byte-identical duplicate attempt of THIS job — safe to drop.
-    {
+    locally {
       val dirPath = new Path(dir)
-      val fs = dirPath.getFileSystem(new Configuration())
+      val fs = dirPath.getFileSystem(HadoopConfs.session(spark))
       if (fs.exists(dirPath)) fs.listStatus(dirPath).foreach { st =>
         val n = st.getPath.getName
         if (n.endsWith(".bin") || n.endsWith(".idx") || n.startsWith("_tmp-"))
@@ -71,7 +72,7 @@ object TokenShards {
       .rdd.mapPartitionsWithIndex { (i, it) =>
         if (it.isEmpty) Iterator.empty
         else {
-          val conf = new Configuration()
+          val conf = HadoopConfs.restore(confEntries)
           val binPath = new Path(f"$dir/part-$i%05d.bin")
           val idxPath = new Path(f"$dir/part-$i%05d.idx")
           val fs = binPath.getFileSystem(conf)
@@ -115,10 +116,7 @@ object TokenShards {
             min = math.min(min, k); max = math.max(max, k); nDocs += 1
           }
           bin.close(); idx.close()
-          // commit: rename temp → final; if a faster duplicate attempt
-          // already installed the (byte-identical) final files, drop ours
-          if (!fs.rename(binTmp, binPath)) fs.delete(binTmp, false)
-          if (!fs.rename(idxTmp, idxPath)) fs.delete(idxTmp, false)
+          commitPair(fs, binTmp, binPath, idxTmp, idxPath)
           Iterator((f"part-$i%05d", min, max, nDocs))
         }
       }.collect()
@@ -126,8 +124,29 @@ object TokenShards {
       s"""{"stem":"$f","min":$mn,"max":$mx,"n":$n}"""
     }.mkString("", "\n", "\n")
     val mPath = new Path(dir, "manifest.json")
-    val mOut = mPath.getFileSystem(new Configuration()).create(mPath, true)
+    val mOut = mPath.getFileSystem(HadoopConfs.session(spark)).create(mPath, true)
     try mOut.write(json.getBytes(UTF_8)) finally mOut.close()
+  }
+
+  /** PAIRED task commit — invariant: idx-present ⇒ bin-final. The two
+    * renames are independently atomic but not jointly, so the idx goes
+    * in only AFTER the bin is in final position; a reader that sees an
+    * .idx can therefore always trust the .bin beside it. If the bin
+    * rename fails the final must already exist (write's pre-clean swept
+    * stale ones, so only a byte-identical faster duplicate attempt of
+    * THIS job can own it) — then the idx rename proceeds against that
+    * identical bin (also completing the pair for an attempt that died
+    * between its two renames); if the final bin is somehow absent too,
+    * nothing is committed and both temps are dropped. */
+  private[graft] def commitPair(fs: org.apache.hadoop.fs.FileSystem,
+      binTmp: Path, binPath: Path, idxTmp: Path, idxPath: Path): Unit = {
+    val binLanded = fs.rename(binTmp, binPath) || fs.exists(binPath)
+    if (binLanded) {
+      fs.delete(binTmp, false) // no-op when our rename won
+      if (!fs.rename(idxTmp, idxPath)) fs.delete(idxTmp, false)
+    } else {
+      fs.delete(binTmp, false); fs.delete(idxTmp, false)
+    }
   }
 
   /** Distributed point fetch: probe doc_ids route to their owning shard
@@ -150,8 +169,9 @@ object TokenShards {
       .select(col("stem"), col("doc_id"))
       .repartition(col("stem"))
       .sortWithinPartitions("stem", "doc_id")
+    val confEntries = HadoopConfs.snapshot(spark)
     val rows = routed.rdd.mapPartitions { it =>
-      val conf = new Configuration()
+      val conf = HadoopConfs.restore(confEntries)
       var curStem: String = null
       var idx: java.nio.ByteBuffer = null
       var bin: org.apache.hadoop.fs.FSDataInputStream = null
@@ -181,7 +201,20 @@ object TokenShards {
           try in.readFully(0, raw) finally in.close()
           idx = java.nio.ByteBuffer.wrap(raw)
             .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          bin = fs.open(new Path(s"$dir/$stem.bin"))
+          // pair-consistency gate (the fetch half of the paired-commit
+          // invariant): the .bin must end exactly where the .idx's last
+          // entry says it does — a truncated, stale, or mismatched bin
+          // fails loudly here instead of returning silent garbage
+          val binPath = new Path(s"$dir/$stem.bin")
+          val binLen = fs.getFileStatus(binPath).getLen
+          val entries = idx.capacity() / IdxEntryBytes
+          if (entries > 0) {
+            val lastOff = idx.getLong((entries - 1) * IdxEntryBytes + 8)
+            val lastTok = idx.getInt((entries - 1) * IdxEntryBytes + 16)
+            require(lastOff + lastTok.toLong * 4 == binLen,
+              s"$stem: .bin is $binLen B but .idx expects ${lastOff + lastTok.toLong * 4} B — mixed or truncated shard pair")
+          }
+          bin = fs.open(binPath)
           curStem = stem
         }
         // binary search the sorted fixed-width entries for doc_id k

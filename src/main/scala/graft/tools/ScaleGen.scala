@@ -44,11 +44,15 @@ object ScaleGen {
     finally spark.stop()
   }
 
-  /** With `skew` on, one "bot" user absorbs ~20% of all events and one
-    * "megasite" host ~20% of all orders (deterministic hash selection) —
-    * the zipf-head regime a crawl corpus actually has, so the per-key
-    * skew discipline (bounded heaps, day-bucketed windows, bucket-prefix
-    * ranks) is MEASURED on a hot key, not argued: a query that buffers
+  /** With `skew` on, one "bot" user (`events.user_id`) absorbs ~20% of
+    * all events, and one hot customer key (`orders.o_custkey = 1`)
+    * ~20% of all orders — `o_custkey` is exactly the key the listgen /
+    * crowding family aliases as `host` (lg1/lg2/lg6/i19 group on it),
+    * so this is the megasite-host case for the per-host heaps
+    * (deterministic hash selection; no other table is skewed). The
+    * zipf-head regime a crawl corpus actually has: the per-key skew
+    * discipline (bounded heaps, day-bucketed windows, bucket-prefix
+    * ranks) is MEASURED on a hot key, not argued — a query that buffers
     * one key's rows on one task goes visibly superlinear here.
     */
   def generate(spark: SparkSession, src: String, out: String, factor: Int,

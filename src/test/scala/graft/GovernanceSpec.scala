@@ -70,6 +70,51 @@ class GovernanceSpec extends AnyFunSuite with SparkSuite {
     assert(multi.count() > 0, "fixture produced no multi-doc clusters")
   }
 
+  test("cu24 freeze: a batch that re-roots a cluster cannot flip frozen splits") {
+    // crafted corpus: the new batch (src0) adds doc 2, a near-dup of the
+    // already-split cluster {10, 23} — the full-corpus rep drops 10 → 2,
+    // and md5('lsplit:2') buckets to TRAIN while md5('lsplit:10') bucketed
+    // the frozen cluster to HELDOUT. A naive re-split would silently move
+    // two held-out docs into train; the freeze must not.
+    val tA = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "pelicans argue about tide tables on the northern jetty every dawn"
+    val tB = "carbonated rivers of molten glass poured through the archive " +
+      "stacks as the cataloguers indexed each shard by weight and hue"
+    val tC = "eleven quiet machines hummed beneath the observatory floor " +
+      "recording the slow drift of continents in copper ledgers nightly"
+    val tD = "a completely unrelated manifesto about pickled radishes and " +
+      "the geometry of bicycle spokes in wintertime municipal parking"
+    val rows = Seq(
+      (10L, tA, "srcA"), (23L, tA, "srcA"), // old cluster, rep 10 → heldout
+      (12L, tB, "srcA"), (13L, tB, "srcA"), // old cluster, rep 12 → train
+      (4L, tC, "srcA"), // old singleton → heldout
+      (2L, tA, "src0"), // new near-dup re-roots {10,23}'s cluster to 2
+      (20L, tD, "src0")) // new never-seen cluster → hashed fresh
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cu24spec-").toString
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Registry.queries("cu24_frozen_split")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    // frozen docs keep their round-1 split even though the re-rooted
+    // cluster now hashes to train
+    assert(got(10L) == (("heldout", true, true)))
+    assert(got(23L) == (("heldout", true, true)))
+    // the new bridging doc inherits the anchor's frozen split
+    assert(got(2L) == (("heldout", false, true)))
+    // untouched old clusters and the never-seen new cluster are stable
+    assert(got(12L) == (("train", true, false)))
+    assert(got(13L) == (("train", true, false)))
+    assert(got(4L) == (("heldout", true, false)))
+    assert(got(20L) == (("train", false, false)))
+    // non-vacuous: the naive re-split WOULD have flipped assignments
+    assert(got.values.count(_._3) == 3, s"expected 3 flipped rows: $got")
+  }
+
   test("c6-style diff of a corpus against itself is all-same") {
     val docs = Registry.table(spark, sfDir, "documents")
     val fp = conv(substring(md5(col("text")), 1, 7), 16, 10).cast("long")

@@ -77,4 +77,40 @@ class LayoutSpec extends AnyFunSuite with SparkSuite {
       .agg(count(lit(1)), sum(col("id")), sum(crc32(col("v")))).head
     assert(a == c, s"content drift: $a vs $c")
   }
+
+  test("compaction failure is quiescent: all jobs drained, good bins durable") {
+    import graft.sources.Compaction
+    val root = java.nio.file.Files.createTempDirectory("graft-compact-").toString
+    val in = s"$root/in"; val out = s"$root/out"
+    spark.range(1, 1001)
+      .select(col("id"), concat(lit("payload-"), col("id")).as("v"))
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .write.option("maxRecordsPerFile", 100).parquet(in)
+    // a corrupt part that sorts LAST, so it owns (part of) the final bin
+    val bad = new java.io.File(in, "part-zzzz-corrupt.parquet")
+    java.nio.file.Files.write(bad.toPath, Array.fill(4096)(0x5A.toByte))
+    val target = new java.io.File(in).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.length).sum / 3
+    val ex = intercept[RuntimeException] {
+      Compaction.compact(spark, in, out, target, parallelism = 2)
+    }
+    // the method must return only after EVERY rewrite job stopped — a
+    // fail-fast rethrow with the pool still mutating outDir is the bug
+    assert(ex.getMessage.contains("all rewrite jobs have stopped"),
+      s"wrong failure: ${ex.getMessage}")
+    val failedIds = "bin\\(s\\) ([0-9,]+)".r.findFirstMatchIn(ex.getMessage)
+      .get.group(1).split(",").map(_.toInt).toSet
+    assert(failedIds.nonEmpty)
+    // every bin NOT in the failure set finished durably before the throw
+    val bins = Compaction.plan(spark, in, target)
+    val good = bins.filterNot(b => failedIds.contains(b.id))
+    assert(good.nonEmpty, "corrupt file swallowed every bin — test substrate broken")
+    good.foreach { b =>
+      assert(new java.io.File(s"$out/bin=${b.id}/_SUCCESS").exists(),
+        s"bin ${b.id} not durable at return")
+    }
+    // and the good bins' content is intact/readable
+    val n = spark.read.parquet(good.map(b => s"$out/bin=${b.id}"): _*).count()
+    assert(n > 0)
+  }
 }

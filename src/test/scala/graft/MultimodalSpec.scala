@@ -310,6 +310,65 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(Multimodal.decodePngStats(huge)._1 == -1)
   }
 
+  test("PNG palette/gray decode: depths 1/2/4/8, sub-byte packing, malformed") {
+    // brute-force parity over every (depth, form) pair, widths chosen so
+    // sub-byte rows carry padding bits (w=3,7) and full bytes (w=8,16);
+    // heights ≥ 5 rotate through all five filters
+    for (d <- Seq(1, 2, 4, 8); pal <- Seq(false, true);
+         w <- Seq(1, 3, 7, 8, 16); h <- Seq(2, 5, 9); k <- Seq(0L, 17L, 33L)) {
+      val got = Multimodal.decodePngStats(Multimodal.encodePngSub(k, w, h, d, pal))
+      def rgb(x: Int, y: Int): (Int, Int, Int) = {
+        val s = Multimodal.pngSample(k, x, y, d)
+        if (pal) Multimodal.pngPalette(s)
+        else { val v = s * (255 / ((1 << d) - 1)); (v, v, v) }
+      }
+      val px = for { y <- 0 until h; x <- 0 until w } yield rgb(x, y)
+      val even = for { y <- 0 until h by 2; x <- 0 until w by 2 } yield rgb(x, y)
+      assert(got == ((w, h,
+        px.map(_._1.toLong).sum, px.map(_._2.toLong).sum, px.map(_._3.toLong).sum,
+        even.map(p => (p._1 + p._2 + p._3).toLong).sum)),
+        s"d=$d pal=$pal w=$w h=$h k=$k")
+    }
+    // a paletted file whose PLTE is too short for its indexes → bad,
+    // not an out-of-bounds read: depth 8 indexes reach 255 but the
+    // spliced PLTE keeps 4 entries
+    val full = Multimodal.encodePngSub(5L, 6, 4, 8, palette = true)
+    val plteOff = 8 + 12 + 13 // after IHDR
+    val shortPlte = {
+      val entries = 4
+      val data = Array.tabulate(3 * entries)(i => (i * 3).toByte)
+      val tb = "PLTE".getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(data)
+      java.nio.ByteBuffer.allocate(12 + data.length).putInt(data.length)
+        .put(tb).put(data).putInt(crc.getValue.toInt).array()
+    }
+    val origPlteLen = 12 + 3 * 256
+    val spliced = full.take(plteOff) ++ shortPlte ++
+      full.drop(plteOff + origPlteLen)
+    assert(Multimodal.decodePngStats(spliced)._1 == -1, "short PLTE accepted")
+    // a paletted file with NO PLTE at all → bad
+    val noPlte = full.take(plteOff) ++ full.drop(plteOff + origPlteLen)
+    assert(Multimodal.decodePngStats(noPlte)._1 == -1, "missing PLTE accepted")
+    // depth 3 (not a PNG depth) and depth 16 gray (out of scope) → bad
+    val g8 = Multimodal.encodePngSub(5L, 6, 4, 8, palette = false)
+    val d3 = g8.clone(); d3(8 + 8 + 8) = 3
+    assert(Multimodal.decodePngStats(d3)._1 == -1)
+    val d16 = g8.clone(); d16(8 + 8 + 8) = 16
+    assert(Multimodal.decodePngStats(d16)._1 == -1)
+    // single-byte corruption fuzz over valid palette/gray files: the
+    // decoder must never throw — every outcome is bad or a stat tuple
+    val rnd = new scala.util.Random(13)
+    for (_ <- 0 until 300) {
+      val base = Multimodal.encodePngSub(rnd.nextInt(251).toLong,
+        rnd.nextInt(14) + 3, rnd.nextInt(9) + 2,
+        Seq(1, 2, 4, 8)(rnd.nextInt(4)), rnd.nextBoolean())
+      val mut = base.clone()
+      mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
+      val (mw, mh, _, _, _, _) = Multimodal.decodePngStats(mut)
+      assert(mw >= -1 && mh >= -1)
+    }
+  }
+
   test("packPng24 → decodePngPixelStats round-trips through the batch seam") {
     import spark.implicits._
     val df = Seq((0L, 3, 2), (7L, 16, 9), (250L, 5, 4)).toDF("id", "w", "h")

@@ -50,4 +50,33 @@ class StarContractSpec extends AnyFunSuite with SparkSuite {
     val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == unionFind(edges))
   }
+
+  test("colliding signatures must NOT read as convergence") {
+    import spark.implicits._
+    // two DIFFERENT canonical edge sets with identical (count, sum lo,
+    // sum hi) = (2, 3, 7) — exactly the collision the old signature-only
+    // fixpoint test would have accepted, silently emitting wrong
+    // components. The decision procedure must reject it: convergence is
+    // confirmed only by exact set equality.
+    val e1 = Seq((1L, 4L), (2L, 3L)).toDF("lo", "hi")
+    val e2 = Seq((1L, 3L), (2L, 4L)).toDF("lo", "hi")
+    def sig(rows: Seq[(Long, Long)]) =
+      (rows.size.toLong, rows.map(_._1).sum, rows.map(_._2).sum)
+    assert(sig(Seq((1L, 4L), (2L, 3L))) == sig(Seq((1L, 3L), (2L, 4L))))
+    assert(!Components.confirmedFixpoint(e1, e2))
+    assert(Components.confirmedFixpoint(e1, e1))
+  }
+
+  test("negative ids (hashed 64-bit nodes): equals union-find") {
+    import spark.implicits._
+    // monotonicity of the signature is sign-independent, but pin the
+    // behavior on hashed ids anyway: chains and stars through negatives
+    val edges = Seq(
+      (-5L, -4L), (-4L, -3L), (-3L, 7L), (7L, 8L),
+      (-100L, 0L), (0L, 100L),
+      (Long.MinValue / 2, -9L), (-9L, -8L))
+    val (df, _) = Components.starContractWithRounds(edges.toDF("a", "b"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == unionFind(edges))
+  }
 }

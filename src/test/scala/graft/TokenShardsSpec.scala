@@ -98,6 +98,66 @@ class TokenShardsSpec extends AnyFunSuite with SparkSuite {
     assert(got == Seq((1, 7L)), s"stale first-run data visible: $got")
   }
 
+  test("paired commit: interleaved duplicate attempts never expose a mixed pair") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-tokshard-").toString
+    val fs = new Path(dir).getFileSystem(new org.apache.hadoop.conf.Configuration())
+    def p(n: String) = new Path(s"$dir/$n")
+    def put(path: Path, s: String): Unit = {
+      val o = fs.create(path, true); o.write(s.getBytes); o.close()
+    }
+    // THE invariant a reader relies on, checked after every interleaving
+    // step: an .idx in final position implies its .bin is final too
+    def invariant(): Unit =
+      assert(!fs.exists(p("s.idx")) || fs.exists(p("s.bin")),
+        "mixed pair: idx final without bin")
+    // attempt 1 commits normally
+    put(p("_tmp-s.bin.1"), "BIN"); put(p("_tmp-s.idx.1"), "IDX")
+    TokenShards.commitPair(fs, p("_tmp-s.bin.1"), p("s.bin"),
+      p("_tmp-s.idx.1"), p("s.idx"))
+    invariant()
+    assert(fs.exists(p("s.bin")) && fs.exists(p("s.idx")))
+    // a byte-identical duplicate attempt 2 lands AFTER 1 won: its temps
+    // are dropped, the finals stay, never a half-replaced pair
+    put(p("_tmp-s.bin.2"), "BIN"); put(p("_tmp-s.idx.2"), "IDX")
+    TokenShards.commitPair(fs, p("_tmp-s.bin.2"), p("s.bin"),
+      p("_tmp-s.idx.2"), p("s.idx"))
+    invariant()
+    assert(!fs.exists(p("_tmp-s.bin.2")) && !fs.exists(p("_tmp-s.idx.2")))
+    // attempt 3 died BETWEEN its two renames (bin final, idx never
+    // landed) — the invariant holds in that state, and a duplicate
+    // attempt 4 must COMPLETE the pair against the identical bin
+    fs.delete(p("s.idx"), false)
+    invariant()
+    put(p("_tmp-s.bin.4"), "BIN"); put(p("_tmp-s.idx.4"), "IDX")
+    TokenShards.commitPair(fs, p("_tmp-s.bin.4"), p("s.bin"),
+      p("_tmp-s.idx.4"), p("s.idx"))
+    invariant()
+    assert(fs.exists(p("s.idx")), "duplicate attempt did not complete the pair")
+  }
+
+  test("fetch refuses a mixed/truncated shard pair instead of silent garbage") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-tokshard-").toString
+    TokenShards.write(mk((0L until 10L).map(k => k -> Seq(1, 2, 3)): _*),
+      dir, shards = 1)
+    // truncate the .bin behind the idx's back — the shape a broken
+    // commit (or a stale mixed pair) would leave
+    val bin = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".bin")).head
+    val raf = new java.io.RandomAccessFile(bin, "rw")
+    try raf.setLength(bin.length() - 4) finally raf.close()
+    val ex = intercept[Exception] {
+      TokenShards.fetch(spark, dir, mk(1L -> Seq(0)).select("doc_id")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("mixed or truncated")),
+      s"wrong failure: ${messages(ex)}")
+  }
+
   test("commit protocol: no _tmp files survive a write; finals are complete") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-tokshard-").toString
