@@ -642,33 +642,40 @@ object Multimodal {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  /** Encode a real PNG (8-bit RGB, color type 2, non-interlaced) holding
-    * the [[testPixel]] pattern for seed k. Each scanline uses filter
-    * type y % 5, so a round-trip exercises every unfilter path with the
-    * genuine filter math (Sub/Up/Average/Paeth applied, then zlib).
-    * Fixture synthesis only — the cold-path side of the m8 round-trip. */
-  private[graft] def encodePng24(k: Long, w: Int, h: Int): Array[Byte] = {
-    val bpp = 3
-    val stride = w * bpp
-    val raw = new Array[Byte]((stride + 1) * h)
-    val cur = new Array[Int](stride)
-    val prev = new Array[Int](stride)
+  /** Adam7 pass grid: (xStart, yStart, xStep, yStep) per pass. */
+  private val PngPasses = Seq(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Per-pass absolute pixel coordinates: one (columns, rows) pair per
+    * non-empty pass — the single full pass when sequential, the Adam7
+    * seven when interlaced. Shared by encoder and decoder so the pass
+    * geometry can't drift between them. */
+  private def pngPassCoords(w: Int, h: Int,
+      interlace: Boolean): Seq[(Range, Range)] =
+    if (!interlace) Seq((0 until w, 0 until h))
+    else PngPasses.map { case (x0, y0, xs, ys) =>
+      (x0 until w by xs, y0 until h by ys)
+    }.filter(p => p._1.nonEmpty && p._2.nonEmpty)
+
+  /** Filter one pass's unpacked scanline bytes into PNG wire form,
+    * rotating the filter type over the pass-local row index (every
+    * unfilter path carries real data) — each pass filters independently
+    * (prev-row state resets), per the spec. */
+  private def filterPass(rows: Seq[Array[Int]], fbpp: Int): Array[Byte] = {
+    val rb = if (rows.isEmpty) 0 else rows.head.length
+    val out = new Array[Byte]((rb + 1) * rows.length)
+    val prev = new Array[Int](rb)
     var off = 0
     var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val (r, g, b) = testPixel(k, x, y)
-        cur(3 * x) = r; cur(3 * x + 1) = g; cur(3 * x + 2) = b
-        x += 1
-      }
+    rows.foreach { cur =>
       val ft = y % 5
-      raw(off) = ft.toByte; off += 1
+      out(off) = ft.toByte; off += 1
       var i = 0
-      while (i < stride) {
-        val a = if (i >= bpp) cur(i - bpp) else 0
+      while (i < rb) {
+        val a = if (i >= fbpp) cur(i - fbpp) else 0
         val up = prev(i)
-        val c = if (i >= bpp) prev(i - bpp) else 0
+        val c = if (i >= fbpp) prev(i - fbpp) else 0
         val v = ft match {
           case 0 => cur(i)
           case 1 => cur(i) - a
@@ -676,20 +683,44 @@ object Multimodal {
           case 3 => cur(i) - ((a + up) >> 1)
           case _ => cur(i) - paeth(a, up, c)
         }
-        raw(off) = (v & 0xff).toByte; off += 1
+        out(off) = (v & 0xff).toByte; off += 1
         i += 1
       }
-      System.arraycopy(cur, 0, prev, 0, stride)
+      System.arraycopy(cur, 0, prev, 0, rb)
       y += 1
     }
-    pngContainer(raw, w, h, 8, 2, Nil)
+    out
+  }
+
+  /** Encode a real PNG (8-bit RGB, color type 2) holding the
+    * [[testPixel]] pattern for seed k, sequentially or Adam7-interlaced.
+    * Each scanline uses filter type (pass-row % 5), so a round-trip
+    * exercises every unfilter path with the genuine filter math
+    * (Sub/Up/Average/Paeth applied, then zlib). Fixture synthesis only —
+    * the cold-path side of the m8 round-trip. */
+  private[graft] def encodePng24(k: Long, w: Int, h: Int,
+      interlace: Boolean = false): Array[Byte] = {
+    val raw = pngPassCoords(w, h, interlace).flatMap { case (xs, ys) =>
+      filterPass(ys.map { y =>
+        val row = new Array[Int](3 * xs.length)
+        var i = 0
+        xs.foreach { x =>
+          val (r, g, b) = testPixel(k, x, y)
+          row(3 * i) = r; row(3 * i + 1) = g; row(3 * i + 2) = b
+          i += 1
+        }
+        row
+      }, 3)
+    }.toArray
+    pngContainer(raw, w, h, 8, 2, Nil, interlace)
   }
 
   /** Deflate filtered scanlines and wrap them in a real PNG container:
     * signature, IHDR, any extra pre-IDAT chunks (PLTE/tRNS), IDAT, IEND
     * — shared by the truecolor and palette/gray fixture encoders. */
   private def pngContainer(raw: Array[Byte], w: Int, h: Int, depth: Int,
-      colorType: Int, extra: Seq[(String, Array[Byte])]): Array[Byte] = {
+      colorType: Int, extra: Seq[(String, Array[Byte])],
+      interlace: Boolean = false): Array[Byte] = {
     val deflater = new java.util.zip.Deflater()
     deflater.setInput(raw); deflater.finish()
     val comp = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
@@ -710,7 +741,8 @@ object Multimodal {
     }
     chunk("IHDR", java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
       .put(depth.toByte).put(colorType.toByte)
-      .put(0.toByte).put(0.toByte).put(0.toByte).array())
+      .put(0.toByte).put(0.toByte)
+      .put((if (interlace) 1 else 0).toByte).array())
     extra.foreach { case (t, d) => chunk(t, d) }
     chunk("IDAT", comp.toByteArray)
     chunk("IEND", Array.emptyByteArray)
@@ -728,48 +760,30 @@ object Multimodal {
 
   /** Encode a real grayscale (color type 0) or paletted (color type 3)
     * PNG at bit depth 1/2/4/8 with MSB-first sub-byte sample packing
-    * and per-row filter rotation (y % 5, byte-domain bpp=1) — the
-    * dominant PNG classes on the real web, and deterministic (no IDCT),
-    * so the m18 oracle is exact. Seeds k % 3 == 0 of the palette form
-    * also carry a tRNS chunk to exercise the ancillary-skip path. */
+    * and per-row filter rotation (pass-row % 5, byte-domain bpp=1) —
+    * the dominant PNG classes on the real web, and deterministic (no
+    * IDCT), so the m18 oracle is exact. ODD seeds write Adam7
+    * INTERLACED files (the m9 GIF-interlace discipline), so the
+    * seven-pass geometry carries real oracle-checked data; seeds
+    * k % 3 == 0 of the palette form also carry a tRNS chunk to
+    * exercise the ancillary-skip path. */
   private[graft] def encodePngSub(k: Long, w: Int, h: Int, depth: Int,
       palette: Boolean): Array[Byte] = {
     require(depth == 1 || depth == 2 || depth == 4 || depth == 8, s"depth $depth")
-    val rowBytes = (w * depth + 7) / 8
-    val raw = new Array[Byte]((rowBytes + 1) * h)
-    val cur = new Array[Int](rowBytes)
-    val prev = new Array[Int](rowBytes)
-    var off = 0
-    var y = 0
-    while (y < h) {
-      java.util.Arrays.fill(cur, 0)
-      var x = 0
-      while (x < w) {
-        val s = pngSample(k, x, y, depth)
-        val bitPos = x * depth
-        cur(bitPos >> 3) |= s << (8 - depth - (bitPos & 7))
-        x += 1
-      }
-      val ft = y % 5
-      raw(off) = ft.toByte; off += 1
-      var i = 0
-      while (i < rowBytes) {
-        val a = if (i >= 1) cur(i - 1) else 0
-        val up = prev(i)
-        val c = if (i >= 1) prev(i - 1) else 0
-        val v = ft match {
-          case 0 => cur(i)
-          case 1 => cur(i) - a
-          case 2 => cur(i) - up
-          case 3 => cur(i) - ((a + up) >> 1)
-          case _ => cur(i) - paeth(a, up, c)
+    val interlace = k % 2 == 1
+    val raw = pngPassCoords(w, h, interlace).flatMap { case (xs, ys) =>
+      filterPass(ys.map { y =>
+        val row = new Array[Int]((xs.length * depth + 7) / 8)
+        var i = 0
+        xs.foreach { x =>
+          val bitPos = i * depth
+          row(bitPos >> 3) |= pngSample(k, x, y, depth) <<
+            (8 - depth - (bitPos & 7))
+          i += 1
         }
-        raw(off) = (v & 0xff).toByte; off += 1
-        i += 1
-      }
-      System.arraycopy(cur, 0, prev, 0, rowBytes)
-      y += 1
-    }
+        row
+      }, 1)
+    }.toArray
     val extra =
       if (!palette) Nil
       else {
@@ -785,7 +799,7 @@ object Multimodal {
           Seq("PLTE" -> p, "tRNS" -> Array.tabulate(n)(j => ((j * 7) % 256).toByte))
         else Seq("PLTE" -> p)
       }
-    pngContainer(raw, w, h, depth, if (palette) 3 else 0, extra)
+    pngContainer(raw, w, h, depth, if (palette) 3 else 0, extra, interlace)
   }
 
   /** Fixture-synthesis column for m18: palette/gray PNG bytes for
@@ -817,6 +831,7 @@ object Multimodal {
           ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
       var pos = 8
       var w = -1; var h = -1; var colorType = -1; var bitDepth = -1
+      var interlaced = false
       var sawIhdr = false
       var plte: Array[Byte] = null
       val idat = new java.io.ByteArrayOutputStream()
@@ -832,8 +847,11 @@ object Multimodal {
             w = be32(pos + 8); h = be32(pos + 12)
             bitDepth = bytes(pos + 16) & 0xff
             colorType = bytes(pos + 17) & 0xff
-            if ((bytes(pos + 18) & 0xff) != 0 || (bytes(pos + 19) & 0xff) != 0 ||
-                (bytes(pos + 20) & 0xff) != 0) return bad
+            if ((bytes(pos + 18) & 0xff) != 0 || (bytes(pos + 19) & 0xff) != 0)
+              return bad // compression/filter method must be 0
+            val il = bytes(pos + 20) & 0xff
+            if (il > 1) return bad
+            interlaced = il == 1
             sawIhdr = true
           case "PLTE" =>
             if (len % 3 != 0 || len > 768) return bad
@@ -859,11 +877,16 @@ object Multimodal {
       if (colorType == 3 && (plte == null || plte.length < 3)) return bad
       val bitsPerPixel = bitDepth * channels
       // declared dims are untrusted AND unbounded by input size (IDAT is
-      // compressed): overflow-free stride math, hard allocation cap
-      val rowBytesL = (w.toLong * bitsPerPixel + 7) / 8
-      val strideL = rowBytesL + 1
-      if (h > MaxInflateBytes / strideL) return bad
-      val total = (strideL * h).toInt
+      // compressed): overflow-free stride math over the pass geometry
+      // (sequential = one full pass; Adam7 = up to 7), hard allocation cap
+      val passes = pngPassCoords(w, h, interlaced)
+      var totalL = 0L
+      passes.foreach { case (xs, ys) =>
+        totalL += ys.length.toLong *
+          ((xs.length.toLong * bitsPerPixel + 7) / 8 + 1)
+      }
+      if (totalL > MaxInflateBytes) return bad
+      val total = totalL.toInt
       val raw = new Array[Byte](total)
       val inf = new java.util.zip.Inflater()
       try {
@@ -877,66 +900,69 @@ object Multimodal {
         }
         if (got < total) return bad
       } finally inf.end()
-      val stride = rowBytesL.toInt
       // filters run over the BYTE domain: the "previous pixel" byte is
       // max(1, bitsPerPixel/8) back (PNG's bpp-rounded-up-to-1 rule),
-      // so sub-byte rows filter against the prior byte
+      // so sub-byte rows filter against the prior byte; each pass
+      // unfilters independently (prev-row state resets per pass)
       val fbpp = math.max(1, bitsPerPixel / 8)
-      val prev = new Array[Int](stride)
-      val cur = new Array[Int](stride)
       val maxSample = (1 << bitDepth) - 1
       val grayScale = 255 / maxSample // exact for depths 1/2/4/8
       var sumR = 0L; var sumG = 0L; var sumB = 0L; var evenSum = 0L
       var off = 0
-      var y = 0
-      while (y < h) {
-        val ft = raw(off) & 0xff; off += 1
-        if (ft > 4) return bad
-        var i = 0
-        while (i < stride) {
-          val v = raw(off + i) & 0xff
-          val a = if (i >= fbpp) cur(i - fbpp) else 0
-          val up = prev(i)
-          val c = if (i >= fbpp) prev(i - fbpp) else 0
-          cur(i) = ft match {
-            case 0 => v
-            case 1 => (v + a) & 0xff
-            case 2 => (v + up) & 0xff
-            case 3 => (v + ((a + up) >> 1)) & 0xff
-            case _ => (v + paeth(a, up, c)) & 0xff
+      passes.foreach { case (xs, ys) =>
+        val wP = xs.length
+        val stride = ((wP.toLong * bitsPerPixel + 7) / 8).toInt
+        val prev = new Array[Int](stride)
+        val cur = new Array[Int](stride)
+        ys.foreach { y =>
+          val ft = raw(off) & 0xff; off += 1
+          if (ft > 4) return bad
+          var i = 0
+          while (i < stride) {
+            val v = raw(off + i) & 0xff
+            val a = if (i >= fbpp) cur(i - fbpp) else 0
+            val up = prev(i)
+            val c = if (i >= fbpp) prev(i - fbpp) else 0
+            cur(i) = ft match {
+              case 0 => v
+              case 1 => (v + a) & 0xff
+              case 2 => (v + up) & 0xff
+              case 3 => (v + ((a + up) >> 1)) & 0xff
+              case _ => (v + paeth(a, up, c)) & 0xff
+            }
+            i += 1
           }
-          i += 1
+          off += stride
+          // MSB-first sample extraction at PASS-LOCAL bit position
+          def sampleAt(p: Int): Int =
+            if (bitDepth == 8) cur(p)
+            else {
+              val bitPos = p * bitDepth
+              (cur(bitPos >> 3) >> (8 - bitDepth - (bitPos & 7))) & maxSample
+            }
+          var p = 0
+          while (p < wP) {
+            val x = xs(p) // absolute column for the geometry probe
+            var r = 0; var g = 0; var b = 0
+            colorType match {
+              case 2 | 6 =>
+                r = cur(channels * p); g = cur(channels * p + 1)
+                b = cur(channels * p + 2)
+              case 0 =>
+                val v = sampleAt(p) * grayScale
+                r = v; g = v; b = v
+              case _ => // 3: palette lookup; an index past PLTE is malformed
+                val j = sampleAt(p)
+                if (3 * j + 2 >= plte.length) return bad
+                r = plte(3 * j) & 0xff; g = plte(3 * j + 1) & 0xff
+                b = plte(3 * j + 2) & 0xff
+            }
+            sumR += r; sumG += g; sumB += b
+            if ((x & 1) == 0 && (y & 1) == 0) evenSum += r + g + b
+            p += 1
+          }
+          System.arraycopy(cur, 0, prev, 0, stride)
         }
-        off += stride
-        // MSB-first sample extraction at bit position x*bitDepth
-        def sampleAt(x: Int): Int =
-          if (bitDepth == 8) cur(x)
-          else {
-            val bitPos = x * bitDepth
-            (cur(bitPos >> 3) >> (8 - bitDepth - (bitPos & 7))) & maxSample
-          }
-        var x = 0
-        while (x < w) {
-          var r = 0; var g = 0; var b = 0
-          colorType match {
-            case 2 | 6 =>
-              r = cur(channels * x); g = cur(channels * x + 1)
-              b = cur(channels * x + 2)
-            case 0 =>
-              val v = sampleAt(x) * grayScale
-              r = v; g = v; b = v
-            case _ => // 3: palette lookup; an index past PLTE is malformed
-              val j = sampleAt(x)
-              if (3 * j + 2 >= plte.length) return bad
-              r = plte(3 * j) & 0xff; g = plte(3 * j + 1) & 0xff
-              b = plte(3 * j + 2) & 0xff
-          }
-          sumR += r; sumG += g; sumB += b
-          if ((x & 1) == 0 && (y & 1) == 0) evenSum += r + g + b
-          x += 1
-        }
-        System.arraycopy(cur, 0, prev, 0, stride)
-        y += 1
       }
       (w, h, sumR, sumG, sumB, evenSum)
     } catch { case scala.util.control.NonFatal(_) => bad }

@@ -296,8 +296,18 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     }
     val spliced = png.take(ihdrEnd) ++ text ++ png.drop(ihdrEnd)
     assert(Multimodal.decodePngStats(spliced) == Multimodal.decodePngStats(png))
-    // malformed: bad magic, truncated IDAT, interlaced flag, bad filter,
-    // 16-bit depth, dimension lies past the inflate cap
+    // Adam7: an interlaced encode of the same image must decode to the
+    // identical stats (the seven-pass geometry reassembles exactly)
+    for (w <- Seq(1, 3, 7, 16); h <- Seq(2, 5, 9); k <- Seq(0L, 17L)) {
+      assert(Multimodal.decodePngStats(
+        Multimodal.encodePng24(k, w, h, interlace = true)) ==
+        Multimodal.decodePngStats(Multimodal.encodePng24(k, w, h)),
+        s"interlaced parity w=$w h=$h k=$k")
+    }
+    // malformed: bad magic, truncated IDAT, a LYING interlace flag (the
+    // sequential payload is shorter than the 7-pass geometry demands —
+    // must reject, not misread), bad filter, 16-bit depth, dimension
+    // lies past the inflate cap
     assert(Multimodal.decodePngStats("nope".getBytes)._1 == -1)
     assert(Multimodal.decodePngStats(png.dropRight(20))._1 == -1)
     val interlaced = png.clone(); interlaced(8 + 8 + 12) = 1
@@ -313,7 +323,9 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
   test("PNG palette/gray decode: depths 1/2/4/8, sub-byte packing, malformed") {
     // brute-force parity over every (depth, form) pair, widths chosen so
     // sub-byte rows carry padding bits (w=3,7) and full bytes (w=8,16);
-    // heights ≥ 5 rotate through all five filters
+    // heights ≥ 5 rotate through all five filters; ODD seeds (17, 33)
+    // auto-encode Adam7 INTERLACED, so the sub-byte seven-pass geometry
+    // is brute-force-checked too
     for (d <- Seq(1, 2, 4, 8); pal <- Seq(false, true);
          w <- Seq(1, 3, 7, 8, 16); h <- Seq(2, 5, 9); k <- Seq(0L, 17L, 33L)) {
       val got = Multimodal.decodePngStats(Multimodal.encodePngSub(k, w, h, d, pal))
