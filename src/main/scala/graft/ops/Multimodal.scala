@@ -802,6 +802,50 @@ object Multimodal {
     pngContainer(raw, w, h, depth, if (palette) 3 else 0, extra, interlace)
   }
 
+  /** Encode a real 16-bit PNG (gray color type 0 or RGB color type 2,
+    * big-endian samples). High bytes carry the analytic patterns the
+    * oracle recomputes ([[testPixel]] for RGB, the depth-8
+    * [[pngSample]] for gray); LOW bytes carry an independent analytic
+    * value ((7x + 13y + k) % 256) the 16→8 fold must DISCARD — a
+    * wrong-endian read or low-byte fold shows up as a sum mismatch,
+    * not silence. ODD seeds interlace (the m18 discipline). */
+  private[graft] def encodePng16(k: Long, w: Int, h: Int,
+      rgb: Boolean): Array[Byte] = {
+    val interlace = k % 2 == 1
+    val channels = if (rgb) 3 else 1
+    def lo(x: Int, y: Int): Int = ((7L * x + 13L * y + k) % 256).toInt
+    val raw = pngPassCoords(w, h, interlace).flatMap { case (xs, ys) =>
+      filterPass(ys.map { y =>
+        val row = new Array[Int](channels * 2 * xs.length)
+        var i = 0
+        xs.foreach { x =>
+          val st = channels * 2 * i
+          if (rgb) {
+            val (r, g, b) = testPixel(k, x, y)
+            row(st) = r; row(st + 1) = lo(x, y)
+            row(st + 2) = g; row(st + 3) = lo(x, y)
+            row(st + 4) = b; row(st + 5) = lo(x, y)
+          } else {
+            row(st) = pngSample(k, x, y, 8); row(st + 1) = lo(x, y)
+          }
+          i += 1
+        }
+        row
+      }, channels * 2)
+    }.toArray
+    pngContainer(raw, w, h, 16, if (rgb) 2 else 0, Nil, interlace)
+  }
+
+  /** Fixture-synthesis column for m19: 16-bit PNG bytes for
+    * (seed, width, height, rgb?). */
+  def packPng16(id: Column, width: Column, height: Column,
+      rgb: Column): Column = {
+    val enc = udf((k: Long, w: Int, h: Int, r: Boolean) =>
+      encodePng16(k % 251, w, h, r))
+    enc(id.cast("long"), width.cast("int"), height.cast("int"),
+      rgb.cast("boolean"))
+  }
+
   /** Fixture-synthesis column for m18: palette/gray PNG bytes for
     * (seed, width, height, depth, palette?). */
   def packPngSub(id: Column, width: Column, height: Column,
@@ -870,8 +914,10 @@ object Multimodal {
         case 0 => 1; case 2 => 3; case 3 => 1; case 6 => 4; case _ => return bad
       }
       val depthOk = colorType match {
-        case 0 | 3 => bitDepth == 1 || bitDepth == 2 || bitDepth == 4 || bitDepth == 8
-        case _ => bitDepth == 8
+        case 0 => bitDepth == 1 || bitDepth == 2 || bitDepth == 4 ||
+          bitDepth == 8 || bitDepth == 16
+        case 3 => bitDepth == 1 || bitDepth == 2 || bitDepth == 4 || bitDepth == 8
+        case _ => bitDepth == 8 || bitDepth == 16
       }
       if (!depthOk) return bad
       if (colorType == 3 && (plte == null || plte.length < 3)) return bad
@@ -905,8 +951,11 @@ object Multimodal {
       // so sub-byte rows filter against the prior byte; each pass
       // unfilters independently (prev-row state resets per pass)
       val fbpp = math.max(1, bitsPerPixel / 8)
-      val maxSample = (1 << bitDepth) - 1
-      val grayScale = 255 / maxSample // exact for depths 1/2/4/8
+      // 16-bit samples are big-endian; the 8-bit fold keeps the HIGH
+      // byte (the standard 16→8 reduction), so grayScale only applies
+      // to the sub-byte depths
+      val maxSample = (1 << math.min(bitDepth, 8)) - 1
+      val grayScale = if (bitDepth >= 8) 1 else 255 / maxSample
       var sumR = 0L; var sumG = 0L; var sumB = 0L; var evenSum = 0L
       var off = 0
       passes.foreach { case (xs, ys) =>
@@ -946,10 +995,13 @@ object Multimodal {
             var r = 0; var g = 0; var b = 0
             colorType match {
               case 2 | 6 =>
-                r = cur(channels * p); g = cur(channels * p + 1)
-                b = cur(channels * p + 2)
+                val bytesPerSample = bitDepth / 8 // 1 or 2; BE high byte first
+                val st = channels * bytesPerSample * p
+                r = cur(st); g = cur(st + bytesPerSample)
+                b = cur(st + 2 * bytesPerSample)
               case 0 =>
-                val v = sampleAt(p) * grayScale
+                val v =
+                  if (bitDepth == 16) cur(2 * p) else sampleAt(p) * grayScale
                 r = v; g = v; b = v
               case _ => // 3: palette lookup; an index past PLTE is malformed
                 val j = sampleAt(p)

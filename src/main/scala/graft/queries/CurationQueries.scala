@@ -1299,12 +1299,21 @@ object CurationQueries {
         def bucketOf(rep: org.apache.spark.sql.Column) =
           when(md5Bucket("lsplit", rep) < lit("cc"), lit("train"))
             .otherwise(lit("heldout"))
-        // ROUND 1: cu17 verbatim over the initial corpus only, persisted
-        val pairs1 = graft.ops.Dedupe.minhashNearDupPairs(batch1, "doc_id",
+        // the expensive leg (shingle → band → verify) runs ONCE over the
+        // grown corpus; round 1's pair set is exactly the full pair set
+        // restricted to batch-1 endpoints (banding candidates between two
+        // batch-1 docs don't depend on other rows being in the table)
+        val pairsAll = graft.ops.Dedupe.minhashNearDupPairs(docs, "doc_id",
           "text", threshold = 0.8, k = 72, bands = 6)
+          .transform(graft.ops.Iterative.materialize)
+        val b1Ids = batch1.select(col("doc_id"))
+        // ROUND 1: cu17 verbatim over the initial corpus only, persisted
+        val pairs1 = pairsAll
+          .join(b1Ids.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+          .join(b1Ids.withColumnRenamed("doc_id", "doc_b"), "doc_b")
         val clus1 = graft.ops.Dedupe.connectedComponents(pairs1)
           .select(col("id").as("doc_id"), col("cluster_id"))
-        val assigned = batch1.select(col("doc_id"))
+        val assigned = b1Ids
           .join(clus1, Seq("doc_id"), "left")
           .select(col("doc_id"),
             bucketOf(coalesce(col("cluster_id"), col("doc_id"))).as("split"))
@@ -1312,8 +1321,6 @@ object CurationQueries {
           "doc_id", 8, s"$cu24StagePath/frozen")
         val frozen = s.table("cu24_frozen")
         // ROUND 2: cluster the grown corpus, probe the frozen index
-        val pairsAll = graft.ops.Dedupe.minhashNearDupPairs(docs, "doc_id",
-          "text", threshold = 0.8, k = 72, bands = 6)
         val clusAll = graft.ops.Dedupe.connectedComponents(pairsAll)
           .select(col("id").as("doc_id"), col("cluster_id"))
         val withRep = docs.select(col("doc_id"),

@@ -871,5 +871,61 @@ object MultimodalQueries {
         ORDER BY doc_id
       """.trim),
     ),
+
+    // m19: 16-bit PNG pixel decode (gray type 0 / RGB type 2, big-endian
+    // samples, odd seeds Adam7-interlaced). The 16→8 fold keeps the HIGH
+    // byte; the fixture's LOW bytes carry an independent analytic value
+    // the fold must discard, so a wrong-endian read or low-byte fold is
+    // a sum mismatch, not a silent pass. High bytes reuse m8's RGB
+    // pattern and m18's depth-8 gray pattern — the oracle is exact.
+    Q(
+      "m19_png_deep16",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val w = (col("doc_id") % 14 + 3).cast("int")
+        val h = (col("doc_id") % 9 + 2).cast("int")
+        val rgb = col("doc_id") % 2 === 1
+        val packed = docs.select(col("doc_id"),
+          Multimodal.packPng16(col("doc_id"), w, h, rgb).as("media"))
+        Multimodal.decodePngPixelStats(packed, "doc_id", "media")
+          .select(
+            col("id").as("doc_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("sum_r"), col("sum_g"), col("sum_b"), col("even_sum"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH g AS (
+          SELECT doc_id, doc_id % 14 + 3 AS w, doc_id % 9 + 2 AS h,
+                 doc_id % 251 AS k, doc_id % 2 AS rgb
+          FROM documents)
+        SELECT doc_id,
+               w::BIGINT AS width, h::BIGINT AS height,
+               CAST(list_sum(list_transform(range(0, w*h), i ->
+                 CASE WHEN rgb = 1 THEN (i % w + i // w + 3*k) % 256
+                      ELSE (i % w + 2*(i // w) + k) % 256 END))
+                 AS BIGINT) AS sum_r,
+               CAST(list_sum(list_transform(range(0, w*h), i ->
+                 CASE WHEN rgb = 1 THEN (3*(i % w) + 5*(i // w) + 2*k) % 256
+                      ELSE (i % w + 2*(i // w) + k) % 256 END))
+                 AS BIGINT) AS sum_g,
+               CAST(list_sum(list_transform(range(0, w*h), i ->
+                 CASE WHEN rgb = 1 THEN (7*(i % w) + 11*(i // w) + k) % 256
+                      ELSE (i % w + 2*(i // w) + k) % 256 END))
+                 AS BIGINT) AS sum_b,
+               CAST(list_sum(list_transform(
+                 list_filter(range(0, w*h),
+                   i -> (i % w) % 2 = 0 AND (i // w) % 2 = 0),
+                 i -> CASE WHEN rgb = 1
+                      THEN (i % w + i // w + 3*k) % 256
+                         + (3*(i % w) + 5*(i // w) + 2*k) % 256
+                         + (7*(i % w) + 11*(i // w) + k) % 256
+                      ELSE 3 * ((i % w + 2*(i // w) + k) % 256) END))
+                 AS BIGINT) AS even_sum
+        FROM g
+        ORDER BY doc_id
+      """.trim),
+    ),
   )
 }

@@ -306,8 +306,8 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     }
     // malformed: bad magic, truncated IDAT, a LYING interlace flag (the
     // sequential payload is shorter than the 7-pass geometry demands —
-    // must reject, not misread), bad filter, 16-bit depth, dimension
-    // lies past the inflate cap
+    // must reject, not misread), a LYING 16-bit depth flag on an 8-bit
+    // payload (same shortfall logic), dimension lies past the inflate cap
     assert(Multimodal.decodePngStats("nope".getBytes)._1 == -1)
     assert(Multimodal.decodePngStats(png.dropRight(20))._1 == -1)
     val interlaced = png.clone(); interlaced(8 + 8 + 12) = 1
@@ -379,6 +379,31 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
       val (mw, mh, _, _, _, _) = Multimodal.decodePngStats(mut)
       assert(mw >= -1 && mh >= -1)
     }
+  }
+
+  test("PNG 16-bit decode: gray and RGB, high-byte fold, interlace, malformed") {
+    // the 16→8 fold must keep the big-endian HIGH byte and discard the
+    // fixture's independent low-byte pattern — brute-force parity; odd
+    // seed 17 auto-interlaces, covering the 7-pass walk at bpp 2/6
+    for (rgb <- Seq(false, true); w <- Seq(1, 3, 7, 16); h <- Seq(2, 5, 9);
+         k <- Seq(0L, 17L)) {
+      val got = Multimodal.decodePngStats(Multimodal.encodePng16(k, w, h, rgb))
+      def px(x: Int, y: Int): (Int, Int, Int) =
+        if (rgb) Multimodal.testPixel(k, x, y)
+        else { val v = Multimodal.pngSample(k, x, y, 8); (v, v, v) }
+      val all = for { y <- 0 until h; x <- 0 until w } yield px(x, y)
+      val even = for { y <- 0 until h by 2; x <- 0 until w by 2 } yield px(x, y)
+      assert(got == ((w, h,
+        all.map(_._1.toLong).sum, all.map(_._2.toLong).sum,
+        all.map(_._3.toLong).sum,
+        even.map(p => (p._1 + p._2 + p._3).toLong).sum)),
+        s"rgb=$rgb w=$w h=$h k=$k")
+    }
+    // 16-bit PALETTE is not a legal PNG combination: a paletted file
+    // whose depth byte claims 16 must reject
+    val palFile = Multimodal.encodePngSub(4L, 6, 4, 8, palette = true)
+    val p16 = palFile.clone(); p16(8 + 8 + 8) = 16
+    assert(Multimodal.decodePngStats(p16)._1 == -1)
   }
 
   test("packPng24 → decodePngPixelStats round-trips through the batch seam") {

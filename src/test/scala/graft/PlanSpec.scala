@@ -612,6 +612,26 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("CartesianProduct"), s"cu17 degenerated:\n$p")
   }
 
+  test("cu24 frozen split: cluster machinery only — no window, no cartesian") {
+    val p = plan("cu24_frozen_split")
+    // two d5-shaped clusterings + an anchor fold + the bucketed index
+    // probe; nothing may degenerate into a per-cluster sort or an
+    // all-pairs compare (the cu17 pin, carried to the frozen variant)
+    assert(!p.contains("Window"), s"unexpected window in cu24:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cu24 degenerated:\n$p")
+  }
+
+  test("m18/m19 media decode stays embarrassingly parallel") {
+    Seq("m18_png_palette_gray", "m19_png_deep16").foreach { q =>
+      val p = plan(q)
+      // per-partition decode over binary columns: no joins, no windows;
+      // the only exchange is the final presentation sort
+      assert(!p.contains("Window"), s"$q grew a window:\n$p")
+      assert(!p.contains("Join"), s"$q grew a join:\n$p")
+      assert("Exchange".r.findAllIn(p).size <= 1, s"$q picked up a shuffle:\n$p")
+    }
+  }
+
   test("d14 semantic dedupe: seeds broadcast; vectors never key a shuffle") {
     val p = plan("d14_semantic_dedupe")
     // cell assignment aggregates on vec_id (the vector rides inside
