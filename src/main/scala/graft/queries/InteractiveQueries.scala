@@ -19,6 +19,10 @@ object InteractiveQueries {
   private val dec2 = (c: String) => col(c).cast("decimal(18,2)")
 
   /** One page-server cache dir per JVM (see the i9 comment). */
+  /** One cluster-index staging dir per JVM (the d9/cu24 discipline). */
+  private lazy val i20StagePath: String =
+    java.nio.file.Files.createTempDirectory("graft-i20-").toString
+
   private lazy val i9CachePath: String =
     java.nio.file.Files.createTempDirectory("graft-i9-cache-").toString
 
@@ -781,6 +785,53 @@ object InteractiveQueries {
         ORDER BY n_chars DESC, doc_id ASC
         LIMIT 10
       """.stripMargin.trim),
+    ),
+
+    // i20: near-dup cluster-member lookup — the interactive face of the
+    // d5 clustering: "show me every copy of this document" (the dedupe
+    // review / takedown-propagation / provenance-audit page). The
+    // cluster labels persist as TWO bucketed tables — (doc_id →
+    // cluster_id) bucketed by doc_id and (cluster_id → member_id)
+    // bucketed by cluster_id — so BOTH hops of a point query land on
+    // pre-bucketed join keys: the corpus-sized index sides never
+    // re-shuffle, only the O(probes) side moves (the d9/TFiles serving
+    // discipline). Probes here are the fixed doc_id % 100 == 7 page;
+    // singletons are their own single member, so every probe answers.
+    Q(
+      "i20_cluster_members",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val pairs = graft.ops.Dedupe.minhashNearDupPairs(docs, "doc_id",
+          "text", threshold = 0.8, k = 72, bands = 6)
+        val clus = graft.ops.Dedupe.connectedComponents(pairs)
+          .select(col("id").as("doc_id"), col("cluster_id"))
+        val labels = docs.select(col("doc_id"))
+          .join(clus, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+          .transform(graft.ops.Iterative.materialize) // feeds both sinks
+        graft.sources.Sinks.writeBucketedAt(labels, "i20_doc_cluster",
+          "doc_id", 8, s"$i20StagePath/by_doc")
+        graft.sources.Sinks.writeBucketedAt(
+          labels.select(col("cluster_id"), col("doc_id").as("member_id")),
+          "i20_members", "cluster_id", 8, s"$i20StagePath/by_cluster")
+        docs.select(col("doc_id")).filter(col("doc_id") % 100 === 7)
+          .join(s.table("i20_doc_cluster"), "doc_id")
+          .select(col("doc_id").as("probe_id"), col("cluster_id"))
+          .join(s.table("i20_members"), "cluster_id")
+          .select(col("probe_id"), col("cluster_id"), col("member_id"))
+          .orderBy("probe_id", "member_id")
+      },
+      Some(s"""
+        WITH RECURSIVE ${DedupeQueries.clusterCtes},
+        lbl AS (
+          SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id)
+        SELECT p.doc_id AS probe_id, p.cluster_id, m.doc_id AS member_id
+        FROM lbl p JOIN lbl m USING (cluster_id)
+        WHERE p.doc_id % 100 = 7
+        ORDER BY probe_id, member_id
+      """.trim),
     ),
   )
 }

@@ -833,5 +833,89 @@ object StatsQueries {
         ORDER BY event_type, day_idx
       """.trim),
     ),
+
+    // ST16: CUSUM changepoint detection over the hourly rate series —
+    // the drift alarm st7's trailing-window z-test can't raise: a small
+    // sustained shift (each hour individually unremarkable) accumulates
+    // in the one-sided CUSUM statistic until it crosses the decision
+    // band. Page's classic S_t = max(0, S_{t-1} + (x_t − μ − κ)),
+    // INTEGER fixed-point so both engines agree exactly: multiply
+    // through by 4·n_hours — per type, s_t = max(0, s_{t-1} +
+    // 4·n_hours·x_t − 5·total) encodes drift allowance κ = μ/4, and the
+    // alarm band h = 3μ becomes s > 12·total. Scale shape: the corpus
+    // pass is st1's partial-agg'd hourly fold; the recursion runs in ONE
+    // whitebox scan per event_type over its sorted hourly array —
+    // TIME-BOUNDED state (≤8.8k hours/type/year, the st7/st14/st15
+    // rationale), never corpus-bounded, and never a per-event window.
+    // Hour gaps are consecutive samples by design (st15 owns gap-fill).
+    Q(
+      "st16_cusum_drift",
+      (s, dir) => {
+        val hourly = Registry.table(s, dir, "events")
+          .select(col("event_type"),
+            expr("unix_timestamp(ts) DIV 3600").as("h_idx"))
+          .groupBy("event_type", "h_idx")
+          .agg(count(lit(1)).as("n"))
+        cusumScan(hourly).orderBy("event_type", "h_idx")
+      },
+      Some("""
+        WITH RECURSIVE hourly AS (
+          SELECT event_type, epoch_ms(ts) // 3600000 AS h_idx, COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+        tot AS (
+          SELECT event_type, COUNT(*) AS n_hours,
+                 CAST(SUM(n) AS BIGINT) AS total
+          FROM hourly GROUP BY 1),
+        seq AS (
+          SELECT event_type, h_idx, n,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY h_idx) AS rn
+          FROM hourly),
+        walk(event_type, rn, h_idx, n, s) AS (
+          SELECT s.event_type, s.rn, s.h_idx, s.n,
+                 GREATEST(0, 4 * t.n_hours * s.n - 5 * t.total)
+          FROM seq s JOIN tot t USING (event_type) WHERE s.rn = 1
+          UNION ALL
+          SELECT s.event_type, s.rn, s.h_idx, s.n,
+                 GREATEST(0, w.s + 4 * t.n_hours * s.n - 5 * t.total)
+          FROM walk w
+          JOIN seq s ON s.event_type = w.event_type AND s.rn = w.rn + 1
+          JOIN tot t ON t.event_type = s.event_type)
+        SELECT w.event_type, w.h_idx, CAST(w.n AS BIGINT) AS n,
+               CAST(w.s AS BIGINT) AS cusum, w.s > 12 * t.total AS alarm
+        FROM walk w JOIN tot t USING (event_type)
+        ORDER BY event_type, h_idx
+      """.trim),
+    ),
   )
+
+  /** One CUSUM scan step (st16): absolute hour, observed count, the
+    * 4·n_hours-scaled one-sided statistic, and the h = 3μ alarm. */
+  final case class CusumStep(h_idx: Long, n: Long, cusum: Long, alarm: Boolean)
+
+  /** st16's CUSUM scan over an hourly table (event_type, h_idx, n) —
+    * also the serving view of the STREAMING twin (the st7 doctrine: the
+    * stream maintains the O(hours) hourly state incrementally; the
+    * sequential statistic recomputes over that tiny table per refresh).
+    * One ObjectHashAggregate collect per type (time-bounded state),
+    * then Page's recursion inside a linear whitebox scan. */
+  def cusumScan(hourly: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val folded = hourly.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("h_idx"), col("n"))))
+        .as("series"),
+        count(lit(1)).as("n_hours"), sum(col("n")).as("total"))
+    val scan = udf((series: Seq[org.apache.spark.sql.Row],
+        nHours: Long, total: Long) => {
+      var st = 0L
+      series.map { r =>
+        val h = r.getLong(0); val x = r.getLong(1)
+        st = math.max(0L, st + 4L * nHours * x - 5L * total)
+        CusumStep(h, x, st, st > 12L * total)
+      }.toArray
+    })
+    folded.select(col("event_type"),
+        explode(scan(col("series"), col("n_hours"), col("total"))).as("c"))
+      .select(col("event_type"), col("c.h_idx"), col("c.n"),
+        col("c.cusum"), col("c.alarm"))
+  }
 }

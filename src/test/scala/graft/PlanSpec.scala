@@ -632,6 +632,26 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("st16 CUSUM: recursion folds per-type arrays, never a per-event window") {
+    val p = plan("st16_cusum_drift")
+    // hourly partial-agg + one ObjectHashAggregate collect per type
+    // (time-bounded state); Page's recursion runs inside the scan UDF —
+    // any Window here would mean a per-event sort snuck back in
+    assert(!p.contains("Window"), s"st16 grew a window:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"st16 lost the fold:\n$p")
+  }
+
+  test("i20 cluster lookup: probes broadcast; the index is never re-shuffled") {
+    val p = plan("i20_cluster_members")
+    // the returned frame reads the two persisted bucketed label tables;
+    // the O(probes) side broadcasts, so NO hash exchange may appear —
+    // a hashpartitioning here would mean a point query re-shuffles the
+    // corpus-sized index
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"i20 re-shuffles the index:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+  }
+
   test("d14 semantic dedupe: seeds broadcast; vectors never key a shuffle") {
     val p = plan("d14_semantic_dedupe")
     // cell assignment aggregates on vec_id (the vector rides inside
