@@ -1328,6 +1328,253 @@ object Multimodal {
     enc(id.cast("long"), width.cast("int"), height.cast("int"))
   }
 
+  // --- ANIMATED GIF: multi-frame composition -------------------------
+  // The real-web GIF is animated: frames are LZW images over SUB-RECTS
+  // of the logical screen, composed under the 89a Graphic Control
+  // Extension — per-pixel transparency (the index that means "show
+  // what's underneath") and a disposal method between frames. m9
+  // decodes one frame; these decode the ANIMATION: per frame, the full
+  // composed canvas's channel sums — the substrate a keyframe selector
+  // or frame-sampler (m15's GIF analog) actually consumes.
+
+  /** Frame-f palette index at absolute (x, y) — analytic (mod 255 so
+    * index 255 is free to mean transparent). */
+  private[graft] def gifAnimIndex(k: Long, f: Int, x: Int, y: Int): Int =
+    ((x + 2L * y + k + 7L * f) % 255).toInt
+
+  /** Frame-f sub-rect origin: frames crop toward bottom-right, the
+    * standard inter-frame optimization. */
+  private[graft] def gifAnimOrigin(f: Int, w: Int, h: Int): (Int, Int) =
+    (math.min(f, w - 1), math.min(f, h - 1))
+
+  /** Transparency rule for frames ≥ 1 (frame 0 is fully opaque). */
+  private[graft] def gifAnimTransparent(f: Int, x: Int, y: Int): Boolean =
+    f >= 1 && (x + y + f) % 3 == 0
+
+  /** Encode a real 3-frame animated GIF89a: NETSCAPE loop extension,
+    * per-frame Graphic Control Extension (disposal `keep`, transparent
+    * index 255), frames 1–2 on shrinking sub-rects with transparent
+    * holes that show the prior composite through — the shape browser
+    * GIFs actually have. Interlace on odd seeds (every frame). */
+  private[graft] def encodeGifAnim(k: Long, w: Int, h: Int,
+      frames: Int = 3, disposal: Int = 1): Array[Byte] = {
+    val interlaced = (k & 1) == 1
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    le16(w); le16(h)
+    out.write(0xf7); out.write(0); out.write(0)
+    for (j <- 0 until 256) {
+      val (r, g, b) = gifPalette(j)
+      out.write(r); out.write(g); out.write(b)
+    }
+    // NETSCAPE2.0 loop-forever application extension (ancillary skip)
+    out.write(0x21); out.write(0xff); out.write(0x0b)
+    out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+    out.write(0x03); out.write(0x01); le16(0); out.write(0)
+    for (f <- 0 until frames) {
+      val (x0, y0) = gifAnimOrigin(f, w, h)
+      val fw = w - x0; val fh = h - y0
+      // Graphic Control Extension: disposal + transparency for f ≥ 1
+      out.write(0x21); out.write(0xf9); out.write(0x04)
+      out.write((disposal << 2) | (if (f >= 1) 1 else 0))
+      le16(4) // delay: 4 cs
+      out.write(255) // transparent index (unused when flag clear)
+      out.write(0)
+      out.write(0x2c)
+      le16(x0); le16(y0); le16(fw); le16(fh)
+      out.write(if (interlaced) 0x40 else 0x00)
+      val rows = if (interlaced) interlaceRows(fh) else 0 until fh
+      val indices = rows.toArray.flatMap { ry =>
+        (0 until fw).map { rx =>
+          val x = x0 + rx; val y = y0 + ry
+          if (gifAnimTransparent(f, x, y)) 255 else gifAnimIndex(k, f, x, y)
+        }
+      }
+      lzwCompress(indices, out)
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  /** REAL animated-GIF decode: walks every image block, honors the
+    * Graphic Control Extension (transparent index skips the write;
+    * disposal 0/1 keep the composite, 2 restores the frame rect to the
+    * background color), composes each frame onto the logical-screen
+    * canvas, and emits the full canvas's channel sums PER FRAME.
+    * Malformed input → empty (never a throw); a malformation mid-stream
+    * drops the whole record rather than emitting a partial animation. */
+  private[graft] def decodeGifAnimStats(
+      b: Array[Byte]): Array[(Int, Long, Long, Long, Long)] = {
+    val none = Array.empty[(Int, Long, Long, Long, Long)]
+    try {
+      if (b.length < 13) return none
+      val hdr = new String(b, 0, 6, "US-ASCII")
+      if (hdr != "GIF87a" && hdr != "GIF89a") return none
+      def u8(i: Int) = b(i) & 0xff
+      def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+      var pos = 6
+      val sw = le16(pos); val sh = le16(pos + 2)
+      val packed = u8(pos + 4)
+      val bgIdx = u8(pos + 5)
+      pos += 7
+      if (sw <= 0 || sh <= 0 || sw.toLong * sh > MaxInflateBytes) return none
+      var palette: Array[Int] = null
+      def readTable(n: Int): Array[Int] = {
+        val t = new Array[Int](n)
+        var j = 0
+        while (j < n) {
+          t(j) = (u8(pos) << 16) | (u8(pos + 1) << 8) | u8(pos + 2)
+          pos += 3; j += 1
+        }
+        t
+      }
+      if ((packed & 0x80) != 0) {
+        val n = 1 << ((packed & 7) + 1)
+        if (pos + 3 * n > b.length) return none
+        palette = readTable(n)
+      }
+      // canvas holds PACKED RGB, not indexes: frames may carry local
+      // palettes, and composition across palettes is color-space work
+      val bgRgb = if (palette != null && bgIdx < palette.length)
+        palette(bgIdx) else 0
+      val canvas = Array.fill(sw * sh)(bgRgb)
+      var transparent = -1
+      var disposal = 0
+      val frames = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, Long, Long, Long, Long)]
+      while (true) {
+        if (pos >= b.length) return none
+        u8(pos) match {
+          case 0x3b =>
+            return if (frames.isEmpty) none else frames.toArray
+          case 0x21 =>
+            if (pos + 2 > b.length) return none
+            val label = u8(pos + 1)
+            pos += 2
+            if (label == 0xf9) { // Graphic Control Extension
+              if (pos + 6 > b.length || u8(pos) != 4) return none
+              val p = u8(pos + 1)
+              disposal = (p >> 2) & 7
+              transparent = if ((p & 1) != 0) u8(pos + 4) else -1
+              pos += 5
+              if (u8(pos) != 0) return none
+              pos += 1
+            } else { // other extension: skip sub-blocks
+              while ({ if (pos >= b.length) return none; u8(pos) != 0 }) {
+                pos += 1 + u8(pos)
+              }
+              pos += 1
+            }
+          case 0x2c =>
+            pos += 1
+            // per-frame canvas scans are the cost driver: bound the
+            // TOTAL composed pixels to the same budget as every other
+            // decoder, so a 1-KB file declaring thousands of frames
+            // can't buy unbounded work
+            if ((frames.length + 1).toLong * sw * sh > MaxInflateBytes)
+              return none
+            if (pos + 9 > b.length) return none
+            val x0 = le16(pos); val y0 = le16(pos + 2)
+            val fw = le16(pos + 4); val fh = le16(pos + 6)
+            val ip = u8(pos + 8)
+            pos += 9
+            var pal = palette
+            if ((ip & 0x80) != 0) {
+              val n = 1 << ((ip & 7) + 1)
+              if (pos + 3 * n > b.length) return none
+              pal = readTable(n)
+            }
+            if (pal == null || fw <= 0 || fh <= 0 ||
+              x0 + fw > sw || y0 + fh > sh) return none
+            if (fw.toLong * fh > MaxInflateBytes) return none
+            if (pos >= b.length) return none
+            val minCode = u8(pos); pos += 1
+            if (minCode < 2 || minCode > 11) return none
+            val lzw = new java.io.ByteArrayOutputStream()
+            while ({ if (pos >= b.length) return none; u8(pos) != 0 }) {
+              val n = u8(pos)
+              if (pos + 1 + n > b.length) return none
+              lzw.write(b, pos + 1, n)
+              pos += 1 + n
+            }
+            pos += 1 // block terminator
+            val idx = lzwDecode(lzw.toByteArray, minCode, fw * fh)
+            if (idx == null) return none
+            val rowOf = new Array[Int](fh)
+            val order = if ((ip & 0x40) != 0) interlaceRows(fh) else 0 until fh
+            var r = 0
+            for (y <- order) { rowOf(r) = y; r += 1 }
+            // composite: transparent pixels leave the canvas untouched
+            var i = 0
+            while (i < fw * fh) {
+              val e = idx(i)
+              if (e != transparent) {
+                if (e >= pal.length) return none
+                canvas((y0 + rowOf(i / fw)) * sw + x0 + i % fw) = pal(e)
+              }
+              i += 1
+            }
+            // emit the COMPOSED canvas's stats for this frame
+            var sumR = 0L; var sumG = 0L; var sumB = 0L; var evenSum = 0L
+            var p2 = 0
+            while (p2 < sw * sh) {
+              val x = p2 % sw; val y = p2 / sw
+              val rgb = canvas(p2)
+              val rr = rgb >> 16; val gg = (rgb >> 8) & 0xff; val bb = rgb & 0xff
+              sumR += rr; sumG += gg; sumB += bb
+              if ((x & 1) == 0 && (y & 1) == 0) evenSum += rr + gg + bb
+              p2 += 1
+            }
+            frames += ((frames.length, sumR, sumG, sumB, evenSum))
+            // disposal AFTER the frame shows: 2 = restore rect to bg
+            if (disposal == 2) {
+              var ry = 0
+              while (ry < fh) {
+                var rx = 0
+                while (rx < fw) {
+                  canvas((y0 + ry) * sw + x0 + rx) = bgRgb
+                  rx += 1
+                }
+                ry += 1
+              }
+            }
+            transparent = -1; disposal = 0 // GCE scope is one image
+          case _ => return none
+        }
+      }
+      none
+    } catch { case scala.util.control.NonFatal(_) => none }
+  }
+
+  /** Fixture-synthesis column: 3-frame animated GIF for (seed, w, h). */
+  def packGifAnim(id: Column, width: Column, height: Column): Column = {
+    val enc = udf((k: Long, w: Int, h: Int) => encodeGifAnim(k % 251, w, h))
+    enc(id.cast("long"), width.cast("int"), height.cast("int"))
+  }
+
+  /** Animated-GIF decode over the batch seam: (id, media) →
+    * (id, frame, sum_r, sum_g, sum_b, even_sum), one row per frame. */
+  def decodeGifAnimPixelStats(df: DataFrame, id: String,
+      media: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("frame", IntegerType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false),
+      StructField("even_sum", LongType, nullable = false)))
+    val rdd = df.select(col(id).cast("long"), col(media)).rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeGifAnimStats(r.getAs[Array[Byte]](1)).map { case (f, sr, sg, sb, es) =>
+          Row(r.getLong(0), f, sr, sg, sb, es)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Real-pixel GIF decode over the standard batch seam. */
   def decodeGifPixelStats(df: DataFrame, id: String, media: String): DataFrame = {
     val spark = df.sparkSession

@@ -927,5 +927,61 @@ object MultimodalQueries {
         ORDER BY doc_id
       """.trim),
     ),
+
+    // m20: ANIMATED GIF decode — the real-web GIF is multi-frame: LZW
+    // images over shrinking sub-rects composed under the 89a Graphic
+    // Control Extension (transparent index 255 punches holes that show
+    // the prior composite through; NETSCAPE loop block exercises the
+    // application-extension skip; odd seeds interlace every frame).
+    // Output is the FULL composed canvas's channel sums PER FRAME — the
+    // substrate a GIF keyframe selector consumes. The oracle replays
+    // the composition analytically: frame f's pixel is frame f's value
+    // where covered and opaque, else the previous frame's (a nested
+    // CASE per frame — exact, no decoding).
+    Q(
+      "m20_gif_animation",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val w = (col("doc_id") % 14 + 3).cast("int")
+        val h = (col("doc_id") % 9 + 2).cast("int")
+        val packed = docs.select(col("doc_id"),
+          Multimodal.packGifAnim(col("doc_id"), w, h).as("media"))
+        Multimodal.decodeGifAnimPixelStats(packed, "doc_id", "media")
+          .select(col("id").as("doc_id"), col("frame"),
+            col("sum_r"), col("sum_g"), col("sum_b"), col("even_sum"))
+          .orderBy("doc_id", "frame")
+      },
+      Some {
+        def idx(f: Int) = s"((i % w) + 2*(i // w) + k + 7*$f) % 255"
+        def cov(f: Int) =
+          s"((i % w) >= least($f, w - 1) AND (i // w) >= least($f, h - 1))"
+        def tr(f: Int) = s"(((i % w) + (i // w) + $f) % 3 = 0)"
+        def v(f: Int): String =
+          if (f == 0) idx(0)
+          else s"(CASE WHEN ${cov(f)} AND NOT ${tr(f)} THEN ${idx(f)} ELSE ${v(f - 1)} END)"
+        def frameSel(f: Int) = s"""
+          SELECT doc_id, CAST($f AS INTEGER) AS frame,
+            CAST(list_sum(list_transform(range(0, w*h), i ->
+              (5*(${v(f)}) + 1) % 256)) AS BIGINT) AS sum_r,
+            CAST(list_sum(list_transform(range(0, w*h), i ->
+              (11*(${v(f)}) + 2) % 256)) AS BIGINT) AS sum_g,
+            CAST(list_sum(list_transform(range(0, w*h), i ->
+              (23*(${v(f)}) + 3) % 256)) AS BIGINT) AS sum_b,
+            CAST(list_sum(list_transform(
+              list_filter(range(0, w*h),
+                i -> (i % w) % 2 = 0 AND (i // w) % 2 = 0),
+              i -> (5*(${v(f)}) + 1) % 256 + (11*(${v(f)}) + 2) % 256
+                 + (23*(${v(f)}) + 3) % 256)) AS BIGINT) AS even_sum
+          FROM g"""
+        s"""
+        WITH g AS (
+          SELECT doc_id, doc_id % 14 + 3 AS w, doc_id % 9 + 2 AS h,
+                 doc_id % 251 AS k
+          FROM documents)
+        ${(0 until 3).map(frameSel).mkString("\n          UNION ALL\n")}
+        ORDER BY doc_id, frame
+        """.trim
+      },
+    ),
   )
 }

@@ -887,6 +887,71 @@ object StatsQueries {
         ORDER BY event_type, h_idx
       """.trim),
     ),
+
+    // ST17: periodicity detection — exact integer lag autocorrelation of
+    // the hourly rate series (the stats twin of m13's audio
+    // autocorrelation): dot products Σ x_t·x_{t+L} at lags 1/12/24/168
+    // expose the daily and weekly cycles st14 PROFILES but cannot
+    // DETECT (st14 assumes the 168-cell grid; this measures whether the
+    // cycle is there, the pre-check before trusting any seasonal
+    // adjustment). Missing hours are zeros on a per-type dense spine
+    // (sequence() off the per-type [min,max] — the st15 spine pattern;
+    // autocorrelation over gappy indexes would be wrong). Scale shape:
+    // ONE corpus-sized partial-agg to hourly; everything after is
+    // time-bounded (hours/type), the lag table broadcasts, and the
+    // shifted self-join keys on (type, h+L) — model-sized both sides.
+    // Raw integer dots (no mean-centering): the g20 lesson — n·Σ
+    // products overflow; consumers normalize on the 20-row report.
+    Q(
+      "st17_periodicity",
+      (s, dir) => {
+        val hourly = Registry.table(s, dir, "events")
+          .select(col("event_type"),
+            expr("unix_timestamp(ts) DIV 3600").as("h"))
+          .groupBy("event_type", "h")
+          .agg(count(lit(1)).as("n"))
+        val bounds = hourly.groupBy("event_type")
+          .agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+        val dense = bounds
+          .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("h"))
+          .join(hourly, Seq("event_type", "h"), "left")
+          .select(col("event_type"), col("h"), coalesce(col("n"), lit(0L)).as("x"))
+          .transform(graft.ops.Iterative.materialize) // feeds both join sides
+        val shifted = dense.select(col("event_type").as("et2"),
+          col("h").as("h2"), col("x").as("x2"))
+        dense
+          .withColumn("lag",
+            explode(lit(Array(1L, 12L, 24L, 168L)))) // pure fanout, no join
+          .join(shifted,
+            col("et2") === col("event_type") &&
+              col("h2") === col("h") + col("lag"))
+          .groupBy(col("event_type"), col("lag"))
+          .agg(sum(col("x") * col("x2")).as("dot"),
+            count(lit(1)).as("n_pairs"))
+          .orderBy("event_type", "lag")
+      },
+      Some("""
+        WITH hourly AS (
+          SELECT event_type, epoch_ms(ts) // 3600000 AS h, COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+        b AS (SELECT event_type, MIN(h) AS mn, MAX(h) AS mx
+              FROM hourly GROUP BY 1),
+        spine AS (
+          SELECT b.event_type, b.mn + t.u AS h
+          FROM b, UNNEST(range(0, b.mx - b.mn + 1)) AS t(u)),
+        dense AS (
+          SELECT event_type, h, COALESCE(n, 0) AS x
+          FROM spine LEFT JOIN hourly USING (event_type, h))
+        SELECT a.event_type AS event_type, CAST(l.lag AS BIGINT) AS lag,
+               CAST(SUM(a.x * c.x) AS BIGINT) AS dot,
+               COUNT(*) AS n_pairs
+        FROM dense a
+        JOIN (VALUES (1), (12), (24), (168)) l(lag) ON true
+        JOIN dense c ON c.event_type = a.event_type AND c.h = a.h + l.lag
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+      """.trim),
+    ),
   )
 
   /** One CUSUM scan step (st16): absolute hour, observed count, the

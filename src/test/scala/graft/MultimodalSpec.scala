@@ -445,6 +445,53 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(Multimodal.decodeGifStats(gif.take(cut) :+ 0x3b.toByte)._1 == -1)
   }
 
+  test("animated GIF: per-frame composition, transparency, disposal, malformed") {
+    // reference model: RGB canvas, opaque writes, optional
+    // restore-to-background after each shown frame
+    def model(k: Long, w: Int, h: Int,
+        disposal: Int): Seq[(Int, Long, Long, Long, Long)] = {
+      val bg = Multimodal.gifPalette(0)
+      val canvas = Array.fill(h, w)(bg)
+      (0 until 3).map { f =>
+        val (x0, y0) = Multimodal.gifAnimOrigin(f, w, h)
+        for (y <- y0 until h; x <- x0 until w
+             if !Multimodal.gifAnimTransparent(f, x, y))
+          canvas(y)(x) = Multimodal.gifPalette(Multimodal.gifAnimIndex(k, f, x, y))
+        val px = for { y <- 0 until h; x <- 0 until w } yield canvas(y)(x)
+        val even = for { y <- 0 until h by 2; x <- 0 until w by 2 }
+          yield canvas(y)(x)
+        val res = (f,
+          px.map(_._1.toLong).sum, px.map(_._2.toLong).sum,
+          px.map(_._3.toLong).sum,
+          even.map(p => (p._1 + p._2 + p._3).toLong).sum)
+        if (disposal == 2)
+          for (y <- y0 until h; x <- x0 until w) canvas(y)(x) = bg
+        res
+      }
+    }
+    // keep-composite (disposal 1): holes show the prior frame through;
+    // odd seeds interlace every frame
+    for (w <- Seq(3, 5, 16); h <- Seq(2, 5, 9); k <- Seq(0L, 17L, 33L)) {
+      val got = Multimodal.decodeGifAnimStats(Multimodal.encodeGifAnim(k, w, h))
+      assert(got.toSeq == model(k, w, h, 1), s"w=$w h=$h k=$k")
+    }
+    // restore-to-background (disposal 2): each frame's rect clears
+    // between frames, so holes show BACKGROUND, not the prior frame
+    for (k <- Seq(4L, 9L)) {
+      val got = Multimodal.decodeGifAnimStats(
+        Multimodal.encodeGifAnim(k, 6, 5, disposal = 2))
+      assert(got.toSeq == model(k, 6, 5, 2), s"disposal2 k=$k")
+      assert(got.toSeq != model(k, 6, 5, 1),
+        "disposal modes indistinguishable — test substrate vacuous")
+    }
+    // malformed: truncated mid-stream drops the record (no partial
+    // animation), garbage header drops it
+    assert(Multimodal.decodeGifAnimStats("GIF89a".getBytes).isEmpty)
+    val full = Multimodal.encodeGifAnim(0L, 5, 4)
+    assert(Multimodal.decodeGifAnimStats(full.dropRight(5)).isEmpty)
+    assert(Multimodal.decodeGifAnimStats(full.take(200)).isEmpty)
+  }
+
   test("JPEG pixel decode: huffman scan, 4:2:0 vs grayscale, malformed") {
     // brute-force reference from the analytic block model; even seeds
     // grayscale, odd seeds color 4:2:0 (both real entropy paths)

@@ -652,6 +652,17 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
   }
 
+  test("st17 periodicity: lag fanout is a generator; the shift is an equi join") {
+    val p = plan("st17_periodicity")
+    // the ×4 lag expansion must be an explode (pure projection fanout),
+    // and the shifted self-join an equi join on (type, h+lag) — never a
+    // nested-loop over the dense series
+    assert(!p.contains("Window"), s"st17 grew a window:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"st17 degenerated:\n$p")
+    assert(p.contains("Generate explode"), s"lag fanout not a generator:\n$p")
+  }
+
   test("d14 semantic dedupe: seeds broadcast; vectors never key a shuffle") {
     val p = plan("d14_semantic_dedupe")
     // cell assignment aggregates on vec_id (the vector rides inside
