@@ -58,7 +58,7 @@ object Components {
     }
 
     var cur = sig(edges)
-    var converged = edges.isEmpty
+    var converged = cur._1 == 0L // empty edge set: already a (vacuous) fixpoint
     var rounds = 0
     while (!converged && rounds < maxIters) {
       val prevEdges = edges

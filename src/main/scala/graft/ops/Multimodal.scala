@@ -1400,8 +1400,9 @@ object Multimodal {
   /** REAL animated-GIF decode: walks every image block, honors the
     * Graphic Control Extension (transparent index skips the write;
     * disposal 0/1 keep the composite, 2 restores the frame rect to the
-    * background color), composes each frame onto the logical-screen
-    * canvas, and emits the full canvas's channel sums PER FRAME.
+    * background color, 3 restores the pre-frame snapshot; reserved 4–7
+    * reject), composes each frame onto the logical-screen canvas, and
+    * emits the full canvas's channel sums PER FRAME.
     * Malformed input → empty (never a throw); a malformation mid-stream
     * drops the whole record rather than emitting a partial animation. */
   private[graft] def decodeGifAnimStats(
@@ -1505,6 +1506,22 @@ object Multimodal {
             val order = if ((ip & 0x40) != 0) interlaceRows(fh) else 0 until fh
             var r = 0
             for (y <- order) { rowOf(r) = y; r += 1 }
+            // disposal 3 = restore-to-PREVIOUS: snapshot the frame rect
+            // before compositing; reserved methods 4-7 are malformed
+            if (disposal > 3) return none
+            val snapshot = if (disposal == 3) {
+              val sn = new Array[Int](fw * fh)
+              var ry = 0
+              while (ry < fh) {
+                var rx = 0
+                while (rx < fw) {
+                  sn(ry * fw + rx) = canvas((y0 + ry) * sw + x0 + rx)
+                  rx += 1
+                }
+                ry += 1
+              }
+              sn
+            } else null
             // composite: transparent pixels leave the canvas untouched
             var i = 0
             while (i < fw * fh) {
@@ -1527,13 +1544,15 @@ object Multimodal {
               p2 += 1
             }
             frames += ((frames.length, sumR, sumG, sumB, evenSum))
-            // disposal AFTER the frame shows: 2 = restore rect to bg
-            if (disposal == 2) {
+            // disposal AFTER the frame shows: 2 = restore rect to the
+            // background; 3 = restore the pre-frame snapshot
+            if (disposal == 2 || disposal == 3) {
               var ry = 0
               while (ry < fh) {
                 var rx = 0
                 while (rx < fw) {
-                  canvas((y0 + ry) * sw + x0 + rx) = bgRgb
+                  canvas((y0 + ry) * sw + x0 + rx) =
+                    if (disposal == 2) bgRgb else snapshot(ry * fw + rx)
                   rx += 1
                 }
                 ry += 1

@@ -18,11 +18,13 @@ object InteractiveQueries {
 
   private val dec2 = (c: String) => col(c).cast("decimal(18,2)")
 
-  /** One page-server cache dir per JVM (see the i9 comment). */
-  /** One cluster-index staging dir per JVM (the d9/cu24 discipline). */
+  /** One i20 cluster-index staging dir per JVM (the d9/cu24 discipline:
+    * saveAsTable(overwrite) to a stable external location, so reruns
+    * replace the index instead of accumulating copies). */
   private lazy val i20StagePath: String =
     java.nio.file.Files.createTempDirectory("graft-i20-").toString
 
+  /** One page-server cache dir per JVM (see the i9 comment below). */
   private lazy val i9CachePath: String =
     java.nio.file.Files.createTempDirectory("graft-i9-cache-").toString
 

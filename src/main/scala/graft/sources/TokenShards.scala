@@ -136,8 +136,11 @@ object TokenShards {
     * stale ones, so only a byte-identical faster duplicate attempt of
     * THIS job can own it) — then the idx rename proceeds against that
     * identical bin (also completing the pair for an attempt that died
-    * between its two renames); if the final bin is somehow absent too,
-    * nothing is committed and both temps are dropped. */
+    * between its two renames); if the final bin is somehow absent too
+    * (a transient rename failure that is NOT duplicate-attempt
+    * contention), the temps are dropped and the task FAILS — a silent
+    * return here would let write() publish a manifest row for a shard
+    * with no files, surfacing as data loss at fetch time. */
   private[graft] def commitPair(fs: org.apache.hadoop.fs.FileSystem,
       binTmp: Path, binPath: Path, idxTmp: Path, idxPath: Path): Unit = {
     val binLanded = fs.rename(binTmp, binPath) || fs.exists(binPath)
@@ -146,6 +149,9 @@ object TokenShards {
       if (!fs.rename(idxTmp, idxPath)) fs.delete(idxTmp, false)
     } else {
       fs.delete(binTmp, false); fs.delete(idxTmp, false)
+      throw new java.io.IOException(
+        s"commit of $binPath failed with no final in place — " +
+          "failing the task so the shard is not published un-backed")
     }
   }
 

@@ -454,6 +454,7 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
       val canvas = Array.fill(h, w)(bg)
       (0 until 3).map { f =>
         val (x0, y0) = Multimodal.gifAnimOrigin(f, w, h)
+        val snapshot = canvas.map(_.clone())
         for (y <- y0 until h; x <- x0 until w
              if !Multimodal.gifAnimTransparent(f, x, y))
           canvas(y)(x) = Multimodal.gifPalette(Multimodal.gifAnimIndex(k, f, x, y))
@@ -466,6 +467,8 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
           even.map(p => (p._1 + p._2 + p._3).toLong).sum)
         if (disposal == 2)
           for (y <- y0 until h; x <- x0 until w) canvas(y)(x) = bg
+        if (disposal == 3)
+          for (y <- y0 until h; x <- x0 until w) canvas(y)(x) = snapshot(y)(x)
         res
       }
     }
@@ -484,6 +487,21 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
       assert(got.toSeq != model(k, 6, 5, 1),
         "disposal modes indistinguishable — test substrate vacuous")
     }
+    // restore-to-previous (disposal 3): each frame's writes revert to
+    // the PRE-frame canvas — the overlay/spinner semantics
+    for (k <- Seq(4L, 9L)) {
+      val got = Multimodal.decodeGifAnimStats(
+        Multimodal.encodeGifAnim(k, 6, 5, disposal = 3))
+      assert(got.toSeq == model(k, 6, 5, 3), s"disposal3 k=$k")
+      // on THIS substrate disposal 3 coincides with 2 by construction
+      // (frame 0 full-rect over background ⇒ every pre-frame rect IS
+      // background), so the non-vacuity discriminator is vs KEEP
+      assert(got.toSeq != model(k, 6, 5, 1),
+        "disposal-3 substrate indistinguishable from keep — vacuous")
+    }
+    // reserved disposal methods 4-7 are malformed, not 'keep'
+    assert(Multimodal.decodeGifAnimStats(
+      Multimodal.encodeGifAnim(4L, 6, 5, disposal = 4)).isEmpty)
     // malformed: truncated mid-stream drops the record (no partial
     // animation), garbage header drops it
     assert(Multimodal.decodeGifAnimStats("GIF89a".getBytes).isEmpty)
