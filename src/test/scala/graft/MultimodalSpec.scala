@@ -370,10 +370,13 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     // single-byte corruption fuzz over valid palette/gray files: the
     // decoder must never throw — every outcome is bad or a stat tuple
     val rnd = new scala.util.Random(13)
-    for (_ <- 0 until 300) {
-      val base = Multimodal.encodePngSub(rnd.nextInt(251).toLong,
-        rnd.nextInt(14) + 3, rnd.nextInt(9) + 2,
-        Seq(1, 2, 4, 8)(rnd.nextInt(4)), rnd.nextBoolean())
+    for (i <- 0 until 300) {
+      val base =
+        if (i % 3 == 2) Multimodal.encodePng16(rnd.nextInt(251).toLong,
+          rnd.nextInt(14) + 3, rnd.nextInt(9) + 2, rnd.nextBoolean())
+        else Multimodal.encodePngSub(rnd.nextInt(251).toLong,
+          rnd.nextInt(14) + 3, rnd.nextInt(9) + 2,
+          Seq(1, 2, 4, 8)(rnd.nextInt(4)), rnd.nextBoolean())
       val mut = base.clone()
       mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
       val (mw, mh, _, _, _, _) = Multimodal.decodePngStats(mut)
