@@ -1387,5 +1387,77 @@ object CurationQueries {
         FROM outp ORDER BY doc_id
       """.trim),
     ),
+    // ---------------------------------------------------------------
+    // cu25: classifier threshold-sweep evaluation — the report every
+    // curation loop runs before trusting a quality score as a keep
+    // gate: exact TP/FP/FN/TN and precision/recall at EVERY candidate
+    // threshold at once. Score = integer word-density (tokens per 10k
+    // chars — a t2-style fixed-point quality proxy); reference label =
+    // an independent content signal (contains a bounded ' the ' token —
+    // crude, deterministic, and uncorrelated enough that the sweep has
+    // real confusion mass on both sides). Mechanics: ONE corpus pass
+    // folds docs to score BUCKETS (width 16 — the cu20 sweep
+    // discipline); the descending cumulative TP/FP runs over the
+    // MODEL-sized bucket table (score range ÷ 16, O(10³) rows at any
+    // corpus size), and precision/recall are exact ppm integers (div).
+    // Choosing the operating threshold is then one lookup on this
+    // report.
+    Q(
+      "cu25_classifier_eval",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+          .where(col("n_chars") > 0)
+        val scored = docs.select(
+          (expr("size(split(regexp_replace(trim(text), '\\\\s+', ' '), ' '))")
+            .cast("long") * 10000L / col("n_chars")).cast("long").as("score"),
+          when(concat(lit(" "), lower(col("text")), lit(" "))
+            .contains(" the "), 1L).otherwise(0L).as("pos"))
+        val buckets = scored
+          .groupBy((col("score") / 16).cast("long").as("bucket"))
+          .agg(sum(col("pos")).as("n_pos"),
+            sum(lit(1L) - col("pos")).as("n_neg"))
+        val w = Window.orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val tot = buckets.agg(sum(col("n_pos")).as("tot_pos"),
+          sum(col("n_neg")).as("tot_neg"))
+        buckets
+          .withColumn("tp", sum(col("n_pos")).over(w))
+          .withColumn("fp", sum(col("n_neg")).over(w))
+          .crossJoin(broadcast(tot))
+          .select(col("bucket"), col("n_pos"), col("n_neg"),
+            col("tp"), col("fp"),
+            (col("tot_pos") - col("tp")).as("fn"),
+            (col("tot_neg") - col("fp")).as("tn"),
+            expr("tp * 1000000 div (tp + fp)").as("precision_ppm"),
+            expr("tp * 1000000 div tot_pos").as("recall_ppm"))
+          .orderBy("bucket")
+      },
+      Some(s"""
+        WITH scored AS (
+          SELECT CAST(len($TokensSql) * 10000 // n_chars AS BIGINT) AS score,
+                 CASE WHEN contains(' ' || lower(text) || ' ', ' the ')
+                      THEN 1 ELSE 0 END AS pos
+          FROM documents WHERE n_chars > 0),
+        b AS (
+          SELECT score // 16 AS bucket,
+                 CAST(SUM(pos) AS BIGINT) AS n_pos,
+                 CAST(SUM(1 - pos) AS BIGINT) AS n_neg
+          FROM scored GROUP BY 1),
+        c AS (
+          SELECT bucket, n_pos, n_neg,
+                 CAST(SUM(n_pos) OVER wd AS BIGINT) AS tp,
+                 CAST(SUM(n_neg) OVER wd AS BIGINT) AS fp
+          FROM b
+          WINDOW wd AS (ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING)),
+        t AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS tot_pos,
+                     CAST(SUM(n_neg) AS BIGINT) AS tot_neg FROM b)
+        SELECT bucket, n_pos, n_neg, tp, fp,
+               tot_pos - tp AS fn, tot_neg - fp AS tn,
+               CAST(tp * 1000000 // (tp + fp) AS BIGINT) AS precision_ppm,
+               CAST(tp * 1000000 // tot_pos AS BIGINT) AS recall_ppm
+        FROM c CROSS JOIN t
+        ORDER BY bucket
+      """.trim),
+    ),
   )
 }

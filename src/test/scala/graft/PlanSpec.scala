@@ -1124,6 +1124,20 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Window"), s"unexpected window in c6:\n$p")
   }
 
+  test("cu25 eval sweep: corpus collapses to buckets before the bounded cumsum") {
+    val p = plan("cu25_classifier_eval")
+    // cu20's sweep discipline: the only corpus-sized work is the
+    // partial→final bucket groupBy; the descending cumulative TP/FP
+    // window runs over the model-sized bucket table, totals broadcast
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"bucket rollup lost its map-side combine:\n$p")
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1,
+      s"expected exactly one (bucket-table) window in cu25:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"totals scalar not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cu25 degenerated:\n$p")
+  }
+
   test("cu20 sweep: corpus collapses to buckets before the bounded cumsum") {
     val p = plan("cu20_budget_threshold")
     // the only corpus-sized work is the partial→final bucket groupBy;
