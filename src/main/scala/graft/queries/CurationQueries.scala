@@ -1408,8 +1408,12 @@ object CurationQueries {
         val docs = Registry.table(s, dir, "documents")
           .where(col("n_chars") > 0)
         val scored = docs.select(
-          (expr("size(split(regexp_replace(trim(text), '\\\\s+', ' '), ' '))")
-            .cast("long") * 10000L / col("n_chars")).cast("long").as("score"),
+          // `div`, not float-divide-then-cast: a correctly-rounded double
+          // quotient can land ε ABOVE an integer the exact rational sits
+          // just below, and truncation then disagrees with the oracle's
+          // floor — integer division is exact in both engines
+          expr("(CAST(size(split(regexp_replace(trim(text), '\\\\s+', ' '), ' ')) " +
+            "AS BIGINT) * 10000) div n_chars").as("score"),
           when(concat(lit(" "), lower(col("text")), lit(" "))
             .contains(" the "), 1L).otherwise(0L).as("pos"))
         val buckets = scored
