@@ -1352,12 +1352,15 @@ object Multimodal {
     f >= 1 && (x + y + f) % 3 == 0
 
   /** Encode a real 3-frame animated GIF89a: NETSCAPE loop extension,
-    * per-frame Graphic Control Extension (disposal `keep`, transparent
-    * index 255), frames 1–2 on shrinking sub-rects with transparent
-    * holes that show the prior composite through — the shape browser
-    * GIFs actually have. Interlace on odd seeds (every frame). */
+    * per-frame Graphic Control Extension (disposal from `disposalOf`,
+    * transparent index 255), frames 1–2 on shrinking sub-rects with
+    * transparent holes that show the prior composite through — the
+    * shape browser GIFs actually have. Interlace on odd seeds (every
+    * frame). Per-frame disposal lets a spec put a NON-background
+    * composite under a restore-to-previous frame — the only substrate
+    * that distinguishes disposal 3 from 2. */
   private[graft] def encodeGifAnim(k: Long, w: Int, h: Int,
-      frames: Int = 3, disposal: Int = 1): Array[Byte] = {
+      frames: Int = 3, disposalOf: Int => Int = _ => 1): Array[Byte] = {
     val interlaced = (k & 1) == 1
     val out = new java.io.ByteArrayOutputStream()
     out.write("GIF89a".getBytes("US-ASCII"))
@@ -1377,7 +1380,7 @@ object Multimodal {
       val fw = w - x0; val fh = h - y0
       // Graphic Control Extension: disposal + transparency for f ≥ 1
       out.write(0x21); out.write(0xf9); out.write(0x04)
-      out.write((disposal << 2) | (if (f >= 1) 1 else 0))
+      out.write((disposalOf(f) << 2) | (if (f >= 1) 1 else 0))
       le16(4) // delay: 4 cs
       out.write(255) // transparent index (unused when flag clear)
       out.write(0)
@@ -1457,6 +1460,9 @@ object Multimodal {
               if (pos + 6 > b.length || u8(pos) != 4) return none
               val p = u8(pos + 1)
               disposal = (p >> 2) & 7
+              // reserved methods 4-7 reject at PARSE time — before any
+              // LZW work, and even when no image follows the GCE
+              if (disposal > 3) return none
               transparent = if ((p & 1) != 0) u8(pos + 4) else -1
               pos += 5
               if (u8(pos) != 0) return none
@@ -1507,8 +1513,7 @@ object Multimodal {
             var r = 0
             for (y <- order) { rowOf(r) = y; r += 1 }
             // disposal 3 = restore-to-PREVIOUS: snapshot the frame rect
-            // before compositing; reserved methods 4-7 are malformed
-            if (disposal > 3) return none
+            // before compositing (reserved methods rejected at GCE parse)
             val snapshot = if (disposal == 3) {
               val sn = new Array[Int](fw * fh)
               var ry = 0

@@ -1407,15 +1407,19 @@ object CurationQueries {
       (s, dir) => {
         val docs = Registry.table(s, dir, "documents")
           .where(col("n_chars") > 0)
+        // `div`, not float-divide-then-cast: a correctly-rounded double
+        // quotient can land ε ABOVE an integer the exact rational sits
+        // just below, and truncation then disagrees with the oracle's
+        // floor — integer division is exact in both engines. Tokenizer =
+        // the t2 tokenizer (TextAnalysis.tokens, TokensSql's mirror), not
+        // a third inline restatement.
         val scored = docs.select(
-          // `div`, not float-divide-then-cast: a correctly-rounded double
-          // quotient can land ε ABOVE an integer the exact rational sits
-          // just below, and truncation then disagrees with the oracle's
-          // floor — integer division is exact in both engines
-          expr("(CAST(size(split(regexp_replace(trim(text), '\\\\s+', ' '), ' ')) " +
-            "AS BIGINT) * 10000) div n_chars").as("score"),
+          size(graft.ops.TextAnalysis.tokens(col("text")))
+            .cast("long").as("wc"),
+          col("n_chars"),
           when(concat(lit(" "), lower(col("text")), lit(" "))
             .contains(" the "), 1L).otherwise(0L).as("pos"))
+          .select(expr("(wc * 10000) div n_chars").as("score"), col("pos"))
         val buckets = scored
           .groupBy((col("score") / 16).cast("long").as("bucket"))
           .agg(sum(col("pos")).as("n_pos"),
@@ -1433,7 +1437,11 @@ object CurationQueries {
             (col("tot_pos") - col("tp")).as("fn"),
             (col("tot_neg") - col("fp")).as("tn"),
             expr("tp * 1000000 div (tp + fp)").as("precision_ppm"),
-            expr("tp * 1000000 div tot_pos").as("recall_ppm"))
+            // an all-negative corpus has tot_pos = 0: recall is 0 by
+            // convention, never a div-by-zero (NULL in Spark, a runtime
+            // ERROR in DuckDB — the engines would diverge)
+            expr("CASE WHEN tot_pos = 0 THEN CAST(0 AS BIGINT) " +
+              "ELSE tp * 1000000 div tot_pos END").as("recall_ppm"))
           .orderBy("bucket")
       },
       Some(s"""
@@ -1458,7 +1466,8 @@ object CurationQueries {
         SELECT bucket, n_pos, n_neg, tp, fp,
                tot_pos - tp AS fn, tot_neg - fp AS tn,
                CAST(tp * 1000000 // (tp + fp) AS BIGINT) AS precision_ppm,
-               CAST(tp * 1000000 // tot_pos AS BIGINT) AS recall_ppm
+               CAST(CASE WHEN tot_pos = 0 THEN 0
+                    ELSE tp * 1000000 // tot_pos END AS BIGINT) AS recall_ppm
         FROM c CROSS JOIN t
         ORDER BY bucket
       """.trim),

@@ -146,7 +146,17 @@ object TokenShards {
     val binLanded = fs.rename(binTmp, binPath) || fs.exists(binPath)
     if (binLanded) {
       fs.delete(binTmp, false) // no-op when our rename won
-      if (!fs.rename(idxTmp, idxPath)) fs.delete(idxTmp, false)
+      // same fail-loud rule on the idx leg: rename-failed AND no final
+      // in place is a transient FS fault, not duplicate contention — a
+      // silent return would publish a manifest row for a bin with no idx
+      val idxLanded = fs.rename(idxTmp, idxPath) || fs.exists(idxPath)
+      if (idxLanded) fs.delete(idxTmp, false)
+      else {
+        fs.delete(idxTmp, false)
+        throw new java.io.IOException(
+          s"commit of $idxPath failed with no final in place — " +
+            "failing the task so the shard is not published half-paired")
+      }
     } else {
       fs.delete(binTmp, false); fs.delete(idxTmp, false)
       throw new java.io.IOException(

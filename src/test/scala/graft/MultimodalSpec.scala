@@ -449,10 +449,10 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("animated GIF: per-frame composition, transparency, disposal, malformed") {
-    // reference model: RGB canvas, opaque writes, optional
-    // restore-to-background after each shown frame
+    // reference model: RGB canvas, opaque writes, per-frame disposal —
+    // restore-to-background or restore-to-previous after the frame shows
     def model(k: Long, w: Int, h: Int,
-        disposal: Int): Seq[(Int, Long, Long, Long, Long)] = {
+        disposalOf: Int => Int): Seq[(Int, Long, Long, Long, Long)] = {
       val bg = Multimodal.gifPalette(0)
       val canvas = Array.fill(h, w)(bg)
       (0 until 3).map { f =>
@@ -468,9 +468,9 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
           px.map(_._1.toLong).sum, px.map(_._2.toLong).sum,
           px.map(_._3.toLong).sum,
           even.map(p => (p._1 + p._2 + p._3).toLong).sum)
-        if (disposal == 2)
+        if (disposalOf(f) == 2)
           for (y <- y0 until h; x <- x0 until w) canvas(y)(x) = bg
-        if (disposal == 3)
+        if (disposalOf(f) == 3)
           for (y <- y0 until h; x <- x0 until w) canvas(y)(x) = snapshot(y)(x)
         res
       }
@@ -479,32 +479,34 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     // odd seeds interlace every frame
     for (w <- Seq(3, 5, 16); h <- Seq(2, 5, 9); k <- Seq(0L, 17L, 33L)) {
       val got = Multimodal.decodeGifAnimStats(Multimodal.encodeGifAnim(k, w, h))
-      assert(got.toSeq == model(k, w, h, 1), s"w=$w h=$h k=$k")
+      assert(got.toSeq == model(k, w, h, _ => 1), s"w=$w h=$h k=$k")
     }
     // restore-to-background (disposal 2): each frame's rect clears
     // between frames, so holes show BACKGROUND, not the prior frame
     for (k <- Seq(4L, 9L)) {
       val got = Multimodal.decodeGifAnimStats(
-        Multimodal.encodeGifAnim(k, 6, 5, disposal = 2))
-      assert(got.toSeq == model(k, 6, 5, 2), s"disposal2 k=$k")
-      assert(got.toSeq != model(k, 6, 5, 1),
+        Multimodal.encodeGifAnim(k, 6, 5, disposalOf = _ => 2))
+      assert(got.toSeq == model(k, 6, 5, _ => 2), s"disposal2 k=$k")
+      assert(got.toSeq != model(k, 6, 5, _ => 1),
         "disposal modes indistinguishable — test substrate vacuous")
     }
-    // restore-to-previous (disposal 3): each frame's writes revert to
-    // the PRE-frame canvas — the overlay/spinner semantics
+    // restore-to-previous (disposal 3) under MIXED per-frame disposal:
+    // frame 0 keeps (its composite is NOT background), frames 1-2
+    // restore-to-previous — the pre-frame rect holds frame 0's pixels,
+    // so a decoder that restores to BACKGROUND instead of the snapshot
+    // diverges (the only substrate that separates 3 from 2)
+    val mixed: Int => Int = f => if (f == 0) 1 else 3
     for (k <- Seq(4L, 9L)) {
       val got = Multimodal.decodeGifAnimStats(
-        Multimodal.encodeGifAnim(k, 6, 5, disposal = 3))
-      assert(got.toSeq == model(k, 6, 5, 3), s"disposal3 k=$k")
-      // on THIS substrate disposal 3 coincides with 2 by construction
-      // (frame 0 full-rect over background ⇒ every pre-frame rect IS
-      // background), so the non-vacuity discriminator is vs KEEP
-      assert(got.toSeq != model(k, 6, 5, 1),
-        "disposal-3 substrate indistinguishable from keep — vacuous")
+        Multimodal.encodeGifAnim(k, 6, 5, disposalOf = mixed))
+      assert(got.toSeq == model(k, 6, 5, mixed), s"disposal3 k=$k")
+      assert(got.toSeq != model(k, 6, 5, f => if (f == 0) 1 else 2) &&
+        got.toSeq != model(k, 6, 5, _ => 1),
+        "disposal-3 substrate indistinguishable — vacuous")
     }
-    // reserved disposal methods 4-7 are malformed, not 'keep'
+    // reserved disposal methods 4-7 reject at GCE parse, not 'keep'
     assert(Multimodal.decodeGifAnimStats(
-      Multimodal.encodeGifAnim(4L, 6, 5, disposal = 4)).isEmpty)
+      Multimodal.encodeGifAnim(4L, 6, 5, disposalOf = _ => 4)).isEmpty)
     // malformed: truncated mid-stream drops the record (no partial
     // animation), garbage header drops it
     assert(Multimodal.decodeGifAnimStats("GIF89a".getBytes).isEmpty)
