@@ -1422,7 +1422,9 @@ object Multimodal {
       val packed = u8(pos + 4)
       val bgIdx = u8(pos + 5)
       pos += 7
-      if (sw <= 0 || sh <= 0 || sw.toLong * sh > MaxInflateBytes) return none
+      // canvas is an Int (4-byte) buffer: bound pixels to 1/4 of the byte
+      // budget so the allocation honors the same cap as every decoder
+      if (sw <= 0 || sh <= 0 || sw.toLong * sh > MaxInflateBytes / 4) return none
       var palette: Array[Int] = null
       def readTable(n: Int): Array[Int] = {
         val t = new Array[Int](n)

@@ -31,11 +31,11 @@ object CurationQueries {
   private def md5BucketSql(salt: String, key: String) =
     s"substr(md5('$salt:' || CAST($key AS VARCHAR)), 1, 2)"
 
-  /** One frozen-split staging dir per JVM (the d9StagePath discipline):
+  /** One frozen-split staging dir per (JVM, stageDir base), d9 discipline:
     * saveAsTable(overwrite) to the same external location replaces the
     * assignment table in place, so reruns don't accumulate copies. */
-  private lazy val cu24StagePath: String =
-    java.nio.file.Files.createTempDirectory("graft-cu24-").toString
+  private val cu24Stage = new Staging.Memo("cu24")
+  private def cu24StagePath: String = cu24Stage.path
 
   /** Oracle fragment: normalized whitespace tokens (the t2 tokenizer). */
   private val TokensSql =
@@ -1421,7 +1421,7 @@ object CurationQueries {
             .contains(" the "), 1L).otherwise(0L).as("pos"))
           .select(expr("(wc * 10000) div n_chars").as("score"), col("pos"))
         val buckets = scored
-          .groupBy((col("score") / 16).cast("long").as("bucket"))
+          .groupBy(expr("score div 16").as("bucket"))
           .agg(sum(col("pos")).as("n_pos"),
             sum(lit(1L) - col("pos")).as("n_neg"))
         val w = Window.orderBy(col("bucket").desc)

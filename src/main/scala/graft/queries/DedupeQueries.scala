@@ -101,9 +101,9 @@ object DedupeQueries {
        |  FROM walk GROUP BY id
        |)""".stripMargin
 
-  /** One index staging dir per JVM (see the d9 comment). */
-  private lazy val d9StagePath: String =
-    java.nio.file.Files.createTempDirectory("graft-d9-").toString
+  /** One index staging dir per (JVM, stageDir base) — see the d9 comment. */
+  private val d9Stage = new Staging.Memo("d9")
+  private def d9StagePath: String = d9Stage.path
 
   /** Shared by d7 (recompute-per-run) and d9 (persistent-index probe):
     * the two plans implement the same semantics, so one oracle gates both. */

@@ -18,15 +18,15 @@ object InteractiveQueries {
 
   private val dec2 = (c: String) => col(c).cast("decimal(18,2)")
 
-  /** One i20 cluster-index staging dir per JVM (the d9/cu24 discipline:
+  /** One i20 cluster-index staging dir per (JVM, stageDir base) (d9/cu24:
     * saveAsTable(overwrite) to a stable external location, so reruns
     * replace the index instead of accumulating copies). */
-  private lazy val i20StagePath: String =
-    java.nio.file.Files.createTempDirectory("graft-i20-").toString
+  private val i20Stage = new Staging.Memo("i20")
+  private def i20StagePath: String = i20Stage.path
 
-  /** One page-server cache dir per JVM (see the i9 comment below). */
-  private lazy val i9CachePath: String =
-    java.nio.file.Files.createTempDirectory("graft-i9-cache-").toString
+  /** One page-server cache dir per (JVM, stageDir base) — see i9 below. */
+  private val i9Cache = new Staging.Memo("i9-cache")
+  private def i9CachePath: String = i9Cache.path
 
   def defs: Seq[Q] = Seq(
     // Q1 DomainListQuery: regex scan over domain names → per-domain

@@ -455,8 +455,7 @@ object MiscQueries {
     Q(
       "x13_cache_policy",
       (s, dir) => {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft-x13-").toString
+        val out = Staging.dir("x13")
         val m = col("doc_id") % 7
         val cacheControl = when(m === 0, lit("max-age=3600, public"))
           .when(m === 1, lit("no-cache"))

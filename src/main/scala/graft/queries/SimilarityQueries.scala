@@ -109,9 +109,9 @@ object SimilarityQueries {
 
   private def sigSqlDyn: String = sigSqlDynOver("v", Dims)
 
-  /** One index staging dir per JVM (see the ss9 comment). */
-  private lazy val ss9StagePath: String =
-    java.nio.file.Files.createTempDirectory("graft-ss9-").toString
+  /** One index staging dir per (JVM, stageDir base) — see [[Staging.Memo]]. */
+  private val ss9Stage = new Staging.Memo("ss9")
+  private def ss9StagePath: String = ss9Stage.path
 
   /** Shared by ss4 (in-memory IVF) and ss9 (persistent-index probe):
     * identical semantics, one oracle gates both plans; ss11 reuses the
@@ -657,8 +657,7 @@ object SimilarityQueries {
     Q(
       "ss13_columnar_coarse",
       (s, dir) => {
-        val split = java.nio.file.Files
-          .createTempDirectory("graft-ss13-").toString
+        val split = Staging.dir("ss13")
         Similarity.vectors(
             Registry.table(s, dir, "embeddings"), "vec_id", "embedding")
           .select(col("vec_id"),

@@ -12,14 +12,16 @@ import graft.sources.{ArcSource, FrontCoding, RiceCoding, Sinks, WikipediaXmlSou
   * lossy or corrupting codec/source shows up as a hash mismatch in the
   * correctness gate, not just in a unit test.
   *
-  * The staging directory is a fresh temp dir per invocation (the queries
-  * are correctness probes over small slices, not production paths; the
-  * production write surface is the same code under `graft.sources`).
+  * The staging directory is a fresh dir per invocation, resolved through
+  * [[Staging.dir]] (`spark.graft.stageDir` on a cluster, local temp
+  * otherwise); the queries are correctness probes over small slices, not
+  * production paths — the production write surface is the same code
+  * under `graft.sources`.
   */
 object SourceQueries {
 
   private def stage(name: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft-$name-").toString
+    Staging.dir(name)
 
   /** XML-escape the three structural entities, matching
     * [[WikipediaXmlSource.unescape]]'s inverse order. */

@@ -32,7 +32,7 @@ object TextQueries {
     Q(
       "t11_lang_tagged_wet",
       (s, dir) => {
-        val out = java.nio.file.Files.createTempDirectory("graft-t11-").toString
+        val out = Staging.dir("t11")
         val docs = Registry.table(s, dir, "documents")
         val (_, pred) = TextAnalysis.langIdFromCounts(col("cnt"))
         docs
