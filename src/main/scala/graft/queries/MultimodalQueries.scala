@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.Multimodal
+import graft.ops.{Multimodal, Vp8l}
 
 /** Multimodal column queries: binary media containers synthesized from
   * document text (this container has no media codecs — see
@@ -980,6 +980,72 @@ object MultimodalQueries {
           FROM documents)
         ${(0 until 3).map(frameSel).mkString("\n          UNION ALL\n")}
         ORDER BY doc_id, frame
+        """.trim
+      },
+    ),
+
+    // m21: WebP-lossless (VP8L) pixel decode — the dominant modern web
+    // image format, and the deterministic half of WebP (prefix codes +
+    // LZ77 + color cache + reversible transforms; RFC 9649), so decode
+    // is bit-exact and hash-oracle-able, unlike lossy VP8. The seed
+    // cycles five encoding regimes (literals; LZ77 row copies + color
+    // cache with both 2D-plane and direct distance codes; palette with
+    // pixel bundling at sizes 2/4/16; the predictor transform over all
+    // 14 modes per-tile; subtract-green composed with the color
+    // transform), so one corpus pass exercises every decoder path. The
+    // oracle recomputes the per-regime analytic pixel formulas — a
+    // decoder that mis-reads any stage sums wrong.
+    Q(
+      "m21_webp_lossless",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val w = (col("doc_id") % 14 + 3).cast("int")
+        val h = (col("doc_id") % 9 + 2).cast("int")
+        val packed = docs.select(col("doc_id"),
+          Vp8l.packWebpL(col("doc_id"), w, h).as("media"))
+        Vp8l.decodeWebpPixelStats(packed, "doc_id", "media")
+          .select(
+            col("id").as("doc_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("sum_r"), col("sum_g"), col("sum_b"), col("even_sum"))
+          .orderBy("doc_id")
+      },
+      Some {
+        // pixel formulas per seed regime (v = k%5): 1 → x-periodic row
+        // pattern; 2 → palette colors over index (x+2y+k)%nv; else the
+        // m8 test pattern
+        def ch(a: Int, b: Int, c: Int, palM: Int, palA: Int) =
+          s"""CASE WHEN v = 1 THEN ($a*((i % w) % 3) + $c*k) % 256
+              WHEN v = 2 THEN ($palM*(((i % w) + 2*(i // w) + k) % nv) + $palA) % 256
+              ELSE ($a*(i % w) + $b*(i // w) + $c*k) % 256 END"""
+        val r = ch(1, 1, 3, 5, 1)
+        val g = ch(3, 5, 2, 11, 2)
+        val b = ch(7, 11, 1, 23, 3)
+        s"""
+        WITH base AS (
+          SELECT doc_id, doc_id % 14 + 3 AS w, doc_id % 9 + 2 AS h,
+                 doc_id % 251 AS k
+          FROM documents),
+        p AS (
+          SELECT doc_id, w, h, k, k % 5 AS v,
+                 CASE ((k // 5) % 3) WHEN 0 THEN 2 WHEN 1 THEN 4
+                      ELSE 16 END AS nv
+          FROM base)
+        SELECT doc_id,
+               w::BIGINT AS width, h::BIGINT AS height,
+               CAST(list_sum(list_transform(range(0, w*h), i ->
+                 $r)) AS BIGINT) AS sum_r,
+               CAST(list_sum(list_transform(range(0, w*h), i ->
+                 $g)) AS BIGINT) AS sum_g,
+               CAST(list_sum(list_transform(range(0, w*h), i ->
+                 $b)) AS BIGINT) AS sum_b,
+               CAST(list_sum(list_transform(
+                 list_filter(range(0, w*h),
+                   i -> (i % w) % 2 = 0 AND (i // w) % 2 = 0),
+                 i -> ($r) + ($g) + ($b))) AS BIGINT) AS even_sum
+        FROM p
+        ORDER BY doc_id
         """.trim
       },
     ),
