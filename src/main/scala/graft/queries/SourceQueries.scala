@@ -1118,7 +1118,13 @@ object SourceQueries {
         val docs = Registry.table(s, dir, "documents")
         val base = docs.select(col("doc_id"), col("lang"), col("n_chars"),
           expr("doc_id div 250").as("bucket"))
-        base.write.partitionBy("bucket").parquet(s"$out/base")
+        // co-locate each bucket before the dynamic-partition write: an
+        // unsorted write fans every task across every bucket dir (tasks ×
+        // buckets tiny files — the classic small-file explosion as the
+        // corpus grows); hash-distributing on the partition column writes
+        // one file per bucket
+        base.repartition(col("bucket"))
+          .write.partitionBy("bucket").parquet(s"$out/base")
         val maxId = base.agg(max(col("doc_id")).as("m"))
         val updates = base.filter(col("bucket") < 2 && col("doc_id") % 10 === 3)
           .select(col("doc_id"), col("lang"),
@@ -1144,6 +1150,7 @@ object SourceQueries {
             coalesce(col("u_lang"), col("lang")).as("lang"),
             coalesce(col("u_chars"), col("n_chars")).as("n_chars"))
           .withColumn("bucket", expr("doc_id div 250"))
+          .repartition(col("bucket")) // one file per rewritten bucket
           .write.partitionBy("bucket").parquet(s"$out/rewrite")
         // post-merge corpus = untouched base partitions ∪ the rewrite
         val merged = baseRead.filter(!col("bucket").isin(touched: _*))
