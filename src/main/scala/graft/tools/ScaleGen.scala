@@ -32,15 +32,17 @@ object ScaleGen {
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3 || args.length == 4,
-      "usage: ScaleGen <srcSfDir> <outDir> <factor> [skew]")
+      "usage: ScaleGen <srcSfDir> <outDir> <factor> [skew|hubskew]")
     val src = args(0); val out = args(1)
     val factor = args(2).toInt
-    val skew = args.length == 4 && args(3) == "skew"
+    val mode = if (args.length == 4) args(3) else ""
+    require(mode.isEmpty || mode == "skew" || mode == "hubskew",
+      s"mode must be skew or hubskew, got $mode")
     require(factor >= 2 && factor <= 100, s"factor must be in [2,100], got $factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = graft.GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
-    try generate(spark, src, out, factor, skew)
+    try generate(spark, src, out, factor, mode == "skew", mode == "hubskew")
     finally spark.stop()
   }
 
@@ -55,8 +57,21 @@ object ScaleGen {
     * ranks) is MEASURED on a hot key, not argued — a query that buffers
     * one key's rows on one task goes visibly superlinear here.
     */
+  /** With `hubskew` on, the GRAPH gets a supernode: ~20% of lineitems
+    * collapse onto `l_suppkey = 1` (the in-hub: distinct edges from
+    * nearly every customer land on one supplier node) and ~20% of
+    * orders onto `o_custkey = 1` (the out-hub), so one node owns ~20%
+    * of the edge MASS and the (1 → supplier-1) edge has enormous
+    * multiplicity — the facebook.com-of-the-web case the reference
+    * caps with its ≤100 subdomain sampling (PageRankUtils.java:
+    * 2445-2500). This is a different regime from `skew`: the bot mode
+    * skews per-key ROW mass (orders/events) but the distinct edge set
+    * stays bounded by the supplier count; hubskew skews the distinct
+    * EDGE distribution itself, which is what the per-half-step joins,
+    * component fixpoints and degree folds key on.
+    */
   def generate(spark: SparkSession, src: String, out: String, factor: Int,
-      skew: Boolean = false): Unit = {
+      skew: Boolean = false, hubskew: Boolean = false): Unit = {
     def read(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
     // a corpus grows by ADDING archives, not by inflating one file: write
     // factor× the source's file count so scan parallelism scales with the
@@ -101,20 +116,31 @@ object ScaleGen {
     write("part")(replicate(part)
       .withColumn("p_partkey", col("p_partkey") + col("rep") * partStride)
       .drop("rep"))
-    // skew: ~20% of orders collapse onto custkey 1 (a valid rep-0 key,
-    // so customer joins stay referentially intact — they just fan in)
+    // skew/hubskew: ~20% of orders collapse onto custkey 1 (a valid
+    // rep-0 key, so customer joins stay referentially intact — they
+    // just fan in); under hubskew this is the graph's out-hub
     val custShifted = col("o_custkey") + col("rep") * custStride
     write("orders")(replicate(orders)
       .withColumn("o_orderkey", col("o_orderkey") + col("rep") * orderStride)
       .withColumn("o_custkey",
-        if (skew) when(pmod(hash(col("o_orderkey")), lit(5)) === 0, lit(1L))
-          .otherwise(custShifted)
+        if (skew || hubskew)
+          when(pmod(hash(col("o_orderkey")), lit(5)) === 0, lit(1L))
+            .otherwise(custShifted)
         else custShifted)
       .drop("rep"))
+    // hubskew: ~20% of lineitems collapse onto suppkey 1 — the in-hub;
+    // the hash keys on the full line identity so collapsed lines spread
+    // across all orders (every customer gains an edge onto the hub)
+    val suppShifted = col("l_suppkey") + col("rep") * suppStride
     write("lineitem")(replicate(read("lineitem"))
       .withColumn("l_orderkey", col("l_orderkey") + col("rep") * orderStride)
       .withColumn("l_partkey", col("l_partkey") + col("rep") * partStride)
-      .withColumn("l_suppkey", col("l_suppkey") + col("rep") * suppStride)
+      .withColumn("l_suppkey",
+        if (hubskew)
+          when(pmod(hash(col("l_orderkey"), col("l_linenumber"),
+              col("rep")), lit(5)) === 0, lit(1L))
+            .otherwise(suppShifted)
+        else suppShifted)
       .drop("rep"))
 
     // the source events table stores TIMESTAMP(NANOS); read it the way
