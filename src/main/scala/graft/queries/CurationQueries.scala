@@ -1300,12 +1300,13 @@ object CurationQueries {
           when(md5Bucket("lsplit", rep) < lit("cc"), lit("train"))
             .otherwise(lit("heldout"))
         // the expensive leg (shingle → band → verify) runs ONCE over the
-        // grown corpus; round 1's pair set is exactly the full pair set
-        // restricted to batch-1 endpoints (banding candidates between two
-        // batch-1 docs don't depend on other rows being in the table)
-        val pairsAll = graft.ops.Dedupe.minhashNearDupPairs(docs, "doc_id",
-          "text", threshold = 0.8, k = 72, bands = 6)
-          .transform(graft.ops.Iterative.materialize)
+        // grown corpus — via the i20-shared build (DedupeQueries
+        // .sharedNearDup), which also hands back the full-corpus label
+        // table round 2 needs; round 1's pair set is exactly the full
+        // pair set restricted to batch-1 endpoints (banding candidates
+        // between two batch-1 docs don't depend on other rows being in
+        // the table)
+        val (pairsAll, labelsAll) = DedupeQueries.sharedNearDup(s, dir)
         val b1Ids = batch1.select(col("doc_id"))
         // ROUND 1: cu17 verbatim over the initial corpus only, persisted
         val pairs1 = pairsAll
@@ -1320,15 +1321,14 @@ object CurationQueries {
         graft.sources.Sinks.writeBucketedAt(assigned, "cu24_frozen",
           "doc_id", 8, s"$cu24StagePath/frozen")
         val frozen = s.table("cu24_frozen")
-        // ROUND 2: cluster the grown corpus, probe the frozen index
-        val clusAll = graft.ops.Dedupe.connectedComponents(pairsAll)
-          .select(col("id").as("doc_id"), col("cluster_id"))
+        // ROUND 2: the grown corpus's clustering is the shared label
+        // table (already persisted, already singleton-completed) — probe
+        // the frozen index with it
         val withRep = docs.select(col("doc_id"),
             (col("source") === "src0").as("is_new"))
-          .join(clusAll, Seq("doc_id"), "left")
+          .join(labelsAll, Seq("doc_id"))
           .select(col("doc_id"), col("is_new"),
-            coalesce(col("cluster_id"), col("doc_id")).as("rep"))
-          .transform(graft.ops.Iterative.materialize) // feeds anchors + output
+            col("cluster_id").as("rep"))
         val anchors = withRep.filter(!col("is_new"))
           .groupBy("rep").agg(min(col("doc_id")).as("anchor_id"))
           .join(frozen, col("anchor_id") === frozen("doc_id"))

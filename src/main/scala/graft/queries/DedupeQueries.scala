@@ -105,6 +105,42 @@ object DedupeQueries {
   private val d9Stage = new Staging.Memo("d9")
   private def d9StagePath: String = d9Stage.path
 
+  private val d5SharedStage = new Staging.Memo("d5shared")
+  private val d5SharedLock = new Object
+  @volatile private var d5SharedBuilt: (String, String) = null
+
+  /** Build-once full-corpus near-dup artifacts shared by cu24 and i20
+    * (the c7 incremental-view discipline: both queries were paying for
+    * the SAME banding + clustering independently — their dominant
+    * cost). One build per (stage base, sf dir) persists the verified
+    * pair set as parquet and the complete (doc_id → cluster_id) label
+    * table — singletons labeled by their own id — as a doc_id-bucketed
+    * table, so i20's first probe hop joins it shuffle-free and cu24's
+    * round-2 clustering is a read. Returns (pairs, labels). Correct in
+    * any run order: the first caller builds, later callers (and later
+    * RUNS in the same JVM) reuse; a dir or stage-base change rebuilds. */
+  def sharedNearDup(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = d5SharedLock.synchronized {
+    val base = d5SharedStage.path
+    if (d5SharedBuilt != ((base, dir))) {
+      val docs = Registry.table(s, dir, "documents")
+      Dedupe.minhashNearDupPairs(docs, "doc_id", "text",
+          threshold = 0.8, k = 72, bands = 6)
+        .write.mode("overwrite").parquet(s"$base/pairs")
+      val clus = Dedupe.connectedComponents(s.read.parquet(s"$base/pairs"))
+        .select(col("id").as("doc_id"), col("cluster_id"))
+      val labels = docs.select(col("doc_id"))
+        .join(clus, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      graft.sources.Sinks.writeBucketedAt(labels, "d5_labels",
+        "doc_id", 8, s"$base/labels")
+      d5SharedBuilt = (base, dir)
+    }
+    (s.read.parquet(s"$base/pairs"), s.table("d5_labels"))
+  }
+
   /** Shared by d7 (recompute-per-run) and d9 (persistent-index probe):
     * the two plans implement the same semantics, so one oracle gates both. */
   private def incrementalOracle: String = s"""

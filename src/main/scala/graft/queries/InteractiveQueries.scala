@@ -792,8 +792,9 @@ object InteractiveQueries {
     // i20: near-dup cluster-member lookup — the interactive face of the
     // d5 clustering: "show me every copy of this document" (the dedupe
     // review / takedown-propagation / provenance-audit page). The
-    // cluster labels persist as TWO bucketed tables — (doc_id →
-    // cluster_id) bucketed by doc_id and (cluster_id → member_id)
+    // cluster labels persist as TWO bucketed tables — the SHARED
+    // (doc_id → cluster_id) table bucketed by doc_id (built once with
+    // cu24, DedupeQueries.sharedNearDup) and (cluster_id → member_id)
     // bucketed by cluster_id — so BOTH hops of a point query land on
     // pre-bucketed join keys: the corpus-sized index sides never
     // re-shuffle, only the O(probes) side moves (the d9/TFiles serving
@@ -803,22 +804,16 @@ object InteractiveQueries {
       "i20_cluster_members",
       (s, dir) => {
         val docs = Registry.table(s, dir, "documents")
-        val pairs = graft.ops.Dedupe.minhashNearDupPairs(docs, "doc_id",
-          "text", threshold = 0.8, k = 72, bands = 6)
-        val clus = graft.ops.Dedupe.connectedComponents(pairs)
-          .select(col("id").as("doc_id"), col("cluster_id"))
-        val labels = docs.select(col("doc_id"))
-          .join(clus, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-          .transform(graft.ops.Iterative.materialize) // feeds both sinks
-        graft.sources.Sinks.writeBucketedAt(labels, "i20_doc_cluster",
-          "doc_id", 8, s"$i20StagePath/by_doc")
+        // the doc_id-bucketed label table comes from the shared build —
+        // cu24 and i20 were independently paying for the same banding +
+        // clustering (their dominant cost); the shared table serves the
+        // first probe hop directly
+        val (_, labels) = DedupeQueries.sharedNearDup(s, dir)
         graft.sources.Sinks.writeBucketedAt(
           labels.select(col("cluster_id"), col("doc_id").as("member_id")),
           "i20_members", "cluster_id", 8, s"$i20StagePath/by_cluster")
         docs.select(col("doc_id")).filter(col("doc_id") % 100 === 7)
-          .join(s.table("i20_doc_cluster"), "doc_id")
+          .join(labels, "doc_id")
           .select(col("doc_id").as("probe_id"), col("cluster_id"))
           .join(s.table("i20_members"), "cluster_id")
           .select(col("probe_id"), col("cluster_id"), col("member_id"))
