@@ -641,26 +641,44 @@ object GraphQueries {
     // hash-checked.
     Q(
       "g10_hits",
+      // normalize = true: each half-step integer-rescales to max = 1e6,
+      // so scores NEVER compound — without it a supernode's weighted
+      // degree overflows int64 by depth 2 (caught by the x10hub soak:
+      // one node owning ~20% of edge mass with ~240k-multiplicity edges
+      // pushed Σ n_links·score past 2^63). The oracle replays the exact
+      // integer rescale in HUGEINT, so the gate stays bit-exact.
       (s, dir) =>
-        graft.ops.Hits.run(edges(s, dir), iters = 2)
+        graft.ops.Hits.run(edges(s, dir), iters = 2, normalize = true)
           .orderBy("role", "node"),
       Some(s"""
         WITH $EdgesCte,
         auth1 AS (
-          SELECT dst_domain AS node, CAST(SUM(n_links) AS BIGINT) AS a
+          SELECT dst_domain AS node, SUM(n_links)::HUGEINT AS a
           FROM edges GROUP BY 1),
+        auth1r AS (
+          SELECT node, CAST(a * 1000000 // (SELECT MAX(a) FROM auth1) AS BIGINT) AS a
+          FROM auth1),
         hub1 AS (
-          SELECT e.src_domain AS node, CAST(SUM(e.n_links * a1.a) AS BIGINT) AS h
-          FROM edges e JOIN auth1 a1 ON e.dst_domain = a1.node GROUP BY 1),
+          SELECT e.src_domain AS node, SUM(e.n_links::HUGEINT * a1.a) AS h
+          FROM edges e JOIN auth1r a1 ON e.dst_domain = a1.node GROUP BY 1),
+        hub1r AS (
+          SELECT node, CAST(h * 1000000 // (SELECT MAX(h) FROM hub1) AS BIGINT) AS h
+          FROM hub1),
         auth2 AS (
-          SELECT e.dst_domain AS node, CAST(SUM(e.n_links * h1.h) AS BIGINT) AS a
-          FROM edges e JOIN hub1 h1 ON e.src_domain = h1.node GROUP BY 1),
+          SELECT e.dst_domain AS node, SUM(e.n_links::HUGEINT * h1.h) AS a
+          FROM edges e JOIN hub1r h1 ON e.src_domain = h1.node GROUP BY 1),
+        auth2r AS (
+          SELECT node, CAST(a * 1000000 // (SELECT MAX(a) FROM auth2) AS BIGINT) AS a
+          FROM auth2),
         hub2 AS (
-          SELECT e.src_domain AS node, CAST(SUM(e.n_links * a2.a) AS BIGINT) AS h
-          FROM edges e JOIN auth2 a2 ON e.dst_domain = a2.node GROUP BY 1)
-        SELECT 'auth' AS role, node, a AS score_u FROM auth2
+          SELECT e.src_domain AS node, SUM(e.n_links::HUGEINT * a2.a) AS h
+          FROM edges e JOIN auth2r a2 ON e.dst_domain = a2.node GROUP BY 1),
+        hub2r AS (
+          SELECT node, CAST(h * 1000000 // (SELECT MAX(h) FROM hub2) AS BIGINT) AS h
+          FROM hub2)
+        SELECT 'auth' AS role, node, a AS score_u FROM auth2r
         UNION ALL
-        SELECT 'hub' AS role, node, h AS score_u FROM hub2
+        SELECT 'hub' AS role, node, h AS score_u FROM hub2r
         ORDER BY role, node
       """.trim),
     ),

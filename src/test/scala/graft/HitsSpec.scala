@@ -56,6 +56,20 @@ class HitsSpec extends AnyFunSuite with SparkSuite {
     intercept[IllegalArgumentException](Hits.run(edges, iters = 4))
   }
 
+  test("supernode regression: normalized HITS survives a hub owning the edge mass") {
+    import spark.implicits._
+    // the x10hub shape that crashed unnormalized g10: one (u,v) edge
+    // carries supernode multiplicity while a fan of light edges spreads
+    // distinct degree — unnormalized depth-2 sums overflow int64; the
+    // normalized path must finish with every score in [0, NormScale]
+    val hub = (Seq((1L, 100L, 4000000000L)) ++
+      (1L to 500L).map(i => (i, 100L + i % 50, 1000L)))
+      .toDF("src_domain", "dst_domain", "n_links")
+    val got = scores(Hits.run(hub, iters = 2, normalize = true))
+    assert(got.values.forall(v => v >= 0L && v <= Hits.NormScale))
+    assert(got(("auth", 100L)) == Hits.NormScale)
+  }
+
   test("reliable checkpoint path matches default") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ck").toString
     assert(scores(Hits.run(edges, iters = 2, checkpointDir = Some(dir)))
