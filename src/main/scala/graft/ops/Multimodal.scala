@@ -1647,6 +1647,28 @@ object Multimodal {
       cl(y + 1.772 * (cb - 128)))
   }
 
+  /** THE pinned integer IDCT basis: IdctK(8u + x) =
+    * round(α(u)·cos((2x+1)uπ/16)·2048) with α(0) = 1/√2 — 64 integer
+    * constants, hardcoded (never recomputed from cos, so no libm/ulp
+    * ambiguity anywhere). Reconstruction is the direct 2-D sum
+    * S = Σ_{u,v} IdctK(8u+x)·IdctK(8v+y)·F(u,v), pixel =
+    * clamp(((S + 2²³) >> 24) + 128): the product carries 2²² scale and
+    * the transform's ÷4, so >> 24 with half-up rounding is the whole
+    * normalization. T.81 does NOT mandate a bit-exact IDCT — this pins
+    * ONE, and the m22 oracle replays the identical integer math
+    * (the m13/ss14 replayed-scoring pattern), which is what makes
+    * general nonzero-AC baseline JPEG hash-oracle-able at all. Worst
+    * case |S| < 64·2048²·(255·16) < 2⁶⁰: no Long overflow. */
+  private[graft] val IdctK: Array[Int] = Array(
+    1448, 1448, 1448, 1448, 1448, 1448, 1448, 1448,
+    2009, 1703, 1138, 400, -400, -1138, -1703, -2009,
+    1892, 784, -784, -1892, -1892, -784, 784, 1892,
+    1703, -400, -2009, -1138, 1138, 2009, 400, -1703,
+    1448, -1448, -1448, 1448, 1448, -1448, -1448, 1448,
+    1138, -2009, 400, 1703, -1703, -400, 2009, -1138,
+    784, -1892, 1892, -784, -784, 1892, -1892, 784,
+    400, -1138, 1703, -2009, 2009, -1703, 1138, -400)
+
   private val ZigZag: Array[Int] = Array(
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
@@ -1757,6 +1779,99 @@ object Multimodal {
     if (bitCnt > 0) putBits((1 << (8 - bitCnt)) - 1, 8 - bitCnt) // pad with 1s
     u8(0xff); u8(0xd9) // EOI
     out.toByteArray
+  }
+
+  // --- m22: GENERAL (nonzero-AC) baseline JPEG under the pinned IDCT ---
+
+  /** m22 per-block analytic quantized coefficients: DC plus two ACs at
+    * zigzag 1 (u=1,v=0) and zigzag 8 (u=1,v=2). Magnitudes are sized so
+    * no reconstructed pixel can clamp (|DC| ≤ 60, AC ripple < 45). */
+  private[graft] def jpegAcDc(k: Long, bx: Int, by: Int): Int =
+    ((3 * bx + 5 * by + k) % 120).toInt - 60
+  private[graft] def jpegAc1(k: Long, bx: Int, by: Int): Int =
+    ((bx + 2 * by + k) % 15).toInt - 7
+  private[graft] def jpegAc2(k: Long, bx: Int, by: Int): Int =
+    ((2 * bx + by + 3 * k) % 15).toInt - 7
+
+  // m22 AC Huffman spec: EOB plus (run 0 | 6 | 7, size 1-3) — exactly
+  // the symbols the two-AC layout emits — as ten length-4 codes
+  private val AcM22Bits = Array(0, 0, 0, 10, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val AcM22Vals =
+    Array(0x00, 0x01, 0x02, 0x03, 0x61, 0x62, 0x63, 0x71, 0x72, 0x73)
+
+  /** Encode a GENERAL baseline JPEG — nonzero AC coefficients, the
+    * regime m11 excluded while the IDCT was implementation-defined.
+    * With [[IdctK]] pinned, reconstruction is exact integer math the
+    * m22 oracle replays term-for-term, closing the T.81 caveat the
+    * replayed-scoring way (m13/ss14). Grayscale, non-interleaved
+    * (8×8-block MCUs in raster order), custom minimal AC table, real
+    * DC-delta coding, FF stuffing. */
+  private[graft] def encodeJpegAc(k: Long, nbx: Int, nby: Int): Array[Byte] = {
+    val w = 8 * nbx; val h = 8 * nby
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int, body: Array[Int]): Unit = {
+      u8(0xff); u8(m); u16(body.length + 2); body.foreach(u8)
+    }
+    u8(0xff); u8(0xd8) // SOI
+    marker(0xdb, 0 +: Array.tabulate(64)(i => if (i == 0) 8 else 16))
+    marker(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 1, 1, 0x11, 0))
+    marker(0xc4, (0x00 +: (DcLumBits ++ DcLumVals)) ++
+      (0x10 +: (AcM22Bits ++ AcM22Vals)))
+    marker(0xda, Array(1, 1, 0x00, 0, 63, 0))
+    val dcLum = huffCodes(DcLumBits, DcLumVals)
+    val acTab = huffCodes(AcM22Bits, AcM22Vals)
+    var bitBuf = 0L; var bitCnt = 0
+    def putBits(code: Int, len: Int): Unit = {
+      if (len > 0) {
+        bitBuf = (bitBuf << len) | (code & ((1L << len) - 1))
+        bitCnt += len
+        while (bitCnt >= 8) {
+          val byte = ((bitBuf >> (bitCnt - 8)) & 0xff).toInt
+          out.write(byte)
+          if (byte == 0xff) out.write(0x00)
+          bitCnt -= 8
+        }
+      }
+    }
+    def size(v: Int): Int =
+      if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    def extendBits(v: Int, s: Int): Int = if (v < 0) v - 1 else v
+    var pred = 0
+    for (by <- 0 until nby; bx <- 0 until nbx) {
+      val dc = jpegAcDc(k, bx, by)
+      val diff = dc - pred; pred = dc
+      val ds = size(diff)
+      val (c, l) = dcLum(ds)
+      putBits(c, l)
+      if (ds > 0) putBits(extendBits(diff, ds), ds)
+      val a1 = jpegAc1(k, bx, by)
+      val a2 = jpegAc2(k, bx, by)
+      if (a1 != 0) {
+        val s1 = size(a1)
+        val (c1, l1) = acTab(s1) // run 0
+        putBits(c1, l1); putBits(extendBits(a1, s1), s1)
+      }
+      if (a2 != 0) {
+        val run = if (a1 != 0) 6 else 7 // zigzag 1(+1) → 8, or 0(+1) → 8
+        val s2 = size(a2)
+        val (c2, l2) = acTab((run << 4) | s2)
+        putBits(c2, l2); putBits(extendBits(a2, s2), s2)
+      }
+      val (ec, el) = acTab(0x00) // EOB (position 8 < 63)
+      putBits(ec, el)
+    }
+    if (bitCnt > 0) putBits((1 << (8 - bitCnt)) - 1, 8 - bitCnt)
+    u8(0xff); u8(0xd9)
+    out.toByteArray
+  }
+
+  /** Fixture-synthesis column for m22: nonzero-AC grayscale JPEG bytes
+    * for (seed, block grid). */
+  def packJpegAc(id: Column, nbx: Column, nby: Column): Column = {
+    val enc = udf((kk: Long, a: Int, b: Int) => encodeJpegAc(kk % 251, a, b))
+    enc(id.cast("long"), nbx.cast("int"), nby.cast("int"))
   }
 
   /** REAL baseline-JPEG pixel decode: marker walk (APPn/COM skipped, DQT
@@ -1938,26 +2053,29 @@ object Multimodal {
       val coef = new Array[Int](64)
       val pix = new Array[Int](64)
       val pred = new Array[Int](4)
-      // IDCT cos table
-      val cosT = Array.tabulate(8, 8)((x, u) =>
-        math.cos((2 * x + 1) * u * math.Pi / 16) * (if (u == 0) 1.0 / math.sqrt(2) else 1.0))
+      // THE pinned integer IDCT (see [[IdctK]]): all-integer, so every
+      // decode — DC-only or full-AC — is bit-reproducible and the m22
+      // oracle replays the identical arithmetic; for DC-only blocks it
+      // agrees exactly with the ideal transform (error ≤ 0.028 ≪ 0.5),
+      // so the m11 gate is unchanged
       def idctBlock(): Unit = {
         var y0 = 0
         while (y0 < 8) {
           var x0 = 0
           while (x0 < 8) {
-            var s = 0.0
+            var s = 0L
             var u = 0
             while (u < 8) {
               var v = 0
               while (v < 8) {
                 val f = coef(8 * v + u)
-                if (f != 0) s += cosT(x0)(u) * cosT(y0)(v) * f
+                if (f != 0)
+                  s += IdctK(8 * u + x0).toLong * IdctK(8 * v + y0) * f
                 v += 1
               }
               u += 1
             }
-            val out = math.floor(s / 4 + 128 + 0.5).toInt
+            val out = ((s + (1L << 23)) >> 24).toInt + 128
             pix(8 * y0 + x0) = math.max(0, math.min(255, out))
             x0 += 1
           }

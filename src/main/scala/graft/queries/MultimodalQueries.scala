@@ -1049,5 +1049,73 @@ object MultimodalQueries {
         """.trim
       },
     ),
+
+    // m22: GENERAL baseline JPEG — nonzero AC coefficients, the regime
+    // m11 had to exclude while the IDCT was implementation-defined
+    // (T.81 mandates no bit-exact inverse transform). The engine pins
+    // ONE integer IDCT (Multimodal.IdctK: 2048-scaled cosine basis,
+    // direct 2-D sum, (S + 2^23) >> 24 rounding) and this oracle
+    // replays the identical integer arithmetic term-for-term — the
+    // m13/ss14 replayed-scoring pattern — so the full Huffman AC
+    // run-length scan, dequant, de-zigzag and reconstruction are
+    // hash-gated, not just DC. Spec-side, the JDK ImageIO decoder
+    // referees the pinned transform to within its rounding latitude.
+    Q(
+      "m22_jpeg_ac",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val nbx = (col("doc_id") % 5 + 1).cast("int")
+        val nby = (col("doc_id") % 4 + 1).cast("int")
+        val packed = docs.select(col("doc_id"),
+          Multimodal.packJpegAc(col("doc_id"), nbx, nby).as("media"))
+        Multimodal.decodeJpegPixelStats(packed, "doc_id", "media")
+          .select(
+            col("id").as("doc_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("sum_r"), col("sum_g"), col("sum_b"), col("even_sum"))
+          .orderBy("doc_id")
+      },
+      Some {
+        // the pinned IDCT basis rows the two AC positions touch
+        val k1 = "[2009, 1703, 1138, 400, -400, -1138, -1703, -2009]"
+        val k2 = "[1892, 784, -784, -1892, -1892, -784, 784, 1892]"
+        // i decomposes as (block, pixel); DC starts the BIGINT chain so
+        // every product stays 64-bit in DuckDB
+        val sExpr = s"""(
+          (8*((3*((i // 64) % nbx) + 5*((i // 64) // nbx) + k) % 120 - 60))
+            * 1448 * 1448
+          + (16*((((i // 64) % nbx) + 2*((i // 64) // nbx) + k) % 15 - 7))
+            * 1448 * ($k1)[(i % 8) + 1]
+          + (16*((2*((i // 64) % nbx) + ((i // 64) // nbx) + 3*k) % 15 - 7))
+            * ($k1)[(i % 8) + 1] * ($k2)[((i % 64) // 8) + 1])"""
+        // DuckDB's // truncates toward zero while the engine's >> 24
+        // floors: bias the numerator positive (+256·2^24, −256 after)
+        // so truncation IS floor — the sign-safe div discipline
+        val pxExpr =
+          s"LEAST(255, GREATEST(0, ($sExpr + 8388608 + 4294967296) // 16777216 - 128))"
+        s"""
+        WITH g AS (
+          SELECT doc_id, doc_id % 5 + 1 AS nbx, doc_id % 4 + 1 AS nby,
+                 doc_id % 251 AS k
+          FROM documents),
+        p AS (
+          SELECT doc_id, nbx, nby, k,
+            CAST(list_sum(list_transform(range(0, nbx*nby*64), i ->
+              $pxExpr)) AS BIGINT) AS s_all,
+            CAST(list_sum(list_transform(
+              list_filter(range(0, nbx*nby*64),
+                i -> (i % 8) % 2 = 0 AND ((i % 64) // 8) % 2 = 0),
+              i -> $pxExpr)) AS BIGINT) AS s_even
+          FROM g)
+        SELECT doc_id,
+               (nbx*8)::BIGINT AS width, (nby*8)::BIGINT AS height,
+               s_all AS sum_r, s_all AS sum_g, s_all AS sum_b,
+               3*s_even AS even_sum
+        FROM p
+        ORDER BY doc_id
+        """.trim
+      },
+    ),
   )
 }

@@ -700,4 +700,55 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(got(1) == Seq(0))
     assert(got(100) == Seq(0, 3, 6, 9, 12))
   }
+
+  test("JPEG nonzero-AC decode: pinned integer IDCT, replay parity, referee") {
+    // brute-force parity against the PINNED integer IDCT replay — the
+    // exact arithmetic the m22 oracle re-runs in SQL
+    val K1 = Array(2009, 1703, 1138, 400, -400, -1138, -1703, -2009)
+    val K2 = Array(1892, 784, -784, -1892, -1892, -784, 784, 1892)
+    def pixel(k: Long, nbx: Int, bx: Int, by: Int, x: Int, y: Int): Int = {
+      val s = 1448L * 1448 * (8L * Multimodal.jpegAcDc(k, bx, by)) +
+        K1(x).toLong * 1448 * (16L * Multimodal.jpegAc1(k, bx, by)) +
+        K1(x).toLong * K2(y) * (16L * Multimodal.jpegAc2(k, bx, by))
+      val v = ((s + (1L << 23)) >> 24).toInt + 128
+      math.max(0, math.min(255, v))
+    }
+    for (nbx <- 1 to 3; nby <- 1 to 3; k <- Seq(0L, 1L, 17L, 42L, 250L)) {
+      val w = 8 * nbx; val h = 8 * nby
+      val got = Multimodal.decodeJpegStats(Multimodal.encodeJpegAc(k, nbx, nby))
+      def px(x: Int, y: Int) = pixel(k, nbx, x / 8, y / 8, x % 8, y % 8)
+      val all = for { y <- 0 until h; x <- 0 until w } yield px(x, y).toLong
+      val even = for { y <- 0 until h by 2; x <- 0 until w by 2 } yield px(x, y).toLong
+      assert(got == ((w, h, all.sum, all.sum, all.sum, 3 * even.sum)),
+        s"nbx=$nbx nby=$nby k=$k")
+      // the ACs must actually land: at least one block's ripple differs
+      // from its flat DC reconstruction
+      val flatOnly = (0 until nby).flatMap(by => (0 until nbx).map(bx =>
+        Multimodal.jpegAc1(k, bx, by) == 0 && Multimodal.jpegAc2(k, bx, by) == 0))
+      if (!flatOnly.forall(identity))
+        assert((0 until h).exists(y => (1 until w).exists(x =>
+          px(x, y) != px(x - 1, y))), s"no AC ripple k=$k")
+    }
+    // independent referee: the JDK ImageIO decoder must agree with the
+    // pinned IDCT within its own rounding latitude on every pixel
+    val k = 42L
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.encodeJpegAc(k, 3, 2)))
+    assert(img != null && img.getWidth == 24 && img.getHeight == 16)
+    for (y <- 0 until 16; x <- 0 until 24) {
+      val got = img.getRaster.getSample(x, y, 0)
+      val want = pixel(k, 3, x / 8, y / 8, x % 8, y % 8)
+      assert(math.abs(got - want) <= 2, s"($x,$y): jdk=$got pinned=$want")
+    }
+    // single-byte corruption fuzz over nonzero-AC files
+    val rnd = new scala.util.Random(31)
+    for (_ <- 0 until 200) {
+      val base = Multimodal.encodeJpegAc(rnd.nextInt(251).toLong,
+        rnd.nextInt(5) + 1, rnd.nextInt(4) + 1)
+      val mut = base.clone()
+      mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
+      val (mw, mh, _, _, _, _) = Multimodal.decodeJpegStats(mut)
+      assert(mw >= -1 && mh >= -1)
+    }
+  }
 }

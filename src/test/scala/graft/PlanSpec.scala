@@ -621,8 +621,9 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("CartesianProduct"), s"cu24 degenerated:\n$p")
   }
 
-  test("m18/m19/m21 media decode stays embarrassingly parallel") {
-    Seq("m18_png_palette_gray", "m19_png_deep16", "m21_webp_lossless").foreach { q =>
+  test("m18/m19/m21/m22 media decode stays embarrassingly parallel") {
+    Seq("m18_png_palette_gray", "m19_png_deep16", "m21_webp_lossless",
+        "m22_jpeg_ac").foreach { q =>
       val p = plan(q)
       // per-partition decode over binary columns: no joins, no windows;
       // the only exchange is the final presentation sort
