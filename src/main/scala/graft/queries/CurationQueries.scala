@@ -957,15 +957,10 @@ object CurationQueries {
     Q(
       "cu17_leakage_split",
       (s, dir) => {
-        val docs = Registry.table(s, dir, "documents")
-        val pairs = graft.ops.Dedupe.minhashNearDupPairs(docs, "doc_id",
-          "text", threshold = 0.8, k = 72, bands = 6)
-        val clus = graft.ops.Dedupe.connectedComponents(pairs)
-          .select(col("id").as("doc_id"), col("cluster_id"))
-        docs.select(col("doc_id"))
-          .join(clus, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        // the full-corpus labels come from the build shared with
+        // cu21/cu24/d5/d11/i20 (DedupeQueries.sharedNearDup): identical
+        // banding + clustering, computed once per JVM
+        DedupeQueries.sharedNearDup(s, dir)._2
           .withColumn("split",
             when(md5Bucket("lsplit", col("cluster_id")) < lit("cc"),
               lit("train")).otherwise(lit("heldout")))
@@ -1107,15 +1102,8 @@ object CurationQueries {
           .agg(count(lit(1)).as("n_grams"), count(col("is_b")).as("n_boiler"))
           .filter(col("n_boiler") * 5 <= col("n_grams"))
           .select(col("doc_id"))
-        // cu17's split
-        val pairs = graft.ops.Dedupe.minhashNearDupPairs(docs, "doc_id",
-          "text", threshold = 0.8, k = 72, bands = 6)
-        val clus = graft.ops.Dedupe.connectedComponents(pairs)
-          .select(col("id").as("doc_id"), col("cluster_id"))
-        val splitDf = docs.select(col("doc_id"))
-          .join(clus, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        // cu17's split, over the shared full-corpus labels
+        val splitDf = DedupeQueries.sharedNearDup(s, dir)._2
           .withColumn("split",
             when(md5Bucket("lsplit", col("cluster_id")) < lit("cc"),
               lit("train")).otherwise(lit("heldout")))

@@ -109,10 +109,13 @@ object DedupeQueries {
   private val d5SharedLock = new Object
   @volatile private var d5SharedBuilt: (String, String) = null
 
-  /** Build-once full-corpus near-dup artifacts shared by cu24 and i20
-    * (the c7 incremental-view discipline: both queries were paying for
-    * the SAME banding + clustering independently — their dominant
-    * cost). One build per (stage base, sf dir) persists the verified
+  /** Build-once full-corpus near-dup artifacts shared by every query on
+    * the standard banding (threshold 0.8, k=72, bands=6 over
+    * `documents`): d2/d3 (pairs; d3 refilters the exact jaccard at 0.9),
+    * d5/d11 (labels), d6/d12 (pairs), cu17/cu21/cu24 (labels or both),
+    * i20 (labels) — the c7 incremental-view discipline; each was paying
+    * for the SAME banding + clustering independently, their dominant
+    * cost. One build per (stage base, sf dir) persists the verified
     * pair set as parquet and the complete (doc_id → cluster_id) label
     * table — singletons labeled by their own id — as a doc_id-bucketed
     * table, so i20's first probe hop joins it shuffle-free and cu24's
@@ -180,10 +183,7 @@ object DedupeQueries {
     Q(
       "d2_minhash_lsh",
       (s, dir) =>
-        Dedupe.minhashNearDupPairs(
-            Registry.table(s, dir, "documents"), "doc_id", "text",
-            threshold = 0.8, k = 72, bands = 6)
-          .orderBy("doc_a", "doc_b"),
+        sharedNearDup(s, dir)._1.orderBy("doc_a", "doc_b"),
       Some(s"""
         WITH ${minhashCtes(k = 72, bands = 6)}
         SELECT doc_a, doc_b, $JaccardSql AS jaccard
@@ -200,10 +200,11 @@ object DedupeQueries {
     // tests only (DedupeSpec compares LSH vs brute force at sf0.001).
     Q(
       "d3_ngram_jaccard",
+      // the threshold is minhashNearDupPairs's FINAL filter on the exact
+      // jaccard column, so the 0.9 pair set is precisely the shared 0.8
+      // set refiltered — no second banding pass
       (s, dir) =>
-        Dedupe.minhashNearDupPairs(
-            Registry.table(s, dir, "documents"), "doc_id", "text",
-            threshold = 0.9, k = 72, bands = 6)
+        sharedNearDup(s, dir)._1.filter(col("jaccard") >= 0.9)
           .orderBy("doc_a", "doc_b"),
       Some(s"""
         WITH ${minhashCtes(k = 72, bands = 6)}
@@ -275,12 +276,13 @@ object DedupeQueries {
     Q(
       "d5_dedupe_clusters",
       (s, dir) => {
-        val pairs = Dedupe.minhashNearDupPairs(
-          Registry.table(s, dir, "documents"), "doc_id", "text",
-          threshold = 0.8, k = 72, bands = 6)
-        Dedupe.connectedComponents(pairs)
-          .select(col("id").as("doc_id"), col("cluster_id"))
-          .orderBy("doc_id")
+        // components over the shared pair set = the shared label table
+        // restricted to pair endpoints (singleton self-labels excluded)
+        val (pairs, labels) = sharedNearDup(s, dir)
+        val members = pairs.select(col("doc_a").as("doc_id"))
+          .unionByName(pairs.select(col("doc_b").as("doc_id")))
+          .distinct()
+        labels.join(members, "doc_id").orderBy("doc_id")
       },
       Some(s"""
         WITH RECURSIVE $clusterCtes
@@ -296,8 +298,7 @@ object DedupeQueries {
       "d6_fuzzy_cross_source",
       (s, dir) => {
         val docs = Registry.table(s, dir, "documents")
-        val pairs = Dedupe.minhashNearDupPairs(docs, "doc_id", "text",
-          threshold = 0.8, k = 72, bands = 6)
+        val pairs = sharedNearDup(s, dir)._1
         val da = docs.select(col("doc_id").as("doc_a"), col("source").as("source_a"))
         val db = docs.select(col("doc_id").as("doc_b"), col("source").as("source_b"))
         pairs.join(da, "doc_a").join(db, "doc_b")
@@ -413,14 +414,9 @@ object DedupeQueries {
       "d11_cluster_winners",
       (s, dir) => {
         val docs = Registry.table(s, dir, "documents").select("doc_id", "n_chars")
-        val pairs = Dedupe.minhashNearDupPairs(
-          Registry.table(s, dir, "documents"), "doc_id", "text",
-          threshold = 0.8, k = 72, bands = 6)
-        val cc = Dedupe.connectedComponents(pairs)
-        docs.join(cc, docs("doc_id") === cc("id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
-            col("n_chars"))
+        // the shared label table IS the coalesced (doc → cluster) map
+        docs.join(sharedNearDup(s, dir)._2, Seq("doc_id"))
+          .select(col("doc_id"), col("cluster_id"), col("n_chars"))
           .groupBy("cluster_id")
           .agg(
             max_by(col("doc_id"), struct(col("n_chars"), (-col("doc_id")).as("nd")))
@@ -504,9 +500,7 @@ object DedupeQueries {
         // materialized: the pair table is referenced by BOTH probe-side
         // branches below — without the cut, the banding + verify
         // pipeline (the expensive half of this audit) runs twice
-        val found = graft.ops.Iterative.materialize(
-          Dedupe.minhashNearDupPairs(docs, "doc_id", "text",
-            threshold = 0.8, k = 72, bands = 6))
+        val found = sharedNearDup(s, dir)._1 // persisted parquet: stable, reread cheaply
         val foundNorm = found.filter(col("doc_a") < P)
           .select(col("doc_a").as("probe_id"), col("doc_b").as("other_id"))
           .unionByName(found.filter(col("doc_b") < P)
