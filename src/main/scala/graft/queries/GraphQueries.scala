@@ -21,7 +21,7 @@ object GraphQueries {
   /** G1+A9: derive the deduped edge table with multiplicities. The only
     * fact-fact shuffle is orders⋈lineitem on the order key; customer and
     * supplier dims are broadcast. */
-  def edges(s: SparkSession, dir: String): DataFrame = {
+  private def rawEdges(s: SparkSession, dir: String): DataFrame = {
     val o = Registry.table(s, dir, "orders")
     val l = Registry.table(s, dir, "lineitem")
     val c = Registry.table(s, dir, "customer")
@@ -35,6 +35,25 @@ object GraphQueries {
         col("l_suppkey").as("dst_domain"),
         col("s_nationkey").cast("long").as("dst_root"))
     LinkGraph.distinctEdges(raw)
+  }
+
+  private val edgesStage = new Staging.Memo("g-edges")
+  private val edgesLock = new Object
+  @volatile private var edgesBuilt: (String, String) = null
+
+  /** The materialized link DB: [[rawEdges]] persisted once per (stage
+    * base, sf dir) and read by every graph query — the production shape
+    * (a link DB is built once per crawl snapshot and queried many
+    * times; the reference materializes its linkgraph/inverse DB the
+    * same way), and the d5-shared-build discipline applied to the
+    * second family that was re-deriving one artifact per query. */
+  def edges(s: SparkSession, dir: String): DataFrame = edgesLock.synchronized {
+    val base = edgesStage.path
+    if (edgesBuilt != ((base, dir))) {
+      rawEdges(s, dir).write.mode("overwrite").parquet(s"$base/edges")
+      edgesBuilt = (base, dir)
+    }
+    s.read.parquet(s"$base/edges")
   }
 
   private val PrIters = 5
