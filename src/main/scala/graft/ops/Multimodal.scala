@@ -612,6 +612,14 @@ object Multimodal {
       }
       gy += 1
     }
+    val (hHi, hLo) = packDHash(gray)
+    (w, hI, hHi, hLo)
+  }
+
+  /** The 64 right-neighbor comparisons over the 8×9 gray lattice,
+    * packed 32 bits per half — ONE definition shared by every format's
+    * dHash so cross-format hashes are comparable by construction. */
+  private def packDHash(gray: Array[Array[Int]]): (Long, Long) = {
     var hHi = 0L; var hLo = 0L
     var idx = 0
     while (idx < 64) {
@@ -621,7 +629,40 @@ object Multimodal {
       }
       idx += 1
     }
-    (w, hI, hHi, hLo)
+    (hHi, hLo)
+  }
+
+  /** Format-dispatching perceptual hash — the cross-format near-dup
+    * seam (m23): BMP bytes go through [[decodeBmpDHash]], RIFF/WEBP
+    * through the real VP8L pixel decode, and both fold the SAME
+    * grayscale `(r + 2g + b) / 4`, 9×8 lattice and comparison pack, so
+    * one scene stored in two formats yields one hash. Returns
+    * (format, w, h, h_hi, h_lo); malformed → ("bad", -1, -1, -1, -1). */
+  private[graft] def decodeImageDHash(
+      b: Array[Byte]): (String, Int, Int, Long, Long) = {
+    if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') {
+      val (w, h, hi, lo) = decodeBmpDHash(b)
+      (if (w < 0) "bad" else "bmp", w, h, hi, lo)
+    } else Vp8l.decodeWebpArgbOpt(b) match {
+      case Some((w, h, px)) if w >= 1 && h >= 1 =>
+        val gray = Array.ofDim[Int](8, 9)
+        var gy = 0
+        while (gy < 8) {
+          val sy = latticeCoord(gy, 8, h)
+          var gx = 0
+          while (gx < 9) {
+            val sx = latticeCoord(gx, 9, w)
+            val p = px(sy * w + sx)
+            gray(gy)(gx) =
+              (((p >> 16) & 0xff) + 2 * ((p >> 8) & 0xff) + (p & 0xff)) / 4
+            gx += 1
+          }
+          gy += 1
+        }
+        val (hi, lo) = packDHash(gray)
+        ("webp", w, h, hi, lo)
+      case _ => ("bad", -1, -1, -1L, -1L)
+    }
   }
 
   // --- real PIXEL decode: PNG (RGB8 / RGBA8, non-interlaced) ----------
@@ -2516,6 +2557,26 @@ object Multimodal {
 
   /** Real perceptual-hash decode over the standard batch seam:
     * (id, media) → (id, width, height, h_hi, h_lo). */
+  /** Cross-format dHash over the standard batch seam:
+    * (id, media) → (id, format, width, height, h_hi, h_lo). */
+  def decodeImageDHashes(df: DataFrame, id: String, media: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("h_hi", LongType, nullable = false),
+      StructField("h_lo", LongType, nullable = false)))
+    val rdd = df.select(col(id).cast("long"), col(media)).rdd.mapPartitions { it =>
+      it.map { r =>
+        val (f, w, h, hi, lo) = decodeImageDHash(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), f, w, h, hi, lo)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   def decodeBmpDHashes(df: DataFrame, id: String, media: String): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(

@@ -567,6 +567,36 @@ object Vp8l {
     (w, h, buf)
   }
 
+  /** RIFF walk + payload decode → Some((w, h, argb)) or None on any
+    * malformation — the pixel surface the cross-format dHash consumes. */
+  private[graft] def decodeWebpArgbOpt(
+      b: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      if (b.length < 20) return None
+      def u8(i: Int) = b(i) & 0xff
+      def le32(i: Int): Long =
+        u8(i) | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
+          (u8(i + 3).toLong << 24)
+      def tag(i: Int) = new String(b, i, 4, "US-ASCII")
+      if (tag(0) != "RIFF" || tag(8) != "WEBP") return None
+      var pos = 12
+      var payloadOff = -1
+      while (payloadOff < 0 && pos + 8 <= b.length) {
+        val t = tag(pos)
+        val sz = le32(pos + 4)
+        if (sz < 0 || sz > b.length - pos - 8) return None
+        if (t == "VP8L") {
+          if (sz < 5 || u8(pos + 8) != 0x2f) return None
+          payloadOff = pos + 9
+        } else pos += 8 + sz.toInt + (sz.toInt & 1)
+      }
+      if (payloadOff < 0) None
+      else Some(decodeVp8lPayload(b, payloadOff))
+    } catch {
+      case _: RuntimeException | _: ArrayIndexOutOfBoundsException |
+          _: NegativeArraySizeException => None
+    }
+
   /** RIFF walk to the VP8L chunk → pixel decode → the house stats
     * tuple (width, height, sum_r, sum_g, sum_b, even_sum); malformed
     * input → all -1, never a throw. */
@@ -904,6 +934,11 @@ object Vp8l {
         writeImage(bw, literalToks(px), 0, level0 = true)
     }
 
+    vp8lContainer(bw)
+  }
+
+  /** Wraps a finished VP8L bitstream in the RIFF/WEBP container. */
+  private def vp8lContainer(bw: BitWriter): Array[Byte] = {
     val payload = Array[Byte](0x2f) ++ bw.toBytes
     val out = new java.io.ByteArrayOutputStream()
     def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
@@ -918,6 +953,55 @@ object Vp8l {
     out.write(payload)
     if ((chunkLen & 1) == 1) out.write(0)
     out.toByteArray
+  }
+
+  /** VP8L file for ARBITRARY ARGB pixels (pure-literal regime) — the
+    * cross-format fixture leg: any pixel content the BMP fixtures can
+    * carry, a real WebP can too. */
+  private[graft] def encodeWebpArgb(
+      px: Array[Int], w: Int, h: Int): Array[Byte] = {
+    require(px.length == w * h)
+    val bw = new BitWriter()
+    bw.writeBits(w - 1, 14)
+    bw.writeBits(h - 1, 14)
+    bw.writeBit(0); bw.writeBits(0, 3)
+    bw.writeBit(0) // no transforms
+    writeImage(bw, literalToks(px), 0, level0 = true)
+    vp8lContainer(bw)
+  }
+
+  /** The m23 WebP scene fixture, mirroring
+    * [[Multimodal.encodeBmp24Jittered]]'s contract: SAMPLE-LATTICE
+    * pixels carry [[Multimodal.scenePixel]] exactly, off-lattice pixels
+    * get a per-document jitter — so a BMP and a WebP of the same scene
+    * are byte-unrelated files whose decoded lattices (hence dHashes)
+    * are identical. */
+  private[graft] def encodeWebpScene(
+      scene: Long, docSeed: Long, w: Int, h: Int): Array[Byte] = {
+    val xs = new Array[Boolean](w)
+    val ys = new Array[Boolean](h)
+    var g = 0
+    while (g < 9) { xs(((g.toLong * (w - 1)) / 8).toInt) = true; g += 1 }
+    g = 0
+    while (g < 8) { ys(((g.toLong * (h - 1)) / 7).toInt) = true; g += 1 }
+    val px = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      val (r, gg, b) = Multimodal.scenePixel(scene, x, y)
+      val j =
+        if (xs(x) && ys(y)) 0
+        else ((docSeed * 31 + 17 * x + 19 * y) % 7 + 1).toInt
+      pack(255, (r + j) % 256, (gg + j) % 256, (b + j) % 256)
+    }
+    encodeWebpArgb(px, w, h)
+  }
+
+  /** Fixture-synthesis column for m23: jittered scene WebP bytes. */
+  def packWebpScene(scene: Column, id: Column,
+      width: Column, height: Column): Column = {
+    val enc = udf((sc: Long, kk: Long, w: Int, h: Int) =>
+      encodeWebpScene(sc, kk, w, h))
+    enc(scene.cast("long"), id.cast("long"),
+      width.cast("int"), height.cast("int"))
   }
 
   // ------------------------------------------------------------------

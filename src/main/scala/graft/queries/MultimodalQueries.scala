@@ -1117,5 +1117,49 @@ object MultimodalQueries {
         """.trim
       },
     ),
+
+    // m23: CROSS-FORMAT image near-dup — the capstone the pixel-exact
+    // decoders exist for: the same scene stored as a 24-bit BMP (even
+    // docs) and as a real VP8L WebP (odd docs), each file carrying a
+    // per-document off-lattice jitter so no two files share bytes. The
+    // format-dispatching dHash (one grayscale/lattice/comparison
+    // definition across decoders) must land every scene's docs — BOTH
+    // formats — in exactly one hash bucket. Ground-truth oracle (the
+    // d13 pattern): the scene rollup, valid because the quadratic
+    // scenePixel separates all 53 scenes with ≥15 hamming margin at
+    // these dims (simulated; w ≥ 9, h ≥ 8 keeps the lattice injective).
+    Q(
+      "m23_cross_format_neardup",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val scene = col("doc_id") % 53
+        val w = (scene % 8 + 9).cast("int")
+        val h = (scene % 5 + 8).cast("int")
+        val media = when(col("doc_id") % 2 === 0,
+            Multimodal.packBmp24Jittered(scene, col("doc_id"), w, h))
+          .otherwise(Vp8l.packWebpScene(scene, col("doc_id"), w, h))
+        val packed = docs.select(col("doc_id"), media.as("media"))
+        Multimodal.decodeImageDHashes(packed, "doc_id", "media")
+          .groupBy("h_hi", "h_lo")
+          .agg(
+            min(col("id")).as("canonical_doc"),
+            count(lit(1)).as("n_docs"),
+            sum(when(col("format") === "bmp", 1L).otherwise(0L)).as("n_bmp"),
+            sum(when(col("format") === "webp", 1L).otherwise(0L)).as("n_webp"),
+            sum(col("id")).as("docid_sum"))
+          .select("canonical_doc", "n_docs", "n_bmp", "n_webp", "docid_sum")
+          .orderBy("canonical_doc")
+      },
+      Some("""
+        SELECT MIN(doc_id) AS canonical_doc,
+               COUNT(*)::BIGINT AS n_docs,
+               SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_bmp,
+               SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_webp,
+               SUM(doc_id)::BIGINT AS docid_sum
+        FROM documents
+        GROUP BY doc_id % 53
+        ORDER BY canonical_doc
+      """.trim),
+    ),
   )
 }

@@ -633,6 +633,12 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("m23 cross-format dedupe: one hash groupBy, no join, no window") {
+    val p = plan("m23_cross_format_neardup")
+    assert(!p.contains("Window"), s"m23 grew a window:\n$p")
+    assert(!p.contains("Join"), s"m23 grew a join:\n$p")
+  }
+
   test("st16 CUSUM: recursion folds per-type arrays, never a per-event window") {
     val p = plan("st16_cusum_drift")
     // hourly partial-agg + one ObjectHashAggregate collect per type

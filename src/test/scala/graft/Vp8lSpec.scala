@@ -128,6 +128,33 @@ class Vp8lSpec extends AnyFunSuite {
     }
   }
 
+  test("cross-format dHash: BMP and WebP of one scene hash identically") {
+    for (scene <- 0L until 53L) {
+      val w = (scene % 8 + 9).toInt; val h = (scene % 5 + 8).toInt
+      val bmp = Multimodal.decodeImageDHash(
+        Multimodal.encodeBmp24Jittered(scene, docSeed = 1000 + scene, w, h))
+      val webp = Multimodal.decodeImageDHash(
+        Vp8l.encodeWebpScene(scene, docSeed = 2000 + scene, w, h))
+      assert(bmp._1 == "bmp" && webp._1 == "webp", s"scene=$scene")
+      assert((bmp._4, bmp._5) == ((webp._4, webp._5)),
+        s"scene=$scene cross-format hash mismatch")
+      // jitter must not leak into the hash: a different doc, same scene
+      val webp2 = Multimodal.decodeImageDHash(
+        Vp8l.encodeWebpScene(scene, docSeed = 7777 + scene, w, h))
+      assert((webp2._4, webp2._5) == ((webp._4, webp._5)))
+    }
+    // distinct scenes stay distinct (the ground-truth-oracle premise)
+    val hashes = (0L until 53L).map { scene =>
+      val w = (scene % 8 + 9).toInt; val h = (scene % 5 + 8).toInt
+      val d = Multimodal.decodeImageDHash(Vp8l.encodeWebpScene(scene, 1L, w, h))
+      (d._4, d._5)
+    }
+    assert(hashes.distinct.length == 53)
+    // junk through the dispatcher: bad, never a throw
+    assert(Multimodal.decodeImageDHash(Array[Byte](1, 2, 3))._1 == "bad")
+    assert(Multimodal.decodeImageDHash("RIFFxxxxWEBPVP8L".getBytes)._1 == "bad")
+  }
+
   test("VP8L distance map: spec anchors and derivation invariants") {
     val m = Vp8l.DistanceMap
     assert(m.length == 120)
