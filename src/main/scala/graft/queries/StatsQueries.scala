@@ -952,6 +952,88 @@ object StatsQueries {
         ORDER BY 1, 2
       """.trim),
     ),
+
+    // st18: seasonal-naive FORECAST backtest with an integer MASE — the
+    // capacity-planning op st14/st17 stop short of: profile and detect
+    // the weekly cycle, then USE it. Forecast for each type's last 24
+    // hours is same-hour-last-week (y[h−168]); accuracy is the Mean
+    // Absolute Scaled Error against the in-sample seasonal-naive
+    // baseline, kept exact as ppm via multiply-through integer division
+    // (the sign-safe div discipline — every operand non-negative). One
+    // hourly fold, then everything is time-bounded (O(hours × types));
+    // bounds broadcast; mase_ppm < 1e6 means "beats last week's shape",
+    // −1 marks a type with no usable baseline.
+    Q(
+      "st18_seasonal_forecast",
+      (s, dir) => {
+        val hourly = Registry.table(s, dir, "events")
+          .select(col("event_type"),
+            expr("unix_timestamp(ts) DIV 3600").as("h"))
+          .groupBy("event_type", "h")
+          .agg(count(lit(1)).as("n"))
+        val bounds = hourly.groupBy("event_type")
+          .agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+        val dense = bounds
+          .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("h"))
+          .join(hourly, Seq("event_type", "h"), "left")
+          .select(col("event_type"), col("h"), coalesce(col("n"), lit(0L)).as("x"))
+          .transform(graft.ops.Iterative.materialize) // both join sides + twice
+        val lagged = dense.select(col("event_type").as("et2"),
+          col("h").as("h2"), col("x").as("x2"))
+        val withPrev = dense
+          .join(lagged, col("et2") === col("event_type") &&
+            col("h2") === col("h") - 168)
+          .join(broadcast(bounds), "event_type")
+          .withColumn("ae", abs(col("x") - col("x2")))
+        val err = withPrev.filter(col("h") >= col("mx") - 23)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_test"), sum(col("ae")).as("sum_abs_err"))
+        val base = withPrev.filter(col("h") < col("mx") - 23)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_base"), sum(col("ae")).as("sum_base_err"))
+        err.join(base, "event_type")
+          .withColumn("mase_ppm",
+            when(col("sum_base_err") > 0 && col("n_test") > 0,
+              expr("(1000000 * sum_abs_err * n_base) div (n_test * sum_base_err)"))
+              .otherwise(lit(-1L)))
+          .select("event_type", "n_test", "sum_abs_err", "n_base",
+            "sum_base_err", "mase_ppm")
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH hourly AS (
+          SELECT event_type, epoch_ms(ts) // 3600000 AS h, COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+        b AS (SELECT event_type, MIN(h) AS mn, MAX(h) AS mx
+              FROM hourly GROUP BY 1),
+        spine AS (
+          SELECT b.event_type, b.mn + t.u AS h
+          FROM b, UNNEST(range(0, b.mx - b.mn + 1)) AS t(u)),
+        dense AS (
+          SELECT event_type, h, COALESCE(n, 0) AS x
+          FROM spine LEFT JOIN hourly USING (event_type, h)),
+        wp AS (
+          SELECT d.event_type, d.h, ABS(d.x - p.x) AS ae, b.mx
+          FROM dense d
+          JOIN dense p ON p.event_type = d.event_type AND p.h = d.h - 168
+          JOIN b ON b.event_type = d.event_type),
+        err AS (
+          SELECT event_type, COUNT(*) AS n_test,
+                 CAST(SUM(ae) AS BIGINT) AS sum_abs_err
+          FROM wp WHERE h >= mx - 23 GROUP BY 1),
+        base AS (
+          SELECT event_type, COUNT(*) AS n_base,
+                 CAST(SUM(ae) AS BIGINT) AS sum_base_err
+          FROM wp WHERE h < mx - 23 GROUP BY 1)
+        SELECT event_type, n_test, sum_abs_err, n_base, sum_base_err,
+               CASE WHEN sum_base_err > 0 AND n_test > 0
+                    THEN (1000000 * sum_abs_err * n_base)
+                         // (n_test * sum_base_err)
+                    ELSE -1 END AS mase_ppm
+        FROM err JOIN base USING (event_type)
+        ORDER BY event_type
+      """.trim),
+    ),
   )
 
   /** One CUSUM scan step (st16): absolute hour, observed count, the

@@ -639,6 +639,12 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Join"), s"m23 grew a join:\n$p")
   }
 
+  test("st18 forecast backtest: spine joins stay equi, no per-event window") {
+    val p = plan("st18_seasonal_forecast")
+    assert(!p.contains("Window"), s"st18 grew a window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"st18 degenerated:\n$p")
+  }
+
   test("st16 CUSUM: recursion folds per-type arrays, never a per-event window") {
     val p = plan("st16_cusum_drift")
     // hourly partial-agg + one ObjectHashAggregate collect per type
