@@ -288,7 +288,10 @@ object Vp8l {
 
   private def select(l: Int, t: Int, tl: Int): Int = {
     // predict = L + T - TL per channel; pick whichever of L/T is
-    // closer in L1 distance (ties go to L) — RFC 9649 Select()
+    // closer in L1 distance. Ties go to T: libwebp's Select(top, left,
+    // top_left) computes pa_minus_pb = |T-pred| - |L-pred| summed per
+    // channel and returns `pa_minus_pb <= 0 ? top : left`, so pL == pT
+    // yields TOP (RFC 9649 as amended to match the reference decoder).
     val pa = A(l) + A(t) - A(tl)
     val pr = R(l) + R(t) - R(tl)
     val pg = G(l) + G(t) - G(tl)
@@ -297,7 +300,7 @@ object Vp8l {
       math.abs(pg - G(l)) + math.abs(pb - B(l))
     val pT = math.abs(pa - A(t)) + math.abs(pr - R(t)) +
       math.abs(pg - G(t)) + math.abs(pb - B(t))
-    if (pL <= pT) l else t
+    if (pL < pT) l else t
   }
 
   @inline private def clip255(v: Int): Int =
@@ -749,8 +752,38 @@ object Vp8l {
       val clCodes = canonicalCodes(clLens)
       lens.foreach(l => bw.writeCode(clCodes(l), clLens(l)))
     } // single-length alphabets write zero bits per symbol (0-bit code)
-    new WCode(lens, canonicalCodes(lens), zeroBit = false)
+    // A single used symbol > 255 can't take the simple form above, so it
+    // lands here with lens(s) = 1 — but the decoder maps ANY one-nonzero-
+    // length header to the zero-bit single-symbol code (buildCode nz==1),
+    // so the write side must also emit zero bits per symbol or the
+    // bitstream desynchronizes.
+    if (used.size == 1) new WCode(null, null, zeroBit = true)
+    else new WCode(lens, canonicalCodes(lens), zeroBit = false)
   }
+
+  /** Test hook: write one prefix-code header for `freq`, emit `syms`
+    * through the write-side code, append a 7-bit sentinel, then decode
+    * the same bitstream — the encoder/decoder agreement gate for
+    * degenerate alphabets (a single used symbol > 255 cannot take the
+    * simple form, so it must round-trip through the normal header as a
+    * zero-bit code on BOTH sides). A desync shows up as a wrong symbol
+    * or a broken sentinel, never a silent pass. */
+  private[graft] def prefixCodeRoundtripForTest(
+      freq: Array[Int], syms: Seq[Int]): Seq[Int] = {
+    val bw = new BitWriter()
+    val wc = writePrefixCode(bw, freq, freq.length)
+    syms.foreach(s => wc.emit(bw, s))
+    bw.writeBits(0x2a, 7)
+    val br = new BitReader(bw.toBytes, 0)
+    val pc = readPrefixCode(br, freq.length)
+    val out = syms.map(_ => pc.read(br))
+    require(br.readBits(7) == 0x2a, "prefix-code bitstream desynchronized")
+    out
+  }
+
+  /** Test hook for the Select (mode 11) tie-break golden vector. */
+  private[graft] def selectForTest(l: Int, t: Int, tl: Int): Int =
+    select(l, t, tl)
 
   /** One token of the pixel stream. */
   private sealed trait Tok

@@ -107,7 +107,8 @@ object DedupeQueries {
 
   private val d5SharedStage = new Staging.Memo("d5shared")
   private val d5SharedLock = new Object
-  @volatile private var d5SharedBuilt: (String, String) = null
+  private val d5SharedBuilt =
+    scala.collection.mutable.Set.empty[(String, String)]
 
   /** Build-once full-corpus near-dup artifacts shared by every query on
     * the standard banding (threshold 0.8, k=72, bands=6 over
@@ -126,22 +127,30 @@ object DedupeQueries {
       dir: String): (org.apache.spark.sql.DataFrame,
       org.apache.spark.sql.DataFrame) = d5SharedLock.synchronized {
     val base = d5SharedStage.path
-    if (d5SharedBuilt != ((base, dir))) {
+    // Artifact paths (and the labels table name) are namespaced by a
+    // digest of the sf dir: each dir gets its own immutable location,
+    // so a lazy DataFrame handed out before a dir switch still reads
+    // ITS dir's artifacts, and alternating dirs reuses both builds
+    // instead of rebuilding per call (see Staging.dirKey).
+    val dig = Staging.dirKey(dir)
+    val labelsTable = s"d5_labels_$dig"
+    if (!d5SharedBuilt((base, dir))) {
       val docs = Registry.table(s, dir, "documents")
       Dedupe.minhashNearDupPairs(docs, "doc_id", "text",
           threshold = 0.8, k = 72, bands = 6)
-        .write.mode("overwrite").parquet(s"$base/pairs")
-      val clus = Dedupe.connectedComponents(s.read.parquet(s"$base/pairs"))
-        .select(col("id").as("doc_id"), col("cluster_id"))
+        .write.mode("overwrite").parquet(s"$base/pairs-$dig")
+      val clus =
+        Dedupe.connectedComponents(s.read.parquet(s"$base/pairs-$dig"))
+          .select(col("id").as("doc_id"), col("cluster_id"))
       val labels = docs.select(col("doc_id"))
         .join(clus, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-      graft.sources.Sinks.writeBucketedAt(labels, "d5_labels",
-        "doc_id", 8, s"$base/labels")
-      d5SharedBuilt = (base, dir)
+      graft.sources.Sinks.writeBucketedAt(labels, labelsTable,
+        "doc_id", 8, s"$base/labels-$dig")
+      d5SharedBuilt += ((base, dir))
     }
-    (s.read.parquet(s"$base/pairs"), s.table("d5_labels"))
+    (s.read.parquet(s"$base/pairs-$dig"), s.table(labelsTable))
   }
 
   /** Shared by d7 (recompute-per-run) and d9 (persistent-index probe):

@@ -39,21 +39,26 @@ object GraphQueries {
 
   private val edgesStage = new Staging.Memo("g-edges")
   private val edgesLock = new Object
-  @volatile private var edgesBuilt: (String, String) = null
+  private val edgesBuilt =
+    scala.collection.mutable.Set.empty[(String, String)]
 
   /** The materialized link DB: [[rawEdges]] persisted once per (stage
     * base, sf dir) and read by every graph query — the production shape
     * (a link DB is built once per crawl snapshot and queried many
     * times; the reference materializes its linkgraph/inverse DB the
     * same way), and the d5-shared-build discipline applied to the
-    * second family that was re-deriving one artifact per query. */
+    * second family that was re-deriving one artifact per query. The
+    * path is namespaced by a digest of the sf dir (Staging.dirKey) so
+    * each dir's artifact is immutable — a dir switch cannot repoint a
+    * lazy DataFrame handed out for the previous dir. */
   def edges(s: SparkSession, dir: String): DataFrame = edgesLock.synchronized {
     val base = edgesStage.path
-    if (edgesBuilt != ((base, dir))) {
-      rawEdges(s, dir).write.mode("overwrite").parquet(s"$base/edges")
-      edgesBuilt = (base, dir)
+    val dig = Staging.dirKey(dir)
+    if (!edgesBuilt((base, dir))) {
+      rawEdges(s, dir).write.mode("overwrite").parquet(s"$base/edges-$dig")
+      edgesBuilt += ((base, dir))
     }
-    s.read.parquet(s"$base/edges")
+    s.read.parquet(s"$base/edges-$dig")
   }
 
   private val PrIters = 5

@@ -55,4 +55,16 @@ object Staging {
       cache.getOrElseUpdate(base, dir(name))
     }
   }
+
+  /** Stable short digest of an input-dir path, for namespacing shared
+    * artifacts (and derived table names) per source dir. A single-slot
+    * `(base, dir)` cache is NOT enough: switching dirs within one JVM
+    * would overwrite the artifact in place, and a still-lazy DataFrame
+    * handed out for the old dir would silently read the new dir's rows
+    * when finally evaluated. Digest-keyed paths make each dir's
+    * artifact immutable and let every built dir stay cached. */
+  def dirKey(dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+  }
 }

@@ -993,8 +993,16 @@ object StatsQueries {
           .agg(count(lit(1)).as("n_base"), sum(col("ae")).as("sum_base_err"))
         err.join(base, "event_type")
           .withColumn("mase_ppm",
+            // Widen the numerator to decimal(38,0) before multiplying:
+            // long history (big n_base) × high-volume types (big
+            // sum_abs_err) can push the Long product past 2^63 (the
+            // same reason g10 widens — Spark 4 ANSI would error, a
+            // non-ANSI build would silently wrap). Quotient is a sane
+            // ppm, so the final bigint cast is safe.
             when(col("sum_base_err") > 0 && col("n_test") > 0,
-              expr("(1000000 * sum_abs_err * n_base) div (n_test * sum_base_err)"))
+              expr("cast((cast(sum_abs_err as decimal(38,0)) * 1000000 " +
+                "* n_base) div (cast(n_test as decimal(38,0)) " +
+                "* sum_base_err) as bigint)"))
               .otherwise(lit(-1L)))
           .select("event_type", "n_test", "sum_abs_err", "n_base",
             "sum_base_err", "mase_ppm")
@@ -1027,8 +1035,8 @@ object StatsQueries {
           FROM wp WHERE h < mx - 23 GROUP BY 1)
         SELECT event_type, n_test, sum_abs_err, n_base, sum_base_err,
                CASE WHEN sum_base_err > 0 AND n_test > 0
-                    THEN (1000000 * sum_abs_err * n_base)
-                         // (n_test * sum_base_err)
+                    THEN CAST((1000000::HUGEINT * sum_abs_err * n_base)
+                         // (n_test::HUGEINT * sum_base_err) AS BIGINT)
                     ELSE -1 END AS mase_ppm
         FROM err JOIN base USING (event_type)
         ORDER BY event_type

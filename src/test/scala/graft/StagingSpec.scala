@@ -67,4 +67,35 @@ class StagingSpec extends AnyFunSuite with SparkSuite {
           s"no $tag* dir under $base (got: ${staged.mkString(", ")})")
     } finally spark.conf.unset(Staging.ConfKey)
   }
+
+  test("shared artifacts are immutable per dir: a dir switch cannot " +
+      "repoint a lazy handle, and alternating dirs reuses both builds") {
+    import graft.queries.{DedupeQueries, GraphQueries}
+    val dirA = sfDir
+    val dirB = "/root/testdata/sf0.01"
+    // hold dirA handles LAZY, build dirB, only then evaluate dirA's —
+    // the single-slot-cache bug made these read dirB's rows
+    val (pairsA, labelsA) = DedupeQueries.sharedNearDup(spark, dirA)
+    val edgesA = GraphQueries.edges(spark, dirA)
+    val (_, labelsB) = DedupeQueries.sharedNearDup(spark, dirB)
+    val edgesB = GraphQueries.edges(spark, dirB)
+    // each dir resolved its own physical artifact — the single-slot
+    // cache had B's build overwrite A's paths in place
+    assert(labelsA.inputFiles.toSet != labelsB.inputFiles.toSet,
+      "labels artifacts must be dir-namespaced")
+    assert(edgesA.inputFiles.toSet != edgesB.inputFiles.toSet,
+      "edges artifacts must be dir-namespaced")
+    // every document gets a label, so |labels| == |documents| per dir,
+    // and dirA's lazy handle still evaluates against dirA's corpus
+    assert(labelsA.count() ==
+      Registry.table(spark, dirA, "documents").count(),
+      "dirA labels repointed by dir switch")
+    assert(labelsB.count() ==
+      Registry.table(spark, dirB, "documents").count())
+    // alternating back is a cache hit on the SAME immutable path
+    val (pairsA2, _) = DedupeQueries.sharedNearDup(spark, dirA)
+    assert(pairsA2.inputFiles.toSet == pairsA.inputFiles.toSet)
+    assert(GraphQueries.edges(spark, dirA).inputFiles.toSet ==
+      edgesA.inputFiles.toSet)
+  }
 }

@@ -175,4 +175,47 @@ class Vp8lSpec extends AnyFunSuite {
     val d2 = m.map { case (dx, dy) => dx * dx + dy * dy }
     assert(d2.zip(d2.tail).forall { case (a, b) => a <= b })
   }
+
+  test("Select (mode 11) tie-break: pL == pT with L != T predicts TOP") {
+    // Golden vector, hand-computed: libwebp's Select(top, left, top_left)
+    // returns `(pa_minus_pb <= 0) ? top : left`, i.e. ties go to TOP.
+    //   TL = (a255, r10, g10, b10), L = (a255, r20, g10, b10),
+    //   T  = (a255, r10, g20, b10)
+    //   pred = L + T - TL = (255, 20, 20, 10)
+    //   pL = |pred-L| = 0 + 0 + 10 + 0 = 10
+    //   pT = |pred-T| = 0 + 10 + 0 + 0 = 10  → tie → T
+    def px(a: Int, r: Int, g: Int, b: Int) =
+      (a << 24) | (r << 16) | (g << 8) | b
+    val tl = px(255, 10, 10, 10)
+    val l = px(255, 20, 10, 10)
+    val t = px(255, 10, 20, 10)
+    assert(l != t)
+    assert(Vp8l.selectForTest(l, t, tl) == t, "tie must resolve to TOP")
+    // non-ties unaffected: strictly closer side wins either way
+    assert(Vp8l.selectForTest(px(255, 40, 10, 10), px(255, 12, 10, 10),
+      px(255, 10, 10, 10)) == px(255, 40, 10, 10)) // pL=2 < pT=30 → L
+    assert(Vp8l.selectForTest(px(255, 12, 10, 10), px(255, 40, 10, 10),
+      px(255, 10, 10, 10)) == px(255, 40, 10, 10)) // pT=2 < pL=30 → T
+  }
+
+  test("prefix code: single used symbol > 255 round-trips as zero-bit") {
+    // Can't take the simple form (8-bit symbol fields), so it goes
+    // through the normal header with one nonzero length; the decoder
+    // maps that to the zero-bit single-symbol code, and the write side
+    // must emit zero bits per symbol too or the stream desynchronizes.
+    val freq = new Array[Int](320)
+    freq(300) = 7
+    assert(Vp8l.prefixCodeRoundtripForTest(freq, Seq(300, 300, 300)) ==
+      Seq(300, 300, 300))
+    // the neighboring regimes stay sane through the same gate
+    val simple = new Array[Int](320); simple(7) = 3
+    assert(Vp8l.prefixCodeRoundtripForTest(simple, Seq(7, 7)) == Seq(7, 7))
+    val two = new Array[Int](320); two(3) = 5; two(200) = 2
+    assert(Vp8l.prefixCodeRoundtripForTest(two, Seq(3, 200, 3)) ==
+      Seq(3, 200, 3))
+    val multi = new Array[Int](320)
+    multi(0) = 9; multi(1) = 4; multi(260) = 2; multi(300) = 1
+    assert(Vp8l.prefixCodeRoundtripForTest(multi,
+      Seq(300, 0, 260, 1, 0)) == Seq(300, 0, 260, 1, 0))
+  }
 }
