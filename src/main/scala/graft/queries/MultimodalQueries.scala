@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.{Multimodal, Vp8l}
+import graft.ops.{Flac, Multimodal, Vp8l}
 
 /** Multimodal column queries: binary media containers synthesized from
   * document text (this container has no media codecs — see
@@ -1160,6 +1160,63 @@ object MultimodalQueries {
         GROUP BY doc_id % 53
         ORDER BY canonical_doc
       """.trim),
+    ),
+    // M-FLAC: REAL lossless-audio decode (RFC 9639) — the audio leg of
+    // the deterministic-codec tier (VP8L's analog). Six encoder regimes
+    // (doc-seed mod 6) cover constant/verbatim/fixed/LPC subframes,
+    // rice + rice2 + escaped partitions, left/right/mid-side stereo,
+    // wasted bits, and the uncommon header fields; the oracle replays
+    // the analytic PCM formula per regime. wsum = Σ (i+1)·s₀[i] is the
+    // order-sensitive checksum. Corpus-linear, shuffle-free decode.
+    Q(
+      "m24_flac_pcm",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val n = (col("doc_id") % 160 + 17).cast("int")
+        val packed = docs.select(col("doc_id"),
+          Flac.packFlac(col("doc_id"), n).as("media"))
+        Flac.decodeFlacPcmStats(packed, "doc_id", "media")
+          .select(
+            col("id").as("doc_id"),
+            col("channels").cast("long").as("channels"),
+            col("n_samples"), col("sum_ch0"), col("sum_ch1"),
+            col("sum_abs"), col("wsum_ch0"))
+          .orderBy("doc_id")
+      },
+      Some {
+        // per-regime sample formulas (v = k%6): v1 → per-stream
+        // constant, v4 → 14-bit base ×4 (wasted bits), else the
+        // full-range sawtooth; ch 1 only exists for stereo regimes
+        def smp(ch: Int) =
+          s"""CASE WHEN v = 1 THEN ((k*97) % 65536) - 32768
+              WHEN v = 4 THEN (((37*i + 4111*$ch + k) % 16384) - 8192) * 4
+              ELSE ((37*i + 4111*$ch + k) % 65536) - 32768 END"""
+        s"""
+        WITH base AS (
+          SELECT doc_id, doc_id % 251 AS k, doc_id % 160 + 17 AS n,
+                 (doc_id % 251) % 6 AS v
+          FROM documents),
+        p AS (
+          SELECT doc_id, k, n, v,
+                 CASE WHEN v = 1 OR v = 3 THEN 1 ELSE 2 END AS nch
+          FROM base)
+        SELECT doc_id,
+               nch::BIGINT AS channels,
+               n::BIGINT AS n_samples,
+               CAST(list_sum(list_transform(range(0, n), i ->
+                 ${smp(0)})) AS BIGINT) AS sum_ch0,
+               CASE WHEN nch = 2 THEN CAST(list_sum(list_transform(range(0, n), i ->
+                 ${smp(1)})) AS BIGINT) ELSE 0 END AS sum_ch1,
+               CAST(list_sum(list_transform(range(0, n), i ->
+                 abs(${smp(0)}))) AS BIGINT)
+               + CASE WHEN nch = 2 THEN CAST(list_sum(list_transform(range(0, n), i ->
+                 abs(${smp(1)}))) AS BIGINT) ELSE 0 END AS sum_abs,
+               CAST(list_sum(list_transform(range(0, n), i ->
+                 (i + 1) * (${smp(0)}))) AS BIGINT) AS wsum_ch0
+        FROM p
+        ORDER BY doc_id
+        """.trim
+      },
     ),
   )
 }
