@@ -675,7 +675,7 @@ object Flac {
       case 2 => 10 // mid/side
       case 4 => 8 // left/side
       case 5 => 9 // right/side
-      case 1 | 3 => 0 // mono
+      case 1 | 3 | 6 => 0 // mono
       case _ => 1 // stereo, independent
     }
     bw.writeBits(mode.toLong, 4)
@@ -732,6 +732,9 @@ object Flac {
         case 4 =>
           writeSubframe(bw, s, bps + sideBump, "fixed", 1,
             method = 0, partOrder = 0, wasted = 2, forceEscape = false)
+        case 6 => // scene fixtures: mono, plain fixed order 2
+          writeSubframe(bw, s, bps + sideBump, "fixed", 2,
+            method = 0, partOrder = 0, wasted = 0, forceEscape = false)
         case _ =>
           writeSubframe(bw, s, bps + sideBump, "fixed", 3,
             method = 0, partOrder = 0, wasted = 0, forceEscape = false)
@@ -805,6 +808,44 @@ object Flac {
     out.toByteArray
   }
 
+  /** Mono 16-bit FLAC for ARBITRARY PCM (fixed order-2 predictor) —
+    * the cross-format fixture leg: any samples a WAV fixture can
+    * carry, a real FLAC can too (the [[Vp8l.encodeWebpArgb]]
+    * counterpart). */
+  private[graft] def encodeFlacPcmMono(pcm: Array[Int]): Array[Byte] = {
+    val n = pcm.length
+    require(n >= 16 && n <= MaxTotalSamples)
+    val block = 16
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('f'); out.write('L'); out.write('a'); out.write('C')
+    out.write(0x80); out.write(0); out.write(0); out.write(34)
+    val si = new Array[Byte](34)
+    val lastBlock = if (n % block == 0) block else n % block
+    si(0) = 0; si(1) = math.min(block, lastBlock).toByte
+    si(2) = 0; si(3) = block.toByte
+    val rate = 8000
+    si(10) = (rate >> 12).toByte
+    si(11) = ((rate >> 4) & 0xff).toByte
+    si(12) = (((rate & 0xf) << 4) | ((16 - 1) >> 4)).toByte // mono, 16-bit
+    si(13) = (((16 - 1) & 0xf) << 4).toByte
+    si(14) = ((n >> 24) & 0xff).toByte
+    si(15) = ((n >> 16) & 0xff).toByte
+    si(16) = ((n >> 8) & 0xff).toByte
+    si(17) = (n & 0xff).toByte
+    out.write(si)
+    var first = 0
+    var frameIdx = 0
+    while (first < n) {
+      val bsz = math.min(block, n - first)
+      val chunk = java.util.Arrays.copyOfRange(pcm, first, first + bsz)
+      out.write(encodeFrame(frameIdx, first.toLong, bsz, Array(chunk),
+        bps = 16, regime = 6))
+      first += bsz
+      frameIdx += 1
+    }
+    out.toByteArray
+  }
+
   // ------------------------------------------------------------------
   // Spark surface
   // ------------------------------------------------------------------
@@ -813,6 +854,14 @@ object Flac {
   def packFlac(id: Column, nSamples: Column): Column = {
     val enc = udf((k: Long, n: Int) => encodeFlac(k % 251, n))
     enc(id, nSamples)
+  }
+
+  /** Fixture-synthesis column for m25: the jittered audio-scene PCM
+    * ([[Multimodal.audioScenePcm]]) as a real FLAC file. */
+  def packFlacScene(scene: Column, id: Column, nSamples: Column): Column = {
+    val enc = udf((sc: Long, kk: Long, n: Int) =>
+      encodeFlacPcmMono(Multimodal.audioScenePcm(sc, kk, n)))
+    enc(scene, id, nSamples)
   }
 
   private val statsSchema = StructType(Seq(

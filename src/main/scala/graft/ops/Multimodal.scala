@@ -2334,6 +2334,144 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => bad }
   }
 
+  // ------------------------------------------------------------------
+  // cross-format audio scenes (m25) — the m23 discipline applied to
+  // audio: one scene rendered as byte-unrelated WAV and FLAC files
+  // whose decoded sample LATTICE (hence fingerprint) is identical
+  // ------------------------------------------------------------------
+
+  /** Deterministic scene waveform: an integer hash mix of (scene, i)
+    * folded into int16 range — simulated before pinning (47 scenes:
+    * all 64-bit lattice fingerprints distinct, min pairwise hamming
+    * 12, values within [-32753, 32755] so +7 jitter cannot clip). */
+  private[graft] def audioSceneSample(scene: Long, i: Int): Int = {
+    var x = (i * 2654435761L + scene * 97531L + 1013904223L) & 0xffffffffL
+    x ^= x >> 15
+    x = (x * 2246822519L) & 0xffffffffL
+    x ^= x >> 13
+    ((x % 65521) - 32760).toInt
+  }
+
+  /** 65-point sample lattice over n samples: position j ↦ j·(n−1)/64.
+    * Injective for n ≥ 65 (the fixture n is ≥ 80). */
+  @inline private def audioLat(j: Int, n: Int): Int =
+    ((j.toLong * (n - 1)) / 64).toInt
+
+  /** Scene PCM with per-document jitter OFF the lattice: lattice
+    * samples carry [[audioSceneSample]] exactly, so two encodings of
+    * one scene (any format, any doc) fingerprint identically, while
+    * the files stay byte-unrelated. */
+  private[graft] def audioScenePcm(scene: Long, docSeed: Long, n: Int): Array[Int] = {
+    val onLat = new Array[Boolean](n)
+    var j = 0
+    while (j <= 64) { onLat(audioLat(j, n)) = true; j += 1 }
+    Array.tabulate(n) { i =>
+      val s = audioSceneSample(scene, i)
+      if (onLat(i)) s
+      else s + ((docSeed * 31 + 17L * i) % 7 + 1).toInt
+    }
+  }
+
+  /** 64-bit audio fingerprint: sign of successive lattice-sample
+    * differences (the 1-D dHash). Format-independent by construction —
+    * any lossless codec reproduces the lattice exactly. */
+  private[graft] def audioLatticeFp(samples: Array[Int]): Long = {
+    val n = samples.length
+    if (n < 65) return -1L
+    var fp = 0L
+    var j = 0
+    while (j < 64) {
+      val a = samples(audioLat(j, n))
+      val b = samples(audioLat(j + 1, n))
+      fp = (fp << 1) | (if (b > a) 1L else 0L)
+      j += 1
+    }
+    fp
+  }
+
+  /** Mono 16-bit PCM extracted from a RIFF/WAVE file (same chunk walk
+    * and malformed-input policy as [[decodeWavStats]]); null on any
+    * structural lie. */
+  private[graft] def decodeWavPcm16(b: Array[Byte]): Array[Int] = {
+    try {
+      if (b.length < 44) return null
+      def u8(i: Int) = b(i) & 0xff
+      def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+      def le32(i: Int) = le16(i) | (le16(i + 2) << 16)
+      def tag(i: Int) = new String(b, i, 4, "US-ASCII")
+      if (tag(0) != "RIFF" || tag(8) != "WAVE") return null
+      var pos = 12
+      var ok = false
+      var dataOff = -1
+      var dataLen = -1
+      while (pos + 8 <= b.length && (!ok || dataOff < 0)) {
+        val t = tag(pos)
+        val len = le32(pos + 4)
+        if (len < 0 || pos + 8L + len > b.length) return null
+        t match {
+          case "fmt " =>
+            if (len < 16) return null
+            ok = le16(pos + 8) == 1 && le16(pos + 10) == 1 &&
+              le16(pos + 22) == 16
+          case "data" => dataOff = pos + 8; dataLen = len
+          case _ => ()
+        }
+        pos += 8 + len + (len & 1)
+      }
+      if (!ok || dataOff < 0 || dataLen < 2) return null
+      val n = dataLen / 2
+      Array.tabulate(n)(i => (le16(dataOff + 2 * i) << 16) >> 16)
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  /** WAV leg of the m25 scene fixture. */
+  private[graft] def encodeWavScene(scene: Long, docSeed: Long, n: Int): Array[Byte] = {
+    val pcm = audioScenePcm(scene, docSeed, n)
+    val buf = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(2 * n)
+    pcm.foreach(v => buf.putShort(v.toShort))
+    buf.array()
+  }
+
+  def packWavScene(scene: Column, id: Column, nSamples: Column): Column = {
+    val enc = udf((sc: Long, kk: Long, n: Int) => encodeWavScene(sc, kk, n))
+    enc(scene, id, nSamples)
+  }
+
+  /** Format-dispatching audio fingerprint: sniffs the container (RIFF
+    * → WAV, fLaC → FLAC), decodes the mono PCM with the REAL decoder
+    * for that format, and fingerprints the lattice — ONE perceptual
+    * definition across formats (the decoder-interop contract m23 pins
+    * for images). Per-row, corpus-linear, shuffle-free. */
+  def decodeAudioFps(df: DataFrame, id: String, media: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("fp", LongType, nullable = false)))
+    val rdd = df.select(col(id).cast("long"), col(media)).rdd.mapPartitions { it =>
+      it.map { r =>
+        val b = r.getAs[Array[Byte]](1)
+        val (fmt, pcm) =
+          if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')
+            ("wav", decodeWavPcm16(b))
+          else if (b.length >= 4 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C') {
+            val chans = graft.ops.Flac.decodeFlacPcm(b)
+            ("flac", if (chans == null || chans.length != 1) null else chans(0))
+          } else ("bad", null)
+        if (pcm == null) Row(r.getLong(0), "bad", -1L)
+        else Row(r.getLong(0), fmt, audioLatticeFp(pcm))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** REAL autocorrelation over the decoded PCM stream: for each lag L,
     * Σᵢ s[i]·s[i+L] (i ∈ [0, n−L)), plus the lag-0 energy Σ s[i]² — the
     * periodicity/pitch evidence an audio curation pass gates on (a

@@ -1218,5 +1218,45 @@ object MultimodalQueries {
         """.trim
       },
     ),
+    // M-cross-format audio: one audio scene rendered as byte-unrelated
+    // WAV and FLAC files lands in ONE fingerprint bucket through a
+    // single format-dispatching lattice fingerprint — the decoder-
+    // interop capstone m23 pins for images, applied to audio. Ground-
+    // truth oracle (the d13/m23 pattern): the scene rollup, valid
+    // because the hash-mixed scene waveform separates all 47 scenes
+    // (distinct fps, min pairwise hamming 12 — simulated before
+    // pinning) while per-doc jitter only touches off-lattice samples.
+    Q(
+      "m25_cross_format_audio_neardup",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val scene = col("doc_id") % 47
+        val n = (scene % 40 + 80).cast("int")
+        val media = when(col("doc_id") % 2 === 0,
+            Multimodal.packWavScene(scene, col("doc_id"), n))
+          .otherwise(Flac.packFlacScene(scene, col("doc_id"), n))
+        val packed = docs.select(col("doc_id"), media.as("media"))
+        Multimodal.decodeAudioFps(packed, "doc_id", "media")
+          .groupBy("fp")
+          .agg(
+            min(col("id")).as("canonical_doc"),
+            count(lit(1)).as("n_docs"),
+            sum(when(col("format") === "wav", 1L).otherwise(0L)).as("n_wav"),
+            sum(when(col("format") === "flac", 1L).otherwise(0L)).as("n_flac"),
+            sum(col("id")).as("docid_sum"))
+          .select("canonical_doc", "n_docs", "n_wav", "n_flac", "docid_sum")
+          .orderBy("canonical_doc")
+      },
+      Some("""
+        SELECT MIN(doc_id) AS canonical_doc,
+               COUNT(*)::BIGINT AS n_docs,
+               SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_wav,
+               SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_flac,
+               SUM(doc_id)::BIGINT AS docid_sum
+        FROM documents
+        GROUP BY doc_id % 47
+        ORDER BY canonical_doc
+      """.trim),
+    ),
   )
 }

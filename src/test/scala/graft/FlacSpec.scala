@@ -93,6 +93,34 @@ class FlacSpec extends AnyFunSuite {
         s"prefix $len must reject")
   }
 
+  test("cross-format lattice fp: WAV and FLAC of one scene match; " +
+      "scenes separate with real hamming margins") {
+    import graft.ops.Multimodal
+    for (scene <- 0L until 47L; doc <- Seq(scene, scene + 47, scene + 94)) {
+      val n = (scene % 40 + 80).toInt
+      val wav = Multimodal.decodeWavPcm16(
+        Multimodal.encodeWavScene(scene, doc, n))
+      assert(wav != null && wav.length == n)
+      val flacChans = Flac.decodeFlacPcm(
+        Flac.encodeFlacPcmMono(Multimodal.audioScenePcm(scene, doc + 1, n)))
+      assert(flacChans != null && flacChans.length == 1)
+      // byte-unrelated files, identical fingerprint — even across
+      // DIFFERENT docs of the same scene (jitter is off-lattice only)
+      assert(Multimodal.audioLatticeFp(wav) ==
+        Multimodal.audioLatticeFp(flacChans(0)),
+        s"scene=$scene doc=$doc")
+    }
+    val fps = (0L until 47L).map { sc =>
+      val n = (sc % 40 + 80).toInt
+      Multimodal.audioLatticeFp(
+        Array.tabulate(n)(i => Multimodal.audioSceneSample(sc, i)))
+    }
+    assert(fps.distinct.size == 47, "all scenes must bucket apart")
+    val minH = (for { a <- 0 until 47; b <- a + 1 until 47 }
+      yield java.lang.Long.bitCount(fps(a) ^ fps(b))).min
+    assert(minH >= 10, s"cross-scene hamming margin eroded: $minH")
+  }
+
   test("single-byte corruption fuzz never throws") {
     for (k <- 0L until 12L) {
       val good = Flac.encodeFlac(k, 40)

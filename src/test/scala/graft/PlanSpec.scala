@@ -639,6 +639,21 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Join"), s"m23 grew a join:\n$p")
   }
 
+  test("m24 FLAC decode stays embarrassingly parallel") {
+    val p = plan("m24_flac_pcm")
+    // per-partition codec kernel: no joins, no windows; the only
+    // exchange is the final presentation sort
+    assert(!p.contains("Window"), s"m24 grew a window:\n$p")
+    assert(!p.contains("Join"), s"m24 grew a join:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 1, s"m24 picked up a shuffle:\n$p")
+  }
+
+  test("m25 cross-format audio dedupe: one fp groupBy, no join, no window") {
+    val p = plan("m25_cross_format_audio_neardup")
+    assert(!p.contains("Window"), s"m25 grew a window:\n$p")
+    assert(!p.contains("Join"), s"m25 grew a join:\n$p")
+  }
+
   test("st18 forecast backtest: spine joins stay equi, no per-event window") {
     val p = plan("st18_seasonal_forecast")
     assert(!p.contains("Window"), s"st18 grew a window:\n$p")
