@@ -1206,7 +1206,113 @@ object GraphQueries {
         FROM s
       """.trim),
     ),
+    // G21: HYPERBALL (Boldi & Vigna, 2013) — the per-node neighborhood
+    // function N(v, t) = |ball(v, t)| approximated with mergeable HLL
+    // registers, the algorithm of record for effective-diameter /
+    // centrality sweeps on web-scale graphs (it computed the Facebook
+    // "four degrees of separation" result). Exact-distinct per node is
+    // O(V·ball) state — hopeless at 10⁹ nodes; HyperBall is O(V·m)
+    // state and one edges⋈state join per round. Registers are carried
+    // as (node, bucket, reg) ROWS, so every round is a plain
+    // groupBy-max with map-side combine: hub fan-in partial-aggregates
+    // before the shuffle (AQE-skew-safe), at an m=16 constant factor
+    // the packed-register form would avoid but at the cost of a custom
+    // merge UDAF outside codegen. Register max over any path set =
+    // max over the reachable set (max is idempotent/associative), so
+    // the iterative merge equals the exact-ball registers — the oracle
+    // computes ball membership by recursive closure and replays the
+    // IDENTICAL register math (the a21 md5 HLL: 16 buckets from hex
+    // digit 1, ρ ∈ [1,41] from the 40-bit suffix, α₁₆ = 0.673 integer
+    // estimate). t = 3 over the bidirectional pagerank edge set.
+    Q(
+      "g21_hyperball",
+      (s, dir) => {
+        val t = 3
+        val ed = graft.ops.Iterative.materialize(
+          prEdges(s, dir).select(col("src_domain").as("src"),
+            col("dst_domain").as("dst")).distinct())
+        val nodes = ed.select(col("src").as("node"))
+          .union(ed.select(col("dst").as("node"))).distinct()
+        val md = md5(col("node").cast("string"))
+        val v = conv(substring(md, 2, 10), 16, 10).cast("long")
+        val init = nodes.select(
+          col("node"),
+          conv(substring(md, 1, 1), 16, 10).cast("int").as("bucket"),
+          when(v === 0L, 41).otherwise(lit(41) - length(bin(v)))
+            .cast("int").as("reg"))
+        var state = graft.ops.Iterative.materialize(init)
+        for (_ <- 1 to t) {
+          val st = state.select(col("node").as("sn"), col("bucket"), col("reg"))
+          val contrib = ed.join(st, col("sn") === col("dst"))
+            .select(col("src").as("node"), col("bucket"), col("reg"))
+          state = graft.ops.Iterative.materialize(
+            state.unionByName(contrib)
+              .groupBy("node", "bucket").agg(max(col("reg")).as("reg")))
+        }
+        state.groupBy("node").agg(
+            count(lit(1)).as("n_buckets_hit"),
+            sum(col("reg")).as("sum_reg"),
+            sum(expr("shiftleft(1L, 41 - reg)")).as("s_hit"))
+          .withColumn("s_scaled", col("s_hit") +
+            (lit(16L) - col("n_buckets_hit")) * lit(2199023255552L))
+          // m²·2^41 = 2^49; α₁₆ = 0.673; integer div end-to-end
+          .withColumn("ball_est",
+            expr("(562949953421312L div s_scaled) * 673L div 1000L"))
+          .select("node", "n_buckets_hit", "sum_reg", "s_scaled", "ball_est")
+          .orderBy("node")
+      },
+      Some(s"""
+        WITH $EdgesCte,
+        ed AS MATERIALIZED (
+          SELECT src_domain AS src, dst_domain + 1000000 AS dst FROM edges
+          UNION
+          SELECT dst_domain + 1000000 AS src, src_domain AS dst FROM edges),
+        nodes AS (SELECT DISTINCT src AS node FROM ed
+                  UNION SELECT DISTINCT dst FROM ed),
+        b0 AS MATERIALIZED (SELECT node AS v, node AS u FROM nodes),
+        ${ballRoundCtes(3)},
+        h AS (
+          SELECT v,
+                 ('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 1))::BIGINT
+                   AS bucket,
+                 ('0x' || substr(md5(CAST(u AS VARCHAR)), 2, 10))::BIGINT
+                   AS val
+          FROM b3),
+        r AS (
+          SELECT v, bucket,
+                 MAX(CASE WHEN val = 0 THEN 41
+                          ELSE 41 - length(bin(val)) END) AS reg
+          FROM h GROUP BY 1, 2),
+        g AS (
+          SELECT v,
+                 COUNT(*) AS n_buckets_hit,
+                 CAST(SUM(reg) AS BIGINT) AS sum_reg,
+                 CAST(SUM(1::BIGINT << (41 - reg)) AS BIGINT) AS s_hit
+          FROM r GROUP BY 1)
+        SELECT v AS node, n_buckets_hit, sum_reg,
+               CAST(s_hit + (16 - n_buckets_hit) * 2199023255552
+                 AS BIGINT) AS s_scaled,
+               CAST(562949953421312
+                      // (s_hit + (16 - n_buckets_hit) * 2199023255552)
+                    * 673 // 1000 AS BIGINT) AS ball_est
+        FROM g ORDER BY node
+      """.trim),
+    ),
   )
+
+  /** g21 oracle machinery: exact radius-t ball membership, one
+    * expansion round per CTE (b_i = b_{i-1} ∪ out-neighbors of its
+    * members). MATERIALIZED for the usual re-scan reason. */
+  private def ballRoundCtes(rounds: Int): String =
+    (1 to rounds).map { i =>
+      s"""b$i AS MATERIALIZED (
+         |  SELECT DISTINCT v, u FROM (
+         |    SELECT v, u FROM b${i - 1}
+         |    UNION ALL
+         |    SELECT b.v, e.dst AS u
+         |    FROM b${i - 1} b JOIN ed e ON e.src = b.u))"""
+        .stripMargin
+    }.mkString(",\n")
 
   /** g16 oracle machinery: level-synchronous BFS unrolled — round i
     * expands the dist-(i−1) frontier of b(i−1) and labels unseen

@@ -957,6 +957,17 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"expected partial+final degree counts:\n$p")
   }
 
+  test("g21 hyperball: register merge is groupBy-max, no cartesian/window") {
+    val p = plan("g21_hyperball")
+    // every round is a plain (node, bucket) groupBy-max — map-side
+    // combine must survive so hub fan-in partial-aggregates before the
+    // shuffle; nothing may degenerate into all-pairs or a window
+    assert(!p.contains("CartesianProduct"), s"g21 degenerated:\n$p")
+    assert(!p.contains("Window"), s"g21 fell back to a window:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final register folds:\n$p")
+  }
+
   test("st13 stickiness: expansion + distinct folds, no window over users") {
     val p = plan("st13_stickiness")
     // rolling distinct must come from the bounded day expansion +
