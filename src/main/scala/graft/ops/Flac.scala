@@ -864,6 +864,16 @@ object Flac {
     enc(scene, id, nSamples)
   }
 
+  /** Fixture-synthesis column for m26: the [[Multimodal.testSample]]
+    * waveform (the m10 WAV fixture's) as a real FLAC file — so the WAV
+    * and FLAC legs of a mixed corpus carry ONE analytic formula. */
+  def packFlacPcm16(id: Column, nSamples: Column): Column = {
+    val enc = udf((k: Long, n: Int) =>
+      encodeFlacPcmMono(
+        Array.tabulate(n)(i => Multimodal.testSample(k % 251, i))))
+    enc(id, nSamples)
+  }
+
   private val statsSchema = StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("channels", IntegerType, nullable = false),

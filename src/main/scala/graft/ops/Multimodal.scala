@@ -2472,6 +2472,53 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Format-dispatching audio QUALITY gates over the decoded PCM —
+    * what a training-data pipeline runs right after decode: clipping
+    * count (|s| ≥ 32000, the mastering-damage gate), zero crossings
+    * (order-sensitive noisiness evidence), peak and Σ|s| (dynamic-
+    * range inputs; the ratio is the client's division). One metric
+    * definition across containers, same dispatch as
+    * [[decodeAudioFps]]. Integer-exact, per-row, shuffle-free. */
+  def decodeAudioQuality(df: DataFrame, id: String, media: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("peak", LongType, nullable = false),
+      StructField("n_clip", LongType, nullable = false),
+      StructField("zero_cross", LongType, nullable = false),
+      StructField("sum_abs", LongType, nullable = false)))
+    val rdd = df.select(col(id).cast("long"), col(media)).rdd.mapPartitions { it =>
+      it.map { r =>
+        val b = r.getAs[Array[Byte]](1)
+        val (fmt, pcm) =
+          if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')
+            ("wav", decodeWavPcm16(b))
+          else if (b.length >= 4 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C') {
+            val chans = graft.ops.Flac.decodeFlacPcm(b)
+            ("flac", if (chans == null || chans.length != 1) null else chans(0))
+          } else ("bad", null)
+        if (pcm == null) Row(r.getLong(0), "bad", -1L, -1L, -1L, -1L, -1L)
+        else {
+          var peak = 0L; var clip = 0L; var zc = 0L; var sa = 0L
+          var i = 0
+          while (i < pcm.length) {
+            val v = pcm(i)
+            val a = math.abs(v.toLong)
+            if (a > peak) peak = a
+            if (a >= 32000) clip += 1
+            if (i > 0 && v.toLong * pcm(i - 1) < 0) zc += 1
+            sa += a
+            i += 1
+          }
+          Row(r.getLong(0), fmt, pcm.length.toLong, peak, clip, zc, sa)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** REAL autocorrelation over the decoded PCM stream: for each lag L,
     * Σᵢ s[i]·s[i+L] (i ∈ [0, n−L)), plus the lag-0 energy Σ s[i]² — the
     * periodicity/pitch evidence an audio curation pass gates on (a

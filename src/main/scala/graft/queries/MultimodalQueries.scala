@@ -1258,5 +1258,50 @@ object MultimodalQueries {
         ORDER BY canonical_doc
       """.trim),
     ),
+    // M-audio-quality: the curation gates a pipeline runs right after
+    // audio decode — clipping count, zero crossings, peak, Σ|s| — with
+    // ONE metric definition dispatched across containers (WAV for even
+    // docs, FLAC for odd), both carrying the same analytic waveform so
+    // a single oracle formula gates both decoders' PCM byte-for-byte.
+    Q(
+      "m26_audio_quality",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val n = (col("doc_id") % 120 + 50).cast("int")
+        val media = when(col("doc_id") % 2 === 0,
+            Multimodal.packWavPcm16(col("doc_id"), n))
+          .otherwise(Flac.packFlacPcm16(col("doc_id"), n))
+        val packed = docs.select(col("doc_id"), media.as("media"))
+        Multimodal.decodeAudioQuality(packed, "doc_id", "media")
+          .select(col("id").as("doc_id"), col("format"), col("n_samples"),
+            col("peak"), col("n_clip"), col("zero_cross"), col("sum_abs"))
+          .orderBy("doc_id")
+      },
+      Some {
+        // the m10 testSample waveform: ((37i + k) % 65536) − 32768
+        val f = "((37*i + k) % 65536) - 32768"
+        val fp = "((37*(i-1) + k) % 65536) - 32768"
+        s"""
+        WITH p AS (
+          SELECT doc_id, doc_id % 251 AS k, doc_id % 120 + 50 AS n
+          FROM documents)
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'flac' END AS format,
+               n::BIGINT AS n_samples,
+               CAST(list_max(list_transform(range(0, n), i ->
+                 abs($f))) AS BIGINT) AS peak,
+               CAST(list_sum(list_transform(range(0, n), i ->
+                 CASE WHEN abs($f) >= 32000 THEN 1 ELSE 0 END))
+                 AS BIGINT) AS n_clip,
+               CAST(list_sum(list_transform(range(1, n), i ->
+                 CASE WHEN ($f) * ($fp) < 0 THEN 1 ELSE 0 END))
+                 AS BIGINT) AS zero_cross,
+               CAST(list_sum(list_transform(range(0, n), i ->
+                 abs($f))) AS BIGINT) AS sum_abs
+        FROM p
+        ORDER BY doc_id
+        """.trim
+      },
+    ),
   )
 }

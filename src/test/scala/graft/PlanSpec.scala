@@ -654,6 +654,13 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Join"), s"m25 grew a join:\n$p")
   }
 
+  test("m26 audio quality gates stay embarrassingly parallel") {
+    val p = plan("m26_audio_quality")
+    assert(!p.contains("Window"), s"m26 grew a window:\n$p")
+    assert(!p.contains("Join"), s"m26 grew a join:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 1, s"m26 picked up a shuffle:\n$p")
+  }
+
   test("st18 forecast backtest: spine joins stay equi, no per-event window") {
     val p = plan("st18_seasonal_forecast")
     assert(!p.contains("Window"), s"st18 grew a window:\n$p")
