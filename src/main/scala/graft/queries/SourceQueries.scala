@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.{ArcSource, FrontCoding, RiceCoding, Sinks, WikipediaXmlSource}
@@ -1226,5 +1226,59 @@ object SourceQueries {
         ORDER BY doc_id
       """.stripMargin.trim),
     ),
+
+    // s28: MANIFEST-PRUNED SCAN — the Iceberg/Delta file-skipping shape:
+    // a sidecar manifest records per-file min/max key stats at write
+    // time, and a range query consults the MANIFEST (tiny) to choose
+    // files, never listing the table or touching non-matching footers.
+    // Parquet row-group zone maps (s25) still require opening every
+    // file's footer; at 100 TB / millions of files the O(files) listing
+    // + footer pass IS the bottleneck, which is exactly why the table-
+    // format manifests exist. The data is range-partitioned on the key
+    // so file key-spans are tight and disjoint; the matching-file set
+    // is an O(selected-files) driver collect (the TFile-manifest class
+    // of small collect — bounded by selectivity, not corpus). The spec
+    // pins that the pruned read opens a strict subset of files; the
+    // oracle proves the file cut loses no rows (full relational scan).
+    Q(
+      "s28_manifest_pruned_scan",
+      (s, dir) => {
+        val out = stage("s28")
+        val docs = Registry.table(s, dir, "documents")
+        docs.select(col("doc_id"), col("lang"), col("n_chars"))
+          .repartitionByRange(16, col("doc_id"))
+          .sortWithinPartitions("doc_id")
+          .write.mode("overwrite").parquet(s"$out/data")
+        s.read.parquet(s"$out/data")
+          .groupBy(input_file_name().as("file"))
+          .agg(min(col("doc_id")).as("min_id"),
+            max(col("doc_id")).as("max_id"),
+            count(lit(1)).as("n_rows"))
+          .write.mode("overwrite").parquet(s"$out/manifest")
+        prunedRange(s, s"$out/data", s"$out/manifest", 100L, 160L)
+          .select("doc_id", "lang", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE doc_id >= 100 AND doc_id < 160
+        ORDER BY doc_id
+      """.stripMargin.trim),
+    ),
   )
+
+  /** The s28 read path: select files whose [min_id, max_id] span
+    * intersects [lo, hi) from the manifest, then scan ONLY those
+    * (residual predicate still applied — manifests prune, they don't
+    * filter). Shared with the spec, which pins the file-subset claim. */
+  private[graft] def prunedRange(s: SparkSession, data: String,
+      manifest: String, lo: Long, hi: Long): org.apache.spark.sql.DataFrame = {
+    val files = s.read.parquet(manifest)
+      .filter(col("max_id") >= lo && col("min_id") < hi)
+      .select("file").collect().map(_.getString(0))
+    require(files.nonEmpty, s"manifest selected no files for [$lo, $hi)")
+    s.read.parquet(files.toIndexedSeq: _*)
+      .filter(col("doc_id") >= lo && col("doc_id") < hi)
+  }
 }

@@ -308,4 +308,36 @@ class SourcesSpec extends AnyFunSuite with SparkSuite {
       .filter(col("doc_id") === 7L).select("text").as[String].head()
     assert(back == "text \"quoted\" & ctrl\t#7")
   }
+
+  // ---- s28: manifest-pruned scan ----
+
+  test("s28 manifest prune opens a strict subset of files, loses no rows") {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+    val out = Files.createTempDirectory("graft-s28-spec-").toString
+    val docs = graft.queries.Registry.table(spark, sfDir, "documents")
+    docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .repartitionByRange(16, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(s"$out/data")
+    spark.read.parquet(s"$out/data")
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+        count(lit(1)).as("n_rows"))
+      .write.mode("overwrite").parquet(s"$out/manifest")
+    val all = spark.read.parquet(s"$out/data")
+    val pruned = graft.queries.SourceQueries.prunedRange(
+      spark, s"$out/data", s"$out/manifest", 100L, 160L)
+    // the whole point: the manifest cut the file set BEFORE the scan —
+    // a range this selective over 16 range-partitioned files must open
+    // only the spanning few, and never the full table
+    assert(pruned.inputFiles.length < all.inputFiles.length,
+      s"manifest pruned nothing: ${pruned.inputFiles.length} of " +
+        s"${all.inputFiles.length}")
+    assert(pruned.inputFiles.length <= 4,
+      s"range [100,160) spans too many files: ${pruned.inputFiles.length}")
+    // and the cut loses no rows vs the unpruned predicate
+    val expected = all
+      .filter(col("doc_id") >= 100L && col("doc_id") < 160L).count()
+    assert(pruned.count() == expected)
+  }
 }
