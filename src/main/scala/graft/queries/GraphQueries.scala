@@ -1298,6 +1298,70 @@ object GraphQueries {
         FROM g ORDER BY node
       """.trim),
     ),
+    // G22: DISTANCE DISTRIBUTION — HyperBall's headline readout: the
+    // neighborhood function N(t) = Σ_v |ball(v, t)| per radius, the
+    // quantity behind effective-diameter and "degrees of separation"
+    // numbers. One register-merge loop (g21's), with a two-aggregate
+    // per-node rollup snapshotted after every round — the snapshots
+    // are O(V) folds, so sweeping t costs the SAME joins g21 already
+    // pays plus four tiny readouts. Oracle: exact balls per radius,
+    // identical register/estimate replay, summed.
+    Q(
+      "g22_distance_distribution",
+      (s, dir) => {
+        val t = 3
+        val ed = graft.ops.Iterative.materialize(
+          prEdges(s, dir).select(col("src_domain").as("src"),
+            col("dst_domain").as("dst")).distinct())
+        val nodes = ed.select(col("src").as("node"))
+          .union(ed.select(col("dst").as("node"))).distinct()
+        val md = md5(col("node").cast("string"))
+        val v = conv(substring(md, 2, 10), 16, 10).cast("long")
+        var state = graft.ops.Iterative.materialize(nodes.select(
+          col("node"),
+          conv(substring(md, 1, 1), 16, 10).cast("int").as("bucket"),
+          when(v === 0L, 41).otherwise(lit(41) - length(bin(v)))
+            .cast("int").as("reg")))
+        def readout(round: Int) = graft.ops.Iterative.materialize(
+          state.groupBy("node").agg(
+              count(lit(1)).as("nb"),
+              sum(expr("shiftleft(1L, 41 - reg)")).as("s_hit"))
+            .withColumn("s_scaled", col("s_hit") +
+              (lit(16L) - col("nb")) * lit(2199023255552L))
+            .withColumn("est",
+              expr("(562949953421312L div s_scaled) * 673L div 1000L"))
+            .agg(count(lit(1)).as("n_nodes"),
+              sum(col("est")).as("sum_ball_est"))
+            .select(lit(round.toLong).as("t"), col("n_nodes"),
+              col("sum_ball_est")))
+        var outs = readout(0)
+        for (i <- 1 to t) {
+          val st = state.select(col("node").as("sn"), col("bucket"), col("reg"))
+          val contrib = ed.join(st, col("sn") === col("dst"))
+            .select(col("src").as("node"), col("bucket"), col("reg"))
+          state = graft.ops.Iterative.materialize(
+            state.unionByName(contrib)
+              .groupBy("node", "bucket").agg(max(col("reg")).as("reg")))
+          outs = outs.unionByName(readout(i))
+        }
+        outs.orderBy("t")
+      },
+      Some(s"""
+        WITH $EdgesCte,
+        ed AS MATERIALIZED (
+          SELECT src_domain AS src, dst_domain + 1000000 AS dst FROM edges
+          UNION
+          SELECT dst_domain + 1000000 AS src, src_domain AS dst FROM edges),
+        nodes AS (SELECT DISTINCT src AS node FROM ed
+                  UNION SELECT DISTINCT dst FROM ed),
+        b0 AS MATERIALIZED (SELECT node AS v, node AS u FROM nodes),
+        ${ballRoundCtes(3)},
+        ${(0 to 3).map(hyperballReadoutCte).mkString(",\n")}
+        SELECT * FROM o0 UNION ALL SELECT * FROM o1
+        UNION ALL SELECT * FROM o2 UNION ALL SELECT * FROM o3
+        ORDER BY t
+      """.trim),
+    ),
   )
 
   /** g21 oracle machinery: exact radius-t ball membership, one
@@ -1313,6 +1377,33 @@ object GraphQueries {
          |    FROM b${i - 1} b JOIN ed e ON e.src = b.u))"""
         .stripMargin
     }.mkString(",\n")
+
+  /** g22 oracle machinery: the g21 register/estimate replay evaluated
+    * against the exact ball b$t, rolled up to one (t, n_nodes,
+    * sum_ball_est) row per radius. */
+  private def hyperballReadoutCte(t: Int): String =
+    s"""o$t AS (
+       |  SELECT $t::BIGINT AS t, COUNT(*) AS n_nodes,
+       |         CAST(SUM(est) AS BIGINT) AS sum_ball_est
+       |  FROM (
+       |    SELECT v,
+       |           CAST(562949953421312 // (
+       |             CAST(SUM(1::BIGINT << (41 - reg)) AS BIGINT)
+       |             + (16 - COUNT(*)) * 2199023255552) * 673 // 1000
+       |             AS BIGINT) AS est
+       |    FROM (
+       |      SELECT v,
+       |             ('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 1))::BIGINT
+       |               AS bucket,
+       |             MAX(CASE
+       |               WHEN ('0x' || substr(md5(CAST(u AS VARCHAR)), 2, 10))::BIGINT = 0
+       |                 THEN 41
+       |               ELSE 41 - length(bin(
+       |                 ('0x' || substr(md5(CAST(u AS VARCHAR)), 2, 10))::BIGINT))
+       |               END) AS reg
+       |      FROM b$t GROUP BY 1, 2)
+       |    GROUP BY v))"""
+      .stripMargin
 
   /** g16 oracle machinery: level-synchronous BFS unrolled — round i
     * expands the dist-(i−1) frontier of b(i−1) and labels unseen

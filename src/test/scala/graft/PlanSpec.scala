@@ -975,6 +975,12 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"expected partial+final register folds:\n$p")
   }
 
+  test("g22 distance distribution: snapshot folds, no cartesian/window") {
+    val p = plan("g22_distance_distribution")
+    assert(!p.contains("CartesianProduct"), s"g22 degenerated:\n$p")
+    assert(!p.contains("Window"), s"g22 fell back to a window:\n$p")
+  }
+
   test("st13 stickiness: expansion + distinct folds, no window over users") {
     val p = plan("st13_stickiness")
     // rolling distinct must come from the bounded day expansion +
