@@ -1227,29 +1227,8 @@ object GraphQueries {
     Q(
       "g21_hyperball",
       (s, dir) => {
-        val t = 3
-        val ed = graft.ops.Iterative.materialize(
-          prEdges(s, dir).select(col("src_domain").as("src"),
-            col("dst_domain").as("dst")).distinct())
-        val nodes = ed.select(col("src").as("node"))
-          .union(ed.select(col("dst").as("node"))).distinct()
-        val md = md5(col("node").cast("string"))
-        val v = conv(substring(md, 2, 10), 16, 10).cast("long")
-        val init = nodes.select(
-          col("node"),
-          conv(substring(md, 1, 1), 16, 10).cast("int").as("bucket"),
-          when(v === 0L, 41).otherwise(lit(41) - length(bin(v)))
-            .cast("int").as("reg"))
-        var state = graft.ops.Iterative.materialize(init)
-        for (_ <- 1 to t) {
-          val st = state.select(col("node").as("sn"), col("bucket"), col("reg"))
-          val contrib = ed.join(st, col("sn") === col("dst"))
-            .select(col("src").as("node"), col("bucket"), col("reg"))
-          state = graft.ops.Iterative.materialize(
-            state.unionByName(contrib)
-              .groupBy("node", "bucket").agg(max(col("reg")).as("reg")))
-        }
-        state.groupBy("node").agg(
+        hyperball(s, dir)._1
+          .groupBy("node").agg(
             count(lit(1)).as("n_buckets_hit"),
             sum(col("reg")).as("sum_reg"),
             sum(expr("shiftleft(1L, 41 - reg)")).as("s_hit"))
@@ -1308,7 +1287,43 @@ object GraphQueries {
     // identical register/estimate replay, summed.
     Q(
       "g22_distance_distribution",
-      (s, dir) => {
+      (s, dir) => hyperball(s, dir)._2.orderBy("t"),
+      Some(s"""
+        WITH $EdgesCte,
+        ed AS MATERIALIZED (
+          SELECT src_domain AS src, dst_domain + 1000000 AS dst FROM edges
+          UNION
+          SELECT dst_domain + 1000000 AS src, src_domain AS dst FROM edges),
+        nodes AS (SELECT DISTINCT src AS node FROM ed
+                  UNION SELECT DISTINCT dst FROM ed),
+        b0 AS MATERIALIZED (SELECT node AS v, node AS u FROM nodes),
+        ${ballRoundCtes(3)},
+        ${(0 to 3).map(hyperballReadoutCte).mkString(",\n")}
+        SELECT * FROM o0 UNION ALL SELECT * FROM o1
+        UNION ALL SELECT * FROM o2 UNION ALL SELECT * FROM o3
+        ORDER BY t
+      """.trim),
+    ),
+  )
+
+  private val hbStage = new Staging.Memo("g-hyperball")
+  private val hbLock = new Object
+  private val hbBuilt =
+    scala.collection.mutable.Set.empty[(String, String)]
+
+  /** ONE HyperBall register-merge loop per (stage base, sf dir) serves
+    * both g21 (final per-node registers) and g22 (per-round distance-
+    * distribution readouts) — the sharedNearDup/edges build-once
+    * discipline: the loop is the dominant cost, and g22's snapshots
+    * fall out of the same rounds g21 already pays for. Artifacts are
+    * dir-digest-namespaced (immutable per dir, see Staging.dirKey).
+    * Returns (final state (node, bucket, reg), distribution rows
+    * (t, n_nodes, sum_ball_est)). */
+  private def hyperball(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    hbLock.synchronized {
+      val base = hbStage.path
+      val dig = Staging.dirKey(dir)
+      if (!hbBuilt((base, dir))) {
         val t = 3
         val ed = graft.ops.Iterative.materialize(
           prEdges(s, dir).select(col("src_domain").as("src"),
@@ -1344,25 +1359,12 @@ object GraphQueries {
               .groupBy("node", "bucket").agg(max(col("reg")).as("reg")))
           outs = outs.unionByName(readout(i))
         }
-        outs.orderBy("t")
-      },
-      Some(s"""
-        WITH $EdgesCte,
-        ed AS MATERIALIZED (
-          SELECT src_domain AS src, dst_domain + 1000000 AS dst FROM edges
-          UNION
-          SELECT dst_domain + 1000000 AS src, src_domain AS dst FROM edges),
-        nodes AS (SELECT DISTINCT src AS node FROM ed
-                  UNION SELECT DISTINCT dst FROM ed),
-        b0 AS MATERIALIZED (SELECT node AS v, node AS u FROM nodes),
-        ${ballRoundCtes(3)},
-        ${(0 to 3).map(hyperballReadoutCte).mkString(",\n")}
-        SELECT * FROM o0 UNION ALL SELECT * FROM o1
-        UNION ALL SELECT * FROM o2 UNION ALL SELECT * FROM o3
-        ORDER BY t
-      """.trim),
-    ),
-  )
+        state.write.mode("overwrite").parquet(s"$base/state-$dig")
+        outs.write.mode("overwrite").parquet(s"$base/dist-$dig")
+        hbBuilt += ((base, dir))
+      }
+      (s.read.parquet(s"$base/state-$dig"), s.read.parquet(s"$base/dist-$dig"))
+    }
 
   /** g21 oracle machinery: exact radius-t ball membership, one
     * expansion round per CTE (b_i = b_{i-1} ∪ out-neighbors of its
