@@ -582,4 +582,5 @@ object Sketches {
       .agg((count(col("hit")) === k).as("in_bloom"))
     cands.join(verdict, key)
   }
+
 }

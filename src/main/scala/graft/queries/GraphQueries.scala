@@ -1227,13 +1227,16 @@ object GraphQueries {
     Q(
       "g21_hyperball",
       (s, dir) => {
+        val m = 16
         hyperball(s, dir)._1
-          .groupBy("node").agg(
-            count(lit(1)).as("n_buckets_hit"),
-            sum(col("reg")).as("sum_reg"),
-            sum(expr("shiftleft(1L, 41 - reg)")).as("s_hit"))
-          .withColumn("s_scaled", col("s_hit") +
-            (lit(16L) - col("n_buckets_hit")) * lit(2199023255552L))
+          .select(col("node"),
+            expr((0 until m).map(j => s"if(r$j > 0, 1L, 0L)")
+              .mkString(" + ")).as("n_buckets_hit"),
+            expr((0 until m).map(j => s"cast(r$j as bigint)")
+              .mkString(" + ")).as("sum_reg"),
+            expr((0 until m)
+              .map(j => s"shiftleft(cast(1 as bigint), 41 - r$j)")
+              .mkString(" + ")).as("s_scaled"))
           // m²·2^41 = 2^49; α₁₆ = 0.673; integer div end-to-end
           .withColumn("ball_est",
             expr("(562949953421312L div s_scaled) * 673L div 1000L"))
@@ -1317,12 +1320,26 @@ object GraphQueries {
     * discipline: the loop is the dominant cost, and g22's snapshots
     * fall out of the same rounds g21 already pays for. Artifacts are
     * dir-digest-namespaced (immutable per dir, see Staging.dirKey).
-    * Returns (final state (node, bucket, reg), distribution rows
+    *
+    * Registers travel PACKED as 16 fixed-width int COLUMNS per node
+    * (r0..r15), merged with sixteen plain per-column `max` aggregates
+    * — ONE whole-stage-codegen HashAggregate over an 80-byte UnsafeRow
+    * with map-side combine and sort-based spill. Two rejected layouts,
+    * both measured at the 100× soak in one 8 GiB JVM: (node, bucket,
+    * reg) ROWS shuffle E·16 rows per round (OOM), and an array<int>
+    * column with an elementwise-max UDAF routes through
+    * ObjectHashAggregate, whose per-key object buffers and 128-key
+    * sort-fallback also OOM at E·V scale ([AGGREGATE_OUT_OF_MEMORY]).
+    * Fixed-width columns are the Tungsten-native form: E rows per
+    * round, spillable, codegen end-to-end.
+    *
+    * Returns (final state (node, r0..r15), distribution rows
     * (t, n_nodes, sum_ball_est)). */
   private def hyperball(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     hbLock.synchronized {
       val base = hbStage.path
       val dig = Staging.dirKey(dir)
+      val m = 16
       if (!hbBuilt((base, dir))) {
         val t = 3
         val ed = graft.ops.Iterative.materialize(
@@ -1332,17 +1349,21 @@ object GraphQueries {
           .union(ed.select(col("dst").as("node"))).distinct()
         val md = md5(col("node").cast("string"))
         val v = conv(substring(md, 2, 10), 16, 10).cast("long")
-        var state = graft.ops.Iterative.materialize(nodes.select(
-          col("node"),
-          conv(substring(md, 1, 1), 16, 10).cast("int").as("bucket"),
-          when(v === 0L, 41).otherwise(lit(41) - length(bin(v)))
-            .cast("int").as("reg")))
+        val bucket = conv(substring(md, 1, 1), 16, 10).cast("int")
+        val rho = when(v === 0L, 41).otherwise(lit(41) - length(bin(v)))
+          .cast("int")
+        var state = graft.ops.Iterative.materialize(nodes
+          .select(col("node"), bucket.as("b"), rho.as("r"))
+          .select(col("node") +: (0 until m).map(j =>
+            when(col("b") === j, col("r")).otherwise(lit(0))
+              .cast("int").as(s"r$j")): _*))
+        // Σ 2^(41-reg) over ALL m registers — an untouched register
+        // (reg = 0) contributes 2^41 naturally, so no hit-count split
+        val sScaled = expr((0 until m)
+          .map(j => s"shiftleft(cast(1 as bigint), 41 - r$j)")
+          .mkString(" + "))
         def readout(round: Int) = graft.ops.Iterative.materialize(
-          state.groupBy("node").agg(
-              count(lit(1)).as("nb"),
-              sum(expr("shiftleft(1L, 41 - reg)")).as("s_hit"))
-            .withColumn("s_scaled", col("s_hit") +
-              (lit(16L) - col("nb")) * lit(2199023255552L))
+          state.select(sScaled.as("s_scaled"))
             .withColumn("est",
               expr("(562949953421312L div s_scaled) * 673L div 1000L"))
             .agg(count(lit(1)).as("n_nodes"),
@@ -1351,12 +1372,16 @@ object GraphQueries {
               col("sum_ball_est")))
         var outs = readout(0)
         for (i <- 1 to t) {
-          val st = state.select(col("node").as("sn"), col("bucket"), col("reg"))
+          val st = state.toDF(
+            "sn" +: (0 until m).map(j => s"r$j"): _*)
           val contrib = ed.join(st, col("sn") === col("dst"))
-            .select(col("src").as("node"), col("bucket"), col("reg"))
+            .select(col("src").as("node") +: (0 until m).map(j =>
+              col(s"r$j")): _*)
           state = graft.ops.Iterative.materialize(
             state.unionByName(contrib)
-              .groupBy("node", "bucket").agg(max(col("reg")).as("reg")))
+              .groupBy("node")
+              .agg(max(col("r0")).as("r0"), (1 until m).map(j =>
+                max(col(s"r$j")).as(s"r$j")): _*))
           outs = outs.unionByName(readout(i))
         }
         state.write.mode("overwrite").parquet(s"$base/state-$dig")

@@ -964,15 +964,17 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"expected partial+final degree counts:\n$p")
   }
 
-  test("g21 hyperball: register merge is groupBy-max, no cartesian/window") {
+  test("g21 hyperball: packed-register readout, no cartesian/window") {
     val p = plan("g21_hyperball")
-    // every round is a plain (node, bucket) groupBy-max — map-side
-    // combine must survive so hub fan-in partial-aggregates before the
-    // shuffle; nothing may degenerate into all-pairs or a window
+    // the loop persists packed registers (one array per node, regMax
+    // ObjectHashAggregate merges inside the build); the served plan is
+    // a parquet read + per-row array folds + presentation sort — no
+    // grouping, no window, nothing all-pairs
     assert(!p.contains("CartesianProduct"), s"g21 degenerated:\n$p")
     assert(!p.contains("Window"), s"g21 fell back to a window:\n$p")
-    assert("HashAggregate".r.findAllIn(p).size >= 2,
-      s"expected partial+final register folds:\n$p")
+    assert(!p.contains("Join"), s"g21 readout grew a join:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"g21 readout picked up a shuffle beyond the sort:\n$p")
   }
 
   test("g22 distance distribution: snapshot folds, no cartesian/window") {
