@@ -1307,6 +1307,48 @@ object GraphQueries {
         ORDER BY t
       """.trim),
     ),
+    // G23: HARMONIC CENTRALITY — HyperBall's target application
+    // (Boldi & Vigna run the register sweep precisely to score
+    // centrality on web graphs): HC(v) = Σ_t |ball(v,t)| − |ball(v,t−1)|
+    // over t, i.e. each newly reached node weighted 1/its distance.
+    // Exact per-node closeness is an all-pairs BFS — quadratic and
+    // hopeless at web scale; the ball-delta form falls out of the SAME
+    // shared loop g21/g22 already pay for (per-round per-node estimate
+    // snapshots, node-keyed V-sized joins). Kept integer-exact as ppm
+    // with per-term `div` (deltas are non-negative: balls are nested
+    // and the integer estimate is monotone in the register state, so
+    // truncation direction is moot). Oracle: exact balls per radius,
+    // identical per-node register/estimate replay, same delta formula.
+    Q(
+      "g23_harmonic_centrality",
+      (s, dir) => {
+        hyperball(s, dir)._3
+          .select(col("node"),
+            col("est3").as("ball3_est"),
+            expr("1000000L * (est1 - est0) " +
+              "+ (1000000L * (est2 - est1)) div 2 " +
+              "+ (1000000L * (est3 - est2)) div 3").as("hc_ppm"))
+          .orderBy("node")
+      },
+      Some(s"""
+        WITH $EdgesCte,
+        ed AS MATERIALIZED (
+          SELECT src_domain AS src, dst_domain + 1000000 AS dst FROM edges
+          UNION
+          SELECT dst_domain + 1000000 AS src, src_domain AS dst FROM edges),
+        nodes AS (SELECT DISTINCT src AS node FROM ed
+                  UNION SELECT DISTINCT dst FROM ed),
+        b0 AS MATERIALIZED (SELECT node AS v, node AS u FROM nodes),
+        ${ballRoundCtes(3)},
+        ${(0 to 3).map(hyperballNodeEstCte).mkString(",\n")}
+        SELECT e0.v AS node, e3.est AS ball3_est,
+               1000000 * (e1.est - e0.est)
+               + (1000000 * (e2.est - e1.est)) // 2
+               + (1000000 * (e3.est - e2.est)) // 3 AS hc_ppm
+        FROM e0 JOIN e1 USING (v) JOIN e2 USING (v) JOIN e3 USING (v)
+        ORDER BY node
+      """.trim),
+    ),
   )
 
   private val hbStage = new Staging.Memo("g-hyperball")
@@ -1334,8 +1376,10 @@ object GraphQueries {
     * round, spillable, codegen end-to-end.
     *
     * Returns (final state (node, r0..r15), distribution rows
-    * (t, n_nodes, sum_ball_est)). */
-  private def hyperball(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    * (t, n_nodes, sum_ball_est), per-node estimates
+    * (node, est0..est3) — the g23 harmonic-centrality input). */
+  private def hyperball(
+      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
     hbLock.synchronized {
       val base = hbStage.path
       val dig = Staging.dirKey(dir)
@@ -1370,7 +1414,15 @@ object GraphQueries {
               sum(col("est")).as("sum_ball_est"))
             .select(lit(round.toLong).as("t"), col("n_nodes"),
               col("sum_ball_est")))
+        // per-node ball estimate snapshot — g23's input; node-keyed
+        // V-sized joins assemble the wide (node, est0..est3) table
+        def estDf(round: Int) = state
+          .select(col("node"), sScaled.as("s_scaled"))
+          .select(col("node"),
+            expr("(562949953421312L div s_scaled) * 673L div 1000L")
+              .as(s"est$round"))
         var outs = readout(0)
+        var ests = graft.ops.Iterative.materialize(estDf(0))
         for (i <- 1 to t) {
           val st = state.toDF(
             "sn" +: (0 until m).map(j => s"r$j"): _*)
@@ -1383,12 +1435,15 @@ object GraphQueries {
               .agg(max(col("r0")).as("r0"), (1 until m).map(j =>
                 max(col(s"r$j")).as(s"r$j")): _*))
           outs = outs.unionByName(readout(i))
+          ests = graft.ops.Iterative.materialize(ests.join(estDf(i), "node"))
         }
         state.write.mode("overwrite").parquet(s"$base/state-$dig")
         outs.write.mode("overwrite").parquet(s"$base/dist-$dig")
+        ests.write.mode("overwrite").parquet(s"$base/ests-$dig")
         hbBuilt += ((base, dir))
       }
-      (s.read.parquet(s"$base/state-$dig"), s.read.parquet(s"$base/dist-$dig"))
+      (s.read.parquet(s"$base/state-$dig"), s.read.parquet(s"$base/dist-$dig"),
+        s.read.parquet(s"$base/ests-$dig"))
     }
 
   /** g21 oracle machinery: exact radius-t ball membership, one
@@ -1404,6 +1459,29 @@ object GraphQueries {
          |    FROM b${i - 1} b JOIN ed e ON e.src = b.u))"""
         .stripMargin
     }.mkString(",\n")
+
+  /** g23 oracle machinery: the per-node register/estimate replay
+    * against the exact ball b$t — e$t is (v, est). */
+  private def hyperballNodeEstCte(t: Int): String =
+    s"""e$t AS MATERIALIZED (
+       |  SELECT v,
+       |         CAST(562949953421312 // (
+       |           CAST(SUM(1::BIGINT << (41 - reg)) AS BIGINT)
+       |           + (16 - COUNT(*)) * 2199023255552) * 673 // 1000
+       |           AS BIGINT) AS est
+       |  FROM (
+       |    SELECT v,
+       |           ('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 1))::BIGINT
+       |             AS bucket,
+       |           MAX(CASE
+       |             WHEN ('0x' || substr(md5(CAST(u AS VARCHAR)), 2, 10))::BIGINT = 0
+       |               THEN 41
+       |             ELSE 41 - length(bin(
+       |               ('0x' || substr(md5(CAST(u AS VARCHAR)), 2, 10))::BIGINT))
+       |             END) AS reg
+       |    FROM b$t GROUP BY 1, 2)
+       |  GROUP BY v)"""
+      .stripMargin
 
   /** g22 oracle machinery: the g21 register/estimate replay evaluated
     * against the exact ball b$t, rolled up to one (t, n_nodes,

@@ -983,6 +983,17 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Window"), s"g22 fell back to a window:\n$p")
   }
 
+  test("g23 harmonic centrality: wide-table readout, no join/window") {
+    val p = plan("g23_harmonic_centrality")
+    // the per-round estimates persist as ONE wide (node, est0..est3)
+    // table, so the served plan is a read + delta projection + sort
+    assert(!p.contains("CartesianProduct"), s"g23 degenerated:\n$p")
+    assert(!p.contains("Window"), s"g23 fell back to a window:\n$p")
+    assert(!p.contains("Join"), s"g23 readout grew a join:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"g23 readout picked up a shuffle beyond the sort:\n$p")
+  }
+
   test("st13 stickiness: expansion + distinct folds, no window over users") {
     val p = plan("st13_stickiness")
     // rolling distinct must come from the bounded day expansion +
