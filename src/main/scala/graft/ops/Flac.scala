@@ -864,6 +864,137 @@ object Flac {
     enc(scene, id, nSamples)
   }
 
+  /** Mono FLAC with a VORBIS_COMMENT metadata block (RFC 9639 §8.6 —
+    * the tag vocabulary FLAC borrowed from Ogg Vorbis, hence the
+    * LITTLE-endian lengths inside an otherwise big-endian container):
+    * STREAMINFO, then the comment block marked last, then frames. */
+  private[graft] def encodeFlacTagged(
+      pcm: Array[Int], vendor: String, tags: Seq[(String, String)]): Array[Byte] = {
+    val plain = encodeFlacPcmMono(pcm)
+    // splice: keep "fLaC" + STREAMINFO (unset its last flag), insert
+    // the VORBIS_COMMENT block as the new last metadata block
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(plain, 0, 4)
+    out.write(plain(4) & 0x7f) // STREAMINFO, no longer last
+    out.write(plain, 5, 3 + 34)
+    val vc = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      vc.write(v & 0xff); vc.write((v >> 8) & 0xff)
+      vc.write((v >> 16) & 0xff); vc.write((v >> 24) & 0xff)
+    }
+    val vb = vendor.getBytes("UTF-8")
+    le32(vb.length); vc.write(vb)
+    le32(tags.length)
+    tags.foreach { case (k, v) =>
+      val c = s"$k=$v".getBytes("UTF-8")
+      le32(c.length); vc.write(c)
+    }
+    val payload = vc.toByteArray
+    out.write(0x80 | 4) // VORBIS_COMMENT, last
+    out.write((payload.length >> 16) & 0xff)
+    out.write((payload.length >> 8) & 0xff)
+    out.write(payload.length & 0xff)
+    out.write(payload)
+    out.write(plain, 4 + 4 + 34, plain.length - (4 + 4 + 34))
+    out.toByteArray
+  }
+
+  /** (vendor, tags) parsed from the VORBIS_COMMENT block, or null on
+    * any structural lie (declared lengths are untrusted). Walks the
+    * metadata chain only — frames are not decoded, so tag extraction
+    * over a 100 TB corpus reads a few hundred header bytes per file. */
+  private[graft] def flacTags(
+      b: Array[Byte]): (String, Seq[(String, String)]) = {
+    try {
+      if (b.length < 42) return null
+      if (b(0) != 'f' || b(1) != 'L' || b(2) != 'a' || b(3) != 'C') return null
+      var pos = 4
+      var last = false
+      var first = true
+      while (!last) {
+        if (pos + 4 > b.length) return null
+        val hdr = b(pos) & 0xff
+        last = (hdr & 0x80) != 0
+        val typ = hdr & 0x7f
+        val len = ((b(pos + 1) & 0xff) << 16) | ((b(pos + 2) & 0xff) << 8) |
+          (b(pos + 3) & 0xff)
+        if (typ == 127) return null
+        if (first && typ != 0) return null
+        first = false
+        if (pos + 4L + len > b.length) return null
+        if (typ == 4) {
+          val off = pos + 4
+          var p = off
+          def le32(): Int =
+            if (p + 4 > off + len) -1
+            else {
+              val v = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) |
+                ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
+              p += 4
+              v
+            }
+          val vl = le32()
+          if (vl < 0 || p + vl.toLong > off + len) return null
+          val vendor = new String(b, p, vl, "UTF-8")
+          p += vl
+          val n = le32()
+          if (n < 0 || n > 4096) return null // tag-count budget
+          val tags = Seq.newBuilder[(String, String)]
+          var i = 0
+          while (i < n) {
+            val cl = le32()
+            if (cl < 0 || p + cl.toLong > off + len) return null
+            val c = new String(b, p, cl, "UTF-8")
+            p += cl
+            val eq = c.indexOf('=')
+            if (eq < 1) return null
+            tags += ((c.substring(0, eq).toUpperCase, c.substring(eq + 1)))
+            i += 1
+          }
+          return (vendor, tags.result())
+        }
+        pos += 4 + len
+      }
+      ("", Seq.empty) // well-formed stream, no comment block
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  /** Fixture-synthesis column for m27: tagged FLAC bytes. */
+  def packFlacTagged(id: Column, nSamples: Column,
+      lang: Column, nChars: Column): Column = {
+    val enc = udf((k: Long, n: Int, lg: String, nc: Long) =>
+      encodeFlacTagged(
+        Array.tabulate(n)(i => Multimodal.testSample(k % 251, i)),
+        "graft flac fixture",
+        Seq("TITLE" -> s"doc $k", "LANGUAGE" -> lg, "NCHARS" -> nc.toString)))
+    enc(id, nSamples, lang, nChars)
+  }
+
+  /** Per-row tag extraction → (id, vendor, title, language, nchars);
+    * metadata-only reads, corpus-linear, shuffle-free. */
+  def decodeFlacTagStats(df: DataFrame, id: String, media: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("vendor", StringType, nullable = true),
+      StructField("title", StringType, nullable = true),
+      StructField("language", StringType, nullable = true),
+      StructField("nchars_tag", LongType, nullable = false)))
+    val rdd = df.select(col(id).cast("long"), col(media)).rdd.mapPartitions { it =>
+      it.map { r =>
+        val parsed = flacTags(r.getAs[Array[Byte]](1))
+        if (parsed == null) Row(r.getLong(0), null, null, null, -1L)
+        else {
+          val m = parsed._2.toMap
+          Row(r.getLong(0), parsed._1, m.getOrElse("TITLE", null),
+            m.getOrElse("LANGUAGE", null),
+            m.get("NCHARS").flatMap(_.toLongOption).getOrElse(-1L))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Fixture-synthesis column for m26: the [[Multimodal.testSample]]
     * waveform (the m10 WAV fixture's) as a real FLAC file — so the WAV
     * and FLAC legs of a mixed corpus carry ONE analytic formula. */

@@ -1303,5 +1303,35 @@ object MultimodalQueries {
         """.trim
       },
     ),
+    // M-FLAC-tags: VORBIS_COMMENT metadata extraction (RFC 9639 §8.6)
+    // — the title/language/custom-field read an audio curation pass
+    // keys on. Little-endian lengths inside the big-endian container
+    // (the Ogg Vorbis heritage), untrusted-length guards, and a
+    // metadata-only walk: tags come out of a few hundred header bytes
+    // per file, frames are never decoded. Oracle recomputes every tag
+    // from the document row the encoder embedded.
+    Q(
+      "m27_flac_tags",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val n = (col("doc_id") % 60 + 30).cast("int")
+        val packed = docs.select(col("doc_id"),
+          Flac.packFlacTagged(col("doc_id"), n, col("lang"),
+            col("n_chars").cast("long")).as("media"))
+        Flac.decodeFlacTagStats(packed, "doc_id", "media")
+          .select(col("id").as("doc_id"), col("vendor"), col("title"),
+            col("language"), col("nchars_tag"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               'graft flac fixture' AS vendor,
+               'doc ' || CAST(doc_id AS VARCHAR) AS title,
+               lang AS language,
+               CAST(n_chars AS BIGINT) AS nchars_tag
+        FROM documents
+        ORDER BY doc_id
+      """.trim),
+    ),
   )
 }

@@ -121,6 +121,29 @@ class FlacSpec extends AnyFunSuite {
     assert(minH >= 10, s"cross-scene hamming margin eroded: $minH")
   }
 
+  test("VORBIS_COMMENT tags: roundtrip, PCM unaffected, fuzz-safe") {
+    import graft.ops.Multimodal
+    val pcm = Array.tabulate(40)(i => Multimodal.testSample(9L, i))
+    val tags = Seq("TITLE" -> "a=b weird", "LANGUAGE" -> "de",
+      "NCHARS" -> "123", "EMPTY" -> "")
+    val b = Flac.encodeFlacTagged(pcm, "vend/1.0", tags)
+    val parsed = Flac.flacTags(b)
+    assert(parsed != null)
+    assert(parsed._1 == "vend/1.0")
+    // value keeps its own '=' signs; keys are case-normalized
+    assert(parsed._2 == tags)
+    // the tagged container still decodes to the identical PCM
+    val dec = Flac.decodeFlacPcm(b)
+    assert(dec != null && dec(0).toSeq == pcm.toSeq)
+    // an untagged stream parses as (no vendor, no tags), not an error
+    assert(Flac.flacTags(Flac.encodeFlacPcmMono(pcm)) == (("", Seq.empty)))
+    // corruption: every single-byte flip returns, never throws
+    for (pos <- b.indices; delta <- Seq(1, 0xff)) {
+      val c = b.clone(); c(pos) = (c(pos) ^ delta).toByte
+      Flac.flacTags(c)
+    }
+  }
+
   test("single-byte corruption fuzz never throws") {
     for (k <- 0L until 12L) {
       val good = Flac.encodeFlac(k, 40)

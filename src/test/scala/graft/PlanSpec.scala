@@ -661,6 +661,13 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert("Exchange".r.findAllIn(p).size <= 1, s"m26 picked up a shuffle:\n$p")
   }
 
+  test("m27 FLAC tag extraction stays embarrassingly parallel") {
+    val p = plan("m27_flac_tags")
+    assert(!p.contains("Window"), s"m27 grew a window:\n$p")
+    assert(!p.contains("Join"), s"m27 grew a join:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 1, s"m27 picked up a shuffle:\n$p")
+  }
+
   test("st18 forecast backtest: spine joins stay equi, no per-event window") {
     val p = plan("st18_seasonal_forecast")
     assert(!p.contains("Window"), s"st18 grew a window:\n$p")
