@@ -708,5 +708,48 @@ object MiscQueries {
         FROM typed GROUP BY 1, 2 ORDER BY 1, 2
       """.trim),
     ),
+    // X18: HTTP chunked transfer-decoding (RFC 9112 §7.1) — a real
+    // crawl corpus stores many bodies chunked, and nothing downstream
+    // (text extraction, dedupe, media decode) runs until the framing
+    // is removed. Per-doc fixed chunk size so the data-chunk count is
+    // SQL-replayable; chunk extensions on odd docs and a trailer
+    // section on every third doc exercise the skip paths; untrusted
+    // sizes are budget-capped and malformation yields the -1 row. The
+    // oracle recomputes payload hash/length analytically and the chunk
+    // count arithmetically — a framing bug (lost chunk, CRLF drift,
+    // trailer bleed-through) breaks the hash. Per-row, shuffle-free.
+    Q(
+      "x18_chunked_decode",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val size = (col("doc_id") % 37 + 5).cast("int")
+        val pack = udf((text: String, sz: Int, id: Long) =>
+          graft.core.Http.enchunk(text.getBytes("UTF-8"), sz,
+            withExt = id % 2 == 1,
+            trailer = if (id % 3 == 0) Some("X-Graft-Trailer: 1") else None))
+        val dec = udf((b: Array[Byte]) => {
+          val r = graft.core.Http.dechunkCounted(b)
+          if (r == null) (null: String, -1L, -1L)
+          else (new String(r._1, "UTF-8"), r._1.length.toLong, r._2.toLong)
+        })
+        docs
+          .select(col("doc_id"),
+            dec(pack(col("text"), size, col("doc_id"))).as("d"))
+          .select(col("doc_id"),
+            md5(col("d._1")).as("body_md5"),
+            col("d._2").as("body_len"),
+            col("d._3").as("n_chunks"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               md5(text) AS body_md5,
+               CAST(octet_length(encode(text)) AS BIGINT) AS body_len,
+               CAST((octet_length(encode(text)) + (doc_id % 37 + 5) - 1)
+                 // (doc_id % 37 + 5) AS BIGINT) AS n_chunks
+        FROM documents
+        ORDER BY doc_id
+      """.trim),
+    ),
   )
 }

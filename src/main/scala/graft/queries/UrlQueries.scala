@@ -243,5 +243,57 @@ object UrlQueries {
         ORDER BY skeleton
       """.trim),
     ),
+    // U5: Punycode / IDN host labels (RFC 3492 bootstring, IDNA
+    // parameters) — two byte-different hosts `xn--mnchen-3ya.de` /
+    // `münchen.de` are the SAME registrable name; a modern corpus
+    // cannot canonicalize, group, or dedupe internationalized domains
+    // without the decode. Fixture U-labels mix an 8-codepoint
+    // nameprep-invariant repertoire (Latin, Greek, Cyrillic, CJK
+    // — no ß/case-mapped chars, so IDNA2003 java.net.IDN agrees) by seed; the engine
+    // ENCODES them to A-labels with the spec-derived bootstring
+    // encoder and then DECODES mechanically — the oracle asserts the
+    // GROUND-TRUTH U-label recomputed from the seed (the m21/m24
+    // fixture pattern), and PunycodeSpec referees both directions
+    // against java.net.IDN plus the RFC 3492 sample strings. ASCII-only
+    // labels pass through un-prefixed (the xn-- convention is gated
+    // too: is_idn must match the repertoire picks exactly).
+    Q(
+      "u5_punycode",
+      (s, dir) => {
+        val rep = "ab9äé京πш"
+        val docs = Registry.table(s, dir, "documents")
+        val mk = udf((id: Long) => {
+          val cps = rep.codePoints().toArray
+          val len = (id % 8 + 3).toInt
+          val u = new String(
+            Array.tabulate(len)(i => cps(((id * 7 + i * 13) % cps.length).toInt)),
+            0, len)
+          val a = graft.core.Punycode.toAscii(u)
+          val back = graft.core.Punycode.toUnicode(a)
+          (a, back)
+        })
+        docs.select(col("doc_id"), mk(col("doc_id")).as("p"))
+          .select(col("doc_id"),
+            col("p._2").as("ulabel"),
+            length(col("p._2")).as("ulabel_len"),
+            col("p._1").startsWith("xn--").as("is_idn"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH rep AS (
+          SELECT ['a','b','9','ä','é','京','π','ш'] AS cs),
+        lab AS (
+          SELECT doc_id, doc_id % 8 + 3 AS len,
+                 array_to_string(list_transform(range(0, doc_id % 8 + 3),
+                   i -> cs[CAST((doc_id * 7 + i * 13) % 8 AS INT) + 1]), '')
+                   AS ulabel
+          FROM documents, rep)
+        SELECT doc_id, ulabel,
+               CAST(length(ulabel) AS INT) AS ulabel_len,
+               regexp_matches(ulabel, '[^\x00-\x7F]') AS is_idn
+        FROM lab
+        ORDER BY doc_id
+      """.trim),
+    ),
   )
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Http
+
+/** HTTP chunked framing: roundtrip across chunk sizes / extensions /
+  * trailers, hand-pinned RFC 9112 wire bytes, malformation rejects,
+  * and the truncation sweep. */
+class HttpSpec extends AnyFunSuite {
+
+  private def ascii(s: String) = s.getBytes("US-ASCII")
+
+  test("chunked roundtrip: sizes, extensions, trailers, empty body") {
+    for {
+      len <- Seq(0, 1, 4, 5, 37, 200)
+      sz <- Seq(1, 5, 16, 64)
+      ext <- Seq(true, false)
+      tr <- Seq(None, Some("X-T: v"))
+    } {
+      val body = Array.tabulate(len)(i => ((i * 31 + 7) % 251).toByte)
+      val enc = Http.enchunk(body, sz, ext, tr)
+      val got = Http.dechunkCounted(enc)
+      assert(got != null, s"len=$len sz=$sz ext=$ext tr=$tr")
+      assert(got._1.toSeq == body.toSeq)
+      assert(got._2 == (len + sz - 1) / sz)
+    }
+  }
+
+  test("hand-pinned wire bytes decode exactly (RFC 9112 framing)") {
+    // 4-byte chunk with an extension, 3-byte chunk, terminal chunk
+    // with one trailer field
+    val wire = ascii("4;x=y\r\nWiki\r\n3\r\npedia\r\n".replace("pedia", "ped")) ++
+      ascii("0\r\nX-Done: 1\r\n\r\n")
+    val got = Http.dechunkCounted(wire)
+    assert(got != null)
+    assert(new String(got._1, "US-ASCII") == "Wikiped")
+    assert(got._2 == 2)
+  }
+
+  test("malformation rejects: bad hex, CRLF drift, size lies, budget") {
+    val good = Http.enchunk(ascii("hello world, twelve+"), 7, withExt = false,
+      trailer = Some("T: 1"))
+    assert(Http.dechunkCounted(good) != null)
+    // non-hex size line
+    assert(Http.dechunkCounted(ascii("g\r\nx\r\n0\r\n\r\n")) == null)
+    // declared size overruns the buffer
+    assert(Http.dechunkCounted(ascii("ff\r\nshort\r\n0\r\n\r\n")) == null)
+    // missing CRLF after the chunk data
+    assert(Http.dechunkCounted(ascii("3\r\nabcXX0\r\n\r\n")) == null)
+    // empty size line
+    assert(Http.dechunkCounted(ascii("\r\n0\r\n\r\n")) == null)
+    // budget: a size past maxOut rejects before allocating
+    assert(Http.dechunkCounted(ascii("fffffff\r\n"), maxOut = 1024) == null)
+    // truncation sweep: every strict prefix rejects, never throws
+    for (n <- 0 until good.length)
+      assert(Http.dechunkCounted(java.util.Arrays.copyOf(good, n)) == null,
+        s"prefix $n must reject")
+    // single-byte corruption never throws
+    for (pos <- good.indices; d <- Seq(1, 0x80)) {
+      val c = good.clone(); c(pos) = (c(pos) ^ d).toByte
+      Http.dechunkCounted(c)
+    }
+  }
+}

@@ -668,6 +668,15 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert("Exchange".r.findAllIn(p).size <= 1, s"m27 picked up a shuffle:\n$p")
   }
 
+  test("x18/u5 per-row codecs stay embarrassingly parallel") {
+    Seq("x18_chunked_decode", "u5_punycode").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q grew a window:\n$p")
+      assert(!p.contains("Join"), s"$q grew a join:\n$p")
+      assert("Exchange".r.findAllIn(p).size <= 1, s"$q picked up a shuffle:\n$p")
+    }
+  }
+
   test("st18 forecast backtest: spine joins stay equi, no per-event window") {
     val p = plan("st18_seasonal_forecast")
     assert(!p.contains("Window"), s"st18 grew a window:\n$p")

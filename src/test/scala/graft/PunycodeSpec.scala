@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Punycode
+
+/** Punycode bootstring: RFC 3492 §7.1 sample strings, java.net.IDN as
+  * the independent spec referee over a generated label sweep, the
+  * famous real-world A-labels, roundtrip, and malformation rejects. */
+class PunycodeSpec extends AnyFunSuite {
+
+  test("RFC 3492 sample strings decode and re-encode exactly") {
+    // (A) Arabic (Egyptian) and (K) Japanese from RFC 3492 §7.1 —
+    // codepoint sequences transcribed from the RFC's u+ lists
+    val arabic = Array(0x0644, 0x064A, 0x0647, 0x0645, 0x0627, 0x0628,
+      0x062A, 0x0643, 0x0644, 0x0645, 0x0648, 0x0634, 0x0639, 0x0631,
+      0x0628, 0x064A, 0x061F)
+    val arabicEnc = "egbpdaj6bu4bxfgehfvwxn"
+    assert(Punycode.encode(arabic) == arabicEnc)
+    assert(Punycode.decode(arabicEnc).toSeq == arabic.toSeq)
+    // (L) "3<nen>B<gumi><kinpachi><sensei>" — mixed ASCII + kanji with
+    // the delimiter in play
+    val mixed = Array('3'.toInt, 0x5E74, 'B'.toInt, 0x7D44, 0x91D1,
+      0x516B, 0x5148, 0x751F)
+    val mixedEnc = "3B-ww4c5e180e575a65lsy2b"
+    assert(Punycode.encode(mixed) == mixedEnc)
+    assert(Punycode.decode(mixedEnc).toSeq == mixed.toSeq)
+  }
+
+  test("real-world A-labels") {
+    assert(Punycode.toUnicode("xn--mnchen-3ya") == "münchen")
+    assert(Punycode.toAscii("münchen") == "xn--mnchen-3ya")
+    assert(Punycode.toAscii("bücher") == "xn--bcher-kva")
+    assert(Punycode.toUnicode("xn--bcher-kva") == "bücher")
+    // pure ASCII passes through un-prefixed, both directions
+    assert(Punycode.toAscii("example") == "example")
+    assert(Punycode.toUnicode("example") == "example")
+  }
+
+  test("java.net.IDN referees both directions over a generated sweep") {
+    // nameprep-invariant repertoire: java.net.IDN is IDNA2003 and
+    // would map ß→ss / uppercase→lowercase before encoding
+    val rep = "ab9äé京πш".codePoints().toArray
+    for (seed <- 0L until 400L) {
+      val len = (seed % 8 + 3).toInt
+      val u = new String(
+        Array.tabulate(len)(i => rep(((seed * 7 + i * 13) % rep.length).toInt)),
+        0, len)
+      val ours = Punycode.toAscii(u)
+      assert(ours == java.net.IDN.toASCII(u), s"seed=$seed u=$u")
+      assert(Punycode.toUnicode(ours) == u, s"seed=$seed roundtrip")
+      assert(java.net.IDN.toUnicode(ours) == u, s"seed=$seed jdk-back")
+    }
+  }
+
+  test("malformation rejects, never throws") {
+    // bad digit, truncated integer, basic part with non-ASCII
+    assert(Punycode.decode("abc-!") == null)
+    assert(Punycode.decode("ü-abc") == null)
+    // overflow: a variable-length integer past Int.MaxValue must
+    // reject, not wrap (each 'z' digit multiplies the weight)
+    assert(Punycode.decode("a-" + "z" * 40) == null)
+    // every prefix of a valid encoding returns (decodes or rejects),
+    // never throws
+    val enc = Punycode.encode("3年B組金八先生".codePoints().toArray)
+    for (n <- 0 to enc.length) Punycode.decode(enc.take(n))
+  }
+}
