@@ -121,6 +121,29 @@ class FlacSpec extends AnyFunSuite {
     assert(minH >= 10, s"cross-scene hamming margin eroded: $minH")
   }
 
+  test("random-PCM roundtrip: arbitrary int16 signals survive exactly") {
+    // the analytic fixtures are smooth/structured; random PCM stresses
+    // the rice/escape split, large residuals, and every quotient size
+    for (seed <- 0 until 50) {
+      val rnd = new scala.util.Random(seed)
+      val n = rnd.nextInt(300) + 16
+      val pcm = Array.fill(n)(rnd.nextInt(65536) - 32768)
+      val dec = Flac.decodeFlacPcm(Flac.encodeFlacPcmMono(pcm))
+      assert(dec != null && dec.length == 1, s"seed=$seed")
+      assert(dec(0).toSeq == pcm.toSeq, s"seed=$seed n=$n")
+    }
+    // pathological shapes: constant, alternating extremes, impulse
+    for (pcm <- Seq(
+        Array.fill(64)(0),
+        Array.fill(64)(32767),
+        Array.fill(64)(-32768),
+        Array.tabulate(64)(i => if (i % 2 == 0) 32767 else -32768),
+        Array.tabulate(64)(i => if (i == 37) -32768 else 0))) {
+      val dec = Flac.decodeFlacPcm(Flac.encodeFlacPcmMono(pcm))
+      assert(dec != null && dec(0).toSeq == pcm.toSeq)
+    }
+  }
+
   test("VORBIS_COMMENT tags: roundtrip, PCM unaffected, fuzz-safe") {
     import graft.ops.Multimodal
     val pcm = Array.tabulate(40)(i => Multimodal.testSample(9L, i))

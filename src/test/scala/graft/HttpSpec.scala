@@ -38,6 +38,23 @@ class HttpSpec extends AnyFunSuite {
     assert(got._2 == 2)
   }
 
+  test("random-body roundtrip: arbitrary bytes (incl. CR/LF) survive") {
+    // bodies containing CR, LF, and CRLF sequences must pass through
+    // untouched — framing is length-driven, never delimiter-driven
+    for (seed <- 0 until 50) {
+      val rnd = new scala.util.Random(seed)
+      val body = Array.fill(rnd.nextInt(500))(rnd.nextInt(256).toByte)
+      val sz = rnd.nextInt(40) + 1
+      val got = Http.dechunkCounted(
+        Http.enchunk(body, sz, rnd.nextBoolean(),
+          if (rnd.nextBoolean()) Some("T: x") else None))
+      assert(got != null && got._1.toSeq == body.toSeq, s"seed=$seed")
+    }
+    val crlfBody = ascii("a\r\nb\r\n\r\n0\r\n\r\nc")
+    val got = Http.dechunkCounted(Http.enchunk(crlfBody, 3, withExt = false, None))
+    assert(got != null && got._1.toSeq == crlfBody.toSeq)
+  }
+
   test("malformation rejects: bad hex, CRLF drift, size lies, budget") {
     val good = Http.enchunk(ascii("hello world, twelve+"), 7, withExt = false,
       trailer = Some("T: 1"))

@@ -53,6 +53,23 @@ class PunycodeSpec extends AnyFunSuite {
     }
   }
 
+  test("random-codepoint roundtrip across the BMP") {
+    // arbitrary BMP codepoints (minus surrogates) through encode →
+    // decode — the delta/bias machinery on unstructured input
+    for (seed <- 0 until 100) {
+      val rnd = new scala.util.Random(seed)
+      val n = rnd.nextInt(12) + 1
+      val cps = Array.fill(n) {
+        var c = 0
+        do c = rnd.nextInt(0xFFFF) + 1 while (c >= 0xD800 && c <= 0xDFFF)
+        c
+      }
+      val enc = Punycode.encode(cps)
+      assert(enc != null, s"seed=$seed")
+      assert(Punycode.decode(enc).toSeq == cps.toSeq, s"seed=$seed")
+    }
+  }
+
   test("malformation rejects, never throws") {
     // bad digit, truncated integer, basic part with non-ASCII
     assert(Punycode.decode("abc-!") == null)
