@@ -38,17 +38,23 @@ object Http {
         var i = pos
         var any = false
         var inExt = false
+        var wsGap = false // RFC 9112 §7.1.1 allows BWS before the ';'
         while (i < le) {
           val c = b(i) & 0xff
           if (!inExt) {
-            val d =
-              if (c >= '0' && c <= '9') c - '0'
-              else if (c >= 'a' && c <= 'f') c - 'a' + 10
-              else if (c >= 'A' && c <= 'F') c - 'A' + 10
-              else if (c == ';') { inExt = true; -1 }
-              else return null
-            if (d >= 0) { size = size * 16 + d; any = true }
-            if (size > maxOut) return null
+            if (c == ';') inExt = true
+            else if ((c == ' ' || c == '\t') && any) wsGap = true
+            else if (wsGap) return null // hex after the gap: framing lie
+            else {
+              val d =
+                if (c >= '0' && c <= '9') c - '0'
+                else if (c >= 'a' && c <= 'f') c - 'a' + 10
+                else if (c >= 'A' && c <= 'F') c - 'A' + 10
+                else return null
+              size = size * 16 + d
+              any = true
+              if (size > maxOut) return null
+            }
           }
           i += 1
         }

@@ -143,6 +143,12 @@ object Punycode {
       n += idx / (out.length + 1)
       idx %= out.length + 1
       if (n < InitialN) return null // decoded a basic codepoint
+      // RFC 3492 bounds only against integer overflow; a well-formed
+      // bootstring can still name a codepoint outside Unicode (e.g.
+      // "99999b" → 0x5B54E9) or a surrogate, either of which would make
+      // String construction throw instead of honoring the null-on-
+      // malformation contract for untrusted xn-- labels.
+      if (n > 0x10FFFF || (n >= 0xD800 && n <= 0xDFFF)) return null
       out.insert(idx, n)
       idx += 1
     }

@@ -79,4 +79,20 @@ class HttpSpec extends AnyFunSuite {
       Http.dechunkCounted(c)
     }
   }
+
+  test("BWS around the chunk-ext delimiter (RFC 9112 §7.1.1)") {
+    // chunk-ext = *( BWS ";" BWS ext-name ... ): whitespace between the
+    // size and ';' is spec-legal framing, not a lie
+    for (gap <- Seq(" ", "\t", "  \t ")) {
+      val got = Http.dechunkCounted(ascii(s"3$gap;x=1\r\nabc\r\n0\r\n\r\n"))
+      assert(got != null && got._1.toSeq == "abc".getBytes("US-ASCII").toSeq,
+        s"gap=${gap.map(_.toInt)}")
+    }
+    // trailing BWS with no extension at all is also tolerated
+    assert(Http.dechunkCounted(ascii("3 \r\nabc\r\n0\r\n\r\n")) != null)
+    // but hex resuming after the gap IS a framing lie
+    assert(Http.dechunkCounted(ascii("3 3\r\nabcabc\r\n0\r\n\r\n")) == null)
+    // and whitespace before any digit stays malformed
+    assert(Http.dechunkCounted(ascii(" 3\r\nabc\r\n0\r\n\r\n")) == null)
+  }
 }

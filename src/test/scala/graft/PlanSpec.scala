@@ -982,10 +982,12 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
 
   test("g21 hyperball: packed-register readout, no cartesian/window") {
     val p = plan("g21_hyperball")
-    // the loop persists packed registers (one array per node, regMax
-    // ObjectHashAggregate merges inside the build); the served plan is
-    // a parquet read + per-row array folds + presentation sort — no
-    // grouping, no window, nothing all-pairs
+    // the loop persists registers packed as 16 fixed-width int columns
+    // (16 plain max aggregates in one codegen HashAggregate per round —
+    // the measured winner; the array+ObjectHashAggregate layout OOM'd,
+    // see SCALING.md); the served plan is a parquet read + per-row
+    // register folds + presentation sort — no grouping, no window,
+    // nothing all-pairs
     assert(!p.contains("CartesianProduct"), s"g21 degenerated:\n$p")
     assert(!p.contains("Window"), s"g21 fell back to a window:\n$p")
     assert(!p.contains("Join"), s"g21 readout grew a join:\n$p")

@@ -53,6 +53,32 @@ class PunycodeSpec extends AnyFunSuite {
     }
   }
 
+  test("well-formed bootstrings past Unicode return null, never throw") {
+    // RFC 3492 bounds deltas only against Int overflow — a syntactically
+    // valid label can still name a codepoint past U+10FFFF ("99999b" →
+    // 0x5B54E9) or inside the surrogate block; both must reject per the
+    // null-on-malformation contract, not throw from String construction
+    assert(Punycode.toUnicode("xn--99999b") == null)
+    assert(Punycode.decode("99999b") == null)
+    // a surrogate codepoint (U+D800 = delta from initial n=128)
+    val surr = Punycode.encode(Array(0xD7FF)) // last pre-surrogate cp: fine
+    assert(Punycode.decode(surr).toSeq == Seq(0xD7FF))
+    // hand-build a delta landing exactly on U+D800: encode accepts raw
+    // ints, so synthesize via encode of the neighboring plane instead —
+    // sweep a digit fuzz around valid labels and require null-or-valid
+    for (base <- Seq("99999b", "tdb0d", surr); i <- base.indices;
+         c <- Seq('a', 'z', '9')) {
+      val mut = base.updated(i, c)
+      val got = Punycode.decode(mut) // must never throw
+      if (got != null)
+        assert(got.forall(cp => cp >= 0 && cp <= 0x10FFFF &&
+          !(cp >= 0xD800 && cp <= 0xDFFF)), s"mut=$mut")
+    }
+    // toUnicode on every mutant must be null or a constructible string
+    for (i <- 0 until 6; c <- 'a' to 'z')
+      Punycode.toUnicode("xn--" + "99999b".updated(i, c))
+  }
+
   test("random-codepoint roundtrip across the BMP") {
     // arbitrary BMP codepoints (minus surrogates) through encode →
     // decode — the delta/bias machinery on unstructured input
