@@ -675,7 +675,7 @@ object Multimodal {
   /** Cap on inflated pixel bytes per image: IDAT is compressed, so the
     * declared dimensions — not the input length — size the allocation;
     * an adversarial 1-KB file can declare a 2^31-pixel image. */
-  private val MaxInflateBytes = 1L << 26
+  private[ops] val MaxInflateBytes = 1L << 26
 
   private def paeth(a: Int, b: Int, c: Int): Int = {
     val p = a + b - c
@@ -1710,15 +1710,15 @@ object Multimodal {
     784, -1892, 1892, -784, -784, 1892, -1892, 784,
     400, -1138, 1703, -2009, 2009, -1703, 1138, -400)
 
-  private val ZigZag: Array[Int] = Array(
+  private[ops] val ZigZag: Array[Int] = Array(
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
 
   // Annex K (T.81 Table K.3/K.4) DC Huffman specs: BITS[1..16] + values.
-  private val DcLumBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
-  private val DcLumVals = (0 to 11).toArray
+  private[ops] val DcLumBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private[ops] val DcLumVals = (0 to 11).toArray
   private val DcChrBits = Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
   private val DcChrVals = (0 to 11).toArray
   // minimal legal AC table for DC-only scans: "0" → EOB, "10" → ZRL
@@ -1726,7 +1726,7 @@ object Multimodal {
   private val AcMinVals = Array(0x00, 0xf0)
 
   /** Canonical Huffman codes for (BITS, values): value → (code, len). */
-  private def huffCodes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+  private[ops] def huffCodes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
     var code = 0
     var vi = 0
     val out = scala.collection.mutable.HashMap.empty[Int, (Int, Int)]

@@ -104,13 +104,13 @@ object Vp8 {
     "ZSY8ijdGKxqOkiQTHqv/YRsUii09PtsBUbxAICkUdZeOFBWjcBMMPcOAMAQY")
 
   /** dc_qlookup[128] (§14.1). */
-  private val DcQ: Array[Int] = b64(
+  private[graft] val DcQ: Array[Int] = b64(
     "BAUGBwgJCgoLDA0ODxARERITFBQVFRYWFxcYGRkaGxwdHh8gISIjJCUlJicoKSorLC0uLi8wMTIz" +
     "NDU2Nzg5Ojs8PT4/QEFCQ0RFRkdISUpLTExNTk9QUVJTVFVWV1hZW11fYGJkZWZoamxucHJ0dnp8" +
     "foCChIaIioyPkZSXmp0=")
 
   /** ac_qlookup[128] (§14.1), 16-bit entries (max 284). */
-  private val AcQ: Array[Int] = {
+  private[graft] val AcQ: Array[Int] = {
     val raw = Base64.getDecoder.decode(
       "AAQABQAGAAcACAAJAAoACwAMAA0ADgAPABAAEQASABMAFAAVABYAFwAYABkAGgAbABwAHQAeAB8A" +
       "IAAhACIAIwAkACUAJgAnACgAKQAqACsALAAtAC4ALwAwADEAMgAzADQANQA2ADcAOAA5ADoAPAA+" +

@@ -1349,6 +1349,49 @@ object GraphQueries {
         ORDER BY node
       """.trim),
     ),
+    // G24: CENTRALITY TOP-K READOUT — "who are the hubs": the top-50
+    // harmonic-centrality nodes, the question every crawl-prioritization
+    // loop asks of the centrality table (the reference feeds
+    // `PageRankUtils.java`'s rank into the same decision). Rides the
+    // SAME persisted HyperBall estimate artifact as g21/g22/g23 — zero
+    // additional loop cost — and the global top-k is
+    // TakeOrderedAndProject (plan-pinned): a 50-row bounded heap per
+    // partition merged on the driver, never a full sort — O(V) scan,
+    // O(k) state, no shuffle of the V-sized table at any scale. Ties at
+    // the boundary are broken by node id in both engines, so the
+    // selected SET is deterministic.
+    Q(
+      "g24_centrality_topk",
+      (s, dir) => {
+        hyperball(s, dir)._3
+          .select(col("node"),
+            col("est3").as("ball3_est"),
+            expr("1000000L * (est1 - est0) " +
+              "+ (1000000L * (est2 - est1)) div 2 " +
+              "+ (1000000L * (est3 - est2)) div 3").as("hc_ppm"))
+          .orderBy(col("hc_ppm").desc, col("node").asc)
+          .limit(50)
+      },
+      Some(s"""
+        WITH $EdgesCte,
+        ed AS MATERIALIZED (
+          SELECT src_domain AS src, dst_domain + 1000000 AS dst FROM edges
+          UNION
+          SELECT dst_domain + 1000000 AS src, src_domain AS dst FROM edges),
+        nodes AS (SELECT DISTINCT src AS node FROM ed
+                  UNION SELECT DISTINCT dst FROM ed),
+        b0 AS MATERIALIZED (SELECT node AS v, node AS u FROM nodes),
+        ${ballRoundCtes(3)},
+        ${(0 to 3).map(hyperballNodeEstCte).mkString(",\n")}
+        SELECT e0.v AS node, e3.est AS ball3_est,
+               1000000 * (e1.est - e0.est)
+               + (1000000 * (e2.est - e1.est)) // 2
+               + (1000000 * (e3.est - e2.est)) // 3 AS hc_ppm
+        FROM e0 JOIN e1 USING (v) JOIN e2 USING (v) JOIN e3 USING (v)
+        ORDER BY hc_ppm DESC, node ASC
+        LIMIT 50
+      """.trim),
+    ),
   )
 
   private val hbStage = new Staging.Memo("g-hyperball")

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.{Flac, Multimodal, Vp8l}
+import graft.ops.{Flac, JpegProgressive, Mp3, Multimodal, Vp8, Vp8l}
 
 /** Multimodal column queries: binary media containers synthesized from
   * document text (this container has no media codecs — see
@@ -1330,6 +1330,327 @@ object MultimodalQueries {
                lang AS language,
                CAST(n_chars AS BIGINT) AS nchars_tag
         FROM documents
+        ORDER BY doc_id
+      """.trim),
+    ),
+
+    // m28: LOSSY WebP (VP8 intra, RFC 6386) — the dominant modern web
+    // re-encode format (`ParserMapper.java:941-1101` records image/webp
+    // mime but treats it as opaque). Unlike JPEG, VP8 decode IS bit-exact
+    // by spec (integer bool coder, integer 4x4 iDCT/iWHT with pinned
+    // rounding, integer predictors), so full-pixel channel sums are
+    // hash-oracle-able. The seed cycles four regimes that together cover
+    // every key-frame decode path: (0) Y2/WHT DC propagation + per-block
+    // AC residuals + chroma residuals, with non-16-multiple crops; (1)
+    // all four 16x16 intra predictors × all four chroma predictors; (2)
+    // B_PRED with all ten 4x4 sub-modes + residual on the visible block;
+    // (3) a 2×2 macroblock grid with zero residual, pinning cross-MB
+    // boundary propagation (above/left reconstruction feeding the next
+    // MB's prediction). The oracle recomputes the per-regime analytic
+    // pixel formulas — derived independently in tools/vp8_m28_sim.py,
+    // refereed against system libwebp for all 251 seeds (the sim decodes
+    // every fixture through libwebp and asserts the analytic stats;
+    // Vp8Spec pins encoder byte-parity + decode goldens in-suite) — so a
+    // decoder that mis-reads any stage (bool coder, token tree, dequant,
+    // WHT, iDCT, predictor, clamp) sums wrong.
+    Q(
+      "m28_webp_lossy",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val packed = docs.select(col("doc_id"),
+          Vp8.packWebpVp8(col("doc_id")).as("media"))
+        Vp8.decodeWebpVp8Stats(packed, "doc_id", "media")
+          .select(
+            col("id").as("doc_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("sum_y"), col("sum_u"), col("sum_v"), col("even_sum"))
+          .orderBy("doc_id")
+      },
+      Some {
+        // RFC 6386 §14.1 quantizer lookups (first 48 entries suffice:
+        // regime 0 uses qi=k%48, regime 2 qi=k%32, regimes 1/3 are
+        // residual-free).
+        val dcq = Vp8.DcQ.take(48).mkString("[", ",", "]")
+        val acq = Vp8.AcQ.take(48).mkString("[", ",", "]")
+        def clampE(e: String) = s"least(255, greatest(0, $e))"
+        // (idct of {raster0: dc, raster1: a, raster4: c})[yy*4+xx], +128,
+        // clamped — the exact §14.3 two-pass integer transform reduced to
+        // closed form for coefficients confined to rasters {0,1,4}.
+        def idctTerm(dc: String, a: String, c: String, xx: String, yy: String) = {
+          val t0 = s"($dc) + (CASE $yy WHEN 0 THEN ($c) + ((($c)*20091)>>16) " +
+            s"WHEN 1 THEN (($c)*35468)>>16 " +
+            s"WHEN 2 THEN -((($c)*35468)>>16) " +
+            s"ELSE -(($c) + ((($c)*20091)>>16)) END)"
+          val ax = s"(CASE $xx WHEN 0 THEN ($a) + ((($a)*20091)>>16) " +
+            s"WHEN 1 THEN (($a)*35468)>>16 " +
+            s"WHEN 2 THEN -((($a)*35468)>>16) " +
+            s"ELSE -(($a) + ((($a)*20091)>>16)) END)"
+          clampE(s"128 + ((($t0) + ($ax) + 4) >> 3)")
+        }
+        // regime 0 luma: WHT-propagated DC (block cols 0-1 get d0q+w1q,
+        // 2-3 get d0q-w1q, both (·+3)>>3 per §14.3's inverse WHT of a
+        // {raster0, raster1} Y2 block) + per-block (zz1→raster1,
+        // zz2→raster4) AC residual; crop to (w,h).
+        def v0Y(evensOnly: Boolean) = {
+          val b = "(((p//16)//4)*4 + ((p%16)//4))"
+          val dc = "(CASE WHEN (p%16)//4 < 2 THEN (d0q + w1q + 3)>>3 " +
+            "ELSE (d0q - w1q + 3)>>3 END)"
+          val px = idctTerm(dc, s"(((k + $b) % 7) - 3) * yac",
+            s"(((2*k + $b) % 5) - 2) * yac", "((p%16)%4)", "((p//16)%4)")
+          val vis = "(p%16) < w AND (p//16) < h" +
+            (if (evensOnly) " AND (p%16)%2 = 0 AND (p//16)%2 = 0" else "")
+          s"list_sum(list_transform(list_filter(range(0,256), p -> $vis), p -> $px))"
+        }
+        // regime 0 chroma: no WHT — DC at raster0 directly, zz1→raster1.
+        def v0Uv(plane: String) = {
+          val b = "(((p//8)//4)*2 + ((p%8)//4))"
+          val (d, a) =
+            if (plane == "u")
+              (s"(((k + $b) % 5) - 2) * uvdc", s"(((k + 2*$b) % 3) - 1) * uvac")
+            else
+              (s"(((2*k + $b) % 5) - 2) * uvdc", s"(((k + $b) % 3) - 1) * uvac")
+          val px = idctTerm(d, a, "0", "((p%8)%4)", "((p//8)%4)")
+          s"list_sum(list_transform(list_filter(range(0,64), " +
+            s"p -> (p%8) < (w+1)//2 AND (p//8) < (h+1)//2), p -> $px))"
+        }
+        // regime 2: the ten 4x4 B_PRED sub-mode predictions over the
+        // fixture's constant boundary (127 above / 129 left / 127
+        // corner) collapse to ten constant grids — derived from §12.3 in
+        // tools/vp8_m28_oracle_sql.py and libwebp-refereed per seed.
+        val bpred = "[[128,128,128,128,128,128,128,128,128,128,128,128,128,128,128,128]," +
+          "[129,129,129,129,129,129,129,129,129,129,129,129,129,129,129,129]," +
+          "[127,127,127,127,127,127,127,127,127,127,127,127,127,127,127,127]," +
+          "[129,129,129,129,129,129,129,129,129,129,129,129,129,129,129,129]," +
+          "[128,127,127,127,129,128,127,127,129,129,128,127,129,129,129,128]," +
+          "[127,127,127,127,128,127,127,127,129,127,127,127,129,128,127,127]," +
+          "[127,127,127,127,127,127,127,127,127,127,127,127,127,127,127,127]," +
+          "[127,127,127,127,127,127,127,127,127,127,127,127,127,127,127,127]," +
+          "[128,128,127,127,129,129,128,128,129,129,129,129,129,129,129,129]," +
+          "[129,129,129,129,129,129,129,129,129,129,129,129,129,129,129,129]]"
+        def v2Y(evensOnly: Boolean) = {
+          val pred = s"($bpred)[((k//4)%10)+1][p+1]"
+          val res = "((dc2 + (CASE p%4 WHEN 0 THEN a2 + ((a2*20091)>>16) " +
+            "WHEN 1 THEN (a2*35468)>>16 WHEN 2 THEN -((a2*35468)>>16) " +
+            "ELSE -(a2 + ((a2*20091)>>16)) END) + 4) >> 3)"
+          val px = clampE(s"$pred + $res")
+          val src =
+            if (evensOnly) "list_filter(range(0,16), p -> p%4%2 = 0 AND (p//4)%2 = 0)"
+            else "range(0,16)"
+          s"list_sum(list_transform($src, p -> $px))"
+        }
+        // regime 3: constant planes make each MB's reconstruction one
+        // value; DC/V/H/TM chain across the 2×2 grid (mode 0 with both
+        // neighbors reduces to the rounded average; with one neighbor to
+        // that neighbor exactly, since (16c+8)>>4 = c).
+        def v3Chain(nm: String) = {
+          def m(r: Int, c: Int) =
+            if (nm == "y") s"(k + ${2 * r + c}) % 4" else s"(k + ${r + 2 * c}) % 4"
+          val c00 = s"([128,127,129,129])[(${m(0, 0)})+1]"
+          val c01 = s"(CASE ${m(0, 1)} WHEN 1 THEN 127 ELSE ${nm}00 END)"
+          val c10 = s"(CASE ${m(1, 0)} WHEN 2 THEN 129 ELSE ${nm}00 END)"
+          val c11 = s"(CASE ${m(1, 1)} WHEN 0 THEN (${nm}01 + ${nm}10 + 1)>>1 " +
+            s"WHEN 1 THEN ${nm}01 WHEN 2 THEN ${nm}10 " +
+            s"ELSE least(255, greatest(0, ${nm}10 + ${nm}01 - ${nm}00)) END)"
+          (c00, c01, c10, c11)
+        }
+        val (y00, y01, y10, y11) = v3Chain("y")
+        val (u00, u01, u10, u11) = v3Chain("u")
+        s"""
+        WITH base AS (
+          SELECT doc_id, doc_id % 251 AS k, (doc_id % 251) % 4 AS v
+          FROM documents),
+        r0 AS (
+          SELECT doc_id, k, 16 - k%5 AS w, 16 - k%7 AS h,
+                 ($acq)[(k%48)+1] AS yac,
+                 ((k%5) - 2) * (($dcq)[(k%48)+1] * 2) AS d0q,
+                 ((k%3) - 1) * greatest(8, ($acq)[(k%48)+1] * 155 // 100) AS w1q,
+                 least(($dcq)[(k%48)+1], 132) AS uvdc,
+                 ($acq)[(k%48)+1] AS uvac
+          FROM base WHERE v = 0),
+        s0 AS (
+          SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height,
+                 CAST(${v0Y(evensOnly = false)} AS BIGINT) AS sum_y,
+                 CAST(${v0Uv("u")} AS BIGINT) AS sum_u,
+                 CAST(${v0Uv("v")} AS BIGINT) AS sum_v,
+                 CAST(${v0Y(evensOnly = true)} AS BIGINT) AS even_sum
+          FROM r0),
+        s1 AS (
+          SELECT doc_id,
+                 16::BIGINT AS width, 16::BIGINT AS height,
+                 CAST(256 * ([128,127,129,129])[((k//4)%4)+1] AS BIGINT) AS sum_y,
+                 CAST(64 * ([128,127,129,129])[((k//16)%4)+1] AS BIGINT) AS sum_u,
+                 CAST(64 * ([128,127,129,129])[((k//16)%4)+1] AS BIGINT) AS sum_v,
+                 CAST(64 * ([128,127,129,129])[((k//4)%4)+1] AS BIGINT) AS even_sum
+          FROM base WHERE v = 1),
+        r2 AS (
+          SELECT doc_id, k,
+                 ((k%5) - 2) * ($dcq)[(k%32)+1] AS dc2,
+                 ((k%3) - 1) * ($acq)[(k%32)+1] AS a2
+          FROM base WHERE v = 2),
+        s2 AS (
+          SELECT doc_id, 4::BIGINT AS width, 4::BIGINT AS height,
+                 CAST(${v2Y(evensOnly = false)} AS BIGINT) AS sum_y,
+                 512::BIGINT AS sum_u, 512::BIGINT AS sum_v,
+                 CAST(${v2Y(evensOnly = true)} AS BIGINT) AS even_sum
+          FROM r2),
+        r3a AS (
+          SELECT doc_id, k, $y00 AS y00, $u00 AS u00
+          FROM base WHERE v = 3),
+        r3b AS (
+          SELECT doc_id, k, y00, u00, $y01 AS y01, $y10 AS y10,
+                 $u01 AS u01, $u10 AS u10
+          FROM r3a),
+        r3c AS (
+          SELECT doc_id, y00 + y01 + y10 + ($y11) AS ysum,
+                 u00 + u01 + u10 + ($u11) AS usum
+          FROM r3b),
+        s3 AS (
+          SELECT doc_id, 32::BIGINT AS width, 32::BIGINT AS height,
+                 CAST(256 * ysum AS BIGINT) AS sum_y,
+                 CAST(64 * usum AS BIGINT) AS sum_u,
+                 CAST(64 * usum AS BIGINT) AS sum_v,
+                 CAST(64 * ysum AS BIGINT) AS even_sum
+          FROM r3c)
+        SELECT * FROM s0 UNION ALL SELECT * FROM s1
+        UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+        ORDER BY doc_id
+        """.trim
+      },
+    ),
+
+    // m29: PROGRESSIVE JPEG (SOF2) — roughly half of real-crawl JPEGs;
+    // m11/m22 decode baseline (SOF0) only. The fixture encoder writes
+    // five scans (DC first at Al=1, AC first over two spectral bands at
+    // Al=1, DC refine, AC refine) so every Annex G mechanism — spectral
+    // selection, successive approximation, EOB runs carrying correction
+    // bits, ZRL over zero-history positions, newly-significant ±1
+    // insertions — must execute before pixels come out. Coefficients are
+    // the m22 layout plus a refinement-only ±1 at zigzag 40, and the
+    // decoder renders through the SAME pinned integer IDCT, so this
+    // oracle replays m22's arithmetic term-for-term with one extra basis
+    // product. Spec-side, the JDK ImageIO writer authors an INDEPENDENT
+    // progressive scan script whose decode must equal its baseline
+    // encode bit-for-bit (JpegProgressiveSpec).
+    Q(
+      "m29_jpeg_progressive",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val nbx = (col("doc_id") % 5 + 1).cast("int")
+        val nby = (col("doc_id") % 3 + 1).cast("int")
+        val packed = docs.select(col("doc_id"),
+          JpegProgressive.packJpegProg(col("doc_id"), nbx, nby).as("media"))
+        JpegProgressive.decodeJpegProgPixelStats(packed, "doc_id", "media")
+          .select(
+            col("id").as("doc_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("sum_r"), col("sum_g"), col("sum_b"), col("even_sum"))
+          .orderBy("doc_id")
+      },
+      Some {
+        // pinned-IDCT basis rows touched by the four coefficient
+        // positions: zigzag 0→(0,0), 1→(1,0), 8→(1,2), 40→(5,3)
+        val k1 = "[2009, 1703, 1138, 400, -400, -1138, -1703, -2009]"
+        val k2 = "[1892, 784, -784, -1892, -1892, -784, 784, 1892]"
+        val k3 = "[1703, -400, -2009, -1138, 1138, 2009, 400, -1703]"
+        val k5 = "[1138, -2009, 400, 1703, -1703, -400, 2009, -1138]"
+        val sExpr = s"""(
+          (8*((3*((i // 64) % nbx) + 5*((i // 64) // nbx) + k) % 120 - 60))
+            * 1448 * 1448
+          + (16*((((i // 64) % nbx) + 2*((i // 64) // nbx) + k) % 15 - 7))
+            * 1448 * ($k1)[(i % 8) + 1]
+          + (16*((2*((i // 64) % nbx) + ((i // 64) // nbx) + 3*k) % 15 - 7))
+            * ($k1)[(i % 8) + 1] * ($k2)[((i % 64) // 8) + 1]
+          + (16*((((i // 64) % nbx) + ((i // 64) // nbx) + k) % 3 - 1))
+            * ($k5)[(i % 8) + 1] * ($k3)[((i % 64) // 8) + 1])"""
+        // truncation-to-floor bias, sized past the 4-term |s| bound
+        val pxExpr =
+          s"LEAST(255, GREATEST(0, ($sExpr + 8388608 + 4294967296) // 16777216 - 128))"
+        s"""
+        WITH g AS (
+          SELECT doc_id, doc_id % 5 + 1 AS nbx, doc_id % 3 + 1 AS nby,
+                 doc_id % 251 AS k
+          FROM documents),
+        p AS (
+          SELECT doc_id, nbx, nby, k,
+            CAST(list_sum(list_transform(range(0, nbx*nby*64), i ->
+              $pxExpr)) AS BIGINT) AS s_all,
+            CAST(list_sum(list_transform(
+              list_filter(range(0, nbx*nby*64),
+                i -> (i % 8) % 2 = 0 AND ((i % 64) // 8) % 2 = 0),
+              i -> $pxExpr)) AS BIGINT) AS s_even
+          FROM g)
+        SELECT doc_id,
+               (nbx*8)::BIGINT AS width, (nby*8)::BIGINT AS height,
+               s_all AS sum_r, s_all AS sum_g, s_all AS sum_b,
+               3*s_even AS even_sum
+        FROM p
+        ORDER BY doc_id
+        """.trim
+      },
+    ),
+
+    // m30: MP3 (`audio/mpeg`) metadata census — ID3v2.3/2.4 text frames
+    // (incl. TXXX), MPEG1 Layer III frame-header walk with per-frame VBR
+    // bitrates, Xing/Info VBR header, ID3v1 trailer. PCM decode stays
+    // descoped (float MDCT, not bit-exact by spec — the Vorbis
+    // adjudication), but every field a corpus pipeline filters on is
+    // header material and fully deterministic; this is the m27/m12
+    // metadata-only shape (sub-linear in the payload: the walk hops
+    // frame lengths, never reads bodies). Oracle recomputes the census
+    // from the seed formulas, so a mis-read of any layer — syncsafe
+    // sizes, v2.3 vs v2.4 frame-size encoding, bitrate/sample-rate
+    // tables, padding bits, Xing offsets (mono vs stereo side-info),
+    // the integer duration/bitrate formulas — breaks the hash.
+    Q(
+      "m30_mp3_meta",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val packed = docs.select(col("doc_id"),
+          Mp3.packMp3(col("doc_id"), col("lang"),
+            col("n_chars").cast("long")).as("media"))
+        Mp3.decodeMp3Meta(packed, "doc_id", "media")
+          .select(
+            col("id").as("doc_id"),
+            col("sample_rate"), col("mode"), col("n_frames"),
+            col("duration_ms"), col("audio_bytes"), col("avg_kbps"),
+            col("vbr_header"), col("vbr_frames"),
+            col("title"), col("artist"), col("track"), col("nchars_tag"),
+            col("has_id3v1").cast("long").as("has_id3v1"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, lang, n_chars, doc_id % 251 AS k FROM documents),
+        p AS (
+          SELECT doc_id, lang, n_chars, k,
+                 ([44100, 48000, 32000])[(k % 3) + 1] AS sr,
+                 k % 40 + 10 AS nf
+          FROM base),
+        b AS (
+          SELECT doc_id, lang, n_chars, k, sr, nf,
+                 CAST(list_sum(list_transform(range(0, nf), i ->
+                   144000 * ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])
+                     [((k + 3*i) % 14) + 1] // sr + (k + i) % 2))
+                   AS BIGINT) AS audio_bytes
+          FROM p)
+        SELECT doc_id,
+               sr::BIGINT AS sample_rate,
+               (['stereo', 'joint', 'dual', 'mono'])[(k % 4) + 1] AS mode,
+               nf::BIGINT AS n_frames,
+               (nf * 1152 * 1000 // sr)::BIGINT AS duration_ms,
+               audio_bytes,
+               (audio_bytes * 8 * sr // (nf * 1152 * 1000))::BIGINT AS avg_kbps,
+               CASE WHEN k % 3 = 2 THEN NULL
+                    WHEN k % 2 = 0 THEN 'Xing' ELSE 'Info' END AS vbr_header,
+               (CASE WHEN k % 3 = 2 THEN -1 ELSE nf END)::BIGINT AS vbr_frames,
+               'doc ' || CAST(doc_id AS VARCHAR) AS title,
+               lang AS artist,
+               (doc_id % 99 + 1)::BIGINT AS track,
+               CAST(n_chars AS BIGINT) AS nchars_tag,
+               (CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END)::BIGINT AS has_id3v1
+        FROM b
         ORDER BY doc_id
       """.trim),
     ),

@@ -1266,6 +1266,50 @@ object SourceQueries {
         ORDER BY doc_id
       """.stripMargin.trim),
     ),
+
+    // s29: ZSTD WARC MEMBERS (`.warc.zst`) — the archive ecosystem's
+    // next member codec after gzip (IIPC warc-zstd: one self-contained
+    // zstd frame per record, member-seekable, optional skippable
+    // dictionary frame). Same graft-warc DSv2 path, same committer
+    // discipline, same seekable-`offset` contract — the reader finds
+    // frame boundaries by walking RFC 8878 block headers WITHOUT
+    // decompressing (sources/ZstdMembers.scala), so pushed-down
+    // predicates still skip rejected records' blocks. The round trip
+    // writes response records as zstd members, reads them back through
+    // the default (dual-codec) glob, and re-splits the HTTP envelope;
+    // the oracle never sees WARC or zstd bytes.
+    Q(
+      "s29_warc_zstd_roundtrip",
+      (s, dir) => {
+        val out = stage("s29")
+        val httpHead = "HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=UTF-8\r\n\r\n"
+        Registry.table(s, dir, "documents")
+          .filter(col("doc_id") % 9 === 0)
+          .select(
+            concat(lit("http://"), col("source"), lit("/doc/"),
+              col("doc_id").cast("string")).as("url"),
+            lit("response").as("warc_type"),
+            lit("2026-01-02T03:04:05Z").as("warc_date"),
+            lit("application/http; msgtype=response").as("content_type"),
+            lit("10.0.0.2").as("ip"),
+            concat(lit(httpHead).cast("binary"),
+              col("text").cast("binary")).as("content"))
+          .write.format("graft-warc").option("codec", "zstd")
+          .mode("append").save(out)
+        s.read.format("graft-warc").load(out)
+          .filter(col("warc_type") === "response")
+          .select(col("url"), col("length"), col("http_status"),
+            col("mime_type"), md5(col("payload")).as("payload_md5"))
+      },
+      Some(s"""
+        SELECT 'http://' || source || '/doc/' || CAST(doc_id AS VARCHAR) AS url,
+               CAST(strlen(text) + ${"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=UTF-8\r\n\r\n".length} AS BIGINT) AS length,
+               200 AS http_status,
+               'text/plain' AS mime_type,
+               md5(text) AS payload_md5
+        FROM documents WHERE doc_id % 9 = 0
+      """.stripMargin.trim),
+    ),
   )
 
   /** The s28 read path: select files whose [min_id, max_id] span

@@ -14,7 +14,8 @@ import java.util.zip.Inflater
   * it never buffers the file: compressed bytes flow through a fixed 64 KiB
   * window, so a multi-GiB archive reads in constant memory.
   */
-final class GzipMembers(in: InputStream, bufSize: Int = 1 << 16) {
+final class GzipMembers(in: InputStream, bufSize: Int = 1 << 16)
+    extends MemberStream {
   private val buf = new Array[Byte](bufSize)
   private var bufLen = 0 // valid bytes in buf
   private var bufPos = 0 // next unconsumed byte

@@ -18,7 +18,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
 
-import graft.sources.GzipMembers
+import graft.sources.{GzipMembers, MemberStream, ZstdMembers}
 
 /** WARC/1.x as a Spark DataSource V2: `spark.read.format("graft-warc")`.
   *
@@ -159,7 +159,11 @@ final case class WarcScan(
   private def listFiles(): Seq[FileStatus] = {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-warc: 'path' option is required"))
-    val nameRe = globRegex(options.getOrDefault("pathGlobFilter", "*.warc.gz")).r
+    // default accepts both member codecs; an explicit pathGlobFilter
+    // narrows to one
+    val nameRe = Option(options.get("pathGlobFilter"))
+      .map(g => globRegex(g).r)
+      .getOrElse(""".*\.warc\.(gz|zst)""".r)
     val conf = hadoopConf
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
@@ -235,7 +239,11 @@ final class WarcPartitionReader(
   private val path = new Path(partition.path)
   private val raw: InputStream =
     new BufferedInputStream(path.getFileSystem(conf).open(path), 1 << 16)
-  private val members = new GzipMembers(raw)
+  // member codec by extension: `.warc.zst` = one zstd frame per record
+  // (same seekable-offset contract), anything else the gzip layout
+  private val members: MemberStream =
+    if (partition.path.endsWith(".zst")) new ZstdMembers(raw)
+    else new GzipMembers(raw)
   private val needBlock = fieldNames.exists(WarcTable.blockCols)
   private val needSplit = fieldNames.exists(f =>
     f == "payload" || f == "http_status" || f == "mime_type" || f == "http_headers")
@@ -421,10 +429,22 @@ object WarcRecords {
       bytes, offset.toInt, bytes.length - offset.toInt))
 
   /** Stream form of [[fetchRecordAt]]: `raw` must be positioned at a
-    * gzip member start (e.g. an FSDataInputStream after seek(offset) —
-    * the server-side point fetch never reads the whole archive). */
+    * member start (e.g. an FSDataInputStream after seek(offset) — the
+    * server-side point fetch never reads the whole archive). The member
+    * codec is sniffed from the magic bytes (gzip 1f8b / zstd 28b52ffd),
+    * so one fetch path serves `.warc.gz` and `.warc.zst` archives. */
   def fetchRecord(raw: InputStream): (Map[String, String], Array[Byte]) = {
-    val in = new BufferedInputStream(new java.util.zip.GZIPInputStream(raw))
+    val pb = new java.io.PushbackInputStream(raw, 4)
+    val mg = new Array[Byte](4)
+    val got = pb.read(mg)
+    require(got > 0, "empty stream at member offset")
+    pb.unread(mg, 0, got)
+    val codec: InputStream =
+      if (got >= 4 && (mg(0) & 0xff) == 0x28 && (mg(1) & 0xff) == 0xb5 &&
+          (mg(2) & 0xff) == 0x2f && (mg(3) & 0xff) == 0xfd)
+        new com.github.luben.zstd.ZstdInputStream(pb)
+      else new java.util.zip.GZIPInputStream(pb)
+    val in = new BufferedInputStream(codec)
     def readLine(): String = {
       val buf = new ByteArrayOutputStream(128)
       var b = in.read()

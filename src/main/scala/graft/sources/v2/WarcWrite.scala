@@ -35,7 +35,8 @@ final case class WarcWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder {
       info.schema(),
       new SerializableConfiguration(
         SparkSession.active.sparkContext.hadoopConfiguration),
-      info.options.getLong("rollSize", 1000000000L))
+      info.options.getLong("rollSize", 1000000000L),
+      info.options.getOrDefault("codec", "gzip"))
   }
 }
 
@@ -44,15 +45,18 @@ final case class WarcBatchWrite(
     schema: StructType,
     conf: SerializableConfiguration,
     rollSize: Long,
+    codec: String = "gzip",
 ) extends BatchWrite {
   require(path != null, "graft-warc: 'path' option is required to write")
+  require(codec == "gzip" || codec == "zstd",
+    s"graft-warc: codec must be gzip or zstd, got $codec")
 
   private val required = Seq("url", "warc_type", "warc_date", "content_type", "content")
   require(required.forall(schema.fieldNames.contains),
     s"graft-warc write needs columns $required, got ${schema.fieldNames.toSeq}")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    WarcWriterFactory(path, schema.fieldNames, conf, rollSize)
+    WarcWriterFactory(path, schema.fieldNames, conf, rollSize, codec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
@@ -83,9 +87,10 @@ final case class WarcWriterFactory(
     fieldNames: Array[String],
     conf: SerializableConfiguration,
     rollSize: Long,
+    codec: String = "gzip",
 ) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new WarcDataWriter(path, fieldNames, conf, partitionId, taskId, rollSize)
+    new WarcDataWriter(path, fieldNames, conf, partitionId, taskId, rollSize, codec)
 }
 
 final class WarcDataWriter(
@@ -95,6 +100,7 @@ final class WarcDataWriter(
     partitionId: Int,
     taskId: Long,
     rollSize: Long,
+    codec: String = "gzip",
 ) extends DataWriter[InternalRow] {
 
   private val idx = fieldNames.zipWithIndex.toMap
@@ -109,12 +115,13 @@ final class WarcDataWriter(
   private var tmp: Path = null
   private var out: org.apache.hadoop.fs.FSDataOutputStream = null
   private var currentName: String = null
+  private val ext = if (codec == "zstd") "warc.zst" else "warc.gz"
   openNext()
 
   private def openNext(): Unit = {
     currentName =
-      if (seq == 0) f"part-$partitionId%05d-$taskId.warc.gz"
-      else f"part-$partitionId%05d-$taskId-$seq%04d.warc.gz"
+      if (seq == 0) f"part-$partitionId%05d-$taskId.$ext"
+      else f"part-$partitionId%05d-$taskId-$seq%04d.$ext"
     tmp = new Path(new Path(dir, "_temporary"), currentName)
     out = fs.create(tmp, true)
     seq += 1
@@ -153,14 +160,20 @@ final class WarcDataWriter(
   }
 
   private def writeMember(headers: Seq[(String, String)], block: Array[Byte]): Unit = {
-    val gz = new GZIPOutputStream(new NonClosing(out))
+    // one member (gzip) / one self-contained frame (zstd) per record —
+    // the seekable layout; close() ends the member, NonClosing shields
+    // the shared file stream in both codecs
+    val z: java.io.OutputStream =
+      if (codec == "zstd")
+        new com.github.luben.zstd.ZstdOutputStream(new NonClosing(out), 3)
+      else new GZIPOutputStream(new NonClosing(out))
     val head = new StringBuilder("WARC/1.0\r\n")
     headers.foreach { case (k, v) => head.append(k).append(": ").append(v).append("\r\n") }
     head.append("Content-Length: ").append(block.length).append("\r\n\r\n")
-    gz.write(head.toString.getBytes(UTF_8))
-    gz.write(block)
-    gz.write("\r\n\r\n".getBytes(UTF_8))
-    gz.close()
+    z.write(head.toString.getBytes(UTF_8))
+    z.write(block)
+    z.write("\r\n\r\n".getBytes(UTF_8))
+    z.close()
   }
 
   override def write(row: InternalRow): Unit = {

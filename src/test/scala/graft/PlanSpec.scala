@@ -1012,6 +1012,18 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"g23 readout picked up a shuffle beyond the sort:\n$p")
   }
 
+  test("g24 centrality top-k: bounded-heap TakeOrdered, no sort/join/window") {
+    val p = plan("g24_centrality_topk")
+    // global top-50 over the persisted estimate table must be a per-
+    // partition 50-row heap merged on the driver — never a full sort of
+    // the V-sized table, never a window rank
+    assert(p.contains("TakeOrderedAndProject"), s"g24 lost the heap plan:\n$p")
+    assert(!p.contains("Window"), s"g24 fell back to a window:\n$p")
+    assert(!p.contains("Join"), s"g24 readout grew a join:\n$p")
+    assert(!"Exchange".r.findFirstIn(p).isDefined,
+      s"g24 heap readout should be shuffle-free:\n$p")
+  }
+
   test("st13 stickiness: expansion + distinct folds, no window over users") {
     val p = plan("st13_stickiness")
     // rolling distinct must come from the bounded day expansion +

@@ -1,0 +1,200 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import com.github.luben.zstd.Zstd
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.ZstdMembers
+import graft.sources.v2.WarcRecords
+
+/** `.warc.zst` member layer: golden fixtures are built with zstd-jni's
+  * one-shot compressor (spec-independent of our writer), so the reader's
+  * frame-boundary walk (RFC 8878 block headers, no decompression) and
+  * the writer are each tested against the format, not against each
+  * other. Covers skippable frames, mixed-codec directories, the seekable
+  * point fetch, write→read round trip, streaming, and corruption. */
+class ZstdWarcSpec extends AnyFunSuite with SparkSuite {
+
+  private def record(wtype: String, url: String, block: Array[Byte],
+      ctype: String = "application/http; msgtype=response"): Array[Byte] = {
+    val head = new StringBuilder("WARC/1.0\r\n")
+    head.append("WARC-Type: ").append(wtype).append("\r\n")
+    if (url != null) head.append("WARC-Target-URI: ").append(url).append("\r\n")
+    head.append("WARC-Date: 2026-01-02T03:04:05Z\r\n")
+    head.append("WARC-Record-ID: <urn:uuid:0000-").append(url).append(">\r\n")
+    if (ctype != null) head.append("Content-Type: ").append(ctype).append("\r\n")
+    head.append("Content-Length: ").append(block.length).append("\r\n\r\n")
+    head.toString.getBytes("UTF-8") ++ block ++ "\r\n\r\n".getBytes("UTF-8")
+  }
+
+  private def httpBlock(status: Int, mime: String, body: String): Array[Byte] =
+    (s"HTTP/1.1 $status OK\r\nContent-Type: $mime; charset=UTF-8\r\n\r\n$body")
+      .getBytes("UTF-8")
+
+  /** One self-contained zstd frame (level 3, no dictionary). */
+  private def frame(payload: Array[Byte]): Array[Byte] =
+    Zstd.compress(payload, 3)
+
+  /** RFC 8878 §9.2 skippable frame — the warc-zstd dictionary slot. */
+  private def skippable(content: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0x5e); out.write(0x2a); out.write(0x4d); out.write(0x18)
+    val n = content.length
+    out.write(n & 0xff); out.write((n >> 8) & 0xff)
+    out.write((n >> 16) & 0xff); out.write((n >> 24) & 0xff)
+    out.write(content)
+    out.toByteArray
+  }
+
+  test("ZstdMembers walks frame boundaries without decompressing") {
+    val recs = Seq("alpha", "beta", "a much longer third record " * 50)
+      .map(_.getBytes("UTF-8"))
+    val bytes = skippable("dict-slot".getBytes("UTF-8")) ++
+      recs.map(frame).reduce(_ ++ _)
+    val ms = new ZstdMembers(new java.io.ByteArrayInputStream(bytes))
+    val offsets = scala.collection.mutable.ArrayBuffer[Long]()
+    val got = Iterator.continually(ms.nextMember()).takeWhile(_ != null)
+      .map { in =>
+        offsets += ms.memberOffset
+        val all = in.readAllBytes(); in.close(); new String(all, "UTF-8")
+      }.toSeq
+    assert(got == recs.map(new String(_, "UTF-8")))
+    // offsets are the compressed-stream frame starts: first record frame
+    // sits right after the skippable frame, and each offset re-seeks
+    assert(offsets.head == 8 + "dict-slot".length)
+    offsets.zip(recs).foreach { case (off, want) =>
+      val seek = new ZstdMembers(new java.io.ByteArrayInputStream(
+        bytes.drop(off.toInt)))
+      val in = seek.nextMember()
+      assert(java.util.Arrays.equals(in.readAllBytes(), want))
+    }
+  }
+
+  private lazy val fixtureDir: String = {
+    val dir = Files.createTempDirectory("warczst").toString
+    val zst =
+      skippable(Array.fill(16)(0.toByte)) ++
+      frame(record("warcinfo", null, "software: fixture\r\n".getBytes("UTF-8"),
+        ctype = "application/warc-fields")) ++
+      frame(record("response", "http://z.example/a",
+        httpBlock(200, "text/html", "<html>zeta</html>"))) ++
+      frame(record("response", "http://z.example/b",
+        httpBlock(404, "text/plain", "gone")))
+    Files.write(Paths.get(dir, "seg-00001.warc.zst"), zst)
+    dir
+  }
+
+  test("reads spec-shaped .warc.zst archives with HTTP split and pushdown") {
+    val rows = spark.read.format("graft-warc").load(fixtureDir)
+      .filter(col("warc_type") === "response")
+      .select("url", "http_status", "mime_type", "payload")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        new String(r.getAs[Array[Byte]](3), "UTF-8")))
+      .sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      ("http://z.example/a", 200, "text/html", "<html>zeta</html>"),
+      ("http://z.example/b", 404, "text/plain", "gone")))
+  }
+
+  test("point fetch: seek a zstd member offset, codec sniffed from magic") {
+    val bytes = Files.readAllBytes(Paths.get(fixtureDir, "seg-00001.warc.zst"))
+    val offs = spark.read.format("graft-warc").load(fixtureDir)
+      .filter(col("warc_type") === "response")
+      .select("url", "offset").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (hdrs, _) = WarcRecords.fetchRecordAt(bytes, offs("http://z.example/a"))
+    assert(hdrs("warc-target-uri") == "http://z.example/a")
+    assert(new String(WarcRecords.fetchPayloadAt(bytes,
+      offs("http://z.example/a")), "UTF-8") == "<html>zeta</html>")
+  }
+
+  test("write codec=zstd → read round trip; mixed-codec dir reads whole") {
+    val dir = Files.createTempDirectory("warczstw").toString
+    import spark.implicits._
+    val df = Seq(
+      ("http://w.example/1", "one payload"),
+      ("http://w.example/2", "two payload"))
+      .toDF("url", "body")
+      .select(col("url"),
+        lit("response").as("warc_type"),
+        lit("2026-01-02T03:04:05Z").as("warc_date"),
+        lit("application/http; msgtype=response").as("content_type"),
+        concat(lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n")
+          .cast("binary"), col("body").cast("binary")).as("content"))
+    df.write.format("graft-warc").option("codec", "zstd").mode("append").save(dir)
+    val files = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".warc.zst"))
+    assert(files.nonEmpty, "writer produced no .warc.zst files")
+    val back = spark.read.format("graft-warc").load(dir)
+      .filter(col("warc_type") === "response")
+      .select("url", "payload").collect()
+      .map(r => r.getString(0) -> new String(r.getAs[Array[Byte]](1), "UTF-8"))
+      .toMap
+    assert(back == Map("http://w.example/1" -> "one payload",
+      "http://w.example/2" -> "two payload"))
+    // a gzip archive landing in the same directory reads through the
+    // same default glob
+    df.limit(1).select(col("url"), col("warc_type"), col("warc_date"),
+        col("content_type"), col("content"))
+      .write.format("graft-warc").mode("append").save(dir)
+    val all = spark.read.format("graft-warc").load(dir)
+      .filter(col("warc_type") === "response").count()
+    assert(all == 3)
+  }
+
+  test("micro-batch stream picks up newly arrived zst segments") {
+    val dir = Files.createTempDirectory("warczsts").toString
+    Files.write(Paths.get(dir, "seg-001.warc.zst"), frame(
+      record("response", "http://zs.example/1", httpBlock(200, "text/html", "one"))))
+    val stream = spark.readStream.format("graft-warc").load(dir).select("url")
+    val q = stream.writeStream.format("memory").queryName("warc_zst_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("warc_zst_stream").count() == 1)
+      Files.write(Paths.get(dir, "seg-002.warc.zst"), frame(
+        record("response", "http://zs.example/2", httpBlock(200, "text/html", "two"))))
+      q.processAllAvailable()
+      assert(spark.table("warc_zst_stream").collect().map(_.getString(0))
+        .sorted.toSeq == Seq("http://zs.example/1", "http://zs.example/2"))
+    } finally q.stop()
+  }
+
+  test("corruption: truncation and dictionary frames reject under budget") {
+    val good = frame(record("response", "http://c.example/",
+      httpBlock(200, "text/html", "x" * 5000)))
+    // truncated frame: strict throws, ignoreCorruptFiles skips remainder
+    val dir = Files.createTempDirectory("warczstc").toString
+    Files.write(Paths.get(dir, "good.warc.zst"), good)
+    Files.write(Paths.get(dir, "trunc.warc.zst"), good.take(good.length / 2))
+    val strict = spark.read.format("graft-warc").load(dir).select("url")
+    assertThrows[org.apache.spark.SparkException](strict.collect())
+    val lax = spark.read.format("graft-warc")
+      .option("ignoreCorruptFiles", "true").load(dir).select("url")
+    assert(lax.collect().map(_.getString(0)).toSeq == Seq("http://c.example/"))
+    // a dictionary-id frame is rejected (unsupported), not mis-parsed
+    val dictFrame = good.clone()
+    dictFrame(4) = (dictFrame(4) | 1).toByte // Dictionary_ID_flag = 1
+    val ms = new ZstdMembers(new java.io.ByteArrayInputStream(dictFrame))
+    assertThrows[java.io.IOException](ms.nextMember())
+    // declared-size abuse: a skippable frame claiming 2 GiB hits the
+    // budget instead of allocating
+    val abusive = Array[Byte](0x50, 0x2a, 0x4d, 0x18,
+      0xff.toByte, 0xff.toByte, 0xff.toByte, 0x7f)
+    val ms2 = new ZstdMembers(new java.io.ByteArrayInputStream(abusive))
+    assertThrows[java.io.IOException](ms2.nextMember())
+    // random byte flips never hang or over-allocate (throw or parse)
+    val rnd = new scala.util.Random(31)
+    for (_ <- 0 until 200) {
+      val mut = good.clone()
+      mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
+      val m = new ZstdMembers(new java.io.ByteArrayInputStream(mut))
+      try {
+        var in = m.nextMember()
+        while (in != null) { in.readAllBytes(); in.close(); in = m.nextMember() }
+      } catch { case _: java.io.IOException => () }
+    }
+  }
+}
