@@ -1397,7 +1397,7 @@ object GraphQueries {
   private val hbStage = new Staging.Memo("g-hyperball")
   private val hbLock = new Object
   private val hbBuilt =
-    scala.collection.mutable.Set.empty[(String, String)]
+    scala.collection.mutable.Set.empty[(String, String, Int)]
 
   /** ONE HyperBall register-merge loop per (stage base, sf dir) serves
     * both g21 (final per-node registers) and g22 (per-round distance-
@@ -1420,18 +1420,36 @@ object GraphQueries {
     *
     * Returns (final state (node, r0..r15), distribution rows
     * (t, n_nodes, sum_ball_est), per-node estimates
-    * (node, est0..est3) — the g23 harmonic-centrality input). */
-  private def hyperball(
-      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
+    * (node, est0..est$t) — the g23 harmonic-centrality input).
+    *
+    * `t` is the ball radius (3 for the registry queries; HyperballSpec
+    * gates t=4 against an exact-BFS register replay on the small
+    * substrate, so sweeping deeper is a parameter change, not new code).
+    *
+    * Memory at scale: each round shuffles E 80-byte register rows into
+    * the groupBy-max. At a fixed 32 shuffle partitions the per-task
+    * final-aggregate hash maps grow with E/32 and the 100× build needed
+    * a 24 g heap (r15 SCALING.md). The build now scales the shuffle
+    * width with the measured edge count (≈250k rows/partition, capped)
+    * so per-task state stays roof-independent — more, smaller reduce
+    * tasks instead of 32 spilling ones; AQE coalesces the tail when the
+    * substrate is small. On a real cluster this is the same knob
+    * spark.sql.shuffle.partitions turns fleet-wide. */
+  private[graft] def hyperball(
+      s: SparkSession, dir: String, t: Int = 3): (DataFrame, DataFrame, DataFrame) =
     hbLock.synchronized {
       val base = hbStage.path
-      val dig = Staging.dirKey(dir)
+      val dig = s"${Staging.dirKey(dir)}-t$t"
       val m = 16
-      if (!hbBuilt((base, dir))) {
-        val t = 3
-        val ed = graft.ops.Iterative.materialize(
+      if (!hbBuilt((base, dir, t))) {
+        val ed = graft.ops.Iterative.materializeSer(
           prEdges(s, dir).select(col("src_domain").as("src"),
             col("dst_domain").as("dst")).distinct())
+        val edgeCount = ed.count() // materialized — a cheap second action
+        val parts = math.min(2048L, math.max(32L, edgeCount / 250000L + 1L)).toInt
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        try {
         val nodes = ed.select(col("src").as("node"))
           .union(ed.select(col("dst").as("node"))).distinct()
         val md = md5(col("node").cast("string"))
@@ -1439,7 +1457,7 @@ object GraphQueries {
         val bucket = conv(substring(md, 1, 1), 16, 10).cast("int")
         val rho = when(v === 0L, 41).otherwise(lit(41) - length(bin(v)))
           .cast("int")
-        var state = graft.ops.Iterative.materialize(nodes
+        var state = graft.ops.Iterative.materializeSer(nodes
           .select(col("node"), bucket.as("b"), rho.as("r"))
           .select(col("node") +: (0 until m).map(j =>
             when(col("b") === j, col("r")).otherwise(lit(0))
@@ -1465,25 +1483,26 @@ object GraphQueries {
             expr("(562949953421312L div s_scaled) * 673L div 1000L")
               .as(s"est$round"))
         var outs = readout(0)
-        var ests = graft.ops.Iterative.materialize(estDf(0))
+        var ests = graft.ops.Iterative.materializeSer(estDf(0))
         for (i <- 1 to t) {
           val st = state.toDF(
             "sn" +: (0 until m).map(j => s"r$j"): _*)
           val contrib = ed.join(st, col("sn") === col("dst"))
             .select(col("src").as("node") +: (0 until m).map(j =>
               col(s"r$j")): _*)
-          state = graft.ops.Iterative.materialize(
+          state = graft.ops.Iterative.materializeSer(
             state.unionByName(contrib)
               .groupBy("node")
               .agg(max(col("r0")).as("r0"), (1 until m).map(j =>
                 max(col(s"r$j")).as(s"r$j")): _*))
           outs = outs.unionByName(readout(i))
-          ests = graft.ops.Iterative.materialize(ests.join(estDf(i), "node"))
+          ests = graft.ops.Iterative.materializeSer(ests.join(estDf(i), "node"))
         }
         state.write.mode("overwrite").parquet(s"$base/state-$dig")
         outs.write.mode("overwrite").parquet(s"$base/dist-$dig")
         ests.write.mode("overwrite").parquet(s"$base/ests-$dig")
-        hbBuilt += ((base, dir))
+        hbBuilt += ((base, dir, t))
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       }
       (s.read.parquet(s"$base/state-$dig"), s.read.parquet(s"$base/dist-$dig"),
         s.read.parquet(s"$base/ests-$dig"))

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.{Flac, JpegProgressive, Mp3, Multimodal, Vp8, Vp8l}
+import graft.ops.{Exif, Flac, JpegProgressive, Mp3, Multimodal, Ogg, Pdf, Vp8, Vp8l, Zip}
 
 /** Multimodal column queries: binary media containers synthesized from
   * document text (this container has no media codecs — see
@@ -1651,6 +1651,207 @@ object MultimodalQueries {
                CAST(n_chars AS BIGINT) AS nchars_tag,
                (CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END)::BIGINT AS has_id3v1
         FROM b
+        ORDER BY doc_id
+      """.trim),
+    ),
+
+    // m31: EXIF/TIFF metadata walk — orientation, camera make/model,
+    // capture timestamps, EXIF dimensions, and GPS coordinates (location
+    // PII a corpus must detect before publishing; the binary-side
+    // counterpart of t7's text scrub). The fixture splices a real
+    // APP1/Exif segment into the m22 baseline JPEG, cycling byte order
+    // (II/MM), inline vs offset values, and GPS presence; the walk
+    // bounds-checks every untrusted offset against the segment, budgets
+    // IFD entry counts, and reaches pointer IFDs at fixed depth (no
+    // recursion — offset cycles cannot loop). The oracle recomputes all
+    // eleven fields from the seed formulas, so a mis-read of either
+    // endianness, the inline-value packing, the NUL-terminated ASCII
+    // convention, or the pinned rational→ppm arithmetic breaks the hash.
+    Q(
+      "m31_exif_meta",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val packed = docs.select(col("doc_id"),
+          Exif.packExifJpeg(col("doc_id")).as("media"))
+        Exif.decodeExifMeta(packed, "doc_id", "media")
+          .select(
+            col("id").as("doc_id"),
+            col("byte_order"), col("orientation"), col("make"), col("model"),
+            col("date_time"), col("date_time_original"),
+            col("exif_width"), col("exif_height"),
+            col("has_gps"), col("gps_lat_ppm"), col("gps_lon_ppm"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, doc_id % 251 AS k FROM documents)
+        SELECT doc_id,
+               CASE WHEN k % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+               (k % 8 + 1)::BIGINT AS orientation,
+               'cam' || CAST(k % 7 AS VARCHAR) AS make,
+               'model ' || CAST(doc_id % 5 AS VARCHAR) AS model,
+               '2026:08:' || lpad(CAST(k % 28 + 1 AS VARCHAR), 2, '0')
+                 || ' ' || lpad(CAST(k % 24 AS VARCHAR), 2, '0')
+                 || ':00:00' AS date_time,
+               '2026:07:' || lpad(CAST(k % 28 + 1 AS VARCHAR), 2, '0')
+                 || ' ' || lpad(CAST((k + 5) % 24 AS VARCHAR), 2, '0')
+                 || ':30:00' AS date_time_original,
+               (doc_id % 1000 + 1)::BIGINT AS exif_width,
+               (doc_id % 800 + 1)::BIGINT AS exif_height,
+               (CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END)::BIGINT AS has_gps,
+               (CASE WHEN k % 3 <> 0 THEN -1
+                     WHEN k % 4 < 2 THEN (doc_id * 7919) % 90000000
+                     ELSE -((doc_id * 7919) % 90000000) END)::BIGINT AS gps_lat_ppm,
+               (CASE WHEN k % 3 <> 0 THEN -1
+                     WHEN k % 5 < 3 THEN (doc_id * 104729) % 180000000
+                     ELSE -((doc_id * 104729) % 180000000) END)::BIGINT AS gps_lon_ppm
+        FROM base
+        ORDER BY doc_id
+      """.trim),
+    ),
+
+    // m32: PDF metadata census — version, xref object count, page
+    // count, Info-dict title/author/creation-date, /Encrypt flag. PDF
+    // is one of the largest non-HTML mime slices of a crawl; pipelines
+    // filter on page count and must route encrypted files around text
+    // extraction. The walk is the cross-reference machinery every PDF
+    // reader starts from (ISO 32000-1 §7.5): tail `startxref` → classic
+    // xref table (10-digit offsets, n/f entries, multi-subsection) →
+    // trailer dict → /Root → /Pages /Count and /Info strings with the
+    // literal-string escape set — METADATA-ONLY, page streams never
+    // read. Oracle recomputes all seven fields from the seed formulas;
+    // a mis-read of the xref offset arithmetic, subsection layout,
+    // indirect-reference syntax, or string escapes breaks the hash.
+    Q(
+      "m32_pdf_meta",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val packed = docs.select(col("doc_id"),
+          Pdf.packPdf(col("doc_id"), col("lang")).as("media"))
+        Pdf.decodePdfMeta(packed, "doc_id", "media")
+          .select(
+            col("id").as("doc_id"),
+            col("version"), col("n_objects"), col("page_count"),
+            col("title"), col("author"), col("creation_date"),
+            col("encrypted"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, lang, doc_id % 251 AS k FROM documents)
+        SELECT doc_id,
+               '1.' || CAST(k % 8 AS VARCHAR) AS version,
+               (k % 30 + 4)::BIGINT AS n_objects,
+               (k % 30 + 1)::BIGINT AS page_count,
+               'doc (' || CAST(doc_id AS VARCHAR) || ') \' || lang AS title,
+               lang || ' author ' || CAST(k AS VARCHAR) AS author,
+               'D:2026' || lpad(CAST(k % 12 + 1 AS VARCHAR), 2, '0')
+                 || lpad(CAST(k % 28 + 1 AS VARCHAR), 2, '0')
+                 || '120000' AS creation_date,
+               (CASE WHEN k % 11 = 0 THEN 1 ELSE 0 END)::BIGINT AS encrypted
+        FROM base
+        ORDER BY doc_id
+      """.trim),
+    ),
+
+    // m33: ZIP container census — a large share of crawl binaries are
+    // ZIP in disguise (docx/xlsx/pptx = OOXML, epub, jar). Before any
+    // extraction a pipeline needs: the entry census, the
+    // compression-ratio bomb signal that gates decompression, the
+    // document-kind routing ([Content_Types].xml → OOXML; stored
+    // `mimetype` = application/epub+zip → EPUB), and CRC integrity for
+    // truncated fetches. The walk is EOCD backward scan → central
+    // directory → local headers (APPNOTE layout), never inflating
+    // anything; STORED entries are CRC-32-verified byte-for-byte. The
+    // fixture is all-STORED so every byte is analytic (no Deflater
+    // version dependence — method variety is ZipSpec's JDK-referee
+    // job); the oracle recomputes counts, exact byte totals from the
+    // string lengths, the kind, and the ratio bound.
+    Q(
+      "m33_zip_census",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val packed = docs.select(col("doc_id"),
+          Zip.packZip(col("doc_id"), col("lang")).as("media"))
+        Zip.decodeZipMeta(packed, "doc_id", "media")
+          .select(
+            col("id").as("doc_id"),
+            col("kind"), col("n_entries"), col("sum_comp"), col("sum_uncomp"),
+            col("max_ratio_ppm"), col("n_stored"), col("n_deflate"),
+            col("first_name"), col("crc_ok"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, lang, doc_id % 251 AS k FROM documents),
+        p AS (
+          SELECT doc_id, lang, k, k % 12 + 1 AS np,
+                 CASE k % 3 WHEN 0 THEN strlen('<Types doc=''' || doc_id || '''/>')
+                            WHEN 1 THEN 20 ELSE 0 END AS marker_len,
+                 CAST(list_sum(list_transform(range(0, k % 12 + 1), i ->
+                   strlen('entry ' || i || ' of doc ' || doc_id || ' in ' || lang)))
+                   AS BIGINT) AS payload_len
+          FROM base)
+        SELECT doc_id,
+               CASE k % 3 WHEN 0 THEN 'ooxml' WHEN 1 THEN 'epub'
+                          ELSE 'zip' END AS kind,
+               (np + CASE WHEN k % 3 = 2 THEN 0 ELSE 1 END)::BIGINT AS n_entries,
+               (payload_len + marker_len)::BIGINT AS sum_comp,
+               (payload_len + marker_len)::BIGINT AS sum_uncomp,
+               1000000::BIGINT AS max_ratio_ppm,
+               (np + CASE WHEN k % 3 = 2 THEN 0 ELSE 1 END)::BIGINT AS n_stored,
+               0::BIGINT AS n_deflate,
+               CASE k % 3 WHEN 0 THEN '[Content_Types].xml'
+                          WHEN 1 THEN 'mimetype'
+                          ELSE 'part/e0.txt' END AS first_name,
+               1::BIGINT AS crc_ok
+        FROM p
+        ORDER BY doc_id
+      """.trim),
+    ),
+
+    // m34: OGG/OPUS metadata walk — the open-web audio default next to
+    // MP3 (audio/ogg, audio/opus). Page census with the RFC 3533 page
+    // CRC (poly 0x04c11db7, unreflected, init 0 — published check
+    // value pinned in OggSpec) verified on EVERY page so one flipped
+    // byte anywhere in the container is caught; OpusHead stream
+    // parameters (channels, pre-skip, input rate); OpusTags comments
+    // (the m27 Vorbis-comment layout); duration from the last granule
+    // minus pre-skip over the fixed 48 kHz granule rate (RFC 7845 §4).
+    // Opus packet DSP stays descoped (float SILK/CELT — the MP3-PCM
+    // adjudication); every field here is container material. The
+    // fixture forces multi-segment lacing (a packet > 255 bytes) and
+    // analytic granule steps; the oracle recomputes all ten fields.
+    Q(
+      "m34_ogg_meta",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val packed = docs.select(col("doc_id"),
+          Ogg.packOggOpus(col("doc_id"), col("lang")).as("media"))
+        Ogg.decodeOggMeta(packed, "doc_id", "media")
+          .select(
+            col("id").as("doc_id"),
+            col("serial"), col("channels"), col("pre_skip"), col("input_rate"),
+            col("n_pages"), col("duration_ms"),
+            col("vendor"), col("title"), col("artist"), col("crc_ok"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, lang, doc_id % 251 AS k FROM documents)
+        SELECT doc_id,
+               (doc_id * 2654435761) % 4294967296 AS serial,
+               (k % 2 + 1)::BIGINT AS channels,
+               ((k % 5) * 120 + 312)::BIGINT AS pre_skip,
+               ([48000, 44100, 16000])[(k % 3) + 1]::BIGINT AS input_rate,
+               (2 + k % 6 + 1)::BIGINT AS n_pages,
+               CAST(list_sum(list_transform(range(0, k % 6 + 1), i ->
+                 20 * ((k + i) % 3 + 1))) AS BIGINT) AS duration_ms,
+               'graft ogg fixture' AS vendor,
+               'doc ' || CAST(doc_id AS VARCHAR) AS title,
+               lang AS artist,
+               1::BIGINT AS crc_ok
+        FROM base
         ORDER BY doc_id
       """.trim),
     ),
