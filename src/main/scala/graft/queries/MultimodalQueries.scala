@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.{Exif, Flac, JpegProgressive, Mp3, Multimodal, Ogg, Pdf, Vp8, Vp8l, Zip}
+import graft.ops.{Exif, Flac, Ico, JpegProgressive, Mp3, Multimodal, Ogg, Pdf, Vp8, Vp8l, Zip}
 
 /** Multimodal column queries: binary media containers synthesized from
   * document text (this container has no media codecs — see
@@ -1855,5 +1855,62 @@ object MultimodalQueries {
         ORDER BY doc_id
       """.trim),
     ),
+
+    // m35: ICO (favicon) pixel decode — the one image container nearly
+    // every crawled SITE ships (/favicon.ico), in BOTH payload
+    // dialects: classic DIB (doubled-height header, XOR pixels + 1-bpp
+    // AND transparency mask with 32-bit row stride) and PNG-in-ICO,
+    // dispatched per directory entry and decoded through the engine's
+    // REAL pixel paths. Channel sums fold VISIBLE pixels only, so the
+    // directory walk, doubled-height convention, bottom-up order, mask
+    // stride, and payload dispatch are all hash-gated. The oracle
+    // replays the shared testPixel pattern per image with the analytic
+    // mask (nested-lambda replay over every pixel of every image).
+    Q(
+      "m35_ico_pixels",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val packed = docs.select(col("doc_id"),
+          Ico.packIco(col("doc_id")).as("media"))
+        Ico.decodeIcoStats(packed, "doc_id", "media")
+          .select(
+            col("id").as("doc_id"),
+            col("n_images"), col("width0"), col("height0"),
+            col("sum_r"), col("sum_g"), col("sum_b"), col("n_transparent"))
+          .orderBy("doc_id")
+      },
+      Some {
+        // per-image i: seed ki, dims (wi, hi), png-vs-dib, analytic mask
+        val ki = "((k + 31*i) % 251)"
+        val wi = "((k + i) % 12 + 5)"
+        val hi = "((k + i) % 9 + 5)"
+        val vis = s"((k + i) % 2 = 1 OR ((p % $wi) + 2*(p // $wi) + $ki) % 7 <> 0)"
+        def ch(f: String) =
+          s"""CAST(list_sum(list_transform(range(0, $n_),
+              i -> list_sum(list_transform(
+                list_filter(range(0, $wi * $hi), p -> $vis),
+                p -> $f)))) AS BIGINT)"""
+        s"""
+        WITH base AS (
+          SELECT doc_id, doc_id % 251 AS k FROM documents)
+        SELECT doc_id,
+               (k % 3 + 1)::BIGINT AS n_images,
+               (k % 12 + 5)::BIGINT AS width0,
+               (k % 9 + 5)::BIGINT AS height0,
+               ${ch(s"((p % $wi) + (p // $wi) + 3*$ki) % 256")} AS sum_r,
+               ${ch(s"(3*(p % $wi) + 5*(p // $wi) + 2*$ki) % 256")} AS sum_g,
+               ${ch(s"(7*(p % $wi) + 11*(p // $wi) + $ki) % 256")} AS sum_b,
+               CAST(list_sum(list_transform(range(0, $n_), i ->
+                 CASE WHEN (k + i) % 2 = 1 THEN 0
+                      ELSE len(list_filter(range(0, $wi * $hi),
+                        p -> ((p % $wi) + 2*(p // $wi) + $ki) % 7 = 0)) END))
+                 AS BIGINT) AS n_transparent
+        FROM base
+        ORDER BY doc_id
+        """.trim
+      },
+    ),
   )
+
+  private val n_ = "(k % 3 + 1)"
 }
