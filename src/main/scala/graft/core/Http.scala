@@ -106,4 +106,64 @@ object Http {
     ascii("\r\n")
     out.toByteArray
   }
+
+  /** One parsed Set-Cookie header (RFC 6265 §5.2 user-agent algorithm):
+    * cookie name, value length, and the policy-relevant attributes a
+    * privacy/security audit filters on. `sameSite` is the normalized
+    * token or null; `maxAge` is -1 when absent or non-numeric. */
+  final case class SetCookie(
+      name: String, valueLen: Int, domain: String, path: String,
+      maxAge: Long, secure: Boolean, httpOnly: Boolean, sameSite: String)
+
+  /** Parse one Set-Cookie field value; null when the name-value pair is
+    * missing or empty-named (§5.2 step 2–4: ignore the set-cookie).
+    * Attribute names are case-insensitive; an attribute repeated takes
+    * its LAST occurrence (the RFC's replace semantics); unknown
+    * attributes are ignored. */
+  def parseSetCookie(header: String): SetCookie = {
+    if (header == null) return null
+    val parts = header.split(";", -1)
+    val nv = parts(0)
+    val eq = nv.indexOf('=')
+    if (eq <= 0) return null // no '=' or empty name
+    val name = nv.substring(0, eq).trim
+    val value = nv.substring(eq + 1).trim
+    if (name.isEmpty) return null
+    var domain: String = null; var path: String = null
+    var maxAge = -1L; var secure = false; var httpOnly = false
+    var sameSite: String = null
+    var i = 1
+    while (i < parts.length) {
+      val av = parts(i)
+      val e = av.indexOf('=')
+      val aname = (if (e < 0) av else av.substring(0, e)).trim.toLowerCase
+      val aval = if (e < 0) "" else av.substring(e + 1).trim
+      aname match {
+        case "domain" =>
+          // §5.2.3: a leading dot is ignored; empty value ignores the av
+          if (aval.nonEmpty)
+            domain = (if (aval.startsWith(".")) aval.substring(1)
+              else aval).toLowerCase
+        case "path" =>
+          path = if (aval.isEmpty || !aval.startsWith("/")) "/" else aval
+        case "max-age" =>
+          // §5.2.2: first char digit or '-', rest digits; else ignore
+          if (aval.matches("-?[0-9]+"))
+            maxAge = try aval.toLong catch { case _: Exception => -1L }
+        case "secure" => secure = true
+        case "httponly" => httpOnly = true
+        case "samesite" =>
+          aval.toLowerCase match {
+            case "strict" => sameSite = "Strict"
+            case "lax" => sameSite = "Lax"
+            case "none" => sameSite = "None"
+            case _ => () // unrecognized enforcement value ignored
+          }
+        case _ => () // unknown attribute
+      }
+      i += 1
+    }
+    SetCookie(name, value.length, domain, path, maxAge, secure, httpOnly,
+      sameSite)
+  }
 }

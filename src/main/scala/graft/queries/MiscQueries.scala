@@ -751,5 +751,75 @@ object MiscQueries {
         ORDER BY doc_id
       """.trim),
     ),
+
+    // x19: SET-COOKIE census — the privacy/security attribute parse
+    // (RFC 6265 §5.2 user-agent algorithm) behind every cookie audit a
+    // crawl corpus gets run through: Secure/HttpOnly adoption, SameSite
+    // enforcement values, Domain scoping (leading dot stripped, case
+    // folded), Max-Age (negative = delete). The fixture header cycles
+    // attribute presence, attribute-name case, a dotted UPPERCASE
+    // Domain, a non-enforcement SameSite token (ignored per spec), and
+    // negative Max-Age; the oracle recomputes every field analytically.
+    Q(
+      "x19_setcookie_census",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val k = col("doc_id") % 251
+        val header = concat(
+          lit("sid"), k, lit("=v"),
+          repeatstr(lit("x"), (k % 9).cast("int")), col("doc_id"),
+          lit("; Path=/p"), k % 4,
+          when(k % 3 === 0,
+            concat(lit("; Domain=.Ex"), k % 7, lit(".COM"))).otherwise(lit("")),
+          when(k % 5 < 2,
+            concat(lit("; Max-Age="), k * 37 - 100)).otherwise(lit("")),
+          when(k % 2 === 0, lit("; secure")).otherwise(lit("")),
+          when(k % 3 === 1, lit("; HttpOnly")).otherwise(lit("")),
+          lit("; SameSite="),
+          when(k % 4 === 0, lit("Strict")).when(k % 4 === 1, lit("lax"))
+            .when(k % 4 === 2, lit("NONE")).otherwise(lit("weird")))
+        val parse = udf((h: String) => {
+          val c = graft.core.Http.parseSetCookie(h)
+          if (c == null) (null: String, -1L, null: String, null: String,
+            -1L, 0L, 0L, null: String)
+          else (c.name, c.valueLen.toLong, c.domain, c.path, c.maxAge,
+            if (c.secure) 1L else 0L, if (c.httpOnly) 1L else 0L, c.sameSite)
+        })
+        docs
+          .select(col("doc_id"), parse(header).as("c"))
+          .select(col("doc_id"),
+            col("c._1").as("name"), col("c._2").as("value_len"),
+            col("c._3").as("domain"), col("c._4").as("path"),
+            col("c._5").as("max_age"), col("c._6").as("secure"),
+            col("c._7").as("http_only"), col("c._8").as("same_site"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, doc_id % 251 AS k FROM documents)
+        SELECT doc_id,
+               'sid' || CAST(k AS VARCHAR) AS name,
+               (1 + (k % 9) + strlen(CAST(doc_id AS VARCHAR)))::BIGINT
+                 AS value_len,
+               CASE WHEN k % 3 = 0
+                    THEN 'ex' || CAST(k % 7 AS VARCHAR) || '.com'
+                    ELSE NULL END AS domain,
+               '/p' || CAST(k % 4 AS VARCHAR) AS path,
+               (CASE WHEN k % 5 < 2 THEN k * 37 - 100 ELSE -1 END)::BIGINT
+                 AS max_age,
+               (CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS secure,
+               (CASE WHEN k % 3 = 1 THEN 1 ELSE 0 END)::BIGINT AS http_only,
+               CASE k % 4 WHEN 0 THEN 'Strict' WHEN 1 THEN 'Lax'
+                          WHEN 2 THEN 'None' ELSE NULL END AS same_site
+        FROM base
+        ORDER BY doc_id
+      """.trim),
+    ),
   )
+
+  /** `repeat` with a column count (the functions.repeat overload takes
+    * a literal only). */
+  private def repeatstr(c: org.apache.spark.sql.Column,
+      n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function("repeat", c, n)
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.{Exif, Flac, Ico, JpegProgressive, Mp3, Multimodal, Ogg, Pdf, Vp8, Vp8l, Zip}
+import graft.ops.{Exif, Flac, Ico, JpegProgressive, Mp3, Multimodal, Ogg, Pdf, Tar, Vp8, Vp8l, Zip}
 
 /** Multimodal column queries: binary media containers synthesized from
   * document text (this container has no media codecs — see
@@ -1909,6 +1909,56 @@ object MultimodalQueries {
         ORDER BY doc_id
         """.trim
       },
+    ),
+
+    // m36: TAR census — the container source releases and dataset dumps
+    // arrive in (usually inside the gzip/zstd members the source layer
+    // already peels). METADATA-ONLY ustar walk: 512-block arithmetic,
+    // strict octal field parse, per-header checksum verification (the
+    // unsigned byte sum with the chksum field read as spaces), type
+    // mix, and the tar-slip flag — absolute or `..` member paths that a
+    // 100 TB ingest MUST catch before anything unpacks (the fixture
+    // plants a `../escape.txt` member on k%6==0). The oracle recomputes
+    // entry/byte totals from the analytic member texts.
+    Q(
+      "m36_tar_census",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val packed = docs.select(col("doc_id"),
+          Tar.packTar(col("doc_id"), col("lang")).as("media"))
+        Tar.decodeTarMeta(packed, "doc_id", "media")
+          .select(
+            col("id").as("doc_id"),
+            col("n_entries"), col("n_files"), col("n_dirs"),
+            col("sum_bytes"), col("max_entry_bytes"),
+            col("first_name"), col("unsafe_paths"), col("checksum_ok"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, lang, doc_id % 251 AS k FROM documents),
+        p AS (
+          SELECT doc_id, lang, k, k % 9 + 1 AS nf,
+                 CASE WHEN k % 6 = 0 THEN 1 ELSE 0 END AS esc,
+                 CASE WHEN k % 6 = 0
+                      THEN strlen('escaped ' || doc_id) ELSE 0 END AS esclen,
+                 list_transform(range(0, k % 9 + 1), i ->
+                   strlen('member ' || i || ' of doc ' || doc_id || ' in '
+                     || lang || ' ') * (k % 4 + 1)) AS lens
+          FROM base)
+        SELECT doc_id,
+               (1 + nf + esc)::BIGINT AS n_entries,
+               (nf + esc)::BIGINT AS n_files,
+               1::BIGINT AS n_dirs,
+               (CAST(list_sum(lens) AS BIGINT) + esclen)::BIGINT AS sum_bytes,
+               greatest(CAST(list_max(lens) AS BIGINT), esclen)::BIGINT
+                 AS max_entry_bytes,
+               'pkg' || CAST(doc_id AS VARCHAR) || '/' AS first_name,
+               esc::BIGINT AS unsafe_paths,
+               1::BIGINT AS checksum_ok
+        FROM p
+        ORDER BY doc_id
+      """.trim),
     ),
   )
 

@@ -95,4 +95,33 @@ class HttpSpec extends AnyFunSuite {
     // and whitespace before any digit stays malformed
     assert(Http.dechunkCounted(ascii(" 3\r\nabc\r\n0\r\n\r\n")) == null)
   }
+
+  test("Set-Cookie parse: RFC 6265 §5.2 attribute semantics") {
+    val c = Http.parseSetCookie(
+      "SID=31d4d96e407aad42; Path=/; Secure; HttpOnly; SameSite=Strict")
+    assert(c.name == "SID" && c.valueLen == 16 && c.path == "/")
+    assert(c.secure && c.httpOnly && c.sameSite == "Strict" && c.domain == null)
+    // leading dot stripped, domain case-folded, attribute names
+    // case-insensitive, LAST repeated attribute wins
+    val d = Http.parseSetCookie(
+      "a=b; DOMAIN=.Example.COM; domain=.Other.ORG; secure")
+    assert(d.domain == "other.org" && d.secure)
+    // Max-Age: negative allowed; non-numeric ignored; last wins
+    assert(Http.parseSetCookie("a=b; Max-Age=-1").maxAge == -1L)
+    assert(Http.parseSetCookie("a=b; Max-Age=500; Max-Age=20").maxAge == 20L)
+    assert(Http.parseSetCookie("a=b; Max-Age=1x5").maxAge == -1L)
+    // non-root Path resets to "/" (§5.2.4); empty Path too
+    assert(Http.parseSetCookie("a=b; Path=relative").path == "/")
+    assert(Http.parseSetCookie("a=b; Path=").path == "/")
+    // unrecognized SameSite enforcement value is ignored
+    assert(Http.parseSetCookie("a=b; SameSite=weird").sameSite == null)
+    assert(Http.parseSetCookie("a=b; samesite=NONE").sameSite == "None")
+    // missing '=' or empty name: ignore-the-set-cookie (null)
+    assert(Http.parseSetCookie("no-equals-here") == null)
+    assert(Http.parseSetCookie("=value; Secure") == null)
+    assert(Http.parseSetCookie(null) == null)
+    // value may be empty; unknown attributes ignored
+    val e = Http.parseSetCookie("k=; Version=1; Comment=x")
+    assert(e.valueLen == 0 && e.maxAge == -1L && !e.secure)
+  }
 }
