@@ -1310,6 +1310,62 @@ object SourceQueries {
         FROM documents WHERE doc_id % 9 = 0
       """.stripMargin.trim),
     ),
+
+    // s30: PARQUET FOOTER AUDIT — lake forensics from raw bytes: the
+    // Thrift compact-protocol FileMetaData walk
+    // (sources/ParquetFooter.scala, parquet-mr-refereed field-by-field
+    // in ParquetFooterSpec) reads ONLY each file's tail and reports row
+    // counts, row groups, leaf columns, codecs, and the internal
+    // consistency check (footer num_rows == Σ row-group rows == every
+    // chunk's value count). At 100 TB this audits layout drift
+    // (row-group sizing, codec/encoding regressions, column bloat)
+    // without row decode — ranged tail reads, corpus-linear in FILES
+    // not bytes. The oracle recomputes rows/columns/codec analytically.
+    Q(
+      "s30_parquet_footer_audit",
+      (s, dir) => {
+        val out = stage("s30")
+        Registry.table(s, dir, "documents")
+          .filter(col("doc_id") % 4 === 0)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .coalesce(1)
+          .write.option("compression", "snappy").mode("overwrite")
+          .parquet(s"$out/t")
+        val audit = udf((b: Array[Byte]) => {
+          val f = graft.sources.ParquetFooter.parse(b)
+          if (f == null) (-1L, -1L, null: String, null: String, 0L)
+          else {
+            val consistent = f.rowGroups.map(_.numRows).sum == f.numRows &&
+              f.rowGroups.forall(g => g.columns.forall(_.numValues == g.numRows))
+            (f.numRows, f.rowGroups.size.toLong,
+              f.schemaLeafNames.mkString(","),
+              f.rowGroups.flatMap(_.columns.map(c =>
+                graft.sources.ParquetFooter.CodecNames(c.codecId)))
+                .distinct.sorted.mkString(","),
+              if (consistent) 1L else 0L)
+          }
+        })
+        s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.parquet").load(s"$out/t")
+          .select(audit(col("content")).as("a"))
+          .agg(
+            count(lit(1)).as("n_files"),
+            sum(col("a._1")).as("total_rows"),
+            sum(col("a._2")).as("n_row_groups"),
+            min(col("a._3")).as("leaf_cols"),
+            min(col("a._4")).as("codecs"),
+            min(col("a._5")).as("all_consistent"))
+      },
+      Some("""
+        SELECT 1::BIGINT AS n_files,
+               (SELECT COUNT(*) FROM documents WHERE doc_id % 4 = 0)::BIGINT
+                 AS total_rows,
+               1::BIGINT AS n_row_groups,
+               'doc_id,lang,n_chars' AS leaf_cols,
+               'snappy' AS codecs,
+               1::BIGINT AS all_consistent
+      """.stripMargin.trim),
+    ),
   )
 
   /** The s28 read path: select files whose [min_id, max_id] span
