@@ -815,6 +815,93 @@ object MiscQueries {
         ORDER BY doc_id
       """.trim),
     ),
+
+    // x20: HTML META-DIRECTIVE census — the PER-PAGE policy signals
+    // next to f8's robots.txt host gate: meta-robots noindex/nofollow
+    // (what the crawler may keep/expand), rel=canonical (the dedupe
+    // hint search pipelines honor before any content hash), hreflang
+    // alternates, OpenGraph title/image, declared charset. The fixture
+    // cycles attribute order, quote styles (double/single/unquoted),
+    // token case, and plants a rel=canonical DECOY after </head> that
+    // must not count (directives are head material). Oracle recomputes
+    // every field analytically.
+    Q(
+      "x20_meta_directives",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val k = col("doc_id") % 251
+        val robotsContent = when(k % 4 === 0, "index, follow")
+          .when(k % 4 === 1, "NOINDEX")
+          .when(k % 4 === 2, "noindex,nofollow")
+          .otherwise("nofollow")
+        val metaRobots = when(k % 2 === 0,
+            concat(lit("<meta name=\"robots\" content=\""), robotsContent,
+              lit("\">")))
+          .otherwise(concat(lit("<meta content='"), robotsContent,
+            lit("' name=robots>")))
+        val canonical = when(k % 3 =!= 1,
+          when(k % 2 === 0,
+            concat(lit("<link rel=canonical href=\"https://ex"), k % 7,
+              lit(".com/c/"), col("doc_id"), lit("\">")))
+            .otherwise(concat(lit("<link href=\"https://ex"), k % 7,
+              lit(".com/c/"), col("doc_id"), lit("\" rel=\"canonical\"/>"))))
+          .otherwise(lit(""))
+        val hreflangs = concat(
+          when(k % 3 >= 1,
+            lit("<link rel=\"alternate\" hreflang=\"EN\" href=\"https://ex.com/en\">"))
+            .otherwise(lit("")),
+          when(k % 3 >= 2,
+            lit("<link rel='alternate' hreflang='de' href='https://ex.com/de'>"))
+            .otherwise(lit("")))
+        val og = concat(
+          lit("<meta property=\"og:title\" content=\"doc "),
+          col("doc_id"), lit("\">"),
+          when(k % 5 < 3,
+            concat(lit("<meta property='og:image' content='https://img/"),
+              col("doc_id"), lit(".jpg'>"))).otherwise(lit("")))
+        val charsetTag = when(k % 2 === 0, lit("<meta charset=UTF-8>"))
+          .otherwise(lit("<meta charset=\"iso-8859-1\">"))
+        val html = concat(
+          lit("<html><head>"), charsetTag, metaRobots, canonical, hreflangs,
+          og,
+          lit("</head><body><link rel=\"canonical\" href=\"https://evil/\">" +
+            "<p>body</p></body></html>"))
+        val parse = udf((h: String) => {
+          val d = graft.core.HtmlMeta.parse(h)
+          (if (d.noindex) 1L else 0L, if (d.nofollow) 1L else 0L,
+            d.canonical, d.hreflangs.length.toLong,
+            if (d.hreflangs.isEmpty) null else d.hreflangs.mkString(","),
+            d.ogTitle, if (d.ogImage != null) 1L else 0L, d.charset)
+        })
+        docs
+          .select(col("doc_id"), parse(html).as("d"))
+          .select(col("doc_id"),
+            col("d._1").as("noindex"), col("d._2").as("nofollow"),
+            col("d._3").as("canonical"), col("d._4").as("n_hreflang"),
+            col("d._5").as("hreflangs"), col("d._6").as("og_title"),
+            col("d._7").as("has_og_image"), col("d._8").as("charset"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, doc_id % 251 AS k FROM documents)
+        SELECT doc_id,
+               (CASE WHEN k % 4 IN (1, 2) THEN 1 ELSE 0 END)::BIGINT AS noindex,
+               (CASE WHEN k % 4 IN (2, 3) THEN 1 ELSE 0 END)::BIGINT AS nofollow,
+               CASE WHEN k % 3 <> 1
+                    THEN 'https://ex' || CAST(k % 7 AS VARCHAR) || '.com/c/'
+                      || CAST(doc_id AS VARCHAR)
+                    ELSE NULL END AS canonical,
+               (k % 3)::BIGINT AS n_hreflang,
+               CASE k % 3 WHEN 1 THEN 'en' WHEN 2 THEN 'en,de'
+                          ELSE NULL END AS hreflangs,
+               'doc ' || CAST(doc_id AS VARCHAR) AS og_title,
+               (CASE WHEN k % 5 < 3 THEN 1 ELSE 0 END)::BIGINT AS has_og_image,
+               CASE WHEN k % 2 = 0 THEN 'utf-8' ELSE 'iso-8859-1' END AS charset
+        FROM base
+        ORDER BY doc_id
+      """.trim),
+    ),
   )
 
   /** `repeat` with a column count (the functions.repeat overload takes

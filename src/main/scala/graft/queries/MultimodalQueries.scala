@@ -1960,6 +1960,104 @@ object MultimodalQueries {
         ORDER BY doc_id
       """.trim),
     ),
+
+    // m37: CONTAINER ROUTING REPORT — the capstone the census tier
+    // exists for: ONE corpus pass where every object is magic-sniffed,
+    // dispatched to its walker (ZIP / MP3 / ICO / PDF / Ogg / TAR), and
+    // rolled up per kind with an integrity verdict — the mime-router +
+    // quarantine report a real ingest runs before any extraction. TAR
+    // integrity includes the tar-slip flag, so the report QUARANTINES
+    // the k%6==0 archives (intact < n_docs for the tar row proves the
+    // gate bites). One shuffle (6-row groupBy); per-row walks are the
+    // already-gated kernels, so the oracle reuses their seed formulas.
+    Q(
+      "m37_container_routing",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val slot = col("doc_id") % 6
+        val media = when(slot === 0, Zip.packZip(col("doc_id"), col("lang")))
+          .when(slot === 1, Mp3.packMp3(col("doc_id"), col("lang"),
+            col("n_chars").cast("long")))
+          .when(slot === 2, Ico.packIco(col("doc_id")))
+          .when(slot === 3, Pdf.packPdf(col("doc_id"), col("lang")))
+          .when(slot === 4, Ogg.packOggOpus(col("doc_id"), col("lang")))
+          .otherwise(Tar.packTar(col("doc_id"), col("lang")))
+        val route = udf((b: Array[Byte]) => {
+          def u8(i: Int) = b(i) & 0xff
+          if (b == null || b.length < 4) ("unknown", 0L, 0L)
+          else if (b(0) == 'P' && b(1) == 'K') {
+            val m = Zip.zipMeta(b)
+            if (m == null) ("zip", 0L, 0L)
+            else ("zip", if (m.crcOk) 1L else 0L, m.sumUncomp)
+          } else if (b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+            val m = Mp3.mp3Meta(b)
+            if (m == null) ("mp3", 0L, 0L) else ("mp3", 1L, m.durationMs)
+          } else if (u8(0) == 0 && u8(1) == 0 && u8(2) == 1 && u8(3) == 0) {
+            val m = Ico.icoStats(b)
+            if (m == null) ("ico", 0L, 0L) else ("ico", 1L, m.nImages)
+          } else if (b(0) == '%' && b(1) == 'P' && b(2) == 'D' && b(3) == 'F') {
+            val m = Pdf.pdfMeta(b)
+            if (m == null) ("pdf", 0L, 0L)
+            else ("pdf", if (m.encrypted) 0L else 1L, m.pageCount)
+          } else if (b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S') {
+            val m = Ogg.oggMeta(b)
+            if (m == null) ("ogg", 0L, 0L)
+            else ("ogg", if (m.crcOk) 1L else 0L, m.durationMs)
+          } else {
+            val m = Tar.tarMeta(b)
+            if (m == null) ("tar", 0L, 0L)
+            else ("tar",
+              if (m.checksumOk && m.unsafePaths == 0L) 1L else 0L, m.nFiles)
+          }
+        })
+        docs.select(route(media).as("r"))
+          .groupBy(col("r._1").as("kind"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("r._2")).as("n_intact"),
+            sum(col("r._3")).as("metric_sum"))
+          .orderBy("kind")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, lang, n_chars, doc_id % 251 AS k, doc_id % 6 AS slot
+          FROM documents)
+        SELECT 'ico' AS kind, COUNT(*)::BIGINT AS n_docs,
+               COUNT(*)::BIGINT AS n_intact,
+               CAST(SUM(k % 3 + 1) AS BIGINT) AS metric_sum
+        FROM base WHERE slot = 2
+        UNION ALL
+        SELECT 'mp3', COUNT(*)::BIGINT, COUNT(*)::BIGINT,
+               CAST(SUM((k % 40 + 10) * 1152 * 1000
+                 // ([44100, 48000, 32000])[(k % 3) + 1]) AS BIGINT)
+        FROM base WHERE slot = 1
+        UNION ALL
+        SELECT 'ogg', COUNT(*)::BIGINT, COUNT(*)::BIGINT,
+               CAST(SUM(CAST(list_sum(list_transform(range(0, k % 6 + 1), i ->
+                 20 * ((k + i) % 3 + 1))) AS BIGINT)) AS BIGINT)
+        FROM base WHERE slot = 4
+        UNION ALL
+        SELECT 'pdf', COUNT(*)::BIGINT,
+               CAST(SUM(CASE WHEN k % 11 = 0 THEN 0 ELSE 1 END) AS BIGINT),
+               CAST(SUM(k % 30 + 1) AS BIGINT)
+        FROM base WHERE slot = 3
+        UNION ALL
+        SELECT 'tar', COUNT(*)::BIGINT,
+               CAST(SUM(CASE WHEN k % 6 = 0 THEN 0 ELSE 1 END) AS BIGINT),
+               CAST(SUM(k % 9 + 1 + CASE WHEN k % 6 = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT)
+        FROM base WHERE slot = 5
+        UNION ALL
+        SELECT 'zip', COUNT(*)::BIGINT, COUNT(*)::BIGINT,
+               CAST(SUM(
+                 CASE k % 3 WHEN 0 THEN strlen('<Types doc=''' || doc_id || '''/>')
+                            WHEN 1 THEN 20 ELSE 0 END
+                 + CAST(list_sum(list_transform(range(0, k % 12 + 1), i ->
+                     strlen('entry ' || i || ' of doc ' || doc_id || ' in '
+                       || lang))) AS BIGINT)) AS BIGINT)
+        FROM base WHERE slot = 0
+        ORDER BY kind
+      """.trim),
+    ),
   )
 
   private val n_ = "(k % 3 + 1)"
