@@ -262,6 +262,36 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** 1-BIT (sign) binary quantization ANN: every corpus vector collapses
+    * to its 64 SIGN BITS packed as two 32-bit halves in BIGINTs; the
+    * coarse pass ranks candidates by Hamming distance (XOR + popcount —
+    * integer-exact, no float discipline) through the bounded-heap
+    * shortlist, then [[shortlistRerank]]'s exact-cosine rerank scores
+    * the survivors. The 100 TB story is the extreme end of ss5's
+    * bandwidth play: 1 bit/dim is a 32× scan-traffic cut vs float32
+    * (sign-concordance Hamming approximates angle for zero-centered
+    * embeddings), and XOR+POPCNT runs at memory speed — full vectors
+    * are touched only for the O(probes × shortlist) survivors. */
+  def binarySignTopK(corpus: DataFrame, probes: DataFrame,
+      shortlist: Int, k: Int): DataFrame = {
+    def half(from: Int): String =
+      s"aggregate(zip_with(slice(v, ${from + 1}, 32), sequence(0, 31), " +
+        "(x, i) -> IF(x >= 0D, shiftleft(1L, i), 0L)), 0L, (a, b) -> a | b)"
+    def packed(df: DataFrame) = df.select(col("vec_id"),
+      expr(half(0)).as("b_lo"), expr(half(32)).as("b_hi"))
+    val coarse = packed(corpus).as("c")
+      .join(broadcast(packed(probes).as("p")),
+        col("p.vec_id") =!= col("c.vec_id"))
+      .select(
+        col("p.vec_id").as("probe_id"),
+        col("c.vec_id").as("neighbor_id"),
+        // negative hamming: topScored ranks score DESC ⇒ hamming ASC
+        (-(bit_count(col("p.b_lo").bitwiseXOR(col("c.b_lo"))) +
+          bit_count(col("p.b_hi").bitwiseXOR(col("c.b_hi"))))
+          .cast("double")).as("coarse"))
+    shortlistRerank(coarse, probes, corpus, shortlist, k)
+  }
+
   /** Deterministic argbest ordinal over a QUANTIZED cosine (see
     * [[ivfTopK]]'s cosOrd): exact input ⇒ exact floor ⇒ portable max_by. */
   private def qOrd(qcos: Column, tiebreak: Column): Column =

@@ -896,5 +896,54 @@ object SimilarityQueries {
         ORDER BY probe_doc, rank
       """.trim),
     ),
+
+    // ss15: 1-BIT BINARY-QUANTIZATION ANN — the extreme end of ss5's
+    // bandwidth ladder: each vector collapses to its 64 sign bits (two
+    // packed 32-bit halves), candidates shortlist by Hamming distance
+    // (XOR + popcount — integer-exact in both engines, no float
+    // discipline) through the bounded heap, exact-cosine rerank of the
+    // survivors (the ss12/ss13 shared tail, identical rank semantics).
+    // 1 bit/dim = 32× less scan traffic than float32, and the coarse
+    // pass is pure XOR+POPCNT; the oracle recomputes the Hamming
+    // shortlist directly from sign concordance (no packing — the
+    // packing is implementation, the distance is the contract).
+    Q(
+      "ss15_binary_rerank",
+      (s, dir) => {
+        val vecs = Similarity.vectors(
+          Registry.table(s, dir, "embeddings"), "vec_id", "embedding")
+        Similarity.binarySignTopK(
+            vecs, vecs.filter(col("vec_id") < ProbeMax),
+            shortlist = Shortlist, k = TopK)
+          .orderBy("probe_id", "rank")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        coarse AS (
+          SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                 -len(list_filter(range(1, ${Dims + 1}),
+                   i -> (p.v[i] >= 0) <> (c.v[i] >= 0))) AS coarse
+          FROM e p JOIN e c ON c.vec_id != p.vec_id
+          WHERE p.vec_id < $ProbeMax),
+        short AS (
+          SELECT probe_id, neighbor_id FROM (
+            SELECT probe_id, neighbor_id,
+                   row_number() OVER (PARTITION BY probe_id
+                     ORDER BY coarse DESC, neighbor_id) AS rr
+            FROM coarse)
+          WHERE rr <= $Shortlist),
+        cand AS (
+          SELECT s.probe_id, s.neighbor_id, ${cosSql("p", "c")} AS cos
+          FROM short s
+          JOIN e p ON p.vec_id = s.probe_id
+          JOIN e c ON c.vec_id = s.neighbor_id)
+        SELECT probe_id, neighbor_id, cos, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+                   ORDER BY cos DESC, neighbor_id) AS rank
+          FROM cand)
+        WHERE rank <= $TopK
+        ORDER BY probe_id, rank
+      """.trim),
+    ),
   )
 }

@@ -490,6 +490,21 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"ss12: embedding vector leaked into a shuffle key: $hp"))
   }
 
+  test("ss15 binary ANN: heap shortlist, packed-bit coarse, no vector keys") {
+    val p = plan("ss15_binary_rerank")
+    // the Hamming cut must be the bounded TopK aggregate, not a
+    // corpus-wide per-probe window sort
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final ObjectHashAggregate for the shortlist:\n$p")
+    val specs = """row_number\(\) windowspecdefinition\(([^)]*)""".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    specs.foreach(s => assert(s.contains("probe_id#"),
+      s"ss15: unexpected window partitioning: $s"))
+    val partitionings = "hashpartitioning\\([^)]*\\)".r.findAllIn(p).toSeq
+    partitionings.foreach(hp => assert(!hp.contains("v#") && !hp.contains("pv#") && !hp.contains("nv#"),
+      s"ss15: embedding vector leaked into a shuffle key: $hp"))
+  }
+
   test("ss13 coarse scan prunes the tail column from the parquet read") {
     val p = plan("ss13_columnar_coarse")
     // the point of the split layout: the corpus-wide coarse pass must
