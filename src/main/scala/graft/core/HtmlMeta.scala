@@ -20,7 +20,7 @@ object HtmlMeta {
   final case class Directives(
       noindex: Boolean, nofollow: Boolean, canonical: String,
       hreflangs: Seq[String], ogTitle: String, ogImage: String,
-      charset: String)
+      charset: String, refreshDelay: Long = -1L, refreshUrl: String = null)
 
   private val MaxTags = 4096
 
@@ -67,6 +67,7 @@ object HtmlMeta {
     val hreflangs = scala.collection.mutable.ArrayBuffer[String]()
     var ogTitle: String = null; var ogImage: String = null
     var charset: String = null
+    var refreshDelay = -1L; var refreshUrl: String = null
     var i = 0
     val n = html.length
     var tags = 0
@@ -93,6 +94,21 @@ object HtmlMeta {
                   .split("[,\\s]+").map(_.trim).filter(_.nonEmpty).toSet
                 if (toks("noindex") || toks("none")) noindex = true
                 if (toks("nofollow") || toks("none")) nofollow = true
+              } else if (a.getOrElse("http-equiv", "").equalsIgnoreCase("refresh")
+                  && refreshDelay < 0) {
+                // WHATWG "shared declarative refresh steps": digits,
+                // optional [;,] + whitespace, optional url= prefix,
+                // optional quotes around the URL
+                val c = a.getOrElse("content", "").trim
+                val m = "^(\\d+)\\s*(?:[;,]\\s*(?:[uU][rR][lL]\\s*=\\s*)?" +
+                  "[\"']?([^\"']*)[\"']?)?\\s*$"
+                val re = m.r
+                c match {
+                  case re(d, u) =>
+                    refreshDelay = d.toLongOption.getOrElse(-1L)
+                    refreshUrl = Option(u).map(_.trim).filter(_.nonEmpty).orNull
+                  case _ => () // non-conforming content ignored
+                }
               } else if (prop == "og:title" && ogTitle == null)
                 ogTitle = a.getOrElse("content", null)
               else if (prop == "og:image" && ogImage == null)
@@ -113,6 +129,6 @@ object HtmlMeta {
       }
     }
     Directives(noindex, nofollow, canonical, hreflangs.toSeq, ogTitle,
-      ogImage, charset)
+      ogImage, charset, refreshDelay, refreshUrl)
   }
 }

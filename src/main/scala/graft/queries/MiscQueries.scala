@@ -902,6 +902,54 @@ object MiscQueries {
         ORDER BY doc_id
       """.trim),
     ),
+
+    // x21: META-REFRESH census — the client-side redirect a crawler
+    // must follow (and the cloaking/doorway signal a quality pipeline
+    // flags): the WHATWG shared declarative refresh steps over the
+    // content grammar's real spellings — bare delay, `;url=`,
+    // `,URL='...'` with quotes and case variation, and pages with no
+    // refresh at all. Oracle recomputes delay/target analytically.
+    Q(
+      "x21_meta_refresh",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val k = col("doc_id") % 251
+        val target = concat(lit("https://r"), k % 7, lit(".ex/"), col("doc_id"))
+        val refresh = when(k % 4 === 0,
+            concat(lit("<meta http-equiv=refresh content=\""), k % 30, lit("\">")))
+          .when(k % 4 === 1,
+            concat(lit("<meta http-equiv=\"refresh\" content=\""), k % 30,
+              lit("; url="), target, lit("\">")))
+          .when(k % 4 === 2,
+            concat(lit("<meta content=\""), k % 30, lit(",URL='"), target,
+              lit("'\" http-equiv=\"Refresh\">")))
+          .otherwise(lit(""))
+        val html = concat(lit("<html><head><meta charset=utf-8>"), refresh,
+          lit("</head><body><p>x</p></body></html>"))
+        val parse = udf((h: String) => {
+          val d = graft.core.HtmlMeta.parse(h)
+          (d.refreshDelay, d.refreshUrl)
+        })
+        docs
+          .select(col("doc_id"), parse(html).as("d"))
+          .select(col("doc_id"),
+            col("d._1").as("refresh_delay"), col("d._2").as("refresh_url"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, doc_id % 251 AS k FROM documents)
+        SELECT doc_id,
+               (CASE WHEN k % 4 = 3 THEN -1 ELSE k % 30 END)::BIGINT
+                 AS refresh_delay,
+               CASE WHEN k % 4 IN (1, 2)
+                    THEN 'https://r' || CAST(k % 7 AS VARCHAR) || '.ex/'
+                      || CAST(doc_id AS VARCHAR)
+                    ELSE NULL END AS refresh_url
+        FROM base
+        ORDER BY doc_id
+      """.trim),
+    ),
   )
 
   /** `repeat` with a column count (the functions.repeat overload takes

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.{Exif, Flac, Ico, JpegProgressive, Mp3, Multimodal, Ogg, Pdf, Tar, Vp8, Vp8l, Zip}
+import graft.ops.{Exif, Flac, Ico, JpegProgressive, Mp3, Multimodal, Ogg, Pdf, Tar, Vp8, Vp8l, WebpAnim, Zip}
 
 /** Multimodal column queries: binary media containers synthesized from
   * document text (this container has no media codecs — see
@@ -2056,6 +2056,70 @@ object MultimodalQueries {
                        || lang))) AS BIGINT)) AS BIGINT)
         FROM base WHERE slot = 0
         ORDER BY kind
+      """.trim),
+    ),
+
+    // m38: WebP CONTAINER walk — still vs ANIMATED dispatch (VP8X /
+    // ANIM / ANMF), the chunk layer above the m21/m28 bitstream
+    // decoders; animated WebP has largely replaced GIF for short loops.
+    // Stills read their dims from the first bitstream bytes (VP8 frame
+    // tag / VP8L signature — fixed-offset fields, no decode); animated
+    // files report frame count, per-frame geometry folded to canvas
+    // containment + area, total duration, loop count. Every ANMF frame
+    // in the fixture wraps a REAL VP8L bitstream. The oracle replays
+    // the stills' dims from the m21/m28 fixture formulas and the
+    // animation arithmetic analytically.
+    Q(
+      "m38_webp_container",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val packed = docs.select(col("doc_id"),
+          WebpAnim.packWebpAnim(col("doc_id")).as("media"))
+        WebpAnim.decodeWebpAnimMeta(packed, "doc_id", "media")
+          .select(
+            col("id").as("doc_id"),
+            col("kind"), col("canvas_w"), col("canvas_h"), col("n_frames"),
+            col("total_duration_ms"), col("loop_count"), col("sum_frame_area"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, doc_id % 251 AS k FROM documents),
+        p AS (
+          SELECT doc_id, k, k % 7 + 1 AS n,
+                 CASE k % 4 WHEN 0 THEN 16 - (k % 5) WHEN 1 THEN 16
+                            WHEN 2 THEN 4 ELSE 32 END AS v8w,
+                 CASE k % 4 WHEN 0 THEN 16 - (k % 7) WHEN 1 THEN 16
+                            WHEN 2 THEN 4 ELSE 32 END AS v8h
+          FROM base)
+        SELECT doc_id,
+               CASE WHEN k % 5 = 0 THEN 'vp8l-still'
+                    WHEN k % 5 = 1 THEN 'vp8-still'
+                    ELSE 'animated' END AS kind,
+               (CASE WHEN k % 5 = 0 THEN k % 10 + 4
+                     WHEN k % 5 = 1 THEN v8w
+                     ELSE list_max(list_transform(range(0, n),
+                       i -> 2*(i % 3) + ((k + i) % 10 + 4))) END)::BIGINT
+                 AS canvas_w,
+               (CASE WHEN k % 5 = 0 THEN k % 7 + 3
+                     WHEN k % 5 = 1 THEN v8h
+                     ELSE list_max(list_transform(range(0, n),
+                       i -> 2*((i + 1) % 2) + ((k + i) % 7 + 3))) END)::BIGINT
+                 AS canvas_h,
+               (CASE WHEN k % 5 < 2 THEN 1 ELSE n END)::BIGINT AS n_frames,
+               (CASE WHEN k % 5 < 2 THEN -1
+                     ELSE list_sum(list_transform(range(0, n),
+                       i -> (k + 7*i) % 90 + 10)) END)::BIGINT
+                 AS total_duration_ms,
+               (CASE WHEN k % 5 < 2 THEN -1 ELSE k % 4 END)::BIGINT
+                 AS loop_count,
+               (CASE WHEN k % 5 = 0 THEN (k % 10 + 4) * (k % 7 + 3)
+                     WHEN k % 5 = 1 THEN v8w * v8h
+                     ELSE list_sum(list_transform(range(0, n),
+                       i -> ((k + i) % 10 + 4) * ((k + i) % 7 + 3))) END)::BIGINT
+                 AS sum_frame_area
+        FROM p
+        ORDER BY doc_id
       """.trim),
     ),
   )

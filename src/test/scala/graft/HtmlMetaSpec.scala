@@ -52,6 +52,24 @@ class HtmlMetaSpec extends AnyFunSuite {
     assert(d.noindex && d.nofollow) // union across repeated robots metas
   }
 
+  test("meta refresh: the WHATWG content grammar's spellings") {
+    def r(c: String) =
+      HtmlMeta.parse(s"""<head><meta http-equiv=refresh content="$c"></head>""")
+    assert(r("5") == r("5").copy(refreshDelay = 5L, refreshUrl = null))
+    assert(r("0; url=https://t.ex/a").refreshUrl == "https://t.ex/a")
+    assert(r("0; url=https://t.ex/a").refreshDelay == 0L)
+    assert(r("3,URL='https://t.ex/b'").refreshUrl == "https://t.ex/b")
+    assert(r("7 ; Url = https://t.ex/c").refreshUrl == "https://t.ex/c")
+    // non-conforming content ignored (no digits / garbage)
+    assert(r("soon").refreshDelay == -1L && r("soon").refreshUrl == null)
+    assert(r("").refreshDelay == -1L)
+    // first refresh wins
+    val two = HtmlMeta.parse(
+      """<head><meta http-equiv=refresh content="1; url=/first">
+        |<meta http-equiv=refresh content="9; url=/second"></head>""".stripMargin)
+    assert(two.refreshDelay == 1L && two.refreshUrl == "/first")
+  }
+
   test("null, empty, unterminated, and tag-bomb inputs never throw") {
     assert(HtmlMeta.parse(null).canonical == null)
     assert(HtmlMeta.parse("").ogTitle == null)
