@@ -1392,6 +1392,72 @@ object GraphQueries {
         LIMIT 50
       """.trim),
     ),
+    // G25: LOCAL CLUSTERING COEFFICIENT — the per-node community
+    // signal next to g13's triangle counts: cc(v) = 2·tri(v) /
+    // (deg(v)·(deg(v)−1)) over the same deduped undirected pair set,
+    // integer-exact as ppm. Link farms read near 1.0 (everything
+    // interlinks), organic hubs near 0 — the spam-vs-hub discriminator
+    // crawl prioritization feeds on. Same degree-oriented wedge
+    // generation as g13 (each wedge counted once at its lowest-degree
+    // apex — the node-iterator bound that keeps hub wedges from
+    // exploding), nodes with deg ≥ 2 and zero triangles kept at 0.
+    Q(
+      "g25_clustering_coeff",
+      (s, dir) => {
+        val pairs = cocitationTopEdges(s, dir)
+        val deg = pairs.select(col("sa").as("n"))
+          .unionByName(pairs.select(col("sb").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("deg"))
+        val flip = col("da") > col("db")
+        val oriented = pairs
+          .join(deg.select(col("n").as("sa"), col("deg").as("da")), Seq("sa"))
+          .join(deg.select(col("n").as("sb"), col("deg").as("db")), Seq("sb"))
+          .select(
+            when(flip, col("sb")).otherwise(col("sa")).as("u"),
+            when(flip, col("sa")).otherwise(col("sb")).as("v"))
+        val wedges = oriented.as("e1")
+          .join(oriented.as("e2"),
+            col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+          .select(col("e1.u").as("a"), col("e1.v").as("x"), col("e2.v").as("y"))
+        val tri = wedges.join(
+            pairs.select(col("sa").as("x"), col("sb").as("y")), Seq("x", "y"))
+          .select(explode(array(col("a"), col("x"), col("y"))).as("node"))
+          .groupBy("node").agg(count(lit(1)).as("triangles"))
+        deg.filter(col("deg") >= 2)
+          .join(tri, col("n") === col("node"), "left")
+          .select(col("n").as("node"), col("deg"),
+            coalesce(col("triangles"), lit(0L)).as("triangles"),
+            (coalesce(col("triangles"), lit(0L)) * 2000000L /
+              (col("deg") * (col("deg") - 1))).cast("long").as("cc_ppm"))
+          .orderBy("node")
+      },
+      Some(s"""
+        WITH $EdgesCte,
+        $TopEdgesCtes,
+        deg AS (
+          SELECT n, COUNT(*) AS deg FROM (
+            SELECT sa AS n FROM pairs UNION ALL SELECT sb FROM pairs)
+          GROUP BY n),
+        tri AS (
+          SELECT p1.sa AS a, p1.sb AS b, p2.sb AS c
+          FROM pairs p1
+          JOIN pairs p2 ON p2.sa = p1.sa AND p2.sb > p1.sb
+          JOIN pairs p3 ON p3.sa = p1.sb AND p3.sb = p2.sb),
+        tcnt AS (
+          SELECT node, COUNT(*) AS triangles FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+          GROUP BY node)
+        SELECT d.n AS node, d.deg,
+               COALESCE(t.triangles, 0)::BIGINT AS triangles,
+               (COALESCE(t.triangles, 0) * 2000000
+                 // (d.deg * (d.deg - 1)))::BIGINT AS cc_ppm
+        FROM deg d LEFT JOIN tcnt t ON t.node = d.n
+        WHERE d.deg >= 2
+        ORDER BY node
+      """.trim),
+    ),
   )
 
   private val hbStage = new Staging.Memo("g-hyperball")
