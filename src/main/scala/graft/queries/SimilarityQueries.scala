@@ -945,5 +945,72 @@ object SimilarityQueries {
         ORDER BY probe_id, rank
       """.trim),
     ),
+
+    // ss16: BINARY-ANN RECALL EVAL — the ss11 discipline applied to the
+    // ss15 path: per-probe recall of the 1-bit Hamming-shortlist +
+    // exact-rerank top-k against the exact brute-force top-k. The
+    // measurement a 100 TB operator runs before trusting the 32×
+    // bandwidth cut — both sides computed in one query, the oracle
+    // replays the shortlist, the rerank, the exact truth, AND the
+    // recall join, so the eval itself is hash-gated (a recall
+    // calculator that flatters the index breaks the hash).
+    Q(
+      "ss16_binary_recall",
+      (s, dir) => {
+        val vecs = Similarity.vectors(
+          Registry.table(s, dir, "embeddings"), "vec_id", "embedding")
+        val probes = vecs.filter(col("vec_id") < ProbeMax)
+        val truth = Similarity.bruteForceTopK(vecs, probes, TopK)
+          .select(col("probe_id"), col("neighbor_id"))
+        val approx = Similarity.binarySignTopK(vecs, probes,
+            shortlist = Shortlist, k = TopK)
+          .select(col("probe_id"), col("neighbor_id"), lit(1L).as("hit"))
+        truth.join(approx, Seq("probe_id", "neighbor_id"), "left")
+          .groupBy("probe_id")
+          .agg(count(col("hit")).as("n_hits"))
+          .select(col("probe_id"), col("n_hits"),
+            (col("n_hits").cast("double") / TopK).as("recall"))
+          .orderBy("probe_id")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        coarse AS (
+          SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                 -len(list_filter(range(1, ${Dims + 1}),
+                   i -> (p.v[i] >= 0) <> (c.v[i] >= 0))) AS coarse
+          FROM e p JOIN e c ON c.vec_id != p.vec_id
+          WHERE p.vec_id < $ProbeMax),
+        short AS (
+          SELECT probe_id, neighbor_id FROM (
+            SELECT probe_id, neighbor_id,
+                   row_number() OVER (PARTITION BY probe_id
+                     ORDER BY coarse DESC, neighbor_id) AS rr
+            FROM coarse)
+          WHERE rr <= $Shortlist),
+        bink AS (
+          SELECT probe_id, neighbor_id FROM (
+            SELECT s.probe_id, s.neighbor_id,
+                   row_number() OVER (PARTITION BY s.probe_id
+                     ORDER BY ${cosSql("p", "c")} DESC, s.neighbor_id) AS rank
+            FROM short s
+            JOIN e p ON p.vec_id = s.probe_id
+            JOIN e c ON c.vec_id = s.neighbor_id)
+          WHERE rank <= $TopK),
+        bf AS (
+          SELECT probe_id, neighbor_id FROM (
+            SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY p.vec_id
+                     ORDER BY ${cosSql("p", "c")} DESC, c.vec_id) AS rank
+            FROM e p JOIN e c ON c.vec_id != p.vec_id
+            WHERE p.vec_id < $ProbeMax)
+          WHERE rank <= $TopK)
+        SELECT bf.probe_id, COUNT(i.neighbor_id)::BIGINT AS n_hits,
+               COUNT(i.neighbor_id)::DOUBLE / $TopK AS recall
+        FROM bf LEFT JOIN bink i
+          ON bf.probe_id = i.probe_id AND bf.neighbor_id = i.neighbor_id
+        GROUP BY bf.probe_id
+        ORDER BY bf.probe_id
+      """.trim),
+    ),
   )
 }

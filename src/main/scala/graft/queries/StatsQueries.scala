@@ -1042,6 +1042,73 @@ object StatsQueries {
         ORDER BY event_type
       """.trim),
     ),
+
+    // st19: THEIL–SEN ROBUST TREND — the outlier-proof slope next to
+    // st11's OLS: per event type, the MEDIAN of all pairwise daily
+    // slopes (integerized: sign·(|Δy|·10⁶ div Δx), lower median at a
+    // pinned deterministic order). One bot-day that would wreck the
+    // least-squares line moves the median not at all — the robust
+    // trend a traffic audit wants. Scale: the pair join is over the
+    // DAILY series per type (≈150 rows) — O(days²·types), bounded by
+    // the time axis, never by corpus rows (the st13 discipline); the
+    // per-type window sorts ≤ C(150,2) ≈ 11k rows.
+    Q(
+      "st19_theilsen_trend",
+      (s, dir) => {
+        val daily = Registry.table(s, dir, "events")
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+          .select(col("event_type"),
+            datediff(to_date(col("day")), lit("2024-01-01").cast("date"))
+              .cast("long").as("x"),
+            col("y"))
+        val pairs = daily.as("a")
+          .join(daily.as("b"),
+            col("a.event_type") === col("b.event_type") &&
+              col("a.x") < col("b.x"))
+          .select(col("a.event_type").as("event_type"),
+            (when(col("b.y") - col("a.y") < 0, -1L).otherwise(1L) *
+              expr("(abs(b.y - a.y) * 1000000) div (b.x - a.x)"))
+              .as("slope_ppm"),
+            col("a.x").as("xi"), col("b.x").as("xj"))
+        val cnt = pairs.groupBy("event_type")
+          .agg(count(lit(1)).as("n_pairs"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("slope_ppm"), col("xi"), col("xj"))
+        pairs.withColumn("rk", row_number().over(w).cast("long"))
+          .join(cnt, "event_type")
+          .filter(col("rk") === (col("n_pairs") + 1) / 2) // lower median
+          .select(col("event_type"), col("n_pairs"),
+            col("slope_ppm").as("theilsen_ppm"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type,
+                 date_diff('day', DATE '2024-01-01',
+                           CAST(date_trunc('day', ts) AS DATE)) AS x,
+                 COUNT(*) AS y
+          FROM events GROUP BY 1, 2),
+        pairs AS (
+          SELECT a.event_type,
+                 CAST(CASE WHEN b.y - a.y < 0 THEN -1 ELSE 1 END
+                   * (abs(b.y - a.y) * 1000000 // (b.x - a.x)) AS BIGINT)
+                   AS slope_ppm,
+                 a.x AS xi, b.x AS xj
+          FROM daily a JOIN daily b
+            ON b.event_type = a.event_type AND a.x < b.x),
+        ranked AS (
+          SELECT event_type, slope_ppm,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY slope_ppm, xi, xj) AS rk,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+          FROM pairs)
+        SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+               slope_ppm AS theilsen_ppm
+        FROM ranked WHERE rk = (n_pairs + 1) // 2
+        ORDER BY event_type
+      """.trim),
+    ),
   )
 
   /** One CUSUM scan step (st16): absolute hour, observed count, the
