@@ -56,7 +56,14 @@ object Exif {
 
   /** Parse the first APP1/Exif segment of a JPEG; null when absent or
     * malformed. */
-  private[graft] def exifMeta(bytes: Array[Byte]): Meta = {
+  private[graft] def exifMeta(bytes: Array[Byte]): Meta =
+    // NonFatal net: a corpus walker must NEVER fail the task on one
+    // adversarial object — any defect escaping the explicit bounds
+    // checks degrades to the null sentinel, not a job abort
+    try exifMetaImpl(bytes)
+    catch { case scala.util.control.NonFatal(_) => null }
+
+    private def exifMetaImpl(bytes: Array[Byte]): Meta = {
     if (bytes == null || bytes.length < 4) return null
     def u8(i: Int) = bytes(i) & 0xff
     if (u8(0) != 0xff || u8(1) != 0xd8) return null

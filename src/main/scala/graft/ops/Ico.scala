@@ -33,7 +33,14 @@ object Ico {
   // decode
   // ------------------------------------------------------------------
 
-  private[graft] def icoStats(bytes: Array[Byte]): Stats = {
+  private[graft] def icoStats(bytes: Array[Byte]): Stats =
+    // NonFatal net: a corpus walker must NEVER fail the task on one
+    // adversarial object — any defect escaping the explicit bounds
+    // checks degrades to the null sentinel, not a job abort
+    try icoStatsImpl(bytes)
+    catch { case scala.util.control.NonFatal(_) => null }
+
+    private def icoStatsImpl(bytes: Array[Byte]): Stats = {
     if (bytes == null || bytes.length < 6) return null
     def u8(i: Int) = bytes(i) & 0xff
     def u16(i: Int) = u8(i) | (u8(i + 1) << 8)

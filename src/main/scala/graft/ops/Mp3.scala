@@ -55,7 +55,14 @@ object Mp3 {
   private val MaxId3Size = 1 << 24
 
   /** Parse one MP3 object's metadata; null on any malformation. */
-  private[graft] def mp3Meta(bytes: Array[Byte]): Meta = {
+  private[graft] def mp3Meta(bytes: Array[Byte]): Meta =
+    // NonFatal net: a corpus walker must NEVER fail the task on one
+    // adversarial object — any defect escaping the explicit bounds
+    // checks degrades to the null sentinel, not a job abort
+    try mp3MetaImpl(bytes)
+    catch { case scala.util.control.NonFatal(_) => null }
+
+    private def mp3MetaImpl(bytes: Array[Byte]): Meta = {
     if (bytes == null || bytes.length < 4) return null
     def u8(i: Int) = bytes(i) & 0xff
     var pos = 0

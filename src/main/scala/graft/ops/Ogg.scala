@@ -73,7 +73,14 @@ object Ogg {
   // walk
   // ------------------------------------------------------------------
 
-  private[graft] def oggMeta(bytes: Array[Byte]): Meta = {
+  private[graft] def oggMeta(bytes: Array[Byte]): Meta =
+    // NonFatal net: a corpus walker must NEVER fail the task on one
+    // adversarial object — any defect escaping the explicit bounds
+    // checks degrades to the null sentinel, not a job abort
+    try oggMetaImpl(bytes)
+    catch { case scala.util.control.NonFatal(_) => null }
+
+    private def oggMetaImpl(bytes: Array[Byte]): Meta = {
     if (bytes == null || bytes.length < 28) return null
     def u8(i: Int) = bytes(i) & 0xff
     def u32(i: Int): Long =

@@ -38,7 +38,14 @@ object Pdf {
   // walk
   // ------------------------------------------------------------------
 
-  private[graft] def pdfMeta(bytes: Array[Byte]): Meta = {
+  private[graft] def pdfMeta(bytes: Array[Byte]): Meta =
+    // NonFatal net: a corpus walker must NEVER fail the task on one
+    // adversarial object — any defect escaping the explicit bounds
+    // checks degrades to the null sentinel, not a job abort
+    try pdfMetaImpl(bytes)
+    catch { case scala.util.control.NonFatal(_) => null }
+
+    private def pdfMetaImpl(bytes: Array[Byte]): Meta = {
     if (bytes == null || bytes.length < 16) return null
     val n = bytes.length
     def ascii(at: Int, len: Int): String =

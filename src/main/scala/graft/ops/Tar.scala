@@ -57,7 +57,14 @@ object Tar {
     new String(bytes, at, z, "UTF-8")
   }
 
-  private[graft] def tarMeta(bytes: Array[Byte]): Meta = {
+  private[graft] def tarMeta(bytes: Array[Byte]): Meta =
+    // NonFatal net: a corpus walker must NEVER fail the task on one
+    // adversarial object — any defect escaping the explicit bounds
+    // checks degrades to the null sentinel, not a job abort
+    try tarMetaImpl(bytes)
+    catch { case scala.util.control.NonFatal(_) => null }
+
+    private def tarMetaImpl(bytes: Array[Byte]): Meta = {
     if (bytes == null || bytes.length < 1024 || bytes.length % 512 != 0)
       return null
     var p = 0

@@ -28,7 +28,14 @@ object WebpAnim {
   // walk
   // ------------------------------------------------------------------
 
-  private[graft] def webpMeta(bytes: Array[Byte]): Meta = {
+  private[graft] def webpMeta(bytes: Array[Byte]): Meta =
+    // NonFatal net: a corpus walker must NEVER fail the task on one
+    // adversarial object — any defect escaping the explicit bounds
+    // checks degrades to the null sentinel, not a job abort
+    try webpMetaImpl(bytes)
+    catch { case scala.util.control.NonFatal(_) => null }
+
+    private def webpMetaImpl(bytes: Array[Byte]): Meta = {
     if (bytes == null || bytes.length < 20) return null
     def u8(i: Int) = bytes(i) & 0xff
     def u16(i: Int) = u8(i) | (u8(i + 1) << 8)

@@ -36,7 +36,14 @@ object Zip {
   // walk
   // ------------------------------------------------------------------
 
-  private[graft] def zipMeta(bytes: Array[Byte]): Meta = {
+  private[graft] def zipMeta(bytes: Array[Byte]): Meta =
+    // NonFatal net: a corpus walker must NEVER fail the task on one
+    // adversarial object — any defect escaping the explicit bounds
+    // checks degrades to the null sentinel, not a job abort
+    try zipMetaImpl(bytes)
+    catch { case scala.util.control.NonFatal(_) => null }
+
+    private def zipMetaImpl(bytes: Array[Byte]): Meta = {
     if (bytes == null || bytes.length < 22) return null
     val n = bytes.length
     def u8(i: Int) = bytes(i) & 0xff
