@@ -88,6 +88,30 @@ object Robots {
   }
 
   /** Convenience for column use: is `path` fetchable for `agent`. */
+  /** `Sitemap:` directives — RFC 9309 §2.3 treats them as part of the
+    * "other records" group: case-insensitive key, valid ANYWHERE in the
+    * file, independent of user-agent sections, absolute URL value. The
+    * sitemap discovery every crawl frontier seeds from (the reference's
+    * crawler fetches robots.txt for exactly this tier of directives,
+    * `service/crawler/RobotRulesParser.java`). Order-preserving, blank
+    * values dropped, budgeted. */
+  def sitemaps(robotsTxt: String): Seq[String] = {
+    if (robotsTxt == null) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    robotsTxt.linesIterator.takeWhile(_ => out.length < 1024).foreach { line =>
+      val noComment = {
+        val h = line.indexOf('#')
+        if (h >= 0) line.substring(0, h) else line
+      }
+      val i = noComment.indexOf(':')
+      if (i > 0 && noComment.substring(0, i).trim.equalsIgnoreCase("sitemap")) {
+        val v = noComment.substring(i + 1).trim
+        if (v.nonEmpty) out += v
+      }
+    }
+    out.toSeq
+  }
+
   def isAllowed(robotsTxt: String, agent: String, path: String): Boolean =
     parse(robotsTxt, Seq(agent)).isAllowed(path)
 

@@ -950,6 +950,61 @@ object MiscQueries {
         ORDER BY doc_id
       """.trim),
     ),
+
+    // x22: ROBOTS SITEMAP DISCOVERY — the `Sitemap:` directives f8's
+    // allow/deny gate ignores: RFC 9309 §2.3 "other records" — valid
+    // ANYWHERE in the file (before or inside agent sections),
+    // case-insensitive key, comments stripped — the tier every crawl
+    // frontier seeds from before fetching a single page. The fixture
+    // plants directives at both positions with case and comment
+    // variation inside a realistic agent-section file; the oracle
+    // recomputes the ordered list analytically.
+    Q(
+      "x22_robots_sitemaps",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val k = col("doc_id") % 251
+        val sm0 = concat(lit("https://s"), k % 7, lit(".ex/sm0-"),
+          col("doc_id"), lit(".xml"))
+        val sm1 = concat(lit("https://s"), k % 7, lit(".ex/sm1-"),
+          col("doc_id"), lit(".xml"))
+        val robots = concat(
+          when(k % 3 >= 1, concat(lit("Sitemap: "), sm0, lit("\n")))
+            .otherwise(lit("")),
+          lit("User-agent: *\nDisallow: /private/\nCrawl-delay: 2\n"),
+          when(k % 3 === 2,
+            concat(lit("SITEMAP:\t"), sm1, lit(" # weekly\n")))
+            .otherwise(lit("")),
+          lit("User-agent: badbot\nDisallow: /\n"))
+        val parse = udf((txt: String) => {
+          val sms = graft.core.Robots.sitemaps(txt)
+          (sms.length.toLong, if (sms.isEmpty) null else sms.mkString(","))
+        })
+        docs
+          .select(col("doc_id"), parse(robots).as("d"))
+          .select(col("doc_id"),
+            col("d._1").as("n_sitemaps"), col("d._2").as("sitemaps"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, doc_id % 251 AS k FROM documents),
+        p AS (
+          SELECT doc_id, k,
+                 'https://s' || CAST(k % 7 AS VARCHAR) || '.ex/sm0-'
+                   || CAST(doc_id AS VARCHAR) || '.xml' AS sm0,
+                 'https://s' || CAST(k % 7 AS VARCHAR) || '.ex/sm1-'
+                   || CAST(doc_id AS VARCHAR) || '.xml' AS sm1
+          FROM base)
+        SELECT doc_id,
+               (CASE k % 3 WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE 2 END)::BIGINT
+                 AS n_sitemaps,
+               CASE k % 3 WHEN 0 THEN NULL WHEN 1 THEN sm0
+                          ELSE sm0 || ',' || sm1 END AS sitemaps
+        FROM p
+        ORDER BY doc_id
+      """.trim),
+    ),
   )
 
   /** `repeat` with a column count (the functions.repeat overload takes

@@ -59,4 +59,25 @@ class RobotsSpec extends AnyFunSuite {
       "<<not robots>>\nUser-agent: *\nDisallow: /x/\nnonsense\n", "any", "/x/1"))
     assert(Robots.parse("User-agent: *\nCrawl-delay: 2.5\n", Seq("a")).crawlDelaySec == 2L)
   }
+
+  test("sitemap directives: anywhere in the file, any case, comments stripped") {
+    val txt =
+      """Sitemap: https://a.ex/one.xml
+        |User-agent: *
+        |Disallow: /private/
+        |SITEMAP:	https://a.ex/two.xml # weekly
+        |User-agent: badbot
+        |sitemap: https://a.ex/three.xml
+        |Sitemap:
+        |Sitemap # no colon key
+        |""".stripMargin
+    assert(Robots.sitemaps(txt) == Seq(
+      "https://a.ex/one.xml", "https://a.ex/two.xml", "https://a.ex/three.xml"))
+    // the directive is section-independent: rules around it unaffected
+    assert(!Robots.isAllowed(txt, "any", "/private/x"))
+    assert(Robots.sitemaps(null).isEmpty && Robots.sitemaps("").isEmpty)
+    // budget: a million-line bomb stops at the cap, no quadratic blowup
+    val bomb = "Sitemap: https://b.ex/s.xml\n" * 1000000
+    assert(Robots.sitemaps(bomb).length == 1024)
+  }
 }
