@@ -1,5 +1,28 @@
 package graft
 object Bench {
+  /** Resolve where the full-precision dump goes. An explicit override
+    * always wins; otherwise default to `BENCH_FULL.json` in cwd UNLESS cwd
+    * is a git work tree that tracks that file (the committed baseline) —
+    * then return null so the caller refuses instead of clobbering it.
+    * This removes the documented Bench-cwd pitfall as a failure mode. */
+  def fullDumpPath(explicit: Option[String],
+                   cwd: java.nio.file.Path =
+                     java.nio.file.Paths.get("").toAbsolutePath): String =
+    explicit.filter(_.nonEmpty) match {
+      case Some(p) => p
+      case None =>
+        val tracked =
+          try {
+            val pr = new ProcessBuilder("git", "ls-files",
+                "--error-unmatch", "BENCH_FULL.json")
+              .directory(cwd.toFile)
+              .redirectErrorStream(true).start()
+            pr.getInputStream.readAllBytes()
+            pr.waitFor() == 0
+          } catch { case scala.util.control.NonFatal(_) => false }
+        if (tracked) null else cwd.resolve("BENCH_FULL.json").toString
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -116,7 +139,12 @@ object Bench {
       .map(_.group(1)).getOrElse("0")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$fullQs$fullRepeats$calibJson,"sf":$sfNum,"sf_dir":"$sfDir"}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+    val outPath = Bench.fullDumpPath(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
+    if (outPath == null)
+      System.err.println("[bench] cwd has a git-tracked BENCH_FULL.json " +
+        "(committed baseline); refusing to overwrite it. Set " +
+        "SPARK_GRAFT_BENCH_OUT=<path> or run from a non-repo cwd.")
+    else try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] full dump failed: $e") }
     // The harness keeps only the last ~2000 chars of the run's output; a

@@ -1427,8 +1427,10 @@ object GraphQueries {
           .join(tri, col("n") === col("node"), "left")
           .select(col("n").as("node"), col("deg"),
             coalesce(col("triangles"), lit(0L)).as("triangles"),
-            (coalesce(col("triangles"), lit(0L)) * 2000000L /
-              (col("deg") * (col("deg") - 1))).cast("long").as("cc_ppm"))
+            // Integer `div` keeps ppm exact like the oracle's `//`; double
+            // division + cast can cross an integer boundary near 2^51.
+            expr("coalesce(triangles, 0L) * 2000000 div (deg * (deg - 1))")
+              .as("cc_ppm"))
           .orderBy("node")
       },
       Some(s"""

@@ -1339,9 +1339,14 @@ object SourceQueries {
               f.rowGroups.forall(g => g.columns.forall(_.numValues == g.numRows))
             (f.numRows, f.rowGroups.size.toLong,
               f.schemaLeafNames.mkString(","),
-              f.rowGroups.flatMap(_.columns.map(c =>
-                graft.sources.ParquetFooter.CodecNames(c.codecId)))
-                .distinct.sorted.mkString(","),
+              f.rowGroups.flatMap(_.columns.map { c =>
+                // Unknown/newer codec ordinals (or a chunk missing the
+                // field, -1) must degrade to a label, never throw in-task.
+                val id = c.codecId
+                if (id >= 0 && id < graft.sources.ParquetFooter.CodecNames.length)
+                  graft.sources.ParquetFooter.CodecNames(id)
+                else s"codec_$id"
+              }).distinct.sorted.mkString(","),
               if (consistent) 1L else 0L)
           }
         })

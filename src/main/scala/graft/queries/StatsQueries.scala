@@ -1077,7 +1077,10 @@ object StatsQueries {
           .orderBy(col("slope_ppm"), col("xi"), col("xj"))
         pairs.withColumn("rk", row_number().over(w).cast("long"))
           .join(cnt, "event_type")
-          .filter(col("rk") === (col("n_pairs") + 1) / 2) // lower median
+          // Lower median rank must be integer division: Column `/` is double
+          // division, so for even n_pairs (rank 3.5) the equality would never
+          // match and the event_type would silently drop (oracle uses `//`).
+          .filter(col("rk") === expr("(n_pairs + 1) div 2"))
           .select(col("event_type"), col("n_pairs"),
             col("slope_ppm").as("theilsen_ppm"))
           .orderBy("event_type")

@@ -436,7 +436,15 @@ object WarcRecords {
   def fetchRecord(raw: InputStream): (Map[String, String], Array[Byte]) = {
     val pb = new java.io.PushbackInputStream(raw, 4)
     val mg = new Array[Byte](4)
-    val got = pb.read(mg)
+    // InputStream.read may legally return fewer bytes than requested even
+    // when more are available; loop until 4 bytes or EOF so the zstd magic
+    // sniff never falls through to gzip on a short read.
+    var got = 0
+    var eof = false
+    while (got < 4 && !eof) {
+      val n = pb.read(mg, got, 4 - got)
+      if (n < 0) eof = true else got += n
+    }
     require(got > 0, "empty stream at member offset")
     pb.unread(mg, 0, got)
     val codec: InputStream =
