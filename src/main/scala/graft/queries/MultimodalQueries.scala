@@ -2122,6 +2122,65 @@ object MultimodalQueries {
         ORDER BY doc_id
       """.trim),
     ),
+
+    // m39: OOXML/EPUB TEXT EXTRACTION — the document-format tier of the
+    // reference parser's text-extraction role (ParserMapper.java:941-1101
+    // extracts text from everything it can parse). m33 routes the
+    // containers; this op inflates the text-bearing members under
+    // zip-bomb budgets (declared-size gate, bounded inflate, lying-stream
+    // rejection, per-member CRC) and extracts visible text: docx via the
+    // WordprocessingML w:p/w:t walk, EPUB via container.xml → OPF →
+    // SPINE-ordered chapters through the exact x9 htmlToText discipline.
+    // The epub fixture reverses spine order vs zip order when k%3==0 and
+    // plants title/style/comment/script material plus non-spine and
+    // docProps distractors; the oracle reconstructs the full extracted
+    // text string in SQL and gates chars, words, and the md5 of the text
+    // itself.
+    Q(
+      "m39_doc_text",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val packed = docs.select(col("doc_id"),
+          graft.ops.DocText.packDoc(col("doc_id"), col("lang")).as("media"))
+        graft.ops.DocText.extractDocText(packed, "doc_id", "media")
+          .select(
+            col("id").as("doc_id"),
+            col("kind"), col("src_name"), col("n_parts"),
+            length(col("text")).cast("long").as("n_chars"),
+            size(split(col("text"), "[ \n]")).cast("long").as("n_words"),
+            md5(col("text").cast("binary")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, lang, doc_id % 251 AS k FROM documents),
+        d AS (
+          SELECT doc_id, k,
+                 CASE WHEN k % 2 = 0 THEN 'ooxml' ELSE 'epub' END AS kind,
+                 CASE WHEN k % 2 = 0 THEN 'word/document.xml'
+                      ELSE 'OEBPS/content.opf' END AS src_name,
+                 CASE WHEN k % 2 = 0 THEN k % 7 + 1 ELSE k % 4 + 1 END AS np,
+                 CASE WHEN k % 2 = 0 THEN
+                   array_to_string(list_transform(range(0, k % 7 + 1), i ->
+                     'Para ' || i || ' of doc ' || doc_id || ' in ' || lang
+                       || ' & more.'), chr(10))
+                 ELSE
+                   array_to_string(list_transform(
+                     CASE WHEN k % 3 = 0 THEN range(k % 4, -1, -1)
+                          ELSE range(0, k % 4 + 1) END, i ->
+                     'T' || i || ' Chapter ' || i || ' Doc ' || doc_id
+                       || ' speaks ' || lang || ' & reads.'), chr(10))
+                 END AS text
+          FROM base)
+        SELECT doc_id, kind, src_name, np::BIGINT AS n_parts,
+               strlen(text)::BIGINT AS n_chars,
+               len(string_split_regex(text, '[ ' || chr(10) || ']'))::BIGINT
+                 AS n_words,
+               md5(text) AS text_md5
+        FROM d
+        ORDER BY doc_id
+      """.trim),
+    ),
   )
 
   private val n_ = "(k % 3 + 1)"
