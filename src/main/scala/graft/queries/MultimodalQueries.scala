@@ -1963,25 +1963,27 @@ object MultimodalQueries {
 
     // m37: CONTAINER ROUTING REPORT — the capstone the census tier
     // exists for: ONE corpus pass where every object is magic-sniffed,
-    // dispatched to its walker (ZIP / MP3 / ICO / PDF / Ogg / TAR), and
-    // rolled up per kind with an integrity verdict — the mime-router +
-    // quarantine report a real ingest runs before any extraction. TAR
-    // integrity includes the tar-slip flag, so the report QUARANTINES
-    // the k%6==0 archives (intact < n_docs for the tar row proves the
-    // gate bites). One shuffle (6-row groupBy); per-row walks are the
-    // already-gated kernels, so the oracle reuses their seed formulas.
+    // dispatched to its walker (ZIP / MP3 / ICO / PDF / Ogg / TAR /
+    // AVIF), and rolled up per kind with an integrity verdict — the
+    // mime-router + quarantine report a real ingest runs before any
+    // extraction. TAR integrity includes the tar-slip flag, so the
+    // report QUARANTINES the k%6==0 archives (intact < n_docs for the
+    // tar row proves the gate bites). One shuffle (7-row groupBy);
+    // per-row walks are the already-gated kernels, so the oracle reuses
+    // their seed formulas.
     Q(
       "m37_container_routing",
       (s, dir) => {
         val docs = Registry.table(s, dir, "documents")
-        val slot = col("doc_id") % 6
+        val slot = col("doc_id") % 7
         val media = when(slot === 0, Zip.packZip(col("doc_id"), col("lang")))
           .when(slot === 1, Mp3.packMp3(col("doc_id"), col("lang"),
             col("n_chars").cast("long")))
           .when(slot === 2, Ico.packIco(col("doc_id")))
           .when(slot === 3, Pdf.packPdf(col("doc_id"), col("lang")))
           .when(slot === 4, Ogg.packOggOpus(col("doc_id"), col("lang")))
-          .otherwise(Tar.packTar(col("doc_id"), col("lang")))
+          .when(slot === 5, Tar.packTar(col("doc_id"), col("lang")))
+          .otherwise(graft.ops.Avif.packAvif(col("doc_id")))
         val route = udf((b: Array[Byte]) => {
           def u8(i: Int) = b(i) & 0xff
           if (b == null || b.length < 4) ("unknown", 0L, 0L)
@@ -2003,6 +2005,11 @@ object MultimodalQueries {
             val m = Ogg.oggMeta(b)
             if (m == null) ("ogg", 0L, 0L)
             else ("ogg", if (m.crcOk) 1L else 0L, m.durationMs)
+          } else if (b.length >= 12 && b(4) == 'f' && b(5) == 't' &&
+              b(6) == 'y' && b(7) == 'p') {
+            val m = graft.ops.Avif.avifMeta(b)
+            if (m == null) ("avif", 0L, 0L)
+            else ("avif", if (m.boundsOk) 1L else 0L, m.primaryBytes)
           } else {
             val m = Tar.tarMeta(b)
             if (m == null) ("tar", 0L, 0L)
@@ -2019,8 +2026,13 @@ object MultimodalQueries {
       },
       Some("""
         WITH base AS (
-          SELECT doc_id, lang, n_chars, doc_id % 251 AS k, doc_id % 6 AS slot
+          SELECT doc_id, lang, n_chars, doc_id % 251 AS k, doc_id % 7 AS slot
           FROM documents)
+        SELECT 'avif' AS kind, COUNT(*)::BIGINT AS n_docs,
+               COUNT(*)::BIGINT AS n_intact,
+               CAST(SUM((k % 2 + 1) * (k % 900 + 100)) AS BIGINT) AS metric_sum
+        FROM base WHERE slot = 6
+        UNION ALL
         SELECT 'ico' AS kind, COUNT(*)::BIGINT AS n_docs,
                COUNT(*)::BIGINT AS n_intact,
                CAST(SUM(k % 3 + 1) AS BIGINT) AS metric_sum
@@ -2178,6 +2190,53 @@ object MultimodalQueries {
                  AS n_words,
                md5(text) AS text_md5
         FROM d
+        ORDER BY doc_id
+      """.trim),
+    ),
+
+    // m40: AVIF/HEIF METADATA WALK — the fastest-growing image mime of
+    // the 2026 web, ISOBMFF image items under `meta` (ISO 23008-12):
+    // pitm primary item, iinf/infe inventory (Exif items route to the
+    // m31 tier), iprp/ipco property pool + ipma associations (the
+    // primary item's dims come through ipma, NOT first-ispe-wins —
+    // alpha items carry their own ispe), auxC-association alpha flag
+    // (the fixture plants a never-referenced auxC distractor so only a
+    // real association fires), and iloc extents bounds-checked against
+    // the file. AV1 pixel decode stays descoped (not bit-exact by
+    // spec); every field is container material. Oracle replays all
+    // eleven fields analytically.
+    Q(
+      "m40_avif_meta",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val packed = docs.select(col("doc_id"),
+          graft.ops.Avif.packAvif(col("doc_id")).as("media"))
+        graft.ops.Avif.decodeAvifMeta(packed, "doc_id", "media")
+          .select(
+            col("id").as("doc_id"),
+            col("kind"), col("primary_item"), col("n_items"),
+            col("width"), col("height"), col("n_channels"),
+            col("has_alpha"), col("has_exif"),
+            col("primary_bytes"), col("n_extents"), col("bounds_ok"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, doc_id % 251 AS k FROM documents)
+        SELECT doc_id,
+               CASE WHEN k % 4 = 0 THEN 'heic' ELSE 'avif' END AS kind,
+               1::BIGINT AS primary_item,
+               (1 + CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END
+                  + CASE WHEN k % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_items,
+               (k % 200 + 16)::BIGINT AS width,
+               (k % 150 + 16)::BIGINT AS height,
+               (k % 3 + 1)::BIGINT AS n_channels,
+               (CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END)::BIGINT AS has_alpha,
+               (CASE WHEN k % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS has_exif,
+               ((k % 2 + 1) * (k % 900 + 100))::BIGINT AS primary_bytes,
+               (k % 2 + 1)::BIGINT AS n_extents,
+               1::BIGINT AS bounds_ok
+        FROM base
         ORDER BY doc_id
       """.trim),
     ),
