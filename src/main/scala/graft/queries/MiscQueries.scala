@@ -1005,6 +1005,86 @@ object MiscQueries {
         ORDER BY doc_id
       """.trim),
     ),
+
+    // x24: SVG CENSUS — image/svg+xml is a top-10 image mime and pure
+    // text, so the census is entirely declarative: the fixture document
+    // is a concat expression, the extraction is regexp built-ins
+    // (whole-stage codegen, no UDF anywhere). Fields: declared
+    // width/height (px suffix tolerated), viewBox geometry, element
+    // count (open tags only — the planted comment must not count),
+    // <script> presence and on*= event handlers (the two SVG-XSS
+    // signals a sanitizing pipeline gates on), and external-resource
+    // hrefs (the tracking/exfil signal). Oracle replays every field
+    // analytically from the seed.
+    Q(
+      "x24_svg_census",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val k = col("doc_id") % 251
+        val w = k % 300 + 10
+        val h = k % 200 + 10
+        val nRects = (k % 9 + 1).cast("int")
+        val svg = concat(
+          lit("<svg xmlns=\"http://www.w3.org/2000/svg\" width=\""), w,
+          when(k % 2 === 0, "px").otherwise(""),
+          lit("\" height=\""), h,
+          lit("\" viewBox=\"0 0 "), w * 2, lit(" "), h * 2, lit("\">"),
+          lit("<title>doc "), col("doc_id"), lit("</title>"),
+          lit("<!-- generated <not-an-element> -->"),
+          lit("<rect x=\"0\" y=\"0\""),
+          when(k % 5 === 0, " onclick=\"track()\"").otherwise(""),
+          lit("/>"),
+          repeatstr(lit("<rect/>"), nRects - 1),
+          when(k % 7 === 0, "<script>alert(1)</script>").otherwise(""),
+          when(k % 4 === 0, "<image href=\"http://cdn.example/img.png\"/>")
+            .otherwise(""),
+          lit("</svg>"))
+        docs.select(col("doc_id"),
+            // comments vanish BEFORE any counting (x9 discipline) — the
+            // fixture plants <not-an-element> inside one to prove it
+            regexp_replace(svg, "(?s)<!--.*?-->", " ").as("svg"))
+          .select(
+            col("doc_id"),
+            regexp_extract(col("svg"), "<svg[^>]*\\bwidth=\"([0-9]+)", 1)
+              .cast("long").as("width"),
+            regexp_extract(col("svg"), "<svg[^>]*\\bheight=\"([0-9]+)", 1)
+              .cast("long").as("height"),
+            regexp_extract(col("svg"),
+              "viewBox=\"0 0 ([0-9]+) ([0-9]+)\"", 1)
+              .cast("long").as("vb_w"),
+            regexp_extract(col("svg"),
+              "viewBox=\"0 0 ([0-9]+) ([0-9]+)\"", 2)
+              .cast("long").as("vb_h"),
+            regexp_count(col("svg"), lit("<[A-Za-z]")).cast("long")
+              .as("n_elements"),
+            (regexp_count(col("svg"), lit("(?i)<script")) > 0)
+              .cast("long").as("has_script"),
+            (regexp_count(col("svg"), lit("(?i)\\son[a-z]+\\s*=")) > 0)
+              .cast("long").as("has_handler"),
+            (regexp_count(col("svg"), lit("(?i)\\bhref=\"https?://")) > 0)
+              .cast("long").as("has_external_ref"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, doc_id % 251 AS k FROM documents)
+        SELECT doc_id,
+               (k % 300 + 10)::BIGINT AS width,
+               (k % 200 + 10)::BIGINT AS height,
+               ((k % 300 + 10) * 2)::BIGINT AS vb_w,
+               ((k % 200 + 10) * 2)::BIGINT AS vb_h,
+               (2 + k % 9 + 1
+                  + CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END
+                  + CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_elements,
+               (CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END)::BIGINT AS has_script,
+               (CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END)::BIGINT AS has_handler,
+               (CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END)::BIGINT
+                 AS has_external_ref
+        FROM base
+        ORDER BY doc_id
+      """.trim),
+    ),
   )
 
   /** `repeat` with a column count (the functions.repeat overload takes
