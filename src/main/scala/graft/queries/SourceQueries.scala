@@ -1371,6 +1371,53 @@ object SourceQueries {
                1::BIGINT AS all_consistent
       """.stripMargin.trim),
     ),
+
+    // s31: ZSTD DICTIONARY SLOT — the whole point of warc-zstd's
+    // skippable dictionary frame: millions of small records share one
+    // per-file dictionary, amortizing the entropy tables the records
+    // are too small to carry individually. The writer buffers the
+    // first `dictSamples` records of each FILE, trains a zstd
+    // dictionary on them (budgeted buffer; training failure degrades
+    // to self-contained frames), emits the 0x184D2A5D skippable frame,
+    // then every member compresses against the shared dictionary. The
+    // reader captures the slot and decodes Dictionary_ID-bearing
+    // frames against it — still walking block headers WITHOUT
+    // decompressing for member boundaries. The oracle never sees WARC
+    // or zstd bytes, so a mis-trained/mis-applied dictionary breaks
+    // every payload hash.
+    Q(
+      "s31_warc_zstd_dict",
+      (s, dir) => {
+        val out = stage("s31")
+        val httpHead = "HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=UTF-8\r\n\r\n"
+        Registry.table(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 1)
+          .select(
+            concat(lit("http://"), col("source"), lit("/doc/"),
+              col("doc_id").cast("string")).as("url"),
+            lit("response").as("warc_type"),
+            lit("2026-01-02T03:04:05Z").as("warc_date"),
+            lit("application/http; msgtype=response").as("content_type"),
+            lit("10.0.0.3").as("ip"),
+            concat(lit(httpHead).cast("binary"),
+              col("text").cast("binary")).as("content"))
+          .write.format("graft-warc")
+          .option("codec", "zstd").option("dictSamples", "16")
+          .mode("append").save(out)
+        s.read.format("graft-warc").load(out)
+          .filter(col("warc_type") === "response")
+          .select(col("url"), col("length"), col("http_status"),
+            col("mime_type"), md5(col("payload")).as("payload_md5"))
+      },
+      Some(s"""
+        SELECT 'http://' || source || '/doc/' || CAST(doc_id AS VARCHAR) AS url,
+               CAST(strlen(text) + ${"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=UTF-8\r\n\r\n".length} AS BIGINT) AS length,
+               200 AS http_status,
+               'text/plain' AS mime_type,
+               md5(text) AS payload_md5
+        FROM documents WHERE doc_id % 3 = 1
+      """.stripMargin.trim),
+    ),
   )
 
   /** The s28 read path: select files whose [min_id, max_id] span

@@ -18,10 +18,16 @@ trait MemberStream {
 /** Streaming reader for a concatenation of zstd frames — the `.warc.zst`
   * layout the archive ecosystem is adopting next to `.warc.gz` (one
   * record per frame, member-seekable; IIPC warc-specifications
-  * warc-zstd). Skippable frames (RFC 8878 §9.2 — the slot the warc-zstd
-  * spec reserves for a shared dictionary) are passed over; dictionary
-  * COMPRESSION is not supported — frames must be self-contained, which
-  * is what [[graft.sources.v2.WarcDataWriter]] produces.
+  * warc-zstd). The dictionary slot is SUPPORTED on the read side: a
+  * skippable frame with magic 0x184D2A5D (the warc-zstd dictionary
+  * magic) is captured — raw, or itself a zstd frame that is inflated
+  * under a budget — and subsequent frames whose header carries a
+  * Dictionary_ID decode against it (the whole point of that slot: one
+  * shared dictionary amortized over millions of small records). A
+  * formatted dictionary's embedded ID (magic 0xEC30A437, RFC 8878 §5)
+  * is checked against each frame's declared ID. Other skippable frames
+  * (RFC 8878 §9.2) are passed over. [[graft.sources.v2.WarcDataWriter]]
+  * still produces self-contained frames.
   *
   * Member boundaries are found by walking the frame's block headers
   * (RFC 8878 §3.1.1: each block header carries its on-wire size, so the
@@ -44,6 +50,41 @@ final class ZstdMembers(in: InputStream, bufSize: Int = 1 << 16)
   /** Compressed bytes of one frame must fit this budget (a frame is one
     * WARC record; 1 GiB of compressed record is damage, not data). */
   private val MaxFrameBytes = 1 << 30
+
+  /** A shared dictionary bigger than this is damage, not data (zstd's
+    * own training tools default to ~112 KiB). */
+  private val MaxDictBytes = 8 << 20
+
+  /** warc-zstd dictionary skippable-frame magic (0x184D2A5D). */
+  private val DictMagic = 0x184d2a5dL
+
+  private var dict: Array[Byte] = null
+  private var dictEmbeddedId = 0L // 0 = raw content dictionary (no ID)
+
+  /** Capture the dictionary slot's content: raw, or a zstd frame
+    * inflated under [[MaxDictBytes]]. */
+  private def loadDict(content: Array[Byte]): Unit = {
+    val bytes =
+      if (content.length >= 4 && (content(0) & 0xff) == 0x28 &&
+          (content(1) & 0xff) == 0xb5 && (content(2) & 0xff) == 0x2f &&
+          (content(3) & 0xff) == 0xfd) {
+        val zin = new ZstdInputStream(new ByteArrayInputStream(content))
+        try {
+          val d = zin.readNBytes(MaxDictBytes + 1)
+          if (d.length > MaxDictBytes)
+            throw new IOException(s"zstd dictionary exceeds $MaxDictBytes bytes")
+          d
+        } finally zin.close()
+      } else content
+    dict = bytes
+    dictEmbeddedId =
+      if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x37 &&
+          (bytes(1) & 0xff) == 0xa4 && (bytes(2) & 0xff) == 0x30 &&
+          (bytes(3) & 0xff) == 0xec)
+        (bytes(4) & 0xffL) | ((bytes(5) & 0xffL) << 8) |
+          ((bytes(6) & 0xffL) << 16) | ((bytes(7) & 0xffL) << 24)
+      else 0L
+  }
 
   private def fill(): Boolean = {
     if (bufPos < bufLen) return true
@@ -89,12 +130,19 @@ final class ZstdMembers(in: InputStream, bufSize: Int = 1 << 16)
       val magic = readMagic(frame)
       if (magic == -1L) return null
       if (magic >= 0x184d2a50L && magic <= 0x184d2a5fL) {
-        // skippable frame: 4-byte LE size, then content — passed over
+        // skippable frame: 4-byte LE size, then content. The dictionary
+        // magic's content is CAPTURED (budgeted); others are passed over.
         val n = readMagic(null)
         if (n == -1L) throw new EOFException("truncated skippable frame")
         if (n > MaxFrameBytes)
           throw new IOException(s"skippable frame declares $n bytes")
-        copyN(n, null)
+        if (magic == DictMagic) {
+          if (n > MaxDictBytes)
+            throw new IOException(s"zstd dictionary frame declares $n bytes")
+          val content = new java.io.ByteArrayOutputStream(n.toInt)
+          copyN(n, content)
+          loadDict(content.toByteArray)
+        } else copyN(n, null)
       } else if (magic == 0xfd2fb528L) {
         // frame header
         val fhd = need(frame)
@@ -105,9 +153,23 @@ final class ZstdMembers(in: InputStream, bufSize: Int = 1 << 16)
         val dictIdLen = (fhd & 3) match {
           case 0 => 0; case 1 => 1; case 2 => 2; case _ => 4
         }
-        if (dictIdLen > 0)
-          throw new IOException(
-            "dictionary-compressed zstd frame (unsupported in graft-warc)")
+        var frameDictId = 0L
+        var i = 0
+        while (i < dictIdLen) { // LE Dictionary_ID, kept in the frame bytes
+          frameDictId |= need(frame).toLong << (8 * i)
+          i += 1
+        }
+        if (dictIdLen > 0) {
+          if (dict == null)
+            throw new IOException(
+              s"zstd frame needs dictionary $frameDictId but no dictionary " +
+                "skippable frame (0x184D2A5D) preceded it")
+          if (dictEmbeddedId != 0L && frameDictId != 0L &&
+              frameDictId != dictEmbeddedId)
+            throw new IOException(
+              s"zstd frame wants dictionary $frameDictId, stream carries " +
+                s"$dictEmbeddedId")
+        }
         val fcsLen = (fhd >>> 6) match {
           case 0 => if (singleSegment) 1 else 0
           case 1 => 2; case 2 => 4; case _ => 8
@@ -125,7 +187,13 @@ final class ZstdMembers(in: InputStream, bufSize: Int = 1 << 16)
           copyN(wire, frame)
         }
         if ((fhd & 0x04) != 0) copyN(4, frame) // content checksum
-        return new ZstdInputStream(new ByteArrayInputStream(frame.toByteArray))
+        val zin = new ZstdInputStream(new ByteArrayInputStream(frame.toByteArray))
+        // once the dictionary slot is captured, every frame decodes
+        // against it: ID-bearing frames need it (checked above), and
+        // raw-content dictionaries produce ID-less frames that still
+        // reference the dict window; a frame that never references the
+        // dictionary decodes identically with it set.
+        return if (dict != null) zin.setDict(dict) else zin
       } else
         throw new IOException(f"bad zstd magic $magic%08x at offset ${pos - 4}")
     }

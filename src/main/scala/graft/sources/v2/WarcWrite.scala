@@ -36,7 +36,8 @@ final case class WarcWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder {
       new SerializableConfiguration(
         SparkSession.active.sparkContext.hadoopConfiguration),
       info.options.getLong("rollSize", 1000000000L),
-      info.options.getOrDefault("codec", "gzip"))
+      info.options.getOrDefault("codec", "gzip"),
+      info.options.getInt("dictSamples", 0))
   }
 }
 
@@ -46,17 +47,20 @@ final case class WarcBatchWrite(
     conf: SerializableConfiguration,
     rollSize: Long,
     codec: String = "gzip",
+    dictSamples: Int = 0,
 ) extends BatchWrite {
   require(path != null, "graft-warc: 'path' option is required to write")
   require(codec == "gzip" || codec == "zstd",
     s"graft-warc: codec must be gzip or zstd, got $codec")
+  require(dictSamples == 0 || codec == "zstd",
+    "graft-warc: dictSamples requires codec=zstd")
 
   private val required = Seq("url", "warc_type", "warc_date", "content_type", "content")
   require(required.forall(schema.fieldNames.contains),
     s"graft-warc write needs columns $required, got ${schema.fieldNames.toSeq}")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    WarcWriterFactory(path, schema.fieldNames, conf, rollSize, codec)
+    WarcWriterFactory(path, schema.fieldNames, conf, rollSize, codec, dictSamples)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
@@ -88,9 +92,11 @@ final case class WarcWriterFactory(
     conf: SerializableConfiguration,
     rollSize: Long,
     codec: String = "gzip",
+    dictSamples: Int = 0,
 ) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new WarcDataWriter(path, fieldNames, conf, partitionId, taskId, rollSize, codec)
+    new WarcDataWriter(path, fieldNames, conf, partitionId, taskId, rollSize,
+      codec, dictSamples)
 }
 
 final class WarcDataWriter(
@@ -101,6 +107,7 @@ final class WarcDataWriter(
     taskId: Long,
     rollSize: Long,
     codec: String = "gzip",
+    dictSamples: Int = 0,
 ) extends DataWriter[InternalRow] {
 
   private val idx = fieldNames.zipWithIndex.toMap
@@ -116,6 +123,20 @@ final class WarcDataWriter(
   private var out: org.apache.hadoop.fs.FSDataOutputStream = null
   private var currentName: String = null
   private val ext = if (codec == "zstd") "warc.zst" else "warc.gz"
+
+  // --- per-file dictionary state (dictSamples > 0, codec=zstd): the
+  // first N records of each FILE are buffered, a zstd dictionary is
+  // trained on them, a skippable frame (magic 0x184D2A5D — the IIPC
+  // warc-zstd dictionary slot) is written, then every member of the
+  // file compresses against the shared dictionary. Files that close
+  // before N samples (or whose training fails — zdict needs enough
+  // material) flush self-contained. Buffered bytes are budgeted.
+  // NOTE: declared BEFORE openNext() — the constructor writes warcinfo.
+  private val MaxPendingBytes = 8L << 20
+  private val pending = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+  private var pendingBytes = 0L
+  private var fileDict: com.github.luben.zstd.ZstdDictCompress = null
+
   openNext()
 
   private def openNext(): Unit = {
@@ -136,6 +157,7 @@ final class WarcDataWriter(
   }
 
   private def roll(): Unit = {
+    finishFile()
     out.close()
     done += tmp.toString
     openNext()
@@ -159,21 +181,80 @@ final class WarcDataWriter(
     override def write(b: Array[Byte], off: Int, len: Int): Unit = out.write(b, off, len)
   }
 
-  private def writeMember(headers: Seq[(String, String)], block: Array[Byte]): Unit = {
-    // one member (gzip) / one self-contained frame (zstd) per record —
-    // the seekable layout; close() ends the member, NonClosing shields
-    // the shared file stream in both codecs
-    val z: java.io.OutputStream =
-      if (codec == "zstd")
-        new com.github.luben.zstd.ZstdOutputStream(new NonClosing(out), 3)
-      else new GZIPOutputStream(new NonClosing(out))
+  private def serializeMember(headers: Seq[(String, String)],
+      block: Array[Byte]): Array[Byte] = {
     val head = new StringBuilder("WARC/1.0\r\n")
     headers.foreach { case (k, v) => head.append(k).append(": ").append(v).append("\r\n") }
     head.append("Content-Length: ").append(block.length).append("\r\n\r\n")
-    z.write(head.toString.getBytes(UTF_8))
-    z.write(block)
-    z.write("\r\n\r\n".getBytes(UTF_8))
+    head.toString.getBytes(UTF_8) ++ block ++ "\r\n\r\n".getBytes(UTF_8)
+  }
+
+  /** One member (gzip) / one frame (zstd) per record — the seekable
+    * layout; close() ends the member, NonClosing shields the shared
+    * file stream in both codecs. */
+  private def emitCompressed(bytes: Array[Byte]): Unit = {
+    val z: java.io.OutputStream =
+      if (codec == "zstd") {
+        val zs = new com.github.luben.zstd.ZstdOutputStream(new NonClosing(out), 3)
+        if (fileDict != null) zs.setDict(fileDict)
+        zs
+      } else new GZIPOutputStream(new NonClosing(out))
+    z.write(bytes)
     z.close()
+  }
+
+  private def trainAndFlush(): Unit = {
+    val dict =
+      try {
+        val trainer = new com.github.luben.zstd.ZstdDictTrainer(
+          math.min(pendingBytes, MaxPendingBytes).toInt + 1024, 16 << 10)
+        pending.foreach(trainer.addSample)
+        trainer.trainSamples() // formatted dict: entropy tables + ID
+      } catch {
+        case _: com.github.luben.zstd.ZstdException =>
+          // zdict needs more material than small files provide; fall
+          // back to a RAW-CONTENT dictionary (legal per RFC 8878 §5 —
+          // no magic, no entropy tables, pure back-reference window):
+          // the concatenated sample head, capped. Frames compressed
+          // against it carry no Dictionary_ID; the reader applies the
+          // captured slot to every frame, which is a no-op for frames
+          // that never reference it.
+          val cap = 16 << 10
+          val buf = new java.io.ByteArrayOutputStream(cap)
+          pending.iterator.takeWhile(_ => buf.size < cap).foreach { b =>
+            buf.write(b, 0, math.min(b.length, cap - buf.size))
+          }
+          buf.toByteArray
+      }
+    // skippable dictionary frame: LE magic, LE content size, dict bytes
+    val hdr = new Array[Byte](8)
+    hdr(0) = 0x5d; hdr(1) = 0x2a; hdr(2) = 0x4d; hdr(3) = 0x18
+    hdr(4) = (dict.length & 0xff).toByte
+    hdr(5) = ((dict.length >> 8) & 0xff).toByte
+    hdr(6) = ((dict.length >> 16) & 0xff).toByte
+    hdr(7) = ((dict.length >> 24) & 0xff).toByte
+    out.write(hdr); out.write(dict)
+    fileDict = new com.github.luben.zstd.ZstdDictCompress(dict, 3)
+    pending.foreach(emitCompressed)
+    pending.clear()
+    pendingBytes = 0L
+  }
+
+  private def writeMember(headers: Seq[(String, String)], block: Array[Byte]): Unit = {
+    val bytes = serializeMember(headers, block)
+    if (codec == "zstd" && dictSamples > 0 && fileDict == null) {
+      pending += bytes
+      pendingBytes += bytes.length
+      if (pending.length >= dictSamples || pendingBytes >= MaxPendingBytes)
+        trainAndFlush()
+    } else emitCompressed(bytes)
+  }
+
+  /** End-of-file bookkeeping: flush an untrained buffer self-contained
+    * and drop the per-file dictionary so the next file trains its own. */
+  private def finishFile(): Unit = {
+    if (pending.nonEmpty) trainAndFlush()
+    if (fileDict != null) { fileDict.close(); fileDict = null }
   }
 
   override def write(row: InternalRow): Unit = {
@@ -207,6 +288,7 @@ final class WarcDataWriter(
   }
 
   override def commit(): WriterCommitMessage = {
+    finishFile()
     out.close()
     done += tmp.toString
     ArcCommit(done.toSeq)

@@ -162,6 +162,109 @@ class ZstdWarcSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("dictionary slot: trained write → dict-frame capture → decode") {
+    import com.github.luben.zstd.{ZstdDictTrainer, ZstdOutputStream}
+    // 1) hand-built fixture: train a dictionary, emit the 0x184D2A5D
+    //    skippable frame + dict-compressed members (spec-independent of
+    //    our writer)
+    val bodies = (0 until 40).map(i =>
+      record("response", s"http://d.example/$i",
+        httpBlock(200, "text/plain", s"shared boilerplate prefix doc $i " +
+          "lorem ipsum dolor sit amet " * 3)))
+    val trainer = new ZstdDictTrainer(1 << 20, 4 << 10)
+    bodies.foreach(trainer.addSample)
+    val dict = trainer.trainSamples()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x5d, 0x2a, 0x4d, 0x18))
+    out.write(dict.length & 0xff); out.write((dict.length >> 8) & 0xff)
+    out.write((dict.length >> 16) & 0xff); out.write((dict.length >> 24) & 0xff)
+    out.write(dict)
+    bodies.foreach { b =>
+      // compress each record as its own frame with the dictionary
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new ZstdOutputStream(bos, 3); z.setDict(dict); z.write(b); z.close()
+      out.write(bos.toByteArray)
+    }
+    val ms = new ZstdMembers(new java.io.ByteArrayInputStream(out.toByteArray))
+    var got = 0
+    var in = ms.nextMember()
+    while (in != null) {
+      val bytes = in.readAllBytes()
+      assert(new String(bytes, "UTF-8").contains(s"http://d.example/$got"))
+      got += 1
+      in = ms.nextMember()
+    }
+    assert(got == 40)
+    // frames really carry the dictionary id (dictIdLen > 0 in the FHD)
+    assert((out.toByteArray()(8 + dict.length + 4) & 3) != 0)
+
+    // 2) a dict frame WITHOUT a preceding dictionary still rejects
+    val headless = out.toByteArray.drop(8 + dict.length)
+    val ms2 = new ZstdMembers(new java.io.ByteArrayInputStream(headless))
+    assertThrows[java.io.IOException](ms2.nextMember())
+
+    // 3) embedded-vs-frame dictionary ID mismatch rejects
+    val wrongDict = out.toByteArray.clone()
+    wrongDict(8 + 4) = (wrongDict(8 + 4) ^ 0x55).toByte // flip dict's own ID
+    val ms3 = new ZstdMembers(new java.io.ByteArrayInputStream(wrongDict))
+    assertThrows[java.io.IOException](ms3.nextMember())
+  }
+
+  test("dictionary slot: zstd-compressed dictionary content inflates") {
+    import com.github.luben.zstd.{Zstd, ZstdDictTrainer, ZstdOutputStream}
+    val bodies = (0 until 40).map(i =>
+      record("response", s"http://z.example/$i",
+        httpBlock(200, "text/plain", s"zcompressed dict case doc $i " +
+          "the quick brown fox " * 4)))
+    val trainer = new ZstdDictTrainer(1 << 20, 4 << 10)
+    bodies.foreach(trainer.addSample)
+    val dict = trainer.trainSamples()
+    val zdict = Zstd.compress(dict, 3) // the slot may carry a zstd frame
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x5d, 0x2a, 0x4d, 0x18))
+    out.write(zdict.length & 0xff); out.write((zdict.length >> 8) & 0xff)
+    out.write((zdict.length >> 16) & 0xff); out.write((zdict.length >> 24) & 0xff)
+    out.write(zdict)
+    bodies.take(3).foreach { b =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new ZstdOutputStream(bos, 3); z.setDict(dict); z.write(b); z.close()
+      out.write(bos.toByteArray)
+    }
+    val ms = new ZstdMembers(new java.io.ByteArrayInputStream(out.toByteArray))
+    var got = 0
+    var in = ms.nextMember()
+    while (in != null) { in.readAllBytes(); got += 1; in = ms.nextMember() }
+    assert(got == 3)
+  }
+
+  test("writer dictSamples: per-file dictionary round-trips through the source") {
+    val dir = Files.createTempDirectory("warczstdict").toString
+    val n = 60
+    val df = spark.range(0, n).selectExpr(
+      "concat('http://dict.example/p', id) AS url",
+      "'response' AS warc_type",
+      "'2026-01-02T03:04:05Z' AS warc_date",
+      "'application/http; msgtype=response' AS content_type",
+      """cast(concat('HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n',
+         'common page chrome header footer nav ', id) AS BINARY) AS content""")
+      .coalesce(1)
+    df.write.format("graft-warc")
+      .option("codec", "zstd").option("dictSamples", "8")
+      .mode("append").save(dir)
+    // the archive really carries a dictionary skippable frame
+    val f = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".warc.zst"))
+    assert(f.length == 1)
+    val head = Files.readAllBytes(Paths.get(f.head)).take(4)
+    assert(head.toSeq == Seq[Byte](0x5d, 0x2a, 0x4d, 0x18))
+    val back = spark.read.format("graft-warc").load(dir)
+      .filter(col("warc_type") === "response")
+      .selectExpr("url", "cast(payload AS STRING) AS p").collect()
+    assert(back.length == n)
+    assert(back.forall(r => r.getString(1).endsWith(
+      r.getString(0).stripPrefix("http://dict.example/p"))))
+  }
+
   test("corruption: truncation and dictionary frames reject under budget") {
     val good = frame(record("response", "http://c.example/",
       httpBlock(200, "text/html", "x" * 5000)))
