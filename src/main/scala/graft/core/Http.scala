@@ -107,6 +107,58 @@ object Http {
     out.toByteArray
   }
 
+  /** Decode an HTTP `Content-Encoding` chain (RFC 9110 §8.4): codings
+    * are listed in the order the sender APPLIED them, so decoding runs
+    * in reverse. Supported codings: identity, gzip/x-gzip
+    * (RFC 1952 via the JDK), deflate (RFC 1950 zlib, with the
+    * historical raw-deflate fallback some origins emit), and br
+    * (RFC 7932 via [[Brotli]]). Unknown codings and every decode
+    * failure return null — undecodable, never a throw; `maxOut` is the
+    * decompression-bomb budget applied at each stage. */
+  def decodeContentEncoding(enc: String, body: Array[Byte],
+                            maxOut: Int = 1 << 26): Array[Byte] = {
+    if (body == null) return null
+    val tokens =
+      if (enc == null) Array.empty[String]
+      else enc.split(",").map(_.trim.toLowerCase(java.util.Locale.ROOT))
+        .filter(_.nonEmpty)
+    var cur = body
+    var i = tokens.length - 1
+    while (i >= 0 && cur != null) {
+      cur = tokens(i) match {
+        case "identity" => cur
+        case "gzip" | "x-gzip" => gunzipBounded(cur, maxOut)
+        case "deflate" => inflateZlibBounded(cur, maxOut)
+        case "br" => Brotli.decode(cur, maxOut)
+        case _ => null
+      }
+      i -= 1
+    }
+    cur
+  }
+
+  private def readBounded(in: java.io.InputStream, maxOut: Int): Array[Byte] =
+    try {
+      val out = in.readNBytes(maxOut + 1)
+      if (out.length > maxOut) null else out
+    } catch { case scala.util.control.NonFatal(_) => null }
+    finally in.close()
+
+  private def gunzipBounded(b: Array[Byte], maxOut: Int): Array[Byte] =
+    try readBounded(new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(b)), maxOut)
+    catch { case scala.util.control.NonFatal(_) => null }
+
+  private def inflateZlibBounded(b: Array[Byte], maxOut: Int): Array[Byte] = {
+    def run(raw: Boolean): Array[Byte] =
+      try readBounded(new java.util.zip.InflaterInputStream(
+        new java.io.ByteArrayInputStream(b),
+        new java.util.zip.Inflater(raw)), maxOut)
+      catch { case scala.util.control.NonFatal(_) => null }
+    val zlib = run(raw = false)
+    if (zlib != null) zlib else run(raw = true)
+  }
+
   /** One parsed Set-Cookie header (RFC 6265 §5.2 user-agent algorithm):
     * cookie name, value length, and the policy-relevant attributes a
     * privacy/security audit filters on. `sameSite` is the normalized

@@ -1006,6 +1006,54 @@ object MiscQueries {
       """.trim),
     ),
 
+    // x23: BROTLI DECODE — `Content-Encoding: br` is the second most
+    // common encoding on the 2026 web; core/Brotli.scala is a clean-room
+    // RFC 7932 decoder (prefix codes, block types, context modeling,
+    // distance ring, static dictionary + transforms), refereed against
+    // libbrotli-encoded goldens at q1/5/9/11 in BrotliSpec. The gated
+    // fixture is an ASSEMBLED stream (the VP8 golden pattern,
+    // libbrotlidec-pinned in BrotliFixtureSpec): an uncompressed
+    // meta-block prefix (k%3==0), a complex literal code emitted through
+    // the accumulating repeat-16 chain, 1- and 2-symbol simple codes, an
+    // explicit-distance back-reference repeating the base string, and a
+    // final command whose copy part MLEN-expires (k%4==0) — so the
+    // decoded text is analytic and the DuckDB oracle replays it exactly.
+    Q(
+      "x23_brotli_decode",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val pack = udf((id: Long, lang: String) =>
+          graft.core.BrotliFixture.encode(id, lang))
+        val dec = udf((b: Array[Byte]) => {
+          val d = graft.core.Brotli.decode(b)
+          if (d == null) null else new String(d, "UTF-8")
+        })
+        docs
+          .select(col("doc_id"),
+            dec(pack(col("doc_id"), col("lang"))).as("text"))
+          .select(col("doc_id"),
+            length(col("text")).cast("long").as("n_chars"),
+            md5(col("text").cast("binary")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, lang, doc_id % 251 AS k FROM documents),
+        d AS (
+          SELECT doc_id,
+                 CASE WHEN k % 3 = 0 THEN 'RAW:' || doc_id || ';' ELSE '' END
+                   || repeat('brotli doc ' || doc_id || ' in ' || lang || ' ',
+                             CAST(k % 6 + 2 AS INTEGER))
+                   || CASE WHEN k % 4 = 0 THEN ' END' ELSE '' END AS text
+          FROM base)
+        SELECT doc_id,
+               strlen(text)::BIGINT AS n_chars,
+               md5(text) AS text_md5
+        FROM d
+        ORDER BY doc_id
+      """.trim),
+    ),
+
     // x24: SVG CENSUS — image/svg+xml is a top-10 image mime and pure
     // text, so the census is entirely declarative: the fixture document
     // is a concat expression, the extraction is regexp built-ins

@@ -1418,6 +1418,101 @@ object SourceQueries {
         FROM documents WHERE doc_id % 3 = 1
       """.stripMargin.trim),
     ),
+
+    // s32: CONTENT-ENCODING ENVELOPE — the full HTTP body decode a
+    // crawl pipeline applies after the WARC split: Transfer-Encoding
+    // chunked (x18's dechunker) composed with Content-Encoding
+    // gzip / br / identity (RFC 9110 §8.4 reverse-order chain,
+    // core/Http.decodeContentEncoding; br = the clean-room RFC 7932
+    // decoder, the second most common encoding on the 2026 web). The
+    // fixture writes response records whose bodies cycle br (the
+    // libbrotlidec-pinned assembled stream) / gzip (JDK) / identity,
+    // half of them chunked, through the graft-warc writer; the read
+    // side splits the envelope, parses TE/CE from the headers, and
+    // decodes — the oracle never sees WARC, chunking, gzip, or brotli
+    // bytes, so any envelope mis-handling breaks the text hash.
+    Q(
+      "s32_content_encoding",
+      (s, dir) => {
+        val out = stage("s32")
+        val pack = udf((id: Long, lang: String, text: String) => {
+          val k = ((id % 251) + 251) % 251
+          val (ce, body0) = (k % 3) match {
+            case 0 => ("br", graft.core.BrotliFixture.encode(id, lang))
+            case 1 =>
+              val bos = new java.io.ByteArrayOutputStream()
+              val g = new java.util.zip.GZIPOutputStream(bos)
+              g.write(text.getBytes("UTF-8")); g.close()
+              ("gzip", bos.toByteArray)
+            case _ => (null: String, text.getBytes("UTF-8"))
+          }
+          val chunked = k % 2 == 1
+          val body =
+            if (chunked) graft.core.Http.enchunk(body0, (k % 31 + 9).toInt,
+              withExt = false, trailer = None)
+            else body0
+          val head = new StringBuilder("HTTP/1.1 200 OK\r\n")
+            .append("Content-Type: text/plain\r\n")
+          if (ce != null) head.append("Content-Encoding: ").append(ce).append("\r\n")
+          if (chunked) head.append("Transfer-Encoding: chunked\r\n")
+          else head.append("Content-Length: ").append(body.length).append("\r\n")
+          head.append("\r\n")
+          head.toString.getBytes("ISO-8859-1") ++ body
+        })
+        Registry.table(s, dir, "documents")
+          .select(
+            concat(lit("http://"), col("source"), lit("/ce/"),
+              col("doc_id").cast("string")).as("url"),
+            lit("response").as("warc_type"),
+            lit("2026-01-02T03:04:05Z").as("warc_date"),
+            lit("application/http; msgtype=response").as("content_type"),
+            pack(col("doc_id"), col("lang"), col("text")).as("content"))
+          .write.format("graft-warc").mode("append").save(out)
+        val dec = udf((headers: Map[String, String], payload: Array[Byte]) => {
+          val h = if (headers == null) Map.empty[String, String] else headers
+          def field(name: String): String =
+            h.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+              .map(_.trim).orNull
+          val te = Option(field("Transfer-Encoding"))
+            .exists(_.equalsIgnoreCase("chunked"))
+          val ce = field("Content-Encoding")
+          val body =
+            if (te) {
+              val r = graft.core.Http.dechunkCounted(payload)
+              if (r == null) null else r._1
+            } else payload
+          val d = graft.core.Http.decodeContentEncoding(ce, body)
+          if (d == null) null else new String(d, "UTF-8")
+        })
+        s.read.format("graft-warc").load(out)
+          .filter(col("warc_type") === "response")
+          .select(col("url"),
+            dec(col("http_headers"), col("payload")).as("text"))
+          .select(col("url"),
+            length(col("text")).cast("long").as("n_chars"),
+            md5(col("text").cast("binary")).as("text_md5"))
+          .orderBy("url")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, lang, text, source, doc_id % 251 AS k
+          FROM documents),
+        d AS (
+          SELECT 'http://' || source || '/ce/' || doc_id AS url,
+                 CASE WHEN k % 3 = 0 THEN concat(
+                   'RAW:' || doc_id || ';',
+                   repeat('brotli doc ' || doc_id || ' in ' || lang || ' ',
+                          CAST(k % 6 + 2 AS INTEGER)),
+                   CASE WHEN k % 4 = 0 THEN ' END' ELSE '' END)
+                 ELSE text END AS t
+          FROM base)
+        SELECT url,
+               strlen(t)::BIGINT AS n_chars,
+               md5(t) AS text_md5
+        FROM d
+        ORDER BY url
+      """.stripMargin.trim),
+    ),
   )
 
   /** The s28 read path: select files whose [min_id, max_id] span

@@ -124,4 +124,47 @@ class HttpSpec extends AnyFunSuite {
     val e = Http.parseSetCookie("k=; Version=1; Comment=x")
     assert(e.valueLen == 0 && e.maxAge == -1L && !e.secure)
   }
+
+  test("content-encoding chain: gzip/deflate/br/identity, reverse order") {
+    val body = ("the quick brown fox jumps over the lazy dog " * 20)
+      .getBytes("UTF-8")
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos); g.write(b); g.close()
+      bos.toByteArray
+    }
+    def zlib(b: Array[Byte], raw: Boolean): Array[Byte] = {
+      val d = new java.util.zip.Deflater(6, raw)
+      d.setInput(b); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    def eq(a: Array[Byte], b: Array[Byte]) = java.util.Arrays.equals(a, b)
+    assert(eq(Http.decodeContentEncoding("gzip", gz(body)), body))
+    assert(eq(Http.decodeContentEncoding("x-gzip", gz(body)), body))
+    assert(eq(Http.decodeContentEncoding("deflate", zlib(body, raw = false)), body))
+    // the historical raw-deflate origin quirk still decodes
+    assert(eq(Http.decodeContentEncoding("deflate", zlib(body, raw = true)), body))
+    assert(eq(Http.decodeContentEncoding("identity", body), body))
+    assert(eq(Http.decodeContentEncoding(null, body), body))
+    // br via the fixture assembler (libbrotlidec-pinned elsewhere)
+    val br = graft.core.BrotliFixture.encode(7L, "en")
+    assert(new String(Http.decodeContentEncoding("br", br), "UTF-8") ==
+      graft.core.BrotliFixture.expectedText(7L, "en"))
+    // chains decode in reverse application order: sender gzip THEN br?
+    // no — listed "gzip, br" means gzip applied first, br second
+    assert(eq(Http.decodeContentEncoding("identity, gzip", gz(body)), body))
+    assert(eq(Http.decodeContentEncoding("gzip, identity", gz(body)), body))
+    assert(eq(Http.decodeContentEncoding("gzip,gzip", gz(gz(body))), body))
+    // unknown codings and garbage are undecodable, never a throw
+    assert(Http.decodeContentEncoding("zstd-custom", body) == null)
+    assert(Http.decodeContentEncoding("gzip", body) == null)
+    assert(Http.decodeContentEncoding("br", gz(body)) == null)
+    assert(Http.decodeContentEncoding("gzip", null) == null)
+    // bomb budget
+    val big = gz(new Array[Byte](1 << 20))
+    assert(Http.decodeContentEncoding("gzip", big, maxOut = 1 << 16) == null)
+  }
 }
