@@ -169,6 +169,10 @@ object DocText {
   }
 
   private val WtRun = "(?s)<w:t(?:\\s[^>]*)?>(.*?)</w:t\\s*>".r
+  private val SiSeg = "(?s)<si(?:\\s[^>]*)?>(.*?)</si\\s*>".r
+  private val TRun = "(?s)<t(?:\\s[^>]*)?>(.*?)</t\\s*>".r
+  private val AtRun = "(?s)<a:t(?:\\s[^>]*)?>(.*?)</a:t\\s*>".r
+  private val SlideName = "^ppt/slides/slide([0-9]+)\\.xml$".r
 
   /** WordprocessingML body text: paragraphs are `</w:p>`-delimited
     * segments containing at least one `<w:t>` run; runs concatenate
@@ -188,6 +192,43 @@ object DocText {
       i += 1
     }
     (count, paras.result().mkString("\n"))
+  }
+
+  /** SpreadsheetML shared strings (ECMA-376 §18.4): each `<si>` is one
+    * string item — plain `<t>` or rich-text `<r><t>` runs concatenated —
+    * entity-decoded + whitespace-folded; items join by `\n`. */
+  private[graft] def xlsxText(xml: String): (Long, String) = {
+    val items = Vector.newBuilder[String]
+    var count = 0L
+    val it = SiSeg.findAllMatchIn(xml)
+    while (it.hasNext && count < MaxParts) {
+      val si = it.next().group(1)
+      val runs = TRun.findAllMatchIn(si).map(_.group(1)).toSeq
+      if (runs.nonEmpty) {
+        items += foldWs(decodeEntities(runs.mkString("")))
+        count += 1
+      }
+    }
+    (count, items.result().mkString("\n"))
+  }
+
+  /** DrawingML slide text (ECMA-376 §21.1): paragraphs are `</a:p>`
+    * segments containing `<a:t>` runs; runs concatenate, paragraphs
+    * join by `\n`. */
+  private[graft] def pptxSlideText(xml: String): String = {
+    val segs = xml.split("</a:p\\s*>", -1)
+    val paras = Vector.newBuilder[String]
+    var i = 0
+    var count = 0L
+    while (i < segs.length && count < MaxParts) {
+      val runs = AtRun.findAllMatchIn(segs(i)).map(_.group(1)).toSeq
+      if (runs.nonEmpty) {
+        paras += foldWs(decodeEntities(runs.mkString("")))
+        count += 1
+      }
+      i += 1
+    }
+    paras.result().mkString("\n")
   }
 
   /** Attribute value (double- or single-quoted) from a raw tag scan. */
@@ -238,11 +279,40 @@ object DocText {
     }
 
     if (isOoxml) {
-      val doc = member("word/document.xml")
-      if (doc == null) return null
-      val (np, text) = docxText(new String(doc, "UTF-8"))
-      if (np == 0) return null
-      Extracted("ooxml", "word/document.xml", np, text)
+      // OOXML family routing by the main-part member each app puts
+      // where [Content_Types].xml says it does
+      if (byName.contains("word/document.xml")) {
+        val doc = member("word/document.xml")
+        if (doc == null) return null
+        val (np, text) = docxText(new String(doc, "UTF-8"))
+        if (np == 0) return null
+        Extracted("ooxml", "word/document.xml", np, text)
+      } else if (byName.contains("xl/sharedStrings.xml")) {
+        val ss = member("xl/sharedStrings.xml")
+        if (ss == null) return null
+        val (np, text) = xlsxText(new String(ss, "UTF-8"))
+        if (np == 0) return null
+        Extracted("xlsx", "xl/sharedStrings.xml", np, text)
+      } else if (byName.contains("ppt/presentation.xml")) {
+        // slides in NUMERIC order (slide10 after slide9, not after
+        // slide1 — the lexicographic trap), regardless of zip order
+        val slides = ents.iterator.flatMap(e => e.name match {
+          case SlideName(n) => Some((n.toInt, e.name))
+          case _ => None
+        }).toVector.sortBy(_._1).take(MaxParts)
+        if (slides.isEmpty) return null
+        val parts = Vector.newBuilder[String]
+        var n = 0L
+        slides.foreach { case (_, name) =>
+          val d = member(name)
+          if (d != null) {
+            val t = pptxSlideText(new String(d, "UTF-8"))
+            if (t.nonEmpty) { parts += t; n += 1 }
+          }
+        }
+        if (n == 0) return null
+        Extracted("pptx", "ppt/presentation.xml", n, parts.result().mkString("\n"))
+      } else null
     } else if (isEpub) {
       val container = member("META-INF/container.xml")
       if (container == null) return null
@@ -406,9 +476,73 @@ object DocText {
     b.result()
   }
 
+  /** Analytic xlsx: k%8+1 shared-string items, each a rich-text pair of
+    * runs (the second carrying an entity), plus workbook/sheet
+    * distractor members the extractor must ignore. */
+  private[graft] def encodeXlsx(docId: Long, lang: String): Array[Byte] = {
+    val k = ((docId % 251) + 251) % 251
+    val np = (k % 8 + 1).toInt
+    val b = new Builder
+    b.add("[Content_Types].xml",
+      ("<Types><Override PartName=\"/xl/workbook.xml\" " +
+        "ContentType=\"application/vnd.openxmlformats-officedocument" +
+        ".spreadsheetml.sheet.main+xml\"/></Types>").getBytes("UTF-8"),
+      deflate = false)
+    b.add("xl/workbook.xml",
+      s"<workbook doc='$docId'><sheets><sheet name='S1'/></sheets></workbook>"
+        .getBytes("UTF-8"), deflate = true)
+    b.add("xl/worksheets/sheet1.xml",
+      ("<worksheet><sheetData><row r=\"1\"><c r=\"A1\" t=\"s\"><v>0</v></c>" +
+        "</row></sheetData></worksheet>").getBytes("UTF-8"), deflate = true)
+    val sis = (0 until np).map { i =>
+      s"<si><r><t>Cell $i doc $docId</t></r>" +
+        "<r><t xml:space=\"preserve\"> in " + lang +
+        " &amp; co.</t></r></si>"
+    }.mkString("")
+    b.add("xl/sharedStrings.xml",
+      (s"""<?xml version="1.0"?><sst count="$np" uniqueCount="$np">""" +
+        sis + "</sst>").getBytes("UTF-8"), deflate = true)
+    b.result()
+  }
+
+  /** Analytic pptx: k%12+1 slides, two paragraphs each; zip member
+    * order REVERSED when k%3==0 and slide counts reach double digits,
+    * so extraction must sort slide numbers numerically (slide10 after
+    * slide9), not lexicographically or by zip order. */
+  private[graft] def encodePptx(docId: Long, lang: String): Array[Byte] = {
+    val k = ((docId % 251) + 251) % 251
+    val ns = (k % 12 + 1).toInt
+    val b = new Builder
+    b.add("[Content_Types].xml",
+      ("<Types><Override PartName=\"/ppt/presentation.xml\" " +
+        "ContentType=\"application/vnd.openxmlformats-officedocument" +
+        ".presentationml.presentation.main+xml\"/></Types>").getBytes("UTF-8"),
+      deflate = false)
+    b.add("ppt/presentation.xml",
+      s"<p:presentation doc='$docId'/>".getBytes("UTF-8"), deflate = true)
+    val order = if (k % 3 == 0) ns to 1 by -1 else 1 to ns
+    for (i <- order)
+      b.add(s"ppt/slides/slide$i.xml",
+        ("<p:sld><p:txBody><a:p><a:r><a:t>Slide " + i +
+          s" title doc $docId</a:t></a:r></a:p>" +
+          "<a:p><a:r><a:t>Bullet " + i + " " + lang +
+          " &amp; done.</a:t></a:r></a:p><a:p><a:pPr/></a:p>" +
+          "</p:txBody></p:sld>").getBytes("UTF-8"), deflate = true)
+    b.result()
+  }
+
   // ------------------------------------------------------------------
   // Spark surface
   // ------------------------------------------------------------------
+
+  /** m41 fixture routing: even k → xlsx, odd k → pptx. */
+  def packSheetDeck(id: Column, lang: Column): Column = {
+    val enc = udf((d: Long, l: String) => {
+      val k = ((d % 251) + 251) % 251
+      if (k % 2 == 0) encodeXlsx(d, l) else encodePptx(d, l)
+    })
+    enc(id.cast("long"), lang)
+  }
 
   /** Fixture routing: even k → docx, odd k → epub. */
   def packDoc(id: Column, lang: Column): Column = {

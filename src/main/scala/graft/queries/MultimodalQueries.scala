@@ -2240,6 +2240,59 @@ object MultimodalQueries {
         ORDER BY doc_id
       """.trim),
     ),
+
+    // m41: XLSX/PPTX TEXT EXTRACTION — completes m39's OOXML family
+    // with the other two main parts a training corpus actually meets:
+    // SpreadsheetML shared strings (plain + rich-text runs, ECMA-376
+    // §18.4 — the string table sheet cells reference) and DrawingML
+    // slide text (a:p paragraphs / a:t runs, §21.1) with slides
+    // assembled in NUMERIC order — the pptx fixture reverses zip member
+    // order when k%3==0 and reaches double-digit slide numbers, so
+    // lexicographic or zip-order assembly breaks the hash. Same bounded
+    // inflate + zip-bomb discipline as m39; workbook/worksheet/
+    // presentation distractor members must be ignored. The oracle
+    // reconstructs the full text and gates md5(text).
+    Q(
+      "m41_sheet_deck_text",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val packed = docs.select(col("doc_id"),
+          graft.ops.DocText.packSheetDeck(col("doc_id"), col("lang")).as("media"))
+        graft.ops.DocText.extractDocText(packed, "doc_id", "media")
+          .select(
+            col("id").as("doc_id"),
+            col("kind"), col("src_name"), col("n_parts"),
+            length(col("text")).cast("long").as("n_chars"),
+            md5(col("text").cast("binary")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, lang, doc_id % 251 AS k FROM documents),
+        d AS (
+          SELECT doc_id, k,
+                 CASE WHEN k % 2 = 0 THEN 'xlsx' ELSE 'pptx' END AS kind,
+                 CASE WHEN k % 2 = 0 THEN 'xl/sharedStrings.xml'
+                      ELSE 'ppt/presentation.xml' END AS src_name,
+                 CASE WHEN k % 2 = 0 THEN k % 8 + 1 ELSE k % 12 + 1 END AS np,
+                 CASE WHEN k % 2 = 0 THEN
+                   array_to_string(list_transform(range(0, k % 8 + 1), i ->
+                     'Cell ' || i || ' doc ' || doc_id || ' in ' || lang
+                       || ' & co.'), chr(10))
+                 ELSE
+                   array_to_string(list_transform(range(1, k % 12 + 2), i ->
+                     'Slide ' || i || ' title doc ' || doc_id || chr(10)
+                       || 'Bullet ' || i || ' ' || lang || ' & done.'),
+                     chr(10))
+                 END AS text
+          FROM base)
+        SELECT doc_id, kind, src_name, np::BIGINT AS n_parts,
+               strlen(text)::BIGINT AS n_chars,
+               md5(text) AS text_md5
+        FROM d
+        ORDER BY doc_id
+      """.trim),
+    ),
   )
 
   private val n_ = "(k % 3 + 1)"

@@ -165,6 +165,51 @@ class DocTextSpec extends AnyFunSuite {
     assert(e != null && e.nParts == 1L && e.text == "fine")
   }
 
+  test("xlsx/pptx seeds replay analytically (numeric slide order)") {
+    for (k <- 0L until 251L) {
+      val docId = k + 251 * 4
+      val isXlsx = k % 2 == 0
+      val bytes =
+        if (isXlsx) DocText.encodeXlsx(docId, "de")
+        else DocText.encodePptx(docId, "de")
+      val e = DocText.extract(bytes)
+      assert(e != null, s"seed $k")
+      if (isXlsx) {
+        val np = (k % 8 + 1).toInt
+        assert(e.kind == "xlsx" && e.srcName == "xl/sharedStrings.xml")
+        assert(e.nParts == np, s"seed $k")
+        assert(e.text == (0 until np)
+          .map(i => s"Cell $i doc $docId in de & co.").mkString("\n"),
+          s"seed $k")
+      } else {
+        val ns = (k % 12 + 1).toInt
+        assert(e.kind == "pptx" && e.srcName == "ppt/presentation.xml")
+        assert(e.nParts == ns, s"seed $k")
+        assert(e.text == (1 to ns)
+          .map(i => s"Slide $i title doc $docId\nBullet $i de & done.")
+          .mkString("\n"), s"seed $k")
+      }
+    }
+  }
+
+  test("JDK-authored pptx with 11 slides honors numeric order") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    def add(name: String, body: String): Unit = {
+      z.putNextEntry(new ZipEntry(name)); z.write(body.getBytes("UTF-8"))
+      z.closeEntry()
+    }
+    add("[Content_Types].xml", "<Types/>")
+    add("ppt/presentation.xml", "<p/>")
+    // zip order: 10, 11, 1..9 — lexicographic AND zip order both wrong
+    for (i <- Seq(10, 11) ++ (1 to 9))
+      add(s"ppt/slides/slide$i.xml", s"<a:p><a:t>s$i</a:t></a:p>")
+    z.close()
+    val e = DocText.extract(bos.toByteArray)
+    assert(e != null && e.kind == "pptx" && e.nParts == 11)
+    assert(e.text == (1 to 11).map(i => s"s$i").mkString("\n"))
+  }
+
   test("byte-flip fuzz never throws (null or valid only)") {
     val seeds = Seq(DocText.encodeDocx(7L, "en"), DocText.encodeEpub(8L, "en"))
     val rnd = new scala.util.Random(17)
