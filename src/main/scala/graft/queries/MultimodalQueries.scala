@@ -2293,6 +2293,51 @@ object MultimodalQueries {
         ORDER BY doc_id
       """.trim),
     ),
+
+    // m42: PDF TEXT EXTRACTION — the pdftotext tier over the corpus'
+    // largest document format (m32 stops at the xref/Info walk): page
+    // TREE walk (nested Pages nodes when k%5==0 — zip-order/lex traps
+    // don't exist here, tree order is the only order), /Contents
+    // streams raw or FlateDecode'd under bomb budgets, and the ISO
+    // 32000 §9.4 text scan — BT/ET blocks, Tj, TJ arrays with kerning
+    // numbers, hex strings, literal-string escapes (\( \) \\ octal),
+    // and the ' next-line-show operator. No PDF tool exists in this
+    // container to referee against, so the gate is the analytic oracle
+    // (the m32 standing): the fixture's every operator choice is
+    // pinned and the oracle reconstructs the full text and gates
+    // md5(text).
+    Q(
+      "m42_pdf_text",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val packed = docs.select(col("doc_id"),
+          graft.ops.PdfText.packPdfText(col("doc_id"), col("lang")).as("media"))
+        graft.ops.PdfText.extractPdfText(packed, "doc_id", "media")
+          .select(
+            col("id").as("doc_id"),
+            col("n_pages"),
+            length(col("text")).cast("long").as("n_chars"),
+            md5(col("text").cast("binary")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, lang, doc_id % 251 AS k FROM documents),
+        d AS (
+          SELECT doc_id, k % 4 + 1 AS np,
+                 array_to_string(list_transform(range(1, k % 4 + 2), pg ->
+                   'Page ' || pg || ' of doc ' || doc_id || chr(10)
+                     || 'second ' || lang || ' (' || k || ') \ ok' || chr(10)
+                     || 'arr join ' || pg || ' hx' || pg || chr(10)
+                     || 'quoted ' || pg), chr(10)) AS text
+          FROM base)
+        SELECT doc_id, np::BIGINT AS n_pages,
+               strlen(text)::BIGINT AS n_chars,
+               md5(text) AS text_md5
+        FROM d
+        ORDER BY doc_id
+      """.trim),
+    ),
   )
 
   private val n_ = "(k % 3 + 1)"
