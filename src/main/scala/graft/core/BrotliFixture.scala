@@ -134,6 +134,30 @@ object BrotliFixture {
       (if (k % 4 == 0) " END" else "")
   }
 
+  /** Valid brotli stream carrying ARBITRARY bytes: a chain of
+    * uncompressed meta-blocks (≤ 65536 each) closed by an empty last
+    * block — the stored mode every conformant decoder must accept.
+    * Used by fixtures whose payload is a brotli slot (WOFF2's table
+    * blob, metadata) without needing a real entropy encoder. */
+  def encodeRaw(data: Array[Byte]): Array[Byte] = {
+    val w = new BitWriter
+    w.writeBits(0, 1) // WBITS = 16
+    var pos = 0
+    while (pos < data.length) {
+      val n = math.min(1 << 16, data.length - pos)
+      w.writeBits(0, 1) // ISLAST = 0
+      w.writeBits(0, 2) // MNIBBLES = 4
+      w.writeBits(n - 1, 16)
+      w.writeBits(1, 1) // ISUNCOMPRESSED
+      w.align()
+      w.writeBytes(java.util.Arrays.copyOfRange(data, pos, pos + n))
+      pos += n
+    }
+    w.writeBits(1, 1) // ISLAST
+    w.writeBits(1, 1) // ISLASTEMPTY
+    w.result()
+  }
+
   /** One complete brotli stream whose decode equals
     * [[expectedText]](docId, lang). */
   def encode(docId: Long, lang: String): Array[Byte] = {

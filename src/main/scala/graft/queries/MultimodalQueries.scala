@@ -2338,6 +2338,65 @@ object MultimodalQueries {
         ORDER BY doc_id
       """.trim),
     ),
+
+    // m43: WOFF2 FONT CENSUS — web fonts are a top-10 crawl mime and
+    // the format's payload IS brotli (W3C WOFF2 REC): header, table
+    // directory with known-tag indices (63 = explicit tag), the
+    // INVERTED transform flag (glyf/loca version 0 = transformed,
+    // others' nonzero versions = reserved → reject), UIntBase128
+    // lengths (multi-byte exercised), then ONE brotli blob of the
+    // concatenated tables. The census decodes the blob through the x23
+    // Brotli decoder and gates its length against the directory sum —
+    // the truncated-fetch integrity check — plus the brotli extended-
+    // metadata slot. Glyph reconstruction stays descoped (container
+    // material only, the m30–m40 standing). The oracle replays all
+    // twelve fields analytically.
+    Q(
+      "m43_woff2_census",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val packed = docs.select(col("doc_id"),
+          graft.ops.Woff2.packWoff2(col("doc_id")).as("media"))
+        graft.ops.Woff2.decodeWoff2Meta(packed, "doc_id", "media")
+          .select(
+            col("id").as("doc_id"),
+            col("flavor"), col("n_tables"), col("n_known"), col("n_custom"),
+            col("n_transformed"), col("sum_orig"), col("total_sfnt_size"),
+            col("blob_ok"), col("decomp_len"), col("has_meta"),
+            col("meta_orig"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, doc_id % 251 AS k FROM documents),
+        d AS (
+          SELECT doc_id, k,
+                 CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END AS g,
+                 CASE k % 3 WHEN 0 THEN 0 WHEN 1 THEN 20 ELSE 41 END AS extra,
+                 (54 + (k % 900 + 120) + (k % 50 + 8) + (k % 200 + 16)) AS fixed
+          FROM base)
+        SELECT doc_id,
+               CASE WHEN k % 3 = 0 THEN 'otf' ELSE 'ttf' END AS flavor,
+               (4 + 2 * g + k % 3)::BIGINT AS n_tables,
+               (3 + 2 * g + k % 3)::BIGINT AS n_known,
+               1::BIGINT AS n_custom,
+               (2 * g)::BIGINT AS n_transformed,
+               (fixed + extra
+                  + g * ((k % 3000 + 200) + (k % 400 + 100)))::BIGINT
+                 AS sum_orig,
+               (12 + (4 + 2 * g + k % 3) * 16 + fixed + extra
+                  + g * ((k % 3000 + 200) + (k % 400 + 100)))::BIGINT
+                 AS total_sfnt_size,
+               1::BIGINT AS blob_ok,
+               (fixed + extra + g * (k % 700 + 90))::BIGINT AS decomp_len,
+               (CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END)::BIGINT AS has_meta,
+               (CASE WHEN k % 4 = 0
+                     THEN strlen('<metadata doc=''' || doc_id || '''/>')
+                     ELSE -1 END)::BIGINT AS meta_orig
+        FROM d
+        ORDER BY doc_id
+      """.trim),
+    ),
   )
 
   private val n_ = "(k % 3 + 1)"
