@@ -915,6 +915,99 @@ object TextQueries {
         """.trim
       },
     ),
+
+    // t20: MARKDOWN CENSUS + TEXT — markdown is the lingua franca of
+    // the code/docs corpus slice (READMEs, wikis, issue bodies), and a
+    // text pipeline needs both the structure census (headings, fenced
+    // code, links, bullets — the quality/formatting signals) and the
+    // prose with markup stripped IN THE RIGHT ORDER (fenced blocks
+    // vanish wholesale BEFORE code-span/link passes, so backticks and
+    // brackets inside code can't corrupt the strip — the x9 script-
+    // first discipline applied to markdown). Fixture and extraction
+    // are both 100% declarative built-ins (whole-stage codegen, zero
+    // UDFs); the oracle reconstructs every count and the md5 of the
+    // stripped text.
+    Q(
+      "t20_markdown_census",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val k = col("doc_id") % 251
+        val sections = array_join(
+          transform(sequence(lit(0), k % 5), i =>
+            concat(lit("## Sec "), i, lit("\nBody "), i, lit(" of "),
+              col("doc_id"), lit(" sees [ref "), i, lit("](https://r"), i,
+              lit(".example/) ok.\n"))), "")
+        val bullets = when(k % 4 > 0, array_join(
+          transform(sequence(lit(0), k % 4 - 1), j =>
+            concat(lit("- item "), j, lit(" "), col("lang"), lit("\n"))), ""))
+          .otherwise("")
+        val fenced = when(k % 3 === 0,
+          concat(lit("```python\ncode "), col("doc_id"),
+            lit("\nx = ["), k, lit("]\n```\n"))).otherwise("")
+        val md = concat(
+          lit("# Doc "), col("doc_id"), lit("\n"),
+          lit("Intro "), col("lang"), lit(" with [a link](http://ex"),
+          k % 9, lit(".example/p"), col("doc_id"), lit(") and `span "),
+          k, lit("`.\n"),
+          fenced, sections, bullets)
+        val noFence = regexp_replace(md, "(?s)```.*?```", " ")
+        val text = trim(regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(noFence, "`([^`]*)`", "$1"),
+                "\\[([^\\]]*)\\]\\([^)]*\\)", "$1"),
+              "(?m)^#{1,6}\\s*", ""),
+            "(?m)^-\\s*", ""),
+          "\\s+", " "))
+        docs.select(col("doc_id"), md.as("md"), noFence.as("nf"), text.as("text"))
+          .select(
+            col("doc_id"),
+            regexp_count(col("md"), lit("(?m)^#{1,6} ")).cast("long")
+              .as("n_headings"),
+            regexp_count(col("md"), lit("(?m)^## ")).cast("long").as("n_h2"),
+            regexp_count(col("nf"), lit("\\[[^\\]]*\\]\\([^)]*\\)"))
+              .cast("long").as("n_links"),
+            regexp_count(col("nf"), lit("\\]\\(https://")).cast("long")
+              .as("n_https_links"),
+            regexp_count(col("nf"), lit("`[^`\\n]+`")).cast("long")
+              .as("n_code_spans"),
+            regexp_count(col("md"), lit("(?s)```.*?```")).cast("long")
+              .as("n_fenced"),
+            regexp_count(col("md"), lit("(?m)^- ")).cast("long").as("n_bullets"),
+            length(col("text")).cast("long").as("n_chars"),
+            md5(col("text").cast("binary")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, lang, doc_id % 251 AS k FROM documents),
+        d AS (
+          SELECT doc_id, k,
+                 'Doc ' || doc_id || ' Intro ' || lang
+                   || ' with a link and span ' || k || '.'
+                   || COALESCE(array_to_string(
+                        list_transform(range(0, k % 5 + 1), i ->
+                          ' Sec ' || i || ' Body ' || i || ' of ' || doc_id
+                            || ' sees ref ' || i || ' ok.'), ''), '')
+                   || COALESCE(array_to_string(
+                        list_transform(range(0, k % 4), j ->
+                          ' item ' || j || ' ' || lang), ''), '') AS text
+          FROM base)
+        SELECT doc_id,
+               (1 + k % 5 + 1)::BIGINT AS n_headings,
+               (k % 5 + 1)::BIGINT AS n_h2,
+               (1 + k % 5 + 1)::BIGINT AS n_links,
+               (k % 5 + 1)::BIGINT AS n_https_links,
+               1::BIGINT AS n_code_spans,
+               (CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_fenced,
+               (k % 4)::BIGINT AS n_bullets,
+               strlen(text)::BIGINT AS n_chars,
+               md5(text) AS text_md5
+        FROM d
+        ORDER BY doc_id
+      """.trim),
+    ),
   )
 
   /** Shared BPE oracle machinery: k unrolled merge levels over the word
