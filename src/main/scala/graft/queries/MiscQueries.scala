@@ -1133,6 +1133,166 @@ object MiscQueries {
         ORDER BY doc_id
       """.trim),
     ),
+
+    // x25: SECURITY-HEADER CENSUS — the x19/x20 sibling for the three
+    // headers every web-security audit rolls up: HSTS (max-age +
+    // includeSubDomains, RFC 6797), CSP (directive count + the two
+    // unsafe tokens sanitizers gate on), and X-Content-Type-Options
+    // nosniff. Declarative regexp built-ins over the response header
+    // block — zero UDFs; the oracle replays every field.
+    Q(
+      "x25_security_headers",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val k = col("doc_id") % 251
+        val hsts = when(k % 2 === 0, concat(
+          lit("Strict-Transport-Security: max-age="), k * 1000 + 300,
+          when(k % 4 === 0, "; includeSubDomains").otherwise(""),
+          lit("\r\n"))).otherwise("")
+        val csp = when(k % 3 =!= 2, concat(
+          lit("Content-Security-Policy: default-src 'self'; script-src 'self'"),
+          when(k % 5 === 0, " 'unsafe-inline'").otherwise(""),
+          when(k % 7 === 0, " 'unsafe-eval'").otherwise(""),
+          lit(" https://cdn"), k % 9, lit(".example"),
+          when(k % 3 === 0, "; img-src *").otherwise(""),
+          lit("\r\n"))).otherwise("")
+        val xcto = when(k % 6 < 3, lit("X-Content-Type-Options: nosniff\r\n"))
+          .otherwise("")
+        val headers = concat(
+          lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"),
+          hsts, csp, xcto, lit("\r\n"))
+        docs.select(col("doc_id"), headers.as("h"))
+          .select(
+            col("doc_id"),
+            (regexp_count(col("h"),
+              lit("(?im)^strict-transport-security:")) > 0)
+              .cast("long").as("has_hsts"),
+            coalesce(expr(
+              "try_cast(regexp_extract(h, '(?i)max-age=(\\\\d+)', 1) AS BIGINT)"),
+              lit(-1L)).as("hsts_max_age"),
+            (regexp_count(col("h"), lit("(?i)includeSubDomains")) > 0)
+              .cast("long").as("hsts_include_sub"),
+            (regexp_count(col("h"),
+              lit("(?im)^content-security-policy:")) > 0)
+              .cast("long").as("has_csp"),
+            when(regexp_extract(col("h"),
+                "(?im)^content-security-policy:([^\\r\\n]*)", 1) =!= "",
+              size(split(regexp_extract(col("h"),
+                "(?im)^content-security-policy:([^\\r\\n]*)", 1), ";")))
+              .otherwise(0).cast("long").as("n_csp_directives"),
+            (regexp_count(col("h"), lit("'unsafe-inline'")) > 0)
+              .cast("long").as("csp_unsafe_inline"),
+            (regexp_count(col("h"), lit("'unsafe-eval'")) > 0)
+              .cast("long").as("csp_unsafe_eval"),
+            (regexp_count(col("h"), lit("(?im)^x-content-type-options:\\s*nosniff"))
+              > 0).cast("long").as("has_nosniff"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, doc_id % 251 AS k FROM documents)
+        SELECT doc_id,
+               (CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS has_hsts,
+               (CASE WHEN k % 2 = 0 THEN k * 1000 + 300 ELSE -1 END)::BIGINT
+                 AS hsts_max_age,
+               (CASE WHEN k % 2 = 0 AND k % 4 = 0 THEN 1 ELSE 0 END)::BIGINT
+                 AS hsts_include_sub,
+               (CASE WHEN k % 3 <> 2 THEN 1 ELSE 0 END)::BIGINT AS has_csp,
+               (CASE WHEN k % 3 = 2 THEN 0
+                     WHEN k % 3 = 0 THEN 3 ELSE 2 END)::BIGINT
+                 AS n_csp_directives,
+               (CASE WHEN k % 3 <> 2 AND k % 5 = 0 THEN 1 ELSE 0 END)::BIGINT
+                 AS csp_unsafe_inline,
+               (CASE WHEN k % 3 <> 2 AND k % 7 = 0 THEN 1 ELSE 0 END)::BIGINT
+                 AS csp_unsafe_eval,
+               (CASE WHEN k % 6 < 3 THEN 1 ELSE 0 END)::BIGINT AS has_nosniff
+        FROM base
+        ORDER BY doc_id
+      """.trim),
+    ),
+
+    // x26: SITEMAP XML PARSE — completes the x22 chain (robots.txt
+    // names the sitemaps; this parses them): urlset vs sitemapindex
+    // dispatch, <loc> extraction with entity decode (&amp; is legal in
+    // URLs and MUST decode), optional lastmod/priority census, and the
+    // protocol's 50k-entry budget via slice. Declarative built-ins
+    // end-to-end (regexp_extract_all + transform in codegen, zero
+    // UDFs); the oracle replays counts, the first loc, and the md5 of
+    // the joined loc list.
+    Q(
+      "x26_sitemap_parse",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val k = col("doc_id") % 251
+        val isIndex = k % 4 === 0
+        val nu = k % 7 + 1
+        val urlEntries = array_join(
+          transform(sequence(lit(0), nu - 1), i => concat(
+            lit("<url><loc>https://s"), k % 5, lit(".example/p"), i,
+            lit("-"), col("doc_id"), lit("?a=1&amp;b="), i, lit("</loc>"),
+            when(i % 2 === 0, concat(lit("<lastmod>2026-0"), i % 9 + 1,
+              lit("-01</lastmod>"))).otherwise(""),
+            when(i % 4 === 0, concat(lit("<priority>0."), k % 9,
+              lit("</priority>"))).otherwise(""),
+            lit("</url>"))), "")
+        val idxEntries = array_join(
+          transform(sequence(lit(0), k % 3), i => concat(
+            lit("<sitemap><loc>https://s"), k % 5, lit(".example/sm"), i,
+            lit("-"), col("doc_id"), lit(".xml</loc></sitemap>"))), "")
+        val xml = when(isIndex, concat(
+            lit("<?xml version=\"1.0\"?><sitemapindex>"), idxEntries,
+            lit("</sitemapindex>")))
+          .otherwise(concat(
+            lit("<?xml version=\"1.0\"?><urlset>"), urlEntries,
+            lit("</urlset>")))
+        val locsRaw = regexp_extract_all(col("xml"),
+          lit("<loc>([^<]*)</loc>"), lit(1))
+        // entity decode + the protocol's 50,000-entry budget
+        val locs = transform(slice(locsRaw, 1, 50000), l =>
+          replace(replace(replace(l, lit("&lt;"), lit("<")),
+            lit("&gt;"), lit(">")), lit("&amp;"), lit("&")))
+        docs.select(col("doc_id"), xml.as("xml"))
+          .select(
+            col("doc_id"),
+            when(col("xml").contains("<sitemapindex>"), "sitemapindex")
+              .otherwise("urlset").as("kind"),
+            size(locs).cast("long").as("n_entries"),
+            regexp_count(col("xml"), lit("<lastmod>")).cast("long")
+              .as("n_lastmod"),
+            regexp_count(col("xml"), lit("<priority>")).cast("long")
+              .as("n_priority"),
+            element_at(locs, 1).as("first_loc"),
+            md5(array_join(locs, ",").cast("binary")).as("locs_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, doc_id % 251 AS k FROM documents),
+        d AS (
+          SELECT doc_id, k, k % 4 = 0 AS idx,
+                 CASE WHEN k % 4 = 0 THEN
+                   list_transform(range(0, k % 3 + 1), i ->
+                     'https://s' || (k % 5) || '.example/sm' || i || '-'
+                       || doc_id || '.xml')
+                 ELSE
+                   list_transform(range(0, k % 7 + 1), i ->
+                     'https://s' || (k % 5) || '.example/p' || i || '-'
+                       || doc_id || '?a=1&b=' || i)
+                 END AS locs
+          FROM base)
+        SELECT doc_id,
+               CASE WHEN idx THEN 'sitemapindex' ELSE 'urlset' END AS kind,
+               len(locs)::BIGINT AS n_entries,
+               (CASE WHEN idx THEN 0
+                     ELSE (k % 7 + 2) // 2 END)::BIGINT AS n_lastmod,
+               (CASE WHEN idx THEN 0
+                     ELSE (k % 7 + 4) // 4 END)::BIGINT AS n_priority,
+               locs[1] AS first_loc,
+               md5(array_to_string(locs, ',')) AS locs_md5
+        FROM d
+        ORDER BY doc_id
+      """.trim),
+    ),
   )
 
   /** `repeat` with a column count (the functions.repeat overload takes
