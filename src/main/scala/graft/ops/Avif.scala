@@ -237,6 +237,79 @@ object Avif {
       hasAlpha, hasExif, primaryBytes, nExtents, boundsOk)
   }
 
+  /** The primary item's FIRST extent bytes (the AV1 bitstream head for
+    * AVIF stills) — the m44 sequence-header tier reads through this;
+    * null on any malformed structure. */
+  private[graft] def primaryItemData(b: Array[Byte]): Array[Byte] =
+    try {
+      val m = avifMetaImpl(b)
+      if (m == null || !m.boundsOk) null
+      else primaryExtent(b, m.primaryItem)
+    } catch { case scala.util.control.NonFatal(_) => null }
+
+  /** Re-walk meta→iloc for one item's first extent slice. */
+  private def primaryExtent(b: Array[Byte], itemId: Long): Array[Byte] = {
+    def u8(i: Int) = b(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) |
+        u8(i + 3)) & 0xffffffffL
+    def beN(i: Int, n: Int): Long = {
+      var v = 0L; var j = 0
+      while (j < n) { v = (v << 8) | u8(i + j); j += 1 }
+      v
+    }
+    def cc(i: Int) =
+      if (i + 4 <= b.length) new String(b, i, 4, "US-ASCII") else ""
+    def child(start: Long, end: Long, id: String): Option[(Long, Long)] = {
+      var i = start
+      while (i + 8 <= end) {
+        val size = be32(i.toInt)
+        if (size < 8 || i + size > end) return None
+        if (cc(i.toInt + 4) == id) return Some((i + 8, i + size))
+        i += size
+      }
+      None
+    }
+    val meta = child(0, b.length.toLong, "meta").getOrElse(return null)
+    val iloc = child(meta._1 + 4, meta._2, "iloc").getOrElse(return null)
+    val lv = u8(iloc._1.toInt)
+    val szByte = u8(iloc._1.toInt + 4)
+    val offSize = (szByte >> 4) & 0xf
+    val lenSize = szByte & 0xf
+    val bo = u8(iloc._1.toInt + 5)
+    val baseSize = (bo >> 4) & 0xf
+    val idxSize = if (lv == 1 || lv == 2) bo & 0xf else 0
+    var q = iloc._1 + 6
+    val itemCount: Long =
+      if (lv < 2) { val c = be16(q.toInt).toLong; q += 2; c }
+      else { val c = be32(q.toInt); q += 4; c }
+    var it = 0L
+    while (it < itemCount) {
+      val id: Long =
+        if (lv < 2) { val v = be16(q.toInt).toLong; q += 2; v }
+        else { val v = be32(q.toInt); q += 4; v }
+      if (lv == 1 || lv == 2) q += 2
+      q += 2
+      val base = beN(q.toInt, baseSize); q += baseSize
+      val extCount = be16(q.toInt); q += 2
+      var x = 0
+      while (x < extCount) {
+        q += idxSize
+        val off = beN(q.toInt, offSize); q += offSize
+        val len = beN(q.toInt, lenSize); q += lenSize
+        if (id == itemId && x == 0) {
+          if (base + off + len > b.length) return null
+          return java.util.Arrays.copyOfRange(
+            b, (base + off).toInt, (base + off + len).toInt)
+        }
+        x += 1
+      }
+      it += 1
+    }
+    null
+  }
+
   // ------------------------------------------------------------------
   // fixture encoder
   // ------------------------------------------------------------------
@@ -370,6 +443,12 @@ object Avif {
     val payloadLen = nExt * extLen + (if (alpha) alphaLen else 0L) +
       (if (exif) exifLen else 0L)
     val mdatData = Array.tabulate(payloadLen.toInt)(i => ((docId + i) % 251).toByte)
+    // the primary item's first extent opens with a REAL AV1 reduced-
+    // still-picture sequence-header OBU carrying the SAME geometry as
+    // ispe (the m44 bitstream-vs-container consistency tier); extLen
+    // (≥100) always covers the ~12-byte OBU, filler follows
+    val obu = Av1.encodeSeqHeader(w, h, k)
+    System.arraycopy(obu, 0, mdatData, 0, obu.length)
 
     // two-pass: sizes of meta don't depend on offset VALUES (fixed u32)
     def assemble(mdatBody: Long): Array[Byte] = {

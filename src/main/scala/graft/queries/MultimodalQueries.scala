@@ -2397,6 +2397,54 @@ object MultimodalQueries {
         ORDER BY doc_id
       """.trim),
     ),
+
+    // m44: AV1 SEQUENCE-HEADER PARSE — the bitstream tier under m40:
+    // AVIF stills are AV1 reduced-still-picture streams, and the
+    // sequence header (AV1 spec §5.5, MSB-first bits — the OPPOSITE
+    // bit order of VP8L/brotli) carries the REAL dimensions the
+    // container's ispe merely mirrors. The fixture's primary-item
+    // first extent now opens with a genuine OBU carrying the SAME
+    // geometry as ispe, so the oracle's equality on bs_width/bs_height
+    // against the ispe formulas IS the container-vs-bitstream
+    // consistency check a real ingest runs. OBU header + leb128 size +
+    // profile/still/level/frame-size-bit-widths/superblock/cdef/
+    // restoration/color_config/film_grain all parsed; full AV1 frame
+    // decode stays descoped (the m40 standing).
+    Q(
+      "m44_av1_seqheader",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val packed = docs.select(col("doc_id"),
+          graft.ops.Avif.packAvif(col("doc_id")).as("media"))
+        graft.ops.Av1.decodeAv1Seq(packed, "doc_id", "media")
+          .select(
+            col("id").as("doc_id"),
+            col("profile"), col("still_picture"), col("level"),
+            col("bs_width"), col("bs_height"), col("bit_depth"),
+            col("monochrome"), col("use_128_sb"), col("enable_cdef"),
+            col("enable_restoration"), col("film_grain"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, doc_id % 251 AS k FROM documents)
+        SELECT doc_id,
+               0::BIGINT AS profile,
+               1::BIGINT AS still_picture,
+               (k % 14)::BIGINT AS level,
+               (k % 200 + 16)::BIGINT AS bs_width,
+               (k % 150 + 16)::BIGINT AS bs_height,
+               8::BIGINT AS bit_depth,
+               0::BIGINT AS monochrome,
+               (k % 2)::BIGINT AS use_128_sb,
+               ((k + 1) % 2)::BIGINT AS enable_cdef,
+               (CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END)::BIGINT
+                 AS enable_restoration,
+               (CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END)::BIGINT AS film_grain
+        FROM base
+        ORDER BY doc_id
+      """.trim),
+    ),
   )
 
   private val n_ = "(k % 3 + 1)"
