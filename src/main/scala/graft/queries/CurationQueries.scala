@@ -1460,5 +1460,58 @@ object CurationQueries {
         ORDER BY bucket
       """.trim),
     ),
+
+    // cu26: DATASET DATASHEET — the per-language descriptive rollup a
+    // "datasheets for datasets" release ships next to the corpus (and
+    // the first table any consumer reads): document and source counts,
+    // token totals, integer-exact mean length, the short-doc share a
+    // quality gate would cut, and the exact-duplicate rate (hash
+    // distinct) — all in ONE corpus pass / one shuffle on the language
+    // key, output bounded by |langs|. Complements cu21 (which GATES
+    // and SPLITS); this DESCRIBES. Every field integer-exact via div,
+    // oracle-mirrored.
+    Q(
+      "cu26_datasheet",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        docs.select(col("lang"), col("source"), col("n_chars"),
+            when(length(trim(col("text"))) === 0, 0)
+              .otherwise(size(split(trim(col("text")), "\\s+")))
+              .cast("long").as("toks"),
+            md5(col("text").cast("binary")).as("h"))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("source")).as("n_sources"),
+            sum(col("toks")).as("total_tokens"),
+            expr("sum(n_chars) div count(1)").as("avg_chars"),
+            expr("sum(case when n_chars < 200 then 1 else 0 end) " +
+              "* 1000000 div count(1)").as("short_ppm"),
+            expr("(count(1) - count(distinct h)) * 1000000 div count(1)")
+              .as("dup_ppm"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH d AS (
+          SELECT lang, source, n_chars,
+                 CASE WHEN strlen(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END
+                   AS toks,
+                 md5(text) AS h
+          FROM documents)
+        SELECT lang,
+               COUNT(*)::BIGINT AS n_docs,
+               COUNT(DISTINCT source)::BIGINT AS n_sources,
+               CAST(SUM(toks) AS BIGINT) AS total_tokens,
+               (SUM(n_chars) // COUNT(*))::BIGINT AS avg_chars,
+               (SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END)
+                  * 1000000 // COUNT(*))::BIGINT AS short_ppm,
+               ((COUNT(*) - COUNT(DISTINCT h)) * 1000000 // COUNT(*))::BIGINT
+                 AS dup_ppm
+        FROM d
+        GROUP BY lang
+        ORDER BY lang
+      """.trim),
+    ),
   )
 }

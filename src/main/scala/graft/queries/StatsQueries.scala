@@ -1112,6 +1112,52 @@ object StatsQueries {
         ORDER BY event_type
       """.trim),
     ),
+
+    // st20: DAY-OF-WEEK SEASONALITY INDEX — the weekly-rhythm profile
+    // every traffic/crawl scheduler reads (weekday vs weekend fetch
+    // budgets, anomaly baselines that must not fire every Saturday):
+    // per event_type × weekday, the count's share of the type's total
+    // scaled by 7 (index 1 000 000 = perfectly flat), integer-exact
+    // ppm. Weekday comes from epoch-day arithmetic anchored at a known
+    // Monday (2024-01-01) on BOTH sides — the st19 discipline — so
+    // Spark's 1=Sunday and DuckDB's 0=Sunday dayofweek conventions
+    // never enter. Two partial-agg passes; output bounded by
+    // |types| × 7.
+    Q(
+      "st20_dow_seasonality",
+      (s, dir) => {
+        val events = Registry.table(s, dir, "events")
+        val dow = expr(
+          "datediff(to_date(ts), to_date('2024-01-01')) % 7").cast("long")
+        val perDow = events
+          .select(col("event_type"), dow.as("dow"))
+          .groupBy("event_type", "dow")
+          .agg(count(lit(1)).as("cnt"))
+        val totals = perDow.groupBy("event_type")
+          .agg(sum(col("cnt")).as("total"))
+        perDow.join(totals, "event_type")
+          .select(col("event_type"), col("dow"), col("cnt"),
+            expr("cnt * 7000000 div total").as("index_ppm"))
+          .orderBy("event_type", "dow")
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type,
+                 date_diff('day', DATE '2024-01-01',
+                           CAST(date_trunc('day', ts) AS DATE)) % 7 AS dow
+          FROM events),
+        c AS (
+          SELECT event_type, dow, COUNT(*) AS cnt
+          FROM e GROUP BY 1, 2),
+        t AS (
+          SELECT event_type, SUM(cnt) AS total FROM c GROUP BY 1)
+        SELECT c.event_type, CAST(c.dow AS BIGINT) AS dow,
+               CAST(c.cnt AS BIGINT) AS cnt,
+               CAST(c.cnt * 7000000 // t.total AS BIGINT) AS index_ppm
+        FROM c JOIN t ON t.event_type = c.event_type
+        ORDER BY c.event_type, c.dow
+      """.trim),
+    ),
   )
 
   /** One CUSUM scan step (st16): absolute hour, observed count, the
