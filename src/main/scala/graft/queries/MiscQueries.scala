@@ -1293,6 +1293,66 @@ object MiscQueries {
         ORDER BY doc_id
       """.trim),
     ),
+
+    // x27: HTML TABLE EXTRACTION — the WebTables tier: relational
+    // facts live in <table> markup, and the structured slice of a
+    // training corpus is exactly these rows×cells. Scope pinned in
+    // ops/Tables.scala: non-nested tables only (nested skipped
+    // wholesale), comments + script/style stripped BEFORE the scan
+    // (the fixture plants a commented-out table, a scripted "<table>"
+    // string, and a nested table — none may count), full-<th> first
+    // row = header, per-cell entity decode + fold. One output row per
+    // table (the explode shape); the oracle rebuilds every table's
+    // joined cell text and gates md5.
+    Q(
+      "x27_html_tables",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val packed = docs.select(col("doc_id"),
+          graft.ops.Tables.packTablesHtml(col("doc_id")).as("html"))
+        graft.ops.Tables.extractTablesDf(packed, "doc_id", "html")
+          .select(
+            col("id").as("doc_id"),
+            col("table_idx").cast("long").as("table_idx"),
+            col("n_rows").cast("long").as("n_rows"),
+            col("n_cols").cast("long").as("n_cols"),
+            col("has_header").cast("long").as("has_header"),
+            md5(col("text").cast("binary")).as("text_md5"))
+          .orderBy("doc_id", "table_idx")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, doc_id % 251 AS k FROM documents),
+        t AS (
+          SELECT doc_id, k, unnest(range(0, k % 3 + 1)) AS tbl FROM base),
+        d AS (
+          SELECT doc_id, k, tbl,
+                 CASE WHEN tbl % 2 = 0 THEN 1 ELSE 0 END AS hdr,
+                 k % 4 + 1 AS dr, k % 3 + 2 AS cols
+          FROM t),
+        txt AS (
+          SELECT doc_id, tbl, hdr, dr, cols,
+                 (CASE WHEN hdr = 1 THEN
+                    array_to_string(list_transform(range(0, cols), c ->
+                      'H' || tbl || ' ' || c), ' | ') || chr(10)
+                  ELSE '' END)
+                 || array_to_string(list_transform(range(0, dr), r ->
+                      array_to_string(list_transform(range(0, cols), c ->
+                        'c' || tbl || ' ' || r || ' ' || c || ' of '
+                          || doc_id
+                          || CASE WHEN r = 0 AND c = 0 THEN ' & co'
+                             ELSE '' END), ' | ')), chr(10)) AS text
+          FROM d)
+        SELECT doc_id,
+               CAST(tbl AS BIGINT) AS table_idx,
+               (dr + hdr)::BIGINT AS n_rows,
+               cols::BIGINT AS n_cols,
+               hdr::BIGINT AS has_header,
+               md5(text) AS text_md5
+        FROM txt
+        ORDER BY doc_id, table_idx
+      """.trim),
+    ),
   )
 
   /** `repeat` with a column count (the functions.repeat overload takes
