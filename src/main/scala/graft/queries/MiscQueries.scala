@@ -1353,6 +1353,102 @@ object MiscQueries {
         ORDER BY doc_id, table_idx
       """.trim),
     ),
+
+    // x28: FEED ITEM CENSUS — g8 extracts feed LINKS for the link
+    // graph; the news-corpus pipeline also needs the ITEMS (RSS 2.0
+    // <item> / Atom <entry>): per-feed kind dispatch, channel title,
+    // item count, guid/id coverage, the first item title with entity
+    // decode, and the md5 of the ordered item-link list (rss element
+    // text vs atom href attribute — the two spellings). Declarative
+    // regexp built-ins end-to-end, zero UDFs; oracle replays all
+    // fields.
+    Q(
+      "x28_feed_items",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val k = col("doc_id") % 251
+        val isRss = k % 2 === 0
+        val ni = k % 6 + 1
+        val rssItems = array_join(
+          transform(sequence(lit(0), ni - 1), i => concat(
+            lit("<item><title>Item "), i, lit(" &amp; doc "), col("doc_id"),
+            lit("</title><link>https://n"), k % 7, lit(".example/a"), i,
+            lit("-"), col("doc_id"), lit("</link>"),
+            when(i % 2 === 0, concat(lit("<guid isPermaLink=\"false\">tag:"),
+              col("doc_id"), lit(":"), i, lit("</guid>"))).otherwise(""),
+            lit("<pubDate>Mon, 0"), i % 9 + 1,
+            lit(" Jan 2026 12:00:00 GMT</pubDate></item>"))), "")
+        val atomEntries = array_join(
+          transform(sequence(lit(0), ni - 1), i => concat(
+            lit("<entry><title>Entry "), i, lit(" of "), col("doc_id"),
+            lit("</title><link href=\"https://n"), k % 7, lit(".example/e"),
+            i, lit("-"), col("doc_id"), lit("\"/>"),
+            lit("<id>urn:"), col("doc_id"), lit(":"), i, lit("</id>"),
+            lit("<updated>2026-01-0"), i % 9 + 1,
+            lit("T12:00:00Z</updated></entry>"))), "")
+        val xml = when(isRss, concat(
+            lit("<?xml version=\"1.0\"?><rss version=\"2.0\"><channel>" +
+              "<title>Chan "), col("doc_id"), lit("</title>"), rssItems,
+            lit("</channel></rss>")))
+          .otherwise(concat(
+            lit("<?xml version=\"1.0\"?><feed xmlns=\"http://www.w3.org/" +
+              "2005/Atom\"><title>Feed "), col("doc_id"), lit("</title>"),
+            atomEntries, lit("</feed>")))
+        def deEnt(c: org.apache.spark.sql.Column) =
+          replace(replace(replace(c, lit("&lt;"), lit("<")),
+            lit("&gt;"), lit(">")), lit("&amp;"), lit("&"))
+        docs.select(col("doc_id"), xml.as("xml"))
+          .select(
+            col("doc_id"),
+            when(col("xml").contains("<rss"), "rss").otherwise("atom")
+              .as("kind"),
+            deEnt(element_at(regexp_extract_all(col("xml"),
+              lit("<title>([^<]*)</title>"), lit(1)), 1))
+              .as("channel_title"),
+            (regexp_count(col("xml"), lit("<item>")) +
+              regexp_count(col("xml"), lit("<entry>"))).cast("long")
+              .as("n_items"),
+            (regexp_count(col("xml"), lit("<guid[ >]")) +
+              regexp_count(col("xml"), lit("<id>"))).cast("long")
+              .as("n_guids"),
+            deEnt(element_at(regexp_extract_all(col("xml"),
+              lit("<title>([^<]*)</title>"), lit(1)), 2))
+              .as("first_item_title"),
+            md5(array_join(coalesce(
+              when(col("xml").contains("<rss"),
+                regexp_extract_all(col("xml"),
+                  lit("<link>([^<]*)</link>"), lit(1)))
+                .otherwise(regexp_extract_all(col("xml"),
+                  lit("<link href=\"([^\"]*)\""), lit(1)))),
+              ",").cast("binary")).as("links_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, doc_id % 251 AS k FROM documents),
+        d AS (
+          SELECT doc_id, k, k % 2 = 0 AS rss, k % 6 + 1 AS ni,
+                 list_transform(range(0, k % 6 + 1), i ->
+                   CASE WHEN k % 2 = 0
+                     THEN 'https://n' || (k % 7) || '.example/a' || i || '-'
+                            || doc_id
+                     ELSE 'https://n' || (k % 7) || '.example/e' || i || '-'
+                            || doc_id END) AS links
+          FROM base)
+        SELECT doc_id,
+               CASE WHEN rss THEN 'rss' ELSE 'atom' END AS kind,
+               CASE WHEN rss THEN 'Chan ' || doc_id
+                    ELSE 'Feed ' || doc_id END AS channel_title,
+               ni::BIGINT AS n_items,
+               (CASE WHEN rss THEN (ni + 1) // 2 ELSE ni END)::BIGINT
+                 AS n_guids,
+               CASE WHEN rss THEN 'Item 0 & doc ' || doc_id
+                    ELSE 'Entry 0 of ' || doc_id END AS first_item_title,
+               md5(array_to_string(links, ',')) AS links_md5
+        FROM d
+        ORDER BY doc_id
+      """.trim),
+    ),
   )
 
   /** `repeat` with a column count (the functions.repeat overload takes
