@@ -1449,6 +1449,82 @@ object MiscQueries {
         ORDER BY doc_id
       """.trim),
     ),
+
+    // x29: JSON-LD CENSUS — schema.org structured data rides in
+    // <script type="application/ld+json"> blocks (the modern carrier
+    // that replaced microdata), and a knowledge/training pipeline
+    // censuses it before extraction: block count, @type inventory, and
+    // the headline/author/wordCount fields of the first Article. The
+    // fixture plants a typeless <script> holding JSON-looking text (a
+    // distractor only the type= attribute gate excludes) and a second
+    // Product block on half the seeds. Declarative end-to-end:
+    // regexp_extract_all for the blocks, get_json_object (codegen) for
+    // the fields; the oracle replays analytically.
+    Q(
+      "x29_jsonld_census",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val k = col("doc_id") % 251
+        val hasLd = k % 2 === 0
+        val art = concat(
+          lit("""{"@context":"https://schema.org","@type":"Article","""),
+          lit(""""headline":"Doc """), col("doc_id"),
+          lit(""" headline","author":{"@type":"Person","name":"A"""),
+          k % 9, lit(""""},"wordCount":"""), col("n_chars") % 997, lit("}"))
+        val prod = concat(
+          lit("""{"@context":"https://schema.org","@type":"Product","""),
+          lit(""""name":"P"""), col("doc_id"),
+          lit("""","offers":{"price":""""), k % 90 + 10, lit(""""}}"""))
+        val html = concat(
+          lit("<html><head><script>var x = {\"@type\":\"Fake\"};</script>"),
+          when(hasLd, concat(
+            lit("<script type=\"application/ld+json\">"), art,
+            lit("</script>"),
+            when(k % 4 === 0, concat(
+              lit("<script type=\"application/ld+json\">"), prod,
+              lit("</script>"))).otherwise(""))).otherwise(""),
+          lit("</head><body>page</body></html>"))
+        val blocks = regexp_extract_all(col("html"),
+          lit("(?is)<script[^>]*type=\"application/ld\\+json\"[^>]*>(.*?)</script>"),
+          lit(1))
+        docs.select(col("doc_id"), col("n_chars"), html.as("html"))
+          .select(col("doc_id"), col("n_chars"), blocks.as("blocks"))
+          .select(
+            col("doc_id"),
+            size(col("blocks")).cast("long").as("n_blocks"),
+            get_json_object(try_element_at(col("blocks"), lit(1)), "$['@type']")
+              .as("first_type"),
+            get_json_object(try_element_at(col("blocks"), lit(1)), "$.headline")
+              .as("headline"),
+            get_json_object(try_element_at(col("blocks"), lit(1)), "$.author.name")
+              .as("author_name"),
+            get_json_object(try_element_at(col("blocks"), lit(1)), "$.wordCount")
+              .cast("long").as("word_count"),
+            array_join(transform(col("blocks"),
+              b => get_json_object(b, "$['@type']")), ",").as("types"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, n_chars, doc_id % 251 AS k FROM documents)
+        SELECT doc_id,
+               (CASE WHEN k % 2 = 0 THEN
+                  CASE WHEN k % 4 = 0 THEN 2 ELSE 1 END
+                ELSE 0 END)::BIGINT AS n_blocks,
+               CASE WHEN k % 2 = 0 THEN 'Article' ELSE NULL END AS first_type,
+               CASE WHEN k % 2 = 0 THEN 'Doc ' || doc_id || ' headline'
+                    ELSE NULL END AS headline,
+               CASE WHEN k % 2 = 0 THEN 'A' || (k % 9) ELSE NULL END
+                 AS author_name,
+               CASE WHEN k % 2 = 0 THEN n_chars % 997 ELSE NULL END::BIGINT
+                 AS word_count,
+               CASE WHEN k % 2 = 0 THEN
+                 CASE WHEN k % 4 = 0 THEN 'Article,Product' ELSE 'Article' END
+               ELSE '' END AS types
+        FROM base
+        ORDER BY doc_id
+      """.trim),
+    ),
   )
 
   /** `repeat` with a column count (the functions.repeat overload takes
