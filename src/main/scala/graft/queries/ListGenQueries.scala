@@ -375,5 +375,61 @@ object ListGenQueries {
         FROM due ORDER BY score_u DESC, user_id LIMIT 50
       """.stripMargin.trim),
     ),
+
+    // LG8: SITEMAP-SEEDED FRONTIER — the cross-family composition the
+    // crawl loop actually runs: sitemap XML (the x26 parse) → exploded
+    // candidate URLs → LEFT ANTI join against the already-crawled set
+    // (the crawldb dedupe; a REAL join over corpus-scale relations,
+    // broadcast/shuffle by AQE, never a per-row formula) → per-host
+    // frontier rollup with the lg2 bundle arithmetic (≤200 URLs per
+    // politeness bundle). The "known" side is a prior-crawl relation
+    // derived from the same sitemap universe (every 3rd entry), so the
+    // anti-join removes real overlap. Output bounded by |hosts|; all
+    // aggregates partial-agg'd.
+    Q(
+      "lg8_sitemap_frontier",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val k = col("doc_id") % 251
+        val locs = docs
+          .filter(k % 4 =!= 0) // urlset feeds only (the x26 dispatch)
+          .select(col("doc_id"), k.as("k"),
+            explode(transform(sequence(lit(0), k % 7), i =>
+              struct(i.as("i"), concat(lit("https://s"), k % 5,
+                lit(".example/p"), i, lit("-"), col("doc_id"),
+                lit("?a=1&b="), i).as("url")))).as("e"))
+          .select(col("doc_id"),
+            concat(lit("s"), col("k") % 5, lit(".example")).as("host"),
+            col("e.i").as("i"), col("e.url").as("url"))
+        val known = locs.filter(col("i") % 3 === 0).select("url")
+        locs.join(known, Seq("url"), "left_anti")
+          .groupBy("host")
+          .agg(count(lit(1)).as("n_urls"))
+          .join(
+            locs.filter(col("i") % 3 === 0).groupBy("host")
+              .agg(count(lit(1)).as("n_known_skipped")),
+            Seq("host"))
+          .select(col("host"), col("n_urls"), col("n_known_skipped"),
+            expr("(n_urls + 199) div 200").as("n_bundles"))
+          .orderBy("host")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, doc_id % 251 AS k FROM documents
+          WHERE (doc_id % 251) % 4 <> 0),
+        d AS (
+          SELECT 's' || (k % 5) || '.example' AS host,
+                 (k % 7 + 1) - ((k % 7 + 3) // 3) AS n_new,
+                 (k % 7 + 3) // 3 AS n_skip
+          FROM base)
+        SELECT host,
+               CAST(SUM(n_new) AS BIGINT) AS n_urls,
+               CAST(SUM(n_skip) AS BIGINT) AS n_known_skipped,
+               CAST((SUM(n_new) + 199) // 200 AS BIGINT) AS n_bundles
+        FROM d
+        GROUP BY host
+        ORDER BY host
+      """.stripMargin.trim),
+    ),
   )
 }
