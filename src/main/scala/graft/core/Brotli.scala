@@ -485,7 +485,10 @@ object Brotli {
       if (n > maxOut) bad()
       if (n > out.length) {
         var cap = out.length
-        while (cap < n) cap = math.min(maxOut, cap * 2)
+        // cap*2 overflows past 1<<30; clamp before doubling so the loop
+        // terminates for any maxOut up to Int.MaxValue
+        while (cap < n)
+          cap = math.min(maxOut, if (cap > (1 << 30)) Int.MaxValue else cap * 2)
         out = java.util.Arrays.copyOf(out, cap)
       }
     }

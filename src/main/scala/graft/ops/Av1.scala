@@ -113,13 +113,30 @@ object Av1 {
       else 8L
     val mono = if (profile == 1) false else r.f(1) == 1
     val described = r.f(1) == 1
-    if (described) { r.f(8); r.f(8); r.f(8) } // cp/tc/mc
-    if (!mono) {
-      // profile 0 → 4:2:0 (subsampling implied 1,1); range flag first
+    var cp = 2; var tc = 2; var mc = 2 // UNSPECIFIED when absent
+    if (described) { cp = r.f(8); tc = r.f(8); mc = r.f(8) }
+    if (mono) {
+      // spec 5.5.2: mono reads color_range then returns — subsampling
+      // implied 1,1, NO separate_uv_delta_q bit
       r.f(1) // color_range
-      if (profile == 0) r.f(2) // chroma_sample_position (both subsampled)
+    } else if (described && cp == 1 && tc == 13 && mc == 0) {
+      // BT.709 + sRGB + identity: full range and 4:4:4 are IMPLIED —
+      // no color_range bit, no subsampling/chroma-position bits
       r.f(1) // separate_uv_delta_q
-    } else r.f(1) // color_range
+    } else {
+      r.f(1) // color_range
+      var subX = 1; var subY = 1
+      if (profile == 0) { subX = 1; subY = 1 }
+      else if (profile == 1) { subX = 0; subY = 0 }
+      else { // profile 2: 12-bit carries explicit subsampling bits
+        if (bitDepth == 12L) {
+          subX = r.f(1)
+          subY = if (subX == 1) r.f(1) else 0
+        } else { subX = 1; subY = 0 } // 4:2:2
+      }
+      if (subX == 1 && subY == 1) r.f(2) // chroma_sample_position
+      r.f(1) // separate_uv_delta_q
+    }
     val filmGrain = r.f(1) == 1
     SeqHeader(profile.toLong, still, level.toLong, width, height, bitDepth,
       mono, use128, cdef, restoration, filmGrain)

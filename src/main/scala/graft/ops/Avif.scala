@@ -68,14 +68,29 @@ object Avif {
     val brand = cc(8)
     if (!Brands.contains(brand)) return null
 
+    // resolved extent of the box at i within [i, end): (headerLen,
+    // boxEnd) — size==0 extends to end of range, size==1 carries a
+    // 64-bit largesize (ISO/IEC 14496-12 §4.2); null on malformed
+    def boxExtent(i: Long, end: Long): (Long, Long) = {
+      val size = be32(i.toInt)
+      if (size == 0) (8L, end)
+      else if (size == 1) {
+        if (i + 16 > end) null
+        else {
+          val large = beN(i.toInt + 8, 8)
+          if (large < 16 || large > end - i) null else (16L, i + large)
+        }
+      } else if (size < 8 || size > end - i) null
+      else (8L, i + size)
+    }
     // first child box named `id` inside [start, end) → body span
     def child(start: Long, end: Long, id: String): Option[(Long, Long)] = {
       var i = start
       while (i + 8 <= end) {
-        val size = be32(i.toInt)
-        if (size < 8 || i + size > end) return None
-        if (cc(i.toInt + 4) == id) return Some((i + 8, i + size))
-        i += size
+        val ex = boxExtent(i, end)
+        if (ex == null) return None
+        if (cc(i.toInt + 4) == id) return Some((i + ex._1, ex._2))
+        i = ex._2
       }
       None
     }
@@ -86,10 +101,10 @@ object Avif {
       var i = start
       var n = 0
       while (i + 8 <= end && n < cap) {
-        val size = be32(i.toInt)
-        if (size < 8 || i + size > end) return out.result()
-        out += ((cc(i.toInt + 4), i + 8, i + size))
-        i += size
+        val ex = boxExtent(i, end)
+        if (ex == null) return out.result()
+        out += ((cc(i.toInt + 4), i + ex._1, ex._2))
+        i = ex._2
         n += 1
       }
       out.result()
@@ -265,9 +280,17 @@ object Avif {
       var i = start
       while (i + 8 <= end) {
         val size = be32(i.toInt)
-        if (size < 8 || i + size > end) return None
-        if (cc(i.toInt + 4) == id) return Some((i + 8, i + size))
-        i += size
+        val (hdr, boxEnd) =
+          if (size == 0) (8L, end)
+          else if (size == 1) {
+            if (i + 16 > end) return None
+            val large = beN(i.toInt + 8, 8)
+            if (large < 16 || large > end - i) return None
+            (16L, i + large)
+          } else if (size < 8 || size > end - i) return None
+          else (8L, i + size)
+        if (cc(i.toInt + 4) == id) return Some((i + hdr, boxEnd))
+        i = boxEnd
       }
       None
     }

@@ -237,7 +237,8 @@ final class QueryServerHttp(server: QueryServer, port: Int = 0,
         throw new IllegalArgumentException("missing file parameter"))
       require(!rel.startsWith("/") && !rel.split("/").contains("..") && rel.nonEmpty,
         s"file must be a relative path under the archive root, got '$rel'")
-      require(rel.endsWith(".warc.gz") || rel.endsWith(".arc.gz"),
+      require(rel.endsWith(".warc.gz") || rel.endsWith(".arc.gz") ||
+          rel.endsWith(".warc.zst"),
         s"not an archive file: '$rel'")
       val offset = p.getOrElse("offset", "0").toLong
       require(offset >= 0, s"offset must be >= 0, got $offset")
@@ -246,8 +247,15 @@ final class QueryServerHttp(server: QueryServer, port: Int = 0,
       val in = fs.open(f)
       val (payload, mime) =
         try {
+          // a .warc.zst written with a shared dictionary needs the head
+          // slot before any member decodes (positioned reads — the
+          // stream pointer is untouched before the seek)
+          val dict =
+            if (rel.endsWith(".warc.zst")) graft.sources.ZstdMembers.dictAtHead(in)
+            else null
           in.seek(offset)
-          if (rel.endsWith(".warc.gz")) graft.sources.v2.WarcRecords.fetchPayload(in)
+          if (rel.endsWith(".warc.gz") || rel.endsWith(".warc.zst"))
+            graft.sources.v2.WarcRecords.fetchPayload(in, dict)
           else {
             val rec = graft.sources.ArcSource.parseArc(in).next()
             (rec.content, rec.mimeType)

@@ -64,26 +64,9 @@ final class ZstdMembers(in: InputStream, bufSize: Int = 1 << 16)
   /** Capture the dictionary slot's content: raw, or a zstd frame
     * inflated under [[MaxDictBytes]]. */
   private def loadDict(content: Array[Byte]): Unit = {
-    val bytes =
-      if (content.length >= 4 && (content(0) & 0xff) == 0x28 &&
-          (content(1) & 0xff) == 0xb5 && (content(2) & 0xff) == 0x2f &&
-          (content(3) & 0xff) == 0xfd) {
-        val zin = new ZstdInputStream(new ByteArrayInputStream(content))
-        try {
-          val d = zin.readNBytes(MaxDictBytes + 1)
-          if (d.length > MaxDictBytes)
-            throw new IOException(s"zstd dictionary exceeds $MaxDictBytes bytes")
-          d
-        } finally zin.close()
-      } else content
+    val bytes = ZstdMembers.captureDict(content)
     dict = bytes
-    dictEmbeddedId =
-      if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x37 &&
-          (bytes(1) & 0xff) == 0xa4 && (bytes(2) & 0xff) == 0x30 &&
-          (bytes(3) & 0xff) == 0xec)
-        (bytes(4) & 0xffL) | ((bytes(5) & 0xffL) << 8) |
-          ((bytes(6) & 0xffL) << 16) | ((bytes(7) & 0xffL) << 24)
-      else 0L
+    dictEmbeddedId = ZstdMembers.embeddedDictId(bytes)
   }
 
   private def fill(): Boolean = {
@@ -198,5 +181,95 @@ final class ZstdMembers(in: InputStream, bufSize: Int = 1 << 16)
         throw new IOException(f"bad zstd magic $magic%08x at offset ${pos - 4}")
     }
     null // unreachable
+  }
+}
+
+object ZstdMembers {
+
+  /** A shared dictionary bigger than this is damage, not data. */
+  private[sources] val MaxDictBytes = 8 << 20
+
+  private def isZstdFrame(b: Array[Byte], off: Int): Boolean =
+    b.length >= off + 4 && (b(off) & 0xff) == 0x28 &&
+      (b(off + 1) & 0xff) == 0xb5 && (b(off + 2) & 0xff) == 0x2f &&
+      (b(off + 3) & 0xff) == 0xfd
+
+  /** The dictionary slot's usable bytes: raw content, or a zstd frame
+    * inflated under [[MaxDictBytes]]. */
+  private[sources] def captureDict(content: Array[Byte]): Array[Byte] =
+    if (isZstdFrame(content, 0)) {
+      val zin = new ZstdInputStream(new ByteArrayInputStream(content))
+      try {
+        val d = zin.readNBytes(MaxDictBytes + 1)
+        if (d.length > MaxDictBytes)
+          throw new IOException(s"zstd dictionary exceeds $MaxDictBytes bytes")
+        d
+      } finally zin.close()
+    } else content
+
+  /** Embedded ID of a formatted dictionary (magic 0xEC30A437, RFC 8878
+    * §5); 0 for a raw-content dictionary. */
+  private[sources] def embeddedDictId(bytes: Array[Byte]): Long =
+    if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x37 &&
+        (bytes(1) & 0xff) == 0xa4 && (bytes(2) & 0xff) == 0x30 &&
+        (bytes(3) & 0xff) == 0xec)
+      (bytes(4) & 0xffL) | ((bytes(5) & 0xffL) << 8) |
+        ((bytes(6) & 0xffL) << 16) | ((bytes(7) & 0xffL) << 24)
+    else 0L
+
+  /** Scan the HEAD of whole-archive bytes for the warc-zstd dictionary
+    * skippable frame (0x184D2A5D) — the layout the writer produces puts
+    * it before the first data frame, so the walk stops at the first
+    * non-skippable magic. Returns the captured (possibly inflated)
+    * dictionary bytes, or null when the head carries no dictionary.
+    * This is the point-access analogue of the streaming capture above:
+    * [[graft.sources.v2.WarcRecords.fetchRecordAt]] needs the dict to
+    * decode ID-bearing frames at arbitrary offsets. */
+  def dictAtHead(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes == null) return null
+    var i = 0
+    def le32(p: Int): Long =
+      (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
+        ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
+    while (i + 8 <= bytes.length) {
+      val magic = le32(i)
+      if (magic >= 0x184d2a50L && magic <= 0x184d2a5fL) {
+        val n = le32(i + 4)
+        if (n > MaxDictBytes || i + 8 + n > bytes.length) return null
+        if (magic == 0x184d2a5dL)
+          return captureDict(
+            java.util.Arrays.copyOfRange(bytes, i + 8, i + 8 + n.toInt))
+        i += 8 + n.toInt
+      } else return null // first data frame (or gzip member): no dict slot
+    }
+    null
+  }
+
+  /** [[dictAtHead]] over a seekable Hadoop stream via positioned reads —
+    * the content-server path, which never loads the whole archive and
+    * whose stream pointer is left untouched. */
+  def dictAtHead(in: org.apache.hadoop.fs.FSDataInputStream): Array[Byte] = {
+    val hdr = new Array[Byte](8)
+    def le32(p: Int): Long =
+      (hdr(p) & 0xffL) | ((hdr(p + 1) & 0xffL) << 8) |
+        ((hdr(p + 2) & 0xffL) << 16) | ((hdr(p + 3) & 0xffL) << 24)
+    var pos = 0L
+    while (true) {
+      try in.readFully(pos, hdr, 0, 8)
+      catch { case _: java.io.EOFException => return null }
+      val magic = le32(0)
+      if (magic >= 0x184d2a50L && magic <= 0x184d2a5fL) {
+        val n = le32(4)
+        if (n > MaxDictBytes) return null
+        if (magic == 0x184d2a5dL) {
+          val content = new Array[Byte](n.toInt)
+          try in.readFully(pos + 8, content, 0, n.toInt)
+          catch { case _: java.io.EOFException => return null }
+          return captureDict(content)
+        }
+        pos += 8 + n
+      } else return null
+    }
+    null
   }
 }

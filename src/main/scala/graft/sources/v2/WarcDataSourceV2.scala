@@ -426,14 +426,21 @@ object WarcRecords {
   def fetchRecordAt(bytes: Array[Byte], offset: Long)
       : (Map[String, String], Array[Byte]) =
     fetchRecord(new java.io.ByteArrayInputStream(
-      bytes, offset.toInt, bytes.length - offset.toInt))
+      bytes, offset.toInt, bytes.length - offset.toInt),
+      graft.sources.ZstdMembers.dictAtHead(bytes))
 
   /** Stream form of [[fetchRecordAt]]: `raw` must be positioned at a
     * member start (e.g. an FSDataInputStream after seek(offset) — the
     * server-side point fetch never reads the whole archive). The member
     * codec is sniffed from the magic bytes (gzip 1f8b / zstd 28b52ffd),
-    * so one fetch path serves `.warc.gz` and `.warc.zst` archives. */
-  def fetchRecord(raw: InputStream): (Map[String, String], Array[Byte]) = {
+    * so one fetch path serves `.warc.gz` and `.warc.zst` archives.
+    * `dict`: the archive's shared zstd dictionary when it has one (the
+    * warc-zstd 0x184D2A5D head slot — [[graft.sources.ZstdMembers
+    * .dictAtHead]] extracts it); frames written with dictSamples>0
+    * carry a Dictionary_ID and fail to inflate without it. Stream
+    * callers that only serve `.warc.gz` may omit it. */
+  def fetchRecord(raw: InputStream, dict: Array[Byte] = null)
+      : (Map[String, String], Array[Byte]) = {
     val pb = new java.io.PushbackInputStream(raw, 4)
     val mg = new Array[Byte](4)
     // InputStream.read may legally return fewer bytes than requested even
@@ -449,9 +456,10 @@ object WarcRecords {
     pb.unread(mg, 0, got)
     val codec: InputStream =
       if (got >= 4 && (mg(0) & 0xff) == 0x28 && (mg(1) & 0xff) == 0xb5 &&
-          (mg(2) & 0xff) == 0x2f && (mg(3) & 0xff) == 0xfd)
-        new com.github.luben.zstd.ZstdInputStream(pb)
-      else new java.util.zip.GZIPInputStream(pb)
+          (mg(2) & 0xff) == 0x2f && (mg(3) & 0xff) == 0xfd) {
+        val z = new com.github.luben.zstd.ZstdInputStream(pb)
+        if (dict != null) z.setDict(dict) else z
+      } else new java.util.zip.GZIPInputStream(pb)
     val in = new BufferedInputStream(codec)
     def readLine(): String = {
       val buf = new ByteArrayOutputStream(128)
@@ -488,12 +496,14 @@ object WarcRecords {
     * records without an envelope). */
   def fetchPayloadAt(bytes: Array[Byte], offset: Long): Array[Byte] =
     fetchPayload(new java.io.ByteArrayInputStream(
-      bytes, offset.toInt, bytes.length - offset.toInt))._1
+      bytes, offset.toInt, bytes.length - offset.toInt),
+      graft.sources.ZstdMembers.dictAtHead(bytes))._1
 
   /** (payload bytes, payload mime) of the record a positioned stream
     * points at — what a content-serving endpoint returns. */
-  def fetchPayload(raw: InputStream): (Array[Byte], String) = {
-    val (headers, block) = fetchRecord(raw)
+  def fetchPayload(raw: InputStream, dict: Array[Byte] = null)
+      : (Array[Byte], String) = {
+    val (headers, block) = fetchRecord(raw, dict)
     if (headers.get("content-type").exists(
         _.toLowerCase.startsWith("application/http"))) {
       val (_, mime, payload, _) = WarcHttp.split(block)

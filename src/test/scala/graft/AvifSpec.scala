@@ -48,6 +48,60 @@ class AvifSpec extends AnyFunSuite {
     assert(m == null || !m.boundsOk)
   }
 
+  test("size==0 (to end-of-range) and size==1 (largesize) boxes walk") {
+    def find(b: Array[Byte], tag: String): Int = {
+      val t = tag.getBytes("US-ASCII")
+      var i = 0
+      while (i + 4 <= b.length) {
+        if (b(i) == t(0) && b(i + 1) == t(1) && b(i + 2) == t(2) &&
+            b(i + 3) == t(3)) return i
+        i += 1
+      }
+      -1
+    }
+    val base = Avif.encodeAvif(99)
+    val ref = Avif.avifMeta(base)
+    assert(ref != null && ref.boundsOk)
+    // iloc is the LAST child of meta: size==0 extends to end of the
+    // enclosing range (ISO 14496-12 §4.2 to-EOF form) — same extent
+    val toEof = base.clone()
+    val ilocAt = find(toEof, "iloc")
+    assert(ilocAt > 0)
+    for (j <- 1 to 4) toEof(ilocAt - j) = 0
+    assert(Avif.avifMeta(toEof) == ref)
+    // rewrite iinf as a 64-bit largesize box (size=1 + 8-byte size):
+    // the walk reads the largesize; every census field is unchanged
+    val iinfAt = find(base, "iinf")
+    assert(iinfAt > 0)
+    val oldSize = ((base(iinfAt - 4) & 0xffL) << 24) |
+      ((base(iinfAt - 3) & 0xffL) << 16) | ((base(iinfAt - 2) & 0xffL) << 8) |
+      (base(iinfAt - 1) & 0xffL)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base, 0, iinfAt - 4)
+    out.write(Array[Byte](0, 0, 0, 1)) // size==1
+    out.write("iinf".getBytes("US-ASCII"))
+    val ls = oldSize + 8
+    for (s <- 56 to 0 by -8) out.write(((ls >> s) & 0xff).toInt)
+    out.write(base, iinfAt + 4, base.length - (iinfAt + 4))
+    val larged = out.toByteArray
+    // meta's own size grew by 8
+    val metaAt = find(larged, "meta")
+    val metaSize = ((larged(metaAt - 4) & 0xffL) << 24) |
+      ((larged(metaAt - 3) & 0xffL) << 16) |
+      ((larged(metaAt - 2) & 0xffL) << 8) | (larged(metaAt - 1) & 0xffL)
+    val ns = metaSize + 8
+    larged(metaAt - 4) = ((ns >> 24) & 0xff).toByte
+    larged(metaAt - 3) = ((ns >> 16) & 0xff).toByte
+    larged(metaAt - 2) = ((ns >> 8) & 0xff).toByte
+    larged(metaAt - 1) = (ns & 0xff).toByte
+    val m2 = Avif.avifMeta(larged)
+    assert(m2 != null)
+    assert(m2.width == ref.width && m2.height == ref.height &&
+      m2.nItems == ref.nItems && m2.nChannels == ref.nChannels &&
+      m2.hasAlpha == ref.hasAlpha && m2.hasExif == ref.hasExif &&
+      m2.primaryBytes == ref.primaryBytes && m2.boundsOk)
+  }
+
   test("non-brand ftyp and non-isobmff bytes return null") {
     val mp4ish = Avif.encodeAvif(2L).clone()
     // overwrite the major brand with 'isom' (a video brand, not image)

@@ -265,6 +265,54 @@ class ZstdWarcSpec extends AnyFunSuite with SparkSuite {
       r.getString(0).stripPrefix("http://dict.example/p"))))
   }
 
+  test("point fetch on a dictionary archive: head slot captured and applied") {
+    // the ADVICE r17 gap: fetchRecordAt built a bare ZstdInputStream, so
+    // dictSamples archives (frames carrying a Dictionary_ID) threw on
+    // the content-serving point path
+    val dir = Files.createTempDirectory("warczstpf").toString
+    val n = 60
+    spark.range(0, n).selectExpr(
+      "concat('http://pf.example/p', id) AS url",
+      "'response' AS warc_type",
+      "'2026-01-02T03:04:05Z' AS warc_date",
+      "'application/http; msgtype=response' AS content_type",
+      """cast(concat('HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n',
+         'common page chrome header footer nav ', id) AS BINARY) AS content""")
+      .coalesce(1)
+      .write.format("graft-warc")
+      .option("codec", "zstd").option("dictSamples", "8")
+      .mode("append").save(dir)
+    val f = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".warc.zst")).head
+    val bytes = Files.readAllBytes(Paths.get(f))
+    // the archive head really carries the dictionary slot
+    assert(graft.sources.ZstdMembers.dictAtHead(bytes) != null)
+    val offs = spark.read.format("graft-warc").load(dir)
+      .filter(col("warc_type") === "response")
+      .select("url", "offset").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a record past the sample window decodes against the head dict
+    val (hdrs, _) = WarcRecords.fetchRecordAt(bytes, offs("http://pf.example/p42"))
+    assert(hdrs("warc-target-uri") == "http://pf.example/p42")
+    assert(new String(WarcRecords.fetchPayloadAt(bytes,
+      offs("http://pf.example/p42")), "UTF-8").endsWith("nav 42"))
+    // the stream variant (the /fetch endpoint's positioned-read path)
+    val hfs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val in = hfs.open(new org.apache.hadoop.fs.Path(f))
+    try {
+      val dict = graft.sources.ZstdMembers.dictAtHead(in)
+      assert(dict != null)
+      in.seek(offs("http://pf.example/p17"))
+      val (payload, mime) = WarcRecords.fetchPayload(in, dict)
+      assert(mime.startsWith("text/plain"))
+      assert(new String(payload, "UTF-8").endsWith("nav 17"))
+    } finally in.close()
+    // a gzip archive head scan is a cheap no-op (no dict slot)
+    assert(graft.sources.ZstdMembers.dictAtHead(
+      Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0)) == null)
+  }
+
   test("corruption: truncation and dictionary frames reject under budget") {
     val good = frame(record("response", "http://c.example/",
       httpBlock(200, "text/html", "x" * 5000)))
