@@ -23,6 +23,41 @@ object Bench {
         if (tracked) null else cwd.resolve("BENCH_FULL.json").toString
     }
 
+  /** Geometric-mean machine index of ONE calibration segment: each
+    * anchor's time divided by its committed idle-box reference. Crashed
+    * anchors (t <= 0) and anchors without a reference are skipped; -1
+    * when nothing valid remains. */
+  def segmentIndex(seg: Seq[(String, Double)],
+                   refs: Map[String, Double]): Double = {
+    val ratios = seg.collect {
+      case (n, t) if t > 0 && refs.contains(n) => t / refs(n)
+    }
+    if (ratios.isEmpty) -1.0
+    else math.exp(ratios.map(math.log).sum / ratios.size)
+  }
+
+  /** Overall machine index from interleaved segments: per anchor take
+    * the MIN across segments (the minimum of a wall-clock sample
+    * estimates the noise-free cost — a mid-run load spike inflates that
+    * segment's index but not this), then the geometric mean of
+    * min/reference. Equivalent to the old best-of-3 preamble when all
+    * segments run back-to-back. */
+  def machineIndexOf(segments: Seq[Seq[(String, Double)]],
+                     refs: Map[String, Double]): Double = {
+    val best = segments.flatten.filter(_._2 > 0)
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toSeq
+    segmentIndex(best, refs)
+  }
+
+  /** max/min over valid per-segment indexes — the in-artifact load-drift
+    * signal (r17: a transient spike read as a 2-6x regression and cost a
+    * judge re-run; with drift > ~1.5 the artifact self-reports the hot
+    * window). -1 when fewer than two segments are valid. */
+  def driftOf(segIdxs: Seq[Double]): Double = {
+    val v = segIdxs.filter(_ > 0)
+    if (v.size < 2) -1.0 else v.max / v.min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -75,14 +110,16 @@ object Bench {
     // readings repeat so the suite stays near single-pass time.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "1").toInt.max(1)
     val SlowSec = 5.0
-    // Self-adjudicating calibration preamble: three pinned queries
+    // INTERLEAVED self-adjudicating calibration: three pinned anchors
     // spanning the suite's cost shapes (c1 shuffle-heavy merge, g5
-    // iterative joins, w2 small interactive) run best-of-3 BEFORE the
-    // suite; machine_index = geometric mean of (min now) / (committed
-    // idle-box reference, BENCH_FULL.json at commit a98f067). A loaded
-    // box reads >1 — cross-round comparisons divide per-query times by
-    // it instead of burning a judge-hour re-adjudicating contention
-    // ghosts (r15: driver c4/c5 read 4-10x, idle re-bench 1.0-1.5x).
+    // iterative joins, w2 small interactive) run once per SEGMENT at
+    // start / middle / end of the suite; machine_index = geometric mean
+    // over anchors of (min across segments) / (committed idle-box
+    // reference) — the same estimator as the old best-of-3 preamble,
+    // but sampled across the whole run window so a mid-run load spike
+    // is VISIBLE in the artifact (per-segment indexes + drift) instead
+    // of silently inflating half the suite (r17: a transient spike read
+    // cu15-cu17 at 2-6x and cost a full judge re-run to adjudicate).
     // Skipped under a prefix filter (targeted profiling runs) and at any
     // sf other than 0.1 — the references are sf0.1 timings, so the ratio
     // is meaningless elsewhere.
@@ -90,35 +127,84 @@ object Bench {
       "c1_crawldb_merge" -> 4.612,
       "g5_pagerank" -> 3.091,
       "w2_pagination" -> 0.111)
-    val calib: Seq[(String, Double, Double)] =
-      if (filter.isDefined || !sfDir.contains("sf0.1")) Seq.empty
-      else calibRefs.flatMap { case (name, ref) =>
-        SparkEntry.queries.get(name).map { fn =>
-          val ts = (1 to 3).map(_ => runOnce(name, fn)).filter(_ >= 0)
-          (name, if (ts.isEmpty) -1.0 else ts.min, ref)
-        }
+    val calibOn = filter.isEmpty && sfDir.contains("sf0.1")
+    val segments = scala.collection.mutable.ArrayBuffer
+      .empty[Seq[(String, Double)]]
+    def runCalibSegment(): Unit =
+      if (calibOn) segments += calibRefs.flatMap { case (name, _) =>
+        SparkEntry.queries.get(name).map(fn => name -> runOnce(name, fn))
       }
-    val machineIndex: Double = {
-      val ratios = calib.collect { case (_, t, r) if t > 0 => t / r }
-      if (ratios.isEmpty) -1.0
-      else math.exp(ratios.map(math.log).sum / ratios.size)
-    }
-    val calibJson =
-      if (calib.isEmpty) ""
-      else calib.map { case (n, t, _) => s"\"" + n + "\":" + f"$t%.3f" }
-        .mkString(""","calibration":{""", ",", "}") +
-        f""","machine_index":$machineIndex%.3f"""
+    runCalibSegment() // start
+    // Shared-artifact cost attribution: the build-once artifacts (link
+    // DB, co-citation substrate, triangle rows, near-dup pairs+labels)
+    // otherwise land on whichever consumer runs first ALPHABETICALLY,
+    // making that query's number order-dependent (cu17 carried the
+    // near-dup build; g13 the edge builds). Force each build here,
+    // timed, and report it as an explicit artifact:* row — consumers
+    // then measure their own marginal cost. Skipped under a prefix
+    // filter: a targeted run keeps the old first-consumer-pays shape.
+    val artifactBuilders: Seq[(String, (org.apache.spark.sql.SparkSession, String) => Unit)] = Seq(
+      "artifact:edges" -> ((s, d) =>
+        graft.queries.GraphQueries.edges(s, d).write.format("noop")
+          .mode("overwrite").save()),
+      "artifact:cocitation" -> ((s, d) =>
+        graft.queries.GraphQueries.cocitationTopEdges(s, d)
+          .write.format("noop").mode("overwrite").save()),
+      "artifact:triangles" -> ((s, d) =>
+        graft.queries.GraphQueries.triangleRows(s, d)
+          .write.format("noop").mode("overwrite").save()),
+      "artifact:neardup" -> ((s, d) => {
+        val (pairs, labels) = graft.queries.DedupeQueries.sharedNearDup(s, d)
+        pairs.write.format("noop").mode("overwrite").save()
+        labels.write.format("noop").mode("overwrite").save()
+      }))
+    val artifactRows: Seq[(String, Double)] =
+      if (filter.isDefined) Seq.empty
+      else artifactBuilders.map { case (name, build) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { build(spark, sfDir); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: $e"); false }
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        name -> (if (ok) sec else -sec)
+      }
     // deterministic name order so per-query numbers are comparable
-    // across rounds (Map iteration order is arbitrary)
-    val samples: Seq[(String, Seq[Double])] = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(q => selected(q._1)).map { case (name, fn) =>
+    // across rounds (Map iteration order is arbitrary); mid-suite
+    // calibration segment fires after half the selected queries
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => selected(q._1))
+    val midAt = sorted.size / 2
+    val samples: Seq[(String, Seq[Double])] = sorted.zipWithIndex
+      .map { case ((name, fn), i) =>
+        if (i == midAt) runCalibSegment() // middle
         val first = runOnce(name, fn)
         val rest =
           if (first >= SlowSec && repeats > 1) (2 to repeats).map(_ => runOnce(name, fn))
           else Seq.empty
         name -> (first +: rest)
       }
-    val results = samples.map { case (name, ts) =>
+    runCalibSegment() // end
+    val segIdxs = segments.map(s => Bench.segmentIndex(s, calibRefs.toMap)).toSeq
+    val machineIndex = Bench.machineIndexOf(segments.toSeq, calibRefs.toMap)
+    val calibJson =
+      if (segments.isEmpty) ""
+      else {
+        val best = segments.flatten.filter(_._2 > 0)
+          .groupBy(_._1).view.mapValues(_.map(_._2).min).toSeq
+        val perAnchor = calibRefs.flatMap { case (n, _) =>
+          best.find(_._1 == n).map { case (_, t) => s"\"" + n + "\":" + f"$t%.3f" }
+        }.mkString(""","calibration":{""", ",", "}")
+        val segNames = Seq("start", "mid", "end")
+        val segJson = segIdxs.zip(segNames).map { case (v, n) =>
+          s"\"" + n + "\":" + f"$v%.3f"
+        }.mkString(""","calibration_segments":{""", ",", "}")
+        perAnchor + segJson +
+          f""","calibration_drift":${Bench.driftOf(segIdxs)}%.3f""" +
+          f""","machine_index":$machineIndex%.3f"""
+      }
+    val results = artifactRows ++ samples.map { case (name, ts) =>
       // any crashed sample marks the query failed — best-of-N is outlier
       // armor for wall-clock noise, not amnesty for an intermittent crash
       // (the negative sentinel's magnitude is the fastest attempt, so the
@@ -135,10 +221,18 @@ object Bench {
       if (repeated.isEmpty) ""
       else repeated.map { case (k, ts) => s"\"" + k + "\":" + ts.mkString("[", ",", "]") }
         .mkString(""","repeat_times":{""", ",", "}")
+    // full per-segment anchor times (full dump only): the drift number
+    // says A hot window existed; this says WHICH anchors read it
+    val fullSegments =
+      if (segments.isEmpty) ""
+      else segments.zip(Seq("start", "mid", "end")).map { case (seg, n) =>
+        s"\"" + n + "\":" + seg.map { case (a, t) =>
+          s"\"" + a + "\":" + f"$t%.3f" }.mkString("{", ",", "}")
+      }.mkString(""","calibration_runs":{""", ",", "}")
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$fullQs$fullRepeats$calibJson,"sf":$sfNum,"sf_dir":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$fullQs$fullRepeats$fullSegments$calibJson,"sf":$sfNum,"sf_dir":"$sfDir"}"""
     val outPath = Bench.fullDumpPath(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
     if (outPath == null)
       System.err.println("[bench] cwd has a git-tracked BENCH_FULL.json " +

@@ -359,6 +359,72 @@ object Dedupe {
       .filter(col("shared") >= minShared)
   }
 
+  /** Exact duplicated-SPAN extraction — the ExactSubstr stage of Lee et
+    * al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"): maximal token spans of length ≥ `minSpanTokens` made of
+    * material duplicated verbatim across documents. Their suffix-array
+    * formulation becomes three declarative passes:
+    *
+    *   1. enumerate every token `gram`-gram position (the suffix-array
+    *      enumeration as a columnar explode — linear in corpus tokens);
+    *   2. a gram is DUPLICATED when it occurs in ≥ 2 distinct docs
+    *      (one groupBy — never a pairwise join: this is why the operator
+    *      has no quadratic term, unlike candidate-pair LSH);
+    *   3. union the covered token windows [pos, pos+gram-1] and take
+    *      maximal runs per doc (gaps-and-islands over a PER-DOC window,
+    *      bounded by document length, so the sort never spans docs).
+    *
+    * A span here is the union of cross-doc duplicated coverage — the
+    * removal semantics a training pipeline applies (every token inside
+    * is part of SOME ≥gram-token verbatim cross-doc match; adjacent
+    * matches may have different partner docs). Returns one row per
+    * qualifying span: (doc_id, span_start [1-based token index],
+    * span_tokens, n_tokens) — sum(span_tokens) per doc is the
+    * removed-token accounting.
+    *
+    * Scale shape (100 TB): gram rows = corpus tokens (one explode); the
+    * df-aggregation partial-aggregates map-side; the only wide exchanges
+    * key on the gram value and doc_id. Boilerplate mega-df grams cost
+    * nothing extra — df is an aggregate, not a fan-out. For petabyte
+    * corpora the gram string shuffles as an xxhash64 (collisions only
+    * over-mark coverage); the gated query keeps the string so the oracle
+    * replays it exactly. */
+  def duplicatedSpans(docs: DataFrame, id: String, text: String,
+      gram: Int = 8, minSpanTokens: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(id).as("doc_id"), TextAnalysis.tokens(col(text)).as("t"))
+      .filter(size(col("t")) >= gram)
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+        col("t"))
+    val grams = toks
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(expr(
+          s"transform(sequence(1, size(t) - ${gram - 1}), " +
+            s"i -> array_join(slice(t, i, $gram), ' '))")))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("pos") + 1).cast("long").as("pos"), col("col").as("g"))
+      .transform(Iterative.materialize) // feeds the df gate AND the join back
+    val dup = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("g"))
+    val covered = grams.join(dup, "g")
+      .select(col("doc_id"), col("n_tokens"),
+        explode(expr(s"sequence(pos, pos + ${gram - 1})")).as("tok"))
+      .distinct()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tok"))
+    covered
+      .withColumn("grp", col("tok") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("tok")).as("span_start"),
+        count(lit(1)).as("span_tokens"),
+        max(col("n_tokens")).as("n_tokens"))
+      .filter(col("span_tokens") >= minSpanTokens)
+      .select(col("doc_id"), col("span_start"), col("span_tokens"),
+        col("n_tokens"))
+  }
+
   /** Materialize the corpus side of the incremental-dedupe pipeline as a
     * PERSISTENT LSH index: two bucketed+sorted tables — the banded
     * signature relation (bucketed by `band_key`, what batch bands probe)

@@ -862,5 +862,49 @@ object DedupeQueries {
               + CASE WHEN seg_a = seg_b THEN 5 ELSE 0 END >= 22
       """.trim),
     ),
+
+    // D18: exact substring-SPAN dedup (Lee et al. 2022 ExactSubstr) —
+    // maximal ≥50-token spans of verbatim cross-doc duplicated material,
+    // with per-span removed-token accounting. d8 stops at candidate
+    // PAIRS from sampled anchors; this resolves WHERE the duplication
+    // sits: every 8-token-gram position (linear enumerate — the
+    // suffix-array pass as an explode), df≥2-distinct-docs gate (an
+    // aggregate, never a pairwise join), covered-window union, and
+    // per-doc gaps-and-islands to maximal runs. The oracle replays the
+    // identical passes in SQL, so span starts/lengths are hash-gated,
+    // not just counts.
+    Q(
+      "d18_substring_spans",
+      (s, dir) =>
+        graft.ops.Dedupe.duplicatedSpans(
+          Registry.table(s, dir, "documents"), "doc_id", "text",
+          gram = 8, minSpanTokens = 50)
+          .orderBy("doc_id", "span_start"),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents
+        ), grams AS (
+          SELECT doc_id, len(t) AS n_tokens, i AS pos,
+                 array_to_string(t[i:i+7], ' ') AS g
+          FROM toks, unnest(range(1, len(t) - 6)) r(i)
+          WHERE len(t) >= 8
+        ), dup AS (
+          SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+        ), cov AS (
+          SELECT DISTINCT doc_id, n_tokens, tok
+          FROM grams JOIN dup USING (g), unnest(range(pos, pos + 8)) u(tok)
+        ), runs AS (
+          SELECT doc_id, n_tokens, tok,
+                 tok - row_number() OVER (PARTITION BY doc_id ORDER BY tok) AS grp
+          FROM cov
+        )
+        SELECT doc_id, MIN(tok) AS span_start, COUNT(*) AS span_tokens,
+               MAX(n_tokens) AS n_tokens
+        FROM runs GROUP BY doc_id, grp
+        HAVING COUNT(*) >= 50
+        ORDER BY doc_id, span_start
+      """.trim),
+    ),
   )
 }

@@ -377,30 +377,31 @@ object ListGenQueries {
     ),
 
     // LG8: SITEMAP-SEEDED FRONTIER — the cross-family composition the
-    // crawl loop actually runs: sitemap XML (the x26 parse) → exploded
-    // candidate URLs → LEFT ANTI join against the already-crawled set
-    // (the crawldb dedupe; a REAL join over corpus-scale relations,
+    // crawl loop actually runs: the x26 sitemap-XML fixture TEXT parsed
+    // by the x26 parse (regexp <loc> extraction + entity decode — the
+    // URLs come out of the XML, not out of re-fabricated columns; r17
+    // verdict item) → exploded candidate URLs with host parsed from the
+    // URL itself → LEFT ANTI join against the already-crawled set (the
+    // crawldb dedupe; a REAL join over corpus-scale relations,
     // broadcast/shuffle by AQE, never a per-row formula) → per-host
     // frontier rollup with the lg2 bundle arithmetic (≤200 URLs per
     // politeness bundle). The "known" side is a prior-crawl relation
     // derived from the same sitemap universe (every 3rd entry), so the
     // anti-join removes real overlap. Output bounded by |hosts|; all
-    // aggregates partial-agg'd.
+    // aggregates partial-agg'd. The oracle rebuilds the SAME XML text
+    // in SQL and re-parses it with its own regexp + anti join.
     Q(
       "lg8_sitemap_frontier",
       (s, dir) => {
         val docs = Registry.table(s, dir, "documents")
-        val k = col("doc_id") % 251
         val locs = docs
-          .filter(k % 4 =!= 0) // urlset feeds only (the x26 dispatch)
-          .select(col("doc_id"), k.as("k"),
-            explode(transform(sequence(lit(0), k % 7), i =>
-              struct(i.as("i"), concat(lit("https://s"), k % 5,
-                lit(".example/p"), i, lit("-"), col("doc_id"),
-                lit("?a=1&b="), i).as("url")))).as("e"))
           .select(col("doc_id"),
-            concat(lit("s"), col("k") % 5, lit(".example")).as("host"),
-            col("e.i").as("i"), col("e.url").as("url"))
+            MiscQueries.sitemapXml(col("doc_id")).as("xml"))
+          .filter(!col("xml").contains("<sitemapindex>")) // urlset feeds only
+          .select(col("doc_id"),
+            posexplode(MiscQueries.sitemapLocs(col("xml"))))
+          .select(col("doc_id"), col("pos").as("i"), col("col").as("url"),
+            regexp_extract(col("col"), "https?://([^/]+)", 1).as("host"))
         val known = locs.filter(col("i") % 3 === 0).select("url")
         locs.join(known, Seq("url"), "left_anti")
           .groupBy("host")
@@ -415,19 +416,40 @@ object ListGenQueries {
       },
       Some("""
         WITH base AS (
-          SELECT doc_id, doc_id % 251 AS k FROM documents
-          WHERE (doc_id % 251) % 4 <> 0),
-        d AS (
-          SELECT 's' || (k % 5) || '.example' AS host,
-                 (k % 7 + 1) - ((k % 7 + 3) // 3) AS n_new,
-                 (k % 7 + 3) // 3 AS n_skip
-          FROM base)
-        SELECT host,
-               CAST(SUM(n_new) AS BIGINT) AS n_urls,
-               CAST(SUM(n_skip) AS BIGINT) AS n_known_skipped,
-               CAST((SUM(n_new) + 199) // 200 AS BIGINT) AS n_bundles
-        FROM d
-        GROUP BY host
+          SELECT doc_id, doc_id % 251 AS k FROM documents),
+        x AS (
+          SELECT doc_id,
+                 '<?xml version="1.0"?><urlset>' ||
+                 array_to_string(list_transform(range(0, k % 7 + 1), i ->
+                   '<url><loc>https://s' || (k % 5) || '.example/p' || i ||
+                   '-' || doc_id || '?a=1&amp;b=' || i || '</loc>' ||
+                   CASE WHEN i % 2 = 0 THEN
+                     '<lastmod>2026-0' || (i % 9 + 1) || '-01</lastmod>'
+                   ELSE '' END ||
+                   CASE WHEN i % 4 = 0 THEN
+                     '<priority>0.' || (k % 9) || '</priority>'
+                   ELSE '' END || '</url>'), '') || '</urlset>' AS xml
+          FROM base WHERE k % 4 <> 0),
+        l AS (
+          SELECT doc_id,
+                 regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1) AS ls
+          FROM x),
+        locs AS (
+          SELECT doc_id, i - 1 AS i,
+                 replace(replace(replace(ls[i], '&lt;', '<'),
+                         '&gt;', '>'), '&amp;', '&') AS url,
+                 regexp_extract(replace(replace(replace(ls[i], '&lt;', '<'),
+                         '&gt;', '>'), '&amp;', '&'),
+                   'https?://([^/]+)', 1) AS host
+          FROM l, unnest(range(1, len(ls) + 1)) r(i)),
+        known AS (SELECT url FROM locs WHERE i % 3 = 0),
+        fresh AS (SELECT locs.* FROM locs ANTI JOIN known USING (url)),
+        nu AS (SELECT host, COUNT(*) AS n_urls FROM fresh GROUP BY host),
+        ns AS (SELECT host, COUNT(*) AS n_known_skipped
+               FROM locs WHERE i % 3 = 0 GROUP BY host)
+        SELECT host, n_urls, n_known_skipped,
+               CAST((n_urls + 199) // 200 AS BIGINT) AS n_bundles
+        FROM nu JOIN ns USING (host)
         ORDER BY host
       """.stripMargin.trim),
     ),

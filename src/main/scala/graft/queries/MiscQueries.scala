@@ -1,10 +1,49 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Remaining scalar/filter/join operator families (SURVEY §2.2 F5,
   * §2.3 J2, §2.7 X4/X6) as oracle-matched queries. */
 object MiscQueries {
+
+  /** The x26 sitemap-XML fixture text: urlset vs sitemapindex dispatch
+    * keyed by doc_id%251, &amp;-escaped query strings, optional
+    * lastmod/priority. SHARED with lg8, whose frontier is driven off
+    * the PARSED text of this same XML (not re-fabricated URL columns) —
+    * the r17 verdict's honesty fix. */
+  private[queries] def sitemapXml(docId: Column): Column = {
+    val k = docId % 251
+    val isIndex = k % 4 === 0
+    val nu = k % 7 + 1
+    val urlEntries = array_join(
+      transform(sequence(lit(0), nu - 1), i => concat(
+        lit("<url><loc>https://s"), k % 5, lit(".example/p"), i,
+        lit("-"), docId, lit("?a=1&amp;b="), i, lit("</loc>"),
+        when(i % 2 === 0, concat(lit("<lastmod>2026-0"), i % 9 + 1,
+          lit("-01</lastmod>"))).otherwise(""),
+        when(i % 4 === 0, concat(lit("<priority>0."), k % 9,
+          lit("</priority>"))).otherwise(""),
+        lit("</url>"))), "")
+    val idxEntries = array_join(
+      transform(sequence(lit(0), k % 3), i => concat(
+        lit("<sitemap><loc>https://s"), k % 5, lit(".example/sm"), i,
+        lit("-"), docId, lit(".xml</loc></sitemap>"))), "")
+    when(isIndex, concat(
+        lit("<?xml version=\"1.0\"?><sitemapindex>"), idxEntries,
+        lit("</sitemapindex>")))
+      .otherwise(concat(
+        lit("<?xml version=\"1.0\"?><urlset>"), urlEntries,
+        lit("</urlset>")))
+  }
+
+  /** The x26 parse: every <loc> body, entity-decoded, capped at the
+    * protocol's 50,000-entry budget. */
+  private[queries] def sitemapLocs(xml: Column): Column =
+    transform(slice(regexp_extract_all(xml,
+        lit("<loc>([^<]*)</loc>"), lit(1)), 1, 50000), l =>
+      replace(replace(replace(l, lit("&lt;"), lit("<")),
+        lit("&gt;"), lit(">")), lit("&amp;"), lit("&")))
 
   def defs: Seq[Q] = Seq(
     // F8: robots.txt gating — the reference crawler's Nutch-derived
@@ -1223,35 +1262,8 @@ object MiscQueries {
       "x26_sitemap_parse",
       (s, dir) => {
         val docs = Registry.table(s, dir, "documents")
-        val k = col("doc_id") % 251
-        val isIndex = k % 4 === 0
-        val nu = k % 7 + 1
-        val urlEntries = array_join(
-          transform(sequence(lit(0), nu - 1), i => concat(
-            lit("<url><loc>https://s"), k % 5, lit(".example/p"), i,
-            lit("-"), col("doc_id"), lit("?a=1&amp;b="), i, lit("</loc>"),
-            when(i % 2 === 0, concat(lit("<lastmod>2026-0"), i % 9 + 1,
-              lit("-01</lastmod>"))).otherwise(""),
-            when(i % 4 === 0, concat(lit("<priority>0."), k % 9,
-              lit("</priority>"))).otherwise(""),
-            lit("</url>"))), "")
-        val idxEntries = array_join(
-          transform(sequence(lit(0), k % 3), i => concat(
-            lit("<sitemap><loc>https://s"), k % 5, lit(".example/sm"), i,
-            lit("-"), col("doc_id"), lit(".xml</loc></sitemap>"))), "")
-        val xml = when(isIndex, concat(
-            lit("<?xml version=\"1.0\"?><sitemapindex>"), idxEntries,
-            lit("</sitemapindex>")))
-          .otherwise(concat(
-            lit("<?xml version=\"1.0\"?><urlset>"), urlEntries,
-            lit("</urlset>")))
-        val locsRaw = regexp_extract_all(col("xml"),
-          lit("<loc>([^<]*)</loc>"), lit(1))
-        // entity decode + the protocol's 50,000-entry budget
-        val locs = transform(slice(locsRaw, 1, 50000), l =>
-          replace(replace(replace(l, lit("&lt;"), lit("<")),
-            lit("&gt;"), lit(">")), lit("&amp;"), lit("&")))
-        docs.select(col("doc_id"), xml.as("xml"))
+        val locs = sitemapLocs(col("xml"))
+        docs.select(col("doc_id"), sitemapXml(col("doc_id")).as("xml"))
           .select(
             col("doc_id"),
             when(col("xml").contains("<sitemapindex>"), "sitemapindex")
@@ -1290,6 +1302,107 @@ object MiscQueries {
                locs[1] AS first_loc,
                md5(array_to_string(locs, ',')) AS locs_md5
         FROM d
+        ORDER BY doc_id
+      """.trim),
+    ),
+
+    // x30: RESOURCE-HINT / FAVICON-LINK census — completes x20's
+    // head-policy walk with the <link> relations a crawler and a CDN
+    // planner both read: rel=icon / apple-touch-icon (the favicon
+    // fetch every crawler schedules), preload (+as= destination),
+    // prefetch, dns-prefetch, preconnect, and the crossorigin
+    // attribute census. The fixture cycles quote styles and plants a
+    // rel=icon DECOY after </head> that must not count (link hints are
+    // head material — the x20 decoy discipline). Declarative regexps
+    // over the head slice only; the oracle recomputes every field
+    // analytically.
+    Q(
+      "x30_resource_hints",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val k = col("doc_id") % 251
+        val icon = when(k % 3 =!= 2,
+          when(k % 2 === 0,
+            concat(lit("<link rel=\"icon\" href=\"/fav"), k % 4,
+              lit(".png\" sizes=\"32x32\">")))
+            .otherwise(concat(lit("<link rel=icon href=/fav"), k % 4,
+              lit(".png>")))).otherwise("")
+        val touch = when(k % 7 === 0,
+          concat(lit("<link rel=\"apple-touch-icon\" href=\"/apple"),
+            k % 9, lit(".png\">"))).otherwise("")
+        val preload1 = when(k % 2 === 0,
+          concat(lit("<link rel=\"preload\" href=\"/m"), col("doc_id"),
+            lit(".js\" as=\"script\">"))).otherwise("")
+        val preload2 = when(k % 5 === 0,
+          concat(lit("<link rel=preload href=/f"), k % 3,
+            lit(".woff2 as=font crossorigin>"))).otherwise("")
+        val prefetch = when(k % 4 === 1,
+          concat(lit("<link rel=\"prefetch\" href=\"/next"), col("doc_id"),
+            lit(".html\">"))).otherwise("")
+        val dnsp = when(k % 3 === 0,
+          concat(lit("<link rel=\"dns-prefetch\" href=\"//cdn"), k % 9,
+            lit(".example\">"))).otherwise("")
+        val preconn = when(k % 6 < 2,
+          concat(lit("<link rel=\"preconnect\" href=\"https://api"), k % 5,
+            lit(".example\" crossorigin=\"anonymous\">"))).otherwise("")
+        val html = concat(
+          lit("<html><head><title>d</title>"), icon, touch, preload1,
+          preload2, prefetch, dnsp, preconn,
+          lit("</head><body><link rel=\"icon\" href=\"/evil.ico\">" +
+            "<p>body</p></body></html>"))
+        val head = regexp_extract(col("html"), "(?s)^(.*?)</head>", 1)
+        docs.select(col("doc_id"), html.as("html"))
+          .withColumn("head", head)
+          .select(
+            col("doc_id"),
+            regexp_count(col("head"), lit("(?i)rel=[\"']?icon"))
+              .cast("long").as("n_icons"),
+            (regexp_count(col("head"),
+              lit("(?i)rel=[\"']?apple-touch-icon")) > 0)
+              .cast("long").as("has_touch_icon"),
+            when(regexp_count(col("head"), lit("(?i)rel=[\"']?icon")) > 0,
+              regexp_extract(col("head"),
+                "(?i)rel=[\"']?icon[\"'\\s][^>]*?href=[\"']?([^\"'\\s>]+)", 1))
+              .otherwise(lit(null)).as("first_icon_href"),
+            regexp_count(col("head"), lit("(?i)rel=[\"']?preload"))
+              .cast("long").as("n_preload"),
+            when(regexp_count(col("head"), lit("(?i)rel=[\"']?preload")) > 0,
+              regexp_extract(col("head"),
+                "(?i)rel=[\"']?preload[^>]*\\bas=[\"']?([a-z]+)", 1))
+              .otherwise(lit(null)).as("first_preload_as"),
+            regexp_count(col("head"), lit("(?i)rel=[\"']?prefetch"))
+              .cast("long").as("n_prefetch"),
+            regexp_count(col("head"), lit("(?i)rel=[\"']?dns-prefetch"))
+              .cast("long").as("n_dns_prefetch"),
+            regexp_count(col("head"), lit("(?i)rel=[\"']?preconnect"))
+              .cast("long").as("n_preconnect"),
+            regexp_count(col("head"), lit("(?i)crossorigin"))
+              .cast("long").as("n_crossorigin"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, doc_id % 251 AS k FROM documents)
+        SELECT doc_id,
+               (CASE WHEN k % 3 <> 2 THEN 1 ELSE 0 END)::BIGINT AS n_icons,
+               (CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END)::BIGINT
+                 AS has_touch_icon,
+               CASE WHEN k % 3 <> 2
+                    THEN '/fav' || CAST(k % 4 AS VARCHAR) || '.png'
+                    ELSE NULL END AS first_icon_href,
+               (CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END
+                + CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_preload,
+               CASE WHEN k % 2 = 0 THEN 'script'
+                    WHEN k % 5 = 0 THEN 'font'
+                    ELSE NULL END AS first_preload_as,
+               (CASE WHEN k % 4 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_prefetch,
+               (CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_dns_prefetch,
+               (CASE WHEN k % 6 < 2 THEN 1 ELSE 0 END)::BIGINT AS n_preconnect,
+               (CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END
+                + CASE WHEN k % 6 < 2 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_crossorigin
+        FROM base
         ORDER BY doc_id
       """.trim),
     ),

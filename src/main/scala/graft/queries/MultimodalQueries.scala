@@ -2445,6 +2445,149 @@ object MultimodalQueries {
         ORDER BY doc_id
       """.trim),
     ),
+
+    // m45: WebVTT/SRT SUBTITLE EXTRACTION — the video-text-pair tier
+    // next to m16's shot boundaries: subtitle tracks are the aligned
+    // text a video corpus trains captioning/ASR against. Fixture
+    // subtitles (WEBVTT with voice tags + cue settings; SRT with
+    // comma-millisecond timestamps) are built per doc, then PARSED with
+    // declarative regexps — cue count, per-cue start/end timestamp
+    // arithmetic folded to total cue milliseconds, voice-tag census,
+    // and the x9 text-fold discipline (strip timing lines / cue ids /
+    // markup tags, collapse whitespace, md5). The oracle rebuilds the
+    // SAME subtitle text in SQL and re-parses it with its own regexps —
+    // the lg8 replay discipline, zero UDFs either side.
+    Q(
+      "m45_subtitle_extract",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val k = col("doc_id") % 251
+        val isSrt = k % 3 === 0
+        val nc = k % 4 + 2
+        def p2(c: org.apache.spark.sql.Column) = lpad(c.cast("string"), 2, "0")
+        def p3(c: org.apache.spark.sql.Column) = lpad(c.cast("string"), 3, "0")
+        def fmt(ms: org.apache.spark.sql.Column, sep: String) = concat(
+          lit("00:"), p2((ms / 60000).cast("long")),
+          lit(":"), p2((ms / 1000).cast("long") % 60),
+          lit(sep), p3(ms % 1000))
+        def cueArr(sep: String, srt: Boolean) =
+          transform(sequence(lit(0), nc - 1), i => {
+            val sms = i * 7000 + (k % 13) * 250
+            val ems = sms + 1500 + (k % 7) * 300 + i * 100
+            concat(
+              (i + 1).cast("string"), lit("\n"),
+              fmt(sms, sep), lit(" --> "), fmt(ems, sep),
+              if (srt) lit("")
+              else when(i % 2 === 1, lit(" align:start")).otherwise(""),
+              lit("\n"),
+              if (srt)
+                when(i % 2 === 0, concat(lit("srt <i>cue</i> "), i,
+                    lit(" doc "), col("doc_id")))
+                  .otherwise(concat(lit("srt cue "), i,
+                    lit(" doc "), col("doc_id")))
+              else
+                when(i % 2 === 0, concat(lit("<v Speaker"), k % 4,
+                    lit(">word w"), i, lit(" doc "), col("doc_id"),
+                    lit("</v>")))
+                  .otherwise(concat(lit("plain <i>line</i> "), i,
+                    lit(" of "), col("doc_id"))),
+              lit("\n\n"))
+          })
+        val sub = when(isSrt, array_join(cueArr(",", srt = true), ""))
+          .otherwise(concat(lit("WEBVTT\n\n"),
+            array_join(cueArr(".", srt = false), "")))
+        val folded = trim(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(col("sub"),
+            "(?m)^.*-->.*$", ""), "(?m)^WEBVTT$", ""),
+            "(?m)^\\d+$", ""), "<[^>]*>", ""), "\\s+", " "))
+        docs.select(col("doc_id"), sub.as("sub"))
+          .withColumn("ts", transform(
+            regexp_extract_all(col("sub"),
+              lit("(\\d{2}:\\d{2}:\\d{2}[.,]\\d{3})"), lit(1)),
+            t => substring(t, 1, 2).cast("long") * 3600000L +
+              substring(t, 4, 2).cast("long") * 60000L +
+              substring(t, 7, 2).cast("long") * 1000L +
+              substring(t, 10, 3).cast("long")))
+          .select(
+            col("doc_id"),
+            when(col("sub").startsWith("WEBVTT"), "vtt").otherwise("srt")
+              .as("kind"),
+            regexp_count(col("sub"), lit("-->")).cast("long").as("n_cues"),
+            expr("aggregate(sequence(0, size(ts) div 2 - 1), 0L, " +
+              "(acc, j) -> acc + element_at(ts, int(2*j+2)) " +
+              "- element_at(ts, int(2*j+1)))")
+              .as("total_ms"),
+            regexp_count(col("sub"), lit("<v ")).cast("long").as("n_voice"),
+            regexp_extract(col("sub"), "<v ([^>]+)>", 1).as("first_voice"),
+            md5(folded.cast("binary")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, doc_id % 251 AS k FROM documents),
+        b AS (
+          SELECT doc_id, k, k % 3 = 0 AS srt, k % 4 + 2 AS nc FROM base),
+        cues AS (
+          SELECT doc_id, k, srt, i,
+                 i * 7000 + (k % 13) * 250 AS sms,
+                 i * 7000 + (k % 13) * 250 + 1500 + (k % 7) * 300 + i * 100 AS ems
+          FROM b, unnest(range(0, nc)) r(i)),
+        cuetxt AS (
+          SELECT doc_id, srt, i,
+            (i + 1) || chr(10) ||
+            '00:' || lpad(CAST(sms // 60000 AS VARCHAR), 2, '0') || ':' ||
+              lpad(CAST((sms // 1000) % 60 AS VARCHAR), 2, '0') ||
+              (CASE WHEN srt THEN ',' ELSE '.' END) ||
+              lpad(CAST(sms % 1000 AS VARCHAR), 3, '0') ||
+            ' --> ' ||
+            '00:' || lpad(CAST(ems // 60000 AS VARCHAR), 2, '0') || ':' ||
+              lpad(CAST((ems // 1000) % 60 AS VARCHAR), 2, '0') ||
+              (CASE WHEN srt THEN ',' ELSE '.' END) ||
+              lpad(CAST(ems % 1000 AS VARCHAR), 3, '0') ||
+            (CASE WHEN NOT srt AND i % 2 = 1 THEN ' align:start' ELSE '' END) ||
+            chr(10) ||
+            (CASE WHEN srt AND i % 2 = 0
+                    THEN 'srt <i>cue</i> ' || i || ' doc ' || doc_id
+                  WHEN srt THEN 'srt cue ' || i || ' doc ' || doc_id
+                  WHEN i % 2 = 0
+                    THEN '<v Speaker' || (k % 4) || '>word w' || i ||
+                         ' doc ' || doc_id || '</v>'
+                  ELSE 'plain <i>line</i> ' || i || ' of ' || doc_id END) ||
+            chr(10) || chr(10) AS cue
+          FROM cues),
+        subs AS (
+          SELECT doc_id,
+                 (CASE WHEN srt THEN ''
+                       ELSE 'WEBVTT' || chr(10) || chr(10) END) ||
+                 string_agg(cue, '' ORDER BY i) AS sub
+          FROM cuetxt GROUP BY doc_id, srt),
+        p AS (
+          SELECT doc_id, sub,
+                 list_transform(
+                   regexp_extract_all(sub, '(\d{2}:\d{2}:\d{2}[.,]\d{3})', 1),
+                   t -> CAST(substr(t, 1, 2) AS BIGINT) * 3600000 +
+                        CAST(substr(t, 4, 2) AS BIGINT) * 60000 +
+                        CAST(substr(t, 7, 2) AS BIGINT) * 1000 +
+                        CAST(substr(t, 10, 3) AS BIGINT)) AS ms
+          FROM subs)
+        SELECT doc_id,
+               CASE WHEN starts_with(sub, 'WEBVTT') THEN 'vtt'
+                    ELSE 'srt' END AS kind,
+               CAST(len(regexp_extract_all(sub, '-->')) AS BIGINT) AS n_cues,
+               CAST(list_sum(list_transform(range(0, len(ms) // 2), j ->
+                 ms[CAST(2 * j + 2 AS INT)] - ms[CAST(2 * j + 1 AS INT)]))
+                 AS BIGINT) AS total_ms,
+               CAST(len(regexp_extract_all(sub, '<v ')) AS BIGINT) AS n_voice,
+               regexp_extract(sub, '<v ([^>]+)>', 1) AS first_voice,
+               md5(trim(regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(regexp_replace(sub,
+                   '(?m)^.*-->.*$', '', 'g'), '(?m)^WEBVTT$', '', 'g'),
+                   '(?m)^\d+$', '', 'g'), '<[^>]*>', '', 'g'),
+                   '\s+', ' ', 'g'))) AS text_md5
+        FROM p
+        ORDER BY doc_id
+      """.trim),
+    ),
   )
 
   private val n_ = "(k % 3 + 1)"

@@ -222,4 +222,48 @@ class DedupeSpec extends AnyFunSuite with SparkSuite {
     val docs = (1L to 40L).map(i => (i, boiler + noise(300))).toDF("doc_id", "text")
     assert(Dedupe.sharedSubstringPairs(docs, "doc_id", "text").count() == 0L)
   }
+
+  test("duplicated spans: planted cross-doc span found with exact bounds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(18)
+    def words(n: Int, tag: String) =
+      (1 to n).map(i => s"$tag${rnd.nextInt(1 << 30)}").mkString(" ")
+    val shared = (1 to 30).map(i => s"dup$i").mkString(" ") // 30 shared tokens
+    // doc 1: 10 unique + shared + 5 unique; doc 2: 3 unique + shared + 8
+    val docs = Seq(
+      (1L, words(10, "a") + " " + shared + " " + words(5, "b")),
+      (2L, words(3, "c") + " " + shared + " " + words(8, "d")),
+      (3L, words(40, "e"))).toDF("doc_id", "text")
+    val spans = Dedupe.duplicatedSpans(docs, "doc_id", "text",
+        gram = 4, minSpanTokens = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // exact bounds: the 30-token span starts at token 11 in doc 1 and
+    // token 4 in doc 2; doc 3 contributes nothing
+    assert(spans == Set((1L, 11L, 30L), (2L, 4L, 30L)))
+  }
+
+  test("duplicated spans: nearby matches union into one interval (no double count)") {
+    import spark.implicits._
+    // two 4-gram matches separated by a 2-token gap: covered windows
+    // [1,4]+[2,5] and [8,11]+[9,12] → runs [1,5] and [8,12], NOT a sum
+    // of overlapping window lengths
+    val a = "p q r s t GAP1 GAP2 u v w x y"
+    val b = "p q r s t NOP1 NOP2 u v w x y"
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val spans = Dedupe.duplicatedSpans(docs, "doc_id", "text",
+        gram = 4, minSpanTokens = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans == Set((1L, 1L, 5L), (2L, 1L, 5L),
+      (1L, 8L, 5L), (2L, 8L, 5L)))
+  }
+
+  test("duplicated spans: within-doc repeats alone do not mark coverage") {
+    import spark.implicits._
+    val rep = (1 to 5).map(_ => "same same same same").mkString(" ")
+    val docs = Seq((1L, rep), (2L, "totally different words here okay"))
+      .toDF("doc_id", "text")
+    // the repeated gram has df=1 distinct doc → below the ≥2-doc gate
+    assert(Dedupe.duplicatedSpans(docs, "doc_id", "text",
+      gram = 4, minSpanTokens = 4).count() == 0L)
+  }
 }
