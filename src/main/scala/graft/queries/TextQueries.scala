@@ -1008,6 +1008,27 @@ object TextQueries {
         ORDER BY doc_id
       """.trim),
     ),
+
+    // t21: unigram-LM tokenizer training (Kudo 2018 / SentencePiece EM)
+    // in integer fixed-point — the tokenizer family's third member next
+    // to BPE learn/encode (t13/t14). Seed substring vocabulary (capped
+    // head + always-alive single chars), then EM rounds of deterministic
+    // integer Viterbi segmentation (fewest pieces, then highest total
+    // piece count, ties to the smallest split point) → usage
+    // re-estimation → prune-by-loss. The oracle replays the WHOLE
+    // training loop level-by-level (an unrolled DP CTE per word
+    // position per round — the t13 replay discipline), so the learned
+    // piece table itself is hash-gated. Scale: corpus collapses to its
+    // word-frequency table once; every round is vocabulary work and the
+    // piece table is model-sized (capped, broadcast).
+    Q(
+      "t21_unigram_train",
+      (s, dir) =>
+        graft.ops.UnigramLm.train(
+          Registry.table(s, dir, "documents"), "text", rounds = 2)
+          .orderBy("pos"),
+      Some(unigramOracle(2)),
+    ),
   )
 
   /** Shared BPE oracle machinery: k unrolled merge levels over the word
@@ -1070,4 +1091,79 @@ object TextQueries {
        |FROM dwf JOIN wt USING (w)
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
+
+  /** t21 oracle: replay the ENTIRE integer-EM unigram training loop
+    * (ops.UnigramLm) level-by-level in SQL — seed substring counts with
+    * the char floor + capped multi-piece head, then per round an
+    * unrolled Viterbi DP (one CTE per word position, ties broken by
+    * score DESC then split point ASC — the same rule as the Scala DP),
+    * usage re-estimation, and the prune-with-char-floor M-step. The
+    * unroll covers words up to `maxLen` chars; a longer word would
+    * produce NO segmentation row and fail the compare loudly. */
+  private def unigramOracle(rounds: Int, maxPiece: Int = 4,
+      maxLen: Int = 16): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      val v = s"v${r - 1}"
+      val dp0 =
+        s"""dp${r}_0 AS MATERIALIZED (
+           |  SELECT w, freq, 0 AS j, 0::BIGINT AS score,
+           |         CAST([] AS VARCHAR[]) AS path FROM words)""".stripMargin
+      val levels = (1 to maxLen).map { j =>
+        val srcs = (math.max(0, j - maxPiece) until j)
+          .map(i => s"SELECT * FROM dp${r}_$i").mkString(" UNION ALL ")
+        s"""dp${r}_$j AS MATERIALIZED (
+           |  SELECT w, freq, j, score, path FROM (
+           |    SELECT d.w, d.freq, $j AS j,
+           |           d.score + v.c - 1000000000000 AS score,
+           |           list_append(d.path, v.p) AS path,
+           |           row_number() OVER (PARTITION BY d.w
+           |             ORDER BY d.score + v.c DESC, d.j ASC) AS rn
+           |    FROM ($srcs) d
+           |    JOIN $v v ON v.p = substr(d.w, CAST(d.j + 1 AS INT),
+           |                              CAST($j - d.j AS INT))
+           |    WHERE length(d.w) >= $j)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val all = (1 to maxLen).map(j => s"SELECT * FROM dp${r}_$j")
+        .mkString(" UNION ALL ")
+      s"""$dp0,
+         |$levels,
+         |seg$r AS MATERIALIZED (SELECT w, freq, path FROM ($all) WHERE length(w) = j),
+         |u$r AS MATERIALIZED (
+         |  SELECT p, SUM(freq)::BIGINT AS u
+         |  FROM seg$r, unnest(path) t(p) GROUP BY p),
+         |v$r AS MATERIALIZED (
+         |  SELECT p, u AS c FROM u$r WHERE length(p) >= 2 AND u >= 2
+         |  UNION ALL
+         |  SELECT c0.p, COALESCE(u.u, 0)::BIGINT AS c
+         |  FROM chars0 c0 LEFT JOIN u$r u USING (p))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT w, COUNT(*)::BIGINT AS freq FROM (
+       |    SELECT unnest(list_filter(
+       |      string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '),
+       |      t -> t <> '')) AS w
+       |    FROM documents) GROUP BY w),
+       |sub AS MATERIALIZED (
+       |  SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS p,
+       |         SUM(freq)::BIGINT AS c
+       |  FROM words, unnest(range(1, length(w) + 1)) r(i),
+       |       unnest(range(1, ${maxPiece + 1})) q(l)
+       |  WHERE i + l <= length(w) + 1
+       |  GROUP BY 1),
+       |chars0 AS MATERIALIZED (SELECT p, c FROM sub WHERE length(p) = 1),
+       |v0 AS MATERIALIZED (
+       |  SELECT p, c FROM chars0
+       |  UNION ALL
+       |  SELECT p, c FROM (
+       |    SELECT p, c FROM sub WHERE length(p) >= 2 AND c >= 2
+       |    ORDER BY c DESC, p LIMIT 10000)),
+       |$roundCtes
+       |SELECT pos, piece, usage FROM (
+       |  SELECT CAST(row_number() OVER (ORDER BY c DESC, p) AS BIGINT) AS pos,
+       |         p AS piece, c AS usage
+       |  FROM v$rounds)
+       |WHERE pos <= 50
+       |ORDER BY pos""".stripMargin
+  }
 }
