@@ -107,4 +107,38 @@ object Components {
     * single small job over materialized blocks, run once at the end. */
   private[graft] def confirmedFixpoint(prev: DataFrame, cur: DataFrame): Boolean =
     cur.except(prev).isEmpty
+
+  /** g27: k-CORE decomposition membership (Seidman 1983; the
+    * distributed bulk-peel of Montresor et al.) — repeatedly delete ALL
+    * nodes of degree < k until fixpoint; what survives is the k-core,
+    * the standard "dense nucleus" cut of a web graph (spam-farm nuclei,
+    * community cores). Bulk deletion makes the round count the PEELING
+    * DEPTH of the graph (small for heavy-tailed web graphs), not the
+    * node count; each round is one degree partial-agg plus two
+    * anti-joins against the (shrinking, broadcastable) victim set, and
+    * per-round state is checkpoint-materialized so lineage stays flat.
+    * Input `pairs` is an undirected distinct edge list (sa < sb);
+    * returns (node, core_deg) for the k-core members, where core_deg is
+    * the node's degree INSIDE the core (≥ k by construction). */
+  def kCore(pairs: DataFrame, srcCol: String, dstCol: String,
+      k: Int): DataFrame = {
+    var alive = Iterative.materialize(
+      pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .unionByName(
+          pairs.select(col(dstCol).as("src"), col(srcCol).as("dst"))))
+    var done = false
+    while (!done) {
+      val bad = Iterative.materialize(
+        alive.groupBy("src").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") < k).select(col("src").as("n")))
+      if (bad.isEmpty) done = true
+      else
+        alive = Iterative.materialize(
+          alive
+            .join(bad.select(col("n").as("src")), Seq("src"), "left_anti")
+            .join(bad.select(col("n").as("dst")), Seq("dst"), "left_anti"))
+    }
+    alive.groupBy("src").agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("node"), col("core_deg"))
+  }
 }

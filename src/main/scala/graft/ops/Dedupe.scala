@@ -389,36 +389,79 @@ object Dedupe {
     * corpora the gram string shuffles as an xxhash64 (collisions only
     * over-mark coverage); the gated query keeps the string so the oracle
     * replays it exactly. */
-  def duplicatedSpans(docs: DataFrame, id: String, text: String,
-      gram: Int = 8, minSpanTokens: Int = 50): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs
+  /** Every token `gram`-gram position of every doc (1-based), with the
+    * doc's token count — the shared enumeration of [[duplicatedSpans]]
+    * and [[contaminationSpans]]. One explode, linear in corpus tokens. */
+  private def gramPositions(docs: DataFrame, id: String, text: String,
+      gram: Int): DataFrame =
+    docs
       .select(col(id).as("doc_id"), TextAnalysis.tokens(col(text)).as("t"))
       .filter(size(col("t")) >= gram)
       .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
-        col("t"))
-    val grams = toks
-      .select(col("doc_id"), col("n_tokens"),
         posexplode(expr(
           s"transform(sequence(1, size(t) - ${gram - 1}), " +
             s"i -> array_join(slice(t, i, $gram), ' '))")))
       .select(col("doc_id"), col("n_tokens"),
         (col("pos") + 1).cast("long").as("pos"), col("col").as("g"))
+
+  def duplicatedSpans(docs: DataFrame, id: String, text: String,
+      gram: Int = 8, minSpanTokens: Int = 50): DataFrame = {
+    val grams = gramPositions(docs, id, text, gram)
       .transform(Iterative.materialize) // feeds the df gate AND the join back
     val dup = grams.groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= 2)
       .select(col("g"))
-    val covered = grams.join(dup, "g")
-      .select(col("doc_id"), col("n_tokens"),
-        explode(expr(s"sequence(pos, pos + ${gram - 1})")).as("tok"))
-      .distinct()
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("tok"))
-    covered
-      .withColumn("grp", col("tok") - row_number().over(w))
+    spansFromPositions(grams.join(dup, "g"), gram, minSpanTokens)
+  }
+
+  /** cu27: SPAN-level benchmark decontamination — the surgical form of
+    * cu8's doc-level screen, and what GPT-3's appendix C actually
+    * specifies (remove the 13-gram-overlap WINDOW, not the document):
+    * every corpus position whose token `gram`-gram appears ANYWHERE in
+    * the benchmark set is contaminated; maximal covered-token runs are
+    * the spans a cleaning pass deletes. Returns one row per span:
+    * (doc_id, span_start, span_tokens, n_tokens) — sum(span_tokens)/
+    * n_tokens is the per-doc removal share, and docs absent from the
+    * output are clean. Scale shape: corpus side is one linear gram
+    * enumerate; the benchmark gram set is distinct-aggregated once
+    * (eval suites are ~10^6 grams — broadcastable; AQE picks that up)
+    * and the semi-join never fans out per benchmark occurrence. */
+  def contaminationSpans(corpus: DataFrame, benchmark: DataFrame,
+      id: String, text: String,
+      gram: Int = 13, minSpanTokens: Int = 13): DataFrame = {
+    val corpusGrams = gramPositions(corpus, id, text, gram)
+    val benchGrams = gramPositions(benchmark, id, text, gram)
+      .select(col("g")).distinct()
+    spansFromPositions(corpusGrams.join(benchGrams, Seq("g"), "left_semi"),
+      gram, minSpanTokens)
+  }
+
+  /** Maximal covered-token runs from covered gram POSITIONS: a position
+    * run [p1,p2] covers tokens [p1, p2+gram-1]; intervals whose position
+    * gap is < gram are contiguous in token space and merge. Two per-doc
+    * gaps-and-islands windows — never a K-fold token explode. */
+  private def spansFromPositions(covPos0: DataFrame, gram: Int,
+      minSpanTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val covPos = covPos0.select(col("doc_id"), col("n_tokens"), col("pos"))
+    val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val intervals = covPos
+      .withColumn("grp", col("pos") - row_number().over(wp))
       .groupBy(col("doc_id"), col("grp"))
-      .agg(min(col("tok")).as("span_start"),
-        count(lit(1)).as("span_tokens"),
+      .agg(min(col("pos")).as("s"),
+        (max(col("pos")) + (gram - 1)).as("e"),
+        max(col("n_tokens")).as("n_tokens"))
+    val ws = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val wsPrev = ws.rowsBetween(Window.unboundedPreceding, -1)
+    intervals
+      .withColumn("prevMax", max(col("e")).over(wsPrev))
+      .withColumn("isStart",
+        (col("prevMax").isNull || col("s") > col("prevMax") + 1).cast("int"))
+      .withColumn("grp2", sum(col("isStart")).over(ws))
+      .groupBy(col("doc_id"), col("grp2"))
+      .agg(min(col("s")).as("span_start"),
+        (max(col("e")) - min(col("s")) + 1).as("span_tokens"),
         max(col("n_tokens")).as("n_tokens"))
       .filter(col("span_tokens") >= minSpanTokens)
       .select(col("doc_id"), col("span_start"), col("span_tokens"),

@@ -1518,5 +1518,55 @@ object CurationQueries {
         ORDER BY lang
       """.trim),
     ),
+
+    // cu27: SPAN-level benchmark decontamination — the surgical form of
+    // cu8's doc-level screen, and what GPT-3's appendix C actually
+    // specifies: remove the 13-gram-overlap WINDOW around each benchmark
+    // collision, not the whole document. Benchmark set = the src0 slice
+    // (cu8's convention); every corpus position whose 13-gram appears
+    // anywhere in the benchmark marks its covered window; maximal
+    // covered-token runs are the spans a cleaning pass deletes.
+    // Composition of the d18 span kernel (gram enumerate → covered
+    // positions → interval union) with the cu8 bench semi-join — the
+    // benchmark gram set aggregates once and broadcasts; no per-
+    // occurrence fan-out. Oracle replays enumerate/join/union in SQL.
+    Q(
+      "cu27_span_decontam",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        graft.ops.Dedupe.contaminationSpans(
+            corpus = docs.filter(col("source") =!= "src0"),
+            benchmark = docs.filter(col("source") === "src0"),
+            id = "doc_id", text = "text",
+            gram = 13, minSpanTokens = 13)
+          .orderBy("doc_id", "span_start")
+      },
+      Some(raw"""
+        WITH toks AS (
+          SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id, source, len(t) AS n_tokens, i AS pos,
+                 array_to_string(t[i:i+12], ' ') AS g
+          FROM toks, unnest(range(1, len(t) - 11)) r(i)
+          WHERE len(t) >= 13),
+        bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+        tr AS (SELECT doc_id, n_tokens, pos, g FROM grams
+               WHERE source <> 'src0'),
+        hit AS (SELECT doc_id, n_tokens, pos FROM tr SEMI JOIN bench USING (g)),
+        cov AS (
+          SELECT DISTINCT doc_id, n_tokens, tok
+          FROM hit, unnest(range(pos, pos + 13)) u(tok)),
+        runs AS (
+          SELECT doc_id, n_tokens, tok,
+                 tok - row_number() OVER (PARTITION BY doc_id ORDER BY tok) AS grp
+          FROM cov)
+        SELECT doc_id, MIN(tok) AS span_start, COUNT(*) AS span_tokens,
+               MAX(n_tokens) AS n_tokens
+        FROM runs GROUP BY doc_id, grp
+        HAVING COUNT(*) >= 13
+        ORDER BY doc_id, span_start
+      """.trim),
+    ),
   )
 }

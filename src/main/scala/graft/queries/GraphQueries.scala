@@ -1537,7 +1537,52 @@ object GraphQueries {
         ORDER BY p.sa, p.sb
       """.trim),
     ),
+
+    // G27: k-CORE membership (Seidman 1983; bulk-peel à la Montresor et
+    // al.) over the shared co-citation substrate — the "dense nucleus"
+    // cut next to g26's truss support: repeatedly delete ALL nodes of
+    // degree < k until fixpoint. Bulk deletion makes the round count
+    // the graph's peeling depth (small on heavy-tailed webgraphs), each
+    // round one degree partial-agg + two anti-joins against the
+    // shrinking victim set. The oracle replays the peel ROUND BY ROUND
+    // (unrolled, materialized CTEs — the t13 discipline); rounds beyond
+    // the fixpoint are no-ops, and a fixture deep enough to exceed the
+    // unroll would fail the compare loudly rather than silently agree.
+    Q(
+      "g27_kcore",
+      (s, dir) =>
+        graft.ops.Components.kCore(cocitationTopEdges(s, dir),
+            "sa", "sb", k = 3)
+          .orderBy("node"),
+      Some(kcoreOracle(k = 3, rounds = 20)),
+    ),
   )
+
+  /** g27 oracle: the bulk peel unrolled `rounds` levels in SQL over the
+    * co-citation substrate. */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val peels = (1 to rounds).map { r =>
+      s"""a$r AS MATERIALIZED (
+         |  SELECT * FROM a${r - 1}
+         |  WHERE src NOT IN (SELECT n FROM b${r - 1})
+         |    AND dst NOT IN (SELECT n FROM b${r - 1})),
+         |b$r AS MATERIALIZED (
+         |  SELECT src AS n FROM a$r GROUP BY src HAVING COUNT(*) < $k)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $EdgesCte,
+       |$TopEdgesCtes,
+       |a0 AS MATERIALIZED (
+       |  SELECT sa AS src, sb AS dst FROM pairs
+       |  UNION ALL SELECT sb AS src, sa AS dst FROM pairs),
+       |b0 AS MATERIALIZED (
+       |  SELECT src AS n FROM a0 GROUP BY src HAVING COUNT(*) < $k),
+       |$peels
+       |SELECT src AS node, COUNT(*)::BIGINT AS core_deg
+       |FROM a$rounds
+       |GROUP BY src
+       |ORDER BY node""".stripMargin
+  }
 
   private val hbStage = new Staging.Memo("g-hyperball")
   private val hbLock = new Object

@@ -2588,6 +2588,63 @@ object MultimodalQueries {
         ORDER BY doc_id
       """.trim),
     ),
+
+    // m46: APNG ANIMATION-CONTROL walk — the PNG sibling of m20's GIF
+    // animation census: acTL declared frames/plays, the interleaved
+    // fcTL/fdAT shared-sequence-number protocol (strictly 0,1,2,… in
+    // stream order — the validity rule real decoders enforce), delay
+    // arithmetic with the den==0→1/100s spec rule, per-frame geometry
+    // bounds vs IHDR, dispose/blend ops, and the default-image-is-
+    // frame-0 dispatch (fcTL before IDAT). The fixture is a REAL
+    // deflated PNG container with CRCs; pixels stay with m8/m18/m19.
+    Q(
+      "m46_apng_meta",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val parse = udf((id: Long) => {
+          val m = graft.ops.Apng.apngMeta(graft.ops.Apng.encodeApng(id))
+          if (m == null)
+            (-1L, -1L, -1L, -1L, -1L, -1L, -1L, -1L, -1L, 0L, 0L, 0L)
+          else
+            (m.width, m.height, m.framesDeclared, m.plays, m.nFctl,
+              m.nFdat, m.totalDelayMs, m.firstDispose, m.firstBlend,
+              if (m.seqOk) 1L else 0L, if (m.defaultIsFrame) 1L else 0L,
+              if (m.intact) 1L else 0L)
+        })
+        docs.select(col("doc_id"), parse(col("doc_id")).as("m"))
+          .select(col("doc_id"),
+            col("m._1").as("width"), col("m._2").as("height"),
+            col("m._3").as("n_frames"), col("m._4").as("n_plays"),
+            col("m._5").as("n_fctl"), col("m._6").as("n_fdat"),
+            col("m._7").as("total_delay_ms"),
+            col("m._8").as("first_dispose"), col("m._9").as("first_blend"),
+            col("m._10").as("seq_ok"), col("m._11").as("default_is_frame"),
+            col("m._12").as("intact"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, doc_id % 251 AS k FROM documents)
+        SELECT doc_id,
+               (k % 40 + 8)::BIGINT AS width,
+               (k % 30 + 8)::BIGINT AS height,
+               (k % 5 + 1)::BIGINT AS n_frames,
+               (k % 4)::BIGINT AS n_plays,
+               (k % 5 + 1)::BIGINT AS n_fctl,
+               (CASE WHEN k % 2 = 0 THEN k % 5 ELSE k % 5 + 1 END)::BIGINT
+                 AS n_fdat,
+               CAST(list_sum(list_transform(range(0, k % 5 + 1),
+                 i -> ((k + i) % 50 + 1) * 10)) AS BIGINT) AS total_delay_ms,
+               (k % 3)::BIGINT AS first_dispose,
+               (k % 2)::BIGINT AS first_blend,
+               1::BIGINT AS seq_ok,
+               (CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+                 AS default_is_frame,
+               1::BIGINT AS intact
+        FROM base
+        ORDER BY doc_id
+      """.trim),
+    ),
   )
 
   private val n_ = "(k % 3 + 1)"

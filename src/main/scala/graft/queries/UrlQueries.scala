@@ -295,5 +295,101 @@ object UrlQueries {
         ORDER BY doc_id
       """.trim),
     ),
+
+    // u6: TRACKING-PARAM STRIP + canonical URL dedup groups — the
+    // click-id/utm layer of URL canonicalization (next to F6's
+    // normalize and stripSessionIds): utm_* and the ad-click ids
+    // (gclid/fbclid/msclkid/mc_eid/igshid) are per-click noise that
+    // makes one page look like many URLs; stripping them, DROPPING the
+    // fragment, and SORTING the surviving params yields the dedupe key
+    // a crawl frontier and a corpus URL-dedup both group on. Fully
+    // declarative (split/filter/array_sort/array_join — codegen, zero
+    // UDFs); the oracle rebuilds the same URL text and replays the
+    // strip-sort-rebuild pipeline with its own list ops, then both
+    // sides roll up the canonical groups.
+    Q(
+      "u6_tracking_strip",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val k = col("doc_id") % 251
+        val real1 = concat(lit("id="), col("doc_id") % 97)
+        val real2 = concat(lit("page="), k % 3)
+        val t1 = when(k % 2 === 0, concat(lit("utm_source=s"), k % 5))
+        val t2 = when(k % 3 === 0, concat(lit("utm_campaign=c"), k))
+        val t3 = when(k % 5 === 0, concat(lit("gclid=g"), col("doc_id")))
+        val t4 = when(k % 7 === 0, lit("fbclid=fb1"))
+        val params = when(k % 2 === 0,
+            array(t1, real1, t2, real2, t3, t4))
+          .otherwise(array(real2, t3, real1, t1, t4, t2))
+        val url = concat(
+          lit("https://h"), k % 7, lit(".example/p/"), col("doc_id") % 97,
+          lit("?"),
+          array_join(filter(params, p => p.isNotNull), "&"),
+          when(k % 4 === 0, lit("#frag")).otherwise(lit("")))
+        val q = regexp_extract(col("url"), "\\?([^#]*)", 1)
+        val kept = array_sort(filter(split(q, "&"), p => {
+          val name = lower(element_at(split(p, "="), 1))
+          !(name.startsWith("utm_") ||
+            name.isin("gclid", "fbclid", "msclkid", "mc_eid", "igshid"))
+        }))
+        val canon = concat(
+          regexp_extract(col("url"), "^([^?#]*)", 1),
+          when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+            .otherwise(lit("")))
+        val nStripped = size(split(q, "&")) - size(kept)
+        docs.select(col("doc_id"), url.as("url"))
+          .select(canon.as("canon_url"), nStripped.cast("long").as("ns"))
+          .groupBy("canon_url")
+          .agg(count(lit(1)).as("n_urls"), sum(col("ns")).as("n_stripped"))
+          .orderBy("canon_url")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, doc_id % 251 AS k FROM documents),
+        u AS (
+          SELECT doc_id,
+            'https://h' || (k % 7) || '.example/p/' || (doc_id % 97) || '?' ||
+            array_to_string(list_filter(
+              CASE WHEN k % 2 = 0 THEN [
+                CASE WHEN k % 2 = 0 THEN 'utm_source=s' || (k % 5) END,
+                'id=' || (doc_id % 97),
+                CASE WHEN k % 3 = 0 THEN 'utm_campaign=c' || k END,
+                'page=' || (k % 3),
+                CASE WHEN k % 5 = 0 THEN 'gclid=g' || doc_id END,
+                CASE WHEN k % 7 = 0 THEN 'fbclid=fb1' END]
+              ELSE [
+                'page=' || (k % 3),
+                CASE WHEN k % 5 = 0 THEN 'gclid=g' || doc_id END,
+                'id=' || (doc_id % 97),
+                CASE WHEN k % 2 = 0 THEN 'utm_source=s' || (k % 5) END,
+                CASE WHEN k % 7 = 0 THEN 'fbclid=fb1' END,
+                CASE WHEN k % 3 = 0 THEN 'utm_campaign=c' || k END]
+              END, p -> p IS NOT NULL), '&') ||
+            (CASE WHEN k % 4 = 0 THEN '#frag' ELSE '' END) AS url
+          FROM base),
+        c AS (
+          SELECT doc_id,
+                 regexp_extract(url, '^([^?#]*)', 1) AS head,
+                 string_split(regexp_extract(url, '\?([^#]*)', 1), '&') AS ps
+          FROM u),
+        s AS (
+          SELECT doc_id, head,
+                 list_sort(list_filter(ps, p ->
+                   NOT (starts_with(lower(string_split(p, '=')[1]), 'utm_')
+                        OR lower(string_split(p, '=')[1]) IN
+                           ('gclid', 'fbclid', 'msclkid', 'mc_eid', 'igshid'))))
+                   AS kept,
+                 len(ps) AS np
+          FROM c)
+        SELECT head || (CASE WHEN len(kept) > 0
+                             THEN '?' || array_to_string(kept, '&')
+                             ELSE '' END) AS canon_url,
+               COUNT(*)::BIGINT AS n_urls,
+               CAST(SUM(np - len(kept)) AS BIGINT) AS n_stripped
+        FROM s
+        GROUP BY 1
+        ORDER BY canon_url
+      """.trim),
+    ),
   )
 }

@@ -2,52 +2,42 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.{GraphQueries, Registry}
+import graft.ops.Components
 
-/** g15 honesty pins: the oracle replays a FIXED 8-round unroll of the
-  * peel, which equals the fixpoint only if peeling actually converges
-  * within 8 rounds at the oracle's scale factors. These tests simulate
-  * the exact peel driver-side from the same substrate and pin (a) the
-  * convergence depth at both gate SFs, and (b) that the Spark query's
-  * surviving node set equals the simulated fixpoint. */
+/** g27 k-core bulk peel: exact membership on hand-built graphs,
+  * including the cascade case (removing a degree-deficient node pushes a
+  * neighbor below k on a LATER round — the behavior a single-pass degree
+  * filter gets wrong). */
 class KCoreSpec extends AnyFunSuite with SparkSuite {
 
-  private val K = 18
-
-  private def peel(edges: Seq[(Long, Long)]): (Set[Long], Int) = {
-    var cur = edges
-    var rounds = 0
-    var stable = false
-    while (!stable && rounds < 40) {
-      val deg = cur.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
-        .map { case (n, v) => n -> v.size }
-      val keep = deg.filter(_._2 >= K).keySet
-      val next = cur.filter(e => keep(e._1) && keep(e._2))
-      stable = next.size == cur.size
-      cur = next
-      rounds += 1
-    }
-    assert(stable, "simulation did not converge")
-    (cur.flatMap(e => Seq(e._1, e._2)).toSet, rounds)
+  private def core(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Components.kCore(edges.toDF("sa", "sb"), "sa", "sb", k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
-  test("peeling converges within the oracle's 8-round unroll at both gate SFs") {
-    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
-      val edges = GraphQueries.cocitationTopEdges(spark, dir)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-      val (_, rounds) = peel(edges)
-      assert(rounds <= 8, s"$dir needs $rounds peel rounds > oracle unroll depth 8")
-    }
+  test("triangle plus pendant: 2-core drops the pendant only") {
+    // 1-2-3 triangle, 4 hangs off 3
+    val got = core(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)), 2)
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
-  test("the fixpoint query returns exactly the simulated core (cascade non-vacuous)") {
-    val edges = GraphQueries.cocitationTopEdges(spark, "/root/testdata/sf0.01")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val (core, rounds) = peel(edges)
-    // a one-shot degree filter is NOT a k-core: the cascade must matter
-    assert(rounds >= 3, s"peel depth $rounds — substrate degenerated to a one-shot filter")
-    val got = Registry.queries("g15_kcore")(spark, "/root/testdata/sf0.01")
-      .collect().map(_.getLong(0)).toSet
-    assert(got == core)
+  test("cascade: a chain into a clique peels over multiple rounds") {
+    // K4 on {1,2,3,4}; chain 4-5-6-7. Peeling at k=2: 7 goes (deg 1),
+    // then 6, then 5 — three rounds — leaving exactly the clique.
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val chain = Seq((4L, 5L), (5L, 6L), (6L, 7L))
+    val got = core(k4 ++ chain, 2)
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got.values.forall(_ == 3L))
+    // at k=4 nothing survives (K4 max degree inside is 3)
+    assert(core(k4 ++ chain, 4) == Map.empty)
+  }
+
+  test("core degree is the degree INSIDE the core, not the input degree") {
+    // K3 {1,2,3} with two pendants on node 1: input deg(1)=4, core deg 2
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 10L), (1L, 11L))
+    val got = core(g, 2)
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 }
