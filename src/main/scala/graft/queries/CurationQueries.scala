@@ -1568,5 +1568,74 @@ object CurationQueries {
         ORDER BY doc_id, span_start
       """.trim),
     ),
+
+    // cu28: EMBEDDING-CENTROID quality gate — the classifier-free form
+    // of FineWeb-Edu-style model-based filtering: a labeled "good" seed
+    // set (vec_id % 10 == 0 here; a curated reference slice in
+    // production) defines a quality CENTROID (per-dimension rounded
+    // integer mean over int8-quantized vectors — ss6's exact centroid
+    // arithmetic), and every corpus embedding is scored by quantized
+    // cosine against it; the keep bit is the pretraining gate. All
+    // arithmetic integer-valued-double exact (the ss5/ss6 discipline),
+    // so centroid, scores AND the gate replay bit-identically in SQL.
+    // Scale shape: the centroid is one partial-agg'd reduce to 64
+    // numbers (model-sized, broadcast); scoring is one map-side join —
+    // no shuffle of the corpus side, no window.
+    Q(
+      "cu28_embed_quality_gate",
+      (s, dir) => {
+        val vecs = graft.ops.Similarity.vectors(
+          Registry.table(s, dir, "embeddings"), "vec_id", "embedding")
+        val q = vecs.select(col("vec_id"),
+          graft.ops.Similarity.quantize(col("v")).as("qv"))
+        val cent = q.filter(col("vec_id") % 10 === 0)
+          .select(posexplode(col("qv")).as(Seq("i", "x")))
+          .groupBy("i").agg(floor(sum(col("x")) / count(lit(1)) + 0.5).as("c"))
+          .agg(expr("array_sort(collect_list(struct(i, c)))").as("p"))
+          .select(expr("transform(p, e -> double(e.c))").as("cv"),
+            lit(1).as("one"))
+        q.withColumn("one", lit(1))
+          .join(broadcast(cent), "one")
+          .select(col("vec_id"),
+            // zero-norm guard: an all-zero embedding (possible in scaled
+            // soak corpora) scores 0.0 instead of tripping ANSI ÷0
+            when(graft.ops.Similarity.norm(col("qv")) === 0.0 ||
+                graft.ops.Similarity.norm(col("cv")) === 0.0, lit(0.0))
+              .otherwise(graft.ops.Similarity.cosine(col("qv"), col("cv")))
+              .as("qcos"))
+          .select(col("vec_id"), col("qcos"),
+            (col("qcos") >= 0.1).cast("long").as("kept"))
+          .orderBy("vec_id")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (
+          SELECT vec_id,
+                 [CASE WHEN m = 0 THEN 0.0
+                       ELSE floor(x / m * 127.0 + 0.5) END for x in v] AS qv
+          FROM (SELECT vec_id, v, list_max([abs(x) for x in v]) AS m FROM e)),
+        good AS (SELECT qv FROM q WHERE vec_id % 10 = 0),
+        cent AS (
+          SELECT idx, floor(SUM(qv[idx]) / COUNT(*) + 0.5) AS c
+          FROM good, range(1, 65) t(idx)
+          GROUP BY idx),
+        cv AS (SELECT list(c ORDER BY idx) AS cv FROM cent),
+        scored AS (
+          SELECT vec_id,
+                 CASE WHEN list_sum([q.qv[i] * q.qv[i] for i in range(1, 65)]) = 0
+                        OR list_sum([cv.cv[i] * cv.cv[i] for i in range(1, 65)]) = 0
+                      THEN 0.0
+                      ELSE
+                 list_sum([q.qv[i] * cv.cv[i] for i in range(1, 65)]) /
+                 (sqrt(list_sum([q.qv[i] * q.qv[i] for i in range(1, 65)])) *
+                  sqrt(list_sum([cv.cv[i] * cv.cv[i] for i in range(1, 65)])))
+                 END AS qcos
+          FROM q, cv)
+        SELECT vec_id, qcos,
+               (CASE WHEN qcos >= 0.1 THEN 1 ELSE 0 END)::BIGINT AS kept
+        FROM scored
+        ORDER BY vec_id
+      """.trim),
+    ),
   )
 }
