@@ -86,12 +86,12 @@ object UnigramLm {
     StructField("piece", StringType, nullable = false),
     StructField("usage", LongType, nullable = false)))
 
-  /** Train `rounds` integer-EM rounds and return the learned piece
-    * table: (pos, piece, usage) — top `topN` by (usage DESC, piece),
-    * usage measured by the FINAL round's segmentation. */
-  def train(docs: DataFrame, textCol: String, rounds: Int,
+  /** Train `rounds` integer-EM rounds and return the FULL final piece
+    * map (model-sized: seed-capped multi-char pieces + the always-alive
+    * char floor), counts = final-round usage. */
+  def trainPieces(docs: DataFrame, textCol: String, rounds: Int,
       maxPiece: Int = 4, seedMin: Long = 2L, pruneMin: Long = 2L,
-      seedCap: Int = 10000, topN: Int = 50): DataFrame = {
+      seedCap: Int = 10000): Map[String, Long] = {
     val spark = docs.sparkSession
     // corpus → word-frequency table: the only corpus-sized shuffle
     val words = Iterative.materialize(docs
@@ -127,9 +127,46 @@ object UnigramLm {
       pieces = usage.filter { case (p, u) => p.length >= 2 && u >= pruneMin } ++
         charSet.map(c => c -> usage.getOrElse(c, 0L)).toMap
     }
+    pieces
+  }
+
+  /** t21: the learned piece table as a DataFrame — top `topN` by
+    * (usage DESC, piece), usage measured by the FINAL round's
+    * segmentation. */
+  def train(docs: DataFrame, textCol: String, rounds: Int,
+      maxPiece: Int = 4, seedMin: Long = 2L, pruneMin: Long = 2L,
+      seedCap: Int = 10000, topN: Int = 50): DataFrame = {
+    val spark = docs.sparkSession
+    val pieces = trainPieces(docs, textCol, rounds, maxPiece, seedMin,
+      pruneMin, seedCap)
     val ranked = pieces.toSeq.sortBy { case (p, u) => (-u, p) }.take(topN)
       .zipWithIndex.map { case ((p, u), i) => Row((i + 1).toLong, p, u) }
     spark.createDataFrame(
       spark.sparkContext.parallelize(ranked.toSeq, 1), OutSchema)
+  }
+
+  /** t22: ENCODE the corpus with a learned piece map (the inference
+    * half — the t14 pattern): segmentation is a function of the WORD
+    * alone, so the corpus collapses to its distinct-word table, each
+    * surface form is Viterbi-segmented exactly once under the broadcast
+    * model, and per-doc accounting joins back on the pre-grouped
+    * (doc_id, word) counts. Returns (doc_id, n_words, n_tokens). */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      pieces: Map[String, Long], maxPiece: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(pieces)
+    val nToks = udf((w: String) => viterbi(w, bc.value, maxPiece).length)
+    val dw = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(regexp_replace(trim(lower(col(textCol))),
+          "\\s+", " "), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val wordToks = dw.select("w").distinct()
+      .withColumn("nt", nToks(col("w")))
+    dw.join(wordToks, "w")
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("c") * col("nt")).as("n_tokens"))
   }
 }

@@ -1407,6 +1407,87 @@ object MiscQueries {
       """.trim),
     ),
 
+    // x31: HTTP Link-HEADER parse (RFC 8288) — the header-side
+    // counterpart of x30's HTML hints: CDNs and APIs carry pagination
+    // (rel=next/prev) and push hints (rel=preload + as/crossorigin) in
+    // `Link:` response headers, and a crawler following rel=next from
+    // headers is the standard API-pagination walk. The fixture cycles
+    // quoted/unquoted rel, single comma-combined vs multiple Link
+    // header lines; declarative regexps over the header block.
+    Q(
+      "x31_link_header",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val k = col("doc_id") % 251
+        val nxt = when(k % 3 =!= 1,
+          concat(lit("</p/"), col("doc_id") + 1,
+            when(k % 2 === 0, lit(">; rel=\"next\""))
+              .otherwise(lit(">; rel=next")))).otherwise(lit(null))
+        val prv = when(k % 4 === 0,
+          concat(lit("</p/"), col("doc_id") - 1, lit(">; rel=prev")))
+          .otherwise(lit(null))
+        val pre1 = when(k % 2 === 0,
+          concat(lit("<https://cdn"), k % 5,
+            lit(".example/a.css>; rel=preload; as=style")))
+          .otherwise(lit(null))
+        val pre2 = when(k % 5 === 0,
+          lit("</f.woff2>; rel=\"preload\"; as=\"font\"; crossorigin"))
+          .otherwise(lit(null))
+        val members = filter(array(nxt, prv, pre1, pre2), m => m.isNotNull)
+        val linkLines = when(k % 2 === 0,
+            when(size(members) > 0,
+              concat(lit("Link: "), array_join(members, ", "), lit("\r\n")))
+              .otherwise(lit("")))
+          .otherwise(
+            // one Link header line per member (the multi-header spelling)
+            concat(aggregate(members, lit(""),
+              (acc, m) => concat(acc, lit("Link: "), m, lit("\r\n")))))
+        val h = concat(
+          lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"),
+          linkLines, lit("\r\n"))
+        docs.select(col("doc_id"), h.as("h"))
+          .select(
+            col("doc_id"),
+            regexp_count(col("h"), lit("(?i)<[^>]*>\\s*;"))
+              .cast("long").as("n_links"),
+            (regexp_count(col("h"), lit("(?i)rel=\"?next")) > 0)
+              .cast("long").as("has_next"),
+            when(regexp_count(col("h"), lit("(?i)rel=\"?next")) > 0,
+              regexp_extract(col("h"),
+                "(?i)<([^>]*)>\\s*;[^,\\r\\n]*rel=\"?next", 1))
+              .otherwise(lit(null)).as("next_url"),
+            regexp_count(col("h"), lit("(?i)rel=\"?preload"))
+              .cast("long").as("n_preload"),
+            when(regexp_count(col("h"), lit("(?i)rel=\"?preload")) > 0,
+              regexp_extract(col("h"),
+                "(?i)rel=\"?preload\"?[^,\\r\\n]*\\bas=\"?([a-z]+)", 1))
+              .otherwise(lit(null)).as("first_preload_as"),
+            regexp_count(col("h"), lit("(?i)crossorigin"))
+              .cast("long").as("n_crossorigin"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, doc_id % 251 AS k FROM documents)
+        SELECT doc_id,
+               ((CASE WHEN k % 3 <> 1 THEN 1 ELSE 0 END)
+                + (CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END))::BIGINT AS n_links,
+               (CASE WHEN k % 3 <> 1 THEN 1 ELSE 0 END)::BIGINT AS has_next,
+               CASE WHEN k % 3 <> 1 THEN '/p/' || (doc_id + 1)
+                    ELSE NULL END AS next_url,
+               ((CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END))::BIGINT AS n_preload,
+               CASE WHEN k % 2 = 0 THEN 'style'
+                    WHEN k % 5 = 0 THEN 'font'
+                    ELSE NULL END AS first_preload_as,
+               (CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_crossorigin
+        FROM base
+        ORDER BY doc_id
+      """.trim),
+    ),
+
     // x27: HTML TABLE EXTRACTION — the WebTables tier: relational
     // facts live in <table> markup, and the structured slice of a
     // training corpus is exactly these rows×cells. Scope pinned in

@@ -1029,6 +1029,26 @@ object TextQueries {
           .orderBy("pos"),
       Some(unigramOracle(2)),
     ),
+
+    // t22: UNIGRAM ENCODING — the inference half of t21 (the t13→t14
+    // pattern): the corpus is segmented with the trained piece table
+    // and tokens accounted per document. Segmentation is a function of
+    // the word alone, so the corpus collapses to its distinct-word
+    // table and each surface form is Viterbi-segmented exactly once
+    // under the broadcast model (vocabulary work, not corpus work).
+    // The oracle replays training end-to-end AND one more DP pass under
+    // the final vocabulary, then the per-doc rollup — learned pieces,
+    // per-word segmentation and per-doc accounting are one hash gate.
+    Q(
+      "t22_unigram_encode",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val pieces = graft.ops.UnigramLm.trainPieces(docs, "text", rounds = 2)
+        graft.ops.UnigramLm.tokenCounts(docs, "doc_id", "text", pieces)
+          .orderBy("doc_id")
+      },
+      Some(unigramEncodeOracle(2)),
+    ),
   )
 
   /** Shared BPE oracle machinery: k unrolled merge levels over the word
@@ -1100,35 +1120,49 @@ object TextQueries {
     * usage re-estimation, and the prune-with-char-floor M-step. The
     * unroll covers words up to `maxLen` chars; a longer word would
     * produce NO segmentation row and fail the compare loudly. */
-  private def unigramOracle(rounds: Int, maxPiece: Int = 4,
+  /** One unrolled Viterbi DP pass in SQL: dp{tag}_0..maxLen over the
+    * word table under vocabulary CTE `vocab`, plus seg{tag} = the path
+    * at j == length(w). Shared by the t21 training replay (one pass per
+    * EM round) and the t22 encode replay (one pass under the final
+    * vocabulary). */
+  private def dpBlock(tag: String, vocab: String, maxPiece: Int,
+      maxLen: Int): String = {
+    val dp0 =
+      s"""dp${tag}_0 AS MATERIALIZED (
+         |  SELECT w, freq, 0 AS j, 0::BIGINT AS score,
+         |         CAST([] AS VARCHAR[]) AS path FROM words)""".stripMargin
+    val levels = (1 to maxLen).map { j =>
+      val srcs = (math.max(0, j - maxPiece) until j)
+        .map(i => s"SELECT * FROM dp${tag}_$i").mkString(" UNION ALL ")
+      s"""dp${tag}_$j AS MATERIALIZED (
+         |  SELECT w, freq, j, score, path FROM (
+         |    SELECT d.w, d.freq, $j AS j,
+         |           d.score + v.c - 1000000000000 AS score,
+         |           list_append(d.path, v.p) AS path,
+         |           row_number() OVER (PARTITION BY d.w
+         |             ORDER BY d.score + v.c DESC, d.j ASC) AS rn
+         |    FROM ($srcs) d
+         |    JOIN $vocab v ON v.p = substr(d.w, CAST(d.j + 1 AS INT),
+         |                              CAST($j - d.j AS INT))
+         |    WHERE length(d.w) >= $j)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val all = (1 to maxLen).map(j => s"SELECT * FROM dp${tag}_$j")
+      .mkString(" UNION ALL ")
+    s"""$dp0,
+       |$levels,
+       |seg$tag AS MATERIALIZED (
+       |  SELECT w, freq, path FROM ($all) WHERE length(w) = j)""".stripMargin
+  }
+
+  /** The shared t21/t22 CTE chain: normalized word-frequency table,
+    * seed substring counts with the char floor + capped head, then per
+    * EM round one DP pass + usage re-estimation + prune (ops.UnigramLm
+    * replayed level-by-level). Ends at vocabulary CTE v{rounds}. */
+  private def unigramCtes(rounds: Int, maxPiece: Int = 4,
       maxLen: Int = 16): String = {
     val roundCtes = (1 to rounds).map { r =>
-      val v = s"v${r - 1}"
-      val dp0 =
-        s"""dp${r}_0 AS MATERIALIZED (
-           |  SELECT w, freq, 0 AS j, 0::BIGINT AS score,
-           |         CAST([] AS VARCHAR[]) AS path FROM words)""".stripMargin
-      val levels = (1 to maxLen).map { j =>
-        val srcs = (math.max(0, j - maxPiece) until j)
-          .map(i => s"SELECT * FROM dp${r}_$i").mkString(" UNION ALL ")
-        s"""dp${r}_$j AS MATERIALIZED (
-           |  SELECT w, freq, j, score, path FROM (
-           |    SELECT d.w, d.freq, $j AS j,
-           |           d.score + v.c - 1000000000000 AS score,
-           |           list_append(d.path, v.p) AS path,
-           |           row_number() OVER (PARTITION BY d.w
-           |             ORDER BY d.score + v.c DESC, d.j ASC) AS rn
-           |    FROM ($srcs) d
-           |    JOIN $v v ON v.p = substr(d.w, CAST(d.j + 1 AS INT),
-           |                              CAST($j - d.j AS INT))
-           |    WHERE length(d.w) >= $j)
-           |  WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
-      val all = (1 to maxLen).map(j => s"SELECT * FROM dp${r}_$j")
-        .mkString(" UNION ALL ")
-      s"""$dp0,
-         |$levels,
-         |seg$r AS MATERIALIZED (SELECT w, freq, path FROM ($all) WHERE length(w) = j),
+      s"""${dpBlock(r.toString, s"v${r - 1}", maxPiece, maxLen)},
          |u$r AS MATERIALIZED (
          |  SELECT p, SUM(freq)::BIGINT AS u
          |  FROM seg$r, unnest(path) t(p) GROUP BY p),
@@ -1138,7 +1172,7 @@ object TextQueries {
          |  SELECT c0.p, COALESCE(u.u, 0)::BIGINT AS c
          |  FROM chars0 c0 LEFT JOIN u$r u USING (p))""".stripMargin
     }.mkString(",\n")
-    s"""WITH words AS MATERIALIZED (
+    s"""words AS MATERIALIZED (
        |  SELECT w, COUNT(*)::BIGINT AS freq FROM (
        |    SELECT unnest(list_filter(
        |      string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '),
@@ -1158,12 +1192,37 @@ object TextQueries {
        |  SELECT p, c FROM (
        |    SELECT p, c FROM sub WHERE length(p) >= 2 AND c >= 2
        |    ORDER BY c DESC, p LIMIT 10000)),
-       |$roundCtes
+       |$roundCtes""".stripMargin
+  }
+
+  private def unigramOracle(rounds: Int): String =
+    s"""WITH ${unigramCtes(rounds)}
        |SELECT pos, piece, usage FROM (
        |  SELECT CAST(row_number() OVER (ORDER BY c DESC, p) AS BIGINT) AS pos,
        |         p AS piece, c AS usage
        |  FROM v$rounds)
        |WHERE pos <= 50
        |ORDER BY pos""".stripMargin
-  }
+
+  /** t22 oracle: the training chain, then ONE more DP pass under the
+    * final vocabulary (the encode), then the per-document rollup over
+    * the raw (doc, word) multiset. */
+  private def unigramEncodeOracle(rounds: Int): String =
+    s"""WITH ${unigramCtes(rounds)},
+       |${dpBlock("E", s"v$rounds", 4, 16)},
+       |wt AS (SELECT w, len(path)::BIGINT AS nt FROM segE),
+       |dwf AS (
+       |  SELECT doc_id, w, COUNT(*)::BIGINT AS c
+       |  FROM (SELECT doc_id,
+       |               unnest(list_filter(
+       |                 string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '),
+       |                 t -> t <> '')) AS w
+       |        FROM documents)
+       |  GROUP BY doc_id, w)
+       |SELECT doc_id,
+       |       CAST(SUM(c) AS BIGINT) AS n_words,
+       |       CAST(SUM(c * nt) AS BIGINT) AS n_tokens
+       |FROM dwf JOIN wt USING (w)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 }
