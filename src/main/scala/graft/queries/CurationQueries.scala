@@ -1637,5 +1637,114 @@ object CurationQueries {
         ORDER BY vec_id
       """.trim),
     ),
+
+    // cu29: END-TO-END CORPUS BUILD — the whole pretraining-data
+    // pipeline as ONE gated query, the composition a user of this
+    // engine actually runs: documents → WARC archive (real graft-warc
+    // write + read back, HTTP envelope split) → x9 HTML text extraction
+    // (entity round-trip included) → gopher-style quality gate (token
+    // count + integer cross-multiplied mean-token-length bounds, no
+    // division) → lead-fingerprint dedup (md5 of the first 15 tokens —
+    // the lead-paragraph fingerprint that catches retitled/suffixed
+    // copies exact full-text hashing misses) with a min-url keeper (a
+    // group spanning sources counts in the KEEPER's source only) → per-source
+    // accounting (pages in, gated, kept, kept tokens). The oracle
+    // replays extraction/gate/dedup/rollup from the raw table — the
+    // WARC round trip must be payload-exact for the hashes to agree.
+    Q(
+      "cu29_corpus_build",
+      (s, dir) => {
+        val out = Staging.dir("cu29")
+        val docs = Registry.table(s, dir, "documents")
+        val httpHead =
+          "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n\r\n"
+        val esc = replace(replace(replace(col("text"),
+          lit("&"), lit("&amp;")),
+          lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+        val html = concat(lit("<html><body><p>"), esc,
+          lit("</p></body></html>"))
+        docs.select(
+            concat(lit("http://"), col("source"), lit("/doc/"),
+              col("doc_id").cast("string")).as("url"),
+            lit("response").as("warc_type"),
+            lit("2026-01-02T03:04:05Z").as("warc_date"),
+            lit("application/http; msgtype=response").as("content_type"),
+            concat(lit(httpHead).cast("binary"), html.cast("binary"))
+              .as("content"))
+          .write.format("graft-warc").mode("append").save(out)
+        val toksOf = graft.ops.TextAnalysis.tokens(col("txt"))
+        val feats = s.read.format("graft-warc").load(out)
+          .filter(col("warc_type") === "response")
+          .select(col("url"),
+            graft.functions.GraftFunctions
+              .htmlToText(col("payload").cast("string")).as("txt"))
+          .select(col("url"),
+            regexp_extract(col("url"), "http://([^/]+)/", 1).as("source"),
+            col("txt"),
+            size(toksOf).cast("long").as("n_toks"),
+            length(col("txt")).cast("long").as("n_chars"))
+        val gated = feats.withColumn("pass",
+          (col("n_toks") >= 30 && col("n_toks") <= 5000 &&
+            (col("n_chars") - (col("n_toks") - 1)) >= col("n_toks") * 2 &&
+            (col("n_chars") - (col("n_toks") - 1)) <= col("n_toks") * 12)
+            .cast("long"))
+        val hashed = gated.filter(col("pass") === 1)
+          .withColumn("h", md5(array_join(
+            slice(graft.ops.TextAnalysis.tokens(col("txt")), 1, 15), " ")
+            .cast("binary")))
+        val keepers = hashed.groupBy("h")
+          .agg(min(col("url")).as("url")).withColumn("keep", lit(1L))
+        val perSrcKept = hashed
+          .join(keepers, Seq("h", "url"), "left")
+          .filter(col("keep").isNotNull)
+          .groupBy("source")
+          .agg(count(lit(1)).as("nk"), sum(col("n_toks")).as("kt"))
+        gated.groupBy("source")
+          .agg(count(lit(1)).as("n_pages"), sum(col("pass")).as("n_gated"))
+          .join(perSrcKept, Seq("source"), "left")
+          .select(col("source"), col("n_pages"), col("n_gated"),
+            coalesce(col("nk"), lit(0L)).as("n_kept"),
+            coalesce(col("kt"), lit(0L)).as("kept_tokens"))
+          .orderBy("source")
+      },
+      Some(raw"""
+        WITH d AS (
+          SELECT doc_id, source,
+                 'http://' || source || '/doc/' || doc_id AS url,
+                 trim(regexp_replace(text, '\s+', ' ', 'g')) AS txt
+          FROM documents),
+        f AS (
+          SELECT *, len(string_split(txt, ' '))::BIGINT AS n_toks,
+                 length(txt)::BIGINT AS n_chars
+          FROM d),
+        g AS (
+          SELECT *, md5(array_to_string(
+                   string_split(txt, ' ')[1:15], ' ')) AS h,
+                 CASE WHEN n_toks BETWEEN 30 AND 5000
+                          AND (n_chars - (n_toks - 1)) >= n_toks * 2
+                          AND (n_chars - (n_toks - 1)) <= n_toks * 12
+                     THEN 1 ELSE 0 END AS pass
+          FROM f),
+        k AS (
+          SELECT h, MIN(url) AS url
+          FROM g WHERE pass = 1 GROUP BY 1),
+        kept AS (
+          SELECT g.source, g.n_toks
+          FROM g JOIN k ON g.h = k.h AND g.url = k.url),
+        agg AS (
+          SELECT source, COUNT(*)::BIGINT AS n_pages,
+                 SUM(pass)::BIGINT AS n_gated
+          FROM g GROUP BY source),
+        ka AS (
+          SELECT source, COUNT(*)::BIGINT AS n_kept,
+                 SUM(n_toks)::BIGINT AS kept_tokens
+          FROM kept GROUP BY source)
+        SELECT agg.source, n_pages, n_gated,
+               COALESCE(n_kept, 0)::BIGINT AS n_kept,
+               COALESCE(kept_tokens, 0)::BIGINT AS kept_tokens
+        FROM agg LEFT JOIN ka USING (source)
+        ORDER BY source
+      """.trim),
+    ),
   )
 }
