@@ -1321,10 +1321,17 @@ object MiscQueries {
       (s, dir) => {
         val docs = Registry.table(s, dir, "documents")
         val k = col("doc_id") % 251
+        // three real-world spellings: quoted, unquoted, and the legacy
+        // multi-token rel="shortcut icon" (the ORIGINAL favicon form —
+        // 'icon' must match as a rel TOKEN, not a substring, so
+        // apple-touch-icon never counts)
         val icon = when(k % 3 =!= 2,
-          when(k % 2 === 0,
+          when(k % 4 === 0,
             concat(lit("<link rel=\"icon\" href=\"/fav"), k % 4,
               lit(".png\" sizes=\"32x32\">")))
+            .when(k % 4 === 2,
+              concat(lit("<link rel=\"shortcut icon\" href=\"/fav"), k % 4,
+                lit(".png\">")))
             .otherwise(concat(lit("<link rel=icon href=/fav"), k % 4,
               lit(".png>")))).otherwise("")
         val touch = when(k % 7 === 0,
@@ -1351,18 +1358,24 @@ object MiscQueries {
           lit("</head><body><link rel=\"icon\" href=\"/evil.ico\">" +
             "<p>body</p></body></html>"))
         val head = regexp_extract(col("html"), "(?s)^(.*?)</head>", 1)
+        // 'icon' as a rel TOKEN: quoted values are space-separated token
+        // lists (rel="shortcut icon" counts; rel="apple-touch-icon" is
+        // one token and must not), unquoted rel can only be the bare token
+        val iconPat =
+          "(?i)rel=(\"(?:[a-z-]+ )*icon(?: [a-z-]+)*\"|icon[\\s/>])"
         docs.select(col("doc_id"), html.as("html"))
           .withColumn("head", head)
           .select(
             col("doc_id"),
-            regexp_count(col("head"), lit("(?i)rel=[\"']?icon"))
+            regexp_count(col("head"), lit(iconPat))
               .cast("long").as("n_icons"),
             (regexp_count(col("head"),
               lit("(?i)rel=[\"']?apple-touch-icon")) > 0)
               .cast("long").as("has_touch_icon"),
-            when(regexp_count(col("head"), lit("(?i)rel=[\"']?icon")) > 0,
+            when(regexp_count(col("head"), lit(iconPat)) > 0,
               regexp_extract(col("head"),
-                "(?i)rel=[\"']?icon[\"'\\s][^>]*?href=[\"']?([^\"'\\s>]+)", 1))
+                "(?i)rel=(?:\"(?:[a-z-]+ )*icon(?: [a-z-]+)*\"|icon[\\s/>])" +
+                  "[^>]*?href=[\"']?([^\"'\\s>]+)", 1))
               .otherwise(lit(null)).as("first_icon_href"),
             regexp_count(col("head"), lit("(?i)rel=[\"']?preload"))
               .cast("long").as("n_preload"),

@@ -2466,17 +2466,25 @@ object MultimodalQueries {
         val nc = k % 4 + 2
         def p2(c: org.apache.spark.sql.Column) = lpad(c.cast("string"), 2, "0")
         def p3(c: org.apache.spark.sql.Column) = lpad(c.cast("string"), 3, "0")
-        def fmt(ms: org.apache.spark.sql.Column, sep: String) = concat(
-          lit("00:"), p2((ms / 60000).cast("long")),
+        def fmtShort(ms: org.apache.spark.sql.Column, sep: String) = concat(
+          p2((ms / 60000).cast("long")),
           lit(":"), p2((ms / 1000).cast("long") % 60),
           lit(sep), p3(ms % 1000))
+        def fmtFull(ms: org.apache.spark.sql.Column, sep: String) =
+          concat(lit("00:"), fmtShort(ms, sep))
+        // VTT permits hour-less MM:SS.mmm stamps (WebVTT §6.2); SRT
+        // always carries hours — k%5==4 VTT docs exercise the short form
+        def fmt(ms: org.apache.spark.sql.Column, sep: String, srt: Boolean) =
+          if (srt) fmtFull(ms, sep)
+          else when(k % 5 === 4, fmtShort(ms, sep))
+            .otherwise(fmtFull(ms, sep))
         def cueArr(sep: String, srt: Boolean) =
           transform(sequence(lit(0), nc - 1), i => {
             val sms = i * 7000 + (k % 13) * 250
             val ems = sms + 1500 + (k % 7) * 300 + i * 100
             concat(
               (i + 1).cast("string"), lit("\n"),
-              fmt(sms, sep), lit(" --> "), fmt(ems, sep),
+              fmt(sms, sep, srt), lit(" --> "), fmt(ems, sep, srt),
               if (srt) lit("")
               else when(i % 2 === 1, lit(" align:start")).otherwise(""),
               lit("\n"),
@@ -2503,11 +2511,16 @@ object MultimodalQueries {
         docs.select(col("doc_id"), sub.as("sub"))
           .withColumn("ts", transform(
             regexp_extract_all(col("sub"),
-              lit("(\\d{2}:\\d{2}:\\d{2}[.,]\\d{3})"), lit(1)),
-            t => substring(t, 1, 2).cast("long") * 3600000L +
-              substring(t, 4, 2).cast("long") * 60000L +
-              substring(t, 7, 2).cast("long") * 1000L +
-              substring(t, 10, 3).cast("long")))
+              lit("((?:\\d{2}:)?\\d{2}:\\d{2}[.,]\\d{3})"), lit(1)),
+            t => when(length(t) === 9, // hour-less MM:SS.mmm (VTT §6.2)
+              substring(t, 1, 2).cast("long") * 60000L +
+                substring(t, 4, 2).cast("long") * 1000L +
+                substring(t, 7, 3).cast("long"))
+              .otherwise(
+                substring(t, 1, 2).cast("long") * 3600000L +
+                  substring(t, 4, 2).cast("long") * 60000L +
+                  substring(t, 7, 2).cast("long") * 1000L +
+                  substring(t, 10, 3).cast("long"))))
           .select(
             col("doc_id"),
             when(col("sub").startsWith("WEBVTT"), "vtt").otherwise("srt")
@@ -2535,12 +2548,14 @@ object MultimodalQueries {
         cuetxt AS (
           SELECT doc_id, srt, i,
             (i + 1) || chr(10) ||
-            '00:' || lpad(CAST(sms // 60000 AS VARCHAR), 2, '0') || ':' ||
+            (CASE WHEN NOT srt AND k % 5 = 4 THEN '' ELSE '00:' END) ||
+              lpad(CAST(sms // 60000 AS VARCHAR), 2, '0') || ':' ||
               lpad(CAST((sms // 1000) % 60 AS VARCHAR), 2, '0') ||
               (CASE WHEN srt THEN ',' ELSE '.' END) ||
               lpad(CAST(sms % 1000 AS VARCHAR), 3, '0') ||
             ' --> ' ||
-            '00:' || lpad(CAST(ems // 60000 AS VARCHAR), 2, '0') || ':' ||
+            (CASE WHEN NOT srt AND k % 5 = 4 THEN '' ELSE '00:' END) ||
+              lpad(CAST(ems // 60000 AS VARCHAR), 2, '0') || ':' ||
               lpad(CAST((ems // 1000) % 60 AS VARCHAR), 2, '0') ||
               (CASE WHEN srt THEN ',' ELSE '.' END) ||
               lpad(CAST(ems % 1000 AS VARCHAR), 3, '0') ||
@@ -2564,11 +2579,17 @@ object MultimodalQueries {
         p AS (
           SELECT doc_id, sub,
                  list_transform(
-                   regexp_extract_all(sub, '(\d{2}:\d{2}:\d{2}[.,]\d{3})', 1),
-                   t -> CAST(substr(t, 1, 2) AS BIGINT) * 3600000 +
-                        CAST(substr(t, 4, 2) AS BIGINT) * 60000 +
-                        CAST(substr(t, 7, 2) AS BIGINT) * 1000 +
-                        CAST(substr(t, 10, 3) AS BIGINT)) AS ms
+                   regexp_extract_all(sub,
+                     '((?:\d{2}:)?\d{2}:\d{2}[.,]\d{3})', 1),
+                   t -> CASE WHEN length(t) = 9 THEN
+                          CAST(substr(t, 1, 2) AS BIGINT) * 60000 +
+                          CAST(substr(t, 4, 2) AS BIGINT) * 1000 +
+                          CAST(substr(t, 7, 3) AS BIGINT)
+                        ELSE
+                          CAST(substr(t, 1, 2) AS BIGINT) * 3600000 +
+                          CAST(substr(t, 4, 2) AS BIGINT) * 60000 +
+                          CAST(substr(t, 7, 2) AS BIGINT) * 1000 +
+                          CAST(substr(t, 10, 3) AS BIGINT) END) AS ms
           FROM subs)
         SELECT doc_id,
                CASE WHEN starts_with(sub, 'WEBVTT') THEN 'vtt'
