@@ -257,6 +257,36 @@ class DedupeSpec extends AnyFunSuite with SparkSuite {
       (1L, 8L, 5L), (2L, 8L, 5L)))
   }
 
+  test("contamination spans: benchmark overlap marks exact windows only") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(27)
+    def words(n: Int, tag: String) =
+      (1 to n).map(i => s"$tag${rnd.nextInt(1 << 30)}").mkString(" ")
+    val leak = (1 to 6).map(i => s"bench$i").mkString(" ") // 6 shared tokens
+    val corpus = Seq(
+      (1L, words(5, "a") + " " + leak + " " + words(4, "b")),
+      (2L, words(12, "c"))).toDF("doc_id", "text")
+    val bench = Seq((100L, words(3, "q") + " " + leak + " " + words(2, "r")))
+      .toDF("doc_id", "text")
+    val spans = graft.ops.Dedupe.contaminationSpans(corpus, bench,
+        "doc_id", "text", gram = 4, minSpanTokens = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the 6 leaked tokens sit at positions 6..11 of doc 1; doc 2 clean
+    assert(spans == Set((1L, 6L, 6L)))
+  }
+
+  test("contamination spans: corpus-internal duplication never marks") {
+    import spark.implicits._
+    val repeated = (1 to 4).map(_ => "x y z w").mkString(" ")
+    val corpus = Seq((1L, repeated), (2L, repeated)).toDF("doc_id", "text")
+    val bench = Seq((9L, "totally unrelated benchmark text here"))
+      .toDF("doc_id", "text")
+    // corpus docs duplicate EACH OTHER but share nothing with the
+    // benchmark — decontamination must not fire (that's d18's job)
+    assert(graft.ops.Dedupe.contaminationSpans(corpus, bench,
+      "doc_id", "text", gram = 4, minSpanTokens = 4).count() == 0L)
+  }
+
   test("duplicated spans: within-doc repeats alone do not mark coverage") {
     import spark.implicits._
     val rep = (1 to 5).map(_ => "same same same same").mkString(" ")
