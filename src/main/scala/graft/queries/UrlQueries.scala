@@ -21,6 +21,23 @@ import graft.functions.GraftFunctions
   */
 object UrlQueries {
 
+  /** u6's tracking-param canonicalizer: strip utm_* and the ad-click
+    * ids, drop the fragment, sort surviving params; empty params
+    * (query-less URLs, trailing '&') are dropped so a bare '?' is never
+    * re-serialized. Shared by the u6 gated query and the streaming
+    * first-seen frontier dedupe. */
+  private[graft] def canonicalizeTracking(url: Column): Column = {
+    val q = regexp_extract(url, "\\?([^#]*)", 1)
+    val kept = array_sort(filter(split(q, "&"), p => {
+      val name = lower(element_at(split(p, "="), 1))
+      p =!= "" && !(name.startsWith("utm_") ||
+        name.isin("gclid", "fbclid", "msclkid", "mc_eid", "igshid"))
+    }))
+    concat(regexp_extract(url, "^([^?#]*)", 1),
+      when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+        .otherwise(lit("")))
+  }
+
   /** Synthesized messy URL per customer key (4 deterministic shapes). */
   private def rawUrl(ck0: Column): Column = {
     val ck = ck0.cast("string")
@@ -307,6 +324,11 @@ object UrlQueries {
     // UDFs); the oracle rebuilds the same URL text and replays the
     // strip-sort-rebuild pipeline with its own list ops, then both
     // sides roll up the canonical groups.
+    // u6's canonicalizer as a reusable column expression (also the key
+    // of the streaming first-seen frontier dedupe — see
+    // StreamingCanonDedupeSpec): strip utm_*/click-id params, DROP the
+    // fragment, sort the survivors. Empty params (query-less URLs,
+    // trailing '&') are dropped rather than re-serialized as a bare '?'.
     Q(
       "u6_tracking_strip",
       (s, dir) => {
@@ -327,16 +349,11 @@ object UrlQueries {
           array_join(filter(params, p => p.isNotNull), "&"),
           when(k % 4 === 0, lit("#frag")).otherwise(lit("")))
         val q = regexp_extract(col("url"), "\\?([^#]*)", 1)
-        val kept = array_sort(filter(split(q, "&"), p => {
-          val name = lower(element_at(split(p, "="), 1))
-          !(name.startsWith("utm_") ||
-            name.isin("gclid", "fbclid", "msclkid", "mc_eid", "igshid"))
-        }))
-        val canon = concat(
-          regexp_extract(col("url"), "^([^?#]*)", 1),
-          when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
-            .otherwise(lit("")))
-        val nStripped = size(split(q, "&")) - size(kept)
+        val canon = canonicalizeTracking(col("url"))
+        val nStripped = size(split(q, "&")) -
+          when(canon.contains("?"),
+            size(split(regexp_extract(canon, "\\?(.*)", 1), "&")))
+            .otherwise(lit(0))
         docs.select(col("doc_id"), url.as("url"))
           .select(canon.as("canon_url"), nStripped.cast("long").as("ns"))
           .groupBy("canon_url")
