@@ -120,6 +120,39 @@ object Components {
     * Input `pairs` is an undirected distinct edge list (sa < sb);
     * returns (node, core_deg) for the k-core members, where core_deg is
     * the node's degree INSIDE the core (≥ k by construction). */
+  /** g28: SYNCHRONOUS label propagation (Raghavan et al. 2007, the LPA
+    * community baseline) made deterministic: every node simultaneously
+    * adopts the most frequent label among its neighbors, ties to the
+    * SMALLEST label, for a FIXED number of rounds — fixed rounds (not
+    * convergence) because synchronous LPA can 2-cycle on bipartite
+    * structure, and a fixed unroll is what the SQL oracle replays
+    * round-by-round. Each round is one edge-sized join + two
+    * partial-agg'd groupBys (label counts, then per-node argmax via
+    * max_by — never a window over the corpus); state is checkpoint-
+    * materialized per round. Input `pairs` is an undirected distinct
+    * edge list; returns (node, label) — nodes sharing a label after R
+    * rounds are one community. */
+  def labelPropagation(pairs: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    val und = Iterative.materialize(
+      pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .unionByName(
+          pairs.select(col(dstCol).as("src"), col(srcCol).as("dst"))))
+    var labels = Iterative.materialize(
+      und.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node")))
+    for (_ <- 1 to rounds) {
+      labels = Iterative.materialize(
+        und.join(labels.withColumnRenamed("node", "dst"), "dst")
+          .groupBy(col("src").as("node"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy("node")
+          .agg(max_by(col("label"),
+            struct(col("cnt"), (-col("label")).as("nl"))).as("label")))
+    }
+    labels
+  }
+
   def kCore(pairs: DataFrame, srcCol: String, dstCol: String,
       k: Int): DataFrame = {
     var alive = Iterative.materialize(

@@ -1556,7 +1556,48 @@ object GraphQueries {
           .orderBy("node"),
       Some(kcoreOracle(k = 3, rounds = 20)),
     ),
+
+    // G28: LABEL-PROPAGATION COMMUNITIES (Raghavan et al. 2007) over
+    // the shared co-citation substrate — the community baseline next to
+    // g17's components (which merge ANY connectivity; LPA splits by
+    // neighborhood majority). SYNCHRONOUS and deterministic: every node
+    // adopts its neighbors' most frequent label, ties to the smallest,
+    // for a FIXED 4 rounds (synchronous LPA can 2-cycle, so fixed
+    // rounds — not convergence — is the replayable contract). Each
+    // round is one edge join + two partial-agg'd groupBys; the oracle
+    // unrolls all 4 rounds (the g27/t13 discipline).
+    Q(
+      "g28_label_propagation",
+      (s, dir) =>
+        graft.ops.Components.labelPropagation(cocitationTopEdges(s, dir),
+            "sa", "sb", rounds = 4)
+          .orderBy("node"),
+      Some(lpaOracle(rounds = 4)),
+    ),
   )
+
+  /** g28 oracle: synchronous LPA unrolled round-by-round in SQL. */
+  private def lpaOracle(rounds: Int): String = {
+    val levels = (1 to rounds).map { r =>
+      s"""l$r AS MATERIALIZED (
+         |  SELECT node, label FROM (
+         |    SELECT u.src AS node, l.label,
+         |           row_number() OVER (PARTITION BY u.src
+         |             ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+         |    FROM und u JOIN l${r - 1} l ON l.node = u.dst
+         |    GROUP BY u.src, l.label)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $EdgesCte,
+       |$TopEdgesCtes,
+       |und AS MATERIALIZED (
+       |  SELECT sa AS src, sb AS dst FROM pairs
+       |  UNION ALL SELECT sb AS src, sa AS dst FROM pairs),
+       |l0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node, src AS label FROM und),
+       |$levels
+       |SELECT node, label FROM l$rounds ORDER BY node""".stripMargin
+  }
 
   /** g27 oracle: the bulk peel unrolled `rounds` levels in SQL over the
     * co-citation substrate. */

@@ -40,4 +40,20 @@ class KCoreSpec extends AnyFunSuite with SparkSuite {
     val got = core(g, 2)
     assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
+
+  test("label propagation: two cliques with a bridge settle into two communities") {
+    import spark.implicits._
+    val k4a = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val k4b = Seq((10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L),
+      (11L, 13L), (12L, 13L))
+    val bridge = Seq((4L, 10L))
+    val got = Components.labelPropagation(
+        (k4a ++ k4b ++ bridge).toDF("sa", "sb"), "sa", "sb", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-traced synchronous rounds with min-label ties: the left
+    // clique converges to label 1, the right to label 10; the bridge
+    // does not merge them
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
+  }
 }
