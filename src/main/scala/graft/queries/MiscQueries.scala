@@ -1501,6 +1501,73 @@ object MiscQueries {
       """.trim),
     ),
 
+    // x32: RESPONSIVE-IMAGE census (srcset/picture — WHATWG srcset
+    // attribute + the <picture><source> element): the image-harvest
+    // tier a multimodal corpus build reads BEFORE fetching — width (w)
+    // and density (x) descriptors say which candidate to pull, <source
+    // type="image/webp"> says a modern format exists, loading="lazy"
+    // marks below-the-fold assets. Declarative regexps; analytic oracle.
+    Q(
+      "x32_srcset_census",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val k = col("doc_id") % 251
+        val srcset = concat(
+          lit("/i"), col("doc_id"), lit("-320.jpg 320w, /i"),
+          col("doc_id"), lit("-"), (k % 4 + 4) * 160, lit(".jpg "),
+          (k % 4 + 4) * 160, lit("w"),
+          when(k % 3 === 0, lit(", /i-hi.jpg 2x")).otherwise(""))
+        val img = concat(
+          lit("<img src=\"/i"), col("doc_id"), lit(".jpg\" srcset=\""),
+          srcset, lit("\" sizes=\"(max-width: 600px) 100vw, 50vw\""),
+          when(k % 5 === 0, lit(" loading=\"lazy\"")).otherwise(""),
+          lit(">"))
+        val picture = when(k % 4 === 0, concat(
+          lit("<picture><source media=\"(min-width:800px)\" " +
+            "srcset=\"/big"), col("doc_id"),
+          lit(".webp\" type=\"image/webp\"><img src=\"/fall"),
+          col("doc_id"), lit(".jpg\"></picture>"))).otherwise("")
+        val html = concat(lit("<html><body>"), img, picture,
+          lit("<p>text</p></body></html>"))
+        docs.select(col("doc_id"), html.as("html"))
+          .select(
+            col("doc_id"),
+            regexp_count(col("html"), lit("(?i)<img\\b"))
+              .cast("long").as("n_img"),
+            regexp_count(col("html"), lit("\\d+[wx][,\"]"))
+              .cast("long").as("n_candidates"),
+            expr("array_max(transform(" +
+              "regexp_extract_all(html, '(\\\\d+)w[,\"]', 1), " +
+              "v -> cast(v AS BIGINT)))").as("max_width_w"),
+            (regexp_count(col("html"), lit("(?i)<picture>")) > 0)
+              .cast("long").as("has_picture"),
+            regexp_count(col("html"), lit("(?i)<source\\b"))
+              .cast("long").as("n_sources"),
+            (regexp_count(col("html"),
+              lit("(?i)type=\"image/webp\"")) > 0)
+              .cast("long").as("has_webp_source"),
+            regexp_count(col("html"), lit("(?i)loading=\"lazy\""))
+              .cast("long").as("n_lazy"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, doc_id % 251 AS k FROM documents)
+        SELECT doc_id,
+               (CASE WHEN k % 4 = 0 THEN 2 ELSE 1 END)::BIGINT AS n_img,
+               (2 + CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_candidates,
+               ((k % 4 + 4) * 160)::BIGINT AS max_width_w,
+               (CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END)::BIGINT AS has_picture,
+               (CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_sources,
+               (CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END)::BIGINT
+                 AS has_webp_source,
+               (CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_lazy
+        FROM base
+        ORDER BY doc_id
+      """.trim),
+    ),
+
     // x27: HTML TABLE EXTRACTION — the WebTables tier: relational
     // facts live in <table> markup, and the structured slice of a
     // training corpus is exactly these rows×cells. Scope pinned in

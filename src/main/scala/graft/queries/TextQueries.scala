@@ -1039,6 +1039,97 @@ object TextQueries {
     // The oracle replays training end-to-end AND one more DP pass under
     // the final vocabulary, then the per-doc rollup — learned pieces,
     // per-word segmentation and per-doc accounting are one hash gate.
+    // t23: SENTENCE SEGMENTATION census — the unit under sentence-level
+    // dedup and seq-packing decisions: prose is rebuilt from the token
+    // stream into terminal-punctuated sentences (./!/? cycled, an
+    // "e.g." abbreviation planted mid-sentence every 7th chunk), then
+    // PARSED back: abbreviation-protected boundary count (RE2 has no
+    // lookbehind, so protection is replace-then-split — portable to
+    // both engines), per-type terminal counts, longest sentence and
+    // integer-ppm mean length. The oracle rebuilds the same prose and
+    // re-parses with its own list ops (the lg8/m45 replay discipline).
+    Q(
+      "t23_sentence_census",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val k = col("doc_id") % 251
+        val sz = k % 4 + 3
+        val prose = expr(
+          """array_join(transform(
+            |  sequence(0, (size(t) + sz - 1) div sz - 1),
+            |  c -> concat(
+            |    array_join(slice(t, int(c * sz + 1), int(sz)), ' '),
+            |    CASE WHEN c % 7 = 2 THEN ' e.g. extra' ELSE '' END,
+            |    CASE WHEN c % 3 = 0 THEN '. '
+            |         WHEN c % 3 = 1 THEN '! ' ELSE '? ' END)), '')"""
+            .stripMargin)
+        val prot = replace(col("prose"), lit("e.g."), lit("e_g_"))
+        val lens = transform(
+          filter(split(prot, "[.!?]\\s+"), x => x =!= ""),
+          x => size(split(trim(x), " ")).cast("long"))
+        docs
+          .select(col("doc_id"),
+            graft.ops.TextAnalysis.tokens(col("text")).as("t"),
+            sz.as("sz"))
+          .select(col("doc_id"), prose.as("prose"))
+          .select(
+            col("doc_id"),
+            regexp_count(prot, lit("[.!?] ")).cast("long")
+              .as("n_sentences"),
+            regexp_count(col("prose"), lit("! ")).cast("long")
+              .as("n_exclaim"),
+            regexp_count(col("prose"), lit("\\? ")).cast("long")
+              .as("n_quest"),
+            array_max(lens).as("longest_tokens"),
+            aggregate(lens, lit(0L), (a, x) => a + x).as("total_tokens"))
+          .withColumn("mean_tokens_ppm",
+            expr("total_tokens * 1000000 div n_sentences"))
+          .orderBy("doc_id")
+      },
+      Some(raw"""
+        WITH base AS (
+          SELECT doc_id, doc_id % 251 AS k,
+                 string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')
+                   AS t,
+                 doc_id % 251 % 4 + 3 AS sz
+          FROM documents),
+        p AS (
+          SELECT doc_id,
+                 array_to_string(list_transform(
+                   range(0, (len(t) + sz - 1) // sz),
+                   c -> array_to_string(
+                          t[CAST(c * sz + 1 AS INT):CAST(c * sz + sz AS INT)],
+                          ' ') ||
+                        (CASE WHEN c % 7 = 2 THEN ' e.g. extra' ELSE '' END) ||
+                        (CASE WHEN c % 3 = 0 THEN '. '
+                              WHEN c % 3 = 1 THEN '! ' ELSE '? ' END)), '')
+                   AS prose
+          FROM base),
+        q AS (
+          SELECT doc_id, prose,
+                 replace(prose, 'e.g.', 'e_g_') AS prot
+          FROM p),
+        r AS (
+          SELECT doc_id, prose, prot,
+                 list_transform(
+                   list_filter(string_split_regex(prot, '[.!?]\s+'),
+                     x -> x <> ''),
+                   x -> len(string_split(trim(x), ' '))::BIGINT) AS lens
+          FROM q)
+        SELECT doc_id,
+               len(regexp_extract_all(prot, '[.!?] '))::BIGINT AS n_sentences,
+               len(regexp_extract_all(prose, '! '))::BIGINT AS n_exclaim,
+               len(regexp_extract_all(prose, '\? '))::BIGINT AS n_quest,
+               list_max(lens)::BIGINT AS longest_tokens,
+               list_sum(lens)::BIGINT AS total_tokens,
+               (list_sum(lens) * 1000000 //
+                 len(regexp_extract_all(prot, '[.!?] ')))::BIGINT
+                 AS mean_tokens_ppm
+        FROM r
+        ORDER BY doc_id
+      """.trim),
+    ),
+
     Q(
       "t22_unigram_encode",
       (s, dir) => {
