@@ -191,4 +191,45 @@ class QueryServerHttpSpec extends AnyFunSuite with SparkSuite {
       finally fe2.stop()
     } finally fe.stop()
   }
+
+  test("content fetch serves .warc.zst with a shared dictionary (r17 advice)") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("qhttp_zst").toString
+    spark.range(0, 40).selectExpr(
+        "concat('http://z.example/p', id) AS url",
+        "'response' AS warc_type",
+        "'2026-01-02T03:04:05Z' AS warc_date",
+        "'application/http; msgtype=response' AS content_type",
+        """cast(concat('HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n',
+           'shared page chrome body ', id) AS BINARY) AS content""")
+      .coalesce(1)
+      .write.format("graft-warc")
+      .option("codec", "zstd").option("dictSamples", "8")
+      .mode("append").save(root)
+    val (file, offset) = spark.read.format("graft-warc").load(root)
+      .filter(col("url") === "http://z.example/p25")
+      .select("warc_file", "offset").collect()
+      .map(r => (r.getString(0), r.getLong(1))).head
+    val rel = new java.io.File(new java.net.URI(file).getPath).getName
+    assert(rel.endsWith(".warc.zst"))
+
+    val cacheDir = java.nio.file.Files.createTempDirectory("qhttp_z").toString
+    val server = new QueryServer(spark, cacheDir, sfDir)
+    val fe = new QueryServerHttp(server, archiveRoot = Some(root))
+    val port = fe.start()
+    try {
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$port/fetch?file=$rel&offset=$offset"))
+          .GET().build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      // a dictSamples archive member decodes only against the head
+      // dictionary slot — this is the endpoint-level gate for the
+      // positioned-read dict scan
+      assert(resp.statusCode() == 200, new String(resp.body(), "UTF-8"))
+      assert(new String(resp.body(), "UTF-8") == "shared page chrome body 25")
+      assert(resp.headers().firstValue("Content-Type").orElse("")
+        .startsWith("text/plain"))
+    } finally fe.stop()
+  }
 }
