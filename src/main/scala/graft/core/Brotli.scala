@@ -117,6 +117,20 @@ object Brotli {
   private final class Malformed extends RuntimeException("malformed brotli")
   private def bad(): Nothing = throw new Malformed
 
+  /** Output-buffer growth: double until `n` fits, clamped to `maxOut`.
+    * cap*2 overflows past 1<<30, so once cap reaches 1<<30 (guaranteed
+    * by the power-of-two start) jump straight to the clamp — the `>=`
+    * matters: with `>` the doubling wraps negative and loops forever
+    * exactly when maxOut > 1<<30. Requires n <= maxOut (checked by the
+    * caller). Factored out so the wrap case is unit-testable without a
+    * gigabyte allocation. */
+  private[graft] def grownCapacity(cur: Int, n: Int, maxOut: Int): Int = {
+    var cap = cur
+    while (cap < n)
+      cap = math.min(maxOut, if (cap >= (1 << 30)) Int.MaxValue else cap * 2)
+    cap
+  }
+
   // ------------------------------------------------------------------
   // bit reader (LSB-first stream; prefix codewords arrive MSB-first)
   // ------------------------------------------------------------------
@@ -483,14 +497,7 @@ object Brotli {
     var outLen = 0
     def ensure(n: Int): Unit = {
       if (n > maxOut) bad()
-      if (n > out.length) {
-        var cap = out.length
-        // cap*2 overflows past 1<<30; clamp before doubling so the loop
-        // terminates for any maxOut up to Int.MaxValue
-        while (cap < n)
-          cap = math.min(maxOut, if (cap > (1 << 30)) Int.MaxValue else cap * 2)
-        out = java.util.Arrays.copyOf(out, cap)
-      }
+      if (n > out.length) out = java.util.Arrays.copyOf(out, grownCapacity(out.length, n, maxOut))
     }
 
     var p1 = 0

@@ -392,6 +392,7 @@ object UrlQueries {
         s AS (
           SELECT doc_id, head,
                  list_sort(list_filter(ps, p ->
+                   p <> '' AND
                    NOT (starts_with(lower(string_split(p, '=')[1]), 'utm_')
                         OR lower(string_split(p, '=')[1]) IN
                            ('gclid', 'fbclid', 'msclkid', 'mc_eid', 'igshid'))))

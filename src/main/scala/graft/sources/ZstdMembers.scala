@@ -235,10 +235,14 @@ object ZstdMembers {
       val magic = le32(i)
       if (magic >= 0x184d2a50L && magic <= 0x184d2a5fL) {
         val n = le32(i + 4)
-        if (n > MaxDictBytes || i + 8 + n > bytes.length) return null
-        if (magic == 0x184d2a5dL)
+        if (i + 8 + n > bytes.length) return null
+        if (magic == 0x184d2a5dL) {
+          // The dict budget applies only to the dict slot itself; a large
+          // benign skippable frame before it is skipped, not fatal.
+          if (n > MaxDictBytes) return null
           return captureDict(
             java.util.Arrays.copyOfRange(bytes, i + 8, i + 8 + n.toInt))
+        }
         i += 8 + n.toInt
       } else return null // first data frame (or gzip member): no dict slot
     }
@@ -260,8 +264,10 @@ object ZstdMembers {
       val magic = le32(0)
       if (magic >= 0x184d2a50L && magic <= 0x184d2a5fL) {
         val n = le32(4)
-        if (n > MaxDictBytes) return null
         if (magic == 0x184d2a5dL) {
+          // Budget-check only the dict slot; other skippable frames (any
+          // size) are stepped over on the positioned-read path too.
+          if (n > MaxDictBytes) return null
           val content = new Array[Byte](n.toInt)
           try in.readFully(pos + 8, content, 0, n.toInt)
           catch { case _: java.io.EOFException => return null }

@@ -25,6 +25,18 @@ class BrotliSpec extends AnyFunSuite {
       .toSeq
   }
 
+  test("output-buffer growth terminates and clamps past 1<<30 (overflow guard)") {
+    // The wrap case: cap doubles 1<<16 → 1<<30, then must jump to the
+    // clamp instead of overflowing to Int.MinValue and looping forever.
+    assert(Brotli.grownCapacity(1 << 16, (1 << 30) + 1, Int.MaxValue) == Int.MaxValue)
+    assert(Brotli.grownCapacity(1 << 16, (1 << 30) + 1, (1 << 30) + 7) == (1 << 30) + 7)
+    assert(Brotli.grownCapacity(1 << 30, Int.MaxValue, Int.MaxValue) == Int.MaxValue)
+    // normal doubling path unchanged
+    assert(Brotli.grownCapacity(1 << 16, (1 << 16) + 1, Int.MaxValue) == (1 << 17))
+    assert(Brotli.grownCapacity(1 << 16, 100 << 10, 1 << 20) == 128 << 10)
+    assert(Brotli.grownCapacity(1 << 16, 300 << 10, 300 << 10) == 300 << 10)
+  }
+
   test("all libbrotli-encoded goldens decode byte-exactly") {
     assert(goldenIds.size >= 100, s"expected 100+ goldens, found ${goldenIds.size}")
     for (id <- goldenIds) {

@@ -41,6 +41,43 @@ class KCoreSpec extends AnyFunSuite with SparkSuite {
     assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("peel depth on the co-citation substrate stays within the oracle unrolls") {
+    // The g15 oracle unrolls 8 peel rounds (k=18) and g27's unrolls 20
+    // (k=3); rounds past the fixpoint are no-ops, so the unrolled replay
+    // equals the fixpoint ONLY while the substrate's true peeling depth
+    // stays under the unroll. Pin that here at both gate SFs so a deeper
+    // future substrate fails this spec, not the gate-time compare.
+    def peelRounds(pairs: org.apache.spark.sql.DataFrame, k: Int): Int = {
+      import org.apache.spark.sql.functions._
+      var alive = graft.ops.Iterative.materialize(
+        pairs.select(col("sa").as("src"), col("sb").as("dst"))
+          .unionByName(pairs.select(col("sb").as("src"), col("sa").as("dst"))))
+      var rounds = 0
+      var done = false
+      while (!done && rounds <= 64) {
+        val bad = graft.ops.Iterative.materialize(
+          alive.groupBy("src").agg(count(lit(1)).as("deg"))
+            .filter(col("deg") < k).select(col("src").as("n")))
+        if (bad.isEmpty) done = true
+        else {
+          alive = graft.ops.Iterative.materialize(
+            alive.join(bad.select(col("n").as("src")), Seq("src"), "left_anti")
+              .join(bad.select(col("n").as("dst")), Seq("dst"), "left_anti"))
+          rounds += 1
+        }
+      }
+      assert(done, s"peel did not converge within 64 rounds (k=$k)")
+      rounds
+    }
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val pairs = graft.queries.GraphQueries.cocitationTopEdges(spark, dir)
+      val r18 = peelRounds(pairs, 18)
+      val r3 = peelRounds(pairs, 3)
+      assert(r18 <= 8, s"$dir: g15 peel depth $r18 exceeds the 8-round unroll")
+      assert(r3 <= 20, s"$dir: g27 peel depth $r3 exceeds the 20-round unroll")
+    }
+  }
+
   test("label propagation: two cliques with a bridge settle into two communities") {
     import spark.implicits._
     val k4a = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))

@@ -313,6 +313,33 @@ class ZstdWarcSpec extends AnyFunSuite with SparkSuite {
       Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0)) == null)
   }
 
+  test("head scan steps over a large benign skippable frame before the dict slot") {
+    // the ADVICE r18 gap: the dict-size budget was applied to EVERY
+    // skippable frame in the head, so a big non-dict frame (legal zstd)
+    // aborted the scan and silently dropped the dictionary
+    def le32(n: Int): Array[Byte] =
+      Array(n, n >> 8, n >> 16, n >> 24).map(_.toByte)
+    val rawDict = Array.tabulate(16)(i => (i * 7).toByte)
+    val big = new Array[Byte]((8 << 20) + 5) // over MaxDictBytes
+    val head =
+      le32(0x184d2a50) ++ le32(big.length) ++ big ++ // benign skippable
+      le32(0x184d2a5d) ++ le32(rawDict.length) ++ rawDict
+    assert(graft.sources.ZstdMembers.dictAtHead(head).toSeq == rawDict.toSeq)
+    // positioned-stream form behaves identically
+    val dir = Files.createTempDirectory("zstskip")
+    val f = dir.resolve("skip.warc.zst")
+    Files.write(f, head)
+    val hfs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val in = hfs.open(new org.apache.hadoop.fs.Path(f.toString))
+    try assert(graft.sources.ZstdMembers.dictAtHead(in).toSeq == rawDict.toSeq)
+    finally in.close()
+    // the budget still rejects an oversized DICT frame itself
+    val badDict =
+      le32(0x184d2a5d) ++ le32(big.length) ++ big
+    assert(graft.sources.ZstdMembers.dictAtHead(badDict) == null)
+  }
+
   test("corruption: truncation and dictionary frames reject under budget") {
     val good = frame(record("response", "http://c.example/",
       httpBlock(200, "text/html", "x" * 5000)))
