@@ -1530,29 +1530,80 @@ object CurationQueries {
     // positions → interval union) with the cu8 bench semi-join — the
     // benchmark gram set aggregates once and broadcasts; no per-
     // occurrence fan-out. Oracle replays enumerate/join/union in SQL.
+    // The fixture PLANTS contamination so the gate itself (not just the
+    // kernel spec) discriminates interval-union edges: a 20-token
+    // benchmark snippet is appended (doc_id%17==3), prepended
+    // (doc_id%17==8), or split into TWO spans around a unique separator
+    // token (doc_id%17==12) — tens of spans across many docs at sf0.01,
+    // on top of whatever natural 13-gram overlap the corpus carries.
     Q(
       "cu27_span_decontam",
       (s, dir) => {
         val docs = Registry.table(s, dir, "documents")
+        val bench = docs.filter(col("source") === "src0")
+        // snippet donor: the lowest-id benchmark doc with >= 40 tokens
+        val bt = bench
+          .select(col("doc_id"),
+            graft.ops.TextAnalysis.tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= 40)
+          .orderBy("doc_id").limit(1)
+          .select(col("t").as("bt"))
+        val m = col("doc_id") % 17
+        val corpus = docs.filter(col("source") =!= "src0")
+          .crossJoin(broadcast(bt))
+          .select(col("doc_id"),
+            when(m === 3, concat(col("text"), lit(" "),
+                array_join(slice(col("bt"), 1, 20), " ")))
+              .when(m === 8, concat(
+                array_join(slice(col("bt"), 10, 20), " "),
+                lit(" "), col("text")))
+              .when(m === 12, concat(col("text"), lit(" "),
+                array_join(slice(col("bt"), 1, 15), " "),
+                lit(" zzqq"), col("doc_id").cast("string"), lit(" "),
+                array_join(slice(col("bt"), 20, 15), " ")))
+              .otherwise(col("text")).as("text"))
         graft.ops.Dedupe.contaminationSpans(
-            corpus = docs.filter(col("source") =!= "src0"),
-            benchmark = docs.filter(col("source") === "src0"),
+            corpus = corpus,
+            benchmark = bench,
             id = "doc_id", text = "text",
             gram = 13, minSpanTokens = 13)
           .orderBy("doc_id", "span_start")
       },
       Some(raw"""
-        WITH toks AS (
-          SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
-          FROM documents),
-        grams AS (
-          SELECT doc_id, source, len(t) AS n_tokens, i AS pos,
-                 array_to_string(t[i:i+12], ' ') AS g
-          FROM toks, unnest(range(1, len(t) - 11)) r(i)
+        WITH bt AS (
+          SELECT string_split_regex(trim(text), '\s+') AS bt
+          FROM documents
+          WHERE source = 'src0'
+            AND len(string_split_regex(trim(text), '\s+')) >= 40
+          ORDER BY doc_id LIMIT 1),
+        aug AS (
+          SELECT d.doc_id,
+                 CASE WHEN d.doc_id % 17 = 3
+                        THEN d.text || ' ' || array_to_string(bt[1:20], ' ')
+                      WHEN d.doc_id % 17 = 8
+                        THEN array_to_string(bt[10:29], ' ') || ' ' || d.text
+                      WHEN d.doc_id % 17 = 12
+                        THEN d.text || ' ' || array_to_string(bt[1:15], ' ')
+                          || ' zzqq' || d.doc_id || ' '
+                          || array_to_string(bt[20:34], ' ')
+                      ELSE d.text END AS text
+          FROM documents d, bt
+          WHERE d.source <> 'src0'),
+        ctoks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM aug),
+        btoks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents WHERE source = 'src0'),
+        bench AS (
+          SELECT DISTINCT array_to_string(t[i:i+12], ' ') AS g
+          FROM btoks, unnest(range(1, len(t) - 11)) r(i)
           WHERE len(t) >= 13),
-        bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
-        tr AS (SELECT doc_id, n_tokens, pos, g FROM grams
-               WHERE source <> 'src0'),
+        tr AS (
+          SELECT doc_id, len(t) AS n_tokens, i AS pos,
+                 array_to_string(t[i:i+12], ' ') AS g
+          FROM ctoks, unnest(range(1, len(t) - 11)) r(i)
+          WHERE len(t) >= 13),
         hit AS (SELECT doc_id, n_tokens, pos FROM tr SEMI JOIN bench USING (g)),
         cov AS (
           SELECT DISTINCT doc_id, n_tokens, tok
@@ -1672,17 +1723,19 @@ object CurationQueries {
             concat(lit(httpHead).cast("binary"), html.cast("binary"))
               .as("content"))
           .write.format("graft-warc").mode("append").save(out)
-        val toksOf = graft.ops.TextAnalysis.tokens(col("txt"))
         val feats = s.read.format("graft-warc").load(out)
           .filter(col("warc_type") === "response")
           .select(col("url"),
             graft.functions.GraftFunctions
               .htmlToText(col("payload").cast("string")).as("txt"))
+          // tokenize ONCE; both the gate (count) and the dedupe
+          // fingerprint (lead-15 slice) read the same array column
           .select(col("url"),
             regexp_extract(col("url"), "http://([^/]+)/", 1).as("source"),
-            col("txt"),
-            size(toksOf).cast("long").as("n_toks"),
+            graft.ops.TextAnalysis.tokens(col("txt")).as("toks"),
             length(col("txt")).cast("long").as("n_chars"))
+          .select(col("url"), col("source"), col("toks"),
+            size(col("toks")).cast("long").as("n_toks"), col("n_chars"))
         val gated = feats.withColumn("pass",
           (col("n_toks") >= 30 && col("n_toks") <= 5000 &&
             (col("n_chars") - (col("n_toks") - 1)) >= col("n_toks") * 2 &&
@@ -1690,8 +1743,7 @@ object CurationQueries {
             .cast("long"))
         val hashed = gated.filter(col("pass") === 1)
           .withColumn("h", md5(array_join(
-            slice(graft.ops.TextAnalysis.tokens(col("txt")), 1, 15), " ")
-            .cast("binary")))
+            slice(col("toks"), 1, 15), " ").cast("binary")))
         val keepers = hashed.groupBy("h")
           .agg(min(col("url")).as("url")).withColumn("keep", lit(1L))
         val perSrcKept = hashed

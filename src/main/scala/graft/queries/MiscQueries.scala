@@ -1426,7 +1426,12 @@ object MiscQueries {
     // `Link:` response headers, and a crawler following rel=next from
     // headers is the standard API-pagination walk. The fixture cycles
     // quoted/unquoted rel, single comma-combined vs multiple Link
-    // header lines; declarative regexps over the header block.
+    // header lines, and a quoted param value CONTAINING a comma
+    // (`title="pg, next"` — legal per RFC 8288 §3) sitting between the
+    // URL and its rel; parsing splits members on commas OUTSIDE quoted
+    // strings (even-quote lookahead per header line — the t23
+    // replace-then-split discipline), then evaluates each member
+    // independently. All array/lambda codegen built-ins.
     Q(
       "x31_link_header",
       (s, dir) => {
@@ -1434,7 +1439,7 @@ object MiscQueries {
         val k = col("doc_id") % 251
         val nxt = when(k % 3 =!= 1,
           concat(lit("</p/"), col("doc_id") + 1,
-            when(k % 2 === 0, lit(">; rel=\"next\""))
+            when(k % 2 === 0, lit(">; title=\"pg, next\"; rel=\"next\""))
               .otherwise(lit(">; rel=next")))).otherwise(lit(null))
         val prv = when(k % 4 === 0,
           concat(lit("</p/"), col("doc_id") - 1, lit(">; rel=prev")))
@@ -1458,24 +1463,32 @@ object MiscQueries {
         val h = concat(
           lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"),
           linkLines, lit("\r\n"))
+        // member split: per Link header line, break on commas followed by
+        // an EVEN number of quotes to end-of-line — a comma inside a
+        // balanced quoted span never splits (RFC 8288 quoted params)
+        val lineVals = regexp_extract_all(col("h"),
+          lit("(?i)link:[ \\t]*([^\\r\\n]*)"), lit(1))
+        val memberSplit = ",(?=(?:[^\"]*\"[^\"]*\")*[^\"]*$)"
+        val mems = filter(
+          transform(
+            flatten(transform(lineVals, l => split(l, memberSplit))),
+            m => trim(m)),
+          m => m =!= "")
+        val isNext = (m: Column) => m.rlike("(?i)rel=\"?next")
+        val isPreload = (m: Column) => m.rlike("(?i)rel=\"?preload")
         docs.select(col("doc_id"), h.as("h"))
+          .select(col("doc_id"), mems.as("mems"))
           .select(
             col("doc_id"),
-            regexp_count(col("h"), lit("(?i)<[^>]*>\\s*;"))
-              .cast("long").as("n_links"),
-            (regexp_count(col("h"), lit("(?i)rel=\"?next")) > 0)
-              .cast("long").as("has_next"),
-            when(regexp_count(col("h"), lit("(?i)rel=\"?next")) > 0,
-              regexp_extract(col("h"),
-                "(?i)<([^>]*)>\\s*;[^,\\r\\n]*rel=\"?next", 1))
-              .otherwise(lit(null)).as("next_url"),
-            regexp_count(col("h"), lit("(?i)rel=\"?preload"))
-              .cast("long").as("n_preload"),
-            when(regexp_count(col("h"), lit("(?i)rel=\"?preload")) > 0,
-              regexp_extract(col("h"),
-                "(?i)rel=\"?preload\"?[^,\\r\\n]*\\bas=\"?([a-z]+)", 1))
-              .otherwise(lit(null)).as("first_preload_as"),
-            regexp_count(col("h"), lit("(?i)crossorigin"))
+            size(col("mems")).cast("long").as("n_links"),
+            exists(col("mems"), isNext).cast("long").as("has_next"),
+            regexp_extract(get(filter(col("mems"), isNext), lit(0)),
+              "<([^>]*)>", 1).as("next_url"),
+            size(filter(col("mems"), isPreload)).cast("long").as("n_preload"),
+            regexp_extract(get(filter(col("mems"), isPreload), lit(0)),
+              "(?i)\\bas=\"?([a-z]+)", 1).as("first_preload_as"),
+            size(filter(col("mems"),
+              m => m.rlike("(?i)\\bcrossorigin")))
               .cast("long").as("n_crossorigin"))
           .orderBy("doc_id")
       },
@@ -1516,7 +1529,10 @@ object MiscQueries {
           lit("/i"), col("doc_id"), lit("-320.jpg 320w, /i"),
           col("doc_id"), lit("-"), (k % 4 + 4) * 160, lit(".jpg "),
           (k % 4 + 4) * 160, lit("w"),
-          when(k % 3 === 0, lit(", /i-hi.jpg 2x")).otherwise(""))
+          when(k % 3 === 0, lit(", /i-hi.jpg 2x")).otherwise(""),
+          // descriptor-less candidate: valid per WHATWG, defaults to 1x
+          when(k % 7 === 0, concat(lit(", /i"), col("doc_id"),
+            lit("-plain.jpg"))).otherwise(""))
         val img = concat(
           lit("<img src=\"/i"), col("doc_id"), lit(".jpg\" srcset=\""),
           srcset, lit("\" sizes=\"(max-width: 600px) 100vw, 50vw\""),
@@ -1534,7 +1550,16 @@ object MiscQueries {
             col("doc_id"),
             regexp_count(col("html"), lit("(?i)<img\\b"))
               .cast("long").as("n_img"),
-            regexp_count(col("html"), lit("\\d+[wx][,\"]"))
+            // candidates = comma-separated entries of every srcset
+            // attribute (incl. <source>); a descriptor-less entry is a
+            // valid 1x candidate per WHATWG, so count entries, not
+            // w/x-descriptor occurrences
+            aggregate(
+              regexp_extract_all(col("html"),
+                lit("(?i)srcset=\"([^\"]*)\""), lit(1)),
+              lit(0),
+              (acc, v) => acc +
+                size(filter(split(v, ","), t => trim(t) =!= "")))
               .cast("long").as("n_candidates"),
             expr("array_max(transform(" +
               "regexp_extract_all(html, '(\\\\d+)w[,\"]', 1), " +
@@ -1555,7 +1580,9 @@ object MiscQueries {
           SELECT doc_id, doc_id % 251 AS k FROM documents)
         SELECT doc_id,
                (CASE WHEN k % 4 = 0 THEN 2 ELSE 1 END)::BIGINT AS n_img,
-               (2 + CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END)::BIGINT
+               (2 + CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END
+                  + CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END
+                  + CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END)::BIGINT
                  AS n_candidates,
                ((k % 4 + 4) * 160)::BIGINT AS max_width_w,
                (CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END)::BIGINT AS has_picture,
