@@ -386,9 +386,9 @@ object Dedupe {
     * df-aggregation partial-aggregates map-side; the only wide exchanges
     * key on the gram value and doc_id. Boilerplate mega-df grams cost
     * nothing extra — df is an aggregate, not a fan-out. For petabyte
-    * corpora the gram string shuffles as an xxhash64 (collisions only
-    * over-mark coverage); the gated query keeps the string so the oracle
-    * replays it exactly. */
+    * corpora use [[duplicatedSpansHashed]] (gated as d19): the gram
+    * shuffles as an xxhash64 and collisions only over-mark coverage;
+    * d18 keeps the string so the oracle replays it exactly. */
   /** Every token `gram`-gram position of every doc (1-based), with the
     * doc's token count — the shared enumeration of [[duplicatedSpans]]
     * and [[contaminationSpans]]. One explode, linear in corpus tokens. */
@@ -405,8 +405,38 @@ object Dedupe {
         (col("pos") + 1).cast("long").as("pos"), col("col").as("g"))
 
   def duplicatedSpans(docs: DataFrame, id: String, text: String,
-      gram: Int = 8, minSpanTokens: Int = 50): DataFrame = {
+      gram: Int = 8, minSpanTokens: Int = 50): DataFrame =
+    duplicatedSpansKeyed(docs, id, text, gram, minSpanTokens, identity)
+
+  /** d19: the PRODUCTION form of [[duplicatedSpans]] — keys the df gate
+    * and the join-back on `xxhash64(gram)` so each gram position ships
+    * 8 bytes through the two wide exchanges instead of the joined
+    * 8-token string (~80 bytes of whitespace-joined text): a ~10×
+    * shuffle-byte cut on the kernel's heaviest stage, the difference
+    * that makes ExactSubstr runnable at 100 TB. Collision direction is
+    * SAFE for removal semantics: a hash collision can only make two
+    * DIFFERENT grams look duplicated, so coverage is only ever
+    * OVER-marked — every true span is still found at its full extent
+    * (span starts/lengths of true spans are unchanged; collisions can
+    * add or extend spans, never shrink or drop one). At 64-bit width the
+    * birthday bound puts the first expected collision near 2^32 distinct
+    * grams per corpus — and a collision must ALSO land in the same doc's
+    * window to change output. DedupeSpec pins hash-identity to the
+    * string form on the gate fixture and the ⊇-coverage direction under
+    * a deliberately lossy key. */
+  def duplicatedSpansHashed(docs: DataFrame, id: String, text: String,
+      gram: Int = 8, minSpanTokens: Int = 50): DataFrame =
+    duplicatedSpansKeyed(docs, id, text, gram, minSpanTokens, g => xxhash64(g))
+
+  /** Shared core: `keyOf` maps the gram string to the shuffle key inside
+    * the enumeration projection (whole-stage codegen — the string never
+    * outlives the map side when the key is a hash). */
+  private[graft] def duplicatedSpansKeyed(docs: DataFrame, id: String,
+      text: String, gram: Int, minSpanTokens: Int,
+      keyOf: Column => Column): DataFrame = {
     val grams = gramPositions(docs, id, text, gram)
+      .select(col("doc_id"), col("n_tokens"), col("pos"),
+        keyOf(col("g")).as("g"))
       .transform(Iterative.materialize) // feeds the df gate AND the join back
     val dup = grams.groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("df"))
@@ -429,12 +459,86 @@ object Dedupe {
     * and the semi-join never fans out per benchmark occurrence. */
   def contaminationSpans(corpus: DataFrame, benchmark: DataFrame,
       id: String, text: String,
-      gram: Int = 13, minSpanTokens: Int = 13): DataFrame = {
+      gram: Int = 13, minSpanTokens: Int = 13): DataFrame =
+    contaminationSpansKeyed(corpus, benchmark, id, text, gram,
+      minSpanTokens, identity)
+
+  /** Production twin of [[contaminationSpans]] keyed on xxhash64(gram)
+    * — same shuffle-byte argument and safe over-mark collision direction
+    * as [[duplicatedSpansHashed]] (a collision can only mark a CLEAN
+    * window contaminated, never unmark a true hit — the conservative
+    * direction for decontamination). */
+  def contaminationSpansHashed(corpus: DataFrame, benchmark: DataFrame,
+      id: String, text: String,
+      gram: Int = 13, minSpanTokens: Int = 13): DataFrame =
+    contaminationSpansKeyed(corpus, benchmark, id, text, gram,
+      minSpanTokens, g => xxhash64(g))
+
+  private[graft] def contaminationSpansKeyed(corpus: DataFrame,
+      benchmark: DataFrame, id: String, text: String,
+      gram: Int, minSpanTokens: Int, keyOf: Column => Column): DataFrame = {
     val corpusGrams = gramPositions(corpus, id, text, gram)
+      .select(col("doc_id"), col("n_tokens"), col("pos"),
+        keyOf(col("g")).as("g"))
     val benchGrams = gramPositions(benchmark, id, text, gram)
-      .select(col("g")).distinct()
+      .select(keyOf(col("g")).as("g")).distinct()
     spansFromPositions(corpusGrams.join(benchGrams, Seq("g"), "left_semi"),
       gram, minSpanTokens)
+  }
+
+  /** d20: Dolma-style PARAGRAPH-level exact dedup (Soldaini et al. 2024)
+    * — the granularity between d10's fixed-width chunks and d18's token
+    * spans, and what the newest open pipelines ship: documents split on
+    * blank-line paragraphs; a paragraph whose exact text occurs in
+    * ≥ `minDf` DISTINCT docs is a duplicate; the FIRST occurrence
+    * (lexicographic min (doc, paragraph index)) is kept, every other
+    * occurrence is dropped; the surviving paragraphs reassemble
+    * in-order. Returns one row per doc: (doc_id, n_paras, n_dropped,
+    * dropped_tokens, kept_md5) — kept_md5 fingerprints the reassembled
+    * text so WHICH paragraphs survived, in WHAT order, is gated, not
+    * just counts.
+    *
+    * Scale shape (100 TB): the split+explode is linear in corpus bytes;
+    * the df gate groups on md5(paragraph) — a fixed 32-char key, never
+    * the paragraph text — and partial-aggregates map-side (a hot
+    * boilerplate footer combines before the shuffle); keep-decisions
+    * join back on the same hash; reassembly state is bounded by each
+    * doc's own paragraph count. */
+  def paragraphDedupe(docs: DataFrame, id: String, text: String,
+      minDf: Int = 2): DataFrame = {
+    val paras = docs
+      .select(col(id).as("doc_id"),
+        posexplode(filter(
+          transform(split(col(text), "\\n{2,}"), p => trim(p)),
+          p => p =!= "")))
+      .select(col("doc_id"), col("pos").cast("long").as("para_idx"),
+        col("col").as("para"))
+      .withColumn("h", md5(col("para").cast("binary")))
+      .transform(Iterative.materialize) // feeds the gate AND the join back
+    val gate = paras
+      .groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("df"),
+        min(struct(col("doc_id").as("kd"), col("para_idx").as("ki")))
+          .as("keeper"))
+    paras.join(gate, "h")
+      .withColumn("keep",
+        col("df") < minDf ||
+          (col("keeper.kd") === col("doc_id") &&
+            col("keeper.ki") === col("para_idx")))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(!col("keep"), size(split(col("para"), " ")).cast("long"))
+          .otherwise(0L)).as("dropped_tokens"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("keep"), struct(col("para_idx"), col("para"))))),
+            x => x.getField("para")),
+          "\n\n").cast("binary")).as("kept_md5"))
+      .select(col("doc_id"), col("n_paras"), col("n_dropped"),
+        col("dropped_tokens"), col("kept_md5"))
   }
 
   /** Maximal covered-token runs from covered gram POSITIONS: a position

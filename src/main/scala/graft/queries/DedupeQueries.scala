@@ -906,5 +906,147 @@ object DedupeQueries {
         ORDER BY doc_id, span_start
       """.trim),
     ),
+
+    // D19: the PRODUCTION form of d18 — identical ExactSubstr semantics,
+    // but the df gate and join-back shuffle xxhash64(gram) (8 bytes per
+    // position) instead of the joined 8-token string (~80 bytes): the
+    // ~10× shuffle-byte cut that makes the span pass runnable at 100 TB.
+    // Collisions can only OVER-mark coverage (two different grams
+    // reading as equal — safe for removal; see ops/Dedupe.scala), and at
+    // 64 bits the first expected collision sits near 2^32 distinct
+    // grams, so on any gate-scale corpus the output is IDENTICAL to
+    // d18's — which is exactly what the oracle checks: the same
+    // string-replay SQL as d18, hash-compared against the hashed plan's
+    // spans. DedupeSpec additionally pins the ⊇-coverage direction under
+    // a deliberately lossy key.
+    Q(
+      "d19_substring_spans_hashed",
+      (s, dir) =>
+        graft.ops.Dedupe.duplicatedSpansHashed(
+          Registry.table(s, dir, "documents"), "doc_id", "text",
+          gram = 8, minSpanTokens = 50)
+          .orderBy("doc_id", "span_start"),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents
+        ), grams AS (
+          SELECT doc_id, len(t) AS n_tokens, i AS pos,
+                 array_to_string(t[i:i+7], ' ') AS g
+          FROM toks, unnest(range(1, len(t) - 6)) r(i)
+          WHERE len(t) >= 8
+        ), dup AS (
+          SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+        ), cov AS (
+          SELECT DISTINCT doc_id, n_tokens, tok
+          FROM grams JOIN dup USING (g), unnest(range(pos, pos + 8)) u(tok)
+        ), runs AS (
+          SELECT doc_id, n_tokens, tok,
+                 tok - row_number() OVER (PARTITION BY doc_id ORDER BY tok) AS grp
+          FROM cov
+        )
+        SELECT doc_id, MIN(tok) AS span_start, COUNT(*) AS span_tokens,
+               MAX(n_tokens) AS n_tokens
+        FROM runs GROUP BY doc_id, grp
+        HAVING COUNT(*) >= 50
+        ORDER BY doc_id, span_start
+      """.trim),
+    ),
+
+    // D20: Dolma-style PARAGRAPH-level exact dedup (Soldaini et al.
+    // 2024) — blank-line paragraph split, corpus-wide paragraph-hash df
+    // gate (≥2 distinct docs), keep-FIRST (min doc, min index), drop +
+    // in-order reassembly with removed-paragraph accounting. The
+    // fixture builds the paragraph structure a web corpus actually has:
+    // body text chunked into 40-token paragraphs plus a shared
+    // navigation header (4 variants over 1/3 of docs) and a shared
+    // copyright footer (7 variants over 1/2) — the boilerplate a
+    // paragraph pass exists to strip — on top of the corpus's intrinsic
+    // whole-doc duplicates. The oracle replays split/gate/keeper/
+    // reassembly in SQL and gates the reassembled text's md5, so which
+    // paragraphs survived, in what order, is checked — not just counts.
+    Q(
+      "d20_paragraph_dedupe",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val k = col("doc_id") % 251
+        val t = graft.ops.TextAnalysis.tokens(col("text"))
+        val hdr = concat(
+          lit("site navigation home products contact variant "),
+          (k % 4).cast("string"))
+        val ftr = concat(
+          lit("copyright example corp all rights reserved variant "),
+          (k % 7).cast("string"))
+        val nCh = ceil(size(t).cast("double") / 40).cast("int")
+        val body = array_join(
+          transform(sequence(lit(0), nCh - 1),
+            i => array_join(slice(t, i * 40 + 1, lit(40)), " ")),
+          "\n\n")
+        val built = concat(
+          when(k % 3 === 0, concat(hdr, lit("\n\n"))).otherwise(lit("")),
+          body,
+          when(k % 2 === 0, concat(lit("\n\n"), ftr)).otherwise(lit("")))
+        graft.ops.Dedupe.paragraphDedupe(
+            docs.select(col("doc_id"), built.as("text")),
+            "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some(raw"""
+        WITH base AS (
+          SELECT doc_id, doc_id % 251 AS k,
+                 string_split_regex(trim(text), '\s+') AS t
+          FROM documents),
+        built AS (
+          SELECT doc_id,
+            (CASE WHEN k % 3 = 0
+               THEN 'site navigation home products contact variant '
+                    || (k % 4) || e'\n\n' ELSE '' END)
+            || array_to_string(
+                 list_transform(
+                   range(0, CAST(ceil(len(t) / 40.0) AS BIGINT)),
+                   i -> array_to_string(t[i*40+1 : i*40+40], ' ')),
+                 e'\n\n')
+            || (CASE WHEN k % 2 = 0
+                  THEN e'\n\n'
+                       || 'copyright example corp all rights reserved variant '
+                       || (k % 7) ELSE '' END) AS text
+          FROM base),
+        pl AS (
+          SELECT doc_id,
+                 list_filter(
+                   list_transform(string_split_regex(text, '\n{2,}'),
+                     p -> trim(p)),
+                   p -> p <> '') AS ps
+          FROM built),
+        paras AS (
+          SELECT doc_id, i AS para_idx, ps[i] AS para
+          FROM pl, unnest(range(1, len(ps) + 1)) r(i)),
+        gate AS (
+          SELECT para, COUNT(DISTINCT doc_id) AS df, MIN(doc_id) AS kd
+          FROM paras GROUP BY para),
+        gate2 AS (
+          SELECT g.para, g.df, g.kd, MIN(p.para_idx) AS ki
+          FROM gate g JOIN paras p
+            ON p.para = g.para AND p.doc_id = g.kd
+          GROUP BY g.para, g.df, g.kd),
+        dec AS (
+          SELECT p.doc_id, p.para_idx, p.para,
+                 (g.df < 2 OR (p.doc_id = g.kd AND p.para_idx = g.ki))
+                   AS keep
+          FROM paras p JOIN gate2 g ON p.para = g.para)
+        SELECT doc_id,
+               COUNT(*)::BIGINT AS n_paras,
+               SUM(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dropped,
+               SUM(CASE WHEN keep THEN 0
+                        ELSE len(string_split(para, ' ')) END)::BIGINT
+                 AS dropped_tokens,
+               md5(coalesce(array_to_string(
+                 list(para ORDER BY para_idx) FILTER (WHERE keep),
+                 e'\n\n'), '')) AS kept_md5
+        FROM dec
+        GROUP BY doc_id
+        ORDER BY doc_id
+      """.trim),
+    ),
   )
 }

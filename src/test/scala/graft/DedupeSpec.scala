@@ -296,4 +296,79 @@ class DedupeSpec extends AnyFunSuite with SparkSuite {
     assert(Dedupe.duplicatedSpans(docs, "doc_id", "text",
       gram = 4, minSpanTokens = 4).count() == 0L)
   }
+
+  test("d20 paragraph dedupe: keep-first, in-order reassembly, exact accounting") {
+    import spark.implicits._
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    // B appears in 3 docs (keeper: doc 1, idx 1), C in 2 (keeper: doc 1);
+    // doc 3 is pure boilerplate and loses everything
+    val docs = Seq(
+      (1L, "aa one\n\nbb two\n\ncc three"),
+      (2L, "xx four\n\n\nbb two\n\ncc three"), // 3 newlines split the same
+      (3L, "bb two")).toDF("doc_id", "text")
+    val got = Dedupe.paragraphDedupe(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got(1L) == ((3L, 0L, 0L,
+      md5hex("aa one\n\nbb two\n\ncc three"))))
+    assert(got(2L) == ((3L, 2L, 4L, md5hex("xx four"))))
+    assert(got(3L) == ((1L, 1L, 2L, md5hex(""))))
+  }
+
+  private def spanSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  test("d19: hashed span kernel is output-identical to the string form (sf0.001)") {
+    // xxhash64 collisions can only over-mark; at gate scale (<< 2^32
+    // distinct grams) there are none, so the outputs must be EQUAL —
+    // the property the d19 oracle (the d18 string-replay SQL) gates
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    assert(
+      spanSet(Dedupe.duplicatedSpansHashed(docs, "doc_id", "text",
+        gram = 8, minSpanTokens = 50)) ==
+      spanSet(Dedupe.duplicatedSpans(docs, "doc_id", "text",
+        gram = 8, minSpanTokens = 50)))
+    // contamination twin, src0 as the benchmark slice
+    import org.apache.spark.sql.functions.col
+    val corpus = docs.filter(col("source") =!= "src0")
+    val bench = docs.filter(col("source") === "src0")
+    assert(
+      spanSet(Dedupe.contaminationSpansHashed(corpus, bench,
+        "doc_id", "text", gram = 13, minSpanTokens = 13)) ==
+      spanSet(Dedupe.contaminationSpans(corpus, bench,
+        "doc_id", "text", gram = 13, minSpanTokens = 13)))
+  }
+
+  test("d19 collision direction: a lossy key only ever OVER-marks coverage") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // force collisions with a 4-bit key: every exact span must survive
+    // inside some lossy span (collisions merge DIFFERENT grams — they
+    // can add or extend spans, never shrink or drop a true one)
+    val rnd = new scala.util.Random(19)
+    def words(n: Int, tag: String) =
+      (1 to n).map(i => s"$tag${rnd.nextInt(1 << 30)}").mkString(" ")
+    val shared = (1 to 30).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(10, "a") + " " + shared + " " + words(15, "b")),
+      (2L, words(3, "c") + " " + shared + " " + words(8, "d")),
+      (3L, words(60, "e")), (4L, words(45, "f"))).toDF("doc_id", "text")
+    def covered(df: org.apache.spark.sql.DataFrame) =
+      df.collect().flatMap { r =>
+        val (id, s, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        (s until s + n).map(t => (id, t))
+      }.toSet
+    val exact = covered(Dedupe.duplicatedSpans(docs, "doc_id", "text",
+      gram = 4, minSpanTokens = 10))
+    val lossy = covered(Dedupe.duplicatedSpansKeyed(docs, "doc_id", "text",
+      gram = 4, minSpanTokens = 10, g => pmod(xxhash64(g), lit(16L))))
+    assert(exact.nonEmpty)
+    assert(exact.subsetOf(lossy),
+      s"lossy key dropped covered tokens: ${(exact -- lossy).take(5)}")
+  }
 }
