@@ -1798,5 +1798,118 @@ object CurationQueries {
         ORDER BY source
       """.trim),
     ),
+
+    // cu30: CCNet HEAD/MIDDLE/TAIL perplexity buckets (Wenzek et al.
+    // 2020) — the most-cited quality stratification in public pipelines
+    // (CCNet, LLaMA data): per language, documents sort by LM score and
+    // split into terciles; "head" (most fluent) trains first-class,
+    // "tail" is usually dropped. The LM score composes t10's corpus-own
+    // pruned bigram LM, kept pure-integer (avg LM hit count per bigram,
+    // integer div) so the oracle replays exactly — higher = more fluent
+    // = CCNet's LOW-perplexity head. Tercile cuts are SCORE-VALUE
+    // thresholds found on the (lang, score) HISTOGRAM — the cu20 cumsum
+    // discipline: the corpus-sized passes are partial-agg'd groupBys;
+    // the descending cumsum window runs over the model-bounded
+    // histogram (distinct integer avg-counts per language, never the
+    // corpus — at petabyte scale widen the score bucket like cu20's
+    // div-16); the two threshold rows per language broadcast back. Ties
+    // at a boundary all land in the same bucket — deterministic, no
+    // arbitrary rank split.
+    Q(
+      "cu30_perplexity_buckets",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val toksed = docs.select(col("doc_id"), col("lang"),
+          filter(graft.ops.TextAnalysis.tokens(lower(col("text"))),
+            t => t =!= "").as("ts"))
+        val perDoc = toksed.select(col("doc_id"), col("lang"),
+          size(col("ts")).cast("long").as("n_toks"))
+        val bigrams = toksed.filter(size(col("ts")) >= 2)
+          .select(col("doc_id"), explode(zip_with(
+            slice(col("ts"), lit(1), size(col("ts")) - 1),
+            slice(col("ts"), lit(2), size(col("ts")) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("gram"))
+          .transform(graft.ops.Iterative.materialize) // feeds LM + probe
+        val lm = bigrams.groupBy("gram").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 5) // t10's min-count prune
+        val scored = bigrams.join(lm, Seq("gram"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(coalesce(col("cnt"), lit(0L))).as("hit_mass"))
+          .join(perDoc, "doc_id")
+          .withColumn("score", expr("hit_mass div n_bigrams"))
+        val hist = scored.groupBy("lang", "score")
+          .agg(count(lit(1)).as("c"))
+        val tot = hist.groupBy("lang").agg(sum(col("c")).as("n"))
+        val wCum = Window.partitionBy("lang").orderBy(col("score").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cum = hist.join(broadcast(tot), "lang")
+          .withColumn("cum", sum(col("c")).over(wCum))
+        val s1 = cum
+          .filter(col("cum") >= expr("(n + 2) div 3") &&
+            col("cum") - col("c") < expr("(n + 2) div 3"))
+          .select(col("lang"), col("score").as("sc1"))
+        val s2 = cum
+          .filter(col("cum") >= expr("(2 * n + 2) div 3") &&
+            col("cum") - col("c") < expr("(2 * n + 2) div 3"))
+          .select(col("lang"), col("score").as("sc2"))
+        scored.join(broadcast(s1), "lang").join(broadcast(s2), "lang")
+          .withColumn("bucket",
+            when(col("score") >= col("sc1"), lit("head"))
+              .when(col("score") >= col("sc2"), lit("middle"))
+              .otherwise(lit("tail")))
+          .groupBy("lang", "bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_toks")).as("n_tokens"),
+            min(col("score")).as("min_score"),
+            max(col("score")).as("max_score"))
+          .orderBy("lang", "bucket")
+      },
+      Some(raw"""
+        WITH toks AS (
+          SELECT doc_id, lang, list_filter(
+                   string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+                   t -> t <> '') AS ts
+          FROM documents),
+        pd AS (SELECT doc_id, lang, len(ts)::BIGINT AS n_toks FROM toks),
+        bi AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(ts)),
+                   i -> ts[i] || ' ' || ts[i + 1])) AS gram
+          FROM toks WHERE len(ts) >= 2),
+        lm AS (SELECT gram, COUNT(*) AS cnt FROM bi
+               GROUP BY gram HAVING COUNT(*) >= 5),
+        sc AS (
+          SELECT bi.doc_id, COUNT(*) AS n_bigrams,
+                 SUM(COALESCE(lm.cnt, 0)) AS hit_mass
+          FROM bi LEFT JOIN lm USING (gram) GROUP BY bi.doc_id),
+        scored AS (
+          SELECT s.doc_id, p.lang, p.n_toks,
+                 (s.hit_mass // s.n_bigrams)::BIGINT AS score
+          FROM sc s JOIN pd p USING (doc_id)),
+        hist AS (SELECT lang, score, COUNT(*) AS c FROM scored GROUP BY 1, 2),
+        tot AS (SELECT lang, SUM(c)::BIGINT AS n FROM hist GROUP BY 1),
+        cum AS (
+          SELECT h.lang, h.score, h.c, t.n,
+                 SUM(h.c) OVER (PARTITION BY h.lang ORDER BY h.score DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM hist h JOIN tot t USING (lang)),
+        th1 AS (SELECT lang, score AS sc1 FROM cum
+                WHERE cum >= (n + 2) // 3 AND cum - c < (n + 2) // 3),
+        th2 AS (SELECT lang, score AS sc2 FROM cum
+                WHERE cum >= (2 * n + 2) // 3 AND cum - c < (2 * n + 2) // 3)
+        SELECT d.lang,
+               CASE WHEN d.score >= th1.sc1 THEN 'head'
+                    WHEN d.score >= th2.sc2 THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               COUNT(*)::BIGINT AS n_docs,
+               SUM(d.n_toks)::BIGINT AS n_tokens,
+               MIN(d.score)::BIGINT AS min_score,
+               MAX(d.score)::BIGINT AS max_score
+        FROM scored d JOIN th1 USING (lang) JOIN th2 USING (lang)
+        GROUP BY 1, 2
+        ORDER BY lang, bucket
+      """.trim),
+    ),
   )
 }
