@@ -505,7 +505,24 @@ object Dedupe {
     * join back on the same hash; reassembly state is bounded by each
     * doc's own paragraph count. */
   def paragraphDedupe(docs: DataFrame, id: String, text: String,
-      minDf: Int = 2): DataFrame = {
+      minDf: Int = 2): DataFrame =
+    paragraphDedupeKeyed(docs, id, text, minDf,
+      p => md5(p.cast("binary")))
+
+  /** Production keying for [[paragraphDedupe]]: the df gate and
+    * join-back shuffle xxhash64(paragraph) (8 bytes) instead of the
+    * 32-char md5 hex — the d19 argument one tier up. Collision
+    * direction: a collision can only DROP a unique paragraph as a
+    * duplicate (over-removal — the conservative direction Dolma's bloom
+    * filter already accepts at far higher false-positive rates);
+    * 64 bits puts the first expected collision near 2^32 distinct
+    * paragraphs. DedupeSpec pins output identity to the md5 form. */
+  def paragraphDedupeHashed(docs: DataFrame, id: String, text: String,
+      minDf: Int = 2): DataFrame =
+    paragraphDedupeKeyed(docs, id, text, minDf, p => xxhash64(p))
+
+  private[graft] def paragraphDedupeKeyed(docs: DataFrame, id: String,
+      text: String, minDf: Int, keyOf: Column => Column): DataFrame = {
     val paras = docs
       .select(col(id).as("doc_id"),
         posexplode(filter(
@@ -513,7 +530,7 @@ object Dedupe {
           p => p =!= "")))
       .select(col("doc_id"), col("pos").cast("long").as("para_idx"),
         col("col").as("para"))
-      .withColumn("h", md5(col("para").cast("binary")))
+      .withColumn("h", keyOf(col("para")))
       .transform(Iterative.materialize) // feeds the gate AND the join back
     val gate = paras
       .groupBy("h")

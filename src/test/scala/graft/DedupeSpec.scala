@@ -344,6 +344,23 @@ class DedupeSpec extends AnyFunSuite with SparkSuite {
         "doc_id", "text", gram = 13, minSpanTokens = 13)))
   }
 
+  test("d20 hashed keying is output-identical to the md5 form (sf0.001)") {
+    // the d19 argument one tier up: xxhash64(paragraph) shuffles 8
+    // bytes instead of 32-char md5 hex; at gate scale no collisions,
+    // so identical output — keep-first keeper choice included
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        // fold real text into blank-line paragraphs with shared footers
+        concat_ws("\n\n", col("text"),
+          concat(lit("footer variant "), (col("doc_id") % 5).cast("string")))
+          .as("text"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().toSeq.map(_.toString)
+    assert(
+      canon(Dedupe.paragraphDedupeHashed(docs, "doc_id", "text")) ==
+      canon(Dedupe.paragraphDedupe(docs, "doc_id", "text")))
+  }
+
   test("d19 collision direction: a lossy key only ever OVER-marks coverage") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
