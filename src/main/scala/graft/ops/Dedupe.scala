@@ -526,7 +526,8 @@ object Dedupe {
     val paras = docs
       .select(col(id).as("doc_id"),
         posexplode(filter(
-          transform(split(col(text), "\\n{2,}"), p => trim(p)),
+          // a blank line is two+ newline sequences, CRLF included
+          transform(split(col(text), "(?:\\r?\\n){2,}"), p => trim(p)),
           p => p =!= "")))
       .select(col("doc_id"), col("pos").cast("long").as("para_idx"),
         col("col").as("para"))

@@ -1014,7 +1014,7 @@ object DedupeQueries {
         pl AS (
           SELECT doc_id,
                  list_filter(
-                   list_transform(string_split_regex(text, '\n{2,}'),
+                   list_transform(string_split_regex(text, '(?:\r?\n){2,}'),
                      p -> trim(p)),
                    p -> p <> '') AS ps
           FROM built),

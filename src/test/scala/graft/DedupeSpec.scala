@@ -306,7 +306,8 @@ class DedupeSpec extends AnyFunSuite with SparkSuite {
     // doc 3 is pure boilerplate and loses everything
     val docs = Seq(
       (1L, "aa one\n\nbb two\n\ncc three"),
-      (2L, "xx four\n\n\nbb two\n\ncc three"), // 3 newlines split the same
+      // 3 newlines and a CRLF blank line split the same as \n\n
+      (2L, "xx four\n\n\nbb two\r\n\r\ncc three"),
       (3L, "bb two")).toDF("doc_id", "text")
     val got = Dedupe.paragraphDedupe(docs, "doc_id", "text")
       .collect()
