@@ -92,6 +92,25 @@ object GraftFunctions {
     * Expression. Hint tiers compose in front via [[detectCharset]]. */
   def sniffCharset(c: Column): Column = NativeExpressions.sniffCharset(c)
 
+  /** RFC 8288 Link-header member list from a raw HTTP header block (x31):
+    * per `Link:` line, split members on commas OUTSIDE quoted strings —
+    * quoted-pairs (RFC 7230 backslash escapes) neutralized first so an
+    * escaped quote can't flip the parity lookahead; the rewrite only ever
+    * touches characters inside quoted strings, which none of the
+    * extracted fields (URL, rel, as) live in. Declarative codegen
+    * built-ins end-to-end. */
+  def linkHeaderMembers(headerBlock: Column): Column = {
+    val lineVals = regexp_extract_all(headerBlock,
+      lit("(?i)link:[ \\t]*([^\\r\\n]*)"), lit(1))
+    val memberSplit = ",(?=(?:[^\"]*\"[^\"]*\")*[^\"]*$)"
+    filter(
+      transform(
+        flatten(transform(lineVals,
+          l => split(regexp_replace(l, "\\\\.", "xx"), memberSplit))),
+        m => trim(m)),
+      m => m =!= "")
+  }
+
   /** The reference's `charset=` parameter pattern
     * (CharsetUtils.java:188-190), applied to headers and to the meta-tag
     * attribute blob alike. */

@@ -1442,7 +1442,10 @@ object MiscQueries {
             when(k % 2 === 0, lit(">; title=\"pg, next\"; rel=\"next\""))
               .otherwise(lit(">; rel=next")))).otherwise(lit(null))
         val prv = when(k % 4 === 0,
-          concat(lit("</p/"), col("doc_id") - 1, lit(">; rel=prev")))
+          concat(lit("</p/"), col("doc_id") - 1,
+            // quoted-PAIR inside a quoted string (RFC 8288 §3 via RFC
+            // 7230 quoted-string): the \" must not flip quote parity
+            lit(">; title=\"q\\\" z\"; rel=prev")))
           .otherwise(lit(null))
         val pre1 = when(k % 2 === 0,
           concat(lit("<https://cdn"), k % 5,
@@ -1463,17 +1466,10 @@ object MiscQueries {
         val h = concat(
           lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"),
           linkLines, lit("\r\n"))
-        // member split: per Link header line, break on commas followed by
-        // an EVEN number of quotes to end-of-line — a comma inside a
-        // balanced quoted span never splits (RFC 8288 quoted params)
-        val lineVals = regexp_extract_all(col("h"),
-          lit("(?i)link:[ \\t]*([^\\r\\n]*)"), lit(1))
-        val memberSplit = ",(?=(?:[^\"]*\"[^\"]*\")*[^\"]*$)"
-        val mems = filter(
-          transform(
-            flatten(transform(lineVals, l => split(l, memberSplit))),
-            m => trim(m)),
-          m => m =!= "")
+        // member split: GraftFunctions.linkHeaderMembers — commas outside
+        // quoted strings, quoted-pairs neutralized first (see its doc);
+        // fuzz-pinned in Round19ParserFuzzSpec
+        val mems = graft.functions.GraftFunctions.linkHeaderMembers(col("h"))
         val isNext = (m: Column) => m.rlike("(?i)rel=\"?next")
         val isPreload = (m: Column) => m.rlike("(?i)rel=\"?preload")
         docs.select(col("doc_id"), h.as("h"))
