@@ -50,7 +50,10 @@ object CowMerge {
   /** Apply one upsert micro-batch: prune to touched buckets, full-outer
     * coalesce (batch wins), rewrite those buckets into `dir/gen<gen>`,
     * return the repointed manifest. The touched-bucket collect is
-    * O(buckets in the batch). */
+    * O(buckets in the batch). Contract: keys are UNIQUE within a batch
+    * (dedupe upstream — e.g. max_by on an event-sequence column; with a
+    * duplicated key the full-outer join fans out and "which write wins
+    * within the batch" is undefined, exactly as in SQL MERGE). */
   def applyBatch(manifest: Manifest, batch: DataFrame, keyCol: String,
       dir: String, gen: Long, bucketWidth: Long): Manifest = {
     val spark = batch.sparkSession
