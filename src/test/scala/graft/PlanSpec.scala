@@ -1378,4 +1378,56 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("LessThan(urlkey"),
       s"s25 upper bound not pushed to the scan:\n$p")
   }
+
+  test("d19 spans: the wide exchanges key on xxhash64, windows stay per-doc") {
+    val p = plan("d19_substring_spans_hashed")
+    // the production point: the gram key that reaches the wide exchanges
+    // must be the 8-byte hash, not the token string — the checkpoint
+    // hides the xxhash64 projection itself, so pin the KEY TYPE: d19
+    // partitions on a LONG gram column (g#NNNL), d18 on a string
+    assert("hashpartitioning\\(g#\\d+L".r.findFirstIn(p).isDefined,
+      s"d19 exchange does not key on the hashed (long) gram:\n$p")
+    val p18 = plan("d18_substring_spans")
+    assert("hashpartitioning\\(g#\\d+L".r.findFirstIn(p18).isEmpty &&
+      "hashpartitioning\\(g#\\d+,".r.findFirstIn(p18).isDefined,
+      s"d18 no longer shuffles the string gram (oracle-exact form):\n$p18")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"df gate lost its map-side combine:\n$p")
+    val winSpecs = "windowspecdefinition\\(doc_id".r.findAllIn(p).size
+    val wins = "\\bWindow\\b".r.findAllIn(p).size
+    assert(wins > 0 && winSpecs >= wins,
+      s"d19 window not doc-partitioned ($wins windows, $winSpecs doc specs):\n$p")
+    assert(!p.contains("CartesianProduct"), s"d19 degenerated:\n$p")
+  }
+
+  test("d20 paragraphs: df gate partial-aggs on the hash; reassembly per-doc, no window") {
+    val p = plan("d20_paragraph_dedupe")
+    // the gate groups on md5(paragraph) with map-side combine; the
+    // in-order reassembly is a per-doc collect_list (obj-hash agg with a
+    // partial phase), never a corpus window
+    assert(p.contains("md5"), s"paragraph hash missing from d20 plan:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"df gate lost its map-side combine:\n$p")
+    assert(p.contains("partial_collect_list"),
+      s"reassembly lost its partial phase:\n$p")
+    assert(!p.contains("\nWindow") && !p.contains("CartesianProduct"),
+      s"d20 grew a window or cartesian:\n$p")
+  }
+
+  test("cu30 terciles: corpus collapses to the histogram before the cumsum") {
+    val p = plan("cu30_perplexity_buckets")
+    // the cu20 discipline one level up: the only windows are the
+    // descending cumsum over the (lang, score) HISTOGRAM — both
+    // partitioned by lang over aggregated rows — and the two threshold
+    // rows broadcast back to the corpus side
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"histogram/LM rollups lost map-side combines:\n$p")
+    val wins = "\\bWindow\\b".r.findAllIn(p).size
+    assert(wins <= 2, s"expected at most 2 histogram windows in cu30, got $wins:\n$p")
+    assert("windowspecdefinition\\(lang".r.findAllIn(p).size >= wins,
+      s"cu30 window not lang-partitioned:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"tercile thresholds not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cu30 degenerated:\n$p")
+  }
 }
