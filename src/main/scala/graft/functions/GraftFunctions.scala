@@ -93,15 +93,19 @@ object GraftFunctions {
   def sniffCharset(c: Column): Column = NativeExpressions.sniffCharset(c)
 
   /** RFC 8288 Link-header member list from a raw HTTP header block (x31):
-    * per `Link:` line, split members on commas OUTSIDE quoted strings —
-    * quoted-pairs (RFC 7230 backslash escapes) neutralized first so an
-    * escaped quote can't flip the parity lookahead; the rewrite only ever
-    * touches characters inside quoted strings, which none of the
-    * extracted fields (URL, rel, as) live in. Declarative codegen
-    * built-ins end-to-end. */
+    * per `Link:` line (anchored at line start — `X-Weblink:` or a header
+    * VALUE containing "link:" must not contribute phantom members), split
+    * members on commas OUTSIDE quoted strings — quoted-pairs (RFC 7230
+    * backslash escapes) neutralized first so an escaped quote can't flip
+    * the parity lookahead. In a conformant header the rewrite can only
+    * touch quoted-string interiors, which none of the extracted fields
+    * (URL, rel, as) live in: RFC 3986 forbids a raw backslash inside the
+    * `<URI-Reference>`, so a backslash elsewhere is already malformed
+    * input and is neutralized rather than corrupting the parity count.
+    * Declarative codegen built-ins end-to-end. */
   def linkHeaderMembers(headerBlock: Column): Column = {
     val lineVals = regexp_extract_all(headerBlock,
-      lit("(?i)link:[ \\t]*([^\\r\\n]*)"), lit(1))
+      lit("(?im)^link:[ \\t]*([^\\r\\n]*)"), lit(1))
     val memberSplit = ",(?=(?:[^\"]*\"[^\"]*\")*[^\"]*$)"
     filter(
       transform(

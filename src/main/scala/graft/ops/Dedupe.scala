@@ -547,7 +547,8 @@ object Dedupe {
       .agg(
         count(lit(1)).as("n_paras"),
         sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dropped"),
-        sum(when(!col("keep"), size(split(col("para"), " ")).cast("long"))
+        sum(when(!col("keep"),
+          size(TextAnalysis.tokens(col("para"))).cast("long"))
           .otherwise(0L)).as("dropped_tokens"),
         md5(array_join(
           transform(

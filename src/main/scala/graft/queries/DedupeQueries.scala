@@ -1038,7 +1038,7 @@ object DedupeQueries {
                COUNT(*)::BIGINT AS n_paras,
                SUM(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dropped,
                SUM(CASE WHEN keep THEN 0
-                        ELSE len(string_split(para, ' ')) END)::BIGINT
+                        ELSE len(string_split_regex(para, '\s+')) END)::BIGINT
                  AS dropped_tokens,
                md5(coalesce(array_to_string(
                  list(para ORDER BY para_idx) FILTER (WHERE keep),

@@ -1463,8 +1463,11 @@ object MiscQueries {
             // one Link header line per member (the multi-header spelling)
             concat(aggregate(members, lit(""),
               (acc, m) => concat(acc, lit("Link: "), m, lit("\r\n")))))
+        // decoy: a header whose NAME ends in "link:" — only a
+        // line-anchored parse keeps it from minting a phantom rel=next
         val h = concat(
-          lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"),
+          lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+            "X-Weblink: </decoy>; rel=next\r\n"),
           linkLines, lit("\r\n"))
         // member split: GraftFunctions.linkHeaderMembers — commas outside
         // quoted strings, quoted-pairs neutralized first (see its doc);
@@ -1528,7 +1531,12 @@ object MiscQueries {
           when(k % 3 === 0, lit(", /i-hi.jpg 2x")).otherwise(""),
           // descriptor-less candidate: valid per WHATWG, defaults to 1x
           when(k % 7 === 0, concat(lit(", /i"), col("doc_id"),
-            lit("-plain.jpg"))).otherwise(""))
+            lit("-plain.jpg"))).otherwise(""),
+          // a candidate whose URL itself contains a comma (CDN transform
+          // paths) — ONE candidate, not two, under the boundary-aware split
+          when(k % 11 === 0, concat(
+            lit(", https://cdn.example/tr:w_300,c_fill/i"),
+            col("doc_id"), lit(".jpg 2x"))).otherwise(""))
         val img = concat(
           lit("<img src=\"/i"), col("doc_id"), lit(".jpg\" srcset=\""),
           srcset, lit("\" sizes=\"(max-width: 600px) 100vw, 50vw\""),
@@ -1546,16 +1554,20 @@ object MiscQueries {
             col("doc_id"),
             regexp_count(col("html"), lit("(?i)<img\\b"))
               .cast("long").as("n_img"),
-            // candidates = comma-separated entries of every srcset
-            // attribute (incl. <source>); a descriptor-less entry is a
-            // valid 1x candidate per WHATWG, so count entries, not
-            // w/x-descriptor occurrences
+            // candidates = entries of every srcset attribute (incl.
+            // <source>); a descriptor-less entry is a valid 1x candidate
+            // per WHATWG, so count entries, not w/x-descriptor
+            // occurrences — and split only at candidate BOUNDARIES
+            // (comma before whitespace, or right after a w/x
+            // descriptor), because a candidate URL may itself contain
+            // commas (CDN transform paths, legal per WHATWG)
             aggregate(
               regexp_extract_all(col("html"),
                 lit("(?i)srcset=\"([^\"]*)\""), lit(1)),
               lit(0),
               (acc, v) => acc +
-                size(filter(split(v, ","), t => trim(t) =!= "")))
+                size(filter(split(v, ",(?=\\s)|(?<=\\d[wx]),"),
+                  t => trim(t) =!= "")))
               .cast("long").as("n_candidates"),
             expr("array_max(transform(" +
               "regexp_extract_all(html, '(\\\\d+)w[,\"]', 1), " +
@@ -1578,6 +1590,7 @@ object MiscQueries {
                (CASE WHEN k % 4 = 0 THEN 2 ELSE 1 END)::BIGINT AS n_img,
                (2 + CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END
                   + CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END
+                  + CASE WHEN k % 11 = 0 THEN 1 ELSE 0 END
                   + CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END)::BIGINT
                  AS n_candidates,
                ((k % 4 + 4) * 160)::BIGINT AS max_width_w,

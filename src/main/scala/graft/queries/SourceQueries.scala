@@ -1227,9 +1227,12 @@ object SourceQueries {
             concat(lit(httpHead).cast("binary"), html.cast("binary"))
               .as("content"))
           .write.format("graft-warc").mode("append").save(s"$out/crawl")
-        val pages = s.read.format("graft-warc").load(s"$out/crawl")
-          .filter(col("warc_type") === "response")
-          .select(col("url"), col("payload").cast("string").as("html"))
+        // materialize once: the envelope-split read-back feeds BOTH
+        // derived writes (the cu16/d19 two-consumer discipline)
+        val pages = graft.ops.Iterative.materialize(
+          s.read.format("graft-warc").load(s"$out/crawl")
+            .filter(col("warc_type") === "response")
+            .select(col("url"), col("payload").cast("string").as("html")))
         pages.select(
             col("url"), lit("conversion").as("warc_type"),
             lit("2026-01-02T03:04:05Z").as("warc_date"),
@@ -1542,7 +1545,7 @@ object SourceQueries {
     Q(
       "s32_content_encoding",
       (s, dir) => {
-        val out = stage("s33")
+        val out = stage("s32")
         val pack = udf((id: Long, lang: String, text: String) => {
           val k = ((id % 251) + 251) % 251
           val (ce, body0) = (k % 3) match {

@@ -57,7 +57,11 @@ object CowMerge {
   def applyBatch(manifest: Manifest, batch: DataFrame, keyCol: String,
       dir: String, gen: Long, bucketWidth: Long): Manifest = {
     val spark = batch.sparkSession
-    val bb = batch.withColumn("bucket", expr(s"$keyCol div $bucketWidth"))
+    // materialize once: the batch plan feeds BOTH the touched-bucket
+    // collect and the merge join — without this a file-source micro-batch
+    // re-reads its input files per action
+    val bb = graft.ops.Iterative.materialize(
+      batch.withColumn("bucket", expr(s"$keyCol div $bucketWidth")))
     val touched = bb.select("bucket").distinct()
       .collect().map(_.getLong(0)).sorted
     if (touched.isEmpty) return manifest
@@ -68,11 +72,16 @@ object CowMerge {
       else spark.read.parquet(existing.toIndexedSeq: _*)
         .select(dataCols.map(col).toIndexedSeq: _*)
     val uCols = dataCols.map(c => col(c).as(s"u_$c"))
+    // the WHOLE batch row wins on a key match (SQL MERGE "UPDATE SET *"
+    // semantics — decided by key presence, NOT per-column coalesce, so a
+    // batch row may legitimately set a column to NULL and the sequential
+    // result still equals the one-shot last-writer-wins merge)
     val merged = oldRows
-      .join(batch.select(uCols.toIndexedSeq: _*),
+      .join(bb.select(uCols.toIndexedSeq: _*),
         col(keyCol) === col(s"u_$keyCol"), "full_outer")
       .select(dataCols.map(c =>
-        coalesce(col(s"u_$c"), col(c)).as(c)).toIndexedSeq: _*)
+        when(col(s"u_$keyCol").isNotNull, col(s"u_$c"))
+          .otherwise(col(c)).as(c)).toIndexedSeq: _*)
       .withColumn("bucket", expr(s"$keyCol div $bucketWidth"))
       .withColumn("bucket_p", col("bucket"))
     merged.repartition(col("bucket_p"))

@@ -42,10 +42,14 @@ class StreamingCowMergeSpec extends AnyFunSuite with SparkSuite {
     //         new bucket 4
     //  seq 2: re-update the same overlapping doc (final winner) +
     //         bucket-2 updates
+    // doc 77's second write sets lang to NULL — the whole batch row must
+    // win on key match (MERGE "UPDATE SET *"), not a per-column coalesce
+    // that would silently resurrect the base value
     val batches = Seq(
       Seq((10L, "u0", 1L), (42L, "u0", 2L), (77L, "u0", 3L)),
       Seq((42L, "u1", 20L), (1005L, "new", 21L), (1099L, "new", 22L)),
-      Seq((42L, "u2", 200L), (510L, "u2", 201L)))
+      Seq((42L, "u2", 200L), (510L, "u2", 201L),
+        (77L, null.asInstanceOf[String], 202L)))
     batches.zipWithIndex.foreach { case (rows, i) =>
       val f = s"$streamDir/b$i"
       rows.toDF("doc_id", "lang", "n_chars")
@@ -90,8 +94,10 @@ class StreamingCowMergeSpec extends AnyFunSuite with SparkSuite {
         col("doc_id") === col("u_id"), "full_outer")
       .select(
         coalesce(col("doc_id"), col("u_id")).as("doc_id"),
-        coalesce(col("u_lang"), col("lang")).as("lang"),
-        coalesce(col("u_chars"), col("n_chars")).as("n_chars"))
+        when(col("u_id").isNotNull, col("u_lang"))
+          .otherwise(col("lang")).as("lang"),
+        when(col("u_id").isNotNull, col("u_chars"))
+          .otherwise(col("n_chars")).as("n_chars"))
 
     def canon(df: DataFrame) =
       df.select("doc_id", "lang", "n_chars")
@@ -102,6 +108,10 @@ class StreamingCowMergeSpec extends AnyFunSuite with SparkSuite {
     assert(table.filter(col("doc_id") === 42L)
       .select("lang", "n_chars").collect().map(_.toString).toSeq
       == Seq("[u2,200]"))
+    // a NULL column value in the winning batch row really lands as NULL
+    assert(table.filter(col("doc_id") === 77L)
+      .select("lang", "n_chars").collect().map(_.toString).toSeq
+      == Seq("[null,202]"))
     // inserts materialized a brand new bucket
     assert(manifest.keySet == Set(0L, 1L, 2L, 3L, 4L))
 
