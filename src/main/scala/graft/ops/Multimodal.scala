@@ -440,19 +440,22 @@ object Multimodal {
     * stride, a missed bottom-up flip (for even heights), or padding
     * bytes leaking into pixels each break a different output.
     * Malformed input → all-(-1) stats, never a throw. */
-  private[graft] def decodeBmp24Stats(b: Array[Byte]): (Int, Int, Long, Long, Long, Long) = {
+  /** Validated BI_RGB 24-bit BMP geometry: (dataOff, w, h, stride,
+    * topDown), or null on malformed input — the shared header walk of
+    * [[decodeBmp24Stats]] and [[decodeBmpBoxResize2]], keeping the
+    * untrusted-dimension overflow discipline in one place. */
+  private[graft] def bmp24Header(b: Array[Byte]): (Int, Int, Int, Int, Boolean) = {
     def u8(i: Int) = b(i) & 0xff
     def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
     def le32(i: Int) = le16(i) | (le16(i + 2) << 16) // signed: height may be <0
-    val bad = (-1, -1, -1L, -1L, -1L, -1L)
-    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return bad
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return null
     val dataOff = le32(10)
     val w = le32(18)
     val hRaw = le32(22)
     val topDown = hRaw < 0
     // abs in Long: hRaw may be Int.MinValue, whose Int abs is itself
     val h = math.abs(hRaw.toLong)
-    if (le16(28) != 24 || le32(30) != 0 || w <= 0 || h == 0) return bad
+    if (le16(28) != 24 || le32(30) != 0 || w <= 0 || h == 0) return null
     // declared dimensions are untrusted: stride arithmetic in Long, and
     // both must already fit the stored bytes before any row is touched
     // (w near 2^31 would overflow `w * 3` to a negative Int stride and
@@ -463,9 +466,16 @@ object Multimodal {
     // direct `> remaining` compare — divide instead (strideL >= 4
     // whenever w >= 1, so the division is safe)
     if (dataOff < 0 || dataOff > b.length ||
-        h > (b.length.toLong - dataOff) / strideL) return bad
-    val stride = strideL.toInt
-    val hI = h.toInt
+        h > (b.length.toLong - dataOff) / strideL) return null
+    (dataOff, w, h.toInt, strideL.toInt, topDown)
+  }
+
+  private[graft] def decodeBmp24Stats(b: Array[Byte]): (Int, Int, Long, Long, Long, Long) = {
+    def u8(i: Int) = b(i) & 0xff
+    val bad = (-1, -1, -1L, -1L, -1L, -1L)
+    val hdr = bmp24Header(b)
+    if (hdr == null) return bad
+    val (dataOff, w, hI, stride, topDown) = hdr
     var sumR = 0L; var sumG = 0L; var sumB = 0L; var evenSum = 0L
     var y = 0
     while (y < hI) {
@@ -481,6 +491,67 @@ object Multimodal {
       y += 1
     }
     (w, hI, sumR, sumG, sumB, evenSum)
+  }
+
+  /** m47: REAL 2×2 integer box-filter resize over the decoded BMP — the
+    * genuine resample kernel the m4 stride walk stands in for: each
+    * output pixel is the floor-average of its 2×2 input block per
+    * channel (the standard box decimation; a trailing odd row/column is
+    * dropped, out = in/2 floored — libjpeg/Pillow "reduce" semantics).
+    * Returns (out_w, out_h, sum_r2, sum_g2, sum_b2, mix) where the sums
+    * run over the RESAMPLED pixels and `mix` folds only the
+    * even-parity resampled lattice ((ox+oy)%2==0) of r+2g+3b — the m7
+    * even_sum discipline one level down, so a shifted block, a swapped
+    * channel, or a wrong rounding mode each breaks a different column.
+    * All-integer: the oracle replays the averages exactly. */
+  private[graft] def decodeBmpBoxResize2(b: Array[Byte]): (Int, Int, Long, Long, Long, Long) = {
+    def u8(i: Int) = b(i) & 0xff
+    val bad = (-1, -1, -1L, -1L, -1L, -1L)
+    val hdr = bmp24Header(b)
+    if (hdr == null) return bad
+    val (dataOff, w, hI, stride, topDown) = hdr
+    val ow = w / 2
+    val oh = hI / 2
+    def rowOff(y: Int) = dataOff + (if (topDown) y else hI - 1 - y) * stride
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var mix = 0L
+    var oy = 0
+    while (oy < oh) {
+      val r0 = rowOff(2 * oy); val r1 = rowOff(2 * oy + 1)
+      var ox = 0
+      while (ox < ow) {
+        val i00 = r0 + 6 * ox; val i01 = i00 + 3
+        val i10 = r1 + 6 * ox; val i11 = i10 + 3
+        val ab = (u8(i00) + u8(i01) + u8(i10) + u8(i11)) / 4
+        val ag = (u8(i00 + 1) + u8(i01 + 1) + u8(i10 + 1) + u8(i11 + 1)) / 4
+        val ar = (u8(i00 + 2) + u8(i01 + 2) + u8(i10 + 2) + u8(i11 + 2)) / 4
+        sumR += ar; sumG += ag; sumB += ab
+        if (((ox + oy) & 1) == 0) mix += ar + 2L * ag + 3L * ab
+        ox += 1
+      }
+      oy += 1
+    }
+    (ow, oh, sumR, sumG, sumB, mix)
+  }
+
+  /** [[decodeBmpBoxResize2]] over the standard batch seam:
+    * (id, media) → (id, out_w, out_h, sum_r2, sum_g2, sum_b2, mix). */
+  def decodeBmpBoxResize(df: DataFrame, id: String, media: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("out_w", IntegerType, nullable = false),
+      StructField("out_h", IntegerType, nullable = false),
+      StructField("sum_r2", LongType, nullable = false),
+      StructField("sum_g2", LongType, nullable = false),
+      StructField("sum_b2", LongType, nullable = false),
+      StructField("mix", LongType, nullable = false)))
+    val rdd = df.select(col(id).cast("long"), col(media)).rdd.mapPartitions { it =>
+      it.map { r =>
+        val (ow, oh, sr, sg, sb, mx) = decodeBmpBoxResize2(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), ow, oh, sr, sg, sb, mx)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   // --- perceptual hash over the real BMP decode -----------------------

@@ -2666,6 +2666,79 @@ object MultimodalQueries {
         ORDER BY doc_id
       """.trim),
     ),
+
+    // m47: REAL 2×2 box-filter resize over the m7 pixel decode — the
+    // genuine resample kernel the m4 stride walk stood in for: each
+    // output pixel is the per-channel floor-average of its 2×2 input
+    // block (trailing odd row/column dropped — libjpeg/Pillow "reduce"
+    // semantics). Width spans 4-16 and height 3-11 so both parities
+    // exercise the drop rule AND every BMP row-padding value occurs
+    // under the resample. All-integer, so the oracle replays every
+    // average exactly from the m7 pattern formula; `mix` folds only the
+    // even-parity RESAMPLED lattice, so a shifted block, swapped
+    // channel, or wrong rounding mode each breaks a different column.
+    Q(
+      "m47_box_resize",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val w = (col("doc_id") % 13 + 4).cast("int")
+        val h = (col("doc_id") % 9 + 3).cast("int")
+        val packed = docs.select(col("doc_id"),
+          Multimodal.packBmp24(col("doc_id"), w, h).as("media"))
+        Multimodal.decodeBmpBoxResize(packed, "doc_id", "media")
+          .select(
+            col("id").as("doc_id"),
+            col("out_w").cast("long").as("out_w"),
+            col("out_h").cast("long").as("out_h"),
+            col("sum_r2"), col("sum_g2"), col("sum_b2"), col("mix"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH g AS (
+          SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 9 + 3 AS h,
+                 doc_id % 251 AS k,
+                 (doc_id % 13 + 4) // 2 AS ow, (doc_id % 9 + 3) // 2 AS oh
+          FROM documents)
+        SELECT doc_id,
+               ow::BIGINT AS out_w, oh::BIGINT AS out_h,
+               CAST(list_sum(list_transform(range(0, ow*oh), o ->
+                 (((2*(o % ow)) + (2*(o // ow)) + 3*k) % 256
+                  + ((2*(o % ow)+1) + (2*(o // ow)) + 3*k) % 256
+                  + ((2*(o % ow)) + (2*(o // ow)+1) + 3*k) % 256
+                  + ((2*(o % ow)+1) + (2*(o // ow)+1) + 3*k) % 256) // 4))
+                 AS BIGINT) AS sum_r2,
+               CAST(list_sum(list_transform(range(0, ow*oh), o ->
+                 ((3*(2*(o % ow)) + 5*(2*(o // ow)) + 2*k) % 256
+                  + (3*(2*(o % ow)+1) + 5*(2*(o // ow)) + 2*k) % 256
+                  + (3*(2*(o % ow)) + 5*(2*(o // ow)+1) + 2*k) % 256
+                  + (3*(2*(o % ow)+1) + 5*(2*(o // ow)+1) + 2*k) % 256) // 4))
+                 AS BIGINT) AS sum_g2,
+               CAST(list_sum(list_transform(range(0, ow*oh), o ->
+                 ((7*(2*(o % ow)) + 11*(2*(o // ow)) + k) % 256
+                  + (7*(2*(o % ow)+1) + 11*(2*(o // ow)) + k) % 256
+                  + (7*(2*(o % ow)) + 11*(2*(o // ow)+1) + k) % 256
+                  + (7*(2*(o % ow)+1) + 11*(2*(o // ow)+1) + k) % 256) // 4))
+                 AS BIGINT) AS sum_b2,
+               CAST(list_sum(list_transform(
+                 list_filter(range(0, ow*oh),
+                   o -> ((o % ow) + (o // ow)) % 2 = 0), o ->
+                 (((2*(o % ow)) + (2*(o // ow)) + 3*k) % 256
+                  + ((2*(o % ow)+1) + (2*(o // ow)) + 3*k) % 256
+                  + ((2*(o % ow)) + (2*(o // ow)+1) + 3*k) % 256
+                  + ((2*(o % ow)+1) + (2*(o // ow)+1) + 3*k) % 256) // 4
+                 + 2 * (((3*(2*(o % ow)) + 5*(2*(o // ow)) + 2*k) % 256
+                  + (3*(2*(o % ow)+1) + 5*(2*(o // ow)) + 2*k) % 256
+                  + (3*(2*(o % ow)) + 5*(2*(o // ow)+1) + 2*k) % 256
+                  + (3*(2*(o % ow)+1) + 5*(2*(o // ow)+1) + 2*k) % 256) // 4)
+                 + 3 * (((7*(2*(o % ow)) + 11*(2*(o // ow)) + k) % 256
+                  + (7*(2*(o % ow)+1) + 11*(2*(o // ow)) + k) % 256
+                  + (7*(2*(o % ow)) + 11*(2*(o // ow)+1) + k) % 256
+                  + (7*(2*(o % ow)+1) + 11*(2*(o // ow)+1) + k) % 256) // 4)))
+                 AS BIGINT) AS mix
+        FROM g
+        ORDER BY doc_id
+      """.trim),
+    ),
   )
 
   private val n_ = "(k % 3 + 1)"

@@ -205,6 +205,33 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(Multimodal.decodeBmp24Stats(bpp16)._1 == -1)
   }
 
+  test("BMP box resize: ImageIO-refereed 2x2 floor averages, odd-edge drop, malformed") {
+    // independent referee: read the encoded BMP with the JDK's ImageIO
+    // and box-average its pixels; our decoder must agree exactly
+    for (w <- 4 to 7; h <- 3 to 6; k <- Seq(0L, 29L)) {
+      val bytes = Multimodal.encodeBmp24(k, w, h)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null)
+      val ow = w / 2; val oh = h / 2
+      var sr = 0L; var sg = 0L; var sb = 0L; var mix = 0L
+      for (oy <- 0 until oh; ox <- 0 until ow) {
+        val ps = for { dy <- 0 to 1; dx <- 0 to 1 }
+          yield img.getRGB(2 * ox + dx, 2 * oy + dy)
+        val ar = ps.map(p => (p >> 16) & 0xff).sum / 4
+        val ag = ps.map(p => (p >> 8) & 0xff).sum / 4
+        val ab = ps.map(p => p & 0xff).sum / 4
+        sr += ar; sg += ag; sb += ab
+        if (((ox + oy) & 1) == 0) mix += ar + 2L * ag + 3L * ab
+      }
+      assert(Multimodal.decodeBmpBoxResize2(bytes) == ((ow, oh, sr, sg, sb, mix)),
+        s"w=$w h=$h k=$k")
+    }
+    // malformed input degrades to the sentinel, not an exception
+    assert(Multimodal.decodeBmpBoxResize2("nope".getBytes)._1 == -1)
+    assert(Multimodal.decodeBmpBoxResize2(
+      Multimodal.encodeBmp24(1, 4, 4).dropRight(3))._1 == -1)
+  }
+
   test("BMP dHash: jitter invariance, brute-force parity, scene separation, malformed") {
     def lattice(g: Int, n: Int, d: Int) = g * (d - 1) / (n - 1)
     // independent brute-force of the hash from the scene formula
