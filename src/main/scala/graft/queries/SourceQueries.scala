@@ -1185,117 +1185,6 @@ object SourceQueries {
       """.stripMargin.trim),
     ),
 
-    // s33: WET/WAT DERIVATION — the two derived products the CommonCrawl
-    // ecosystem actually publishes next to the raw WARCs (and what the
-    // reference's ec2/postprocess jobs compute ad hoc: extracted text
-    // and link/metadata JSON): from a response archive, write (1) a WET
-    // archive of `conversion` records carrying the x9-extracted visible
-    // text and (2) a WAT archive of `metadata` records carrying a JSON
-    // envelope (title + href list), then read BOTH back and account per
-    // source. Three real graft-warc round trips in one plan — response
-    // write+read (envelope split), conversion write+read (block
-    // payload), metadata write+read (JSON payload re-parsed with
-    // get_json_object) — and the oracle replays the whole loop from the
-    // raw table (the cu29 discipline), so a byte lost in ANY of the
-    // three archives, a broken text extraction, or a dropped link
-    // breaks the gate.
-    Q(
-      "s33_wet_wat",
-      (s, dir) => {
-        val out = stage("s33")
-        val docs = Registry.table(s, dir, "documents")
-        val k = col("doc_id") % 251
-        val esc = replace(replace(replace(col("text"),
-          lit("&"), lit("&amp;")),
-          lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
-        val html = concat(
-          lit("<html><head><title>T"), (col("doc_id") % 13).cast("string"),
-          lit("</title></head><body><p>"), esc, lit("</p><a href=\"/l/"),
-          (col("doc_id") % 7).cast("string"), lit("\">x</a>"),
-          when(k % 3 === 0, concat(lit("<a href=\"/l/"),
-            (col("doc_id") % 11).cast("string"), lit("\">y</a>")))
-            .otherwise(lit("")),
-          lit("</body></html>"))
-        val httpHead =
-          "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
-        docs.select(
-            concat(lit("http://"), col("source"), lit("/p/"),
-              col("doc_id").cast("string")).as("url"),
-            lit("response").as("warc_type"),
-            lit("2026-01-02T03:04:05Z").as("warc_date"),
-            lit("application/http; msgtype=response").as("content_type"),
-            concat(lit(httpHead).cast("binary"), html.cast("binary"))
-              .as("content"))
-          .write.format("graft-warc").mode("append").save(s"$out/crawl")
-        // materialize once: the envelope-split read-back feeds BOTH
-        // derived writes (the cu16/d19 two-consumer discipline)
-        val pages = graft.ops.Iterative.materialize(
-          s.read.format("graft-warc").load(s"$out/crawl")
-            .filter(col("warc_type") === "response")
-            .select(col("url"), col("payload").cast("string").as("html")))
-        pages.select(
-            col("url"), lit("conversion").as("warc_type"),
-            lit("2026-01-02T03:04:05Z").as("warc_date"),
-            lit("text/plain").as("content_type"),
-            graft.functions.GraftFunctions.htmlToText(col("html"))
-              .cast("binary").as("content"))
-          .write.format("graft-warc").mode("append").save(s"$out/wet")
-        pages.select(
-            col("url"), lit("metadata").as("warc_type"),
-            lit("2026-01-02T03:04:05Z").as("warc_date"),
-            lit("application/json").as("content_type"),
-            to_json(struct(
-              regexp_extract(col("html"),
-                "(?is)<title[^>]*>(.*?)</title", 1).as("title"),
-              expr("regexp_extract_all(html, '(?i)href=\"([^\"]*)\"', 1)")
-                .as("links"))).cast("binary").as("content"))
-          .write.format("graft-warc").mode("append").save(s"$out/wat")
-        val wet = s.read.format("graft-warc").load(s"$out/wet")
-          .filter(col("warc_type") === "conversion")
-          .select(col("url"),
-            length(col("payload").cast("string")).cast("long")
-              .as("wet_chars"))
-        val wat = s.read.format("graft-warc").load(s"$out/wat")
-          .filter(col("warc_type") === "metadata")
-          .select(col("url"),
-            get_json_object(col("payload").cast("string"), "$.title")
-              .as("title"),
-            expr("json_array_length(get_json_object(" +
-              "cast(payload AS string), '$.links'))")
-              .cast("long").as("n_links"))
-        wet.join(wat, "url")
-          .select(
-            regexp_extract(col("url"), "http://([^/]+)/", 1).as("source"),
-            col("wet_chars"), col("n_links"), col("title"))
-          .groupBy("source")
-          .agg(count(lit(1)).as("n_pages"),
-            sum(col("wet_chars")).as("wet_chars"),
-            sum(col("n_links")).as("n_links"),
-            count_distinct(col("title")).as("n_titles"))
-          .orderBy("source")
-      },
-      Some(raw"""
-        WITH d AS (
-          SELECT doc_id, source, doc_id % 251 AS k,
-                 trim(regexp_replace(text, '\s+', ' ', 'g')) AS txt
-          FROM documents),
-        w AS (
-          SELECT source,
-                 'T' || (doc_id % 13) AS title,
-                 length('T' || (doc_id % 13) || ' ' || txt || ' x'
-                   || CASE WHEN k % 3 = 0 THEN ' y' ELSE '' END)::BIGINT
-                   AS wet_chars,
-                 (1 + CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END)::BIGINT
-                   AS n_links
-          FROM d)
-        SELECT source, COUNT(*)::BIGINT AS n_pages,
-               SUM(wet_chars)::BIGINT AS wet_chars,
-               SUM(n_links)::BIGINT AS n_links,
-               COUNT(DISTINCT title)::BIGINT AS n_titles
-        FROM w GROUP BY source ORDER BY source
-      """.trim),
-    ),
-
     // s27: CSV delivery round trip under RFC 4180 adversarial content —
     // embedded commas, doubled quotes, AND a literal newline inside a
     // quoted field (the case that breaks naive line-split readers; the
