@@ -110,6 +110,16 @@ object Bench {
     // readings repeat so the suite stays near single-pass time.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "1").toInt.max(1)
     val SlowSec = 5.0
+    // Per-query segment attribution (r20): every timed row records its
+    // start offset from this epoch in the full dump (query_start /
+    // segment_start), so when calibration_drift flags a hot window the
+    // artifact itself says which queries ran inside it — r19's g21
+    // reading consumed a judge re-run precisely because the dump could
+    // not place the query relative to the end-segment spike.
+    val benchT0 = System.nanoTime()
+    def nowSec: Double = (System.nanoTime() - benchT0) / 1e9
+    val queryStarts = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val segmentStarts = scala.collection.mutable.ArrayBuffer.empty[Double]
     // INTERLEAVED self-adjudicating calibration: three pinned anchors
     // spanning the suite's cost shapes (c1 shuffle-heavy merge, g5
     // iterative joins, w2 small interactive) run once per SEGMENT at
@@ -135,8 +145,11 @@ object Bench {
     val segments = scala.collection.mutable.ArrayBuffer
       .empty[Seq[(String, Double)]]
     def runCalibSegment(): Unit =
-      if (calibOn) segments += calibRefs.flatMap { case (name, _) =>
-        SparkEntry.queries.get(name).map(fn => name -> runOnce(name, fn))
+      if (calibOn) {
+        segmentStarts += nowSec
+        segments += calibRefs.flatMap { case (name, _) =>
+          SparkEntry.queries.get(name).map(fn => name -> runOnce(name, fn))
+        }
       }
     // untimed anchor warmup: each segment runs its anchors ONCE, so
     // without this the start segment would carry whole-framework JIT/
@@ -172,6 +185,7 @@ object Bench {
     val artifactRows: Seq[(String, Double)] =
       if (filter.isDefined) Seq.empty
       else artifactBuilders.map { case (name, build) =>
+        queryStarts += name -> nowSec
         val t0 = System.nanoTime()
         val ok =
           try { build(spark, sfDir); true }
@@ -190,6 +204,7 @@ object Bench {
     val samples: Seq[(String, Seq[Double])] = sorted.zipWithIndex
       .map { case ((name, fn), i) =>
         if (i == midAt) runCalibSegment() // middle
+        queryStarts += name -> nowSec
         val first = runOnce(name, fn)
         val rest =
           if (first >= SlowSec && repeats > 1) (2 to repeats).map(_ => runOnce(name, fn))
@@ -242,8 +257,18 @@ object Bench {
       }.mkString(""","calibration_runs":{""", ",", "}")
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
+    // per-query + per-segment start offsets (full dump only — the stdout
+    // line is budgeted): places every query relative to the calibration
+    // windows so a drift spike self-adjudicates from the artifact
+    val fullStarts =
+      if (queryStarts.isEmpty) ""
+      else queryStarts.map { case (k, t) => s"\"" + k + "\":" + f"$t%.1f" }
+        .mkString(""","query_start":{""", ",", "}") +
+        segmentStarts.zip(Seq("start", "mid", "end")).map { case (t, n) =>
+          s"\"" + n + "\":" + f"$t%.1f"
+        }.mkString(""","segment_start":{""", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$fullQs$fullRepeats$fullSegments$calibJson,"sf":$sfNum,"sf_dir":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$fullQs$fullRepeats$fullSegments$fullStarts$calibJson,"sf":$sfNum,"sf_dir":"$sfDir"}"""
     val outPath = Bench.fullDumpPath(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
     if (outPath == null)
       System.err.println("[bench] cwd has a git-tracked BENCH_FULL.json " +

@@ -102,7 +102,15 @@ object GraftFunctions {
     * (URL, rel, as) live in: RFC 3986 forbids a raw backslash inside the
     * `<URI-Reference>`, so a backslash elsewhere is already malformed
     * input and is neutralized rather than corrupting the parity count.
-    * Declarative codegen built-ins end-to-end. */
+    * Declarative codegen built-ins end-to-end.
+    *
+    * CONTRACT: the returned member text is the NEUTRALIZED copy — any
+    * quoted-pair (`\x`) inside a member reads back as `xx`. The fields
+    * the census extracts (URL, rel, as) cannot legally contain
+    * quoted-pairs, so they are always returned verbatim; a consumer
+    * extracting a QUOTED param value (e.g. title="…") from the returned
+    * members must re-extract it from the original header instead —
+    * member text here is suitable for token/URL matching only. */
   def linkHeaderMembers(headerBlock: Column): Column = {
     val lineVals = regexp_extract_all(headerBlock,
       lit("(?im)^link:[ \\t]*([^\\r\\n]*)"), lit(1))

@@ -410,10 +410,13 @@ object Dedupe {
 
   /** d19: the PRODUCTION form of [[duplicatedSpans]] — keys the df gate
     * and the join-back on `xxhash64(gram)` so each gram position ships
-    * 8 bytes through the two wide exchanges instead of the joined
-    * 8-token string (~80 bytes of whitespace-joined text): a ~10×
-    * shuffle-byte cut on the kernel's heaviest stage, the difference
-    * that makes ExactSubstr runnable at 100 TB. Collision direction is
+    * 8 key bytes through the two wide exchanges instead of the joined
+    * 8-token string: ~10× narrower UNCOMPRESSED key (8 of ~88
+    * bytes/row), which lands as a measured 3.05× compressed-shuffle cut
+    * (3135.9 → 1029.5 MB at x100 — the token text compresses ~3:1 in
+    * shuffle; SCALING.md, tools/SpanShuffleProbe) on the kernel's
+    * heaviest stage — the difference that makes ExactSubstr runnable at
+    * 100 TB. Collision direction is
     * SAFE for removal semantics: a hash collision can only make two
     * DIFFERENT grams look duplicated, so coverage is only ever
     * OVER-marked — every true span is still found at its full extent
@@ -558,6 +561,51 @@ object Dedupe {
           "\n\n").cast("binary")).as("kept_md5"))
       .select(col("doc_id"), col("n_paras"), col("n_dropped"),
         col("dropped_tokens"), col("kept_md5"))
+  }
+
+  /** cu31: APPLY reported spans — the step d18/d19/cu27 stop short of
+    * and the one a decontamination pass actually ships (Lee et al. 2022
+    * remove the duplicated spans; GPT-3 appendix C removes the
+    * contaminated windows): subtract each doc's reported token ranges
+    * and reassemble the surviving tokens IN ORDER as the cleaned text.
+    *
+    * `spans` rows are (doc_id, span_start [1-based token index],
+    * span_tokens) as produced by [[duplicatedSpans]] /
+    * [[contaminationSpans]] and their hashed twins. Returns one row per
+    * input doc (clean docs included): (doc_id, n_tokens,
+    * removed_tokens, kept_tokens, cleaned_md5) — cleaned_md5
+    * fingerprints the space-joined surviving tokens, so WHICH tokens
+    * survived, in WHAT order, is gated, not just counts.
+    *
+    * Scale shape (100 TB): span reports are rare relative to corpus
+    * rows, so the per-doc span list aggregates map-side and the
+    * docs↔spans join is a plain doc_id equi-join (AQE broadcasts the
+    * span side when it is small). The subtraction runs inside one
+    * codegen projection: per-token membership test against the doc's
+    * OWN span list — O(tokens × spans-in-doc), and spans-in-doc is
+    * bounded by n_tokens / minSpanTokens. Nothing here shuffles token
+    * text except the final per-doc digest projection. */
+  def applySpans(docs: DataFrame, spans: DataFrame,
+      id: String, text: String): DataFrame = {
+    val sp = spans.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        (col("span_start") + col("span_tokens") - 1).as("e"))).as("sp"),
+        sum(col("span_tokens")).as("rm"))
+    docs
+      .select(col(id).as("doc_id"), TextAnalysis.tokens(col(text)).as("t"))
+      .join(sp, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("t"), col("sp"),
+        coalesce(col("rm"), lit(0L)).as("removed_tokens"))
+      // 1-based token index i+1 survives iff no reported range covers it
+      // (a doc with no reported spans — sp NULL — keeps every token)
+      .withColumn("kept", expr(
+        "filter(t, (x, i) -> sp IS NULL OR " +
+          "NOT exists(sp, r -> i + 1 >= r.s AND i + 1 <= r.e))"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        col("removed_tokens"),
+        size(col("kept")).cast("long").as("kept_tokens"),
+        md5(array_join(col("kept"), " ").cast("binary")).as("cleaned_md5"))
   }
 
   /** Maximal covered-token runs from covered gram POSITIONS: a position

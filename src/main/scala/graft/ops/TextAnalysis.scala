@@ -12,6 +12,37 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** t10/cu30 kernel: per-doc scores against the corpus's OWN
+    * min-count-pruned bigram LM (the KenLM-perplexity-filter shape) —
+    * (doc_id, n_bigrams, n_oov, hit_mass), all pure int64. `keyOf` maps
+    * the bigram string to its shuffle key INSIDE the enumeration lambda
+    * (whole-stage codegen): with the production `xxhash64` keying the
+    * joined token text never becomes a row — the df gate and the LM
+    * join-back shuffle 8-byte longs (the d19 lever one tier down; see
+    * t10_lm_score for the collision-direction argument, and
+    * TextLmHashKeySpec for the pins). */
+  def bigramLmScores(docs: DataFrame, id: String, text: String,
+      minCount: Int, keyOf: Column => Column): DataFrame = {
+    val bigrams = docs
+      .select(col(id).as("doc_id"),
+        filter(tokens(lower(col(text))), t => t =!= "").as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("ts"), lit(1), size(col("ts")) - 1),
+        slice(col("ts"), lit(2), size(col("ts")) - 1),
+        (a, b) => keyOf(concat(a, lit(" "), b)))).as("gram"))
+      .transform(Iterative.materialize) // feeds the LM gate AND the probe
+    val lm = bigrams.groupBy("gram")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    bigrams.join(lm, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("cnt"), lit(0L))).as("hit_mass"))
+  }
+
   /** Whitespace tokens of a text column (normalized single-space split). */
   def tokens(text: Column): Column =
     split(regexp_replace(trim(text), "\\s+", " "), " ")

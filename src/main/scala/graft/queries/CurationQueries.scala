@@ -1824,11 +1824,18 @@ object CurationQueries {
             t => t =!= "").as("ts"))
         val perDoc = toksed.select(col("doc_id"), col("lang"),
           size(col("ts")).cast("long").as("n_toks"))
+        // PRODUCTION KEYING (t10's discipline — see t10_lm_score): the
+        // LM df gate and join-back shuffle xxhash64(gram), not token
+        // text; the hash is computed inside the zip_with lambda so the
+        // joined string never becomes a row. Collision direction is
+        // one-sided (a collision merges two grams' counts → hit_mass
+        // and score can only inflate); TextLmHashKeySpec pins identity
+        // to the string replay + the direction under a lossy key.
         val bigrams = toksed.filter(size(col("ts")) >= 2)
           .select(col("doc_id"), explode(zip_with(
             slice(col("ts"), lit(1), size(col("ts")) - 1),
             slice(col("ts"), lit(2), size(col("ts")) - 1),
-            (a, b) => concat(a, lit(" "), b))).as("gram"))
+            (a, b) => xxhash64(concat(a, lit(" "), b)))).as("gram"))
           .transform(graft.ops.Iterative.materialize) // feeds LM + probe
         val lm = bigrams.groupBy("gram").agg(count(lit(1)).as("cnt"))
           .filter(col("cnt") >= 5) // t10's min-count prune
@@ -1909,6 +1916,127 @@ object CurationQueries {
         FROM scored d JOIN th1 USING (lang) JOIN th2 USING (lang)
         GROUP BY 1, 2
         ORDER BY lang, bucket
+      """.trim),
+    ),
+
+    // cu31: SPAN-APPLY rewrite — closes the report→apply gap cu27/d18
+    // leave open: the reported contamination spans are SUBTRACTED from
+    // each doc (token-range removal + in-order reassembly of the
+    // surviving tokens), which is the operator a decontamination pass
+    // actually ships (Lee et al. 2022 remove the duplicated spans;
+    // GPT-3 appendix C removes the overlap windows — neither stops at a
+    // report). Fixture = cu27's planted-contamination corpus; spans
+    // come from the PRODUCTION hashed kernel (xxhash64 gram keys —
+    // identical output to the string form at gate scale, d19
+    // discipline); the apply is one doc_id equi-join + a codegen
+    // filter-by-index projection (see ops/Dedupe.applySpans for the
+    // 100 TB shape). cleaned_md5 gates WHICH tokens survived in WHAT
+    // order — the oracle replays enumerate/join/union/subtraction/
+    // reassembly in SQL, so a one-token-off span boundary flips the
+    // hash.
+    Q(
+      "cu31_span_apply",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val bench = docs.filter(col("source") === "src0")
+        val bt = bench
+          .select(col("doc_id"),
+            graft.ops.TextAnalysis.tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= 40)
+          .orderBy("doc_id").limit(1)
+          .select(col("t").as("bt"))
+        val m = col("doc_id") % 17
+        val corpus = docs.filter(col("source") =!= "src0")
+          .crossJoin(broadcast(bt))
+          .select(col("doc_id"),
+            when(m === 3, concat(col("text"), lit(" "),
+                array_join(slice(col("bt"), 1, 20), " ")))
+              .when(m === 8, concat(
+                array_join(slice(col("bt"), 10, 20), " "),
+                lit(" "), col("text")))
+              .when(m === 12, concat(col("text"), lit(" "),
+                array_join(slice(col("bt"), 1, 15), " "),
+                lit(" zzqq"), col("doc_id").cast("string"), lit(" "),
+                array_join(slice(col("bt"), 20, 15), " ")))
+              .otherwise(col("text")).as("text"))
+          .transform(graft.ops.Iterative.materialize) // feeds spans + apply
+        val spans = graft.ops.Dedupe.contaminationSpansHashed(
+          corpus = corpus, benchmark = bench,
+          id = "doc_id", text = "text", gram = 13, minSpanTokens = 13)
+        graft.ops.Dedupe.applySpans(corpus, spans, "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some(raw"""
+        WITH bt AS (
+          SELECT string_split_regex(trim(text), '\s+') AS bt
+          FROM documents
+          WHERE source = 'src0'
+            AND len(string_split_regex(trim(text), '\s+')) >= 40
+          ORDER BY doc_id LIMIT 1),
+        aug AS (
+          SELECT d.doc_id,
+                 CASE WHEN d.doc_id % 17 = 3
+                        THEN d.text || ' ' || array_to_string(bt[1:20], ' ')
+                      WHEN d.doc_id % 17 = 8
+                        THEN array_to_string(bt[10:29], ' ') || ' ' || d.text
+                      WHEN d.doc_id % 17 = 12
+                        THEN d.text || ' ' || array_to_string(bt[1:15], ' ')
+                          || ' zzqq' || d.doc_id || ' '
+                          || array_to_string(bt[20:34], ' ')
+                      ELSE d.text END AS text
+          FROM documents d, bt
+          WHERE d.source <> 'src0'),
+        ctoks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM aug),
+        btoks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents WHERE source = 'src0'),
+        bench AS (
+          SELECT DISTINCT array_to_string(t[i:i+12], ' ') AS g
+          FROM btoks, unnest(range(1, len(t) - 11)) r(i)
+          WHERE len(t) >= 13),
+        tr AS (
+          SELECT doc_id, len(t) AS n_tokens, i AS pos,
+                 array_to_string(t[i:i+12], ' ') AS g
+          FROM ctoks, unnest(range(1, len(t) - 11)) r(i)
+          WHERE len(t) >= 13),
+        hit AS (SELECT doc_id, n_tokens, pos FROM tr SEMI JOIN bench USING (g)),
+        cov AS (
+          SELECT DISTINCT doc_id, n_tokens, tok
+          FROM hit, unnest(range(pos, pos + 13)) u(tok)),
+        runs AS (
+          SELECT doc_id, n_tokens, tok,
+                 tok - row_number() OVER (PARTITION BY doc_id ORDER BY tok) AS grp
+          FROM cov),
+        spans AS (
+          SELECT doc_id, MIN(tok) AS span_start, COUNT(*) AS span_tokens
+          FROM runs GROUP BY doc_id, grp
+          HAVING COUNT(*) >= 13),
+        covtok AS (
+          SELECT DISTINCT doc_id, u.tok
+          FROM spans, unnest(range(span_start, span_start + span_tokens)) u(tok)),
+        idx AS (
+          SELECT doc_id, i, t[i] AS tok
+          FROM ctoks, unnest(range(1, len(t) + 1)) r(i)),
+        keep AS (
+          SELECT i.doc_id, i.i, i.tok
+          FROM idx i ANTI JOIN covtok c
+            ON i.doc_id = c.doc_id AND i.i = c.tok),
+        ka AS (
+          SELECT doc_id, COUNT(*)::BIGINT AS kept_tokens,
+                 md5(array_to_string(list(tok ORDER BY i), ' ')) AS cleaned_md5
+          FROM keep GROUP BY doc_id),
+        rm AS (
+          SELECT doc_id, SUM(span_tokens)::BIGINT AS removed_tokens
+          FROM spans GROUP BY doc_id),
+        nt AS (SELECT doc_id, len(t)::BIGINT AS n_tokens FROM ctoks)
+        SELECT nt.doc_id, nt.n_tokens,
+               COALESCE(rm.removed_tokens, 0)::BIGINT AS removed_tokens,
+               COALESCE(ka.kept_tokens, 0)::BIGINT AS kept_tokens,
+               COALESCE(ka.cleaned_md5, md5('')) AS cleaned_md5
+        FROM nt LEFT JOIN rm USING (doc_id) LEFT JOIN ka USING (doc_id)
+        ORDER BY doc_id
       """.trim),
     ),
   )

@@ -908,9 +908,12 @@ object DedupeQueries {
     ),
 
     // D19: the PRODUCTION form of d18 — identical ExactSubstr semantics,
-    // but the df gate and join-back shuffle xxhash64(gram) (8 bytes per
-    // position) instead of the joined 8-token string (~80 bytes): the
-    // ~10× shuffle-byte cut that makes the span pass runnable at 100 TB.
+    // but the df gate and join-back shuffle xxhash64(gram) (8 key bytes
+    // per position) instead of the joined 8-token string: a ~10×
+    // narrower uncompressed key (8 of ~88 bytes/row), measured as a
+    // 3.05× compressed-shuffle cut (3135.9 → 1029.5 MB at x100 — token
+    // text compresses ~3:1 in shuffle; SCALING.md) that makes the span
+    // pass runnable at 100 TB.
     // Collisions can only OVER-mark coverage (two different grams
     // reading as equal — safe for removal; see ops/Dedupe.scala), and at
     // 64 bits the first expected collision sits near 2^32 distinct

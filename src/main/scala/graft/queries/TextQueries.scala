@@ -413,34 +413,29 @@ object TextQueries {
     // them into a keep/drop ratio. Scale shape: the bigram table is
     // materialized ONCE (checkpoint policy) and feeds both the LM
     // aggregate and the probe side — the LM join and both groupBys are
-    // plain gram/doc_id-keyed shuffles with partial aggregation, and at
+    // plain key/doc_id-keyed shuffles with partial aggregation, and at
     // corpus scale the pruned LM is the small side (min-count kills the
     // unique-bigram long tail, the same prune t9 applies before its
-    // top-k head).
+    // top-k head). PRODUCTION KEYING (the d19 lever one tier down): no
+    // output column carries gram text, so the df gate and the LM
+    // join-back both key on xxhash64(gram) — 8 key bytes per occurrence
+    // through the two wide exchanges instead of the joined token text
+    // (measured shuffle-byte row in SCALING.md). The hash is computed
+    // inside the enumeration projection, so the string never outlives
+    // the map side. Collision direction: a collision MERGES two grams'
+    // counts — a rare gram can inherit a common gram's mass (hit_mass
+    // up, n_oov down, never the reverse); at 64 bits the first expected
+    // collision sits near 2^32 distinct bigrams, far beyond any corpus
+    // LM's vocabulary, and TextLmHashKeySpec pins both the fixture
+    // identity to the string replay and the one-sided direction under a
+    // deliberately lossy key.
     Q(
       "t10_lm_score",
-      (s, dir) => {
-        val docs = Registry.table(s, dir, "documents")
-        val bigrams = docs
-          .select(col("doc_id"),
-            filter(TextAnalysis.tokens(lower(col("text"))), t => t =!= "").as("ts"))
-          .filter(size(col("ts")) >= 2)
-          .select(col("doc_id"), explode(zip_with(
-            slice(col("ts"), lit(1), size(col("ts")) - 1),
-            slice(col("ts"), lit(2), size(col("ts")) - 1),
-            (a, b) => concat(a, lit(" "), b))).as("gram"))
-          .transform(graft.ops.Iterative.materialize) // feeds LM + probe
-        val lm = bigrams.groupBy("gram")
-          .agg(count(lit(1)).as("cnt"))
-          .filter(col("cnt") >= NgramMinCount)
-        bigrams.join(lm, Seq("gram"), "left")
-          .groupBy("doc_id")
-          .agg(
-            count(lit(1)).as("n_bigrams"),
-            sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_oov"),
-            sum(coalesce(col("cnt"), lit(0L))).as("hit_mass"))
-          .orderBy("doc_id")
-      },
+      (s, dir) =>
+        TextAnalysis.bigramLmScores(
+            Registry.table(s, dir, "documents"), "doc_id", "text",
+            NgramMinCount, g => xxhash64(g))
+          .orderBy("doc_id"),
       Some(s"""
         WITH toks AS (
           SELECT doc_id, list_filter(

@@ -389,4 +389,51 @@ class DedupeSpec extends AnyFunSuite with SparkSuite {
     assert(exact.subsetOf(lossy),
       s"lossy key dropped covered tokens: ${(exact -- lossy).take(5)}")
   }
+
+  test("cu31 applySpans: token-range subtraction + in-order reassembly") {
+    import spark.implicits._
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Seq(
+      (1L, "a b c d e f g h"), // one interior span
+      (2L, "p q r s"),         // no spans reported — untouched
+      (3L, "x y z"),           // fully covered
+      (4L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")) // two disjoint spans
+      .toDF("doc_id", "text")
+    val spans = Seq(
+      (1L, 3L, 2L),  // remove c d
+      (3L, 1L, 3L),  // remove everything
+      (4L, 1L, 2L),  // remove t1 t2
+      (4L, 9L, 2L))  // remove t9 t10
+      .toDF("doc_id", "span_start", "span_tokens")
+    val got = Dedupe.applySpans(docs, spans, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(got.toSeq == Seq(
+      (1L, 8L, 2L, 6L, md5hex("a b e f g h")),
+      (2L, 4L, 0L, 4L, md5hex("p q r s")),
+      (3L, 3L, 3L, 0L, md5hex("")),
+      (4L, 10L, 4L, 6L, md5hex("t3 t4 t5 t6 t7 t8"))))
+  }
+
+  test("cu31 applySpans composes with contaminationSpans: kept+removed == total, clean docs intact (sf0.001)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    val bench = docs.filter(col("source") === "src0")
+    val corpus = docs.filter(col("source") =!= "src0")
+    val spans = Dedupe.contaminationSpansHashed(corpus, bench,
+      "doc_id", "text", gram = 13, minSpanTokens = 13)
+    val out = Dedupe.applySpans(corpus, spans, "doc_id", "text")
+    assert(out.count() == corpus.count()) // every corpus doc reported
+    assert(out.filter(col("kept_tokens") + col("removed_tokens") =!=
+      col("n_tokens")).count() == 0)
+    // a doc with no reported spans keeps its full text verbatim
+    val cleanParity = out.filter(col("removed_tokens") === 0)
+      .join(corpus, "doc_id")
+      .filter(md5(concat_ws(" ",
+        graft.ops.TextAnalysis.tokens(col("text"))).cast("binary"))
+        =!= col("cleaned_md5"))
+    assert(cleanParity.count() == 0)
+  }
 }
