@@ -420,7 +420,9 @@ object TextQueries {
     // output column carries gram text, so the df gate and the LM
     // join-back both key on xxhash64(gram) — 8 key bytes per occurrence
     // through the two wide exchanges instead of the joined token text
-    // (measured shuffle-byte row in SCALING.md). The hash is computed
+    // (measured at x100 in the forced non-broadcast LM regime: 721.3 →
+    // 542.8 MB compressed shuffle, 12.28 → 7.36 s; SCALING.md
+    // round-20). The hash is computed
     // inside the enumeration projection, so the string never outlives
     // the map side. Collision direction: a collision MERGES two grams'
     // counts — a rare gram can inherit a common gram's mass (hit_mass
