@@ -127,6 +127,99 @@ class StreamingCowMergeSpec extends AnyFunSuite with SparkSuite {
       assert(!manifest(b).contains("/gen0/"), s"bucket $b not rewritten")
   }
 
+  test("readAt == per-generation replay; vacuum drops only unreferenced dirs; growth bounded") {
+    val width = 250L
+    val root = Files.createTempDirectory("cowlife").toString
+    val dir = s"$root/table"
+    val base = spark.range(0, 1000).select(
+      col("id").as("doc_id"),
+      concat(lit("L"), col("id") % 5).as("lang"),
+      (col("id") % 700 + 100).as("n_chars"))
+    import spark.implicits._
+    var m = CowMerge.init(base, "doc_id", dir, width)
+    val batches = Seq(
+      Seq((10L, "b1", 1L)),                   // gen1: rewrites bucket 0
+      Seq((510L, "b2", 2L)),                  // gen2: rewrites bucket 2
+      Seq((10L, "b3", 3L), (1005L, "b3", 4L))) // gen3: bucket 0 again + new bucket 4
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      m = CowMerge.applyBatch(m,
+        rows.toDF("doc_id", "lang", "n_chars"), "doc_id", dir, i + 1L, width)
+    }
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+        .collect().toSeq.map(_.toString)
+    // replay expectation per generation, from the batch definitions
+    def replayTo(g: Int) = {
+      val ups = batches.take(g).zipWithIndex
+        .flatMap { case (rows, i) => rows.map(r => (r._1, r._2, r._3, i)) }
+      if (ups.isEmpty) base
+      else {
+        val winners = ups.toDF("doc_id", "lang", "n_chars", "seq")
+          .groupBy("doc_id")
+          .agg(max_by(struct(col("lang"), col("n_chars")), col("seq")).as("w"))
+          .select(col("doc_id").as("u_id"), col("w.lang").as("u_lang"),
+            col("w.n_chars").as("u_chars"))
+        base.join(winners, col("doc_id") === col("u_id"), "full_outer")
+          .select(coalesce(col("doc_id"), col("u_id")).as("doc_id"),
+            when(col("u_id").isNotNull, col("u_lang")).otherwise(col("lang")).as("lang"),
+            when(col("u_id").isNotNull, col("u_chars")).otherwise(col("n_chars")).as("n_chars"))
+      }
+    }
+    for (g <- 0 to 3)
+      assert(canon(CowMerge.readAt(spark, dir, g)) == canon(replayTo(g)),
+        s"readAt($g) != replay of batches <= $g")
+    // a generation with no snapshot resolves to the latest one before it
+    assert(canon(CowMerge.readAt(spark, dir, 99L)) == canon(replayTo(3)))
+
+    // vacuum(retain 2): gen3+gen2 manifests stay readable. gen2 still
+    // references gen1's bucket-0 dir, so it must survive; the deletable
+    // set is exactly the gen0 dirs every retained gen has superseded —
+    // bucket 0 (rewritten at gen1, again at gen3) and bucket 2
+    // (rewritten at gen2).
+    val deleted1 = CowMerge.vacuum(spark, dir, retainGens = 2)
+    assert(deleted1.map(p => p.substring(p.indexOf("/gen"))).toSet ==
+      Set("/gen0/bucket_p=0", "/gen0/bucket_p=2"),
+      s"unexpected vacuum set: $deleted1")
+    assert(canon(CowMerge.readTable(spark, m)) == canon(replayTo(3)))
+    assert(canon(CowMerge.readAt(spark, dir, 2L)) == canon(replayTo(2)))
+    intercept[IllegalArgumentException] { CowMerge.readAt(spark, dir, 1L) }
+
+    // vacuum(retain 1): only the current manifest's dirs survive — the
+    // on-disk bucket-dir set equals the manifest exactly (bounded by
+    // live buckets, not by batch count)
+    CowMerge.vacuum(spark, dir, retainGens = 1)
+    assert(canon(CowMerge.readTable(spark, m)) == canon(replayTo(3)))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk = fs.listStatus(fs.makeQualified(new org.apache.hadoop.fs.Path(dir)))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen"))
+      .flatMap(g => fs.listStatus(g.getPath))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket_p="))
+      .map(_.getPath.toString).toSet
+    assert(onDisk == m.values.toSet,
+      s"on-disk bucket dirs != current manifest: extra=${onDisk -- m.values.toSet}")
+  }
+
+  test("null merge key fails loudly before the manifest is repointed") {
+    import spark.implicits._
+    val width = 250L
+    val root = Files.createTempDirectory("cownull").toString
+    val dir = s"$root/table"
+    val base = spark.range(0, 100).select(col("id").as("doc_id"),
+      lit("x").as("lang"), lit(1L).as("n_chars"))
+    val m = CowMerge.init(base, "doc_id", dir, width)
+    val bad = Seq((java.lang.Long.valueOf(7L), "u", java.lang.Long.valueOf(1L)),
+        (null.asInstanceOf[java.lang.Long], "u", java.lang.Long.valueOf(2L)))
+      .toDF("doc_id", "lang", "n_chars")
+    val e = intercept[IllegalArgumentException] {
+      CowMerge.applyBatch(m, bad, "doc_id", dir, 1L, width)
+    }
+    assert(e.getMessage.contains("non-null"))
+    // the table's visible state is untouched: manifest still reads gen0
+    assert(CowMerge.readTable(spark, m).count() == 100L)
+    assert(CowMerge.manifestAt(spark, dir, 99L) == m)
+  }
+
   private def listFiles(dir: String): Set[String] = {
     val p = Paths.get(new java.net.URI(dir).getPath)
     val s = Files.list(p)
