@@ -1137,7 +1137,103 @@ object TextQueries {
       },
       Some(unigramEncodeOracle(2)),
     ),
+
+    // t24: TRAINABLE multinomial Naive Bayes — TRAIN. The pipelines
+    // train their lang-ID/quality classifiers (CCNet's fastText
+    // lang-ID; fastText's NB baseline is this exact decision rule);
+    // t12 stops at fixed-weight inference, this LEARNS the weights
+    // from the labeled corpus (label = lang). All integer: the learned
+    // log-likelihoods use the fixed-point base-2 log in 1/64 units
+    // (ops/NaiveBayes.ilog — length(bin(x)) bitlen + the public
+    // 64-entry mantissa LUT, evaluated identically by Spark and
+    // DuckDB), so the MODEL TABLE itself is hash-gated, not just
+    // counts. Scale shape: one corpus collapse to (label, token, cnt)
+    // — map-side combined; vocab cap 2000 keeps every later pass
+    // model-sized and broadcast.
+    Q(
+      "t24_nb_train",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        graft.ops.NaiveBayes.train(docs, "doc_id", "lang", "text", 2000)
+          ._1.orderBy("label", "w")
+      },
+      Some(nbOracle(
+        """SELECT label, w, cnt, weight FROM model ORDER BY label, w""")),
+    ),
+
+    // t25: Naive Bayes INFERENCE — every doc scored against every
+    // label with the t24 model (self-classification here: the corpus
+    // is its own inference set; in production the model applies to
+    // unlabeled batches), deterministic argmax (highest score, ties to
+    // the smallest label). Unseen-in-class and out-of-vocab tokens
+    // collapse to the same Laplace-smoothed OOV weight, so inference
+    // is one explode + broadcast joins + a per-doc partial-agg'd
+    // argmax — no corpus-wide shuffle beyond the doc_id groupBy. Docs
+    // with zero tokens have no score rows and are absent, matching the
+    // replay.
+    Q(
+      "t25_nb_classify",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val (model, stats) =
+          graft.ops.NaiveBayes.train(docs, "doc_id", "lang", "text", 2000)
+        graft.ops.NaiveBayes.classify(docs, "doc_id", "text", model, stats)
+          .orderBy("doc_id")
+      },
+      Some(nbOracle("""
+        , dt AS (SELECT doc_id, w FROM toks)
+        , sc AS (
+          SELECT dt.doc_id, s.label,
+                 MAX(s.prior_weight) + SUM(COALESCE(m.weight, s.oov_weight))
+                   AS score
+          FROM dt CROSS JOIN stats s
+          LEFT JOIN model m ON m.label = s.label AND m.w = dt.w
+          GROUP BY 1, 2)
+        , r AS (
+          SELECT doc_id, label, score, row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, label) AS rn
+          FROM sc)
+        SELECT doc_id, label AS pred_label, score::BIGINT AS score
+        FROM r WHERE rn = 1 ORDER BY doc_id""")),
+    ),
   )
+
+  /** Shared NB oracle prelude: tokenize, vocab cap, counts, the
+    * fixed-point log model and per-label stats — the SQL replay of
+    * ops/NaiveBayes.train (L(x) inlined with the same public LUT). */
+  private def nbOracle(tail: String): String = {
+    val lut = graft.ops.NaiveBayes.Lut.mkString("[", ",", "]")
+    def L(x: String) =
+      s"(64*(length(bin($x))-1) + $lut[((($x)*64) >> (length(bin($x))-1)) - 63])"
+    raw"""
+      WITH toks AS (
+        SELECT doc_id, lang, unnest(list_filter(
+                 string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+                 t -> t <> '')) AS w
+        FROM documents),
+      vocab AS (
+        SELECT w FROM (
+          SELECT w, COUNT(*) AS gc FROM toks GROUP BY w
+          ORDER BY gc DESC, w LIMIT 2000)),
+      cnts AS (
+        SELECT lang AS label, w, COUNT(*)::BIGINT AS cnt
+        FROM toks SEMI JOIN vocab USING (w)
+        GROUP BY 1, 2),
+      tot AS (SELECT label, SUM(cnt)::BIGINT AS t_mass FROM cnts GROUP BY 1),
+      model AS (
+        SELECT label, w, cnt,
+               (${L("cnt + 1")} - ${L("t_mass + 2001")})::BIGINT AS weight
+        FROM cnts JOIN tot USING (label)),
+      pri AS (SELECT lang AS label, COUNT(*)::BIGINT AS ndocs
+              FROM documents GROUP BY 1),
+      stats AS (
+        SELECT p.label, COALESCE(t.t_mass, 0) AS t_mass,
+               (-${L("COALESCE(t.t_mass, 0) + 2001")})::BIGINT AS oov_weight,
+               ${L("p.ndocs")}::BIGINT AS prior_weight
+        FROM pri p LEFT JOIN tot t USING (label))
+      $tail
+    """.trim
+  }
 
   /** Shared BPE oracle machinery: k unrolled merge levels over the word
     * vocabulary. Level i computes pair counts over s(i-1), picks the
