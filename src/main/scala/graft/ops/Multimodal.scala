@@ -533,6 +533,80 @@ object Multimodal {
     (ow, oh, sumR, sumG, sumB, mix)
   }
 
+  /** m48: the k×k generalization of [[decodeBmpBoxResize2]] — one rung
+    * of the thumbnail LADDER a multimodal corpus build actually runs
+    * (/2, /4, /8 …): each output pixel is the per-channel floor-average
+    * of its k×k input block (sum of k² samples div k²; the trailing
+    * rows/columns that don't fill a block are dropped, out = in/k
+    * floored — the same libjpeg/Pillow "reduce" semantics as m47).
+    * Same return shape and even-parity `mix` discipline. */
+  private[graft] def decodeBmpBoxResizeK(b: Array[Byte], k: Int): (Int, Int, Long, Long, Long, Long) = {
+    def u8(i: Int) = b(i) & 0xff
+    val bad = (-1, -1, -1L, -1L, -1L, -1L)
+    val hdr = bmp24Header(b)
+    if (hdr == null) return bad
+    val (dataOff, w, hI, stride, topDown) = hdr
+    val ow = w / k
+    val oh = hI / k
+    val div = k * k
+    def rowOff(y: Int) = dataOff + (if (topDown) y else hI - 1 - y) * stride
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var mix = 0L
+    var oy = 0
+    while (oy < oh) {
+      var ox = 0
+      while (ox < ow) {
+        var tr = 0; var tg = 0; var tb = 0
+        var dy = 0
+        while (dy < k) {
+          val r0 = rowOff(k * oy + dy)
+          var dx = 0
+          while (dx < k) {
+            val i = r0 + 3 * (k * ox + dx)
+            tb += u8(i); tg += u8(i + 1); tr += u8(i + 2)
+            dx += 1
+          }
+          dy += 1
+        }
+        val ar = tr / div; val ag = tg / div; val ab = tb / div
+        sumR += ar; sumG += ag; sumB += ab
+        if (((ox + oy) & 1) == 0) mix += ar + 2L * ag + 3L * ab
+        ox += 1
+      }
+      oy += 1
+    }
+    (ow, oh, sumR, sumG, sumB, mix)
+  }
+
+  /** The thumbnail ladder over the standard batch seam: one output row
+    * per (image, rung) — (id, k, out_w, out_h, sum_r, sum_g, sum_b,
+    * mix). Per-file CPU work in a flatMap (the m14 weak-scaling
+    * regime); the header walks once per rung over the same buffer —
+    * byte decode stays on the map side, only integer summaries move. */
+  def decodeBmpBoxResizeLadder(df: DataFrame, id: String, media: String,
+      ks: Seq[Int]): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("k", IntegerType, nullable = false),
+      StructField("out_w", IntegerType, nullable = false),
+      StructField("out_h", IntegerType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false),
+      StructField("mix", LongType, nullable = false)))
+    val kList = ks.toArray
+    val rdd = df.select(col(id).cast("long"), col(media)).rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        kList.iterator.map { k =>
+          val (ow, oh, sr, sg, sb, mx) = decodeBmpBoxResizeK(bytes, k)
+          Row(r.getLong(0), k, ow, oh, sr, sg, sb, mx)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** [[decodeBmpBoxResize2]] over the standard batch seam:
     * (id, media) → (id, out_w, out_h, sum_r2, sum_g2, sum_b2, mix). */
   def decodeBmpBoxResize(df: DataFrame, id: String, media: String): DataFrame = {

@@ -2739,7 +2739,70 @@ object MultimodalQueries {
         ORDER BY doc_id
       """.trim),
     ),
+
+    // m48: the THUMBNAIL LADDER — m47's box filter generalized to k×k
+    // (/4 and /8, the rungs a multimodal corpus build ships alongside
+    // /2): per rung, each output pixel is the per-channel floor-average
+    // of its k×k block (sum div k²; trailing partial blocks dropped,
+    // out = in/k — libjpeg/Pillow "reduce" semantics). Dims span
+    // 9-21 × 8-16 so every rung keeps ≥1 output pixel, both /4 and /8
+    // drop varying remainders, and all four BMP row paddings occur.
+    // One row per (image, rung); the oracle replays every nested block
+    // average from the m7 pattern formula — all integer.
+    Q(
+      "m48_thumbnail_ladder",
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val w = (col("doc_id") % 13 + 9).cast("int")
+        val h = (col("doc_id") % 9 + 8).cast("int")
+        val packed = docs.select(col("doc_id"),
+          Multimodal.packBmp24(col("doc_id"), w, h).as("media"))
+        Multimodal.decodeBmpBoxResizeLadder(packed, "doc_id", "media", Seq(4, 8))
+          .select(
+            col("id").as("doc_id"),
+            col("k").cast("long").as("k"),
+            col("out_w").cast("long").as("out_w"),
+            col("out_h").cast("long").as("out_h"),
+            col("sum_r"), col("sum_g"), col("sum_b"), col("mix"))
+          .orderBy("doc_id", "k")
+      },
+      Some(m48Oracle),
+    ),
   )
+
+  /** m48 oracle: the k×k block averages replayed as nested list ops
+    * over the m7 pattern formula (x = k·ox + bx, y = k·oy + by). */
+  private def m48Oracle: String = {
+    val X = "(k*(o % ow) + b % k)"
+    val Y = "(k*(o // ow) + b // k)"
+    def blk(f: String) =
+      s"(list_sum(list_transform(range(0, k*k), b -> $f)) // (k*k))"
+    val rA = blk(s"($X + $Y + 3*kk) % 256")
+    val gA = blk(s"(3*$X + 5*$Y + 2*kk) % 256")
+    val bA = blk(s"(7*$X + 11*$Y + kk) % 256")
+    def overOut(e: String, name: String) =
+      s"CAST(COALESCE(list_sum(list_transform(range(0, ow*oh), o -> $e)), 0) AS BIGINT) AS $name"
+    val mix =
+      "CAST(COALESCE(list_sum(list_transform(" +
+        "list_filter(range(0, ow*oh), o -> ((o % ow) + (o // ow)) % 2 = 0), " +
+        s"o -> $rA + 2*$gA + 3*$bA)), 0) AS BIGINT) AS mix"
+    s"""
+      WITH g AS (
+        SELECT doc_id, doc_id % 13 + 9 AS w, doc_id % 9 + 8 AS h,
+               doc_id % 251 AS kk
+        FROM documents),
+      base AS (
+        SELECT doc_id, k, kk, w // k AS ow, h // k AS oh
+        FROM g CROSS JOIN (SELECT unnest([4, 8]) AS k) ks)
+      SELECT doc_id, k::BIGINT AS k, ow::BIGINT AS out_w, oh::BIGINT AS out_h,
+             ${overOut(rA, "sum_r")},
+             ${overOut(gA, "sum_g")},
+             ${overOut(bA, "sum_b")},
+             $mix
+      FROM base
+      ORDER BY doc_id, k
+    """.trim
+  }
 
   private val n_ = "(k % 3 + 1)"
 }

@@ -232,6 +232,39 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
       Multimodal.encodeBmp24(1, 4, 4).dropRight(3))._1 == -1)
   }
 
+  test("BMP k-by-k ladder: ImageIO-refereed floor averages at /4 and /8, block-drop edges, malformed") {
+    // independent referee: ImageIO decode + brute-force k-by-k box
+    // average; dims straddle the block boundary so the partial-block
+    // drop rule is exercised on both axes at both rungs
+    for (w <- 9 to 17 by 2; h <- 8 to 16 by 2; kk <- Seq(0L, 29L); k <- Seq(4, 8)) {
+      val bytes = Multimodal.encodeBmp24(kk, w, h)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null)
+      val ow = w / k; val oh = h / k
+      var sr = 0L; var sg = 0L; var sb = 0L; var mix = 0L
+      for (oy <- 0 until oh; ox <- 0 until ow) {
+        val ps = for { dy <- 0 until k; dx <- 0 until k }
+          yield img.getRGB(k * ox + dx, k * oy + dy)
+        val ar = ps.map(p => (p >> 16) & 0xff).sum / (k * k)
+        val ag = ps.map(p => (p >> 8) & 0xff).sum / (k * k)
+        val ab = ps.map(p => p & 0xff).sum / (k * k)
+        sr += ar; sg += ag; sb += ab
+        if (((ox + oy) & 1) == 0) mix += ar + 2L * ag + 3L * ab
+      }
+      assert(Multimodal.decodeBmpBoxResizeK(bytes, k) == ((ow, oh, sr, sg, sb, mix)),
+        s"w=$w h=$h kk=$kk k=$k")
+    }
+    // k=2 must agree exactly with the dedicated 2x2 kernel
+    for (w <- 4 to 7; h <- 3 to 6) {
+      val bytes = Multimodal.encodeBmp24(7L, w, h)
+      assert(Multimodal.decodeBmpBoxResizeK(bytes, 2) ==
+        Multimodal.decodeBmpBoxResize2(bytes))
+    }
+    assert(Multimodal.decodeBmpBoxResizeK("nope".getBytes, 4)._1 == -1)
+    assert(Multimodal.decodeBmpBoxResizeK(
+      Multimodal.encodeBmp24(1, 9, 9).dropRight(3), 4)._1 == -1)
+  }
+
   test("BMP dHash: jitter invariance, brute-force parity, scene separation, malformed") {
     def lattice(g: Int, n: Int, d: Int) = g * (d - 1) / (n - 1)
     // independent brute-force of the hash from the scene formula
