@@ -1400,6 +1400,46 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("CartesianProduct"), s"d19 degenerated:\n$p")
   }
 
+  test("t10/cu30 bigram LM: exchanges key on the LONG gram hash (r20 keying)") {
+    // the d19 contract one tier down: after the r20 keying change the
+    // LM df gate and join-back must shuffle xxhash64(gram) — a LONG
+    // column — never the joined token text
+    for (q <- Seq("t10_lm_score", "cu30_perplexity_buckets")) {
+      val p = plan(q)
+      assert("hashpartitioning\\(gram#\\d+L".r.findFirstIn(p).isDefined,
+        s"$q exchange does not key on the hashed (long) gram:\n$p")
+      assert("hashpartitioning\\(gram#\\d+,".r.findFirstIn(p).isEmpty,
+        s"$q still shuffles a string gram column:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q degenerated:\n$p")
+    }
+  }
+
+  test("cu31 span apply: doc_id equi-join, hashed span kernel, no token-level window") {
+    val p = plan("cu31_span_apply")
+    // the span kernel inside is the d19-keyed form: a LONG g column in
+    // the wide exchanges (contaminationSpansHashed)
+    assert("hashpartitioning\\(g#\\d+L".r.findFirstIn(p).isDefined,
+      s"cu31 span kernel does not key on the hashed gram:\n$p")
+    // the apply itself: spans aggregate per doc and join back on doc_id;
+    // the per-token subtraction is a projection (filter-by-index), so
+    // the only windows are the span kernel's own doc-bounded ones
+    val winSpecs = "windowspecdefinition\\(doc_id".r.findAllIn(p).size
+    val wins = "\\bWindow\\b".r.findAllIn(p).size
+    assert(winSpecs >= wins, s"cu31 grew a non-doc window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cu31 degenerated:\n$p")
+  }
+
+  test("t25 NB inference: model/stats joins broadcast; per-doc agg partial") {
+    val p = plan("t25_nb_classify")
+    assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r.findFirstIn(p).isDefined,
+      s"t25 model join is not a broadcast:\n$p")
+    // the corpus-side score agg must partial-aggregate before the
+    // doc_id exchange (map-side combine on (doc_id, label))
+    assert(p.contains("partial_sum") || p.contains("partial_"),
+      s"t25 lost map-side partial aggregation:\n$p")
+    assert(!p.contains("CartesianProduct"), s"t25 degenerated:\n$p")
+  }
+
   test("d20 paragraphs: df gate partial-aggs on the hash; reassembly per-doc, no window") {
     val p = plan("d20_paragraph_dedupe")
     // the gate groups on md5(paragraph) with map-side combine; the
