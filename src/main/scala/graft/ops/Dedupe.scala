@@ -563,6 +563,56 @@ object Dedupe {
         col("dropped_tokens"), col("kept_md5"))
   }
 
+  /** d21: ExactSubstr KEEP-FIRST coverage — the deployment form of Lee
+    * et al. 2022 (they keep one copy of each duplicated substring and
+    * remove the rest; [[duplicatedSpans]] marks EVERY occurrence, the
+    * right semantics for coverage accounting but not for the rewrite).
+    * A gram position is covered iff its gram occurs ≥ 2 times in the
+    * corpus (within-doc repetition counts — boilerplate repeats inside
+    * a page too) AND this occurrence is NOT the globally first (min
+    * (doc_id, pos)); the first occurrence survives, so exactly one copy
+    * of each duplicated region remains after [[applySpans]]. Covered
+    * positions union into maximal spans as in d18.
+    *
+    * Gram-granular keep-first is the standard approximation of the
+    * suffix-array rewrite: a kept first occurrence can still lose
+    * tokens to OTHER grams' non-first occurrences overlapping it —
+    * deterministic, and what the public reimplementations ship.
+    *
+    * `keyOf` is the d19 keying seam: with xxhash64 a collision merges
+    * two grams' occurrence sets, so a true first occurrence can lose
+    * its keeper status — OVER-removal, the conservative direction for
+    * dedup (never under-removal: a gram with n ≥ 2 stays gated). The
+    * gated query runs the hashed production form against the
+    * string-replay oracle (identical at gate scale, the d19 pin). */
+  private[graft] def keepFirstCoverageKeyed(docs: DataFrame, id: String,
+      text: String, gram: Int, minSpanTokens: Int,
+      keyOf: Column => Column): DataFrame = {
+    val grams = gramPositions(docs, id, text, gram)
+      .select(col("doc_id"), col("n_tokens"), col("pos"),
+        keyOf(col("g")).as("g"))
+      .transform(Iterative.materialize) // feeds the gate AND the join back
+    val gate = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("doc_id").as("kd"), col("pos").as("kp"))).as("k"))
+      .filter(col("n") >= 2)
+      .select(col("g"), col("k"))
+    val cov = grams.join(gate, "g")
+      .filter(!(col("doc_id") === col("k.kd") && col("pos") === col("k.kp")))
+    spansFromPositions(cov, gram, minSpanTokens)
+  }
+
+  /** The end-to-end ExactSubstr dedup REWRITE (production keying):
+    * keep-first coverage → maximal spans → [[applySpans]] subtraction +
+    * in-order reassembly. One row per doc: (doc_id, n_tokens,
+    * removed_tokens, kept_tokens, cleaned_md5). */
+  def exactSubstrRewrite(docs: DataFrame, id: String, text: String,
+      gram: Int = 8, minSpanTokens: Int = 50): DataFrame =
+    applySpans(docs,
+      keepFirstCoverageKeyed(docs, id, text, gram, minSpanTokens,
+        g => xxhash64(g)),
+      id, text)
+
   /** cu31: APPLY reported spans — the step d18/d19/cu27 stop short of
     * and the one a decontamination pass actually ships (Lee et al. 2022
     * remove the duplicated spans; GPT-3 appendix C removes the

@@ -1051,5 +1051,77 @@ object DedupeQueries {
         ORDER BY doc_id
       """.trim),
     ),
+
+    // D21: the end-to-end ExactSubstr dedup REWRITE — what Lee et al.
+    // 2022 actually deploy: d18/d19 REPORT every duplicated occurrence;
+    // the rewrite keeps ONE copy (the globally first, min (doc_id,
+    // pos)) and removes the rest, then reassembles the cleaned text
+    // (cu31's applySpans). A gram position is covered iff its gram
+    // occurs ≥ 2 times corpus-wide (within-doc repetition counts) and
+    // it is not the keeper. Production keying throughout: the gate and
+    // join-back shuffle xxhash64(gram) — a collision can only demote a
+    // true first occurrence (over-removal, the conservative dedup
+    // direction; never under-removal), and at gate scale the output is
+    // identical to the string replay the oracle runs. cleaned_md5
+    // gates which tokens survive in what order, per doc.
+    Q(
+      "d21_exactsubstr_rewrite",
+      (s, dir) =>
+        graft.ops.Dedupe.exactSubstrRewrite(
+          Registry.table(s, dir, "documents"), "doc_id", "text",
+          gram = 8, minSpanTokens = 50)
+          .orderBy("doc_id"),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents
+        ), grams AS (
+          SELECT doc_id, len(t) AS n_tokens, i AS pos,
+                 array_to_string(t[i:i+7], ' ') AS g
+          FROM toks, unnest(range(1, len(t) - 6)) r(i)
+          WHERE len(t) >= 8
+        ), marked AS (
+          SELECT doc_id, n_tokens, pos,
+                 COUNT(*) OVER (PARTITION BY g) AS cnt,
+                 row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+          FROM grams
+        ), cov AS (
+          SELECT DISTINCT doc_id, n_tokens, tok
+          FROM marked, unnest(range(pos, pos + 8)) u(tok)
+          WHERE cnt >= 2 AND rn > 1
+        ), runs AS (
+          SELECT doc_id, n_tokens, tok,
+                 tok - row_number() OVER (PARTITION BY doc_id ORDER BY tok) AS grp
+          FROM cov
+        ), spans AS (
+          SELECT doc_id, MIN(tok) AS span_start, COUNT(*) AS span_tokens
+          FROM runs GROUP BY doc_id, grp
+          HAVING COUNT(*) >= 50
+        ), covtok AS (
+          SELECT DISTINCT doc_id, u.tok
+          FROM spans, unnest(range(span_start, span_start + span_tokens)) u(tok)
+        ), idx AS (
+          SELECT doc_id, i, t[i] AS tok
+          FROM toks, unnest(range(1, len(t) + 1)) r(i)
+        ), keep AS (
+          SELECT i.doc_id, i.i, i.tok
+          FROM idx i ANTI JOIN covtok c
+            ON i.doc_id = c.doc_id AND i.i = c.tok
+        ), ka AS (
+          SELECT doc_id, COUNT(*)::BIGINT AS kept_tokens,
+                 md5(array_to_string(list(tok ORDER BY i), ' ')) AS cleaned_md5
+          FROM keep GROUP BY doc_id
+        ), rm AS (
+          SELECT doc_id, SUM(span_tokens)::BIGINT AS removed_tokens
+          FROM spans GROUP BY doc_id
+        ), nt AS (SELECT doc_id, len(t)::BIGINT AS n_tokens FROM toks)
+        SELECT nt.doc_id, nt.n_tokens,
+               COALESCE(rm.removed_tokens, 0)::BIGINT AS removed_tokens,
+               COALESCE(ka.kept_tokens, 0)::BIGINT AS kept_tokens,
+               COALESCE(ka.cleaned_md5, md5('')) AS cleaned_md5
+        FROM nt LEFT JOIN rm USING (doc_id) LEFT JOIN ka USING (doc_id)
+        ORDER BY doc_id
+      """.trim),
+    ),
   )
 }

@@ -417,6 +417,32 @@ class DedupeSpec extends AnyFunSuite with SparkSuite {
       (4L, 10L, 4L, 6L, md5hex("t3 t4 t5 t6 t7 t8"))))
   }
 
+  test("d21 keep-first rewrite: first occurrence survives, later and within-doc copies removed") {
+    import spark.implicits._
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rnd = new scala.util.Random(21)
+    def words(n: Int, tag: String) =
+      (1 to n).map(i => s"$tag${rnd.nextInt(1 << 30)}").mkString(" ")
+    val shared = (1 to 30).map(i => s"dup$i").mkString(" ")
+    val a = words(12, "a"); val b = words(12, "b")
+    val c = words(12, "c"); val d = words(12, "d")
+    val e1 = words(12, "e"); val e2 = words(12, "f")
+    val docs = Seq(
+      (1L, s"$a $shared $b"),      // first occurrence — keeps everything
+      (2L, s"$c $shared $d"),      // later copy — loses the block
+      (3L, s"$e1 $shared $e2 $shared")) // within-doc repeat — loses BOTH
+      .toDF("doc_id", "text")      //   (doc 1 owns the first occurrence)
+    val got = graft.ops.Dedupe.exactSubstrRewrite(docs, "doc_id", "text",
+        gram = 4, minSpanTokens = 10)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(got(0) == ((1L, 54L, 0L, 54L, md5hex(s"$a $shared $b"))))
+    assert(got(1) == ((2L, 54L, 30L, 24L, md5hex(s"$c $d"))))
+    assert(got(2) == ((3L, 84L, 60L, 24L, md5hex(s"$e1 $e2"))))
+  }
+
   test("cu31 applySpans composes with contaminationSpans: kept+removed == total, clean docs intact (sf0.001)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"), col("source"))
