@@ -58,6 +58,13 @@ object Bench {
     if (v.size < 2) -1.0 else v.max / v.min
   }
 
+  /** Locale-pinned decimal formatting for every number that lands in a
+    * JSON artifact: the f-interpolator uses the JVM default locale, and
+    * a comma-decimal locale (de_DE, tr_TR …) would render 12.3 as
+    * "12,3" — structurally invalid inside a JSON object. */
+  def num(v: Double, digits: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -220,15 +227,15 @@ object Bench {
         val best = segments.flatten.filter(_._2 > 0)
           .groupBy(_._1).view.mapValues(_.map(_._2).min).toSeq
         val perAnchor = calibRefs.flatMap { case (n, _) =>
-          best.find(_._1 == n).map { case (_, t) => s"\"" + n + "\":" + f"$t%.3f" }
+          best.find(_._1 == n).map { case (_, t) => s"\"" + n + "\":" + Bench.num(t, 3) }
         }.mkString(""","calibration":{""", ",", "}")
         val segNames = Seq("start", "mid", "end")
         val segJson = segIdxs.zip(segNames).map { case (v, n) =>
-          s"\"" + n + "\":" + f"$v%.3f"
+          s"\"" + n + "\":" + Bench.num(v, 3)
         }.mkString(""","calibration_segments":{""", ",", "}")
         perAnchor + segJson +
-          f""","calibration_drift":${Bench.driftOf(segIdxs)}%.3f""" +
-          f""","machine_index":$machineIndex%.3f"""
+          s""","calibration_drift":${Bench.num(Bench.driftOf(segIdxs), 3)}""" +
+            s""","machine_index":${Bench.num(machineIndex, 3)}"""
       }
     val results = artifactRows ++ samples.map { case (name, ts) =>
       // any crashed sample marks the query failed — best-of-N is outlier
@@ -253,7 +260,7 @@ object Bench {
       if (segments.isEmpty) ""
       else segments.zip(Seq("start", "mid", "end")).map { case (seg, n) =>
         s"\"" + n + "\":" + seg.map { case (a, t) =>
-          s"\"" + a + "\":" + f"$t%.3f" }.mkString("{", ",", "}")
+          s"\"" + a + "\":" + Bench.num(t, 3) }.mkString("{", ",", "}")
       }.mkString(""","calibration_runs":{""", ",", "}")
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
@@ -262,10 +269,10 @@ object Bench {
     // windows so a drift spike self-adjudicates from the artifact
     val fullStarts =
       if (queryStarts.isEmpty) ""
-      else queryStarts.map { case (k, t) => s"\"" + k + "\":" + f"$t%.1f" }
+      else queryStarts.map { case (k, t) => s"\"" + k + "\":" + Bench.num(t, 1) }
         .mkString(""","query_start":{""", ",", "}") +
         segmentStarts.zip(Seq("start", "mid", "end")).map { case (t, n) =>
-          s"\"" + n + "\":" + f"$t%.1f"
+          s"\"" + n + "\":" + Bench.num(t, 1)
         }.mkString(""","segment_start":{""", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$fullQs$fullRepeats$fullSegments$fullStarts$calibJson,"sf":$sfNum,"sf_dir":"$sfDir"}"""
@@ -287,7 +294,7 @@ object Bench {
       // clamp failure sentinels away from zero: a crash in a <5ms query
       // would otherwise render as "-0", which JSON consumers read as 0
       val c = if (v < 0) math.min(v, -0.01) else v
-      val s = f"$c%.2f"
+      val s = Bench.num(c, 2)
       val t = s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       if (t.isEmpty || t == "-") "0" else t
     }

@@ -1819,30 +1819,15 @@ object CurationQueries {
       "cu30_perplexity_buckets",
       (s, dir) => {
         val docs = Registry.table(s, dir, "documents")
-        val toksed = docs.select(col("doc_id"), col("lang"),
-          filter(graft.ops.TextAnalysis.tokens(lower(col("text"))),
-            t => t =!= "").as("ts"))
-        val perDoc = toksed.select(col("doc_id"), col("lang"),
-          size(col("ts")).cast("long").as("n_toks"))
-        // PRODUCTION KEYING (t10's discipline — see t10_lm_score): the
-        // LM df gate and join-back shuffle xxhash64(gram), not token
-        // text; the hash is computed inside the zip_with lambda so the
-        // joined string never becomes a row. Collision direction is
-        // one-sided (a collision merges two grams' counts → hit_mass
-        // and score can only inflate); TextLmHashKeySpec pins identity
-        // to the string replay + the direction under a lossy key.
-        val bigrams = toksed.filter(size(col("ts")) >= 2)
-          .select(col("doc_id"), explode(zip_with(
-            slice(col("ts"), lit(1), size(col("ts")) - 1),
-            slice(col("ts"), lit(2), size(col("ts")) - 1),
-            (a, b) => xxhash64(concat(a, lit(" "), b)))).as("gram"))
-          .transform(graft.ops.Iterative.materialize) // feeds LM + probe
-        val lm = bigrams.groupBy("gram").agg(count(lit(1)).as("cnt"))
-          .filter(col("cnt") >= 5) // t10's min-count prune
-        val scored = bigrams.join(lm, Seq("gram"), "left")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"),
-            sum(coalesce(col("cnt"), lit(0L))).as("hit_mass"))
+        val perDoc = docs.select(col("doc_id"), col("lang"),
+          size(filter(graft.ops.TextAnalysis.tokens(lower(col("text"))),
+            t => t =!= "")).cast("long").as("n_toks"))
+        // the t10 kernel, shared: bigramLmScores carries the PRODUCTION
+        // xxhash64 keying (the LM df gate and join-back shuffle 8-byte
+        // longs, never token text — see t10_lm_score and
+        // TextLmHashKeySpec for the identity + collision-direction pins)
+        val scored = graft.ops.TextAnalysis.bigramLmScores(
+            docs, "doc_id", "text", 5, g => xxhash64(g))
           .join(perDoc, "doc_id")
           .withColumn("score", expr("hit_mass div n_bigrams"))
         val hist = scored.groupBy("lang", "score")

@@ -1475,13 +1475,14 @@ object MiscQueries {
         val mems = graft.functions.GraftFunctions.linkHeaderMembers(col("h"))
         // rel match anchored to a whole link-param token: `;\s*rel=` so a
         // quoted param VALUE containing the literal "rel=next" can't
-        // count, and a trailing (?![-a-z0-9]) so rel=next-archive /
-        // rel=nextgen (RFC 8288 registry-style distinct relations) don't
+        // count, and a trailing (?![-a-z0-9.]) so rel=next-archive /
+        // rel=nextgen / rel=next.page (RFC 8288 reg-rel-type allows
+        // LOALPHA *(LOALPHA/DIGIT/"."/"-") — distinct relations) don't
         // prefix-match. The remaining hole (a quoted value containing
         // "; rel=next") needs a full param parse — out of scope for a
         // census counter, documented here.
-        val isNext = (m: Column) => m.rlike("(?i);\\s*rel=\"?next\\b(?![-a-z0-9])")
-        val isPreload = (m: Column) => m.rlike("(?i);\\s*rel=\"?preload\\b(?![-a-z0-9])")
+        val isNext = (m: Column) => m.rlike("(?i);\\s*rel=\"?next\\b(?![-a-z0-9.])")
+        val isPreload = (m: Column) => m.rlike("(?i);\\s*rel=\"?preload\\b(?![-a-z0-9.])")
         docs.select(col("doc_id"), h.as("h"))
           .select(col("doc_id"), mems.as("mems"))
           .select(
