@@ -443,6 +443,34 @@ class DedupeSpec extends AnyFunSuite with SparkSuite {
     assert(got(2) == ((3L, 84L, 60L, 24L, md5hex(s"$e1 $e2"))))
   }
 
+  test("d21 collision direction: a lossy key only ever REMOVES MORE (keeper demotion, never under-removal)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(22)
+    def words(n: Int, tag: String) =
+      (1 to n).map(i => s"$tag${rnd.nextInt(1 << 30)}").mkString(" ")
+    val shared = (1 to 30).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(10, "a") + " " + shared + " " + words(15, "b")),
+      (2L, words(3, "c") + " " + shared + " " + words(8, "d")),
+      (3L, words(60, "e")), (4L, words(45, "f"))).toDF("doc_id", "text")
+    def kept(keyOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      graft.ops.Dedupe.applySpans(docs,
+          graft.ops.Dedupe.keepFirstCoverageKeyed(docs, "doc_id", "text",
+            gram = 4, minSpanTokens = 10, keyOf),
+          "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val exact = kept(identity)
+    val lossy = kept(g => pmod(xxhash64(g), lit(16L)))
+    assert(exact.keySet == lossy.keySet)
+    // a collision can merge occurrence sets and demote a true keeper —
+    // more coverage, never less: per doc the lossy form keeps <= tokens
+    exact.foreach { case (id, k) =>
+      assert(lossy(id) <= k, s"doc $id: lossy key KEPT MORE ($k -> ${lossy(id)})")
+    }
+    // the 4-bit key must actually collide somewhere or the pin is vacuous
+    assert(exact.exists { case (id, k) => lossy(id) < k })
+  }
+
   test("cu31 applySpans composes with contaminationSpans: kept+removed == total, clean docs intact (sf0.001)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"), col("source"))

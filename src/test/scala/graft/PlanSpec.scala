@@ -1440,6 +1440,18 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("CartesianProduct"), s"t25 degenerated:\n$p")
   }
 
+  test("d21 rewrite: keeper gate keys on the LONG gram hash; windows doc-bounded") {
+    val p = plan("d21_exactsubstr_rewrite")
+    assert("hashpartitioning\\(g#\\d+L".r.findFirstIn(p).isDefined,
+      s"d21 keeper gate does not key on the hashed (long) gram:\n$p")
+    assert("hashpartitioning\\(g#\\d+,".r.findFirstIn(p).isEmpty,
+      s"d21 shuffles a string gram column:\n$p")
+    val winSpecs = "windowspecdefinition\\(doc_id".r.findAllIn(p).size
+    val wins = "\\bWindow\\b".r.findAllIn(p).size
+    assert(winSpecs >= wins, s"d21 grew a non-doc window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"d21 degenerated:\n$p")
+  }
+
   test("d20 paragraphs: df gate partial-aggs on the hash; reassembly per-doc, no window") {
     val p = plan("d20_paragraph_dedupe")
     // the gate groups on md5(paragraph) with map-side combine; the
