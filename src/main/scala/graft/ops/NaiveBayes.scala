@@ -119,10 +119,13 @@ object NaiveBayes {
     * gate pin that. */
   def classify(docs: DataFrame, id: String, text: String,
       model: DataFrame, stats: DataFrame): DataFrame = {
+    // serialized blocks: this is the corpus's biggest frame (one row per
+    // token) — deserialized per-row objects here are the documented
+    // HyperBall-class OOM shape (see Iterative.materializeSer)
     val toks = docs.select(col(id).as("doc_id"),
       explode(filter(TextAnalysis.tokens(lower(col(text))),
         t => t =!= "")).as("w"))
-      .transform(Iterative.materialize) // feeds the count AND the model join
+      .transform(Iterative.materializeSer) // feeds the count AND the model join
     val nd = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val modelAdj = model
       .join(stats.select(col("label"), col("oov_weight")), "label")

@@ -1446,9 +1446,14 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"d21 keeper gate does not key on the hashed (long) gram:\n$p")
     assert("hashpartitioning\\(g#\\d+,".r.findFirstIn(p).isEmpty,
       s"d21 shuffles a string gram column:\n$p")
-    val winSpecs = "windowspecdefinition\\(doc_id".r.findAllIn(p).size
-    val wins = "\\bWindow\\b".r.findAllIn(p).size
-    assert(winSpecs >= wins, s"d21 grew a non-doc window:\n$p")
+    // EVERY window spec must be doc-partitioned (total == doc-keyed
+    // count — a >= comparison could mask a non-doc window hiding in an
+    // operator that hosts several specs), and the spans windows must
+    // actually be present
+    val allSpecs = "windowspecdefinition\\(".r.findAllIn(p).size
+    val docSpecs = "windowspecdefinition\\(doc_id".r.findAllIn(p).size
+    assert(allSpecs > 0 && allSpecs == docSpecs,
+      s"d21 grew a non-doc window ($docSpecs/$allSpecs doc-keyed):\n$p")
     assert(!p.contains("CartesianProduct"), s"d21 degenerated:\n$p")
   }
 
