@@ -43,6 +43,54 @@ object TextAnalysis {
         sum(coalesce(col("cnt"), lit(0L))).as("hit_mass"))
   }
 
+  /** t26 kernel: EXACT top-`k` 1/2-gram head via the two-pass
+    * heavy-hitter shape (hash-count buckets → top `overfetch` candidate
+    * buckets per n → exact re-count of candidate occurrences only). The
+    * only text that shuffles is the candidate grams' own rows; pass-1
+    * exchanges carry (n, keyOf(gram)) — 8-byte longs under the
+    * production xxhash64 keying. Containment argument and the
+    * lossy-key degradation (overfetch ≥ bucket space → identical to
+    * the single-pass head) are documented at the t26 query;
+    * NgramHeadSpec pins both. */
+  def ngramHeadTwoPass(docs: DataFrame, text: String, minCount: Int,
+      k: Int, overfetch: Int, keyOf: Column => Column): DataFrame = {
+    def gramsDf = {
+      val toks = docs.select(
+        filter(tokens(lower(col(text))), t => t =!= "").as("ts"))
+      val uni = toks
+        .select(explode(col("ts")).as("gram")).withColumn("n", lit(1L))
+      val bi = toks
+        .filter(size(col("ts")) >= 2)
+        .select(explode(zip_with(
+          slice(col("ts"), lit(1), size(col("ts")) - 1),
+          slice(col("ts"), lit(2), size(col("ts")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("gram"))
+        .withColumn("n", lit(2L))
+      uni.unionByName(bi)
+    }
+    val candBuckets = gramsDf
+      .select(col("n"), keyOf(col("gram")).as("gh"))
+      .groupBy(col("n"), col("gh"))
+      .agg(count(lit(1)).as("bcnt"))
+      .filter(col("bcnt") >= minCount) // bucket cnt >= member cnt: safe
+      .groupBy(col("n"))
+      .agg(TopK.topScored(overfetch)(
+        col("bcnt").cast("double"), col("gh")).as("top"))
+      .select(col("n"), explode(col("top")).as("c"))
+      .select(col("n"), col("c.key").as("gh"))
+    gramsDf
+      .withColumn("gh", keyOf(col("gram")))
+      .join(broadcast(candBuckets), Seq("n", "gh"), "left_semi")
+      .groupBy(col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .groupBy(col("n"))
+      .agg(TopK.topScoredStrings(k)(col("cnt"), col("gram")).as("top"))
+      .select(col("n"), posexplode(col("top")))
+      .select(col("n"), (col("pos") + 1).cast("long").as("pos"),
+        col("col.key").as("gram"), col("col.score").as("cnt"))
+  }
+
   /** Whitespace tokens of a text column (normalized single-space split). */
   def tokens(text: Column): Column =
     split(regexp_replace(trim(text), "\\s+", " "), " ")

@@ -460,6 +460,58 @@ object TextQueries {
         ORDER BY bi.doc_id
       """.trim),
     ),
+    // t26: the PRODUCTION two-pass form of t9 — the heavy-hitter shape
+    // (Misra-Gries/space-saving family, made exact by a second pass)
+    // every large-corpus n-gram head actually ships: t9's single-pass
+    // count shuffles every distinct gram AS TEXT through the exchange;
+    // at 100 TB distinct n-grams run to the trillions and that exchange
+    // is the job. Pass 1 counts xxhash64(gram) buckets (8-byte keys,
+    // map-side combined) and keeps the top 3×k buckets per n (bounded
+    // heap, no window); pass 2 re-enumerates, semi-joins the broadcast
+    // candidate set, and EXACT-counts only candidate occurrences — the
+    // only text that ever shuffles is the ~3×k candidate grams' own
+    // rows. Containment: a bucket's merged count ≥ every member gram's
+    // count, so a true top-k gram's bucket can only rank at-or-above
+    // the gram itself and the min-count prune can only keep more; at
+    // 64-bit width buckets ≈ grams (first expected collision ~2^32
+    // distinct grams) and the 3× overfetch absorbs tie margins — and
+    // under a DELIBERATELY lossy 4-bit key the overfetch exceeds the
+    // whole bucket space, so the exact pass degrades to t9 itself
+    // (identity under maximal collisions, spec-pinned). Same oracle as
+    // t9: the two-pass output is the exact head.
+    Q(
+      "t26_ngram_counts_hashed",
+      (s, dir) =>
+        TextAnalysis.ngramHeadTwoPass(
+            Registry.table(s, dir, "documents"), "text",
+            NgramMinCount, NgramTop, 3 * NgramTop, g => xxhash64(g))
+          .orderBy("n", "pos"),
+      Some(s"""
+        WITH toks AS (
+          SELECT list_filter(
+                   string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '),
+                   t -> t <> '') AS ts
+          FROM documents),
+        uni AS (SELECT 1::BIGINT AS n, unnest(ts) AS gram FROM toks),
+        bi AS (
+          SELECT 2::BIGINT AS n,
+                 unnest(list_transform(range(1, len(ts)),
+                   i -> ts[i] || ' ' || ts[i + 1])) AS gram
+          FROM toks WHERE len(ts) >= 2),
+        g AS (
+          SELECT n, gram, COUNT(*) AS cnt
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+          GROUP BY n, gram HAVING COUNT(*) >= $NgramMinCount),
+        r AS (
+          SELECT n, CAST(ROW_NUMBER() OVER (
+                   PARTITION BY n ORDER BY cnt DESC, gram) AS BIGINT) AS pos,
+                 gram, cnt
+          FROM g)
+        SELECT n, pos, gram, cnt FROM r WHERE pos <= $NgramTop
+        ORDER BY n, pos
+      """.trim),
+    ),
+
     // t12: model-based quality filtering — hashed-feature linear
     // classifier INFERENCE (the fastText shape, Joulin et al. 2016):
     // unigram + word-bigram features hash into B buckets, the trained

@@ -1440,6 +1440,16 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("CartesianProduct"), s"t25 degenerated:\n$p")
   }
 
+  test("t26 two-pass head: pass-1 exchange keys on the LONG hash; candidate semi-join broadcasts") {
+    val p = plan("t26_ngram_counts_hashed")
+    assert("hashpartitioning\\(n#\\d+L, gh#\\d+L".r.findFirstIn(p).isDefined,
+      s"t26 pass-1 count does not key on (n, LONG hash):\n$p")
+    assert("BroadcastHashJoin .*LeftSemi".r.findFirstIn(p).isDefined,
+      s"t26 candidate filter is not a broadcast semi-join:\n$p")
+    assert(!p.contains("WindowExec"), s"t26 grew a window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"t26 degenerated:\n$p")
+  }
+
   test("d21 rewrite: keeper gate keys on the LONG gram hash; windows doc-bounded") {
     val p = plan("d21_exactsubstr_rewrite")
     assert("hashpartitioning\\(g#\\d+L".r.findFirstIn(p).isDefined,
