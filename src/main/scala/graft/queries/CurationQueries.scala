@@ -1736,14 +1736,31 @@ object CurationQueries {
             length(col("txt")).cast("long").as("n_chars"))
           .select(col("url"), col("source"), col("toks"),
             size(col("toks")).cast("long").as("n_toks"), col("n_chars"))
-        val gated = feats.withColumn("pass",
-          (col("n_toks") >= 30 && col("n_toks") <= 5000 &&
-            (col("n_chars") - (col("n_toks") - 1)) >= col("n_toks") * 2 &&
-            (col("n_chars") - (col("n_toks") - 1)) <= col("n_toks") * 12)
-            .cast("long"))
+        // decide with small rows (guide §8): the WARC read-back +
+        // htmlToText + tokenize pipeline feeds THREE separate exchanges
+        // (keeper groupBy, keeper join-back, per-source rollup), so the
+        // unmaterialized form ran the whole extraction once per branch —
+        // the executed plan showed 3 BatchScans of the staged archive.
+        // Materialize the per-doc DECISION columns once (url, source,
+        // token count, gate bit, lead-15 fingerprint — never the token
+        // array or text), and all three branches re-read the narrow
+        // checkpoint: 3 extraction passes → 1 (measured 5.67 → 1.63 s
+        // warm min at sf0.1; at corpus scale the win is two fewer
+        // full-archive parses). Computing `h` before the gate filter is
+        // row-identical
+        // (the fingerprint is deterministic per row; non-pass rows are
+        // dropped by the same filter afterwards).
+        val gated = graft.ops.Iterative.materialize(
+          feats.withColumn("pass",
+            (col("n_toks") >= 30 && col("n_toks") <= 5000 &&
+              (col("n_chars") - (col("n_toks") - 1)) >= col("n_toks") * 2 &&
+              (col("n_chars") - (col("n_toks") - 1)) <= col("n_toks") * 12)
+              .cast("long"))
+            .withColumn("h", md5(array_join(
+              slice(col("toks"), 1, 15), " ").cast("binary")))
+            .select(col("url"), col("source"), col("n_toks"),
+              col("pass"), col("h")))
         val hashed = gated.filter(col("pass") === 1)
-          .withColumn("h", md5(array_join(
-            slice(col("toks"), 1, 15), " ").cast("binary")))
         val keepers = hashed.groupBy("h")
           .agg(min(col("url")).as("url")).withColumn("keep", lit(1L))
         val perSrcKept = hashed

@@ -89,8 +89,9 @@ object OpProfile {
       graft.queries.Registry.queries.get(name) match {
         case None => println(s"[opprofile] unknown query: $name")
         case Some(fn) =>
+          val reps = sys.env.getOrElse("SPARK_GRAFT_PROFILE_REPS", "2").toInt
           var lastPlan: Option[SparkPlan] = None
-          (1 to 2).foreach { i =>
+          (1 to reps).foreach { i =>
             spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
             jobRows.clear()
             shuffleWrite.set(0); shuffleRead.set(0)
@@ -103,8 +104,8 @@ object OpProfile {
             println(f"[opprofile] $name%-28s run$i ${sec}%7.2f s (build ${tBuild}%5.2f) " +
               f"shufW=${shuffleWrite.get / 1e6}%8.1fMB shufR=${shuffleRead.get / 1e6}%8.1fMB")
             val rows = jobRows.toArray(Array.empty[String])
-            if (rows.length > 1 && i == 2) rows.foreach(println)
-            if (i == 2) lastPlan = Some(df.queryExecution.executedPlan)
+            if (rows.length > 1 && i == reps) rows.foreach(println)
+            if (i == reps) lastPlan = Some(df.queryExecution.executedPlan)
           }
           if (showPlan) lastPlan.foreach { p =>
             val sb = new StringBuilder
