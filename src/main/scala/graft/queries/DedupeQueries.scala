@@ -499,7 +499,21 @@ object DedupeQueries {
             explode(col("sh")).as("g"))
         val cex = sh.select(col("doc_id"), size(col("sh")).as("cn"),
           explode(col("sh")).as("g"))
-        val truth = cex.join(broadcast(pex), Seq("g"))
+        // size-compatibility prefilter AT the join (exact, the standard
+        // length filter of the set-similarity literature — Xiao et al.
+        // WWW'08, the same family d17's prefix filter comes from):
+        // inter ≤ min(pn,cn), so jaccard ≥ 0.8 ⟺ 9·inter ≥ 4(pn+cn)
+        // requires 9·min ≥ 4(pn+cn) ⟺ 5·min(pn,cn) ≥ 4·max(pn,cn).
+        // Pairs outside that size band are dropped BEFORE the
+        // per-(probe,doc) count: at sf0.1 the gram join's output fell
+        // 44.8M → 23.4M rows and the full query 6.73 → 4.31 s warm
+        // (plans/r20/d12_lsh_recall_{before,after}.txt carry the
+        // operator metrics), with the surviving-pair set provably
+        // unchanged — a dropped pair cannot pass the final inter test
+        // because inter ≤ min(pn,cn).
+        val truth = cex.join(broadcast(pex),
+            cex("g") === pex("g") &&
+              col("cn") * 5 >= col("pn") * 4 && col("pn") * 5 >= col("cn") * 4)
           .where(col("doc_id") =!= col("probe_id"))
           .groupBy("probe_id", "doc_id")
           .agg(count(lit(1)).as("inter"), max(col("pn")).as("pn"),
@@ -636,6 +650,12 @@ object DedupeQueries {
         val packed = docs.select(col("doc_id"),
           graft.ops.Multimodal.packBmp24Perturbed(
             scene, col("doc_id"), w, h, cell).as("media"))
+        // NOTE (r20 measurement): the hash-node aggregate below feeds both
+        // the components build and the final label join, so the per-doc
+        // decode runs twice — but a checkpoint of the aggregate was
+        // MEASURED SLOWER (2.39 → 3.17 s warm at sf0.1, c1-calibrated):
+        // the decode passes are cheap relative to the added barrier, so
+        // the duplicated lineage stays.
         val nodes = graft.ops.Multimodal
           .decodeBmpDHashes(packed, "doc_id", "media")
           .groupBy("h_hi", "h_lo")

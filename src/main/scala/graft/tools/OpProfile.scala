@@ -107,9 +107,21 @@ object OpProfile {
             if (rows.length > 1 && i == reps) rows.foreach(println)
             if (i == reps) lastPlan = Some(df.queryExecution.executedPlan)
           }
-          if (showPlan) lastPlan.foreach { p =>
+          if (showPlan) {
+            // the noop write above runs its own QueryExecution, so the
+            // captured df plan never executed and its metrics are zero;
+            // run the captured plan itself once and read ITS metrics
+            spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+            val df = fn(spark, sfDir)
+            val ep = df.queryExecution.executedPlan
+            val t0 = System.nanoTime()
+            ep.execute().foreachPartition(
+              (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) =>
+                it.foreach(_ => ()))
+            println(f"[opprofile] $name metrics pass ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+            Thread.sleep(1500)
             val sb = new StringBuilder
-            walk(p, 1, sb)
+            walk(ep, 1, sb)
             println(s"[opprofile] $name executed plan + metrics:")
             println(sb.result())
           }
