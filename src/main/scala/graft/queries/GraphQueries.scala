@@ -1705,11 +1705,19 @@ object GraphQueries {
         // materialization job per round: 2(t+1) driver barrier jobs and
         // the per-round ests checkpoint blocks removed. Cold-JVM sf0.1
         // build time is NEUTRAL within box noise (min 14.6 vs 15.3 s
-        // over 6/3 runs) — the removed jobs are sub-second here — but
-        // fewer barriers and strictly fewer retained blocks is the
-        // right shape for the 100× build. Per-round materialization
-        // stays ONLY on `state` (the loop-carried frame whose lineage
-        // would otherwise grow per round).
+        // over 6/3 runs) — the removed jobs are sub-second here.
+        // Retention trade, stated precisely: the deferred plans hold
+        // ALL t+1 per-round state checkpoints (V-row, 80-byte register
+        // frames, serialized) until the final writes, where the old
+        // code let superseded states become cleaner-collectible but
+        // retained the per-round ests checkpoints (V-row frames of
+        // growing width) instead — the t=3 peak is ~4 V-sized frames
+        // either way; the x10 cold-JVM solo build completed in 30.6 s
+        // under the default test heap after the change (the pre-change
+        // committed solo x10 row was 34.9 s, r15), no memory incident.
+        // Per-round
+        // materialization stays ONLY on `state` (the loop-carried frame
+        // whose lineage would otherwise grow per round).
         def readout(round: Int) =
           state.select(sScaled.as("s_scaled"))
             .withColumn("est",

@@ -90,7 +90,6 @@ object OpProfile {
         case None => println(s"[opprofile] unknown query: $name")
         case Some(fn) =>
           val reps = sys.env.getOrElse("SPARK_GRAFT_PROFILE_REPS", "2").toInt
-          var lastPlan: Option[SparkPlan] = None
           (1 to reps).foreach { i =>
             spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
             jobRows.clear()
@@ -105,7 +104,6 @@ object OpProfile {
               f"shufW=${shuffleWrite.get / 1e6}%8.1fMB shufR=${shuffleRead.get / 1e6}%8.1fMB")
             val rows = jobRows.toArray(Array.empty[String])
             if (rows.length > 1 && i == reps) rows.foreach(println)
-            if (i == reps) lastPlan = Some(df.queryExecution.executedPlan)
           }
           if (showPlan) {
             // the noop write above runs its own QueryExecution, so the

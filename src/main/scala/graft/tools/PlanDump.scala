@@ -8,13 +8,20 @@ package graft.tools
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    require(args.length >= 4 && !args.take(4).exists(_.startsWith("--")),
+      "usage: PlanDump <sfDir> <outDir> <suffix> <q1,q2,...> [--exec]")
     val Array(sfDir, outDir, suffix, nameCsv) = args.take(4)
     val names = nameCsv.split(',').map(_.trim).filter(_.nonEmpty).toSeq
     // --exec: let the builder run its materialization points (staging
     // writes, checkpoints) and dump the REAL final-frame plan — the
     // right evidence when the optimization is a materialization cut
     // (plan-only mode no-ops materialize(), so it would keep showing
-    // the full unmaterialized lineage on both sides of the change)
+    // the full unmaterialized lineage on both sides of the change).
+    // Default (plan-only) mode shows the FULL unmaterialized lineage;
+    // note that builders' eager actions (staging writes, counts) still
+    // execute, and they run WITHOUT their checkpoints in that mode —
+    // fine at the small benched SFs this tool targets, unbounded at
+    // soak scale (Iterative.planOnly's contract): use --exec there.
     val exec = args.contains("--exec")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.GraftSession.builder(s"local[$cpus]", cpus.toInt)
