@@ -3,8 +3,11 @@ object Bench {
   /** Resolve where the full-precision dump goes. An explicit override
     * always wins; otherwise default to `BENCH_FULL.json` in cwd UNLESS cwd
     * is a git work tree that tracks that file (the committed baseline) —
-    * then return null so the caller refuses instead of clobbering it.
-    * This removes the documented Bench-cwd pitfall as a failure mode. */
+    * then fall back to `BENCH_LAST.json` (untracked, overwrite-safe) so a
+    * complete per-query artifact is ALWAYS produced. r20's refusal-instead
+    * left the driver with no per-query data for two rounds (PERF_r20:
+    * per_query={}); the baseline stays protected by changing the default
+    * FILENAME, never by skipping the dump. */
   def fullDumpPath(explicit: Option[String],
                    cwd: java.nio.file.Path =
                      java.nio.file.Paths.get("").toAbsolutePath): String =
@@ -20,7 +23,8 @@ object Bench {
             pr.getInputStream.readAllBytes()
             pr.waitFor() == 0
           } catch { case scala.util.control.NonFatal(_) => false }
-        if (tracked) null else cwd.resolve("BENCH_FULL.json").toString
+        cwd.resolve(if (tracked) "BENCH_LAST.json" else "BENCH_FULL.json")
+          .toString
     }
 
   /** Geometric-mean machine index of ONE calibration segment: each
@@ -246,7 +250,7 @@ object Bench {
     }
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    // full precision for local analysis (the stdout line below is budgeted)
+    // full precision for local analysis (the stdout line trims to 2 decimals)
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val repeated = samples.filter(_._2.size > 1)
@@ -264,9 +268,9 @@ object Bench {
       }.mkString(""","calibration_runs":{""", ",", "}")
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
-    // per-query + per-segment start offsets (full dump only — the stdout
-    // line is budgeted): places every query relative to the calibration
-    // windows so a drift spike self-adjudicates from the artifact
+    // per-query + per-segment start offsets (full dump only): places every
+    // query relative to the calibration windows so a drift spike
+    // self-adjudicates from the artifact
     val fullStarts =
       if (queryStarts.isEmpty) ""
       else queryStarts.map { case (k, t) => s"\"" + k + "\":" + Bench.num(t, 1) }
@@ -277,19 +281,17 @@ object Bench {
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$fullQs$fullRepeats$fullSegments$fullStarts$calibJson,"sf":$sfNum,"sf_dir":"$sfDir"}"""
     val outPath = Bench.fullDumpPath(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
-    if (outPath == null)
-      System.err.println("[bench] cwd has a git-tracked BENCH_FULL.json " +
-        "(committed baseline); refusing to overwrite it. Set " +
-        "SPARK_GRAFT_BENCH_OUT=<path> or run from a non-repo cwd.")
-    else try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] full dump failed: $e") }
-    // The harness keeps only the last ~2000 chars of the run's output; a
-    // full-precision 85-query map is ~3000 chars, so its head (and the
-    // required {"metric": prefix) would be cut off and the line would never
-    // parse. Emit 2-decimal values and, if still over budget, fold the
-    // fastest queries into omitted counters — failed and slow queries (the
-    // ones that carry signal) are always kept.
+    // r21 contract restoration: the stdout line carries the COMPLETE
+    // per-query map. The r5–r20 line folded the fastest queries into an
+    // "omitted" counter to fit a presumed ~2000-char capture window, and
+    // the driver's round-over-round machinery got no per-query data for
+    // two rounds (PERF_r20: per_query={}, n_common=0) — an incomplete map
+    // is useless to it, and the full dump (above) already preserves a
+    // bounded-size artifact if any consumer needs one. Values are trimmed
+    // to 2 decimals so the complete 316-query line stays ~8 KB.
     def fmt(v: Double): String = {
       // clamp failure sentinels away from zero: a crash in a <5ms query
       // would otherwise render as "-0", which JSON consumers read as 0
@@ -298,51 +300,10 @@ object Bench {
       val t = s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       if (t.isEmpty || t == "-") "0" else t
     }
-    def render(keep: Seq[(String, Double)], omitted: Seq[(String, Double)],
-        failedOmitted: Int): String = {
-      val qsStr = keep.sortBy(_._1)
-        .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-        .mkString("{", ",", "}")
-      val om =
-        if (omitted.isEmpty) ""
-        else s""","omitted":${omitted.size},"omitted_sec":${fmt(omitted.map(_._2).sum)}"""
-      val fom =
-        if (failedOmitted == 0) ""
-        else s""","failed_omitted":$failedOmitted"""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed$om$fom,"queries":$qsStr$calibJson,"sf":$sfNum}"""
-    }
-    val budget = 1850
-    // drop-order: fastest successful queries first; failures are never
-    // folded into omitted/omitted_sec (their negative times would corrupt
-    // the sum and hide the crash)
-    val dropOrder = results.filter(_._2 >= 0).sortBy(_._2)
-    var nDrop = 0
-    var line = render(results, Seq.empty, 0)
-    while (line.length > budget && nDrop < dropOrder.size) {
-      nDrop += 1
-      val dropped = dropOrder.take(nDrop).map(_._1).toSet
-      line = render(results.filterNot(r => dropped(r._1)), dropOrder.take(nDrop), 0)
-    }
-    // Pathological case: every success dropped and the line STILL over
-    // budget (a run with very many failures — exactly when the signal
-    // matters most). An over-budget line gets its head truncated by the
-    // harness's ~2000-char tail window and never parses, so fold excess
-    // failures into the count-only "failed_omitted" field instead,
-    // keeping the slowest (most informative) failures named. Full detail
-    // is always in BENCH_FULL.json.
-    if (line.length > budget) {
-      val keptSucc = results.filterNot(r =>
-        dropOrder.take(nDrop).map(_._1).toSet(r._1))
-      val failOrder = results.filter(_._2 < 0).sortBy(_._2).reverse // fastest first
-      var nFailDrop = 0
-      while (line.length > budget && nFailDrop < failOrder.size) {
-        nFailDrop += 1
-        val droppedF = failOrder.take(nFailDrop).map(_._1).toSet
-        line = render(keptSucc.filterNot(r => droppedF(r._1)),
-          dropOrder.take(nDrop), nFailDrop)
-      }
-    }
-    println(line)
+    val qsStr = results.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"queries":$qsStr$calibJson,"sf":$sfNum}""")
     spark.stop()
   }
 }

@@ -55,6 +55,7 @@ object GraftExtensions {
     unary("nibble_hist16", NibbleHist16Expr.apply),
     unary("shingles3", Shingles3Expr.apply),
     binary("jaccard3", Jaccard3Expr.apply),
+    binary("jaccard3_sorted", Jaccard3SortedExpr.apply),
     binary("dot_seq", DotSeqExpr.apply),
     // doc_fp(text[, k]) — k defaults to the winnowing window of 4
     (

@@ -56,6 +56,31 @@ object NativeFns {
     inter.toDouble / (na + nb - inter)
   }
 
+  /** Exact Jaccard of two SORTED distinct-element UTF8String arrays by a
+    * single merge walk — no hash set, no per-pair allocation. Callers
+    * must pass arrays sorted ascending in UTF8String (binary) order
+    * (`array_sort` produces exactly that); Jaccard3SortedSpec pins
+    * agreement with [[jaccard3]] under that contract. Written for the
+    * probe-verify hot path (d12's truth side evaluates it once per
+    * (probe, doc) pair inside a join condition): the hash-set form costs
+    * ~|A| node allocations per PAIR, which the merge walk avoids
+    * entirely. */
+  def jaccard3Sorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return Double.NaN // matches 0.0/0.0 of the column form
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+
   /** MinHash signature by double hashing — same arithmetic as the
     * column-expression formulation (and the DuckDB oracle), one flat
     * call instead of k interpreted zip_with lambdas. */
@@ -691,6 +716,19 @@ case class Jaccard3Expr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Exact shingle-set Jaccard over PRE-SORTED arrays (merge walk —
+  * allocation-free; inputs must be `array_sort`ed, see
+  * NativeFns.jaccard3Sorted). */
+case class Jaccard3SortedExpr(left: Expression, right: Expression)
+    extends NativeBinary("jaccard3Sorted",
+      Seq(ArrayType(StringType), ArrayType(StringType)), DoubleType) {
+  override def prettyName: String = "jaccard3_sorted"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeFns.jaccard3Sorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Jaccard3SortedExpr =
+    copy(left = l, right = r)
+}
+
 /** Sequential dot product of two double arrays. */
 case class DotSeqExpr(left: Expression, right: Expression)
     extends NativeBinary("dotSeq",
@@ -732,6 +770,8 @@ object NativeExpressions {
   def shingles3(c: Column): Column = ColumnBridge.column(Shingles3Expr(e(c)))
   def jaccard3(a: Column, b: Column): Column =
     ColumnBridge.column(Jaccard3Expr(e(a), e(b)))
+  def jaccard3Sorted(a: Column, b: Column): Column =
+    ColumnBridge.column(Jaccard3SortedExpr(e(a), e(b)))
   def dotSeq(a: Column, b: Column): Column =
     ColumnBridge.column(DotSeqExpr(e(a), e(b)))
   def minhashSig(h1: Column, h2: Column, k: Int, prime: Long): Column =

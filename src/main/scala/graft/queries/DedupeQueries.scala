@@ -153,6 +153,39 @@ object DedupeQueries {
     (s.read.parquet(s"$base/pairs-$dig"), s.table(labelsTable))
   }
 
+  /** d12 ground truth: probe(P) × corpus broadcast loop with the whole
+    * pair test IN the join condition — length band first
+    * (5·min(|A|,|B|) ≥ 4·max, exact per r20's SizeFilter derivation:
+    * inter ≤ min so J ≥ 0.8 forces the band), then the exact Jaccard on
+    * the pre-sorted shingle sets via the allocation-free merge-walk
+    * kernel (NativeFns.jaccard3Sorted; arrays sorted ONCE per doc, not
+    * per pair). Zero shuffles and zero exploded-gram volume: r19's
+    * gram-join truth emitted 44.8M rows, r20's length filter cut it to
+    * 23.4M, and an r21 prefix-filter restructure (the d17 kernel) got
+    * candidates to 210k but measured SLOWER (6.2 s vs 4.3 s warm) —
+    * char-3-gram posting lists are so dense (377 distinct grams across
+    * 5000 docs at sf0.1) that every probe shares prefix grams with
+    * ~40% of the corpus, so candidate generation machinery (df pass +
+    * per-doc rank window) cost more than it pruned; evidence in
+    * plans/r21/d12_lsh_recall_prefix_rejected_metrics.txt. The O(P·N)
+    * loop shape is this audit query's documented scale contract
+    * (linear per probe, the ss1 pattern) and the per-pair test is
+    * ~0.3 µs after the length gate. D12TruthSpec pins row identity
+    * against the unfiltered gram-join replay. */
+  private[graft] def d12TruthPairs(sh: org.apache.spark.sql.DataFrame,
+      P: Int): org.apache.spark.sql.DataFrame = {
+    val c = sh.select(col("doc_id"), array_sort(col("sh")).as("csh"))
+    val p = sh.where(col("doc_id") < P)
+      .select(col("doc_id").as("probe_id"), array_sort(col("sh")).as("psh"))
+    c.join(broadcast(p),
+        col("doc_id") =!= col("probe_id") &&
+          size(col("csh")) * 5 >= size(col("psh")) * 4 &&
+          size(col("psh")) * 5 >= size(col("csh")) * 4 &&
+          graft.functions.NativeExpressions
+            .jaccard3Sorted(col("csh"), col("psh")) >= 0.8)
+      .select(col("probe_id"), col("doc_id").as("other_id"))
+  }
+
   /** Shared by d7 (recompute-per-run) and d9 (persistent-index probe):
     * the two plans implement the same semantics, so one oracle gates both. */
   private def incrementalOracle: String = s"""
@@ -484,42 +517,17 @@ object DedupeQueries {
       (s, dir) => {
         val P = 100
         val docs = Registry.table(s, dir, "documents")
-        // materialized: the shingling feeds both exploded truth sides
+        // materialized: the shingling feeds both sides of the truth loop
         val sh = graft.ops.Iterative.materialize(
           docs.select(col("doc_id"), Dedupe.shingles3(col("text")).as("sh")))
-        // exhaustive ground truth WITHOUT per-pair array intersections:
-        // explode the (broadcast-sized) probe shingles, hash-join the
-        // exploded corpus shingles on the gram, and count shared grams
-        // per (probe, doc) with map-side combine — jaccard ≥ 0.8 is then
-        // the integer test inter·5 ≥ (|A|+|B|−inter)·4 (exactly the same
-        // pair set: a pair with no shared gram has jaccard 0). ~3× less
-        // wall-clock than the broadcast-NLJ-with-jaccardOf form at sf0.1.
-        val pex = sh.filter(col("doc_id") < P)
-          .select(col("doc_id").as("probe_id"), size(col("sh")).as("pn"),
-            explode(col("sh")).as("g"))
-        val cex = sh.select(col("doc_id"), size(col("sh")).as("cn"),
-          explode(col("sh")).as("g"))
-        // size-compatibility prefilter AT the join (exact, the standard
-        // length filter of the set-similarity literature — Xiao et al.
-        // WWW'08, the same family d17's prefix filter comes from):
-        // inter ≤ min(pn,cn), so jaccard ≥ 0.8 ⟺ 9·inter ≥ 4(pn+cn)
-        // requires 9·min ≥ 4(pn+cn) ⟺ 5·min(pn,cn) ≥ 4·max(pn,cn).
-        // Pairs outside that size band are dropped BEFORE the
-        // per-(probe,doc) count: at sf0.1 the gram join's output fell
-        // 44.8M → 23.4M rows and the full query 6.73 → 4.31 s warm
-        // (plans/r20/d12_lsh_recall_{before,after}.txt carry the
-        // operator metrics), with the surviving-pair set provably
-        // unchanged — a dropped pair cannot pass the final inter test
-        // because inter ≤ min(pn,cn).
-        val truth = cex.join(broadcast(pex),
-            cex("g") === pex("g") &&
-              col("cn") * 5 >= col("pn") * 4 && col("pn") * 5 >= col("cn") * 4)
-          .where(col("doc_id") =!= col("probe_id"))
-          .groupBy("probe_id", "doc_id")
-          .agg(count(lit(1)).as("inter"), max(col("pn")).as("pn"),
-            max(col("cn")).as("cn"))
-          .where(col("inter") * 5 >= (col("pn") + col("cn") - col("inter")) * 4)
-          .select(col("probe_id"), col("doc_id").as("other_id"))
+        // exhaustive ground truth (r21): broadcast probe loop with the
+        // length band + exact sorted-merge Jaccard in the join condition
+        // — see d12TruthPairs for the full history (r19 gram join 44.8M
+        // rows → r20 length filter 23.4M → r21 zero exploded rows) and
+        // the measured rejection of the prefix-filter restructure.
+        // Row identity vs the unfiltered replay is pinned by
+        // D12TruthSpec.
+        val truth = d12TruthPairs(sh, P)
         // materialized: the pair table is referenced by BOTH probe-side
         // branches below — without the cut, the banding + verify
         // pipeline (the expensive half of this audit) runs twice

@@ -1718,8 +1718,13 @@ object GraphQueries {
         // Per-round
         // materialization stays ONLY on `state` (the loop-carried frame
         // whose lineage would otherwise grow per round).
-        def readout(round: Int) =
-          state.select(sScaled.as("s_scaled"))
+        // The round's frame is passed EXPLICITLY (ADVICE r20): binding
+        // the snapshot to the argument value rather than a closure over
+        // the mutable `state` var means a reorder of the loop's
+        // reassignment and readout lines cannot silently record the
+        // previous round's snapshot twice.
+        def readout(st: org.apache.spark.sql.DataFrame, round: Int) =
+          st.select(sScaled.as("s_scaled"))
             .withColumn("est",
               expr("(562949953421312L div s_scaled) * 673L div 1000L"))
             .agg(count(lit(1)).as("n_nodes"),
@@ -1728,13 +1733,13 @@ object GraphQueries {
               col("sum_ball_est"))
         // per-node ball estimate snapshot — g23's input; node-keyed
         // V-sized joins assemble the wide (node, est0..est3) table
-        def estDf(round: Int) = state
+        def estDf(st: org.apache.spark.sql.DataFrame, round: Int) = st
           .select(col("node"), sScaled.as("s_scaled"))
           .select(col("node"),
             expr("(562949953421312L div s_scaled) * 673L div 1000L")
               .as(s"est$round"))
-        var outs = readout(0)
-        var ests = estDf(0)
+        var outs = readout(state, 0)
+        var ests = estDf(state, 0)
         for (i <- 1 to t) {
           val st = state.toDF(
             "sn" +: (0 until m).map(j => s"r$j"): _*)
@@ -1746,8 +1751,8 @@ object GraphQueries {
               .groupBy("node")
               .agg(max(col("r0")).as("r0"), (1 until m).map(j =>
                 max(col(s"r$j")).as(s"r$j")): _*))
-          outs = outs.unionByName(readout(i))
-          ests = ests.join(estDf(i), "node")
+          outs = outs.unionByName(readout(state, i))
+          ests = ests.join(estDf(state, i), "node")
         }
         state.write.mode("overwrite").parquet(s"$base/state-$dig")
         outs.write.mode("overwrite").parquet(s"$base/dist-$dig")
