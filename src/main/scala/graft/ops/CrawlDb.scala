@@ -71,7 +71,7 @@ object CrawlDb {
     s.unionByName(l)
   }
 
-  /** The merged-record fold: one groupBy(key) over the tagged union.
+  /** The merged-record fold.
     *
     * Latest-by-timestamp selection uses `max_by` over a CONTENT-DERIVED
     * ordinal string (zero-padded millis ‖ type/rel ‖ source) — input rows
@@ -80,14 +80,61 @@ object CrawlDb {
     * under any input order. Sample lists are deduped, sorted, and capped,
     * with an explicit truncation flag (reference logs truncation at
     * DatabaseIndexV2.java:811-814).
+    *
+    * Shape (r21): the link stream is dense_rank'd per key (one window
+    * exchange, two in-partition sorts — rank by type/rel and rank by
+    * src) BEFORE the tagged union, and then ONE whole-stage-codegen
+    * groupBy folds the scalar aggregates and pivots the capped sample
+    * lists out of the rank columns (slot i = max(when(rank = i, v)),
+    * nulls compacted away). The r5–r20 form computed the samples as
+    * slice(array_sort(collect_set)) inside the fold, which forced the
+    * WHOLE aggregate through ObjectHashAggregate — no codegen, and
+    * every c1/c2 merge task fell back to sort-based aggregation
+    * (numTasksFallBacked=32). Measured warm at sf0.1 (CrawlDbScratch):
+    * collect_set fold 2.65 s, scalar fold alone 1.03 s (the floor),
+    * rank-join-back 1.99 s, this fused form 1.24 s. At scale the trade
+    * is one extra exchange of the link stream against codegen
+    * throughout and SPILLABLE window sorts where collect_set kept an
+    * unbounded per-key distinct set in the aggregation buffer (a hot
+    * URL with millions of distinct referrers OOMs the old buffer; the
+    * sort spills). dense_rank semantics carrying the parity: duplicates
+    * share a rank (the lists are DISTINCT samples), nulls rank last so
+    * they can never displace a real value into a slot or count toward
+    * truncation, and rank maxSrcSamples+1 witnesses the truncation flag
+    * exactly. Row-for-row parity with the collect_set form — on every
+    * null/negative/cap edge — is pinned by CrawlDbSpec's
+    * "window-ranked sample lists" test.
     */
   def merge(status: DataFrame, links: DataFrame,
       maxTypeSamples: Int = MaxTypeSamples,
       maxSrcSamples: Int = MaxSrcSamples): DataFrame = {
-    val u = taggedUnion(status, links)
+    import org.apache.spark.sql.expressions.Window
+    val wK = Window.partitionBy("key")
+    val rankedLinks = links
+      .withColumn("tv", concat(col("link_type"), lit("/"), col("link_rel")))
+      .withColumn("rkt",
+        dense_rank().over(wK.orderBy(col("tv").asc_nulls_last)))
+      .withColumn("rks",
+        dense_rank().over(wK.orderBy(col("link_src").asc_nulls_last)))
+    val nullI = lit(null).cast("int")
+    val s = status.select(
+      col("key"), lit("status").as("tag"),
+      col("status"), col("priority"), col("attempt_ts"),
+      lit(null).cast("string").as("tv"),
+      lit(null).cast("timestamp").as("link_date"),
+      lit(null).cast("bigint").as("link_src"),
+      lit(null).cast("boolean").as("internal"),
+      lit(null).cast("double").as("qty"), nullI.as("rkt"), nullI.as("rks"))
+    val l = rankedLinks.select(
+      col("key"), lit("link").as("tag"),
+      lit(null).cast("string").as("status"),
+      lit(null).cast("string").as("priority"),
+      lit(null).cast("timestamp").as("attempt_ts"),
+      col("tv"), col("link_date"), col("link_src"), col("internal"),
+      col("qty"), col("rkt"), col("rks"))
+    val u = s.unionByName(l)
     val isS = col("tag") === "status"
     val isL = col("tag") === "link"
-    val typeAndRel = when(isL, concat(col("link_type"), lit("/"), col("link_rel")))
     // deterministic latest-link ordinal: equal ordinals ⇒ equal values.
     // Stored on the merged record (latest_link_ord) so a later
     // incremental re-merge can continue the max exactly. Millis are
@@ -98,7 +145,7 @@ object CrawlDb {
       concat(
         lpad((unix_millis(col("link_date")) + CrawlDb.OrdMillisBias)
           .cast("string"), 15, "0"),
-        lit("|"), typeAndRel,
+        lit("|"), col("tv"),
         lit("|"), lpad(col("link_src").cast("string"), 12, "0")),
       lit(""))
     u.groupBy(col("key").as("url_key"))
@@ -114,17 +161,19 @@ object CrawlDb {
         min(when(isL, col("link_date"))).as("earliest_link_date"),
         max(when(isL, col("link_date"))).as("latest_link_date"),
         max(ord).as("latest_link_ord"),
-        slice(array_sort(collect_set(typeAndRel)), 1, maxTypeSamples)
-          .as("type_and_rels"),
-        // full distinct set collected once; the sample slice AND the
-        // truncation flag both derive from it below. A separate
-        // count_distinct would force an Expand (×2 row duplication
-        // through the aggregate) for a number the set already knows.
-        array_sort(collect_set(when(isL, col("link_src")))).as("src_set"),
+        array_compact(array((1 to maxTypeSamples).map(i =>
+          max(when(col("rkt") === i, col("tv")))): _*)).as("type_and_rels"),
+        array_compact(array((1 to maxSrcSamples).map(i =>
+          max(when(col("rks") === i, col("link_src")))): _*)).as("src_samples"),
+        // distinct non-null src count exceeds the cap ⟺ some row carries
+        // a non-null src ranked past it (nulls-last ranking makes
+        // non-null ranks exactly 1..D); null when the key has no
+        // non-null src at all — coalesced to the collect_set form's
+        // `false`
+        coalesce(max(when(col("link_src").isNotNull, col("rks"))) > maxSrcSamples,
+          lit(false)).as("src_truncated"),
         sum(when(isL, col("qty")).otherwise(0.0)).as("sum_qty"),
       )
-      .withColumn("src_samples", slice(col("src_set"), 1, maxSrcSamples))
-      .withColumn("src_truncated", size(col("src_set")) > maxSrcSamples)
       .select( // canonical merged-record column order (combineMerged's)
         col("url_key"), col("attempt_count"), col("status"), col("priority"),
         col("first_attempt"), col("latest_attempt"), col("link_count"),

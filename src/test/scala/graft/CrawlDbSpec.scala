@@ -98,6 +98,98 @@ class CrawlDbSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("window-ranked sample lists equal the collect_set replay (r21 pin)") {
+    // r21 moved the capped sample lists out of the main fold (which the
+    // collect_set aggregates forced through ObjectHashAggregate) into a
+    // per-key dense_rank pivot. This pins row-for-row identity against
+    // the r5–r20 collect_set form on every edge the rank path has to
+    // get right: null type/rel/src link fields (nulls must never occupy
+    // a slot or count toward truncation), distinct src counts below /
+    // at / one-past / far-past the cap, negative srcs (numeric order,
+    // not string order), status-only and links-only keys, and an
+    // all-null-src key (truncation must read false, not null).
+    import spark.implicits._
+    val s2 = statusDf(status :+ (9L, "O", "3-MEDIUM", ts("2021-01-01 00:00:00")))
+    val edgy = links ++ Seq[(Long, String, String, Timestamp, Long, Boolean, Double)](
+      (2L, "B", "y", ts("2020-05-02 00:00:00"), 21L, false, 1.0),
+      (2L, "C", "z", ts("2020-05-03 00:00:00"), 22L, true, 1.0), // exactly cap 3
+      (4L, "A", "x", ts("2020-07-01 00:00:00"), -8L, true, 1.0), // links-only key, negative src
+      (4L, "A", "x", ts("2020-07-02 00:00:00"), 30L, false, 1.0),
+      (4L, "A", "x", ts("2020-07-03 00:00:00"), 31L, true, 1.0),
+      (4L, "A", "x", ts("2020-07-04 00:00:00"), 32L, false, 1.0), // cap+1 distinct
+      (5L, null, "y", ts("2020-08-01 00:00:00"), 40L, true, 1.0), // null type
+      (5L, "A", null, ts("2020-08-02 00:00:00"), 41L, false, 1.0), // null rel
+      (5L, "A", "x", null, 42L, true, 1.0), // null date
+      (6L, "A", "x", ts("2020-09-01 00:00:00"), -1L, true, 1.0), // nulls + negatives mixed
+      (6L, null, null, ts("2020-09-02 00:00:00"), -2L, false, 1.0),
+      (7L, "A", "x", ts("2020-10-01 00:00:00"), -3L, true, 1.0))
+    // all-null-src key: built separately (the tuple encoder can't carry
+    // a null Long), union'd with an explicit null cast
+    val nullSrc = Seq((8L, "A", "x", "2020-11-01 00:00:00"))
+      .toDF("key", "link_type", "link_rel", "d")
+      .select(col("key"), col("link_type"), col("link_rel"),
+        col("d").cast("timestamp").as("link_date"),
+        lit(null).cast("bigint").as("link_src"),
+        lit(true).as("internal"), lit(1.0).as("qty"))
+    val l2 = linksDf(edgy).unionByName(nullSrc)
+    def replayCollectSet(st: DataFrame, li: DataFrame, cap: Int): DataFrame = {
+      val u = CrawlDb.taggedUnion(st, li)
+      val isS = col("tag") === "status"
+      val isL = col("tag") === "link"
+      val typeAndRel = when(isL, concat(col("link_type"), lit("/"), col("link_rel")))
+      val ord = coalesce(
+        concat(
+          lpad((unix_millis(col("link_date")) + CrawlDb.OrdMillisBias)
+            .cast("string"), 15, "0"),
+          lit("|"), typeAndRel,
+          lit("|"), lpad(col("link_src").cast("string"), 12, "0")),
+        lit(""))
+      u.groupBy(col("key").as("url_key"))
+        .agg(
+          sum(when(isS, 1L).otherwise(0L)).as("attempt_count"),
+          max(when(isS, col("status"))).as("status"),
+          max(when(isS, col("priority"))).as("priority"),
+          min(when(isS, col("attempt_ts"))).as("first_attempt"),
+          max(when(isS, col("attempt_ts"))).as("latest_attempt"),
+          sum(when(isL, 1L).otherwise(0L)).as("link_count"),
+          sum(when(isL && col("internal"), 1L).otherwise(0L)).as("int_src_count"),
+          sum(when(isL && !col("internal"), 1L).otherwise(0L)).as("ext_src_count"),
+          min(when(isL, col("link_date"))).as("earliest_link_date"),
+          max(when(isL, col("link_date"))).as("latest_link_date"),
+          max(ord).as("latest_link_ord"),
+          slice(array_sort(collect_set(typeAndRel)), 1, CrawlDb.MaxTypeSamples)
+            .as("type_and_rels"),
+          array_sort(collect_set(when(isL, col("link_src")))).as("src_set"),
+          sum(when(isL, col("qty")).otherwise(0.0)).as("sum_qty"))
+        .withColumn("src_samples", slice(col("src_set"), 1, cap))
+        .withColumn("src_truncated", size(col("src_set")) > cap)
+        .select(
+          col("url_key"), col("attempt_count"), col("status"), col("priority"),
+          col("first_attempt"), col("latest_attempt"), col("link_count"),
+          col("int_src_count"), col("ext_src_count"), col("earliest_link_date"),
+          col("latest_link_date"), col("latest_link_ord"), col("type_and_rels"),
+          col("src_samples"), col("src_truncated"), col("sum_qty"))
+    }
+    val prod = CrawlDb.merge(s2, l2, maxSrcSamples = 3)
+      .orderBy("url_key").collect().toSeq
+    val replay = replayCollectSet(s2, l2, cap = 3)
+      .orderBy("url_key").collect().toSeq
+    assert(prod == replay)
+    // and on real testdata, where key counts exercise agg fallback paths
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val st = orders.select(col("o_orderkey").as("key"),
+      col("o_orderstatus").as("status"),
+      col("o_orderpriority").as("priority"), col("o_orderdate").as("attempt_ts"))
+    val ln = li.select(col("l_orderkey").as("key"),
+      col("l_returnflag").as("link_type"), col("l_linestatus").as("link_rel"),
+      col("l_shipdate").as("link_date"), col("l_partkey").as("link_src"),
+      (col("l_returnflag") === "N").as("internal"), col("l_quantity").as("qty"))
+    val a = CrawlDb.merge(st, ln, maxSrcSamples = 3)
+    val b = replayCollectSet(st, ln, cap = 3)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
   test("fold over testdata matches itself under input re-partitioning") {
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
