@@ -109,30 +109,20 @@ object CrawlDb {
       maxTypeSamples: Int = MaxTypeSamples,
       maxSrcSamples: Int = MaxSrcSamples): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // ranking runs over the WHOLE tagged union: status rows carry null
+    // link fields, and nulls rank LAST, so they behave exactly like
+    // null-valued link rows (never occupy a slot, never count toward
+    // truncation) — and the groupBy below then rides the window's
+    // hashpartitioning(key) with NO exchange of its own. One shuffle
+    // for the whole merge, exactly like the r5–r20 form, but the
+    // aggregate is codegen-compatible.
     val wK = Window.partitionBy("key")
-    val rankedLinks = links
+    val u = taggedUnion(status, links)
       .withColumn("tv", concat(col("link_type"), lit("/"), col("link_rel")))
       .withColumn("rkt",
         dense_rank().over(wK.orderBy(col("tv").asc_nulls_last)))
       .withColumn("rks",
         dense_rank().over(wK.orderBy(col("link_src").asc_nulls_last)))
-    val nullI = lit(null).cast("int")
-    val s = status.select(
-      col("key"), lit("status").as("tag"),
-      col("status"), col("priority"), col("attempt_ts"),
-      lit(null).cast("string").as("tv"),
-      lit(null).cast("timestamp").as("link_date"),
-      lit(null).cast("bigint").as("link_src"),
-      lit(null).cast("boolean").as("internal"),
-      lit(null).cast("double").as("qty"), nullI.as("rkt"), nullI.as("rks"))
-    val l = rankedLinks.select(
-      col("key"), lit("link").as("tag"),
-      lit(null).cast("string").as("status"),
-      lit(null).cast("string").as("priority"),
-      lit(null).cast("timestamp").as("attempt_ts"),
-      col("tv"), col("link_date"), col("link_src"), col("internal"),
-      col("qty"), col("rkt"), col("rks"))
-    val u = s.unionByName(l)
     val isS = col("tag") === "status"
     val isL = col("tag") === "link"
     // deterministic latest-link ordinal: equal ordinals ⇒ equal values.

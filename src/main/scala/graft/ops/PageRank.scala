@@ -133,7 +133,61 @@ object PageRank {
     e.count()
     edgesIn.unpersist() // nodes and e are pinned; the raw plan is done
 
-    var ranks = mat(nodes.withColumn("rank_u", lit(Scale)))
+    // r21 note (measured rejection): disabling AQE for the loop body —
+    // the "trim per-round re-planning" lever — made g5 SLOWER (7.5 vs
+    // 6.8 s warm, g12 4.7 vs 4.3): the coalescing of the loop's small
+    // rank exchanges saves more than its per-stage re-planning costs at
+    // this scale. Left on.
+    //
+    // r21 state pinning: per-iteration state is PERSISTED (cache), not
+    // localCheckpoint'ed, when no reliable checkpoint dir is configured.
+    // localCheckpoint's LogicalRDD drops outputPartitioning, so every
+    // iteration re-shuffled the O(V) rank state into the contribs join;
+    // a persisted frame keeps HashPartitioning(domain) visible through
+    // InMemoryTableScan and the join against the src_domain-pinned edge
+    // cache is exchange-free (the same reasoning the setup uses for the
+    // invariants). Fault story is unchanged: a lost block under EITHER
+    // form means re-running the query (localCheckpoint cannot recompute
+    // at all; the superseded cache generations here are unpersisted).
+    // With spark.graft.checkpointDir set (a real cluster) the loop keeps
+    // reliable checkpoints — re-exchanging V rows per round is the price
+    // of surviving executor loss there. Plans stay flat: the cached
+    // generation substitutes as an InMemoryRelation LEAF, exactly like a
+    // checkpoint scan. Measured at sf0.1 (OpProfile warm min): g5 wall
+    // NEUTRAL within box noise (6.92 vs 6.68 s) with total shuffle
+    // 90.6 → 75.6 MB (the per-iteration O(V) rank exchange is gone) —
+    // kept for the shuffle cut, which is V·iters rows at 100 TB.
+    val reliable = checkpointDir.orElse(
+      Option(edges.sparkSession.conf.get(Iterative.CheckpointDirKey, null))
+        .filter(_.nonEmpty)).isDefined
+    // persist() keeps the partitioning but NOT lineage flatness: the
+    // analyzed plan (and every SQL-event explain string) nests one level
+    // per generation, and a 60-iteration chain OOM'd the test JVM
+    // building those strings. Every 8th generation therefore goes
+    // through the materializer (lineage cut; that one round's join pays
+    // the rank exchange) — plan nesting is bounded at 8 and 7/8 of the
+    // per-round exchanges stay removed.
+    val LineageCutEvery = 8
+    var gen = 0
+    def pin(df: DataFrame): DataFrame =
+      if (reliable) mat(df)
+      else {
+        gen += 1
+        if (gen % LineageCutEvery == 0) mat(df)
+        else { val p = df.persist(); p.count(); p }
+      }
+    def release(df: DataFrame): Unit = if (!reliable) df.unpersist(false)
+    // the previous pinned state generation; released only AFTER nothing
+    // reads it anymore (the tol path's delta join reads it post-pin)
+    var pinnedPrev: Option[DataFrame] = None
+    def swapPinned(p: DataFrame): DataFrame = {
+      pinnedPrev.foreach(release)
+      pinnedPrev = Some(p)
+      p
+    }
+    // iteration 0 rides the nodes cache directly: a projection over the
+    // domain-partitioned invariant needs no pin of its own
+    var ranks = nodes.withColumn("rank_u", lit(Scale))
     var iter = 1
     var converged = false
     while (iter <= iters && !converged) {
@@ -159,16 +213,20 @@ object PageRank {
           // fixed-point ranks make the stop test exact: max |Δrank_u| is
           // an integer, so "no domain moved more than eps units" cannot
           // drift with summation order. One extra (cheap, O(nodes))
-          // aggregation per iteration.
-          val nextM = mat(next)
+          // aggregation per iteration. The delta join reads the PREVIOUS
+          // state, so the old generation is released only afterwards.
+          val nextM = pin(next)
           val d = nextM
             .join(ranks.select(col("domain"), col("rank_u").as("prev_u")), "domain")
             .agg(max(abs(col("rank_u") - col("prev_u"))))
             .collect()(0)
           converged = d.isNullAt(0) || d.getLong(0) <= eps
-          ranks = nextM
+          ranks = swapPinned(nextM)
         case None =>
-          ranks = if (iter % checkpointInterval == 0 && iter < iters) mat(next) else next
+          ranks =
+            if (iter % checkpointInterval == 0 && iter < iters)
+              swapPinned(pin(next))
+            else next
       }
       iter += 1
     }
@@ -176,7 +234,7 @@ object PageRank {
     // the cached tables feed the last (lazy) iteration, and a long-lived
     // session (query server, repeated bench rounds) must not accumulate
     // dead cache entries per run; the tol path has already materialized it
-    val out = if (tol.isDefined) ranks else mat(ranks)
+    val out = if (tol.isDefined) ranks else swapPinned(pin(ranks))
     nodes.unpersist()
     e.unpersist()
     out

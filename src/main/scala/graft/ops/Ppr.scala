@@ -61,8 +61,37 @@ object Ppr {
     nodes.count()
     edgesIn.unpersist() // e and nodes are pinned; the raw plan is done
 
-    var ranks = mat(nodes.withColumn("rank_u",
-      col("is_seed") * lit(PageRank.Scale)))
+    // r21: same state pinning as PageRank.run — per-iteration state is
+    // PERSISTED (keeps HashPartitioning(domain, nParts) visible, so the
+    // e ⨝ ranks join is exchange-free) unless a reliable checkpoint dir
+    // is configured; see the PageRank.run comment for the measured
+    // trade and the fault story.
+    val reliable = checkpointDir.orElse(
+      Option(spark.conf.get(Iterative.CheckpointDirKey, null))
+        .filter(_.nonEmpty)).isDefined
+    // every 8th generation goes through the materializer to cut lineage
+    // (see the PageRank.run comment: persist keeps partitioning but
+    // nests the analyzed plan per generation; unbounded chains OOM the
+    // SQL-event explain strings)
+    val LineageCutEvery = 8
+    var gen = 0
+    var pinnedPrev: Option[DataFrame] = None
+    def pinState(df: DataFrame): DataFrame =
+      if (reliable) mat(df)
+      else {
+        gen += 1
+        val p =
+          if (gen % LineageCutEvery == 0) mat(df)
+          else { val q = df.persist(); q.count(); q }
+        // unpersist of a checkpoint generation is a CacheManager no-op
+        pinnedPrev.foreach(_.unpersist(false))
+        pinnedPrev = Some(p)
+        p
+      }
+    // iteration 0 rides the nodes cache directly (a projection over the
+    // domain-partitioned invariant)
+    var ranks = nodes.withColumn("rank_u",
+      col("is_seed") * lit(PageRank.Scale))
     var iter = 1
     while (iter <= iters) {
       val acc = e
@@ -76,10 +105,10 @@ object Ppr {
           (col("is_seed") * lit(150000000000L) +
             expr("(coalesce(acc, 0) div 1000) * 850 + ((coalesce(acc, 0) % 1000) * 850) div 1000"))
             .as("rank_u"))
-      ranks = if (iter < iters) mat(next) else next
+      ranks = if (iter < iters) pinState(next) else next
       iter += 1
     }
-    val out = mat(ranks)
+    val out = pinState(ranks)
     nodes.unpersist()
     e.unpersist()
     out

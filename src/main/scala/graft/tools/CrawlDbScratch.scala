@@ -191,8 +191,10 @@ object CrawlDbScratch {
         .orderBy("url_key")),
       "fused" -> (() => mergeFused(CrawlDb.MaxTypeSamples, 3)
         .orderBy("url_key")))
-    variants.foreach { case (name, mk) =>
-      (1 to 4).foreach { i =>
+    // INTERLEAVED runs: a fixed variant order hands the later variants
+    // free JIT/codegen warmth and biases the comparison
+    (1 to 4).foreach { i =>
+      variants.foreach { case (name, mk) =>
         val t0 = System.nanoTime()
         mk().write.format("noop").mode("overwrite").save()
         println(f"[crawldbscratch] $name%-9s run$i ${(System.nanoTime() - t0) / 1e9}%6.2f s")

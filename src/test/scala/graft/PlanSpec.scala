@@ -167,17 +167,22 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("incremental crawldb combine joins the half-merges exchange-free") {
-    // the round-6 profile of c2: one hash exchange per half-merge
-    // aggregate, the full-outer SMJ riding both aggregates' partitioning
-    // with NO exchange of its own, and one range partition for the final
-    // order — 3 exchanges total. A fourth exchange means the combine
-    // stopped reusing the aggregate partitioning (e.g. a repartition
-    // snuck in, or the join keys drifted from the grouping keys).
+    // r21 shape of c2: ONE hash exchange per half-merge (the rank
+    // window's — the merged-record aggregate rides that partitioning
+    // with no exchange of its own, and since the shuffle now precedes
+    // the aggregate there is rightly no partial aggregation), the
+    // full-outer SMJ riding both halves' partitioning exchange-free,
+    // and one range partition for the final order — 3 exchanges total.
+    // A fourth exchange means the aggregate or the combine stopped
+    // reusing the window partitioning (e.g. a repartition snuck in, or
+    // the join keys drifted from the grouping keys). The aggregate
+    // itself must never regress to ObjectHashAggregate (the r20
+    // codegen blocker this shape removed).
     val p = plan("c2_crawldb_incremental")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
     assert("Exchange rangepartitioning".r.findAllIn(p).size == 1, p)
     assert(p.contains("FullOuter"))
-    assert("partial_".r.findAllIn(p).nonEmpty, "no partial aggregation")
+    assert(!p.contains("ObjectHashAggregate"), "sample lists regressed to ObjectHashAggregate")
   }
 
   test("incremental dedupe never shuffles shingle arrays as keys") {
