@@ -56,6 +56,7 @@ object GraftExtensions {
     unary("shingles3", Shingles3Expr.apply),
     binary("jaccard3", Jaccard3Expr.apply),
     binary("jaccard3_sorted", Jaccard3SortedExpr.apply),
+    binary("inter_sorted", InterSortedExpr.apply),
     binary("dot_seq", DotSeqExpr.apply),
     // doc_fp(text[, k]) — k defaults to the winnowing window of 4
     (

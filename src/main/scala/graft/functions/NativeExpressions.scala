@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.{ColumnBridge, TypeCheckBridge}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.core.{Hashing, RabinFingerprint}
@@ -69,6 +69,17 @@ object NativeFns {
     val na = a.numElements()
     val nb = b.numElements()
     if (na == 0 && nb == 0) return Double.NaN // matches 0.0/0.0 of the column form
+    val inter = interSorted(a, b)
+    inter.toDouble / (na + nb - inter)
+  }
+
+  /** Exact intersection SIZE of two SORTED distinct-element UTF8String
+    * arrays (the merge walk of [[jaccard3Sorted]], exposed as the raw
+    * count for callers that need the integer — d17 reports
+    * inter_grams/union_grams, so the ratio alone is not enough). */
+  def interSorted(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
     var i = 0
     var j = 0
     var inter = 0
@@ -78,7 +89,7 @@ object NativeFns {
       else if (c < 0) i += 1
       else j += 1
     }
-    inter.toDouble / (na + nb - inter)
+    inter
   }
 
   /** MinHash signature by double hashing — same arithmetic as the
@@ -729,6 +740,18 @@ case class Jaccard3SortedExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Exact intersection size of two PRE-SORTED distinct string arrays
+  * (see NativeFns.interSorted). */
+case class InterSortedExpr(left: Expression, right: Expression)
+    extends NativeBinary("interSorted",
+      Seq(ArrayType(StringType), ArrayType(StringType)), IntegerType) {
+  override def prettyName: String = "inter_sorted"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeFns.interSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): InterSortedExpr =
+    copy(left = l, right = r)
+}
+
 /** Sequential dot product of two double arrays. */
 case class DotSeqExpr(left: Expression, right: Expression)
     extends NativeBinary("dotSeq",
@@ -772,6 +795,8 @@ object NativeExpressions {
     ColumnBridge.column(Jaccard3Expr(e(a), e(b)))
   def jaccard3Sorted(a: Column, b: Column): Column =
     ColumnBridge.column(Jaccard3SortedExpr(e(a), e(b)))
+  def interSorted(a: Column, b: Column): Column =
+    ColumnBridge.column(InterSortedExpr(e(a), e(b)))
   def dotSeq(a: Column, b: Column): Column =
     ColumnBridge.column(DotSeqExpr(e(a), e(b)))
   def minhashSig(h1: Column, h2: Column, k: Int, prime: Long): Column =

@@ -62,12 +62,16 @@ class D12TruthSpec extends AnyFunSuite with SparkSuite {
     val rows = a.crossJoin(b)
       .select(
         NativeExpressions.jaccard3Sorted(col("sa"), col("sb")).as("m"),
-        NativeExpressions.jaccard3(col("sa"), col("sb")).as("h"))
+        NativeExpressions.jaccard3(col("sa"), col("sb")).as("h"),
+        NativeExpressions.interSorted(col("sa"), col("sb")).as("i"),
+        size(array_intersect(col("sa"), col("sb"))).as("ib"))
       .collect()
     assert(rows.length == 1600)
     rows.foreach { r =>
       val (m, h) = (r.getDouble(0), r.getDouble(1))
       assert(m == h || (m.isNaN && h.isNaN), s"merge=$m hash=$h")
+      // the raw count kernel (d17's verify) against the built-in
+      assert(r.getInt(2) == r.getInt(3), s"inter=${r.getInt(2)} builtin=${r.getInt(3)}")
     }
   }
 
