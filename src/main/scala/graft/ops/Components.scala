@@ -87,6 +87,16 @@ object Components {
       // distinct); measured at sf0.1 interleaved in one JVM
       // (tools/StarScratch): jobs/run 126 → 86, warm wall
       // 5.2–5.7 → 3.8–4.7 s, outputs set-identical, rounds unchanged.
+      // Skew note: AQE cannot split a window partition the way it can
+      // a skewed SMJ, so a mega-hub's small-star group is one task here
+      // — bounded by the hub's SMALLER-neighbor count in the current
+      // CONTRACTED edge set (large-star has already re-pointed larger
+      // neighbors at minima, and rounds shrink degrees fast). The
+      // skew-splittable fallback — groupBy+join WITHOUT the ls
+      // checkpoint, second consumption riding ReusedExchange — was
+      // measured too: 110 jobs / 4.4–4.7 s (tools/StarScratch variant
+      // D); switch to it if a production graph ever straggles on this
+      // window.
       edges = mat(ls
         .withColumn("m", min(col("lo")).over(
           org.apache.spark.sql.expressions.Window.partitionBy("hi")))

@@ -126,6 +126,41 @@ object StarScratch {
       readout(edges)
     }
 
+    // variant D: groupBy+join small-star (AQE-skew-splittable) but NO
+    // ls checkpoint — the join's second consumption of ls re-reads the
+    // distinct's exchange (ReusedExchange), so the round is still one
+    // materialization, without variant B's unsplittable window groups
+    def runD(): DataFrame = {
+      val mat = Iterative.materializer(spark, None)
+      var edges = canonical(pairs)
+      var cur = sig(edges)
+      var converged = cur._1 == 0L
+      var rounds = 0
+      while (!converged && rounds < 30) {
+        val prevEdges = edges
+        val nbr = edges.select(col("lo").as("u"), col("hi").as("v"))
+          .unionByName(edges.select(col("hi").as("u"), col("lo").as("v")))
+        val lm = nbr.groupBy("u").agg(min(col("v")).as("mn"))
+          .select(col("u"), least(col("mn"), col("u")).as("m"))
+        val ls = nbr.filter(col("v") > col("u"))
+          .join(lm, "u")
+          .select(col("m").as("lo"), col("v").as("hi"))
+          .distinct()
+        val sm = ls.groupBy("hi").agg(min(col("lo")).as("m"))
+        val withM = ls.join(sm, "hi")
+        edges = mat(withM.select(col("m").as("lo"), col("hi"))
+          .unionByName(withM.select(col("m").as("lo"), col("lo").as("hi")))
+          .filter(col("lo") =!= col("hi"))
+          .distinct())
+        val next = sig(edges)
+        rounds += 1
+        converged = next == cur && graft.ops.Components.confirmedFixpoint(prevEdges, edges)
+        cur = next
+      }
+      println(s"[starscratch]   D rounds=$rounds")
+      readout(edges)
+    }
+
     def time(tag: String, f: () => DataFrame): DataFrame = {
       val j0 = jobCount.get()
       val t0 = System.nanoTime()
@@ -139,11 +174,13 @@ object StarScratch {
     // parity once, then interleaved timing
     val a0 = time("A warmup", runA _).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val b0 = time("B warmup", runB _).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    println(s"[starscratch] parity: ${if (a0 == b0) "IDENTICAL" else s"MISMATCH |A|=${a0.size} |B|=${b0.size} diff=${(a0 diff b0).take(3)} / ${(b0 diff a0).take(3)}"}")
-    require(a0 == b0, "variant outputs differ")
+    val d0 = time("D warmup", runD _).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(s"[starscratch] parity: ${if (a0 == b0 && a0 == d0) "IDENTICAL" else s"MISMATCH |A|=${a0.size} |B|=${b0.size} |D|=${d0.size}"}")
+    require(a0 == b0 && a0 == d0, "variant outputs differ")
     for (i <- 1 to 4) {
       time(s"A run$i", runA _)
       time(s"B run$i", runB _)
+      time(s"D run$i", runD _)
     }
     spark.stop()
   }
