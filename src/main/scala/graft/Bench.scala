@@ -144,14 +144,18 @@ object Bench {
     // Skipped under a prefix filter (targeted profiling runs) and at any
     // sf other than 0.1 — the references are sf0.1 timings, so the ratio
     // is meaningless elsewhere.
-    // refs re-pinned r18 from a cool-box warm-state run (BENCH_FULL.json
-    // baseline); the previous refs (a98f067) had drifted as the anchors'
-    // own code evolved (c1 got faster, g5 slower) — per-anchor ratios of
-    // 0.58–1.51 that only read ~1.0 by geomean cancellation
+    // refs re-pinned r21 from the run pinned as BENCH_FULL.json (run C,
+    // 320.55 s / mi-vs-r18-refs 1.036 / drift 1.033 — the round's
+    // coolest stable window), for the same reason the r18 re-pin
+    // documents: the anchors' own code evolved again (the r21 crawldb
+    // merge rebuild reads c1 at ~0.74x the r18 ref — a code speedup
+    // posing as a cool box — while g5 reads ~1.35x), so per-anchor
+    // ratios only looked sane by geomean cancellation. Values are the
+    // per-anchor minima across run C's three calibration segments.
     val calibRefs = Seq(
-      "c1_crawldb_merge" -> 2.921,
-      "g5_pagerank" -> 5.595,
-      "w2_pagination" -> 0.125)
+      "c1_crawldb_merge" -> 2.158,
+      "g5_pagerank" -> 7.573,
+      "w2_pagination" -> 0.139)
     val calibOn = filter.isEmpty && sfDir.contains("sf0.1")
     val segments = scala.collection.mutable.ArrayBuffer
       .empty[Seq[(String, Double)]]
